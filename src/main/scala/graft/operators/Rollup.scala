@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import graft.functions.codec.{BlockCodec, TsCodec, PointRow}
+
+/** Continuous-aggregate rollup + retention-tier promotion.
+  *
+  * Generalizes the reference's hierarchical aggregate
+  * (`_aggregate_features`, /root/reference/forecastframe/feature_engineering.py:270-300
+  * — `groupby(hierarchy + [datetime]).agg(op)`) into tumbling-window tier
+  * tables over the page stream, per the north rule:
+  * measures = count / sum / mean / min / max / p50 / p95 of per-page
+  * text-length + lang distinct-count, tiers 1m → 5m → 1h → 1d.
+  *
+  * Scale design:
+  *   - tier-1 is ONE shuffle on (hierarchy, minute-bucket) — map-side partial
+  *     aggregation applies to every associative measure; the Gorilla point
+  *     block and the percentile inputs ride the same shuffle.
+  *   - promotion NEVER re-reads raw pages: count/sum/min/max re-aggregate
+  *     associatively, mean = sum/count, p50/p95 + the promoted point block are
+  *     recomputed exactly from the decoded finer-tier blocks — again one
+  *     shuffle per tier, over already-rolled-up (small) data.
+  *   - lang cardinality: exact via a per-bucket lang set (tiny domain). At a
+  *     larger lang domain the drop-in replacement is an HLL sketch
+  *     (approx_count_distinct / HyperLogLogPlusPlus partials); kept exact here
+  *     because the parity gate is exact.
+  *   - hot-host skew: [[tier1mSalted]] pre-aggregates on (key, salt) first —
+  *     see SURVEY.md §4.3 — and AQE skew-join/coalescing is enabled in the
+  *     session defaults.
+  */
+object Rollup {
+
+  case class Tier(name: String, seconds: Long)
+  val Tiers: Seq[Tier] = Seq(Tier("1m", 60), Tier("5m", 300), Tier("1h", 3600), Tier("1d", 86400))
+
+  /** Exact linear-interpolation percentile over a sorted array — same
+    * definition as Spark `percentile` / DuckDB `quantile_cont`.
+    */
+  def exactPercentile(sorted: Array[Double], p: Double): Double = {
+    val n = sorted.length
+    if (n == 0) return Double.NaN
+    val rank = p * (n - 1)
+    val lo = math.floor(rank).toInt
+    val hi = math.ceil(rank).toInt
+    if (lo == hi) sorted(lo)
+    else sorted(lo) + (rank - lo) * (sorted(hi) - sorted(lo))
+  }
+
+  /** Merge N finer-tier blocks into one coarser block + exact percentiles,
+    * decoding each input block exactly once.
+    */
+  val mergeBlocksUdf: UserDefinedFunction = udf { (blocks: Seq[Array[Byte]]) =>
+    val pts = blocks.iterator.flatMap { b =>
+      val (ts, vs) = TsCodec.decode(b)
+      ts.iterator.zip(vs.iterator)
+    }.toArray.sortBy(_._1)
+    val block = TsCodec.encode(pts.map(_._1), pts.map(_._2))
+    val sortedVs = pts.map(_._2).sorted
+    MergedBlock(block, exactPercentile(sortedVs, 0.5), exactPercentile(sortedVs, 0.95))
+  }
+
+  /** Measure column: per-page text length in characters (parity-defined with
+    * the oracle: `length(text)`).
+    */
+  def textLen(df: DataFrame): DataFrame =
+    df.withColumn("text_len", length(col("text")).cast("double"))
+
+  /** Tier-1 (1-minute) continuous aggregate from raw pages.
+    *
+    * @param pages     page table with hierarchy columns already attached
+    *                  ([[graft.functions.Hier.withHierarchy]])
+    * @param groupCols hierarchy grouping (finest level, e.g. host..tld)
+    */
+  def tier1m(pages: DataFrame, groupCols: Seq[String] = Seq("tld", "registered_domain", "host")): DataFrame = {
+    val df = textLen(pages)
+      .withColumn("ts_sec", unix_timestamp(col("warc_ts")))
+    df.groupBy((groupCols.map(col) :+ window(col("warc_ts"), "1 minute").as("w")): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("text_len")).as("sum_len"),
+        min(col("text_len")).as("min_len"),
+        max(col("text_len")).as("max_len"),
+        percentile(col("text_len"), lit(0.5)).as("p50_len"),
+        percentile(col("text_len"), lit(0.95)).as("p95_len"),
+        collect_set(col("lang")).as("lang_set"),
+        BlockCodec.encodeBlock(col("ts_sec"), col("text_len")).as("block")
+      )
+      .withColumn("bucket_start", unix_timestamp(col("w.start")))
+      .withColumn("mean_len", col("sum_len") / col("cnt"))
+      .withColumn("lang_card", size(col("lang_set")).cast("long"))
+      .drop("w")
+  }
+
+
+  /** Skew-safe tier-1: phase 1 aggregates on (key, bucket, salt) so one hot
+    * host fans across `s` reducers, phase 2 merges the partials (associative
+    * measures + block merge). Result is identical to [[tier1m]] (salting
+    * invariance is property-tested).
+    */
+  def tier1mSalted(pages: DataFrame, s: Int = 16,
+                   groupCols: Seq[String] = Seq("tld", "registered_domain", "host")): DataFrame = {
+    val df = textLen(pages)
+      .withColumn("ts_sec", unix_timestamp(col("warc_ts")))
+      .withColumn("_salt", pmod(xxhash64(col("url")), lit(s.toLong)))
+    val partial = df
+      .groupBy((groupCols.map(col) ++ Seq(window(col("warc_ts"), "1 minute").as("w"), col("_salt"))): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("text_len")).as("sum_len"),
+        min(col("text_len")).as("min_len"),
+        max(col("text_len")).as("max_len"),
+        collect_set(col("lang")).as("lang_set"),
+        BlockCodec.encodeBlock(col("ts_sec"), col("text_len")).as("block")
+      )
+      .withColumn("bucket_start", unix_timestamp(col("w.start")))
+      .drop("w", "_salt")
+    mergePartials(partial, groupCols)
+  }
+
+  /** Merges partial tier rows sharing (groupCols, bucket_start): the shared
+    * second phase of salting and of tier promotion.
+    */
+  private def mergePartials(partial: DataFrame, groupCols: Seq[String],
+                            bucketExpr: Column = col("bucket_start")): DataFrame =
+    partial
+      .withColumn("_bucket", bucketExpr)
+      .groupBy((groupCols.map(col) :+ col("_bucket").as("bucket_start")): _*)
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("sum_len")).as("sum_len"),
+        min(col("min_len")).as("min_len"),
+        max(col("max_len")).as("max_len"),
+        array_distinct(flatten(collect_list(col("lang_set")))).as("lang_set"),
+        mergeBlocksUdf(collect_list(col("block"))).as("m")
+      )
+      .withColumn("mean_len", col("sum_len") / col("cnt"))
+      .withColumn("lang_card", size(col("lang_set")).cast("long"))
+      .withColumn("p50_len", col("m.p50"))
+      .withColumn("p95_len", col("m.p95"))
+      .withColumn("block", col("m.block"))
+      .drop("m")
+
+  /** Promote a finer tier to `tierSeconds` buckets. Associative measures
+    * re-aggregate; p50/p95 and the point block are rebuilt exactly from the
+    * decoded finer blocks. Input bucket widths must divide `tierSeconds`.
+    */
+  def promote(finer: DataFrame, tierSeconds: Long,
+              groupCols: Seq[String] = Seq("tld", "registered_domain", "host")): DataFrame =
+    mergePartials(finer, groupCols,
+      bucketExpr = (col("bucket_start") - pmod(col("bucket_start"), lit(tierSeconds))))
+
+  /** All retention tiers from raw pages: 1m from raw, each coarser tier
+    * promoted from the previous one. Returns tierName → DataFrame.
+    */
+  def allTiers(pages: DataFrame,
+               groupCols: Seq[String] = Seq("tld", "registered_domain", "host")): Map[String, DataFrame] = {
+    val t1 = tier1m(pages, groupCols)
+    val ordered = Tiers.tail.scanLeft("1m" -> t1) { case ((_, prev), t) =>
+      t.name -> promote(prev, t.seconds, groupCols)
+    }
+    ordered.toMap
+  }
+
+  /** Hierarchy rollup of a tier table across levels host → domain → tld →
+    * global, GROUPING-SETS-style. Exact percentiles at every level via block
+    * merge. `levels` is ordered coarse→fine, e.g. Seq("tld","registered_domain","host").
+    */
+  def rollupHierarchy(tier: DataFrame, levels: Seq[String]): DataFrame = {
+    // grouping sets: (), (l1), (l1,l2), ... (all) — the reference's on-demand
+    // rollup up the hierarchy (feature_engineering.py:270-300) for all levels
+    // at once. Implemented as a union of per-level merges over the already
+    // rolled-up tier (small), keeping percentile exactness via blocks.
+    val sets = levels.indices.map(i => levels.take(i + 1)) :+ Seq.empty[String]
+    val parts = sets.map { keep =>
+      val merged = mergePartials(tier, keep)
+      levels.foldLeft(merged.withColumn("grouping_level", lit(keep.length))) { (d, l) =>
+        if (keep.contains(l)) d else d.withColumn(l, lit(null).cast("string"))
+      }
+    }
+    parts.reduce(_.unionByName(_)).select(
+      (levels.map(col) ++ Seq(col("grouping_level"), col("bucket_start"), col("cnt"), col("sum_len"),
+        col("mean_len"), col("min_len"), col("max_len"), col("p50_len"), col("p95_len"),
+        col("lang_card"), col("lang_set"), col("block"))): _*)
+  }
+}
+
+/** Result struct of [[Rollup.mergeBlocksUdf]]. */
+case class MergedBlock(block: Array[Byte], p50: Double, p95: Double)

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.functions.codec.TsCodec
+
+/** Gorilla XOR + delta-of-delta round-trip identity (FIXTURES.md §5):
+  * bit-pattern fidelity incl. NaN, ±0.0, ±Inf, subnormals, constant runs.
+  */
+class CodecSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def sameBits(a: Array[Double], b: Array[Double]): Boolean =
+    a.length == b.length && a.indices.forall(i =>
+      java.lang.Double.doubleToRawLongBits(a(i)) == java.lang.Double.doubleToRawLongBits(b(i)))
+
+  private def roundTripOk(ts: Array[Long], vs: Array[Double]): Boolean = {
+    val (ts2, vs2) = TsCodec.decode(TsCodec.encode(ts, vs))
+    ts2.sameElements(ts) && sameBits(vs2, vs)
+  }
+
+  test("empty and singleton blocks") {
+    assert(roundTripOk(Array.empty, Array.empty))
+    assert(roundTripOk(Array(1704067200L), Array(3.14)))
+    assert(roundTripOk(Array(0L), Array(Double.NaN)))
+  }
+
+  test("special values") {
+    val vs = Array(0.0, -0.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.MinPositiveValue, -Double.MinPositiveValue,
+      Double.MaxValue, Double.MinValue, 1.0, 1.0, 1.0)
+    assert(roundTripOk(vs.indices.map(i => 1704067200L + i * 60L).toArray, vs))
+  }
+
+  test("constant run compresses to ~2 bits per point") {
+    val n = 1000
+    val ts = (0 until n).map(i => 1704067200L + i * 60L).toArray
+    val vs = Array.fill(n)(42.5)
+    val block = TsCodec.encode(ts, vs)
+    assert(block.length < 4 + 16 + 16 + n / 2, s"block ${block.length}B too large")
+    assert(roundTripOk(ts, vs))
+  }
+
+  test("property: random (ts, value) streams round-trip exactly") {
+    val genV = Gen.oneOf(
+      Gen.chooseNum(-1e12, 1e12),
+      Gen.oneOf(Double.NaN, 0.0, -0.0, Double.PositiveInfinity, Double.NegativeInfinity,
+        Double.MinPositiveValue, 1.0),
+      Gen.chooseNum(-5.0, 5.0))
+    val genPts = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 100000L), genV))
+    check(Prop.forAll(genPts) { pts =>
+      var t = 1704067200L
+      val ts = pts.map { case (dt, _) => t += dt; t }.toArray
+      roundTripOk(ts, pts.map(_._2).toArray)
+    })
+  }
+
+  test("property: arbitrary sorted timestamps incl. negatives") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(-1000000L, 1000000L))) { rawTs =>
+      val ts = rawTs.sorted.toArray
+      roundTripOk(ts, rawTs.map(t => (t % 97).toDouble).toArray)
+    })
+  }
+}

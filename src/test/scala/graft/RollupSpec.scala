@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Pages
+import graft.functions.Hier
+import graft.operators.Rollup
+
+/** Tier rollup correctness: tier consistency (promotion == direct), salting
+  * invariance, hierarchy-rollup totals, per-url text invariant (FIXTURES.md §5,
+  * BASELINE.json correctness gate).
+  */
+class RollupSpec extends SparkSuite {
+  import Rollup._
+
+  lazy val pages = Hier.withHierarchy(Pages.synthesize(spark, 5000L, seed = 7L)).cache()
+  lazy val t1m = tier1m(pages).cache()
+
+  test("page generator is deterministic and has required shape") {
+    val again = Hier.withHierarchy(Pages.synthesize(spark, 5000L, seed = 7L))
+    assert(pages.exceptAll(again).isEmpty && again.exceptAll(pages).isEmpty)
+    assert(pages.count() == 5000)
+    val langs = pages.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.contains(null) && langs.size == 6)
+    assert(pages.filter(length(col("text")) === 0).count() > 0, "needs empty texts")
+  }
+
+  test("per-row invariant: extracted text is byte-identical per url") {
+    val bad = pages.filter(sha2(Pages.extractText(col("html")), 256) =!= sha2(col("text"), 256))
+    assert(bad.count() == 0)
+  }
+
+  test("gap buckets exist (minute slots ≡ 3 mod 7 are empty)") {
+    val minutes = pages.select(((unix_timestamp(col("warc_ts")) - Pages.Epoch) / 60).cast("long").as("m"))
+      .filter(pmod(col("m"), lit(7L)) === 3).count()
+    assert(minutes == 0)
+  }
+
+  test("tier1m matches a direct SQL aggregate") {
+    val direct = Rollup.textLen(pages)
+      .groupBy(col("host"), window(col("warc_ts"), "1 minute"))
+      .agg(count(lit(1)).as("d_cnt"), sum(col("text_len")).as("s"),
+        percentile(col("text_len"), lit(0.5)).as("p50"))
+    val joined = t1m.select(col("host"), col("bucket_start"), col("cnt"), col("sum_len"), col("p50_len"))
+      .join(direct.withColumn("bucket_start", unix_timestamp(col("window.start"))),
+        Seq("host", "bucket_start"))
+    val n = joined.count()
+    assert(n == t1m.count() && n == direct.count())
+    val bad = joined.filter(col("cnt") =!= col("d_cnt") || abs(col("sum_len") - col("s")) > 1e-9 ||
+      abs(col("p50_len") - col("p50")) > 1e-9).count()
+    assert(bad == 0)
+  }
+
+  test("tier consistency: promoted 5m/1h/1d match direct aggregation from raw") {
+    for (t <- Tiers.tail) {
+      val promoted = allTiers(pages)(t.name)
+      val direct = Rollup.textLen(pages)
+        .groupBy(col("tld"), col("registered_domain"), col("host"),
+          window(col("warc_ts"), s"${t.seconds} seconds").as("w"))
+        .agg(count(lit(1)).as("d_cnt"), sum(col("text_len")).as("d_sum"),
+          min(col("text_len")).as("d_min"), max(col("text_len")).as("d_max"),
+          percentile(col("text_len"), lit(0.5)).as("d_p50"),
+          percentile(col("text_len"), lit(0.95)).as("d_p95"),
+          countDistinct(col("lang")).as("d_card"))
+        .withColumn("bucket_start", unix_timestamp(col("w.start")))
+      val j = promoted.join(direct, Seq("tld", "registered_domain", "host", "bucket_start"), "full_outer")
+      assert(j.filter(col("cnt").isNull || col("d_cnt").isNull).count() == 0, s"bucket mismatch at ${t.name}")
+      val bad = j.filter(
+        col("cnt") =!= col("d_cnt") || abs(col("sum_len") - col("d_sum")) > 1e-9 ||
+          col("min_len") =!= col("d_min") || col("max_len") =!= col("d_max") ||
+          abs(col("p50_len") - col("d_p50")) > 1e-9 || abs(col("p95_len") - col("d_p95")) > 1e-9 ||
+          col("lang_card") =!= col("d_card") ||
+          abs(col("mean_len") - col("d_sum") / col("d_cnt")) > 1e-9)
+      assert(bad.count() == 0, s"measure mismatch at tier ${t.name}")
+    }
+  }
+
+  test("salting invariance: salted tier1m == unsalted") {
+    val salted = tier1mSalted(pages, s = 8)
+      .select("host", "bucket_start", "cnt", "sum_len", "min_len", "max_len", "p50_len", "p95_len", "lang_card")
+    val plain = t1m
+      .select("host", "bucket_start", "cnt", "sum_len", "min_len", "max_len", "p50_len", "p95_len", "lang_card")
+    val j = salted.alias("a").join(plain.alias("b"), Seq("host", "bucket_start"), "full_outer")
+    assert(j.filter(col("a.cnt").isNull || col("b.cnt").isNull).count() == 0)
+    val bad = j.filter(col("a.cnt") =!= col("b.cnt") ||
+      abs(col("a.sum_len") - col("b.sum_len")) > 1e-9 ||
+      abs(col("a.p50_len") - col("b.p50_len")) > 1e-9 ||
+      abs(col("a.p95_len") - col("b.p95_len")) > 1e-9 ||
+      col("a.lang_card") =!= col("b.lang_card")).count()
+    assert(bad == 0)
+  }
+
+  test("hierarchy rollup: global level equals whole-bucket aggregate") {
+    val r = rollupHierarchy(t1m, Seq("tld", "registered_domain", "host"))
+    val global = r.filter(col("grouping_level") === 0)
+    val direct = Rollup.textLen(pages)
+      .groupBy(window(col("warc_ts"), "1 minute").as("w"))
+      .agg(count(lit(1)).as("d_cnt"), percentile(col("text_len"), lit(0.95)).as("d_p95"))
+      .withColumn("bucket_start", unix_timestamp(col("w.start")))
+    val j = global.join(direct, Seq("bucket_start"), "full_outer")
+    assert(j.filter(col("cnt").isNull || col("d_cnt").isNull).count() == 0)
+    assert(j.filter(col("cnt") =!= col("d_cnt") || abs(col("p95_len") - col("d_p95")) > 1e-9).count() == 0)
+  }
+}

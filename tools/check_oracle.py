@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB correctness compare.
+
+Usage: python3 tools/check_oracle.py <verifyOutDir> <sfDir>
+
+Reads each <name>.parquet result written by graft.Verify plus
+oracle_sql.json, runs the oracle SQL in DuckDB against the sf tables,
+and compares: schema (sorted column names), row count, and values
+(columns sorted by name, rows sorted, float-tolerant 1e-9 + exact-repr
+hash like the driver's).
+"""
+import sys, json, glob, os
+import duckdb
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        res_dir = os.path.join(out_dir, name)
+        try:
+            got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").fetchdf()
+            want = con.sql(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        gc, wc = sorted(got.columns), sorted(want.columns)
+        if gc != wc:
+            print(f"FAIL {name}: columns {gc} != {wc}")
+            n_fail += 1
+            continue
+        got, want = got[gc], want[wc]
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        gs = got.sort_values(gc, na_position="first").reset_index(drop=True)
+        ws = want.sort_values(wc, na_position="first").reset_index(drop=True)
+        bad = []
+        for c in gc:
+            a, b = gs[c], ws[c]
+            try:
+                import pandas as pd
+                if a.dtype.kind == "f" or b.dtype.kind == "f":
+                    import numpy as np
+                    af, bf = a.astype(float), b.astype(float)
+                    ok = ((af - bf).abs() <= 1e-9) | (af.isna() & bf.isna())
+                else:
+                    ok = (a == b) | (a.isna() & b.isna())
+                if not ok.all():
+                    i = ok.idxmin()
+                    bad.append(f"{c}[{i}]: {a[i]!r} != {b[i]!r}")
+            except Exception as e:
+                bad.append(f"{c}: compare error {e}")
+        if bad:
+            print(f"FAIL {name}: {bad[:3]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+main()
