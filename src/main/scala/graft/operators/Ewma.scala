@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Exponentially-weighted moving average — pandas `ewm(span, adjust=True)`
+  * parity (ref /root/reference/forecastframe/feature_engineering.py:499-693;
+  * α = 2/(span+1); adjust=True weighted-sums form, ignore_na=False: weights
+  * decay with absolute row distance, nulls contribute nothing but still
+  * advance the position).
+  *
+  * No Spark builtin exists (SURVEY.md §2.11): the recursion is order-
+  * dependent. Realized as one `collect_list(struct(ts,x))` per series +
+  * a linear-time pass, exploded back — per-series state never crosses rows,
+  * so the operator scales out across series (the grouping key). Series
+  * length is bounded by the rolled-up tier cardinality (buckets per series),
+  * not raw pages, keeping per-group memory O(series length).
+  */
+object Ewma {
+
+  /** Computes the ewma sequence for (ts, x) pairs (any input order).
+    * Returns (ts, ewma) pairs sorted by ts.
+    */
+  def ewmaSeries(points: Seq[(Long, Option[Double])], span: Double, lagRows: Int,
+                 minPeriods: Int, adjust: Boolean = true): Seq[(Long, Option[Double])] = {
+    val alpha = 2.0 / (span + 1.0)
+    val sorted = points.sortBy(_._1)
+    val xs: Seq[Option[Double]] =
+      if (lagRows == 0) sorted.map(_._2)
+      else Seq.fill(math.min(lagRows, sorted.size))(None) ++ sorted.dropRight(lagRows).map(_._2)
+    val out = new Array[Option[Double]](xs.size)
+    if (adjust) {
+      // y_t = Σ (1-α)^(t-j) x_j / Σ (1-α)^(t-j) over non-null j ≤ t
+      var num = 0.0; var den = 0.0; var nObs = 0
+      var i = 0
+      val decay = 1.0 - alpha
+      while (i < xs.size) {
+        num *= decay; den *= decay
+        xs(i).foreach { v => num += v; den += 1.0; nObs += 1 }
+        out(i) = if (nObs >= minPeriods && den > 0) Some(num / den) else None
+        i += 1
+      }
+    } else {
+      // recursive form: y_t = (1-α)·y_{t-1} + α·x_t (nulls carry y forward)
+      var y = Option.empty[Double]; var nObs = 0
+      var i = 0
+      while (i < xs.size) {
+        xs(i).foreach { v =>
+          nObs += 1
+          y = Some(y.fold(v)(prev => (1.0 - alpha) * prev + alpha * v))
+        }
+        out(i) = if (nObs >= minPeriods) y else None
+        i += 1
+      }
+    }
+    sorted.map(_._1).zip(out)
+  }
+
+  private def ewmaUdf(span: Double, lagRows: Int, minPeriods: Int, adjust: Boolean): UserDefinedFunction =
+    udf { (pts: Seq[Row]) =>
+      val pairs = pts.map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      ewmaSeries(pairs, span, lagRows, minPeriods, adjust)
+        .map { case (t, y) => EwmaPoint(t, y.map(Double.box).orNull) }
+    }
+
+  /** Adds `<valueCol>_ewma<span>` per (hierarchy, tsCol) series. */
+  def ewma(df: DataFrame, hierarchy: Seq[String], tsCol: String, valueCol: String,
+           span: Double, lagRows: Int = 1, minPeriods: Int = 1, adjust: Boolean = true): DataFrame = {
+    val outCol = s"${valueCol}_ewma${span.toInt}"
+    val series = df
+      .groupBy(hierarchy.map(col): _*)
+      .agg(collect_list(struct(unix_timestamp(col(tsCol)).as("t"),
+        col(valueCol).cast("double").as("x"))).as("pts"))
+      .withColumn("e", explode(ewmaUdf(span, lagRows, minPeriods, adjust)(col("pts"))))
+      .select((hierarchy.map(col) :+ col("e.ts").as("_ets") :+ col("e.y").as(outCol)): _*)
+    df.withColumn("_ets", unix_timestamp(col(tsCol)))
+      .join(series, hierarchy :+ "_ets", "left")
+      .drop("_ets")
+  }
+
+  /** EWMA crossovers: pairwise ratios across spans (ref :674-693). */
+  def crossovers(df: DataFrame, hierarchy: Seq[String], tsCol: String, valueCol: String,
+                 spans: Seq[Double], lagRows: Int = 1, minPeriods: Int = 1): DataFrame = {
+    val withAll = spans.foldLeft(df)((d, s) => ewma(d, hierarchy, tsCol, valueCol, s, lagRows, minPeriods))
+    spans.combinations(2).foldLeft(withAll) { case (d, Seq(a, b)) =>
+      val ca = col(s"${valueCol}_ewma${a.toInt}")
+      val cb = col(s"${valueCol}_ewma${b.toInt}")
+      d.withColumn(s"${valueCol}_ewma_cross_${a.toInt}_${b.toInt}",
+        when(cb.isNull || cb === 0, lit(null)).otherwise(ca / cb))
+    }
+  }
+}
+
+case class EwmaPoint(ts: Long, y: java.lang.Double)

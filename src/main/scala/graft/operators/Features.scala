@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Time-series feature engineering over a keyed, time-indexed table —
+  * the Spark realization of the reference's feature layer
+  * (/root/reference/forecastframe/feature_engineering.py). Where pandas
+  * replays a recorded `function_list` on the full frame
+  * (model.py:592-628), these are lazy Catalyst transforms: composition IS
+  * the deferred plan.
+  *
+  * All operators are window functions over `W(h,t) =
+  * partitionBy(hierarchy).orderBy(time)` — a single shuffle on the
+  * hierarchy key serves every feature in the same stage, so a chain of N
+  * features costs one Exchange, not N.
+  */
+object Features {
+
+  /** W(h,t): the canonical per-series window. */
+  def w(hierarchy: Seq[String], tsCol: String): WindowSpec =
+    Window.partitionBy(hierarchy.map(col): _*).orderBy(col(tsCol))
+
+  /** Range window over unix-seconds ordering for time-based rolling frames. */
+  def rangeW(hierarchy: Seq[String], tsCol: String): WindowSpec =
+    Window.partitionBy(hierarchy.map(col): _*).orderBy(unix_timestamp(col(tsCol)))
+
+  /** Per-group lag features (ref feature_engineering.py:210-267). `lags`
+    * must be ≥ 1 — the reference enforces this to prevent target leakage.
+    */
+  def lagFeatures(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                  cols: Seq[String], lags: Seq[Int]): DataFrame = {
+    require(lags.forall(_ >= 1), "lags must be >= 1 (anti-leakage, ref feature_engineering.py:231)")
+    val win = w(hierarchy, tsCol)
+    lags.foldLeft(df) { (d, l) =>
+      cols.foldLeft(d)((dd, c) => dd.withColumn(s"${c}_lag$l", lag(col(c), l).over(win)))
+    }
+  }
+
+  /** Per-group differences: x - lag(x, periods) (ref :173-207). */
+  def differenceFeatures(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                         cols: Seq[String], periods: Seq[Int]): DataFrame = {
+    val win = w(hierarchy, tsCol)
+    periods.foldLeft(df) { (d, p) =>
+      cols.foldLeft(d)((dd, c) => dd.withColumn(s"${c}_diff$p", col(c) - lag(col(c), p).over(win)))
+    }
+  }
+
+  /** Per-group percent change of the lagged series (ref :724-810):
+    * pandas `shift(lag).pct_change()` = (lag(x,l) - lag(x,l+1)) / lag(x,l+1),
+    * with ±inf (zero denominator) mapped to null like the reference's
+    * `replace([np.inf,-np.inf], np.nan)` (:732).
+    */
+  def percentChange(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                    cols: Seq[String], lags: Seq[Int]): DataFrame = {
+    val win = w(hierarchy, tsCol)
+    lags.foldLeft(df) { (d, l) =>
+      cols.foldLeft(d) { (dd, c) =>
+        val num = lag(col(c), l).over(win) - lag(col(c), l + 1).over(win)
+        val den = lag(col(c), l + 1).over(win)
+        dd.withColumn(s"${c}_pct_change$l",
+          when(den.isNull || den === 0, lit(null)).otherwise(num / den))
+      }
+    }
+  }
+
+  /** Reference default min_periods = ceil(window^0.8)
+    * (feature_engineering.py:479-483).
+    */
+  def defaultMinPeriods(windowDays: Int): Int = math.ceil(math.pow(windowDays, 0.8)).toInt
+
+  /** Rolling aggregate frame: pandas `shift(lag).rolling(f"{w}D")` on a daily
+    * grid ≡ time range (t - lag·D - (w-1)·D, t - lag·D] — expressed in
+    * seconds over unix-ts ordering so irregular/gapped series behave like the
+    * pandas time-based window (closed='right').
+    */
+  private def rollingFrame(win: WindowSpec, windowDays: Int, lagDays: Int): WindowSpec =
+    win.rangeBetween(-(lagDays.toLong + windowDays.toLong - 1L) * 86400L, -lagDays.toLong * 86400L)
+
+  /** Rolling statistics with the reference's min_periods gate
+    * (feature_engineering.py:314-496): max,min,std,mean,median,sum,kurt,skew
+    * over a `windowDays`-day window of the series lagged by `lagDays` days.
+    * Buckets with fewer than minPeriods observations yield null.
+    */
+  def rollingStats(df: DataFrame, hierarchy: Seq[String], tsCol: String, valueCol: String,
+                   windowDays: Int, lagDays: Int = 1, minPeriods: Option[Int] = None,
+                   ops: Seq[String] = Seq("max", "min", "std", "mean", "median", "sum", "kurt", "skew")): DataFrame = {
+    val mp = minPeriods.getOrElse(defaultMinPeriods(windowDays))
+    val frame = rollingFrame(rangeW(hierarchy, tsCol), windowDays, lagDays)
+    val x = col(valueCol)
+    val n = count(x).over(frame)
+    def gated(c: Column): Column = when(n >= mp, c).otherwise(lit(null))
+    val exprs: Map[String, Column] = Map(
+      "max" -> max(x).over(frame), "min" -> min(x).over(frame),
+      "std" -> stddev_samp(x).over(frame), "mean" -> avg(x).over(frame),
+      "median" -> percentile(x, lit(0.5)).over(frame), "sum" -> sum(x).over(frame),
+      "kurt" -> kurtosis(x).over(frame), "skew" -> skewness(x).over(frame))
+    ops.foldLeft(df)((d, op) =>
+      d.withColumn(s"${valueCol}_roll${windowDays}d_lag${lagDays}_$op", gated(exprs(op))))
+  }
+
+  /** Momentum: lagged value ÷ rolling mean (ref :400-410). Group-correct
+    * numerator — the reference's global shift there is a documented leakage
+    * bug (SURVEY.md §7.4), so this column is excluded from byte-parity.
+    */
+  def momentum(df: DataFrame, hierarchy: Seq[String], tsCol: String, valueCol: String,
+               windowDays: Int, lagDays: Int = 1): DataFrame = {
+    val frame = rollingFrame(rangeW(hierarchy, tsCol), windowDays, lagDays)
+    val lagged = lag(col(valueCol), lagDays).over(w(hierarchy, tsCol))
+    val m = avg(col(valueCol)).over(frame)
+    df.withColumn(s"${valueCol}_momentum${windowDays}d",
+      when(m.isNull || m === 0, lit(null)).otherwise(lagged / m))
+  }
+
+  /** Rolling-percent: lagged value ÷ rolling sum (ref :412-422). */
+  def rollingPercent(df: DataFrame, hierarchy: Seq[String], tsCol: String, valueCol: String,
+                     windowDays: Int, lagDays: Int = 1): DataFrame = {
+    val frame = rollingFrame(rangeW(hierarchy, tsCol), windowDays, lagDays)
+    val lagged = lag(col(valueCol), lagDays).over(w(hierarchy, tsCol))
+    val s = sum(col(valueCol)).over(frame)
+    df.withColumn(s"${valueCol}_rollpct${windowDays}d",
+      when(s.isNull || s === 0, lit(null)).otherwise(lagged / s))
+  }
+
+  /** Share of the rolling window beyond a threshold (ref :813-940):
+    * rolling mean of the boolean `value <op> threshold`; nulls compare against
+    * the threshold as equal (reference fills nulls with the threshold).
+    */
+  def percentOverThreshold(df: DataFrame, hierarchy: Seq[String], tsCol: String, valueCol: String,
+                           threshold: Double, op: String, windowDays: Int, lagDays: Int = 1,
+                           minPeriods: Option[Int] = None): DataFrame = {
+    val mp = minPeriods.getOrElse(defaultMinPeriods(windowDays))
+    val filled = coalesce(col(valueCol), lit(threshold))
+    val flag = op match {
+      case "gt" => filled > threshold
+      case "lt" => filled < threshold
+      case "ge" => filled >= threshold
+      case "le" => filled <= threshold
+      case "eq" => filled === threshold
+      case "ne" => filled =!= threshold
+    }
+    val frame = rollingFrame(rangeW(hierarchy, tsCol), windowDays, lagDays)
+    val n = count(col(valueCol)).over(frame)
+    df.withColumn(s"${valueCol}_pct_${op}_${threshold}_${windowDays}d",
+      when(n >= mp, avg(flag.cast("double")).over(frame)).otherwise(lit(null)))
+  }
+
+  /** Days since the group's first (optionally first-positive) observation
+    * (ref calc_days_since_release, feature_engineering.py:44-100): rows
+    * before the first positive get 0.
+    */
+  def daysSinceRelease(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                       targetCol: String, skipLeadingZeros: Boolean = true): DataFrame = {
+    val grp = Window.partitionBy(hierarchy.map(col): _*)
+    val firstTs =
+      if (skipLeadingZeros) min(when(col(targetCol) > 0, col(tsCol))).over(grp)
+      else min(col(tsCol)).over(grp)
+    df.withColumn("days_since_release",
+      greatest(coalesce(datediff(col(tsCol), firstTs), lit(0)), lit(0)))
+  }
+
+  /** Calendar features (ref feature_engineering.py:103-170), pandas-parity:
+    * weekday Mon=0 (pandas `dt.dayofweek`) vs Spark Sun=1; `week` =
+    * strftime("%U")+1 (Sunday-started week-of-year, leading days = week 0);
+    * 2-digit year; "20M01" month_year; "20Q1" quarter_year.
+    */
+  def calendarFeatures(df: DataFrame, tsCol: String,
+                       features: Seq[String] = Seq("day", "day_of_week", "weekend_flag", "week",
+                         "month", "year", "quarter", "month_year", "quarter_year")): DataFrame = {
+    val t = col(tsCol)
+    val exprs: Map[String, Column] = Map(
+      "day" -> dayofmonth(t),
+      "day_of_week" -> pmod(dayofweek(t) + 5, lit(7)), // pandas Mon=0..Sun=6
+      "weekend_flag" -> (pmod(dayofweek(t) + 5, lit(7)) >= 5).cast("int"),
+      // %U = (tm_yday + 7 - tm_wday)/7 (Sunday-started, Jan partial week = 0);
+      // tm_yday 0-based, tm_wday Sun=0; the reference adds +1 (:155)
+      "week" -> (floor((dayofyear(t) + 6 - (dayofweek(t) - 1)) / 7) + 1).cast("int"),
+      "month" -> month(t),
+      "year" -> pmod(year(t), lit(100)),
+      "quarter" -> quarter(t),
+      "month_year" -> concat(format_string("%02d", pmod(year(t), lit(100))), lit("M"),
+        format_string("%02d", month(t))),
+      "quarter_year" -> concat(format_string("%02d", pmod(year(t), lit(100))), lit("Q"), quarter(t)))
+    features.foldLeft(df)((d, f) => d.withColumn(f, exprs(f)))
+  }
+
+  /** Forward fill (LOCF) per group (ref transform.py:475-500). */
+  def forwardFill(df: DataFrame, hierarchy: Seq[String], tsCol: String, cols: Seq[String]): DataFrame = {
+    val win = w(hierarchy, tsCol).rowsBetween(Window.unboundedPreceding, 0)
+    cols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(win)))
+  }
+
+  /** Backward fill per group (ref transform.py:491). */
+  def backwardFill(df: DataFrame, hierarchy: Seq[String], tsCol: String, cols: Seq[String]): DataFrame = {
+    val win = w(hierarchy, tsCol).rowsBetween(0, Window.unboundedFollowing)
+    cols.foldLeft(df)((d, c) => d.withColumn(c, first(col(c), ignoreNulls = true).over(win)))
+  }
+
+  /** Clamp negatives to a replacement value (ref transform.py:42-61). */
+  def correctNegatives(df: DataFrame, cols: Seq[String], replaceWith: Double = 0.0): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, when(col(c) < 0, lit(replaceWith)).otherwise(col(c))))
+}

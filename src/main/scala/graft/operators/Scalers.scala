@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column scalers with persisted parameters + inverses — the reference's
+  * transform layer (/root/reference/forecastframe/transform.py): log1p
+  * (:89-97) / expm1 inverse (:264-265), standardize (:127-140) + inverse
+  * (:238-239), min-max normalize (:175-186) + inverse (:242-243), and the
+  * stored-parameter replay `_apply_transform_dict` (:189-204).
+  *
+  * Parameters are collected once per fit (a 2-value aggregate — one tiny
+  * job) and inlined as literals, exactly how the reference stores them in
+  * `self.transforms`; predictions descale via [[ScalerParams.inverse]].
+  * The metadata is a plain case class — persist as JSON next to outputs
+  * (no JVM pickling; SURVEY.md §1.3).
+  */
+object Scalers {
+
+  sealed trait ScalerParams {
+    def column: String
+    def apply(c: Column): Column
+    def inverse(c: Column): Column
+  }
+  case class Log1pParams(column: String) extends ScalerParams {
+    def apply(c: Column): Column = log1p(c)
+    def inverse(c: Column): Column = expm1(c)
+  }
+  case class StandardizeParams(column: String, mean: Double, std: Double) extends ScalerParams {
+    def apply(c: Column): Column = (c - mean) / (if (std == 0) 1.0 else std)
+    def inverse(c: Column): Column = c * (if (std == 0) 1.0 else std) + mean
+  }
+  case class MinMaxParams(column: String, min: Double, max: Double) extends ScalerParams {
+    private val span = if (max == min) 1.0 else max - min
+    def apply(c: Column): Column = (c - min) / span
+    def inverse(c: Column): Column = c * span + min
+  }
+
+  /** Fit standardize params on (a filtered view of) df — e.g. train-only
+    * rows for the leak-free CV pipeline (ref model.py:664-670).
+    */
+  def fitStandardize(df: DataFrame, column: String): StandardizeParams = {
+    val r = df.agg(avg(col(column)), stddev_samp(col(column))).head()
+    StandardizeParams(column, r.getDouble(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+  }
+
+  def fitMinMax(df: DataFrame, column: String): MinMaxParams = {
+    val r = df.select(col(column).cast("double")).agg(min(col(column)), max(col(column))).head()
+    MinMaxParams(column, r.getDouble(0), r.getDouble(1))
+  }
+
+  /** Applies a recorded scaler pipeline in order (ref `_run_scaler_pipeline`,
+    * model.py:550-589).
+    */
+  def applyAll(df: DataFrame, params: Seq[ScalerParams]): DataFrame =
+    params.foldLeft(df)((d, p) => d.withColumn(p.column, p(col(p.column))))
+
+  /** Descales in reverse order (ref `_descale_target`, transform.py:246-306). */
+  def inverseAll(df: DataFrame, params: Seq[ScalerParams]): DataFrame =
+    params.reverse.foldLeft(df)((d, p) => d.withColumn(p.column, p.inverse(col(p.column))))
+}

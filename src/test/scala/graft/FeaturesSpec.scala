@@ -1,0 +1,213 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Golden per-operator tests — the reference's hand-computed-fixture style
+  * (/root/reference/forecastframe/tests/test_feature_engineering.py) on a
+  * small multi-series daily fixture with a date gap, nulls, negatives, a zero
+  * and an outlier (testing.py:9-45 translated per FIXTURES.md §1).
+  */
+class FeaturesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s + " 00:00:00")
+
+  // (host, day, value) — series "a" has a gap on 01-03 and a null; "b" has
+  // negatives and an outlier; value 0 leads series "a".
+  lazy val fx = Seq(
+    ("a", ts("2020-01-01"), Some(0.0)),
+    ("a", ts("2020-01-02"), Some(2.0)),
+    ("a", ts("2020-01-04"), None),
+    ("a", ts("2020-01-05"), Some(8.0)),
+    ("b", ts("2020-01-01"), Some(-20.0)),
+    ("b", ts("2020-01-02"), Some(3.0)),
+    ("b", ts("2020-01-03"), Some(10000.0)),
+    ("b", ts("2020-01-04"), Some(5.0))
+  ).toDF("host", "day", "v")
+
+  private def collectMap(df: org.apache.spark.sql.DataFrame, valueCol: String): Map[(String, Timestamp), Option[Double]] =
+    df.select(col("host"), col("day"), col(valueCol)).collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+  test("lag: per-group shift, nulls propagate") {
+    val got = collectMap(Features.lagFeatures(fx, Seq("host"), "day", Seq("v"), Seq(1)), "v_lag1")
+    assert(got(("a", ts("2020-01-01"))).isEmpty)
+    assert(got(("a", ts("2020-01-02"))).contains(0.0))
+    assert(got(("a", ts("2020-01-04"))).contains(2.0))
+    assert(got(("a", ts("2020-01-05"))).isEmpty) // lag of the null row
+    assert(got(("b", ts("2020-01-04"))).contains(10000.0))
+  }
+
+  test("lag rejects k=0 (anti-leakage)") {
+    intercept[IllegalArgumentException] {
+      Features.lagFeatures(fx, Seq("host"), "day", Seq("v"), Seq(0))
+    }
+  }
+
+  test("difference: x - lag(x)") {
+    val got = collectMap(Features.differenceFeatures(fx, Seq("host"), "day", Seq("v"), Seq(1)), "v_diff1")
+    assert(got(("a", ts("2020-01-02"))).contains(2.0))
+    assert(got(("b", ts("2020-01-02"))).contains(23.0))
+    assert(got(("b", ts("2020-01-03"))).contains(9997.0))
+    assert(got(("a", ts("2020-01-04"))).isEmpty)
+  }
+
+  test("pct_change: (lag1-lag2)/lag2 with 0-denominator -> null") {
+    val got = collectMap(Features.percentChange(fx, Seq("host"), "day", Seq("v"), Seq(1)), "v_pct_change1")
+    // series a at 01-04: lag1=2, lag2=0 -> denominator 0 -> null
+    assert(got(("a", ts("2020-01-04"))).isEmpty)
+    // series b at 01-03: (3 - -20)/-20 = -1.15
+    assert(got(("b", ts("2020-01-03"))).exists(approxEq(_, -1.15)))
+  }
+
+  test("rolling mean: 3-day window, lag 1, min_periods gate") {
+    val daily = Seq(
+      ("h", ts("2020-01-01"), 1.0), ("h", ts("2020-01-02"), 2.0),
+      ("h", ts("2020-01-03"), 3.0), ("h", ts("2020-01-04"), 4.0),
+      ("h", ts("2020-01-05"), 5.0)).toDF("host", "day", "v")
+    val out = collectMap(
+      Features.rollingStats(daily, Seq("host"), "day", "v", windowDays = 3, lagDays = 1,
+        ops = Seq("mean", "sum")), "v_roll3d_lag1_mean")
+    // min_periods default = ceil(3^0.8) = 3 -> first two rows gated to null
+    assert(out(("h", ts("2020-01-01"))).isEmpty && out(("h", ts("2020-01-03"))).isEmpty)
+    assert(out(("h", ts("2020-01-04"))).exists(approxEq(_, 2.0))) // mean(1,2,3)
+    assert(out(("h", ts("2020-01-05"))).exists(approxEq(_, 3.0))) // mean(2,3,4)
+  }
+
+  test("ewma matches pandas ewm(span=3, adjust=True) literals") {
+    // pandas: [1,2,3,4].ewm(span=3, adjust=True).mean() = [1, 1.6666667, 2.4285714, 3.2666667]
+    val got = Ewma.ewmaSeries(Seq((0L, Some(1.0)), (1L, Some(2.0)), (2L, Some(3.0)), (3L, Some(4.0))),
+      span = 3.0, lagRows = 0, minPeriods = 1).map(_._2.get)
+    val exp = Seq(1.0, 5.0 / 3.0, 17.0 / 7.0, 49.0 / 15.0)
+    got.zip(exp).foreach { case (g, e) => assert(approxEq(g, e), s"$g != $e") }
+  }
+
+  test("ewma skips nulls but decays by position (ignore_na=False)") {
+    // pandas [1, nan, 2].ewm(span=3, adjust=True).mean() = [1, 1, (2 + 0.25*1)/(1+0.25)] = 1.8
+    val got = Ewma.ewmaSeries(Seq((0L, Some(1.0)), (1L, None), (2L, Some(2.0))),
+      span = 3.0, lagRows = 0, minPeriods = 1).map(_._2)
+    assert(got(0).contains(1.0) && got(1).contains(1.0))
+    assert(got(2).exists(approxEq(_, 2.25 / 1.25)))
+  }
+
+  test("calendar features: pandas-parity definitions") {
+    val d = Seq((1L, ts("2020-01-01")), (2L, ts("2020-01-05")), (3L, ts("2019-12-30"))).toDF("id", "t")
+    val out = Features.calendarFeatures(d, "t").collect().map(r => r.getLong(0) -> r).toMap
+    // 2020-01-01 is a Wednesday: pandas dow=2, %U week = 0+1 = 1
+    assert(out(1L).getAs[Int]("day_of_week") == 2)
+    assert(out(1L).getAs[Int]("weekend_flag") == 0)
+    assert(out(1L).getAs[Int]("week") == 1)
+    assert(out(1L).getAs[String]("month_year") == "20M01")
+    assert(out(1L).getAs[String]("quarter_year") == "20Q1")
+    // 2020-01-05 is a Sunday: dow=6, weekend, starts %U week 1 -> +1 = 2
+    assert(out(2L).getAs[Int]("day_of_week") == 6)
+    assert(out(2L).getAs[Int]("weekend_flag") == 1)
+    assert(out(2L).getAs[Int]("week") == 2)
+    // 2019-12-30 Monday: dow=0; 2019 started Tuesday -> yday=363, wday=1: (363+7-1)/7=52 -> 53
+    assert(out(3L).getAs[Int]("day_of_week") == 0)
+    assert(out(3L).getAs[Int]("week") == 53)
+    assert(out(3L).getAs[Int]("year") == 19)
+  }
+
+  test("days_since_release skips leading zeros/negatives") {
+    val got = Features.daysSinceRelease(fx, Seq("host"), "day", "v")
+      .select(col("host"), col("day"), col("days_since_release")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getInt(2)).toMap
+    // series a: first positive is 01-02 -> 01-01 clamps to 0, 01-05 = 3
+    assert(got(("a", ts("2020-01-01"))) == 0)
+    assert(got(("a", ts("2020-01-02"))) == 0)
+    assert(got(("a", ts("2020-01-05"))) == 3)
+    // series b: first positive 01-02
+    assert(got(("b", ts("2020-01-01"))) == 0 && got(("b", ts("2020-01-04"))) == 2)
+  }
+
+  test("forward/backward fill") {
+    val ff = collectMap(Features.forwardFill(fx, Seq("host"), "day", Seq("v")), "v")
+    assert(ff(("a", ts("2020-01-04"))).contains(2.0))
+    val bf = collectMap(Features.backwardFill(fx, Seq("host"), "day", Seq("v")), "v")
+    assert(bf(("a", ts("2020-01-04"))).contains(8.0))
+  }
+
+  test("correct_negatives clamps below zero") {
+    val got = collectMap(Features.correctNegatives(fx, Seq("v")), "v")
+    assert(got(("b", ts("2020-01-01"))).contains(0.0))
+    assert(got(("b", ts("2020-01-02"))).contains(3.0))
+  }
+
+  test("gap-fill inserts missing buckets; idempotent; LOCF never invents values") {
+    val filled = GapFill.fillTimeGaps(fx, Seq("host"), "day", 86400L)
+    assert(filled.count() == 10) // 2 hosts × 5 days
+    val inserted = filled.filter(col("host") === "a" && col("day") === ts("2020-01-03"))
+    assert(inserted.count() == 1 && inserted.head().isNullAt(2))
+    val twice = GapFill.fillTimeGaps(filled, Seq("host"), "day", 86400L)
+    assert(twice.count() == 10)
+    val locfed = GapFill.locf(filled, Seq("host"), "day", Seq("v"))
+    val vals = locfed.select("v").na.drop().collect().map(_.getDouble(0)).toSet
+    val orig = fx.select("v").na.drop().collect().map(_.getDouble(0)).toSet
+    assert(vals.subsetOf(orig), "LOCF invented values")
+  }
+
+  test("linear interpolation: ts-weighted between neighbors, endpoints null") {
+    val s = Seq(("h", ts("2020-01-01"), Some(1.0)), ("h", ts("2020-01-02"), None),
+      ("h", ts("2020-01-03"), None), ("h", ts("2020-01-04"), Some(4.0)),
+      ("h", ts("2020-01-05"), None)).toDF("host", "day", "v")
+    val got = collectMap(GapFill.linearInterpolate(s, Seq("host"), "day", Seq("v")), "v")
+    assert(got(("h", ts("2020-01-02"))).exists(approxEq(_, 2.0)))
+    assert(got(("h", ts("2020-01-03"))).exists(approxEq(_, 3.0)))
+    assert(got(("h", ts("2020-01-05"))).isEmpty) // trailing: no next neighbor
+  }
+
+  test("scalers: apply + inverse round-trip; params are train-only fittable") {
+    val df = fx.na.drop(Seq("v"))
+    val std = Scalers.fitStandardize(df, "v")
+    val mm = Scalers.fitMinMax(df, "v")
+    // apply then inverse returns original values
+    val vals = Scalers.inverseAll(Scalers.applyAll(df.select("host", "day", "v"), Seq(std, mm)), Seq(std, mm))
+      .join(df.withColumnRenamed("v", "v0"), Seq("host", "day"))
+      .select(max(abs(col("v") - col("v0")))).head().getDouble(0)
+    assert(vals < 1e-9)
+    // log1p inverse
+    val lg = Scalers.Log1pParams("v")
+    val l = Scalers.inverseAll(Scalers.applyAll(Features.correctNegatives(df, Seq("v")), Seq(lg)), Seq(lg))
+    assert(l.select("v").collect().map(_.getDouble(0)).forall(v => v >= 0))
+  }
+
+  test("error metrics: hand-computed MAPE/RMSE") {
+    val d = Seq((10.0, 8.0), (20.0, 22.0)).toDF("a", "p")
+    val m = Metrics.summarize(d, "a", "p").head()
+    assert(approxEq(m.getAs[Double]("mape"), (0.2 + 0.1) / 2))
+    assert(approxEq(m.getAs[Double]("rmse"), math.sqrt((4.0 + 4.0) / 2)))
+    assert(approxEq(m.getAs[Double]("mae"), 2.0))
+    assert(m.getAs[Long]("n") == 2)
+  }
+
+  test("leak-free CV: test-row rolling features see only train-visible history") {
+    val daily = (1 to 10).map(i => ("h", ts(f"2020-01-$i%02d"), i.toDouble)).toDF("host", "day", "v")
+    val folds = CrossVal.timeSeriesSplits(daily, "day", nSplits = 2, gap = 0)
+    val f = folds.head // train through 01-04 (test 01-05..01-07 when testSize=3)
+    val out = CrossVal.leakFreeFold(daily, "day", "v", f, scalerCols = Nil,
+      featureFn = d => Features.rollingStats(d, Seq("host"), "day", "v",
+        windowDays = 30, lagDays = 1, minPeriods = Some(1), ops = Seq("sum")))
+      .select(col("day"), col("_sample"), col("v_roll30d_lag1_sum")).collect()
+      .map(r => r.getTimestamp(0) -> (r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val trainEndDay = f.trainEnd.toLocalDateTime.getDayOfMonth
+    // every test row's rolling sum == sum of TRAIN values only (test target masked)
+    val trainSum = (1 to trainEndDay).map(_.toDouble).sum
+    out.collect { case (d, ("test", Some(sum))) => (d, sum) }.foreach { case (d, sum) =>
+      assert(sum == trainSum, s"leak at $d: $sum != $trainSum")
+    }
+    assert(out.values.count(_._1 == "test") > 0)
+  }
+
+  test("cv folds match sklearn TimeSeriesSplit arithmetic") {
+    val daily = (1 to 10).map(i => ("h", ts(f"2020-01-$i%02d"), i.toDouble)).toDF("host", "day", "v")
+    val folds = CrossVal.timeSeriesSplits(daily, "day", nSplits = 2, gap = 1)
+    // n=10, testSize=3: fold0 test [4..6] (0-based), train end idx 2 (gap 1); fold1 test [7..9]
+    assert(folds(0).testStart == ts("2020-01-05") && folds(0).testEnd == ts("2020-01-07"))
+    assert(folds(0).trainEnd == ts("2020-01-03"))
+    assert(folds(1).testStart == ts("2020-01-08") && folds(1).trainEnd == ts("2020-01-06"))
+  }
+}
