@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Pages
 import graft.functions.Hier
-import graft.operators.{CrossVal, Ewma, Features, GapFill, Metrics, Rollup, Scalers}
+import graft.operators.{CrossVal, Dedup, Ewma, Features, GapFill, Metrics, Multimodal, Rollup, Scalers, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -336,6 +336,146 @@ object SparkEntry {
       folds.zipWithIndex.map { case (f, i) =>
         (i, f.trainEnd.getTime / 1000, f.testStart.getTime / 1000, f.testEnd.getTime / 1000)
       }.toDF("fold", "train_end", "test_start", "test_end").orderBy("fold")
+    }),
+
+    // ---- training-data pipeline ops (dedup / similarity / text analysis) ----
+
+    // exact dedup on content digest; duplicates constructed by unioning a
+    // shifted-id copy of the corpus
+    "q31_exact_dedup" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val uni = base.unionByName(base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exactDedup(uni, "text", "doc_id")
+        .select("content_md5", "keep_id", "dup_cnt")
+        .orderBy("keep_id")
+    }),
+
+    // MinHash signatures (k=4) over word 3-gram shingles
+    "q32_minhash_sig" -> ((s, dir) => {
+      Dedup.minhashSignature(
+          docs(s, dir).filter(col("doc_id") < 200)
+            .filter(size(graft.functions.Hashing.words(col("text"))) >= 3)
+            .select("doc_id", "text"),
+          "text", k = 4)
+        .select("doc_id", "mh0", "mh1", "mh2", "mh3")
+        .orderBy("doc_id")
+    }),
+
+    // MinHash + LSH near-duplicate pairs (8 hashes, 4 bands), Jaccard-verified
+    "q33_lsh_near_dup" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id").as("id"), col("text"))
+      val uni = base.unionByName(base.select((col("id") + 1000000L).as("id"), col("text")))
+      Dedup.lshNearDupPairs(uni, "text", "id", k = 8, bands = 4, threshold = 0.9)
+        .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash 16-bit fingerprints over distinct words
+    "q34_simhash" -> ((s, dir) => {
+      Dedup.withSimhash(
+          docs(s, dir).filter(col("doc_id") < 200)
+            .filter(size(graft.functions.Hashing.words(col("text"))) > 0),
+          "text", bits = 16)
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    }),
+
+    // n-gram Jaccard similarity pairs within language
+    "q35_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+          docs(s, dir).filter(col("doc_id") < 60), "text", "doc_id",
+          groupCols = Seq("lang"), shingleN = 3, minJaccard = 0.0)
+        .select(col("lang"), col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+        .orderBy("lang", "id_a", "id_b")
+    }),
+
+    // brute-force cosine top-k neighbors (exact ANN baseline)
+    "q36_cosine_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), r6(col("sim")).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // sign-LSH bucketed ANN (the sublinear scale path)
+    "q37_ann_bucketed" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bucketedTopK(emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "embedding", k = 3, bits = 8)
+        .select(col("query_id"), col("neighbor_id"), r6(col("sim")).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // embedding-cosine near-duplicates, LSH-bucket-pruned; dups constructed
+    // by unioning an id-shifted copy
+    "q38_embed_near_dup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 500).select("vec_id", "embedding")
+      val uni = emb.unionByName(
+        emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Similarity.nearDupPairs(uni, "vec_id", "embedding", threshold = 0.999, bits = 8)
+        .select(col("id_a"), col("id_b"), r6(col("cos_sim")).as("cos_sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // character-trigram language ID: profiles from a train split, argmax
+    // profile-overlap prediction on the test split
+    "q39_lang_id" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val train = d.filter(pmod(col("doc_id"), lit(5L)) < 4 && col("lang").isNotNull)
+      val profiles = TextAnalysis.langProfiles(train, "text", "lang", topN = 50)
+      val test = d.filter(pmod(col("doc_id"), lit(5L)) === 4)
+      TextAnalysis.langId(test, "doc_id", "text", profiles)
+        .select(col("id").as("doc_id"), col("pred_lang"), col("score"))
+        .orderBy("doc_id")
+    }),
+
+    // heuristic quality scoring (length / stopword / punctuation / TTR)
+    "q40_quality_score" -> ((s, dir) => {
+      TextAnalysis.qualityScore(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens"),
+          r6(col("mean_token_len")).as("mean_token_len"),
+          r6(col("stopword_ratio")).as("stopword_ratio"),
+          r6(col("punct_ratio")).as("punct_ratio"),
+          r6(col("type_token_ratio")).as("type_token_ratio"),
+          r6(col("quality_score")).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // token counting: whitespace + BPE-ish regex + distinct
+    "q41_token_counts" -> ((s, dir) => {
+      TextAnalysis.tokenCounts(docs(s, dir), "text")
+        .select("doc_id", "ws_tokens", "regex_tokens", "distinct_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // bottom-k document fingerprint over 8-char rolling shingle hashes
+    "q42_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .filter(length(col("text")) >= 8) // cheap pre-filter == fp.isNotNull
+        .withColumn("fp", TextAnalysis.fingerprint(col("text"), k = 4, n = 8))
+        .select(col("doc_id"),
+          try_element_at(col("fp"), lit(1)).as("fp0"),
+          try_element_at(col("fp"), lit(2)).as("fp1"),
+          try_element_at(col("fp"), lit(3)).as("fp2"),
+          try_element_at(col("fp"), lit(4)).as("fp3"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal payload plumbing: binary column metadata + batched
+    // (mapPartitions) stub decode — features are deterministic so the oracle
+    // replays them
+    "q43_media_features" -> ((s, dir) => {
+      val withBin = docs(s, dir)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("url", col("doc_id").cast("string"))
+      Multimodal.extractFeatures(withBin, "url", "payload")
+        .toDF()
+        .select(col("url").cast("long").as("doc_id"), col("byte_len"),
+          col("sha_hex"), col("width"), col("height"), col("n_frames"))
+        .orderBy("doc_id")
     })
   )
 
@@ -554,6 +694,203 @@ object SparkEntry {
         |JOIN r tr ON tr.rn = n.c - (4 - f.fold) * (n.c // 5) - 1
         |JOIN r s ON s.rn = n.c - (4 - f.fold) * (n.c // 5)
         |JOIN r e ON e.rn = n.c - (4 - f.fold) * (n.c // 5) + (n.c // 5) - 1
-        |ORDER BY f.fold""".stripMargin
+        |ORDER BY f.fold""".stripMargin,
+
+    // Shared hash contract with graft.functions.Hashing: md5int(s) =
+    // ('0x' || substr(md5(s),1,15))::BIGINT == Spark conv(substring(md5(s),1,15),16,10).
+    "q31_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "q32_minhash_sig" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id < 200),
+        |s AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh FROM w),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s)
+        |SELECT doc_id,
+        |  min(('0x' || substr(md5('0:' || g),1,15))::BIGINT) AS mh0,
+        |  min(('0x' || substr(md5('1:' || g),1,15))::BIGINT) AS mh1,
+        |  min(('0x' || substr(md5('2:' || g),1,15))::BIGINT) AS mh2,
+        |  min(('0x' || substr(md5('3:' || g),1,15))::BIGINT) AS mh3
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q33_lsh_near_dup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 200),
+        |w AS (SELECT id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws FROM corpus),
+        |s AS (SELECT id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh FROM w),
+        |e AS (SELECT id, unnest(sh) AS g FROM s),
+        |m AS (SELECT id,
+        |  min(('0x' || substr(md5('0:' || g),1,15))::BIGINT) AS mh0,
+        |  min(('0x' || substr(md5('1:' || g),1,15))::BIGINT) AS mh1,
+        |  min(('0x' || substr(md5('2:' || g),1,15))::BIGINT) AS mh2,
+        |  min(('0x' || substr(md5('3:' || g),1,15))::BIGINT) AS mh3,
+        |  min(('0x' || substr(md5('4:' || g),1,15))::BIGINT) AS mh4,
+        |  min(('0x' || substr(md5('5:' || g),1,15))::BIGINT) AS mh5,
+        |  min(('0x' || substr(md5('6:' || g),1,15))::BIGINT) AS mh6,
+        |  min(('0x' || substr(md5('7:' || g),1,15))::BIGINT) AS mh7
+        |  FROM e GROUP BY 1),
+        |bk AS (
+        |  SELECT id, 0 AS band, ('0x' || substr(md5('0:' || mh0::VARCHAR || ',' || mh1::VARCHAR),1,15))::BIGINT AS bucket FROM m
+        |  UNION ALL SELECT id, 1, ('0x' || substr(md5('1:' || mh2::VARCHAR || ',' || mh3::VARCHAR),1,15))::BIGINT FROM m
+        |  UNION ALL SELECT id, 2, ('0x' || substr(md5('2:' || mh4::VARCHAR || ',' || mh5::VARCHAR),1,15))::BIGINT FROM m
+        |  UNION ALL SELECT id, 3, ('0x' || substr(md5('3:' || mh6::VARCHAR || ',' || mh7::VARCHAR),1,15))::BIGINT FROM m),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        |shd AS (SELECT id, list_distinct(sh) AS sh FROM s),
+        |j AS (SELECT id_a, id_b,
+        |  len(list_intersect(x.sh, y.sh))::DOUBLE AS i2,
+        |  (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE AS u2
+        |  FROM cand JOIN shd x ON x.id = cand.id_a JOIN shd y ON y.id = cand.id_b)
+        |SELECT id_a, id_b, round(i2/u2, 6) AS jaccard FROM j
+        |WHERE u2 > 0 AND i2/u2 >= 0.9 ORDER BY 1, 2""".stripMargin,
+
+    "q34_simhash" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id < 200),
+        |d AS (SELECT doc_id, unnest(list_distinct(ws)) AS word FROM w WHERE len(ws) > 0),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(word),1,15))::BIGINT AS hv FROM d),
+        |b AS (SELECT doc_id, j,
+        |    CASE WHEN sum(((hv >> j) & 1) * 2 - 1) >= 0 THEN (1::BIGINT << j) ELSE 0 END AS bit
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) GROUP BY doc_id, j)
+        |SELECT doc_id, sum(bit)::BIGINT AS simhash FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q35_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id < 60),
+        |s AS (SELECT doc_id, lang, list_distinct(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+        |d AS (SELECT doc_id, lang, sh, len(sh) AS n FROM s WHERE len(sh) > 0),
+        |e AS (SELECT doc_id, lang, unnest(sh) AS g FROM d),
+        |inter AS (SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i2
+        |  FROM e a JOIN e b ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT inter.lang, id_a, id_b,
+        |  round(i2::DOUBLE / (x.n + y.n - i2), 6) AS jaccard
+        |FROM inter
+        |JOIN d x ON x.doc_id = id_a AND x.lang = inter.lang
+        |JOIN d y ON y.doc_id = id_b AND y.lang = inter.lang
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q36_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |sc AS (SELECT query_id, neighbor_id,
+        |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+        |    AND sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) > 0),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sc)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q37_ann_bucketed" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+        |  + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+        |  + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+        |  + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+        |  + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+        |  + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+        |  + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.e, c.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS sim
+        |  FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 20 AND sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)) > 0),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sc)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q38_embed_near_dup" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        |corpus AS (SELECT vec_id, embedding FROM base
+        |  UNION ALL SELECT vec_id + 1000000, embedding FROM base),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+        |  + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+        |  + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+        |  + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+        |  + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+        |  + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+        |  + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+        |  FROM corpus)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+        |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)) > 0
+        |  AND list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.999
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q39_lang_id" ->
+      """WITH tri AS (SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, greatest(len(text)-2, 0)), i -> substr(text, i, 3))) AS trigram
+        |  FROM documents),
+        |prof AS (SELECT lang, trigram FROM (
+        |    SELECT lang, trigram, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, trigram) AS rk
+        |    FROM tri WHERE doc_id % 5 < 4 AND lang IS NOT NULL GROUP BY lang, trigram)
+        |  WHERE rk <= 50),
+        |test AS (SELECT doc_id, trigram FROM tri WHERE doc_id % 5 = 4),
+        |sc AS (SELECT t.doc_id, p.lang, count(*) AS score
+        |  FROM test t JOIN prof p ON t.trigram = p.trigram GROUP BY 1, 2),
+        |r AS (SELECT doc_id, lang, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk FROM sc)
+        |SELECT doc_id, lang AS pred_lang, score FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "q40_quality_score" ->
+      """WITH w AS (SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    len(text) AS n_chars_q, len(ws) AS n_tokens,
+        |    CASE WHEN len(ws) > 0 THEN list_sum(list_transform(ws, t -> len(t)))::DOUBLE / len(ws) END AS mean_token_len,
+        |    CASE WHEN len(ws) > 0 THEN len(list_filter(ws, t -> list_contains(['the','a','of','and','in','to','is'], t)))::DOUBLE / len(ws) END AS stopword_ratio,
+        |    CASE WHEN len(text) > 0 THEN (len(text) - len(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))::DOUBLE / len(text) END AS punct_ratio,
+        |    CASE WHEN len(ws) > 0 THEN len(list_distinct(ws))::DOUBLE / len(ws) END AS type_token_ratio
+        |  FROM w)
+        |SELECT doc_id, n_tokens,
+        |  round(mean_token_len, 6) AS mean_token_len,
+        |  round(stopword_ratio, 6) AS stopword_ratio,
+        |  round(punct_ratio, 6) AS punct_ratio,
+        |  round(type_token_ratio, 6) AS type_token_ratio,
+        |  round(type_token_ratio * (1 - coalesce(punct_ratio, 0)) * least(n_tokens / 20.0, 1.0), 6) AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q41_token_counts" ->
+      """WITH w AS (SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents)
+        |SELECT doc_id, len(ws) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS regex_tokens,
+        |  len(list_distinct(ws)) AS distinct_tokens
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q42_fingerprint" ->
+      """WITH h AS (SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(generate_series(1, greatest(len(text)-7, 0)),
+        |      i -> ('0x' || substr(md5(substr(text, i, 8)),1,15))::BIGINT))) AS hs
+        |  FROM documents)
+        |SELECT doc_id, hs[1] AS fp0, hs[2] AS fp1, hs[3] AS fp2, hs[4] AS fp3
+        |FROM h WHERE len(hs) > 0 ORDER BY doc_id""".stripMargin,
+
+    "q43_media_features" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |  sha256(text) AS sha_hex,
+        |  64 + ascii(substr(text, 1, 1)) % 64 AS width,
+        |  64 + ascii(substr(text, 2, 1)) % 64 AS height,
+        |  1 + octet_length(encode(text)) % 8 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

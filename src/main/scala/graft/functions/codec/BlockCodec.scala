@@ -19,7 +19,10 @@ object BlockCodec {
 
   /** Encode an array<struct<ts:long, v:double>> (any order) into a block. */
   val encodeUdf: UserDefinedFunction = udf { (points: Seq[Row]) =>
-    val sorted = points.map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toArray
+    // sort by (ts, v), not ts alone: equal-timestamp points would otherwise
+    // keep collect_list's nondeterministic order and block bytes would differ
+    // run to run (breaking replay-identity of resumed jobs)
+    val sorted = points.map(r => (r.getLong(0), r.getDouble(1))).sortBy(identity).toArray
     TsCodec.encode(sorted.map(_._1), sorted.map(_._2))
   }
 

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing._
+
+/** Large-scale document deduplication: exact, MinHash+LSH, SimHash, and
+  * n-gram Jaccard. (Embedding-cosine near-dup lives in [[Similarity]].)
+  *
+  * The reference has only a PK-uniqueness dedup
+  * (/root/reference/forecastframe/main.py:58-69 `drop_duplicates` assertion);
+  * these operators are the training-data-pipeline extensions the engine needs
+  * at Common-Crawl scale.
+  *
+  * Scale design:
+  *   - exact dedup = one hash-shuffle on a 128-bit digest (never on the full
+  *     text), min-id representative via a single groupBy — map-side partial
+  *     `min` applies.
+  *   - MinHash: signatures are one narrow pass (shingle arrays never leave the
+  *     row — higher-order functions, no explode, no shuffle). LSH banding
+  *     turns the O(n²) pair space into an equi-join on (band, bucket-hash):
+  *     a plain shuffle join Catalyst/AQE can size, salt-free because bucket
+  *     keys are hashes (uniform by construction); candidate verification
+  *     re-computes exact Jaccard only on the tiny candidate set.
+  *   - SimHash: one pass, per-bit majority vote folded into a single 16-bit
+  *     int per doc — groupBy-free (pure projection), dedup by equal/near
+  *     fingerprints is again an equi-join on the fingerprint.
+  *   - all hashes are MD5-derived ([[graft.functions.Hashing]]) so the DuckDB
+  *     oracle replays the identical algorithm.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on a content digest: keeps the smallest `idCol` per distinct
+    * `textCol` value. Output: one row per distinct content with
+    * `keep_id, dup_cnt`. The shuffle key is md5(text) (32 bytes), not the
+    * document body — at 100 TB the texts stay where they are and only
+    * digests + ids move.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  // -------------------------------------------------------------- MinHash
+
+  /** MinHash signature columns `mh0 .. mh{k-1}` over word-`n`-gram shingles:
+    * mh_i = min over shingles of md5Long("i:" ++ shingle); docs with no
+    * shingles get null signatures. Computed entirely with array higher-order
+    * functions — no explode, no shuffle, whole-stage-codegen friendly.
+    */
+  def minhashSignature(df: DataFrame, textCol: String, k: Int, shingleN: Int = 3): DataFrame = {
+    // words and shingles staged as real columns (separate projections) so the
+    // k signature expressions reference cheap attributes, never re-derive the
+    // arrays — see Hashing.wordShingles scaladoc.
+    val staged = df
+      .withColumn("_ws", words(col(textCol)))
+      .withColumn("_sh", wordShinglesOf(col("_ws"), shingleN))
+    val sigCols = (0 until k).map(i =>
+      array_min(transform(col("_sh"), s => md5LongSeeded(i, s))).as(s"mh$i"))
+    staged.select((df.columns.map(col).toSeq ++ sigCols): _*)
+  }
+
+  /** LSH band buckets: the k signature values split into `bands` bands of
+    * k/bands rows each; bucket key = md5Long("band:v1,v2,.."); one output row
+    * per (doc, band).
+    *
+    * PLAN SHAPE MATTERS HERE: the band id is exploded from a *literal*
+    * sequence and the bucket hash is computed *above* the Generate from plain
+    * mh attributes. Computing the bucket array first and posexploding it
+    * looks equivalent, but column pruning then leaves every staged projection
+    * below the Generate with exactly one reference, CollapseProject inlines
+    * the whole minhash pipeline into the generator, and the lambda-internal
+    * word arrays degrade to O(words²) re-splits per row (measured 40× slower).
+    */
+  def lshBuckets(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible into $bands bands")
+    val rows = k / bands
+    val bucketExpr = (0 until bands).foldLeft(lit(null).cast("long")) { (acc, b) =>
+      val cat = concat_ws(",", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+      when(col("band") === b, md5Long(concat(lit(s"$b:"), cat))).otherwise(acc)
+    }
+    sigs.select(col("*"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket", bucketExpr)
+  }
+
+  /** Near-duplicate pairs via MinHash LSH: candidate pairs share at least one
+    * (band, bucket); candidates are verified with exact shingle Jaccard and
+    * kept when `jaccard >= threshold`. Output: `id_a < id_b, jaccard`.
+    *
+    * The verify join re-attaches shingle sets only for candidate ids
+    * (a semi-join-sized set), so the expensive set intersection runs on
+    * |candidates|, not |docs|².
+    */
+  def lshNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 8, bands: Int = 4, shingleN: Int = 3,
+                      threshold: Double = 0.9): DataFrame = {
+    // pre-filter shingle-less docs on a cheap predicate (one split per row);
+    // filtering on mh0.isNotNull instead would push the entire inlined
+    // minhash tree down into the scan filter
+    val sigs = minhashSignature(
+      df.select(col(idCol), col(textCol))
+        .filter(size(words(col(textCol))) >= shingleN),
+      textCol, k, shingleN)
+    val buckets = lshBuckets(sigs, k, bands).select(col(idCol), col("band"), col("bucket"))
+    val a = buckets.toDF(Seq("id_a", "band", "bucket"): _*)
+    val b = buckets.toDF(Seq("id_b", "band", "bucket"): _*)
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sh = df
+      .withColumn("_ws", words(col(textCol)))
+      .select(col(idCol).as("id"),
+        array_distinct(wordShinglesOf(col("_ws"), shingleN)).as("sh"))
+    cand
+      .join(sh.toDF("id_a", "sh_a"), Seq("id_a"))
+      .join(sh.toDF("id_b", "sh_b"), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .withColumn("jaccard", when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(null)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** SimHash fingerprint over distinct words: for each of `bits` bit
+    * positions j, the fingerprint bit is 1 iff the majority of word hashes
+    * have bit j set (sum of ±1 votes >= 0). Pure projection — no shuffle.
+    * The word-hash array is staged as a column so the `bits` vote
+    * expressions read a cheap attribute (no per-bit re-hash).
+    */
+  def withSimhash(df: DataFrame, textCol: String, outCol: String = "simhash",
+                  bits: Int = 16): DataFrame = {
+    val staged = df
+      .withColumn("_dw", array_distinct(words(col(textCol))))
+      .withColumn("_hs", transform(col("_dw"), w => md5Long(w)))
+    val bitCols = (0 until bits).map { j =>
+      val votes = aggregate(col("_hs"), lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(votes >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    staged
+      .withColumn(outCol, when(size(col("_dw")) === 0, lit(null).cast("long"))
+        .otherwise(bitCols.reduce(_ + _)))
+      .drop("_dw", "_hs")
+  }
+
+  /** n-gram Jaccard similarity of every intra-group document pair
+    * (`id_a < id_b`), computed by exploding shingles and equi-joining on the
+    * shingle — the distributed formulation (|A∩B| from the join,
+    * |A∪B| = |A|+|B|-|A∩B| from per-doc sizes). `groupCols` bounds the pair
+    * space (e.g. same lang); at web scale this is the "within-bucket" pattern
+    * — never a global cross join.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        groupCols: Seq[String], shingleN: Int = 3,
+                        minJaccard: Double = 0.0): DataFrame = {
+    val docs = df
+      .withColumn("_ws", words(col(textCol)))
+      .select((groupCols.map(col) :+ col(idCol).as("id") :+
+        array_distinct(wordShinglesOf(col("_ws"), shingleN)).as("sh")): _*)
+      .filter(size(col("sh")) > 0)
+    val sizes = docs.select((groupCols.map(col) :+ col("id") :+ size(col("sh")).as("n")): _*)
+    val ex = docs.select((groupCols.map(col) :+ col("id") :+ explode(col("sh")).as("s")): _*)
+    val inter = ex.toDF((groupCols :+ "id_a" :+ "s"): _*)
+      .join(ex.toDF((groupCols :+ "id_b" :+ "s"): _*), groupCols :+ "s")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy((groupCols.map(col) :+ col("id_a") :+ col("id_b")): _*)
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF((groupCols :+ "id_a" :+ "n_a"): _*), groupCols :+ "id_a")
+      .join(sizes.toDF((groupCols :+ "id_b" :+ "n_b"): _*), groupCols :+ "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select((groupCols.map(col) :+ col("id_a") :+ col("id_b") :+ col("jaccard")): _*)
+  }
+}

@@ -52,10 +52,11 @@ object Rollup {
     * decoding each input block exactly once.
     */
   val mergeBlocksUdf: UserDefinedFunction = udf { (blocks: Seq[Array[Byte]]) =>
+    // (ts, v) sort for deterministic block bytes — see BlockCodec.encodeUdf
     val pts = blocks.iterator.flatMap { b =>
       val (ts, vs) = TsCodec.decode(b)
       ts.iterator.zip(vs.iterator)
-    }.toArray.sortBy(_._1)
+    }.toArray.sortBy(identity)
     val block = TsCodec.encode(pts.map(_._1), pts.map(_._2))
     val sortedVs = pts.map(_._2).sorted
     MergedBlock(block, exactPercentile(sortedVs, 0.5), exactPercentile(sortedVs, 0.95))

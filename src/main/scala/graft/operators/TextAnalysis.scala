@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing._
+
+/** Text analysis for training-data pipelines: n-gram language ID, quality
+  * scoring, token counting, and bottom-k document fingerprints.
+  *
+  * Not in the reference (its only text handling is categorical encoding,
+  * /root/reference/forecastframe/transform.py:367-396); these are the
+  * web-text extensions. All token/shingle/hash rules are the oracle parity
+  * contract ([[graft.functions.Hashing]]).
+  */
+object TextAnalysis {
+
+  /** Fixed English-ish stopword list for the quality heuristic (the rule is
+    * the contract, not linguistic truth).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  // ----------------------------------------------------------- language ID
+
+  /** Character-trigram language profiles: the `topN` most frequent trigrams
+    * per language over a training corpus (ties broken by trigram asc —
+    * deterministic). Output: (lang, trigram).
+    */
+  def langProfiles(train: DataFrame, textCol: String, langCol: String,
+                   topN: Int = 200): DataFrame = {
+    val tri = train
+      .select(col(langCol).as("lang"), explode(charShingles(col(textCol), 3)).as("trigram"))
+      .groupBy("lang", "trigram").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("freq").desc, col("trigram"))
+    tri.withColumn("rk", row_number().over(w)).filter(col("rk") <= topN)
+      .select("lang", "trigram")
+  }
+
+  /** n-gram language ID: scores each doc against every profile — score =
+    * number of the doc's trigram *occurrences* that appear in the profile —
+    * and predicts the argmax (ties → lang asc). Profiles are tiny
+    * (langs × topN) → broadcast join against the exploded doc trigrams;
+    * one shuffle on the doc id to re-aggregate scores.
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+             profiles: DataFrame): DataFrame = {
+    val tri = docs.select(col(idCol).as("id"),
+      explode(charShingles(col(textCol), 3)).as("trigram"))
+    val scored = tri.join(broadcast(profiles), Seq("trigram"))
+      .groupBy(col("id"), col("lang")).agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("lang"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("id"), col("lang").as("pred_lang"), col("score"))
+  }
+
+  // --------------------------------------------------------------- quality
+
+  /** Heuristic quality features + composite score, one projection pass:
+    * n_chars, n_tokens, mean token length, stopword ratio, punctuation
+    * ratio, distinct-token (type/token) ratio.
+    * score = ttr * (1 - punct_ratio) * least(n_tokens/20, 1) — the kind of
+    * cheap pre-filter a crawl pipeline runs before expensive model scoring.
+    */
+  def qualityScore(docs: DataFrame, textCol: String): DataFrame = {
+    // words staged once as a column — every ratio below reads the attribute
+    val ws = col("_ws")
+    val stop = typedLit(Stopwords)
+    docs
+      .withColumn("_ws", words(col(textCol)))
+      .withColumn("n_chars_q", length(col(textCol)).cast("long"))
+      .withColumn("n_tokens", size(ws).cast("long"))
+      .withColumn("mean_token_len",
+        when(col("n_tokens") > 0,
+          aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / col("n_tokens"))
+          .otherwise(lit(null)))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") > 0,
+          size(filter(ws, w => array_contains(stop, w))).cast("double") / col("n_tokens"))
+          .otherwise(lit(null)))
+      .withColumn("punct_ratio",
+        when(col("n_chars_q") > 0,
+          (col("n_chars_q") - length(regexp_replace(col(textCol), "[^\\p{L}\\p{N}\\s]", "")))
+            .cast("double") / col("n_chars_q"))
+          .otherwise(lit(null)))
+      .withColumn("type_token_ratio",
+        when(col("n_tokens") > 0,
+          size(array_distinct(ws)).cast("double") / col("n_tokens")).otherwise(lit(null)))
+      .withColumn("quality_score",
+        col("type_token_ratio") * (lit(1.0) - coalesce(col("punct_ratio"), lit(0.0))) *
+          least(col("n_tokens").cast("double") / 20.0, lit(1.0)))
+      .drop("_ws")
+  }
+
+  // ---------------------------------------------------------------- tokens
+
+  /** Token counts: whitespace tokens, BPE-ish regex tokens (word pieces =
+    * letter/digit runs OR single non-space punctuation), and distinct
+    * whitespace tokens.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("_ws", words(col(textCol)))
+      .withColumn("ws_tokens", size(col("_ws")).cast("long"))
+      .withColumn("regex_tokens",
+        size(regexp_extract_all(col(textCol),
+          lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0))).cast("long"))
+      .withColumn("distinct_tokens", size(array_distinct(col("_ws"))).cast("long"))
+      .drop("_ws")
+
+  // ----------------------------------------------------------- fingerprint
+
+  /** Bottom-k document fingerprint over character `n`-gram hashes
+    * (a winnowing-style rolling sketch: the k smallest md5Long values of all
+    * n-char windows). Equal texts ⇒ equal sketches; near-equal texts share
+    * most sketch entries. Output column `fp` = array of k longs (asc), null
+    * when the text is shorter than n.
+    */
+  def fingerprint(text: Column, k: Int = 4, n: Int = 8): Column = {
+    // guard on length(text) (cheap attribute read), not on the hash array —
+    // a size(hs)==0 guard would force a second evaluation of the whole array
+    val hs = transform(
+      sequence(lit(1), length(text) - (n - 1)),
+      i => md5Long(text.substr(i, lit(n))))
+    when(length(text) < n, lit(null).cast("array<long>"))
+      .otherwise(slice(array_sort(array_distinct(hs)), 1, k))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Rollup
+
+/** Checkpoint-resumable retention-tier pipeline with per-partition lineage +
+  * metrics — the orchestration layer of the north rule.
+  *
+  * Physical layout (Iceberg-style partitioning emulated on Parquet — no
+  * Iceberg jar on this box, SURVEY.md §7.5):
+  * {{{
+  *   <root>/tier_1m/day=YYYY-MM-DD/host_bucket=NN/part-....parquet
+  *   <root>/tier_5m/...   tier_1h/...   tier_1d/...
+  *   <root>/_lineage/part-....parquet   // append-only checkpoint + metrics
+  * }}}
+  *
+  * Resumability contract: a (tier, day, host_bucket) partition is the unit of
+  * work. A lineage row with status=complete is written ONLY after the
+  * partition's data is fully on disk; a killed job therefore replays exactly
+  * the partitions with no lineage row. Replays are idempotent because data
+  * writes use dynamic-partition overwrite (each rewrite replaces the whole
+  * partition, never appends into it).
+  *
+  * Scale design:
+  *   - the pending-work filter is a broadcast anti-join against the (tiny)
+  *     lineage table — no driver-side listing of a 10^12-row table.
+  *   - promotion reads ONLY the finer tier (already rolled up, ~1/60th the
+  *     data) and only its pending days, pruned at the parquet-directory level
+  *     by the `day` partition filter.
+  *   - a coarser bucket never spans a day or a host_bucket, so promotion is
+  *     closed per partition — partitions can be (re)built independently and
+  *     in parallel, which is what makes partition-granular resume sound.
+  *   - metrics ride the same pass as the data write (one extra small agg),
+  *     giving per-partition row counts + measure checksums for drift checks.
+  */
+object TierPipeline {
+
+  case class Config(
+      root: String,
+      groupCols: Seq[String] = Seq("tld", "registered_domain", "host"),
+      hostBuckets: Int = 8,
+      saltBuckets: Int = 16)
+
+  def tierPath(root: String, tier: String): String = s"$root/tier_$tier"
+  def lineagePath(root: String): String = s"$root/_lineage"
+
+  /** Lineage schema: one row per completed partition of a tier. */
+  private val lineageSchema =
+    "tier string, day string, host_bucket int, run_id string, " +
+      "row_cnt long, page_cnt long, sum_len_sum double, status string"
+
+  /** The lineage + metrics table (empty if nothing ran yet). */
+  def lineage(spark: SparkSession, root: String): DataFrame =
+    try spark.read.schema(lineageSchema).parquet(lineagePath(root))
+    catch { case _: Throwable =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(lineageSchema))
+    }
+
+  private def withPartitionCols(tierDf: DataFrame, hostBuckets: Int): DataFrame =
+    tierDf
+      .withColumn("day", date_format(timestamp_seconds(col("bucket_start")), "yyyy-MM-dd"))
+      .withColumn("host_bucket", pmod(xxhash64(col("host")), lit(hostBuckets.toLong)).cast("int"))
+
+  /** Writes the pending (not-yet-complete) partitions of one tier:
+    * dynamic-partition overwrite of the data, then metrics+lineage append.
+    * Returns the (day, host_bucket) partitions written.
+    */
+  def writeTier(tierDf: DataFrame, tier: String, cfg: Config, runId: String): Seq[(String, Int)] = {
+    val spark = tierDf.sparkSession
+    val done = lineage(spark, cfg.root)
+      .filter(col("tier") === tier && col("status") === "complete")
+      .select("day", "host_bucket")
+    val part = withPartitionCols(tierDf, cfg.hostBuckets)
+    val pending = part.join(broadcast(done), Seq("day", "host_bucket"), "left_anti")
+
+    pending.write
+      .mode(SaveMode.Overwrite) // dynamic mode: only touched partitions replaced
+      .partitionBy("day", "host_bucket")
+      .parquet(tierPath(cfg.root, tier))
+
+    // metrics are computed from the bytes actually on disk (verifies the
+    // durable write, and avoids evaluating the tier pipeline twice); lineage
+    // is appended AFTER the data write — the crash-consistency point
+    val doneLocal = done.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val metrics = spark.read.parquet(tierPath(cfg.root, tier))
+      // partition-type inference reads day= dirs back as DATE; lineage keys
+      // are canonical yyyy-MM-dd strings
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .groupBy(col("day"), col("host_bucket"))
+      .agg(count(lit(1)).as("row_cnt"), sum(col("cnt")).as("page_cnt"),
+        sum(col("sum_len")).as("sum_len_sum"))
+      .collect()
+      .filterNot(r => doneLocal.contains((r.getAs[String]("day"), r.getAs[Int]("host_bucket"))))
+    if (metrics.isEmpty) return Seq.empty
+
+    val rows = metrics.map(r => org.apache.spark.sql.Row(
+      tier, r.getAs[String]("day"), r.getAs[Int]("host_bucket"), runId,
+      r.getAs[Long]("row_cnt"), r.getAs[Long]("page_cnt"),
+      r.getAs[Double]("sum_len_sum"), "complete"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1),
+        org.apache.spark.sql.types.StructType.fromDDL(lineageSchema))
+      .write.mode(SaveMode.Append).parquet(lineagePath(cfg.root))
+
+    metrics.map(r => (r.getAs[String]("day"), r.getAs[Int]("host_bucket"))).toSeq
+  }
+
+  /** Reads a stored tier table (data columns only, partition cols dropped). */
+  def readTier(spark: SparkSession, cfg: Config, tier: String): DataFrame =
+    spark.read.parquet(tierPath(cfg.root, tier)).drop("day", "host_bucket")
+
+  /** Builds / resumes the full tier cascade 1m → 5m → 1h → 1d from raw pages
+    * (pages must already carry hierarchy columns). Each tier writes only its
+    * pending partitions; promotion reads the stored finer tier, pruned to the
+    * days that still have pending work. Returns tier → partitions written.
+    */
+  def buildAll(pages: DataFrame, cfg: Config, runId: String): Map[String, Seq[(String, Int)]] = {
+    val spark = pages.sparkSession
+    val t1m = Rollup.tier1mSalted(pages, cfg.saltBuckets, cfg.groupCols)
+    val w1 = writeTier(t1m, "1m", cfg, runId)
+    val written = Rollup.Tiers.tail.foldLeft(Map("1m" -> w1)) { case (acc, t) =>
+      val finerName = Rollup.Tiers(Rollup.Tiers.indexWhere(_.name == t.name) - 1).name
+      // promotion preserves (day, host_bucket), so this tier's partition
+      // domain == the finer tier's lineage; pending = finer lineage minus this
+      // tier's complete lineage. Reading only pending DAYS is exact
+      // directory-level partition pruning (the per-partition anti-join inside
+      // writeTier then trims to exact (day, host_bucket) granularity).
+      val lin = lineage(spark, cfg.root).filter(col("status") === "complete").cache()
+      val pendingDays = lin.filter(col("tier") === finerName).select("day", "host_bucket")
+        .join(lin.filter(col("tier") === t.name).select("day", "host_bucket"),
+          Seq("day", "host_bucket"), "left_anti")
+        .select("day").distinct().collect().map(_.getString(0)).toSeq
+      lin.unpersist()
+      if (pendingDays.isEmpty) acc + (t.name -> Seq.empty)
+      else {
+        val finer = spark.read.parquet(tierPath(cfg.root, finerName))
+          .filter(col("day").isin(pendingDays: _*))
+          .drop("day", "host_bucket")
+        val promoted = Rollup.promote(finer, t.seconds, cfg.groupCols)
+        acc + (t.name -> writeTier(promoted, t.name, cfg, runId))
+      }
+    }
+    written
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Dedup / similarity-search / text-analysis / multimodal operator specs —
+  * golden fixtures in the style of the reference's per-operator tests
+  * (/root/reference/forecastframe/tests/, hand-computed expectations).
+  */
+class DedupSimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat today"),
+    (2L, "the cat sat on the mat today"),           // exact dup of 1
+    (3L, "the cat sat on the mat yesterday"),        // near dup of 1
+    (4L, "completely different words entirely here now"),
+    (5L, "")                                          // empty text
+  ).toDF("id", "text")
+
+  test("exactDedup keeps min id and counts duplicates") {
+    val out = Dedup.exactDedup(docs, "text", "id")
+      .orderBy("keep_id").collect()
+    assert(out.length === 4) // 1&2 merge; 3, 4, 5 distinct
+    val first = out.head
+    assert(first.getAs[Long]("keep_id") === 1L && first.getAs[Long]("dup_cnt") === 2L)
+    assert(out.map(_.getAs[Long]("dup_cnt")).sum === 5L)
+  }
+
+  test("minhash: identical texts get identical signatures, empty text gets null") {
+    val sigs = Dedup.minhashSignature(docs, "text", k = 4)
+      .orderBy("id").collect()
+    val s1 = (0 until 4).map(i => sigs(0).getAs[Long](s"mh$i"))
+    val s2 = (0 until 4).map(i => sigs(1).getAs[Long](s"mh$i"))
+    assert(s1 === s2)
+    assert(s1.forall(_ >= 0L)) // 60-bit hashes are non-negative
+    assert(sigs(4).isNullAt(sigs(4).fieldIndex("mh0")))
+  }
+
+  test("LSH near-dup finds the exact-duplicate pair with jaccard 1.0") {
+    val pairs = Dedup.lshNearDupPairs(docs, "text", "id", k = 8, bands = 4, threshold = 0.9)
+      .collect()
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L
+      && r.getAs[Double]("jaccard") == 1.0))
+    // the unrelated doc never pairs
+    assert(!pairs.exists(r => r.getAs[Long]("id_a") == 4L || r.getAs[Long]("id_b") == 4L))
+  }
+
+  test("simhash: equal texts agree; near-dup hamming < far-pair hamming") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val hs = Dedup.withSimhash(docs, "text", "sh", bits = 16)
+      .select("id", "sh").orderBy("id").collect()
+    val Seq(h1, h2, h3, h4) = (0 until 4).map(i => hs(i).getAs[Long]("sh"))
+    assert(h1 === h2)
+    assert(hamming(h1, h3) <= hamming(h1, h4),
+      s"near-dup hamming ${hamming(h1, h3)} should be <= far ${hamming(h1, h4)}")
+    assert(hs(4).isNullAt(1)) // empty text -> null fingerprint
+  }
+
+  test("ngramJaccardPairs computes exact shingle jaccard") {
+    // doc1/doc3: 7 words -> 5 trigram shingles each; they share the first 4
+    // ("the cat sat","cat sat on","sat on the","on the mat") -> J = 4/6
+    val pairs = Dedup.ngramJaccardPairs(
+      docs.withColumn("g", lit("x")).filter($"id".isin(1L, 3L)),
+      "text", "id", groupCols = Seq("g")).collect()
+    assert(pairs.length === 1)
+    assert(approxEq(pairs.head.getAs[Double]("jaccard"), 4.0 / 6.0))
+  }
+
+  private lazy val vecs = Seq(
+    (1L, Array(1f, 0f, 0f)),
+    (2L, Array(2f, 0f, 0f)),      // same direction as 1 -> cos 1
+    (3L, Array(0f, 1f, 0f)),      // orthogonal to 1
+    (4L, Array(-1f, 0f, 0f)),     // opposite to 1
+    (5L, Array(1f, 1f, 0f))       // cos(1,5) = 1/sqrt(2)
+  ).toDF("vec_id", "embedding")
+
+  test("cosine + bruteForceTopK rank neighbors correctly") {
+    val top = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 1L), vecs,
+      "vec_id", "embedding", k = 4).orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(2L, 5L, 3L, 4L))
+    assert(approxEq(top(0).getAs[Double]("sim"), 1.0))
+    assert(approxEq(top(1).getAs[Double]("sim"), 1.0 / math.sqrt(2)))
+    assert(approxEq(top(2).getAs[Double]("sim"), 0.0))
+    assert(approxEq(top(3).getAs[Double]("sim"), -1.0))
+  }
+
+  test("bucketed ANN: same-direction vectors share a bucket; near-dup pairs found") {
+    val dups = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.999, bits = 3).collect()
+    assert(dups.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet === Set((1L, 2L)))
+    // bucketed search from query 1 finds 2 (same bucket), never 4 (sign-differs)
+    val ann = Similarity.bucketedTopK(vecs.filter($"vec_id" === 1L), vecs,
+      "vec_id", "embedding", k = 5, bits = 3).collect()
+    val ids = ann.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(ids.contains(2L) && !ids.contains(4L))
+  }
+
+  test("tokenCounts + qualityScore hand-check") {
+    val d = Seq((1L, "the cat, the cat!")).toDF("id", "text")
+    val t = TextAnalysis.tokenCounts(d, "text").collect().head
+    assert(t.getAs[Long]("ws_tokens") === 4L)       // the | cat, | the | cat!
+    assert(t.getAs[Long]("regex_tokens") === 6L)    // the cat , the cat !
+    assert(t.getAs[Long]("distinct_tokens") === 3L) // the, "cat,", "cat!"
+    val q = TextAnalysis.qualityScore(d, "text").collect().head
+    assert(q.getAs[Long]("n_tokens") === 4L)
+    assert(approxEq(q.getAs[Double]("stopword_ratio"), 0.5))          // 2x "the"
+    assert(approxEq(q.getAs[Double]("punct_ratio"), 2.0 / 17.0))      // , and !
+    assert(approxEq(q.getAs[Double]("type_token_ratio"), 3.0 / 4.0))
+    assert(approxEq(q.getAs[Double]("quality_score"), 0.75 * (1 - 2.0 / 17.0) * (4 / 20.0)))
+  }
+
+  test("langId predicts the dominant language on a separable corpus") {
+    val train = Seq(
+      (1L, "aaa bbb aaa bbb aaa", "aa"), (2L, "aaa bbb bbb aaa aaa", "aa"),
+      (3L, "zzz yyy zzz yyy zzz", "zz"), (4L, "zzz zzz yyy yyy zzz", "zz")
+    ).toDF("id", "text", "lang")
+    val profiles = TextAnalysis.langProfiles(train, "text", "lang", topN = 20)
+    val test = Seq((10L, "aaa bbb aaa"), (11L, "yyy zzz zzz")).toDF("id", "text")
+    val preds = TextAnalysis.langId(test, "id", "text", profiles)
+      .orderBy("id").collect()
+    assert(preds.map(_.getAs[String]("pred_lang")).toSeq === Seq("aa", "zz"))
+  }
+
+  test("fingerprint: equal texts equal sketches; sketch is bottom-k of hashes") {
+    val d = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "qrstuvwxyz"), (4L, "short"))
+      .toDF("id", "text")
+    val fps = d.select($"id", TextAnalysis.fingerprint($"text", k = 2, n = 8).as("fp"))
+      .orderBy("id").collect()
+    def fp(i: Int): Seq[Long] = fps(i).getSeq[Long](1)
+    assert(fp(0) === fp(1))
+    assert(fp(0) !== fp(2))
+    val fp1 = fp(0)
+    assert(fp1.length === 2 && fp1 === fp1.sorted) // 3 shingles -> bottom 2, asc
+    assert(fps(3).isNullAt(1)) // shorter than n=8 -> null
+  }
+
+  test("multimodal extractFeatures: batch decode plumbing + stub determinism") {
+    val d = Seq(("u1", "hello world"), ("u2", "")).toDF("url", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val out = Multimodal.extractFeatures(d, "url", "payload").collect()
+      .sortBy(_.url)
+    val r = out.head
+    assert(r.byte_len === 11L)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expSha = md.digest("hello world".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.sha_hex === expSha)
+    assert(r.width === 64 + 'h'.toInt % 64 && r.height === 64 + 'e'.toInt % 64)
+    assert(r.n_frames === 1 + 11 % 8)
+    assert(out(1).byte_len === 0L && out(1).n_frames === 1)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+import graft.functions.Hier
+import graft.operators.Rollup
+import graft.plans.TierPipeline
+import graft.plans.TierPipeline.Config
+import graft.sources.Pages
+
+/** Checkpoint-resume semantics of the tier pipeline (SURVEY.md §5.2 item 6):
+  * kill mid-promotion (simulated by dropping lineage rows + partition dirs),
+  * re-run, assert only unfinished partitions recompute and the final tables
+  * equal a direct computation.
+  */
+class TierPipelineSpec extends SparkSuite {
+
+  private def freshRoot(): String = {
+    val p = Files.createTempDirectory("graft_tiers_")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def rmrf(p: Path): Unit = {
+    if (Files.isDirectory(p)) Files.list(p).forEach(rmrf(_))
+    Files.deleteIfExists(p)
+  }
+
+  private lazy val pages = Hier.withHierarchy(Pages.synthesize(spark, 30000L, seed = 7L))
+
+  test("buildAll writes all tiers with lineage, and is a no-op when complete") {
+    val cfg = Config(freshRoot(), hostBuckets = 4)
+    val w1 = TierPipeline.buildAll(pages, cfg, runId = "run1")
+    assert(w1.keySet === Set("1m", "5m", "1h", "1d"))
+    assert(w1.values.forall(_.nonEmpty))
+    // stored 1h tier == direct promotion of the in-memory cascade
+    val stored = TierPipeline.readTier(spark, cfg, "1h")
+      .select("host", "bucket_start", "cnt", "sum_len", "min_len", "max_len", "p50_len", "p95_len")
+    val direct = Rollup.promote(Rollup.promote(Rollup.tier1m(pages), 300L), 3600L)
+      .select("host", "bucket_start", "cnt", "sum_len", "min_len", "max_len", "p50_len", "p95_len")
+    assert(stored.exceptAll(direct).isEmpty && direct.exceptAll(stored).isEmpty)
+    // lineage has metrics for every written partition
+    val lin = TierPipeline.lineage(spark, cfg.root)
+    assert(lin.filter(col("row_cnt") <= 0).count() === 0)
+    assert(lin.count() === w1.values.map(_.size).sum)
+    // second run: everything complete -> nothing recomputed
+    val w2 = TierPipeline.buildAll(pages, cfg, runId = "run2")
+    assert(w2.values.forall(_.isEmpty))
+  }
+
+  test("killed promotion resumes: only unfinished partitions recompute") {
+    val cfg = Config(freshRoot(), hostBuckets = 4)
+    // compare on value-stable columns (lang_set array order and block byte
+    // layout are multiset-equal but order-free across runs)
+    val stable = Seq("tld", "registered_domain", "host", "bucket_start", "cnt",
+      "sum_len", "min_len", "max_len", "p50_len", "p95_len", "lang_card")
+    TierPipeline.buildAll(pages, cfg, runId = "run1")
+    val before = TierPipeline.readTier(spark, cfg, "1d")
+      .select(stable.map(col): _*).collect().toSet
+
+    // simulate a crash that lost two 1h partitions: remove their data dirs
+    // and rewrite lineage without their rows (and without all 1d rows, as a
+    // killed job would never have reached the coarser tier)
+    val lin = TierPipeline.lineage(spark, cfg.root).cache()
+    val victims = lin.filter(col("tier") === "1h").limit(2)
+      .select("day", "host_bucket").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    victims.foreach { case (day, hb) =>
+      rmrf(java.nio.file.Paths.get(cfg.root, "tier_1h", s"day=$day", s"host_bucket=$hb"))
+    }
+    val keep = lin.filter(
+      !(col("tier") === "1d") &&
+        !(col("tier") === "1h" && concat_ws("|", col("day"), col("host_bucket"))
+          .isin(victims.map(v => s"${v._1}|${v._2}"): _*)))
+      .collect()
+    lin.unpersist()
+    rmrf(java.nio.file.Paths.get(TierPipeline.lineagePath(cfg.root)))
+    import spark.implicits._
+    spark.createDataFrame(spark.sparkContext.parallelize(keep.toSeq),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "tier string, day string, host_bucket int, run_id string, " +
+            "row_cnt long, page_cnt long, sum_len_sum double, status string"))
+      .repartition(1).write.parquet(TierPipeline.lineagePath(cfg.root))
+
+    val w = TierPipeline.buildAll(pages, cfg, runId = "run2")
+    // 1m and 5m untouched; 1h recomputed exactly the victims
+    assert(w("1m").isEmpty && w("5m").isEmpty)
+    assert(w("1h").toSet === victims.toSet)
+    assert(w("1d").nonEmpty)
+    // final 1d tier identical to the pre-crash state
+    val after = TierPipeline.readTier(spark, cfg, "1d")
+      .select(stable.map(col): _*).collect().toSet
+    assert(after === before)
+  }
+}
