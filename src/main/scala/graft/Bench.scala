@@ -1,24 +1,71 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.Hier
+import graft.operators.Rollup
+import graft.sources.Pages
+
+/** Driver benchmark main — prints ONE JSON line.
+  *
+  * Headline metric (BASELINE.json): rollup throughput in pages/sec through
+  * the full tier cascade (1m salted aggregate → 5m → 1h → 1d promotions,
+  * exact percentiles + Gorilla blocks at every tier). The page table is
+  * synthesized once to parquet (not timed), then the timed job reads it back
+  * so the measurement covers scan + rollup, not generation.
+  *
+  * Also reports per-query wall times for every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR (driver contract), and the cpu count so two runs at
+  * different SPARK_GRAFT_CPUS give the scaling-efficiency evidence
+  * ((thru@4N / thru@N) / 4 — see BASELINE.md).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "2000000").toLong
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+
+    // ---- headline: tier-cascade rollup throughput over synthetic pages ----
+    val pagesPath = s"/tmp/graft_bench_pages_$nPages"
+    if (!new java.io.File(pagesPath + "/_SUCCESS").exists()) {
+      // fixed 64-way layout: the scan parallelism of the timed job must not
+      // depend on the core count of whichever run generated the file
+      Pages.synthesize(spark, nPages, seed = 42L)
+        .repartition(64)
+        .write.mode("overwrite").parquet(pagesPath)
+    }
+    // plain tier1m: at (host, minute) grain the time dimension already
+    // spreads hot hosts, so salting (tier1mSalted) would only multiply group
+    // count; the salted path is for coarse-grain hot keys (hierarchy rollups)
+    def cascade(): Long = {
+      val pages = Hier.withHierarchy(spark.read.parquet(pagesPath))
+      val t1m = Rollup.tier1m(pages)
+      Rollup.promote(Rollup.promote(Rollup.promote(t1m, 300L), 3600L), 86400L).count()
+    }
+    // one warmup (JIT + codegen + parquet footers), then median of 3 timed
+    // runs — single-shot numbers on this VM swing 2-4x from GC/JIT noise
+    val rows1d = cascade()
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); cascade(); (System.nanoTime() - t0) / 1e9
+    }.sorted
+    val rollupSec = times(1)
+    val pagesPerSec = nPages / rollupSec
+
+    // ---- per-query times on the driver testdata ----
+    // (skippable for pure scaling runs: SPARK_GRAFT_BENCH_QUERIES=0)
+    val runQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") != "0"
+    val results = (if (runQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Seq.empty)
+      .map { case (name, fn) =>
+      val q0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (System.nanoTime() - q0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"rollup throughput (pages/sec), 1m->1d tier cascade","value":$pagesPerSec,"unit":"pages/sec","rollup_pages":$nPages,"rollup_sec":$rollupSec,"rows_1d":$rows1d,"cpus":$cpus,"queries_total_sec":$total,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

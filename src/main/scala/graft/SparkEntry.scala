@@ -476,6 +476,73 @@ object SparkEntry {
         .select(col("url").cast("long").as("doc_id"), col("byte_len"),
           col("sha_hex"), col("width"), col("height"), col("n_frames"))
         .orderBy("doc_id")
+    }),
+
+    // §2.5 backward fill (transform.py bfill branch)
+    "q44_bfill" -> ((s, dir) => {
+      val withNulls = ev(s, dir)
+        .withColumn("v", when(pmod(col("event_id"), lit(7L)) === 0, lit(null)).otherwise(col("value")))
+      Features.backwardFill(withNulls, Seq("user_id"), "event_id", Seq("v"))
+        .select(col("user_id"), col("event_id"), r6(col("v")).as("v_bfilled"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // §2.9 linear interpolation between nearest non-null neighbors (north rule)
+    "q45_linear_interp" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+        .withColumn("v", when(pmod(unix_timestamp(col("day")) / 86400, lit(4L)) === 1, lit(null))
+          .otherwise(col("v")))
+      GapFill.linearInterpolate(daily, Seq("user_id"), "day", Seq("v"))
+        .select(col("user_id"), unix_timestamp(col("day")).as("day_sec"), r6(col("v")).as("v_interp"))
+        .orderBy("user_id", "day_sec")
+    }),
+
+    // §2.4 momentum: lagged value / rolling mean (group-correct; the
+    // reference's global-shift numerator is a documented leakage bug)
+    "q46_momentum" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      Features.momentum(daily, Seq("user_id"), "day", "v", windowDays = 7, lagDays = 1)
+        .select(col("user_id"), unix_timestamp(col("day")).as("day_sec"),
+          r6(col("v_momentum7d")).as("momentum7d"))
+        .orderBy("user_id", "day_sec")
+    }),
+
+    // §2.4 rolling stats with the reference min_periods gate (ceil(7^0.8)=5)
+    "q47_rolling_gated" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      Features.rollingStats(daily, Seq("user_id"), "day", "v",
+          windowDays = 7, lagDays = 1, ops = Seq("std", "mean", "sum"))
+        .select(col("user_id"), unix_timestamp(col("day")).as("day_sec"),
+          r6(col("v_roll7d_lag1_std")).as("roll_std"),
+          r6(col("v_roll7d_lag1_mean")).as("roll_mean"),
+          r6(col("v_roll7d_lag1_sum")).as("roll_sum"))
+        .orderBy("user_id", "day_sec")
+    }),
+
+    // §2.3 keyed update: non-null overwrite via join + coalesce (utilities.py:189-211)
+    "q48_keyed_update" -> ((s, dir) => {
+      val base = ev(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      val updates = base.filter(pmod(col("user_id"), lit(3L)) === 0)
+        .select(col("event_id"), (col("value") * 2).as("new_value"))
+      base.join(updates, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          r6(coalesce(col("new_value"), col("value"))).as("value_updated"))
+        .orderBy("event_id")
+    }),
+
+    // §1.1 PK-uniqueness check (main.py:58-69): duplicate-key groups
+    "q49_pk_check" -> ((s, dir) => {
+      ev(s, dir).groupBy(col("user_id"), col("ts"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .agg(count(lit(1)).as("violation_groups"),
+          coalesce(sum(col("cnt")), lit(0L)).as("violation_rows"))
     })
   )
 
@@ -891,6 +958,76 @@ object SparkEntry {
         |  64 + ascii(substr(text, 1, 1)) % 64 AS width,
         |  64 + ascii(substr(text, 2, 1)) % 64 AS height,
         |  1 + octet_length(encode(text)) % 8 AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q44_bfill" ->
+      """WITH t AS (SELECT user_id, event_id,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM events)
+        |SELECT user_id, event_id,
+        |round(first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),6) AS v_bfilled
+        |FROM t ORDER BY user_id, event_id""".stripMargin,
+
+    "q45_linear_interp" ->
+      """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT user_id, day, epoch(day)::BIGINT AS t,
+        |  CASE WHEN (epoch(day)::BIGINT // 86400) % 4 = 1 THEN NULL ELSE v END AS x FROM d),
+        |w AS (SELECT user_id, day, t, x,
+        |  last_value(x IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  first_value(x IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  last_value(CASE WHEN x IS NOT NULL THEN t END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |  first_value(CASE WHEN x IS NOT NULL THEN t END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM n)
+        |SELECT user_id, t AS day_sec,
+        |round(CASE WHEN x IS NOT NULL THEN x
+        |  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+        |  END, 6) AS v_interp
+        |FROM w ORDER BY user_id, day_sec""".stripMargin,
+
+    "q46_momentum" ->
+      """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, day, epoch(day)::BIGINT AS te, v,
+        |  lag(v, 1) OVER (PARTITION BY user_id ORDER BY day) AS lg FROM d),
+        |m AS (SELECT user_id, day, te, lg,
+        |  avg(v) OVER (PARTITION BY user_id ORDER BY te
+        |    RANGE BETWEEN 604800 PRECEDING AND 86400 PRECEDING) AS rm FROM t)
+        |SELECT user_id, te AS day_sec,
+        |round(CASE WHEN rm IS NULL OR rm = 0 THEN NULL ELSE lg / rm END, 6) AS momentum7d
+        |FROM m ORDER BY user_id, day_sec""".stripMargin,
+
+    "q47_rolling_gated" ->
+      """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, epoch(day)::BIGINT AS te, v FROM d),
+        |m AS (SELECT user_id, te,
+        |  count(v) OVER w AS n,
+        |  stddev_samp(v) OVER w AS sd,
+        |  avg(v) OVER w AS mn,
+        |  sum(v) OVER w AS sm
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY te
+        |    RANGE BETWEEN 604800 PRECEDING AND 86400 PRECEDING))
+        |SELECT user_id, te AS day_sec,
+        |round(CASE WHEN n >= 5 THEN sd END, 6) AS roll_std,
+        |round(CASE WHEN n >= 5 THEN mn END, 6) AS roll_mean,
+        |round(CASE WHEN n >= 5 THEN sm END, 6) AS roll_sum
+        |FROM m ORDER BY user_id, day_sec""".stripMargin,
+
+    "q48_keyed_update" ->
+      """SELECT event_id, user_id,
+        |round(CASE WHEN user_id % 3 = 0 THEN value * 2 ELSE value END, 6) AS value_updated
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q49_pk_check" ->
+      """WITH g AS (SELECT user_id, ts, count(*) AS cnt FROM events
+        |  GROUP BY 1, 2 HAVING count(*) > 1)
+        |SELECT count(*) AS violation_groups,
+        |coalesce(sum(cnt), 0)::BIGINT AS violation_rows FROM g""".stripMargin
   )
 }

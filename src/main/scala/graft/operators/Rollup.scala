@@ -48,6 +48,18 @@ object Rollup {
     else sorted(lo) + (rank - lo) * (sorted(hi) - sorted(lo))
   }
 
+  /** Encode points into a block AND compute exact p50/p95 in the same pass —
+    * the points are sorted for the codec anyway, so the percentiles are free;
+    * using separate `percentile` aggregates would add two TypedImperative
+    * buffers per group (measurably heavy at ~10^6 sparse groups).
+    */
+  val encodeWithStatsUdf: UserDefinedFunction = udf { (points: Seq[Row]) =>
+    val pts = points.map(r => (r.getLong(0), r.getDouble(1))).sortBy(identity).toArray
+    val block = TsCodec.encode(pts.map(_._1), pts.map(_._2))
+    val sortedVs = pts.map(_._2).sorted
+    MergedBlock(block, exactPercentile(sortedVs, 0.5), exactPercentile(sortedVs, 0.95))
+  }
+
   /** Merge N finer-tier blocks into one coarser block + exact percentiles,
     * decoding each input block exactly once.
     */
@@ -83,15 +95,17 @@ object Rollup {
         sum(col("text_len")).as("sum_len"),
         min(col("text_len")).as("min_len"),
         max(col("text_len")).as("max_len"),
-        percentile(col("text_len"), lit(0.5)).as("p50_len"),
-        percentile(col("text_len"), lit(0.95)).as("p95_len"),
         collect_set(col("lang")).as("lang_set"),
-        BlockCodec.encodeBlock(col("ts_sec"), col("text_len")).as("block")
+        encodeWithStatsUdf(collect_list(struct(
+          col("ts_sec").as("ts"), col("text_len").as("v")))).as("m")
       )
       .withColumn("bucket_start", unix_timestamp(col("w.start")))
       .withColumn("mean_len", col("sum_len") / col("cnt"))
       .withColumn("lang_card", size(col("lang_set")).cast("long"))
-      .drop("w")
+      .withColumn("p50_len", col("m.p50"))
+      .withColumn("p95_len", col("m.p95"))
+      .withColumn("block", col("m.block"))
+      .drop("w", "m")
   }
 
 

@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.functions.Hier
+import graft.streaming.StreamingRollup
+
+/** Streaming 1m aggregate == batch 1m aggregate on the same pages (for the
+  * associative measures), including a late-arrival update within watermark.
+  */
+case class StreamPage(url: String, warc_ts: Timestamp, text: String, lang: String)
+
+class StreamingRollupSpec extends SparkSuite {
+  import spark.implicits._
+  type Page = StreamPage
+  val Page = StreamPage
+
+  private def ts(minute: Int, sec: Int): Timestamp =
+    new Timestamp((1704067200L + minute * 60L + sec) * 1000L)
+
+  test("streaming tier1m matches batch aggregation incl. late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Page]
+    val stream = StreamingRollup.tier1mStream(Hier.withHierarchy(mem.toDF()))
+    val q = stream.writeStream.format("memory").queryName("t1m_stream")
+      .outputMode("complete").start()
+    try {
+      val batch1 = Seq(
+        Page("https://w1.site1.com/p/1", ts(0, 5), "aaaa", "en"),
+        Page("https://w1.site1.com/p/2", ts(0, 30), "bb", "de"),
+        Page("https://w2.site2.org/p/3", ts(1, 0), "cccccc", "en"))
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      // late page for minute 0 arrives in a later micro-batch (within watermark)
+      val late = Page("https://w1.site1.com/p/4", ts(0, 59), "dddddddd", "fr")
+      mem.addData(late)
+      q.processAllAvailable()
+
+      val streamed = spark.table("t1m_stream")
+        .select("host", "bucket_start", "cnt", "sum_len", "min_len", "max_len", "mean_len")
+        .collect().map(r => r.toSeq).toSet
+      val batch = graft.operators.Rollup.tier1m(
+          Hier.withHierarchy((batch1 :+ late).toDF()))
+        .select("host", "bucket_start", "cnt", "sum_len", "min_len", "max_len", "mean_len")
+        .collect().map(r => r.toSeq).toSet
+      assert(streamed === batch)
+      // the late row really landed in the minute-0 bucket
+      val m0 = spark.table("t1m_stream")
+        .filter(col("host") === "w1.site1.com" && col("bucket_start") === 1704067200L)
+        .collect().head
+      assert(m0.getAs[Long]("cnt") === 3L && m0.getAs[Double]("sum_len") === 14.0)
+    } finally q.stop()
+  }
+}
