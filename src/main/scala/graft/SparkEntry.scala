@@ -543,6 +543,31 @@ object SparkEntry {
         .filter(col("cnt") > 1)
         .agg(count(lit(1)).as("violation_groups"),
           coalesce(sum(col("cnt")), lit(0L)).as("violation_rows"))
+    }),
+
+    // §2.4 EWMA crossover: ratio of span-3 to span-5 EWMA (feature_engineering.py:674-693)
+    "q50_ewma_crossover" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      Ewma.crossovers(daily, Seq("user_id"), "day", "v", spans = Seq(3.0, 5.0),
+          lagRows = 1, minPeriods = 1)
+        .select(col("user_id"), unix_timestamp(col("day")).as("day_sec"),
+          r6(col("v_ewma_cross_3_5")).as("cross_3_5"))
+        .orderBy("user_id", "day_sec")
+    }),
+
+    // §2.4 rolling percent-over-threshold with min_periods gate (ref :813-940)
+    "q51_threshold_roll" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      Features.percentOverThreshold(daily, Seq("user_id"), "day", "v",
+          threshold = 500.0, op = "gt", windowDays = 7, lagDays = 1)
+        .withColumnRenamed("v_pct_gt_500.0_7d", "thr_share")
+        .select(col("user_id"), unix_timestamp(col("day")).as("day_sec"),
+          r6(col("thr_share")).as("thr_share"))
+        .orderBy("user_id", "day_sec")
     })
   )
 
@@ -1028,6 +1053,42 @@ object SparkEntry {
       """WITH g AS (SELECT user_id, ts, count(*) AS cnt FROM events
         |  GROUP BY 1, 2 HAVING count(*) > 1)
         |SELECT count(*) AS violation_groups,
-        |coalesce(sum(cnt), 0)::BIGINT AS violation_rows FROM g""".stripMargin
+        |coalesce(sum(cnt), 0)::BIGINT AS violation_rows FROM g""".stripMargin,
+
+    // pandas ewm(span, adjust=True) closed form, lag-1 series; decay = 1-α =
+    // (span-1)/(span+1): 0.5 for span 3, 2/3 for span 5 (same CTE as q26)
+    "q50_ewma_crossover" ->
+      """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, day, v,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM d),
+        |s AS (SELECT a.user_id, a.day, a.rn, b.v AS x
+        |  FROM r a LEFT JOIN r b ON a.user_id = b.user_id AND b.rn = a.rn - 1),
+        |e3 AS (SELECT s1.user_id, s1.day,
+        |  sum(power(0.5, s1.rn - s2.rn) * s2.x) / sum(power(0.5, s1.rn - s2.rn)) AS v
+        |  FROM s s1 LEFT JOIN s s2 ON s1.user_id = s2.user_id AND s2.rn <= s1.rn AND s2.x IS NOT NULL
+        |  GROUP BY 1, 2),
+        |e5 AS (SELECT s1.user_id, s1.day,
+        |  sum(power(2.0/3.0, s1.rn - s2.rn) * s2.x) / sum(power(2.0/3.0, s1.rn - s2.rn)) AS v
+        |  FROM s s1 LEFT JOIN s s2 ON s1.user_id = s2.user_id AND s2.rn <= s1.rn AND s2.x IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT e3.user_id, epoch(e3.day)::BIGINT AS day_sec,
+        |round(CASE WHEN e5.v IS NULL OR e5.v = 0 THEN NULL ELSE e3.v / e5.v END, 6) AS cross_3_5
+        |FROM e3 JOIN e5 ON e3.user_id = e5.user_id AND e3.day = e5.day
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q51_threshold_roll" ->
+      """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, epoch(day)::BIGINT AS te, v FROM d),
+        |m AS (SELECT user_id, te,
+        |  count(v) OVER w AS n,
+        |  avg(CASE WHEN v > 500 THEN 1.0 ELSE 0.0 END) OVER w AS sh
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY te
+        |    RANGE BETWEEN 604800 PRECEDING AND 86400 PRECEDING))
+        |SELECT user_id, te AS day_sec,
+        |round(CASE WHEN n >= 5 THEN sh END, 6) AS thr_share
+        |FROM m ORDER BY user_id, day_sec""".stripMargin
   )
 }
