@@ -568,6 +568,30 @@ object SparkEntry {
         .select(col("user_id"), unix_timestamp(col("day")).as("day_sec"),
           r6(col("thr_share")).as("thr_share"))
         .orderBy("user_id", "day_sec")
+    }),
+
+    // §2.4 rolling-percent: lagged value / rolling sum (feature_engineering.py:412-422)
+    "q52_rolling_percent" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      Features.rollingPercent(daily, Seq("user_id"), "day", "v", windowDays = 7, lagDays = 1)
+        .select(col("user_id"), unix_timestamp(col("day")).as("day_sec"),
+          r6(col("v_rollpct7d")).as("rollpct7d"))
+        .orderBy("user_id", "day_sec")
+    }),
+
+    // §2.8 ordinal categorical encode + decode round-trip (transform.py:367-428):
+    // dictionary = distinct values ordered ascending; code = dense position
+    "q53_categorical_encode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dict = ev(s, dir).select(col("event_type")).distinct()
+        .withColumn("code", row_number().over(
+          Window.orderBy(col("event_type"))) - 1)
+      ev(s, dir).join(broadcast(dict), Seq("event_type"))
+        .groupBy(col("event_type"), col("code"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("code")
     })
   )
 
@@ -1089,6 +1113,26 @@ object SparkEntry {
         |    RANGE BETWEEN 604800 PRECEDING AND 86400 PRECEDING))
         |SELECT user_id, te AS day_sec,
         |round(CASE WHEN n >= 5 THEN sh END, 6) AS thr_share
-        |FROM m ORDER BY user_id, day_sec""".stripMargin
+        |FROM m ORDER BY user_id, day_sec""".stripMargin,
+
+    "q52_rolling_percent" ->
+      """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, day, epoch(day)::BIGINT AS te, v,
+        |  lag(v, 1) OVER (PARTITION BY user_id ORDER BY day) AS lg FROM d),
+        |m AS (SELECT user_id, te, lg,
+        |  sum(v) OVER (PARTITION BY user_id ORDER BY te
+        |    RANGE BETWEEN 604800 PRECEDING AND 86400 PRECEDING) AS rs FROM t)
+        |SELECT user_id, te AS day_sec,
+        |round(CASE WHEN rs IS NULL OR rs = 0 THEN NULL ELSE lg / rs END, 6) AS rollpct7d
+        |FROM m ORDER BY user_id, day_sec""".stripMargin,
+
+    "q53_categorical_encode" ->
+      """WITH dict AS (SELECT event_type,
+        |  row_number() OVER (ORDER BY event_type) - 1 AS code
+        |  FROM (SELECT DISTINCT event_type FROM events))
+        |SELECT e.event_type, d.code, count(*) AS cnt
+        |FROM events e JOIN dict d ON e.event_type = d.event_type
+        |GROUP BY 1, 2 ORDER BY code""".stripMargin
   )
 }

@@ -96,8 +96,7 @@ object Rollup {
         min(col("text_len")).as("min_len"),
         max(col("text_len")).as("max_len"),
         collect_set(col("lang")).as("lang_set"),
-        encodeWithStatsUdf(collect_list(struct(
-          col("ts_sec").as("ts"), col("text_len").as("v")))).as("m")
+        graft.functions.codec.BlockAggregator(col("ts_sec"), col("text_len")).as("m")
       )
       .withColumn("bucket_start", unix_timestamp(col("w.start")))
       .withColumn("mean_len", col("sum_len") / col("cnt"))
@@ -127,10 +126,11 @@ object Rollup {
         min(col("text_len")).as("min_len"),
         max(col("text_len")).as("max_len"),
         collect_set(col("lang")).as("lang_set"),
-        BlockCodec.encodeBlock(col("ts_sec"), col("text_len")).as("block")
+        graft.functions.codec.BlockAggregator(col("ts_sec"), col("text_len")).as("mm")
       )
+      .withColumn("block", col("mm.block"))
       .withColumn("bucket_start", unix_timestamp(col("w.start")))
-      .drop("w", "_salt")
+      .drop("w", "_salt", "mm")
     mergePartials(partial, groupCols)
   }
 
@@ -185,19 +185,54 @@ object Rollup {
   def rollupHierarchy(tier: DataFrame, levels: Seq[String]): DataFrame = {
     // grouping sets: (), (l1), (l1,l2), ... (all) — the reference's on-demand
     // rollup up the hierarchy (feature_engineering.py:270-300) for all levels
-    // at once. Implemented as a union of per-level merges over the already
-    // rolled-up tier (small), keeping percentile exactness via blocks.
-    val sets = levels.indices.map(i => levels.take(i + 1)) :+ Seq.empty[String]
-    val parts = sets.map { keep =>
-      val merged = mergePartials(tier, keep)
-      levels.foldLeft(merged.withColumn("grouping_level", lit(keep.length))) { (d, l) =>
-        if (keep.contains(l)) d else d.withColumn(l, lit(null).cast("string"))
-      }
+    // at once, keeping percentile exactness via blocks.
+    //
+    // STEPWISE, not per-level-from-base: each coarser level merges the
+    // PREVIOUS level's output, so a group's merge fan-in is its child count
+    // at that level (hosts per domain, domains per tld, tlds), never the full
+    // host population. Merging the global level straight from the host tier
+    // would collect every host's block into one task's array — a
+    // driver-memory-shaped failure at 10^12 rows. For a level whose fan-in is
+    // still huge (e.g. millions of hosts under one domain), interpose
+    // [[mergePartialsSalted]].
+    val chain = levels.indices.reverse.map(i => levels.take(i)) // drop finest one level at a time
+    val withLevel = tier.withColumn("grouping_level", lit(levels.length))
+    val parts = chain.scanLeft(withLevel) { (prev, keep) =>
+      mergePartials(prev.drop("grouping_level"), keep)
+        .withColumn("grouping_level", lit(keep.length))
     }
-    parts.reduce(_.unionByName(_)).select(
+    val padded = parts.map { d =>
+      levels.foldLeft(d)((dd, l) =>
+        if (dd.columns.contains(l)) dd else dd.withColumn(l, lit(null).cast("string")))
+    }
+    padded.reduce(_.unionByName(_)).select(
       (levels.map(col) ++ Seq(col("grouping_level"), col("bucket_start"), col("cnt"), col("sum_len"),
         col("mean_len"), col("min_len"), col("max_len"), col("p50_len"), col("p95_len"),
         col("lang_card"), col("lang_set"), col("block"))): _*)
+  }
+
+  /** Two-phase (salted) variant of [[mergePartials]] for coarse groups with
+    * unbounded fan-in: phase 1 merges within `(keys, salt)` sub-groups so no
+    * single task materializes the whole group's blocks, phase 2 merges the
+    * ≤`s` partials. Result identical to a direct merge (associativity +
+    * exact block recompute).
+    */
+  def mergePartialsSalted(partial: DataFrame, groupCols: Seq[String], s: Int = 64): DataFrame = {
+    val salted = partial
+      .withColumn("_salt", pmod(xxhash64(col("block")), lit(s.toLong)))
+    val phase1 = salted
+      .withColumn("_bucket", col("bucket_start"))
+      .groupBy((groupCols.map(col) ++ Seq(col("_bucket").as("bucket_start"), col("_salt"))): _*)
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("sum_len")).as("sum_len"),
+        min(col("min_len")).as("min_len"),
+        max(col("max_len")).as("max_len"),
+        array_distinct(flatten(collect_list(col("lang_set")))).as("lang_set"),
+        mergeBlocksUdf(collect_list(col("block"))).as("m"))
+      .withColumn("block", col("m.block"))
+      .drop("m", "_salt")
+    mergePartials(phase1, groupCols)
   }
 }
 

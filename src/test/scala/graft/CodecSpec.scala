@@ -66,3 +66,30 @@ class CodecSpec extends AnyFunSuite {
     })
   }
 }
+
+/** BlockAggregator (typed Aggregator, primitive buffers) must produce the
+  * same block bytes and percentiles as the collect_list + scalar UDF path,
+  * including across partition merges.
+  */
+class BlockAggregatorSpec extends SparkSuite {
+  import org.apache.spark.sql.functions._
+  import graft.functions.codec.BlockAggregator
+  import graft.operators.Rollup
+
+  test("aggregator == collect_list+UDF path, merge-safe across partitions") {
+    import spark.implicits._
+    val pts = (1 to 500).map(i => (i % 7L, 1704067200L + (i * 37) % 1000, (i % 13) * 1.5))
+    val df = pts.toDF("g", "ts", "v").repartition(7) // force multi-partition merges
+    val viaAgg = df.groupBy("g")
+      .agg(BlockAggregator(col("ts"), col("v")).as("m"))
+      .select(col("g"), col("m.block").as("b1"), col("m.p50").as("p1"), col("m.p95").as("q1"))
+    val viaUdf = df.groupBy("g")
+      .agg(Rollup.encodeWithStatsUdf(collect_list(struct(col("ts"), col("v").cast("double")))).as("m"))
+      .select(col("g"), col("m.block").as("b2"), col("m.p50").as("p2"), col("m.p95").as("q2"))
+    val j = viaAgg.join(viaUdf, "g")
+    assert(j.count() === 7)
+    val bad = j.filter(sha2(col("b1"), 256) =!= sha2(col("b2"), 256) ||
+      col("p1") =!= col("p2") || col("q1") =!= col("q2")).count()
+    assert(bad === 0)
+  }
+}

@@ -89,6 +89,21 @@ class RollupSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("salted two-phase merge equals direct merge at a coarse level") {
+    val direct = rollupHierarchy(t1m, Seq("tld", "registered_domain", "host"))
+      .filter(col("grouping_level") === 1)
+      .select("tld", "bucket_start", "cnt", "sum_len", "p50_len", "p95_len", "lang_card")
+    val salted = Rollup.mergePartialsSalted(t1m, Seq("tld"), s = 4)
+      .select("tld", "bucket_start", "cnt", "sum_len", "p50_len", "p95_len", "lang_card")
+    val j = salted.alias("a").join(direct.alias("b"), Seq("tld", "bucket_start"), "full_outer")
+    assert(j.filter(col("a.cnt").isNull || col("b.cnt").isNull).count() == 0)
+    assert(j.filter(col("a.cnt") =!= col("b.cnt") ||
+      abs(col("a.sum_len") - col("b.sum_len")) > 1e-9 ||
+      abs(col("a.p50_len") - col("b.p50_len")) > 1e-9 ||
+      abs(col("a.p95_len") - col("b.p95_len")) > 1e-9 ||
+      col("a.lang_card") =!= col("b.lang_card")).count() == 0)
+  }
+
   test("hierarchy rollup: global level equals whole-bucket aggregate") {
     val r = rollupHierarchy(t1m, Seq("tld", "registered_domain", "host"))
     val global = r.filter(col("grouping_level") === 0)
