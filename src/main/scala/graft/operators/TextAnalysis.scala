@@ -25,6 +25,12 @@ object TextAnalysis {
   /** Character-trigram language profiles: the `topN` most frequent trigrams
     * per language over a training corpus (ties broken by trigram asc —
     * deterministic). Output: (lang, trigram).
+    *
+    * Scale note: exploding trigrams shuffles ~3× the corpus characters; at
+    * 100 TB build profiles from a per-language sample (`df.sample` upstream)
+    * — trigram frequency ranks converge at tiny fractions, and profiles are
+    * a fixed small artifact reused by [[langId]] (which only ever shuffles
+    * doc-id-grouped counts, not text).
     */
   def langProfiles(train: DataFrame, textCol: String, langCol: String,
                    topN: Int = 200): DataFrame = {
