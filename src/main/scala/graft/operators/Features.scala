@@ -91,11 +91,19 @@ object Features {
     val x = col(valueCol)
     val n = count(x).over(frame)
     def gated(c: Column): Column = when(n >= mp, c).otherwise(lit(null))
+    // pandas parity for the shape stats (reference uses pandas .skew()/.kurt(),
+    // which are the sample-adjusted G1/G2, not Spark's population g1/g2):
+    //   G1 = g1 * sqrt(n(n-1)) / (n-2)            (null for n < 3)
+    //   G2 = ((n+1)*g2 + 6) * (n-1) / ((n-2)(n-3)) (null for n < 4)
+    val pandasSkew = when(n >= 3,
+      skewness(x).over(frame) * sqrt(n * (n - 1)) / (n - 2))
+    val pandasKurt = when(n >= 4,
+      ((n + 1) * kurtosis(x).over(frame) + 6) * (n - 1) / ((n - 2) * (n - 3)))
     val exprs: Map[String, Column] = Map(
       "max" -> max(x).over(frame), "min" -> min(x).over(frame),
       "std" -> stddev_samp(x).over(frame), "mean" -> avg(x).over(frame),
       "median" -> percentile(x, lit(0.5)).over(frame), "sum" -> sum(x).over(frame),
-      "kurt" -> kurtosis(x).over(frame), "skew" -> skewness(x).over(frame))
+      "kurt" -> pandasKurt, "skew" -> pandasSkew)
     ops.foldLeft(df)((d, op) =>
       d.withColumn(s"${valueCol}_roll${windowDays}d_lag${lagDays}_$op", gated(exprs(op))))
   }

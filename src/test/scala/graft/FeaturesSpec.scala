@@ -175,6 +175,37 @@ class FeaturesSpec extends SparkSuite {
     assert(l.select("v").collect().map(_.getDouble(0)).forall(v => v >= 0))
   }
 
+  test("rolling skew/kurt match pandas sample-adjusted G1/G2 literals") {
+    // one series, window wide enough to hold all prior rows (lag 1 day):
+    // pandas .skew()/.kurt() of [1,2,3,4] = 0.0 / -1.2; of [1,1,1,2] skew = 2.0
+    val s = Seq(("h", ts("2020-01-01"), 1.0), ("h", ts("2020-01-02"), 2.0),
+      ("h", ts("2020-01-03"), 3.0), ("h", ts("2020-01-04"), 4.0),
+      ("h", ts("2020-01-05"), 99.0)).toDF("host", "day", "v")
+    val out = Features.rollingStats(s, Seq("host"), "day", "v",
+      windowDays = 10, lagDays = 1, minPeriods = Some(1), ops = Seq("skew", "kurt"))
+    val sk = collectMap(out, "v_roll10d_lag1_skew")
+    val ku = collectMap(out, "v_roll10d_lag1_kurt")
+    assert(sk(("h", ts("2020-01-05"))).exists(approxEq(_, 0.0)))   // window [1,2,3,4]
+    assert(ku(("h", ts("2020-01-05"))).exists(approxEq(_, -1.2)))
+    assert(sk(("h", ts("2020-01-03"))).isEmpty) // n=2 < 3 -> null like pandas NaN
+    assert(ku(("h", ts("2020-01-04"))).isEmpty) // n=3 < 4 -> null like pandas NaN
+    val s2 = Seq(("h", ts("2020-01-01"), 1.0), ("h", ts("2020-01-02"), 1.0),
+      ("h", ts("2020-01-03"), 1.0), ("h", ts("2020-01-04"), 2.0),
+      ("h", ts("2020-01-05"), 0.0)).toDF("host", "day", "v")
+    val sk2 = collectMap(Features.rollingStats(s2, Seq("host"), "day", "v",
+      windowDays = 10, lagDays = 1, minPeriods = Some(1), ops = Seq("skew")), "v_roll10d_lag1_skew")
+    assert(sk2(("h", ts("2020-01-05"))).exists(approxEq(_, 2.0))) // window [1,1,1,2]
+  }
+
+  test("ewma adjust=false recursive form matches pandas literals") {
+    // pandas [1,2,3,4].ewm(span=3, adjust=False).mean() = [1, 1.5, 2.25, 3.125]
+    val pts = Seq((1704067200L, Some(1.0)), (1704067260L, Some(2.0)),
+      (1704067320L, Some(3.0)), (1704067380L, Some(4.0)))
+    val got = Ewma.ewmaSeries(pts, span = 3.0, lagRows = 0, minPeriods = 1, adjust = false)
+      .map(_._2.get)
+    assert(got.zip(Seq(1.0, 1.5, 2.25, 3.125)).forall { case (a, b) => approxEq(a, b) })
+  }
+
   test("error metrics: hand-computed MAPE/RMSE") {
     val d = Seq((10.0, 8.0), (20.0, 22.0)).toDF("a", "p")
     val m = Metrics.summarize(d, "a", "p").head()
