@@ -592,6 +592,14 @@ object SparkEntry {
         .groupBy(col("event_type"), col("code"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("code")
+    }),
+
+    // per-row invariant audit (input_hint: byte-identical derived values per
+    // row): recomputed text length must equal the stored n_chars metadata
+    "q54_row_invariant" -> ((s, dir) => {
+      docs(s, dir).agg(
+        count(lit(1)).as("n"),
+        sum(when(length(col("text")) =!= col("n_chars"), 1L).otherwise(0L)).as("violations"))
     })
   )
 
@@ -1133,6 +1141,11 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT event_type FROM events))
         |SELECT e.event_type, d.code, count(*) AS cnt
         |FROM events e JOIN dict d ON e.event_type = d.event_type
-        |GROUP BY 1, 2 ORDER BY code""".stripMargin
+        |GROUP BY 1, 2 ORDER BY code""".stripMargin,
+
+    "q54_row_invariant" ->
+      """SELECT count(*) AS n,
+        |sum(CASE WHEN len(text) <> n_chars THEN 1 ELSE 0 END)::BIGINT AS violations
+        |FROM documents""".stripMargin
   )
 }

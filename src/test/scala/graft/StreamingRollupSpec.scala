@@ -52,4 +52,34 @@ class StreamingRollupSpec extends SparkSuite {
       assert(m0.getAs[Long]("cnt") === 3L && m0.getAs[Double]("sum_len") === 14.0)
     } finally q.stop()
   }
+
+  test("append mode emits a bucket only after the watermark closes it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Page]
+    val stream = StreamingRollup.tier1mStream(
+      Hier.withHierarchy(mem.toDF()), watermark = "2 minutes")
+    val q = stream.writeStream.format("memory").queryName("t1m_append")
+      .outputMode("append").start()
+    try {
+      mem.addData(Page("https://w1.site1.com/p/1", ts(0, 10), "aaaa", "en"))
+      q.processAllAvailable()
+      // watermark still at minute 0 - 2m: nothing finalized yet
+      assert(spark.table("t1m_append").count() === 0)
+      // event time advances far enough to close minute 0's bucket
+      mem.addData(Page("https://w1.site1.com/p/2", ts(10, 0), "bb", "de"))
+      q.processAllAvailable()
+      mem.addData(Page("https://w1.site1.com/p/3", ts(20, 0), "cc", "fr"))
+      q.processAllAvailable()
+      val rows = spark.table("t1m_append").collect()
+      assert(rows.exists(r => r.getAs[Long]("bucket_start") === 1704067200L
+        && r.getAs[Long]("cnt") === 1L && r.getAs[Double]("sum_len") === 4.0))
+      // a late page for the CLOSED minute-0 bucket is dropped, not re-emitted
+      mem.addData(Page("https://w1.site1.com/p/4", ts(0, 30), "dddd", "en"))
+      mem.addData(Page("https://w1.site1.com/p/5", ts(30, 0), "e", "en"))
+      q.processAllAvailable()
+      val m0 = spark.table("t1m_append")
+        .filter(col("bucket_start") === 1704067200L).collect()
+      assert(m0.length === 1 && m0.head.getAs[Long]("cnt") === 1L)
+    } finally q.stop()
+  }
 }
