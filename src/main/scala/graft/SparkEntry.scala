@@ -23,7 +23,20 @@ object SparkEntry {
   private def li(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
 
-  private def r6(c: Column): Column = round(c, 6)
+  /** Round to 6 dp, binary-faithfully (matches DuckDB's round-of-the-actual-
+    * double). Spark's `round` goes through BigDecimal.valueOf(double) — the
+    * SHORTEST decimal repr — so a value whose true binary form is
+    * 8.00468749999… but prints as "8.0046875" rounds UP in Spark and DOWN in
+    * DuckDB (observed at sf0.1). Multiply/floor on the double itself keeps
+    * both engines identical; sign-split mirrors round-half-away-from-zero.
+    */
+  private def r6(c: Column): Column =
+    when(c.isNull, lit(null).cast("double"))
+      .otherwise(signum(c) * floor(abs(c) * 1e6 + 0.5) / 1e6)
+
+  private def r2(c: Column): Column =
+    when(c.isNull, lit(null).cast("double"))
+      .otherwise(signum(c) * floor(abs(c) * 1e2 + 0.5) / 1e2)
 
   /** Flagship query: full page pipeline on synthetic pages — synthesize →
     * hierarchy → 1m rollup → promote to 1h → hierarchy rollup. Driver
@@ -247,7 +260,7 @@ object SparkEntry {
       o.join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .agg(count(lit(1)).as("cnt"), r2(sum(col("o_totalprice"))).as("revenue"))
         .orderBy("n_name")
     }),
 
@@ -671,7 +684,7 @@ object SparkEntry {
         |round(min(value) OVER w,6) AS roll_min,
         |round(max(value) OVER w,6) AS roll_max
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+        |WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
         |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
 
