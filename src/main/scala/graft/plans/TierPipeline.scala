@@ -84,7 +84,13 @@ object TierPipeline {
     // durable write, and avoids evaluating the tier pipeline twice); lineage
     // is appended AFTER the data write — the crash-consistency point
     val doneLocal = done.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    // read back only days that are not fully complete — a literal day filter
+    // prunes at the partition-directory level, so a no-op resume reads no
+    // tier data at all
+    val fullDays = doneLocal.groupBy(_._1)
+      .collect { case (d, ps) if ps.size >= cfg.hostBuckets => d }.toSeq
     val metrics = spark.read.parquet(tierPath(cfg.root, tier))
+      .filter(if (fullDays.isEmpty) lit(true) else !col("day").isin(fullDays: _*))
       // partition-type inference reads day= dirs back as DATE; lineage keys
       // are canonical yyyy-MM-dd strings
       .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
@@ -117,7 +123,21 @@ object TierPipeline {
     */
   def buildAll(pages: DataFrame, cfg: Config, runId: String): Map[String, Seq[(String, Int)]] = {
     val spark = pages.sparkSession
-    val t1m = Rollup.tier1mSalted(pages, cfg.saltBuckets, cfg.groupCols)
+    // prune raw pages to PENDING partitions BEFORE aggregating: the
+    // writeTier anti-join alone would re-run the whole tier-1 aggregate on a
+    // fully-complete table just to discover nothing is pending (measured: a
+    // no-op resume cost more than the initial build). The row-level
+    // (day, host_bucket) predicate is cheap derived-column arithmetic; on a
+    // day-partitioned source table the day side additionally prunes the scan.
+    val done1m = lineage(spark, cfg.root)
+      .filter(col("tier") === "1m" && col("status") === "complete")
+      .select(col("day").as("_day"), col("host_bucket").as("_hb"))
+    val pending = pages
+      .withColumn("_day", date_format(col("warc_ts"), "yyyy-MM-dd"))
+      .withColumn("_hb", pmod(xxhash64(col("host")), lit(cfg.hostBuckets.toLong)).cast("int"))
+      .join(broadcast(done1m), Seq("_day", "_hb"), "left_anti")
+      .drop("_day", "_hb")
+    val t1m = Rollup.tier1mSalted(pending, cfg.saltBuckets, cfg.groupCols)
     val w1 = writeTier(t1m, "1m", cfg, runId)
     val written = Rollup.Tiers.tail.foldLeft(Map("1m" -> w1)) { case (acc, t) =>
       val finerName = Rollup.Tiers(Rollup.Tiers.indexWhere(_.name == t.name) - 1).name

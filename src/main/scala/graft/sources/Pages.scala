@@ -34,10 +34,14 @@ object Pages {
   /** Number of distinct hosts in the pool. */
   val HostPool = 1000
 
-  /** Minutes of simulated crawl time. */
+  /** Minutes of simulated crawl time (default: one day). */
   val Minutes = 1440
 
-  def synthesize(spark: SparkSession, nRows: Long, seed: Long = 42L): DataFrame = {
+  /** @param minutes span of simulated crawl time; > 1440 yields multi-day
+    *                data (exercises day-partitioned layouts / resume)
+    */
+  def synthesize(spark: SparkSession, nRows: Long, seed: Long = 42L,
+                 minutes: Int = Minutes): DataFrame = {
     import spark.implicits._
     val h = (salt: Int) => xxhash64(lit(seed), lit(salt), $"id")
 
@@ -51,7 +55,7 @@ object Pages {
       .withColumn("domain", concat(lit("site"), $"domain_id"))
       .withColumn("sub", concat(lit("w"), $"host_id"))
       // minute slot in [0, Minutes); slots ≡ 3 (mod 7) shifted forward → permanently empty buckets
-      .withColumn("minute0", pmod(h(2), lit(Minutes.toLong)))
+      .withColumn("minute0", pmod(h(2), lit(minutes.toLong)))
       .withColumn("minute", when(pmod($"minute0", lit(7L)) === 3, $"minute0" + 1).otherwise($"minute0"))
       .withColumn("sec", pmod(h(3), lit(60L)))
       .withColumn("warc_ts", timestamp_seconds(lit(Epoch) + $"minute" * 60 + $"sec"))

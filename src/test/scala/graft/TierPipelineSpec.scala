@@ -26,7 +26,10 @@ class TierPipelineSpec extends SparkSuite {
     Files.deleteIfExists(p)
   }
 
-  private lazy val pages = Hier.withHierarchy(Pages.synthesize(spark, 30000L, seed = 7L))
+  // 3 days of simulated crawl: the resume granularity is (day, host_bucket),
+  // so the partition domain must span several days to be meaningful
+  private lazy val pages = Hier.withHierarchy(
+    Pages.synthesize(spark, 30000L, seed = 7L, minutes = 3 * 1440))
 
   test("buildAll writes all tiers with lineage, and is a no-op when complete") {
     val cfg = Config(freshRoot(), hostBuckets = 4)
