@@ -257,7 +257,9 @@ object SparkEntry {
       val c = s.read.parquet(s"$dir/customer.parquet")
       val n = s.read.parquet(s"$dir/nation.parquet")
       val o = s.read.parquet(s"$dir/orders.parquet")
-      o.join(c, o("o_custkey") === c("c_custkey"))
+      // customer is dim-sized at every TPC-H sf (|customer| = |orders|/10);
+      // broadcast it explicitly rather than hoping AQE converts the SMJ
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("cnt"), r2(sum(col("o_totalprice"))).as("revenue"))
@@ -653,9 +655,11 @@ object SparkEntry {
         |FROM events GROUP BY ROLLUP(event_type, user_id)
         |ORDER BY lvl, event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin,
 
+    // sum(length(..)) is HUGEINT in DuckDB → pandas float64 repr ("7949.0")
+    // breaks the driver's exact hash vs Spark's BIGINT; cast to BIGINT.
     "q06_lang_card" ->
       """SELECT source, count(DISTINCT lang) AS lang_card, count(*) AS cnt,
-        |sum(length(text)) AS sum_len, round(avg(n_chars),6) AS avg_chars
+        |sum(length(text))::BIGINT AS sum_len, round(avg(n_chars),6) AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q07_lag" ->
@@ -1022,11 +1026,15 @@ object SparkEntry {
         |SELECT doc_id, hs[1] AS fp0, hs[2] AS fp1, hs[3] AS fp2, hs[4] AS fp3
         |FROM h WHERE len(hs) > 0 ORDER BY doc_id""".stripMargin,
 
+    // width/height derive from the payload's first two UTF-8 BYTES (hex of
+    // the blob), matching StubDecoder exactly — ascii(substr(..)) would be
+    // code points, which only agree on pure-ASCII corpora; try_cast guards
+    // texts shorter than 2 bytes identically to the stub's 0 default.
     "q43_media_features" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  sha256(text) AS sha_hex,
-        |  64 + ascii(substr(text, 1, 1)) % 64 AS width,
-        |  64 + ascii(substr(text, 2, 1)) % 64 AS height,
+        |  64 + coalesce(try_cast('0x' || substr(hex(encode(text)), 1, 2) AS INT), 0) % 64 AS width,
+        |  64 + coalesce(try_cast('0x' || substr(hex(encode(text)), 3, 2) AS INT), 0) % 64 AS height,
         |  1 + octet_length(encode(text)) % 8 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 

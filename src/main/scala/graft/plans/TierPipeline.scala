@@ -76,7 +76,13 @@ object TierPipeline {
     val pending = part.join(broadcast(done), Seq("day", "host_bucket"), "left_anti")
 
     pending.write
-      .mode(SaveMode.Overwrite) // dynamic mode: only touched partitions replaced
+      .mode(SaveMode.Overwrite)
+      // dynamic partition overwrite set PER WRITE, not inherited from the
+      // session: under the Spark default (static) a resume would delete ALL
+      // completed partitions of the tier and rewrite only pending ones while
+      // lineage still marks the deleted ones complete — silent data loss the
+      // idempotent-replay contract forbids.
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day", "host_bucket")
       .parquet(tierPath(cfg.root, tier))
 
