@@ -414,11 +414,12 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // sign-LSH bucketed ANN (the sublinear scale path)
+    // hyperplane-LSH bucketed ANN with Hamming-1 multi-probe (the sublinear
+    // scale path; recall measured >= 0.9 vs brute force in DedupSimilaritySpec)
     "q37_ann_bucketed" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.bucketedTopK(emb.filter(col("vec_id") < 20), emb,
-          "vec_id", "embedding", k = 3, bits = 8)
+          "vec_id", "embedding", k = 3, bits = 8, dim = 64, probeHamming = 1)
         .select(col("query_id"), col("neighbor_id"), r6(col("sim")).as("sim"), col("rank"))
         .orderBy("query_id", "rank")
     }),
@@ -430,17 +431,21 @@ object SparkEntry {
         .filter(col("vec_id") < 500).select("vec_id", "embedding")
       val uni = emb.unionByName(
         emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-      Similarity.nearDupPairs(uni, "vec_id", "embedding", threshold = 0.999, bits = 8)
+      Similarity.nearDupPairs(uni, "vec_id", "embedding", threshold = 0.999,
+          bits = 8, dim = 64, tables = 2)
         .select(col("id_a"), col("id_b"), r6(col("cos_sim")).as("cos_sim"))
         .orderBy("id_a", "id_b")
     }),
 
-    // character-trigram language ID: profiles from a train split, argmax
+    // character-trigram language ID: profiles from a DETERMINISTIC hash-
+    // sample of the train split (md5(doc_id) % 3 == 0, the scale path — the
+    // full-corpus explode was the round-1 scale-killer), argmax
     // profile-overlap prediction on the test split
     "q39_lang_id" -> ((s, dir) => {
       val d = docs(s, dir)
       val train = d.filter(pmod(col("doc_id"), lit(5L)) < 4 && col("lang").isNotNull)
-      val profiles = TextAnalysis.langProfiles(train, "text", "lang", topN = 50)
+      val profiles = TextAnalysis.langProfiles(train, "text", "lang", topN = 50,
+        sampleIdCol = Some("doc_id"), sampleMod = 3)
       val test = d.filter(pmod(col("doc_id"), lit(5L)) === 4)
       TextAnalysis.langId(test, "doc_id", "text", profiles)
         .select(col("id").as("doc_id"), col("pred_lang"), col("score"))
@@ -934,45 +939,53 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
+    // seeded Rademacher hyperplanes: sign(j,d) from md5('h:0:j:d') — the
+    // identical derivation as Similarity.rademacherSigns; projections are
+    // sequential-order dot products on both engines so boundary signs agree
     "q37_ann_bucketed" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-        |  + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
-        |  + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
-        |  + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
-        |  + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
-        |  + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
-        |  + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
-        |  + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
-        |  FROM embeddings),
-        |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      """WITH sl AS (SELECT j, list_transform(generate_series(1, 64),
+        |    d -> (CASE WHEN ('0x' || substr(md5('h:0:' || j::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END)::DOUBLE) AS s
+        |  FROM generate_series(0, 7) t(j)),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |pb AS (SELECT v.vec_id,
+        |    sum(CASE WHEN list_dot_product(v.e, sl.s) >= 0 THEN (1::BIGINT << sl.j) ELSE 0 END)::BIGINT AS bucket
+        |  FROM v CROSS JOIN sl GROUP BY 1),
+        |qp AS (SELECT vec_id AS query_id,
+        |    CASE WHEN g.pr = 0 THEN bucket ELSE xor(bucket, (1::BIGINT << (g.pr - 1))) END AS bucket
+        |  FROM pb CROSS JOIN generate_series(0, 8) g(pr) WHERE vec_id < 20),
+        |sc AS (SELECT qp.query_id, cb.vec_id AS neighbor_id,
         |    list_dot_product(q.e, c.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS sim
-        |  FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-        |  WHERE q.vec_id < 20 AND sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)) > 0),
+        |  FROM qp JOIN pb cb ON cb.bucket = qp.bucket AND cb.vec_id <> qp.query_id
+        |  JOIN v q ON q.vec_id = qp.query_id
+        |  JOIN v c ON c.vec_id = cb.vec_id
+        |  WHERE sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)) > 0),
         |r AS (SELECT query_id, neighbor_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sc)
         |SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
+    // two independent hyperplane tables (seeds h:0:*, h:1:*): a pair is a
+    // candidate if it collides in ANY table, then exact-cosine verified
     "q38_embed_near_dup" ->
       """WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
         |corpus AS (SELECT vec_id, embedding FROM base
         |  UNION ALL SELECT vec_id + 1000000, embedding FROM base),
-        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-        |  + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
-        |  + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
-        |  + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
-        |  + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
-        |  + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
-        |  + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
-        |  + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
-        |  FROM corpus)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
-        |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |WHERE sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)) > 0
-        |  AND list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.999
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM corpus),
+        |sl AS (SELECT t, j, list_transform(generate_series(1, 64),
+        |    d -> (CASE WHEN ('0x' || substr(md5('h:' || t::VARCHAR || ':' || j::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END)::DOUBLE) AS s
+        |  FROM generate_series(0, 1) tt(t) CROSS JOIN generate_series(0, 7) jj(j)),
+        |pb AS (SELECT v.vec_id, sl.t,
+        |    sum(CASE WHEN list_dot_product(v.e, sl.s) >= 0 THEN (1::BIGINT << sl.j) ELSE 0 END)::BIGINT AS bucket
+        |  FROM v CROSS JOIN sl GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM pb a JOIN pb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b,
+        |  round(list_dot_product(x.e, y.e) / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS cos_sim
+        |FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b
+        |WHERE sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)) > 0
+        |  AND list_dot_product(x.e, y.e) / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) >= 0.999
         |ORDER BY 1, 2""".stripMargin,
 
     "q39_lang_id" ->
@@ -981,7 +994,9 @@ object SparkEntry {
         |  FROM documents),
         |prof AS (SELECT lang, trigram FROM (
         |    SELECT lang, trigram, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, trigram) AS rk
-        |    FROM tri WHERE doc_id % 5 < 4 AND lang IS NOT NULL GROUP BY lang, trigram)
+        |    FROM tri WHERE doc_id % 5 < 4 AND lang IS NOT NULL
+        |      AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 3 = 0
+        |    GROUP BY lang, trigram)
         |  WHERE rk <= 50),
         |test AS (SELECT doc_id, trigram FROM tri WHERE doc_id % 5 = 4),
         |sc AS (SELECT t.doc_id, p.lang, count(*) AS score

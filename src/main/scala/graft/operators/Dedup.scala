@@ -108,7 +108,13 @@ object Dedup {
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    // verify needs shingle sets ONLY for candidate ids — a semi-join-sized
+    // subset. Computing arrays for the whole corpus first would be wasted
+    // work at 100 TB (candidates are a vanishing fraction of docs).
+    val candIds = cand.select(col("id_a").as("_cid"))
+      .unionByName(cand.select(col("id_b").as("_cid"))).distinct()
     val sh = df
+      .join(candIds, col(idCol) === col("_cid"), "left_semi")
       .withColumn("_ws", words(col(textCol)))
       .select(col(idCol).as("id"),
         array_distinct(wordShinglesOf(col("_ws"), shingleN)).as("sh"))
@@ -152,17 +158,46 @@ object Dedup {
     * |A∪B| = |A|+|B|-|A∩B| from per-doc sizes). `groupCols` bounds the pair
     * space (e.g. same lang); at web scale this is the "within-bucket" pattern
     * — never a global cross join.
+    *
+    * SKEW: the raw shingle is the join key, and a corpus-frequent shingle
+    * ("of the and" class) with document frequency df produces ~df²/2 join
+    * rows — quadratic in the hottest key. `maxDf` caps this: shingles with
+    * document frequency > maxDf (within the group) are dropped from BOTH the
+    * intersection and the union, bounding the self-join fan-out at
+    * Σ_s min(df_s, maxDf)² and making the result the Jaccard over the
+    * df≤maxDf shingle universe. With maxDf ≥ max df it equals the exact
+    * Jaccard (property-tested); at web scale a small τ (100–1000) drops only
+    * stop-shingles that carry no dedup signal anyway.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         groupCols: Seq[String], shingleN: Int = 3,
-                        minJaccard: Double = 0.0): DataFrame = {
+                        minJaccard: Double = 0.0,
+                        maxDf: Option[Long] = None): DataFrame = {
     val docs = df
       .withColumn("_ws", words(col(textCol)))
       .select((groupCols.map(col) :+ col(idCol).as("id") :+
         array_distinct(wordShinglesOf(col("_ws"), shingleN)).as("sh")): _*)
       .filter(size(col("sh")) > 0)
-    val sizes = docs.select((groupCols.map(col) :+ col("id") :+ size(col("sh")).as("n")): _*)
-    val ex = docs.select((groupCols.map(col) :+ col("id") :+ explode(col("sh")).as("s")): _*)
+    val exAll = docs.select((groupCols.map(col) :+ col("id") :+ explode(col("sh")).as("s")): _*)
+    // df-cap: one count shuffle on (group, shingle), then a semi-join that
+    // keeps only rare shingles — cheap relative to the quadratic join it
+    // prevents. The uncapped path skips both (sizes come free from the array).
+    val (ex, sizes) = maxDf match {
+      case Some(tau) =>
+        val rare = exAll.groupBy((groupCols.map(col) :+ col("s")): _*)
+          .agg(count(lit(1)).as("_df")).filter(col("_df") <= tau)
+          .select((groupCols.map(col) :+ col("s")): _*)
+        // a using-columns join moves the join keys to the FRONT of the output
+        // — reselect the canonical (group, id, s) order the positional toDF
+        // renames below depend on
+        val kept = exAll.join(rare, groupCols :+ "s", "left_semi")
+          .select((groupCols.map(col) :+ col("id") :+ col("s")): _*)
+        val n = kept.groupBy((groupCols.map(col) :+ col("id")): _*)
+          .agg(count(lit(1)).as("n"))
+        (kept, n)
+      case None =>
+        (exAll, docs.select((groupCols.map(col) :+ col("id") :+ size(col("sh")).as("n")): _*))
+    }
     val inter = ex.toDF((groupCols :+ "id_a" :+ "s"): _*)
       .join(ex.toDF((groupCols :+ "id_b" :+ "s"): _*), groupCols :+ "s")
       .filter(col("id_a") < col("id_b"))

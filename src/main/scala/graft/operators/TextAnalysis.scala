@@ -26,15 +26,21 @@ object TextAnalysis {
     * per language over a training corpus (ties broken by trigram asc —
     * deterministic). Output: (lang, trigram).
     *
-    * Scale note: exploding trigrams shuffles ~3× the corpus characters; at
-    * 100 TB build profiles from a per-language sample (`df.sample` upstream)
-    * — trigram frequency ranks converge at tiny fractions, and profiles are
-    * a fixed small artifact reused by [[langId]] (which only ever shuffles
-    * doc-id-grouped counts, not text).
+    * Scale: exploding trigrams shuffles ~3× the corpus characters, so at
+    * 100 TB the profiles MUST be built from a sample — trigram frequency
+    * ranks converge at tiny fractions, and the profile is a fixed small
+    * artifact reused by [[langId]] (which only ever shuffles doc-id-grouped
+    * counts, not text). `sampleIdCol`/`sampleMod` take a DETERMINISTIC
+    * hash-sample (keep rows with md5Long(id) % sampleMod == 0, ~1/sampleMod
+    * of the corpus) so an independent engine can replay the exact sample —
+    * unlike `df.sample`, whose RNG is engine-private.
     */
   def langProfiles(train: DataFrame, textCol: String, langCol: String,
-                   topN: Int = 200): DataFrame = {
-    val tri = train
+                   topN: Int = 200,
+                   sampleIdCol: Option[String] = None, sampleMod: Int = 4): DataFrame = {
+    val base = sampleIdCol.fold(train)(id =>
+      train.filter(pmod(md5Long(col(id).cast("string")), lit(sampleMod.toLong)) === 0))
+    val tri = base
       .select(col(langCol).as("lang"), explode(charShingles(col(textCol), 3)).as("trigram"))
       .groupBy("lang", "trigram").agg(count(lit(1)).as("freq"))
     val w = Window.partitionBy(col("lang")).orderBy(col("freq").desc, col("trigram"))

@@ -67,6 +67,21 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(approxEq(pairs.head.getAs[Double]("jaccard"), 4.0 / 6.0))
   }
 
+  test("ngramJaccardPairs df-cap: non-binding cap equals exact; binding cap drops hot shingles") {
+    val g = docs.withColumn("g", lit("x"))
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        math.round(r.getAs[Double]("jaccard") * 1e9))).toSet
+    val exact = Dedup.ngramJaccardPairs(g, "text", "id", Seq("g")).collect()
+    val nonBinding = Dedup.ngramJaccardPairs(g, "text", "id", Seq("g"),
+      maxDf = Some(1000L)).collect()
+    assert(key(nonBinding) === key(exact))
+    assert(exact.nonEmpty)
+    // tau=1 keeps only df=1 shingles — nothing can intersect, so no pairs
+    val tau1 = Dedup.ngramJaccardPairs(g, "text", "id", Seq("g"), maxDf = Some(1L)).collect()
+    assert(tau1.isEmpty)
+  }
+
   private lazy val vecs = Seq(
     (1L, Array(1f, 0f, 0f)),
     (2L, Array(2f, 0f, 0f)),      // same direction as 1 -> cos 1
@@ -87,13 +102,36 @@ class DedupSimilaritySpec extends SparkSuite {
 
   test("bucketed ANN: same-direction vectors share a bucket; near-dup pairs found") {
     val dups = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
-      threshold = 0.999, bits = 3).collect()
+      threshold = 0.999, bits = 3, dim = 3, tables = 2).collect()
     assert(dups.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet === Set((1L, 2L)))
-    // bucketed search from query 1 finds 2 (same bucket), never 4 (sign-differs)
+    // bucketed search from query 1 finds 2 (identical direction -> identical
+    // bucket); 4 = -1 flips every projection, so its bucket is the bitwise
+    // complement — Hamming distance 3 > the probe radius of 1
     val ann = Similarity.bucketedTopK(vecs.filter($"vec_id" === 1L), vecs,
-      "vec_id", "embedding", k = 5, bits = 3).collect()
+      "vec_id", "embedding", k = 5, bits = 3, dim = 3).collect()
     val ids = ann.map(_.getAs[Long]("neighbor_id")).toSet
     assert(ids.contains(2L) && !ids.contains(4L))
+  }
+
+  test("bucketed ANN recall@3 >= 0.9 vs brute force on a seeded clustered corpus") {
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    // 20 unit-ish cluster centers, 10 members each with tight noise (within-
+    // cluster cos ~0.99): the regime where ANN must find the true neighbors
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i / 10)
+      (i.toLong, c.map(x => x + 0.07f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 10 === 0) // one query per cluster
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 3))
+    val approx = pairs(Similarity.bucketedTopK(queries, corpus, "vec_id", "embedding",
+      k = 3, bits = 8, dim = dim, probeHamming = 1))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@3 $recall < 0.9 (found ${(exact intersect approx).size}/${exact.size})")
   }
 
   test("tokenCounts + qualityScore hand-check") {
