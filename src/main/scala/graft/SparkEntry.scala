@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Pages
 import graft.functions.Hier
-import graft.operators.{CrossVal, Dedup, Ewma, Features, GapFill, Metrics, Multimodal, Rollup, Scalers, Similarity, TextAnalysis}
+import graft.operators.{CrossVal, Dedup, Ewma, Features, GapFill, Metrics, Multimodal, Profile, Rollup, Scalers, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -306,8 +306,9 @@ object SparkEntry {
       val daily = ev(s, dir)
         .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
         .agg(sum(col("value")).as("v"))
-      Ewma.ewma(daily, Seq("user_id"), "day", "v", span = 5.0, lagRows = 1, minPeriods = 1)
-        .select(col("user_id"), unix_timestamp(col("day")).as("day_sec"),
+      Ewma.ewmaSeriesFrame(daily, Seq("user_id"), "day", "v", spans = Seq(5.0),
+          lagRows = 1, minPeriods = 1)
+        .select(col("user_id"), col("ts_sec").as("day_sec"),
           r6(col("v_ewma5")).as("ewma5"))
         .orderBy("user_id", "day_sec")
     }),
@@ -572,7 +573,7 @@ object SparkEntry {
         .agg(sum(col("value")).as("v"))
       Ewma.crossovers(daily, Seq("user_id"), "day", "v", spans = Seq(3.0, 5.0),
           lagRows = 1, minPeriods = 1)
-        .select(col("user_id"), unix_timestamp(col("day")).as("day_sec"),
+        .select(col("user_id"), col("ts_sec").as("day_sec"),
           r6(col("v_ewma_cross_3_5")).as("cross_3_5"))
         .orderBy("user_id", "day_sec")
     }),
@@ -620,6 +621,114 @@ object SparkEntry {
       docs(s, dir).agg(
         count(lit(1)).as("n"),
         sum(when(length(col("text")) =!= col("n_chars"), 1L).otherwise(0L)).as("violations"))
+    }),
+
+    // §3 the reference's semantic heart composed end-to-end (model.py:654-714):
+    // last rolling-origin fold -> train-only standardize -> mask test target
+    // -> lag feature over the combined frame (test rows see only train-visible
+    // history) -> restore actuals + train/test tag
+    "q55_leakfree_cv" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      val days = daily.select(col("day")).distinct()
+      val fold = CrossVal.timeSeriesSplits(days, "day", nSplits = 4, gap = 0).last
+      CrossVal.leakFreeFold(daily, "day", "v", fold, scalerCols = Seq("v"),
+          featureFn = d => Features.lagFeatures(d, Seq("user_id"), "day", Seq("v"), Seq(1)))
+        .select(col("user_id"), unix_timestamp(col("day")).as("day_sec"),
+          r6(col("v")).as("v_scaled"), r6(col("v_lag1")).as("v_lag1"),
+          col("_sample").as("sample"))
+        .orderBy("user_id", "day_sec")
+    }),
+
+    // §2.4 rolling median/skew/kurt with the pandas G1/G2 corrections —
+    // DuckDB skewness/kurtosis ARE the sample-adjusted G1/G2 (verified), so
+    // the oracle reconciles directly; Spark needs the adjustment from its
+    // population g1/g2 (Features.rollingStats:94-101)
+    "q56_rolling_shape" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      Features.rollingStats(daily, Seq("user_id"), "day", "v",
+          windowDays = 7, lagDays = 1, ops = Seq("median", "kurt", "skew"))
+        .select(col("user_id"), unix_timestamp(col("day")).as("day_sec"),
+          r6(col("v_roll7d_lag1_median")).as("roll_median"),
+          r6(col("v_roll7d_lag1_skew")).as("roll_skew"),
+          r6(col("v_roll7d_lag1_kurt")).as("roll_kurt"))
+        .orderBy("user_id", "day_sec")
+    }),
+
+    // §2.8 categorical encode -> DECODE round trip (transform.py:399-428:
+    // codes map back through the saved dictionary); mismatches must be 0
+    "q57_categorical_decode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dict = ev(s, dir).select(col("event_type")).distinct()
+        .withColumn("code", row_number().over(Window.orderBy(col("event_type"))) - 1)
+      val enc = ev(s, dir).join(broadcast(dict), Seq("event_type"))
+        .select(col("event_id"), col("event_type").as("orig"), col("code"))
+      val dec = enc.join(broadcast(dict), Seq("code"))
+        .withColumnRenamed("event_type", "decoded")
+      dec.groupBy(col("code"), col("decoded"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("decoded") =!= col("orig"), 1L).otherwise(0L)).as("mismatches"))
+        .orderBy("code")
+    }),
+
+    // §2.4 describe() profile (interpret.py:172-177): 8 exact stats per
+    // column, one aggregation pass, exploded to the pandas layout
+    "q58_describe_profile" -> ((s, dir) => {
+      Profile.describe(
+          ev(s, dir).withColumn("user_id_d", col("user_id").cast("double")),
+          Seq("value", "user_id_d"))
+        .select(col("column"), col("count"), r6(col("mean")).as("mean"),
+          r6(col("std")).as("std"), r6(col("min")).as("min"),
+          r6(col("p25")).as("p25"), r6(col("p50")).as("p50"),
+          r6(col("p75")).as("p75"), r6(col("max")).as("max"))
+        .orderBy("column")
+    }),
+
+    // the reference's predict() pipeline shape composed end-to-end
+    // (model.py:717-791 + 170-199): fit scaler -> scale history -> future
+    // frame -> concat -> LOCF-naive forecast replayed over the combined
+    // frame -> inverse-scale predictions for the future rows
+    "q59_future_e2e" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      val p = Scalers.fitStandardize(daily, "v")
+      val scaled = daily.withColumn("v", p(col("v")))
+      val mx = daily.agg(unix_timestamp(date_trunc("day", max(col("day")))).as("mx"))
+      val future = daily.select(col("user_id")).distinct()
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"),
+          explode(sequence(col("mx") + 86400L, col("mx") + 3 * 86400L, lit(86400L))).as("_ds"))
+        .select(col("user_id"), timestamp_seconds(col("_ds")).as("day"))
+        .withColumn("v", lit(null).cast("double"))
+      val all = scaled.select("user_id", "day", "v")
+        .unionByName(future)
+        .withColumn("is_future", col("v").isNull)
+      val filled = Features.forwardFill(all, Seq("user_id"), "day", Seq("v"))
+      filled.filter(col("is_future"))
+        .select(col("user_id"), unix_timestamp(col("day")).as("day_sec"),
+          r6(p.inverse(col("v"))).as("pred"))
+        .orderBy("user_id", "day_sec")
+    }),
+
+    // REAL image pipeline end-to-end: synthesize PNG bytes (dims derived
+    // arithmetically from doc_id), decode with the actual javax.imageio
+    // codec in batched mapPartitions — decoded dims must round-trip to the
+    // arithmetic oracle, proving the decode is real, not derived
+    "q60_image_decode" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 200)
+        .withColumn("w", (pmod(col("doc_id"), lit(8L)) + 1).cast("int"))
+        .withColumn("h", (pmod(col("doc_id"), lit(5L)) + 1).cast("int"))
+        .withColumn("payload", Multimodal.pngEncodeUdf(col("w"), col("h"), col("doc_id")))
+        .withColumn("url", col("doc_id").cast("string"))
+      Multimodal.extractImageFeatures(d, "url", "payload")
+        .toDF()
+        .select(col("url").cast("long").as("doc_id"), col("media_type"),
+          col("width"), col("height"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1182,6 +1291,96 @@ object SparkEntry {
     "q54_row_invariant" ->
       """SELECT count(*) AS n,
         |sum(CASE WHEN len(text) <> n_chars THEN 1 ELSE 0 END)::BIGINT AS violations
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // fold boundaries replicate CrossVal.timeSeriesSplits for fold 3 of 4:
+    // testSize = n//5, trainEnd at rn = n - testSize - 1, testEnd at n - 1
+    "q55_leakfree_cv" ->
+      """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (SELECT DISTINCT day FROM d),
+        |n AS (SELECT count(*) AS c FROM dd),
+        |r AS (SELECT day, row_number() OVER (ORDER BY day) - 1 AS rn FROM dd),
+        |b AS (SELECT
+        |  (SELECT r.day FROM r, n WHERE r.rn = n.c - (n.c // 5) - 1) AS train_end,
+        |  (SELECT r.day FROM r, n WHERE r.rn = n.c - 1) AS test_end),
+        |f AS (SELECT user_id, day, v FROM d, b WHERE day <= b.test_end),
+        |p AS (SELECT avg(v) AS m, stddev_samp(v) AS s FROM f, b WHERE day <= b.train_end),
+        |sc AS (SELECT user_id, day, (v - p.m) / (CASE WHEN p.s = 0 THEN 1 ELSE p.s END) AS vs
+        |  FROM f, p),
+        |mk AS (SELECT user_id, day, vs, CASE WHEN day <= b.train_end THEN vs END AS vmask
+        |  FROM sc, b),
+        |ft AS (SELECT mk.user_id, mk.day, mk.vs,
+        |  lag(vmask, 1) OVER (PARTITION BY user_id ORDER BY day) AS l1,
+        |  CASE WHEN mk.day <= b.train_end THEN 'train' ELSE 'test' END AS sample
+        |  FROM mk, b)
+        |SELECT user_id, epoch(day)::BIGINT AS day_sec, round(vs, 6) AS v_scaled,
+        |round(l1, 6) AS v_lag1, sample FROM ft ORDER BY user_id, day_sec""".stripMargin,
+
+    // DuckDB skewness/kurtosis are the pandas sample-adjusted G1/G2 directly
+    // (empirically verified); Spark's population g1/g2 carry the adjustment
+    // in Features.rollingStats
+    "q56_rolling_shape" ->
+      """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, epoch(day)::BIGINT AS te, v::DOUBLE AS v FROM d),
+        |m AS (SELECT user_id, te,
+        |  count(v) OVER w AS n,
+        |  median(v) OVER w AS md,
+        |  skewness(v) OVER w AS sk,
+        |  kurtosis(v) OVER w AS ku
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY te
+        |    RANGE BETWEEN 604800 PRECEDING AND 86400 PRECEDING))
+        |SELECT user_id, te AS day_sec,
+        |round(CASE WHEN n >= 5 THEN md END, 6) AS roll_median,
+        |round(CASE WHEN n >= 5 THEN sk END, 6) AS roll_skew,
+        |round(CASE WHEN n >= 5 THEN ku END, 6) AS roll_kurt
+        |FROM m ORDER BY user_id, day_sec""".stripMargin,
+
+    "q57_categorical_decode" ->
+      """WITH dict AS (SELECT event_type, row_number() OVER (ORDER BY event_type) - 1 AS code
+        |  FROM (SELECT DISTINCT event_type FROM events)),
+        |enc AS (SELECT e.event_id, e.event_type AS orig, d.code
+        |  FROM events e JOIN dict d ON e.event_type = d.event_type),
+        |dec AS (SELECT enc.event_id, enc.orig, enc.code, d2.event_type AS decoded
+        |  FROM enc JOIN dict d2 ON enc.code = d2.code)
+        |SELECT code, decoded, count(*) AS cnt,
+        |sum(CASE WHEN decoded <> orig THEN 1 ELSE 0 END)::BIGINT AS mismatches
+        |FROM dec GROUP BY 1, 2 ORDER BY code""".stripMargin,
+
+    "q58_describe_profile" ->
+      """SELECT 'value' AS "column", count(value) AS count,
+        |round(avg(value), 6) AS mean, round(stddev_samp(value), 6) AS std,
+        |round(min(value), 6) AS min, round(quantile_cont(value, 0.25), 6) AS p25,
+        |round(quantile_cont(value, 0.5), 6) AS p50, round(quantile_cont(value, 0.75), 6) AS p75,
+        |round(max(value), 6) AS max FROM events
+        |UNION ALL
+        |SELECT 'user_id_d', count(user_id),
+        |round(avg(user_id::DOUBLE), 6), round(stddev_samp(user_id::DOUBLE), 6),
+        |round(min(user_id::DOUBLE), 6), round(quantile_cont(user_id::DOUBLE, 0.25), 6),
+        |round(quantile_cont(user_id::DOUBLE, 0.5), 6), round(quantile_cont(user_id::DOUBLE, 0.75), 6),
+        |round(max(user_id::DOUBLE), 6) FROM events
+        |ORDER BY "column"""".stripMargin,
+
+    // LOCF-naive forecast: future prediction per user = last history value,
+    // scale -> inverse round trip replicated arithmetically
+    "q59_future_e2e" ->
+      """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT avg(v) AS m, stddev_samp(v) AS s FROM d),
+        |mx AS (SELECT epoch(date_trunc('day', max(day)))::BIGINT AS m FROM d),
+        |lastv AS (SELECT user_id, arg_max(v, day) AS lv FROM d GROUP BY 1),
+        |g AS (SELECT unnest(generate_series((SELECT m + 86400 FROM mx),
+        |  (SELECT m + 3 * 86400 FROM mx), 86400)) AS day_sec)
+        |SELECT l.user_id, g.day_sec,
+        |round(((l.lv - p.m) / (CASE WHEN p.s = 0 THEN 1 ELSE p.s END))
+        |  * (CASE WHEN p.s = 0 THEN 1 ELSE p.s END) + p.m, 6) AS pred
+        |FROM lastv l CROSS JOIN g, p ORDER BY 1, 2""".stripMargin,
+
+    "q60_image_decode" ->
+      """SELECT doc_id, 'image' AS media_type,
+        |(doc_id % 8 + 1)::INT AS width, (doc_id % 5 + 1)::INT AS height
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
   )
 }

@@ -57,33 +57,60 @@ object Ewma {
     sorted.map(_._1).zip(out)
   }
 
-  private def ewmaUdf(span: Double, lagRows: Int, minPeriods: Int, adjust: Boolean): UserDefinedFunction =
+  private def ewmaMultiUdf(spans: Seq[Double], lagRows: Int, minPeriods: Int,
+                           adjust: Boolean): UserDefinedFunction =
     udf { (pts: Seq[Row]) =>
       val pairs = pts.map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
-      ewmaSeries(pairs, span, lagRows, minPeriods, adjust)
-        .map { case (t, y) => EwmaPoint(t, y.map(Double.box).orNull) }
+      val perSpan = spans.map(s => ewmaSeries(pairs, s, lagRows, minPeriods, adjust))
+      perSpan.head.indices.map { i =>
+        EwmaPointN(perSpan.head(i)._1,
+          perSpan.map(series => series(i)._2.map(Double.box).orNull))
+      }
     }
 
-  /** Adds `<valueCol>_ewma<span>` per (hierarchy, tsCol) series. */
-  def ewma(df: DataFrame, hierarchy: Seq[String], tsCol: String, valueCol: String,
-           span: Double, lagRows: Int = 1, minPeriods: Int = 1, adjust: Boolean = true): DataFrame = {
-    val outCol = s"${valueCol}_ewma${span.toInt}"
+  /** The EWMA series frame: per (hierarchy) series, ALL spans computed in
+    * ONE `collect_list` pass — output (hierarchy..., ts_sec,
+    * `<valueCol>_ewma<span>`...). The round-1 shape aggregated and joined
+    * the exploded result back onto the full input once PER SPAN (one
+    * avoidable full shuffle of the big side each); here the series frame is
+    * the result — callers that need the original columns join once, and
+    * pure-series consumers (crossovers, tier outputs) never join at all.
+    */
+  def ewmaSeriesFrame(df: DataFrame, hierarchy: Seq[String], tsCol: String, valueCol: String,
+                      spans: Seq[Double], lagRows: Int = 1, minPeriods: Int = 1,
+                      adjust: Boolean = true): DataFrame = {
     val series = df
       .groupBy(hierarchy.map(col): _*)
       .agg(collect_list(struct(unix_timestamp(col(tsCol)).as("t"),
         col(valueCol).cast("double").as("x"))).as("pts"))
-      .withColumn("e", explode(ewmaUdf(span, lagRows, minPeriods, adjust)(col("pts"))))
-      .select((hierarchy.map(col) :+ col("e.ts").as("_ets") :+ col("e.y").as(outCol)): _*)
+      .withColumn("e", explode(ewmaMultiUdf(spans, lagRows, minPeriods, adjust)(col("pts"))))
+      .select((hierarchy.map(col) :+ col("e.ts").as("ts_sec") :+ col("e.ys").as("_ys")): _*)
+    spans.zipWithIndex.foldLeft(series) { case (d, (s, i)) =>
+      d.withColumn(s"${valueCol}_ewma${s.toInt}", col("_ys").getItem(i))
+    }.drop("_ys")
+  }
+
+  /** Adds `<valueCol>_ewma<span>` per (hierarchy, tsCol) series, preserving
+    * the input columns (one join of the input against the series frame).
+    */
+  def ewma(df: DataFrame, hierarchy: Seq[String], tsCol: String, valueCol: String,
+           span: Double, lagRows: Int = 1, minPeriods: Int = 1, adjust: Boolean = true): DataFrame = {
+    val series = ewmaSeriesFrame(df, hierarchy, tsCol, valueCol, Seq(span),
+      lagRows, minPeriods, adjust)
+      .withColumnRenamed("ts_sec", "_ets")
     df.withColumn("_ets", unix_timestamp(col(tsCol)))
       .join(series, hierarchy :+ "_ets", "left")
       .drop("_ets")
   }
 
-  /** EWMA crossovers: pairwise ratios across spans (ref :674-693). */
+  /** EWMA crossovers: pairwise ratios across spans (ref :674-693), computed
+    * on the series frame — one aggregation pass total, no join back.
+    * Output: (hierarchy..., ts_sec, `<v>_ewma<s>`..., `<v>_ewma_cross_a_b`...).
+    */
   def crossovers(df: DataFrame, hierarchy: Seq[String], tsCol: String, valueCol: String,
                  spans: Seq[Double], lagRows: Int = 1, minPeriods: Int = 1): DataFrame = {
-    val withAll = spans.foldLeft(df)((d, s) => ewma(d, hierarchy, tsCol, valueCol, s, lagRows, minPeriods))
-    spans.combinations(2).foldLeft(withAll) { case (d, Seq(a, b)) =>
+    val frame = ewmaSeriesFrame(df, hierarchy, tsCol, valueCol, spans, lagRows, minPeriods)
+    spans.combinations(2).foldLeft(frame) { case (d, Seq(a, b)) =>
       val ca = col(s"${valueCol}_ewma${a.toInt}")
       val cb = col(s"${valueCol}_ewma${b.toInt}")
       d.withColumn(s"${valueCol}_ewma_cross_${a.toInt}_${b.toInt}",
@@ -92,4 +119,4 @@ object Ewma {
   }
 }
 
-case class EwmaPoint(ts: Long, y: java.lang.Double)
+case class EwmaPointN(ts: Long, ys: Seq[java.lang.Double])

@@ -173,6 +173,20 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(fps(3).isNullAt(1)) // shorter than n=8 -> null
   }
 
+  test("multimodal: real javax.imageio decode round-trips synthesized PNG dims; non-image falls back") {
+    val d = Seq((7L, 3, 2), (8L, 1, 5)).toDF("id", "w", "h")
+      .withColumn("payload", Multimodal.pngEncodeUdf(col("w"), col("h"), col("id")))
+      .withColumn("url", col("id").cast("string"))
+    val out = Multimodal.extractImageFeatures(d, "url", "payload")
+      .collect().sortBy(_.url)
+    assert(out(0).media_type === "image" && out(0).width === 3 && out(0).height === 2)
+    assert(out(1).media_type === "image" && out(1).width === 1 && out(1).height === 5)
+    val notImage = Seq(("u", "just text")).toDF("url", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val fb = Multimodal.extractImageFeatures(notImage, "url", "payload").collect().head
+    assert(fb.media_type === "binary" && fb.width === 0 && fb.byte_len === 9L)
+  }
+
   test("multimodal extractFeatures: batch decode plumbing + stub determinism") {
     val d = Seq(("u1", "hello world"), ("u2", "")).toDF("url", "text")
       .withColumn("payload", encode(col("text"), "UTF-8"))

@@ -44,9 +44,10 @@ class SourcesSpec extends SparkSuite {
       (1L, "2024-01-01", 10.0), (1L, "2024-01-02", 20.0),
       (1L, "2024-01-03", 30.0), (1L, "2024-01-04", 40.0)
     ).toDF("uid", "d", "v").withColumn("d", col("d").cast("timestamp"))
+    // crossovers returns the series frame (uid, ts_sec, ewma + cross cols)
     val out = Ewma.crossovers(daily, Seq("uid"), "d", "v", spans = Seq(3.0, 5.0),
         lagRows = 1, minPeriods = 1)
-      .orderBy("d").collect()
+      .orderBy("ts_sec").collect()
     // row 4 (lag-1 series 10,20,30): ewma3 = adjust-weighted with decay .5:
     // (30 + 20*.5 + 10*.25)/(1+.5+.25); ewma5 decay 2/3
     val e3 = (30.0 + 20.0 * 0.5 + 10.0 * 0.25) / (1 + 0.5 + 0.25)
