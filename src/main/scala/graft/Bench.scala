@@ -59,14 +59,18 @@ object Bench {
       val t1m = Rollup.tier1m(pages)
       Rollup.promote(Rollup.promote(Rollup.promote(t1m, 300L), 3600L), 86400L)
     }
-    // one warmup (JIT + codegen + parquet footers), then median of 3 timed
-    // runs — single-shot numbers on this VM swing 2-4x from GC/JIT noise
+    // one warmup (JIT + codegen + parquet footers), then median of 5 timed
+    // runs — single-shot numbers on this VM swing 2-4x from GC/JIT/neighbor
+    // noise; all run times are reported so the spread is visible when a
+    // driver-measured number disagrees with a builder-measured one
     val rows1d = cascade().count() // row count for the report only (untimed)
     materialize(cascade())         // warm the FULL plan incl. blocks/percentiles
-    val times = (1 to 3).map { _ =>
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    val rawTimes = (1 to nRuns).map { _ =>
       val t0 = System.nanoTime(); materialize(cascade()); (System.nanoTime() - t0) / 1e9
-    }.sorted
-    val rollupSec = times(1)
+    }
+    val times = rawTimes.sorted
+    val rollupSec = times(times.size / 2)
     val pagesPerSec = nPages / rollupSec
 
     // ---- per-query times on the driver testdata ----
@@ -81,7 +85,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"rollup throughput (pages/sec), 1m->1d tier cascade","value":$pagesPerSec,"unit":"pages/sec","rollup_pages":$nPages,"rollup_sec":$rollupSec,"rows_1d":$rows1d,"cpus":$cpus,"queries_total_sec":$total,"queries":$qs,"sf":"$sfDir"}"""
+    val runsJson = rawTimes.mkString("[", ",", "]")
+    val json = s"""{"metric":"rollup throughput (pages/sec), 1m->1d tier cascade","value":$pagesPerSec,"unit":"pages/sec","rollup_pages":$nPages,"rollup_sec":$rollupSec,"rollup_runs":$runsJson,"rows_1d":$rows1d,"cpus":$cpus,"queries_total_sec":$total,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // machine-readable copy for the driver (stdout is sbt-prefixed)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_OUT.json"), json)

@@ -729,6 +729,17 @@ object SparkEntry {
         .select(col("url").cast("long").as("doc_id"), col("media_type"),
           col("width"), col("height"))
         .orderBy("doc_id")
+    }),
+
+    // IVF ANN: deterministic coarse quantizer (8 md5-seeded centroids),
+    // nProbe=2 inverted-list probing — the learned-quantizer alternative to
+    // the q37 hyperplane path
+    "q61_ivf_ann" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 3, nlist = 8, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), r6(col("sim")).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -1381,6 +1392,36 @@ object SparkEntry {
     "q60_image_decode" ->
       """SELECT doc_id, 'image' AS media_type,
         |(doc_id % 8 + 1)::INT AS width, (doc_id % 5 + 1)::INT AS height
-        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    // centroid pick, assignment argmax and probe lists replicate ivfTopK:
+    // centroids = 8 smallest md5(vec_id); cosine NULL (zero norm) sorts last
+    // like the Scala -inf; ties break on cid asc on both engines
+    "q61_ivf_ann" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, e AS ce FROM v
+        |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id LIMIT 8),
+        |asgc AS (SELECT v.vec_id, c.cid,
+        |    CASE WHEN sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce)) > 0
+        |      THEN list_dot_product(v.e, c.ce) /
+        |           (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))) END AS cs
+        |  FROM v CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC NULLS LAST, cid) AS rn FROM asgc)
+        |  WHERE rn = 1),
+        |qprobe AS (SELECT vec_id AS query_id, cid FROM (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC NULLS LAST, cid) AS rn
+        |    FROM asgc WHERE vec_id < 10)
+        |  WHERE rn <= 2),
+        |sc AS (SELECT qp.query_id, a.vec_id AS neighbor_id,
+        |    list_dot_product(q.e, c.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS sim
+        |  FROM qprobe qp JOIN asg a ON a.cid = qp.cid AND a.vec_id <> qp.query_id
+        |  JOIN v q ON q.vec_id = qp.query_id
+        |  JOIN v c ON c.vec_id = a.vec_id
+        |  WHERE sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)) > 0),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sc)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   )
 }

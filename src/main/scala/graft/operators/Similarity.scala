@@ -146,6 +146,45 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** IVF (inverted-file) ANN: same contract as [[bucketedTopK]] with a
+    * learned-ish coarse quantizer instead of hyperplanes. Centroids are the
+    * `nlist` corpus vectors with the smallest md5Long(id) — a deterministic,
+    * oracle-replayable stand-in for offline k-means (at web scale you train
+    * centroids once and broadcast them; the plumbing here is exactly that:
+    * centroids are plan-time constants, assignment is one narrow pass via
+    * [[graft.functions.NearestCentroidsExpr]], candidates are an equi-join
+    * on the centroid id). Queries probe their `nProbe` nearest lists.
+    * Expected candidates per query: nProbe·|C|/nlist — sublinear with nlist
+    * scaled like [[suggestBits]] scales buckets.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nProbe: Int = 2): DataFrame = {
+    import graft.functions.{Hashing, NearestCentroidsExpr}
+    val cents = corpus
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+      .withColumn("_h", Hashing.md5Long(col("cid").cast("string")))
+      .orderBy(col("_h"), col("cid")).limit(nlist)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cids = cents.map(_._1).toSeq
+    val cvecs = cents.map(_._2).toSeq
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      element_at(NearestCentroidsExpr(col(vecCol), cids, cvecs, 1), 1).as("cid"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        NearestCentroidsExpr(col(vecCol), cids, cvecs, nProbe).as("_cids"))
+      .select(col("query_id"), col("qv"), explode(col("_cids")).as("cid"))
+    val scored = q.join(c, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .filter(col("sim").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (`id_a < id_b`, cos ≥ threshold),
     * candidate-pruned by `tables` independent hyperplane-LSH bucket joins —
     * a pair is a candidate if it collides in ANY table (recall

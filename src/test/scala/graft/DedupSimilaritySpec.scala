@@ -132,6 +132,11 @@ class DedupSimilaritySpec extends SparkSuite {
       k = 3, bits = 8, dim = dim, probeHamming = 1))
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall@3 $recall < 0.9 (found ${(exact intersect approx).size}/${exact.size})")
+    // IVF on the same corpus: 16 seeded centroids, 4 probes
+    val ivf = pairs(Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+      k = 3, nlist = 16, nProbe = 4))
+    val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
+    assert(ivfRecall >= 0.8, s"IVF recall@3 $ivfRecall < 0.8")
   }
 
   test("tokenCounts + qualityScore hand-check") {
