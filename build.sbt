@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 24g default: local[32] aggregation holds per-task hash maps + codec
   // buffers; 8g measurably GC-thrashes at 32 threads (box has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // ParallelGC: the tier cascade is allocation-heavy (point buffers, codec
+  // arrays, shuffle rows); A/B on the 32M-page cascade at local[8] measured
+  // median 50s (Parallel) vs 80s (G1) with far tighter variance — G1's
+  // concurrent cycles compete with the worker threads for cores.
+  sys.env.getOrElse("SPARK_GC_OPT", "-XX:+UseParallelGC"),
 )

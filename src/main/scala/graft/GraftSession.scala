@@ -16,6 +16,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // ObjectHashAggregate (typed Aggregators, collect_set) falls back to
+      // SORT-BASED aggregation after 128 distinct groups per task by
+      // default — the tier tables have 10^5-10^6 groups per task and the
+      // fallback externally sorts every input row. 256k groups × ~500 B
+      // block buffers ≈ 128 MB/task: comfortably in-memory at executor
+      // sizes this engine targets.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")

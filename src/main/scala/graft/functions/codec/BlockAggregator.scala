@@ -24,10 +24,14 @@ object BlockAggregator extends Aggregator[PointIn, PointsBuf, MergedStats] {
   override def zero: PointsBuf = PointsBuf(new Array[Long](8), new Array[Double](8), 0)
 
   override def reduce(b: PointsBuf, p: PointIn): PointsBuf = {
+    // mutate in place — Aggregator permits returning the same buffer, and a
+    // copy-per-point allocates a fresh case class per input row (GC-visible
+    // at 10^7 points/task)
     val g = if (b.n == b.ts.length) b.grown() else b
     g.ts(g.n) = p.ts
     g.vs(g.n) = p.v
-    g.copy(n = g.n + 1)
+    g.n += 1
+    g
   }
 
   override def merge(a: PointsBuf, b: PointsBuf): PointsBuf = {
@@ -75,8 +79,10 @@ object BlockAggregator extends Aggregator[PointIn, PointsBuf, MergedStats] {
 /** Aggregator input point. */
 case class PointIn(ts: Long, v: Double)
 
-/** Primitive-array growable buffer; `n` valid points, capacity = ts.length. */
-case class PointsBuf(ts: Array[Long], vs: Array[Double], n: Int) {
+/** Primitive-array growable buffer; `n` valid points, capacity = ts.length.
+  * Fields are vars so [[BlockAggregator.reduce]] can append in place.
+  */
+case class PointsBuf(var ts: Array[Long], var vs: Array[Double], var n: Int) {
   def grown(): PointsBuf = {
     val c = math.max(8, ts.length * 2)
     val t2 = new Array[Long](c); val v2 = new Array[Double](c)

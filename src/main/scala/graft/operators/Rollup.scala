@@ -75,10 +75,13 @@ object Rollup {
   }
 
   /** Measure column: per-page text length in characters (parity-defined with
-    * the oracle: `length(text)`).
+    * the oracle: `length(text)`), computed with the vectorizable
+    * [[graft.functions.Utf8CharCountExpr]] — `length()`'s numChars loop was
+    * ~65% of the tier-1 scan cost on the 64 GB bench corpus.
     */
   def textLen(df: DataFrame): DataFrame =
-    df.withColumn("text_len", length(col("text")).cast("double"))
+    df.withColumn("text_len",
+      graft.functions.Utf8CharCountExpr(col("text")).cast("double"))
 
   /** Tier-1 (1-minute) continuous aggregate from raw pages.
     *
@@ -89,7 +92,20 @@ object Rollup {
   def tier1m(pages: DataFrame, groupCols: Seq[String] = Seq("tld", "registered_domain", "host")): DataFrame = {
     val df = textLen(pages)
       .withColumn("ts_sec", unix_timestamp(col("warc_ts")))
-    df.groupBy((groupCols.map(col) :+ window(col("warc_ts"), "1 minute").as("w")): _*)
+      .withColumn("bucket_start", col("ts_sec") - pmod(col("ts_sec"), lit(60L)))
+    // EXPLICIT repartition on the group key BEFORE the aggregate, so the
+    // shuffle moves lean raw points (~60 B/row) and the aggregation runs
+    // once, post-shuffle. Letting Catalyst insert the exchange instead puts
+    // a partial aggregation on the MAP side — pure overhead here: a Gorilla
+    // block is order-recursive, so the partial state IS the points
+    // themselves, and with groups ~64× wider than per-file row groups every
+    // map task builds a near-full-cardinality hash map of padded array
+    // buffers and ships them through the shuffle (measured 5-8× slower on
+    // 32M pages / 1.23M groups).
+    val keys = groupCols.map(col) :+ col("bucket_start")
+    df.select((keys :+ col("ts_sec") :+ col("text_len") :+ col("lang")): _*)
+      .repartition(keys: _*)
+      .groupBy(keys: _*)
       .agg(
         count(lit(1)).as("cnt"),
         sum(col("text_len")).as("sum_len"),
@@ -98,13 +114,12 @@ object Rollup {
         collect_set(col("lang")).as("lang_set"),
         graft.functions.codec.BlockAggregator(col("ts_sec"), col("text_len")).as("m")
       )
-      .withColumn("bucket_start", unix_timestamp(col("w.start")))
       .withColumn("mean_len", col("sum_len") / col("cnt"))
       .withColumn("lang_card", size(col("lang_set")).cast("long"))
       .withColumn("p50_len", col("m.p50"))
       .withColumn("p95_len", col("m.p95"))
       .withColumn("block", col("m.block"))
-      .drop("w", "m")
+      .drop("m")
   }
 
 

@@ -104,6 +104,16 @@ class RollupSpec extends SparkSuite {
       col("a.lang_card") =!= col("b.lang_card")).count() == 0)
   }
 
+  test("Utf8CharCountExpr equals length() on multi-byte unicode") {
+    import spark.implicits._
+    val texts = Seq("", "ascii only", "héllo wörld", "中文字符测试", "emoji 🙂🎉 mix",
+      "mixed é中🙂x", "a" * 5000, "日本語テキスト" * 100)
+    val df = texts.toDF("t")
+      .select(graft.functions.Utf8CharCountExpr(col("t")).as("fast"),
+        length(col("t")).cast("long").as("builtin"))
+    assert(df.filter(col("fast") =!= col("builtin")).count() === 0)
+  }
+
   test("hierarchy rollup: global level equals whole-bucket aggregate") {
     val r = rollupHierarchy(t1m, Seq("tld", "registered_domain", "host"))
     val global = r.filter(col("grouping_level") === 0)
