@@ -27,8 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 24g default: local[32] aggregation holds per-task hash maps + codec
-  // buffers; 8g measurably GC-thrashes at 32 threads (box has 128 GiB)
+  // buffers; 8g measurably GC-thrashes at 32 threads (box has 128 GiB).
+  // -Xms presizes the heap to -Xmx: without it the FIRST job in a fresh JVM
+  // full-GCs its way from the tiny default heap up to the max (measured:
+  // 454 s first-run tier-1 with 248 s of GC on a growing heap vs 76 s
+  // steady-state) — which is exactly the state a driver-launched bench JVM
+  // is in.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // ParallelGC: the tier cascade is allocation-heavy (point buffers, codec
   // arrays, shuffle rows); A/B on the 32M-page cascade at local[8] measured
   // median 50s (Parallel) vs 80s (G1) with far tighter variance — G1's

@@ -37,7 +37,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "8000000").toLong
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    // The CASCADE runs with 1024 initial shuffle partitions, NOT cores: the
+    // tier aggregation holds per-group point buffers live for a task's whole
+    // lifetime, so fewer/bigger tasks = a bigger live set churned through
+    // every young GC (interleaved A/B on the 32M-page cascade at local[8]:
+    // 180 s at 64 partitions vs 118 s at 1024, GC 7 s → 3 s). This is also
+    // the right shape for a real cluster, where partition count follows data
+    // volume, not core count. The small sf0.1 PER-QUERY runs flip back to
+    // partitions = cores below: at 1024, queries with cached intermediates
+    // (cache pins the pre-AQE partition count — q38's candidate cache) paid
+    // ~10k near-empty task launches (61 s for a 1000-row query).
+    val spark = GraftSession.builder(s"local[$cpus]", 1024).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- headline: tier-cascade rollup throughput over synthetic pages ----
@@ -46,9 +56,10 @@ object Bench {
     val pagesPath = s"/tmp/graft_bench_pages_${nPages}_s42_v1"
     if (!new java.io.File(pagesPath + "/_SUCCESS").exists()) {
       // fixed 64-way layout: the scan parallelism of the timed job must not
-      // depend on the core count of whichever run generated the file
-      Pages.synthesize(spark, nPages, seed = 42L)
-        .repartition(64)
+      // depend on the core count of whichever run generated the file.
+      // Generated directly into 64 range partitions — shuffle-free (a
+      // .repartition(64) here moves the whole raw corpus through the sorter).
+      Pages.synthesize(spark, nPages, seed = 42L, partitions = 64)
         .write.mode("overwrite").parquet(pagesPath)
     }
     // plain tier1m: at (host, minute) grain the time dimension already
@@ -64,7 +75,14 @@ object Bench {
     // noise; all run times are reported so the spread is visible when a
     // driver-measured number disagrees with a builder-measured one
     val rows1d = cascade().count() // row count for the report only (untimed)
-    materialize(cascade())         // warm the FULL plan incl. blocks/percentiles
+    // THREE warmup passes of the full plan (incl. blocks/percentiles): C2
+    // compilation of the codegen'd stages + GC adaptive sizing need 2-3
+    // passes to converge on this box (measured run sequence from one warmup:
+    // 99 s, 84 s, 291 s, 14 s, 14 s — the first three are JIT/GC transient,
+    // the last two are the converged state a long-running cluster job sits
+    // in). All raw times are still reported so the spread stays visible.
+    val nWarm = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "3").toInt
+    (1 to nWarm).foreach(_ => materialize(cascade()))
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val rawTimes = (1 to nRuns).map { _ =>
       val t0 = System.nanoTime(); materialize(cascade()); (System.nanoTime() - t0) / 1e9
@@ -75,6 +93,7 @@ object Bench {
 
     // ---- per-query times on the driver testdata ----
     // (skippable for pure scaling runs: SPARK_GRAFT_BENCH_QUERIES=0)
+    spark.conf.set("spark.sql.shuffle.partitions", cpus) // small-input queries
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") != "0"
     val results = (if (runQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Seq.empty)
       .map { case (name, fn) =>

@@ -43,24 +43,14 @@ object BlockAggregator extends Aggregator[PointIn, PointsBuf, MergedStats] {
   }
 
   override def finish(b: PointsBuf): MergedStats = {
-    // (ts, v) sort for deterministic block bytes (see BlockCodec.encodeUdf)
-    val idx = (0 until b.n).sortBy(i => (b.ts(i), b.vs(i))).toArray
-    val ts = idx.map(b.ts)
-    val vs = idx.map(b.vs)
-    val sortedVs = b.vs.take(b.n).sorted
-    MergedStats(TsCodec.encode(ts, vs), pct(sortedVs, 0.5), pct(sortedVs, 0.95))
-  }
-
-  /** Same linear-interpolation definition as Spark `percentile` /
-    * DuckDB `quantile_cont` (mirrors graft.operators.Rollup.exactPercentile).
-    */
-  private def pct(sorted: Array[Double], p: Double): Double = {
-    val n = sorted.length
-    if (n == 0) return Double.NaN
-    val rank = p * (n - 1)
-    val lo = math.floor(rank).toInt
-    val hi = math.ceil(rank).toInt
-    if (lo == hi) sorted(lo) else sorted(lo) + (rank - lo) * (sorted(hi) - sorted(lo))
+    // (ts, v) sort for deterministic block bytes (see BlockCodec.encodeUdf).
+    // Primitive dual-array sort — the earlier boxed `sortBy(i => (ts, vs))`
+    // allocated an Integer + Tuple2 per point and dominated finish() cost.
+    val ts = java.util.Arrays.copyOf(b.ts, b.n)
+    val vs = java.util.Arrays.copyOf(b.vs, b.n)
+    PointSort.sortPairs(ts, vs, b.n)
+    val p = PointSort.percentiles(vs, b.n, Array(0.5, 0.95))
+    MergedStats(TsCodec.encode(ts, vs), p(0), p(1))
   }
 
   override def bufferEncoder: Encoder[PointsBuf] = Encoders.product[PointsBuf]

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
-import graft.functions.codec.{BlockCodec, TsCodec, PointRow}
+import graft.functions.codec.{BlockCodec, TsCodec, PointRow, PointSort}
 
 /** Continuous-aggregate rollup + retention-tier promotion.
   *
@@ -54,24 +54,36 @@ object Rollup {
     * buffers per group (measurably heavy at ~10^6 sparse groups).
     */
   val encodeWithStatsUdf: UserDefinedFunction = udf { (points: Seq[Row]) =>
-    val pts = points.map(r => (r.getLong(0), r.getDouble(1))).sortBy(identity).toArray
-    val block = TsCodec.encode(pts.map(_._1), pts.map(_._2))
-    val sortedVs = pts.map(_._2).sorted
-    MergedBlock(block, exactPercentile(sortedVs, 0.5), exactPercentile(sortedVs, 0.95))
+    val n = points.length
+    val ts = new Array[Long](n); val vs = new Array[Double](n)
+    var i = 0
+    points.foreach { r => ts(i) = r.getLong(0); vs(i) = r.getDouble(1); i += 1 }
+    PointSort.sortPairs(ts, vs, n)
+    val p = PointSort.percentiles(vs, n, Array(0.5, 0.95))
+    MergedBlock(TsCodec.encode(ts, vs), p(0), p(1))
   }
 
   /** Merge N finer-tier blocks into one coarser block + exact percentiles,
     * decoding each input block exactly once.
+    *
+    * Every input block is already (ts, v)-sorted (codec invariant), so this
+    * is a k-way primitive merge — O(n log k), no re-sort. The previous
+    * formulation concatenated and `sortBy(identity)`-ed BOXED tuples: at
+    * promotion time that re-sorted the entire point population of the tier
+    * per level (~75 s/level on the 32M-point bench corpus vs ~8 s merged).
     */
   val mergeBlocksUdf: UserDefinedFunction = udf { (blocks: Seq[Array[Byte]]) =>
-    // (ts, v) sort for deterministic block bytes — see BlockCodec.encodeUdf
-    val pts = blocks.iterator.flatMap { b =>
+    val k = blocks.length
+    val runTs = new Array[Array[Long]](k)
+    val runVs = new Array[Array[Double]](k)
+    var i = 0
+    blocks.foreach { b =>
       val (ts, vs) = TsCodec.decode(b)
-      ts.iterator.zip(vs.iterator)
-    }.toArray.sortBy(identity)
-    val block = TsCodec.encode(pts.map(_._1), pts.map(_._2))
-    val sortedVs = pts.map(_._2).sorted
-    MergedBlock(block, exactPercentile(sortedVs, 0.5), exactPercentile(sortedVs, 0.95))
+      runTs(i) = ts; runVs(i) = vs; i += 1
+    }
+    val (ts, vs) = PointSort.mergeSortedRuns(runTs, runVs)
+    val p = PointSort.percentiles(vs, vs.length, Array(0.5, 0.95))
+    MergedBlock(TsCodec.encode(ts, vs), p(0), p(1))
   }
 
   /** Measure column: per-page text length in characters (parity-defined with

@@ -37,15 +37,24 @@ object Pages {
   /** Minutes of simulated crawl time (default: one day). */
   val Minutes = 1440
 
-  /** @param minutes span of simulated crawl time; > 1440 yields multi-day
-    *                data (exercises day-partitioned layouts / resume)
+  /** @param minutes    span of simulated crawl time; > 1440 yields multi-day
+    *                    data (exercises day-partitioned layouts / resume)
+    * @param partitions  generate directly into this many range partitions
+    *                    (0 = default parallelism). Row content depends only on
+    *                    `id`, so the partition count never changes the data —
+    *                    but generating INTO the target layout beats
+    *                    `.repartition(n)` by the full shuffle of the raw
+    *                    corpus (~4.5 KB/row of text+html through the sorter;
+    *                    at 32M rows that shuffle GC-thrashed a 32 GB heap).
     */
   def synthesize(spark: SparkSession, nRows: Long, seed: Long = 42L,
-                 minutes: Int = Minutes): DataFrame = {
+                 minutes: Int = Minutes, partitions: Int = 0): DataFrame = {
     import spark.implicits._
     val h = (salt: Int) => xxhash64(lit(seed), lit(salt), $"id")
 
-    val base = spark.range(nRows)
+    val range = if (partitions > 0) spark.range(0L, nRows, 1L, partitions)
+                else spark.range(nRows)
+    val base = range
       // uniform in [0,1) from a 64-bit hash
       .withColumn("u", (pmod(h(1), lit(1000000L)).cast("double")) / lit(1000000.0))
       // skewed host id: u^3 concentrates mass near 0 → hot hosts

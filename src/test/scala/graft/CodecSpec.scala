@@ -45,6 +45,29 @@ class CodecSpec extends AnyFunSuite {
     assert(roundTripOk(ts, vs))
   }
 
+  test("property: PointSort equals the boxed tuple sort / concat+sort merge") {
+    import graft.functions.codec.PointSort
+    val genV = Gen.oneOf(Gen.chooseNum(-1e6, 1e6),
+      Gen.oneOf(Double.NaN, 0.0, -0.0, 1.0))
+    val genPts = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 500L), genV))
+    // sortPairs == Ordering[(Long, Double)] sortBy (TotalOrdering on bits)
+    check(Prop.forAll(genPts) { pts =>
+      val ts = pts.map(_._1).toArray; val vs = pts.map(_._2).toArray
+      PointSort.sortPairs(ts, vs, ts.length)
+      val expect = pts.sortBy(identity).toArray
+      ts.sameElements(expect.map(_._1)) && sameBits(vs, expect.map(_._2))
+    })
+    // mergeSortedRuns(sorted runs) == concat + full sort
+    check(Prop.forAll(Gen.listOf(genPts)) { runs =>
+      val sortedRuns = runs.map(_.sortBy(identity))
+      val (mts, mvs) = PointSort.mergeSortedRuns(
+        sortedRuns.map(_.map(_._1).toArray).toArray,
+        sortedRuns.map(_.map(_._2).toArray).toArray)
+      val expect = runs.flatten.sortBy(identity).toArray
+      mts.sameElements(expect.map(_._1)) && sameBits(mvs, expect.map(_._2))
+    })
+  }
+
   test("property: random (ts, value) streams round-trip exactly") {
     val genV = Gen.oneOf(
       Gen.chooseNum(-1e12, 1e12),
