@@ -95,17 +95,26 @@ object Bench {
     // (skippable for pure scaling runs: SPARK_GRAFT_BENCH_QUERIES=0)
     spark.conf.set("spark.sql.shuffle.partitions", cpus) // small-input queries
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") != "0"
+    // each query runs twice: the FIRST pass pays one-time codegen + C2 JIT
+    // of that query's generated stages (measured: q38's plan takes ~30 s
+    // cold, 6.8 s warm on identical input), the SECOND is the plan's real
+    // cost — the steady state of a recurring production query. Both are
+    // reported: `queries` = warm times, `queries_cold_total_sec` = Σ cold.
     val results = (if (runQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Seq.empty)
       .map { case (name, fn) =>
       val q0 = System.nanoTime()
       try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - q0) / 1e9
+      val cold = (System.nanoTime() - q0) / 1e9
+      val q1 = System.nanoTime()
+      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      name -> (cold, (System.nanoTime() - q1) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (_, w)) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2._2).sum
+    val coldTotal = results.map(_._2._1).sum
     val runsJson = rawTimes.mkString("[", ",", "]")
-    val json = s"""{"metric":"rollup throughput (pages/sec), 1m->1d tier cascade","value":$pagesPerSec,"unit":"pages/sec","rollup_pages":$nPages,"rollup_sec":$rollupSec,"rollup_runs":$runsJson,"rows_1d":$rows1d,"cpus":$cpus,"queries_total_sec":$total,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"rollup throughput (pages/sec), 1m->1d tier cascade","value":$pagesPerSec,"unit":"pages/sec","rollup_pages":$nPages,"rollup_sec":$rollupSec,"rollup_runs":$runsJson,"rows_1d":$rows1d,"cpus":$cpus,"queries_total_sec":$total,"queries_cold_total_sec":$coldTotal,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // machine-readable copy for the driver (stdout is sbt-prefixed)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_OUT.json"), json)
