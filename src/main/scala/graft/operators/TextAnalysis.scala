@@ -122,12 +122,24 @@ object TextAnalysis {
   // ----------------------------------------------------------- fingerprint
 
   /** Bottom-k document fingerprint over character `n`-gram hashes
-    * (a winnowing-style rolling sketch: the k smallest md5Long values of all
-    * n-char windows). Equal texts ⇒ equal sketches; near-equal texts share
-    * most sketch entries. Output column `fp` = array of k longs (asc), null
-    * when the text is shorter than n.
+    * (a winnowing-style rolling sketch: the k smallest DISTINCT md5Long
+    * values of all n-char windows). Equal texts ⇒ equal sketches; near-equal
+    * texts share most sketch entries. Output column `fp` = array of ≤k longs
+    * (asc), null when the text is shorter than n.
+    *
+    * Realized as the native one-pass [[graft.functions.FingerprintExpr]]
+    * (thread-local digest, running bottom-k, no per-window string churn);
+    * [[fingerprintDeclarative]] is the reference HOF formulation it is
+    * property-tested equal to.
     */
-  def fingerprint(text: Column, k: Int = 4, n: Int = 8): Column = {
+  def fingerprint(text: Column, k: Int = 4, n: Int = 8): Column =
+    graft.functions.FingerprintExpr(text, k, n)
+
+  /** Declarative formulation of [[fingerprint]] — the parity oracle for the
+    * native expression (~5× more per-window work: 4 intermediate strings per
+    * window plus the full hash array per row).
+    */
+  private[graft] def fingerprintDeclarative(text: Column, k: Int = 4, n: Int = 8): Column = {
     // guard on length(text) (cheap attribute read), not on the hash array —
     // a size(hs)==0 guard would force a second evaluation of the whole array
     val hs = transform(

@@ -178,6 +178,28 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(fps(3).isNullAt(1)) // shorter than n=8 -> null
   }
 
+  test("fingerprint: native expression equals the declarative HOF formulation") {
+    // multibyte unicode, repeats (distinctness), boundary lengths, empties
+    val texts = Seq(
+      "", "1234567", "12345678", "123456789",
+      "aaaaaaaaaaaaaaaaaaaa",                     // all windows identical
+      "über längere Straßen fährt man schnell",   // 2-byte chars
+      "日本語のテキストで試験する — ハッシュ窓",   // 3-byte chars + punct
+      "mixed ascii és ünïcöde 混合 text windows",
+      ("the quick brown fox " * 50).trim
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val d = texts.toDF("id", "text")
+    val both = d.select($"id",
+        TextAnalysis.fingerprint($"text", k = 4, n = 8).as("nat"),
+        TextAnalysis.fingerprintDeclarative($"text", k = 4, n = 8).as("dec"))
+      .collect()
+    both.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"null mismatch for id ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"fp mismatch for id ${r.getLong(0)}")
+    }
+  }
+
   test("multimodal: real javax.imageio decode round-trips synthesized PNG dims; non-image falls back") {
     val d = Seq((7L, 3, 2), (8L, 1, 5)).toDF("id", "w", "h")
       .withColumn("payload", Multimodal.pngEncodeUdf(col("w"), col("h"), col("id")))
