@@ -51,8 +51,26 @@ object Dedup {
     */
   def minhashSignature(df: DataFrame, textCol: String, k: Int, shingleN: Int = 3): DataFrame = {
     // words and shingles staged as real columns (separate projections) so the
-    // k signature expressions reference cheap attributes, never re-derive the
-    // arrays — see Hashing.wordShingles scaladoc.
+    // signature expression references a cheap attribute, never re-derives the
+    // arrays — see Hashing.wordShingles scaladoc. The whole k-column
+    // signature is ONE native pass over the shingles
+    // ([[graft.functions.MinHashSigExpr]]: precomputed seed-prefix bytes,
+    // thread-local digest, primitive running minima) — the declarative
+    // k × array_min(transform(...)) form it is property-tested equal to
+    // pays ~3k string allocations per shingle.
+    val staged = df
+      .withColumn("_ws", words(col(textCol)))
+      .withColumn("_sh", wordShinglesOf(col("_ws"), shingleN))
+      .withColumn("_sig", graft.functions.MinHashSigExpr(col("_sh"), k))
+    val sigCols = (0 until k).map(i => element_at(col("_sig"), i + 1).as(s"mh$i"))
+    staged.select((df.columns.map(col).toSeq ++ sigCols): _*)
+  }
+
+  /** Declarative formulation of [[minhashSignature]]'s signature columns —
+    * the parity oracle for [[graft.functions.MinHashSigExpr]].
+    */
+  private[graft] def minhashSignatureDeclarative(df: DataFrame, textCol: String,
+                                                k: Int, shingleN: Int = 3): DataFrame = {
     val staged = df
       .withColumn("_ws", words(col(textCol)))
       .withColumn("_sh", wordShinglesOf(col("_ws"), shingleN))

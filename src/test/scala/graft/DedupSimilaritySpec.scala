@@ -178,6 +178,25 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(fps(3).isNullAt(1)) // shorter than n=8 -> null
   }
 
+  test("minhash: native signature expression equals the declarative formulation") {
+    val texts = Seq(
+      "", "one two", "one two three", "one two three four five six",
+      "über schnelle füchse springen über faule hunde immer wieder",
+      "日本語 の テキスト で 試験 する ハッシュ 窓 比較",
+      ("the quick brown fox jumps over the lazy dog " * 20).trim
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val d = texts.toDF("doc_id", "text")
+    val nat = Dedup.minhashSignature(d, "text", k = 4)
+    val dec = Dedup.minhashSignatureDeclarative(d, "text", k = 4)
+    val joined = nat.toDF("doc_id", "text", "n0", "n1", "n2", "n3")
+      .join(dec.toDF("doc_id", "text2", "d0", "d1", "d2", "d3"), "doc_id")
+    (0 until 4).foreach { i =>
+      val bad = joined.filter(
+        !(col(s"n$i") <=> col(s"d$i"))).count()
+      assert(bad === 0, s"mh$i mismatch")
+    }
+  }
+
   test("fingerprint: native expression equals the declarative HOF formulation") {
     // multibyte unicode, repeats (distinctness), boundary lengths, empties
     val texts = Seq(
