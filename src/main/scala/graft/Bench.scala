@@ -100,24 +100,44 @@ object Bench {
     // cold, 6.8 s warm on identical input), the SECOND is the plan's real
     // cost — the steady state of a recurring production query. Both are
     // reported: `queries` = warm times, `queries_cold_total_sec` = Σ cold.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = (if (runQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Seq.empty)
       .map { case (name, fn) =>
       val q0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      try { materialize(fn(spark, sfDir)) } catch {
+        case e: Throwable => errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+      }
       val cold = (System.nanoTime() - q0) / 1e9
+      // drop anything the cold pass cached (CacheManager dedupes identical
+      // logical plans, so a caching query's warm pass would read the
+      // InMemoryRelation instead of re-executing the plan)
+      spark.catalog.clearCache()
       val q1 = System.nanoTime()
       try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
       name -> (cold, (System.nanoTime() - q1) / 1e9)
     }
-    val qs = results.map { case (k, (_, w)) => s"\"" + k + "\":" + w }
+    // a failed query records -1, not its time-to-exception — a fast failure
+    // must not be mistaken for a fast success
+    val qs = results.map { case (k, (_, w)) =>
+      s"\"" + k + "\":" + (if (errors.contains(k)) "-1" else w.toString)
+    }.mkString("{", ",", "}")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    val errJson = errors.map { case (k, m) => s"${jstr(k)}:${jstr(m.take(200))}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._2).sum
-    val coldTotal = results.map(_._2._1).sum
+    val ok = results.filterNot { case (k, _) => errors.contains(k) }
+    val total = ok.map(_._2._2).sum
+    val coldTotal = ok.map(_._2._1).sum
     val runsJson = rawTimes.mkString("[", ",", "]")
-    val json = s"""{"metric":"rollup throughput (pages/sec), 1m->1d tier cascade","value":$pagesPerSec,"unit":"pages/sec","rollup_pages":$nPages,"rollup_sec":$rollupSec,"rollup_runs":$runsJson,"rows_1d":$rows1d,"cpus":$cpus,"queries_total_sec":$total,"queries_cold_total_sec":$coldTotal,"queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // machine-readable copy for the driver (stdout is sbt-prefixed)
+    val json = s"""{"metric":"rollup throughput (pages/sec), 1m->1d tier cascade","value":$pagesPerSec,"unit":"pages/sec","rollup_pages":$nPages,"rollup_sec":$rollupSec,"rollup_runs":$runsJson,"rows_1d":$rows1d,"cpus":$cpus,"queries_total_sec":$total,"queries_cold_total_sec":$coldTotal,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // machine-readable copy for the driver — README documents this file as
+    // the canonical artifact (sbt may wrap the stdout line below)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_OUT.json"), json)
     spark.stop()
+    // bare JSON as the very last line this process emits (run/fork with
+    // StdoutOutput passes it through un-prefixed; only sbt's own
+    // "[success]" trailer follows)
+    println(json)
   }
 }

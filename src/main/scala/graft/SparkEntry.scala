@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Pages
 import graft.functions.Hier
-import graft.operators.{CrossVal, Dedup, Ewma, Features, GapFill, Metrics, Multimodal, Profile, Rollup, Scalers, Similarity, TextAnalysis}
+import graft.operators.{CrossVal, Dedup, Encoding, Ewma, Features, GapFill, Metrics, Multimodal, Profile, Rollup, Scalers, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -487,7 +487,8 @@ object SparkEntry {
 
     // multimodal payload plumbing: binary column metadata + batched
     // (mapPartitions) stub decode — features are deterministic so the oracle
-    // replays them
+    // replays them. Stub-derived dims are surfaced as stub_* so no consumer
+    // mistakes them for codec output (the REAL decode path is q60).
     "q43_media_features" -> ((s, dir) => {
       val withBin = docs(s, dir)
         .withColumn("payload", encode(col("text"), "UTF-8"))
@@ -495,7 +496,8 @@ object SparkEntry {
       Multimodal.extractFeatures(withBin, "url", "payload")
         .toDF()
         .select(col("url").cast("long").as("doc_id"), col("byte_len"),
-          col("sha_hex"), col("width"), col("height"), col("n_frames"))
+          col("sha_hex"), col("width").as("stub_width"),
+          col("height").as("stub_height"), col("n_frames").as("stub_n_frames"))
         .orderBy("doc_id")
     }),
 
@@ -603,12 +605,11 @@ object SparkEntry {
     }),
 
     // §2.8 ordinal categorical encode + decode round-trip (transform.py:367-428):
-    // dictionary = distinct values ordered ascending; code = dense position
+    // dictionary = distinct values ordered ascending; code = dense position.
+    // Encoding.fitOrdinal builds the dictionary WITHOUT a single-task global
+    // window (range-partitioned sort + zipWithIndex).
     "q53_categorical_encode" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val dict = ev(s, dir).select(col("event_type")).distinct()
-        .withColumn("code", row_number().over(
-          Window.orderBy(col("event_type"))) - 1)
+      val dict = Encoding.fitOrdinal(ev(s, dir), "event_type")
       ev(s, dir).join(broadcast(dict), Seq("event_type"))
         .groupBy(col("event_type"), col("code"))
         .agg(count(lit(1)).as("cnt"))
@@ -661,13 +662,14 @@ object SparkEntry {
     // §2.8 categorical encode -> DECODE round trip (transform.py:399-428:
     // codes map back through the saved dictionary); mismatches must be 0
     "q57_categorical_decode" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val dict = ev(s, dir).select(col("event_type")).distinct()
-        .withColumn("code", row_number().over(Window.orderBy(col("event_type"))) - 1)
-      val enc = ev(s, dir).join(broadcast(dict), Seq("event_type"))
-        .select(col("event_id"), col("event_type").as("orig"), col("code"))
-      val dec = enc.join(broadcast(dict), Seq("code"))
-        .withColumnRenamed("event_type", "decoded")
+      val dict = Encoding.fitOrdinal(ev(s, dir), "event_type")
+      val enc = Encoding
+        .encodeOrdinal(ev(s, dir), "event_type", broadcast(dict))
+        .select(col("event_id"), col("event_type").as("orig"),
+          col("event_type_code").as("code"))
+      val dec = Encoding
+        .decodeOrdinal(enc, "code", "event_type", broadcast(dict))
+        .withColumnRenamed("code_decoded", "decoded")
       dec.groupBy(col("code"), col("decoded"))
         .agg(count(lit(1)).as("cnt"),
           sum(when(col("decoded") =!= col("orig"), 1L).otherwise(0L)).as("mismatches"))
@@ -740,6 +742,67 @@ object SparkEntry {
           "vec_id", "embedding", k = 3, nlist = 8, nProbe = 2)
         .select(col("query_id"), col("neighbor_id"), r6(col("sim")).as("sim"), col("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // the engine's SIGNATURE path against the independent oracle: 1m blocks
+    // (BlockAggregator) -> promote to 1h where p50/p95 are recomputed from
+    // the DECODED, k-way-merged Gorilla blocks (Rollup.mergeBlocksUdf) —
+    // the oracle computes quantile_cont directly from raw at 1h grain, so a
+    // green row proves block encode/merge/percentile exactness end-to-end
+    "q62_block_pctl_promote" -> ((s, dir) => {
+      val t1m = ev(s, dir)
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+        .withColumn("bucket_start", col("ts_sec") - pmod(col("ts_sec"), lit(60L)))
+        .groupBy(col("user_id"), col("bucket_start"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_len"),
+          min(col("value")).as("min_len"), max(col("value")).as("max_len"),
+          collect_set(col("event_type")).as("lang_set"),
+          graft.functions.codec.BlockAggregator(col("ts_sec"), col("value")).as("m"))
+        .withColumn("block", col("m.block")).drop("m")
+      Rollup.promote(t1m, 3600L, groupCols = Seq("user_id"))
+        .select(col("user_id"), col("bucket_start"), col("cnt"),
+          r6(col("sum_len")).as("sum_value"), r6(col("min_len")).as("min_value"),
+          r6(col("max_len")).as("max_value"),
+          r6(col("p50_len")).as("p50"), r6(col("p95_len")).as("p95"))
+        .orderBy("user_id", "bucket_start")
+    }),
+
+    // Rollup.rollupHierarchy (stepwise GROUPING-SETS levels with exact
+    // block-merged percentiles at EVERY level) vs a DuckDB GROUPING SETS
+    // twin — closes the round-2 gap where this ran only inside entry()
+    "q63_hier_rollup" -> ((s, dir) => {
+      val t1h = ev(s, dir)
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+        .withColumn("bucket_start", col("ts_sec") - pmod(col("ts_sec"), lit(3600L)))
+        .withColumn("user_id_s", col("user_id").cast("string"))
+        .groupBy(col("event_type"), col("user_id_s"), col("bucket_start"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_len"),
+          min(col("value")).as("min_len"), max(col("value")).as("max_len"),
+          collect_set(col("event_type")).as("lang_set"),
+          graft.functions.codec.BlockAggregator(col("ts_sec"), col("value")).as("m"))
+        .withColumn("mean_len", col("sum_len") / col("cnt"))
+        .withColumn("lang_card", size(col("lang_set")).cast("long"))
+        .withColumn("p50_len", col("m.p50")).withColumn("p95_len", col("m.p95"))
+        .withColumn("block", col("m.block")).drop("m")
+      Rollup.rollupHierarchy(t1h, Seq("event_type", "user_id_s"))
+        .select(col("event_type"), col("user_id_s"), col("grouping_level"),
+          col("bucket_start"), col("cnt"), r6(col("sum_len")).as("sum_value"),
+          r6(col("mean_len")).as("mean_value"),
+          r6(col("p50_len")).as("p50"), r6(col("p95_len")).as("p95"),
+          col("lang_card").as("type_card"))
+        .orderBy("grouping_level", "event_type", "user_id_s", "bucket_start")
+    }),
+
+    // n-gram Jaccard with a BINDING document-frequency cap (maxDf=2): the
+    // scale-safe mode (bounds per-shingle join fan-out by min(df, τ)²) under
+    // oracle — jaccard is over the df≤τ shingle universe on both engines
+    "q64_jaccard_capped" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+          docs(s, dir).filter(col("doc_id") < 60), "text", "doc_id",
+          groupCols = Seq("lang"), shingleN = 3, minJaccard = 0.0,
+          maxDf = Some(2L))
+        .select(col("lang"), col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+        .orderBy("lang", "id_a", "id_b")
     })
   )
 
@@ -1168,9 +1231,9 @@ object SparkEntry {
     "q43_media_features" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  sha256(text) AS sha_hex,
-        |  64 + coalesce(try_cast('0x' || substr(hex(encode(text)), 1, 2) AS INT), 0) % 64 AS width,
-        |  64 + coalesce(try_cast('0x' || substr(hex(encode(text)), 3, 2) AS INT), 0) % 64 AS height,
-        |  1 + octet_length(encode(text)) % 8 AS n_frames
+        |  64 + coalesce(try_cast('0x' || substr(hex(encode(text)), 1, 2) AS INT), 0) % 64 AS stub_width,
+        |  64 + coalesce(try_cast('0x' || substr(hex(encode(text)), 3, 2) AS INT), 0) % 64 AS stub_height,
+        |  1 + octet_length(encode(text)) % 8 AS stub_n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q44_bfill" ->
@@ -1422,6 +1485,53 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sc)
         |SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
-        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // quantile_cont straight from raw at 1h grain — the Spark side reaches
+    // the same numbers only through 1m Gorilla blocks + k-way block merge
+    "q62_block_pctl_promote" ->
+      """SELECT user_id, epoch(date_trunc('hour', ts))::BIGINT AS bucket_start,
+        |count(*) AS cnt, round(sum(value),6) AS sum_value,
+        |round(min(value),6) AS min_value, round(max(value),6) AS max_value,
+        |round(quantile_cont(value, 0.5),6) AS p50,
+        |round(quantile_cont(value, 0.95),6) AS p95
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q63_hier_rollup" ->
+      """WITH r AS (SELECT event_type, user_id::VARCHAR AS user_id_s,
+        |  epoch(date_trunc('hour', ts))::BIGINT AS bucket_start, value FROM events)
+        |SELECT event_type, user_id_s,
+        |CASE WHEN event_type IS NULL THEN 0 WHEN user_id_s IS NULL THEN 1 ELSE 2 END AS grouping_level,
+        |bucket_start, count(*) AS cnt, round(sum(value),6) AS sum_value,
+        |round(sum(value)/count(*),6) AS mean_value,
+        |round(quantile_cont(value, 0.5),6) AS p50,
+        |round(quantile_cont(value, 0.95),6) AS p95,
+        |count(DISTINCT event_type) AS type_card
+        |FROM r GROUP BY GROUPING SETS ((bucket_start), (event_type, bucket_start),
+        |  (event_type, user_id_s, bucket_start))
+        |ORDER BY grouping_level, event_type NULLS FIRST, user_id_s NULLS FIRST, bucket_start""".stripMargin,
+
+    // q35's twin with the df≤2 shingle filter applied before the pair join;
+    // doc sizes n are recomputed over the KEPT shingles (capped semantics)
+    "q64_jaccard_capped" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id < 60),
+        |s AS (SELECT doc_id, lang, list_distinct(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+        |d AS (SELECT doc_id, lang, sh FROM s WHERE len(sh) > 0),
+        |e0 AS (SELECT doc_id, lang, unnest(sh) AS g FROM d),
+        |rare AS (SELECT lang, g FROM e0 GROUP BY lang, g HAVING count(*) <= 2),
+        |e AS (SELECT e0.doc_id, e0.lang, e0.g FROM e0 JOIN rare USING (lang, g)),
+        |n2 AS (SELECT doc_id, lang, count(*) AS n FROM e GROUP BY 1, 2),
+        |inter AS (SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i2
+        |  FROM e a JOIN e b ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT inter.lang, id_a, id_b,
+        |  round(i2::DOUBLE / (x.n + y.n - i2), 6) AS jaccard
+        |FROM inter
+        |JOIN n2 x ON x.doc_id = id_a AND x.lang = inter.lang
+        |JOIN n2 y ON y.doc_id = id_b AND y.lang = inter.lang
+        |ORDER BY 1, 2, 3""".stripMargin
   )
 }

@@ -30,6 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class FingerprintExpr(child: Expression, k: Int, n: Int) extends UnaryExpression {
 
+  // fail at construction, not with an ArrayIndexOutOfBounds inside codegen:
+  // FingerprintHelper.compute assumes k >= 1 (bottom(filled-1) read) and
+  // allocates Array(k)/windows of n
+  require(k >= 1, s"fingerprint k must be >= 1, got $k")
+  require(n >= 1, s"fingerprint window n must be >= 1, got $n")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

@@ -19,7 +19,11 @@ package graft.functions.codec
   *
   * Value comparisons use `java.lang.Double.compare` — identical to the
   * `Ordering.Double.TotalOrdering` the boxed paths used (-0.0 < 0.0, NaN
-  * greatest), so block bytes are bit-identical with the old formulation.
+  * greatest), so block bytes are identical with the old formulation for all
+  * data without duplicate NaN payloads: the quicksort is unstable, so two
+  * points tied under (ts, Double.compare) that differ only in raw NaN bits
+  * may swap emission order. No measure in this engine can produce a NaN
+  * (char counts, block stats), so the caveat is theoretical.
   */
 object PointSort {
 

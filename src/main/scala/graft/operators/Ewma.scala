@@ -57,9 +57,21 @@ object Ewma {
     sorted.map(_._1).zip(out)
   }
 
+  /** Per-series point bound: a series longer than this almost certainly means
+    * the caller pointed the EWMA at RAW events instead of a rolled-up tier
+    * (the intended input — series length = buckets per series, e.g. ≤ ~525k
+    * minutes/year). Failing fast with a diagnostic beats an executor OOM from
+    * one `collect_list` group. Override via [[maxSeriesPoints]].
+    */
+  @volatile var maxSeriesPoints: Int = 2000000
+
   private def ewmaMultiUdf(spans: Seq[Double], lagRows: Int, minPeriods: Int,
                            adjust: Boolean): UserDefinedFunction =
     udf { (pts: Seq[Row]) =>
+      require(pts.size <= maxSeriesPoints,
+        s"EWMA series has ${pts.size} points (> maxSeriesPoints=$maxSeriesPoints). " +
+          "EWMA input should be a rolled-up tier, not raw events — aggregate to " +
+          "time buckets first, or raise Ewma.maxSeriesPoints if the length is intended.")
       val pairs = pts.map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
       val perSpan = spans.map(s => ewmaSeries(pairs, s, lagRows, minPeriods, adjust))
       perSpan.head.indices.map { i =>

@@ -212,15 +212,19 @@ object Similarity {
       .select("id", "tbl", "bucket")
     val a = buckets.toDF("id_a", "tbl", "bucket")
     val b = buckets.toDF("id_b", "tbl", "bucket")
-    // cache the candidate pairs: they are referenced three times below (two
-    // id-set branches + the verify join), and without the cache each
-    // reference re-runs the bucket self-join. The set is bounded small by
-    // construction (Σ_bucket pop² / 2 per table, the quantity suggestBits
-    // keeps in check) — it is the one intermediate worth materializing.
+    // materialize the candidate pairs: they are referenced three times below
+    // (two id-set branches + the verify join), and without materialization
+    // each reference re-runs the bucket self-join. The set is bounded small
+    // by construction (Σ_bucket pop² / 2 per table, the quantity suggestBits
+    // keeps in check). `localCheckpoint` instead of `cache()`: the blocks are
+    // released when the RDD is GC'd (ContextCleaner), so repeated calls in a
+    // long-lived session don't accumulate pinned storage, and no CacheManager
+    // entry means a re-built plan never silently reads a stale
+    // InMemoryRelation from an earlier invocation.
     val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      .cache()
+      .localCheckpoint()
     val candIds = cand.select(col("id_a").as("_cid"))
       .unionByName(cand.select(col("id_b").as("_cid"))).distinct()
     val vecs = df.join(candIds, col(idCol) === col("_cid"), "left_semi")
