@@ -82,4 +82,38 @@ class StreamingRollupSpec extends SparkSuite {
       assert(m0.length === 1 && m0.head.getAs[Long]("cnt") === 1L)
     } finally q.stop()
   }
+
+  test("append mode: every watermark-CLOSED bucket equals the batch tier1m row") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Page]
+    // watermark wider than the 0-4m data span: rows from any micro-batch
+    // land in still-open buckets (no drops), and the final future page then
+    // closes them all — so closed-bucket output must equal batch exactly
+    val stream = StreamingRollup.tier1mStream(
+      Hier.withHierarchy(mem.toDF()), watermark = "10 minutes")
+    val q = stream.writeStream.format("memory").queryName("t1m_parity")
+      .outputMode("append").start()
+    try {
+      // pages spread over minutes 0-4 across two hosts, added across several
+      // micro-batches (exercises partial-state merge), then a far-future page
+      // advances the watermark past every bucket
+      val pages = (0 until 20).map { i =>
+        Page(s"https://w${i % 2}.site${i % 2}.com/p/$i", ts(i % 5, (i * 7) % 60),
+          "x" * (1 + i % 9), Seq("en", "de", "fr")(i % 3))
+      }
+      pages.grouped(7).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      mem.addData(Page("https://w0.site0.com/p/zz", ts(60, 0), "y", "en"))
+      q.processAllAvailable()
+
+      val closed = spark.table("t1m_parity")
+        .filter(col("bucket_start") < 1704067200L + 5 * 60) // the 0-4m buckets, all closed
+        .select("host", "bucket_start", "cnt", "sum_len", "min_len", "max_len", "mean_len")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.operators.Rollup.tier1m(Hier.withHierarchy(pages.toDF()))
+        .select("host", "bucket_start", "cnt", "sum_len", "min_len", "max_len", "mean_len")
+        .collect().map(_.toSeq).toSet
+      // every 0-4m bucket was emitted exactly once and matches batch §2.4
+      assert(closed === batch)
+    } finally q.stop()
+  }
 }
