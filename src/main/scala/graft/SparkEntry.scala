@@ -784,10 +784,13 @@ object SparkEntry {
         .withColumn("lang_card", size(col("lang_set")).cast("long"))
         .withColumn("p50_len", col("m.p50")).withColumn("p95_len", col("m.p95"))
         .withColumn("block", col("m.block")).drop("m")
+      // mean derived from the ROUNDED sum on both engines: the raw sums
+      // differ by summation order below 1e-6 (they round equal), but the
+      // raw quotient can straddle a rounding boundary (seen at sf0.1)
       Rollup.rollupHierarchy(t1h, Seq("event_type", "user_id_s"))
         .select(col("event_type"), col("user_id_s"), col("grouping_level"),
           col("bucket_start"), col("cnt"), r6(col("sum_len")).as("sum_value"),
-          r6(col("mean_len")).as("mean_value"),
+          r6(r6(col("sum_len")) / col("cnt")).as("mean_value"),
           r6(col("p50_len")).as("p50"), r6(col("p95_len")).as("p95"),
           col("lang_card").as("type_card"))
         .orderBy("grouping_level", "event_type", "user_id_s", "bucket_start")
@@ -1503,7 +1506,7 @@ object SparkEntry {
         |SELECT event_type, user_id_s,
         |CASE WHEN event_type IS NULL THEN 0 WHEN user_id_s IS NULL THEN 1 ELSE 2 END AS grouping_level,
         |bucket_start, count(*) AS cnt, round(sum(value),6) AS sum_value,
-        |round(sum(value)/count(*),6) AS mean_value,
+        |round(round(sum(value),6)/count(*),6) AS mean_value,
         |round(quantile_cont(value, 0.5),6) AS p50,
         |round(quantile_cont(value, 0.95),6) AS p95,
         |count(DISTINCT event_type) AS type_card

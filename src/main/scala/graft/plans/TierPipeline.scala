@@ -122,6 +122,52 @@ object TierPipeline {
   def readTier(spark: SparkSession, cfg: Config, tier: String): DataFrame =
     spark.read.parquet(tierPath(cfg.root, tier)).drop("day", "host_bucket")
 
+  /** Retention enforcement — the "retention" in retention tiers: each tier
+    * keeps only its last `policy(tier)` days (e.g. 1m for 7 days, 1h for 90,
+    * 1d forever = absent from the policy). Expired `day=` directories are
+    * dropped whole (partition-level delete, the Iceberg `expire`-style
+    * operation — no row rewrite), and an `expired` lineage row is appended
+    * per dropped partition for audit.
+    *
+    * The original `complete` rows are kept (lineage is append-only), which
+    * is what makes expiry safe against [[buildAll]]: pending-work filters
+    * match on `complete`, so an expired partition is still "done" and is
+    * NEVER rebuilt from raw — expiry deletes data, not progress.
+    *
+    * Returns tier → expired days. Idempotent: partitions already marked
+    * expired are skipped.
+    */
+  def enforceRetention(spark: SparkSession, cfg: Config, policy: Map[String, Int],
+                       today: java.time.LocalDate, runId: String): Map[String, Seq[String]] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    policy.map { case (tier, keepDays) =>
+      val cutoff = today.minusDays(keepDays.toLong).toString // yyyy-MM-dd sorts lexically
+      val lin = lineage(spark, cfg.root).filter(col("tier") === tier)
+      // lineage is tiny (one row per partition ever completed) — the collect
+      // is bounded by partition count, not data
+      val expired = lin.filter(col("status") === "expired")
+        .select("day", "host_bucket").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+      val todo = lin.filter(col("status") === "complete" && col("day") < lit(cutoff))
+        .select("day", "host_bucket").distinct().collect()
+        .map(r => (r.getString(0), r.getInt(1)))
+        .filterNot(expired)
+      val days = todo.map(_._1).distinct.sorted.toSeq
+      days.foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(tierPath(cfg.root, tier), s"day=$d"), true)
+      }
+      if (todo.nonEmpty) {
+        val rows = todo.map { case (d, hb) =>
+          org.apache.spark.sql.Row(tier, d, hb, runId, 0L, 0L, 0.0, "expired")
+        }
+        spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1),
+            org.apache.spark.sql.types.StructType.fromDDL(lineageSchema))
+          .write.mode(SaveMode.Append).parquet(lineagePath(cfg.root))
+      }
+      tier -> days
+    }
+  }
+
   /** Builds / resumes the full tier cascade 1m → 5m → 1h → 1d from raw pages
     * (pages must already carry hierarchy columns). Each tier writes only its
     * pending partitions; promotion reads the stored finer tier, pruned to the

@@ -95,4 +95,40 @@ class TierPipelineSpec extends SparkSuite {
       .select(stable.map(col): _*).collect().toSet
     assert(after === before)
   }
+
+  test("retention expiry drops old fine-tier days but never triggers a rebuild") {
+    val cfg = Config(freshRoot(), hostBuckets = 4)
+    TierPipeline.buildAll(pages, cfg, runId = "run1")
+    val allDays = TierPipeline.lineage(spark, cfg.root)
+      .filter(col("tier") === "1m").select("day").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(allDays.length >= 3)
+    val coarseBefore = TierPipeline.readTier(spark, cfg, "1d").count()
+
+    // keep only the newest day of the 1m tier ("today" = day after the last)
+    val today = java.time.LocalDate.parse(allDays.last).plusDays(1)
+    val exp = TierPipeline.enforceRetention(spark, cfg,
+      policy = Map("1m" -> 1), today = today, runId = "exp1")
+    assert(exp("1m") === allDays.init.toSeq)
+    // expired day dirs are gone; the kept day remains
+    allDays.init.foreach { d =>
+      assert(!Files.exists(java.nio.file.Paths.get(cfg.root, "tier_1m", s"day=$d")))
+    }
+    assert(Files.exists(java.nio.file.Paths.get(cfg.root, "tier_1m", s"day=${allDays.last}")))
+    // lineage: expired rows appended, complete rows preserved
+    val lin = TierPipeline.lineage(spark, cfg.root).filter(col("tier") === "1m")
+    assert(lin.filter(col("status") === "expired").select("day").distinct().count()
+      === allDays.init.length.toLong)
+    assert(lin.filter(col("status") === "complete").select("day").distinct().count()
+      === allDays.length.toLong)
+    // CRITICAL: a subsequent buildAll does NOT rebuild the expired partitions
+    // (expiry deletes data, not progress) and coarser tiers are untouched
+    val w = TierPipeline.buildAll(pages, cfg, runId = "run2")
+    assert(w.values.forall(_.isEmpty))
+    assert(TierPipeline.readTier(spark, cfg, "1d").count() === coarseBefore)
+    // idempotent: a second enforcement expires nothing new
+    val exp2 = TierPipeline.enforceRetention(spark, cfg,
+      policy = Map("1m" -> 1), today = today, runId = "exp2")
+    assert(exp2("1m").isEmpty)
+  }
 }
