@@ -46,7 +46,7 @@ object TierPipeline {
   def lineagePath(root: String): String = s"$root/_lineage"
 
   /** Lineage schema: one row per completed partition of a tier. */
-  private val lineageSchema =
+  private[graft] val lineageSchema =
     "tier string, day string, host_bucket int, run_id string, " +
       "row_cnt long, page_cnt long, sum_len_sum double, status string"
 
@@ -58,7 +58,7 @@ object TierPipeline {
         org.apache.spark.sql.types.StructType.fromDDL(lineageSchema))
     }
 
-  private def withPartitionCols(tierDf: DataFrame, hostBuckets: Int): DataFrame =
+  private[graft] def withPartitionCols(tierDf: DataFrame, hostBuckets: Int): DataFrame =
     tierDf
       .withColumn("day", date_format(timestamp_seconds(col("bucket_start")), "yyyy-MM-dd"))
       .withColumn("host_bucket", pmod(xxhash64(col("host")), lit(hostBuckets.toLong)).cast("int"))
@@ -184,13 +184,29 @@ object TierPipeline {
     val done1m = lineage(spark, cfg.root)
       .filter(col("tier") === "1m" && col("status") === "complete")
       .select(col("day").as("_day"), col("host_bucket").as("_hb"))
-    val pending = pages
+    def withKeys(df: DataFrame): DataFrame = df
       .withColumn("_day", date_format(col("warc_ts"), "yyyy-MM-dd"))
       .withColumn("_hb", pmod(xxhash64(col("host")), lit(cfg.hostBuckets.toLong)).cast("int"))
+    // cheap pending probe FIRST, on (warc_ts, host) only: a fully-complete
+    // resume must not pay a full-width scan (text bytes dominate the source)
+    // just to learn nothing is pending. take(1) short-circuits as soon as
+    // one pending row is found, so the probe is ~free when work exists; on a
+    // day-partitioned source the day predicate additionally prunes dirs.
+    val anyPending = withKeys(pages.select("warc_ts", "host"))
       .join(broadcast(done1m), Seq("_day", "_hb"), "left_anti")
-      .drop("_day", "_hb")
-    val t1m = Rollup.tier1mSalted(pending, cfg.saltBuckets, cfg.groupCols)
-    val w1 = writeTier(t1m, "1m", cfg, runId)
+      .take(1).nonEmpty
+    val w1 = if (!anyPending) Seq.empty[(String, Int)] else {
+      val pending = withKeys(pages)
+        .join(broadcast(done1m), Seq("_day", "_hb"), "left_anti")
+        .drop("_day", "_hb")
+      // saltBuckets <= 1 selects the single-phase aggregate: at (host,
+      // minute) grain the time dimension already spreads hot hosts, so
+      // salting only multiplies group count (measured slower on uniform
+      // corpora); keep >1 when single host×minute buckets can be hot.
+      val t1m = if (cfg.saltBuckets <= 1) Rollup.tier1m(pending, cfg.groupCols)
+                else Rollup.tier1mSalted(pending, cfg.saltBuckets, cfg.groupCols)
+      writeTier(t1m, "1m", cfg, runId)
+    }
     val written = Rollup.Tiers.tail.foldLeft(Map("1m" -> w1)) { case (acc, t) =>
       val finerName = Rollup.Tiers(Rollup.Tiers.indexWhere(_.name == t.name) - 1).name
       // promotion preserves (day, host_bucket), so this tier's partition
