@@ -12,6 +12,10 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // native expressions reachable from pure SQL (SHOW FUNCTIONS /
+      // spark.sql); external apps get the same via
+      // --conf spark.sql.extensions=graft.GraftExtensions
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
