@@ -120,12 +120,24 @@ object Dedup {
       df.select(col(idCol), col(textCol))
         .filter(size(words(col(textCol))) >= shingleN),
       textCol, k, shingleN)
-    val buckets = lshBuckets(sigs, k, bands).select(col(idCol), col("band"), col("bucket"))
+    // materialize the NARROW bucket table (id, band, bucket — ~24 B/row,
+    // |docs|×bands rows) before the self-join: the two join sides are
+    // column-renamed copies of the same subtree, and Catalyst's exchange
+    // reuse cannot unify them, so without materialization the full-corpus
+    // shingle+digest signature pass runs TWICE. localCheckpoint, not cache():
+    // blocks are GC-released (ContextCleaner), no CacheManager entry to leak
+    // across repeated calls (same rationale as Similarity.nearDupPairs).
+    val buckets = lshBuckets(sigs, k, bands)
+      .select(col(idCol), col("band"), col("bucket"))
+      .localCheckpoint()
     val a = buckets.toDF(Seq("id_a", "band", "bucket"): _*)
     val b = buckets.toDF(Seq("id_b", "band", "bucket"): _*)
+    // candidate pairs referenced three times below (two id-set branches +
+    // verify join); bounded small by the band/bucket construction
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .localCheckpoint()
     // verify needs shingle sets ONLY for candidate ids — a semi-join-sized
     // subset. Computing arrays for the whole corpus first would be wasted
     // work at 100 TB (candidates are a vanishing fraction of docs).
