@@ -806,6 +806,49 @@ object SparkEntry {
           maxDf = Some(2L))
         .select(col("lang"), col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
         .orderBy("lang", "id_a", "id_b")
+    }),
+
+    // the SQL surface end-to-end: a pure spark.sql query through the
+    // FunctionRegistry-registered native expression (GraftExtensions —
+    // utf8_char_count == length for valid UTF-8), oracled by DuckDB length()
+    "q65_sql_surface" -> ((s, dir) => {
+      // the driver's Verify session is NOT built by GraftSession.builder, so
+      // register on the live session (idempotent) — also exactly what a user
+      // attaching to a foreign session does
+      GraftFunctions.register(s)
+      docs(s, dir).createOrReplaceTempView("docs_q65")
+      s.sql("""SELECT lang, count(*) AS n_docs,
+              |  sum(utf8_char_count(text)) AS sum_chars,
+              |  max(utf8_char_count(text)) AS max_chars
+              |FROM docs_q65 GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
+    // Gopher-style repetition ratios (duplicate word/2-gram/3-gram fraction)
+    // — boilerplate/spam gate; pure projection, no shuffle
+    "q66_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionRatios(docs(s, dir), "text")
+        .select(col("doc_id"), r6(col("rep_word")).as("rep_word"),
+          r6(col("rep_2gram")).as("rep_2gram"), r6(col("rep_3gram")).as("rep_3gram"))
+        .orderBy("doc_id")
+    }),
+
+    // PII scrubbing with audit counts; emails/IPs are synthesized
+    // deterministically from doc_id (the corpus has none) so both engines
+    // redact the identical augmented text
+    "q67_redact" -> ((s, dir) => {
+      val aug = docs(s, dir).withColumn("text2", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) =!= 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string")))
+          .otherwise(lit(""))))
+      TextAnalysis.redactPii(aug, "text2")
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_ips").cast("long").as("n_ips"), col("redacted"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1535,6 +1578,46 @@ object SparkEntry {
         |FROM inter
         |JOIN n2 x ON x.doc_id = id_a AND x.lang = inter.lang
         |JOIN n2 y ON y.doc_id = id_b AND y.lang = inter.lang
-        |ORDER BY 1, 2, 3""".stripMargin
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // utf8_char_count counts code points == length() on valid UTF-8;
+    // sum() is HUGEINT in DuckDB — cast to match Spark's BIGINT (q06 lesson)
+    "q65_sql_surface" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(length(text))::BIGINT AS sum_chars,
+        |  max(length(text)) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // duplicate-unit fraction = (occurrences - distinct)/occurrences per
+    // word/2-gram/3-gram array (same split + shingle rules as q64's twin)
+    "q66_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, ws,
+        |  list_transform(generate_series(1, greatest(len(ws)-1, 0)),
+        |    i -> ws[i] || ' ' || ws[i+1]) AS g2,
+        |  list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3 FROM w)
+        |SELECT doc_id,
+        |  CASE WHEN len(ws) > 0 THEN round((len(ws) - len(list_distinct(ws)))::DOUBLE / len(ws), 6) END AS rep_word,
+        |  CASE WHEN len(g2) > 0 THEN round((len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2), 6) END AS rep_2gram,
+        |  CASE WHEN len(g3) > 0 THEN round((len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3), 6) END AS rep_3gram
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // same deterministic augmentation, then RE2 'g'-flag replace — the
+    // patterns avoid lookaround so Java and RE2 agree byte-for-byte
+    "q67_redact" ->
+      """WITH aug AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 2 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id*7) % 256) ELSE '' END AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(text2, '\b\d{1,3}(\.\d{1,3}){3}\b'))::BIGINT AS n_ips,
+        |  regexp_replace(regexp_replace(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS redacted
+        |FROM aug ORDER BY doc_id""".stripMargin
   )
 }

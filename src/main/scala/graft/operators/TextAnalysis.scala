@@ -148,4 +148,56 @@ object TextAnalysis {
     when(length(text) < n, lit(null).cast("array<long>"))
       .otherwise(slice(array_sort(array_distinct(hs)), 1, k))
   }
+
+  // ----------------------------------------------------------- repetition
+
+  /** Gopher-style repetition ratios — the standard web-corpus quality gate
+    * for boilerplate/spam (pages that repeat the same phrases): for unit u ∈
+    * {word, 2-gram, 3-gram}, `rep_u` = (occurrences − distinct)/occurrences,
+    * i.e. the fraction of unit occurrences that are repeats of an earlier
+    * one. 0 = no repetition, → 1 = the page is one phrase over and over.
+    * Null when the text has no units of that size.
+    *
+    * Pure projection — the duplicate count comes from
+    * `size(arr) − size(array_distinct(arr))` on per-row arrays, so there is
+    * NO explode and NO shuffle; at 100 TB this runs at scan speed. Word and
+    * shingle arrays are staged as real columns (Catalyst does not CSE
+    * lambda-internal subtrees — Hashing.wordShinglesOf scaladoc).
+    */
+  def repetitionRatios(df: DataFrame, textCol: String): DataFrame = {
+    def ratio(arr: Column): Column =
+      when(size(arr) > 0,
+        (size(arr) - size(array_distinct(arr))).cast("double") / size(arr).cast("double"))
+    df.withColumn("_ws", words(col(textCol)))
+      .withColumn("_g2", wordShinglesOf(col("_ws"), 2))
+      .withColumn("_g3", wordShinglesOf(col("_ws"), 3))
+      .withColumn("rep_word", ratio(col("_ws")))
+      .withColumn("rep_2gram", ratio(col("_g2")))
+      .withColumn("rep_3gram", ratio(col("_g3")))
+      .drop("_ws", "_g2", "_g3")
+  }
+
+  // ----------------------------------------------------------- redaction
+
+  /** Email pattern shared with the oracle: RE2/Java-compatible (no
+    * lookaround), so DuckDB `regexp_replace(..., 'g')` derives the identical
+    * redaction.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** IPv4 pattern (word-bounded dotted quad; RE2/Java-compatible). */
+  val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+  /** PII scrubbing for training corpora: replaces emails with `<EMAIL>` and
+    * IPv4 addresses with `<IP>` in `textCol` (output column `redacted`) and
+    * counts matches per row (`n_emails`, `n_ips` — the audit trail a
+    * compliance pipeline keeps). Emails are redacted FIRST so a digit-heavy
+    * local part is never half-eaten by the IP pass. Pure projection: no
+    * shuffle, runs at scan speed on any corpus size.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Re)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"))
 }

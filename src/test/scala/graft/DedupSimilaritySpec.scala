@@ -153,6 +153,39 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(approxEq(q.getAs[Double]("quality_score"), 0.75 * (1 - 2.0 / 17.0) * (4 / 20.0)))
   }
 
+  test("repetitionRatios hand-check incl. empty-text nulls") {
+    val d = Seq((1L, "a a b"), (2L, "x y z"), (3L, "p p p p"), (4L, "  "))
+      .toDF("id", "text")
+    val r = TextAnalysis.repetitionRatios(d, "text").orderBy("id").collect()
+    // "a a b": words [a,a,b] -> 1/3 dup; 2-grams ["a a","a b"] distinct -> 0
+    assert(approxEq(r(0).getAs[Double]("rep_word"), 1.0 / 3.0))
+    assert(approxEq(r(0).getAs[Double]("rep_2gram"), 0.0))
+    // all-distinct text: every ratio 0
+    assert(approxEq(r(1).getAs[Double]("rep_word"), 0.0))
+    assert(approxEq(r(1).getAs[Double]("rep_3gram"), 0.0))
+    // "p p p p": 3/4 dup words; 2-grams ["p p"×3] -> 2/3; 3-grams ×2 -> 1/2
+    assert(approxEq(r(2).getAs[Double]("rep_word"), 0.75))
+    assert(approxEq(r(2).getAs[Double]("rep_2gram"), 2.0 / 3.0))
+    assert(approxEq(r(2).getAs[Double]("rep_3gram"), 0.5))
+    // whitespace-only text: no units at any size
+    assert(r(3).isNullAt(r(3).fieldIndex("rep_word")))
+    assert(r(3).isNullAt(r(3).fieldIndex("rep_3gram")))
+  }
+
+  test("redactPii replaces emails then IPs and counts matches") {
+    val d = Seq(
+      (1L, "mail a.b+c@x-y.example.org ip 10.0.255.3 end"),
+      (2L, "no pii here"),
+      (3L, "two bob@a.io carl@b.co and 1.2.3.4 5.6.7.8")).toDF("id", "text")
+    val r = TextAnalysis.redactPii(d, "text").orderBy("id").collect()
+    assert(r(0).getAs[Int]("n_emails") === 1 && r(0).getAs[Int]("n_ips") === 1)
+    assert(r(0).getAs[String]("redacted") === "mail <EMAIL> ip <IP> end")
+    assert(r(1).getAs[Int]("n_emails") === 0 && r(1).getAs[Int]("n_ips") === 0)
+    assert(r(1).getAs[String]("redacted") === "no pii here")
+    assert(r(2).getAs[Int]("n_emails") === 2 && r(2).getAs[Int]("n_ips") === 2)
+    assert(r(2).getAs[String]("redacted") === "two <EMAIL> <EMAIL> and <IP> <IP>")
+  }
+
   test("langId predicts the dominant language on a separable corpus") {
     val train = Seq(
       (1L, "aaa bbb aaa bbb aaa", "aa"), (2L, "aaa bbb bbb aaa aaa", "aa"),
