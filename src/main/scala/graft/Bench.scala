@@ -103,7 +103,12 @@ object Bench {
     // cost — the steady state of a recurring production query. Both are
     // reported: `queries` = warm times, `queries_cold_total_sec` = Σ cold.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // SPARK_GRAFT_BENCH_FILTER=q63,q33 times only matching name-prefixes —
+    // for targeted A/B profiling in one JVM without the full 65-query sweep
+    val qFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
     val results = (if (runQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Seq.empty)
+      .filter { case (name, _) =>
+        qFilter.forall(_.split(',').exists(p => name.startsWith(p.trim))) }
       .map { case (name, fn) =>
       val q0 = System.nanoTime()
       try { materialize(fn(spark, sfDir)) } catch {
