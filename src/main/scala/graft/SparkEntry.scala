@@ -849,6 +849,19 @@ object SparkEntry {
         .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
           col("n_ips").cast("long").as("n_ips"), col("redacted"))
         .orderBy("doc_id")
+    }),
+
+    // the canonical corpus-cleaning pass, composed end-to-end: quality +
+    // repetition + token gates -> keep/drop + audit reason, one projection
+    // pipeline (thresholds tuned to split this corpus meaningfully)
+    "q68_corpus_filter" -> ((s, dir) => {
+      TextAnalysis.corpusFilter(docs(s, dir), "text",
+          minQuality = 0.4, maxRep3gram = 0.2, minTokens = 25L, maxTokens = 90L)
+        .select(col("doc_id"), col("n_tokens"),
+          r6(col("quality_score")).as("quality_score"),
+          r6(col("rep_3gram")).as("rep_3gram"),
+          col("drop_reason"), col("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1618,6 +1631,33 @@ object SparkEntry {
         |  regexp_replace(regexp_replace(text2,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS redacted
-        |FROM aug ORDER BY doc_id""".stripMargin
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    // q40's quality + q66's rep_3gram composed into the gate cascade; CASE
+    // null-semantics match Spark `when` (a null comparison skips the branch)
+    "q68_corpus_filter" ->
+      """WITH w AS (SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |f AS (SELECT doc_id, len(ws) AS n_tokens,
+        |    CASE WHEN len(text) > 0 THEN (len(text) - len(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))::DOUBLE / len(text) END AS punct_ratio,
+        |    CASE WHEN len(ws) > 0 THEN len(list_distinct(ws))::DOUBLE / len(ws) END AS ttr,
+        |    list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+        |  FROM w),
+        |s AS (SELECT doc_id, n_tokens,
+        |    ttr * (1 - coalesce(punct_ratio, 0)) * least(n_tokens / 20.0, 1.0) AS quality_score,
+        |    CASE WHEN len(g3) > 0 THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) END AS rep_3gram
+        |  FROM f),
+        |d AS (SELECT doc_id, n_tokens, quality_score, rep_3gram,
+        |    CASE WHEN n_tokens < 25 THEN 'too_short'
+        |         WHEN n_tokens > 90 THEN 'too_long'
+        |         WHEN quality_score < 0.4 THEN 'low_quality'
+        |         WHEN rep_3gram > 0.2 THEN 'repetitive' END AS drop_reason
+        |  FROM s)
+        |SELECT doc_id, n_tokens, round(quality_score, 6) AS quality_score,
+        |  round(rep_3gram, 6) AS rep_3gram, drop_reason,
+        |  drop_reason IS NULL AS keep
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }

@@ -73,12 +73,15 @@ object TextAnalysis {
     * score = ttr * (1 - punct_ratio) * least(n_tokens/20, 1) — the kind of
     * cheap pre-filter a crawl pipeline runs before expensive model scoring.
     */
-  def qualityScore(docs: DataFrame, textCol: String): DataFrame = {
-    // words staged once as a column — every ratio below reads the attribute
+  def qualityScore(docs: DataFrame, textCol: String,
+                   wsCol: Option[String] = None): DataFrame = {
+    // words staged once as a column — every ratio below reads the attribute.
+    // `wsCol` lets a composing operator (corpusFilter) share ONE split pass
+    // across several word-consuming ops instead of re-splitting per op.
     val ws = col("_ws")
     val stop = typedLit(Stopwords)
     docs
-      .withColumn("_ws", words(col(textCol)))
+      .withColumn("_ws", wsCol.map(col).getOrElse(words(col(textCol))))
       .withColumn("n_chars_q", length(col(textCol)).cast("long"))
       .withColumn("n_tokens", size(ws).cast("long"))
       .withColumn("mean_token_len",
@@ -164,11 +167,12 @@ object TextAnalysis {
     * shingle arrays are staged as real columns (Catalyst does not CSE
     * lambda-internal subtrees — Hashing.wordShinglesOf scaladoc).
     */
-  def repetitionRatios(df: DataFrame, textCol: String): DataFrame = {
+  def repetitionRatios(df: DataFrame, textCol: String,
+                       wsCol: Option[String] = None): DataFrame = {
     def ratio(arr: Column): Column =
       when(size(arr) > 0,
         (size(arr) - size(array_distinct(arr))).cast("double") / size(arr).cast("double"))
-    df.withColumn("_ws", words(col(textCol)))
+    df.withColumn("_ws", wsCol.map(col).getOrElse(words(col(textCol))))
       .withColumn("_g2", wordShinglesOf(col("_ws"), 2))
       .withColumn("_g3", wordShinglesOf(col("_ws"), 3))
       .withColumn("rep_word", ratio(col("_ws")))
@@ -200,4 +204,33 @@ object TextAnalysis {
       .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Re)))
       .withColumn("redacted",
         regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"))
+
+  // -------------------------------------------------------- corpus filter
+
+  /** The canonical corpus-cleaning pass: quality score + repetition ratios +
+    * token-count gates composed into a keep/drop decision with an audit
+    * `drop_reason` (first failing gate, in gate order: too_short, too_long,
+    * low_quality, repetitive; null = kept). Gates with a null feature (e.g.
+    * `rep_3gram` on a 2-word doc) do not fire — the length gates own those
+    * rows.
+    *
+    * One split pass: words are staged ONCE and shared by both feature ops
+    * (`wsCol`), so the whole filter is a single projection pipeline over the
+    * scan — no shuffle, no duplicated tokenization at 100 TB.
+    */
+  def corpusFilter(docs: DataFrame, textCol: String,
+                   minQuality: Double = 0.15, maxRep3gram: Double = 0.5,
+                   minTokens: Long = 5L, maxTokens: Long = 100000L): DataFrame = {
+    val staged = docs.withColumn("_w", words(col(textCol)))
+    val scored = repetitionRatios(
+      qualityScore(staged, textCol, wsCol = Some("_w")),
+      textCol, wsCol = Some("_w")).drop("_w")
+    scored
+      .withColumn("drop_reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          .when(col("quality_score") < minQuality, "low_quality")
+          .when(col("rep_3gram") > maxRep3gram, "repetitive"))
+      .withColumn("keep", col("drop_reason").isNull)
+  }
 }

@@ -186,6 +186,29 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(r(2).getAs[String]("redacted") === "two <EMAIL> <EMAIL> and <IP> <IP>")
   }
 
+  test("corpusFilter assigns the first failing gate as drop_reason") {
+    val d = Seq(
+      (1L, "too short"),                                     // n_tokens < 3
+      (2L, Seq.fill(30)("w").zipWithIndex.map(p => p._1 + p._2).mkString(" ")), // 30 distinct tokens
+      (3L, Seq.fill(40)("dup dup").mkString(" ")),           // repetitive AND low ttr
+      (4L, (1 to 200).map("t" + _).mkString(" "))            // too long
+    ).toDF("id", "text")
+    val r = TextAnalysis.corpusFilter(d, "text",
+        minQuality = 0.4, maxRep3gram = 0.2, minTokens = 3L, maxTokens = 100L)
+      .orderBy("id").collect()
+    assert(r(0).getAs[String]("drop_reason") === "too_short" && !r(0).getAs[Boolean]("keep"))
+    assert(r(1).getAs[String]("drop_reason") === null && r(1).getAs[Boolean]("keep"))
+    // low_quality fires BEFORE repetitive (gate order is the contract)
+    assert(r(2).getAs[String]("drop_reason") === "low_quality")
+    assert(r(3).getAs[String]("drop_reason") === "too_long")
+    // with the quality gate disabled the same repetitive doc falls through
+    // to the repetitive gate
+    val r2 = TextAnalysis.corpusFilter(d, "text",
+        minQuality = 0.0, maxRep3gram = 0.2, minTokens = 3L, maxTokens = 100L)
+      .orderBy("id").collect()
+    assert(r2(2).getAs[String]("drop_reason") === "repetitive")
+  }
+
   test("langId predicts the dominant language on a separable corpus") {
     val train = Seq(
       (1L, "aaa bbb aaa bbb aaa", "aa"), (2L, "aaa bbb bbb aaa aaa", "aa"),
