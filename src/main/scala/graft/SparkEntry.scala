@@ -862,6 +862,100 @@ object SparkEntry {
           r6(col("rep_3gram")).as("rep_3gram"),
           col("drop_reason"), col("keep"))
         .orderBy("doc_id")
+    }),
+
+    // incremental batch-vs-history dedup: Bloom prune + exact anti-join verify
+    "q69_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val history = d.filter(col("doc_id") >= 100)
+      val batch = d.filter(col("doc_id") < 200)
+        .withColumn("text",
+          when(col("doc_id") < 100, concat(col("text"), lit(" NOVEL")))
+            .otherwise(col("text")))
+      Dedup.incrementalDedup(batch, history, "text",
+          expectedHistoryItems = 1000L, fpp = 0.01)
+        .select(col("doc_id"), md5(col("text")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // gap-based sessionization (30-minute inactivity) + per-session stats
+    "q70_sessionize" -> ((s, dir) => {
+      graft.operators.Sessions.sessionStats(
+          ev(s, dir), Seq("user_id"), "ts", gapSeconds = 1800L, valueCol = "value")
+        .select(col("user_id"), col("session_idx"),
+          unix_timestamp(col("session_start")).as("start_s"),
+          unix_timestamp(col("session_end")).as("end_s"),
+          col("duration_sec"), col("n_events"), r6(col("sum_value")).as("sum_value"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // as-of join: attach the most recent purchase at-or-before each click
+    "q71_asof_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("purchase_value"))
+      graft.operators.AsOf.asofJoin(clicks, purchases, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", valueCols = Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("ts_s"),
+          unix_timestamp(col("matched_ts")).as("matched_s"),
+          r6(col("purchase_value")).as("purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    // deterministic stratified sample: bottom-5 by content hash per language
+    "q72_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedBottomK(
+          docs(s, dir).select("doc_id", "lang"), Seq("lang"), "doc_id", k = 5)
+        .select(col("lang"), col("doc_id"), col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy("lang", "sample_rank")
+    }),
+
+    // seasonal-naive forecast (m=7 days, h=7) with residual-σ bands
+    "q73_snaive_forecast" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Forecast.seasonalNaive(daily, Seq("user_id"), "d", "v",
+          period = 7, horizon = 7, stepSeconds = 86400L)
+        .select(col("user_id"), unix_timestamp(col("forecast_ts")).as("forecast_s"),
+          col("step").cast("long").as("step"), r6(col("yhat")).as("yhat"),
+          r6(col("lo")).as("lo"), r6(col("hi")).as("hi"))
+        .orderBy("user_id", "step")
+    }),
+
+    // drift forecast: line through first/last daily observation, h=5
+    "q74_drift_forecast" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Forecast.drift(daily, Seq("user_id"), "d", "v",
+          horizon = 5, stepSeconds = 86400L)
+        .select(col("user_id"), unix_timestamp(col("forecast_ts")).as("forecast_s"),
+          col("step").cast("long").as("step"), r6(col("yhat")).as("yhat"))
+        .orderBy("user_id", "step")
+    }),
+
+    // quantile binning (pandas-qcut shape): value quartile within event type
+    "q75_qcut" -> ((s, dir) => {
+      Scalers.quantileBin(ev(s, dir).select("event_id", "event_type", "value"),
+          Seq("event_type"), "value", "event_id", n = 4)
+        .select(col("event_type"), col("event_id"), col("bin").cast("long").as("bin"))
+        .orderBy("event_type", "event_id")
+    }),
+
+    // HLL lang cardinality per source — estimate vs exact, oracle replays the
+    // sketch from first principles in SQL (registers + linear counting)
+    "q76_hll_langcard" -> ((s, dir) => {
+      import graft.functions.Hll
+      docs(s, dir).filter(col("lang").isNotNull)
+        .groupBy(col("source"))
+        .agg(countDistinct(col("lang")).as("n_langs_exact"),
+          Hll.hllSketch(col("lang")).as("_sk"))
+        .select(col("source"), col("n_langs_exact"),
+          r6(Hll.hllEstimate(col("_sk"))).as("hll_est"))
+        .orderBy("source")
     })
   )
 
@@ -1658,6 +1752,114 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, round(quality_score, 6) AS quality_score,
         |  round(rep_3gram, 6) AS rep_3gram, drop_reason,
         |  drop_reason IS NULL AS keep
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q69_incremental_dedup" ->
+      """WITH history AS (SELECT text FROM documents WHERE doc_id >= 100),
+        |batch AS (SELECT doc_id,
+        |    CASE WHEN doc_id < 100 THEN text || ' NOVEL' ELSE text END AS text
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT b.doc_id, md5(b.text) AS content_md5 FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM history h WHERE md5(h.text) = md5(b.text))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q70_sessionize" ->
+      """WITH f AS (SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS nf
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, value,
+        |    sum(nf) OVER (PARTITION BY user_id ORDER BY ts
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx::BIGINT AS session_idx,
+        |  floor(epoch(min(ts)))::BIGINT AS start_s, floor(epoch(max(ts)))::BIGINT AS end_s,
+        |  floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS duration_sec,
+        |  count(*) AS n_events, round(sum(value),6) AS sum_value
+        |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q71_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1,2)
+        |SELECT c.event_id, c.user_id, floor(epoch(c.ts))::BIGINT AS ts_s,
+        |  floor(epoch(p.ts))::BIGINT AS matched_s, round(p.purchase_value,6) AS purchase_value
+        |FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q72_stratified_sample" ->
+      """SELECT lang, doc_id, sample_rank FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS sample_rank
+        |  FROM documents) t
+        |WHERE sample_rank <= 5 ORDER BY lang, sample_rank""".stripMargin,
+
+    "q73_snaive_forecast" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |r AS (SELECT user_id, d, v,
+        |    v - lag(v,7) OVER (PARTITION BY user_id ORDER BY d) AS resid FROM daily),
+        |pk AS (SELECT user_id, max(d) AS last_d,
+        |    coalesce(stddev_samp(resid), 0.0) AS sigma FROM r GROUP BY 1),
+        |f AS (SELECT user_id, sigma, g.s AS step,
+        |    epoch(last_d)::BIGINT + g.s*86400 AS forecast_s,
+        |    ceil(g.s/7.0)::BIGINT AS k,
+        |    epoch(last_d)::BIGINT + (g.s - 7*ceil(g.s/7.0))::BIGINT*86400 AS src_s
+        |  FROM pk, generate_series(1,7) g(s))
+        |SELECT f.user_id, forecast_s, step, round(d2.v,6) AS yhat,
+        |  round(d2.v - 1.96*sigma*sqrt(k),6) AS lo,
+        |  round(d2.v + 1.96*sigma*sqrt(k),6) AS hi
+        |FROM f LEFT JOIN daily d2
+        |  ON f.user_id = d2.user_id AND epoch(d2.d)::BIGINT = f.src_s
+        |ORDER BY 1,3""".stripMargin,
+
+    "q74_drift_forecast" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |pk AS (SELECT user_id, min_by(v, d) AS y1, max_by(v, d) AS yT,
+        |    max(d) AS last_d, count(*) AS n FROM daily GROUP BY 1)
+        |SELECT user_id, epoch(last_d)::BIGINT + g.s*86400 AS forecast_s, g.s AS step,
+        |  round(CASE WHEN n > 1 THEN yT + g.s*(yT - y1)/(n - 1) ELSE yT END, 6) AS yhat
+        |FROM pk, generate_series(1,5) g(s)
+        |ORDER BY 1,3""".stripMargin,
+
+    "q75_qcut" ->
+      """SELECT event_type, event_id,
+        |  ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bin
+        |FROM events ORDER BY event_type, event_id""".stripMargin,
+
+    // HLL replayed from first principles: 64-bit hash = first 16 md5 hex
+    // chars; idx = top 12 bits; rank = leading zeros of the remaining 52
+    // bits + 1 (exact integer CASE chain, no float log2); registers = max
+    // rank per idx; linear-counting small-range correction — bit-for-bit
+    // the algorithm in graft.functions.Hll.
+    "q76_hll_langcard" ->
+      s"""WITH items AS (SELECT DISTINCT source, lang FROM documents WHERE lang IS NOT NULL),
+        |h AS (SELECT source, ('0x' || substr(md5(lang),1,16))::UBIGINT AS u FROM items),
+        |b AS (SELECT source, (u // 4503599627370496)::BIGINT AS idx,
+        |    (u % 4503599627370496)::BIGINT AS r FROM h),
+        |regs AS (SELECT source, idx,
+        |    max(CASE WHEN r = 0 THEN 53 ELSE 53 - (CASE $hllBitlenCase END) END) AS reg
+        |  FROM b GROUP BY 1,2),
+        |agg AS (SELECT source, sum(power(2.0, -reg)) AS sum_present,
+        |    count(*) AS n_present FROM regs GROUP BY 1),
+        |est AS (SELECT source, (4096 - n_present) AS zeros,
+        |    (0.7213/(1.0+1.079/4096)) * 4096.0 * 4096.0
+        |      / (sum_present + (4096 - n_present)) AS e FROM agg),
+        |fin AS (SELECT source,
+        |    CASE WHEN e <= 2.5*4096 AND zeros > 0
+        |         THEN 4096.0 * ln(4096.0/zeros) ELSE e END AS hll FROM est),
+        |ex AS (SELECT source, count(DISTINCT lang) AS n_langs_exact
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1)
+        |SELECT ex.source, n_langs_exact, round(fin.hll, 6) AS hll_est
+        |FROM ex JOIN fin USING(source) ORDER BY source""".stripMargin
   )
+
+  /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE
+    * chain (`WHEN r >= 2^51 THEN 52 … WHEN r >= 1 THEN 1`) — avoids float
+    * log2 whose rounding could disagree with the JVM's
+    * `numberOfLeadingZeros` at powers-of-two boundaries.
+    */
+  private def hllBitlenCase: String =
+    (51 to 0 by -1).map(bit => s"WHEN r >= ${1L << bit} THEN ${bit + 1}").mkString(" ")
 }

@@ -241,4 +241,53 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select((groupCols.map(col) :+ col("id_a") :+ col("id_b") :+ col("jaccard")): _*)
   }
+
+  // -------------------------------------------- incremental (batch-vs-history)
+
+  /** Incremental exact dedup: drop from `newBatch` every row whose `textCol`
+    * content already exists in `history` — the steady-state shape of a
+    * crawl pipeline, where each day's batch dedups against the full corpus.
+    *
+    * Semantics are EXACTLY `newBatch ANTI JOIN history ON digest` (the Bloom
+    * filter has no false negatives, and its false positives are re-checked
+    * by the anti-join), but the cost model is what matters at 100 TB:
+    * a plain anti-join shuffles BOTH sides on the digest — including the
+    * typically-huge new batch. Here a Bloom filter over the history digests
+    * (built distributed via `DataFrameStatFunctions.bloomFilter`, a
+    * treeAggregate — only the fixed-size bit array reaches the driver, never
+    * rows) is broadcast into a narrow filter that splits the batch:
+    *   - definite-new rows (bloom says absent — guaranteed correct) skip the
+    *     join entirely and flow through scan-local;
+    *   - only bloom-positive candidates (true dups + fpp·|batch| false
+    *     positives) enter the anti-join against history.
+    * With fpp = 1% and a mostly-novel batch, join input drops ~100×. The
+    * history side still shuffles once; amortize across batches by storing
+    * the digest column bucketed on digest so the join is shuffle-free on
+    * that side (see [[graft.plans.TierPipeline]] layout notes).
+    *
+    * Reference anchor: the PK-duplicate assertion at ingest
+    * (/root/reference/forecastframe/main.py:58-69) — generalized from
+    * within-frame uniqueness to batch-vs-corpus novelty.
+    *
+    * @param expectedHistoryItems sizing for the Bloom filter (bits ∝ n·ln(1/fpp));
+    *                             8 bits/item at fpp=3% → a 10^9-doc history is
+    *                             a ~1 GB broadcast: split by digest prefix into
+    *                             ranged filters at that scale (documented bound)
+    * @return the surviving (novel) rows of `newBatch`, original schema
+    */
+  def incrementalDedup(newBatch: DataFrame, history: DataFrame, textCol: String,
+                       expectedHistoryItems: Long = 1000000L,
+                       fpp: Double = 0.01): DataFrame = {
+    require(expectedHistoryItems > 0 && fpp > 0 && fpp < 1,
+      s"need expectedHistoryItems > 0 and 0 < fpp < 1, got $expectedHistoryItems/$fpp")
+    val histDigests = history.select(md5(col(textCol)).as("content_md5"))
+    val bloom = histDigests.stat.bloomFilter("content_md5", expectedHistoryItems, fpp)
+    val mightContain = udf((d: String) => d != null && bloom.mightContainString(d))
+
+    val tagged = newBatch.withColumn("_d", md5(col(textCol)))
+    val definiteNew = tagged.filter(!mightContain(col("_d")))
+    val candidates = tagged.filter(mightContain(col("_d")))
+      .join(histDigests.withColumnRenamed("content_md5", "_d"), Seq("_d"), "left_anti")
+    definiteNew.unionByName(candidates).drop("_d")
+  }
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing.md5Long
+
+/** Deterministic, replayable sampling for training-data pipelines.
+  *
+  * The reference samples with `df.sample(frac)` + a stored random seed
+  * (/root/reference/forecastframe/main.py sample-loading path); at 100 TB a
+  * seed is not enough — a sample must be REPLAYABLE independent of
+  * partitioning, row order, executor count, and engine (so an external
+  * auditor can re-derive exactly which rows were kept). Everything here is
+  * content-hash based (md5, see [[graft.functions.Hashing]]): the same row
+  * is kept or dropped everywhere, forever, and the DuckDB oracle replays the
+  * identical sample in SQL.
+  *
+  * Scale design:
+  *   - [[hashSample]]: a pure narrow filter — no shuffle, no state, pushes
+  *     down past column pruning; sampling 0.1% of 10^12 rows costs one scan.
+  *   - [[stratifiedBottomK]]: exact k per stratum via one window shuffle on
+  *     the stratum key. The hash order is uniform, so rank ≤ k is an
+  *     unbiased without-replacement sample per stratum. Skew-safe: a 10^9-row
+  *     stratum still sorts only within its partition, and for k ≪ stratum
+  *     size a `filter(hash < threshold)` pre-prune (documented below) caps
+  *     the sort input at ~k·oversample rows per stratum.
+  */
+object Sampling {
+
+  /** Keep a row iff md5Long(idCol) mod `denom` < `keep` — a deterministic
+    * `keep/denom` Bernoulli-style sample keyed on content, not on RNG state.
+    */
+  def hashSample(df: DataFrame, idCol: Column, keep: Int, denom: Int): DataFrame = {
+    require(keep >= 0 && denom > 0 && keep <= denom, s"need 0 <= keep <= denom, got $keep/$denom")
+    df.filter(pmod(md5Long(idCol), lit(denom.toLong)) < keep)
+  }
+
+  /** Exactly `min(k, |stratum|)` rows per stratum: the k rows whose
+    * (md5 hex of `idCol`, id) sort lowest. MD5's avalanche makes the order
+    * uniform w.r.t. any input structure; the id tiebreak makes the result
+    * total even under (astronomically unlikely) digest collisions.
+    *
+    * At very large strata with small k, pre-prune before the window:
+    * `df.filter(md5Long(id) < Long.MaxValue / stratumSize * k * 8)` keeps
+    * ~8k candidate rows per stratum and cannot lose a true bottom-k member
+    * unless the stratum's k-th hash exceeds the threshold (probability
+    * ~exp(-7) per stratum at the 8× oversample; tighten as needed).
+    */
+  def stratifiedBottomK(df: DataFrame, strataCols: Seq[String], idCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+}

@@ -58,4 +58,45 @@ object Scalers {
   /** Descales in reverse order (ref `_descale_target`, transform.py:246-306). */
   def inverseAll(df: DataFrame, params: Seq[ScalerParams]): DataFrame =
     params.reverse.foldLeft(df)((d, p) => d.withColumn(p.column, p.inverse(col(p.column))))
+
+  // ------------------------------------------------------------- binning
+
+  /** Quantile binning (pandas-`qcut`-shaped): assign each row its n-quantile
+    * bucket of `column` within each group — `ntile(n)` over the value order.
+    * ONE window shuffle on the group keys; ntile is rank-based so no second
+    * pass computes edges. Global binning (groupCols empty) funnels the sort
+    * through a single ordered window — for a 10^12-row global qcut use
+    * [[fitQuantileEdges]] + [[applyEdges]] instead (approx edges, narrow
+    * apply). Tie rows are split between adjacent buckets by the stable
+    * (value, idCol) order, exactly like DuckDB/ANSI `ntile`.
+    */
+  def quantileBin(df: DataFrame, groupCols: Seq[String], column: String,
+                  idCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val base = org.apache.spark.sql.expressions.Window
+      .orderBy(col(column), col(idCol))
+    val w = if (groupCols.isEmpty) base
+      else org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(col(column), col(idCol))
+    df.withColumn("bin", ntile(n).over(w))
+  }
+
+  /** Scale path for global quantile binning: fit approximate edges once
+    * (`approx_quantile`, a single mergeable-sketch aggregate — no global
+    * sort), then bin with a narrow `width_bucket`-style projection. Error is
+    * the sketch's relative-rank epsilon, not a row-count bound.
+    */
+  def fitQuantileEdges(df: DataFrame, column: String, n: Int,
+                       relErr: Double = 0.001): Array[Double] = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val probs = (1 until n).map(_.toDouble / n)
+    df.stat.approxQuantile(column, probs.toArray, relErr)
+  }
+
+  /** Assign 1-based bins from fitted edges: bin = 1 + #edges below value. */
+  def applyEdges(df: DataFrame, column: String, edges: Array[Double]): DataFrame = {
+    val c = col(column)
+    val bin = edges.foldLeft(lit(1)) { (acc, e) => acc + when(c > e, 1).otherwise(0) }
+    df.withColumn("bin", bin)
+  }
 }

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.operators.{AsOf, Dedup, Forecast, Sampling, Scalers, Sessions}
+import graft.functions.Hll
+
+/** The round-3 pipeline operators: as-of join, sessionization, incremental
+  * Bloom-pruned dedup, deterministic sampling, baseline forecasts, quantile
+  * binning, and the HLL cardinality sketch (oracle-covered end-to-end by
+  * q69–q76; these tests pin the semantics and the scale-relevant invariants
+  * the SQL twin can't see — Bloom prune ≡ plain anti-join, HLL merge ≡
+  * register max, prune-vs-window sampling equivalence).
+  */
+class PipelineOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- as-of join
+
+  test("asofJoin: backward inclusive, per-key, null before first snapshot") {
+    val left = Seq((1L, 5L), (1L, 10L), (1L, 15L), (2L, 7L))
+      .toDF("k", "s")
+      .withColumn("ts", timestamp_seconds(col("s"))).drop("s")
+      .withColumn("payload", col("k") * 100)
+    val right = Seq((1L, 10L, 1.0), (1L, 12L, 2.0), (2L, 99L, 3.0))
+      .toDF("k", "s", "v")
+      .withColumn("rts", timestamp_seconds(col("s"))).drop("s")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"))
+      .select(col("k"), unix_timestamp(col("ts")).as("t"),
+        unix_timestamp(col("matched_ts")).as("m"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).sortBy(x => (x._1, x._2))
+    assert(out(0) == ((1L, 5L, -1L, out(0)._4)) && out(0)._4.isNaN) // before first
+    assert(out(1) == ((1L, 10L, 10L, 1.0)))                         // tie → inclusive
+    assert(out(2) == ((1L, 15L, 12L, 2.0)))                         // most recent
+    assert(out(3)._3 == -1L)                                        // key 2: snapshot after
+  }
+
+  test("asofJoin: null fields of the matched row stay null (struct LOCF)") {
+    val left = Seq((1L, 20L)).toDF("k", "s")
+      .withColumn("ts", timestamp_seconds(col("s"))).drop("s")
+    val right = Seq((1L, 5L, Some(1.0)), (1L, 10L, None))
+      .toDF("k", "s", "v")
+      .withColumn("rts", timestamp_seconds(col("s"))).drop("s")
+    val r = AsOf.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v")).head()
+    // matched row is ts=10 whose v is null — must NOT leak ts=5's value
+    assert(r.getAs[java.sql.Timestamp]("matched_ts").getTime == 10000L)
+    assert(r.isNullAt(r.fieldIndex("v")))
+  }
+
+  // --------------------------------------------------------- sessionization
+
+  test("sessionize: gap splits sessions, sub-second gaps respected") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00.4"), (1L, "2024-01-01 00:00:30.2"),
+      (1L, "2024-01-01 00:31:00.0"),  // 30m29.8s after previous → new session
+      (2L, "2024-01-01 00:00:00.0"))
+      .toDF("k", "t").withColumn("ts", col("t").cast("timestamp"))
+    val s = Sessions.sessionize(df, Seq("k"), "ts", gapSeconds = 1800L)
+      .select("k", "session_idx").as[(Long, Long)].collect().sorted
+    assert(s.toSeq == Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("sessionStats: counts, duration, and sums per session") {
+    val df = Seq((1L, 0L, 1.0), (1L, 100L, 2.0), (1L, 5000L, 4.0))
+      .toDF("k", "s", "v").withColumn("ts", timestamp_seconds(col("s")))
+    val st = Sessions.sessionStats(df, Seq("k"), "ts", 1800L, "v")
+      .orderBy("session_idx")
+      .select("session_idx", "duration_sec", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(st.toSeq == Seq((1L, 100L, 2L, 3.0), (2L, 0L, 1L, 4.0)))
+  }
+
+  // ------------------------------------------------------ incremental dedup
+
+  test("incrementalDedup ≡ plain anti-join for any fpp (Bloom is only a prune)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val history = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 0)
+    val expected = batch.withColumn("_d", md5(col("text")))
+      .join(history.select(md5(col("text")).as("_d")), Seq("_d"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted
+    for (fpp <- Seq(0.5, 0.01)) { // high fpp → many false positives, same answer
+      val got = Dedup.incrementalDedup(batch, history, "text",
+          expectedHistoryItems = 100L, fpp = fpp)
+        .select("doc_id").as[Long].collect().sorted
+      assert(got.toSeq == expected.toSeq, s"fpp=$fpp")
+    }
+  }
+
+  // ---------------------------------------------------------------- sampling
+
+  test("stratifiedBottomK: exact k per stratum, deterministic, order-free") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "lang")
+    val a = Sampling.stratifiedBottomK(docs, Seq("lang"), "doc_id", 5)
+      .select("lang", "doc_id").as[(String, Long)].collect().sorted
+    val b = Sampling.stratifiedBottomK(docs.repartition(13), Seq("lang"), "doc_id", 5)
+      .select("lang", "doc_id").as[(String, Long)].collect().sorted
+    assert(a.toSeq == b.toSeq) // partitioning-independent
+    val counts = a.groupBy(_._1).map(_._2.length).toSet
+    assert(counts == Set(5))
+  }
+
+  test("hashSample: pure filter (no shuffle) and replayable membership") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val s1 = Sampling.hashSample(docs, col("doc_id").cast("string"), 1, 10)
+    assert(!s1.queryExecution.executedPlan.toString.contains("Exchange"),
+      "hashSample must stay a narrow filter")
+    val ids = s1.select("doc_id").as[Long].collect().toSet
+    val ids2 = Sampling.hashSample(docs.repartition(9), col("doc_id").cast("string"), 1, 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == ids2 && ids.nonEmpty && ids.size < 500)
+  }
+
+  // --------------------------------------------------------------- forecasts
+
+  test("seasonalNaive: yhat repeats the last season; bands widen with √k") {
+    // key 1: 14 daily points, value = day index
+    val hist = (0 until 14).map(d => (1L, d * 86400L, d.toDouble))
+      .toDF("k", "s", "v").withColumn("d", timestamp_seconds(col("s"))).drop("s")
+    val f = Forecast.seasonalNaive(hist, Seq("k"), "d", "v",
+        period = 7, horizon = 8, stepSeconds = 86400L)
+      .orderBy("step").select("step", "yhat", "lo", "hi")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // step s → source = day 13 + s - 7⌈s/7⌉: s=1→7, s=7→13, s=8→7 (k=2)
+    assert(f(0)._2 == 7.0 && f(6)._2 == 13.0 && f(7)._2 == 7.0)
+    // residuals are all exactly 7 → σ=0 → bands collapse onto yhat
+    assert(f.forall(x => x._3 == x._2 && x._4 == x._2))
+  }
+
+  test("drift: line through first and last observation") {
+    val hist = Seq((1L, 0L, 10.0), (1L, 86400L, 11.0), (1L, 172800L, 16.0))
+      .toDF("k", "s", "v").withColumn("d", timestamp_seconds(col("s"))).drop("s")
+    val f = Forecast.drift(hist, Seq("k"), "d", "v", horizon = 2, stepSeconds = 86400L)
+      .orderBy("step").select("yhat").as[Double].collect()
+    // slope = (16-10)/2 = 3 → 19, 22
+    assert(f.toSeq == Seq(19.0, 22.0))
+  }
+
+  // ----------------------------------------------------------------- binning
+
+  test("quantileBin edges path ≈ ntile path; applyEdges is narrow") {
+    val df = (1 to 1000).map(i => (i.toLong, (i * 7919 % 1000).toDouble)).toDF("id", "v")
+    val edges = Scalers.fitQuantileEdges(df, "v", 4, relErr = 0.0)
+    val binned = Scalers.applyEdges(df, "v", edges)
+    assert(!binned.queryExecution.executedPlan.toString.contains("Exchange"),
+      "applyEdges must stay a narrow projection")
+    val byBin = binned.groupBy("bin").count().as[(Int, Long)].collect().toMap
+    assert(byBin.keySet == Set(1, 2, 3, 4))
+    assert(byBin.values.forall(c => c >= 230 && c <= 270)) // ~250 per quartile
+  }
+
+  // --------------------------------------------------------------------- HLL
+
+  test("HLL: ≤5% error at 10k distinct; exact-ish small range; empty = 0") {
+    val regs = new Array[Byte](Hll.M)
+    (0 until 10000).foreach(i => Hll.update(regs, s"item_$i"))
+    val est = Hll.estimate(regs)
+    assert(math.abs(est - 10000) / 10000.0 < 0.05, s"est=$est")
+    val small = new Array[Byte](Hll.M)
+    (0 until 20).foreach(i => Hll.update(small, s"x$i"))
+    assert(math.abs(Hll.estimate(small) - 20) < 1.0)
+    assert(Hll.estimate(new Array[Byte](Hll.M)) == 0.0)
+  }
+
+  test("HLL promote: merged 1m sketches are REGISTER-identical to direct 1h") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("m", date_trunc("minute", col("ts")))
+      .withColumn("h", date_trunc("hour", col("ts")))
+    val direct = ev.groupBy("user_id", "h")
+      .agg(Hll.hllSketch(col("event_type")).as("sk"))
+    val promoted = ev.groupBy("user_id", "m", "h")
+      .agg(Hll.hllSketch(col("event_type")).as("sk1m"))
+      .groupBy("user_id", "h")
+      .agg(Hll.hllMerge(col("sk1m")).as("sk"))
+    val joined = direct.as("d").join(promoted.as("p"), Seq("user_id", "h"))
+      .select(col("d.sk"), col("p.sk")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case Row(a: Array[Byte], b: Array[Byte]) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+  }
+}
