@@ -956,6 +956,40 @@ object SparkEntry {
         .select(col("source"), col("n_langs_exact"),
           r6(Hll.hllEstimate(col("_sk"))).as("hll_est"))
         .orderBy("source")
+    }),
+
+    // connected-components clustering over LSH near-dup pairs (q33's corpus):
+    // pairwise similarity → canonical cluster ids + keep-list decision
+    "q77_dedup_clusters" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id").as("id"), col("text"))
+      val uni = base.unionByName(base.select((col("id") + 1000000L).as("id"), col("text")))
+      val pairs = Dedup.lshNearDupPairs(uni, "text", "id", k = 8, bands = 4, threshold = 0.9)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id"), col("component"), col("cluster_size"), col("is_canonical"))
+        .orderBy("id")
+    }),
+
+    // autocorrelation at lags 1/2/7 over each user's daily series
+    "q78_acf" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Features.acf(daily, Seq("user_id"), "d", "v", lags = Seq(1, 2, 7))
+        .select(col("user_id"), col("lag").cast("long").as("lag"), r6(col("acf")).as("acf"))
+        .orderBy("user_id", "lag")
+    }),
+
+    // simple-exponential-smoothing flat forecast (α=0.3, h=5) per user
+    "q79_ses_forecast" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Forecast.ses(daily, Seq("user_id"), "d", "v",
+          alpha = 0.3, horizon = 5, stepSeconds = 86400L)
+        .select(col("user_id"), unix_timestamp(col("forecast_ts")).as("forecast_s"),
+          col("step").cast("long").as("step"), r6(col("yhat")).as("yhat"))
+        .orderBy("user_id", "step")
     })
   )
 
@@ -1852,7 +1886,80 @@ object SparkEntry {
         |ex AS (SELECT source, count(DISTINCT lang) AS n_langs_exact
         |  FROM documents WHERE lang IS NOT NULL GROUP BY 1)
         |SELECT ex.source, n_langs_exact, round(fin.hll, 6) AS hll_est
-        |FROM ex JOIN fin USING(source) ORDER BY source""".stripMargin
+        |FROM ex JOIN fin USING(source) ORDER BY source""".stripMargin,
+
+    // q33's LSH pair chain verbatim, then transitive closure by a recursive
+    // CTE (UNION-distinct terminates) — min reachable id per node = component
+    "q77_dedup_clusters" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 200),
+        |w AS (SELECT id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws FROM corpus),
+        |s AS (SELECT id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh FROM w),
+        |e AS (SELECT id, unnest(sh) AS g FROM s),
+        |m AS (SELECT id,
+        |  min(('0x' || substr(md5('0:' || g),1,15))::BIGINT) AS mh0,
+        |  min(('0x' || substr(md5('1:' || g),1,15))::BIGINT) AS mh1,
+        |  min(('0x' || substr(md5('2:' || g),1,15))::BIGINT) AS mh2,
+        |  min(('0x' || substr(md5('3:' || g),1,15))::BIGINT) AS mh3,
+        |  min(('0x' || substr(md5('4:' || g),1,15))::BIGINT) AS mh4,
+        |  min(('0x' || substr(md5('5:' || g),1,15))::BIGINT) AS mh5,
+        |  min(('0x' || substr(md5('6:' || g),1,15))::BIGINT) AS mh6,
+        |  min(('0x' || substr(md5('7:' || g),1,15))::BIGINT) AS mh7
+        |  FROM e GROUP BY 1),
+        |bk AS (
+        |  SELECT id, 0 AS band, ('0x' || substr(md5('0:' || mh0::VARCHAR || ',' || mh1::VARCHAR),1,15))::BIGINT AS bucket FROM m
+        |  UNION ALL SELECT id, 1, ('0x' || substr(md5('1:' || mh2::VARCHAR || ',' || mh3::VARCHAR),1,15))::BIGINT FROM m
+        |  UNION ALL SELECT id, 2, ('0x' || substr(md5('2:' || mh4::VARCHAR || ',' || mh5::VARCHAR),1,15))::BIGINT FROM m
+        |  UNION ALL SELECT id, 3, ('0x' || substr(md5('3:' || mh6::VARCHAR || ',' || mh7::VARCHAR),1,15))::BIGINT FROM m),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        |shd AS (SELECT id, list_distinct(sh) AS sh FROM s),
+        |j AS (SELECT id_a, id_b,
+        |  len(list_intersect(x.sh, y.sh))::DOUBLE AS i2,
+        |  (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE AS u2
+        |  FROM cand JOIN shd x ON x.id = cand.id_a JOIN shd y ON y.id = cand.id_b),
+        |pairs AS (SELECT id_a, id_b FROM j WHERE u2 > 0 AND i2/u2 >= 0.9),
+        |und AS (SELECT id_a AS s2, id_b AS d2 FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT s2 AS id FROM und),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION SELECT u.s2, reach.r FROM und u JOIN reach ON u.d2 = reach.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+        |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+        |SELECT c.id, c.component, sz.cluster_size, c.id = c.component AS is_canonical
+        |FROM comp c JOIN sz USING(component) ORDER BY c.id""".stripMargin,
+
+    "q78_acf" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |l AS (SELECT user_id, v,
+        |    lag(v,1) OVER w AS l1, lag(v,2) OVER w AS l2, lag(v,7) OVER w AS l7
+        |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+        |a AS (SELECT user_id, corr(v, l1) AS a1, corr(v, l2) AS a2, corr(v, l7) AS a7
+        |  FROM l GROUP BY 1)
+        |SELECT user_id, lag, round(acf, 6) AS acf FROM (
+        |  SELECT user_id, 1::BIGINT AS lag, a1 AS acf FROM a
+        |  UNION ALL SELECT user_id, 2::BIGINT, a2 FROM a
+        |  UNION ALL SELECT user_id, 7::BIGINT, a7 FROM a)
+        |ORDER BY user_id, lag""".stripMargin,
+
+    // SES closed form replayed: weight = (1−α)^(T−t) for t=1, α(1−α)^(T−t) else
+    "q79_ses_forecast" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |r AS (SELECT user_id, d, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d DESC) - 1 AS back
+        |  FROM daily),
+        |lvl AS (SELECT user_id,
+        |    sum(CASE WHEN rn = 1 THEN power(0.7, back) * v
+        |             ELSE 0.3 * power(0.7, back) * v END) AS level,
+        |    max(d) AS last_d FROM r GROUP BY 1)
+        |SELECT user_id, epoch(last_d)::BIGINT + g.s*86400 AS forecast_s, g.s AS step,
+        |  round(level, 6) AS yhat
+        |FROM lvl, generate_series(1,5) g(s) ORDER BY 1,3""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

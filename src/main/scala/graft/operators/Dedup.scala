@@ -290,4 +290,73 @@ object Dedup {
       .join(histDigests.withColumnRenamed("content_md5", "_d"), Seq("_d"), "left_anti")
     definiteNew.unionByName(candidates).drop("_d")
   }
+
+  // ------------------------------------------------ cluster (connected comp.)
+
+  /** Connected components over a near-dup pair list: the step that turns
+    * pairwise similarity (e.g. [[lshNearDupPairs]]) into canonical clusters —
+    * "keep one document per cluster" is the decision every dedup pipeline
+    * actually ships. Output: one row per node with
+    * `(id, component, cluster_size, is_canonical)`, where `component` is the
+    * smallest id reachable from the node and `is_canonical = (id == component)`.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node takes
+    * the min of its own label and its neighbors' labels; the loop stops when
+    * a round changes nothing. Rounds = graph diameter — for near-dup clusters
+    * (dozens of docs, star/chain shaped) that is single digits, so this beats
+    * the O(log² n)-round large-star/small-star alternation (Kiveris et al.,
+    * "Connected Components in MapReduce") which pays more shuffles per round;
+    * for adversarial long-path graphs switch to that alternation.
+    *
+    * Scale mechanics per round: ONE shuffle join (labels ⋈ edges on the
+    * destination) + ONE partial-agg groupBy(min); both sides are
+    * `(long, long)` rows — document text never enters. `localCheckpoint`
+    * after every round truncates the lineage so round k's plan does not
+    * re-execute rounds 1..k-1 (the classic iterative-Spark trap), and the
+    * convergence check rides the same materialization (a single summed
+    * `chg` flag — one scalar to the driver, never rows).
+    *
+    * @param edges pair list; each row is an undirected edge (direction and
+    *              duplicates are normalized internally)
+    * @param maxIter hard stop (diameter bound); throws if not converged,
+    *                because silently-partial components would corrupt the
+    *                downstream keep-list
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
+                          dstCol: String = "id_b", maxIter: Int = 30): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    // both directions, so one join per round sees every neighbor
+    val und = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .unionByName(edges.select(col(dstCol).cast("long").as("s"), col(srcCol).cast("long").as("d")))
+      .distinct()
+      .localCheckpoint() // reused every round: pin the blocks, drop the lineage
+    var labels = und.select(col("s").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0L) {
+      round += 1
+      if (round > maxIter)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds — " +
+            "graph diameter exceeds the bound; raise maxIter or switch to " +
+            "large-star/small-star for long-path graphs")
+      // min label over each node's neighborhood (map-side partial min applies)
+      val nbrMin = und
+        .join(labels.select(col("id").as("d"), col("comp").as("nc")), Seq("d"))
+        .groupBy(col("s").as("id")).agg(min(col("nc")).as("nbr"))
+      val step = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          (coalesce(col("nbr"), col("comp")) < col("comp")).cast("long").as("chg"))
+        .localCheckpoint()
+      changed = step.agg(sum(col("chg"))).first().getLong(0)
+      labels = step.select("id", "comp")
+    }
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("comp"))
+      .select(col("id"), col("comp").as("component"), col("cluster_size"),
+        (col("id") === col("comp")).as("is_canonical"))
+  }
 }

@@ -209,4 +209,33 @@ object Features {
   def correctNegatives(df: DataFrame, cols: Seq[String], replaceWith: Double = 0.0): DataFrame =
     cols.foldLeft(df)((d, c) =>
       d.withColumn(c, when(col(c) < 0, lit(replaceWith)).otherwise(col(c))))
+
+  /** Autocorrelation at the given lags, per series: Pearson correlation of
+    * the series with its k-step-shifted self — `pandas.Series.autocorr(k)`
+    * semantics exactly (pairwise corr over the overlapping rows, NOT the
+    * statsmodels full-mean ACF), matching the reference's pandas world where
+    * this is the standard seasonality probe before choosing a lag/window set
+    * (ref transform.py lag features, :93-134).
+    *
+    * One window pass stages all shifted columns, one groupBy computes every
+    * lag's `corr` (map-side partial moments), then an in-row `stack` unpivots
+    * to long form — lags never multiply the shuffled data: the shuffle is
+    * one row per (key, lag) pair at the end.
+    *
+    * @return one row per (keys..., lag, acf); acf is null when a lag has
+    *         fewer than 2 overlapping pairs or zero variance
+    */
+  def acf(df: DataFrame, hierarchy: Seq[String], tsCol: String, valCol: String,
+          lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"lags must all be >= 1, got $lags")
+    val win = w(hierarchy, tsCol)
+    val staged = lags.foldLeft(df)((d, k) =>
+      d.withColumn(s"_lag$k", lag(col(valCol), k).over(win)))
+    val agged = staged.groupBy(hierarchy.map(col): _*)
+      .agg(corr(col(valCol), col(s"_lag${lags.head}")).as(s"_acf${lags.head}"),
+        lags.tail.map(k => corr(col(valCol), col(s"_lag$k")).as(s"_acf$k")): _*)
+    val stackExpr = s"stack(${lags.size}, " +
+      lags.map(k => s"$k, _acf$k").mkString(", ") + ") AS (lag, acf)"
+    agged.select(hierarchy.map(col) :+ expr(stackExpr): _*)
+  }
 }

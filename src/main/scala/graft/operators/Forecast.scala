@@ -99,4 +99,49 @@ object Forecast {
           .otherwise(col("_yT")))
       .select((keys :+ col("forecast_ts") :+ col("step") :+ col("yhat")): _*)
   }
+
+  /** Simple-exponential-smoothing forecast (Hyndman §8.1, adjust=False /
+    * l₁ = y₁ initialization): flat ŷ(T+s) = l_T for all s, where
+    * l_t = α·y_t + (1−α)·l_{t−1}.
+    *
+    * The recursion is computed by its CLOSED FORM — l_T is a weighted sum
+    *   l_T = (1−α)^(T−1)·y₁ + Σ_{t=2..T} α·(1−α)^(T−t)·y_t
+    * — so the whole level is ONE window (row_number) + ONE groupBy(sum):
+    * no per-key collect, no UDF state, and the weights underflow harmlessly
+    * to 0 for ancient points (never overflow — the exponent is always ≥ 0,
+    * unlike the prefix-scan trick with (1−α)^(−t) that blows up past ~700
+    * rows). Per-row smoothed SERIES (not just the last level) should use
+    * [[Ewma.ewmaSeriesFrame]] with adjust=false instead.
+    *
+    * Nulls in `valCol` are skipped (pandas `ignore_na=True` shape): weights
+    * are computed over the non-null rank so the recursion sees only observed
+    * points.
+    */
+  def ses(history: DataFrame, keyCols: Seq[String], tsCol: String,
+          valCol: String, alpha: Double, horizon: Int, stepSeconds: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(horizon >= 1 && stepSeconds >= 1,
+      s"horizon/stepSeconds must be >= 1, got $horizon/$stepSeconds")
+    val keys = keyCols.map(col)
+    val obs = history.filter(col(valCol).isNotNull)
+    // rank-from-the-end gives the exponent (T−t) directly; the ascending rank
+    // only flags the t=1 row. Both windows share one sort order (desc is the
+    // reverse), so Catalyst plans a single Exchange on the keys.
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val wDesc = Window.partitionBy(keys: _*).orderBy(col(tsCol).desc)
+    val weighted = obs
+      .withColumn("_back", row_number().over(wDesc) - 1) // T−t: 0 for last row
+      .withColumn("_rn", row_number().over(w))
+    val lvl = weighted
+      .withColumn("_w",
+        when(col("_rn") === 1, pow(lit(1.0 - alpha), col("_back")))
+          .otherwise(lit(alpha) * pow(lit(1.0 - alpha), col("_back"))))
+      .groupBy(keys: _*)
+      .agg(sum(col("_w") * col(valCol)).as("level"), max(col(tsCol)).as("_last_ts"))
+    lvl
+      .withColumn("step", explode(sequence(lit(1), lit(horizon))))
+      .withColumn("forecast_ts",
+        timestamp_seconds(unix_timestamp(col("_last_ts")) + col("step") * stepSeconds))
+      .select((keys :+ col("forecast_ts") :+ col("step") :+ col("level").as("yhat")): _*)
+  }
 }

@@ -181,4 +181,66 @@ class PipelineOpsSpec extends SparkSuite {
       assert(java.util.Arrays.equals(a, b))
     }
   }
+
+  // ------------------------------------------------------ connected components
+
+  test("connectedComponents: chains, stars, and singles get min-id components") {
+    // chain 1-2-3-4 (diameter 3 — needs >1 propagation round), star 10-{11,12},
+    // isolated pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    Seq(1L, 2L, 3L, 4L).foreach(i => assert(out(i) == ((1L, 4L, i == 1L)), s"node $i"))
+    Seq(10L, 11L, 12L).foreach(i => assert(out(i) == ((10L, 3L, i == 10L))))
+    Seq(20L, 21L).foreach(i => assert(out(i) == ((20L, 2L, i == 20L))))
+    assert(out.size == 9)
+  }
+
+  test("connectedComponents: long path converges; maxIter too small throws") {
+    // path 0-1-2-...-12: min label must travel 12 hops
+    val path = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(path).select("component").distinct().collect()
+    assert(comps.map(_.getLong(0)).toSeq == Seq(0L))
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxIter = 2).count()
+    }
+  }
+
+  // ------------------------------------------------------------------- ACF
+
+  test("acf: pandas-autocorr semantics (linear → 1, hand-checked alternating)") {
+    val lin = (1 to 20).map(i => (1L, i.toLong, i.toDouble)).toDF("k", "t", "v")
+      .withColumn("ts", timestamp_seconds(col("t")))
+    val a = graft.operators.Features.acf(lin, Seq("k"), "ts", "v", Seq(1, 3))
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(math.abs(a(1) - 1.0) < 1e-12 && math.abs(a(3) - 1.0) < 1e-12)
+
+    // alternating ±1: lag-1 pairs are (+1,-1)... perfectly anti-correlated
+    val alt = (1 to 20).map(i => (1L, i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val b = graft.operators.Features.acf(alt, Seq("k"), "ts", "v", Seq(1, 2))
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(math.abs(b(1) + 1.0) < 1e-12 && math.abs(b(2) - 1.0) < 1e-12)
+  }
+
+  // ------------------------------------------------------------------- SES
+
+  test("ses: closed-form level equals the recursive definition; nulls skipped") {
+    val ys = Seq(3.0, 7.0, 2.0, 9.0, 4.0, 6.0)
+    val alpha = 0.3
+    val expected = ys.tail.foldLeft(ys.head)((l, y) => alpha * y + (1 - alpha) * l)
+    val df = ys.zipWithIndex.map { case (y, i) => (1L, i.toLong * 86400, Some(y)) }
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val out = Forecast.ses(df, Seq("k"), "ts", "v", alpha, horizon = 3, stepSeconds = 86400L)
+      .orderBy("step").collect()
+    assert(out.length == 3)
+    out.foreach(r => assert(math.abs(r.getDouble(3) - expected) < 1e-9))
+    // a null observation must not reset the recursion — same as dropping it
+    val withNull = (ys.take(3) ++ Seq(Double.NaN) ++ ys.drop(3)).zipWithIndex
+      .map { case (y, i) => (1L, i.toLong * 86400, if (y.isNaN) None else Some(y)) }
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val out2 = Forecast.ses(withNull, Seq("k"), "ts", "v", alpha, 1, 86400L).head()
+    assert(math.abs(out2.getDouble(3) - expected) < 1e-9)
+  }
 }
