@@ -990,6 +990,33 @@ object SparkEntry {
         .select(col("user_id"), unix_timestamp(col("forecast_ts")).as("forecast_s"),
           col("step").cast("long").as("step"), r6(col("yhat")).as("yhat"))
         .orderBy("user_id", "step")
+    }),
+
+    // count-min-sketch heavy hitters: top-10 exact words vs CMS estimates
+    // (oracle replays the whole sketch — buckets, sums, min — in SQL)
+    "q80_cms_heavy" -> ((s, dir) => {
+      import graft.functions.Cms
+      val wordsDf = docs(s, dir)
+        .select(explode(graft.functions.Hashing.words(col("text"))).as("word"))
+      val sk = wordsDf.agg(Cms.cmsSketch(col("word")).as("_sk"))
+      val top = wordsDf.groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("word")).limit(10)
+      top.crossJoin(broadcast(sk))
+        .select(col("word"), col("exact_cnt"),
+          Cms.cmsQuery(col("_sk"), col("word")).as("cms_est"))
+        .orderBy(col("exact_cnt").desc, col("word"))
+    }),
+
+    // benchmark decontamination: 3-gram containment of candidates vs an
+    // eval set (docs 0-19), broadcast benchmark shingle set
+    "q81_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") < 20)
+      val cands = d.filter(col("doc_id") >= 20 && col("doc_id") < 220)
+      graft.operators.TextAnalysis.decontaminate(cands, bench, "text", "doc_id")
+        .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+          r6(col("contamination")).as("contamination"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1959,7 +1986,45 @@ object SparkEntry {
         |    max(d) AS last_d FROM r GROUP BY 1)
         |SELECT user_id, epoch(last_d)::BIGINT + g.s*86400 AS forecast_s, g.s AS step,
         |  round(level, 6) AS yhat
-        |FROM lvl, generate_series(1,5) g(s) ORDER BY 1,3""".stripMargin
+        |FROM lvl, generate_series(1,5) g(s) ORDER BY 1,3""".stripMargin,
+
+    // CMS replayed from first principles: bucket_i(x) = md5-60bit("i:x") mod
+    // 1024 (the engine-wide hash convention), row counters = summed bucket
+    // counts, estimate = min over the 4 rows — byte-for-byte the algorithm
+    // in graft.functions.Cms.
+    "q80_cms_heavy" ->
+      """WITH it AS (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> x <> '')) AS word FROM documents),
+        |cnt AS (SELECT word, count(*) AS exact_cnt FROM it GROUP BY 1),
+        |rws AS (SELECT unnest(generate_series(0, 3)) AS i),
+        |buck AS (SELECT i,
+        |    ('0x' || substr(md5(i::VARCHAR || ':' || word), 1, 15))::BIGINT % 1024 AS b,
+        |    sum(exact_cnt) AS c
+        |  FROM cnt CROSS JOIN rws GROUP BY 1, 2),
+        |top AS (SELECT word, exact_cnt FROM cnt ORDER BY exact_cnt DESC, word LIMIT 10),
+        |qb AS (SELECT t.word, t.exact_cnt, r.i,
+        |    ('0x' || substr(md5(r.i::VARCHAR || ':' || t.word), 1, 15))::BIGINT % 1024 AS b
+        |  FROM top t CROSS JOIN rws r)
+        |SELECT qb.word, qb.exact_cnt, min(buck.c)::BIGINT AS cms_est
+        |FROM qb JOIN buck USING (i, b) GROUP BY 1, 2
+        |ORDER BY exact_cnt DESC, word""".stripMargin,
+
+    "q81_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(ws)-2, 0)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+        |bs AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 20),
+        |ds AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 20 AND doc_id < 220),
+        |ov AS (SELECT ds.doc_id, count(*) AS n_overlap FROM ds JOIN bs USING (g) GROUP BY 1),
+        |tot AS (SELECT doc_id, len(sh)::BIGINT AS n_shingles FROM s
+        |  WHERE doc_id >= 20 AND doc_id < 220)
+        |SELECT t.doc_id, t.n_shingles, coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+        |  round(CASE WHEN t.n_shingles > 0
+        |    THEN coalesce(o.n_overlap, 0) / t.n_shingles::DOUBLE END, 6) AS contamination
+        |FROM tot t LEFT JOIN ov o USING (doc_id) ORDER BY t.doc_id""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -233,4 +233,42 @@ object TextAnalysis {
           .when(col("rep_3gram") > maxRep3gram, "repetitive"))
       .withColumn("keep", col("drop_reason").isNull)
   }
+
+  // ------------------------------------------------------ decontamination
+
+  /** Benchmark decontamination: for each candidate document, the fraction of
+    * its distinct word-`n`-gram shingles that also occur anywhere in the
+    * `benchmark` corpus — the standard eval-set-leakage check a training
+    * pipeline runs before the corpus ships (n-gram containment, the
+    * GPT-3/C4-style n-gram overlap rule — public methodology).
+    *
+    * Scale shape: the two sides are WILDLY asymmetric — candidates are the
+    * 100 TB corpus, the benchmark is a few thousand eval documents — so the
+    * benchmark's distinct shingle set is built once (small) and the join is
+    * an equi-join on the shingle that Spark/AQE will BROADCAST; the corpus
+    * side is exploded to (id, distinct shingle) but the exploded rows are
+    * consumed map-side by the partial count — only (id, two longs) partials
+    * reach the final shuffle. Containment (|D ∩ B| / |D|), not Jaccard — the
+    * benchmark's size must not dilute a fully-contained short doc.
+    *
+    * @return one row per candidate: `(idCol, n_shingles, n_overlap,
+    *         contamination)`; docs with fewer than `n` words have no
+    *         shingles → n_shingles = 0, contamination null
+    */
+  def decontaminate(candidates: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String, shingleN: Int = 3): DataFrame = {
+    val benchSet = benchmark
+      .select(explode(wordShingles(col(textCol), shingleN)).as("_g"))
+      .distinct()
+    val docShingles = candidates
+      .select(col(idCol), explode_outer(array_distinct(
+        wordShingles(col(textCol), shingleN))).as("_g"))
+    docShingles
+      .join(broadcast(benchSet.withColumn("_hit", lit(1L))), Seq("_g"), "left")
+      .groupBy(idCol)
+      .agg(count(col("_g")).as("n_shingles"), // count skips the explode_outer null
+        coalesce(sum(col("_hit")), lit(0L)).as("n_overlap"))
+      .withColumn("contamination",
+        when(col("n_shingles") > 0, col("n_overlap").cast("double") / col("n_shingles")))
+  }
 }

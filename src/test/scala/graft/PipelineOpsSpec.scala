@@ -243,4 +243,63 @@ class PipelineOpsSpec extends SparkSuite {
     val out2 = Forecast.ses(withNull, Seq("k"), "ts", "v", alpha, 1, 86400L).head()
     assert(math.abs(out2.getDouble(3) - expected) < 1e-9)
   }
+
+  // ------------------------------------------------------------------- CMS
+
+  test("CMS: never underestimates; exact on a sparse domain; ε·N bound holds") {
+    import graft.functions.Cms
+    val sk = new Array[Byte](Cms.Bytes)
+    val freq = (0 until 200).map(i => s"w$i" -> (i % 7 + 1).toLong).toMap
+    freq.foreach { case (w, n) => (0L until n).foreach(_ => Cms.update(sk, w)) }
+    val total = freq.values.sum
+    freq.foreach { case (w, n) =>
+      val est = Cms.query(sk, w)
+      assert(est >= n, s"$w underestimated: $est < $n")
+      // ε = e/W with probability 1−e^−D; at 200 items in 1024 buckets the
+      // deterministic bound below is loose enough to never flake
+      assert(est - n <= math.ceil(math.E / Cms.W * total).toLong + 3, s"$w est=$est n=$n")
+    }
+    assert(Cms.query(sk, "never-seen") >= 0) // collisions may make it > 0
+  }
+
+  test("CMS promote: merged 1m sketches are COUNTER-identical to direct 1h") {
+    import graft.functions.Cms
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("m", date_trunc("minute", col("ts")))
+      .withColumn("h", date_trunc("hour", col("ts")))
+    val direct = ev.groupBy("user_id", "h")
+      .agg(Cms.cmsSketch(col("event_type")).as("sk"))
+    val promoted = ev.groupBy("user_id", "m", "h")
+      .agg(Cms.cmsSketch(col("event_type")).as("sk1m"))
+      .groupBy("user_id", "h")
+      .agg(Cms.cmsMerge(col("sk1m")).as("sk"))
+    val joined = direct.as("d").join(promoted.as("p"), Seq("user_id", "h"))
+      .select(col("d.sk"), col("p.sk")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case Row(a: Array[Byte], b: Array[Byte]) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+  }
+
+  // --------------------------------------------------------- decontamination
+
+  test("decontaminate: containment fractions, short-doc null, broadcast plan") {
+    import graft.operators.TextAnalysis
+    val bench = Seq((0L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "the quick brown fox jumps"),       // fully contained → 1.0
+      (2L, "quick brown fox over lazy dogs"),  // 1 of 4 shingles hit
+      (3L, "entirely different words here now"), // disjoint → 0.0
+      (4L, "too short")                        // < 3 words → null
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(cands, bench, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getDouble(3) == 1.0 && out(0).getLong(1) == 3)
+    assert(out(1).getLong(1) == 4 && out(1).getLong(2) == 1 && out(1).getDouble(3) == 0.25)
+    assert(out(2).getDouble(3) == 0.0)
+    assert(out(3).getLong(1) == 0L && out(3).isNullAt(3))
+    val plan = TextAnalysis.decontaminate(cands, bench, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "benchmark side must broadcast")
+  }
 }
