@@ -119,6 +119,13 @@ object Bench {
       // logical plans, so a caching query's warm pass would read the
       // InMemoryRelation instead of re-executing the plan)
       spark.catalog.clearCache()
+      // isolate the warm timing from the PREVIOUS queries' garbage: across
+      // an 81-query sweep the old-gen fills with dead plan/task debris and
+      // mid-query collections get billed to whichever query they land in
+      // (measured: q45/q46/q64 read 4-5 s in the full sweep vs ~1 s in a
+      // targeted run of the same JVM-warm plan). One explicit collection
+      // between queries makes per-query times comparable.
+      System.gc()
       val q1 = System.nanoTime()
       try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
       spark.catalog.clearCache()

@@ -219,9 +219,15 @@ object Dedup {
           .select((groupCols.map(col) :+ col("s")): _*)
         // a using-columns join moves the join keys to the FRONT of the output
         // — reselect the canonical (group, id, s) order the positional toDF
-        // renames below depend on
+        // renames below depend on.
+        // localCheckpoint: `kept` is consumed THREE times downstream (both
+        // self-join sides + the per-doc size count); without it each consumer
+        // re-runs the scan→split→shingle→explode→semi-join pipeline — at
+        // corpus scale that triples the most expensive stage. The
+        // materialized set is only the df≤τ shingles (bounded by the cap).
         val kept = exAll.join(rare, groupCols :+ "s", "left_semi")
           .select((groupCols.map(col) :+ col("id") :+ col("s")): _*)
+          .localCheckpoint()
         val n = kept.groupBy((groupCols.map(col) :+ col("id")): _*)
           .agg(count(lit(1)).as("n"))
         (kept, n)
