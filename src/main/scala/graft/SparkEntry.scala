@@ -1017,6 +1017,38 @@ object SparkEntry {
         .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
           r6(col("contamination")).as("contamination"))
         .orderBy("doc_id")
+    }),
+
+    // MASE: last-5-days test vs train-mean prediction, lag-1 naive scale
+    "q82_mase" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val ranked = daily.withColumn("_rd", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("d").desc)))
+      val train = ranked.filter(col("_rd") > 5).drop("_rd")
+      val pred = train.groupBy("user_id").agg(avg(col("v")).as("p"))
+      val test = ranked.filter(col("_rd") <= 5).drop("_rd").join(pred, "user_id")
+      Metrics.mase(train, test, Seq("user_id"), "d", "v", "p", m = 1)
+        .select(col("user_id"), r6(col("mase")).as("mase"), col("n"))
+        .orderBy("user_id")
+    }),
+
+    // Croston's intermittent-demand forecast (α=0.3, h=3) on a sparsified
+    // daily series (demand only every third day)
+    "q83_croston" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+        .withColumn("v",
+          when(pmod(unix_timestamp(col("d")) / 86400, lit(3L)) === 0, col("v"))
+            .otherwise(lit(0.0)))
+      graft.operators.Forecast.croston(daily, Seq("user_id"), "d", "v",
+          alpha = 0.3, horizon = 3, stepSeconds = 86400L)
+        .select(col("user_id"), unix_timestamp(col("forecast_ts")).as("forecast_s"),
+          col("step").cast("long").as("step"), r6(col("yhat")).as("yhat"))
+        .orderBy("user_id", "step")
     })
   )
 
@@ -2024,7 +2056,48 @@ object SparkEntry {
         |SELECT t.doc_id, t.n_shingles, coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
         |  round(CASE WHEN t.n_shingles > 0
         |    THEN coalesce(o.n_overlap, 0) / t.n_shingles::DOUBLE END, 6) AS contamination
-        |FROM tot t LEFT JOIN ov o USING (doc_id) ORDER BY t.doc_id""".stripMargin
+        |FROM tot t LEFT JOIN ov o USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    "q82_mase" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |r AS (SELECT user_id, d, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d DESC) AS rd FROM daily),
+        |train AS (SELECT user_id, d, v FROM r WHERE rd > 5),
+        |test AS (SELECT user_id, d, v FROM r WHERE rd <= 5),
+        |p AS (SELECT user_id, avg(v) AS pred FROM train GROUP BY 1),
+        |den AS (SELECT user_id, avg(abs(v - lv)) AS dnm FROM (
+        |    SELECT user_id, v, lag(v) OVER (PARTITION BY user_id ORDER BY d) AS lv
+        |    FROM train) WHERE lv IS NOT NULL GROUP BY 1),
+        |num AS (SELECT t.user_id, avg(abs(t.v - p.pred)) AS nmr, count(*) AS n
+        |  FROM test t JOIN p USING (user_id) GROUP BY 1)
+        |SELECT user_id, round(CASE WHEN dnm > 0 THEN nmr/dnm END, 6) AS mase, n
+        |FROM num JOIN den USING (user_id) ORDER BY user_id""".stripMargin,
+
+    // Croston replayed: SES closed form over the non-zero subsequence for
+    // both demand sizes and inter-demand intervals (first interval = 1-based
+    // position of the first demand)
+    "q83_croston" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |g AS (SELECT user_id, d,
+        |    CASE WHEN (epoch(d)::BIGINT // 86400) % 3 = 0 THEN v ELSE 0.0 END AS v
+        |  FROM daily),
+        |r AS (SELECT user_id, d, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS idx,
+        |    max(d) OVER (PARTITION BY user_id) AS last_d FROM g),
+        |nz AS (SELECT user_id, last_d, idx, v,
+        |    coalesce(idx - lag(idx) OVER w, idx) AS q,
+        |    row_number() OVER w AS rn,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY idx DESC) - 1 AS back
+        |  FROM r WHERE v <> 0 WINDOW w AS (PARTITION BY user_id ORDER BY idx)),
+        |lvl AS (SELECT user_id, max(last_d) AS last_d,
+        |    sum(CASE WHEN rn = 1 THEN power(0.7, back)*v ELSE 0.3*power(0.7, back)*v END) AS z,
+        |    sum(CASE WHEN rn = 1 THEN power(0.7, back)*q ELSE 0.3*power(0.7, back)*q END) AS p
+        |  FROM nz GROUP BY 1)
+        |SELECT user_id, epoch(last_d)::BIGINT + g2.s*86400 AS forecast_s, g2.s AS step,
+        |  round(z/p, 6) AS yhat
+        |FROM lvl, generate_series(1,3) g2(s) ORDER BY 1,3""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -144,4 +144,53 @@ object Forecast {
         timestamp_seconds(unix_timestamp(col("_last_ts")) + col("step") * stepSeconds))
       .select((keys :+ col("forecast_ts") :+ col("step") :+ col("level").as("yhat")): _*)
   }
+
+  /** Croston's method for INTERMITTENT demand (Croston 1972, "Forecasting
+    * and stock control for intermittent demands" — public; the standard
+    * baseline for sparse series, which is what retail demand at SKU grain —
+    * the reference's home turf — actually looks like):
+    *   ŷ = ẑ / p̂, where ẑ = SES level of the NON-ZERO demand sizes and
+    *   p̂ = SES level of the inter-demand intervals (in grid steps), both
+    *   with the same α and l₁ = first observation.
+    * First interval convention: the 1-based position of the first non-zero
+    * demand (R `tsintermittent`/`crost` init). Keys with no non-zero demand
+    * have no Croston forecast and are absent from the output.
+    *
+    * Same closed-form machinery as [[ses]] — the recursion never needs
+    * per-key state: two window ranks over the (small) non-zero subsequence
+    * and one weighted-sum aggregate compute BOTH levels in one pass.
+    * Inputs are a REGULAR per-key series (run [[GapFill]] first) — the
+    * interval count is defined by grid positions, not wall time.
+    */
+  def croston(history: DataFrame, keyCols: Seq[String], tsCol: String,
+              valCol: String, alpha: Double, horizon: Int, stepSeconds: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(horizon >= 1 && stepSeconds >= 1,
+      s"horizon/stepSeconds must be >= 1, got $horizon/$stepSeconds")
+    val keys = keyCols.map(col)
+    val wAll = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val indexed = history
+      .withColumn("_idx", row_number().over(wAll))
+      .withColumn("_last_ts", max(col(tsCol)).over(Window.partitionBy(keys: _*)))
+    val nz = indexed.filter(col(valCol).isNotNull && col(valCol) =!= 0)
+    val wNz = Window.partitionBy(keys: _*).orderBy(col("_idx"))
+    val wNzDesc = Window.partitionBy(keys: _*).orderBy(col("_idx").desc)
+    val ranked = nz
+      .withColumn("_q", coalesce(col("_idx") - lag(col("_idx"), 1).over(wNz), col("_idx")))
+      .withColumn("_rn", row_number().over(wNz))
+      .withColumn("_back", row_number().over(wNzDesc) - 1)
+      .withColumn("_w",
+        when(col("_rn") === 1, pow(lit(1.0 - alpha), col("_back")))
+          .otherwise(lit(alpha) * pow(lit(1.0 - alpha), col("_back"))))
+    val lvl = ranked
+      .groupBy(keys: _*)
+      .agg(sum(col("_w") * col(valCol)).as("_z"), sum(col("_w") * col("_q")).as("_p"),
+        max(col("_last_ts")).as("_origin"))
+    lvl
+      .withColumn("step", explode(sequence(lit(1), lit(horizon))))
+      .withColumn("forecast_ts",
+        timestamp_seconds(unix_timestamp(col("_origin")) + col("step") * stepSeconds))
+      .select((keys :+ col("forecast_ts") :+ col("step")
+        :+ (col("_z") / col("_p")).as("yhat")): _*)
+  }
 }

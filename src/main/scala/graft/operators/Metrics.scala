@@ -46,4 +46,35 @@ object Metrics {
     if (groupBy.isEmpty) clean.agg(aggs.head, aggs.tail: _*)
     else clean.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** MASE — mean absolute scaled error (Hyndman & Koehler 2006, "Another
+    * look at measures of forecast accuracy" — public): test-period MAE
+    * scaled by the TRAIN-period in-sample MAE of the m-step naive forecast.
+    * Scale-free (comparable across series of different magnitudes) and
+    * defined where MAPE is not (zero actuals) — the missing member of the
+    * reference's metric set (interpret.py:47-115 has MAPE/MAE/RMSE/SMAPE).
+    *
+    * One window pass over train (lag m) + two partial aggs + a key join —
+    * both inputs are touched exactly once.
+    *
+    * @return one row per key: `(keys..., mase, n)`; mase is null when the
+    *         train naive MAE is 0 (constant train series) or train has < m+1
+    *         rows
+    */
+  def mase(train: DataFrame, test: DataFrame, keyCols: Seq[String], tsCol: String,
+           actualCol: String, predCol: String, m: Int = 1): DataFrame = {
+    require(m >= 1, s"seasonal period m must be >= 1, got $m")
+    val keys = keyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col(tsCol))
+    val denom = train
+      .withColumn("_nae", abs(col(actualCol) - lag(col(actualCol), m).over(w)))
+      .groupBy(keys: _*).agg(avg(col("_nae")).as("_d")) // avg skips the first m nulls
+    val num = test.filter(col(actualCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(keys: _*)
+      .agg(avg(abs(col(actualCol) - col(predCol))).as("_n"), count(lit(1)).as("n"))
+    num.join(denom, keyCols)
+      .withColumn("mase", when(col("_d") > 0, col("_n") / col("_d")))
+      .select((keys :+ col("mase") :+ col("n")): _*)
+  }
 }

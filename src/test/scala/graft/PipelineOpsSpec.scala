@@ -302,4 +302,43 @@ class PipelineOpsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "benchmark side must broadcast")
   }
+
+  // ------------------------------------------------------------- Croston
+
+  test("croston: z/p recursions match the hand-rolled reference; all-zero key absent") {
+    // grid positions:        1    2    3    4    5    6    7
+    val ys = Seq(0.0, 4.0, 0.0, 0.0, 6.0, 2.0, 0.0)
+    val alpha = 0.3
+    // non-zero demands z = (4, 6, 2) at positions (2, 5, 6) → intervals q = (2, 3, 1)
+    def sesLevel(xs: Seq[Double]) = xs.tail.foldLeft(xs.head)((l, y) => alpha * y + (1 - alpha) * l)
+    val expected = sesLevel(Seq(4.0, 6.0, 2.0)) / sesLevel(Seq(2.0, 3.0, 1.0))
+    val df = (ys.zipWithIndex.map { case (y, i) => (1L, i.toLong * 86400, y) } ++
+      (0 until 7).map(i => (2L, i.toLong * 86400, 0.0))) // key 2: never demands
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val out = Forecast.croston(df, Seq("k"), "ts", "v", alpha, horizon = 2, stepSeconds = 86400L)
+      .orderBy("k", "step").collect()
+    assert(out.length == 2, "all-zero key must be absent; h=2 rows for key 1")
+    out.foreach { r =>
+      assert(r.getLong(0) == 1L)
+      assert(math.abs(r.getDouble(3) - expected) < 1e-12)
+    }
+    // forecast origin is the LAST grid point (position 7), not the last demand
+    assert(out(0).getAs[java.sql.Timestamp](1).getTime == 7L * 86400 * 1000)
+  }
+
+  // ---------------------------------------------------------------- MASE
+
+  test("mase: hand-computed ratio; null when train is constant") {
+    import graft.operators.Metrics
+    val train = Seq((1L, 1L, 10.0), (1L, 2L, 13.0), (1L, 3L, 11.0), // naive MAE = (3+2)/2 = 2.5
+      (2L, 1L, 5.0), (2L, 2L, 5.0), (2L, 3L, 5.0))                  // constant → null
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val test_ = Seq((1L, 4L, 12.0, 14.0), (1L, 5L, 10.0, 9.0),      // MAE = (2+1)/2 = 1.5
+      (2L, 4L, 5.0, 6.0))
+      .toDF("k", "t", "v", "p").withColumn("ts", timestamp_seconds(col("t")))
+    val out = Metrics.mase(train, test_, Seq("k"), "ts", "v", "p")
+      .orderBy("k").collect()
+    assert(math.abs(out(0).getDouble(1) - 1.5 / 2.5) < 1e-12 && out(0).getLong(2) == 2)
+    assert(out(1).isNullAt(1))
+  }
 }
