@@ -1049,6 +1049,32 @@ object SparkEntry {
         .select(col("user_id"), unix_timestamp(col("forecast_ts")).as("forecast_s"),
           col("step").cast("long").as("step"), r6(col("yhat")).as("yhat"))
         .orderBy("user_id", "step")
+    }),
+
+    // Theta method (M3 winner): OLS trend line + SES of the theta-2 line,
+    // all closed-form — one shuffle on the keys
+    "q84_theta" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Forecast.theta(daily, Seq("user_id"), "d", "v",
+          alpha = 0.3, horizon = 4, stepSeconds = 86400L)
+        .select(col("user_id"), unix_timestamp(col("forecast_ts")).as("forecast_s"),
+          col("step").cast("long").as("step"), r6(col("yhat")).as("yhat"))
+        .orderBy("user_id", "step")
+    }),
+
+    // Holt linear trend (the one fold-based forecaster; oracle replays the
+    // coupled (level, trend) recursion with a recursive CTE)
+    "q85_holt" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Forecast.holt(daily, Seq("user_id"), "d", "v",
+          alpha = 0.3, beta = 0.2, horizon = 3, stepSeconds = 86400L)
+        .select(col("user_id"), unix_timestamp(col("forecast_ts")).as("forecast_s"),
+          col("step").cast("long").as("step"), r6(col("yhat")).as("yhat"))
+        .orderBy("user_id", "step")
     })
   )
 
@@ -2097,7 +2123,60 @@ object SparkEntry {
         |  FROM nz GROUP BY 1)
         |SELECT user_id, epoch(last_d)::BIGINT + g2.s*86400 AS forecast_s, g2.s AS step,
         |  round(z/p, 6) AS yhat
-        |FROM lvl, generate_series(1,3) g2(s) ORDER BY 1,3""".stripMargin
+        |FROM lvl, generate_series(1,3) g2(s) ORDER BY 1,3""".stripMargin,
+
+    // Theta replayed: identical formula shapes (OLS from the five sums, SES
+    // closed form on the theta-2 line) so float op order matches the engine
+    "q84_theta" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |r AS (SELECT user_id, d, v::DOUBLE AS y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d)::DOUBLE AS t,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d DESC) - 1 AS back
+        |  FROM daily),
+        |o AS (SELECT user_id, d, y, t, back,
+        |    (count(*) OVER w)::DOUBLE AS n,
+        |    sum(t) OVER w AS st, sum(y) OVER w AS sy,
+        |    sum(t*y) OVER w AS sty, sum(t*t) OVER w AS stt
+        |  FROM r WINDOW w AS (PARTITION BY user_id)),
+        |ab AS (SELECT *,
+        |    CASE WHEN n*stt - st*st <> 0
+        |      THEN (n*sty - st*sy) / (n*stt - st*st) ELSE 0.0 END AS b
+        |  FROM o),
+        |ab2 AS (SELECT *, (sy - b*st) / n AS a FROM ab),
+        |z AS (SELECT *, 2.0*y - (a + b*t) AS zt,
+        |    CASE WHEN t = 1.0 THEN power(0.7, back) ELSE 0.3*power(0.7, back) END AS w
+        |  FROM ab2),
+        |lvl AS (SELECT user_id, sum(w*zt) AS l, max(d) AS last_d,
+        |    max(n) AS bigT, max(a) AS a, max(b) AS b
+        |  FROM z GROUP BY 1)
+        |SELECT user_id, epoch(last_d)::BIGINT + g.s*86400 AS forecast_s, g.s AS step,
+        |  round(((a + b*(bigT + g.s)) + l) / 2.0, 6) AS yhat
+        |FROM lvl, generate_series(1,4) g(s) ORDER BY 1,3""".stripMargin,
+
+    // Holt replayed with a recursive CTE: l/b recursion in the exact same
+    // float op order as the engine's fold (l' reused textually inside b')
+    "q85_holt" ->
+      """WITH RECURSIVE daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |r AS (SELECT user_id, d, v::DOUBLE AS y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn FROM daily),
+        |n AS (SELECT user_id, max(rn) AS bigT, max(d) AS last_d FROM r GROUP BY 1),
+        |rec AS (
+        |  SELECT r1.user_id, 1 AS rn, r1.y AS l, r2.y - r1.y AS b
+        |  FROM r r1 JOIN r r2 ON r2.user_id = r1.user_id AND r2.rn = 2
+        |  WHERE r1.rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn,
+        |    0.3*s.y + 0.7*(rec.l + rec.b) AS l,
+        |    0.2*((0.3*s.y + 0.7*(rec.l + rec.b)) - rec.l) + 0.8*rec.b AS b
+        |  FROM rec JOIN r s ON s.user_id = rec.user_id AND s.rn = rec.rn + 1),
+        |fin AS (SELECT rec.user_id, rec.l, rec.b
+        |  FROM rec JOIN n ON n.user_id = rec.user_id AND rec.rn = n.bigT)
+        |SELECT f.user_id, epoch(n.last_d)::BIGINT + g.s*86400 AS forecast_s, g.s AS step,
+        |  round(f.l + g.s*f.b, 6) AS yhat
+        |FROM fin f JOIN n USING (user_id), generate_series(1,3) g(s)
+        |ORDER BY 1,3""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

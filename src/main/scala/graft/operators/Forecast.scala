@@ -145,6 +145,122 @@ object Forecast {
       .select((keys :+ col("forecast_ts") :+ col("step") :+ col("level").as("yhat")): _*)
   }
 
+  /** Theta method (Assimakopoulos & Nikolopoulos 2000; the M3-competition
+    * winner — public), non-seasonal θ = (0, 2) variant:
+    *   - theta-0 line = OLS fit y ~ t over the 1-based row index t (pure
+    *     linear trend);
+    *   - theta-2 line z_t = 2·y_t − (â + b̂·t) (double-curvature series),
+    *     smoothed by SES (same closed form as [[ses]], l₁ = z₁);
+    *   - ŷ(T+s) = ((â + b̂·(T+s)) + l_T) / 2 — the equally-weighted
+    *     combination of the extrapolated trend and the SES level.
+    *
+    * Everything is closed-form: the OLS slope/intercept come from the five
+    * classic sums (n, Σt, Σy, Σty, Σt²) as window aggregates over each key,
+    * the SES level is the usual geometric weighted sum — ONE shuffle on the
+    * keys (all windows share the partitioning), one groupBy, no UDF, no
+    * per-key state. Keys need ≥ 2 points (OLS denominator); single-point
+    * keys fall back to a flat ŷ = y₁.
+    */
+  def theta(history: DataFrame, keyCols: Seq[String], tsCol: String,
+            valCol: String, alpha: Double, horizon: Int, stepSeconds: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(horizon >= 1 && stepSeconds >= 1,
+      s"horizon/stepSeconds must be >= 1, got $horizon/$stepSeconds")
+    val keys = keyCols.map(col)
+    val wp = Window.partitionBy(keys: _*)
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val wDesc = Window.partitionBy(keys: _*).orderBy(col(tsCol).desc)
+    val obs = history.filter(col(valCol).isNotNull)
+      .withColumn("_t", row_number().over(w).cast("double"))
+      .withColumn("_back", row_number().over(wDesc) - 1)
+      .withColumn("_y", col(valCol).cast("double"))
+    // OLS over the index: b = (nΣty − Σt·Σy) / (nΣt² − (Σt)²); a = (Σy − b·Σt)/n
+    val withOls = obs
+      .withColumn("_n", count(lit(1)).over(wp).cast("double"))
+      .withColumn("_st", sum(col("_t")).over(wp))
+      .withColumn("_sy", sum(col("_y")).over(wp))
+      .withColumn("_sty", sum(col("_t") * col("_y")).over(wp))
+      .withColumn("_stt", sum(col("_t") * col("_t")).over(wp))
+      .withColumn("_den", col("_n") * col("_stt") - col("_st") * col("_st"))
+      .withColumn("_b", when(col("_den") =!= 0,
+        (col("_n") * col("_sty") - col("_st") * col("_sy")) / col("_den")).otherwise(lit(0.0)))
+      .withColumn("_a", (col("_sy") - col("_b") * col("_st")) / col("_n"))
+    // SES closed form over the theta-2 line z_t = 2y_t − (a + b·t)
+    val withW = withOls
+      .withColumn("_z", lit(2.0) * col("_y") - (col("_a") + col("_b") * col("_t")))
+      .withColumn("_w",
+        when(col("_t") === 1.0, pow(lit(1.0 - alpha), col("_back")))
+          .otherwise(lit(alpha) * pow(lit(1.0 - alpha), col("_back"))))
+    val lvl = withW
+      .groupBy(keys: _*)
+      .agg(sum(col("_w") * col("_z")).as("_l"),
+        max(col(tsCol)).as("_last_ts"),
+        max(col("_n")).as("_T"), max(col("_a")).as("_a"), max(col("_b")).as("_b"))
+    lvl
+      .withColumn("step", explode(sequence(lit(1), lit(horizon))))
+      .withColumn("forecast_ts",
+        timestamp_seconds(unix_timestamp(col("_last_ts")) + col("step") * stepSeconds))
+      .withColumn("yhat",
+        ((col("_a") + col("_b") * (col("_T") + col("step"))) + col("_l")) / 2.0)
+      .select((keys :+ col("forecast_ts") :+ col("step") :+ col("yhat")): _*)
+  }
+
+  /** Holt's linear-trend method (Hyndman §8.2, standard init l₁ = y₁,
+    * b₁ = y₂ − y₁, recursion from t = 2):
+    *   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   ŷ(T+s) = l_T + s·b_T
+    *
+    * Unlike SES, the coupled (l, b) recursion has no geometric closed form
+    * (the observation weights are entries of a 2×2 matrix power), so this is
+    * the one forecaster realized as a per-key linear fold over the sorted
+    * series — the same licensed pattern as [[Ewma]] (SURVEY §2.11): one
+    * `collect_list` per key, O(series) fold, state never crosses keys, and
+    * the [[Ewma.maxSeriesPoints]] guard applies (the intended input is a
+    * rolled-up tier, not raw events). Keys with < 2 points are dropped
+    * (b₁ undefined).
+    */
+  def holt(history: DataFrame, keyCols: Seq[String], tsCol: String,
+           valCol: String, alpha: Double, beta: Double, horizon: Int,
+           stepSeconds: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(beta > 0 && beta <= 1, s"beta must be in (0, 1], got $beta")
+    require(horizon >= 1 && stepSeconds >= 1,
+      s"horizon/stepSeconds must be >= 1, got $horizon/$stepSeconds")
+    val keys = keyCols.map(col)
+    val foldUdf = udf { (pts: Seq[org.apache.spark.sql.Row]) =>
+      require(pts.size <= Ewma.maxSeriesPoints,
+        s"Holt series has ${pts.size} points (> Ewma.maxSeriesPoints=" +
+          s"${Ewma.maxSeriesPoints}). Aggregate to time buckets first.")
+      val ys = pts.sortBy(_.getLong(0)).map(_.getDouble(1))
+      if (ys.size < 2) None
+      else {
+        var l = ys(0)
+        var b = ys(1) - ys(0)
+        var i = 1
+        while (i < ys.size) {
+          val lNew = alpha * ys(i) + (1.0 - alpha) * (l + b)
+          b = beta * (lNew - l) + (1.0 - beta) * b
+          l = lNew
+          i += 1
+        }
+        Some((l, b))
+      }
+    }
+    history.filter(col(valCol).isNotNull)
+      .groupBy(keys: _*)
+      .agg(collect_list(struct(unix_timestamp(col(tsCol)).as("t"),
+        col(valCol).cast("double").as("x"))).as("_pts"),
+        max(col(tsCol)).as("_last_ts"))
+      .withColumn("_lb", foldUdf(col("_pts")))
+      .filter(col("_lb").isNotNull)
+      .withColumn("step", explode(sequence(lit(1), lit(horizon))))
+      .withColumn("forecast_ts",
+        timestamp_seconds(unix_timestamp(col("_last_ts")) + col("step") * stepSeconds))
+      .withColumn("yhat", col("_lb._1") + col("step") * col("_lb._2"))
+      .select((keys :+ col("forecast_ts") :+ col("step") :+ col("yhat")): _*)
+  }
+
   /** Croston's method for INTERMITTENT demand (Croston 1972, "Forecasting
     * and stock control for intermittent demands" — public; the standard
     * baseline for sparse series, which is what retail demand at SKU grain —

@@ -341,4 +341,59 @@ class PipelineOpsSpec extends SparkSuite {
     assert(math.abs(out(0).getDouble(1) - 1.5 / 2.5) < 1e-12 && out(0).getLong(2) == 2)
     assert(out(1).isNullAt(1))
   }
+
+  // --------------------------------------------------------------- Theta
+
+  test("theta: exact linear series → the trend line itself; flat series → flat") {
+    // On y = 3 + 2t the theta-2 line z_t = 2y_t − (3+2t) = y_t, so the SES
+    // level l_T ≤ y_T and ŷ = ((a+b(T+s)) + l)/2 — recompute by hand.
+    val ys = (1 to 6).map(t => 3.0 + 2.0 * t)
+    val alpha = 0.3
+    val df = ys.zipWithIndex.map { case (y, i) => (1L, i.toLong * 86400, y) }
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val out = Forecast.theta(df, Seq("k"), "ts", "v", alpha, horizon = 2, stepSeconds = 86400L)
+      .orderBy("step").collect()
+    // OLS on an exactly linear series recovers a=3, b=2; SES of z=y:
+    val l = ys.tail.foldLeft(ys.head)((acc, y) => alpha * y + (1 - alpha) * acc)
+    val exp1 = ((3.0 + 2.0 * 7) + l) / 2
+    val exp2 = ((3.0 + 2.0 * 8) + l) / 2
+    assert(math.abs(out(0).getDouble(3) - exp1) < 1e-9)
+    assert(math.abs(out(1).getDouble(3) - exp2) < 1e-9)
+
+    // flat series: a = c, b = 0, z = y, l = c → ŷ = c for every step
+    val flat = (1 to 5).map(i => (1L, i.toLong * 86400, 7.5))
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    Forecast.theta(flat, Seq("k"), "ts", "v", 0.5, horizon = 3, stepSeconds = 86400L)
+      .collect().foreach(r => assert(math.abs(r.getDouble(3) - 7.5) < 1e-9))
+  }
+
+  // ---------------------------------------------------------------- Holt
+
+  test("holt: fold matches the hand recursion; <2-point keys dropped") {
+    val ys = Seq(10.0, 12.0, 11.0, 15.0, 14.0)
+    val (alpha, beta) = (0.3, 0.2)
+    var l = ys(0); var b = ys(1) - ys(0)
+    ys.drop(1).foreach { y =>
+      val lNew = alpha * y + (1 - alpha) * (l + b)
+      b = beta * (lNew - l) + (1 - beta) * b
+      l = lNew
+    }
+    val df = (ys.zipWithIndex.map { case (y, i) => (1L, i.toLong * 86400, y) } :+
+      ((2L, 0L, 5.0))) // single-point key → dropped
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val out = Forecast.holt(df, Seq("k"), "ts", "v", alpha, beta, horizon = 3, stepSeconds = 86400L)
+      .orderBy("k", "step").collect()
+    assert(out.length == 3, "single-point key must be absent")
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == 1L)
+      assert(math.abs(r.getDouble(3) - (l + (i + 1) * b)) < 1e-12)
+    }
+    // exact linear input: Holt locks on and extrapolates the line exactly
+    val lin = (1 to 8).map(i => (1L, i.toLong * 86400, 3.0 + 2.0 * i))
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val lo = Forecast.holt(lin, Seq("k"), "ts", "v", 0.4, 0.3, horizon = 2, stepSeconds = 86400L)
+      .orderBy("step").collect()
+    assert(math.abs(lo(0).getDouble(3) - (3.0 + 2.0 * 9)) < 1e-9)
+    assert(math.abs(lo(1).getDouble(3) - (3.0 + 2.0 * 10)) < 1e-9)
+  }
 }
