@@ -1075,6 +1075,27 @@ object SparkEntry {
         .select(col("user_id"), unix_timestamp(col("forecast_ts")).as("forecast_s"),
           col("step").cast("long").as("step"), r6(col("yhat")).as("yhat"))
         .orderBy("user_id", "step")
+    }),
+
+    // robust outlier flags: modified z-score from per-key exact median + MAD
+    "q86_mad_outliers" -> ((s, dir) => {
+      graft.operators.Anomaly.madOutliers(ev(s, dir), Seq("user_id"), "value")
+        .select(col("user_id"), col("event_id"), r6(col("med")).as("med"),
+          r6(col("mad")).as("mad"), r6(col("robust_z")).as("robust_z"),
+          col("is_outlier"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // two-window mean-shift changepoint score on the daily series
+    "q87_changepoint" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Anomaly.meanShiftScore(daily, Seq("user_id"), "d", "v", w = 5)
+        .select(col("user_id"), unix_timestamp(col("d")).as("d_s"),
+          r6(col("mean_l")).as("mean_l"), r6(col("mean_r")).as("mean_r"),
+          r6(col("shift_score")).as("shift_score"))
+        .orderBy("user_id", "d_s")
     })
   )
 
@@ -2176,7 +2197,39 @@ object SparkEntry {
         |SELECT f.user_id, epoch(n.last_d)::BIGINT + g.s*86400 AS forecast_s, g.s AS step,
         |  round(f.l + g.s*f.b, 6) AS yhat
         |FROM fin f JOIN n USING (user_id), generate_series(1,3) g(s)
-        |ORDER BY 1,3""".stripMargin
+        |ORDER BY 1,3""".stripMargin,
+
+    // median == quantile_cont(0.5), the interpolating definition both
+    // engines share (parity pinned by q56)
+    "q86_mad_outliers" ->
+      """WITH m AS (SELECT user_id, median(value) AS med FROM events GROUP BY 1),
+        |j AS (SELECT e.user_id, e.event_id, e.value, m.med
+        |  FROM events e JOIN m USING (user_id)),
+        |m2 AS (SELECT user_id, median(abs(value - med)) AS mad FROM j GROUP BY 1)
+        |SELECT j.user_id, j.event_id, round(j.med, 6) AS med,
+        |  round(m2.mad, 6) AS mad,
+        |  round(CASE WHEN m2.mad > 0
+        |    THEN 0.6745 * (j.value - j.med) / m2.mad END, 6) AS robust_z,
+        |  coalesce(CASE WHEN m2.mad > 0
+        |    THEN abs(0.6745 * (j.value - j.med) / m2.mad) > 3.5 END, false) AS is_outlier
+        |FROM j JOIN m2 USING (user_id) ORDER BY j.user_id, j.event_id""".stripMargin,
+
+    "q87_changepoint" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |s AS (SELECT user_id, d,
+        |    count(v) OVER l AS cl, count(v) OVER r AS cr,
+        |    avg(v) OVER l AS ml, avg(v) OVER r AS mr,
+        |    var_samp(v) OVER l / 5 + var_samp(v) OVER r / 5 AS pooled
+        |  FROM daily
+        |  WINDOW l AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
+        |         r AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING))
+        |SELECT user_id, floor(epoch(d))::BIGINT AS d_s,
+        |  round(CASE WHEN cl = 5 AND cr = 5 THEN ml END, 6) AS mean_l,
+        |  round(CASE WHEN cl = 5 AND cr = 5 THEN mr END, 6) AS mean_r,
+        |  round(CASE WHEN cl = 5 AND cr = 5 AND pooled > 0
+        |    THEN abs(mr - ml) / sqrt(pooled) END, 6) AS shift_score
+        |FROM s ORDER BY user_id, d_s""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

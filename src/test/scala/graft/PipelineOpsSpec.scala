@@ -396,4 +396,42 @@ class PipelineOpsSpec extends SparkSuite {
     assert(math.abs(lo(0).getDouble(3) - (3.0 + 2.0 * 9)) < 1e-9)
     assert(math.abs(lo(1).getDouble(3) - (3.0 + 2.0 * 10)) < 1e-9)
   }
+
+  // -------------------------------------------------------------- Anomaly
+
+  test("madOutliers: hand-computed z; constant key yields null z, no flags") {
+    import graft.operators.Anomaly
+    // key 1: v = (1,2,3,4,100) → med=3, |v−med|=(2,1,0,1,97) → mad=1
+    //        z(100) = 0.6745·97 = 65.4…  → flagged; z(1) = −1.349 → not
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map {
+      case (v, i) => (1L, i.toLong, v)
+    } ++ (0 until 4).map(i => (2L, i.toLong, 5.0))) // constant key → mad 0
+      .toDF("k", "id", "v")
+    val out = Anomaly.madOutliers(df, Seq("k"), "v").orderBy("k", "id").collect()
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.forall(r => r.getDouble(3) == 3.0)) // med
+    assert(k1.forall(r => r.getDouble(4) == 1.0)) // mad
+    assert(math.abs(k1(4).getDouble(5) - 0.6745 * 97.0) < 1e-12)
+    assert(k1.map(_.getBoolean(6)).toSeq == Seq(false, false, false, false, true))
+    val k2 = out.filter(_.getLong(0) == 2L)
+    assert(k2.forall(r => r.isNullAt(5) && !r.getBoolean(6)), "mad=0 → null z, unflagged")
+  }
+
+  test("meanShiftScore: step series scores the jump highest; edges null") {
+    import graft.operators.Anomaly
+    // 6 points at 10 then 6 points at 20, w=3: the boundary row sees
+    // left=(10,10,10), right=(20,20,20) → var 0 → pooled 0 → null; jitter it
+    val ys = Seq(10.0, 10.1, 9.9, 10.0, 10.1, 9.9, 20.0, 20.1, 19.9, 20.0, 20.1, 19.9)
+    val df = ys.zipWithIndex.map { case (v, i) => (1L, i.toLong * 60, v) }
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val out = Anomaly.meanShiftScore(df, Seq("k"), "ts", "v", w = 3)
+      .orderBy("ts").collect()
+    // columns: k, t, v, ts, mean_l(4), mean_r(5), shift_score(6)
+    // rows 0-2: left window not full → null; rows 10-11: right not full → null
+    assert((0 to 2).forall(out(_).isNullAt(6)) && (10 to 11).forall(out(_).isNullAt(6)))
+    val scores = (3 to 9).map(i => out(i).getDouble(6))
+    // the changepoint row (index 6: first of the 20s) must dominate
+    assert(scores(3) == scores.max, s"jump row should score highest: $scores")
+    assert(scores(3) > 50, "10→20 shift against 0.1 jitter is a huge t-stat")
+  }
 }
