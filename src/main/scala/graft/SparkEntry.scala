@@ -1096,6 +1096,37 @@ object SparkEntry {
           r6(col("mean_l")).as("mean_l"), r6(col("mean_r")).as("mean_r"),
           r6(col("shift_score")).as("shift_score"))
         .orderBy("user_id", "d_s")
+    }),
+
+    // Fourier weekly seasonality pair (k=2 harmonics, period 7 days) —
+    // pure projection
+    "q88_fourier" -> ((s, dir) => {
+      Features.fourierTerms(ev(s, dir), "ts", period = 7, k = 2)
+        .select(col("event_id"),
+          r6(col("fourier_sin_1")).as("fourier_sin_1"),
+          r6(col("fourier_cos_1")).as("fourier_cos_1"),
+          r6(col("fourier_sin_2")).as("fourier_sin_2"),
+          r6(col("fourier_cos_2")).as("fourier_cos_2"))
+        .orderBy("event_id")
+    }),
+
+    // Box-Cox (λ=0.5) + inverse round-trip: transformed value and the
+    // replayed inverse (null for non-positive inputs)
+    "q89_boxcox" -> ((s, dir) => {
+      val p = Scalers.BoxCoxParams("value", 0.5)
+      ev(s, dir)
+        .withColumn("bc", p(col("value")))
+        .withColumn("back", p.inverse(col("bc")))
+        .select(col("event_id"), r6(col("bc")).as("bc"), r6(col("back")).as("back"))
+        .orderBy("event_id")
+    }),
+
+    // winsorize per user at the exact [p05, p95] band
+    "q90_winsorize" -> ((s, dir) => {
+      Scalers.winsorize(ev(s, dir), Seq("user_id"), "value")
+        .select(col("user_id"), col("event_id"),
+          r6(col("value_wins")).as("value_wins"))
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -2229,7 +2260,33 @@ object SparkEntry {
         |  round(CASE WHEN cl = 5 AND cr = 5 THEN mr END, 6) AS mean_r,
         |  round(CASE WHEN cl = 5 AND cr = 5 AND pooled > 0
         |    THEN abs(mr - ml) / sqrt(pooled) END, 6) AS shift_score
-        |FROM s ORDER BY user_id, d_s""".stripMargin
+        |FROM s ORDER BY user_id, d_s""".stripMargin,
+
+    // same float op order as the engine: ((2π · t) · j) / period
+    "q88_fourier" ->
+      """WITH t AS (SELECT event_id,
+        |    floor(floor(epoch(ts)) / 86400)::DOUBLE AS d FROM events)
+        |SELECT event_id,
+        |  round(sin(2*pi() * d * 1 / 7), 6) AS fourier_sin_1,
+        |  round(cos(2*pi() * d * 1 / 7), 6) AS fourier_cos_1,
+        |  round(sin(2*pi() * d * 2 / 7), 6) AS fourier_sin_2,
+        |  round(cos(2*pi() * d * 2 / 7), 6) AS fourier_cos_2
+        |FROM t ORDER BY event_id""".stripMargin,
+
+    "q89_boxcox" ->
+      """SELECT event_id,
+        |  round(CASE WHEN value > 0 THEN (pow(value, 0.5) - 1.0) / 0.5 END, 6) AS bc,
+        |  round(CASE WHEN value > 0
+        |    THEN pow(((pow(value, 0.5) - 1.0) / 0.5) * 0.5 + 1.0, 1.0 / 0.5) END, 6) AS back
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q90_winsorize" ->
+      """WITH b AS (SELECT user_id,
+        |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.user_id, e.event_id,
+        |  round(least(greatest(e.value, b.lo), b.hi), 6) AS value_wins
+        |FROM events e JOIN b USING (user_id) ORDER BY e.user_id, e.event_id""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -193,6 +193,28 @@ object Features {
     features.foldLeft(df)((d, f) => d.withColumn(f, exprs(f)))
   }
 
+  /** Fourier seasonality terms (Harvey 1989 / Hyndman §12.1 — the standard
+    * way to hand a gradient model smooth periodic features; the reference's
+    * calendar features above are the categorical version of the same idea):
+    * for harmonics j = 1..k of a period of `period` units,
+    *   fourier_sin_j = sin(2π·j·t/period),  fourier_cos_j = cos(...)
+    * where t = floor(unix_ts / unitSeconds) — e.g. unitSeconds=86400,
+    * period=7 gives the weekly pair(s). A pure projection: no shuffle, no
+    * state, codegen'd end to end.
+    */
+  def fourierTerms(df: DataFrame, tsCol: String, period: Int, k: Int,
+                   unitSeconds: Long = 86400L): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(k >= 1 && k <= period / 2,
+      s"harmonics k must be in [1, period/2] = [1, ${period / 2}], got $k")
+    val t = floor(unix_timestamp(col(tsCol)) / unitSeconds).cast("double")
+    (1 to k).foldLeft(df) { (d, j) =>
+      val theta = lit(2.0) * lit(math.Pi) * t * j / period
+      d.withColumn(s"fourier_sin_$j", sin(theta))
+        .withColumn(s"fourier_cos_$j", cos(theta))
+    }
+  }
+
   /** Forward fill (LOCF) per group (ref transform.py:475-500). */
   def forwardFill(df: DataFrame, hierarchy: Seq[String], tsCol: String, cols: Seq[String]): DataFrame = {
     val win = w(hierarchy, tsCol).rowsBetween(Window.unboundedPreceding, 0)

@@ -36,6 +36,23 @@ object Scalers {
     def inverse(c: Column): Column = c * span + min
   }
 
+  /** Box-Cox power transform (Box & Cox 1964 — public; the variance
+    * stabilizer the reference's log1p is the λ=0 special case of):
+    *   λ ≠ 0: (y^λ − 1)/λ        λ = 0: ln(y)
+    * Defined for y > 0 only — non-positive inputs become null (the caller
+    * decides between shifting and dropping; silently shifting would corrupt
+    * the inverse). Participates in [[applyAll]]/[[inverseAll]] replay like
+    * every other scaler.
+    */
+  case class BoxCoxParams(column: String, lambda: Double) extends ScalerParams {
+    def apply(c: Column): Column =
+      if (lambda == 0.0) when(c > 0, log(c))
+      else when(c > 0, (pow(c, lambda) - 1.0) / lambda)
+    def inverse(c: Column): Column =
+      if (lambda == 0.0) exp(c)
+      else pow(c * lambda + 1.0, 1.0 / lambda)
+  }
+
   /** Fit standardize params on (a filtered view of) df — e.g. train-only
     * rows for the leak-free CV pipeline (ref model.py:664-670).
     */
@@ -98,5 +115,32 @@ object Scalers {
     val c = col(column)
     val bin = edges.foldLeft(lit(1)) { (acc, e) => acc + when(c > e, 1).otherwise(0) }
     df.withColumn("bin", bin)
+  }
+
+  /** Winsorize: clamp `column` into its per-group EXACT [pLo, pHi] quantile
+    * band (the robust alternative to the reference's hard clamp,
+    * transform.py:42-61). One grouped percentile aggregate (tiny — one row
+    * per group) + one join + a `least/greatest` projection; nulls pass
+    * through. Adds `<column>_wins`. Quantiles are the interpolating
+    * (`quantile_cont`) definition. For a GLOBAL winsorize at extreme scale
+    * use [[fitQuantileEdges]]-style approximate bounds instead — exact
+    * global percentiles funnel the distribution into one aggregator.
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], column: String,
+                pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1, got $pLo/$pHi")
+    val c = col(column).cast("double")
+    val bounds =
+      if (groupCols.isEmpty)
+        df.agg(percentile(c, lit(pLo)).as("_lo"), percentile(c, lit(pHi)).as("_hi"))
+          .crossJoin(df).select(df.columns.map(col) :+ col("_lo") :+ col("_hi"): _*)
+      else
+        df.join(df.groupBy(groupCols.map(col): _*)
+          .agg(percentile(c, lit(pLo)).as("_lo"), percentile(c, lit(pHi)).as("_hi")),
+          groupCols)
+    bounds
+      .withColumn(s"${column}_wins",
+        when(c.isNotNull, least(greatest(c, col("_lo")), col("_hi"))))
+      .drop("_lo", "_hi")
   }
 }

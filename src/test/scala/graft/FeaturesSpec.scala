@@ -233,6 +233,64 @@ class FeaturesSpec extends SparkSuite {
     assert(out.values.count(_._1 == "test") > 0)
   }
 
+  test("fourier terms: period-7 identity, unit circle, k bounds enforced") {
+    val df = (0 until 21).map(i => (i.toLong, i.toLong * 86400))
+      .toDF("id", "t").withColumn("ts", timestamp_seconds(col("t")))
+    val out = Features.fourierTerms(df, "ts", period = 7, k = 2)
+      .orderBy("id").collect()
+    // day d and day d+7 are the same phase
+    (0 until 14).foreach { i =>
+      assert(math.abs(out(i).getDouble(3) - out(i + 7).getDouble(3)) < 1e-12)
+      assert(math.abs(out(i).getDouble(4) - out(i + 7).getDouble(4)) < 1e-12)
+    }
+    // sin² + cos² = 1 for every harmonic
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(3) * r.getDouble(3) + r.getDouble(4) * r.getDouble(4) - 1.0) < 1e-12)
+      assert(math.abs(r.getDouble(5) * r.getDouble(5) + r.getDouble(6) * r.getDouble(6) - 1.0) < 1e-12)
+    }
+    intercept[IllegalArgumentException] {
+      Features.fourierTerms(df, "ts", period = 7, k = 4) // k > period/2
+    }
+  }
+
+  test("box-cox: λ=0 is ln, λ=0.5 round-trips, non-positive → null") {
+    val df = Seq((1L, 4.0), (2L, 0.25), (3L, -1.0), (4L, 0.0))
+      .toDF("id", "v")
+    val p0 = Scalers.BoxCoxParams("v", 0.0)
+    val o0 = df.withColumn("bc", p0(col("v"))).orderBy("id").collect()
+    assert(math.abs(o0(0).getDouble(2) - math.log(4.0)) < 1e-12)
+    assert(o0(2).isNullAt(2) && o0(3).isNullAt(2))
+    val p5 = Scalers.BoxCoxParams("v", 0.5)
+    val o5 = df.withColumn("bc", p5(col("v")))
+      .withColumn("back", p5.inverse(col("bc"))).orderBy("id").collect()
+    assert(math.abs(o5(0).getDouble(2) - 2.0) < 1e-12) // (√4−1)/0.5 = 2
+    assert(math.abs(o5(0).getDouble(3) - 4.0) < 1e-12)
+    assert(math.abs(o5(1).getDouble(3) - 0.25) < 1e-12)
+    // replay through the scaler pipeline machinery
+    val replayed = Scalers.inverseAll(
+      Scalers.applyAll(df.filter(col("v") > 0), Seq(p5)), Seq(p5))
+      .orderBy("id").collect()
+    assert(math.abs(replayed(0).getDouble(1) - 4.0) < 1e-12)
+  }
+
+  test("winsorize: clamps into the exact quantile band; nulls pass through") {
+    val vals = (1 to 20).map(_.toDouble) // p05 = 1.95, p95 = 19.05 (interpolated)
+    val df = (vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, Option(v)) } :+
+      ((1L, 20L, Option.empty[Double])))
+      .toDF("k", "id", "v")
+    val out = Scalers.winsorize(df, Seq("k"), "v").orderBy("id").collect()
+    assert(math.abs(out(0).getDouble(3) - 1.95) < 1e-12)   // 1 → p05
+    assert(math.abs(out(19).getDouble(3) - 19.05) < 1e-12) // 20 → p95
+    assert(math.abs(out(9).getDouble(3) - 10.0) < 1e-12)   // interior untouched
+    assert(out(20).isNullAt(3), "null input stays null")
+    // global (no-group) branch agrees on a single-key frame
+    val g = Scalers.winsorize(df, Seq.empty, "v").orderBy("id").collect()
+    (0 until 21).foreach { i =>
+      assert((g(i).isNullAt(3) && out(i).isNullAt(3)) ||
+        math.abs(g(i).getDouble(3) - out(i).getDouble(3)) < 1e-12)
+    }
+  }
+
   test("cv folds match sklearn TimeSeriesSplit arithmetic") {
     val daily = (1 to 10).map(i => ("h", ts(f"2020-01-$i%02d"), i.toDouble)).toDF("host", "day", "v")
     val folds = CrossVal.timeSeriesSplits(daily, "day", nSplits = 2, gap = 1)
