@@ -1127,6 +1127,34 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           r6(col("value_wins")).as("value_wins"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // URL canonicalization: messy urls synthesized from doc_id (cases,
+    // default/odd ports, empty paths, unsorted+empty query params,
+    // fragments), normalized by the regex-only rule both engines replay
+    "q91_url_canon" -> ((s, dir) => {
+      val id = col("doc_id")
+      val messy = concat(
+        when(pmod(id, lit(3)) === 0, lit("HTTPS")).when(pmod(id, lit(3)) === 1, lit("https"))
+          .otherwise(lit("HTTP")),
+        lit("://W"), pmod(id, lit(50)).cast("string"), lit(".Example.COM"),
+        when(pmod(id, lit(4)) === 0, lit(":443")).when(pmod(id, lit(4)) === 1, lit(":8080"))
+          .otherwise(lit("")),
+        when(pmod(id, lit(5)) === 0, lit("")).otherwise(concat(lit("/p/"), id.cast("string"))),
+        when(pmod(id, lit(2)) === 0, lit("?b=2&a=1&")).otherwise(lit("")),
+        when(pmod(id, lit(7)) === 0, lit("#frag")).otherwise(lit("")))
+      docs(s, dir)
+        .select(id, messy.as("url"), Hier.canonicalizeUrl(messy).as("canon"))
+        .orderBy("doc_id")
+    }),
+
+    // chunk-level (boilerplate) dedup: 8-word chunks, first corpus-wide
+    // occurrence wins, docs reassembled from kept chunks
+    "q92_chunk_dedup" -> ((s, dir) => {
+      Dedup.chunkDedup(docs(s, dir).filter(col("doc_id") < 300), "doc_id", "text")
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("kept_text")).as("kept_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2286,7 +2314,60 @@ object SparkEntry {
         |  FROM events GROUP BY 1)
         |SELECT e.user_id, e.event_id,
         |  round(least(greatest(e.value, b.lo), b.hi), 6) AS value_wins
-        |FROM events e JOIN b USING (user_id) ORDER BY e.user_id, e.event_id""".stripMargin
+        |FROM events e JOIN b USING (user_id) ORDER BY e.user_id, e.event_id""".stripMargin,
+
+    // canonicalization replayed regex-for-regex on identically-built urls
+    "q91_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' WHEN doc_id % 3 = 1 THEN 'https'
+        |        ELSE 'HTTP' END)
+        |  || '://W' || (doc_id % 50) || '.Example.COM'
+        |  || (CASE WHEN doc_id % 4 = 0 THEN ':443' WHEN doc_id % 4 = 1 THEN ':8080'
+        |           ELSE '' END)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/p/' || doc_id END)
+        |  || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&' ELSE '' END)
+        |  || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |q AS (SELECT *, regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+        |  lower(regexp_replace(auth, ':[0-9]+$', '')) AS hostp,
+        |  coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |    x -> x <> '')), '&'), '') AS sq
+        |  FROM p)
+        |SELECT doc_id, url,
+        |  CASE WHEN scheme = '' THEN NULL ELSE
+        |    scheme || '://' || hostp
+        |    || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |             OR (scheme = 'https' AND port = '443') THEN ''
+        |        ELSE ':' || port END)
+        |    || (CASE WHEN path = '' THEN '/' ELSE path END)
+        |    || (CASE WHEN sq = '' THEN '' ELSE '?' || sq END)
+        |  END AS canon
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q92_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id < 300),
+        |c AS (SELECT doc_id, t.g AS pos,
+        |    array_to_string(ws[(t.g*8+1):(t.g*8+8)], ' ') AS chunk
+        |  FROM w, unnest(generate_series(0, (len(ws)+7)//8 - 1)) AS t(g)),
+        |k AS (SELECT doc_id, pos, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1 AS keep
+        |  FROM c),
+        |agg AS (SELECT doc_id, count(*) AS n_chunks,
+        |    count(*) FILTER (keep) AS n_kept,
+        |    coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (keep), '') AS kept_text
+        |  FROM k GROUP BY 1)
+        |SELECT w.doc_id, coalesce(a.n_chunks, 0)::BIGINT AS n_chunks,
+        |  coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+        |  md5(coalesce(a.kept_text, '')) AS kept_md5
+        |FROM w LEFT JOIN agg a USING (doc_id) ORDER BY w.doc_id""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

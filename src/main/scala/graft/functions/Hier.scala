@@ -45,6 +45,33 @@ object Hier {
       .withColumn("tld", tld(col("url")))
       .withColumn("host_bucket", hostBucket(col("url"), buckets))
 
+  /** URL canonicalization — the normalize step every web-corpus dedup keys
+    * on (RFC 3986 §6 normalizations that are safe without fetching):
+    * lowercase scheme+host, drop the default port (http:80 / https:443),
+    * empty path → "/", SORT the query parameters (drop empty ones), drop
+    * the fragment. Deterministic and regex-only, so the oracle can replay
+    * it verbatim; rows without a `scheme://` prefix yield null (the caller
+    * filters or quarantines — guessing a scheme would corrupt dedup keys).
+    * Pure codegen'd projection: no UDF, no shuffle.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val hostp = lower(regexp_replace(auth, ":[0-9]+$", ""))
+    val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val sq = array_join(array_sort(filter(split(query, "&"), x => x =!= "")), "&")
+    val portPart = when(port === "" ||
+      (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val pathPart = when(path === "", lit("/")).otherwise(path)
+    val qPart = when(sq === "", lit("")).otherwise(concat(lit("?"), sq))
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), hostp, portPart, pathPart, qPart))
+  }
+
   /** Salting for skewed hot keys: adds `salt ∈ [0, s)` derived from a row-level
     * column so the tier-1 aggregate fans a hot host over `s` reducers; the
     * caller re-aggregates without the salt afterwards (associative measures

@@ -365,4 +365,51 @@ object Dedup {
       .select(col("id"), col("comp").as("component"), col("cluster_size"),
         (col("id") === col("comp")).as("is_canonical"))
   }
+
+  // ------------------------------------------------------- chunk dedup
+
+  /** Sub-document (chunk-level) dedup — the C4/CCNet-style pass that removes
+    * boilerplate repeated ACROSS documents (nav bars, footers, license
+    * blocks) while keeping each document's unique content. Documents are cut
+    * into consecutive `chunkWords`-word chunks; the FIRST occurrence of each
+    * distinct chunk corpus-wide (ordered by id, then position) is kept, every
+    * later repeat is dropped; documents are reassembled from their kept
+    * chunks in order.
+    *
+    * Output: `(idCol, n_chunks, n_kept, kept_text)` — one row per input doc
+    * (empty-text docs yield n_chunks = 0, kept_text = "").
+    *
+    * Scale shape: the only shuffle keyed on content is the window over
+    * `chunk` (uniform by construction — chunks are near-unique except the
+    * boilerplate being hunted); document bodies move once into the explode
+    * and once back through the reassembly groupBy on the id. The words array
+    * is staged as a real column and chunks are built from a literal-sequence
+    * explode (Catalyst does not CSE lambda-internal subtrees — see
+    * [[graft.functions.Hashing]] scaladoc).
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int = 8): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    val staged = df
+      .select(col(idCol).as("_id"), words(col(textCol)).as("_ws"))
+      .withColumn("_nc", ceil(size(col("_ws")) / lit(chunkWords.toDouble)).cast("int"))
+    val chunks = staged
+      .select(col("_id"), col("_ws"), col("_nc"),
+        explode_outer(when(col("_nc") > 0, sequence(lit(0), col("_nc") - 1))).as("pos"))
+      .withColumn("chunk",
+        when(col("pos").isNotNull,
+          array_join(slice(col("_ws"), col("pos") * chunkWords + 1, lit(chunkWords)), " ")))
+      .drop("_ws")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk")).orderBy(col("_id"), col("pos"))
+    chunks
+      .withColumn("_keep", col("chunk").isNotNull && row_number().over(w) === 1)
+      .groupBy(col("_id").as(idCol))
+      .agg(
+        count(col("pos")).as("n_chunks"),
+        count(when(col("_keep"), lit(1))).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("_keep"), struct(col("pos"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("kept_text"))
+  }
 }

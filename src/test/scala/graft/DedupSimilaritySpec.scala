@@ -303,4 +303,51 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(r.n_frames === 1 + 11 % 8)
     assert(out(1).byte_len === 0L && out(1).n_frames === 1)
   }
+
+  test("canonicalizeUrl: case, ports, paths, param order, fragments, no-scheme") {
+    import graft.functions.Hier
+    val cases = Seq(
+      ("HTTPS://Ex.COM:443/a?b=2&a=1#x", "https://ex.com/a?a=1&b=2"),
+      ("http://ex.com:80", "http://ex.com/"),
+      ("http://ex.com:8080/p", "http://ex.com:8080/p"),
+      ("https://ex.com:80/p", "https://ex.com:80/p"), // 80 is not https default
+      ("http://EX.com/p?z=1&&y=2&", "http://ex.com/p?y=2&z=1"),
+      ("ftp://Files.ex.com/f", "ftp://files.ex.com/f"),
+      ("no-scheme.com/path", null),
+      ("https://ex.com#only-frag", "https://ex.com/"))
+    val out = cases.zipWithIndex.map { case ((u, _), i) => (i, u) }
+      .toDF("i", "url")
+      .withColumn("canon", Hier.canonicalizeUrl(col("url")))
+      .orderBy("i").collect()
+    cases.zipWithIndex.foreach { case ((u, exp), i) =>
+      val got = if (out(i).isNullAt(2)) null else out(i).getString(2)
+      assert(got == exp, s"$u → $got, expected $exp")
+    }
+    // idempotence: canon(canon(u)) == canon(u)
+    val twice = cases.toDF("url", "exp")
+      .withColumn("c1", Hier.canonicalizeUrl(col("url")))
+      .withColumn("c2", Hier.canonicalizeUrl(col("c1")))
+      .filter(col("c1").isNotNull)
+      .filter(col("c1") =!= col("c2")).count()
+    assert(twice == 0L, "canonicalization must be idempotent")
+  }
+
+  test("chunkDedup: first occurrence wins, reassembly ordered, empty doc kept") {
+    // doc 1: chunks A B; doc 2: chunks B C (B repeats → dropped); doc 3: empty
+    val a = (1 to 3).map(i => s"a$i").mkString(" ")
+    val b = (1 to 3).map(i => s"b$i").mkString(" ")
+    val c = (1 to 3).map(i => s"c$i").mkString(" ")
+    val df = Seq((1L, s"$a $b"), (2L, s"$b $c"), (3L, "")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkWords = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 2) // doc 1 keeps all
+    assert(out(0).getString(3) == s"$a $b")
+    assert(out(1).getLong(1) == 2 && out(1).getLong(2) == 1) // doc 2 loses B
+    assert(out(1).getString(3) == c)
+    assert(out(2).getLong(1) == 0 && out(2).getString(3) == "") // empty doc row kept
+    // within-doc repeat: the SECOND occurrence in the same doc is dropped too
+    val rep = Seq((1L, s"$a $a $b")).toDF("doc_id", "text")
+    val r = Dedup.chunkDedup(rep, "doc_id", "text", chunkWords = 3).collect()(0)
+    assert(r.getLong(1) == 3 && r.getLong(2) == 2 && r.getString(3) == s"$a $b")
+  }
 }
