@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Pages
+import graft.functions.Hier
+import graft.operators.Rollup
+
+/** Physical-plan evidence for the scale claims the correctness oracle can't
+  * see: bucketed tables join WITHOUT a shuffle, the tier-store layout prunes
+  * partitions and pushes filters into the parquet scan, and the tier-1
+  * aggregate is a single-shuffle plan. These pin the plan *shapes* — on a
+  * 1000-executor cluster they are the difference between a narrow join and
+  * re-shuffling 100 TB.
+  */
+class PlanEvidenceSpec extends SparkSuite {
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("bucketed co-located join runs with ZERO exchanges; unbucketed control shuffles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    spark.sql("DROP TABLE IF EXISTS graft_bl")
+    spark.sql("DROP TABLE IF EXISTS graft_br")
+    ev.write.format("parquet").option("path", s"$dir/bl")
+      .bucketBy(8, "user_id").sortBy("user_id")
+      .mode("overwrite").saveAsTable("graft_bl")
+    ev.groupBy("user_id").agg(sum("value").as("tot"))
+      .write.format("parquet").option("path", s"$dir/br")
+      .bucketBy(8, "user_id").sortBy("user_id")
+      .mode("overwrite").saveAsTable("graft_br")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graft_bl").join(spark.table("graft_br"), "user_id")
+      val plan = finalPlan(j)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(plan.contains("SortMergeJoin"), "co-located join should sort-merge in place")
+      // control: identical join on plain parquet reads must shuffle
+      val nb = ev.join(ev.groupBy("user_id").agg(sum("value").as("tot")), "user_id")
+      assert(finalPlan(nb).contains("Exchange"), "control join should need a shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bl")
+      spark.sql("DROP TABLE IF EXISTS graft_br")
+    }
+  }
+
+  test("day-partitioned tier layout: partition pruning + parquet filter pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val rd = spark.read.parquet(dir)
+      .filter(col("day") === "2024-01-03" && col("value") > 100.0)
+      .select("event_id", "value")
+    val plan = finalPlan(rd)
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-01-03"),
+      s"day predicate must prune partitions at plan time:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(value,100.0)"),
+      s"measure predicate must reach the parquet reader:\n$plan")
+    // column pruning: the scan schema carries only the projected+filtered cols
+    assert(plan.contains("ReadSchema") && !plan.contains("event_type"),
+      "scan must not read columns the query never touches")
+  }
+
+  test("tier-1 continuous aggregate is a single-shuffle plan") {
+    val pages = Hier.withHierarchy(Pages.synthesize(spark, 5000L, seed = 7L))
+    val t1m = Rollup.tier1m(pages)
+    // AdaptiveSparkPlan.toString prints BOTH the final and the initial plan —
+    // count shuffles only in the final section
+    val plan = finalPlan(t1m.drop("block", "lang_set")).split("== Initial Plan ==")(0)
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"tier-1 rollup should shuffle exactly once (got $exchanges):\n$plan")
+  }
+}
