@@ -1155,6 +1155,30 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chunks"), col("n_kept"),
           md5(col("kept_text")).as("kept_md5"))
         .orderBy("doc_id")
+    }),
+
+    // classical additive seasonal decomposition, weekly period on the daily
+    // series (trend = centered 7-MA, seasonal = centered per-position means)
+    "q93_seasonal_decomp" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      Features.seasonalDecompose(daily, Seq("user_id"), "d", "v", period = 7)
+        .select(col("user_id"), unix_timestamp(col("d")).as("d_s"),
+          r6(col("trend")).as("trend"), r6(col("seasonal")).as("seasonal"),
+          r6(col("remainder")).as("remainder"))
+        .orderBy("user_id", "d_s")
+    }),
+
+    // rolling 7-day Pearson correlation between daily volume and daily count
+    "q94_rolling_corr" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"), count(lit(1)).cast("double").as("c"))
+      Features.rollingCorr(daily, Seq("user_id"), "d", "v", "c", winRows = 7)
+        .select(col("user_id"), unix_timestamp(col("d")).as("d_s"),
+          r6(col("rolling_corr")).as("rolling_corr"))
+        .orderBy("user_id", "d_s")
     })
   )
 
@@ -2367,7 +2391,44 @@ object SparkEntry {
         |SELECT w.doc_id, coalesce(a.n_chunks, 0)::BIGINT AS n_chunks,
         |  coalesce(a.n_kept, 0)::BIGINT AS n_kept,
         |  md5(coalesce(a.kept_text, '')) AS kept_md5
-        |FROM w LEFT JOIN agg a USING (doc_id) ORDER BY w.doc_id""".stripMargin
+        |FROM w LEFT JOIN agg a USING (doc_id) ORDER BY w.doc_id""".stripMargin,
+
+    "q93_seasonal_decomp" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |i AS (SELECT user_id, d, v::DOUBLE AS y,
+        |    (row_number() OVER (PARTITION BY user_id ORDER BY d) - 1) % 7 AS pos,
+        |    CASE WHEN count(v) OVER f = 7 THEN avg(v) OVER f END AS trend
+        |  FROM daily
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d2 AS (SELECT *, y - trend AS det FROM i),
+        |sr AS (SELECT user_id, pos, avg(det) AS s_raw FROM d2 GROUP BY 1,2),
+        |c AS (SELECT user_id, avg(s_raw) AS ctr FROM sr GROUP BY 1)
+        |SELECT d2.user_id, floor(epoch(d))::BIGINT AS d_s,
+        |  round(trend, 6) AS trend,
+        |  round(s_raw - ctr, 6) AS seasonal,
+        |  round(y - trend - (s_raw - ctr), 6) AS remainder
+        |FROM d2 JOIN sr USING (user_id, pos) JOIN c USING (user_id)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // same moment-sum expression shape as the engine (not DuckDB's corr,
+    // whose co-moment algorithm differs in float op order)
+    "q94_rolling_corr" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    sum(value) AS v, count(*)::DOUBLE AS c
+        |  FROM events GROUP BY 1,2),
+        |s AS (SELECT user_id, d, count(v) OVER f AS cnt,
+        |    7.0*sum(v*c) OVER f - sum(v) OVER f * sum(c) OVER f AS num,
+        |    7.0*sum(v*v) OVER f - sum(v) OVER f * sum(v) OVER f AS denx,
+        |    7.0*sum(c*c) OVER f - sum(c) OVER f * sum(c) OVER f AS deny
+        |  FROM daily
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, floor(epoch(d))::BIGINT AS d_s,
+        |  round(CASE WHEN cnt = 7 AND denx > 0 AND deny > 0
+        |    THEN num / sqrt(denx * deny) END, 6) AS rolling_corr
+        |FROM s ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

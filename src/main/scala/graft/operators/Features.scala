@@ -215,6 +215,71 @@ object Features {
     }
   }
 
+  /** Classical additive seasonal decomposition (the moving-average method —
+    * statsmodels `seasonal_decompose` semantics for odd periods):
+    *   trend_t    = centered m-point moving average (null at the edges)
+    *   detrended  = y − trend
+    *   s_raw(pos) = mean(detrended) per (key, pos = 0-based index mod m)
+    *   seasonal   = s_raw − mean of the m per-position means  (sums to ~0)
+    *   remainder  = y − trend − seasonal
+    * Input must be a REGULAR per-key series (run [[GapFill]] first); m must
+    * be odd (the even-m variant needs the 2×m double average — callers
+    * resample instead).
+    *
+    * Shape: one window shuffle on the keys (trend + index share the sort),
+    * then two tiny grouped means (m rows per key) joined back — the joins
+    * are on (key, pos) / (key): broadcast-able at any real key count.
+    */
+  def seasonalDecompose(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                        valCol: String, period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd and >= 3 (even periods need the 2x$period MA), got $period")
+    val h = period / 2
+    val y = col(valCol).cast("double")
+    val win = w(hierarchy, tsCol)
+    val frame = win.rowsBetween(-h, h)
+    val indexed = df
+      .withColumn("_pos", pmod(row_number().over(win) - 1, lit(period)))
+      .withColumn("trend", when(count(y).over(frame) === period, avg(y).over(frame)))
+      .withColumn("_det", y - col("trend"))
+    val keys = hierarchy.map(col)
+    val sRaw = indexed.groupBy((keys :+ col("_pos")): _*)
+      .agg(avg(col("_det")).as("_s_raw"))
+    val ctr = sRaw.groupBy(keys: _*).agg(avg(col("_s_raw")).as("_ctr"))
+    indexed
+      .join(sRaw, hierarchy :+ "_pos")
+      .join(ctr, hierarchy)
+      .withColumn("seasonal", col("_s_raw") - col("_ctr"))
+      .withColumn("remainder", y - col("trend") - col("seasonal"))
+      .drop("_pos", "_det", "_s_raw", "_ctr")
+  }
+
+  /** Rolling Pearson correlation of two measures over the trailing `win`
+    * rows per key (pandas `rolling(w).corr` shape): null until the window
+    * is full or when either measure is constant in the window (the builtin
+    * `corr` divides by zero there under ANSI mode — window aggregates
+    * evaluate for every frame, so a `when` guard cannot save it). Computed
+    * from the five moment sums with the division null-guarded; the oracle
+    * replays the identical expression shape. One window shuffle, all
+    * codegen'd sums, no UDF.
+    */
+  def rollingCorr(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                  xCol: String, yCol: String, winRows: Int): DataFrame = {
+    require(winRows >= 2, s"winRows must be >= 2, got $winRows")
+    val frame = w(hierarchy, tsCol).rowsBetween(-(winRows - 1), 0)
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    val n = lit(winRows.toDouble)
+    val sx = sum(x).over(frame); val sy = sum(y).over(frame)
+    val sxy = sum(x * y).over(frame)
+    val sxx = sum(x * x).over(frame); val syy = sum(y * y).over(frame)
+    val num = n * sxy - sx * sy
+    val denx = n * sxx - sx * sx
+    val deny = n * syy - sy * sy
+    df.withColumn("rolling_corr",
+      when(count(x).over(frame) === winRows && denx > 0 && deny > 0,
+        num / sqrt(denx * deny)))
+  }
+
   /** Forward fill (LOCF) per group (ref transform.py:475-500). */
   def forwardFill(df: DataFrame, hierarchy: Seq[String], tsCol: String, cols: Seq[String]): DataFrame = {
     val win = w(hierarchy, tsCol).rowsBetween(Window.unboundedPreceding, 0)

@@ -291,6 +291,50 @@ class FeaturesSpec extends SparkSuite {
     }
   }
 
+  test("seasonal decompose: recovers a planted trend+seasonal; components rebuild y") {
+    // y = 100 + t (trend) + s[t%3] with s = (+2, -1, -1): period 3, 12 points
+    val sPat = Seq(2.0, -1.0, -1.0)
+    val df = (0 until 12).map(i => (1L, i.toLong * 86400, 100.0 + i + sPat(i % 3)))
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val out = Features.seasonalDecompose(df, Seq("k"), "ts", "v", period = 3)
+      .orderBy("t").collect()
+    val trendIx = out(0).fieldIndex("trend")
+    val seasIx = out(0).fieldIndex("seasonal")
+    val remIx = out(0).fieldIndex("remainder")
+    // interior trend = centered 3-MA of linear+zero-mean-seasonal = 100 + t
+    (1 to 10).foreach { i =>
+      assert(approxEq(out(i).getDouble(trendIx), 100.0 + i), s"trend at $i")
+    }
+    assert(out(0).isNullAt(trendIx) && out(11).isNullAt(trendIx), "edges null")
+    // seasonal recovers the planted pattern (centered); remainder ~ 0
+    (1 to 10).foreach { i =>
+      assert(approxEq(out(i).getDouble(seasIx), sPat(i % 3), 1e-9), s"seasonal at $i")
+      assert(math.abs(out(i).getDouble(remIx)) < 1e-9, s"remainder at $i")
+    }
+    intercept[IllegalArgumentException] {
+      Features.seasonalDecompose(df, Seq("k"), "ts", "v", period = 4) // even
+    }
+  }
+
+  test("rolling corr: ±1 on exact linear relations, null on constant windows") {
+    val df = (0 until 10).map { i =>
+      val x = (i * i % 7).toDouble // non-monotonic
+      (1L, i.toLong * 86400, x, 3.0 * x + 1.0, -2.0 * x + 5.0, 4.2)
+    }.toDF("k", "t", "x", "ypos", "yneg", "yconst")
+      .withColumn("ts", timestamp_seconds(col("t")))
+    def corrOf(y: String) =
+      Features.rollingCorr(df, Seq("k"), "ts", "x", y, winRows = 4)
+        .orderBy("t").collect()
+    val pos = corrOf("ypos"); val neg = corrOf("yneg"); val cst = corrOf("yconst")
+    val ix = pos(0).fieldIndex("rolling_corr")
+    (0 to 2).foreach(i => assert(pos(i).isNullAt(ix), "partial windows null"))
+    (3 until 10).foreach { i =>
+      assert(approxEq(pos(i).getDouble(ix), 1.0, 1e-9), s"+1 at $i")
+      assert(approxEq(neg(i).getDouble(ix), -1.0, 1e-9), s"-1 at $i")
+      assert(cst(i).isNullAt(ix), s"constant y → null at $i")
+    }
+  }
+
   test("cv folds match sklearn TimeSeriesSplit arithmetic") {
     val daily = (1 to 10).map(i => ("h", ts(f"2020-01-$i%02d"), i.toDouble)).toDF("host", "day", "v")
     val folds = CrossVal.timeSeriesSplits(daily, "day", nSplits = 2, gap = 1)
