@@ -1179,6 +1179,51 @@ object SparkEntry {
         .select(col("user_id"), unix_timestamp(col("d")).as("d_s"),
           r6(col("rolling_corr")).as("rolling_corr"))
         .orderBy("user_id", "d_s")
+    }),
+
+    // pivot (builtin groupBy.pivot with an EXPLICIT value list — no extra
+    // distinct pass): event_type → columns of summed value
+    "q95_pivot" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(sum(col("value")))
+        .select(col("user_id"), r6(col("click")).as("click"), r6(col("view")).as("view"),
+          r6(col("purchase")).as("purchase"), r6(col("signup")).as("signup"),
+          r6(col("error")).as("error"))
+        .orderBy("user_id")
+    }),
+
+    // unpivot/melt (builtin): two measures stacked to (event_id, measure, val)
+    "q96_melt" -> ((s, dir) => {
+      ev(s, dir)
+        .filter(col("event_id") < 1000)
+        .select(col("event_id"), col("value").as("v_raw"),
+          (col("value") * 2.0).as("v_double"))
+        .unpivot(Array(col("event_id")), Array(col("v_raw"), col("v_double")),
+          "measure", "val")
+        .select(col("event_id"), col("measure"), r6(col("val")).as("val"))
+        .orderBy("event_id", "measure")
+    }),
+
+    // grouped top-k: top-3 events by value per user, deterministic ties
+    "q97_topk_group" -> ((s, dir) => {
+      graft.operators.Sampling.topKBy(ev(s, dir), Seq("user_id"), "value",
+          "event_id", k = 3)
+        .select(col("user_id"), col("rnk"), col("event_id"),
+          r6(col("value")).as("value"))
+        .orderBy("user_id", "rnk")
+    }),
+
+    // data-quality expectations report: one aggregate pass for row checks +
+    // one groupBy for the PK uniqueness check
+    "q98_expectations" -> ((s, dir) => {
+      Profile.expectations(ev(s, dir),
+          notNull = Seq("user_id", "ts", "value"),
+          unique = Seq(Seq("event_id")),
+          ranges = Seq(("value", 0.0, 400.0)),
+          accepted = Seq(("event_type", Seq("click", "view", "purchase"))))
+        .orderBy("check", "target")
     })
   )
 
@@ -2428,7 +2473,62 @@ object SparkEntry {
         |SELECT user_id, floor(epoch(d))::BIGINT AS d_s,
         |  round(CASE WHEN cnt = 7 AND denx > 0 AND deny > 0
         |    THEN num / sqrt(denx * deny) END, 6) AS rolling_corr
-        |FROM s ORDER BY 1, 2""".stripMargin
+        |FROM s ORDER BY 1, 2""".stripMargin,
+
+    "q95_pivot" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q96_melt" ->
+      """SELECT event_id, 'v_raw' AS measure, round(value, 6) AS val
+        |FROM events WHERE event_id < 1000
+        |UNION ALL
+        |SELECT event_id, 'v_double' AS measure, round(value * 2.0, 6) AS val
+        |FROM events WHERE event_id < 1000
+        |ORDER BY event_id, measure""".stripMargin,
+
+    "q97_topk_group" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rnk
+        |  FROM events)
+        |SELECT user_id, rnk, event_id, round(value, 6) AS value
+        |FROM r WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin,
+
+    "q98_expectations" ->
+      """WITH rowchecks AS (
+        |  SELECT 'not_null' AS "check", 'user_id' AS target,
+        |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS violations,
+        |    count(*)::BIGINT AS total FROM events
+        |  UNION ALL
+        |  SELECT 'not_null', 'ts',
+        |    sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)::BIGINT, count(*)::BIGINT
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'not_null', 'value',
+        |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT, count(*)::BIGINT
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'range[0.0,400.0]', 'value',
+        |    sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 400.0)
+        |      THEN 1 ELSE 0 END)::BIGINT, count(*)::BIGINT FROM events
+        |  UNION ALL
+        |  SELECT 'accepted{click,view,purchase}', 'event_type',
+        |    sum(CASE WHEN event_type IS NOT NULL
+        |      AND event_type NOT IN ('click','view','purchase')
+        |      THEN 1 ELSE 0 END)::BIGINT, count(*)::BIGINT FROM events
+        |  UNION ALL
+        |  SELECT 'unique', 'event_id',
+        |    coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0)::BIGINT,
+        |    coalesce(sum(n), 0)::BIGINT
+        |  FROM (SELECT event_id, count(*) AS n FROM events GROUP BY 1))
+        |SELECT "check", target, violations, total, violations = 0 AS pass
+        |FROM rowchecks ORDER BY "check", target""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

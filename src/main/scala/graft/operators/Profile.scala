@@ -38,4 +38,47 @@ object Profile {
     }: _*)
     row.select(explode(structs).as("d")).select("d.*")
   }
+
+  /** Data-quality expectations report — the reference's PK assertion
+    * (main.py:58-69) generalized to the Great-Expectations-style checks a
+    * pipeline runs before publishing a tier: per check one row
+    * `(check, target, violations, total, pass)`.
+    *
+    * All row-level checks (not-null, range, accepted-values) ride ONE
+    * aggregate pass over the data — adding a check adds an expression, not
+    * a scan. Each uniqueness check is one extra groupBy on its key set
+    * (violations = rows beyond the first per duplicated key).
+    */
+  def expectations(df: DataFrame,
+                   notNull: Seq[String] = Nil,
+                   unique: Seq[Seq[String]] = Nil,
+                   ranges: Seq[(String, Double, Double)] = Nil,
+                   accepted: Seq[(String, Seq[String])] = Nil): DataFrame = {
+    require(notNull.nonEmpty || unique.nonEmpty || ranges.nonEmpty || accepted.nonEmpty,
+      "at least one expectation required")
+    val rowChecks: Seq[(String, String, org.apache.spark.sql.Column)] =
+      notNull.map(c => ("not_null", c,
+        sum(when(col(c).isNull, 1L).otherwise(0L)))) ++
+      ranges.map { case (c, lo, hi) => (s"range[$lo,$hi]", c,
+        sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L).otherwise(0L))) } ++
+      accepted.map { case (c, vals) => (s"accepted{${vals.mkString(",")}}", c,
+        sum(when(col(c).isNotNull && !col(c).isin(vals: _*), 1L).otherwise(0L))) }
+    val rowAggs = rowChecks.zipWithIndex.map { case ((_, _, e), i) => e.as(s"_v$i") } :+
+      count(lit(1)).as("_total")
+    val one = df.agg(rowAggs.head, rowAggs.tail: _*)
+    val rowReport = one.select(explode(array(rowChecks.zipWithIndex.map {
+      case ((kind, target, _), i) =>
+        struct(lit(kind).as("check"), lit(target).as("target"),
+          col(s"_v$i").as("violations"), col("_total").as("total"))
+    }: _*)).as("d")).select("d.*")
+    val uniqueReports = unique.map { keys =>
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+        .agg(coalesce(sum(when(col("_n") > 1, col("_n") - 1)), lit(0L)).as("violations"),
+          coalesce(sum(col("_n")), lit(0L)).as("total"))
+        .select(lit("unique").as("check"), lit(keys.mkString(",")).as("target"),
+          col("violations"), col("total"))
+    }
+    uniqueReports.foldLeft(rowReport)(_ unionByName _)
+      .withColumn("pass", col("violations") === 0L)
+  }
 }

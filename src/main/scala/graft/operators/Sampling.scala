@@ -55,4 +55,17 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }
+
+  /** Top-k rows per group by a measure (ref `argmin`/top-k shapes,
+    * SURVEY §2.6, generalized per group): deterministic under ties via the
+    * id tiebreak. One window shuffle on the group keys; the filter prunes
+    * before anything downstream shuffles again. Adds `rnk` (1-based).
+    */
+  def topKBy(df: DataFrame, groupCols: Seq[String], orderCol: String,
+             idCol: String, k: Int, descending: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ord = if (descending) col(orderCol).desc else col(orderCol).asc
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(ord, col(idCol))
+    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
 }

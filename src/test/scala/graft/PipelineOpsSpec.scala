@@ -434,4 +434,40 @@ class PipelineOpsSpec extends SparkSuite {
     assert(scores(3) == scores.max, s"jump row should score highest: $scores")
     assert(scores(3) > 50, "10→20 shift against 0.1 jitter is a huge t-stat")
   }
+
+  // --------------------------------------------------------- expectations
+
+  test("expectations: per-check violation counts; one agg pass for row checks") {
+    import graft.operators.Profile
+    val df = Seq(
+      (1L, Some("a"), 5.0), (2L, Some("b"), -1.0), (2L, None, 500.0), (3L, Some("z"), 10.0))
+      .toDF("id", "cat", "v")
+    val rep = Profile.expectations(df,
+      notNull = Seq("cat"),
+      unique = Seq(Seq("id")),
+      ranges = Seq(("v", 0.0, 100.0)),
+      accepted = Seq(("cat", Seq("a", "b"))))
+      .orderBy("check", "target").collect()
+    val byCheck = rep.map(r => (r.getString(0), (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(byCheck("not_null") == ((1L, 4L, false)))            // one null cat
+    assert(byCheck("unique") == ((1L, 4L, false)))              // id 2 twice → 1 extra
+    assert(byCheck("range[0.0,100.0]") == ((2L, 4L, false)))    // -1 and 500
+    assert(byCheck("accepted{a,b}") == ((1L, 4L, false)))       // 'z'
+    // all-green frame
+    val ok = Profile.expectations(df.filter(col("id") === 1L), notNull = Seq("cat"))
+      .collect()(0)
+    assert(ok.getLong(2) == 0L && ok.getBoolean(4))
+  }
+
+  test("topKBy: exact k, deterministic tie order, ascending mode") {
+    val df = Seq((1L, 10L, 5.0), (1L, 11L, 5.0), (1L, 12L, 3.0), (1L, 13L, 9.0),
+      (2L, 20L, 1.0)).toDF("k", "id", "v")
+    val top = Sampling.topKBy(df, Seq("k"), "v", "id", k = 2)
+      .orderBy("k", "rnk").collect()
+    assert(top.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 13L), (1L, 10L), (2L, 20L))) // tie 5.0/5.0 → lower id first
+    val bottom = Sampling.topKBy(df, Seq("k"), "v", "id", k = 1, descending = false)
+      .orderBy("k").collect()
+    assert(bottom.map(_.getLong(1)).toSeq == Seq(12L, 20L))
+  }
 }
