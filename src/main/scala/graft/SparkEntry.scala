@@ -1224,6 +1224,36 @@ object SparkEntry {
           ranges = Seq(("value", 0.0, 400.0)),
           accepted = Seq(("event_type", Seq("click", "view", "purchase"))))
         .orderBy("check", "target")
+    }),
+
+    // Holt-Winters additive seasonal forecast (period=7 on the daily series;
+    // oracle replays the coupled (l, b, s-ring) recursion with a recursive
+    // CTE carrying the 7-slot seasonal list)
+    "q99_holt_winters" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Forecast.holtWinters(daily, Seq("user_id"), "d", "v",
+          alpha = 0.3, beta = 0.1, gamma = 0.2, period = 7, horizon = 7,
+          stepSeconds = 86400L)
+        .select(col("user_id"), unix_timestamp(col("forecast_ts")).as("forecast_s"),
+          col("step").cast("long").as("step"), r6(col("yhat")).as("yhat"))
+        .orderBy("user_id", "step")
+    }),
+
+    // rolling exact p25/p75 (arbitrary-q generalization of q56's median)
+    "q100_rolling_quantile" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      val p25 = Features.rollingQuantile(daily, Seq("user_id"), "day", "v",
+        q = 0.25, windowDays = 7, lagDays = 1)
+      Features.rollingQuantile(p25, Seq("user_id"), "day", "v",
+          q = 0.75, windowDays = 7, lagDays = 1)
+        .select(col("user_id"), unix_timestamp(col("day")).as("day_sec"),
+          r6(col("v_roll7d_lag1_p25")).as("roll_p25"),
+          r6(col("v_roll7d_lag1_p75")).as("roll_p75"))
+        .orderBy("user_id", "day_sec")
     })
   )
 
@@ -2528,7 +2558,64 @@ object SparkEntry {
         |    coalesce(sum(n), 0)::BIGINT
         |  FROM (SELECT event_id, count(*) AS n FROM events GROUP BY 1))
         |SELECT "check", target, violations, total, violations = 0 AS pass
-        |FROM rowchecks ORDER BY "check", target""".stripMargin
+        |FROM rowchecks ORDER BY "check", target""".stripMargin,
+
+    // Holt-Winters additive replayed with a recursive CTE: the 7-slot
+    // seasonal ring buffer rides along as a DuckDB LIST, updated by
+    // slice-concat in the exact float op order of the engine's fold
+    // (l' reused textually inside b'; s' uses the PRE-update l and b)
+    "q99_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |r AS (SELECT user_id, d, v::DOUBLE AS y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn FROM daily),
+        |n AS (SELECT user_id, max(rn) AS bigT, max(d) AS last_d FROM r GROUP BY 1
+        |  HAVING max(rn) >= 14),
+        |agg AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN rn <= 7 THEN y END) / 7.0 AS l0,
+        |    (sum(CASE WHEN rn BETWEEN 8 AND 14 THEN y END)
+        |     - sum(CASE WHEN rn <= 7 THEN y END)) / 49.0 AS b0,
+        |    list(y ORDER BY rn) FILTER (WHERE rn <= 7) AS first7
+        |  FROM r GROUP BY 1),
+        |init AS (
+        |  SELECT a.user_id, 7 AS rn, l0 AS l, b0 AS b,
+        |    list_transform(first7, x -> x - l0) AS s
+        |  FROM agg a JOIN n USING (user_id)),
+        |rec AS (
+        |  SELECT * FROM init
+        |  UNION ALL
+        |  SELECT rec.user_id, rec.rn + 1,
+        |    0.3*(sr.y - rec.s[(rec.rn % 7) + 1]) + 0.7*(rec.l + rec.b) AS l,
+        |    0.1*((0.3*(sr.y - rec.s[(rec.rn % 7) + 1]) + 0.7*(rec.l + rec.b)) - rec.l)
+        |      + 0.9*rec.b AS b,
+        |    rec.s[1:(rec.rn % 7)]
+        |      || [0.2*(sr.y - rec.l - rec.b) + 0.8*rec.s[(rec.rn % 7) + 1]]
+        |      || rec.s[(rec.rn % 7) + 2:7] AS s
+        |  FROM rec JOIN r sr ON sr.user_id = rec.user_id AND sr.rn = rec.rn + 1),
+        |fin AS (SELECT rec.user_id, rec.l, rec.b, rec.s
+        |  FROM rec JOIN n ON n.user_id = rec.user_id AND rec.rn = n.bigT)
+        |SELECT f.user_id, epoch(n.last_d)::BIGINT + g.s*86400 AS forecast_s, g.s AS step,
+        |  round(f.l + g.s*f.b + f.s[((n.bigT - 1 + g.s) % 7) + 1], 6) AS yhat
+        |FROM fin f JOIN n USING (user_id), generate_series(1,7) g(s)
+        |ORDER BY 1,3""".stripMargin,
+
+    "q100_rolling_quantile" ->
+      """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, epoch(day)::BIGINT AS te, v::DOUBLE AS v FROM d),
+        |m AS (SELECT user_id, te,
+        |  count(v) OVER w AS n,
+        |  quantile_cont(v, 0.25) OVER w AS q25,
+        |  quantile_cont(v, 0.75) OVER w AS q75
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY te
+        |    RANGE BETWEEN 604800 PRECEDING AND 86400 PRECEDING))
+        |SELECT user_id, te AS day_sec,
+        |round(CASE WHEN n >= 5 THEN q25 END, 6) AS roll_p25,
+        |round(CASE WHEN n >= 5 THEN q75 END, 6) AS roll_p75
+        |FROM m ORDER BY user_id, day_sec""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

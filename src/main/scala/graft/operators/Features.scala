@@ -108,6 +108,25 @@ object Features {
       d.withColumn(s"${valueCol}_roll${windowDays}d_lag${lagDays}_$op", gated(exprs(op))))
   }
 
+  /** Rolling exact quantile at an arbitrary q — generalizes the `median`
+    * op of [[rollingStats]] (feature_engineering.py:314-496) to any
+    * percentile. Spark's exact `percentile` aggregate and DuckDB's
+    * `quantile_cont` share the same interpolating definition (parity pinned
+    * by q56's rolling median), so this stays oracle-comparable. Same
+    * time-range frame and min_periods gate as [[rollingStats]].
+    */
+  def rollingQuantile(df: DataFrame, hierarchy: Seq[String], tsCol: String, valueCol: String,
+                      q: Double, windowDays: Int, lagDays: Int = 1,
+                      minPeriods: Option[Int] = None): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    val mp = minPeriods.getOrElse(defaultMinPeriods(windowDays))
+    val frame = rollingFrame(rangeW(hierarchy, tsCol), windowDays, lagDays)
+    val n = count(col(valueCol)).over(frame)
+    val qName = math.round(q * 100)
+    df.withColumn(s"${valueCol}_roll${windowDays}d_lag${lagDays}_p$qName",
+      when(n >= mp, percentile(col(valueCol), lit(q)).over(frame)).otherwise(lit(null)))
+  }
+
   /** Momentum: lagged value ÷ rolling mean (ref :400-410). Group-correct
     * numerator — the reference's global shift there is a documented leakage
     * bug (SURVEY.md §7.4), so this column is excluded from byte-parity.

@@ -77,6 +77,27 @@ class FeaturesSpec extends SparkSuite {
     assert(out(("h", ts("2020-01-05"))).exists(approxEq(_, 3.0))) // mean(2,3,4)
   }
 
+  test("rollingQuantile: interpolating definition, gate, and q=0.5 == median op") {
+    val daily = Seq(
+      ("h", ts("2020-01-01"), 1.0), ("h", ts("2020-01-02"), 2.0),
+      ("h", ts("2020-01-03"), 3.0), ("h", ts("2020-01-04"), 4.0),
+      ("h", ts("2020-01-05"), 5.0)).toDF("host", "day", "v")
+    val out = collectMap(
+      Features.rollingQuantile(daily, Seq("host"), "day", "v",
+        q = 0.25, windowDays = 3, lagDays = 1), "v_roll3d_lag1_p25")
+    // min_periods = ceil(3^0.8) = 3: first two windows gated
+    assert(out(("h", ts("2020-01-02"))).isEmpty && out(("h", ts("2020-01-03"))).isEmpty)
+    // window {1,2,3}: p25 = 1 + 0.25·(3−1)·… = 1.5 (quantile_cont interpolation)
+    assert(out(("h", ts("2020-01-04"))).exists(approxEq(_, 1.5)))
+    assert(out(("h", ts("2020-01-05"))).exists(approxEq(_, 2.5)))
+    // q=0.5 must agree with rollingStats' median op on the same frame
+    val med = collectMap(Features.rollingStats(daily, Seq("host"), "day", "v",
+      windowDays = 3, lagDays = 1, ops = Seq("median")), "v_roll3d_lag1_median")
+    val q50 = collectMap(Features.rollingQuantile(daily, Seq("host"), "day", "v",
+      q = 0.5, windowDays = 3, lagDays = 1), "v_roll3d_lag1_p50")
+    assert(med.forall { case (k, v) => q50(k) == v })
+  }
+
   test("ewma matches pandas ewm(span=3, adjust=True) literals") {
     // pandas: [1,2,3,4].ewm(span=3, adjust=True).mean() = [1, 1.6666667, 2.4285714, 3.2666667]
     val got = Ewma.ewmaSeries(Seq((0L, Some(1.0)), (1L, Some(2.0)), (2L, Some(3.0)), (3L, Some(4.0))),

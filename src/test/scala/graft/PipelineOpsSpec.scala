@@ -397,6 +397,46 @@ class PipelineOpsSpec extends SparkSuite {
     assert(math.abs(lo(1).getDouble(3) - (3.0 + 2.0 * 10)) < 1e-9)
   }
 
+  // --------------------------------------------------------- Holt-Winters
+
+  test("holtWinters: fold matches the hand recursion; <2m keys dropped; flat series stays flat") {
+    val m = 3
+    val (alpha, beta, gamma) = (0.3, 0.1, 0.2)
+    val ys = Seq(10.0, 14.0, 6.0, 11.0, 15.5, 6.5, 12.0, 16.0, 7.0, 13.0)
+    // hand replay of the documented recursion
+    var l = ys.take(m).sum / m
+    var b = (ys.slice(m, 2 * m).sum - ys.take(m).sum) / (m * m)
+    val s = Array.tabulate(m)(i => ys(i) - l)
+    (m until ys.length).foreach { i =>
+      val sOld = s(i % m)
+      val lN = alpha * (ys(i) - sOld) + (1 - alpha) * (l + b)
+      val bN = beta * (lN - l) + (1 - beta) * b
+      s(i % m) = gamma * (ys(i) - l - b) + (1 - gamma) * sOld
+      l = lN; b = bN
+    }
+    val df = (ys.zipWithIndex.map { case (y, i) => (1L, i.toLong * 86400, y) } ++
+      (0 until 2 * m - 1).map(i => (2L, i.toLong * 86400, 5.0))) // 5 < 2m pts → dropped
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val out = Forecast.holtWinters(df, Seq("k"), "ts", "v", alpha, beta, gamma,
+      period = m, horizon = 4, stepSeconds = 86400L).orderBy("k", "step").collect()
+    assert(out.length == 4, "key with < 2·period points must be absent")
+    out.zipWithIndex.foreach { case (r, i) =>
+      val h = i + 1
+      val expected = l + h * b + s((ys.length - 1 + h) % m)
+      assert(r.getLong(0) == 1L)
+      assert(math.abs(r.getDouble(3) - expected) < 1e-12)
+    }
+    // forecast origin is the last observation's timestamp
+    assert(out(0).getAs[java.sql.Timestamp](1).getTime == ys.length.toLong * 86400 * 1000)
+
+    // constant series: l=c, b=0, s=0 is a fixed point → ŷ = c at every step
+    val flat = (0 until 9).map(i => (1L, i.toLong * 86400, 7.5))
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    Forecast.holtWinters(flat, Seq("k"), "ts", "v", 0.4, 0.2, 0.3,
+        period = 3, horizon = 3, stepSeconds = 86400L)
+      .collect().foreach(r => assert(math.abs(r.getDouble(3) - 7.5) < 1e-12))
+  }
+
   // -------------------------------------------------------------- Anomaly
 
   test("madOutliers: hand-computed z; constant key yields null z, no flags") {
