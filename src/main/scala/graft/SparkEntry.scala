@@ -1254,6 +1254,41 @@ object SparkEntry {
           r6(col("v_roll7d_lag1_p25")).as("roll_p25"),
           r6(col("v_roll7d_lag1_p75")).as("roll_p75"))
         .orderBy("user_id", "day_sec")
+    }),
+
+    // TF-IDF (sklearn smooth-idf) over the document corpus
+    "q101_tfidf" -> ((s, dir) => {
+      graft.operators.TextAnalysis.tfidf(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+          r6(col("tfidf")).as("tfidf"))
+        .orderBy("doc_id", "term")
+    }),
+
+    // BM25 keyword relevance against a literal query term set
+    "q102_bm25" -> ((s, dir) => {
+      graft.operators.TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
+          query = Seq("join", "hash", "scan"))
+        .select(col("id").as("doc_id"), r6(col("score")).as("score"),
+          col("n_terms_hit"))
+        .orderBy("doc_id")
+    }),
+
+    // cohort retention matrix (first-seen day × day offset × active users)
+    "q103_cohort_retention" -> ((s, dir) => {
+      graft.operators.Sessions.cohortRetention(ev(s, dir), "user_id", "ts")
+        .select(unix_timestamp(col("cohort_day")).as("cohort_s"),
+          col("offset_days").cast("long").as("offset_days"), col("n_active"))
+        .orderBy("cohort_s", "offset_days")
+    }),
+
+    // 3-step windowed funnel (click → view → purchase within 7 days)
+    "q104_window_funnel" -> ((s, dir) => {
+      graft.operators.Sessions.windowFunnel(ev(s, dir), Seq("user_id"), "ts",
+          "event_type", Seq("click", "view", "purchase"), windowSeconds = 7L * 86400)
+        .select(col("user_id"), col("max_step").cast("long").as("max_step"),
+          unix_micros(col("t1")).as("t1_us"), unix_micros(col("t2")).as("t2_us"),
+          unix_micros(col("t3")).as("t3_us"))
+        .orderBy("user_id")
     })
   )
 
@@ -2615,7 +2650,70 @@ object SparkEntry {
         |SELECT user_id, te AS day_sec,
         |round(CASE WHEN n >= 5 THEN q25 END, 6) AS roll_p25,
         |round(CASE WHEN n >= 5 THEN q75 END, 6) AS roll_p75
-        |FROM m ORDER BY user_id, day_sec""".stripMargin
+        |FROM m ORDER BY user_id, day_sec""".stripMargin,
+
+    "q101_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1,2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+        |  round(tf.tf * (ln((1 + n.n_docs)::DOUBLE / (1 + dft.df)) + 1), 6) AS tfidf
+        |FROM tf JOIN dft USING (term), n
+        |ORDER BY doc_id, term""".stripMargin,
+
+    // BM25: identical float op order as the engine's contrib expression
+    // ((idf·tf)·(k1+1)) / (tf + k1·(1 − b + b·len/avglen)), k1=1.2 b=0.75
+    "q102_bm25" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(ws))::DOUBLE AS avg_len FROM w),
+        |toks AS (SELECT doc_id, len(ws)::DOUBLE AS len, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, len, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('join','hash','scan') GROUP BY 1,2,3),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |    sum(ln(1 + (st.n_docs - dft.df + 0.5)/(dft.df + 0.5))
+        |      * tf.tf * 2.2 / (tf.tf + 1.2*(1 - 0.75 + 0.75*tf.len/st.avg_len))) AS score,
+        |    count(*) AS n_terms_hit
+        |  FROM tf JOIN dft USING (term), st GROUP BY 1)
+        |SELECT d.doc_id, round(sc.score, 6) AS score,
+        |  coalesce(sc.n_terms_hit, 0)::BIGINT AS n_terms_hit
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "q103_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT epoch(f.cohort_day)::BIGINT AS cohort_s,
+        |  date_diff('day', f.cohort_day, a.day) AS offset_days,
+        |  count(a.user_id) AS n_active
+        |FROM a JOIN f USING (user_id) GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // funnel replayed as the same min-timestamp chain, exact microseconds
+    "q104_window_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type AS t, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM ev WHERE t = 'click' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.t = 'view' AND e.us > s1.t1
+        |    AND e.us <= s1.t1 + 604800000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e
+        |  JOIN s1 ON e.user_id = s1.user_id JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.t = 'purchase' AND e.us > s2.t2
+        |    AND e.us <= s1.t1 + 604800000000 GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  (CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS max_step,
+        |  s1.t1 AS t1_us, s2.t2 AS t2_us, s3.t3 AS t3_us
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

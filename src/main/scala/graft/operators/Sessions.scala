@@ -52,4 +52,67 @@ object Sessions {
           .as("duration_sec"),
         count(lit(1)).as("n_events"),
         sum(col(valueCol)).as("sum_value"))
+
+  /** Cohort retention matrix: users grouped by first-seen day; for each
+    * (cohort_day, day-offset) the count of cohort members active on that
+    * offset. The web-analytics staple the reference's calendar layer stops
+    * short of.
+    *
+    * Plan: per-user first day and the distinct (user, day) activity set
+    * share ONE shuffle key (the user), then a second, result-sized shuffle
+    * into (cohort, offset) counts. `count(user)` on the distinct set IS the
+    * distinct-user count — no count_distinct state. Output is
+    * |days|²-bounded — tiny at any corpus scale.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val day = date_trunc("day", col(tsCol)).as("day")
+    val activity = df.select(col(userCol).as("_u"), day).distinct()
+    val firstDay = activity.groupBy("_u").agg(min(col("day")).as("cohort_day"))
+    activity.join(firstDay, Seq("_u"))
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("offset_days"))
+      .agg(count(col("_u")).as("n_active"))
+  }
+
+  /** Windowed funnel (ClickHouse `windowFunnel` semantics, strict order):
+    * per key, the earliest chain s_1 < s_2 < … with every step inside
+    * `windowSeconds` of the step-1 time; returns each key with the step
+    * timestamps reached (`t1..tk`, null once the chain breaks) and
+    * `max_step` (0 = never did s_1). Timestamps compare at exact
+    * MICROSECOND precision (same contract as [[sessionize]]).
+    *
+    * Plan: step 1 is a filtered min-agg per key; each later step is a
+    * filtered equi-join back on the key + min-agg — k−1 small hash joins
+    * against per-key 1-row frames, never a self-join of the full stream.
+    * All k aggregations shuffle on the SAME key, so AQE coalesces them
+    * onto one exchange footprint. A per-key sorted fold would do it in one
+    * pass but needs collect_list state (the Ewma-pattern guard); the join
+    * chain is streaming-friendly and spill-safe at any key cardinality.
+    */
+  def windowFunnel(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   typeCol: String, steps: Seq[String], windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val keys = keyCols.map(col)
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val ev = df.select((keys :+ col(typeCol).as("_t") :+ us.as("_us")): _*)
+    val t1 = ev.filter(col("_t") === steps.head)
+      .groupBy(keys: _*).agg(min(col("_us")).as("t1"))
+    val chain = steps.zipWithIndex.drop(1).foldLeft(t1) { case (acc, (step, i)) =>
+      val prev = s"t$i"
+      val cur = s"t${i + 1}"
+      val hit = ev.filter(col("_t") === step)
+        .join(acc.select((keys :+ col(prev) :+ col("t1").as("_t1")): _*), keyCols)
+        .filter(col("_us") > col(prev) &&
+          col("_us") <= col("_t1") + lit(windowSeconds * 1000000L))
+        .groupBy(keys: _*).agg(min(col("_us")).as(cur))
+      acc.join(hit.select((keys :+ col(cur)): _*), keyCols, "left")
+    }
+    val stepCols = (1 to steps.length).map(i => col(s"t$i"))
+    val reached = stepCols.map(c => when(c.isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    val allKeys = df.select(keys: _*).distinct()
+    allKeys.join(chain, keyCols, "left")
+      .withColumn("max_step", coalesce(reached, lit(0)))
+      .select((keys :+ col("max_step")) ++
+        (1 to steps.length).map(i => timestamp_micros(col(s"t$i")).as(s"t$i")): _*)
+  }
 }

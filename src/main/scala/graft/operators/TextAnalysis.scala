@@ -271,4 +271,67 @@ object TextAnalysis {
       .withColumn("contamination",
         when(col("n_shingles") > 0, col("n_overlap").cast("double") / col("n_shingles")))
   }
+
+  // --------------------------------------------------------- tf-idf / bm25
+
+  /** Per-(doc, term) TF-IDF with sklearn's smooth-idf definition
+    * (TfidfTransformer, smooth_idf=True, no norm):
+    *   idf(t) = ln((1 + N) / (1 + df_t)) + 1,   score = tf · idf
+    * Tokens are lowercased whitespace words (the [[graft.functions.Hashing.words]]
+    * parity contract).
+    *
+    * Plan: one shuffle of exploded (doc, term) tokens into the tf counts;
+    * the df table is a second, vocabulary-sized aggregation OF THE COUNTS
+    * (never re-touching text); N rides along as a broadcast 1-row frame —
+    * no collect. At 100 TB the vocabulary's rare-term long tail dominates
+    * the df table: `minDf` prunes it BEFORE the join back, which also
+    * shrinks the join's build side.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+            minDf: Long = 1L): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(words(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfTab, Seq("term"))
+      .join(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * (log((lit(1) + col("n_docs")) / (lit(1) + col("df"))) + 1))
+      .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** BM25 relevance of every document against a literal query term set
+    * (Robertson et al., Okapi at TREC-3 — public):
+    *   idf(t) = ln(1 + (N − df_t + 0.5) / (df_t + 0.5))
+    *   s(d)   = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·len_d/avglen))
+    * df_t counts documents containing t among ALL docs (not just matches).
+    *
+    * Plan: one narrow pass stages words and doc length; corpus N/avglen is
+    * a broadcast 1-row aggregate; the `term isin query` filter lands ON THE
+    * EXPLODE — everything aggregated afterwards is |query|-sparse. Docs
+    * matching no query term score null (kept via left join — a ranking
+    * consumer drops them, an audit consumer sees them).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, query: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25 needs at least one query term")
+    val staged = docs.select(col(idCol).as("id"), words(lower(col(textCol))).as("_ws"))
+      .withColumn("len", size(col("_ws")).cast("double"))
+    val stats = staged.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avg_len"))
+    val tf = staged.select(col("id"), col("len"), explode(col("_ws")).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy("id", "len", "term").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfTab), Seq("term"))
+      .join(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib", col("idf") * col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1) - b + lit(b) * col("len") / col("avg_len"))))
+      .groupBy("id").agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms_hit"))
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .withColumn("n_terms_hit", coalesce(col("n_terms_hit"), lit(0L)))
+  }
 }

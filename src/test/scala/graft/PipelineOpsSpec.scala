@@ -72,6 +72,78 @@ class PipelineOpsSpec extends SparkSuite {
     assert(st.toSeq == Seq((1L, 100L, 2L, 3.0), (2L, 0L, 1L, 4.0)))
   }
 
+  test("cohortRetention: first-seen cohorts, offsets, multi-visit counted once") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 23:00:00"), // same day: once
+      (1L, "2024-01-03 01:00:00"),                              // offset 2
+      (2L, "2024-01-01 05:00:00"),                              // same cohort as 1
+      (3L, "2024-01-02 00:00:00"), (3L, "2024-01-03 00:00:00")) // later cohort
+      .toDF("u", "t").withColumn("ts", col("t").cast("timestamp"))
+    val out = Sessions.cohortRetention(df, "u", "ts")
+      .select(date_format(col("cohort_day"), "MM-dd").as("c"), col("offset_days"), col("n_active"))
+      .as[(String, Int, Long)].collect().sorted
+    assert(out.toSeq == Seq(("01-01", 0, 2L), ("01-01", 2, 1L),
+      ("01-02", 0, 1L), ("01-02", 1, 1L)))
+  }
+
+  test("windowFunnel: strict order, window expiry, chain break, max_step 0") {
+    val W = 100L
+    val df = Seq(
+      // u1: full chain inside the window
+      (1L, "a", 0L), (1L, "b", 10L), (1L, "c", 20L),
+      // u2: b BEFORE a → not counted; no b after a → stops at step 1
+      (2L, "b", 0L), (2L, "a", 5L), (2L, "c", 10L),
+      // u3: b lands outside the window of t1 → stops at step 1
+      (3L, "a", 0L), (3L, "b", 150L), (3L, "c", 160L),
+      // u4: never does step a → max_step 0 even though b,c present
+      (4L, "b", 0L), (4L, "c", 1L),
+      // u5: second 'a' irrelevant — chain anchors at the FIRST a
+      (5L, "a", 0L), (5L, "a", 90L), (5L, "b", 95L), (5L, "c", 99L))
+      .toDF("u", "t", "s").withColumn("ts", timestamp_seconds(col("s")))
+    val out = Sessions.windowFunnel(df, Seq("u"), "ts", "t",
+        Seq("a", "b", "c"), windowSeconds = W)
+      .select(col("u"), col("max_step"), unix_timestamp(col("t3")).as("t3s"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3, 20L), (2L, 1, -1L), (3L, 1, -1L),
+      (4L, 0, -1L), (5L, 3, 99L)))
+  }
+
+  // --------------------------------------------------------- tf-idf / bm25
+
+  test("tfidf: hand-computed smooth idf; minDf prunes rare terms") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "cat dog cat"), (2L, "dog fish"), (3L, "dog")).toDF("id", "text")
+    val out = TextAnalysis.tfidf(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    def idf(df: Long) = math.log(4.0 / (1 + df)) + 1
+    assert(out((1L, "cat")) == ((2L, 1L, 2 * idf(1))))
+    assert(out((1L, "dog")) == ((1L, 3L, 1 * idf(3))))
+    assert(out((2L, "fish")) == ((1L, 1L, 1 * idf(1))))
+    assert(out.size == 5)
+    // minDf = 2 keeps only 'dog' (df 3) and 'cat'? cat df=1 → pruned
+    val pruned = TextAnalysis.tfidf(docs, "id", "text", minDf = 2L)
+      .select("term").distinct().as[String].collect().toSet
+    assert(pruned == Set("dog"))
+  }
+
+  test("bm25: single-term corpus ranks by tf/length; no-hit doc scores null") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "x x x y"), (2L, "x y y y"), (3L, "y y")).toDF("id", "text")
+    val out = TextAnalysis.bm25(docs, "id", "text", Seq("x"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Double.NaN else r.getDouble(1), r.getLong(2))).toMap
+    val (k1, b) = (1.2, 0.75)
+    val idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    def s(tf: Long, len: Double) =
+      idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len / (10.0 / 3)))
+    assert(math.abs(out(1L)._1 - s(3, 4)) < 1e-12 && out(1L)._2 == 1L)
+    assert(math.abs(out(2L)._1 - s(1, 4)) < 1e-12)
+    assert(out(3L)._1.isNaN && out(3L)._2 == 0L) // no query term → null score
+    assert(out(1L)._1 > out(2L)._1)              // higher tf wins at equal length
+  }
+
   // ------------------------------------------------------ incremental dedup
 
   test("incrementalDedup ≡ plain anti-join for any fpp (Bloom is only a prune)") {
