@@ -1289,6 +1289,37 @@ object SparkEntry {
           unix_micros(col("t1")).as("t1_us"), unix_micros(col("t2")).as("t2_us"),
           unix_micros(col("t3")).as("t3_us"))
         .orderBy("user_id")
+    }),
+
+    // frequency encoding (category -> share of fit rows)
+    "q105_freq_encode" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val dict = Encoding.fitFrequency(e, "event_type")
+      Encoding.encodeFrequency(e, "event_type", broadcast(dict))
+        .groupBy(col("event_type"))
+        .agg(r6(first(col("event_type_freq"))).as("freq"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // smoothed target encoding fit on the train split only (leak-free)
+    "q106_target_encode" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val train = e.filter(col("ts") < lit("2024-01-20").cast("timestamp"))
+      val prior = Encoding.fitTargetPrior(train, "value")
+      val dict = Encoding.fitTarget(train, "event_type", "value", m = 10.0, prior = prior)
+      Encoding.encodeTarget(e, "event_type", broadcast(dict), prior)
+        .groupBy(col("event_type"))
+        .agg(r6(first(col("event_type_target"))).as("code"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // robust scaler: (x - median) / IQR through the scaler-replay pipeline
+    "q107_robust_scale" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val p = Scalers.fitRobust(e, "value")
+      Scalers.applyAll(e, Seq(p))
+        .select(col("event_id"), r6(col("value")).as("value_scaled"))
+        .orderBy("event_id")
     })
   )
 
@@ -2713,7 +2744,40 @@ object SparkEntry {
         |  s1.t1 AS t1_us, s2.t2 AS t2_us, s3.t3 AS t3_us
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id)
-        |ORDER BY u.user_id""".stripMargin
+        |ORDER BY u.user_id""".stripMargin,
+
+    "q105_freq_encode" ->
+      """WITH t AS (SELECT count(*)::DOUBLE AS total FROM events
+        |  WHERE event_type IS NOT NULL),
+        |d AS (SELECT event_type, count(*) AS n FROM events
+        |  WHERE event_type IS NOT NULL GROUP BY 1)
+        |SELECT e.event_type, round(coalesce(d.n / t.total, 0), 6) AS freq,
+        |  count(*) AS n
+        |FROM events e CROSS JOIN t LEFT JOIN d USING (event_type)
+        |GROUP BY 1,2 ORDER BY 1""".stripMargin,
+
+    // identical float op order: (sum + 10·prior) / (count + 10)
+    "q106_target_encode" ->
+      """WITH tr AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-20'),
+        |p AS (SELECT avg(value) AS prior FROM tr),
+        |d AS (SELECT event_type,
+        |    (sum(value) + 10.0*p.prior) / (count(*) + 10.0) AS code
+        |  FROM tr CROSS JOIN p
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY event_type, p.prior)
+        |SELECT e.event_type, round(coalesce(d.code, p.prior), 6) AS code,
+        |  count(*) AS n
+        |FROM events e CROSS JOIN p LEFT JOIN d USING (event_type)
+        |GROUP BY 1,2 ORDER BY 1""".stripMargin,
+
+    "q107_robust_scale" ->
+      """WITH p AS (SELECT quantile_cont(value, 0.5) AS med,
+        |    quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+        |  FROM events)
+        |SELECT event_id,
+        |  round((value - p.med)
+        |    / (CASE WHEN p.iqr = 0 THEN 1.0 ELSE p.iqr END), 6) AS value_scaled
+        |FROM events CROSS JOIN p ORDER BY event_id""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

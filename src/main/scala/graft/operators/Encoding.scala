@@ -50,4 +50,58 @@ object Encoding {
     df.join(
       dict.select(col("code").as(codeCol), col(c).as(s"${codeCol}_decoded")),
       Seq(codeCol), "left")
+
+  // ----------------------------------------------- frequency / target enc
+
+  /** Frequency dictionary `(c, <c>_freq)`: each category's share of the
+    * non-null FIT rows. Counts are vocabulary-sized; the total rides along
+    * as a broadcast 1-row frame — no collect, no global window.
+    */
+  def fitFrequency(df: DataFrame, c: String): DataFrame = {
+    val nn = df.filter(col(c).isNotNull)
+    val total = nn.agg(count(lit(1)).as("_total"))
+    nn.groupBy(col(c)).agg(count(lit(1)).as("_n"))
+      .join(broadcast(total))
+      .withColumn(s"${c}_freq", col("_n") / col("_total"))
+      .select(col(c), col(s"${c}_freq"))
+  }
+
+  /** Attach `<c>_freq` from a fitted dictionary; categories never seen in
+    * the fit frame get 0.0 (an observed share, not a missing value).
+    */
+  def encodeFrequency(df: DataFrame, c: String, dict: DataFrame): DataFrame =
+    df.join(dict, Seq(c), "left")
+      .withColumn(s"${c}_freq", coalesce(col(s"${c}_freq"), lit(0.0)))
+
+  /** Global target prior (train mean of `y`) — the one bounded scalar the
+    * target encoder persists beside its dictionary (same contract as the
+    * scaler params: a 1-value aggregate collected once).
+    */
+  def fitTargetPrior(df: DataFrame, y: String): Double =
+    df.filter(col(y).isNotNull).agg(avg(col(y))).head().getDouble(0)
+
+  /** Smoothed mean (target) encoding fit on TRAIN ONLY — the leak-free
+    * categorical encoding (Micci-Barreca 2001, "A preprocessing scheme for
+    * high-cardinality categorical attributes" — public):
+    *   code(v) = (Σ y + m·prior) / (n_v + m)
+    * One vocabulary-sized aggregation; smoothing pulls rare categories
+    * toward the prior, so a category seen once cannot memorize its row's
+    * target (the leakage the reference's CV scaffolding exists to prevent).
+    */
+  def fitTarget(df: DataFrame, c: String, y: String, m: Double,
+                prior: Double): DataFrame = {
+    require(m >= 0, s"smoothing m must be >= 0, got $m")
+    df.filter(col(c).isNotNull && col(y).isNotNull)
+      .groupBy(col(c))
+      .agg(sum(col(y)).as("_sy"), count(lit(1)).as("_ny"))
+      .withColumn(s"${c}_target", (col("_sy") + lit(m) * prior) / (col("_ny") + lit(m)))
+      .select(col(c), col(s"${c}_target"))
+  }
+
+  /** Attach `<c>_target`; unseen categories fall back to the prior (the
+    * m→∞ limit — the only leak-free default).
+    */
+  def encodeTarget(df: DataFrame, c: String, dict: DataFrame, prior: Double): DataFrame =
+    df.join(dict, Seq(c), "left")
+      .withColumn(s"${c}_target", coalesce(col(s"${c}_target"), lit(prior)))
 }

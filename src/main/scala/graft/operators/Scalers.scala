@@ -53,6 +53,25 @@ object Scalers {
       else pow(c * lambda + 1.0, 1.0 / lambda)
   }
 
+  /** Robust scaler (sklearn RobustScaler semantics): center on the exact
+    * median, scale by the exact IQR — outlier-insensitive where
+    * [[StandardizeParams]] is not. Degenerate IQR (constant bulk) scales
+    * by 1 like the other scalers' zero-span guards.
+    */
+  case class RobustParams(column: String, median: Double, iqr: Double) extends ScalerParams {
+    private val denom = if (iqr == 0) 1.0 else iqr
+    def apply(c: Column): Column = (c - median) / denom
+    def inverse(c: Column): Column = c * denom + median
+  }
+
+  def fitRobust(df: DataFrame, column: String): RobustParams = {
+    val r = df.agg(
+      percentile(col(column), lit(0.5)),
+      percentile(col(column), lit(0.25)),
+      percentile(col(column), lit(0.75))).head()
+    RobustParams(column, r.getDouble(0), r.getDouble(2) - r.getDouble(1))
+  }
+
   /** Fit standardize params on (a filtered view of) df — e.g. train-only
     * rows for the leak-free CV pipeline (ref model.py:664-670).
     */

@@ -39,6 +39,34 @@ class EncodingSpec extends SparkSuite {
     assert(dec.filter(col("c") =!= col("c_code_decoded")).count() === 0)
   }
 
+  test("frequency encoding: shares from fit frame; unseen -> 0; null excluded from fit") {
+    val fit = Seq(Some("a"), Some("a"), Some("b"), None).toDF("c")
+    val dict = Encoding.fitFrequency(fit, "c").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dict == Map("a" -> 2.0 / 3, "b" -> 1.0 / 3)) // null row not in denominator
+    val apply = Seq("a", "zz").toDF("c")
+    val enc = Encoding.encodeFrequency(apply, "c", dict = Encoding.fitFrequency(fit, "c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(enc("a") == 2.0 / 3 && enc("zz") == 0.0)
+  }
+
+  test("target encoding: smoothing toward prior; unseen category gets the prior") {
+    val train = Seq(("a", 10.0), ("a", 20.0), ("b", 100.0)).toDF("c", "y")
+    val prior = Encoding.fitTargetPrior(train, "y")
+    assert(math.abs(prior - 130.0 / 3) < 1e-12)
+    val m = 2.0
+    val dict = Encoding.fitTarget(train, "c", "y", m, prior)
+    val enc = Encoding.encodeTarget(Seq("a", "b", "new").toDF("c"), "c", dict, prior)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(enc("a") - (30.0 + m * prior) / (2 + m)) < 1e-12)
+    assert(math.abs(enc("b") - (100.0 + m * prior) / (1 + m)) < 1e-12)
+    assert(math.abs(enc("new") - prior) < 1e-12) // unseen -> prior, never null
+    // m = 0 degenerates to the raw category mean (the leaky encoding)
+    val raw = Encoding.encodeTarget(Seq("b").toDF("c"), "c",
+      Encoding.fitTarget(train, "c", "y", 0.0, prior), prior).head().getDouble(1)
+    assert(math.abs(raw - 100.0) < 1e-12)
+  }
+
   test("EWMA fails fast with a diagnostic when a series exceeds maxSeriesPoints") {
     val prev = Ewma.maxSeriesPoints
     Ewma.maxSeriesPoints = 10

@@ -196,6 +196,22 @@ class FeaturesSpec extends SparkSuite {
     assert(l.select("v").collect().map(_.getDouble(0)).forall(v => v >= 0))
   }
 
+  test("robust scaler: exact median/IQR center-scale, inverse, constant-column guard") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v")
+    val p = Scalers.fitRobust(df, "v")
+    assert(p.median == 3.0 && p.iqr == 2.0) // p25=2, p75=4 (exact interpolation)
+    val scaled = Scalers.applyAll(df, Seq(p)).as[Double].collect().sorted
+    assert(scaled.head == -1.0 && scaled(2) == 0.0 && scaled.last == 48.5)
+    // round-trip
+    val rt = Scalers.inverseAll(Scalers.applyAll(df, Seq(p)), Seq(p))
+      .as[Double].collect().sorted
+    assert(rt.zip(Seq(1.0, 2.0, 3.0, 4.0, 100.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // constant column: iqr 0 -> scale by 1 (no div-by-zero, center only)
+    val c = Scalers.fitRobust(Seq(5.0, 5.0, 5.0).toDF("v"), "v")
+    assert(c.iqr == 0.0)
+    assert(Scalers.applyAll(Seq(5.0).toDF("v"), Seq(c)).head().getDouble(0) == 0.0)
+  }
+
   test("rolling skew/kurt match pandas sample-adjusted G1/G2 literals") {
     // one series, window wide enough to hold all prior rows (lag 1 day):
     // pandas .skew()/.kurt() of [1,2,3,4] = 0.0 / -1.2; of [1,1,1,2] skew = 2.0
