@@ -1320,6 +1320,25 @@ object SparkEntry {
       Scalers.applyAll(e, Seq(p))
         .select(col("event_id"), r6(col("value")).as("value_scaled"))
         .orderBy("event_id")
+    }),
+
+    // OHLC tick->bar downsample (5m buckets, deterministic tie-break)
+    "q108_ohlc" -> ((s, dir) => {
+      Features.ohlc(ev(s, dir), Seq("user_id"), "ts", "event_id", "value",
+          bucketSeconds = 300L)
+        .select(col("user_id"), col("bucket_start"), r6(col("open")).as("open"),
+          r6(col("high")).as("high"), r6(col("low")).as("low"),
+          r6(col("close")).as("close"), col("cnt"))
+        .orderBy("user_id", "bucket_start")
+    }),
+
+    // time-weighted average over irregular points (1h buckets)
+    "q109_twap" -> ((s, dir) => {
+      Features.timeWeightedAvg(ev(s, dir), Seq("user_id"), "ts", "event_id",
+          "value", bucketSeconds = 3600L)
+        .select(col("user_id"), col("bucket_start"), r6(col("twap")).as("twap"),
+          col("cnt"))
+        .orderBy("user_id", "bucket_start")
     })
   )
 
@@ -2777,7 +2796,39 @@ object SparkEntry {
         |SELECT event_id,
         |  round((value - p.med)
         |    / (CASE WHEN p.iqr = 0 THEN 1.0 ELSE p.iqr END), 6) AS value_scaled
-        |FROM events CROSS JOIN p ORDER BY event_id""".stripMargin
+        |FROM events CROSS JOIN p ORDER BY event_id""".stripMargin,
+
+    // floor(epoch(ts)) not epoch(ts)::BIGINT: the cast ROUNDS sub-second ts
+    "q108_ohlc" ->
+      """WITH e AS (SELECT user_id,
+        |    (floor(epoch(ts))::BIGINT // 300) * 300 AS bucket_start,
+        |    ts, event_id, value FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, bucket_start
+        |      ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY user_id, bucket_start
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT user_id, bucket_start,
+        |  round(max(CASE WHEN ra = 1 THEN value END), 6) AS open,
+        |  round(max(value), 6) AS high, round(min(value), 6) AS low,
+        |  round(max(CASE WHEN rd = 1 THEN value END), 6) AS close,
+        |  count(*) AS cnt
+        |FROM r GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q109_twap" ->
+      """WITH e AS (SELECT user_id,
+        |    (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket_start,
+        |    epoch_us(ts) AS tus, event_id, value FROM events),
+        |d AS (SELECT user_id, bucket_start, value,
+        |    (lead(tus) OVER (PARTITION BY user_id, bucket_start
+        |      ORDER BY tus, event_id) - tus)::DOUBLE AS dt
+        |  FROM e)
+        |SELECT user_id, bucket_start,
+        |  round(CASE WHEN sum(dt) IS NULL OR sum(dt) = 0
+        |    THEN avg(value) ELSE sum(value * dt) / sum(dt) END, 6) AS twap,
+        |  count(*) AS cnt
+        |FROM d GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -344,4 +344,61 @@ object Features {
       lags.map(k => s"$k, _acf$k").mkString(", ") + ") AS (lag, acf)"
     agged.select(hierarchy.map(col) :+ expr(stackExpr): _*)
   }
+
+  /** OHLC downsample: open/high/low/close + count per (keys, tumbling
+    * bucket) — the classic tick→bar compaction, and the natural extra
+    * measure set for a retention tier (first/last are associative, so this
+    * promotes tier-to-tier just like min/max).
+    *
+    * open/close use `min_by`/`max_by` on a (ts, tieCol) struct — fully
+    * deterministic under timestamp ties (a real concern at 10^9 events/day)
+    * and still a single partial-aggregable shuffle: no window sort, no
+    * second pass.
+    */
+  def ohlc(df: DataFrame, hierarchy: Seq[String], tsCol: String, tieCol: String,
+           valueCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val orderKey = struct(col(tsCol), col(tieCol))
+    df.groupBy(hierarchy.map(col) :+
+        window(col(tsCol), s"$bucketSeconds seconds").as("_w"): _*)
+      .agg(
+        min_by(col(valueCol), orderKey).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), orderKey).as("close"),
+        count(lit(1)).as("cnt"))
+      .withColumn("bucket_start", unix_timestamp(col("_w.start")))
+      .drop("_w")
+  }
+
+  /** Time-weighted average per (keys, tumbling bucket) over IRREGULARLY
+    * sampled points — the step-function (LOCF) integral divided by the
+    * covered span:  Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first), µs-exact deltas.
+    * A plain `avg` over irregular ticks over-weights bursts; TWAP is the
+    * standard correction (and what a 1m tier should store for irregular
+    * sources). Buckets with a single point (zero span) fall back to the
+    * plain mean.
+    *
+    * One shuffle: the `lead` window partitions on exactly the final group
+    * keys, so the aggregation reuses the window's exchange.
+    */
+  def timeWeightedAvg(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                      tieCol: String, valueCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val keyed = df.withColumn("bucket_start",
+      unix_timestamp(window(col(tsCol), s"$bucketSeconds seconds").getField("start")))
+    val win = Window.partitionBy((hierarchy :+ "bucket_start").map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    // ts may be TIMESTAMP_NTZ (parquet default here); unix_micros needs LTZ
+    val tus = unix_micros(col(tsCol).cast("timestamp"))
+    keyed
+      .withColumn("_dt_us", (lead(tus, 1).over(win) - tus).cast("double"))
+      .groupBy((hierarchy :+ "bucket_start").map(col): _*)
+      .agg(
+        when(sum(col("_dt_us")).isNull || sum(col("_dt_us")) === 0.0,
+          avg(col(valueCol)))
+          .otherwise(sum(col(valueCol) * col("_dt_us")) / sum(col("_dt_us")))
+          .as("twap"),
+        count(lit(1)).as("cnt"))
+  }
 }

@@ -212,6 +212,35 @@ class FeaturesSpec extends SparkSuite {
     assert(Scalers.applyAll(Seq(5.0).toDF("v"), Seq(c)).head().getDouble(0) == 0.0)
   }
 
+  test("ohlc: first/last by (ts, tie), high/low, deterministic under ts ties") {
+    def t(sec: Int): Timestamp = new Timestamp(1577836800000L + sec * 1000L)
+    val df = Seq(
+      ("k", t(0), 1L, 5.0), ("k", t(10), 2L, 9.0), ("k", t(20), 3L, 1.0),
+      ("k", t(70), 4L, 3.0),
+      // tied timestamps in one bucket: tie id decides open (id 5) and close (id 7)
+      ("z", t(0), 6L, 50.0), ("z", t(0), 5L, 40.0), ("z", t(0), 7L, 60.0)
+    ).toDF("k", "ts", "id", "v")
+    val out = Features.ohlc(df, Seq("k"), "ts", "id", "v", bucketSeconds = 60L)
+      .collect().map(r => (r.getString(0), r.getLong(6)) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(out(("k", 1577836800L)) == ((5.0, 9.0, 1.0, 1.0, 3L)))
+    assert(out(("k", 1577836860L)) == ((3.0, 3.0, 3.0, 3.0, 1L)))
+    assert(out(("z", 1577836800L)) == ((40.0, 60.0, 40.0, 60.0, 3L)))
+  }
+
+  test("twap: LOCF step integral over the covered span; single point -> plain value") {
+    def t(sec: Int): Timestamp = new Timestamp(1577836800000L + sec * 1000L)
+    val df = Seq(
+      ("k", t(0), 1L, 10.0), ("k", t(10), 2L, 20.0), ("k", t(30), 3L, 0.0),
+      ("s", t(5), 4L, 7.5) // lone point: zero span -> avg fallback
+    ).toDF("k", "ts", "id", "v")
+    val out = Features.timeWeightedAvg(df, Seq("k"), "ts", "id", "v", bucketSeconds = 3600L)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    // segments: 10*(10s) + 20*(20s) over 30s = 500/30; last point carries no weight
+    assert(math.abs(out("k")._1 - 500.0 / 30.0) < 1e-12 && out("k")._2 == 3L)
+    assert(out("s") == ((7.5, 1L)))
+  }
+
   test("rolling skew/kurt match pandas sample-adjusted G1/G2 literals") {
     // one series, window wide enough to hold all prior rows (lag 1 day):
     // pandas .skew()/.kurt() of [1,2,3,4] = 0.0 / -1.2; of [1,1,1,2] skew = 2.0
