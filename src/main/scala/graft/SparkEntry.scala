@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Pages
 import graft.functions.Hier
-import graft.operators.{CrossVal, Dedup, Encoding, Ewma, Features, GapFill, Metrics, Multimodal, Profile, Rollup, Scalers, Similarity, TextAnalysis}
+import graft.operators.{CrossVal, Dedup, Encoding, Ewma, Features, GapFill, Intervals, Metrics, Multimodal, Profile, Rollup, Sax, Scalers, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1339,6 +1339,60 @@ object SparkEntry {
         .select(col("user_id"), col("bucket_start"), r6(col("twap")).as("twap"),
           col("cnt"))
         .orderBy("user_id", "bucket_start")
+    }),
+
+    // retention-tier RANGE READ (the store's serving path): an arbitrary
+    // minute-aligned window answered by STITCHING the coarsest tiers that
+    // fit (1m edges → 1h edges → 1d interior, Rollup.coverage), p50/p95
+    // EXACT via k-way Gorilla-block merge across tiers; the oracle computes
+    // straight from raw points over the same window
+    "q110_range_read" -> ((s, dir) => {
+      val t1m = ev(s, dir)
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+        .withColumn("bucket_start", col("ts_sec") - pmod(col("ts_sec"), lit(60L)))
+        .groupBy(col("user_id"), col("bucket_start"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_len"),
+          min(col("value")).as("min_len"), max(col("value")).as("max_len"),
+          collect_set(col("event_type")).as("lang_set"),
+          graft.functions.codec.BlockAggregator(col("ts_sec"), col("value")).as("m"))
+        .withColumn("block", col("m.block")).drop("m")
+      val t1h = Rollup.promote(t1m, 3600L, groupCols = Seq("user_id"))
+      val t1d = Rollup.promote(t1h, 86400L, groupCols = Seq("user_id"))
+      // [2024-01-03 05:23, 2024-01-27 19:41): misaligned on both ends so the
+      // cover uses all three tiers (37 1m + 18 1h + 23 1d + 19 1h + 41 1m)
+      Rollup.readRange(Map("1m" -> t1m, "1h" -> t1h, "1d" -> t1d),
+          1704259380L, 1706384460L, groupCols = Seq("user_id"))
+        .select(col("user_id"), col("cnt"), r6(col("sum_len")).as("sum_value"),
+          r6(col("min_len")).as("min_value"), r6(col("max_len")).as("max_value"),
+          r6(col("p50_len")).as("p50"), r6(col("p95_len")).as("p95"),
+          col("lang_card").as("type_card"))
+        .orderBy("user_id")
+    }),
+
+    // interval containment join as a coarse-bucket EQUI-join (intervals
+    // replicated to overlapped buckets, residual predicate on the match —
+    // never a theta/nested-loop join): events inside derived per-user
+    // 30-minute windows
+    "q111_interval_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val iv = e.filter(pmod(col("event_id"), lit(97L)) === 0)
+        .select(col("user_id"), col("event_id").as("window_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+      Intervals.intervalJoin(e, iv, Seq("user_id"), "ts", "w_start", "w_end",
+          bucketSeconds = 1800L, carryCols = Seq("window_id"))
+        .select(col("user_id"), col("window_id"), col("event_id"))
+        .orderBy("user_id", "window_id", "event_id")
+    }),
+
+    // SAX symbolization (Lin et al. 2003): z-normalize per user, PAA over
+    // 2-day frames, equiprobable-Gaussian letters — one indexable word per
+    // series
+    "q112_sax" -> ((s, dir) => {
+      Sax.sax(ev(s, dir), Seq("user_id"), "ts", "value",
+          frameSeconds = 172800L, alphabet = 4)
+        .select(col("user_id"), col("sax_word"), col("n_frames"))
+        .orderBy("user_id")
     })
   )
 
@@ -2828,7 +2882,46 @@ object SparkEntry {
         |  round(CASE WHEN sum(dt) IS NULL OR sum(dt) = 0
         |    THEN avg(value) ELSE sum(value * dt) / sum(dt) END, 6) AS twap,
         |  count(*) AS cnt
-        |FROM d GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |FROM d GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // straight off the raw points — the Spark side reaches the same numbers
+    // only through the 1m->1h->1d tier store + Rollup.readRange stitching
+    "q110_range_read" ->
+      """SELECT user_id, count(*) AS cnt, round(sum(value),6) AS sum_value,
+        |round(min(value),6) AS min_value, round(max(value),6) AS max_value,
+        |round(quantile_cont(value, 0.5),6) AS p50,
+        |round(quantile_cont(value, 0.95),6) AS p95,
+        |count(DISTINCT event_type) AS type_card
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-03 05:23:00'
+        |  AND ts < TIMESTAMP '2024-01-27 19:41:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q111_interval_join" ->
+      """WITH iv AS (SELECT user_id, event_id AS window_id, ts AS w_start,
+        |    ts + INTERVAL 30 MINUTE AS w_end FROM events WHERE event_id % 97 = 0)
+        |SELECT e.user_id, iv.window_id, e.event_id
+        |FROM events e JOIN iv ON e.user_id = iv.user_id
+        | AND e.ts >= iv.w_start AND e.ts < iv.w_end
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // frame base uses minute-truncated epoch (exact BIGINT cast; a raw
+    // epoch(ts)::BIGINT would ROUND sub-second timestamps) — 2-day frames
+    // are minute multiples so truncation cannot move a point across frames
+    "q112_sax" ->
+      """WITH m AS (SELECT user_id, avg(value) AS mu, stddev_pop(value) AS sd
+        |    FROM events GROUP BY 1),
+        |z AS (SELECT e.user_id,
+        |    epoch(date_trunc('minute', e.ts))::BIGINT
+        |      - epoch(date_trunc('minute', e.ts))::BIGINT % 172800 AS frame_start,
+        |    CASE WHEN m.sd > 0 THEN (e.value - m.mu) / m.sd ELSE 0 END AS z
+        |  FROM events e JOIN m USING (user_id)),
+        |p AS (SELECT user_id, frame_start, round(avg(z),6) AS paa FROM z GROUP BY 1,2),
+        |s AS (SELECT user_id, frame_start,
+        |    CASE WHEN paa < -0.6744898 THEN 'a' WHEN paa < 0.0 THEN 'b'
+        |         WHEN paa < 0.6744898 THEN 'c' ELSE 'd' END AS sym FROM p)
+        |SELECT user_id, string_agg(sym, '' ORDER BY frame_start) AS sax_word,
+        |count(*) AS n_frames FROM s GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval containment join: attach to every point row the interval rows
+  * (same keys) with `start <= ts < end`.
+  *
+  * The reference's only temporal join is exact (hierarchy, datetime) equality
+  * (/root/reference/forecastframe/utilities.py `_join_on_index`); interval
+  * containment is the other join a time-series engine needs (events within
+  * maintenance windows, trades within auction phases, pages crawled during an
+  * incident).
+  *
+  * Scale design — NOT a theta join. `p JOIN i ON p.k = i.k AND i.s <= p.ts
+  * AND p.ts < i.e` runs as a sort-merge join on `k` with the range as a
+  * post-join FILTER: every point meets every interval of its key first
+  * (|points_k| × |intervals_k| intermediate rows — quadratic on hot keys),
+  * and with no key at all Spark falls back to BroadcastNestedLoopJoin.
+  * Instead both sides are mapped to coarse time buckets of width `w`:
+  * intervals REPLICATE to each bucket they overlap (`explode(sequence(...))`,
+  * ⌈len/w⌉+1 ≤ 2 copies when `w` bounds the interval length), points map to
+  * their single bucket, and the join becomes a pure EQUI-join on
+  * (keys, bucket) with the containment predicate as the join residual. Each
+  * (point, interval) match meets in exactly one bucket — the point's — so no
+  * dedup pass is needed. Cost: one shuffle of each side on (keys, bucket),
+  * fan-out bounded by interval length / w, independent of key skew in time.
+  *
+  * The bucket width trades replication against candidate density: `w` at
+  * roughly the MAXIMUM interval length gives ≤ 2 replicas per interval while
+  * keeping each bucket's candidate set to the intervals actually near it.
+  * Intervals longer than `w` are still correct — they just replicate
+  * proportionally (a 10·w interval lands in ~11 buckets).
+  */
+object Intervals {
+
+  /** @param points    point side; keeps all its columns
+    * @param intervals interval side with `keyCols`, `startCol`, `endCol`
+    *                  (half-open `[start, end)`), plus `carryCols` to attach
+    * @param keyCols   equi-join keys present on both sides
+    * @param tsCol     point timestamp column (TimestampType)
+    * @param startCol  interval start (TimestampType, inclusive)
+    * @param endCol    interval end (TimestampType, exclusive)
+    * @param bucketSeconds coarse bucket width; pick ≈ max interval length
+    * @param carryCols interval columns to attach to each matched point
+    * @return inner join: one row per (point, containing interval) pair
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
+                   tsCol: String, startCol: String, endCol: String,
+                   bucketSeconds: Long, carryCols: Seq[String]): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val p = points.withColumn("_pb",
+      floor(unix_timestamp(col(tsCol)) / bucketSeconds))
+    // end is exclusive: an interval ending exactly on a bucket boundary does
+    // not reach into the next bucket, hence the -1 before the floor.
+    val i = intervals
+      .withColumn("_ib", explode(sequence(
+        floor(unix_timestamp(col(startCol)) / bucketSeconds),
+        floor((unix_timestamp(col(endCol)) - 1) / bucketSeconds))))
+      .select((keyCols.map(c => col(c).as(s"_ik_$c")) ++
+        Seq(col(startCol).as("_is"), col(endCol).as("_ie"), col("_ib")) ++
+        carryCols.map(col)): _*)
+    val cond = keyCols.map(c => p(c) === i(s"_ik_$c"))
+      .reduce(_ && _) && p("_pb") === i("_ib") &&
+      p(tsCol) >= i("_is") && p(tsCol) < i("_ie")
+    p.join(i, cond, "inner")
+      .select(points.columns.map(col) ++ carryCols.map(col): _*)
+  }
+}

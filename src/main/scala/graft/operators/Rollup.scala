@@ -238,6 +238,74 @@ object Rollup {
         col("lang_card"), col("lang_set"), col("block"))): _*)
   }
 
+  /** One contiguous run of same-tier buckets inside a stitched range read:
+    * tier rows with `segStart <= bucket_start < segEnd`.
+    */
+  case class Segment(tier: String, startSec: Long, endSec: Long)
+
+  /** Minimal tier cover of `[startSec, endSec)`: whole coarse buckets in the
+    * interior, progressively finer tiers at the edges (1d interior, then 1h,
+    * then 1m — e.g. a 25-day range misaligned by minutes reads ~24 day rows
+    * + ≤46 hour rows + ≤118 minute rows per group instead of every raw
+    * point). Segments are disjoint, ordered, and concatenate exactly to
+    * `[startSec, endSec)`; both endpoints must be aligned to the finest tier.
+    */
+  def coverage(startSec: Long, endSec: Long, tiers: Seq[Tier] = Tiers): Seq[Segment] = {
+    require(tiers.nonEmpty, "coverage needs at least one tier")
+    val finest = tiers.map(_.seconds).min
+    require(startSec % finest == 0 && endSec % finest == 0,
+      s"range endpoints must be multiples of the finest tier (${finest}s)")
+    require(startSec <= endSec, "startSec must be <= endSec")
+    def go(s: Long, e: Long, rem: List[Tier]): List[Segment] = rem match {
+      case Nil =>
+        require(s == e, s"uncoverable residue [$s,$e) — finest tier too coarse")
+        Nil
+      case t :: finer =>
+        val w = t.seconds
+        val lo = ((s + w - 1) / w) * w // first whole bucket at or after s
+        val hi = (e / w) * w           // end of last whole bucket before e
+        if (lo >= hi) go(s, e, finer)
+        else go(s, lo, finer) ::: Segment(t.name, lo, hi) :: go(hi, e, finer)
+    }
+    go(startSec, endSec, tiers.sortBy(-_.seconds).toList)
+  }
+
+  /** Continuous-aggregate range read: the full-range aggregate per hierarchy
+    * group over `[startSec, endSec)` served by STITCHING the coarsest tiers
+    * that fit ([[coverage]]) instead of re-scanning raw points — the serving
+    * path of a retention-tier store (TimescaleDB-style real-time aggregates).
+    * Associative measures re-merge; p50/p95 stay EXACT because each tier row
+    * carries its Gorilla point block and the stitched percentile is
+    * recomputed from the k-way-merged blocks ([[mergeBlocksUdf]]).
+    *
+    * Scale: per group this touches O(interior-days + 48 + 118) tier rows for
+    * ANY range width — at 10^12 raw pages a month-wide ad-hoc percentile
+    * query reads thousands of tier rows, not billions of points. Against the
+    * day-partitioned durable store each segment filter is a partition prune
+    * (tier tables partition by day — see [[graft.plans.TierPipeline]]); here
+    * the same predicate prunes via parquet min/max on `bucket_start`.
+    *
+    * @param tiers tierName → tier table (the [[allTiers]] map or the durable
+    *              store's frames); every segment's tier must be present and
+    *              carry the partial columns (cnt/sum/min/max/lang_set/block)
+    * @return one row per group: `range_start`, `range_end`, the merged
+    *         measures, exact `p50_len`/`p95_len`, and the merged block
+    */
+  def readRange(tiers: Map[String, DataFrame], startSec: Long, endSec: Long,
+                groupCols: Seq[String] = Seq("tld", "registered_domain", "host")): DataFrame = {
+    val segs = coverage(startSec, endSec, Tiers.filter(t => tiers.contains(t.name)))
+    val partialCols = groupCols.map(col) ++ Seq(col("bucket_start"), col("cnt"),
+      col("sum_len"), col("min_len"), col("max_len"), col("lang_set"), col("block"))
+    val parts = segs.map { sg =>
+      tiers(sg.tier)
+        .filter(col("bucket_start") >= sg.startSec && col("bucket_start") < sg.endSec)
+        .select(partialCols: _*)
+    }
+    mergePartials(parts.reduce(_.unionByName(_)), groupCols, bucketExpr = lit(startSec))
+      .withColumnRenamed("bucket_start", "range_start")
+      .withColumn("range_end", lit(endSec))
+  }
+
   /** Two-phase (salted) variant of [[mergePartials]] for coarse groups with
     * unbounded fan-in: phase 1 merges within `(keys, salt)` sub-groups so no
     * single task materializes the whole group's blocks, phase 2 merges the

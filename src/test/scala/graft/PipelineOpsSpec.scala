@@ -582,4 +582,69 @@ class PipelineOpsSpec extends SparkSuite {
       .orderBy("k").collect()
     assert(bottom.map(_.getLong(1)).toSeq == Seq(12L, 20L))
   }
+
+  // -------------------------------------------------------- interval join
+
+  test("intervalJoin equals the naive theta join; half-open boundaries") {
+    // points every 100 s per key; intervals of mixed lengths, including one
+    // LONGER than the bucket (replicates to several buckets), one ending
+    // exactly on a bucket boundary, and two that overlap the same point
+    val pts = (0L until 40L).map(i => (i % 2, i, i * 100))
+      .toDF("k", "pid", "s")
+      .withColumn("ts", timestamp_seconds(col("s"))).drop("s")
+    val iv = Seq(
+      (0L, 100L, 150L, 450L),   // within one bucket
+      (0L, 101L, 400L, 1800L),  // crosses buckets, ends ON a boundary
+      (0L, 102L, 300L, 3300L),  // longer than the bucket (5.5 buckets)
+      (1L, 103L, 100L, 101L),   // 1-second sliver containing point at 100
+      (1L, 104L, 3900L, 4000L)) // [incl, excl): point at 4000 must NOT match
+      .toDF("k", "window_id", "s0", "s1")
+      .withColumn("w_start", timestamp_seconds(col("s0")))
+      .withColumn("w_end", timestamp_seconds(col("s1"))).drop("s0", "s1")
+    val bucketed = graft.operators.Intervals.intervalJoin(
+      pts, iv, Seq("k"), "ts", "w_start", "w_end",
+      bucketSeconds = 600L, carryCols = Seq("window_id"))
+      .select("k", "pid", "window_id")
+    val naive = pts.join(iv,
+        pts("k") === iv("k") && pts("ts") >= iv("w_start") && pts("ts") < iv("w_end"))
+      .select(pts("k"), col("pid"), col("window_id"))
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
+    assert(bucketed.count() > 0)
+    // point 3900 in the sliver [3900,4000) matches; 4000 itself excluded
+    val m104 = bucketed.filter(col("window_id") === 104L).select("pid")
+      .collect().map(_.getLong(0)).toSet
+    assert(m104 == Set(39L))
+  }
+
+  // ----------------------------------------------------------------- SAX
+
+  test("sax: hand golden, constant series, alphabet-3 breakpoints") {
+    val df = Seq(
+      ("a", 0L, 1.0), ("a", 60L, 2.0), ("a", 120L, 3.0), ("a", 180L, 4.0),
+      ("c", 0L, 7.5), ("c", 60L, 7.5), ("c", 120L, 7.5))
+      .toDF("g", "s", "v")
+      .withColumn("ts", timestamp_seconds(col("s"))).drop("s")
+    // group a: mu=2.5 sd=sqrt(1.25); z = -1.342, -0.447, 0.447, 1.342 → abcd
+    val out = graft.operators.Sax.sax(df, Seq("g"), "ts", "v",
+      frameSeconds = 60L, alphabet = 4).orderBy("g").collect()
+    assert(out(0).getString(1) == "abcd" && out(0).getLong(2) == 4L)
+    // constant series: z ≡ 0 → 'c' ('0 < 0' false, '0 < 0.674' true)
+    assert(out(1).getString(1) == "ccc")
+    val a3 = graft.operators.Sax.sax(df.filter(col("g") === "a"), Seq("g"),
+      "ts", "v", frameSeconds = 60L, alphabet = 3).collect()(0).getString(1)
+    // |z| = 0.4472 straddles the ±0.4307 breakpoints outward on both sides
+    assert(a3 == "aacc")
+  }
+
+  test("sax: one frame letter per frame, multiple points per frame") {
+    val df = (0L until 120L).map(i => ("g", i * 30, math.sin(i / 5.0)))
+      .toDF("g", "s", "v")
+      .withColumn("ts", timestamp_seconds(col("s"))).drop("s")
+    val paa = graft.operators.Sax.paa(df, Seq("g"), "ts", "v",
+      frameSeconds = 600L, alphabet = 4)
+    assert(paa.count() == 6) // 3600 s of points / 600 s frames
+    val word = graft.operators.Sax.sax(df, Seq("g"), "ts", "v",
+      frameSeconds = 600L, alphabet = 4).collect()(0).getString(1)
+    assert(word.length == 6 && word.forall(c => c >= 'a' && c <= 'd'))
+  }
 }

@@ -125,4 +125,58 @@ class RollupSpec extends SparkSuite {
     assert(j.filter(col("cnt").isNull || col("d_cnt").isNull).count() == 0)
     assert(j.filter(col("cnt") =!= col("d_cnt") || abs(col("p95_len") - col("d_p95")) > 1e-9).count() == 0)
   }
+
+  test("coverage: disjoint, exact, coarsest-possible segments") {
+    // whole day → single 1d segment
+    assert(coverage(0L, 86400L) == Seq(Segment("1d", 0L, 86400L)))
+    // misaligned ends walk down the tier ladder
+    val segs = coverage(60L, 90000L)
+    // concatenation covers [60, 90000) exactly, in order, with no overlap
+    assert(segs.head.startSec == 60L && segs.last.endSec == 90000L)
+    assert(segs.sliding(2).forall { case Seq(a, b) => a.endSec == b.startSec; case _ => true })
+    // every segment is aligned to (and non-empty in) its own tier width
+    val width = Tiers.map(t => t.name -> t.seconds).toMap
+    assert(segs.forall(s => s.startSec % width(s.tier) == 0 &&
+      s.endSec % width(s.tier) == 0 && s.endSec > s.startSec))
+    // coarsest-possible: a segment never spans a whole bucket of a coarser tier
+    assert(segs.forall { s =>
+      Tiers.filter(_.seconds > width(s.tier)).forall { coarse =>
+        val lo = ((s.startSec + coarse.seconds - 1) / coarse.seconds) * coarse.seconds
+        lo + coarse.seconds > s.endSec
+      }
+    })
+    // unaligned endpoints rejected
+    intercept[IllegalArgumentException](coverage(30L, 86400L))
+  }
+
+  test("readRange: stitched multi-tier read equals direct aggregate from raw") {
+    // 4-day corpus so the cover has a 1d interior plus 1h and 1m edges
+    val pages4d = graft.functions.Hier.withHierarchy(
+      Pages.synthesize(spark, 8000L, seed = 11L, minutes = 5760)).cache()
+    val tiers = allTiers(pages4d)
+    val start = Pages.Epoch + 3 * 3600 + 7 * 60       // day 1, 03:07
+    val end = Pages.Epoch + 2 * 86400 + 5 * 3600 + 120 // day 3, 05:02
+    val segs = coverage(start, end, Tiers.filter(t => tiers.contains(t.name)))
+    assert(segs.map(_.tier).toSet == Set("1m", "5m", "1h", "1d"))
+    val stitched = readRange(tiers, start, end)
+    val direct = Rollup.textLen(pages4d)
+      .filter(unix_timestamp(col("warc_ts")) >= start && unix_timestamp(col("warc_ts")) < end)
+      .groupBy(col("tld"), col("registered_domain"), col("host"))
+      .agg(count(lit(1)).as("d_cnt"), sum(col("text_len")).as("d_sum"),
+        min(col("text_len")).as("d_min"), max(col("text_len")).as("d_max"),
+        percentile(col("text_len"), lit(0.5)).as("d_p50"),
+        percentile(col("text_len"), lit(0.95)).as("d_p95"),
+        size(collect_set(col("lang"))).cast("long").as("d_card"))
+    val j = stitched.join(direct, Seq("tld", "registered_domain", "host"), "full_outer")
+    assert(j.filter(col("cnt").isNull || col("d_cnt").isNull).count() == 0)
+    assert(j.filter(col("cnt") =!= col("d_cnt") ||
+      abs(col("sum_len") - col("d_sum")) > 1e-9 ||
+      abs(col("min_len") - col("d_min")) > 1e-9 ||
+      abs(col("max_len") - col("d_max")) > 1e-9 ||
+      abs(col("p50_len") - col("d_p50")) > 1e-9 ||
+      abs(col("p95_len") - col("d_p95")) > 1e-9 ||
+      col("lang_card") =!= col("d_card")).count() == 0)
+    assert(stitched.select("range_start").head.getLong(0) == start)
+    pages4d.unpersist()
+  }
 }
