@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Pages
 import graft.functions.Hier
-import graft.operators.{CrossVal, Dedup, Encoding, Ewma, Features, GapFill, Intervals, Metrics, Multimodal, Profile, Rollup, Sax, Scalers, Similarity, TextAnalysis}
+import graft.operators.{CrossVal, Dedup, Encoding, Ewma, Features, GapFill, Hist, Intervals, Metrics, Multimodal, Profile, Rollup, Sax, Scalers, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1393,6 +1393,57 @@ object SparkEntry {
           frameSeconds = 172800L, alphabet = 4)
         .select(col("user_id"), col("sax_word"), col("n_frames"))
         .orderBy("user_id")
+    }),
+
+    // PromQL-style counter increase/rate with reset handling, over a
+    // synthetic wraparound counter (cumsum of 1+event_id%7 mod 1000) so
+    // resets genuinely occur; deltas computed on the FULL series order so
+    // they cross bucket boundaries correctly
+    "q113_counter_rate" -> ((s, dir) => {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val ctr = ev(s, dir).withColumn("counter",
+        pmod(sum(lit(1L) + pmod(col("event_id"), lit(7L))).over(win), lit(1000L)))
+      Features.counterRate(ctr, Seq("user_id"), "ts", "event_id", "counter",
+          bucketSeconds = 3600L)
+        .select(col("user_id"), col("bucket_start"),
+          r6(col("increase")).as("increase"), col("n_deltas"), col("n_resets"),
+          r6(col("rate")).as("rate"))
+        .orderBy("user_id", "bucket_start")
+    }),
+
+    // rolling OLS slope of value vs time (local linear trend) over the
+    // trailing 7 samples; x re-centered per key before the moment sums
+    "q114_rolling_slope" -> ((s, dir) => {
+      Features.rollingSlope(ev(s, dir), Seq("user_id"), "ts", "value",
+          winRows = 7)
+        .select(col("user_id"), col("event_id"),
+          r6(col("rolling_slope")).as("rolling_slope"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // M4 visualization downsample: ≤4 rows (first/last/min/max points) per
+    // 6h bucket, ties resolved to the earliest row
+    "q115_m4" -> ((s, dir) => {
+      Features.m4Downsample(ev(s, dir), Seq("user_id"), "ts", "event_id",
+          "value", bucketSeconds = 21600L)
+        .select(col("user_id"), col("bucket_start"), col("event_id"),
+          r6(col("value")).as("value"), array_join(col("roles"), ",").as("roles"))
+        .orderBy("user_id", "bucket_start", "event_id")
+    }),
+
+    // mergeable fixed-width histograms THROUGH promotion: 1m histogram tier
+    // rows merged elementwise to 1h, exploded to (bin, cnt) rows; the oracle
+    // bins raw points directly at 1h grain — proving counter-exact promotion
+    "q116_hist_promote" -> ((s, dir) => {
+      val h1m = Hist.histogram(ev(s, dir), Seq("user_id"), "ts", "value",
+        bucketSeconds = 60L, lo = 0.0, hi = 100.0, nbins = 10)
+      Hist.promote(h1m, Seq("user_id"), tierSeconds = 3600L, nbins = 10)
+        .select(col("user_id"), col("bucket_start"),
+          posexplode(col("hist")).as(Seq("bin", "cnt")))
+        .orderBy("user_id", "bucket_start", "bin")
     })
   )
 
@@ -2921,7 +2972,93 @@ object SparkEntry {
         |    CASE WHEN paa < -0.6744898 THEN 'a' WHEN paa < 0.0 THEN 'b'
         |         WHEN paa < 0.6744898 THEN 'c' ELSE 'd' END AS sym FROM p)
         |SELECT user_id, string_agg(sym, '' ORDER BY frame_start) AS sax_word,
-        |count(*) AS n_frames FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+        |count(*) AS n_frames FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // series-head delta is NULL (contributes nothing), negative delta =
+    // reset → the restarted counter's absolute value counts as increase
+    "q113_counter_rate" ->
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |    (sum(1 + event_id % 7) OVER (PARTITION BY user_id
+        |       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) % 1000 AS counter
+        |  FROM events),
+        |d AS (SELECT user_id,
+        |    (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket_start,
+        |    counter::DOUBLE AS v,
+        |    counter::DOUBLE - lag(counter::DOUBLE) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dd
+        |  FROM c),
+        |x AS (SELECT user_id, bucket_start,
+        |    CASE WHEN dd IS NULL THEN NULL WHEN dd >= 0 THEN dd ELSE v END AS delta,
+        |    CASE WHEN dd < 0 THEN 1 ELSE 0 END AS is_reset
+        |  FROM d)
+        |SELECT user_id, bucket_start, round(sum(delta),6) AS increase,
+        |  count(delta) AS n_deltas, sum(is_reset)::BIGINT AS n_resets,
+        |  round(sum(delta) / 3600.0, 6) AS rate
+        |FROM x GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // identical float-op order: per-key re-centered x, the same five moment
+    // sums over ROWS 6 PRECEDING, the same (n·Σxy−Σx·Σy)/(n·Σxx−Σx²) shape
+    "q114_rolling_slope" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value,
+        |    epoch_us(ts)::DOUBLE / 86400000000.0 AS xa FROM events),
+        |c AS (SELECT *, xa - min(xa) OVER (PARTITION BY user_id) AS x FROM e),
+        |s AS (SELECT user_id, event_id,
+        |    count(value) OVER fr AS n,
+        |    sum(x) OVER fr AS sx, sum(value) OVER fr AS sy,
+        |    sum(x * value) OVER fr AS sxy, sum(x * x) OVER fr AS sxx
+        |  FROM c
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |  round(CASE WHEN n = 7 AND 7.0 * sxx - sx * sx > 0
+        |    THEN (7.0 * sxy - sx * sy) / (7.0 * sxx - sx * sx) END, 6)
+        |    AS rolling_slope
+        |FROM s ORDER BY 1,2""".stripMargin,
+
+    // roles resolved by explicit row_number orderings (earliest row wins
+    // min/max ties), same fixed first,last,min,max role order
+    "q115_m4" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |    (floor(epoch(ts))::BIGINT // 21600) * 21600 AS bucket_start,
+        |    epoch_us(ts) AS tus FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, bucket_start
+        |      ORDER BY tus, event_id) AS rn_f,
+        |    row_number() OVER (PARTITION BY user_id, bucket_start
+        |      ORDER BY tus DESC, event_id DESC) AS rn_l,
+        |    row_number() OVER (PARTITION BY user_id, bucket_start
+        |      ORDER BY value, tus, event_id) AS rn_min,
+        |    row_number() OVER (PARTITION BY user_id, bucket_start
+        |      ORDER BY value DESC, tus, event_id) AS rn_max
+        |  FROM e)
+        |SELECT user_id, bucket_start, event_id, round(value,6) AS value,
+        |  concat_ws(',',
+        |    CASE WHEN rn_f = 1 THEN 'first' END,
+        |    CASE WHEN rn_l = 1 THEN 'last' END,
+        |    CASE WHEN rn_min = 1 THEN 'min' END,
+        |    CASE WHEN rn_max = 1 THEN 'max' END) AS roles
+        |FROM r WHERE rn_f = 1 OR rn_l = 1 OR rn_min = 1 OR rn_max = 1
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // bins raw points straight at 1h grain (slot expr float-op-identical to
+    // Hist.slot: 12 slots = underflow + 10 bins of [0,100) + overflow);
+    // zero slots materialized via the bin spine cross join
+    "q116_hist_promote" ->
+      """WITH pts AS (SELECT user_id,
+        |    (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket_start,
+        |    CASE WHEN value < 0.0 THEN 0 WHEN value >= 100.0 THEN 11
+        |         ELSE least(floor((value - 0.0) / 10.0)::INT, 9) + 1 END AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT DISTINCT user_id, bucket_start FROM pts),
+        |bins AS (SELECT unnest(generate_series(0, 11)) AS bin),
+        |c AS (SELECT user_id, bucket_start, bin, count(*) AS cnt
+        |  FROM pts GROUP BY 1,2,3)
+        |SELECT g.user_id, g.bucket_start, bins.bin,
+        |  coalesce(c.cnt, 0)::BIGINT AS cnt
+        |FROM g CROSS JOIN bins
+        |LEFT JOIN c ON c.user_id = g.user_id
+        |  AND c.bucket_start = g.bucket_start AND c.bin = bins.bin
+        |ORDER BY 1, 2, 3""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

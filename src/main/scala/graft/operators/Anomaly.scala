@@ -77,4 +77,60 @@ object Anomaly {
         when(full && pooled > 0,
           abs(avg(v).over(right) - avg(v).over(left)) / sqrt(pooled)))
   }
+
+  /** Tabular (two-sided) CUSUM drift detector (Page 1954; NIST/SEMATECH
+    * e-handbook §6.3.2.3 form): per key, standardize against the key's own
+    * mean/stddev, then fold the pair of one-sided cumulative sums
+    *
+    *   s⁺ᵢ = max(0, s⁺ᵢ₋₁ + zᵢ − slack)
+    *   s⁻ᵢ = max(0, s⁻ᵢ₋₁ − zᵢ − slack)     (s⁺₀ = s⁻₀ = 0)
+    *
+    * and flag rows where either side exceeds `h`. Detects small SUSTAINED
+    * drifts that [[madOutliers]] (pointwise) and [[meanShiftScore]]
+    * (fixed-window) both dilute; `slack` (the "allowance" k, typically 0.5 =
+    * half the shift-to-detect in σ units) absorbs in-control noise.
+    *
+    * The recursion is inherently sequential per series — same licensing as
+    * the EWMA/Holt folds (SURVEY §2.11): one `collect_list` per key bounded
+    * by [[Ewma.maxSeriesPoints]] (point a TIER at it, not raw events), the
+    * fold a primitive O(n) pass, results exploded back to one row per point.
+    * One shuffle on the keys; the moments reuse a grouped agg + key join.
+    *
+    * Output: (keys, ts-sec, tie, z, cusum_pos, cusum_neg, is_drift).
+    */
+  def cusum(df: DataFrame, keyCols: Seq[String], tsCol: String, tieCol: String,
+            valCol: String, slack: Double = 0.5, h: Double = 5.0): DataFrame = {
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(h > 0, s"h must be > 0, got $h")
+    val keys = keyCols.map(col)
+    val v = col(valCol).cast("double")
+    val foldUdf = udf { (pts: Seq[org.apache.spark.sql.Row]) =>
+      require(pts.size <= Ewma.maxSeriesPoints,
+        s"CUSUM series has ${pts.size} points (> Ewma.maxSeriesPoints=" +
+          s"${Ewma.maxSeriesPoints}). Aggregate to time buckets first.")
+      val sorted = pts.sortBy(p => (p.getLong(0), p.getLong(1)))
+      var sp = 0.0; var sn = 0.0
+      sorted.map { p =>
+        val z = p.getDouble(2)
+        sp = math.max(0.0, sp + z - slack)
+        sn = math.max(0.0, sn - z - slack)
+        (p.getLong(0), p.getLong(1), z, sp, sn)
+      }
+    }
+    val moments = df.filter(v.isNotNull).groupBy(keys: _*)
+      .agg(avg(v).as("_mu"), stddev_pop(v).as("_sd"))
+    df.filter(v.isNotNull)
+      .join(moments, keyCols)
+      .withColumn("_z", when(col("_sd") > 0, (v - col("_mu")) / col("_sd"))
+        .otherwise(lit(0.0)))
+      .groupBy(keys: _*)
+      .agg(collect_list(struct(
+        unix_timestamp(col(tsCol)).as("t"), col(tieCol).cast("long").as("i"),
+        col("_z").as("z"))).as("_pts"))
+      .withColumn("_r", explode(foldUdf(col("_pts"))))
+      .select((keys ++ Seq(col("_r._1").as("ts_sec"), col("_r._2").as("tie"),
+        col("_r._3").as("z"), col("_r._4").as("cusum_pos"),
+        col("_r._5").as("cusum_neg"))): _*)
+      .withColumn("is_drift", col("cusum_pos") > h || col("cusum_neg") > h)
+  }
 }

@@ -401,4 +401,122 @@ object Features {
           .as("twap"),
         count(lit(1)).as("cnt"))
   }
+
+  /** Monotone-counter increase and per-second rate per (keys, tumbling
+    * bucket), with counter RESETS handled PromQL-`increase`-style: the
+    * per-sample delta is `v − lag(v)` when non-negative, else `v` (the
+    * counter restarted from 0 and has reached v since). Byte counters,
+    * request counters, and wraparound gauges are the other half of a
+    * metrics-tier ingest (the value side of the same 1m tier this engine
+    * builds for gauges); storing raw cumulative values and bucketing deltas
+    * at read time is wrong the moment a process restarts inside a bucket.
+    *
+    * The first sample of each series has no predecessor: its delta is null
+    * (unknown), matching PromQL's refusal to extrapolate before the first
+    * point. One window shuffle on the series keys (`lag` over the full
+    * series order, so deltas cross bucket boundaries correctly), then a
+    * partial-aggregable groupBy per bucket.
+    */
+  def counterRate(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                  tieCol: String, counterCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val series = Window.partitionBy(hierarchy.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val v = col(counterCol).cast("double")
+    val d = v - lag(v, 1).over(series)
+    // null lag (series head) must yield a NULL delta, not fall through to
+    // the reset branch: `d >= 0` is null there and when() would take
+    // otherwise(v), silently counting the first absolute value as increase.
+    // Both window-derived values materialize as columns BEFORE the groupBy —
+    // a window expression inside an aggregate is illegal.
+    df.withColumn("_delta",
+      when(d.isNull, lit(null).cast("double")).when(d >= 0, d).otherwise(v))
+      .withColumn("_is_reset", when(d < 0, 1L).otherwise(0L))
+      .groupBy(hierarchy.map(col) :+
+        window(col(tsCol), s"$bucketSeconds seconds").as("_w"): _*)
+      .agg(
+        sum(col("_delta")).as("increase"),
+        count(col("_delta")).as("n_deltas"),
+        sum(col("_is_reset")).as("n_resets"))
+      .withColumn("rate", col("increase") / lit(bucketSeconds.toDouble))
+      .withColumn("bucket_start", unix_timestamp(col("_w.start")))
+      .drop("_w")
+  }
+
+  /** Rolling OLS slope of `valueCol` against time (in days) over the
+    * trailing `winRows` samples per key — the local linear trend (PromQL
+    * `deriv`, pandas `rolling.apply(polyfit)` shape): slope =
+    * (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) with x = epoch days. Null until the
+    * window is full or when all x in the window coincide. Same moment-sum
+    * construction as [[rollingCorr]]: one window shuffle, codegen'd sums,
+    * no UDF; the oracle replays the identical expression shape.
+    *
+    * x is RE-CENTERED on the key's earliest epoch day before the moment
+    * sums (a per-key constant shift leaves the OLS slope unchanged):
+    * epoch-day magnitudes (~2e4) otherwise eat half the double mantissa in
+    * Σx², and catastrophic cancellation in the denominator makes the slope
+    * engine-order-dependent. The centering min is materialized as a column
+    * first — window expressions cannot nest — and shares the rolling
+    * window's exchange (same partition keys).
+    */
+  def rollingSlope(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                   valueCol: String, winRows: Int): DataFrame = {
+    require(winRows >= 2, s"winRows must be >= 2, got $winRows")
+    val frame = w(hierarchy, tsCol).rowsBetween(-(winRows - 1), 0)
+    val xAbs = unix_micros(col(tsCol).cast("timestamp")).cast("double") / lit(86400e6)
+    val centered = df.withColumn("_x0",
+      min(xAbs).over(Window.partitionBy(hierarchy.map(col): _*)))
+    val x = xAbs - col("_x0")
+    val y = col(valueCol).cast("double")
+    val n = lit(winRows.toDouble)
+    val sx = sum(x).over(frame); val sy = sum(y).over(frame)
+    val sxy = sum(x * y).over(frame); val sxx = sum(x * x).over(frame)
+    val den = n * sxx - sx * sx
+    centered.withColumn("rolling_slope",
+      when(count(y).over(frame) === winRows && den > 0,
+        (n * sxy - sx * sy) / den))
+      .drop("_x0")
+  }
+
+  /** M4 visualization downsample (Jugel et al., VLDB 2014): per (keys,
+    * tumbling bucket) keep only the rows that realize the bucket's FIRST,
+    * LAST, MIN-value, and MAX-value points — the minimal point set whose
+    * line rendering is pixel-identical to the full series at that bucket
+    * width. The standard decimation for serving month-wide interactive
+    * charts off a 10^12-point store: output is ≤ 4 rows per bucket
+    * regardless of raw density, and unlike avg-downsampling it preserves
+    * spikes exactly.
+    *
+    * Selection is deterministic under ties: min/max roles go to the
+    * EARLIEST (ts, tie) row among equals. Implemented as whole-frame window
+    * aggregates (`min`/`min_by` over the bucket partition) + a filter — one
+    * window shuffle, no join back, no second pass. Rows keep all input
+    * columns plus `bucket_start` and a `roles` array (a row may fill
+    * several roles).
+    */
+  def m4Downsample(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                   tieCol: String, valueCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val keyed = df.withColumn("bucket_start",
+      unix_timestamp(window(col(tsCol), s"$bucketSeconds seconds").getField("start")))
+    val part = Window.partitionBy((hierarchy :+ "bucket_start").map(col): _*)
+    val tus = unix_micros(col(tsCol).cast("timestamp"))
+    val rowKey = struct(tus.as("t"), col(tieCol).cast("long").as("i"))
+    val v = col(valueCol).cast("double")
+    val tieBreak = struct(v.as("v"), tus.as("t"), col(tieCol).cast("long").as("i"))
+    val tieBreakNeg = struct((-v).as("v"), tus.as("t"), col(tieCol).cast("long").as("i"))
+    keyed
+      .withColumn("_rk", rowKey)
+      .withColumn("_first_k", min(rowKey).over(part))
+      .withColumn("_last_k", max(rowKey).over(part))
+      .withColumn("_min_k", min_by(rowKey, tieBreak).over(part))
+      .withColumn("_max_k", min_by(rowKey, tieBreakNeg).over(part))
+      .withColumn("roles", filter(array(
+        when(col("_rk") === col("_first_k"), lit("first")),
+        when(col("_rk") === col("_last_k"), lit("last")),
+        when(col("_rk") === col("_min_k"), lit("min")),
+        when(col("_rk") === col("_max_k"), lit("max"))), x => x.isNotNull))
+      .filter(size(col("roles")) > 0)
+      .drop("_rk", "_first_k", "_last_k", "_min_k", "_max_k")
+  }
 }

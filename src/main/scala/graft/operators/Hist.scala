@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable fixed-width histogram per (keys, tumbling bucket): an
+  * `array<long>` of `nbins + 2` counters — slot 0 underflow (< lo), slots
+  * 1..nbins the equal-width bins of `[lo, hi)`, slot nbins+1 overflow
+  * (>= hi). The distribution-shaped companion to the tier store's exact
+  * percentile blocks: blocks answer "what IS p99 here", histograms answer
+  * "how is the whole distribution shaped" at a fixed 8·(nbins+2)-byte cost
+  * per tier row, and — unlike the blocks — stay that size at ANY point
+  * count, so they remain cheap on the coarsest tiers of a 10^12-row store.
+  *
+  * The reference profiles distributions by materializing describe()-style
+  * stats per group (/root/reference/forecastframe/utilities.py summary
+  * helpers); a fixed-width mergeable histogram is the form of that profile
+  * that survives tier promotion without re-reading raw data.
+  *
+  * Scale: ONE partial-aggregable shuffle — each of the nbins+2 counters is
+  * a separate codegen'd `sum(when(bin = i, 1))` aggregate (map-side
+  * combined), assembled into the array only in the final projection. No
+  * per-group collect of values, no second pass. [[promote]] merges
+  * counter-arrays elementwise the same way (sum per slot), so 1m→1h→1d
+  * histogram promotion is counter-exact by construction. `nbins` is
+  * plan-size-bounded (each bin is an aggregate expression): require ≤ 512.
+  */
+object Hist {
+
+  /** 0-based slot for a value: 0 underflow, 1..nbins bins, nbins+1 overflow.
+    * The float guard (`least` with nbins-1) keeps `lo + k·w` edge values
+    * whose division rounds UP from spilling past the last bin.
+    */
+  private def slot(v: Column, lo: Double, hi: Double, nbins: Int): Column = {
+    val width = (hi - lo) / nbins
+    when(v.isNull, lit(null).cast("int"))
+      .when(v < lo, lit(0))
+      .when(v >= hi, lit(nbins + 1))
+      .otherwise(least(floor((v - lo) / lit(width)).cast("int"), lit(nbins - 1)) + 1)
+  }
+
+  private def slotSums(nbins: Int): Seq[Column] =
+    (0 to nbins + 1).map(i =>
+      sum(when(col("_slot") === i, 1L).otherwise(0L)).as(s"_h$i"))
+
+  private def assemble(nbins: Int): Column =
+    array((0 to nbins + 1).map(i => col(s"_h$i")): _*)
+
+  /** Histogram tier rows from raw points: (keys, bucket_start, hist). Null
+    * values land in no slot (they are not "underflow" — a null text length
+    * is a missing measurement, not a tiny one).
+    */
+  def histogram(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                valueCol: String, bucketSeconds: Long,
+                lo: Double, hi: Double, nbins: Int): DataFrame = {
+    require(nbins >= 1 && nbins <= 512, s"nbins must be in [1, 512], got $nbins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    df.withColumn("_slot", slot(col(valueCol).cast("double"), lo, hi, nbins))
+      .groupBy(hierarchy.map(col) :+
+        window(col(tsCol), s"$bucketSeconds seconds").as("_w"): _*)
+      .agg(slotSums(nbins).head, slotSums(nbins).tail: _*)
+      .withColumn("bucket_start", unix_timestamp(col("_w.start")))
+      .withColumn("hist", assemble(nbins))
+      .select((hierarchy.map(col) ++ Seq(col("bucket_start"), col("hist"))): _*)
+  }
+
+  /** Promote histogram tier rows to coarser `tierSeconds` buckets: counters
+    * merge by elementwise sum (one partial-aggregable shuffle; each slot is
+    * its own `sum(element_at(...))` aggregate). Counter-exact: promoting 1m
+    * histograms to 1h equals building the 1h histogram from raw.
+    */
+  def promote(hist: DataFrame, hierarchy: Seq[String], tierSeconds: Long,
+              nbins: Int): DataFrame = {
+    require(tierSeconds >= 1, s"tierSeconds must be >= 1, got $tierSeconds")
+    val coarse = col("bucket_start") - pmod(col("bucket_start"), lit(tierSeconds))
+    val sums = (0 to nbins + 1).map(i =>
+      sum(element_at(col("hist"), i + 1)).as(s"_h$i"))
+    hist.groupBy(hierarchy.map(col) :+ coarse.as("bucket_start"): _*)
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("hist", assemble(nbins))
+      .select((hierarchy.map(col) ++ Seq(col("bucket_start"), col("hist"))): _*)
+  }
+}

@@ -401,6 +401,63 @@ class FeaturesSpec extends SparkSuite {
     }
   }
 
+  test("counterRate: resets use the restarted value; series head contributes nothing") {
+    // counter per key: 10,20,5,8,3 — resets at 5 (after 20) and 3 (after 8)
+    val df = Seq(
+      (1L, 0L, 10.0), (1L, 60L, 20.0), (1L, 120L, 5.0),
+      (1L, 3660L, 8.0), (1L, 3720L, 3.0),
+      (2L, 0L, 100.0)) // lone first sample: null delta, null increase
+      .toDF("k", "t", "counter")
+      .withColumn("ts", timestamp_seconds(col("t"))).withColumn("i", col("t"))
+    val out = Features.counterRate(df, Seq("k"), "ts", "i", "counter", 3600L)
+      .orderBy("k", "bucket_start").collect()
+    val inc = out(0).fieldIndex("increase")
+    // bucket 0 of key 1: deltas null(head), +10, reset→5 ⇒ increase 15, 1 reset
+    assert(out(0).getDouble(inc) == 15.0)
+    assert(out(0).getLong(out(0).fieldIndex("n_deltas")) == 2L)
+    assert(out(0).getLong(out(0).fieldIndex("n_resets")) == 1L)
+    // bucket 3600: delta crosses the bucket boundary (8-5=3), then reset→3
+    assert(out(1).getDouble(inc) == 6.0)
+    assert(out(1).getLong(out(1).fieldIndex("n_resets")) == 1L)
+    assert(math.abs(out(1).getDouble(out(1).fieldIndex("rate")) - 6.0 / 3600.0) < 1e-12)
+    // key 2: only the head sample → sum of no deltas = null
+    assert(out(2).isNullAt(inc) && out(2).getLong(out(2).fieldIndex("n_deltas")) == 0L)
+  }
+
+  test("rollingSlope: exact on linear series, null gates, centering invariance") {
+    // y = 3.5 * day + 7 → slope exactly 3.5 everywhere once the window fills
+    val lin = (0 until 10).map(i => (1L, i.toLong * 86400, 3.5 * i + 7.0))
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val out = Features.rollingSlope(lin, Seq("k"), "ts", "v", winRows = 4)
+      .orderBy("t").collect()
+    val ix = out(0).fieldIndex("rolling_slope")
+    (0 to 2).foreach(i => assert(out(i).isNullAt(ix), "partial windows null"))
+    (3 until 10).foreach(i => assert(approxEq(out(i).getDouble(ix), 3.5, 1e-9)))
+    // shifting the key's epoch by years must not change the slope (centering)
+    val shifted = lin.withColumn("ts", timestamp_seconds(col("t") + 1500000000L))
+    val out2 = Features.rollingSlope(shifted, Seq("k"), "ts", "v", winRows = 4)
+      .orderBy("t").collect()
+    (3 until 10).foreach(i => assert(approxEq(out2(i).getDouble(ix), 3.5, 1e-9)))
+  }
+
+  test("m4Downsample: ≤4 rows per bucket, spike preserved, earliest-tie roles") {
+    val df = ((0 until 20).map(i => (1L, i.toLong * 60, 5.0)) :+ // flat ties
+      ((1L, 21L * 60, 99.0)) :+ ((1L, 22L * 60, -7.0)))          // spike + dip
+      .toDF("k", "t", "v")
+      .withColumn("ts", timestamp_seconds(col("t"))).withColumn("i", col("t"))
+    val out = Features.m4Downsample(df, Seq("k"), "ts", "i", "v", 86400L)
+      .orderBy("t").collect()
+    assert(out.length <= 4 && out.length >= 3)
+    val roles = out.flatMap(_.getSeq[String](out(0).fieldIndex("roles")))
+    assert(roles.sorted.toSeq == Seq("first", "last", "max", "min"))
+    // min role goes to the dip row, max to the spike; first is t=0 (earliest
+    // of the 20 tied 5.0 rows is NOT min — the dip is strictly lower)
+    val byRole = out.flatMap(r =>
+      r.getSeq[String](r.fieldIndex("roles")).map(_ -> r.getLong(r.fieldIndex("t")))).toMap
+    assert(byRole("first") == 0L && byRole("min") == 22L * 60 &&
+      byRole("max") == 21L * 60 && byRole("last") == 22L * 60)
+  }
+
   test("cv folds match sklearn TimeSeriesSplit arithmetic") {
     val daily = (1 to 10).map(i => ("h", ts(f"2020-01-$i%02d"), i.toDouble)).toDF("host", "day", "v")
     val folds = CrossVal.timeSeriesSplits(daily, "day", nSplits = 2, gap = 1)

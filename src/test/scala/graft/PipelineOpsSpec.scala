@@ -616,6 +616,34 @@ class PipelineOpsSpec extends SparkSuite {
     assert(m104 == Set(39L))
   }
 
+  // ----------------------------------------------------------- histogram
+
+  test("hist: slot placement incl. boundaries/nulls; promote counter-identical") {
+    val df = Seq(
+      Some(-1.0), Some(0.0), Some(9.999), Some(10.0), Some(99.99),
+      Some(100.0), Some(150.0), None)
+      .zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("k", "t", "v")
+      .withColumn("ts", timestamp_seconds(col("t"))).drop("t")
+    val row = graft.operators.Hist.histogram(df, Seq("k"), "ts", "v",
+      bucketSeconds = 3600L, lo = 0.0, hi = 100.0, nbins = 10).collect()(0)
+    val h = row.getSeq[Long](row.fieldIndex("hist"))
+    // slots: underflow(-1) | bin1(0.0, 9.999) | bin2(10.0) | ... | bin10(99.99) | overflow(100, 150)
+    assert(h(0) == 1L && h(1) == 2L && h(2) == 1L && h(10) == 1L && h(11) == 2L)
+    assert(h.sum == 7L) // the null lands in NO slot
+    // promote parity: 1m hists merged to 1h == direct 1h histogram
+    val pts = (0 until 600).map(i => (i.toLong % 3, i.toLong * 13,
+      (i * 37 % 130).toDouble - 5.0)).toDF("k", "t", "v")
+      .withColumn("ts", timestamp_seconds(col("t"))).drop("t")
+    val h1m = graft.operators.Hist.histogram(pts, Seq("k"), "ts", "v", 60L, 0.0, 100.0, 10)
+    val promoted = graft.operators.Hist.promote(h1m, Seq("k"), 3600L, 10)
+    val direct = graft.operators.Hist.histogram(pts, Seq("k"), "ts", "v", 3600L, 0.0, 100.0, 10)
+    val j = promoted.withColumnRenamed("hist", "ph")
+      .join(direct, Seq("k", "bucket_start"), "full_outer")
+    assert(j.filter(col("ph").isNull || col("hist").isNull).count() == 0)
+    assert(j.filter(col("ph") =!= col("hist")).count() == 0)
+  }
+
   // ----------------------------------------------------------------- SAX
 
   test("sax: hand golden, constant series, alphabet-3 breakpoints") {
