@@ -1444,6 +1444,19 @@ object SparkEntry {
         .select(col("user_id"), col("bucket_start"),
           posexplode(col("hist")).as(Seq("bin", "cnt")))
         .orderBy("user_id", "bucket_start", "bin")
+    }),
+
+    // two-sided tabular CUSUM drift detector (Page 1954): per-key
+    // standardize, fold s± = max(0, s± ± z − slack), flag either side > h;
+    // the oracle replays the recursion as a recursive CTE in identical
+    // float op order
+    "q117_cusum" -> ((s, dir) => {
+      graft.operators.Anomaly.cusum(ev(s, dir), Seq("user_id"), "ts",
+          "event_id", "value", slack = 0.5, h = 5.0)
+        .select(col("user_id"), col("ts_sec"), col("tie"), r6(col("z")).as("z"),
+          r6(col("cusum_pos")).as("cusum_pos"),
+          r6(col("cusum_neg")).as("cusum_neg"), col("is_drift"))
+        .orderBy("user_id", "ts_sec", "tie")
     })
   )
 
@@ -3058,7 +3071,34 @@ object SparkEntry {
         |FROM g CROSS JOIN bins
         |LEFT JOIN c ON c.user_id = g.user_id
         |  AND c.bucket_start = g.bucket_start AND c.bin = bins.bin
-        |ORDER BY 1, 2, 3""".stripMargin
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // the fold replayed as a recursive CTE over per-key row_number, same
+    // (second-truncated ts, event_id) order and float op order as the Spark
+    // fold; is_drift compared on the UNROUNDED sums
+    "q117_cusum" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT user_id, avg(value) AS mu, stddev_pop(value) AS sd
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |z AS (SELECT e.user_id, floor(epoch(e.ts))::BIGINT AS ts_sec,
+        |    e.event_id AS tie,
+        |    CASE WHEN m.sd > 0 THEN (e.value - m.mu) / m.sd ELSE 0.0 END AS z,
+        |    row_number() OVER (PARTITION BY e.user_id
+        |      ORDER BY floor(epoch(e.ts))::BIGINT, e.event_id) AS rn
+        |  FROM events e JOIN m USING (user_id) WHERE e.value IS NOT NULL),
+        |rec AS (
+        |  SELECT user_id, rn, ts_sec, tie, z,
+        |    greatest(0.0, 0.0 + z - 0.5) AS sp,
+        |    greatest(0.0, 0.0 - z - 0.5) AS sn
+        |  FROM z WHERE rn = 1
+        |  UNION ALL
+        |  SELECT z.user_id, z.rn, z.ts_sec, z.tie, z.z,
+        |    greatest(0.0, r.sp + z.z - 0.5), greatest(0.0, r.sn - z.z - 0.5)
+        |  FROM z JOIN rec r ON z.user_id = r.user_id AND z.rn = r.rn + 1)
+        |SELECT user_id, ts_sec, tie, round(z,6) AS z,
+        |  round(sp,6) AS cusum_pos, round(sn,6) AS cusum_neg,
+        |  (sp > 5.0 OR sn > 5.0) AS is_drift
+        |FROM rec ORDER BY 1, 2, 3""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -547,6 +547,33 @@ class PipelineOpsSpec extends SparkSuite {
     assert(scores(3) > 50, "10→20 shift against 0.1 jitter is a huge t-stat")
   }
 
+  test("cusum: hand-folded step drift; constant series never alarms") {
+    import graft.operators.Anomaly
+    // 10 at 0.0 then 10 at 10.0: mu=5, sd=5 → z = ∓1; slack 0.5 ⇒ the
+    // opposing side grows 0.5/step, the matching side decays 1.5/step
+    val df = (0 until 20).map(i => (1L, i.toLong * 60, if (i < 10) 0.0 else 10.0))
+      .toDF("k", "t", "v")
+      .withColumn("ts", timestamp_seconds(col("t"))).withColumn("i", col("t"))
+    val out = Anomaly.cusum(df, Seq("k"), "ts", "i", "v", slack = 0.5, h = 4.0)
+      .orderBy("ts_sec").collect()
+    val sp = out.map(r => r.getDouble(r.fieldIndex("cusum_pos")))
+    val sn = out.map(r => r.getDouble(r.fieldIndex("cusum_neg")))
+    // first half: sn = 0.5·(k+1), sp = 0
+    (0 until 10).foreach(k => assert(sp(k) == 0.0 && sn(k) == 0.5 * (k + 1)))
+    // second half: sp rebuilds 0.5/step; sn decays 1.5/step until floored
+    (10 until 20).foreach(k => assert(sp(k) == 0.5 * (k - 9)))
+    assert(sn(10) == 3.5 && sn(12) == 0.5 && sn(13) == 0.0 && sn(19) == 0.0)
+    // h=4.0: sn alarms at steps 8,9 (4.5, 5.0); sp at steps 18,19
+    val drifts = out.zipWithIndex.filter(_._1.getBoolean(out(0).fieldIndex("is_drift"))).map(_._2)
+    assert(drifts.toSeq == Seq(8, 9, 18, 19))
+    // constant series: sd=0 → z=0 → both sides pinned at 0, no alarms
+    val flat = (0 until 8).map(i => (2L, i.toLong * 60, 7.7)).toDF("k", "t", "v")
+      .withColumn("ts", timestamp_seconds(col("t"))).withColumn("i", col("t"))
+    val fout = Anomaly.cusum(flat, Seq("k"), "ts", "i", "v").collect()
+    assert(fout.forall(r => r.getDouble(r.fieldIndex("cusum_pos")) == 0.0 &&
+      !r.getBoolean(r.fieldIndex("is_drift"))))
+  }
+
   // --------------------------------------------------------- expectations
 
   test("expectations: per-check violation counts; one agg pass for row checks") {
