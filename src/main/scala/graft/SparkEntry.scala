@@ -1457,6 +1457,17 @@ object SparkEntry {
           r6(col("cusum_pos")).as("cusum_pos"),
           r6(col("cusum_neg")).as("cusum_neg"), col("is_drift"))
         .orderBy("user_id", "ts_sec", "tie")
+    }),
+
+    // unigram-LM fluency gate (CCNet-shaped, unigram table in place of
+    // KenLM): model trained on a 1/2 hash-sample, vocabulary capped to the
+    // top 500 tokens (tail → OOV mass), per-doc bits/token + perplexity
+    "q118_lm_score" -> ((s, dir) => {
+      TextAnalysis.lmScore(docs(s, dir), "doc_id", "text",
+          sampleMod = 2, maxVocab = Some(500))
+        .select(col("doc_id"), col("n_tokens"), r6(col("bits")).as("bits"),
+          r6(col("ppl")).as("ppl"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3098,7 +3109,32 @@ object SparkEntry {
         |SELECT user_id, ts_sec, tie, round(z,6) AS z,
         |  round(sp,6) AS cusum_pos, round(sn,6) AS cusum_neg,
         |  (sp > 5.0 OR sn > 5.0) AS is_drift
-        |FROM rec ORDER BY 1, 2, 3""".stripMargin
+        |FROM rec ORDER BY 1, 2, 3""".stripMargin,
+
+    // same tokenizer contract as q41, same md5Long sample gate as q39, the
+    // identical (c+1)/(N+V) and -ln(p)/ln(2) op shapes; totals from the
+    // FULL sampled counts, vocab capped to top-500 (c desc, tok)
+    "q118_lm_score" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> w <> '')) AS tok
+        |  FROM documents),
+        |tr AS (SELECT tok FROM toks
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2 = 0),
+        |cnts AS (SELECT tok, count(*) AS c FROM tr GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS N, count(*)::BIGINT AS V FROM cnts),
+        |voc AS (SELECT tok, c FROM (SELECT tok, c,
+        |    row_number() OVER (ORDER BY c DESC, tok) AS rk FROM cnts)
+        |  WHERE rk <= 500),
+        |sc AS (SELECT t.doc_id,
+        |    -ln((coalesce(v.c, 0) + 1.0) / (tot.N + tot.V)) / ln(2.0) AS b
+        |  FROM toks t LEFT JOIN voc v USING (tok) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, count(*) AS n_tokens, avg(b) AS bits
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |  round(a.bits, 6) AS bits, round(pow(2.0, a.bits), 6) AS ppl
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -334,4 +334,51 @@ object TextAnalysis {
     docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
       .withColumn("n_terms_hit", coalesce(col("n_terms_hit"), lit(0L)))
   }
+
+  /** Unigram language-model fluency score: per-document cross-entropy (bits
+    * per token) and perplexity against an add-1-smoothed unigram model
+    * trained on a deterministic hash-sample of the corpus itself —
+    *   p(w) = (c_w + 1) / (N + V),   OOV → 1 / (N + V),
+    *   bits(d) = mean over tokens of −log₂ p(w),   ppl = 2^bits.
+    * The standard cheap LM-quality gate for pretraining corpora (CCNet-style
+    * filtering uses exactly this shape with a KenLM in place of the unigram
+    * table): gibberish and boilerplate score high-perplexity against the
+    * corpus's own distribution, fluent text scores low.
+    *
+    * Scale: the model is TABLE-SIZED, not corpus-sized — `sampleMod` trains
+    * on a 1/mod deterministic hash-sample (same replayable `md5Long(id)`
+    * gate as [[langProfiles]]), and `maxVocab` caps the vocabulary to the
+    * top-N tokens (ties broken lexically) so the scoring join's build side
+    * is bounded and broadcastable; tail tokens fall into the OOV mass,
+    * whose normalizer (N + V) still comes from the FULL sampled counts, so
+    * probabilities stay well-defined. Scoring is one explode + one
+    * (broadcastable) vocab join + one per-doc aggregate. Token-less docs
+    * surface with n_tokens = 0 and null bits via the final left join.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+              sampleMod: Int = 1, maxVocab: Option[Int] = None): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    maxVocab.foreach(n => require(n >= 1, s"maxVocab must be >= 1, got $n"))
+    val train = if (sampleMod <= 1) docs else docs.filter(
+      pmod(md5Long(col(idCol).cast("string")), lit(sampleMod.toLong)) === 0)
+    val counts = train
+      .select(explode(words(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("N"), count(lit(1)).as("V"))
+    val vocab = maxVocab.fold(counts)(n =>
+      counts.orderBy(col("c").desc, col("tok")).limit(n))
+    val bits = docs
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("tok"))
+      .join(vocab, Seq("tok"), "left")
+      .join(broadcast(totals))
+      .withColumn("_bits",
+        -(log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("N") + col("V")))
+          / log(lit(2.0))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), avg(col("_bits")).as("bits"))
+    docs.select(col(idCol).as("id")).join(bits, Seq("id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("ppl", pow(lit(2.0), col("bits")))
+      .withColumnRenamed("id", idCol)
+  }
 }

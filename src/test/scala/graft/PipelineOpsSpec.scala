@@ -144,6 +144,24 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out(1L)._1 > out(2L)._1)              // higher tf wins at equal length
   }
 
+  test("lmScore: hand add-1 bits; vocab cap routes tail to OOV; empty doc null") {
+    import graft.operators.TextAnalysis
+    // counts: a:3 b:1 c:1 → N=5, V=3 → p(a)=4/8, p(b)=p(c)=2/8, OOV=1/8
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "")).toDF("id", "text")
+    val out = TextAnalysis.lmScore(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - 4.0 / 3) < 1e-12)
+    assert(out(2L)._1 == 2L && math.abs(out(2L)._2 - 1.5) < 1e-12)
+    assert(out(3L)._1 == 0L && out(3L)._2.isNaN)
+    // maxVocab=1 keeps only 'a'; b and c fall into the 1/8 OOV mass (the
+    // N+V normalizer still reflects the FULL counts)
+    val capped = TextAnalysis.lmScore(docs, "id", "text", maxVocab = Some(1))
+      .collect().filterNot(_.isNullAt(2)).map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(capped(1L) - 5.0 / 3) < 1e-12) // (1 + 1 + 3)/3
+    assert(math.abs(capped(2L) - 2.0) < 1e-12)     // (1 + 3)/2
+  }
+
   // ------------------------------------------------------ incremental dedup
 
   test("incrementalDedup ≡ plain anti-join for any fpp (Bloom is only a prune)") {
