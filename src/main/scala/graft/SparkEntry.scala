@@ -1468,6 +1468,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), r6(col("bits")).as("bits"),
           r6(col("ppl")).as("ppl"))
         .orderBy("doc_id")
+    }),
+
+    // quantile ESTIMATES from the promoted 1h histograms (uniform-within-bin
+    // interpolation, under/overflow clamp) — the fixed-size approximate
+    // percentile for tiers where even compressed blocks are too heavy
+    "q119_hist_quantile" -> ((s, dir) => {
+      val h1m = Hist.histogram(ev(s, dir), Seq("user_id"), "ts", "value",
+        bucketSeconds = 60L, lo = 0.0, hi = 100.0, nbins = 10)
+      val h1h = Hist.promote(h1m, Seq("user_id"), tierSeconds = 3600L, nbins = 10)
+      Hist.quantileEst(h1h, Seq("user_id"), lo = 0.0, hi = 100.0, nbins = 10,
+          qs = Seq(0.5, 0.95))
+        .select(col("user_id"), col("bucket_start"), col("q"),
+          r6(col("est")).as("est"))
+        .orderBy("user_id", "bucket_start", "q")
     })
   )
 
@@ -3134,7 +3148,41 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
         |  round(a.bits, 6) AS bits, round(pow(2.0, a.bits), 6) AS ppl
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    // replays the q116 binning at 1h grain, then the identical rank model:
+    // r = q·n, containing slot = first non-empty with cumBefore < r <= cum,
+    // lo + (bin−1)·w + ((r−cumBefore)/cnt)·w, slots 0/11 clamp to lo/hi
+    "q119_hist_quantile" ->
+      """WITH pts AS (SELECT user_id,
+        |    (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket_start,
+        |    CASE WHEN value < 0.0 THEN 0 WHEN value >= 100.0 THEN 11
+        |         ELSE least(floor((value - 0.0) / 10.0)::INT, 9) + 1 END AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT DISTINCT user_id, bucket_start FROM pts),
+        |bins AS (SELECT unnest(generate_series(0, 11)) AS bin),
+        |c AS (SELECT user_id, bucket_start, bin, count(*) AS cnt
+        |  FROM pts GROUP BY 1,2,3),
+        |h AS (SELECT g.user_id, g.bucket_start, bins.bin,
+        |    coalesce(c.cnt, 0)::BIGINT AS cnt
+        |  FROM g CROSS JOIN bins
+        |  LEFT JOIN c ON c.user_id = g.user_id
+        |    AND c.bucket_start = g.bucket_start AND c.bin = bins.bin),
+        |w AS (SELECT *,
+        |    sum(cnt) OVER (PARTITION BY user_id, bucket_start ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY user_id, bucket_start) AS n FROM h),
+        |qq AS (SELECT unnest([0.5, 0.95]) AS q),
+        |sel AS (SELECT w.user_id, w.bucket_start, qq.q, w.bin, w.cnt, w.cum,
+        |    qq.q * w.n AS r
+        |  FROM w CROSS JOIN qq
+        |  WHERE w.cnt > 0 AND w.cum >= qq.q * w.n
+        |    AND (w.cum - w.cnt) < qq.q * w.n)
+        |SELECT user_id, bucket_start, q,
+        |  round(CASE WHEN bin = 0 THEN 0.0 WHEN bin = 11 THEN 100.0
+        |    ELSE 0.0 + (bin - 1) * 10.0 + ((r - (cum - cnt)) / cnt) * 10.0
+        |    END, 6) AS est
+        |FROM sel ORDER BY 1, 2, 3""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

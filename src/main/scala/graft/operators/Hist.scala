@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable fixed-width histogram per (keys, tumbling bucket): an
@@ -80,5 +81,47 @@ object Hist {
       .agg(sums.head, sums.tail: _*)
       .withColumn("hist", assemble(nbins))
       .select((hierarchy.map(col) ++ Seq(col("bucket_start"), col("hist"))): _*)
+  }
+
+  /** Quantile ESTIMATES from histogram tier rows — the approximate
+    * companion to the exact block percentiles: rank r = q·n under a
+    * uniform-within-bin mass model, linearly interpolated inside the
+    * containing bin (max error = one bin width); ranks landing in the
+    * underflow/overflow slots clamp to `lo`/`hi`. This is the percentile
+    * that still works where even the compressed point blocks are too heavy
+    * — a coarse tier row over 10^9 points costs the same 8·(nbins+2) bytes
+    * as one over 10^3.
+    *
+    * Pure relational algebra, no UDF: posexplode to (bin, cnt) rows
+    * (bounded: nbins+2 per tier row), one window pass for the cumulative
+    * and total counts, and a filter that keeps exactly the bin straddling
+    * each requested rank. One shuffle on (keys, bucket).
+    *
+    * Output: (keys, bucket_start, q, est).
+    */
+  def quantileEst(hist: DataFrame, hierarchy: Seq[String], lo: Double, hi: Double,
+                  nbins: Int, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      s"quantiles must be in (0, 1), got $qs")
+    require(lo < hi && nbins >= 1, s"bad histogram spec [$lo, $hi) x $nbins")
+    val width = (hi - lo) / nbins
+    val keys = hierarchy.map(col) :+ col("bucket_start")
+    val part = Window.partitionBy(keys: _*)
+    val cumWin = part.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = col("q") * col("_n")
+    hist
+      .select((keys :+ posexplode(col("hist")).as(Seq("bin", "cnt"))): _*)
+      .withColumn("_cum", sum(col("cnt")).over(cumWin))
+      .withColumn("_n", sum(col("cnt")).over(part))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      // the unique slot straddling rank r: cumBefore < r <= cum (non-empty)
+      .filter(col("cnt") > 0 && col("_cum") >= r && (col("_cum") - col("cnt")) < r)
+      .withColumn("est",
+        when(col("bin") === 0, lit(lo))
+          .when(col("bin") === nbins + 1, lit(hi))
+          .otherwise(lit(lo) + (col("bin") - 1) * lit(width) +
+            ((r - (col("_cum") - col("cnt"))) / col("cnt")) * lit(width)))
+      .select((keys ++ Seq(col("q"), col("est"))): _*)
   }
 }

@@ -689,6 +689,28 @@ class PipelineOpsSpec extends SparkSuite {
     assert(j.filter(col("ph") =!= col("hist")).count() == 0)
   }
 
+  test("hist quantileEst: hand interpolation, under/overflow clamps") {
+    import graft.operators.Hist
+    // values 5,15,25,35 → bins 1..4, one each; n=4
+    val df = Seq(5.0, 15.0, 25.0, 35.0).zipWithIndex
+      .map { case (v, i) => (1L, i.toLong, v) }.toDF("k", "t", "v")
+      .withColumn("ts", timestamp_seconds(col("t"))).drop("t")
+    val h = Hist.histogram(df, Seq("k"), "ts", "v", 86400L, 0.0, 100.0, 10)
+    val est = Hist.quantileEst(h, Seq("k"), 0.0, 100.0, 10, Seq(0.5, 0.95))
+      .orderBy("q").collect().map(r => r.getDouble(r.fieldIndex("est")))
+    // q=.5: r=2 → bin2 (cum 2, before 1): 10 + ((2-1)/1)·10 = 20
+    // q=.95: r=3.8 → bin4 (cum 4, before 3): 30 + 0.8·10 = 38
+    assert(est.toSeq == Seq(20.0, 38.0))
+    // mass in the clamp slots: -5 (underflow) ×3 and 200 (overflow) ×3
+    val ext = Seq(-5.0, -5.0, -5.0, 200.0, 200.0, 200.0).zipWithIndex
+      .map { case (v, i) => (1L, i.toLong, v) }.toDF("k", "t", "v")
+      .withColumn("ts", timestamp_seconds(col("t"))).drop("t")
+    val he = Hist.histogram(ext, Seq("k"), "ts", "v", 86400L, 0.0, 100.0, 10)
+    val ee = Hist.quantileEst(he, Seq("k"), 0.0, 100.0, 10, Seq(0.25, 0.75))
+      .orderBy("q").collect().map(r => r.getDouble(r.fieldIndex("est")))
+    assert(ee.toSeq == Seq(0.0, 100.0)) // clamp to lo / hi
+  }
+
   // ----------------------------------------------------------------- SAX
 
   test("sax: hand golden, constant series, alphabet-3 breakpoints") {
