@@ -1482,6 +1482,28 @@ object SparkEntry {
         .select(col("user_id"), col("bucket_start"), col("q"),
           r6(col("est")).as("est"))
         .orderBy("user_id", "bucket_start", "q")
+    }),
+
+    // PCA + whitening over the embeddings table, certified by the ANALYTIC
+    // invariant: the whitened projections' population covariance is the k×k
+    // identity (diag λ/(λ+eps) ≈ 1 to 4 dp, off-diagonals exactly 0) — an
+    // oracle no float-op replay could fake
+    "q120_pca_whiten" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val model = graft.operators.Pca.fit(emb, "embedding", k = 8)
+      val proj = graft.operators.Pca.transform(emb, "embedding", model,
+        whiten = true)
+      val pairs = for (i <- 0 until 8; j <- 0 until 8) yield (i, j)
+      val aggs = pairs.map { case (i, j) =>
+        covar_pop(element_at(col("pca"), i + 1),
+          element_at(col("pca"), j + 1)).as(s"c_${i}_$j") }
+      def r4(c: Column): Column = signum(c) * floor(abs(c) * 1e4 + 0.5) / 1e4
+      proj.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(pairs.map { case (i, j) =>
+          struct(lit(i).as("i"), lit(j).as("j"),
+            r4(col(s"c_${i}_$j")).as("cov")) }: _*)).as("e"))
+        .select(col("e.i"), col("e.j"), col("e.cov"))
+        .orderBy("i", "j")
     })
   )
 
@@ -3182,7 +3204,16 @@ object SparkEntry {
         |  round(CASE WHEN bin = 0 THEN 0.0 WHEN bin = 11 THEN 100.0
         |    ELSE 0.0 + (bin - 1) * 10.0 + ((r - (cum - cnt)) / cnt) * 10.0
         |    END, 6) AS est
-        |FROM sel ORDER BY 1, 2, 3""".stripMargin
+        |FROM sel ORDER BY 1, 2, 3""".stripMargin,
+
+    // analytic oracle: whitened-PCA covariance IS the identity — no replay
+    // of the eigen solve, the mathematical invariant itself is the check
+    "q120_pca_whiten" ->
+      """SELECT a.i::INT AS i, b.j::INT AS j,
+        |  CASE WHEN a.i = b.j THEN 1.0 ELSE 0.0 END AS cov
+        |FROM (SELECT unnest(generate_series(0, 7)) AS i) a
+        |CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) b
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE
