@@ -1504,6 +1504,30 @@ object SparkEntry {
             r4(col(s"c_${i}_$j")).as("cov")) }: _*)).as("e"))
         .select(col("e.i"), col("e.j"), col("e.cov"))
         .orderBy("i", "j")
+    }),
+
+    // dashboard SERIES read off the tier store: 90-min resample of a
+    // 15.9-day window served from the 5m tier (coarsest divisor of the
+    // step), DENSE grid with explicit empty buckets, p50/p95 exact from
+    // merged blocks; the oracle re-aggregates raw points per step bucket
+    "q121_range_series" -> ((s, dir) => {
+      val t1m = ev(s, dir)
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+        .withColumn("bucket_start", col("ts_sec") - pmod(col("ts_sec"), lit(60L)))
+        .groupBy(col("user_id"), col("bucket_start"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_len"),
+          min(col("value")).as("min_len"), max(col("value")).as("max_len"),
+          collect_set(col("event_type")).as("lang_set"),
+          graft.functions.codec.BlockAggregator(col("ts_sec"), col("value")).as("m"))
+        .withColumn("block", col("m.block")).drop("m")
+      val t5m = Rollup.promote(t1m, 300L, groupCols = Seq("user_id"))
+      Rollup.readSeries(Map("1m" -> t1m, "5m" -> t5m),
+          1704412800L, 1705789800L, stepSeconds = 5400L,
+          groupCols = Seq("user_id"))
+        .select(col("user_id"), col("bucket_start"), col("cnt"),
+          r6(col("sum_len")).as("sum_value"), r6(col("p50_len")).as("p50"),
+          r6(col("p95_len")).as("p95"), col("lang_card").as("type_card"))
+        .orderBy("user_id", "bucket_start")
     })
   )
 
@@ -3213,6 +3237,31 @@ object SparkEntry {
         |  CASE WHEN a.i = b.j THEN 1.0 ELSE 0.0 END AS cov
         |FROM (SELECT unnest(generate_series(0, 7)) AS i) a
         |CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) b
+        |ORDER BY 1, 2""".stripMargin,
+
+    // raw points re-aggregated per 90-min bucket + the dense zero-fill
+    // spine; the Spark side reaches the same numbers only through the
+    // 1m→5m tier store and block-merge percentiles
+    "q121_range_series" ->
+      """WITH agg AS (SELECT user_id,
+        |    (floor(epoch(ts))::BIGINT // 5400) * 5400 AS bucket_start,
+        |    count(*) AS cnt, round(sum(value),6) AS sum_value,
+        |    round(quantile_cont(value, 0.5),6) AS p50,
+        |    round(quantile_cont(value, 0.95),6) AS p95,
+        |    count(DISTINCT event_type) AS type_card
+        |  FROM events
+        |  WHERE floor(epoch(ts))::BIGINT >= 1704412800
+        |    AND floor(epoch(ts))::BIGINT < 1705789800
+        |  GROUP BY 1, 2),
+        |grid AS (SELECT u.user_id, g.bucket_start
+        |  FROM (SELECT DISTINCT user_id FROM agg) u
+        |  CROSS JOIN (SELECT unnest(generate_series(1704412800,
+        |    1705789800 - 5400, 5400)) AS bucket_start) g)
+        |SELECT grid.user_id, grid.bucket_start,
+        |  coalesce(agg.cnt, 0)::BIGINT AS cnt, agg.sum_value, agg.p50,
+        |  agg.p95, agg.type_card
+        |FROM grid LEFT JOIN agg ON agg.user_id = grid.user_id
+        |  AND agg.bucket_start = grid.bucket_start
         |ORDER BY 1, 2""".stripMargin
   )
 

@@ -306,6 +306,46 @@ object Rollup {
       .withColumn("range_end", lit(endSec))
   }
 
+  /** Dashboard series read: resample the tier store to an arbitrary `step`
+    * over `[startSec, endSec)` (endpoints step-aligned) and return a DENSE
+    * per-group series — one row per (group, step bucket), empty buckets
+    * materialized with `cnt = 0` and null measures (a chart wants explicit
+    * holes, not missing rows). The Grafana-shaped companion to
+    * [[readRange]]: range read answers "the aggregate over this window",
+    * series read answers "the window as a curve at this resolution".
+    *
+    * Buckets come from the COARSEST tier whose width divides `step` (only
+    * nesting tiers can resample exactly); merged measures including exact
+    * p50/p95 are rebuilt per step bucket from the tier blocks, so a 90-min
+    * resample of a month costs O(groups × range/5m) tier rows, never a raw
+    * scan. The empty-bucket grid is `groups-in-range × (range/step)` — the
+    * size of the chart being drawn.
+    */
+  def readSeries(tiers: Map[String, DataFrame], startSec: Long, endSec: Long,
+                 stepSeconds: Long,
+                 groupCols: Seq[String] = Seq("tld", "registered_domain", "host")): DataFrame = {
+    require(stepSeconds >= 1, s"stepSeconds must be >= 1, got $stepSeconds")
+    require(startSec % stepSeconds == 0 && endSec % stepSeconds == 0,
+      s"range endpoints must align to the $stepSeconds s step")
+    require(startSec < endSec, "empty range")
+    val usable = Tiers.filter(t => tiers.contains(t.name) && stepSeconds % t.seconds == 0)
+    require(usable.nonEmpty, s"no provided tier divides the $stepSeconds s step")
+    val src = usable.maxBy(_.seconds)
+    val partialCols = groupCols.map(col) ++ Seq(col("bucket_start"), col("cnt"),
+      col("sum_len"), col("min_len"), col("max_len"), col("lang_set"), col("block"))
+    val merged = mergePartials(
+      tiers(src.name)
+        .filter(col("bucket_start") >= startSec && col("bucket_start") < endSec)
+        .select(partialCols: _*),
+      groupCols,
+      bucketExpr = col("bucket_start") - pmod(col("bucket_start"), lit(stepSeconds)))
+    val grid = merged.select(groupCols.map(col): _*).distinct()
+      .withColumn("bucket_start",
+        explode(sequence(lit(startSec), lit(endSec - stepSeconds), lit(stepSeconds))))
+    grid.join(merged, groupCols :+ "bucket_start", "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+  }
+
   /** Two-phase (salted) variant of [[mergePartials]] for coarse groups with
     * unbounded fan-in: phase 1 merges within `(keys, salt)` sub-groups so no
     * single task materializes the whole group's blocks, phase 2 merges the

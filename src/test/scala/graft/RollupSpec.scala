@@ -179,4 +179,33 @@ class RollupSpec extends SparkSuite {
     assert(stitched.select("range_start").head.getLong(0) == start)
     pages4d.unpersist()
   }
+
+  test("readSeries: dense step grid, holes cnt=0/null, parity with direct agg") {
+    val pages = graft.functions.Hier.withHierarchy(
+      Pages.synthesize(spark, 4000L, seed = 13L, minutes = 2880)).cache()
+    val tiers = allTiers(pages)
+    val start = Pages.Epoch
+    val end = Pages.Epoch + 86400L // one day at 90-min steps → 16 buckets
+    val series = readSeries(tiers, start, end, stepSeconds = 5400L).cache()
+    // dense: every group in range has exactly 16 rows
+    val perGroup = series.groupBy("tld", "registered_domain", "host").count()
+    assert(perGroup.filter(col("count") =!= 16L).count() == 0)
+    // empty buckets carry cnt=0 and null measures
+    assert(series.filter(col("cnt") === 0 && col("sum_len").isNotNull).count() == 0)
+    // non-empty buckets match a direct raw aggregation at the step grain
+    val direct = Rollup.textLen(pages)
+      .withColumn("sec", unix_timestamp(col("warc_ts")))
+      .filter(col("sec") >= start && col("sec") < end)
+      .groupBy(col("tld"), col("registered_domain"), col("host"),
+        (col("sec") - pmod(col("sec"), lit(5400L))).as("bucket_start"))
+      .agg(count(lit(1)).as("d_cnt"), sum(col("text_len")).as("d_sum"),
+        percentile(col("text_len"), lit(0.95)).as("d_p95"))
+    val j = series.filter(col("cnt") > 0)
+      .join(direct, Seq("tld", "registered_domain", "host", "bucket_start"), "full_outer")
+    assert(j.filter(col("cnt").isNull || col("d_cnt").isNull).count() == 0)
+    assert(j.filter(col("cnt") =!= col("d_cnt") ||
+      abs(col("sum_len") - col("d_sum")) > 1e-9 ||
+      abs(col("p95_len") - col("d_p95")) > 1e-9).count() == 0)
+    series.unpersist(); pages.unpersist()
+  }
 }
