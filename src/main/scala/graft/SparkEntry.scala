@@ -1528,6 +1528,19 @@ object SparkEntry {
           r6(col("sum_len")).as("sum_value"), r6(col("p50_len")).as("p50"),
           r6(col("p95_len")).as("p95"), col("lang_card").as("type_card"))
         .orderBy("user_id", "bucket_start")
+    }),
+
+    // damped-trend Holt (φ = 0.875, exactly representable so the closed-form
+    // horizon multiplier replays bit-equal); same daily series as q85
+    "q122_holt_damped" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Forecast.holtDamped(daily, Seq("user_id"), "d", "v",
+          alpha = 0.3, beta = 0.2, phi = 0.875, horizon = 3, stepSeconds = 86400L)
+        .select(col("user_id"), unix_timestamp(col("forecast_ts")).as("forecast_s"),
+          col("step").cast("long").as("step"), r6(col("yhat")).as("yhat"))
+        .orderBy("user_id", "step")
     })
   )
 
@@ -3262,7 +3275,34 @@ object SparkEntry {
         |  agg.p95, agg.type_card
         |FROM grid LEFT JOIN agg ON agg.user_id = grid.user_id
         |  AND agg.bucket_start = grid.bucket_start
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q85's recursion with the φ damping factor threaded through; the
+    // horizon multiplier φ(1−φˢ)/(1−φ) uses φ=0.875 (binary-exact, so
+    // 1−φ = 0.125 is identical in both engines)
+    "q122_holt_damped" ->
+      """WITH RECURSIVE daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |r AS (SELECT user_id, d, v::DOUBLE AS y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn FROM daily),
+        |n AS (SELECT user_id, max(rn) AS bigT, max(d) AS last_d FROM r GROUP BY 1),
+        |rec AS (
+        |  SELECT r1.user_id, 1 AS rn, r1.y AS l, r2.y - r1.y AS b
+        |  FROM r r1 JOIN r r2 ON r2.user_id = r1.user_id AND r2.rn = 2
+        |  WHERE r1.rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn,
+        |    0.3*s.y + 0.7*(rec.l + 0.875*rec.b) AS l,
+        |    0.2*((0.3*s.y + 0.7*(rec.l + 0.875*rec.b)) - rec.l)
+        |      + 0.8*(0.875*rec.b) AS b
+        |  FROM rec JOIN r s ON s.user_id = rec.user_id AND s.rn = rec.rn + 1),
+        |fin AS (SELECT rec.user_id, rec.l, rec.b
+        |  FROM rec JOIN n ON n.user_id = rec.user_id AND rec.rn = n.bigT)
+        |SELECT f.user_id, epoch(n.last_d)::BIGINT + g.s*86400 AS forecast_s,
+        |  g.s AS step,
+        |  round(f.l + (0.875 * (1.0 - pow(0.875, g.s)) / 0.125) * f.b, 6) AS yhat
+        |FROM fin f JOIN n USING (user_id), generate_series(1,3) g(s)
+        |ORDER BY 1,3""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

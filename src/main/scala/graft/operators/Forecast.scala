@@ -220,6 +220,60 @@ object Forecast {
     * rolled-up tier, not raw events). Keys with < 2 points are dropped
     * (b₁ undefined).
     */
+  /** Damped-trend Holt (Hyndman §8.2 "damped trend methods"): the φ-damped
+    * variant that stops linear trends from extrapolating to infinity —
+    *   l_t = α·y_t + (1−α)·(l_{t−1} + φ·b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·(φ·b_{t−1})
+    *   ŷ(T+s) = l_T + (φ + φ² + … + φˢ)·b_T
+    * the horizon multiplier in closed form φ(1−φˢ)/(1−φ) (s itself at φ=1,
+    * where the method degenerates to [[holt]]). Same licensed per-key fold
+    * and guards as [[holt]].
+    */
+  def holtDamped(history: DataFrame, keyCols: Seq[String], tsCol: String,
+                 valCol: String, alpha: Double, beta: Double, phi: Double,
+                 horizon: Int, stepSeconds: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(beta > 0 && beta <= 1, s"beta must be in (0, 1], got $beta")
+    require(phi > 0 && phi <= 1, s"phi must be in (0, 1], got $phi")
+    require(horizon >= 1 && stepSeconds >= 1,
+      s"horizon/stepSeconds must be >= 1, got $horizon/$stepSeconds")
+    val keys = keyCols.map(col)
+    val foldUdf = udf { (pts: Seq[org.apache.spark.sql.Row]) =>
+      require(pts.size <= Ewma.maxSeriesPoints,
+        s"Holt series has ${pts.size} points (> Ewma.maxSeriesPoints=" +
+          s"${Ewma.maxSeriesPoints}). Aggregate to time buckets first.")
+      val ys = pts.sortBy(_.getLong(0)).map(_.getDouble(1))
+      if (ys.size < 2) None
+      else {
+        var l = ys(0)
+        var b = ys(1) - ys(0)
+        var i = 1
+        while (i < ys.size) {
+          val lNew = alpha * ys(i) + (1.0 - alpha) * (l + phi * b)
+          b = beta * (lNew - l) + (1.0 - beta) * (phi * b)
+          l = lNew
+          i += 1
+        }
+        Some((l, b))
+      }
+    }
+    val phiSum =
+      if (phi == 1.0) col("step").cast("double")
+      else lit(phi) * (lit(1.0) - pow(lit(phi), col("step"))) / lit(1.0 - phi)
+    history.filter(col(valCol).isNotNull)
+      .groupBy(keys: _*)
+      .agg(collect_list(struct(unix_timestamp(col(tsCol)).as("t"),
+        col(valCol).cast("double").as("x"))).as("_pts"),
+        max(col(tsCol)).as("_last_ts"))
+      .withColumn("_lb", foldUdf(col("_pts")))
+      .filter(col("_lb").isNotNull)
+      .withColumn("step", explode(sequence(lit(1), lit(horizon))))
+      .withColumn("forecast_ts",
+        timestamp_seconds(unix_timestamp(col("_last_ts")) + col("step") * stepSeconds))
+      .withColumn("yhat", col("_lb._1") + phiSum * col("_lb._2"))
+      .select((keys :+ col("forecast_ts") :+ col("step") :+ col("yhat")): _*)
+  }
+
   def holt(history: DataFrame, keyCols: Seq[String], tsCol: String,
            valCol: String, alpha: Double, beta: Double, horizon: Int,
            stepSeconds: Long): DataFrame = {

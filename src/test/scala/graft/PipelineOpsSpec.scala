@@ -487,6 +487,36 @@ class PipelineOpsSpec extends SparkSuite {
     assert(math.abs(lo(1).getDouble(3) - (3.0 + 2.0 * 10)) < 1e-9)
   }
 
+  test("holtDamped: hand recursion with damping; phi=1 degenerates to holt") {
+    val ys = Seq(10.0, 12.0, 11.0, 15.0, 14.0)
+    val (alpha, beta, phi) = (0.3, 0.2, 0.875)
+    var l = ys(0); var b = ys(1) - ys(0)
+    ys.drop(1).foreach { y =>
+      val lNew = alpha * y + (1 - alpha) * (l + phi * b)
+      b = beta * (lNew - l) + (1 - beta) * (phi * b)
+      l = lNew
+    }
+    val df = ys.zipWithIndex.map { case (y, i) => (1L, i.toLong * 86400, y) }
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val out = Forecast.holtDamped(df, Seq("k"), "ts", "v", alpha, beta, phi,
+      horizon = 3, stepSeconds = 86400L).orderBy("step").collect()
+    var phiSum = 0.0
+    out.zipWithIndex.foreach { case (r, i) =>
+      phiSum += math.pow(phi, i + 1)
+      assert(math.abs(r.getDouble(3) - (l + phiSum * b)) < 1e-9)
+    }
+    // damping: the h→∞ forecast converges to l + φ/(1−φ)·b, so successive
+    // increments shrink — unlike plain Holt's constant +b per step
+    val incs = out.sliding(2).map { case Array(a, c) => c.getDouble(3) - a.getDouble(3) }.toSeq
+    assert(incs(1) < incs(0) || b < 0 && incs(1) > incs(0))
+    // phi = 1 must equal plain Holt exactly
+    val d1 = Forecast.holtDamped(df, Seq("k"), "ts", "v", alpha, beta, 1.0,
+      horizon = 3, stepSeconds = 86400L).orderBy("step").collect().map(_.getDouble(3))
+    val h1 = Forecast.holt(df, Seq("k"), "ts", "v", alpha, beta,
+      horizon = 3, stepSeconds = 86400L).orderBy("step").collect().map(_.getDouble(3))
+    assert(d1.toSeq == h1.toSeq)
+  }
+
   // --------------------------------------------------------- Holt-Winters
 
   test("holtWinters: fold matches the hand recursion; <2m keys dropped; flat series stays flat") {
