@@ -1541,6 +1541,16 @@ object SparkEntry {
         .select(col("user_id"), unix_timestamp(col("forecast_ts")).as("forecast_s"),
           col("step").cast("long").as("step"), r6(col("yhat")).as("yhat"))
         .orderBy("user_id", "step")
+    }),
+
+    // rolling percent-rank: share of the trailing 10 samples at or below
+    // the current value ("how unusual is now")
+    "q123_rolling_rank" -> ((s, dir) => {
+      Features.rollingPercentRank(ev(s, dir), Seq("user_id"), "ts", "value",
+          winRows = 10)
+        .select(col("user_id"), col("event_id"),
+          r6(col("rolling_pct_rank")).as("pct_rank"))
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -3302,7 +3312,19 @@ object SparkEntry {
         |  g.s AS step,
         |  round(f.l + (0.875 * (1.0 - pow(0.875, g.s)) / 0.125) * f.b, 6) AS yhat
         |FROM fin f JOIN n USING (user_id), generate_series(1,3) g(s)
-        |ORDER BY 1,3""".stripMargin
+        |ORDER BY 1,3""".stripMargin,
+
+    // list window + filter — the same materialized-frame construction
+    "q123_rolling_rank" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  round(CASE WHEN len(l) = 10 AND value IS NOT NULL
+        |    THEN len(list_filter(l, x -> x <= value))::DOUBLE / 10.0 END, 6)
+        |    AS pct_rank
+        |FROM e ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

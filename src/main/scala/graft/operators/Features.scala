@@ -478,6 +478,31 @@ object Features {
       .drop("_x0")
   }
 
+  /** Rolling percent-rank of the CURRENT value within its trailing window —
+    * "how unusual is now": share of the last `winRows` samples (current
+    * included) at or below the current value, in [1/w, 1]. The monitoring
+    * gauge behind "p99 of the last hour"-style alerting, and the rank
+    * analogue of [[rollingQuantile]] (quantile maps rank→value; this maps
+    * value→rank).
+    *
+    * A frame aggregate cannot compare frame rows against the CURRENT row,
+    * so the frame is materialized per row (`collect_list` over the sliding
+    * frame — O(w) state, the same cost class as the rolling-quantile sort)
+    * and ranked with a codegen'd HOF filter. Null until the window fills;
+    * null current values rank null. One window shuffle.
+    */
+  def rollingPercentRank(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                         valueCol: String, winRows: Int): DataFrame = {
+    require(winRows >= 1, s"winRows must be >= 1, got $winRows")
+    val frame = w(hierarchy, tsCol).rowsBetween(-(winRows - 1), 0)
+    val v = col(valueCol).cast("double")
+    df.withColumn("_win", collect_list(v).over(frame))
+      .withColumn("rolling_pct_rank",
+        when(size(col("_win")) === winRows && v.isNotNull,
+          size(filter(col("_win"), x => x <= v)).cast("double") / lit(winRows.toDouble)))
+      .drop("_win")
+  }
+
   /** M4 visualization downsample (Jugel et al., VLDB 2014): per (keys,
     * tumbling bucket) keep only the rows that realize the bucket's FIRST,
     * LAST, MIN-value, and MAX-value points — the minimal point set whose

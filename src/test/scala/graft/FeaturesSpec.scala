@@ -440,6 +440,22 @@ class FeaturesSpec extends SparkSuite {
     (3 until 10).foreach(i => assert(approxEq(out2(i).getDouble(ix), 3.5, 1e-9)))
   }
 
+  test("rollingPercentRank: hand ranks, gate before fill, max/min extremes") {
+    val vs = Seq(5.0, 3.0, 8.0, 8.0, 1.0, 9.0)
+    val df = vs.zipWithIndex.map { case (v, i) => (1L, i.toLong * 60, v) }
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val out = Features.rollingPercentRank(df, Seq("k"), "ts", "v", winRows = 3)
+      .orderBy("t").collect()
+    val ix = out(0).fieldIndex("rolling_pct_rank")
+    assert(out(0).isNullAt(ix) && out(1).isNullAt(ix), "partial windows null")
+    // windows: [5,3,8]→8 ranks 3/3; [3,8,8]→8 ties count both → 3/3;
+    // [8,8,1]→1 ranks 1/3; [8,1,9]→9 ranks 3/3
+    assert(out(2).getDouble(ix) == 1.0)
+    assert(out(3).getDouble(ix) == 1.0)
+    assert(out(4).getDouble(ix) == 1.0 / 3)
+    assert(out(5).getDouble(ix) == 1.0)
+  }
+
   test("m4Downsample: ≤4 rows per bucket, spike preserved, earliest-tie roles") {
     val df = ((0 until 20).map(i => (1L, i.toLong * 60, 5.0)) :+ // flat ties
       ((1L, 21L * 60, 99.0)) :+ ((1L, 22L * 60, -7.0)))          // spike + dip
