@@ -1551,6 +1551,20 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           r6(col("rolling_pct_rank")).as("pct_rank"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // the dedup ENDGAME on q77's cluster graph: per near-dup cluster the
+    // highest-score (longest) copy survives, ties to the smallest id,
+    // singletons keep themselves
+    "q124_dedup_keep" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id").as("id"), col("text"), col("n_chars"))
+      val uni = base.unionByName(base.select((col("id") + 1000000L).as("id"),
+        col("text"), col("n_chars")))
+      val pairs = Dedup.lshNearDupPairs(uni, "text", "id", k = 8, bands = 4,
+        threshold = 0.9)
+      Dedup.keepBest(uni, "id", "n_chars", pairs)
+        .orderBy("id")
     })
   )
 
@@ -3324,7 +3338,53 @@ object SparkEntry {
         |  round(CASE WHEN len(l) = 10 AND value IS NOT NULL
         |    THEN len(list_filter(l, x -> x <= value))::DOUBLE / 10.0 END, 6)
         |    AS pct_rank
-        |FROM e ORDER BY 1, 2""".stripMargin
+        |FROM e ORDER BY 1, 2""".stripMargin,
+
+    // q77's LSH + transitive-closure clustering, then the survivor pick:
+    // max n_chars per component (ties -> min id), singletons keep themselves
+    "q124_dedup_keep" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id AS id, text, n_chars FROM documents WHERE doc_id < 200
+        |  UNION ALL SELECT doc_id + 1000000, text, n_chars FROM documents WHERE doc_id < 200),
+        |w AS (SELECT id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws FROM corpus),
+        |s AS (SELECT id, list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh FROM w),
+        |e AS (SELECT id, unnest(sh) AS g FROM s),
+        |m AS (SELECT id,
+        |  min(('0x' || substr(md5('0:' || g),1,15))::BIGINT) AS mh0,
+        |  min(('0x' || substr(md5('1:' || g),1,15))::BIGINT) AS mh1,
+        |  min(('0x' || substr(md5('2:' || g),1,15))::BIGINT) AS mh2,
+        |  min(('0x' || substr(md5('3:' || g),1,15))::BIGINT) AS mh3,
+        |  min(('0x' || substr(md5('4:' || g),1,15))::BIGINT) AS mh4,
+        |  min(('0x' || substr(md5('5:' || g),1,15))::BIGINT) AS mh5,
+        |  min(('0x' || substr(md5('6:' || g),1,15))::BIGINT) AS mh6,
+        |  min(('0x' || substr(md5('7:' || g),1,15))::BIGINT) AS mh7
+        |  FROM e GROUP BY 1),
+        |bk AS (
+        |  SELECT id, 0 AS band, ('0x' || substr(md5('0:' || mh0::VARCHAR || ',' || mh1::VARCHAR),1,15))::BIGINT AS bucket FROM m
+        |  UNION ALL SELECT id, 1, ('0x' || substr(md5('1:' || mh2::VARCHAR || ',' || mh3::VARCHAR),1,15))::BIGINT FROM m
+        |  UNION ALL SELECT id, 2, ('0x' || substr(md5('2:' || mh4::VARCHAR || ',' || mh5::VARCHAR),1,15))::BIGINT FROM m
+        |  UNION ALL SELECT id, 3, ('0x' || substr(md5('3:' || mh6::VARCHAR || ',' || mh7::VARCHAR),1,15))::BIGINT FROM m),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        |shd AS (SELECT id, list_distinct(sh) AS sh FROM s),
+        |j AS (SELECT id_a, id_b,
+        |  len(list_intersect(x.sh, y.sh))::DOUBLE AS i2,
+        |  (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE AS u2
+        |  FROM cand JOIN shd x ON x.id = cand.id_a JOIN shd y ON y.id = cand.id_b),
+        |pairs AS (SELECT id_a, id_b FROM j WHERE u2 > 0 AND i2/u2 >= 0.9),
+        |und AS (SELECT id_a AS s2, id_b AS d2 FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT s2 AS id FROM und),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION SELECT u.s2, reach.r FROM und u JOIN reach ON u.d2 = reach.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+        |lab AS (SELECT c.id, coalesce(comp.component, c.id) AS component,
+        |    c.n_chars::DOUBLE AS score
+        |  FROM corpus c LEFT JOIN comp ON comp.id = c.id)
+        |SELECT id, component,
+        |  row_number() OVER (PARTITION BY component ORDER BY score DESC, id) = 1 AS keep
+        |FROM lab ORDER BY id""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

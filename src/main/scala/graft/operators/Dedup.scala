@@ -412,4 +412,35 @@ object Dedup {
           when(col("_keep"), struct(col("pos"), col("chunk"))))),
           s => s.getField("chunk")), " ").as("kept_text"))
   }
+
+  /** The dedup pipeline's final decision: which document of each near-dup
+    * cluster SURVIVES. Clusters come from [[connectedComponents]] over the
+    * candidate pairs; within a cluster the highest `scoreCol` wins (ties →
+    * smallest id), and every un-clustered document is its own singleton
+    * keeper. Quality-ranked survivor selection (keep the longest / highest
+    * quality copy) is what production pipelines do instead of
+    * min-id-canonical — the canonical copy should be the BEST copy.
+    *
+    * Scale: the components pass is the bounded label propagation of
+    * [[connectedComponents]]; the survivor pick is one window over
+    * `component` (partition size = cluster size, never corpus size) after a
+    * key join of the score — no text moves, only (id, component, score).
+    *
+    * @return (id, component, keep) — one row per member of `members`
+    */
+  def keepBest(members: DataFrame, idCol: String, scoreCol: String,
+               edges: DataFrame, srcCol: String = "id_a", dstCol: String = "id_b",
+               maxIter: Int = 30): DataFrame = {
+    val comp = connectedComponents(edges, srcCol, dstCol, maxIter)
+      .select(col("id"), col("component"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(col("_score").desc, col("id"))
+    members
+      .select(col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("_score"))
+      .join(comp, Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("id"), col("component"), col("keep"))
+  }
 }

@@ -691,6 +691,22 @@ class PipelineOpsSpec extends SparkSuite {
     assert(m104 == Set(39L))
   }
 
+  test("keepBest: highest score survives per cluster, min-id ties, singletons keep") {
+    import graft.operators.Dedup
+    // clusters {1,2,3} (chain) and {10,11}; 20 is a singleton
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val members = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 9.0), // tie at 9.0 → min id 2 wins
+      (10L, 1.0), (11L, 4.0),
+      (20L, 0.0)).toDF("id", "score")
+    val out = Dedup.keepBest(members, "id", "score", edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((1L, false)) && out(2L) == ((1L, true)) && out(3L) == ((1L, false)))
+    assert(out(10L) == ((10L, false)) && out(11L) == ((10L, true)))
+    assert(out(20L) == ((20L, true)), "singleton keeps itself")
+    assert(out.values.count(_._2) == 3)
+  }
+
   // ----------------------------------------------------------- histogram
 
   test("hist: slot placement incl. boundaries/nulls; promote counter-identical") {
