@@ -1565,6 +1565,19 @@ object SparkEntry {
         threshold = 0.9)
       Dedup.keepBest(uni, "id", "n_chars", pairs)
         .orderBy("id")
+    }),
+
+    // per-series trend/seasonal strength (FPP3 §4.3) from the q93
+    // decomposition — the triage scalars for million-series populations
+    "q125_decomp_strength" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      Features.decompStrength(daily, Seq("user_id"), "d", "v", period = 7)
+        .select(col("user_id"), col("n"),
+          r6(col("trend_strength")).as("trend_strength"),
+          r6(col("seasonal_strength")).as("seasonal_strength"))
+        .orderBy("user_id")
     })
   )
 
@@ -3384,7 +3397,34 @@ object SparkEntry {
         |  FROM corpus c LEFT JOIN comp ON comp.id = c.id)
         |SELECT id, component,
         |  row_number() OVER (PARTITION BY component ORDER BY score DESC, id) = 1 AS keep
-        |FROM lab ORDER BY id""".stripMargin
+        |FROM lab ORDER BY id""".stripMargin,
+
+    // q93's decomposition aggregated to the FPP3 strength scalars; edge
+    // rows (null trend) excluded, zero-variance denominators null
+    "q125_decomp_strength" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |i AS (SELECT user_id, d, v::DOUBLE AS y,
+        |    (row_number() OVER (PARTITION BY user_id ORDER BY d) - 1) % 7 AS pos,
+        |    CASE WHEN count(v) OVER f = 7 THEN avg(v) OVER f END AS trend
+        |  FROM daily
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d2 AS (SELECT *, y - trend AS det FROM i),
+        |sr AS (SELECT user_id, pos, avg(det) AS s_raw FROM d2 GROUP BY 1,2),
+        |c AS (SELECT user_id, avg(s_raw) AS ctr FROM sr GROUP BY 1),
+        |fin AS (SELECT d2.user_id, trend, s_raw - ctr AS seasonal,
+        |    y - trend - (s_raw - ctr) AS remainder
+        |  FROM d2 JOIN sr USING (user_id, pos) JOIN c USING (user_id)
+        |  WHERE trend IS NOT NULL)
+        |SELECT user_id, count(*) AS n,
+        |  round(CASE WHEN var_pop(trend + remainder) > 0 THEN
+        |    greatest(0.0, 1.0 - var_pop(remainder) / var_pop(trend + remainder))
+        |    END, 6) AS trend_strength,
+        |  round(CASE WHEN var_pop(seasonal + remainder) > 0 THEN
+        |    greatest(0.0, 1.0 - var_pop(remainder) / var_pop(seasonal + remainder))
+        |    END, 6) AS seasonal_strength
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -273,6 +273,32 @@ object Features {
       .drop("_pos", "_det", "_s_raw", "_ctr")
   }
 
+  /** Trend / seasonal STRENGTH features (Hyndman & Athanasopoulos FPP3
+    * §4.3, the tsfeatures definitions) from a classical decomposition:
+    *   F_T = max(0, 1 − Var(R) / Var(T + R))
+    *   F_S = max(0, 1 − Var(R) / Var(S + R))
+    * in [0, 1] — the per-series scalars that let a 10^6-series population
+    * be triaged ("strongly seasonal hosts", "trending hosts") with a sort
+    * instead of eyeballing decompositions. One row per key; edge rows with
+    * null trend (the centered-MA warmup) are excluded, zero-variance
+    * denominators yield null (strength undefined, not 1).
+    */
+  def decompStrength(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                     valueCol: String, period: Int): DataFrame = {
+    val dec = seasonalDecompose(df, hierarchy, tsCol, valueCol, period)
+      .filter(col("trend").isNotNull)
+    val r = col("remainder")
+    dec.groupBy(hierarchy.map(col): _*)
+      .agg(count(lit(1)).as("n"), var_pop(r).as("_vr"),
+        var_pop(col("trend") + r).as("_vtr"),
+        var_pop(col("seasonal") + r).as("_vsr"))
+      .withColumn("trend_strength",
+        when(col("_vtr") > 0, greatest(lit(0.0), lit(1.0) - col("_vr") / col("_vtr"))))
+      .withColumn("seasonal_strength",
+        when(col("_vsr") > 0, greatest(lit(0.0), lit(1.0) - col("_vr") / col("_vsr"))))
+      .drop("_vr", "_vtr", "_vsr")
+  }
+
   /** Rolling Pearson correlation of two measures over the trailing `win`
     * rows per key (pandas `rolling(w).corr` shape): null until the window
     * is full or when either measure is constant in the window (the builtin

@@ -382,6 +382,24 @@ class FeaturesSpec extends SparkSuite {
     }
   }
 
+  test("decompStrength: planted trend/seasonal score ≈1, noise-only ≈0") {
+    // strong seasonal (period 3) + linear trend, zero remainder → both ≈ 1
+    val sPat = Seq(2.0, -1.0, -1.0)
+    val clean = (0 until 15).map(i => (1L, i.toLong * 86400, 0.5 * i + sPat(i % 3)))
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val c = Features.decompStrength(clean, Seq("k"), "ts", "v", period = 3)
+      .collect()(0)
+    assert(c.getDouble(c.fieldIndex("trend_strength")) > 0.95)
+    assert(c.getDouble(c.fieldIndex("seasonal_strength")) > 0.95)
+    // structureless noise: flat level, no seasonality → both near 0
+    val rnd = new scala.util.Random(7)
+    val noise = (0 until 30).map(i => (1L, i.toLong * 86400, rnd.nextDouble()))
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val nrow = Features.decompStrength(noise, Seq("k"), "ts", "v", period = 3)
+      .collect()(0)
+    assert(nrow.getDouble(nrow.fieldIndex("seasonal_strength")) < 0.5)
+  }
+
   test("rolling corr: ±1 on exact linear relations, null on constant windows") {
     val df = (0 until 10).map { i =>
       val x = (i * i % 7).toDouble // non-monotonic
