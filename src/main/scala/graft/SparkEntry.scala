@@ -1578,6 +1578,17 @@ object SparkEntry {
           r6(col("trend_strength")).as("trend_strength"),
           r6(col("seasonal_strength")).as("seasonal_strength"))
         .orderBy("user_id")
+    }),
+
+    // Hampel despiking: centered 7-sample window, exact median/MAD via
+    // sorted-array HOFs, spikes replaced by the window median
+    "q126_hampel" -> ((s, dir) => {
+      graft.operators.Anomaly.hampel(ev(s, dir), Seq("user_id"), "ts",
+          "value", half = 3, k = 3.0)
+        .select(col("user_id"), col("event_id"),
+          r6(col("hampel_med")).as("hampel_med"), col("hampel_flag"),
+          r6(col("v_filtered")).as("v_filtered"))
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -3424,7 +3435,28 @@ object SparkEntry {
         |  round(CASE WHEN var_pop(seasonal + remainder) > 0 THEN
         |    greatest(0.0, 1.0 - var_pop(remainder) / var_pop(seasonal + remainder))
         |    END, 6) AS seasonal_strength
-        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // list-window median/MAD in the same sorted-middle-element form; MAD 0
+    // thresholds at zero so any deviation from the window median flags
+    "q126_hampel" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS l
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, value, l,
+        |    CASE WHEN len(l) = 7 THEN list_sort(l)[4] END AS med FROM e),
+        |d AS (SELECT user_id, event_id, value, med,
+        |    CASE WHEN med IS NOT NULL THEN
+        |      list_sort(list_transform(l, x -> abs(x - med)))[4] END AS mad
+        |  FROM m)
+        |SELECT user_id, event_id, round(med, 6) AS hampel_med,
+        |  CASE WHEN mad IS NOT NULL
+        |    THEN abs(value - med) > 3.0 * 1.4826 * mad ELSE false END AS hampel_flag,
+        |  round(CASE WHEN mad IS NOT NULL
+        |      AND abs(value - med) > 3.0 * 1.4826 * mad
+        |    THEN med ELSE value END, 6) AS v_filtered
+        |FROM d ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

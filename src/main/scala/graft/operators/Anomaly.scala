@@ -78,6 +78,50 @@ object Anomaly {
           abs(avg(v).over(right) - avg(v).over(left)) / sqrt(pooled)))
   }
 
+  /** Hampel filter (Hampel 1974; the standard despiking pass for sensor
+    * series): per row, over the CENTERED window of `2·half + 1` samples,
+    *   med = median(window),  mad = median(|xᵢ − med|)
+    *   spike ⟺ |x − med| > k · 1.4826 · mad
+    * and `v_filtered` replaces spikes with the window median. Unlike the
+    * global [[madOutliers]] this adapts to local level — a spike during a
+    * high plateau is judged against the plateau, not the series mean. MAD 0
+    * (over half the window identical) gives a zero threshold, so ANY
+    * deviation from the window median flags — the MATLAB `hampel`
+    * convention, and the right call for despiking: a lone spike in a flat
+    * window is exactly the case to catch.
+    *
+    * The frame is materialized per row (`collect_list` + `array_sort` +
+    * exact interpolated medians via HOFs — codegen'd, no UDF): O(w log w)
+    * per row, the same cost class as [[Features.rollingQuantile]]. Gated
+    * null until the centered window is FULL (edges pass through
+    * unfiltered). One window shuffle.
+    */
+  def hampel(df: DataFrame, keyCols: Seq[String], tsCol: String,
+             valCol: String, half: Int = 3, k: Double = 3.0): DataFrame = {
+    require(half >= 1, s"half-window must be >= 1, got $half")
+    require(k > 0, s"k must be > 0, got $k")
+    val w = 2 * half + 1
+    val frame = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(-half, half)
+    val v = col(valCol).cast("double")
+    // w = 2·half+1 is always odd: the median is the middle element exactly
+    def medOf(sorted: org.apache.spark.sql.Column) =
+      element_at(sorted, (w + 1) / 2)
+    df.withColumn("_win", collect_list(v).over(frame))
+      .withColumn("_med",
+        when(size(col("_win")) === w, medOf(array_sort(col("_win")))))
+      .withColumn("_mad",
+        when(col("_med").isNotNull,
+          medOf(array_sort(transform(col("_win"), x => abs(x - col("_med")))))))
+      .withColumn("hampel_flag",
+        when(col("_mad").isNotNull,
+          abs(v - col("_med")) > lit(k) * lit(1.4826) * col("_mad"))
+          .otherwise(lit(false)))
+      .withColumn("v_filtered", when(col("hampel_flag"), col("_med")).otherwise(v))
+      .withColumnRenamed("_med", "hampel_med")
+      .drop("_win", "_mad")
+  }
+
   /** Tabular (two-sided) CUSUM drift detector (Page 1954; NIST/SEMATECH
     * e-handbook §6.3.2.3 form): per key, standardize against the key's own
     * mean/stddev, then fold the pair of one-sided cumulative sums

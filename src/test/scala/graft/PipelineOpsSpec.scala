@@ -595,6 +595,35 @@ class PipelineOpsSpec extends SparkSuite {
     assert(scores(3) > 50, "10→20 shift against 0.1 jitter is a huge t-stat")
   }
 
+  test("hampel: spike flagged+replaced, flat-window lone spike caught, edges pass") {
+    import graft.operators.Anomaly
+    // smooth ramp with one spike at i=6; half=2 → window of 5
+    val vs = (0 until 12).map(i => if (i == 6) 500.0 else 10.0 + i)
+    val df = vs.zipWithIndex.map { case (v, i) => (1L, i.toLong * 60, v) }
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val out = Anomaly.hampel(df, Seq("k"), "ts", "v", half = 2, k = 3.0)
+      .orderBy("t").collect()
+    val fIx = out(0).fieldIndex("hampel_flag")
+    val vIx = out(0).fieldIndex("v_filtered")
+    val mIx = out(0).fieldIndex("hampel_med")
+    assert(out(6).getBoolean(fIx), "spike flagged")
+    // window at i=6: [14,15,500,17,18] → med 17; spike replaced by it
+    assert(out(6).getDouble(vIx) == 17.0)
+    (0 until 12).filter(i => i != 6 && i >= 2 && i <= 9)
+      .foreach(i => assert(!out(i).getBoolean(fIx), s"clean row $i unflagged"))
+    // edges (incomplete centered window): med null, value passes through
+    assert(out(0).isNullAt(mIx) && out(0).getDouble(vIx) == vs(0) && !out(0).getBoolean(fIx))
+    assert(out(11).isNullAt(mIx))
+    // perfectly flat window + lone spike: MAD 0 → zero threshold still flags
+    val flat = Seq(7.0, 7.0, 7.0, 7.0, 99.0, 7.0, 7.0, 7.0).zipWithIndex
+      .map { case (v, i) => (1L, i.toLong * 60, v) }
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val fo = Anomaly.hampel(flat, Seq("k"), "ts", "v", half = 2, k = 3.0)
+      .orderBy("t").collect()
+    assert(fo(4).getBoolean(fIx) && fo(4).getDouble(vIx) == 7.0)
+    assert(!fo(3).getBoolean(fIx))
+  }
+
   test("cusum: hand-folded step drift; constant series never alarms") {
     import graft.operators.Anomaly
     // 10 at 0.0 then 10 at 10.0: mu=5, sd=5 → z = ∓1; slack 0.5 ⇒ the
