@@ -1589,6 +1589,20 @@ object SparkEntry {
           r6(col("hampel_med")).as("hampel_med"), col("hampel_flag"),
           r6(col("v_filtered")).as("v_filtered"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // exponentially-weighted mean + debiased variance (pandas ewm.var
+    // semantics); span 3 makes the decay exactly 0.5, so the four running
+    // sums replay bit-equal in the recursive-CTE twin
+    "q127_ewm_var" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      Ewma.ewmVarFrame(daily, Seq("user_id"), "day", "v", span = 3.0)
+        .select(col("user_id"), col("ts_sec").as("day_sec"),
+          r6(col("ewm_mean")).as("ewm_mean"), r6(col("ewm_var")).as("ewm_var"),
+          r6(col("ewm_std")).as("ewm_std"))
+        .orderBy("user_id", "day_sec")
     })
   )
 
@@ -3456,7 +3470,32 @@ object SparkEntry {
         |  round(CASE WHEN mad IS NOT NULL
         |      AND abs(value - med) > 3.0 * 1.4826 * mad
         |    THEN med ELSE value END, 6) AS v_filtered
-        |FROM d ORDER BY 1, 2""".stripMargin
+        |FROM d ORDER BY 1, 2""".stripMargin,
+
+    // recursive CTE carries the four decayed sums (decay = 0.5 exact);
+    // var = (sw²/(sw²−sw2)) · (swx2/sw − m²) in the identical op order,
+    // null until two observations
+    "q127_ewm_var" ->
+      """WITH RECURSIVE daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    sum(value) AS v FROM events GROUP BY 1,2),
+        |r AS (SELECT user_id, floor(epoch(day))::BIGINT AS day_sec, v::DOUBLE AS y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM daily),
+        |rec AS (
+        |  SELECT user_id, rn, day_sec, 1.0::DOUBLE AS sw, 1.0::DOUBLE AS sw2,
+        |    y AS swx, y*y AS swx2, 1 AS nobs
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn, s.day_sec,
+        |    0.5*rec.sw + 1.0, 0.25*rec.sw2 + 1.0,
+        |    0.5*rec.swx + s.y, 0.5*rec.swx2 + s.y*s.y, rec.nobs + 1
+        |  FROM rec JOIN r s ON s.user_id = rec.user_id AND s.rn = rec.rn + 1)
+        |SELECT user_id, day_sec,
+        |  round(swx / sw, 6) AS ewm_mean,
+        |  round(CASE WHEN nobs >= 2 AND sw*sw - sw2 > 0 THEN
+        |    (sw*sw / (sw*sw - sw2)) * (swx2/sw - (swx/sw)*(swx/sw)) END, 6) AS ewm_var,
+        |  round(CASE WHEN nobs >= 2 AND sw*sw - sw2 > 0 THEN
+        |    sqrt((sw*sw / (sw*sw - sw2)) * (swx2/sw - (swx/sw)*(swx/sw))) END, 6) AS ewm_std
+        |FROM rec ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

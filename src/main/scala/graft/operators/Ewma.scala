@@ -115,6 +115,62 @@ object Ewma {
       .drop("_ets")
   }
 
+  /** Exponentially-weighted mean AND variance (pandas `ewm(span,
+    * adjust=True).var(bias=False)` semantics): with weights wⱼ = (1−α)^(t−j)
+    * over non-null observations,
+    *   μ_t  = Σwx / Σw
+    *   var  = [ (Σw)² / ((Σw)² − Σw²) ] · (Σwx²/Σw − μ²)
+    * — the debiased exponentially-weighted second moment, running on the
+    * four decayed sums (Σw, Σw², Σwx, Σwx²) in one O(n) pass per series.
+    * Null until 2 observations (the debias factor is undefined at 1), or
+    * until `minPeriods` if larger. Same null convention as [[ewmaSeries]]:
+    * nulls contribute nothing but advance the decay.
+    */
+  def ewmVarSeries(points: Seq[(Long, Option[Double])], span: Double,
+                   minPeriods: Int = 1): Seq[(Long, Option[Double], Option[Double])] = {
+    val alpha = 2.0 / (span + 1.0)
+    val decay = 1.0 - alpha
+    val sorted = points.sortBy(_._1)
+    val mp = math.max(minPeriods, 2)
+    var sw = 0.0; var sw2 = 0.0; var swx = 0.0; var swx2 = 0.0; var nObs = 0
+    sorted.map { case (t, xo) =>
+      sw *= decay; sw2 *= decay * decay; swx *= decay; swx2 *= decay
+      xo.foreach { x =>
+        sw += 1.0; sw2 += 1.0; swx += x; swx2 += x * x; nObs += 1
+      }
+      val m = if (nObs >= 1 && sw > 0) Some(swx / sw) else None
+      val den = sw * sw - sw2
+      val v = if (nObs >= mp && den > 0)
+        m.map(mu => (sw * sw / den) * (swx2 / sw - mu * mu))
+      else None
+      (t, m, v)
+    }
+  }
+
+  /** Per-series EWM mean/var/std frame: (hierarchy..., ts_sec, ewm_mean,
+    * ewm_var, ewm_std) — the same one-collect_list-per-series shape as
+    * [[ewmaSeriesFrame]], with the [[maxSeriesPoints]] guard.
+    */
+  def ewmVarFrame(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                  valueCol: String, span: Double, minPeriods: Int = 1): DataFrame = {
+    val u = udf { (pts: Seq[Row]) =>
+      require(pts.size <= maxSeriesPoints,
+        s"EWM series has ${pts.size} points (> maxSeriesPoints=$maxSeriesPoints). " +
+          "Aggregate to time buckets first.")
+      val pairs = pts.map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      ewmVarSeries(pairs, span, minPeriods).map { case (t, m, v) =>
+        EwmaVarPoint(t, m.map(Double.box).orNull, v.map(Double.box).orNull)
+      }
+    }
+    df.groupBy(hierarchy.map(col): _*)
+      .agg(collect_list(struct(unix_timestamp(col(tsCol)).as("t"),
+        col(valueCol).cast("double").as("x"))).as("pts"))
+      .withColumn("e", explode(u(col("pts"))))
+      .select((hierarchy.map(col) :+ col("e.ts").as("ts_sec") :+
+        col("e.m").as("ewm_mean") :+ col("e.v").as("ewm_var")): _*)
+      .withColumn("ewm_std", sqrt(col("ewm_var")))
+  }
+
   /** EWMA crossovers: pairwise ratios across spans (ref :674-693), computed
     * on the series frame — one aggregation pass total, no join back.
     * Output: (hierarchy..., ts_sec, `<v>_ewma<s>`..., `<v>_ewma_cross_a_b`...).
@@ -132,3 +188,5 @@ object Ewma {
 }
 
 case class EwmaPointN(ts: Long, ys: Seq[java.lang.Double])
+
+case class EwmaVarPoint(ts: Long, m: java.lang.Double, v: java.lang.Double)

@@ -595,6 +595,36 @@ class PipelineOpsSpec extends SparkSuite {
     assert(scores(3) > 50, "10→20 shift against 0.1 jitter is a huge t-stat")
   }
 
+  test("ewmVar: matches the direct pandas weight-sum definition; null gates") {
+    import graft.operators.Ewma
+    val ys = Seq(3.0, 7.0, 4.0, 9.0, 2.0, 6.0)
+    val span = 5.0
+    val a = 2.0 / (span + 1.0)
+    // direct O(n²) definition: weights (1-a)^(t-j), debiased weighted var
+    def direct(t: Int): (Double, Double) = {
+      val w = (0 to t).map(j => math.pow(1 - a, t - j))
+      val sw = w.sum; val sw2 = w.map(x => x * x).sum
+      val mu = w.zip(ys).map(p => p._1 * p._2).sum / sw
+      val biased = w.zip(ys).map { case (wi, y) => wi * (y - mu) * (y - mu) }.sum / sw
+      (mu, biased * sw * sw / (sw * sw - sw2))
+    }
+    val out = Ewma.ewmVarSeries(ys.zipWithIndex.map { case (y, i) => (i.toLong, Some(y)) }, span)
+    assert(out(0)._2.contains(3.0) && out(0)._3.isEmpty, "var null at one obs")
+    (1 until ys.size).foreach { t =>
+      val (mu, v) = direct(t)
+      assert(math.abs(out(t)._2.get - mu) < 1e-12, s"mean at $t")
+      assert(math.abs(out(t)._3.get - v) < 1e-10, s"var at $t")
+    }
+    // nulls advance the decay but contribute nothing
+    val withNull = Seq((0L, Some(3.0)), (1L, None), (2L, Some(7.0)))
+    val on = Ewma.ewmVarSeries(withNull, span)
+    assert(on(1)._3.isEmpty && on(2)._3.nonEmpty)
+    val d2 = 1 - a
+    val swN = d2 * d2 + 1.0 // weights (1-a)^2 (for y0) and 1 (for y2)
+    val muN = (d2 * d2 * 3.0 + 7.0) / swN
+    assert(math.abs(on(2)._2.get - muN) < 1e-12)
+  }
+
   test("hampel: spike flagged+replaced, flat-window lone spike caught, edges pass") {
     import graft.operators.Anomaly
     // smooth ramp with one spike at i=6; half=2 → window of 5
