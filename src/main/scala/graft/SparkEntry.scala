@@ -1603,6 +1603,21 @@ object SparkEntry {
           r6(col("ewm_mean")).as("ewm_mean"), r6(col("ewm_var")).as("ewm_var"),
           r6(col("ewm_std")).as("ewm_std"))
         .orderBy("user_id", "day_sec")
+    }),
+
+    // C4-style line filtering over a deterministically constructed 4-line
+    // page (kept prose line / no-punct line / javascript boilerplate /
+    // short-or-kept tail) — line rules catch what page-level scores average
+    // away
+    "q128_line_filter" -> ((s, dir) => {
+      val multi = docs(s, dir).select(col("doc_id"),
+        concat(substring(col("text"), 1, 50), lit(".\n"),
+          substring(col("text"), 51, 40), lit("\n"),
+          lit("Please enable javascript to continue."), lit("\n"),
+          substring(col("text"), 91, 60), lit("!")).as("page"))
+      TextAnalysis.lineFilter(multi, "doc_id", "page")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_text"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3495,7 +3510,31 @@ object SparkEntry {
         |    (sw*sw / (sw*sw - sw2)) * (swx2/sw - (swx/sw)*(swx/sw)) END, 6) AS ewm_var,
         |  round(CASE WHEN nobs >= 2 AND sw*sw - sw2 > 0 THEN
         |    sqrt((sw*sw / (sw*sw - sw2)) * (swx2/sw - (swx/sw)*(swx/sw))) END, 6) AS ewm_std
-        |FROM rec ORDER BY 1, 2""".stripMargin
+        |FROM rec ORDER BY 1, 2""".stripMargin,
+
+    // identical page construction, line predicates replayed rule-for-rule,
+    // ordered reassembly via string_agg ORDER BY pos
+    "q128_line_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |    substr(text, 1, 50) || '.' || chr(10) || substr(text, 51, 40)
+        |      || chr(10) || 'Please enable javascript to continue.'
+        |      || chr(10) || substr(text, 91, 60) || '!' AS page
+        |  FROM documents),
+        |x AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM t),
+        |l AS (SELECT doc_id, u.pos, ls[u.pos] AS line
+        |  FROM x CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS pos) u),
+        |k AS (SELECT doc_id, pos, line,
+        |    regexp_matches(trim(line), '[.!?"]$')
+        |    AND len(list_filter(regexp_split_to_array(trim(line), '\s+'),
+        |      w -> w <> '')) >= 5
+        |    AND NOT contains(lower(line), 'javascript')
+        |    AND NOT contains(lower(line), 'cookie') AS keep
+        |  FROM l)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  count(CASE WHEN keep THEN 1 END) AS n_kept,
+        |  string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos)
+        |    AS clean_text
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -335,6 +335,40 @@ object TextAnalysis {
       .withColumn("n_terms_hit", coalesce(col("n_terms_hit"), lit(0L)))
   }
 
+  /** C4-style LINE-level cleaning (Raffel et al. 2020 §2.2 rules, the
+    * sub-document pass that runs before page-level gates like
+    * [[corpusFilter]]): a line survives iff it
+    *   - ends in terminal punctuation (`.` `!` `?` `"`) after trimming,
+    *   - has at least `minWords` whitespace words, and
+    *   - contains none of the (lowercased) `blacklist` boilerplate terms;
+    * kept lines reassemble IN ORDER into `clean_text`. Line rules catch the
+    * boilerplate a page-level score averages away — nav menus, cookie
+    * banners, "enable javascript" stubs.
+    *
+    * One explode + one groupBy per doc (same shuffle shape as
+    * [[graft.operators.Dedup.chunkDedup]]); all predicates codegen'd.
+    * Output: (idCol, n_lines, n_kept, clean_text).
+    */
+  def lineFilter(docs: DataFrame, idCol: String, textCol: String,
+                 minWords: Int = 5,
+                 blacklist: Seq[String] = Seq("javascript", "cookie")): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    val trimmed = trim(col("line"))
+    val keep = trimmed.rlike("[.!?\"]$") &&
+      size(words(col("line"))) >= minWords &&
+      blacklist.map(t => !lower(col("line")).contains(t)).reduce(_ && _)
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("_keep", keep)
+      .groupBy(idCol)
+      .agg(
+        count(col("pos")).as("n_lines"),
+        count(when(col("_keep"), lit(1))).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("_keep"), struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"))
+  }
+
   /** Unigram language-model fluency score: per-document cross-entropy (bits
     * per token) and perplexity against an add-1-smoothed unigram model
     * trained on a deterministic hash-sample of the corpus itself —

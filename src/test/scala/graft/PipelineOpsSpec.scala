@@ -144,6 +144,24 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out(1L)._1 > out(2L)._1)              // higher tf wins at equal length
   }
 
+  test("lineFilter: C4 line rules — punct, min words, blacklist; ordered reassembly") {
+    import graft.operators.TextAnalysis
+    val page = Seq(
+      "This is a perfectly fine prose sentence.",  // kept
+      "nav menu home about contact",                // no terminal punct → drop
+      "Please enable javascript to continue.",      // blacklist → drop
+      "Too short.",                                 // < 5 words → drop
+      "We use cookie banners on every page today!", // blacklist (cookie) → drop
+      "Another good long sentence ends properly?"   // kept
+    ).mkString("\n")
+    val out = TextAnalysis.lineFilter(Seq((1L, page)).toDF("id", "text"), "id", "text")
+      .collect()(0)
+    assert(out.getLong(out.fieldIndex("n_lines")) == 6L)
+    assert(out.getLong(out.fieldIndex("n_kept")) == 2L)
+    assert(out.getString(out.fieldIndex("clean_text")) ==
+      "This is a perfectly fine prose sentence.\nAnother good long sentence ends properly?")
+  }
+
   test("lmScore: hand add-1 bits; vocab cap routes tail to OOV; empty doc null") {
     import graft.operators.TextAnalysis
     // counts: a:3 b:1 c:1 → N=5, V=3 → p(a)=4/8, p(b)=p(c)=2/8, OOV=1/8
