@@ -168,6 +168,82 @@ object TierPipeline {
     }
   }
 
+  /** Small-file compaction — the Iceberg `rewrite_data_files` analogue for
+    * the emulated store: partitions whose file count exceeds
+    * `maxFilesPerPartition` are rewritten in place to
+    * ceil(partitionBytes / targetFileBytes) files (min 1). Many small files
+    * are the natural waste product of incremental builds (every resume and
+    * every streaming flush appends its own task files) and they tax every
+    * later read with per-file open/footer costs — maintenance compaction is
+    * what keeps a month-old store reading at day-one speed.
+    *
+    * Safety: a rewrite changes LAYOUT, not rows — `complete` lineage is
+    * untouched (so nothing gets rebuilt), and an audit `compacted` row is
+    * appended per rewritten partition. Rewrites use the same
+    * dynamic-partition overwrite as [[writeTier]], so a crashed compaction
+    * leaves either the old or the new layout per partition, both valid.
+    *
+    * Scale: the file listing is driver-side but bounded by PARTITION count
+    * (one `listStatus` per partition directory of the selected tier), which
+    * is the same order as the lineage table the pipeline already collects;
+    * a real Iceberg catalog would serve the same stats from manifests. The
+    * rewrite itself reads only the selected partitions (directory-pruned)
+    * and shuffles them once into per-partition slot groups.
+    *
+    * @return (day, host_bucket) partitions rewritten
+    */
+  def compact(spark: SparkSession, cfg: Config, tier: String,
+              maxFilesPerPartition: Int, targetFileBytes: Long,
+              runId: String): Seq[(String, Int)] = {
+    require(maxFilesPerPartition >= 1, "maxFilesPerPartition must be >= 1")
+    require(targetFileBytes >= 1, "targetFileBytes must be >= 1")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(tierPath(cfg.root, tier))
+    if (!fs.exists(base)) return Seq.empty
+    val parts = for {
+      dayDir <- fs.listStatus(base).toSeq
+      if dayDir.isDirectory && dayDir.getPath.getName.startsWith("day=")
+      hbDir <- fs.listStatus(dayDir.getPath).toSeq
+      if hbDir.isDirectory && hbDir.getPath.getName.startsWith("host_bucket=")
+    } yield {
+      val files = fs.listStatus(hbDir.getPath).filter(f =>
+        f.isFile && !f.getPath.getName.startsWith("_"))
+      (dayDir.getPath.getName.stripPrefix("day="),
+        hbDir.getPath.getName.stripPrefix("host_bucket=").toInt,
+        files.length, files.map(_.getLen).sum)
+    }
+    val todo = parts.filter(_._3 > maxFilesPerPartition)
+    if (todo.isEmpty) return Seq.empty
+    val slots: Map[(String, Int), Int] = todo.map { case (d, hb, _, bytes) =>
+      (d, hb) -> math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    }.toMap
+    val days = todo.map(_._1).distinct
+    val slotFor = udf((d: String, hb: Int) => slots.getOrElse((d, hb), 1))
+    val keyIn = todo.map { case (d, hb, _, _) => s"$d/$hb" }.toSet
+    val keyInUdf = udf((d: String, hb: Int) => keyIn.contains(s"$d/$hb"))
+    val selected = spark.read.parquet(tierPath(cfg.root, tier))
+      .filter(col("day").isin(days: _*)) // directory-level prune
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .filter(keyInUdf(col("day"), col("host_bucket")))
+    val nTasks = math.max(1, slots.values.sum)
+    selected
+      .withColumn("_slot",
+        pmod(xxhash64(col("host")), slotFor(col("day"), col("host_bucket")).cast("long")).cast("int"))
+      .repartition(nTasks, col("day"), col("host_bucket"), col("_slot"))
+      .drop("_slot")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day", "host_bucket")
+      .parquet(tierPath(cfg.root, tier))
+    val rows = todo.map { case (d, hb, nFiles, bytes) =>
+      org.apache.spark.sql.Row(tier, d, hb, runId, nFiles.toLong, bytes, 0.0, "compacted")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType.fromDDL(lineageSchema))
+      .write.mode(SaveMode.Append).parquet(lineagePath(cfg.root))
+    todo.map(t => (t._1, t._2))
+  }
+
   /** Builds / resumes the full tier cascade 1m → 5m → 1h → 1d from raw pages
     * (pages must already carry hierarchy columns). Each tier writes only its
     * pending partitions; promotion reads the stored finer tier, pruned to the

@@ -131,4 +131,48 @@ class TierPipelineSpec extends SparkSuite {
       policy = Map("1m" -> 1), today = today, runId = "exp2")
     assert(exp2("1m").isEmpty)
   }
+
+  test("compact: rewrites small-file partitions in place, rows identical, idempotent") {
+    val cfg = Config(freshRoot(), hostBuckets = 2)
+    TierPipeline.buildAll(pages, cfg, runId = "run1")
+    // fragment the 1h tier: overwrite with many tiny task files per partition
+    val frag = TierPipeline.withPartitionCols(
+      TierPipeline.readTier(spark, cfg, "1h"), cfg.hostBuckets)
+      .repartition(24)
+    frag.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day", "host_bucket")
+      .parquet(TierPipeline.tierPath(cfg.root, "1h"))
+    def fileCounts(): Map[(String, Int), Int] = {
+      val base = java.nio.file.Paths.get(TierPipeline.tierPath(cfg.root, "1h"))
+      import scala.jdk.CollectionConverters._
+      Files.list(base).iterator().asScala.filter(p => p.getFileName.toString.startsWith("day=")).flatMap { d =>
+        Files.list(d).iterator().asScala.filter(_.getFileName.toString.startsWith("host_bucket=")).map { hb =>
+          val n = Files.list(hb).iterator().asScala
+            .count(f => !f.getFileName.toString.startsWith("_") && !f.getFileName.toString.endsWith(".crc"))
+          (d.getFileName.toString.stripPrefix("day="),
+            hb.getFileName.toString.stripPrefix("host_bucket=").toInt) -> n
+        }
+      }.toMap
+    }
+    val before = TierPipeline.readTier(spark, cfg, "1h")
+      .select("host", "bucket_start", "cnt", "sum_len").collect().map(_.toSeq).toSet
+    assert(fileCounts().values.max > 4, "fixture must be fragmented")
+    val rewritten = TierPipeline.compact(spark, cfg, "1h",
+      maxFilesPerPartition = 4, targetFileBytes = 1L << 30, runId = "cmp1")
+    assert(rewritten.nonEmpty)
+    // layout: every rewritten partition is down to ~1 file (1 GiB target)
+    val fcAfter = fileCounts()
+    rewritten.foreach { p => assert(fcAfter(p) <= 2, s"$p still fragmented: ${fcAfter(p)}") }
+    // rows byte-identical
+    val after = TierPipeline.readTier(spark, cfg, "1h")
+      .select("host", "bucket_start", "cnt", "sum_len").collect().map(_.toSeq).toSet
+    assert(after === before)
+    // lineage: audit rows appended, complete rows untouched → no rebuild
+    val lin = TierPipeline.lineage(spark, cfg.root)
+    assert(lin.filter(col("status") === "compacted").count() === rewritten.size.toLong)
+    assert(TierPipeline.buildAll(pages, cfg, runId = "run2").values.forall(_.isEmpty))
+    // idempotent: everything now under the threshold
+    assert(TierPipeline.compact(spark, cfg, "1h", 4, 1L << 30, "cmp2").isEmpty)
+  }
 }
