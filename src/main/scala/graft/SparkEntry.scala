@@ -1618,6 +1618,19 @@ object SparkEntry {
       TextAnalysis.lineFilter(multi, "doc_id", "page")
         .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_text"))
         .orderBy("doc_id")
+    }),
+
+    // Schuster periodogram at candidate periods over the daily series —
+    // seasonality DETECTION (argmax feeds decompose/fourier)
+    "q129_periodogram" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      Features.periodogram(daily, Seq("user_id"), "d", "v",
+          periods = Seq(2, 3, 7, 14))
+        .select(col("user_id"), col("period"), r6(col("power")).as("power"),
+          col("n"))
+        .orderBy("user_id", "period")
     })
   )
 
@@ -3534,7 +3547,28 @@ object SparkEntry {
         |  count(CASE WHEN keep THEN 1 END) AS n_kept,
         |  string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos)
         |    AS clean_text
-        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same direct single-bin sums: z·cos / z·sin against integer row
+    // phases, power = sc² + ss², identical 2·π/p constant shape
+    "q129_periodogram" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |r AS (SELECT user_id, v::DOUBLE AS y,
+        |    (row_number() OVER (PARTITION BY user_id ORDER BY d) - 1)::DOUBLE AS t
+        |  FROM daily),
+        |c AS (SELECT user_id, avg(y) AS mu FROM r GROUP BY 1),
+        |z AS (SELECT r.user_id, r.t, r.y - c.mu AS z
+        |  FROM r JOIN c USING (user_id)),
+        |p AS (SELECT unnest([2, 3, 7, 14]) AS period),
+        |a AS (SELECT z.user_id, p.period,
+        |    sum(z.z * cos(z.t * (2.0 * pi() / p.period))) AS sc,
+        |    sum(z.z * sin(z.t * (2.0 * pi() / p.period))) AS ss,
+        |    count(*) AS n
+        |  FROM z CROSS JOIN p GROUP BY 1, 2)
+        |SELECT user_id, period::INT AS period,
+        |  round(sc*sc + ss*ss, 6) AS power, n
+        |FROM a ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -273,6 +273,47 @@ object Features {
       .drop("_pos", "_det", "_s_raw", "_ctr")
   }
 
+  /** Periodogram at CANDIDATE periods — "which seasonality does this series
+    * have": for each candidate period p, the spectral power of the
+    * mean-centered series at frequency 1/p,
+    *   power(p) = (Σ z_t·cos(2πt/p))² + (Σ z_t·sin(2πt/p))²,   t = 0,1,…
+    * (the Schuster periodogram / single-bin Goertzel evaluated by direct
+    * sums — no FFT needed for a handful of candidates). Feeding the argmax
+    * into [[seasonalDecompose]]/[[fourierTerms]] closes the loop: detect
+    * the period, then model it. Row position t comes from a per-key
+    * `row_number` so irregular timestamps still get integer phases.
+    *
+    * Scale: one window pass for t and the centering mean, then ONE grouped
+    * aggregation carrying 2·|periods| codegen'd sums — |periods| is small
+    * (candidate periods are domain knowledge: 7, 24, 30, 365…), so the
+    * shuffle is the series keys only. Output: (keys, period, power, n) —
+    * one row per candidate, consumers argmax or threshold.
+    */
+  def periodogram(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                  valueCol: String, periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2),
+      s"candidate periods must all be >= 2, got $periods")
+    val keys = hierarchy.map(col)
+    val part = Window.partitionBy(keys: _*)
+    val ordered = part.orderBy(col(tsCol))
+    val v = col(valueCol).cast("double")
+    val staged = df
+      .withColumn("_t", (row_number().over(ordered) - 1).cast("double"))
+      .withColumn("_mu", avg(v).over(part))
+      .withColumn("_z", v - col("_mu"))
+    val sums = periods.flatMap { p =>
+      val ang = col("_t") * lit(2.0 * math.Pi / p)
+      Seq(sum(col("_z") * cos(ang)).as(s"_c$p"), sum(col("_z") * sin(ang)).as(s"_s$p"))
+    }
+    staged.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select((keys :+ col("n") :+ explode(array(periods.map { p =>
+        struct(lit(p).as("period"),
+          (col(s"_c$p") * col(s"_c$p") + col(s"_s$p") * col(s"_s$p")).as("power"))
+      }: _*)).as("e")): _*)
+      .select((keys ++ Seq(col("e.period"), col("e.power"), col("n"))): _*)
+  }
+
   /** Trend / seasonal STRENGTH features (Hyndman & Athanasopoulos FPP3
     * §4.3, the tsfeatures definitions) from a classical decomposition:
     *   F_T = max(0, 1 − Var(R) / Var(T + R))

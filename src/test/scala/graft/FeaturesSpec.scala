@@ -382,6 +382,24 @@ class FeaturesSpec extends SparkSuite {
     }
   }
 
+  test("periodogram: planted period-7 sine dominates its bin; flat series ~0") {
+    val df = (0 until 56).map(i => (1L, i.toLong * 86400,
+      10.0 + 5.0 * math.sin(2 * math.Pi * i / 7.0)))
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val out = Features.periodogram(df, Seq("k"), "ts", "v", Seq(2, 3, 7, 14))
+      .collect().map(r => r.getInt(r.fieldIndex("period")) ->
+        r.getDouble(r.fieldIndex("power"))).toMap
+    // 8 full cycles of period 7: its bin carries (n/2·A)² = (28·5)² of power
+    assert(out(7) > 100 * out(2) && out(7) > 100 * out(3) && out(7) > 100 * out(14))
+    assert(math.abs(out(7) - 140.0 * 140.0) < 1e-6)
+    // constant series: centered to zero → all bins zero
+    val flat = (0 until 20).map(i => (1L, i.toLong * 86400, 4.2))
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val fo = Features.periodogram(flat, Seq("k"), "ts", "v", Seq(2, 7))
+      .collect().map(r => r.getDouble(r.fieldIndex("power")))
+    fo.foreach(p => assert(p < 1e-18))
+  }
+
   test("decompStrength: planted trend/seasonal score ≈1, noise-only ≈0") {
     // strong seasonal (period 3) + linear trend, zero remainder → both ≈ 1
     val sPat = Seq(2.0, -1.0, -1.0)
