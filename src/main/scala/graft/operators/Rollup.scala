@@ -296,10 +296,18 @@ object Rollup {
     val segs = coverage(startSec, endSec, Tiers.filter(t => tiers.contains(t.name)))
     val partialCols = groupCols.map(col) ++ Seq(col("bucket_start"), col("cnt"),
       col("sum_len"), col("min_len"), col("max_len"), col("lang_set"), col("block"))
-    val parts = segs.map { sg =>
-      tiers(sg.tier)
-        .filter(col("bucket_start") >= sg.startSec && col("bucket_start") < sg.endSec)
-        .select(partialCols: _*)
+    // ONE plan subtree per tier, its (disjoint) segment ranges OR-combined:
+    // a tier usually covers two edge segments, and referencing the tier
+    // frame twice would evaluate its whole upstream plan twice when the
+    // caller passes freshly-computed (non-materialized) tiers — against the
+    // durable store both forms prune identically, but this one is never
+    // worse. (Catalyst's ReuseExchange cannot dedupe the two references:
+    // the differing pushed-down range filters make the exchanges differ.)
+    val parts = segs.groupBy(_.tier).toSeq.map { case (tier, ss) =>
+      val pred = ss.map(sg =>
+          col("bucket_start") >= sg.startSec && col("bucket_start") < sg.endSec)
+        .reduce(_ || _)
+      tiers(tier).filter(pred).select(partialCols: _*)
     }
     mergePartials(parts.reduce(_.unionByName(_)), groupCols, bucketExpr = lit(startSec))
       .withColumnRenamed("bucket_start", "range_start")
