@@ -67,6 +67,46 @@ class PlanEvidenceSpec extends SparkSuite {
       "scan must not read columns the query never touches")
   }
 
+  test("readRange over the DURABLE store: min/max-pruned scans, no raw re-read") {
+    import graft.plans.TierPipeline
+    import graft.plans.TierPipeline.Config
+    // build a real 2-day durable store, then serve a stitched range off it
+    val pages = Hier.withHierarchy(Pages.synthesize(spark, 6000L, seed = 21L,
+      minutes = 2 * 1440))
+    val cfg = Config(java.nio.file.Files.createTempDirectory("graft_serve").toString,
+      hostBuckets = 2)
+    TierPipeline.buildAll(pages, cfg, runId = "serve1")
+    val tiers = Map(
+      "1m" -> TierPipeline.readTier(spark, cfg, "1m"),
+      "1h" -> TierPipeline.readTier(spark, cfg, "1h"),
+      "1d" -> TierPipeline.readTier(spark, cfg, "1d"))
+    val start = Pages.Epoch + 2 * 3600 + 11 * 60
+    val end = Pages.Epoch + 86400 + 5 * 3600
+    val res = Rollup.readRange(tiers, start, end)
+    // AdaptiveSparkPlan prints final + initial sections — count in the final
+    val plan = finalPlan(res.drop("block", "lang_set")).split("== Initial Plan ==")(0)
+    // the serving read touches ONLY tier parquet (no raw pages in this plan
+    // by construction) and every tier scan carries a pushed bucket_start
+    // range so parquet row-group min/max stats prune storage-side
+    assert(plan.contains("GreaterThanOrEqual(bucket_start"),
+      s"bucket_start range must reach the parquet reader:\n$plan")
+    val tiersInCover = Rollup.coverage(start, end,
+      Rollup.Tiers.filter(t => tiers.contains(t.name))).map(_.tier).distinct.size
+    assert("Scan parquet|FileScan".r.findAllIn(plan).size == tiersInCover,
+      s"exactly one pruned scan per covering tier ($tiersInCover), nothing else")
+    // and the stitched numbers equal a direct raw aggregation
+    val direct = Rollup.textLen(pages)
+      .filter(unix_timestamp(col("warc_ts")) >= start &&
+        unix_timestamp(col("warc_ts")) < end)
+      .groupBy(col("tld"), col("registered_domain"), col("host"))
+      .agg(count(lit(1)).as("d_cnt"),
+        org.apache.spark.sql.functions.percentile(col("text_len"), lit(0.95)).as("d_p95"))
+    val j = res.join(direct, Seq("tld", "registered_domain", "host"), "full_outer")
+    assert(j.filter(col("cnt").isNull || col("d_cnt").isNull).count() == 0)
+    assert(j.filter(col("cnt") =!= col("d_cnt") ||
+      abs(col("p95_len") - col("d_p95")) > 1e-9).count() == 0)
+  }
+
   test("tier-1 continuous aggregate is a single-shuffle plan") {
     val pages = Hier.withHierarchy(Pages.synthesize(spark, 5000L, seed = 7L))
     val t1m = Rollup.tier1m(pages)
