@@ -53,6 +53,53 @@ class StreamingRollupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL sketch registers are byte-identical to batch on the same pages") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Hll
+    val mem = MemoryStream[Page]
+    // the sketch column rides a regular watermarked window aggregate — the
+    // tier-1m shape with a mergeable-summary measure; register max is
+    // order-independent, so stream (incremental merges across micro-batches)
+    // and batch produce the SAME bytes
+    val stream = Hier.withHierarchy(mem.toDF())
+      .withWatermark("warc_ts", "5 minutes")
+      .groupBy(col("host"), window(col("warc_ts"), "1 minute").as("w"))
+      .agg(Hll.hllSketch(col("lang")).as("regs"))
+      .withColumn("bucket_start", unix_timestamp(col("w.start"))).drop("w")
+    val q = stream.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        Page("https://w1.site1.com/p/1", ts(0, 5), "aa", "en"),
+        Page("https://w1.site1.com/p/2", ts(0, 20), "bb", "de"))
+      q.processAllAvailable()
+      mem.addData( // second micro-batch merges INTO the same bucket's state
+        Page("https://w1.site1.com/p/3", ts(0, 40), "cc", "fr"),
+        Page("https://w1.site1.com/p/4", ts(0, 50), "dd", "en"))
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream")
+        .select("host", "bucket_start", "regs").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Array[Byte]](2)).toMap
+      val batchPages = Seq(
+        Page("https://w1.site1.com/p/1", ts(0, 5), "aa", "en"),
+        Page("https://w1.site1.com/p/2", ts(0, 20), "bb", "de"),
+        Page("https://w1.site1.com/p/3", ts(0, 40), "cc", "fr"),
+        Page("https://w1.site1.com/p/4", ts(0, 50), "dd", "en"))
+      val batch = Hier.withHierarchy(batchPages.toDF())
+        .groupBy(col("host"), window(col("warc_ts"), "1 minute").as("w"))
+        .agg(Hll.hllSketch(col("lang")).as("regs"))
+        .withColumn("bucket_start", unix_timestamp(col("w.start")))
+        .select("host", "bucket_start", "regs").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Array[Byte]](2)).toMap
+      assert(streamed.keySet === batch.keySet && streamed.nonEmpty)
+      streamed.foreach { case (k, regs) =>
+        assert(java.util.Arrays.equals(regs, batch(k)), s"registers differ at $k") }
+      // and the estimate sees all 3 distinct langs
+      val est = graft.functions.Hll.estimate(streamed.values.head)
+      assert(math.abs(est - 3.0) < 0.2)
+    } finally q.stop()
+  }
+
   test("append mode emits a bucket only after the watermark closes it") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Page]
