@@ -1631,6 +1631,20 @@ object SparkEntry {
         .select(col("user_id"), col("period"), r6(col("power")).as("power"),
           col("n"))
         .orderBy("user_id", "period")
+    }),
+
+    // multiplicative Holt-Winters on the same daily series as q99 — ratio
+    // seasonals, swing scales with level
+    "q130_holt_winters_mul" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Forecast.holtWintersMul(daily, Seq("user_id"), "d", "v",
+          alpha = 0.3, beta = 0.1, gamma = 0.2, period = 7, horizon = 7,
+          stepSeconds = 86400L)
+        .select(col("user_id"), unix_timestamp(col("forecast_ts")).as("forecast_s"),
+          col("step").cast("long").as("step"), r6(col("yhat")).as("yhat"))
+        .orderBy("user_id", "step")
     })
   )
 
@@ -3568,7 +3582,46 @@ object SparkEntry {
         |  FROM z CROSS JOIN p GROUP BY 1, 2)
         |SELECT user_id, period::INT AS period,
         |  round(sc*sc + ss*ss, 6) AS power, n
-        |FROM a ORDER BY 1, 2""".stripMargin
+        |FROM a ORDER BY 1, 2""".stripMargin,
+
+    // q99's recursion with ratio seasonals: divide where additive
+    // subtracts, multiply the forecast; positive-series guard in `n`
+    "q130_holt_winters_mul" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |r AS (SELECT user_id, d, v::DOUBLE AS y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn FROM daily),
+        |n AS (SELECT user_id, max(rn) AS bigT, max(d) AS last_d FROM r GROUP BY 1
+        |  HAVING max(rn) >= 14 AND min(y) > 0),
+        |agg AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN rn <= 7 THEN y END) / 7.0 AS l0,
+        |    (sum(CASE WHEN rn BETWEEN 8 AND 14 THEN y END)
+        |     - sum(CASE WHEN rn <= 7 THEN y END)) / 49.0 AS b0,
+        |    list(y ORDER BY rn) FILTER (WHERE rn <= 7) AS first7
+        |  FROM r GROUP BY 1),
+        |init AS (
+        |  SELECT a.user_id, 7 AS rn, l0 AS l, b0 AS b,
+        |    list_transform(first7, x -> x / l0) AS s
+        |  FROM agg a JOIN n USING (user_id) WHERE l0 <> 0),
+        |rec AS (
+        |  SELECT * FROM init
+        |  UNION ALL
+        |  SELECT rec.user_id, rec.rn + 1,
+        |    0.3*(sr.y / rec.s[(rec.rn % 7) + 1]) + 0.7*(rec.l + rec.b) AS l,
+        |    0.1*((0.3*(sr.y / rec.s[(rec.rn % 7) + 1]) + 0.7*(rec.l + rec.b)) - rec.l)
+        |      + 0.9*rec.b AS b,
+        |    rec.s[1:(rec.rn % 7)]
+        |      || [0.2*(sr.y / (rec.l + rec.b)) + 0.8*rec.s[(rec.rn % 7) + 1]]
+        |      || rec.s[(rec.rn % 7) + 2:7] AS s
+        |  FROM rec JOIN r sr ON sr.user_id = rec.user_id AND sr.rn = rec.rn + 1),
+        |fin AS (SELECT rec.user_id, rec.l, rec.b, rec.s
+        |  FROM rec JOIN n ON n.user_id = rec.user_id AND rec.rn = n.bigT)
+        |SELECT f.user_id, epoch(n.last_d)::BIGINT + g.s*86400 AS forecast_s, g.s AS step,
+        |  round((f.l + g.s*f.b) * f.s[((n.bigT - 1 + g.s) % 7) + 1], 6) AS yhat
+        |FROM fin f JOIN n USING (user_id), generate_series(1,7) g(s)
+        |ORDER BY 1,3""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -385,6 +385,71 @@ object Forecast {
       .select((keys :+ col("forecast_ts") :+ col("step") :+ col("yhat")): _*)
   }
 
+  /** MULTIPLICATIVE Holt-Winters (Hyndman §8.3) — the variant for series
+    * whose seasonal swing scales with the level (traffic, sales: a +20%
+    * weekend is +20% whether the week ran 1k or 1M):
+    *   l_t = α·(y_t / s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   s_t = γ·(y_t / (l_{t−1} + b_{t−1})) + (1−γ)·s_{t−m}
+    *   ŷ(T+h) = (l_T + h·b_T) · s_{T+h−m⌈h/m⌉}
+    * Init mirrors [[holtWinters]] with ratio seasonals (s_i = y_i / l₀).
+    * Requires strictly positive observations (the ratios are undefined
+    * otherwise) — keys with any y ≤ 0 or fewer than 2 seasons are dropped.
+    * Same licensed per-key fold + ring buffer as the additive form.
+    */
+  def holtWintersMul(history: DataFrame, keyCols: Seq[String], tsCol: String,
+                     valCol: String, alpha: Double, beta: Double, gamma: Double,
+                     period: Int, horizon: Int, stepSeconds: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(beta > 0 && beta <= 1, s"beta must be in (0, 1], got $beta")
+    require(gamma > 0 && gamma <= 1, s"gamma must be in (0, 1], got $gamma")
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(horizon >= 1 && stepSeconds >= 1,
+      s"horizon/stepSeconds must be >= 1, got $horizon/$stepSeconds")
+    val m = period
+    val keys = keyCols.map(col)
+    val foldUdf = udf { (pts: Seq[org.apache.spark.sql.Row]) =>
+      require(pts.size <= Ewma.maxSeriesPoints,
+        s"Holt-Winters series has ${pts.size} points (> Ewma.maxSeriesPoints=" +
+          s"${Ewma.maxSeriesPoints}). Aggregate to time buckets first.")
+      val ys = pts.sortBy(_.getLong(0)).map(_.getDouble(1)).toArray
+      val n = ys.length
+      if (n < 2 * m || ys.exists(_ <= 0.0)) None
+      else {
+        var l = ys.slice(0, m).sum / m
+        var b = (ys.slice(m, 2 * m).sum - ys.slice(0, m).sum) / (m * m)
+        if (l == 0.0) None
+        else {
+          val s = Array.tabulate(m)(i => ys(i) / l)
+          var i = m
+          while (i < n) {
+            val sOld = s(i % m)
+            val lNew = alpha * (ys(i) / sOld) + (1.0 - alpha) * (l + b)
+            val bNew = beta * (lNew - l) + (1.0 - beta) * b
+            s(i % m) = gamma * (ys(i) / (l + b)) + (1.0 - gamma) * sOld
+            l = lNew; b = bNew
+            i += 1
+          }
+          Some((l, b, (1 to horizon).map(h => s((n - 1 + h) % m))))
+        }
+      }
+    }
+    history.filter(col(valCol).isNotNull)
+      .groupBy(keys: _*)
+      .agg(collect_list(struct(unix_timestamp(col(tsCol)).as("t"),
+        col(valCol).cast("double").as("x"))).as("_pts"),
+        max(col(tsCol)).as("_last_ts"))
+      .withColumn("_st", foldUdf(col("_pts")))
+      .filter(col("_st").isNotNull)
+      .withColumn("step", explode(sequence(lit(1), lit(horizon))))
+      .withColumn("forecast_ts",
+        timestamp_seconds(unix_timestamp(col("_last_ts")) + col("step") * stepSeconds))
+      .withColumn("yhat",
+        (col("_st._1") + col("step") * col("_st._2")) *
+          element_at(col("_st._3"), col("step").cast("int")))
+      .select((keys :+ col("forecast_ts") :+ col("step") :+ col("yhat")): _*)
+  }
+
   /** Croston's method for INTERMITTENT demand (Croston 1972, "Forecasting
     * and stock control for intermittent demands" — public; the standard
     * baseline for sparse series, which is what retail demand at SKU grain —

@@ -577,6 +577,43 @@ class PipelineOpsSpec extends SparkSuite {
 
   // -------------------------------------------------------------- Anomaly
 
+  test("holtWintersMul: hand fold; flat series fixed point; non-positive dropped") {
+    import graft.operators.Forecast
+    val m = 2
+    val ys = Seq(10.0, 20.0, 12.0, 24.0, 14.0, 28.0) // level grows, ratio 1:2
+    val (a, b0, g) = (0.3, 0.1, 0.2)
+    var l = (ys(0) + ys(1)) / 2
+    var b = (ys(2) + ys(3) - ys(0) - ys(1)) / 4.0
+    val s = Array(ys(0) / l, ys(1) / l)
+    (2 until 6).foreach { i =>
+      val sOld = s(i % m)
+      val lNew = a * (ys(i) / sOld) + (1 - a) * (l + b)
+      s(i % m) = g * (ys(i) / (l + b)) + (1 - g) * sOld
+      b = b0 * (lNew - l) + (1 - b0) * b
+      l = lNew
+    }
+    val df = ys.zipWithIndex.map { case (y, i) => (1L, i.toLong * 86400, y) }
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val out = Forecast.holtWintersMul(df, Seq("k"), "ts", "v", a, b0, g,
+      period = m, horizon = 2, stepSeconds = 86400L).orderBy("step").collect()
+    // forecast slot for step h is s((n−1+h) mod m): n=6 → h=1 hits s(0)
+    assert(math.abs(out(0).getDouble(3) - (l + 1 * b) * s(0)) < 1e-12)
+    assert(math.abs(out(1).getDouble(3) - (l + 2 * b) * s(1)) < 1e-12)
+    // perfectly periodic flat-level series: forecast reproduces the pattern
+    val per = (0 until 12).map(i => (1L, i.toLong * 86400, if (i % 2 == 0) 10.0 else 20.0))
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val po = Forecast.holtWintersMul(per, Seq("k"), "ts", "v", a, b0, g,
+      period = 2, horizon = 2, stepSeconds = 86400L).orderBy("step").collect()
+    assert(math.abs(po(0).getDouble(3) - 10.0) < 1e-9)
+    assert(math.abs(po(1).getDouble(3) - 20.0) < 1e-9)
+    // a zero observation makes ratios undefined → key dropped
+    val withZero = (ys.updated(3, 0.0)).zipWithIndex
+      .map { case (y, i) => (2L, i.toLong * 86400, y) }
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    assert(Forecast.holtWintersMul(withZero, Seq("k"), "ts", "v", a, b0, g,
+      period = m, horizon = 1, stepSeconds = 86400L).count() == 0)
+  }
+
   test("madOutliers: hand-computed z; constant key yields null z, no flags") {
     import graft.operators.Anomaly
     // key 1: v = (1,2,3,4,100) → med=3, |v−med|=(2,1,0,1,97) → mad=1
