@@ -1645,6 +1645,18 @@ object SparkEntry {
         .select(col("user_id"), unix_timestamp(col("forecast_ts")).as("forecast_s"),
           col("step").cast("long").as("step"), r6(col("yhat")).as("yhat"))
         .orderBy("user_id", "step")
+    }),
+
+    // lead-lag detection: y is x delayed by 2 events, so the CCF must peak
+    // (exactly 1) at lag −2 under ccf(l) = corr(x_t, y_{t−l})
+    "q131_cross_corr" -> ((s, dir) => {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val xy = ev(s, dir).withColumn("y", lag(col("value"), 2).over(win))
+      Features.crossCorrelation(xy, Seq("user_id"), "ts", "value", "y",
+          lags = Seq(-2, -1, 0, 1, 2))
+        .select(col("user_id"), col("lag"), r6(col("ccf")).as("ccf"))
+        .orderBy("user_id", "lag")
     })
   )
 
@@ -3621,7 +3633,27 @@ object SparkEntry {
         |SELECT f.user_id, epoch(n.last_d)::BIGINT + g.s*86400 AS forecast_s, g.s AS step,
         |  round((f.l + g.s*f.b) * f.s[((n.bigT - 1 + g.s) % 7) + 1], 6) AS yhat
         |FROM fin f JOIN n USING (user_id), generate_series(1,7) g(s)
-        |ORDER BY 1,3""".stripMargin
+        |ORDER BY 1,3""".stripMargin,
+
+    // same construction and the same shifted-y correlations via window lag
+    "q131_cross_corr" ->
+      """WITH xy AS (SELECT user_id, ts, event_id, value,
+        |    lag(value, 2) OVER w AS y
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |st AS (SELECT user_id, value,
+        |    lead(y, 2) OVER w AS y_m2, lead(y, 1) OVER w AS y_m1, y AS y_0,
+        |    lag(y, 1) OVER w AS y_1, lag(y, 2) OVER w AS y_2
+        |  FROM xy WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |a AS (SELECT user_id,
+        |    corr(value, y_m2) AS c_m2, corr(value, y_m1) AS c_m1,
+        |    corr(value, y_0) AS c_0, corr(value, y_1) AS c_1,
+        |    corr(value, y_2) AS c_2
+        |  FROM st GROUP BY 1)
+        |SELECT user_id, l.lag, round(CASE l.lag
+        |    WHEN -2 THEN c_m2 WHEN -1 THEN c_m1 WHEN 0 THEN c_0
+        |    WHEN 1 THEN c_1 ELSE c_2 END, 6) AS ccf
+        |FROM a CROSS JOIN (SELECT unnest([-2, -1, 0, 1, 2]) AS lag) l
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

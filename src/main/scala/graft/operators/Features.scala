@@ -412,6 +412,32 @@ object Features {
     agged.select(hierarchy.map(col) :+ expr(stackExpr): _*)
   }
 
+  /** Cross-correlation function at candidate lags — LEAD-LAG detection
+    * between two measures of the same keyed series ("requests lead errors
+    * by 2 buckets"): ccf(l) = corr(x_t, y_{t−l}), so a peak at POSITIVE l
+    * means x must be shifted back to align — y leads; a peak at NEGATIVE l
+    * means x leads. The cross-series sibling of [[acf]], built the same
+    * way: one window pass stages every shifted y, one grouped aggregation
+    * computes all correlations, `stack` unpivots to (keys, lag, ccf).
+    * Negative lags use `lead` (shift forward).
+    */
+  def crossCorrelation(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                       xCol: String, yCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty, "need at least one lag")
+    require(lags.distinct.size == lags.size, s"duplicate lags in $lags")
+    val win = w(hierarchy, tsCol)
+    def nameOf(k: Int) = if (k < 0) s"_ylag_m${-k}" else s"_ylag_$k"
+    val staged = lags.foldLeft(df)((d, k) =>
+      d.withColumn(nameOf(k),
+        if (k >= 0) lag(col(yCol), k).over(win) else lead(col(yCol), -k).over(win)))
+    val agged = staged.groupBy(hierarchy.map(col): _*)
+      .agg(corr(col(xCol), col(nameOf(lags.head))).as(s"_c${nameOf(lags.head)}"),
+        lags.tail.map(k => corr(col(xCol), col(nameOf(k))).as(s"_c${nameOf(k)}")): _*)
+    val stackExpr = s"stack(${lags.size}, " +
+      lags.map(k => s"$k, _c${nameOf(k)}").mkString(", ") + ") AS (lag, ccf)"
+    agged.select(hierarchy.map(col) :+ expr(stackExpr): _*)
+  }
+
   /** OHLC downsample: open/high/low/close + count per (keys, tumbling
     * bucket) — the classic tick→bar compaction, and the natural extra
     * measure set for a retention tier (first/last are associative, so this

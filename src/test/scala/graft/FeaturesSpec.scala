@@ -382,6 +382,23 @@ class FeaturesSpec extends SparkSuite {
     }
   }
 
+  test("crossCorrelation: delayed copy peaks at exactly the delay lag") {
+    val rnd = new scala.util.Random(5)
+    val xs = (0 until 60).map(_ => rnd.nextDouble() * 10)
+    val df = xs.zipWithIndex.map { case (x, i) =>
+      (1L, i.toLong * 60, x, if (i >= 3) xs(i - 3) else Double.NaN) }
+      .toDF("k", "t", "x", "y")
+      .withColumn("ts", timestamp_seconds(col("t")))
+      .withColumn("y", when(isnan(col("y")), lit(null)).otherwise(col("y")))
+    val out = Features.crossCorrelation(df, Seq("k"), "ts", "x", "y",
+      lags = Seq(-3, -1, 0, 1))
+      .collect().map(r => r.getInt(r.fieldIndex("lag")) ->
+        r.getDouble(r.fieldIndex("ccf"))).toMap
+    // y_t = x_{t-3}: ccf(l) = corr(x_t, y_{t-l}) hits 1 at l = −3
+    assert(math.abs(out(-3) - 1.0) < 1e-12)
+    assert(out(-1) < 0.5 && out(0) < 0.5 && out(1) < 0.5, s"off-peak lags small: $out")
+  }
+
   test("periodogram: planted period-7 sine dominates its bin; flat series ~0") {
     val df = (0 until 56).map(i => (1L, i.toLong * 86400,
       10.0 + 5.0 * math.sin(2 * math.Pi * i / 7.0)))
