@@ -1657,6 +1657,15 @@ object SparkEntry {
           lags = Seq(-2, -1, 0, 1, 2))
         .select(col("user_id"), col("lag"), r6(col("ccf")).as("ccf"))
         .orderBy("user_id", "lag")
+    }),
+
+    // categorical concentration per user: entropy + HHI of the event_type
+    // distribution — skew, where lang_card only counts
+    "q132_concentration" -> ((s, dir) => {
+      Profile.concentration(ev(s, dir), Seq("user_id"), "event_type")
+        .select(col("user_id"), col("n"), col("n_categories"),
+          r6(col("entropy")).as("entropy"), r6(col("hhi")).as("hhi"))
+        .orderBy("user_id")
     })
   )
 
@@ -3653,7 +3662,19 @@ object SparkEntry {
         |    WHEN -2 THEN c_m2 WHEN -1 THEN c_m1 WHEN 0 THEN c_0
         |    WHEN 1 THEN c_1 ELSE c_2 END, 6) AS ccf
         |FROM a CROSS JOIN (SELECT unnest([-2, -1, 0, 1, 2]) AS lag) l
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // identical share construction; log2 is the only libm call and r6
+    // absorbs its ulp
+    "q132_concentration" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events
+        |  WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT user_id, c,
+        |    c::DOUBLE / sum(c) OVER (PARTITION BY user_id) AS p FROM c)
+        |SELECT user_id, sum(c)::BIGINT AS n, count(*) AS n_categories,
+        |  round(-sum(p * log2(p)), 6) AS entropy,
+        |  round(sum(c * c)::DOUBLE / (sum(c) * sum(c))::DOUBLE, 6) AS hhi
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -81,4 +81,39 @@ object Profile {
     uniqueReports.foldLeft(rowReport)(_ unionByName _)
       .withColumn("pass", col("violations") === 0L)
   }
+
+  /** Categorical concentration profile per group: Shannon entropy (bits)
+    * and the Herfindahl–Hirschman index of `catCol`'s distribution,
+    *   H = −Σ p·log₂p,   HHI = Σ p²,   p = category share (nulls excluded).
+    * The scalars behind "is this host serving one language or fifty" /
+    * "is this user's traffic one event type" — entropy 0 and HHI 1 mean
+    * single-category, log₂(k) and 1/k mean uniform over k. The natural
+    * companion to the tier store's `lang_card`: cardinality says how many,
+    * concentration says how skewed.
+    *
+    * Two partial-aggregable shuffles, both on bounded keys: category counts
+    * per (keys, category), then the entropy/HHI sums per keys — category
+    * cardinality never hits the driver.
+    */
+  def concentration(df: DataFrame, keyCols: Seq[String], catCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val counts = df.filter(col(catCol).isNotNull)
+      .groupBy(keys :+ col(catCol).as("_cat"): _*)
+      .agg(count(lit(1)).as("_c"))
+    counts
+      .withColumn("_tot", sum(col("_c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)))
+      .withColumn("_p", col("_c").cast("double") / col("_tot"))
+      .groupBy(keys: _*)
+      .agg(
+        sum(col("_c")).as("n"),
+        count(lit(1)).as("n_categories"),
+        (-sum(col("_p") * log2(col("_p")))).as("entropy"),
+        // HHI via the EXACT integer form Σc²/n² — the count sums stay
+        // integers (< 2^53), so the single final division is bit-identical
+        // regardless of aggregation order (Σp² is order-sensitive in the
+        // last ulp, which an independent engine replay can round differently)
+        (sum(col("_c") * col("_c")).cast("double") /
+          (max(col("_tot")) * max(col("_tot"))).cast("double")).as("hhi"))
+  }
 }

@@ -738,6 +738,25 @@ class PipelineOpsSpec extends SparkSuite {
 
   // --------------------------------------------------------- expectations
 
+  test("concentration: single-category 0/1, uniform log2(k)/1-over-k, nulls out") {
+    import graft.operators.Profile
+    val df = Seq(
+      (1L, Some("a")), (1L, Some("a")), (1L, Some("a")),             // single category
+      (2L, Some("a")), (2L, Some("b")), (2L, Some("c")), (2L, Some("d")), // uniform k=4
+      (3L, Some("a")), (3L, Some("a")), (3L, Some("b")), (3L, None)) // 2/3 vs 1/3 + null
+      .toDF("k", "cat")
+    val out = Profile.concentration(df, Seq("k"), "cat")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((3L, 1L, -0.0, 1.0)) || out(1L) == ((3L, 1L, 0.0, 1.0)))
+    assert(out(2L)._1 == 4L && out(2L)._2 == 4L)
+    assert(math.abs(out(2L)._3 - 2.0) < 1e-12 && math.abs(out(2L)._4 - 0.25) < 1e-12)
+    // key 3: null excluded → n = 3; p = (2/3, 1/3)
+    val h3 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) / math.log(2)
+    assert(out(3L)._1 == 3L && math.abs(out(3L)._3 - h3) < 1e-12)
+    assert(math.abs(out(3L)._4 - (4.0 / 9 + 1.0 / 9)) < 1e-12)
+  }
+
   test("expectations: per-check violation counts; one agg pass for row checks") {
     import graft.operators.Profile
     val df = Seq(
