@@ -1666,6 +1666,19 @@ object SparkEntry {
         .select(col("user_id"), col("n"), col("n_categories"),
           r6(col("entropy")).as("entropy"), r6(col("hhi")).as("hhi"))
         .orderBy("user_id")
+    }),
+
+    // Yeo-Johnson power transform on a SIGNED measure (value - 50, both
+    // branches exercised) with the exact piecewise inverse round-tripped
+    // inside the oracle row, like q89's Box-Cox
+    "q133_yeo_johnson" -> ((s, dir) => {
+      val p = Scalers.YeoJohnsonParams("centered", 0.5)
+      ev(s, dir)
+        .withColumn("centered", col("value") - 50.0)
+        .withColumn("yj", p(col("centered")))
+        .withColumn("back", p.inverse(col("yj")))
+        .select(col("event_id"), r6(col("yj")).as("yj"), r6(col("back")).as("back"))
+        .orderBy("event_id")
     })
   )
 
@@ -3674,7 +3687,20 @@ object SparkEntry {
         |SELECT user_id, sum(c)::BIGINT AS n, count(*) AS n_categories,
         |  round(-sum(p * log2(p)), 6) AS entropy,
         |  round(sum(c * c)::DOUBLE / (sum(c) * sum(c))::DOUBLE, 6) AS hhi
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // piecewise forms replayed branch-for-branch (lambda = 0.5, 2-lambda =
+    // 1.5), inverse applied to the forward result inside the query
+    "q133_yeo_johnson" ->
+      """WITH c AS (SELECT event_id, value - 50.0 AS x FROM events),
+        |f AS (SELECT event_id, x,
+        |    CASE WHEN x >= 0 THEN (pow(x + 1.0, 0.5) - 1.0) / 0.5
+        |         ELSE -(pow(1.0 - x, 1.5) - 1.0) / 1.5 END AS yj
+        |  FROM c)
+        |SELECT event_id, round(yj, 6) AS yj,
+        |  round(CASE WHEN yj >= 0 THEN pow(yj * 0.5 + 1.0, 1.0 / 0.5) - 1.0
+        |    ELSE 1.0 - pow(1.0 - yj * 1.5, 1.0 / 1.5) END, 6) AS back
+        |FROM f ORDER BY event_id""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

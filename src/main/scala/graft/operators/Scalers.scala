@@ -53,6 +53,36 @@ object Scalers {
       else pow(c * lambda + 1.0, 1.0 / lambda)
   }
 
+  /** Yeo-Johnson transform (Yeo & Johnson 2000; sklearn PowerTransformer's
+    * default) — the Box-Cox generalization defined on ALL reals, not just
+    * positives:
+    *   x ≥ 0: ((x+1)^λ − 1)/λ            (λ ≠ 0),  ln(x+1)        (λ = 0)
+    *   x < 0: −((1−x)^(2−λ) − 1)/(2−λ)   (λ ≠ 2),  −ln(1−x)       (λ = 2)
+    * with the exact piecewise inverse. Differences, residuals, and
+    * log-returns are signed — the reference's log1p (transform.py:42-61)
+    * silently nulls them; Yeo-Johnson is the drop-in that does not.
+    */
+  case class YeoJohnsonParams(column: String, lambda: Double) extends ScalerParams {
+    def apply(c: Column): Column = {
+      val pos =
+        if (lambda == 0.0) log(c + 1.0)
+        else (pow(c + 1.0, lambda) - 1.0) / lambda
+      val neg =
+        if (lambda == 2.0) -log(lit(1.0) - c)
+        else -(pow(lit(1.0) - c, 2.0 - lambda) - 1.0) / (2.0 - lambda)
+      when(c >= 0, pos).otherwise(neg)
+    }
+    def inverse(c: Column): Column = {
+      val pos =
+        if (lambda == 0.0) exp(c) - 1.0
+        else pow(c * lambda + 1.0, 1.0 / lambda) - 1.0
+      val neg =
+        if (lambda == 2.0) lit(1.0) - exp(-c)
+        else lit(1.0) - pow(lit(1.0) - c * (2.0 - lambda), 1.0 / (2.0 - lambda))
+      when(c >= 0, pos).otherwise(neg)
+    }
+  }
+
   /** Robust scaler (sklearn RobustScaler semantics): center on the exact
     * median, scale by the exact IQR — outlier-insensitive where
     * [[StandardizeParams]] is not. Degenerate IQR (constant bulk) scales

@@ -382,6 +382,30 @@ class FeaturesSpec extends SparkSuite {
     }
   }
 
+  test("yeoJohnson: hand goldens on both branches, special lambdas, round-trip") {
+    val df = Seq(3.0, -3.0, 0.0, 7.5, -0.25).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("i", "x")
+    def run(lam: Double) = {
+      val p = Scalers.YeoJohnsonParams("x", lam)
+      df.withColumn("y", p(col("x"))).withColumn("back", p.inverse(col("y")))
+        .orderBy("i").collect()
+        .map(r => (r.getDouble(r.fieldIndex("y")), r.getDouble(r.fieldIndex("back"))))
+    }
+    val h = run(0.5)
+    assert(math.abs(h(0)._1 - 2.0) < 1e-12)            // ((3+1)^.5−1)/.5
+    assert(math.abs(h(1)._1 - (-(7.0) / 1.5)) < 1e-12) // −((4)^1.5−1)/1.5
+    assert(h(2)._1 == 0.0)
+    h.zip(Seq(3.0, -3.0, 0.0, 7.5, -0.25)).foreach { case ((_, back), x) =>
+      assert(math.abs(back - x) < 1e-9, s"round trip at $x") }
+    // λ=0: ln(x+1) on the positive side; λ=2: −ln(1−x) on the negative side
+    val l0 = run(0.0)
+    assert(math.abs(l0(0)._1 - math.log(4.0)) < 1e-12)
+    val l2 = run(2.0)
+    assert(math.abs(l2(1)._1 - (-math.log(4.0))) < 1e-12)
+    Seq(l0, l2).foreach(_.zip(Seq(3.0, -3.0, 0.0, 7.5, -0.25)).foreach {
+      case ((_, back), x) => assert(math.abs(back - x) < 1e-9) })
+  }
+
   test("crossCorrelation: delayed copy peaks at exactly the delay lag") {
     val rnd = new scala.util.Random(5)
     val xs = (0 until 60).map(_ => rnd.nextDouble() * 10)
