@@ -1679,6 +1679,15 @@ object SparkEntry {
         .withColumn("back", p.inverse(col("yj")))
         .select(col("event_id"), r6(col("yj")).as("yj"), r6(col("back")).as("back"))
         .orderBy("event_id")
+    }),
+
+    // gaps-and-islands streaks of above-threshold events per user: run id
+    // (rn − cond-rn) and running length inside each run
+    "q134_streaks" -> ((s, dir) => {
+      Features.streaks(ev(s, dir), Seq("user_id"), "ts", col("value") > 60.0)
+        .select(col("user_id"), col("event_id"), col("streak_id"),
+          col("streak_len"))
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -3700,7 +3709,23 @@ object SparkEntry {
         |SELECT event_id, round(yj, 6) AS yj,
         |  round(CASE WHEN yj >= 0 THEN pow(yj * 0.5 + 1.0, 1.0 / 0.5) - 1.0
         |    ELSE 1.0 - pow(1.0 - yj * 1.5, 1.0 / 1.5) END, 6) AS back
-        |FROM f ORDER BY event_id""".stripMargin
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    // the classic two-row_number difference, replayed key-for-key
+    "q134_streaks" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value > 60.0 AS cond,
+        |    row_number() OVER w AS rn,
+        |    count(CASE WHEN value > 60.0 THEN 1 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts
+        |       ROWS UNBOUNDED PRECEDING) AS crn
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |i AS (SELECT user_id, event_id, ts, cond,
+        |    CASE WHEN cond THEN rn - crn END AS island FROM e)
+        |SELECT user_id, event_id,
+        |  CASE WHEN cond THEN island END AS streak_id,
+        |  CASE WHEN cond THEN row_number() OVER
+        |    (PARTITION BY user_id, island ORDER BY ts) END AS streak_len
+        |FROM i ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -412,6 +412,37 @@ object Features {
     agged.select(hierarchy.map(col) :+ expr(stackExpr): _*)
   }
 
+  /** Consecutive-streak annotation (gaps-and-islands): for a boolean
+    * condition per row, `streak_id` numbers each maximal run of consecutive
+    * condition-true rows within a key and `streak_len` is the running
+    * length INSIDE the run (condition-false rows carry nulls). The
+    * monitoring primitive behind "alert after N consecutive breaches" —
+    * [[percentOverThreshold]] measures how often, streaks measure how long
+    * in a row.
+    *
+    * Pure window algebra, one shuffle: the island id is the classic
+    * difference of two row_numbers (global minus condition-filtered),
+    * materialized as columns because window expressions cannot nest.
+    */
+  def streaks(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+              cond: Column): DataFrame = {
+    val win = w(hierarchy, tsCol)
+    val staged = df
+      .withColumn("_cond", cond)
+      .withColumn("_rn", row_number().over(win))
+      .withColumn("_crn", count(when(col("_cond"), lit(1))).over(
+        w(hierarchy, tsCol).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_island", when(col("_cond"), col("_rn") - col("_crn")))
+    val runWin = Window.partitionBy((hierarchy.map(col) :+ col("_island")): _*)
+      .orderBy(col(tsCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged
+      .withColumn("streak_len", when(col("_cond"), count(lit(1)).over(runWin)))
+      // the island key itself is the id: opaque but deterministic, distinct
+      // per run, and ordered with time within a key
+      .withColumn("streak_id", when(col("_cond"), col("_island")))
+      .drop("_cond", "_rn", "_crn", "_island")
+  }
+
   /** Cross-correlation function at candidate lags — LEAD-LAG detection
     * between two measures of the same keyed series ("requests lead errors
     * by 2 buckets"): ccf(l) = corr(x_t, y_{t−l}), so a peak at POSITIVE l

@@ -382,6 +382,24 @@ class FeaturesSpec extends SparkSuite {
     }
   }
 
+  test("streaks: runs numbered and length-counted, false rows null") {
+    // T T F T T T F F T  → runs of length 2, 3, 1
+    val flags = Seq(true, true, false, true, true, true, false, false, true)
+    val df = flags.zipWithIndex.map { case (f, i) =>
+      (1L, i.toLong * 60, if (f) 100.0 else 1.0) }
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val out = Features.streaks(df, Seq("k"), "ts", col("v") > 50.0)
+      .orderBy("t").collect()
+    val lenIx = out(0).fieldIndex("streak_len")
+    val idIx = out(0).fieldIndex("streak_id")
+    val lens = out.map(r => if (r.isNullAt(lenIx)) -1L else r.getLong(lenIx)).toSeq
+    assert(lens == Seq(1L, 2L, -1L, 1L, 2L, 3L, -1L, -1L, 1L))
+    // ids: constant within a run, distinct across runs, null on false rows
+    val ids = out.map(r => if (r.isNullAt(idIx)) None else Some(r.getLong(idIx))).toSeq
+    assert(ids(0) == ids(1) && ids(3) == ids(4) && ids(4) == ids(5))
+    assert(ids(0) != ids(3) && ids(3) != ids(8) && ids(2).isEmpty && ids(7).isEmpty)
+  }
+
   test("yeoJohnson: hand goldens on both branches, special lambdas, round-trip") {
     val df = Seq(3.0, -3.0, 0.0, 7.5, -0.25).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("i", "x")
