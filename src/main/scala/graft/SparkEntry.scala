@@ -1688,6 +1688,23 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("streak_id"),
           col("streak_len"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // seasonal fill on an hourly-gridded series: nulls take the most recent
+    // value at the SAME hour-of-day (period = 86400 s) — not the previous
+    // hour (LOCF) and not a blend (interpolation)
+    "q135_seasonal_fill" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+        .withColumn("h", col("ts_sec") - pmod(col("ts_sec"), lit(3600L)))
+        .groupBy(col("user_id"), col("h")).agg(sum(col("value")).as("v"))
+        .withColumn("ts", timestamp_seconds(col("h")))
+        .withColumn("v", when(pmod(col("h") / 3600L, lit(5L)) === 0,
+          lit(null)).otherwise(col("v")))
+      graft.operators.GapFill.seasonalFill(hourly, Seq("user_id"), "ts",
+          Seq("v"), periodSeconds = 86400L)
+        .select(col("user_id"), col("h"), r6(col("v")).as("v_filled"))
+        .orderBy("user_id", "h")
     })
   )
 
@@ -3725,7 +3742,22 @@ object SparkEntry {
         |  CASE WHEN cond THEN island END AS streak_id,
         |  CASE WHEN cond THEN row_number() OVER
         |    (PARTITION BY user_id, island ORDER BY ts) END AS streak_len
-        |FROM i ORDER BY 1, 2""".stripMargin
+        |FROM i ORDER BY 1, 2""".stripMargin,
+
+    // same hourly grid + nulls, fill = last same-phase non-null
+    "q135_seasonal_fill" ->
+      """WITH hourly AS (SELECT user_id,
+        |    (floor(epoch(ts))::BIGINT // 3600) * 3600 AS h, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |withnulls AS (SELECT user_id, h,
+        |    CASE WHEN (h // 3600) % 5 = 0 THEN NULL ELSE v END AS v,
+        |    h % 86400 AS phase
+        |  FROM hourly)
+        |SELECT user_id, h,
+        |  round(coalesce(v, last_value(v IGNORE NULLS) OVER
+        |    (PARTITION BY user_id, phase ORDER BY h
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS v_filled
+        |FROM withnulls ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

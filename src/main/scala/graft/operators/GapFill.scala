@@ -70,4 +70,29 @@ object GapFill {
           .otherwise(lit(null)))
     }
   }
+
+  /** SEASONAL fill: a null takes the most recent non-null value at the SAME
+    * PHASE of the period (ts mod `periodSeconds`) — last Monday's value for
+    * a missing Monday, yesterday's 14:00 bucket for a missing 14:00. LOCF
+    * and interpolation smear across the seasonal pattern (a weekend gap
+    * filled from Friday is systematically wrong for Saturday); seasonal
+    * fill preserves it, which is why it is the right default before
+    * seasonal models ([[graft.operators.Forecast.seasonalNaive]] is exactly
+    * this fill applied to the FUTURE).
+    *
+    * One window shuffle on (keys, phase) — same cost class as [[locf]],
+    * just a finer partition key. Rows with no earlier same-phase value stay
+    * null (compose with [[locf]] for a total fill).
+    */
+  def seasonalFill(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                   cols: Seq[String], periodSeconds: Long): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    val phase = pmod(unix_timestamp(col(tsCol)), lit(periodSeconds))
+    val staged = df.withColumn("_phase", phase)
+    val win = Window.partitionBy((hierarchy.map(col) :+ col("_phase")): _*)
+      .orderBy(col(tsCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(staged)((d, c) =>
+        d.withColumn(c, coalesce(col(c), last(col(c), ignoreNulls = true).over(win))))
+      .drop("_phase")
+  }
 }

@@ -382,6 +382,31 @@ class FeaturesSpec extends SparkSuite {
     }
   }
 
+  test("seasonalFill: nulls take the last SAME-PHASE value, not the previous row") {
+    import graft.operators.GapFill
+    // period 2: phases alternate A B A B; nulls at idx 4 (phase A) and 5 (B)
+    val df = Seq(Some(10.0), Some(20.0), Some(11.0), Some(21.0), None, None,
+      Some(12.0), None)
+      .zipWithIndex.map { case (v, i) => (1L, i.toLong * 60, v) }
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val out = GapFill.seasonalFill(df, Seq("k"), "ts", Seq("v"),
+      periodSeconds = 120L).orderBy("t").collect()
+    val ix = out(0).fieldIndex("v")
+    // idx 4 (phase A) ← 11 (idx 2), NOT 21 (previous row, phase B)
+    assert(out(4).getDouble(ix) == 11.0)
+    // idx 5 (phase B) ← 21 (idx 3)
+    assert(out(5).getDouble(ix) == 21.0)
+    // idx 7 (phase B) still ← 21; idx 6 is untouched non-null
+    assert(out(7).getDouble(ix) == 21.0 && out(6).getDouble(ix) == 12.0)
+    // a LEADING null with no same-phase predecessor stays null
+    val lead = Seq(None, Some(5.0), Some(6.0)).zipWithIndex
+      .map { case (v, i) => (1L, i.toLong * 60, v: Option[Double]) }
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val lo = GapFill.seasonalFill(lead, Seq("k"), "ts", Seq("v"), 120L)
+      .orderBy("t").collect()
+    assert(lo(0).isNullAt(lo(0).fieldIndex("v")))
+  }
+
   test("streaks: runs numbered and length-counted, false rows null") {
     // T T F T T T F F T  → runs of length 2, 3, 1
     val flags = Seq(true, true, false, true, true, true, false, false, true)
