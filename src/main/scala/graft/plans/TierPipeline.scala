@@ -168,6 +168,48 @@ object TierPipeline {
     }
   }
 
+  /** Late-data invalidation — the REPLAY half of the ingest contract: pages
+    * arriving after their (day, host_bucket) partitions were marked
+    * complete (beyond any streaming watermark) make those tier partitions
+    * stale. This computes the affected partitions from the late pages
+    * themselves, removes their `complete` lineage rows for EVERY tier (the
+    * cascade re-derives coarser tiers from finer), and returns the
+    * invalidated set — the next [[buildAll]] over the FULL corpus then
+    * replays exactly those partitions and nothing else.
+    *
+    * The lineage rewrite is a driver-side overwrite of a table bounded by
+    * partition count (the same order every other pipeline step already
+    * collects). Crash-safety: lineage shrinks BEFORE any data rewrite, so
+    * a crash anywhere leaves partitions pending — the idempotent-replay
+    * contract of [[writeTier]] finishes them on the next run; stale data
+    * remains readable (never deleted here) until its rebuild overwrites it
+    * partition-atomically.
+    *
+    * @return (day, host_bucket) partitions invalidated across all tiers
+    */
+  def invalidateLate(latePages: DataFrame, cfg: Config): Seq[(String, Int)] = {
+    val spark = latePages.sparkSession
+    val affected = latePages
+      .select(date_format(col("warc_ts"), "yyyy-MM-dd").as("day"),
+        pmod(xxhash64(col("host")), lit(cfg.hostBuckets.toLong)).cast("int").as("host_bucket"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    if (affected.isEmpty) return Seq.empty
+    val lin = lineage(spark, cfg.root)
+    val kept = lin.collect().filterNot { r =>
+      r.getString(7) == "complete" && affected.contains((r.getString(1), r.getInt(2)))
+    }
+    val tmp = lineagePath(cfg.root) + "_rewrite"
+    spark.createDataFrame(spark.sparkContext.parallelize(kept.toSeq, 1),
+        org.apache.spark.sql.types.StructType.fromDDL(lineageSchema))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(lineagePath(cfg.root)), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(lineagePath(cfg.root)))
+    affected.toSeq.sorted
+  }
+
   /** Small-file compaction — the Iceberg `rewrite_data_files` analogue for
     * the emulated store: partitions whose file count exceeds
     * `maxFilesPerPartition` are rewritten in place to

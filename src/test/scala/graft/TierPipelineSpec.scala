@@ -132,6 +132,38 @@ class TierPipelineSpec extends SparkSuite {
     assert(exp2("1m").isEmpty)
   }
 
+  test("invalidateLate: late pages replay exactly their partitions through the cascade") {
+    val cfg = Config(freshRoot(), hostBuckets = 4)
+    // initial corpus = all but a held-back slice of one day's pages
+    val all = pages.cache()
+    val late = all.filter(
+      date_format(col("warc_ts"), "yyyy-MM-dd") === "2024-01-02" &&
+        pmod(xxhash64(col("host")), lit(4L)) === 1 &&
+        pmod(xxhash64(col("url")), lit(3L)) === 0).cache()
+    assert(late.count() > 0)
+    val initial = all.exceptAll(late)
+    TierPipeline.buildAll(initial, cfg, runId = "run1")
+    // the late slice arrives after completion → invalidate + full-corpus rebuild
+    val inv = TierPipeline.invalidateLate(late, cfg)
+    assert(inv == Seq(("2024-01-02", 1)))
+    val w = TierPipeline.buildAll(all, cfg, runId = "run2")
+    // ONLY the invalidated partition rebuilt, at every tier
+    w.foreach { case (_, parts) => assert(parts.toSet == Set(("2024-01-02", 1))) }
+    // stored tiers now equal a direct build over the full corpus
+    val direct = Rollup.allTiers(all)("1d")
+      .select("host", "bucket_start", "cnt", "p95_len")
+    val stored = TierPipeline.readTier(spark, cfg, "1d")
+      .select("host", "bucket_start", "cnt", "p95_len")
+    assert(stored.exceptAll(direct).isEmpty && direct.exceptAll(stored).isEmpty)
+    // untouched partitions kept their run1 lineage (no needless rewrite)
+    val lin = TierPipeline.lineage(spark, cfg.root)
+    assert(lin.filter(col("status") === "complete" && col("run_id") === "run1")
+      .count() > 0)
+    assert(lin.filter(col("status") === "complete" && col("run_id") === "run2" &&
+      !(col("day") === "2024-01-02" && col("host_bucket") === 1)).count() === 0)
+    all.unpersist(); late.unpersist()
+  }
+
   test("compact: rewrites small-file partitions in place, rows identical, idempotent") {
     val cfg = Config(freshRoot(), hostBuckets = 2)
     TierPipeline.buildAll(pages, cfg, runId = "run1")
