@@ -1705,6 +1705,22 @@ object SparkEntry {
           Seq("v"), periodSeconds = 86400L)
         .select(col("user_id"), col("h"), r6(col("v")).as("v_filled"))
         .orderBy("user_id", "h")
+    }),
+
+    // Winkler interval score + empirical coverage of naive ±15 bands built
+    // from each event's predecessor — band quality, which point metrics
+    // cannot rank
+    "q136_interval_score" -> ((s, dir) => {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val banded = ev(s, dir)
+        .withColumn("lo", lag(col("value"), 1).over(win) - 15.0)
+        .withColumn("hi", lag(col("value"), 1).over(win) + 15.0)
+      Metrics.intervalScore(banded, Seq("user_id"), "value", "lo", "hi",
+          alpha = 0.2)
+        .select(col("user_id"), r6(col("interval_score")).as("interval_score"),
+          r6(col("coverage")).as("coverage"), col("n"))
+        .orderBy("user_id")
     })
   )
 
@@ -3757,7 +3773,24 @@ object SparkEntry {
         |  round(coalesce(v, last_value(v IGNORE NULLS) OVER
         |    (PARTITION BY user_id, phase ORDER BY h
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS v_filled
-        |FROM withnulls ORDER BY 1, 2""".stripMargin
+        |FROM withnulls ORDER BY 1, 2""".stripMargin,
+
+    // the Winkler form replayed term-for-term (2/alpha = 2.0/0.2)
+    "q136_interval_score" ->
+      """WITH b AS (SELECT user_id, value,
+        |    lag(value, 1) OVER w - 15.0 AS lo,
+        |    lag(value, 1) OVER w + 15.0 AS hi
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (SELECT user_id, value, lo, hi,
+        |    (hi - lo)
+        |    + CASE WHEN value < lo THEN (2.0 / 0.2) * (lo - value) ELSE 0.0 END
+        |    + CASE WHEN value > hi THEN (2.0 / 0.2) * (value - hi) ELSE 0.0 END AS w
+        |  FROM b WHERE value IS NOT NULL AND lo IS NOT NULL AND hi IS NOT NULL)
+        |SELECT user_id, round(avg(w), 6) AS interval_score,
+        |  round(avg(CASE WHEN value >= lo AND value <= hi THEN 1.0 ELSE 0.0 END), 6)
+        |    AS coverage,
+        |  count(*) AS n
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

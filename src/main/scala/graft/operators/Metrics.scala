@@ -77,4 +77,31 @@ object Metrics {
       .withColumn("mase", when(col("_d") > 0, col("_n") / col("_d")))
       .select((keys :+ col("mase") :+ col("n")): _*)
   }
+
+  /** Winkler interval score for a central (1−α) prediction interval
+    * (Winkler 1972; Gneiting & Raftery 2007 eq. 43 — the proper scoring
+    * rule for interval forecasts, and what FPP3 §5.9 recommends for
+    * evaluating bands like [[Forecast.seasonalNaive]]'s):
+    *   W = (u − l) + (2/α)·(l − y)·1[y < l] + (2/α)·(y − u)·1[y > u]
+    * — narrow intervals are rewarded, misses are charged proportionally to
+    * how far outside they land. Point metrics can't rank BAND quality;
+    * this can, and lower is better.
+    *
+    * One aggregation per key: mean score, plus empirical `coverage` (share
+    * of actuals inside the band — should be ≈ 1−α if the bands are honest).
+    */
+  def intervalScore(df: DataFrame, keyCols: Seq[String], actualCol: String,
+                    loCol: String, hiCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    val y = col(actualCol).cast("double")
+    val l = col(loCol).cast("double"); val u = col(hiCol).cast("double")
+    val w = (u - l) +
+      when(y < l, (lit(2.0) / alpha) * (l - y)).otherwise(lit(0.0)) +
+      when(y > u, (lit(2.0) / alpha) * (y - u)).otherwise(lit(0.0))
+    df.filter(y.isNotNull && l.isNotNull && u.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(avg(w).as("interval_score"),
+        avg(when(y >= l && y <= u, 1.0).otherwise(0.0)).as("coverage"),
+        count(lit(1)).as("n"))
+  }
 }

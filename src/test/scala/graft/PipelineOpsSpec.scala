@@ -436,6 +436,28 @@ class PipelineOpsSpec extends SparkSuite {
 
   // ---------------------------------------------------------------- MASE
 
+  test("intervalScore: hand Winkler terms, coverage share, narrow beats wide on hits") {
+    import graft.operators.Metrics
+    // bands [0, 10]; actuals: inside (W=10), below by 2 (10+10·2=30),
+    // above by 1 (10+10·1=20) at alpha=0.2
+    val df = Seq((1L, 5.0), (1L, -2.0), (1L, 11.0))
+      .toDF("k", "y").withColumn("lo", lit(0.0)).withColumn("hi", lit(10.0))
+    val r = Metrics.intervalScore(df, Seq("k"), "y", "lo", "hi", alpha = 0.2)
+      .collect()(0)
+    assert(math.abs(r.getDouble(r.fieldIndex("interval_score")) - 20.0) < 1e-9) // (10+30+20)/3
+    assert(math.abs(r.getDouble(r.fieldIndex("coverage")) - 1.0 / 3) < 1e-12)
+    assert(r.getLong(r.fieldIndex("n")) == 3L)
+    // same actual inside both bands: the narrower band scores better
+    val two = Seq((1L, 5.0)).toDF("k", "y")
+    val narrow = Metrics.intervalScore(two.withColumn("lo", lit(4.0))
+      .withColumn("hi", lit(6.0)), Seq("k"), "y", "lo", "hi", 0.2)
+      .collect()(0).getDouble(1)
+    val wide = Metrics.intervalScore(two.withColumn("lo", lit(0.0))
+      .withColumn("hi", lit(10.0)), Seq("k"), "y", "lo", "hi", 0.2)
+      .collect()(0).getDouble(1)
+    assert(narrow < wide)
+  }
+
   test("mase: hand-computed ratio; null when train is constant") {
     import graft.operators.Metrics
     val train = Seq((1L, 1L, 10.0), (1L, 2L, 13.0), (1L, 3L, 11.0), // naive MAE = (3+2)/2 = 2.5
