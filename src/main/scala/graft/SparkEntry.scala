@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Pages
 import graft.functions.Hier
-import graft.operators.{CrossVal, Dedup, Encoding, Ewma, Features, GapFill, Hist, Intervals, Metrics, Multimodal, Profile, Rollup, Sax, Scalers, Similarity, TextAnalysis}
+import graft.operators.{Conformal, CrossVal, Dedup, Encoding, Ewma, Features, GapFill, Hist, Intervals, Metrics, Multimodal, Profile, Rollup, Sax, Scalers, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1719,6 +1719,30 @@ object SparkEntry {
       Metrics.intervalScore(banded, Seq("user_id"), "value", "lo", "hi",
           alpha = 0.2)
         .select(col("user_id"), r6(col("interval_score")).as("interval_score"),
+          r6(col("coverage")).as("coverage"), col("n"))
+        .orderBy("user_id")
+    }),
+
+    // split-conformal bands around a persistence forecast, calibrated on the
+    // first 24 days and Winkler-scored on the last 6 — the full
+    // distribution-free interval pipeline (fit → apply → score) in one plan
+    "q137_conformal" -> ((s, dir) => {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val split = lit(java.sql.Timestamp.valueOf("2024-01-25 00:00:00"))
+      val withPred = ev(s, dir)
+        .withColumn("pred", lag(col("value"), 1).over(win))
+        .filter(col("pred").isNotNull && col("value").isNotNull)
+      val fitted = Conformal.fitSplitConformal(
+        withPred.filter(col("ts") < split), Seq("user_id"), "value", "pred",
+        alpha = 0.2)
+      val banded = Conformal.applyBands(
+        withPred.filter(col("ts") >= split), fitted, Seq("user_id"), "pred")
+      Metrics.intervalScore(banded, Seq("user_id"), "value", "lo", "hi",
+          alpha = 0.2)
+        .join(fitted, "user_id")
+        .select(col("user_id"), r6(col("qhat")).as("qhat"), col("n_calib"),
+          r6(col("interval_score")).as("interval_score"),
           r6(col("coverage")).as("coverage"), col("n"))
         .orderBy("user_id")
     })
@@ -3787,6 +3811,36 @@ object SparkEntry {
         |    + CASE WHEN value > hi THEN (2.0 / 0.2) * (value - hi) ELSE 0.0 END AS w
         |  FROM b WHERE value IS NOT NULL AND lo IS NOT NULL AND hi IS NOT NULL)
         |SELECT user_id, round(avg(w), 6) AS interval_score,
+        |  round(avg(CASE WHEN value >= lo AND value <= hi THEN 1.0 ELSE 0.0 END), 6)
+        |    AS coverage,
+        |  count(*) AS n
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // finite-sample quantile k = ceil((n+1)(1-alpha)) replayed exactly;
+    // 2.0/0.2 == 10.0 in IEEE doubles in both engines
+    "q137_conformal" ->
+      """WITH p AS (SELECT user_id, ts, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pred
+        |  FROM events),
+        |pp AS (SELECT * FROM p WHERE pred IS NOT NULL AND value IS NOT NULL),
+        |rk AS (SELECT user_id, abs(value - pred) AS r,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY abs(value - pred)) AS rnk,
+        |    count(*) OVER (PARTITION BY user_id) AS nc
+        |  FROM pp WHERE ts < TIMESTAMP '2024-01-25 00:00:00'),
+        |q AS (SELECT user_id, r AS qhat, nc AS n_calib FROM rk
+        |  WHERE rnk = CAST(ceil((nc + 1) * (1.0 - 0.2)) AS BIGINT)),
+        |t AS (SELECT pp.user_id, q.qhat, q.n_calib, pp.value,
+        |    pp.pred - q.qhat AS lo, pp.pred + q.qhat AS hi
+        |  FROM pp JOIN q USING (user_id)
+        |  WHERE pp.ts >= TIMESTAMP '2024-01-25 00:00:00'),
+        |f AS (SELECT user_id, qhat, n_calib, value, lo, hi,
+        |    (hi - lo)
+        |    + CASE WHEN value < lo THEN (2.0 / 0.2) * (lo - value) ELSE 0.0 END
+        |    + CASE WHEN value > hi THEN (2.0 / 0.2) * (value - hi) ELSE 0.0 END AS w
+        |  FROM t)
+        |SELECT user_id, round(any_value(qhat), 6) AS qhat,
+        |  any_value(n_calib) AS n_calib,
+        |  round(avg(w), 6) AS interval_score,
         |  round(avg(CASE WHEN value >= lo AND value <= hi THEN 1.0 ELSE 0.0 END), 6)
         |    AS coverage,
         |  count(*) AS n

@@ -458,6 +458,47 @@ class PipelineOpsSpec extends SparkSuite {
     assert(narrow < wide)
   }
 
+  test("conformal: k-th smallest residual, too-few-points key dropped, bands centered") {
+    import graft.operators.Conformal
+    // key 1: residuals 1..9 (pred=0, actual=i), alpha=0.2 -> k=ceil(10*0.8)=8 -> qhat=8
+    // key 2: only 3 points at alpha=0.05 -> k=ceil(4*0.95)=4 > 3 -> no row
+    val calib1 = (1 to 9).map(i => (1L, i.toDouble, 0.0)).toDF("k", "y", "p")
+    val f1 = Conformal.fitSplitConformal(calib1, Seq("k"), "y", "p", alpha = 0.2).collect()
+    assert(f1.length == 1)
+    assert(f1(0).getDouble(f1(0).fieldIndex("qhat")) == 8.0)
+    assert(f1(0).getLong(f1(0).fieldIndex("n_calib")) == 9L)
+    val calib2 = Seq((2L, 1.0, 0.0), (2L, 2.0, 0.0), (2L, 3.0, 0.0)).toDF("k", "y", "p")
+    assert(Conformal.fitSplitConformal(calib2, Seq("k"), "y", "p", alpha = 0.05).isEmpty)
+    // bands: pred +/- qhat; unfitted keys dropped by the inner join
+    val test = Seq((1L, 10.0), (3L, 5.0)).toDF("k", "p")
+    val banded = Conformal.applyBands(test,
+      Conformal.fitSplitConformal(calib1, Seq("k"), "y", "p", 0.2), Seq("k"), "p")
+      .collect()
+    assert(banded.length == 1)
+    assert(banded(0).getDouble(banded(0).fieldIndex("lo")) == 2.0)
+    assert(banded(0).getDouble(banded(0).fieldIndex("hi")) == 18.0)
+  }
+
+  test("conformal: empirical coverage >= 1-alpha on an exchangeable seeded split") {
+    import graft.operators.Conformal
+    // iid residuals split into calib/test: the guarantee says
+    // P(covered) >= 1-alpha; with 400 calib + 400 test draws from the same
+    // generator, empirical coverage should land at or above 0.8 - noise
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 800).map { i =>
+      (if (i % 2 == 0) "calib" else "test", 100.0 + rnd.nextGaussian() * 5.0, 100.0)
+    }
+    val df = rows.toDF("part", "y", "p").withColumn("k", lit(1L))
+    val fitted = Conformal.fitSplitConformal(
+      df.filter(col("part") === "calib"), Seq("k"), "y", "p", alpha = 0.2)
+    val banded = Conformal.applyBands(
+      df.filter(col("part") === "test"), fitted, Seq("k"), "p")
+    val cov = banded.agg(
+      avg(when(col("y") >= col("lo") && col("y") <= col("hi"), 1.0).otherwise(0.0)))
+      .collect()(0).getDouble(0)
+    assert(cov >= 0.75, s"coverage $cov should be near or above 1-alpha=0.8")
+  }
+
   test("mase: hand-computed ratio; null when train is constant") {
     import graft.operators.Metrics
     val train = Seq((1L, 1L, 10.0), (1L, 2L, 13.0), (1L, 3L, 11.0), // naive MAE = (3+2)/2 = 2.5
