@@ -1745,6 +1745,18 @@ object SparkEntry {
           r6(col("interval_score")).as("interval_score"),
           r6(col("coverage")).as("coverage"), col("n"))
         .orderBy("user_id")
+    }),
+
+    // purged K-fold with embargo at day grain: every (fold, role) census —
+    // proves the leakage guard rows land exactly where the index math says
+    "q138_purged_cv" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .select(date_trunc("day", col("ts")).as("d"), col("event_id"))
+      CrossVal.purgedFoldAssign(daily, "d", nFolds = 5, purge = 2, embargo = 2)
+        .groupBy(col("fold"), col("role"))
+        .agg(count(lit(1)).as("n"), min(col("d")).as("d_min"),
+          max(col("d")).as("d_max"))
+        .orderBy("fold", "role")
     })
   )
 
@@ -3844,7 +3856,26 @@ object SparkEntry {
         |  round(avg(CASE WHEN value >= lo AND value <= hi THEN 1.0 ELSE 0.0 END), 6)
         |    AS coverage,
         |  count(*) AS n
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // fold = floor(idx*K/n) over distinct day buckets, purge/embargo in
+    // bucket units — the same pure integer forms the operator uses
+    "q138_purged_cv" ->
+      """WITH dd AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+        |ix AS (SELECT d, row_number() OVER (ORDER BY d) - 1 AS idx,
+        |    count(*) OVER () AS n FROM dd),
+        |fd AS (SELECT d, idx, CAST(floor(idx * 5.0 / n) AS BIGINT) AS fold FROM ix),
+        |fb AS (SELECT fold, min(idx) AS si, max(idx) AS ei FROM fd GROUP BY 1),
+        |e AS (SELECT date_trunc('day', ts) AS d FROM events),
+        |j AS (SELECT fd.idx, e.d FROM e JOIN fd USING (d)),
+        |r AS (SELECT fb.fold, j.d,
+        |    CASE WHEN j.idx BETWEEN fb.si AND fb.ei THEN 'test'
+        |         WHEN j.idx >= fb.si - 2 AND j.idx < fb.si THEN 'purged'
+        |         WHEN j.idx > fb.ei AND j.idx <= fb.ei + 2 THEN 'embargo'
+        |         ELSE 'train' END AS role
+        |  FROM j CROSS JOIN fb)
+        |SELECT fold, role, count(*) AS n, min(d) AS d_min, max(d) AS d_max
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

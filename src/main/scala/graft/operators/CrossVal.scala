@@ -37,6 +37,54 @@ object CrossVal {
     }
   }
 
+  /** Purged K-fold with embargo (López de Prado 2018, "Advances in Financial
+    * Machine Learning" ch. 7) — K-fold CV that is valid when features carry
+    * trailing windows: the timeline's distinct time buckets are cut into K
+    * contiguous test blocks, and for each fold the `purge` buckets BEFORE the
+    * test block (whose rolling features would overlap test observations) and
+    * the `embargo` buckets AFTER it (whose labels/windows look back into it)
+    * are dropped from training instead of silently leaking.
+    *
+    * Returns the input columns + `fold` (0..nFolds-1) + `role`
+    * ('train'/'test'/'purged'/'embargo') — one output row per (input row,
+    * fold), so the caller filters `fold = i AND role = 'train'` per fold.
+    * Bucket index and fold id are pure integer forms (`fold =
+    * ⌊idx·K / n⌋`) so an independent engine can replay the assignment.
+    *
+    * Scale shape: the distinct-bucket frame is tiny (time buckets, same
+    * bound as [[timeSeriesSplits]]'s driver collect — here kept distributed:
+    * one single-task window over distinct buckets only, never over rows).
+    * Rows join the bucket index on the bucket key (broadcast) and cross-join
+    * the K-row fold-bounds table; output is K× the input, which is the
+    * honest cost of materializing every fold at once — per-fold filters
+    * prune it back when the plan is consumed fold-by-fold.
+    */
+  def purgedFoldAssign(df: DataFrame, tsCol: String, nFolds: Int,
+                       purge: Int, embargo: Int): DataFrame = {
+    require(nFolds >= 2, s"nFolds must be >= 2, got $nFolds")
+    require(purge >= 0 && embargo >= 0,
+      s"purge/embargo must be >= 0, got $purge/$embargo")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(tsCol))
+    val idxed = df.select(col(tsCol)).distinct()
+      .withColumn("_idx", row_number().over(w) - lit(1))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("fold",
+        floor(col("_idx") * lit(nFolds) / col("_n")).cast("long"))
+    val bounds = idxed.groupBy(col("fold"))
+      .agg(min(col("_idx")).as("_si"), max(col("_idx")).as("_ei"))
+    df.join(broadcast(idxed.select(col(tsCol), col("_idx"))), Seq(tsCol))
+      .crossJoin(broadcast(bounds))
+      .withColumn("role",
+        when(col("_idx").between(col("_si"), col("_ei")), lit("test"))
+          .when(col("_idx") >= col("_si") - lit(purge) &&
+            col("_idx") < col("_si"), lit("purged"))
+          .when(col("_idx") > col("_ei") &&
+            col("_idx") <= col("_ei") + lit(embargo), lit("embargo"))
+          .otherwise(lit("train")))
+      .drop("_idx", "_si", "_ei")
+  }
+
   /** The leak-free per-fold pipeline (ref model.py:654-714):
     * 1. fit scalers on train rows only, apply everywhere;
     * 2. save test actuals aside, null the test target;

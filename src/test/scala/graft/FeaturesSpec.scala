@@ -281,6 +281,31 @@ class FeaturesSpec extends SparkSuite {
     assert(m.getAs[Long]("n") == 2)
   }
 
+  test("purged CV: hand roles on 10 buckets, K=5, purge=embargo=1; no train inside guards") {
+    // blocks of 2: fold 2 = idx {4,5} = days/ids {5,6}; purged id 4, embargo id 7
+    val daily = (1 to 10).map(i => (ts(f"2020-01-$i%02d"), i.toLong)).toDF("day", "id")
+    val out = CrossVal.purgedFoldAssign(daily, "day", nFolds = 5, purge = 1, embargo = 1)
+    val fold2 = out.filter(col("fold") === 2)
+      .select(col("id"), col("role")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fold2(5L) == "test" && fold2(6L) == "test")
+    assert(fold2(4L) == "purged")
+    assert(fold2(7L) == "embargo")
+    assert(Seq(1L, 2L, 3L, 8L, 9L, 10L).forall(fold2(_) == "train"))
+    // leakage guard holds for EVERY fold: no train bucket within purge
+    // before the test block or embargo after it
+    val viol = out.groupBy("fold")
+      .agg(min(when(col("role") === "test", col("id"))).as("ts_"),
+        max(when(col("role") === "test", col("id"))).as("te_"))
+      .join(out, "fold")
+      .filter(col("role") === "train" &&
+        (col("id") === col("ts_") - 1 || col("id") === col("te_") + 1))
+    assert(viol.isEmpty, "train row adjacent to a test block despite purge/embargo")
+    // edge folds clip: fold 0 has no purged rows, last fold no embargo rows
+    assert(out.filter(col("fold") === 0 && col("role") === "purged").isEmpty)
+    assert(out.filter(col("fold") === 4 && col("role") === "embargo").isEmpty)
+  }
+
   test("leak-free CV: test-row rolling features see only train-visible history") {
     val daily = (1 to 10).map(i => ("h", ts(f"2020-01-$i%02d"), i.toDouble)).toDF("host", "day", "v")
     val folds = CrossVal.timeSeriesSplits(daily, "day", nSplits = 2, gap = 0)
