@@ -1757,6 +1757,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("d")).as("d_min"),
           max(col("d")).as("d_max"))
         .orderBy("fold", "role")
+    }),
+
+    // Kalman local-level filter over daily sums (q=4, r=16): filtered level,
+    // gain, standardized innovation — the sequential gap-aware anomaly score
+    "q139_kalman" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Kalman.kalmanLevelFrame(daily, Seq("user_id"), "day", "v",
+          q = 4.0, r = 16.0)
+        .select(col("user_id"), col("ts_sec").as("day_sec"),
+          r6(col("level")).as("level"), r6(col("gain")).as("gain"),
+          r6(col("z")).as("z"))
+        .orderBy("user_id", "day_sec")
     })
   )
 
@@ -3875,7 +3889,30 @@ object SparkEntry {
         |         ELSE 'train' END AS role
         |  FROM j CROSS JOIN fb)
         |SELECT fold, role, count(*) AS n, min(d) AS d_min, max(d) AS d_max
-        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the filter recursion replayed in identical float op order
+    // (pPred = p+q; k = pPred/(pPred+r); z = (y-l)/sqrt(pPred+r);
+    //  l += k*(y-l); p = (1-k)*pPred), init l=y1 p=r
+    "q139_kalman" ->
+      """WITH RECURSIVE daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    sum(value) AS v FROM events GROUP BY 1,2),
+        |r AS (SELECT user_id, floor(epoch(day))::BIGINT AS day_sec, v::DOUBLE AS y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM daily),
+        |rec AS (
+        |  SELECT user_id, rn, day_sec, y AS l, 16.0::DOUBLE AS p,
+        |    NULL::DOUBLE AS k, NULL::DOUBLE AS z
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn, s.day_sec,
+        |    rec.l + ((rec.p + 4.0) / ((rec.p + 4.0) + 16.0)) * (s.y - rec.l),
+        |    (1.0 - (rec.p + 4.0) / ((rec.p + 4.0) + 16.0)) * (rec.p + 4.0),
+        |    (rec.p + 4.0) / ((rec.p + 4.0) + 16.0),
+        |    (s.y - rec.l) / sqrt((rec.p + 4.0) + 16.0)
+        |  FROM rec JOIN r s ON s.user_id = rec.user_id AND s.rn = rec.rn + 1)
+        |SELECT user_id, day_sec, round(l, 6) AS level, round(k, 6) AS gain,
+        |  round(z, 6) AS z
+        |FROM rec ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

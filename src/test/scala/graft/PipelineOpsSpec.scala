@@ -499,6 +499,33 @@ class PipelineOpsSpec extends SparkSuite {
     assert(cov >= 0.75, s"coverage $cov should be near or above 1-alpha=0.8")
   }
 
+  test("kalman: hand recursion, null gap grows the next gain, gain converges") {
+    import graft.operators.Kalman
+    // q=r=1, y=[0,2,2]: init l=0 P=1; t2: P-=2 K=2/3 z=2/sqrt(3) l=4/3 P=2/3;
+    // t3: P-=5/3 K=5/8 z=(2/3)/sqrt(8/3) l=7/4
+    val out = Kalman.kalmanLevelSeries(
+      Seq((1L, Some(0.0)), (2L, Some(2.0)), (3L, Some(2.0))), q = 1.0, r = 1.0)
+    assert(out(0) == ((1L, Some(0.0), None, None)))
+    assert(math.abs(out(1)._2.get - 4.0 / 3) < 1e-12)
+    assert(math.abs(out(1)._3.get - 2.0 / 3) < 1e-12)
+    assert(math.abs(out(1)._4.get - 2.0 / math.sqrt(3.0)) < 1e-12)
+    assert(math.abs(out(2)._2.get - 7.0 / 4) < 1e-12)
+    assert(math.abs(out(2)._3.get - 5.0 / 8) < 1e-12)
+    // a null observation holds the level and inflates P, so the gain at the
+    // next observation exceeds the steady gain without the gap
+    val gapped = Kalman.kalmanLevelSeries(
+      Seq((1L, Some(1.0)), (2L, None), (3L, Some(1.0))), q = 1.0, r = 1.0)
+    val solid = Kalman.kalmanLevelSeries(
+      Seq((1L, Some(1.0)), (2L, Some(1.0)), (3L, Some(1.0))), q = 1.0, r = 1.0)
+    assert(gapped(1) == ((2L, Some(1.0), None, None)))
+    assert(gapped(2)._3.get > solid(2)._3.get)
+    // constant q/r: the gain reaches its steady-state fixed point
+    val long = Kalman.kalmanLevelSeries(
+      (1 to 60).map(i => (i.toLong, Some(i.toDouble))), q = 4.0, r = 16.0)
+    val k59 = long(58)._3.get; val k60 = long(59)._3.get
+    assert(math.abs(k60 - k59) < 1e-9 && k60 > 0 && k60 < 1)
+  }
+
   test("mase: hand-computed ratio; null when train is constant") {
     import graft.operators.Metrics
     val train = Seq((1L, 1L, 10.0), (1L, 2L, 13.0), (1L, 3L, 11.0), // naive MAE = (3+2)/2 = 2.5
