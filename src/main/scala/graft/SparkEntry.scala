@@ -1771,6 +1771,38 @@ object SparkEntry {
           r6(col("level")).as("level"), r6(col("gain")).as("gain"),
           r6(col("z")).as("z"))
         .orderBy("user_id", "day_sec")
+    }),
+
+    // hybrid retrieval: BM25 lexical ranking fused with a dense cosine
+    // ranking (query = embedding 1) by reciprocal-rank fusion over the
+    // shared integer id space; both systems rank on ROUNDED scores so an
+    // independent engine reproduces the exact rank order
+    "q140_rrf_hybrid" -> ((s, dir) => {
+      val wAll = org.apache.spark.sql.expressions.Window
+      val bmRank = TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
+          query = Seq("join", "hash", "scan"))
+        .filter(col("score").isNotNull)
+        .withColumn("rank", row_number().over(
+          wAll.orderBy(r6(col("score")).desc, col("id"))))
+        .filter(col("rank") <= 50)
+        .select(col("id"), col("rank"))
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val dnRank = emb.filter(col("vec_id") === 1)
+        .select(col("embedding").as("qv"))
+        .crossJoin(emb.select(col("vec_id").as("id"), col("embedding").as("cv")))
+        .filter(col("id") =!= 1)
+        .withColumn("sim", graft.operators.Similarity.cosine(col("qv"), col("cv")))
+        .filter(col("sim").isNotNull)
+        .withColumn("rank", row_number().over(
+          wAll.orderBy(r6(col("sim")).desc, col("id"))))
+        .filter(col("rank") <= 50)
+        .select(col("id"), col("rank"))
+      graft.operators.Fusion.rrf(Seq(bmRank, dnRank), queryCols = Nil,
+          idCols = Seq("id"), rankCol = "rank", kRrf = 60)
+        .filter(col("fused_rank") <= 20)
+        .select(col("id"), r6(col("rrf_score")).as("rrf_score"),
+          col("n_systems"), col("fused_rank"))
+        .orderBy("fused_rank")
     })
   )
 
@@ -3912,7 +3944,42 @@ object SparkEntry {
         |  FROM rec JOIN r s ON s.user_id = rec.user_id AND s.rn = rec.rn + 1)
         |SELECT user_id, day_sec, round(l, 6) AS level, round(k, 6) AS gain,
         |  round(z, 6) AS z
-        |FROM rec ORDER BY 1, 2""".stripMargin
+        |FROM rec ORDER BY 1, 2""".stripMargin,
+
+    // both systems replayed (q102's BM25, q36's cosine), ranks on
+    // round(score, 6) with id tie-break, RRF k=60
+    "q140_rrf_hybrid" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(ws))::DOUBLE AS avg_len FROM w),
+        |toks AS (SELECT doc_id, len(ws)::DOUBLE AS len, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, len, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('join','hash','scan') GROUP BY 1,2,3),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |    sum(ln(1 + (st.n_docs - dft.df + 0.5)/(dft.df + 0.5))
+        |      * tf.tf * 2.2 / (tf.tf + 1.2*(1 - 0.75 + 0.75*tf.len/st.avg_len))) AS score
+        |  FROM tf JOIN dft USING (term), st GROUP BY 1),
+        |bm AS (SELECT doc_id AS id,
+        |    row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rnk
+        |  FROM sc QUALIFY rnk <= 50),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1),
+        |cs AS (SELECT c.vec_id AS id,
+        |    list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv))
+        |      * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+        |  FROM q CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) c
+        |  WHERE c.vec_id <> 1
+        |    AND sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)) > 0),
+        |dn AS (SELECT id, row_number() OVER (ORDER BY round(sim, 6) DESC, id) AS rnk
+        |  FROM cs QUALIFY rnk <= 50),
+        |u AS (SELECT id, rnk FROM bm UNION ALL SELECT id, rnk FROM dn),
+        |f AS (SELECT id, sum(1.0 / (60 + rnk)) AS rrf_score, count(*) AS n_systems
+        |  FROM u GROUP BY 1),
+        |rr AS (SELECT id, rrf_score, n_systems,
+        |    row_number() OVER (ORDER BY rrf_score DESC, id) AS fused_rank FROM f)
+        |SELECT id, round(rrf_score, 6) AS rrf_score, n_systems, fused_rank
+        |FROM rr WHERE fused_rank <= 20 ORDER BY fused_rank""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -499,6 +499,26 @@ class PipelineOpsSpec extends SparkSuite {
     assert(cov >= 0.75, s"coverage $cov should be near or above 1-alpha=0.8")
   }
 
+  test("rrf: hand fusion scores, union semantics for one-system docs, per-query windows") {
+    import graft.operators.Fusion
+    // doc A: rank 1 + rank 2 -> 1/61 + 1/62; doc B: rank 2 only; doc C: rank 1 only
+    val sysa = Seq(("q1", "A", 1), ("q1", "B", 2)).toDF("q", "id", "rank")
+    val sysb = Seq(("q1", "C", 1), ("q1", "A", 2)).toDF("q", "id", "rank")
+    val out = Fusion.rrf(Seq(sysa, sysb), Seq("q"), Seq("id"), "rank")
+      .collect().map(r => r.getString(1) ->
+        (r.getDouble(r.fieldIndex("rrf_score")), r.getLong(r.fieldIndex("n_systems")),
+          r.getInt(r.fieldIndex("fused_rank")))).toMap
+    assert(math.abs(out("A")._1 - (1.0 / 61 + 1.0 / 62)) < 1e-15)
+    assert(out("A")._2 == 2L && out("A")._3 == 1)
+    assert(out("B")._2 == 1L && math.abs(out("B")._1 - 1.0 / 62) < 1e-15)
+    assert(out("C")._3 == 2 && out("B")._3 == 3) // 1/61 > 1/62
+    // two queries fuse independently: ranks restart per query key
+    val two = Fusion.rrf(
+      Seq(Seq(("q1", "A", 1), ("q2", "B", 1)).toDF("q", "id", "rank")),
+      Seq("q"), Seq("id"), "rank").collect()
+    assert(two.forall(_.getInt(two(0).fieldIndex("fused_rank")) == 1))
+  }
+
   test("kalman: hand recursion, null gap grows the next gain, gain converges") {
     import graft.operators.Kalman
     // q=r=1, y=[0,2,2]: init l=0 P=1; t2: P-=2 K=2/3 z=2/sqrt(3) l=4/3 P=2/3;
