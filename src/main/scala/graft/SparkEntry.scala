@@ -1803,6 +1803,30 @@ object SparkEntry {
         .select(col("id"), r6(col("rrf_score")).as("rrf_score"),
           col("n_systems"), col("fused_rank"))
         .orderBy("fused_rank")
+    }),
+
+    // population stability index per user between the first and second half
+    // of the month — the industry drift score, Laplace-smoothed fixed bins
+    "q141_psi" -> ((s, dir) => {
+      val split = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val e = ev(s, dir)
+      graft.operators.Drift.psi(e.filter(col("ts") < split),
+          e.filter(col("ts") >= split), Seq("user_id"), "value", bins = 10)
+        .select(col("user_id"), r6(col("psi")).as("psi"), col("n_ref"),
+          col("n_cur"))
+        .orderBy("user_id")
+    }),
+
+    // exact two-sample Kolmogorov-Smirnov statistic per user on the same
+    // split — distribution-free, integer cumulative counts divided once
+    "q142_ks" -> ((s, dir) => {
+      val split = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val e = ev(s, dir)
+      graft.operators.Drift.ks(e.filter(col("ts") < split),
+          e.filter(col("ts") >= split), Seq("user_id"), "value")
+        .select(col("user_id"), r6(col("ks")).as("ks"), col("n_ref"),
+          col("n_cur"))
+        .orderBy("user_id")
     })
   )
 
@@ -3979,7 +4003,61 @@ object SparkEntry {
         |rr AS (SELECT id, rrf_score, n_systems,
         |    row_number() OVER (ORDER BY rrf_score DESC, id) AS fused_rank FROM f)
         |SELECT id, round(rrf_score, 6) AS rrf_score, n_systems, fused_rank
-        |FROM rr WHERE fused_rank <= 20 ORDER BY fused_rank""".stripMargin
+        |FROM rr WHERE fused_rank <= 20 ORDER BY fused_rank""".stripMargin,
+
+    // fixed-width bins over the reference min/max, Laplace smoothing
+    // (c+0.5)/(n+5), every bin slot materialized
+    "q141_psi" ->
+      """WITH r AS (SELECT user_id, value::DOUBLE AS v FROM events
+        |  WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |c AS (SELECT user_id, value::DOUBLE AS v FROM events
+        |  WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |st AS (SELECT user_id, min(v) AS lo, max(v) AS hi, count(*) AS n_ref
+        |  FROM r GROUP BY 1),
+        |cn AS (SELECT user_id, count(*) AS n_cur FROM c GROUP BY 1),
+        |rb AS (SELECT r.user_id,
+        |    CASE WHEN st.hi = st.lo THEN 0 ELSE least(9, greatest(0,
+        |      CAST(floor((r.v - st.lo) / (st.hi - st.lo) * 10) AS BIGINT))) END AS bin,
+        |    count(*) AS cr
+        |  FROM r JOIN st USING (user_id) GROUP BY 1, 2),
+        |cb AS (SELECT c.user_id,
+        |    CASE WHEN st.hi = st.lo THEN 0 ELSE least(9, greatest(0,
+        |      CAST(floor((c.v - st.lo) / (st.hi - st.lo) * 10) AS BIGINT))) END AS bin,
+        |    count(*) AS cc
+        |  FROM c JOIN st USING (user_id) GROUP BY 1, 2),
+        |slots AS (SELECT user_id, unnest(range(0, 10)) AS bin FROM st),
+        |sh AS (SELECT s.user_id,
+        |    (coalesce(rb.cr, 0) + 0.5)::DOUBLE / (st.n_ref + 5.0)::DOUBLE AS pr,
+        |    (coalesce(cb.cc, 0) + 0.5)::DOUBLE / (cn.n_cur + 5.0)::DOUBLE AS pc
+        |  FROM slots s
+        |  LEFT JOIN rb ON rb.user_id = s.user_id AND rb.bin = s.bin
+        |  LEFT JOIN cb ON cb.user_id = s.user_id AND cb.bin = s.bin
+        |  JOIN st ON st.user_id = s.user_id
+        |  JOIN cn ON cn.user_id = s.user_id)
+        |SELECT sh.user_id, round(sum((pc - pr) * ln(pc / pr)), 6) AS psi,
+        |  max(st.n_ref) AS n_ref, max(cn.n_cur) AS n_cur
+        |FROM sh JOIN st ON st.user_id = sh.user_id
+        |  JOIN cn ON cn.user_id = sh.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // D = max |F_ref - F_cur| over integer cumulative counts
+    "q142_ks" ->
+      """WITH t AS (SELECT user_id, value::DOUBLE AS v,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS ir,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS ic
+        |  FROM events WHERE value IS NOT NULL),
+        |pv AS (SELECT user_id, v, sum(ir) AS cr, sum(ic) AS cc FROM t GROUP BY 1, 2),
+        |cum AS (SELECT user_id,
+        |    sum(cr) OVER (PARTITION BY user_id ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sr,
+        |    sum(cc) OVER (PARTITION BY user_id ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sc,
+        |    sum(cr) OVER (PARTITION BY user_id) AS nr,
+        |    sum(cc) OVER (PARTITION BY user_id) AS nc
+        |  FROM pv)
+        |SELECT user_id, round(max(abs(sr::DOUBLE / nr - sc::DOUBLE / nc)), 6) AS ks,
+        |  max(nr)::BIGINT AS n_ref, max(nc)::BIGINT AS n_cur
+        |FROM cum WHERE nr > 0 AND nc > 0 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

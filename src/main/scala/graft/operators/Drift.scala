@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributional drift between a reference window and a current window —
+  * the monitoring layer that tells a pipeline its inputs moved before the
+  * downstream metrics do. Complements the SEQUENTIAL detectors
+  * ([[Anomaly.cusum]], [[Kalman]] innovations) with two-sample tests over
+  * whole windows:
+  *
+  *  - [[psi]] — population stability index (Karakoulas 2004 credit-scoring
+  *    folklore, the industry-standard drift score): bin the reference range,
+  *    PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref). Rule of thumb: <0.1 stable,
+  *    0.1–0.25 drifting, >0.25 shifted.
+  *  - [[ks]] — exact two-sample Kolmogorov–Smirnov statistic
+  *    D = sup_x |F_ref(x) − F_cur(x)|, distribution-free.
+  *
+  * Both are deterministic, closed-form plans an independent engine can
+  * replay: PSI uses fixed-width bins over the reference min/max (NOT approx
+  * quantile edges — those aren't replayable) with Laplace-smoothed shares
+  * p = (c + 0.5)/(n + B/2) so empty bins stay finite; KS works on integer
+  * cumulative counts divided once at the end.
+  *
+  * Scale shape: PSI is two grouped counts + a B-row-per-key join (B tiny) —
+  * all map-side-combinable. KS needs each key's distinct values ordered in
+  * one task (the honest exact-statistic cost, same bound class as the
+  * per-key series ops); at unbounded per-key cardinality, bucket values
+  * first ([[Hist.histogram]]) and accept binned resolution.
+  */
+object Drift {
+
+  /** PSI per key: (keys..., psi, n_ref, n_cur). Keys present only in `cur`
+    * are dropped (no reference range to bin against); a key whose reference
+    * range is degenerate (min == max) puts everything in bin 0.
+    */
+  def psi(ref: DataFrame, cur: DataFrame, keyCols: Seq[String],
+          valueCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val keys = keyCols.map(col)
+    val v = col(valueCol).cast("double")
+    val stats = ref.filter(v.isNotNull).groupBy(keys: _*)
+      .agg(min(v).as("_lo"), max(v).as("_hi"), count(lit(1)).as("n_ref"))
+    def binned(df: DataFrame, cntName: String): DataFrame =
+      df.filter(v.isNotNull)
+        .join(stats.select((keys :+ col("_lo") :+ col("_hi")): _*), keyCols)
+        .withColumn("_bin", when(col("_hi") === col("_lo"), lit(0L))
+          .otherwise(least(lit(bins - 1L), greatest(lit(0L),
+            floor((v - col("_lo")) / (col("_hi") - col("_lo")) * bins)))))
+        .groupBy((keys :+ col("_bin")): _*)
+        .agg(count(lit(1)).as(cntName))
+    val refCnt = binned(ref, "_cr")
+    val curCnt = binned(cur, "_cc")
+    val curN = cur.filter(v.isNotNull).groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_cur"))
+    // every (key, bin) slot materialized so empty bins enter the smoothing
+    val slots = stats.select(keys: _*)
+      .withColumn("_bin", explode(sequence(lit(0L), lit(bins - 1L))))
+    val shares = slots
+      .join(refCnt, keyCols :+ "_bin", "left")
+      .join(curCnt, keyCols :+ "_bin", "left")
+      .join(stats.select((keys :+ col("n_ref")): _*), keyCols)
+      .join(curN, keyCols)
+      .withColumn("_pr", (coalesce(col("_cr"), lit(0L)) + lit(0.5)) /
+        (col("n_ref") + lit(0.5) * bins))
+      .withColumn("_pc", (coalesce(col("_cc"), lit(0L)) + lit(0.5)) /
+        (col("n_cur") + lit(0.5) * bins))
+    shares.groupBy(keys: _*)
+      .agg(sum((col("_pc") - col("_pr")) * log(col("_pc") / col("_pr"))).as("psi"),
+        max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"))
+  }
+
+  /** Exact two-sample KS statistic per key: (keys..., ks, n_ref, n_cur).
+    * Keys must appear in both windows (inner semantics via the count join).
+    */
+  def ks(ref: DataFrame, cur: DataFrame, keyCols: Seq[String],
+         valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val v = col(valueCol).cast("double")
+    val tagged = ref.filter(v.isNotNull)
+      .select((keys :+ v.as("_v") :+ lit(1L).as("_ir") :+ lit(0L).as("_ic")): _*)
+      .unionByName(cur.filter(v.isNotNull)
+        .select((keys :+ v.as("_v") :+ lit(0L).as("_ir") :+ lit(1L).as("_ic")): _*))
+    val perVal = tagged.groupBy((keys :+ col("_v")): _*)
+      .agg(sum(col("_ir")).as("_cr"), sum(col("_ic")).as("_cc"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    val cum = perVal
+      .withColumn("_sr", sum(col("_cr")).over(w))
+      .withColumn("_sc", sum(col("_cc")).over(w))
+      .withColumn("n_ref", sum(col("_cr")).over(wAll))
+      .withColumn("n_cur", sum(col("_cc")).over(wAll))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+    cum.groupBy(keys: _*)
+      .agg(max(abs(col("_sr") / col("n_ref") - col("_sc") / col("n_cur"))).as("ks"),
+        max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"))
+  }
+}

@@ -499,6 +499,41 @@ class PipelineOpsSpec extends SparkSuite {
     assert(cov >= 0.75, s"coverage $cov should be near or above 1-alpha=0.8")
   }
 
+  test("psi: zero on identical windows, large on a shift, degenerate ref safe") {
+    import graft.operators.Drift
+    val ref = (0 to 9).map(i => (1L, i.toDouble)).toDF("k", "v")
+    val same = Drift.psi(ref, ref, Seq("k"), "v").collect()(0)
+    assert(same.getDouble(same.fieldIndex("psi")) == 0.0)
+    assert(same.getLong(same.fieldIndex("n_ref")) == 10L)
+    // all current mass in the top bin: ref shares 1.5/15 per bin, cur 0.5/15
+    // except bin 9 at 10.5/15 — hand PSI replayed term by term
+    val shifted = (1 to 10).map(_ => (1L, 9.0)).toDF("k", "v")
+    val got = Drift.psi(ref, shifted, Seq("k"), "v").collect()(0)
+      .getDouble(1)
+    val pr = 1.5 / 15.0
+    val expected = (0 until 9).map { _ =>
+      val pc = 0.5 / 15.0; (pc - pr) * math.log(pc / pr)
+    }.sum + { val pc = 10.5 / 15.0; (pc - pr) * math.log(pc / pr) }
+    assert(math.abs(got - expected) < 1e-12)
+    assert(got > 0.25, "a full shift must read as 'shifted' on the PSI scale")
+    // constant reference: everything lands in bin 0, result finite
+    val const = Seq((1L, 5.0), (1L, 5.0)).toDF("k", "v")
+    val d = Drift.psi(const, ref, Seq("k"), "v").collect()(0).getDouble(1)
+    assert(!d.isNaN && !d.isInfinite)
+  }
+
+  test("ks: hand D on offset samples, zero on identical, one-sided key dropped") {
+    import graft.operators.Drift
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).map((1L, _)).toDF("k", "v")
+    val cur = Seq(3.0, 4.0, 5.0, 6.0).map((1L, _)).toDF("k", "v")
+    val r = Drift.ks(ref, cur, Seq("k"), "v").collect()(0)
+    assert(r.getDouble(r.fieldIndex("ks")) == 0.5)
+    assert(Drift.ks(ref, ref, Seq("k"), "v").collect()(0).getDouble(1) == 0.0)
+    // a key missing from one window yields no row (both ECDFs required)
+    val curOther = Seq((2L, 1.0)).toDF("k", "v")
+    assert(Drift.ks(ref, curOther, Seq("k"), "v").isEmpty)
+  }
+
   test("rrf: hand fusion scores, union semantics for one-system docs, per-query windows") {
     import graft.operators.Fusion
     // doc A: rank 1 + rank 2 -> 1/61 + 1/62; doc B: rank 2 only; doc C: rank 1 only
