@@ -1827,6 +1827,18 @@ object SparkEntry {
         .select(col("user_id"), r6(col("ks")).as("ks"), col("n_ref"),
           col("n_cur"))
         .orderBy("user_id")
+    }),
+
+    // Theil-Sen robust trend per user over the daily series — median of all
+    // pairwise slopes, immune to the outliers that bend an OLS slope
+    "q143_theil_sen" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      Features.theilSen(daily, Seq("user_id"), "day", "v", unitSeconds = 86400L)
+        .select(col("user_id"), r6(col("ts_slope")).as("ts_slope"),
+          r6(col("ts_intercept")).as("ts_intercept"), col("n_pairs"))
+        .orderBy("user_id")
     })
   )
 
@@ -4057,7 +4069,29 @@ object SparkEntry {
         |  FROM pv)
         |SELECT user_id, round(max(abs(sr::DOUBLE / nr - sc::DOUBLE / nc)), 6) AS ks,
         |  max(nr)::BIGINT AS n_ref, max(nc)::BIGINT AS n_cur
-        |FROM cum WHERE nr > 0 AND nc > 0 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM cum WHERE nr > 0 AND nc > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // pairwise slopes via self-join, exact interpolated medians; x is
+    // epoch-days re-centered per key (identical float ops to the operator)
+    "q143_theil_sen" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    sum(value) AS v FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, epoch_us(day)::DOUBLE / 86400000000.0 AS xa,
+        |    v::DOUBLE AS y,
+        |    min(epoch_us(day)::DOUBLE / 86400000000.0)
+        |      OVER (PARTITION BY user_id) AS x0
+        |  FROM daily WHERE v IS NOT NULL),
+        |bb AS (SELECT user_id, xa - x0 AS x, y FROM b),
+        |p AS (SELECT l.user_id, (r.y - l.y) / (r.x - l.x) AS s
+        |  FROM bb l JOIN bb r ON l.user_id = r.user_id AND r.x > l.x),
+        |f AS (SELECT user_id, quantile_cont(s, 0.5) AS ts_slope,
+        |    count(*) AS n_pairs FROM p GROUP BY 1),
+        |i AS (SELECT bb.user_id, f.ts_slope, f.n_pairs,
+        |    quantile_cont(bb.y - f.ts_slope * bb.x, 0.5) AS ts_intercept
+        |  FROM bb JOIN f USING (user_id) GROUP BY 1, 2, 3)
+        |SELECT user_id, round(ts_slope, 6) AS ts_slope,
+        |  round(ts_intercept, 6) AS ts_intercept, n_pairs
+        |FROM i ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -668,4 +668,45 @@ object Features {
       .filter(size(col("roles")) > 0)
       .drop("_rk", "_first_k", "_last_k", "_min_k", "_max_k")
   }
+  /** Theil–Sen robust trend: the MEDIAN of all pairwise slopes
+    * (y_j − y_i)/(x_j − x_i), i < j (Theil 1950; Sen 1968) — up to ~29%
+    * contaminated points leave the estimate standing where one outlier
+    * already wrecks the OLS slope of [[rollingSlope]]. Intercept =
+    * median(y − slope·x), the standard companion estimator.
+    *
+    * x is the epoch time scaled to `unitSeconds` (slope is "per unit") and
+    * re-centered per key before differencing for the same mantissa reasons
+    * documented on [[rollingSlope]].
+    *
+    * Cost is the honest O(n²) pairs per key via a self-join — run it on
+    * TIER-BUCKETED series (30 daily points → 435 pairs), never raw events;
+    * the pair explosion is quadratic in per-key cardinality by definition
+    * of the estimator. Medians are exact interpolated percentiles (the
+    * [[Rollup]] percentile parity contract).
+    * Output: (keys..., ts_slope, ts_intercept, n_pairs).
+    */
+  def theilSen(df: DataFrame, keyCols: Seq[String], tsCol: String,
+               valueCol: String, unitSeconds: Long = 86400L): DataFrame = {
+    require(unitSeconds >= 1, s"unitSeconds must be >= 1, got $unitSeconds")
+    val keys = keyCols.map(col)
+    val xAbs = unix_micros(col(tsCol).cast("timestamp")).cast("double") /
+      lit(unitSeconds * 1e6)
+    val base = df.filter(col(valueCol).isNotNull)
+      .withColumn("_x0", min(xAbs).over(Window.partitionBy(keys: _*)))
+      .select((keys :+ (xAbs - col("_x0")).as("_x") :+
+        col(valueCol).cast("double").as("_y")): _*)
+    val a = base.select((keys :+ col("_x").as("_xa") :+ col("_y").as("_ya")): _*)
+    val b = base.select((keys :+ col("_x").as("_xb") :+ col("_y").as("_yb")): _*)
+    val slopes = a.join(b, keyCols)
+      .filter(col("_xb") > col("_xa"))
+      .withColumn("_s", (col("_yb") - col("_ya")) / (col("_xb") - col("_xa")))
+    val fit = slopes.groupBy(keys: _*)
+      .agg(percentile(col("_s"), lit(0.5)).as("ts_slope"),
+        count(lit(1)).as("n_pairs"))
+    base.join(fit, keyCols)
+      .groupBy((keys :+ col("ts_slope") :+ col("n_pairs")): _*)
+      .agg(percentile(col("_y") - col("ts_slope") * col("_x"), lit(0.5))
+        .as("ts_intercept"))
+      .select((keys :+ col("ts_slope") :+ col("ts_intercept") :+ col("n_pairs")): _*)
+  }
 }

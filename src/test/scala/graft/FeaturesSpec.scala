@@ -569,6 +569,26 @@ class FeaturesSpec extends SparkSuite {
     assert(out(2).isNullAt(inc) && out(2).getLong(out(2).fieldIndex("n_deltas")) == 0L)
   }
 
+  test("theilSen: outlier-immune slope, exact intercept, single-point key dropped") {
+    // y = x for days 1..9, then a wild outlier: 36 of 45 pairwise slopes
+    // are exactly 1 -> median slope 1, intercept median(y - x) = 0
+    val rows = (1 to 9).map(i => ("a", ts(f"2020-01-0$i"), i.toDouble)) :+
+      (("a", ts("2020-01-10"), 1000.0))
+    val out = Features.theilSen(rows.toDF("k", "ts", "v"), Seq("k"), "ts", "v")
+      .collect()(0)
+    assert(out.getDouble(out.fieldIndex("ts_slope")) == 1.0)
+    assert(out.getDouble(out.fieldIndex("ts_intercept")) == 1.0) // y-x = 1 for the 9 clean points (x starts at 0)
+    assert(out.getLong(out.fieldIndex("n_pairs")) == 45L)
+    // OLS on the same data is dragged far off 1 by the outlier
+    val ols = Features.rollingSlope(rows.toDF("k", "ts", "v"), Seq("k"), "ts", "v",
+      winRows = 10).orderBy(col("ts").desc).limit(1)
+      .select("rolling_slope").collect()(0).getDouble(0)
+    assert(math.abs(ols - 1.0) > 10)
+    // a key with one point has no pairs and emits nothing
+    val single = Seq(("b", ts("2020-01-01"), 5.0)).toDF("k", "ts", "v")
+    assert(Features.theilSen(single, Seq("k"), "ts", "v").isEmpty)
+  }
+
   test("rollingSlope: exact on linear series, null gates, centering invariance") {
     // y = 3.5 * day + 7 → slope exactly 3.5 everywhere once the window fills
     val lin = (0 until 10).map(i => (1L, i.toLong * 86400, 3.5 * i + 7.0))
