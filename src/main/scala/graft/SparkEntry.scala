@@ -1839,6 +1839,23 @@ object SparkEntry {
         .select(col("user_id"), r6(col("ts_slope")).as("ts_slope"),
           r6(col("ts_intercept")).as("ts_intercept"), col("n_pairs"))
         .orderBy("user_id")
+    }),
+
+    // lexical diversity per document: type-token ratio + hapax share — the
+    // C4/Gopher-class quality gates the surface ratios of q40 can't see
+    "q144_vocab" -> ((s, dir) => {
+      TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          r6(col("ttr")).as("ttr"), r6(col("hapax_ratio")).as("hapax_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus Zipf fit over the top-100 terms: distributed TakeOrdered cut,
+    // closed-form OLS of ln(freq) on ln(rank)
+    "q145_zipf" -> ((s, dir) => {
+      TextAnalysis.zipfSlope(docs(s, dir), "text", topK = 100)
+        .select(r6(col("zipf_slope")).as("zipf_slope"), col("n_terms"),
+          col("max_freq"))
     })
   )
 
@@ -4091,7 +4108,40 @@ object SparkEntry {
         |  FROM bb JOIN f USING (user_id) GROUP BY 1, 2, 3)
         |SELECT user_id, round(ts_slope, 6) AS ts_slope,
         |  round(ts_intercept, 6) AS ts_intercept, n_pairs
-        |FROM i ORDER BY 1""".stripMargin
+        |FROM i ORDER BY 1""".stripMargin,
+
+    "q144_vocab" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |v AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens, count(*) AS n_types,
+        |    sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+        |  FROM tf GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types, n_hapax,
+        |  round(n_types::DOUBLE / n_tokens, 6) AS ttr,
+        |  round(n_hapax::DOUBLE / n_types, 6) AS hapax_ratio
+        |FROM v ORDER BY 1""".stripMargin,
+
+    // rank ties broken by term asc in BOTH the top-K cut and the ranking
+    "q145_zipf" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |t AS (SELECT unnest(ws) AS term FROM w),
+        |tf AS (SELECT term, count(*) AS freq FROM t GROUP BY 1),
+        |top AS (SELECT term, freq FROM tf ORDER BY freq DESC, term LIMIT 100),
+        |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rank
+        |  FROM top),
+        |s AS (SELECT count(*)::DOUBLE AS n,
+        |    sum(ln(rank::DOUBLE)) AS sx, sum(ln(freq::DOUBLE)) AS sy,
+        |    sum(ln(rank::DOUBLE) * ln(freq::DOUBLE)) AS sxy,
+        |    sum(ln(rank::DOUBLE) * ln(rank::DOUBLE)) AS sxx,
+        |    max(freq) AS max_freq FROM r)
+        |SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+        |  n::BIGINT AS n_terms, max_freq
+        |FROM s""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

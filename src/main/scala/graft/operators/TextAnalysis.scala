@@ -415,4 +415,54 @@ object TextAnalysis {
       .withColumn("ppl", pow(lit(2.0), col("bits")))
       .withColumnRenamed("id", idCol)
   }
+
+  /** Per-document vocabulary richness: token count, type count, type-token
+    * ratio, and hapax ratio (share of types occurring exactly once in the
+    * doc). Low TTR / low hapax flags template spam and keyword stuffing;
+    * abnormally HIGH hapax flags gibberish — the lexical-diversity quality
+    * gates of C4/Gopher-class corpus filters (Rae et al. 2021 §A1.1),
+    * complementing [[quality]]'s surface ratios and the repetition gates.
+    * One explode + two map-side-combinable aggregations; tokens are the
+    * [[graft.functions.Hashing.words]] parity contract.
+    */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(words(lower(col(textCol)))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    tf.groupBy("id")
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"))
+      .withColumn("ttr", col("n_types") / col("n_tokens"))
+      .withColumn("hapax_ratio", col("n_hapax") / col("n_types"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Corpus-level Zipf fit: OLS slope of ln(freq) on ln(rank) over the
+    * `topK` most frequent terms (natural text ≈ −1; strong deviation flags
+    * a synthetic or boilerplate-dominated corpus — Piantadosi 2014 review).
+    * The top-K cut is a distributed TakeOrdered (freq desc, term asc —
+    * fully deterministic), NEVER a global window over the vocabulary; only
+    * the K survivors pass through the single-task rank assignment.
+    * Output: one row (zipf_slope, n_terms, max_freq).
+    */
+  def zipfSlope(docs: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2, got $topK")
+    val tf = docs
+      .select(explode(words(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(topK)
+    val ranked = tf.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("term"))))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("freq").cast("double"))
+    ranked.agg(count(lit(1)).cast("double").as("_n"),
+        sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * y).as("_sxy"), sum(x * x).as("_sxx"),
+        max(col("freq")).as("max_freq"))
+      .withColumn("zipf_slope",
+        (col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("_n") * col("_sxx") - col("_sx") * col("_sx")))
+      .withColumn("n_terms", col("_n").cast("long"))
+      .select(col("zipf_slope"), col("n_terms"), col("max_freq"))
+  }
 }

@@ -350,4 +350,25 @@ class DedupSimilaritySpec extends SparkSuite {
     val r = Dedup.chunkDedup(rep, "doc_id", "text", chunkWords = 3).collect()(0)
     assert(r.getLong(1) == 3 && r.getLong(2) == 2 && r.getString(3) == s"$a $b")
   }
+
+  test("vocabulary: hand TTR/hapax; zipfSlope exactly -1 on a constructed corpus") {
+    import graft.operators.TextAnalysis
+    // "a a a b b c": 6 tokens, 3 types, 1 hapax (c)
+    val d = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(d, "doc_id", "text").collect()(0)
+    assert(v.getLong(v.fieldIndex("n_tokens")) == 6L)
+    assert(v.getLong(v.fieldIndex("n_types")) == 3L)
+    assert(v.getLong(v.fieldIndex("n_hapax")) == 1L)
+    assert(math.abs(v.getDouble(v.fieldIndex("ttr")) - 0.5) < 1e-12)
+    assert(math.abs(v.getDouble(v.fieldIndex("hapax_ratio")) - 1.0 / 3) < 1e-12)
+    // freq(rank r) = 48/r: ln(freq) = ln(48) - ln(rank) exactly, so the
+    // ln-ln OLS slope is exactly -1
+    val words = Seq(("t1", 48), ("t2", 24), ("t3", 16), ("t4", 12))
+      .flatMap { case (t, n) => Seq.fill(n)(t) }
+    val corpus = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val z = TextAnalysis.zipfSlope(corpus, "text", topK = 4).collect()(0)
+    assert(math.abs(z.getDouble(z.fieldIndex("zipf_slope")) - (-1.0)) < 1e-9)
+    assert(z.getLong(z.fieldIndex("n_terms")) == 4L)
+    assert(z.getLong(z.fieldIndex("max_freq")) == 48L)
+  }
 }
