@@ -1856,6 +1856,26 @@ object SparkEntry {
       TextAnalysis.zipfSlope(docs(s, dir), "text", topK = 100)
         .select(r6(col("zipf_slope")).as("zipf_slope"), col("n_terms"),
           col("max_freq"))
+    }),
+
+    // Kaplan-Meier churn curves per event_type: subject = (user, type),
+    // duration = active span in days, right-censored if still active in the
+    // last 3 days of the month — censoring is what the naive cohort table
+    // cannot express
+    "q146_km" -> ((s, dir) => {
+      val subj = ev(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(date_trunc("day", col("ts"))).as("fd"),
+          max(date_trunc("day", col("ts"))).as("ld"))
+        .select(col("event_type"),
+          datediff(col("ld").cast("date"), col("fd").cast("date")).as("dur"),
+          when(col("ld") < lit(java.sql.Timestamp.valueOf("2024-01-28 00:00:00")),
+            lit(1)).otherwise(lit(0)).as("churned"))
+      graft.operators.Survival.kaplanMeier(subj, Seq("event_type"), "dur",
+          "churned")
+        .select(col("event_type"), col("t"), col("n_risk"), col("d"),
+          r6(col("survival")).as("survival"))
+        .orderBy("event_type", "t")
     })
   )
 
@@ -4141,7 +4161,36 @@ object SparkEntry {
         |    max(freq) AS max_freq FROM r)
         |SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
         |  n::BIGINT AS n_terms, max_freq
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // product-limit via exp(sum(ln(1 - d/n))) in identical term order;
+    // a d = n time zeroes the curve from there on
+    "q146_km" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    min(date_trunc('day', ts)) AS fd, max(date_trunc('day', ts)) AS ld
+        |  FROM events GROUP BY 1, 2),
+        |subj AS (SELECT event_type, datediff('day', fd, ld) AS t,
+        |    CASE WHEN ld < TIMESTAMP '2024-01-28 00:00:00' THEN 1 ELSE 0 END AS e
+        |  FROM s),
+        |pt AS (SELECT event_type, t, sum(e) AS d, count(*) AS c
+        |  FROM subj GROUP BY 1, 2),
+        |ar AS (SELECT event_type, t, d,
+        |    sum(c) OVER (PARTITION BY event_type)
+        |      - sum(c) OVER (PARTITION BY event_type ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + c AS n_risk
+        |  FROM pt),
+        |ev AS (SELECT * FROM ar WHERE d > 0),
+        |fin AS (SELECT event_type, t, n_risk, d,
+        |    CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w = 1
+        |      THEN 0.0
+        |      ELSE exp(sum(CASE WHEN d < n_risk
+        |        THEN ln(1.0 - d::DOUBLE / n_risk) END) OVER w) END AS survival
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, t::BIGINT AS t, n_risk::BIGINT AS n_risk,
+        |  d::BIGINT AS d, round(survival, 6) AS survival
+        |FROM fin ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -499,6 +499,27 @@ class PipelineOpsSpec extends SparkSuite {
     assert(cov >= 0.75, s"coverage $cov should be near or above 1-alpha=0.8")
   }
 
+  test("kaplanMeier: hand product-limit with censoring, absorbing d=n, censor-only times emit no row") {
+    import graft.operators.Survival
+    // subjects: event@1, event@2, censor@2, event@3, censor@5
+    // t=1: n=5 d=1 S=4/5; t=2: n=4 d=1 S=3/5; t=3: n=2 d=1 S=3/10; t=5: d=0 no row
+    val subj = Seq((1L, 1L, 1), (1L, 2L, 1), (1L, 2L, 0), (1L, 3L, 1), (1L, 5L, 0))
+      .toDF("k", "dur", "e")
+    val out = Survival.kaplanMeier(subj, Seq("k"), "dur", "e")
+      .orderBy("t").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getLong(out(0).fieldIndex("n_risk"))).toSeq == Seq(5L, 4L, 2L))
+    val sv = out.map(_.getDouble(out(0).fieldIndex("survival")))
+    assert(math.abs(sv(0) - 0.8) < 1e-12)
+    assert(math.abs(sv(1) - 0.6) < 1e-12)
+    assert(math.abs(sv(2) - 0.3) < 1e-12)
+    // whole remaining risk set fails -> survival exactly 0 from that time
+    val wipe = Seq((1L, 1L, 1), (1L, 2L, 1), (1L, 2L, 1)).toDF("k", "dur", "e")
+    val w = Survival.kaplanMeier(wipe, Seq("k"), "dur", "e")
+      .orderBy("t").collect()
+    assert(w.last.getDouble(w.last.fieldIndex("survival")) == 0.0)
+  }
+
   test("psi: zero on identical windows, large on a shift, degenerate ref safe") {
     import graft.operators.Drift
     val ref = (0 to 9).map(i => (1L, i.toDouble)).toDF("k", "v")
