@@ -1876,6 +1876,17 @@ object SparkEntry {
         .select(col("event_type"), col("t"), col("n_risk"), col("d"),
           r6(col("survival")).as("survival"))
         .orderBy("event_type", "t")
+    }),
+
+    // robust centers per event_type: 5-95 trimmed and winsorized means
+    // beside the plain mean — the tier-store robust aggregates
+    "q147_trimmed_mean" -> ((s, dir) => {
+      Profile.trimmedMean(ev(s, dir), Seq("event_type"), "value",
+          loQ = 0.05, hiQ = 0.95)
+        .select(col("event_type"), r6(col("mean")).as("mean"),
+          r6(col("trimmed_mean")).as("trimmed_mean"),
+          r6(col("winsor_mean")).as("winsor_mean"), col("n"), col("n_kept"))
+        .orderBy("event_type")
     })
   )
 
@@ -4190,7 +4201,22 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_type, t::BIGINT AS t, n_risk::BIGINT AS n_risk,
         |  d::BIGINT AS d, round(survival, 6) AS survival
-        |FROM fin ORDER BY 1, 2""".stripMargin
+        |FROM fin ORDER BY 1, 2""".stripMargin,
+
+    // exact interpolated quantile band, inclusive trim, clamped winsor
+    "q147_trimmed_mean" ->
+      """WITH b AS (SELECT event_type,
+        |    quantile_cont(value, 0.05) AS qlo, quantile_cont(value, 0.95) AS qhi
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT e.event_type, round(avg(e.value), 6) AS mean,
+        |  round(avg(CASE WHEN e.value BETWEEN b.qlo AND b.qhi THEN e.value END), 6)
+        |    AS trimmed_mean,
+        |  round(avg(greatest(b.qlo, least(b.qhi, e.value))), 6) AS winsor_mean,
+        |  count(*) AS n,
+        |  count(CASE WHEN e.value BETWEEN b.qlo AND b.qhi THEN 1 END) AS n_kept
+        |FROM events e JOIN b USING (event_type)
+        |WHERE e.value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

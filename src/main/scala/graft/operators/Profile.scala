@@ -116,4 +116,34 @@ object Profile {
         (sum(col("_c") * col("_c")).cast("double") /
           (max(col("_tot")) * max(col("_tot"))).cast("double")).as("hhi"))
   }
+
+  /** Trimmed and winsorized means per key — the robust center estimates
+    * between the mean (breakdown 0) and the median (breakdown 0.5):
+    * trimmed = mean of values inside the exact [loQ, hiQ] quantile band
+    * (inclusive), winsorized = mean after clamping to the band (the
+    * aggregate companion to [[Scalers.winsorize]]'s row transform).
+    *
+    * One grouped exact-percentile pass for the band + one conditional
+    * aggregation — both partial-aggregable; the band join is key-sized
+    * (broadcasts under AQE). Quantiles are exact interpolated percentiles
+    * (the [[Rollup]] parity contract), so the band — and therefore which
+    * rows a replaying engine keeps — is deterministic.
+    * Output: (keys..., mean, trimmed_mean, winsor_mean, n, n_kept).
+    */
+  def trimmedMean(df: DataFrame, keyCols: Seq[String], valCol: String,
+                  loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ,
+      s"need 0 <= loQ < hiQ <= 1, got $loQ/$hiQ")
+    val keys = keyCols.map(col)
+    val v = col(valCol).cast("double")
+    val band = df.filter(v.isNotNull).groupBy(keys: _*)
+      .agg(percentile(v, lit(loQ)).as("_qlo"), percentile(v, lit(hiQ)).as("_qhi"))
+    df.filter(v.isNotNull).join(band, keyCols)
+      .groupBy(keys: _*)
+      .agg(avg(v).as("mean"),
+        avg(when(v.between(col("_qlo"), col("_qhi")), v)).as("trimmed_mean"),
+        avg(greatest(col("_qlo"), least(col("_qhi"), v))).as("winsor_mean"),
+        count(lit(1)).as("n"),
+        count(when(v.between(col("_qlo"), col("_qhi")), lit(1))).as("n_kept"))
+  }
 }

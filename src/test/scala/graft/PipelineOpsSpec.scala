@@ -499,6 +499,21 @@ class PipelineOpsSpec extends SparkSuite {
     assert(cov >= 0.75, s"coverage $cov should be near or above 1-alpha=0.8")
   }
 
+  test("trimmedMean: outlier ejected from trim, clamped in winsor, counts honest") {
+    import graft.operators.Profile
+    // values 1..9 plus outlier 1000; loQ=0.1 hiQ=0.9 on 10 points:
+    // band = [q10, q90] = [1.9, 991.9]... use tighter quantiles for a hand case
+    val d = ((1 to 9).map(_.toDouble) :+ 1000.0).map((1L, _)).toDF("k", "v")
+    val r = Profile.trimmedMean(d, Seq("k"), "v", loQ = 0.0, hiQ = 0.5).collect()(0)
+    // band = [min, median] = [1, 5.5] -> kept 1..5
+    assert(r.getLong(r.fieldIndex("n")) == 10L)
+    assert(r.getLong(r.fieldIndex("n_kept")) == 5L)
+    assert(math.abs(r.getDouble(r.fieldIndex("trimmed_mean")) - 3.0) < 1e-12)
+    // winsor clamps the 5 high values to 5.5: (1+2+3+4+5 + 5*5.5)/10 = 4.25
+    assert(math.abs(r.getDouble(r.fieldIndex("winsor_mean")) - 4.25) < 1e-12)
+    assert(r.getDouble(r.fieldIndex("mean")) > 100.0) // the outlier owns the plain mean
+  }
+
   test("kaplanMeier: hand product-limit with censoring, absorbing d=n, censor-only times emit no row") {
     import graft.operators.Survival
     // subjects: event@1, event@2, censor@2, event@3, censor@5
