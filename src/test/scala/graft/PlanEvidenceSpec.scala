@@ -117,4 +117,31 @@ class PlanEvidenceSpec extends SparkSuite {
     assert(exchanges == 1,
       s"tier-1 rollup should shuffle exactly once (got $exchanges):\n$plan")
   }
+
+  test("zipfSlope cuts top-K with a distributed TakeOrdered, never a vocab-wide window") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = finalPlan(TextAnalysis.zipfSlope(docs, "text", topK = 50))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must be the distributed TakeOrdered operator:\n$plan")
+    // the only Window allowed is the rank assignment over the K survivors,
+    // which sits ABOVE the TakeOrdered cut — the vocabulary-sized aggregate
+    // below it must reach the cut without any window
+    val below = plan.split("TakeOrderedAndProject").last
+    assert(!below.contains("Window"),
+      s"no window may run below the top-K cut (vocabulary-sized input):\n$plan")
+  }
+
+  test("conformal band attach is a broadcast join (fitted side is key-sized)") {
+    import graft.operators.Conformal
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("pred", col("value") * 0.9)
+    val fitted = Conformal.fitSplitConformal(ev, Seq("user_id"), "value", "pred", 0.2)
+    val banded = Conformal.applyBands(ev, fitted, Seq("user_id"), "pred")
+    val plan = finalPlan(banded).split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"band attach should broadcast the per-key fit:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"band attach must not sort-merge the event stream:\n$plan")
+  }
 }
