@@ -1887,6 +1887,26 @@ object SparkEntry {
           r6(col("trimmed_mean")).as("trimmed_mean"),
           r6(col("winsor_mean")).as("winsor_mean"), col("n"), col("n_kept"))
         .orderBy("event_type")
+    }),
+
+    // seasonal-aware anomaly detection COMPOSED: classical decomposition
+    // strips weekly structure, then robust MAD z-scores run on the
+    // REMAINDER — a raw-value MAD would flag every seasonal peak; this
+    // flags only what the seasonality cannot explain
+    "q148_seasonal_esd" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val dec = Features.seasonalDecompose(daily, Seq("user_id"), "d", "v",
+          period = 7)
+        .filter(col("remainder").isNotNull)
+      graft.operators.Anomaly.madOutliers(dec, Seq("user_id"), "remainder",
+          threshold = 3.0)
+        .select(col("user_id"), unix_timestamp(col("d")).as("d_s"),
+          r6(col("remainder")).as("remainder"), r6(col("med")).as("med"),
+          r6(col("mad")).as("mad"), r6(col("robust_z")).as("robust_z"),
+          col("is_outlier"))
+        .orderBy("user_id", "d_s")
     })
   )
 
@@ -4216,7 +4236,37 @@ object SparkEntry {
         |  count(CASE WHEN e.value BETWEEN b.qlo AND b.qhi THEN 1 END) AS n_kept
         |FROM events e JOIN b USING (event_type)
         |WHERE e.value IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q93's decomposition replayed, then median/MAD robust z on the
+    // remainder (quantile_cont parity), 3.0 cut
+    "q148_seasonal_esd" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |i AS (SELECT user_id, d, v::DOUBLE AS y,
+        |    (row_number() OVER (PARTITION BY user_id ORDER BY d) - 1) % 7 AS pos,
+        |    CASE WHEN count(v) OVER f = 7 THEN avg(v) OVER f END AS trend
+        |  FROM daily
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d2 AS (SELECT *, y - trend AS det FROM i),
+        |sr AS (SELECT user_id, pos, avg(det) AS s_raw FROM d2 GROUP BY 1,2),
+        |c AS (SELECT user_id, avg(s_raw) AS ctr FROM sr GROUP BY 1),
+        |rem AS (SELECT d2.user_id, floor(epoch(d))::BIGINT AS d_s,
+        |    y - trend - (s_raw - ctr) AS rem
+        |  FROM d2 JOIN sr USING (user_id, pos) JOIN c USING (user_id)
+        |  WHERE y - trend - (s_raw - ctr) IS NOT NULL),
+        |m AS (SELECT user_id, quantile_cont(rem, 0.5) AS med FROM rem GROUP BY 1),
+        |md AS (SELECT r.user_id, quantile_cont(abs(r.rem - m.med), 0.5) AS mad
+        |  FROM rem r JOIN m USING (user_id) GROUP BY 1)
+        |SELECT r.user_id, r.d_s, round(r.rem, 6) AS remainder,
+        |  round(m.med, 6) AS med, round(md.mad, 6) AS mad,
+        |  round(CASE WHEN md.mad > 0
+        |    THEN 0.6745 * (r.rem - m.med) / md.mad END, 6) AS robust_z,
+        |  coalesce(abs(CASE WHEN md.mad > 0
+        |    THEN 0.6745 * (r.rem - m.med) / md.mad END) > 3.0, false) AS is_outlier
+        |FROM rem r JOIN m USING (user_id) JOIN md USING (user_id)
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE
