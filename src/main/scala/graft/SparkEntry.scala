@@ -1907,6 +1907,40 @@ object SparkEntry {
           r6(col("mad")).as("mad"), r6(col("robust_z")).as("robust_z"),
           col("is_outlier"))
         .orderBy("user_id", "d_s")
+    }),
+
+    // activity-weighted median of each user's daily mean value — the
+    // typical day, with busy days counting proportionally
+    "q149_weighted_median" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(avg(col("value")).as("m"), count(lit(1)).as("c"))
+      Profile.weightedMedian(daily, Seq("user_id"), "m", "c")
+        .select(col("user_id"),
+          r6(col("weighted_median")).as("weighted_median"),
+          r6(col("total_w")).as("total_w"))
+        .orderBy("user_id")
+    }),
+
+    // Gini inequality of each user's non-negative event values — the
+    // numeric-mass companion of q132's categorical concentration
+    "q150_gini" -> ((s, dir) => {
+      Profile.gini(ev(s, dir).filter(col("value") >= 0), Seq("user_id"),
+          "value")
+        .select(col("user_id"), r6(col("gini")).as("gini"), col("n"))
+        .orderBy("user_id")
+    }),
+
+    // Mann-Kendall monotone-trend test per user on the daily series — the
+    // significance companion of q143's Theil-Sen slope; S is an exact
+    // integer in both engines
+    "q151_mann_kendall" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      Features.mannKendall(daily, Seq("user_id"), "day", "v")
+        .select(col("user_id"), col("s"), r6(col("z")).as("z"), col("n"))
+        .orderBy("user_id")
     })
   )
 
@@ -4266,7 +4300,54 @@ object SparkEntry {
         |  coalesce(abs(CASE WHEN md.mad > 0
         |    THEN 0.6745 * (r.rem - m.med) / md.mad END) > 3.0, false) AS is_outlier
         |FROM rem r JOIN m USING (user_id) JOIN md USING (user_id)
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // lower weighted median: first value whose 2*cumw reaches the total
+    "q149_weighted_median" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    avg(value) AS m, count(*) AS c FROM events GROUP BY 1, 2),
+        |pv AS (SELECT user_id, m::DOUBLE AS v, sum(c::DOUBLE) AS w
+        |  FROM daily WHERE m IS NOT NULL GROUP BY 1, 2),
+        |cw AS (SELECT user_id, v,
+        |    sum(w) OVER (PARTITION BY user_id ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cwv,
+        |    sum(w) OVER (PARTITION BY user_id) AS tw
+        |  FROM pv)
+        |SELECT user_id,
+        |  round(min(CASE WHEN cwv * 2 >= tw THEN v END), 6) AS weighted_median,
+        |  round(max(tw), 6) AS total_w
+        |FROM cw GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // G = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)), i = ascending rank
+    "q150_gini" ->
+      """WITH s AS (SELECT user_id, value::DOUBLE AS v FROM events
+        |  WHERE value IS NOT NULL AND value >= 0),
+        |r AS (SELECT user_id, v,
+        |    (row_number() OVER (PARTITION BY user_id ORDER BY v))::DOUBLE AS i
+        |  FROM s),
+        |g AS (SELECT user_id,
+        |    (2.0 * sum(i * v) - (count(*) + 1) * sum(v)) / (count(*) * sum(v)) AS gg,
+        |    count(*) AS n, sum(v) AS tot
+        |  FROM r GROUP BY 1)
+        |SELECT user_id, round(CASE WHEN tot > 0 THEN gg END, 6) AS gini, n
+        |FROM g ORDER BY 1""".stripMargin,
+
+    // S = sum of pairwise signs (exact integer); Z with the continuity
+    // correction, no tie correction (pinned)
+    "q151_mann_kendall" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    sum(value) AS v FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, epoch_us(day) AS t, v::DOUBLE AS y
+        |  FROM daily WHERE v IS NOT NULL),
+        |p AS (SELECT l.user_id, sign(r.y - l.y) AS sg
+        |  FROM b l JOIN b r ON l.user_id = r.user_id AND r.t > l.t),
+        |sa AS (SELECT user_id, sum(sg)::BIGINT AS s FROM p GROUP BY 1),
+        |nn AS (SELECT user_id, count(*) AS n FROM b GROUP BY 1)
+        |SELECT sa.user_id, sa.s,
+        |  round(CASE WHEN nn.n >= 2 THEN (sa.s - sign(sa.s::DOUBLE))
+        |    / sqrt(nn.n * (nn.n - 1) * (2 * nn.n + 5) / 18.0) END, 6) AS z,
+        |  nn.n
+        |FROM sa JOIN nn USING (user_id) ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

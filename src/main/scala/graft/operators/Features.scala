@@ -709,4 +709,37 @@ object Features {
         .as("ts_intercept"))
       .select((keys :+ col("ts_slope") :+ col("ts_intercept") :+ col("n_pairs")): _*)
   }
+
+  /** Mann–Kendall monotone-trend test (Mann 1945; Kendall 1975) — the
+    * nonparametric significance companion of [[theilSen]] (Sen's slope is
+    * literally the MK-recommended magnitude estimate):
+    *   S = Σ_{i<j} sign(x_j − x_i)          (an exact INTEGER cross-engine)
+    *   Z = (S − sign(S)) / √(n(n−1)(2n+5)/18)
+    * No tie correction (pinned; real-valued tier measures make exact ties
+    * vanishingly rare — with heavy ties the variance is slightly
+    * overstated, i.e. the test gets conservative). |Z| > 1.96 rejects
+    * "no trend" at 5%.
+    *
+    * Same honest O(n²) self-join cost and tier-bucketed-input contract as
+    * [[theilSen]]. Output: (keys..., s, z, n).
+    */
+  def mannKendall(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select((keys :+ unix_micros(col(tsCol).cast("timestamp")).as("_t") :+
+        col(valueCol).cast("double").as("_y")): _*)
+    val a = base.select((keys :+ col("_t").as("_ta") :+ col("_y").as("_ya")): _*)
+    val b = base.select((keys :+ col("_t").as("_tb") :+ col("_y").as("_yb")): _*)
+    val n = base.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+    a.join(b, keyCols).filter(col("_tb") > col("_ta"))
+      .groupBy(keys: _*)
+      .agg(sum(signum(col("_yb") - col("_ya")).cast("long")).as("s"))
+      .join(n, keyCols)
+      .withColumn("_var",
+        col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) / lit(18.0))
+      .withColumn("z", when(col("n") >= 2,
+        (col("s") - signum(col("s").cast("double"))) / sqrt(col("_var"))))
+      .select((keys :+ col("s") :+ col("z") :+ col("n")): _*)
+  }
 }

@@ -146,4 +146,62 @@ object Profile {
         count(lit(1)).as("n"),
         count(when(v.between(col("_qlo"), col("_qhi")), lit(1))).as("n_kept"))
   }
+
+  /** Lower weighted median per key: the smallest value v whose cumulative
+    * weight reaches half the total — the center of a frequency-weighted
+    * distribution (e.g. text length weighted by token count), where an
+    * unweighted median over pre-aggregated rows is simply wrong. Pinned to
+    * the LOWER median convention (2·cumw ≥ totw picks the first qualifying
+    * value) so an independent engine replays it exactly, ties in the value
+    * column pre-merged so cumulative order is deterministic.
+    * One grouped merge + one per-key ordered window over DISTINCT values.
+    * Output: (keys..., weighted_median, total_w).
+    */
+  def weightedMedian(df: DataFrame, keyCols: Seq[String], valCol: String,
+                     weightCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val v = col(valCol).cast("double"); val w = col(weightCol).cast("double")
+    val perVal = df.filter(v.isNotNull && w.isNotNull && w > 0)
+      .groupBy((keys :+ v.as("_v")): _*)
+      .agg(sum(w).as("_w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val winAll = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    perVal
+      .withColumn("_cw", sum(col("_w")).over(win))
+      .withColumn("_tw", sum(col("_w")).over(winAll))
+      .groupBy(keys: _*)
+      .agg(min(when(col("_cw") * 2 >= col("_tw"), col("_v")))
+        .as("weighted_median"), max(col("_tw")).as("total_w"))
+  }
+
+  /** Gini coefficient per key over non-negative values (inequality of the
+    * distribution — 0 = perfectly even, →1 = one row owns everything):
+    *   G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx),  x₍ᵢ₎ sorted ascending.
+    * Σ i·x is invariant under permuting tied values, so the rank window is
+    * deterministic cross-engine even with duplicates. The companion of
+    * [[concentration]] for NUMERIC mass (concentration covers categorical
+    * shares). Null when the total is 0 (inequality undefined), rows with
+    * negative values rejected by contract.
+    * One per-key ordered window + one aggregation.
+    * Output: (keys..., gini, n).
+    */
+  def gini(df: DataFrame, keyCols: Seq[String], valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val v = col(valCol).cast("double")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("_v"))
+    df.filter(v.isNotNull && v >= 0)
+      .select((keys :+ v.as("_v")): _*)
+      .withColumn("_i", row_number().over(win).cast("double"))
+      .groupBy(keys: _*)
+      .agg(((lit(2.0) * sum(col("_i") * col("_v")) -
+        (count(lit(1)) + lit(1)) * sum(col("_v"))) /
+        (count(lit(1)) * sum(col("_v")))).as("_g"),
+        count(lit(1)).as("n"), sum(col("_v")).as("_tot"))
+      .withColumn("gini", when(col("_tot") > 0, col("_g")))
+      .select((keys :+ col("gini") :+ col("n")): _*)
+  }
 }

@@ -499,6 +499,48 @@ class PipelineOpsSpec extends SparkSuite {
     assert(cov >= 0.75, s"coverage $cov should be near or above 1-alpha=0.8")
   }
 
+  test("weightedMedian: lower-median convention, weight skew moves it, ties merged") {
+    import graft.operators.Profile
+    val even = Seq((1L, 1.0, 1.0), (1L, 2.0, 1.0), (1L, 10.0, 2.0)).toDF("k", "v", "w")
+    val r1 = Profile.weightedMedian(even, Seq("k"), "v", "w").collect()(0)
+    assert(r1.getDouble(r1.fieldIndex("weighted_median")) == 2.0) // cum 2 of 4 qualifies
+    val skew = Seq((1L, 1.0, 1.0), (1L, 2.0, 1.0), (1L, 10.0, 3.0)).toDF("k", "v", "w")
+    val r2 = Profile.weightedMedian(skew, Seq("k"), "v", "w").collect()(0)
+    assert(r2.getDouble(r2.fieldIndex("weighted_median")) == 10.0)
+    // duplicate values merge their weights before the cumulative walk
+    val dup = Seq((1L, 5.0, 1.0), (1L, 5.0, 1.0), (1L, 9.0, 1.0)).toDF("k", "v", "w")
+    val r3 = Profile.weightedMedian(dup, Seq("k"), "v", "w").collect()(0)
+    assert(r3.getDouble(r3.fieldIndex("weighted_median")) == 5.0)
+    assert(r3.getDouble(r3.fieldIndex("total_w")) == 3.0)
+  }
+
+  test("gini: 0 on equal mass, (n-1)/n on one-owner mass, null on zero total") {
+    import graft.operators.Profile
+    val eq = Seq.fill(4)((1L, 5.0)).toDF("k", "v")
+    assert(Profile.gini(eq, Seq("k"), "v").collect()(0).getDouble(1) == 0.0)
+    val one = Seq((1L, 0.0), (1L, 0.0), (1L, 0.0), (1L, 12.0)).toDF("k", "v")
+    assert(math.abs(Profile.gini(one, Seq("k"), "v").collect()(0).getDouble(1) - 0.75) < 1e-12)
+    val zero = Seq((1L, 0.0), (1L, 0.0)).toDF("k", "v")
+    assert(Profile.gini(zero, Seq("k"), "v").collect()(0).isNullAt(1))
+  }
+
+  test("mannKendall: S counts all pairs, monotone series significant, constant z=0") {
+    import graft.operators.Features
+    def mk(vals: Seq[Double]) = Features.mannKendall(
+      vals.zipWithIndex.map { case (v, i) =>
+        (1L, new java.sql.Timestamp((1704067200L + i * 86400L) * 1000L), v)
+      }.toDF("k", "ts", "v"), Seq("k"), "ts", "v").collect()(0)
+    val up = mk(Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    assert(up.getLong(up.fieldIndex("s")) == 10L) // C(5,2) concordant pairs
+    assert(up.getDouble(up.fieldIndex("z")) > 1.96)
+    val down = mk(Seq(5.0, 4.0, 3.0, 2.0, 1.0))
+    assert(down.getLong(down.fieldIndex("s")) == -10L)
+    assert(down.getDouble(down.fieldIndex("z")) < -1.96)
+    val const = mk(Seq(3.0, 3.0, 3.0, 3.0))
+    assert(const.getLong(const.fieldIndex("s")) == 0L)
+    assert(const.getDouble(const.fieldIndex("z")) == 0.0)
+  }
+
   test("trimmedMean: outlier ejected from trim, clamped in winsor, counts honest") {
     import graft.operators.Profile
     // values 1..9 plus outlier 1000; loQ=0.1 hiQ=0.9 on 10 points:
