@@ -612,6 +612,22 @@ class PipelineOpsSpec extends SparkSuite {
     assert(Drift.ks(ref, curOther, Seq("k"), "v").isEmpty)
   }
 
+  test("wasserstein1: equals the mean shift on translated samples, zero on identical") {
+    import graft.operators.Drift
+    // translation by +3: W1 between X and X+3 is exactly 3
+    val ref = Seq(1.0, 2.0, 5.0, 9.0).map((1L, _)).toDF("k", "v")
+    val cur = Seq(4.0, 5.0, 8.0, 12.0).map((1L, _)).toDF("k", "v")
+    val r = Drift.wasserstein1(ref, cur, Seq("k"), "v").collect()(0)
+    assert(math.abs(r.getDouble(r.fieldIndex("w1")) - 3.0) < 1e-12)
+    assert(Drift.wasserstein1(ref, ref, Seq("k"), "v").collect()(0).getDouble(1) == 0.0)
+    // hand case with overlap: ref={0,1}, cur={1,2}: |F gaps| are 0.5 on
+    // [0,1) and 0.5 on [1,2) -> W1 = 1.0... actually F_ref(1)=1, F_cur(1)=0.5
+    val r2 = Drift.wasserstein1(
+      Seq(0.0, 1.0).map((1L, _)).toDF("k", "v"),
+      Seq(1.0, 2.0).map((1L, _)).toDF("k", "v"), Seq("k"), "v").collect()(0)
+    assert(math.abs(r2.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("rrf: hand fusion scores, union semantics for one-system docs, per-query windows") {
     import graft.operators.Fusion
     // doc A: rank 1 + rank 2 -> 1/61 + 1/62; doc B: rank 2 only; doc C: rank 1 only
