@@ -1954,6 +1954,19 @@ object SparkEntry {
         .select(col("user_id"), r6(col("w1")).as("w1"), col("n_ref"),
           col("n_cur"))
         .orderBy("user_id")
+    }),
+
+    // Spearman rank correlation per user between daily volume and daily
+    // activity — monotone association with average-rank ties (the counts
+    // tie constantly, exercising the convention)
+    "q153_spearman" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("x"), count(lit(1)).as("y"))
+      Features.spearman(daily, Seq("user_id"), "x", "y")
+        .select(col("user_id"), r6(col("spearman_rho")).as("spearman_rho"),
+          col("n"))
+        .orderBy("user_id")
     })
   )
 
@@ -4382,7 +4395,31 @@ object SparkEntry {
         |  round(sum(CASE WHEN gap IS NOT NULL
         |    THEN abs(sr::DOUBLE / nr - sc::DOUBLE / nc) * gap END), 6) AS w1,
         |  max(nr)::BIGINT AS n_ref, max(nc)::BIGINT AS n_cur
-        |FROM cum WHERE nr > 0 AND nc > 0 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM cum WHERE nr > 0 AND nc > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // average ranks (row_number averaged within the tied value group), then
+    // Pearson over ranks in closed form
+    "q153_spearman" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    sum(value) AS x, count(*) AS y FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, x::DOUBLE AS x, y::DOUBLE AS y FROM daily
+        |  WHERE x IS NOT NULL AND y IS NOT NULL),
+        |r1 AS (SELECT *, (row_number() OVER (PARTITION BY user_id ORDER BY x))::DOUBLE AS rnx
+        |  FROM b),
+        |r2 AS (SELECT *, avg(rnx) OVER (PARTITION BY user_id, x) AS rxa FROM r1),
+        |r3 AS (SELECT *, (row_number() OVER (PARTITION BY user_id ORDER BY y))::DOUBLE AS rny
+        |  FROM r2),
+        |r4 AS (SELECT *, avg(rny) OVER (PARTITION BY user_id, y) AS rya FROM r3),
+        |g AS (SELECT user_id, count(*)::DOUBLE AS n,
+        |    sum(rxa) AS sx, sum(rya) AS sy, sum(rxa*rxa) AS sxx,
+        |    sum(rya*rya) AS syy, sum(rxa*rya) AS sxy
+        |  FROM r4 GROUP BY 1)
+        |SELECT user_id,
+        |  round(CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0
+        |    THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6)
+        |    AS spearman_rho,
+        |  n::BIGINT AS n
+        |FROM g ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -742,4 +742,42 @@ object Features {
         (col("s") - signum(col("s").cast("double"))) / sqrt(col("_var"))))
       .select((keys :+ col("s") :+ col("z") :+ col("n")): _*)
   }
+
+  /** Spearman rank correlation per key (Spearman 1904) — Pearson over
+    * AVERAGE ranks, the outlier/monotone-robust sibling of [[rollingCorr]]'s
+    * Pearson: invariant under any monotone transform of either measure, so
+    * it answers "do these move together" without assuming linearity.
+    * Ties get average ranks (the standard convention, and exact here:
+    * avg of row_numbers within the tied value group — half-integer
+    * rationals, deterministic cross-engine).
+    *
+    * Two ordered windows per measure (rank + tie-average) sharing the key
+    * exchange, then one closed-form moment aggregation.
+    * Output: (keys..., spearman_rho, n).
+    */
+  def spearman(df: DataFrame, keyCols: Seq[String], xCol: String,
+               yCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select((keys :+ x.as("_x") :+ y.as("_y")): _*)
+    def avgRank(vc: String, out: String)(d: DataFrame): DataFrame = d
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(col(vc))).cast("double"))
+      .withColumn(out, avg(col("_rn")).over(
+        Window.partitionBy((keys :+ col(vc)): _*)))
+      .drop("_rn")
+    val ranked = avgRank("_y", "_ry")(avgRank("_x", "_rx")(base))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("_rx")); val sy = sum(col("_ry"))
+    val sxx = sum(col("_rx") * col("_rx")); val syy = sum(col("_ry") * col("_ry"))
+    val sxy = sum(col("_rx") * col("_ry"))
+    // null when either measure has zero rank variance (all tied) — the
+    // correlation is undefined there, not infinite
+    ranked.groupBy(keys: _*)
+      .agg(when((n * sxx - sx * sx) * (n * syy - sy * sy) > 0,
+        (n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("spearman_rho"),
+        count(lit(1)).as("n"))
+  }
 }

@@ -569,6 +569,26 @@ class FeaturesSpec extends SparkSuite {
     assert(out(2).isNullAt(inc) && out(2).getLong(out(2).fieldIndex("n_deltas")) == 0L)
   }
 
+  test("spearman: monotone=1 under nonlinearity, reversed=-1, tie average ranks, constant null") {
+    import graft.operators.Features
+    // y = exp(x): nonlinear but perfectly monotone -> rho exactly 1
+    val mono = (1 to 6).map(i => (1L, i.toDouble, math.exp(i))).toDF("k", "x", "y")
+    val r1 = Features.spearman(mono, Seq("k"), "x", "y").collect()(0)
+    assert(math.abs(r1.getDouble(r1.fieldIndex("spearman_rho")) - 1.0) < 1e-12)
+    val rev = (1 to 6).map(i => (1L, i.toDouble, -math.exp(i))).toDF("k", "x", "y")
+    assert(math.abs(Features.spearman(rev, Seq("k"), "x", "y")
+      .collect()(0).getDouble(1) + 1.0) < 1e-12)
+    // tie case: x=[1,2,2,3] -> average ranks [1,2.5,2.5,4]; y=[1,2,3,4]
+    // Pearson over ranks: cov 4.5, vars 4.5 and 5 -> rho = 4.5/sqrt(22.5)
+    val tied = Seq((1L, 1.0, 1.0), (1L, 2.0, 2.0), (1L, 2.0, 3.0), (1L, 3.0, 4.0))
+      .toDF("k", "x", "y")
+    val rt = Features.spearman(tied, Seq("k"), "x", "y").collect()(0).getDouble(1)
+    assert(math.abs(rt - 4.5 / math.sqrt(22.5)) < 1e-12)
+    // constant x: zero rank variance -> null, not infinity
+    val const = Seq((1L, 5.0, 1.0), (1L, 5.0, 2.0)).toDF("k", "x", "y")
+    assert(Features.spearman(const, Seq("k"), "x", "y").collect()(0).isNullAt(1))
+  }
+
   test("theilSen: outlier-immune slope, exact intercept, single-point key dropped") {
     // y = x for days 1..9, then a wild outlier: 36 of 45 pairwise slopes
     // are exactly 1 -> median slope 1, intercept median(y - x) = 0
