@@ -1967,6 +1967,17 @@ object SparkEntry {
         .select(col("user_id"), r6(col("spearman_rho")).as("spearman_rho"),
           col("n"))
         .orderBy("user_id")
+    }),
+
+    // mutual information between event type and weekday — does the MIX of
+    // event types depend on the day of week, in one exact-count statistic
+    "q154_mutual_info" -> ((s, dir) => {
+      val tagged = ev(s, dir)
+        .withColumn("dow", dayofweek(col("ts")))
+      Profile.mutualInfo(tagged, "event_type", "dow")
+        .select(r6(col("mi")).as("mi"), r6(col("h_a")).as("h_a"),
+          r6(col("h_b")).as("h_b"), r6(col("mi_norm")).as("mi_norm"),
+          col("n_cells"), col("n"))
     })
   )
 
@@ -4419,7 +4430,31 @@ object SparkEntry {
         |    THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6)
         |    AS spearman_rho,
         |  n::BIGINT AS n
-        |FROM g ORDER BY 1""".stripMargin
+        |FROM g ORDER BY 1""".stripMargin,
+
+    // MI/entropies from exact integer cell counts; DuckDB dayofweek = Spark
+    // dayofweek - 1, so shift to match (Sun=1..Sat=7 in Spark)
+    "q154_mutual_info" ->
+      """WITH cells AS (SELECT event_type AS a, dayofweek(ts) + 1 AS b,
+        |    count(*) AS c
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(c)::BIGINT AS ca FROM cells GROUP BY 1),
+        |mb AS (SELECT b, sum(c)::BIGINT AS cb FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS n FROM cells),
+        |mi AS (SELECT sum((c / n::DOUBLE) * ln(c * n::DOUBLE / (ca * cb))) AS mi,
+        |    count(*) AS n_cells
+        |  FROM cells JOIN ma USING (a) JOIN mb USING (b), tot),
+        |ha AS (SELECT -sum((ca / n::DOUBLE) * ln(ca / n::DOUBLE)) AS h_a
+        |  FROM ma, tot),
+        |hb AS (SELECT -sum((cb / n::DOUBLE) * ln(cb / n::DOUBLE)) AS h_b
+        |  FROM mb, tot)
+        |SELECT round(mi.mi, 6) AS mi, round(ha.h_a, 6) AS h_a,
+        |  round(hb.h_b, 6) AS h_b,
+        |  round(CASE WHEN least(ha.h_a, hb.h_b) > 0
+        |    THEN mi.mi / least(ha.h_a, hb.h_b) END, 6) AS mi_norm,
+        |  mi.n_cells, tot.n
+        |FROM mi, ha, hb, tot""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -204,4 +204,44 @@ object Profile {
       .withColumn("gini", when(col("_tot") > 0, col("_g")))
       .select((keys :+ col("gini") :+ col("n")): _*)
   }
+
+  /** Mutual information between two categorical columns (nats), plus the
+    * marginal entropies — "does knowing A tell you about B", the
+    * categorical association measure ([[concentration]] profiles ONE
+    * column; this relates two):
+    *   MI = Σ_{a,b} (c_ab/n) · ln(n·c_ab / (c_a·c_b))
+    * Everything derives from exact integer counts with divisions only in
+    * the final projections, so an independent engine replays it. The
+    * normalized variant MI / min(H(a), H(b)) ∈ [0, 1] (0 when either
+    * marginal is deterministic — nothing to explain).
+    *
+    * Plan: one (a,b) grouped count (map-side combinable); marginals and
+    * entropies re-aggregated FROM the cell counts (rows touched once);
+    * the final assembly is three one-row frames cross-joined. Category
+    * cardinality is bounded by contract (same as [[concentration]]).
+    * Output: one row (mi, h_a, h_b, mi_norm, n_cells, n).
+    */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val ma = cells.groupBy("_a").agg(sum(col("_c")).as("_ca"))
+    val mb = cells.groupBy("_b").agg(sum(col("_c")).as("_cb"))
+    val tot = cells.agg(sum(col("_c")).as("_n"))
+    val nd = col("_n").cast("double")
+    val mi = cells.join(broadcast(ma), "_a").join(broadcast(mb), "_b")
+      .join(broadcast(tot))
+      .agg(sum((col("_c") / nd) *
+        log(col("_c") * nd / (col("_ca") * col("_cb")))).as("mi"),
+        count(lit(1)).as("n_cells"))
+    val ha = ma.join(broadcast(tot))
+      .agg((-sum((col("_ca") / nd) * log(col("_ca") / nd))).as("h_a"))
+    val hb = mb.join(broadcast(tot))
+      .agg((-sum((col("_cb") / nd) * log(col("_cb") / nd))).as("h_b"))
+    mi.crossJoin(ha).crossJoin(hb).crossJoin(tot)
+      .withColumn("mi_norm", when(least(col("h_a"), col("h_b")) > 0,
+        col("mi") / least(col("h_a"), col("h_b"))))
+      .select(col("mi"), col("h_a"), col("h_b"), col("mi_norm"),
+        col("n_cells"), col("_n").as("n"))
+  }
 }

@@ -499,6 +499,23 @@ class PipelineOpsSpec extends SparkSuite {
     assert(cov >= 0.75, s"coverage $cov should be near or above 1-alpha=0.8")
   }
 
+  test("mutualInfo: exactly 0 on independence, mi_norm 1 on identity, entropies exact") {
+    import graft.operators.Profile
+    // exact independence: every (a,b) cell has the same count -> MI = 0
+    val ind = Seq.tabulate(8)(i => (s"a${i % 2}", s"b${(i / 2) % 2}"))
+      .toDF("x", "y")
+    val r = Profile.mutualInfo(ind, "x", "y").collect()(0)
+    assert(r.getDouble(r.fieldIndex("mi")) == 0.0)
+    assert(math.abs(r.getDouble(r.fieldIndex("h_a")) - math.log(2)) < 1e-12)
+    assert(r.getLong(r.fieldIndex("n_cells")) == 4L)
+    // identity mapping: MI = H(a), normalized exactly 1
+    val dep = Seq("p", "q", "r", "p", "q", "r").map(v => (v, v)).toDF("x", "y")
+    val d = Profile.mutualInfo(dep, "x", "y").collect()(0)
+    assert(math.abs(d.getDouble(d.fieldIndex("mi")) -
+      d.getDouble(d.fieldIndex("h_a"))) < 1e-12)
+    assert(math.abs(d.getDouble(d.fieldIndex("mi_norm")) - 1.0) < 1e-12)
+  }
+
   test("weightedMedian: lower-median convention, weight skew moves it, ties merged") {
     import graft.operators.Profile
     val even = Seq((1L, 1.0, 1.0), (1L, 2.0, 1.0), (1L, 10.0, 2.0)).toDF("k", "v", "w")
