@@ -1978,6 +1978,29 @@ object SparkEntry {
         .select(r6(col("mi")).as("mi"), r6(col("h_a")).as("h_a"),
           r6(col("h_b")).as("h_b"), r6(col("mi_norm")).as("mi_norm"),
           col("n_cells"), col("n"))
+    }),
+
+    // EWMA control chart COMPOSED: one-step-ahead EWM mean/std (span 3 —
+    // alpha exactly 0.5, binary-exact recursion) become ±3σ limits for the
+    // NEXT observation; breaches are the classic SPC alert
+    "q155_control_chart" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+        .withColumn("ts_sec", unix_timestamp(col("day")))
+      val stats = Ewma.ewmVarFrame(daily, Seq("user_id"), "day", "v",
+        span = 3.0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      daily.join(stats, Seq("user_id", "ts_sec"))
+        .withColumn("center", lag(col("ewm_mean"), 1).over(w))
+        .withColumn("half", lit(3.0) * lag(col("ewm_std"), 1).over(w))
+        .select(col("user_id"), col("ts_sec").as("day_sec"),
+          r6(col("v")).as("v"), r6(col("center")).as("center"),
+          r6(col("half")).as("half"),
+          coalesce(abs(col("v") - col("center")) > col("half"), lit(false))
+            .as("breach"))
+        .orderBy("user_id", "day_sec")
     })
   )
 
@@ -4454,7 +4477,36 @@ object SparkEntry {
         |  round(CASE WHEN least(ha.h_a, hb.h_b) > 0
         |    THEN mi.mi / least(ha.h_a, hb.h_b) END, 6) AS mi_norm,
         |  mi.n_cells, tot.n
-        |FROM mi, ha, hb, tot""".stripMargin
+        |FROM mi, ha, hb, tot""".stripMargin,
+
+    // q127's binary-exact decay-0.5 recursion, then one-step-ahead +/-3
+    // sigma limits and breach flags
+    "q155_control_chart" ->
+      """WITH RECURSIVE daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    sum(value) AS v FROM events GROUP BY 1,2),
+        |r AS (SELECT user_id, floor(epoch(day))::BIGINT AS day_sec, v::DOUBLE AS y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM daily),
+        |rec AS (
+        |  SELECT user_id, rn, day_sec, y, 1.0::DOUBLE AS sw, 1.0::DOUBLE AS sw2,
+        |    y AS swx, y*y AS swx2, 1 AS nobs
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn, s.day_sec, s.y,
+        |    0.5*rec.sw + 1.0, 0.25*rec.sw2 + 1.0,
+        |    0.5*rec.swx + s.y, 0.5*rec.swx2 + s.y*s.y, rec.nobs + 1
+        |  FROM rec JOIN r s ON s.user_id = rec.user_id AND s.rn = rec.rn + 1),
+        |st AS (SELECT user_id, rn, day_sec, y, swx / sw AS m,
+        |    CASE WHEN nobs >= 2 AND sw*sw - sw2 > 0 THEN
+        |      sqrt((sw*sw / (sw*sw - sw2)) * (swx2/sw - (swx/sw)*(swx/sw))) END AS sd
+        |  FROM rec),
+        |lg AS (SELECT user_id, day_sec, y,
+        |    lag(m) OVER (PARTITION BY user_id ORDER BY rn) AS center,
+        |    3.0 * lag(sd) OVER (PARTITION BY user_id ORDER BY rn) AS half
+        |  FROM st)
+        |SELECT user_id, day_sec, round(y, 6) AS v, round(center, 6) AS center,
+        |  round(half, 6) AS half,
+        |  coalesce(abs(y - center) > half, false) AS breach
+        |FROM lg ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE
