@@ -499,6 +499,36 @@ class PipelineOpsSpec extends SparkSuite {
     assert(cov >= 0.75, s"coverage $cov should be near or above 1-alpha=0.8")
   }
 
+  test("isotonic PAVA: sklearn golden, monotone output, block means preserved, weights pull") {
+    import graft.operators.Isotonic
+    // sklearn IsotonicRegression golden: y=[4,2,3,1,5] (unit weights) ->
+    // [2.5, 2.5, 2.0, 2.0, 5.0]... derive by hand: 4,2 pool to 3; 3,1 pool
+    // then violate back: blocks [4,2,3,1] -> mean 2.5; [5] stays
+    val fit = Isotonic.pava(Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+      .zip(Seq(4.0, 2.0, 3.0, 1.0, 5.0)).map { case (x, y) => (x, y, 1.0) })
+    assert(fit.map(_._2) == Seq(2.5, 2.5, 2.5, 2.5, 5.0))
+    // already monotone input is returned unchanged
+    val id = Isotonic.pava((1 to 5).map(i => (i.toDouble, i.toDouble, 1.0)))
+    assert(id.map(_._2) == (1 to 5).map(_.toDouble))
+    // monotone + weighted-mean preservation on random-ish data
+    val pts = Seq(1.0 -> 3.0, 2.0 -> 1.0, 3.0 -> 4.0, 4.0 -> 1.5, 5.0 -> 2.0,
+      6.0 -> 9.0).map { case (x, y) => (x, y, 1.0) }
+    val f = Isotonic.pava(pts)
+    assert(f.sliding(2).forall(s => s.head._2 <= s.last._2))
+    assert(math.abs(f.map(_._2).sum - pts.map(_._2).sum) < 1e-12)
+    // a heavy weight pulls its pooled block toward itself
+    val heavy = Isotonic.pava(Seq((1.0, 4.0, 1.0), (2.0, 0.0, 9.0)))
+    assert(math.abs(heavy.head._2 - 0.4) < 1e-12) // (4*1 + 0*9)/10
+    // frame shape: per-key, aligned, monotone
+    val df = Seq((1L, 1.0, 2.0), (1L, 2.0, 1.0), (2L, 1.0, 5.0))
+      .toDF("k", "x", "y")
+    val out = Isotonic.fitFrame(df, Seq("k"), "x", "y")
+      .orderBy("k", "x").collect()
+    assert(out.length == 3)
+    assert(out(0).getDouble(2) == 1.5 && out(1).getDouble(2) == 1.5)
+    assert(out(2).getDouble(2) == 5.0)
+  }
+
   test("mutualInfo: exactly 0 on independence, mi_norm 1 on identity, entropies exact") {
     import graft.operators.Profile
     // exact independence: every (a,b) cell has the same count -> MI = 0
