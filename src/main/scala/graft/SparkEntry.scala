@@ -2001,6 +2001,37 @@ object SparkEntry {
           coalesce(abs(col("v") - col("center")) > col("half"), lit(false))
             .as("breach"))
         .orderBy("user_id", "day_sec")
+    }),
+
+    // expected calibration error + Brier of "min-max-scaled value predicts
+    // a purchase" — honest answer: barely better than base rate, and ECE
+    // quantifies exactly how miscalibrated the scaled score is
+    "q156_ece" -> ((s, dir) => {
+      val e = ev(s, dir).filter(col("value").isNotNull &&
+        col("event_type").isNotNull)
+      val st = e.agg(min(col("value")).as("_lo"), max(col("value")).as("_hi"))
+      val scored = e.crossJoin(broadcast(st))
+        .withColumn("p", when(col("_hi") === col("_lo"), lit(0.0))
+          .otherwise((col("value") - col("_lo")) / (col("_hi") - col("_lo"))))
+        .withColumn("y", when(col("event_type") === "purchase", lit(1.0))
+          .otherwise(lit(0.0)))
+      graft.operators.Calibration.ece(scored, "p", "y", bins = 10)
+        .select(r6(col("ece")).as("ece"), r6(col("brier")).as("brier"),
+          r6(col("base_rate")).as("base_rate"), col("n"))
+    }),
+
+    // cumulative gains by descending-score decile — does ranking by value
+    // concentrate the purchases in the top buckets
+    "q157_gain_table" -> ((s, dir) => {
+      val e = ev(s, dir).filter(col("value").isNotNull &&
+          col("event_type").isNotNull)
+        .withColumn("y", when(col("event_type") === "purchase", 1L)
+          .otherwise(0L))
+      graft.operators.Calibration.gainTable(e, "value", "y", "event_id",
+          buckets = 10)
+        .select(col("bucket"), col("n"), col("positives"),
+          col("cum_positives"), r6(col("cum_capture")).as("cum_capture"))
+        .orderBy("bucket")
     })
   )
 
@@ -4506,7 +4537,48 @@ object SparkEntry {
         |SELECT user_id, day_sec, round(y, 6) AS v, round(center, 6) AS center,
         |  round(half, 6) AS half,
         |  coalesce(abs(y - center) > half, false) AS breach
-        |FROM lg ORDER BY 1, 2""".stripMargin
+        |FROM lg ORDER BY 1, 2""".stripMargin,
+
+    // fixed confidence bins floor(p*10) clamped; Brier + base rate ride the
+    // same pass
+    "q156_ece" ->
+      """WITH st AS (SELECT min(value) AS lo, max(value) AS hi FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (SELECT CASE WHEN st.hi = st.lo THEN 0.0
+        |      ELSE (value - st.lo) / (st.hi - st.lo) END AS p,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events, st WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |bb AS (SELECT least(9, greatest(0, CAST(floor(p * 10) AS BIGINT))) AS bin,
+        |    p, y FROM b),
+        |per AS (SELECT bin, count(*) AS nb, avg(y) AS acc, avg(p) AS conf
+        |  FROM bb GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, avg((p - y) * (p - y)) AS brier,
+        |    avg(y) AS base_rate FROM bb)
+        |SELECT round(sum((per.nb::DOUBLE / tot.n) * abs(per.acc - per.conf)), 6) AS ece,
+        |  round(max(tot.brier), 6) AS brier,
+        |  round(max(tot.base_rate), 6) AS base_rate, max(tot.n)::BIGINT AS n
+        |FROM per, tot""".stripMargin,
+
+    // bucket = floor((rn-1)*10/n), rank by (score desc, event_id)
+    "q157_gain_table" ->
+      """WITH b AS (SELECT value::DOUBLE AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y, event_id
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (ORDER BY s DESC, event_id) AS rn,
+        |    count(*) OVER () AS n FROM b),
+        |bk AS (SELECT CAST(floor((rn - 1) * 10 / n) AS BIGINT) AS bucket, y FROM r),
+        |per AS (SELECT bucket, count(*) AS n, sum(y)::BIGINT AS positives
+        |  FROM bk GROUP BY 1),
+        |f AS (SELECT bucket, n, positives,
+        |    (sum(positives) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_positives,
+        |    (sum(positives) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+        |      / (sum(positives) OVER ())::DOUBLE AS cum_capture
+        |  FROM per)
+        |SELECT bucket, n, positives, cum_positives,
+        |  round(cum_capture, 6) AS cum_capture
+        |FROM f ORDER BY bucket""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

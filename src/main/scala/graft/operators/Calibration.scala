@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Probability-calibration and ranking evaluation — the measurement side of
+  * the calibration loop whose fitting side is [[Isotonic]] (fit on held-out
+  * labels, then SCORE the calibration here) and whose interval analogue is
+  * [[Conformal]]/[[Metrics.intervalScore]]:
+  *
+  *  - [[ece]] — expected calibration error (Naeini et al. 2015 AAAI) over
+  *    fixed-width confidence bins, plus the Brier score (Brier 1950, the
+  *    proper scoring rule ECE's binning approximates) and the base rate.
+  *  - [[gainTable]] — cumulative gains by score bucket (the lift table):
+  *    bucket 0 = highest scores; `cum_capture` = share of all positives
+  *    captured through that bucket. A perfect ranker captures everything in
+  *    the first buckets; a random one captures linearly.
+  *
+  * Both are exact fixed-bin / rank-bucket forms an independent engine
+  * replays (bucket = ⌊(rn−1)·B/n⌋ integer math; ECE bins = ⌊p·B⌋ clamped),
+  * never approximate quantile cuts. One grouped aggregation each; the
+  * gain ranking needs a per-key ordered window over scored rows (the rank
+  * is the semantics; at unbounded scale pre-bucket scores first).
+  */
+object Calibration {
+
+  /** One row: (ece, brier, base_rate, n). `probCol` ∈ [0,1] by contract
+    * (values outside clamp into the edge bins); `labelCol` is 0/1.
+    */
+  def ece(df: DataFrame, probCol: String, labelCol: String,
+          bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val binned = df.filter(p.isNotNull && y.isNotNull)
+      .withColumn("_bin", least(lit(bins - 1L), greatest(lit(0L),
+        floor(p * bins))))
+    val per = binned.groupBy("_bin")
+      .agg(count(lit(1)).as("_nb"), avg(y).as("_acc"), avg(p).as("_conf"))
+    val tot = binned.agg(count(lit(1)).as("_n"),
+      avg((p - y) * (p - y)).as("brier"), avg(y).as("base_rate"))
+    per.join(broadcast(tot))
+      .groupBy()
+      .agg(sum((col("_nb") / col("_n")) * abs(col("_acc") - col("_conf")))
+        .as("ece"),
+        max(col("brier")).as("brier"), max(col("base_rate")).as("base_rate"),
+        max(col("_n")).as("n"))
+  }
+
+  /** Gains by descending-score bucket: (bucket, n, positives, cum_positives,
+    * cum_capture). `tieCol` pins the rank order under score ties so the
+    * buckets are deterministic.
+    */
+  def gainTable(df: DataFrame, scoreCol: String, labelCol: String,
+                tieCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val sc = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("long")
+    val ranked = df.filter(sc.isNotNull && y.isNotNull)
+      .withColumn("_rn", row_number().over(
+        Window.orderBy(sc.desc, col(tieCol))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("bucket",
+        floor((col("_rn") - 1) * buckets / col("_n")).cast("long"))
+    val per = ranked.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(y).as("positives"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("cum_positives", sum(col("positives")).over(wCum))
+      .withColumn("cum_capture", col("cum_positives") /
+        sum(col("positives")).over(Window.partitionBy()))
+  }
+}

@@ -499,6 +499,36 @@ class PipelineOpsSpec extends SparkSuite {
     assert(cov >= 0.75, s"coverage $cov should be near or above 1-alpha=0.8")
   }
 
+  test("ece: 0 for a perfectly calibrated binned score, large for anti-calibrated; brier exact") {
+    import graft.operators.Calibration
+    // bin 0 (p=0.05): 5% positive of 20; bin 9 (p=0.95): 95% of 20 ->
+    // acc == conf in every bin -> ECE = 0
+    val cal = (0 until 20).map(i => (0.05, if (i < 1) 1.0 else 0.0)) ++
+      (0 until 20).map(i => (0.95, if (i < 19) 1.0 else 0.0))
+    val r = Calibration.ece(cal.toDF("p", "y"), "p", "y").collect()(0)
+    assert(math.abs(r.getDouble(r.fieldIndex("ece"))) < 1e-12)
+    // brier = mean((p-y)^2) = (1*(.95^2)+19*(.05^2) + 19*(.05^2)+1*(.95^2))/40
+    val brierExp = (2 * 0.95 * 0.95 + 38 * 0.05 * 0.05) / 40.0
+    assert(math.abs(r.getDouble(r.fieldIndex("brier")) - brierExp) < 1e-12)
+    // anti-calibrated: confident-high scores, all-negative labels
+    val bad = (0 until 10).map(_ => (0.95, 0.0))
+    val rb = Calibration.ece(bad.toDF("p", "y"), "p", "y").collect()(0)
+    assert(rb.getDouble(rb.fieldIndex("ece")) > 0.9)
+  }
+
+  test("gainTable: perfect ranker captures everything in the positive buckets, buckets even") {
+    import graft.operators.Calibration
+    // 100 rows, top-10 scores are exactly the positives
+    val rows = (1 to 100).map(i => (101.0 - i, if (i <= 10) 1L else 0L, i.toLong))
+    val out = Calibration.gainTable(rows.toDF("s", "y", "id"), "s", "y", "id")
+      .orderBy("bucket").collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getLong(out(0).fieldIndex("n")) == 10L))
+    assert(out(0).getLong(out(0).fieldIndex("positives")) == 10L)
+    assert(out(0).getDouble(out(0).fieldIndex("cum_capture")) == 1.0)
+    assert(out.tail.forall(_.getLong(out(0).fieldIndex("positives")) == 0L))
+  }
+
   test("isotonic PAVA: sklearn golden, monotone output, block means preserved, weights pull") {
     import graft.operators.Isotonic
     // sklearn IsotonicRegression golden: y=[4,2,3,1,5] (unit weights) ->
