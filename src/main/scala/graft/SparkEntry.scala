@@ -2032,6 +2032,20 @@ object SparkEntry {
         .select(col("bucket"), col("n"), col("positives"),
           col("cum_positives"), r6(col("cum_capture")).as("cum_capture"))
         .orderBy("bucket")
+    }),
+
+    // pairwise association rules over (user, day) baskets of event types —
+    // support/confidence/lift from exact integer counts
+    "q158_assoc_rules" -> ((s, dir) => {
+      val baskets = ev(s, dir)
+        .withColumn("d", date_trunc("day", col("ts")))
+      graft.operators.Assoc.pairRules(baskets, Seq("user_id", "d"),
+          "event_type")
+        .select(col("item_a"), col("item_b"), col("c_a"), col("c_b"),
+          col("c_ab"), col("n_baskets"), r6(col("support")).as("support"),
+          r6(col("conf_ab")).as("conf_ab"), r6(col("conf_ba")).as("conf_ba"),
+          r6(col("lift")).as("lift"))
+        .orderBy("item_a", "item_b")
     })
   )
 
@@ -4578,7 +4592,30 @@ object SparkEntry {
         |  FROM per)
         |SELECT bucket, n, positives, cum_positives,
         |  round(cum_capture, 6) AS cum_capture
-        |FROM f ORDER BY bucket""".stripMargin
+        |FROM f ORDER BY bucket""".stripMargin,
+
+    // exact integer counts; lift's products go through doubles like the
+    // operator (long*long overflows at corpus scale)
+    "q158_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d,
+        |    event_type AS it FROM events WHERE event_type IS NOT NULL),
+        |nb AS (SELECT count(*) AS n_baskets FROM
+        |  (SELECT DISTINCT user_id, d FROM items)),
+        |supp AS (SELECT it, count(*) AS c FROM items GROUP BY 1),
+        |pairs AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS c_ab
+        |  FROM items a JOIN items b
+        |    ON a.user_id = b.user_id AND a.d = b.d AND a.it < b.it
+        |  GROUP BY 1, 2)
+        |SELECT p.item_a, p.item_b, sa.c AS c_a, sb.c AS c_b, p.c_ab,
+        |  nb.n_baskets,
+        |  round(p.c_ab::DOUBLE / nb.n_baskets, 6) AS support,
+        |  round(p.c_ab::DOUBLE / sa.c, 6) AS conf_ab,
+        |  round(p.c_ab::DOUBLE / sb.c, 6) AS conf_ba,
+        |  round((nb.n_baskets::DOUBLE * p.c_ab) / (sa.c::DOUBLE * sb.c), 6) AS lift
+        |FROM pairs p
+        |JOIN supp sa ON sa.it = p.item_a
+        |JOIN supp sb ON sb.it = p.item_b, nb
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

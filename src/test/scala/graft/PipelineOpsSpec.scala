@@ -499,6 +499,29 @@ class PipelineOpsSpec extends SparkSuite {
     assert(cov >= 0.75, s"coverage $cov should be near or above 1-alpha=0.8")
   }
 
+  test("assoc rules: hand support/confidence/lift, duplicate items deduped per basket") {
+    import graft.operators.Assoc
+    // baskets 1:{A,B} 2:{A,B} 3:{A} 4:{B,C}; a duplicate A in basket 3
+    // must not inflate counts
+    val rows = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"),
+      (3L, "A"), (4L, "B"), (4L, "C")).toDF("bk", "it")
+    val out = Assoc.pairRules(rows, Seq("bk"), "it")
+      .orderBy("item_a", "item_b").collect()
+    assert(out.length == 2) // (A,B) and (B,C)
+    val ab = out(0)
+    assert(ab.getString(0) == "A" && ab.getString(1) == "B")
+    assert(ab.getLong(ab.fieldIndex("c_a")) == 3L)
+    assert(ab.getLong(ab.fieldIndex("c_ab")) == 2L)
+    assert(ab.getLong(ab.fieldIndex("n_baskets")) == 4L)
+    assert(math.abs(ab.getDouble(ab.fieldIndex("support")) - 0.5) < 1e-12)
+    assert(math.abs(ab.getDouble(ab.fieldIndex("conf_ab")) - 2.0 / 3) < 1e-12)
+    assert(math.abs(ab.getDouble(ab.fieldIndex("lift")) - 8.0 / 9) < 1e-12)
+    val bc = out(1)
+    assert(bc.getString(0) == "B" && bc.getString(1) == "C")
+    assert(math.abs(bc.getDouble(bc.fieldIndex("conf_ba")) - 1.0) < 1e-12) // C always with B
+    assert(bc.getDouble(bc.fieldIndex("lift")) > 1.0)
+  }
+
   test("ece: 0 for a perfectly calibrated binned score, large for anti-calibrated; brier exact") {
     import graft.operators.Calibration
     // bin 0 (p=0.05): 5% positive of 20; bin 9 (p=0.95): 95% of 20 ->
