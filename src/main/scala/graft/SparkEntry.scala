@@ -2046,6 +2046,19 @@ object SparkEntry {
           r6(col("conf_ab")).as("conf_ab"), r6(col("conf_ba")).as("conf_ba"),
           r6(col("lift")).as("lift"))
         .orderBy("item_a", "item_b")
+    }),
+
+    // keyword extraction COMPOSED: top-3 TF-IDF terms per document (ranks
+    // on rounded scores so an independent engine reproduces the cut)
+    "q159_keywords" -> ((s, dir) => {
+      val t = TextAnalysis.tfidf(docs(s, dir), "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(r6(col("tfidf")).desc, col("term"))
+      t.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+          r6(col("tfidf")).as("tfidf"), col("rank"))
+        .orderBy("doc_id", "rank")
     })
   )
 
@@ -4615,7 +4628,27 @@ object SparkEntry {
         |FROM pairs p
         |JOIN supp sa ON sa.it = p.item_a
         |JOIN supp sb ON sb.it = p.item_b, nb
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q101's tfidf replayed, ranked per doc on round(tfidf, 6) with term
+    // tie-break, top 3
+    "q159_keywords" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1,2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+        |    tf.tf * (ln((1 + n.n_docs)::DOUBLE / (1 + dft.df)) + 1) AS tfidf
+        |  FROM tf JOIN dft USING (term), n),
+        |rk AS (SELECT doc_id, term, tf, df, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(tfidf, 6) DESC, term) AS rank
+        |  FROM sc)
+        |SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rank
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE
