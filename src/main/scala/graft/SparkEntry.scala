@@ -2059,6 +2059,33 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
           r6(col("tfidf")).as("tfidf"), col("rank"))
         .orderBy("doc_id", "rank")
+    }),
+
+    // nDCG@10 per user of the value-ranking against purchase relevance —
+    // position-discounted ranking quality, the precise complement of
+    // q157's bucket-level gains
+    "q160_ndcg" -> ((s, dir) => {
+      val e = ev(s, dir).filter(col("value").isNotNull &&
+          col("event_type").isNotNull)
+        .withColumn("rel", when(col("event_type") === "purchase", 1.0)
+          .otherwise(0.0))
+      graft.operators.Calibration.ndcg(e, Seq("user_id"), "value", "rel",
+          "event_id", k = 10)
+        .select(col("user_id"), r6(col("dcg")).as("dcg"),
+          r6(col("idcg")).as("idcg"), r6(col("ndcg")).as("ndcg"), col("n"))
+        .orderBy("user_id")
+    }),
+
+    // mean reciprocal rank of the first purchase under each user's
+    // value-ranking — the single-number "how early does the ranker find it"
+    "q161_mrr" -> ((s, dir) => {
+      val e = ev(s, dir).filter(col("value").isNotNull &&
+          col("event_type").isNotNull)
+        .withColumn("rel", when(col("event_type") === "purchase", 1.0)
+          .otherwise(0.0))
+      graft.operators.Calibration.mrr(e, Seq("user_id"), "value", "rel",
+          "event_id")
+        .select(r6(col("mrr")).as("mrr"), col("n_queries"), col("n_hit"))
     })
   )
 
@@ -4648,7 +4675,40 @@ object SparkEntry {
         |      ORDER BY round(tfidf, 6) DESC, term) AS rank
         |  FROM sc)
         |SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rank
-        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // DCG/IDCG at k=10 with (score desc, event_id) and (rel desc, event_id)
+    // ranks; idcg=0 -> null ndcg
+    "q160_ndcg" ->
+      """WITH b AS (SELECT user_id, event_id, value::DOUBLE AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS rel
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY s DESC, event_id) AS rs,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY rel DESC, event_id) AS ri
+        |  FROM b),
+        |g AS (SELECT user_id,
+        |    sum(CASE WHEN rs <= 10 THEN rel / log2(rs + 1) ELSE 0.0 END) AS dcg,
+        |    sum(CASE WHEN ri <= 10 THEN rel / log2(ri + 1) ELSE 0.0 END) AS idcg,
+        |    count(*) AS n
+        |  FROM r GROUP BY 1)
+        |SELECT user_id, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+        |  round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg, n
+        |FROM g ORDER BY 1""".stripMargin,
+
+    // rr = 1/rank of the first relevant row, 0 when none; averaged
+    "q161_mrr" ->
+      """WITH b AS (SELECT user_id, event_id, value::DOUBLE AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS rel
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY s DESC, event_id) AS rk
+        |  FROM b),
+        |f AS (SELECT user_id, min(CASE WHEN rel > 0 THEN rk END) AS first
+        |  FROM r GROUP BY 1)
+        |SELECT round(avg(coalesce(1.0 / first, 0.0)), 6) AS mrr,
+        |  count(*) AS n_queries, count(first) AS n_hit
+        |FROM f""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -72,4 +72,49 @@ object Calibration {
       .withColumn("cum_capture", col("cum_positives") /
         sum(col("positives")).over(Window.partitionBy()))
   }
+
+  /** nDCG@k per query (Järvelin & Kekäläinen 2002) — position-discounted
+    * ranking quality against the ideal ordering. Completes the ranking-eval
+    * family: [[gainTable]] audits capture by bucket, this scores the exact
+    * positions. Binary or graded relevance; ideal-ranking ties among equal
+    * relevance leave IDCG unchanged, so the result is deterministic.
+    * Output: (queryCols..., dcg, idcg, ndcg, n) — ndcg null when the query
+    * has no relevant rows (nothing to rank).
+    */
+  def ndcg(df: DataFrame, queryCols: Seq[String], scoreCol: String,
+           relCol: String, tieCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keys = queryCols.map(col)
+    val sc = col(scoreCol).cast("double"); val rel = col(relCol).cast("double")
+    val base = df.filter(sc.isNotNull && rel.isNotNull)
+      .withColumn("_rs", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(sc.desc, col(tieCol))))
+      .withColumn("_ri", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(rel.desc, col(tieCol))))
+    base.groupBy(keys: _*)
+      .agg(sum(when(col("_rs") <= k, rel / log2(col("_rs") + 1))
+          .otherwise(lit(0.0))).as("dcg"),
+        sum(when(col("_ri") <= k, rel / log2(col("_ri") + 1))
+          .otherwise(lit(0.0))).as("idcg"),
+        count(lit(1)).as("n"))
+      .withColumn("ndcg", when(col("idcg") > 0, col("dcg") / col("idcg")))
+  }
+
+  /** Mean reciprocal rank over all queries: rr(q) = 1/rank of the FIRST
+    * relevant row under (score desc, tie), 0 when a query has none.
+    * Output: one row (mrr, n_queries, n_hit).
+    */
+  def mrr(df: DataFrame, queryCols: Seq[String], scoreCol: String,
+          relCol: String, tieCol: String): DataFrame = {
+    val keys = queryCols.map(col)
+    val sc = col(scoreCol).cast("double"); val rel = col(relCol).cast("double")
+    val ranked = df.filter(sc.isNotNull && rel.isNotNull)
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(sc.desc, col(tieCol))))
+    ranked.groupBy(keys: _*)
+      .agg(min(when(rel > 0, col("_r"))).as("_first"))
+      .agg(avg(coalesce(lit(1.0) / col("_first"), lit(0.0))).as("mrr"),
+        count(lit(1)).as("n_queries"),
+        count(col("_first")).as("n_hit"))
+  }
 }

@@ -499,6 +499,36 @@ class PipelineOpsSpec extends SparkSuite {
     assert(cov >= 0.75, s"coverage $cov should be near or above 1-alpha=0.8")
   }
 
+  test("ndcg/mrr: perfect ranking = 1, worst-first discounts, no-relevant handled") {
+    import graft.operators.Calibration
+    // 4 docs, one relevant; perfect ranker puts it first
+    def frame(relPos: Int) = (1 to 4).map(i =>
+      (1L, (5 - i).toDouble, if (i == relPos) 1.0 else 0.0, i.toLong))
+      .toDF("q", "s", "rel", "id")
+    val perfect = Calibration.ndcg(frame(1), Seq("q"), "s", "rel", "id", k = 4)
+      .collect()(0)
+    assert(perfect.getDouble(perfect.fieldIndex("ndcg")) == 1.0)
+    // relevant item ranked last: dcg = 1/log2(5), idcg = 1
+    val worst = Calibration.ndcg(frame(4), Seq("q"), "s", "rel", "id", k = 4)
+      .collect()(0)
+    assert(math.abs(worst.getDouble(worst.fieldIndex("ndcg")) -
+      1.0 / (math.log(5) / math.log(2))) < 1e-12)
+    // no relevant rows -> idcg 0 -> ndcg null
+    val none = (1 to 3).map(i => (1L, i.toDouble, 0.0, i.toLong))
+      .toDF("q", "s", "rel", "id")
+    val noneRow = Calibration.ndcg(none, Seq("q"), "s", "rel", "id", 3).collect()(0)
+    assert(noneRow.isNullAt(noneRow.fieldIndex("ndcg")))
+    // MRR: q1 hits at rank 1, q2 at rank 2, q3 never -> (1 + 0.5 + 0)/3
+    val three = Seq(
+      (1L, 9.0, 1.0, 1L), (1L, 8.0, 0.0, 2L),
+      (2L, 9.0, 0.0, 3L), (2L, 8.0, 1.0, 4L),
+      (3L, 9.0, 0.0, 5L)).toDF("q", "s", "rel", "id")
+    val m = Calibration.mrr(three, Seq("q"), "s", "rel", "id").collect()(0)
+    assert(math.abs(m.getDouble(m.fieldIndex("mrr")) - 1.5 / 3) < 1e-12)
+    assert(m.getLong(m.fieldIndex("n_queries")) == 3L)
+    assert(m.getLong(m.fieldIndex("n_hit")) == 2L)
+  }
+
   test("assoc rules: hand support/confidence/lift, duplicate items deduped per basket") {
     import graft.operators.Assoc
     // baskets 1:{A,B} 2:{A,B} 3:{A} 4:{B,C}; a duplicate A in basket 3
