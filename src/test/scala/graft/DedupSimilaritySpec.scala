@@ -371,4 +371,45 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(z.getLong(z.fieldIndex("n_terms")) == 4L)
     assert(z.getLong(z.fieldIndex("max_freq")) == 48L)
   }
+
+  test("dHash: gradient goldens, identical/noisy/unrelated distances, banded near-dup pairs") {
+    import graft.operators.Multimodal
+    def png(f: (Int, Int) => Int, w: Int = 64, h: Int = 64): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    def gray(v: Int) = { val c = math.min(255, math.max(0, v)); (c << 16) | (c << 8) | c }
+    // horizontal gradient: every sampled right-neighbor is brighter -> all
+    // 64 bits set; vertical gradient: constant along x -> zero
+    val hGrad = png((x, _) => gray(x * 4))
+    val vGrad = png((_, y) => gray(y * 4))
+    assert(Multimodal.DHash.ofBytes(hGrad).get == -1L)
+    assert(Multimodal.DHash.ofBytes(vGrad).get == 0L)
+    // identical bytes hash identically; mild noise on a strong gradient
+    // stays within a few bits; an unrelated hash-pixel image is far
+    val rnd = new scala.util.Random(11)
+    val noisy = png((x, _) => gray(x * 4 + rnd.nextInt(3) - 1))
+    val unrelated = png((x, y) => ((x * 2654435761L + y * 40503 + 7).toInt) & 0xffffff)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val h0 = Multimodal.DHash.ofBytes(hGrad).get
+    assert(ham(h0, Multimodal.DHash.ofBytes(png((x, _) => gray(x * 4))).get) == 0)
+    assert(ham(h0, Multimodal.DHash.ofBytes(noisy).get) <= 8)
+    assert(ham(h0, Multimodal.DHash.ofBytes(unrelated).get) >= 16)
+    // frame + banded candidate join: the planted near-pair survives, the
+    // unrelated image does not pair with the gradients
+    val df = Seq(("a", hGrad), ("b", noisy), ("c", unrelated))
+      .toDF("id", "payload")
+    val hashes = Multimodal.imageDHash(df, "id", "payload")
+    assert(hashes.filter(col("dhash").isNull).isEmpty)
+    val pairs = Multimodal.nearDupImages(hashes, "id", maxHamming = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSet == Set(("a", "b")))
+    // undecodable payload -> null hash, dropped from pairing
+    val bad = Seq(("z", Array[Byte](1, 2, 3))).toDF("id", "payload")
+    assert(Multimodal.imageDHash(bad, "id", "payload")
+      .filter(col("dhash").isNotNull).isEmpty)
+  }
 }
