@@ -2086,6 +2086,21 @@ object SparkEntry {
       graft.operators.Calibration.mrr(e, Seq("user_id"), "value", "rel",
           "event_id")
         .select(r6(col("mrr")).as("mrr"), col("n_queries"), col("n_hit"))
+    }),
+
+    // two-proportion z-test per event_type: did each type's share of
+    // positive-value events move between the month halves — the RATE drift
+    // test beside q141/q142/q152's distribution tests
+    "q162_proportion_z" -> ((s, dir) => {
+      val split = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val e = ev(s, dir).filter(col("value").isNotNull)
+        .withColumn("pos", when(col("value") > 100.0, 1L).otherwise(0L))
+      graft.operators.Drift.proportionZ(e.filter(col("ts") < split),
+          e.filter(col("ts") >= split), Seq("event_type"), "pos")
+        .select(col("event_type"), r6(col("rate_ref")).as("rate_ref"),
+          r6(col("rate_cur")).as("rate_cur"), r6(col("z")).as("z"),
+          col("n_ref"), col("n_cur"))
+        .orderBy("event_type")
     })
   )
 
@@ -4708,7 +4723,26 @@ object SparkEntry {
         |  FROM r GROUP BY 1)
         |SELECT round(avg(coalesce(1.0 / first, 0.0)), 6) AS mrr,
         |  count(*) AS n_queries, count(first) AS n_hit
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // pooled-variance z from exact integer counts
+    "q162_proportion_z" ->
+      """WITH b AS (SELECT event_type, ts,
+        |    CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS pos
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, sum(pos)::BIGINT AS sr, count(*) AS nr
+        |  FROM b WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+        |c AS (SELECT event_type, sum(pos)::BIGINT AS sc, count(*) AS nc
+        |  FROM b WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+        |j AS (SELECT r.event_type, sr, nr, sc, nc,
+        |    sr / nr AS pr, sc / nc AS pc,
+        |    (sr + sc) / (nr + nc) AS pool
+        |  FROM r JOIN c USING (event_type))
+        |SELECT event_type, round(pr, 6) AS rate_ref, round(pc, 6) AS rate_cur,
+        |  round(CASE WHEN pool > 0 AND pool < 1 THEN (pr - pc) /
+        |    sqrt(pool * (1.0 - pool) * (1.0 / nr + 1.0 / nc)) END, 6) AS z,
+        |  nr AS n_ref, nc AS n_cur
+        |FROM j ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

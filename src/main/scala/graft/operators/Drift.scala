@@ -134,4 +134,33 @@ object Drift {
         .as("w1"),
         max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"))
   }
+
+  /** Two-proportion z-test per key (the standard A/B and rate-drift test):
+    * with successes s and trials n in each window,
+    *   p̂ = (s_r + s_c)/(n_r + n_c)
+    *   z  = (s_r/n_r − s_c/n_c) / √(p̂(1−p̂)(1/n_r + 1/n_c))
+    * |z| > 1.96 rejects equal rates at 5%. All inputs are exact integer
+    * counts; z is null when either window is empty or the pooled rate is
+    * degenerate (0 or 1 — no variance to test against). Completes the
+    * drift family for RATE measures (psi/ks/w1 cover distributions).
+    * Two grouped counts + one key-sized join. Output: (keys..., rate_ref,
+    * rate_cur, z, n_ref, n_cur).
+    */
+  def proportionZ(ref: DataFrame, cur: DataFrame, keyCols: Seq[String],
+                  successCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val s = col(successCol).cast("long")
+    def cnt(df: DataFrame, sn: String, nn: String): DataFrame =
+      df.filter(s.isNotNull).groupBy(keys: _*)
+        .agg(sum(s).as(sn), count(lit(1)).as(nn))
+    val j = cnt(ref, "_sr", "n_ref").join(cnt(cur, "_sc", "n_cur"), keyCols)
+    val pr = col("_sr") / col("n_ref"); val pc = col("_sc") / col("n_cur")
+    val pool = (col("_sr") + col("_sc")) / (col("n_ref") + col("n_cur"))
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_ref") + lit(1.0) / col("n_cur")))
+    j.withColumn("rate_ref", pr).withColumn("rate_cur", pc)
+      .withColumn("z", when(pool > 0 && pool < 1, (pr - pc) / se))
+      .select((keys :+ col("rate_ref") :+ col("rate_cur") :+ col("z") :+
+        col("n_ref") :+ col("n_cur")): _*)
+  }
 }

@@ -742,6 +742,21 @@ class PipelineOpsSpec extends SparkSuite {
     assert(Drift.ks(ref, curOther, Seq("k"), "v").isEmpty)
   }
 
+  test("proportionZ: hand pooled z, zero on identical rates, degenerate pool null") {
+    import graft.operators.Drift
+    def win(successes: Int, n: Int, k: Long = 1L) =
+      (0 until n).map(i => (k, if (i < successes) 1L else 0L)).toDF("k", "s")
+    val r = Drift.proportionZ(win(5, 10), win(1, 10), Seq("k"), "s").collect()(0)
+    val seExp = math.sqrt(0.3 * 0.7 * (1.0 / 10 + 1.0 / 10))
+    assert(math.abs(r.getDouble(r.fieldIndex("z")) - 0.4 / seExp) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("rate_ref")) - 0.5) < 1e-15)
+    val same = Drift.proportionZ(win(3, 10), win(3, 10), Seq("k"), "s").collect()(0)
+    assert(same.getDouble(same.fieldIndex("z")) == 0.0)
+    // pooled rate 1 (all successes both sides): no variance, z null
+    val degen = Drift.proportionZ(win(4, 4), win(4, 4), Seq("k"), "s").collect()(0)
+    assert(degen.isNullAt(degen.fieldIndex("z")))
+  }
+
   test("wasserstein1: equals the mean shift on translated samples, zero on identical") {
     import graft.operators.Drift
     // translation by +3: W1 between X and X+3 is exactly 3
