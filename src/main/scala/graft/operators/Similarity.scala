@@ -236,4 +236,68 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
+
+  /** Dynamic-time-warping distance (Sakoe & Chiba 1978) from each key's
+    * series to a fixed reference series — "which entities behave like this
+    * pattern", tolerant of phase shifts that break pointwise (Euclidean)
+    * comparison. Distances use |a−b| (L1 step cost, the classic DTW form);
+    * the `band` Sakoe–Chiba constraint bounds the DP to O(n·band) and keeps
+    * pathological warps out.
+    *
+    * The reference is a driver-side constant (same bounded license as the
+    * IVF centroids); each key's series folds in one task under the
+    * [[graft.operators.Ewma.maxSeriesPoints]] guard. Deterministic DP — no
+    * SQL replay exists, so evidence is the spec goldens (identity 0, hand
+    * DP, shift tolerance vs Euclidean, band binding), the per-key-fold
+    * evidence class.
+    * Output: (keys..., dtw, n_points).
+    */
+  def dtwToReference(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                     valueCol: String, reference: Seq[Double],
+                     band: Int): DataFrame = {
+    require(reference.nonEmpty, "reference series must be non-empty")
+    require(band >= 1, s"band must be >= 1, got $band")
+    val ref = reference.toArray
+    val u = udf { (pts: Seq[org.apache.spark.sql.Row]) =>
+      require(pts.size <= graft.operators.Ewma.maxSeriesPoints,
+        s"DTW series has ${pts.size} points (> Ewma.maxSeriesPoints=" +
+          s"${graft.operators.Ewma.maxSeriesPoints}). Bucket to tiers first.")
+      val xs = pts.sortBy(_.getLong(0)).map(_.getDouble(1)).toArray
+      if (xs.isEmpty) None else Some(dtw(xs, ref, band))
+    }
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(struct(unix_timestamp(col(tsCol)).as("t"),
+        col(valueCol).cast("double").as("x"))).as("_pts"),
+        count(lit(1)).as("n_points"))
+      .withColumn("dtw", u(col("_pts")))
+      .filter(col("dtw").isNotNull)
+      .select((keyCols.map(col) :+ col("dtw") :+ col("n_points")): _*)
+  }
+
+  /** Banded DTW DP over two series, L1 step cost. Exposed for testing. */
+  def dtw(a: Array[Double], b: Array[Double], band: Int): Double = {
+    val n = a.length; val m = b.length
+    // effective band must at least cover the length difference or no
+    // monotone path exists
+    val w = math.max(band, math.abs(n - m))
+    val INF = Double.PositiveInfinity
+    var prev = Array.fill(m + 1)(INF)
+    var curr = Array.fill(m + 1)(INF)
+    prev(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(curr, INF)
+      val jLo = math.max(1, i - w); val jHi = math.min(m, i + w)
+      var j = jLo
+      while (j <= jHi) {
+        val cost = math.abs(a(i - 1) - b(j - 1))
+        curr(j) = cost + math.min(prev(j), math.min(curr(j - 1), prev(j - 1)))
+        j += 1
+      }
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    prev(m)
+  }
 }

@@ -412,4 +412,36 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(Multimodal.imageDHash(bad, "id", "payload")
       .filter(col("dhash").isNotNull).isEmpty)
   }
+
+  test("dtw: identity 0, hand DP golden, shift-tolerant vs Euclidean, band binds") {
+    import graft.operators.Similarity
+    val a = Array(1.0, 2.0, 3.0, 4.0)
+    assert(Similarity.dtw(a, a, band = 2) == 0.0)
+    // hand DP: a=[1,3], b=[1,2,3], L1: optimal path 1->1, 3~2? DP gives
+    // |1-1| + |1-2|? ... classic result: cost 1 via (1,1)(1,2)? compute:
+    // path (1,1)=0 -> (2,2)=|3-2|=1 -> (2,3)=1+|3-3|=1. total 1
+    assert(Similarity.dtw(Array(1.0, 3.0), Array(1.0, 2.0, 3.0), band = 2) == 1.0)
+    // a sine shifted by one step: DTW absorbs the shift, Euclidean pays it
+    val base = (0 until 40).map(i => math.sin(i * 0.3)).toArray
+    val shifted = (0 until 40).map(i => math.sin((i - 1) * 0.3)).toArray
+    val euclid = base.zip(shifted).map { case (x, y) => math.abs(x - y) }.sum
+    val d = Similarity.dtw(base, shifted, band = 3)
+    assert(d < euclid / 3, s"dtw $d should beat pointwise L1 $euclid")
+    // band=1 forbids the warp a 3-step shift needs: distance grows
+    val far = (0 until 40).map(i => math.sin((i - 3) * 0.3)).toArray
+    assert(Similarity.dtw(base, far, band = 1) > Similarity.dtw(base, far, band = 5))
+    // frame: per-key distance to a reference; the matching key is closest
+    val ref = (1 to 10).map(_.toDouble)
+    val rows = (1 to 10).flatMap { i =>
+      Seq((1L, i.toLong, i.toDouble),              // equals the reference
+        (2L, i.toLong, i.toDouble + 5.0),          // level-shifted
+        (3L, i.toLong, 11.0 - i))                  // reversed
+    }.map { case (k, t, v) =>
+      (k, new java.sql.Timestamp((1704067200L + t * 60) * 1000L), v) }
+    val out = Similarity.dtwToReference(rows.toDF("k", "ts", "v"), Seq("k"),
+      "ts", "v", ref, band = 3).orderBy("k").collect()
+    assert(out(0).getDouble(out(0).fieldIndex("dtw")) == 0.0)
+    assert(out(0).getDouble(1) < out(1).getDouble(1))
+    assert(out(1).getDouble(1) < out(2).getDouble(1))
+  }
 }
