@@ -1779,12 +1779,15 @@ object SparkEntry {
     // independent engine reproduces the exact rank order
     "q140_rrf_hybrid" -> ((s, dir) => {
       val wAll = org.apache.spark.sql.expressions.Window
+      // each system cuts its candidate list with a DISTRIBUTED TakeOrdered
+      // (orderBy+limit); only the 50 survivors see a rank window
       val bmRank = TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
           query = Seq("join", "hash", "scan"))
         .filter(col("score").isNotNull)
+        .withColumn("_r", r6(col("score")))
+        .orderBy(col("_r").desc, col("id")).limit(50)
         .withColumn("rank", row_number().over(
-          wAll.orderBy(r6(col("score")).desc, col("id"))))
-        .filter(col("rank") <= 50)
+          wAll.orderBy(col("_r").desc, col("id"))))
         .select(col("id"), col("rank"))
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val dnRank = emb.filter(col("vec_id") === 1)
@@ -1793,9 +1796,10 @@ object SparkEntry {
         .filter(col("id") =!= 1)
         .withColumn("sim", graft.operators.Similarity.cosine(col("qv"), col("cv")))
         .filter(col("sim").isNotNull)
+        .withColumn("_r", r6(col("sim")))
+        .orderBy(col("_r").desc, col("id")).limit(50)
         .withColumn("rank", row_number().over(
-          wAll.orderBy(r6(col("sim")).desc, col("id"))))
-        .filter(col("rank") <= 50)
+          wAll.orderBy(col("_r").desc, col("id"))))
         .select(col("id"), col("rank"))
       graft.operators.Fusion.rrf(Seq(bmRank, dnRank), queryCols = Nil,
           idCols = Seq("id"), rankCol = "rank", kRrf = 60)
