@@ -2105,6 +2105,39 @@ object SparkEntry {
           r6(col("rate_cur")).as("rate_cur"), r6(col("z")).as("z"),
           col("n_ref"), col("n_cur"))
         .orderBy("event_type")
+    }),
+
+    // precision/recall@10 per user for the same value-vs-purchase ranking
+    // as q160 — set overlap where nDCG grades positions
+    "q163_precision_recall" -> ((s, dir) => {
+      val e = ev(s, dir).filter(col("value").isNotNull &&
+          col("event_type").isNotNull)
+        .withColumn("rel", when(col("event_type") === "purchase", 1L)
+          .otherwise(0L))
+      graft.operators.Calibration.precisionRecallAtK(e, Seq("user_id"),
+          "value", "rel", "event_id", k = 10)
+        .select(col("user_id"), col("hits"), col("n_rel"),
+          r6(col("precision_k")).as("precision_k"),
+          r6(col("recall_k")).as("recall_k"))
+        .orderBy("user_id")
+    }),
+
+    // vocabulary drift between the document-corpus halves: share of
+    // second-half token OCCURRENCES whose type never appears in the first
+    // half — the text analogue of the value-drift family
+    "q164_vocab_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val half = d.agg(percentile(col("doc_id"), lit(0.5)).as("_m"))
+      val toks = d.crossJoin(broadcast(half))
+        .withColumn("_is_ref", col("doc_id") <= col("_m"))
+        .select(col("_is_ref"),
+          explode(graft.functions.Hashing.words(lower(col("text")))).as("term"))
+      val refVocab = toks.filter(col("_is_ref")).select("term").distinct()
+      val cur = toks.filter(!col("_is_ref"))
+      cur.join(refVocab.withColumn("_seen", lit(1)), Seq("term"), "left")
+        .agg(count(lit(1)).as("n_cur_tokens"),
+          sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_oov_tokens"))
+        .withColumn("oov_rate", r6(col("n_oov_tokens") / col("n_cur_tokens")))
     })
   )
 
@@ -4746,7 +4779,38 @@ object SparkEntry {
         |  round(CASE WHEN pool > 0 AND pool < 1 THEN (pr - pc) /
         |    sqrt(pool * (1.0 - pool) * (1.0 / nr + 1.0 / nc)) END, 6) AS z,
         |  nr AS n_ref, nc AS n_cur
-        |FROM j ORDER BY 1""".stripMargin
+        |FROM j ORDER BY 1""".stripMargin,
+
+    "q163_precision_recall" ->
+      """WITH b AS (SELECT user_id, event_id, value::DOUBLE AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY s DESC, event_id) AS rk
+        |  FROM b),
+        |g AS (SELECT user_id,
+        |    sum(CASE WHEN rk <= 10 THEN rel ELSE 0 END)::BIGINT AS hits,
+        |    sum(rel)::BIGINT AS n_rel
+        |  FROM r GROUP BY 1)
+        |SELECT user_id, hits, n_rel,
+        |  round(hits::DOUBLE / 10, 6) AS precision_k,
+        |  round(CASE WHEN n_rel > 0 THEN hits::DOUBLE / n_rel END, 6) AS recall_k
+        |FROM g ORDER BY 1""".stripMargin,
+
+    // ref vocab = distinct types in the doc_id-median first half; OOV rate
+    // counts second-half token OCCURRENCES of unseen types
+    "q164_vocab_drift" ->
+      """WITH m AS (SELECT quantile_cont(doc_id, 0.5) AS md FROM documents),
+        |t AS (SELECT (doc_id <= m.md) AS is_ref,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents, m),
+        |rv AS (SELECT DISTINCT term FROM t WHERE is_ref),
+        |cur AS (SELECT CASE WHEN rv.term IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM t LEFT JOIN rv USING (term) WHERE NOT is_ref)
+        |SELECT count(*) AS n_cur_tokens, sum(oov)::BIGINT AS n_oov_tokens,
+        |  round(sum(oov)::DOUBLE / count(*), 6) AS oov_rate
+        |FROM cur""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -117,4 +117,25 @@ object Calibration {
         count(lit(1)).as("n_queries"),
         count(col("_first")).as("n_hit"))
   }
+
+  /** Precision@k and recall@k per query — the set-overlap counterparts of
+    * [[ndcg]] (which grades positions): of the top-k by score, how many are
+    * relevant, and what share of all relevant rows that captures.
+    * Output: (queryCols..., hits, n_rel, precision_k, recall_k) — recall
+    * null when the query has no relevant rows.
+    */
+  def precisionRecallAtK(df: DataFrame, queryCols: Seq[String], scoreCol: String,
+                         relCol: String, tieCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keys = queryCols.map(col)
+    val sc = col(scoreCol).cast("double"); val rel = col(relCol).cast("long")
+    df.filter(sc.isNotNull && rel.isNotNull)
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(sc.desc, col(tieCol))))
+      .groupBy(keys: _*)
+      .agg(sum(when(col("_r") <= k, rel).otherwise(lit(0L))).as("hits"),
+        sum(rel).as("n_rel"))
+      .withColumn("precision_k", col("hits") / lit(k))
+      .withColumn("recall_k", when(col("n_rel") > 0, col("hits") / col("n_rel")))
+  }
 }

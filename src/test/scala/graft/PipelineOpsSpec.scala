@@ -742,6 +742,32 @@ class PipelineOpsSpec extends SparkSuite {
     assert(Drift.ks(ref, curOther, Seq("k"), "v").isEmpty)
   }
 
+  test("precisionRecallAtK: perfect top-k, miss splits, no-relevant recall null") {
+    import graft.operators.Calibration
+    // 2 relevant among 6, both in the top-2 by score
+    val rows = Seq((1L, 9.0, 1L, 1L), (1L, 8.0, 1L, 2L), (1L, 7.0, 0L, 3L),
+      (1L, 6.0, 0L, 4L), (1L, 5.0, 0L, 5L), (1L, 4.0, 0L, 6L))
+      .toDF("q", "s", "rel", "id")
+    val r = Calibration.precisionRecallAtK(rows, Seq("q"), "s", "rel", "id", k = 2)
+      .collect()(0)
+    assert(r.getLong(r.fieldIndex("hits")) == 2L)
+    assert(r.getDouble(r.fieldIndex("precision_k")) == 1.0)
+    assert(r.getDouble(r.fieldIndex("recall_k")) == 1.0)
+    // one relevant ranked below the cut: p@2 = 0.5, r@2 = 0.5
+    val split = Seq((1L, 9.0, 1L, 1L), (1L, 8.0, 0L, 2L), (1L, 7.0, 1L, 3L))
+      .toDF("q", "s", "rel", "id")
+    val r2 = Calibration.precisionRecallAtK(split, Seq("q"), "s", "rel", "id", 2)
+      .collect()(0)
+    assert(r2.getDouble(r2.fieldIndex("precision_k")) == 0.5)
+    assert(r2.getDouble(r2.fieldIndex("recall_k")) == 0.5)
+    // no relevant rows at all: precision 0, recall undefined
+    val none = Seq((1L, 9.0, 0L, 1L)).toDF("q", "s", "rel", "id")
+    val r3 = Calibration.precisionRecallAtK(none, Seq("q"), "s", "rel", "id", 2)
+      .collect()(0)
+    assert(r3.getDouble(r3.fieldIndex("precision_k")) == 0.0)
+    assert(r3.isNullAt(r3.fieldIndex("recall_k")))
+  }
+
   test("proportionZ: hand pooled z, zero on identical rates, degenerate pool null") {
     import graft.operators.Drift
     def win(successes: Int, n: Int, k: Long = 1L) =
