@@ -2138,6 +2138,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cur_tokens"),
           sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_oov_tokens"))
         .withColumn("oov_rate", r6(col("n_oov_tokens") / col("n_cur_tokens")))
+    }),
+
+    // semi-structured extraction: pull the JSON property out of the props
+    // payload (get_json_object — codegen'd, no UDF) and aggregate it per
+    // event_type; the projection/predicate surface for nested event payloads
+    "q165_json_extract" -> ((s, dir) => {
+      ev(s, dir).filter(col("props").isNotNull)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          r6(avg(col("k"))).as("k_avg"), min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"))
+        .orderBy("event_type")
     })
   )
 
@@ -4810,7 +4824,15 @@ object SparkEntry {
         |  FROM t LEFT JOIN rv USING (term) WHERE NOT is_ref)
         |SELECT count(*) AS n_cur_tokens, sum(oov)::BIGINT AS n_oov_tokens,
         |  round(sum(oov)::DOUBLE / count(*), 6) AS oov_rate
-        |FROM cur""".stripMargin
+        |FROM cur""".stripMargin,
+
+    "q165_json_extract" ->
+      """WITH j AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE props IS NOT NULL)
+        |SELECT event_type, count(*) AS n, sum(k)::BIGINT AS k_sum,
+        |  round(avg(k), 6) AS k_avg, min(k) AS k_min, max(k) AS k_max
+        |FROM j WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE
