@@ -2152,6 +2152,42 @@ object SparkEntry {
           r6(avg(col("k"))).as("k_avg"), min(col("k")).as("k_min"),
           max(col("k")).as("k_max"))
         .orderBy("event_type")
+    }),
+
+    // trapezoidal integral of each user's daily series in value-days —
+    // linear interpolation between samples where q109's TWAP holds (LOCF)
+    "q166_trapz" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      Features.trapezoidIntegral(daily, Seq("user_id"), "day", "v",
+          unitSeconds = 86400L)
+        .select(col("user_id"), r6(col("integral")).as("integral"),
+          col("n_points"))
+        .orderBy("user_id")
+    }),
+
+    // exact distinct event types in each user's trailing 7-row window —
+    // Spark has no windowed DISTINCT agg, so array_distinct over the frame
+    // list expresses it (DuckDB replays with count(DISTINCT) OVER)
+    "q167_rolling_distinct" -> ((s, dir) => {
+      val w7 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, 0)
+      ev(s, dir).filter(col("event_type").isNotNull)
+        .withColumn("distinct_types_7",
+          size(array_distinct(collect_list(col("event_type")).over(w7))))
+        .select(col("user_id"), col("event_id"), col("distinct_types_7"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // is each user's arrival process Poisson: exponential MLE over
+    // inter-event gaps + one-sample KS against the fitted CDF
+    "q168_exp_fit" -> ((s, dir) => {
+      graft.operators.Drift.expFitKs(ev(s, dir), Seq("user_id"), "ts")
+        .select(col("user_id"), r6(col("lambda")).as("lambda"),
+          r6(col("ks_stat")).as("ks_stat"), col("n_gaps"))
+        .orderBy("user_id")
     })
   )
 
@@ -4832,7 +4868,50 @@ object SparkEntry {
         |  FROM events WHERE props IS NOT NULL)
         |SELECT event_type, count(*) AS n, sum(k)::BIGINT AS k_sum,
         |  round(avg(k), 6) AS k_avg, min(k) AS k_min, max(k) AS k_max
-        |FROM j WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // (v_i + v_{i+1})/2 * dt_days via a lead window
+    "q166_trapz" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    sum(value) AS v FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, epoch_us(day) AS t, v::DOUBLE AS v FROM daily
+        |  WHERE v IS NOT NULL),
+        |l AS (SELECT user_id, v,
+        |    lead(v) OVER (PARTITION BY user_id ORDER BY t) AS nv,
+        |    (lead(t) OVER (PARTITION BY user_id ORDER BY t) - t)::DOUBLE
+        |      / 86400000000.0 AS dt
+        |  FROM b)
+        |SELECT user_id,
+        |  round(sum(CASE WHEN nv IS NOT NULL THEN (v + nv) / 2 * dt END), 6)
+        |    AS integral,
+        |  count(*) AS n_points
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q167_rolling_distinct" ->
+      """SELECT user_id, event_id,
+        |  count(DISTINCT event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |    ::INT AS distinct_types_7
+        |FROM events WHERE event_type IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // lambda = 1/mean(gap_seconds); D from exact order statistics
+    "q168_exp_fit" ->
+      """WITH g AS (SELECT user_id,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts)))::DOUBLE / 1000000.0 AS gap
+        |  FROM events),
+        |gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL AND gap > 0),
+        |lm AS (SELECT user_id, 1.0 / avg(gap) AS lambda, count(*) AS n_gaps
+        |  FROM gg GROUP BY 1),
+        |r AS (SELECT gg.user_id, lm.lambda, lm.n_gaps, gg.gap,
+        |    (row_number() OVER (PARTITION BY gg.user_id ORDER BY gg.gap))::DOUBLE AS i,
+        |    1.0 - exp(-lm.lambda * gg.gap) AS f
+        |  FROM gg JOIN lm USING (user_id))
+        |SELECT user_id, round(max(lambda), 6) AS lambda,
+        |  round(max(greatest(i / n_gaps - f, f - (i - 1) / n_gaps)), 6) AS ks_stat,
+        |  max(n_gaps) AS n_gaps
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

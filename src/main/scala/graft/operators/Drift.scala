@@ -163,4 +163,34 @@ object Drift {
       .select((keys :+ col("rate_ref") :+ col("rate_cur") :+ col("z") :+
         col("n_ref") :+ col("n_cur")): _*)
   }
+
+  /** Exponential inter-arrival fit + one-sample KS goodness-of-fit per key:
+    * λ̂ = 1/mean(gap) (the MLE), then
+    *   D = max_i max( i/n − F(x₍ᵢ₎), F(x₍ᵢ₎) − (i−1)/n ),  F(x) = 1 − e^(−λ̂x)
+    * — "is this arrival process Poisson": D near 0 accepts memorylessness,
+    * large D flags burstiness/periodicity that capacity models built on
+    * Poisson assumptions will get wrong. Gaps are computed from the event
+    * times inside this operator (one lag window), the fit and the test run
+    * on exact order statistics (one ranked window per key).
+    * Output: (keys..., lambda, ks_stat, n_gaps).
+    */
+  def expFitKs(df: DataFrame, keyCols: Seq[String], tsCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val t = unix_micros(col(tsCol).cast("timestamp"))
+    val wT = Window.partitionBy(keys: _*).orderBy(t)
+    val gaps = df
+      .withColumn("_gap", (t - lag(t, 1).over(wT)).cast("double") / lit(1e6))
+      .filter(col("_gap").isNotNull && col("_gap") > 0)
+    val lam = gaps.groupBy(keys: _*)
+      .agg((lit(1.0) / avg(col("_gap"))).as("lambda"),
+        count(lit(1)).as("n_gaps"))
+    val wR = Window.partitionBy(keys: _*).orderBy(col("_gap"))
+    gaps.join(lam, keyCols)
+      .withColumn("_i", row_number().over(wR).cast("double"))
+      .withColumn("_f", lit(1.0) - exp(-col("lambda") * col("_gap")))
+      .groupBy((keys :+ col("lambda") :+ col("n_gaps")): _*)
+      .agg(max(greatest(col("_i") / col("n_gaps") - col("_f"),
+        col("_f") - (col("_i") - 1) / col("n_gaps"))).as("ks_stat"))
+      .select((keys :+ col("lambda") :+ col("ks_stat") :+ col("n_gaps")): _*)
+  }
 }

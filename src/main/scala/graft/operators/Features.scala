@@ -780,4 +780,29 @@ object Features {
           sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("spearman_rho"),
         count(lit(1)).as("n"))
   }
+
+  /** Trapezoidal integral of an irregular series per key, in value·unit
+    * units (e.g. degree-days at unitSeconds=86400) — the straight-line
+    * sibling of [[timeWeightedAvg]]'s LOCF integral (LOCF holds the last
+    * value; the trapezoid interpolates linearly between samples):
+    *   ∫ ≈ Σ (vᵢ + vᵢ₊₁)/2 · (tᵢ₊₁ − tᵢ)/unit
+    * One lead window + one aggregation, microsecond-exact timestamps.
+    * Output: (keys..., integral, n_points).
+    */
+  def trapezoidIntegral(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                        valueCol: String, unitSeconds: Long = 86400L): DataFrame = {
+    require(unitSeconds >= 1, s"unitSeconds must be >= 1, got $unitSeconds")
+    val keys = keyCols.map(col)
+    val v = col(valueCol).cast("double")
+    val t = unix_micros(col(tsCol).cast("timestamp"))
+    val w = Window.partitionBy(keys: _*).orderBy(t)
+    df.filter(v.isNotNull)
+      .withColumn("_nv", lead(v, 1).over(w))
+      .withColumn("_dt", (lead(t, 1).over(w) - t).cast("double") /
+        lit(unitSeconds * 1e6))
+      .groupBy(keys: _*)
+      .agg(sum(when(col("_nv").isNotNull,
+        (v + col("_nv")) / 2 * col("_dt"))).as("integral"),
+        count(lit(1)).as("n_points"))
+  }
 }

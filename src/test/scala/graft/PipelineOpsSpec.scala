@@ -742,6 +742,43 @@ class PipelineOpsSpec extends SparkSuite {
     assert(Drift.ks(ref, curOther, Seq("k"), "v").isEmpty)
   }
 
+  test("trapezoidIntegral: hand segments, single point contributes nothing") {
+    import graft.operators.Features
+    def ts(day: Int) = new java.sql.Timestamp((1704067200L + day * 86400L) * 1000L)
+    // v: 0 -> 2 over one day (area 1), 2 -> 2 over one day (area 2): total 3
+    val rows = Seq((1L, ts(0), 0.0), (1L, ts(1), 2.0), (1L, ts(2), 2.0),
+      (2L, ts(0), 9.0)) // single point: no segment, integral null
+      .toDF("k", "day", "v")
+    val out = Features.trapezoidIntegral(rows, Seq("k"), "day", "v")
+      .orderBy("k").collect()
+    assert(out(0).getDouble(out(0).fieldIndex("integral")) == 3.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("integral")))
+    assert(out(1).getLong(out(1).fieldIndex("n_points")) == 1L)
+  }
+
+  test("expFitKs: exponential-quantile gaps accept, constant gaps reject at 1-1/e") {
+    import graft.operators.Drift
+    def mk(gaps: Seq[Double]) = {
+      var t = 0.0
+      gaps.zipWithIndex.map { case (g, i) =>
+        t += g
+        (1L, new java.sql.Timestamp(1704067200000L + (t * 1000).toLong))
+      }.toDF("k", "ts")
+    }
+    // gaps at exponential quantiles F^-1((i-0.5)/n): near-perfect fit
+    val n = 40
+    val expGaps = (1 to n).map(i => -math.log(1.0 - (i - 0.5) / n))
+    val good = Drift.expFitKs(mk(scala.util.Random.shuffle(expGaps.toList)),
+      Seq("k"), "ts").collect()(0)
+    assert(good.getDouble(good.fieldIndex("ks_stat")) < 0.1,
+      s"quantile-spaced gaps should fit, D=${good.getDouble(2)}")
+    // constant gaps: D = 1 - 1/e exactly (all mass at one point of the CDF)
+    val const = Drift.expFitKs(mk(Seq.fill(20)(5.0)), Seq("k"), "ts").collect()(0)
+    assert(math.abs(const.getDouble(const.fieldIndex("ks_stat")) -
+      (1.0 - math.exp(-1.0))) < 1e-9)
+    assert(math.abs(const.getDouble(const.fieldIndex("lambda")) - 0.2) < 1e-9)
+  }
+
   test("precisionRecallAtK: perfect top-k, miss splits, no-relevant recall null") {
     import graft.operators.Calibration
     // 2 relevant among 6, both in the top-2 by score
