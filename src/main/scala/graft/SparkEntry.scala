@@ -2188,6 +2188,45 @@ object SparkEntry {
         .select(col("user_id"), r6(col("lambda")).as("lambda"),
           r6(col("ks_stat")).as("ks_stat"), col("n_gaps"))
         .orderBy("user_id")
+    }),
+
+    // Welch's unequal-variance t between the month halves per user, with
+    // the Welch-Satterthwaite df — the MEAN-drift test beside q162's rates
+    "q169_welch_t" -> ((s, dir) => {
+      val split = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val e = ev(s, dir).filter(col("value").isNotNull)
+      def stats(d: DataFrame, m: String, v: String, n: String) =
+        d.groupBy(col("user_id")).agg(avg(col("value")).as(m),
+          var_samp(col("value")).as(v), count(lit(1)).as(n))
+      val j = stats(e.filter(col("ts") < split), "m1", "v1", "n1")
+        .join(stats(e.filter(col("ts") >= split), "m2", "v2", "n2"), "user_id")
+        .filter(col("n1") >= 2 && col("n2") >= 2)
+      val se1 = col("v1") / col("n1"); val se2 = col("v2") / col("n2")
+      j.withColumn("t", (col("m1") - col("m2")) / sqrt(se1 + se2))
+        .withColumn("df", (se1 + se2) * (se1 + se2) /
+          (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)))
+        .select(col("user_id"), r6(col("t")).as("t"), r6(col("df")).as("df"),
+          col("n1"), col("n2"))
+        .orderBy("user_id")
+    }),
+
+    // Ljung-Box portmanteau COMPOSED over q78's acf definition (lags 1..5):
+    // Q = n(n+2) sum rho_k^2/(n-k) — "is there ANY autocorrelation left"
+    "q170_ljung_box" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val nPer = daily.groupBy("user_id").agg(count(lit(1)).as("n"))
+      val rho = Features.acf(daily, Seq("user_id"), "d", "v",
+        lags = Seq(1, 2, 3, 4, 5))
+      rho.join(nPer, "user_id")
+        .groupBy(col("user_id"), col("n"))
+        .agg(sum(col("acf") * col("acf") / (col("n") - col("lag"))).as("_s"),
+          count(col("acf")).as("n_lags"))
+        .withColumn("q_stat", col("n") * (col("n") + 2) * col("_s"))
+        .select(col("user_id"), r6(col("q_stat")).as("q_stat"), col("n"),
+          col("n_lags"))
+        .orderBy("user_id")
     })
   )
 
@@ -4911,7 +4950,49 @@ object SparkEntry {
         |SELECT user_id, round(max(lambda), 6) AS lambda,
         |  round(max(greatest(i / n_gaps - f, f - (i - 1) / n_gaps)), 6) AS ks_stat,
         |  max(n_gaps) AS n_gaps
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // sample variances, pooled-free SE, Welch-Satterthwaite df
+    "q169_welch_t" ->
+      """WITH r AS (SELECT user_id, avg(value) AS m1, var_samp(value) AS v1,
+        |    count(*) AS n1 FROM events
+        |  WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        |  GROUP BY 1),
+        |c AS (SELECT user_id, avg(value) AS m2, var_samp(value) AS v2,
+        |    count(*) AS n2 FROM events
+        |  WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |  GROUP BY 1),
+        |j AS (SELECT r.user_id, m1, m2, v1 / n1 AS s1, v2 / n2 AS s2, n1, n2
+        |  FROM r JOIN c USING (user_id) WHERE n1 >= 2 AND n2 >= 2)
+        |SELECT user_id, round((m1 - m2) / sqrt(s1 + s2), 6) AS t,
+        |  round((s1 + s2) * (s1 + s2)
+        |    / (s1 * s1 / (n1 - 1) + s2 * s2 / (n2 - 1)), 6) AS df,
+        |  n1, n2
+        |FROM j ORDER BY 1""".stripMargin,
+
+    // q78's corr-based acf at lags 1..5, then the portmanteau sum
+    "q170_ljung_box" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |nn AS (SELECT user_id, count(*) AS n FROM daily GROUP BY 1),
+        |l AS (SELECT user_id, v,
+        |    lag(v,1) OVER w AS l1, lag(v,2) OVER w AS l2, lag(v,3) OVER w AS l3,
+        |    lag(v,4) OVER w AS l4, lag(v,5) OVER w AS l5
+        |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+        |a AS (SELECT user_id, corr(v, l1) AS a1, corr(v, l2) AS a2,
+        |    corr(v, l3) AS a3, corr(v, l4) AS a4, corr(v, l5) AS a5
+        |  FROM l GROUP BY 1),
+        |st AS (SELECT user_id, lag, acf FROM (
+        |  SELECT user_id, 1::BIGINT AS lag, a1 AS acf FROM a
+        |  UNION ALL SELECT user_id, 2::BIGINT, a2 FROM a
+        |  UNION ALL SELECT user_id, 3::BIGINT, a3 FROM a
+        |  UNION ALL SELECT user_id, 4::BIGINT, a4 FROM a
+        |  UNION ALL SELECT user_id, 5::BIGINT, a5 FROM a)),
+        |g AS (SELECT st.user_id, nn.n,
+        |    sum(acf * acf / (nn.n - lag)) AS s, count(acf) AS n_lags
+        |  FROM st JOIN nn USING (user_id) GROUP BY 1, 2)
+        |SELECT user_id, round(n * (n + 2) * s, 6) AS q_stat, n, n_lags
+        |FROM g ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE
