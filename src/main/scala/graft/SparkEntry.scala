@@ -2227,6 +2227,19 @@ object SparkEntry {
         .select(col("user_id"), r6(col("q_stat")).as("q_stat"), col("n"),
           col("n_lags"))
         .orderBy("user_id")
+    }),
+
+    // AR(2) fit per user on the centered daily series — phi2 IS the lag-2
+    // partial autocorrelation; rmse is the one-step baseline error
+    "q171_ar2" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Forecast.arFit2(daily, Seq("user_id"), "day", "v")
+        .select(col("user_id"), r6(col("phi1")).as("phi1"),
+          r6(col("phi2")).as("phi2"), r6(col("rmse")).as("rmse"),
+          col("n_obs"))
+        .orderBy("user_id")
     })
   )
 
@@ -4992,7 +5005,35 @@ object SparkEntry {
         |    sum(acf * acf / (nn.n - lag)) AS s, count(acf) AS n_lags
         |  FROM st JOIN nn USING (user_id) GROUP BY 1, 2)
         |SELECT user_id, round(n * (n + 2) * s, 6) AS q_stat, n, n_lags
-        |FROM g ORDER BY 1""".stripMargin
+        |FROM g ORDER BY 1""".stripMargin,
+
+    // centered conditional LS via Cramer's rule over five moment sums
+    "q171_ar2" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT user_id, d,
+        |    v - avg(v) OVER (PARTITION BY user_id) AS y
+        |  FROM daily WHERE v IS NOT NULL),
+        |l AS (SELECT user_id, y,
+        |    lag(y, 1) OVER w AS x1, lag(y, 2) OVER w AS x2
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+        |ll AS (SELECT * FROM l WHERE x1 IS NOT NULL AND x2 IS NOT NULL),
+        |f AS (SELECT user_id,
+        |    sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12,
+        |    sum(y * x1) AS s01, sum(y * x2) AS s02, count(*) AS n_obs
+        |  FROM ll GROUP BY 1),
+        |ph AS (SELECT user_id, n_obs,
+        |    CASE WHEN s11 * s22 - s12 * s12 > 0 THEN
+        |      (s01 * s22 - s02 * s12) / (s11 * s22 - s12 * s12) END AS phi1,
+        |    CASE WHEN s11 * s22 - s12 * s12 > 0 THEN
+        |      (s11 * s02 - s12 * s01) / (s11 * s22 - s12 * s12) END AS phi2
+        |  FROM f),
+        |e AS (SELECT ll.user_id, ph.phi1, ph.phi2, ph.n_obs,
+        |    ll.y - ph.phi1 * ll.x1 - ph.phi2 * ll.x2 AS r
+        |  FROM ll JOIN ph USING (user_id))
+        |SELECT user_id, round(max(phi1), 6) AS phi1, round(max(phi2), 6) AS phi2,
+        |  round(sqrt(avg(r * r)), 6) AS rmse, max(n_obs) AS n_obs
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -498,4 +498,50 @@ object Forecast {
       .select((keys :+ col("forecast_ts") :+ col("step")
         :+ (col("_z") / col("_p")).as("yhat")): _*)
   }
+
+  /** AR(2) fit per key by conditional least squares on the MEAN-CENTERED
+    * series (Box & Jenkins ch. 7): regress xₜ on (xₜ₋₁, xₜ₋₂) through the
+    * origin, closed form via Cramer's rule over five moment sums —
+    * deterministic, one window + one aggregation, no iteration. φ₂ is by
+    * construction the lag-2 PARTIAL autocorrelation, so this also fills the
+    * PACF slot next to [[graft.operators.Features.acf]]. `rmse` is the
+    * in-sample one-step residual error — the baseline any fancier model
+    * must beat. Keys with a degenerate design (det ≤ 0 numerically) are
+    * emitted with null coefficients.
+    * Output: (keys..., phi1, phi2, rmse, n_obs).
+    */
+  def arFit2(df: DataFrame, keyCols: Seq[String], tsCol: String,
+             valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col(tsCol))
+    val winAll = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    val v = col(valueCol).cast("double")
+    val centered = df.filter(v.isNotNull)
+      .withColumn("_m", avg(v).over(winAll))
+      .withColumn("_y", v - col("_m"))
+      .withColumn("_x1", lag(col("_y"), 1).over(win))
+      .withColumn("_x2", lag(col("_y"), 2).over(win))
+      .filter(col("_x1").isNotNull && col("_x2").isNotNull)
+    val fitted = centered.groupBy(keys: _*)
+      .agg(sum(col("_x1") * col("_x1")).as("_s11"),
+        sum(col("_x2") * col("_x2")).as("_s22"),
+        sum(col("_x1") * col("_x2")).as("_s12"),
+        sum(col("_y") * col("_x1")).as("_s01"),
+        sum(col("_y") * col("_x2")).as("_s02"),
+        count(lit(1)).as("n_obs"))
+      .withColumn("_det", col("_s11") * col("_s22") - col("_s12") * col("_s12"))
+      .withColumn("phi1", when(col("_det") > 0,
+        (col("_s01") * col("_s22") - col("_s02") * col("_s12")) / col("_det")))
+      .withColumn("phi2", when(col("_det") > 0,
+        (col("_s11") * col("_s02") - col("_s12") * col("_s01")) / col("_det")))
+    centered.join(fitted.select((keys :+ col("phi1") :+ col("phi2") :+
+        col("n_obs")): _*), keyCols)
+      .withColumn("_e", col("_y") - col("phi1") * col("_x1") -
+        col("phi2") * col("_x2"))
+      .groupBy((keys :+ col("phi1") :+ col("phi2") :+ col("n_obs")): _*)
+      .agg(sqrt(avg(col("_e") * col("_e"))).as("rmse"))
+      .select((keys :+ col("phi1") :+ col("phi2") :+ col("rmse") :+
+        col("n_obs")): _*)
+  }
 }

@@ -742,6 +742,40 @@ class PipelineOpsSpec extends SparkSuite {
     assert(Drift.ks(ref, curOther, Seq("k"), "v").isEmpty)
   }
 
+  test("arFit2: matches an independent normal-equations solve; degenerate series null") {
+    import graft.operators.Forecast
+    val rnd = new scala.util.Random(99)
+    val xs = Array.iterate(Array(1.0, 0.5), 40)(a =>
+      Array(0.6 * a(0) - 0.2 * a(1) + rnd.nextGaussian(), a(0))).map(_(0))
+    val rows = xs.zipWithIndex.map { case (v, i) =>
+      (1L, new java.sql.Timestamp((1704067200L + i * 86400L) * 1000L), v) }
+    val got = Forecast.arFit2(rows.toSeq.toDF("k", "ts", "v"), Seq("k"), "ts", "v")
+      .collect()(0)
+    // independent solve: center, lag, five sums, Cramer
+    val m = xs.sum / xs.length
+    val y = xs.map(_ - m)
+    val trip = (2 until y.length).map(i => (y(i), y(i - 1), y(i - 2)))
+    val s11 = trip.map(t => t._2 * t._2).sum; val s22 = trip.map(t => t._3 * t._3).sum
+    val s12 = trip.map(t => t._2 * t._3).sum
+    val s01 = trip.map(t => t._1 * t._2).sum; val s02 = trip.map(t => t._1 * t._3).sum
+    val det = s11 * s22 - s12 * s12
+    val phi1 = (s01 * s22 - s02 * s12) / det
+    val phi2 = (s11 * s02 - s12 * s01) / det
+    assert(math.abs(got.getDouble(got.fieldIndex("phi1")) - phi1) < 1e-9)
+    assert(math.abs(got.getDouble(got.fieldIndex("phi2")) - phi2) < 1e-9)
+    val rmse = math.sqrt(trip.map { case (yy, x1, x2) =>
+      val e = yy - phi1 * x1 - phi2 * x2; e * e }.sum / trip.length)
+    assert(math.abs(got.getDouble(got.fieldIndex("rmse")) - rmse) < 1e-9)
+    // the generating process had phi ~ (0.6, -0.2): the fit should be near
+    assert(math.abs(phi1 - 0.6) < 0.35 && math.abs(phi2 + 0.2) < 0.35)
+    // constant series: centered y == 0, det == 0 -> null coefficients
+    val const = (1 to 10).map(i =>
+      (2L, new java.sql.Timestamp((1704067200L + i * 86400L) * 1000L), 5.0))
+    val d = Forecast.arFit2(const.toDF("k", "ts", "v"), Seq("k"), "ts", "v")
+      .collect()(0)
+    assert(d.isNullAt(d.fieldIndex("phi1")))
+  }
+
   test("trapezoidIntegral: hand segments, single point contributes nothing") {
     import graft.operators.Features
     def ts(day: Int) = new java.sql.Timestamp((1704067200L + day * 86400L) * 1000L)
