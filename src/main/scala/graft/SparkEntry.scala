@@ -2240,6 +2240,41 @@ object SparkEntry {
           r6(col("phi2")).as("phi2"), r6(col("rmse")).as("rmse"),
           col("n_obs"))
         .orderBy("user_id")
+    }),
+
+    // seasonal Mann-Kendall (Hirsch & Slack) COMPOSED: the MK test runs
+    // WITHIN each weekday season, S and Var pool across seasons — trend
+    // detection that weekly cycles cannot fake
+    "q172_seasonal_mk" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+        .withColumn("dow", dayofweek(col("day")))
+      val mk = Features.mannKendall(daily, Seq("user_id", "dow"), "day", "v")
+      mk.groupBy(col("user_id"))
+        .agg(sum(col("s")).as("s_total"),
+          sum(col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) / lit(18.0))
+            .as("_var"),
+          count(lit(1)).as("n_seasons"))
+        .withColumn("z", when(col("_var") > 0,
+          (col("s_total") - signum(col("s_total").cast("double"))) /
+            sqrt(col("_var"))))
+        .select(col("user_id"), col("s_total"), r6(col("z")).as("z"),
+          col("n_seasons"))
+        .orderBy("user_id")
+    }),
+
+    // rolling 14-day beta of daily volume on daily activity per user —
+    // "units of value per extra event, lately"
+    "q173_rolling_beta" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("x"), sum(col("value")).as("y"))
+      Features.rollingBeta(daily, Seq("user_id"), "day", "x", "y",
+          winRows = 14)
+        .select(col("user_id"), unix_timestamp(col("day")).as("day_sec"),
+          r6(col("rolling_beta")).as("rolling_beta"))
+        .orderBy("user_id", "day_sec")
     })
   )
 
@@ -5033,7 +5068,44 @@ object SparkEntry {
         |  FROM ll JOIN ph USING (user_id))
         |SELECT user_id, round(max(phi1), 6) AS phi1, round(max(phi2), 6) AS phi2,
         |  round(sqrt(avg(r * r)), 6) AS rmse, max(n_obs) AS n_obs
-        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-weekday sign pairs pooled: S = sum S_g, Var = sum n(n-1)(2n+5)/18
+    "q172_seasonal_mk" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    sum(value) AS v FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, dayofweek(day) + 1 AS dow, epoch_us(day) AS t,
+        |    v::DOUBLE AS y FROM daily WHERE v IS NOT NULL),
+        |p AS (SELECT l.user_id, l.dow, sign(r.y - l.y) AS sg
+        |  FROM b l JOIN b r ON l.user_id = r.user_id AND l.dow = r.dow
+        |    AND r.t > l.t),
+        |sg AS (SELECT user_id, dow, sum(sg)::BIGINT AS s FROM p GROUP BY 1, 2),
+        |nn AS (SELECT user_id, dow, count(*) AS n FROM b GROUP BY 1, 2),
+        |g AS (SELECT sg.user_id, sum(sg.s)::BIGINT AS s_total,
+        |    sum(nn.n * (nn.n - 1) * (2 * nn.n + 5) / 18.0) AS var,
+        |    count(*) AS n_seasons
+        |  FROM sg JOIN nn USING (user_id, dow) GROUP BY 1)
+        |SELECT user_id, s_total,
+        |  round(CASE WHEN var > 0 THEN
+        |    (s_total - sign(s_total::DOUBLE)) / sqrt(var) END, 6) AS z,
+        |  n_seasons
+        |FROM g ORDER BY 1""".stripMargin,
+
+    // the q114 moment-sum shape with an arbitrary regressor
+    "q173_rolling_beta" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    count(*)::DOUBLE AS x, sum(value) AS y FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, day, x, y::DOUBLE AS yy,
+        |    count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) OVER w AS c,
+        |    sum(x) OVER w AS sx, sum(y::DOUBLE) OVER w AS sy,
+        |    sum(x * y::DOUBLE) OVER w AS sxy, sum(x * x) OVER w AS sxx
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, floor(epoch(day))::BIGINT AS day_sec,
+        |  round(CASE WHEN c = 14 AND 14.0 * sxx - sx * sx > 0 THEN
+        |    (14.0 * sxy - sx * sy) / (14.0 * sxx - sx * sx) END, 6) AS rolling_beta
+        |FROM m ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

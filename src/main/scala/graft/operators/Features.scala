@@ -805,4 +805,24 @@ object Features {
         (v + col("_nv")) / 2 * col("_dt"))).as("integral"),
         count(lit(1)).as("n_points"))
   }
+
+  /** Rolling regression slope of `yCol` on `xCol` over a trailing row
+    * window — [[rollingSlope]] generalized from time-as-regressor to any
+    * driver measure ("how many units of y per unit of x lately", the
+    * rolling-beta of finance). Same moment-sum construction and full-window
+    * gate; null when the window is short or x is degenerate.
+    */
+  def rollingBeta(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                  xCol: String, yCol: String, winRows: Int): DataFrame = {
+    require(winRows >= 2, s"winRows must be >= 2, got $winRows")
+    val frame = w(hierarchy, tsCol).rowsBetween(-(winRows - 1), 0)
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    val n = lit(winRows.toDouble)
+    val sx = sum(x).over(frame); val sy = sum(y).over(frame)
+    val sxy = sum(x * y).over(frame); val sxx = sum(x * x).over(frame)
+    val den = n * sxx - sx * sx
+    df.withColumn("rolling_beta",
+      when(count(when(x.isNotNull && y.isNotNull, lit(1))).over(frame) === winRows
+        && den > 0, (n * sxy - sx * sy) / den))
+  }
 }

@@ -569,6 +569,23 @@ class FeaturesSpec extends SparkSuite {
     assert(out(2).isNullAt(inc) && out(2).getLong(out(2).fieldIndex("n_deltas")) == 0L)
   }
 
+  test("rollingBeta: exact slope on a linear relation, gates on window fill and degenerate x") {
+    // y = 3x + 1 exactly: every full window's beta is exactly 3
+    val rows = (1 to 10).map(i => ("a", ts(f"2020-01-$i%02d"), i.toDouble, 3.0 * i + 1))
+      .toDF("k", "ts", "x", "y")
+    val out = Features.rollingBeta(rows, Seq("k"), "ts", "x", "y", winRows = 4)
+      .orderBy("ts").collect()
+    assert(out.take(3).forall(_.isNullAt(out(0).fieldIndex("rolling_beta"))))
+    assert(out.drop(3).forall(r =>
+      math.abs(r.getDouble(r.fieldIndex("rolling_beta")) - 3.0) < 1e-9))
+    // constant x inside the window: zero variance -> null
+    val const = (1 to 5).map(i => ("a", ts(f"2020-01-0$i"), 2.0, i.toDouble))
+      .toDF("k", "ts", "x", "y")
+    val c = Features.rollingBeta(const, Seq("k"), "ts", "x", "y", winRows = 4)
+      .orderBy("ts").collect()
+    assert(c.forall(_.isNullAt(c(0).fieldIndex("rolling_beta"))))
+  }
+
   test("spearman: monotone=1 under nonlinearity, reversed=-1, tie average ranks, constant null") {
     import graft.operators.Features
     // y = exp(x): nonlinear but perfectly monotone -> rho exactly 1
