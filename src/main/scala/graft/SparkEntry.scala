@@ -2275,6 +2275,43 @@ object SparkEntry {
         .select(col("user_id"), unix_timestamp(col("day")).as("day_sec"),
           r6(col("rolling_beta")).as("rolling_beta"))
         .orderBy("user_id", "day_sec")
+    }),
+
+    // first-order Markov transition matrix over each user's event-type
+    // sequence, pooled corpus-wide: P(next | current) from exact counts —
+    // the sequence-structure profile beside funnels and sessions
+    "q174_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = ev(s, dir).filter(col("event_type").isNotNull)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTot = pairs.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+      pairs.join(broadcast(fromTot), "from_type")
+        .withColumn("p", r6(col("n") / col("n_from")))
+        .select(col("from_type"), col("next_type"), col("n"), col("n_from"),
+          col("p"))
+        .orderBy("from_type", "next_type")
+    }),
+
+    // pairwise correlation matrix of the five event types' daily totals —
+    // which series co-move (q94's rolling pair generalized to the matrix)
+    "q175_corr_matrix" -> ((s, dir) => {
+      val daily = ev(s, dir).filter(col("event_type").isNotNull)
+        .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+        .agg(sum(col("value")).as("v"))
+      val a = daily.select(col("d"), col("event_type").as("type_a"),
+        col("v").as("va"))
+      val b = daily.select(col("d"), col("event_type").as("type_b"),
+        col("v").as("vb"))
+      a.join(b, Seq("d"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(r6(corr(col("va"), col("vb"))).as("corr"),
+          count(lit(1)).as("n_days"))
+        .orderBy("type_a", "type_b")
     })
   )
 
@@ -5105,7 +5142,30 @@ object SparkEntry {
         |SELECT user_id, floor(epoch(day))::BIGINT AS day_sec,
         |  round(CASE WHEN c = 14 AND 14.0 * sxx - sx * sx > 0 THEN
         |    (14.0 * sxy - sx * sy) / (14.0 * sxx - sx * sx) END, 6) AS rolling_beta
-        |FROM m ORDER BY 1, 2""".stripMargin
+        |FROM m ORDER BY 1, 2""".stripMargin,
+
+    "q174_transitions" ->
+      """WITH s AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events WHERE event_type IS NOT NULL),
+        |p AS (SELECT event_type AS from_type, next_type, count(*) AS n
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, sum(n)::BIGINT AS n_from FROM p GROUP BY 1)
+        |SELECT p.from_type, p.next_type, p.n, f.n_from,
+        |  round(p.n::DOUBLE / f.n_from, 6) AS p
+        |FROM p JOIN f USING (from_type)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q175_corr_matrix" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, event_type,
+        |    sum(value) AS v FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  round(corr(a.v, b.v), 6) AS corr, count(*) AS n_days
+        |FROM daily a JOIN daily b
+        |  ON a.d = b.d AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE
