@@ -2312,6 +2312,47 @@ object SparkEntry {
         .agg(r6(corr(col("va"), col("vb"))).as("corr"),
           count(lit(1)).as("n_days"))
         .orderBy("type_a", "type_b")
+    }),
+
+    // entropy rate of the q174 transition chain (joint-weighted conditional
+    // entropy, nats): how predictable is the next event given the current —
+    // 0 = deterministic sequences, ln(5) = uniform chaos
+    "q176_seq_entropy" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = ev(s, dir).filter(col("event_type").isNotNull)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("f"), col("next_type").as("t"))
+        .agg(count(lit(1)).as("n"))
+      val fromTot = pairs.groupBy("f").agg(sum(col("n")).as("nf"))
+      val tot = pairs.agg(sum(col("n")).as("nt"))
+      pairs.join(broadcast(fromTot), "f").join(broadcast(tot))
+        .agg(sum((col("n") / col("nt")) *
+          (-log(col("n") / col("nf")))).as("entropy_rate"),
+          count(lit(1)).as("n_cells"), max(col("nt")).as("n_transitions"))
+        .select(r6(col("entropy_rate")).as("entropy_rate"), col("n_cells"),
+          col("n_transitions"))
+    }),
+
+    // Goh-Barabasi burstiness of inter-event gaps per user:
+    // B = (sigma - mu)/(sigma + mu) in [-1, 1] — -1 periodic, 0 Poisson,
+    // ->1 bursty; the single-number companion of q168's KS test
+    "q177_burstiness" -> ((s, dir) => {
+      val tUs = unix_micros(col("ts").cast("timestamp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(tUs)
+      val gaps = ev(s, dir)
+        .withColumn("_gap", (tUs - lag(tUs, 1).over(w)).cast("double") / lit(1e6))
+        .filter(col("_gap").isNotNull && col("_gap") > 0)
+      gaps.groupBy(col("user_id"))
+        .agg(avg(col("_gap")).as("_mu"), stddev_pop(col("_gap")).as("_sd"),
+          count(lit(1)).as("n_gaps"))
+        .withColumn("burstiness", when(col("_sd") + col("_mu") > 0,
+          (col("_sd") - col("_mu")) / (col("_sd") + col("_mu"))))
+        .select(col("user_id"), r6(col("burstiness")).as("burstiness"),
+          r6(col("_mu")).as("mean_gap"), col("n_gaps"))
+        .orderBy("user_id")
     })
   )
 
@@ -5165,7 +5206,37 @@ object SparkEntry {
         |  round(corr(a.v, b.v), 6) AS corr, count(*) AS n_days
         |FROM daily a JOIN daily b
         |  ON a.d = b.d AND a.event_type < b.event_type
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // H = sum (n/nt) * (-ln(n/nf)) over transition cells
+    "q176_seq_entropy" ->
+      """WITH s AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events WHERE event_type IS NOT NULL),
+        |p AS (SELECT event_type AS f, next_type AS t, count(*) AS n
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT f, sum(n)::BIGINT AS nf FROM p GROUP BY 1),
+        |tt AS (SELECT sum(n)::BIGINT AS nt FROM p)
+        |SELECT round(sum((p.n::DOUBLE / tt.nt) * (-ln(p.n::DOUBLE / ft.nf))), 6)
+        |    AS entropy_rate,
+        |  count(*) AS n_cells, max(tt.nt) AS n_transitions
+        |FROM p JOIN ft USING (f), tt""".stripMargin,
+
+    // B = (sd_pop - mu)/(sd_pop + mu) over positive inter-event gaps
+    "q177_burstiness" ->
+      """WITH g AS (SELECT user_id,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts)))::DOUBLE / 1000000.0 AS gap
+        |  FROM events),
+        |gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL AND gap > 0),
+        |m AS (SELECT user_id, avg(gap) AS mu, stddev_pop(gap) AS sd,
+        |    count(*) AS n_gaps FROM gg GROUP BY 1)
+        |SELECT user_id,
+        |  round(CASE WHEN sd + mu > 0 THEN (sd - mu) / (sd + mu) END, 6)
+        |    AS burstiness,
+        |  round(mu, 6) AS mean_gap, n_gaps
+        |FROM m ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE
