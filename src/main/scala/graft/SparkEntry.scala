@@ -2353,6 +2353,68 @@ object SparkEntry {
         .select(col("user_id"), r6(col("burstiness")).as("burstiness"),
           r6(col("_mu")).as("mean_gap"), col("n_gaps"))
         .orderBy("user_id")
+    }),
+
+    // daily quantile fan per event_type (p10/p25/p50/p75/p90) — the
+    // dashboard fan-chart read, exact percentiles per bucket
+    "q178_fan_chart" -> ((s, dir) => {
+      ev(s, dir).filter(col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(r6(percentile(col("value"), lit(0.1))).as("p10"),
+          r6(percentile(col("value"), lit(0.25))).as("p25"),
+          r6(percentile(col("value"), lit(0.5))).as("p50"),
+          r6(percentile(col("value"), lit(0.75))).as("p75"),
+          r6(percentile(col("value"), lit(0.9))).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "d")
+    }),
+
+    // Mann-Whitney U between the month halves per user over average ranks
+    // (no tie correction, pinned) — the NONPARAMETRIC mean-drift test
+    // beside q169's Welch t
+    "q179_mann_whitney" -> ((s, dir) => {
+      val split = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val e = ev(s, dir).filter(col("value").isNotNull)
+        .withColumn("_g", when(col("ts") < split, 1L).otherwise(0L))
+      val ranked = e
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("value"))).cast("double"))
+        .withColumn("_rk", avg(col("_rn")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("value"))))
+      ranked.groupBy(col("user_id"))
+        .agg(sum(when(col("_g") === 1, col("_rk"))).as("_r1"),
+          sum(col("_g")).as("n1"),
+          sum(lit(1L) - col("_g")).as("n2"))
+        .withColumn("u", col("_r1") - col("n1") * (col("n1") + 1) / lit(2.0))
+        .withColumn("z", when(col("n1") > 0 && col("n2") > 0,
+          (col("u") - col("n1") * col("n2") / lit(2.0)) /
+            sqrt(col("n1") * col("n2") * (col("n1") + col("n2") + 1) / lit(12.0))))
+        .select(col("user_id"), r6(col("u")).as("u"), r6(col("z")).as("z"),
+          col("n1"), col("n2"))
+        .orderBy("user_id")
+    }),
+
+    // running-record tracking per user: how many times the daily total set
+    // a new all-time high, and when the standing record was set
+    "q180_records" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      daily
+        .withColumn("_is_rec",
+          when(col("v") >= max(col("v")).over(w), 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("_is_rec")).as("n_records"),
+          max(when(col("_is_rec") === 1, col("d"))).as("last_record_day"),
+          r6(max(col("v"))).as("record_value"),
+          count(lit(1)).as("n_days"))
+        .orderBy("user_id")
     })
   )
 
@@ -5236,7 +5298,51 @@ object SparkEntry {
         |  round(CASE WHEN sd + mu > 0 THEN (sd - mu) / (sd + mu) END, 6)
         |    AS burstiness,
         |  round(mu, 6) AS mean_gap, n_gaps
-        |FROM m ORDER BY 1""".stripMargin
+        |FROM m ORDER BY 1""".stripMargin,
+
+    "q178_fan_chart" ->
+      """SELECT event_type, date_trunc('day', ts) AS d,
+        |  round(quantile_cont(value, 0.1), 6) AS p10,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.75), 6) AS p75,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  count(*) AS n
+        |FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // average ranks over the pooled sample; U = R1 - n1(n1+1)/2
+    "q179_mann_whitney" ->
+      """WITH b AS (SELECT user_id, value::DOUBLE AS v,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS g
+        |  FROM events WHERE value IS NOT NULL),
+        |r1 AS (SELECT *, (row_number() OVER (PARTITION BY user_id ORDER BY v))::DOUBLE AS rn
+        |  FROM b),
+        |r2 AS (SELECT *, avg(rn) OVER (PARTITION BY user_id, v) AS rk FROM r1),
+        |g AS (SELECT user_id, sum(CASE WHEN g = 1 THEN rk END) AS rr1,
+        |    sum(g)::BIGINT AS n1, sum(1 - g)::BIGINT AS n2
+        |  FROM r2 GROUP BY 1),
+        |u AS (SELECT user_id, rr1 - n1 * (n1 + 1) / 2.0 AS u, n1, n2 FROM g)
+        |SELECT user_id, round(u, 6) AS u,
+        |  round(CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    (u - n1 * n2 / 2.0)
+        |    / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0) END, 6) AS z,
+        |  n1, n2
+        |FROM u ORDER BY 1""".stripMargin,
+
+    // record iff v >= running max (ties re-count, pinned)
+    "q180_records" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    sum(value) AS v FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, d, v,
+        |    CASE WHEN v >= max(v) OVER (PARTITION BY user_id ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    THEN 1 ELSE 0 END AS is_rec
+        |  FROM daily)
+        |SELECT user_id, sum(is_rec)::BIGINT AS n_records,
+        |  max(CASE WHEN is_rec = 1 THEN d END) AS last_record_day,
+        |  round(max(v), 6) AS record_value, count(*) AS n_days
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE
