@@ -2415,6 +2415,46 @@ object SparkEntry {
           r6(max(col("v"))).as("record_value"),
           count(lit(1)).as("n_days"))
         .orderBy("user_id")
+    }),
+
+    // content novelty per document: tf-weighted mean IDF of its tokens
+    // (sum(tfidf)/sum(tf) over the q101 frame) — high = niche content worth
+    // keeping, low = boilerplate-adjacent
+    "q181_idf_novelty" -> ((s, dir) => {
+      TextAnalysis.tfidf(docs(s, dir), "doc_id", "text")
+        .groupBy(col("id").as("doc_id"))
+        .agg((sum(col("tfidf")) / sum(col("tf"))).as("_nov"),
+          sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_types"))
+        .select(col("doc_id"), r6(col("_nov")).as("novelty"), col("n_tokens"),
+          col("n_types"))
+        .orderBy("doc_id")
+    }),
+
+    // hour-of-day load profile per event_type — the daily-cycle heatmap
+    // behind capacity planning (q14's calendar features aggregated)
+    "q182_hour_profile" -> ((s, dir) => {
+      ev(s, dir).filter(col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"), r6(avg(col("value"))).as("v_avg"))
+        .orderBy("event_type", "hr")
+    }),
+
+    // changepoint LOCALIZATION composed over q87's shift scores: the single
+    // most likely break day per user (rounded-score argmax, earliest tie)
+    "q183_changepoint_loc" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val scored = graft.operators.Anomaly.meanShiftScore(daily,
+          Seq("user_id"), "d", "v", w = 5)
+        .filter(col("shift_score").isNotNull)
+        .withColumn("_r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(r6(col("shift_score")).desc, col("d"))))
+      scored.filter(col("_r") === 1)
+        .select(col("user_id"), unix_timestamp(col("d")).as("break_day_sec"),
+          r6(col("shift_score")).as("shift_score"))
+        .orderBy("user_id")
     })
   )
 
@@ -5342,7 +5382,52 @@ object SparkEntry {
         |SELECT user_id, sum(is_rec)::BIGINT AS n_records,
         |  max(CASE WHEN is_rec = 1 THEN d END) AS last_record_day,
         |  round(max(v), 6) AS record_value, count(*) AS n_days
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q101's tfidf summed per doc over tf
+    "q181_idf_novelty" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.tf,
+        |    tf.tf * (ln((1 + n.n_docs)::DOUBLE / (1 + dft.df)) + 1) AS tfidf
+        |  FROM tf JOIN dft USING (term), n)
+        |SELECT doc_id, round(sum(tfidf) / sum(tf), 6) AS novelty,
+        |  sum(tf)::BIGINT AS n_tokens, count(*) AS n_types
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q182_hour_profile" ->
+      """SELECT event_type, extract(hour FROM ts)::INT AS hr,
+        |  count(*) AS n, round(avg(value), 6) AS v_avg
+        |FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q87's scores, rounded-score argmax with earliest-day tie-break
+    "q183_changepoint_loc" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |s AS (SELECT user_id, d,
+        |    count(v) OVER l AS cl, count(v) OVER r AS cr,
+        |    avg(v) OVER l AS ml, avg(v) OVER r AS mr,
+        |    var_samp(v) OVER l / 5 + var_samp(v) OVER r / 5 AS pooled
+        |  FROM daily
+        |  WINDOW l AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
+        |         r AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)),
+        |sc AS (SELECT user_id, d,
+        |    CASE WHEN cl = 5 AND cr = 5 AND pooled > 0
+        |      THEN abs(mr - ml) / sqrt(pooled) END AS score
+        |  FROM s),
+        |rk AS (SELECT user_id, d, score,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY round(score, 6) DESC, d) AS r
+        |  FROM sc WHERE score IS NOT NULL)
+        |SELECT user_id, floor(epoch(d))::BIGINT AS break_day_sec,
+        |  round(score, 6) AS shift_score
+        |FROM rk WHERE r = 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE
