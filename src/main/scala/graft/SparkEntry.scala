@@ -1949,12 +1949,14 @@ object SparkEntry {
 
     // 1-Wasserstein drift magnitude per user on the month-half split —
     // PSI/KS say WHETHER the distribution moved; W1 says BY HOW MUCH, in
-    // the value's own units
+    // the value's own units. The measure is 2-decimal quantized, so the
+    // integer-exact variant runs (bit-exact cross-engine; the generic
+    // double path's last ulp is engine-order-dependent)
     "q152_wasserstein" -> ((s, dir) => {
       val split = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
       val e = ev(s, dir)
-      graft.operators.Drift.wasserstein1(e.filter(col("ts") < split),
-          e.filter(col("ts") >= split), Seq("user_id"), "value")
+      graft.operators.Drift.wasserstein1Quantized(e.filter(col("ts") < split),
+          e.filter(col("ts") >= split), Seq("user_id"), "value", scale = 100L)
         .select(col("user_id"), r6(col("w1")).as("w1"), col("n_ref"),
           col("n_cur"))
         .orderBy("user_id")
@@ -4863,25 +4865,29 @@ object SparkEntry {
         |  nn.n
         |FROM sa JOIN nn USING (user_id) ORDER BY 1""".stripMargin,
 
-    // W1 = sum |F_ref - F_cur| * (next_v - v) over the merged value grid
+    // W1 on integer cents: sum |sr*nc - sc*nr| * gap_cents is EXACT integer
+    // arithmetic; floats only in the single final division
     "q152_wasserstein" ->
-      """WITH t AS (SELECT user_id, value::DOUBLE AS v,
+      """WITH t AS (SELECT user_id,
+        |    CAST(round(value::DOUBLE * 100) AS BIGINT) AS v,
         |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS ir,
         |    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS ic
         |  FROM events WHERE value IS NOT NULL),
-        |pv AS (SELECT user_id, v, sum(ir) AS cr, sum(ic) AS cc FROM t GROUP BY 1, 2),
+        |pv AS (SELECT user_id, v, sum(ir)::BIGINT AS cr, sum(ic)::BIGINT AS cc
+        |  FROM t GROUP BY 1, 2),
         |cum AS (SELECT user_id,
-        |    sum(cr) OVER (PARTITION BY user_id ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sr,
-        |    sum(cc) OVER (PARTITION BY user_id ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sc,
-        |    sum(cr) OVER (PARTITION BY user_id) AS nr,
-        |    sum(cc) OVER (PARTITION BY user_id) AS nc,
+        |    (sum(cr) OVER (PARTITION BY user_id ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sr,
+        |    (sum(cc) OVER (PARTITION BY user_id ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sc,
+        |    (sum(cr) OVER (PARTITION BY user_id))::BIGINT AS nr,
+        |    (sum(cc) OVER (PARTITION BY user_id))::BIGINT AS nc,
         |    lead(v) OVER (PARTITION BY user_id ORDER BY v) - v AS gap
         |  FROM pv)
         |SELECT user_id,
-        |  round(sum(CASE WHEN gap IS NOT NULL
-        |    THEN abs(sr::DOUBLE / nr - sc::DOUBLE / nc) * gap END), 6) AS w1,
+        |  round((sum(CASE WHEN gap IS NOT NULL
+        |      THEN abs(sr * nc - sc * nr) * gap ELSE 0 END))::DOUBLE
+        |    / (max(nr) * max(nc))::DOUBLE / 100, 6) AS w1,
         |  max(nr)::BIGINT AS n_ref, max(nc)::BIGINT AS n_cur
         |FROM cum WHERE nr > 0 AND nc > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
 

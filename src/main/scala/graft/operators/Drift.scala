@@ -128,11 +128,56 @@ object Drift {
       .withColumn("n_cur", sum(col("_cc")).over(wAll))
       .withColumn("_gap", lead(col("_v"), 1).over(wNext) - col("_v"))
       .filter(col("n_ref") > 0 && col("n_cur") > 0)
+    // NOTE: the float accumulation order is engine-internal (DuckDB windows
+    // sum through a segment tree, Spark sequentially), so the last ulp of
+    // w1 is NOT cross-engine reproducible — for decimal-quantized measures
+    // use [[wasserstein1Quantized]], which is integer-exact end to end
+    cum.withColumn("_w1cum", sum(when(col("_gap").isNotNull,
+        abs(col("_sr") / col("n_ref") - col("_sc") / col("n_cur")) * col("_gap")))
+        .over(w))
+      .groupBy(keys: _*)
+      .agg(max(col("_w1cum")).as("w1"),
+        max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"))
+  }
+
+  /** [[wasserstein1]] for decimal-quantized measures, BIT-EXACT across
+    * engines: values scale to integer units (e.g. cents at scale=100), the
+    * gap integral becomes Σ |sr·nc − sc·nr| · gapᵤ — a pure INTEGER sum no
+    * float-accumulation order can perturb — and floats appear only in the
+    * single final division w1 = Σ / (n_ref·n_cur) / scale. The integer sum
+    * is bounded by n_ref·n_cur·range·scale: within long for realistic
+    * windows (document the bound when pointing it at 10⁹-row windows).
+    */
+  def wasserstein1Quantized(ref: DataFrame, cur: DataFrame, keyCols: Seq[String],
+                            valueCol: String, scale: Long = 100L): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val keys = keyCols.map(col)
+    val vq = round(col(valueCol).cast("double") * scale).cast("long")
+    val tagged = ref.filter(col(valueCol).isNotNull)
+      .select((keys :+ vq.as("_v") :+ lit(1L).as("_ir") :+ lit(0L).as("_ic")): _*)
+      .unionByName(cur.filter(col(valueCol).isNotNull)
+        .select((keys :+ vq.as("_v") :+ lit(0L).as("_ir") :+ lit(1L).as("_ic")): _*))
+    val perVal = tagged.groupBy((keys :+ col("_v")): _*)
+      .agg(sum(col("_ir")).as("_cr"), sum(col("_ic")).as("_cc"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    val wNext = Window.partitionBy(keys: _*).orderBy(col("_v"))
+    val cum = perVal
+      .withColumn("_sr", sum(col("_cr")).over(w))
+      .withColumn("_sc", sum(col("_cc")).over(w))
+      .withColumn("n_ref", sum(col("_cr")).over(wAll))
+      .withColumn("n_cur", sum(col("_cc")).over(wAll))
+      .withColumn("_gap", lead(col("_v"), 1).over(wNext) - col("_v"))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
     cum.groupBy(keys: _*)
       .agg(sum(when(col("_gap").isNotNull,
-        abs(col("_sr") / col("n_ref") - col("_sc") / col("n_cur")) * col("_gap")))
-        .as("w1"),
+        abs(col("_sr") * col("n_cur") - col("_sc") * col("n_ref")) * col("_gap"))
+        .otherwise(lit(0L))).as("_int"),
         max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"))
+      .withColumn("w1", col("_int").cast("double") /
+        (col("n_ref") * col("n_cur")).cast("double") / scale)
+      .select((keys :+ col("w1") :+ col("n_ref") :+ col("n_cur")): _*)
   }
 
   /** Two-proportion z-test per key (the standard A/B and rate-drift test):

@@ -870,6 +870,19 @@ class PipelineOpsSpec extends SparkSuite {
     assert(math.abs(r2.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("wasserstein1Quantized: equals the generic form on 2-decimal data, translation exact") {
+    import graft.operators.Drift
+    val ref = Seq(1.25, 2.50, 5.75, 9.00).map((1L, _)).toDF("k", "v")
+    val cur = Seq(4.25, 5.50, 8.75, 12.00).map((1L, _)).toDF("k", "v")
+    val q = Drift.wasserstein1Quantized(ref, cur, Seq("k"), "v", scale = 100L)
+      .collect()(0).getDouble(1)
+    val g = Drift.wasserstein1(ref, cur, Seq("k"), "v").collect()(0).getDouble(1)
+    assert(math.abs(q - g) < 1e-9, s"quantized $q vs generic $g")
+    assert(q == 3.0) // pure translation by +3.00: integer-exact
+    assert(Drift.wasserstein1Quantized(ref, ref, Seq("k"), "v")
+      .collect()(0).getDouble(1) == 0.0)
+  }
+
   test("rrf: hand fusion scores, union semantics for one-system docs, per-query windows") {
     import graft.operators.Fusion
     // doc A: rank 1 + rank 2 -> 1/61 + 1/62; doc B: rank 2 only; doc C: rank 1 only
