@@ -2457,6 +2457,43 @@ object SparkEntry {
         .select(col("user_id"), unix_timestamp(col("d")).as("break_day_sec"),
           r6(col("shift_score")).as("shift_score"))
         .orderBy("user_id")
+    }),
+
+    // maximum drawdown of each user's daily series: the deepest drop from
+    // a running peak — pure max/min/subtraction window algebra, no float
+    // accumulation anywhere
+    "q184_drawdown" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      daily
+        .withColumn("_dd", max(col("v")).over(w) - col("v"))
+        .groupBy(col("user_id"))
+        .agg(r6(max(col("_dd"))).as("max_drawdown"),
+          r6(max(col("v"))).as("peak"), count(lit(1)).as("n_days"))
+        .orderBy("user_id")
+    }),
+
+    // the longest silence per user (max inter-event gap) and when it ended
+    // — the availability/liveness read; again pure lag/max algebra
+    "q185_max_silence" -> ((s, dir) => {
+      val tUs = unix_micros(col("ts").cast("timestamp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(tUs, col("event_id"))
+      ev(s, dir)
+        .withColumn("_gap", tUs - lag(tUs, 1).over(w))
+        .filter(col("_gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(col("_gap")).as("max_gap_us"), count(lit(1)).as("n_gaps"))
+        .withColumn("max_gap_hours", r6(col("max_gap_us").cast("double") /
+          lit(3600e6)))
+        .select(col("user_id"), col("max_gap_us"), col("max_gap_hours"),
+          col("n_gaps"))
+        .orderBy("user_id")
     })
   )
 
@@ -5433,7 +5470,28 @@ object SparkEntry {
         |  FROM sc WHERE score IS NOT NULL)
         |SELECT user_id, floor(epoch(d))::BIGINT AS break_day_sec,
         |  round(score, 6) AS shift_score
-        |FROM rk WHERE r = 1 ORDER BY 1""".stripMargin
+        |FROM rk WHERE r = 1 ORDER BY 1""".stripMargin,
+
+    "q184_drawdown" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    sum(value) AS v FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, v,
+        |    max(v) OVER (PARTITION BY user_id ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - v AS dd
+        |  FROM daily)
+        |SELECT user_id, round(max(dd), 6) AS max_drawdown,
+        |  round(max(v), 6) AS peak, count(*) AS n_days
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q185_max_silence" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, max(gap)::BIGINT AS max_gap_us,
+        |  round(max(gap)::DOUBLE / 3600000000.0, 6) AS max_gap_hours,
+        |  count(gap) AS n_gaps
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE
