@@ -2494,6 +2494,46 @@ object SparkEntry {
         .select(col("user_id"), col("max_gap_us"), col("max_gap_hours"),
           col("n_gaps"))
         .orderBy("user_id")
+    }),
+
+    // per-source corpus governance: volume, size, language diversity — the
+    // source-mix report every training-data pipeline publishes
+    "q186_source_mix" -> ((s, dir) => {
+      docs(s, dir).filter(col("source").isNotNull)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          r6(avg(col("n_chars"))).as("mean_chars"),
+          count_distinct(col("lang")).as("n_langs"))
+        .orderBy("source")
+    }),
+
+    // language-by-source chi-square independence from exact counts — is
+    // the language mix uniform across sources, or do sources specialize
+    "q187_lang_source_chi2" -> ((s, dir) => {
+      val cells = docs(s, dir)
+        .filter(col("source").isNotNull && col("lang").isNotNull)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy("source").agg(sum(col("o")).as("nr"))
+      val colT = cells.groupBy("lang").agg(sum(col("o")).as("nc"))
+      val tot = cells.agg(sum(col("o")).as("n"))
+      cells.join(broadcast(rowT), "source").join(broadcast(colT), "lang")
+        .join(broadcast(tot))
+        .withColumn("_e", col("nr").cast("double") * col("nc") / col("n"))
+        .agg(r6(sum((col("o") - col("_e")) * (col("o") - col("_e")) /
+          col("_e"))).as("chi2"),
+          count(lit(1)).as("n_cells"), max(col("n")).as("n"))
+    }),
+
+    // exact-duplicate rate per source — which ingest feeds are dirty
+    "q188_dup_rate" -> ((s, dir) => {
+      docs(s, dir).filter(col("source").isNotNull)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(md5(col("text"))).as("n_distinct"))
+        .withColumn("dup_rate", r6((col("n_docs") - col("n_distinct")) /
+          col("n_docs")))
+        .orderBy("source")
     })
   )
 
@@ -5491,7 +5531,36 @@ object SparkEntry {
         |SELECT user_id, max(gap)::BIGINT AS max_gap_us,
         |  round(max(gap)::DOUBLE / 3600000000.0, 6) AS max_gap_hours,
         |  count(gap) AS n_gaps
-        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q186_source_mix" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars,
+        |  round(avg(n_chars), 6) AS mean_chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM documents WHERE source IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // expected = row_total * col_total / n over exact integer counts
+    "q187_lang_source_chi2" ->
+      """WITH cells AS (SELECT source, lang, count(*) AS o FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT source, sum(o)::BIGINT AS nr FROM cells GROUP BY 1),
+        |ct AS (SELECT lang, sum(o)::BIGINT AS nc FROM cells GROUP BY 1),
+        |tt AS (SELECT sum(o)::BIGINT AS n FROM cells),
+        |e AS (SELECT cells.o, rt.nr::DOUBLE * ct.nc / tt.n AS ex
+        |  FROM cells JOIN rt USING (source) JOIN ct USING (lang), tt)
+        |SELECT round(sum((o - ex) * (o - ex) / ex), 6) AS chi2,
+        |  count(*) AS n_cells, max(tt.n)::BIGINT AS n
+        |FROM e, tt""".stripMargin,
+
+    "q188_dup_rate" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  round((count(*) - count(DISTINCT md5(text)))::DOUBLE / count(*), 6)
+        |    AS dup_rate
+        |FROM documents WHERE source IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE
