@@ -2534,6 +2534,37 @@ object SparkEntry {
         .withColumn("dup_rate", r6((col("n_docs") - col("n_distinct")) /
           col("n_docs")))
         .orderBy("source")
+    }),
+
+    // TPC-H Q5-shaped five-table chain: revenue by nation within one
+    // region — dimension tables broadcast, only the two fact tables shuffle
+    "q189_revenue_by_nation" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+      val reg = s.read.parquet(s"$dir/region.parquet")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(r6(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // order-priority mix by month — pure integer counts, the order-book
+    // seasonality read
+    "q190_priority_mix" -> ((s, dir) => {
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      ord.filter(col("o_orderpriority").isNotNull)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mon"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r6(avg(col("o_totalprice"))).as("avg_price"))
+        .orderBy("mon", "o_orderpriority")
     })
   )
 
@@ -5560,7 +5591,25 @@ object SparkEntry {
         |  round((count(*) - count(DISTINCT md5(text)))::DOUBLE / count(*), 6)
         |    AS dup_rate
         |FROM documents WHERE source IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q189_revenue_by_nation" ->
+      """SELECT n.n_name,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q190_priority_mix" ->
+      """SELECT date_trunc('month', o_orderdate) AS mon, o_orderpriority,
+        |  count(*) AS n, round(avg(o_totalprice), 6) AS avg_price
+        |FROM orders WHERE o_orderpriority IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE
