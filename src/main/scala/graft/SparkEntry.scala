@@ -2565,6 +2565,89 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           r6(avg(col("o_totalprice"))).as("avg_price"))
         .orderBy("mon", "o_orderpriority")
+    }),
+
+    // Exact heavy hitters via two-pass Misra–Gries (k=64 counters per
+    // group, candidates re-counted exactly): the scale-right way to find
+    // frequent items without shuffling the long tail. The item domain is
+    // constructed skewed (70% of rows carry a unique tail item, 30%
+    // concentrate on 3 hot items) so the MG eviction path is genuinely
+    // exercised — the tail domain (~1400 distinct per group at sf0.01) is
+    // 20× the counter budget. The threshold max(minCount, floor(N_g/k)+1)
+    // makes the MG pass lossless, so the output equals the oracle's full
+    // groupBy-count HAVING answer exactly.
+    "q191_heavy_hitters" -> ((s, dir) => {
+      val items = ev(s, dir).select(col("event_type"),
+        when(pmod(col("event_id"), lit(10)) < 7,
+          concat(lit("u"), col("event_id")))
+          .otherwise(concat(lit("hot_"), pmod(col("event_id"), lit(3))))
+          .as("item0"))
+      graft.operators.HeavyHitters.frequentItems(
+          items, Seq("event_type"), "item0", k = 64, minCount = 1L)
+        .select(col("event_type"), col("item"), col("cnt"), col("n_group"),
+          col("threshold").cast("long").as("threshold"))
+        .orderBy("event_type", "item")
+    }),
+
+    // DDSketch relative-error quantile sketch (α=2%) on cents-quantized
+    // event values: per-user sketches MERGED to event_type (tests full
+    // mergeability), then p50/p95 bucket lookup. Output compares the
+    // bucket INDEXES — integers, so the oracle twin (same log-bucket
+    // formula, verified ulp-identical across engines for the whole
+    // integer domain 1..10⁶) matches exactly.
+    "q192_ddsketch" -> ((s, dir) => {
+      val cents = ev(s, dir)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      val perUser = graft.operators.Sketch.build(
+        cents, Seq("event_type", "user_id"), "cents", alpha = 0.02)
+      val merged = graft.operators.Sketch.merge(perUser, Seq("event_type"))
+      graft.operators.Sketch.quantiles(merged, Seq("event_type"),
+          qs = Seq(0.5, 0.95), alpha = 0.02)
+        .select(col("event_type"), col("q"), col("n"), col("bucket"))
+        .orderBy("event_type", "q")
+    }),
+
+    // Spectral entropy of the Schuster periodogram (q129's spectrum):
+    // how concentrated is the series' energy across candidate periods —
+    // ≈0 for a pure seasonal signal, ≈1 for white noise. Dominant period
+    // chosen on the 6-dp-rounded power with a smallest-period tie-break
+    // (cross-engine-safe ranking).
+    "q193_spectral_entropy" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val per = Features.periodogram(daily, Seq("user_id"), "d", "v",
+        periods = Seq(2, 3, 7, 14))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      val p = per
+        .withColumn("p_share", col("power") / sum(col("power")).over(w))
+        .withColumn("dom_rn", row_number().over(
+          w.orderBy(r6(col("power")).desc, col("period").asc)))
+      p.groupBy(col("user_id"))
+        .agg(
+          r6(-sum(when(col("p_share") > 0,
+            col("p_share") * log(col("p_share"))).otherwise(lit(0.0))) /
+            log(count(lit(1)).cast("double"))).as("spectral_entropy"),
+          max(when(col("dom_rn") === 1, col("period"))).as("dominant_period"))
+        .orderBy("user_id")
+    }),
+
+    // Tracking-param scrub (Hier.stripTracking: utm_*/gclid/fbclid removal
+    // with separator repair) COMPOSED with the q91 canonicalizer — the full
+    // normalize-before-dedup chain of a crawl pipeline, mapping every
+    // tracking-decorated variant of a page to one dedup key. URLs are
+    // constructed deterministically from doc_id in BOTH engines; the
+    // oracle replays strip + canonicalize regex-for-regex.
+    "q194_url_scrub" -> ((s, dir) => {
+      val id = col("doc_id")
+      val messy = concat(lit("https://Tr."), col("source"),
+        lit(".Example.COM:443/p/"), id.cast("string"),
+        lit("?utm_source=feed&b="), id.cast("string"), lit("&utm_campaign=x&a=1"),
+        when(pmod(id, lit(7)) === 0, lit("#sec")).otherwise(lit("")))
+      docs(s, dir)
+        .select(id, Hier.stripTracking(messy).as("scrubbed"))
+        .withColumn("canon", Hier.canonicalizeUrl(col("scrubbed")))
+        .orderBy("doc_id")
     })
   )
 
@@ -5609,7 +5692,112 @@ object SparkEntry {
       """SELECT date_trunc('month', o_orderdate) AS mon, o_orderpriority,
         |  count(*) AS n, round(avg(o_totalprice), 6) AS avg_price
         |FROM orders WHERE o_orderpriority IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // full count + HAVING over every item: what the engine's two-pass
+    // Misra–Gries answers WITHOUT shuffling the tail — exact-equality twin
+    "q191_heavy_hitters" ->
+      """WITH items AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 10 < 7 THEN 'u' || event_id
+        |         ELSE 'hot_' || (event_id % 3) END AS item
+        |  FROM events),
+        |g AS (SELECT event_type, count(*) AS n_group FROM items GROUP BY 1),
+        |c AS (SELECT event_type, item, count(*)::BIGINT AS cnt
+        |  FROM items GROUP BY 1, 2)
+        |SELECT c.event_type, c.item, c.cnt, g.n_group::BIGINT AS n_group,
+        |  greatest(1::BIGINT, CAST(floor(g.n_group / 64.0) AS BIGINT) + 1)
+        |    AS threshold
+        |FROM c JOIN g USING (event_type)
+        |WHERE c.cnt >=
+        |  greatest(1::BIGINT, CAST(floor(g.n_group / 64.0) AS BIGINT) + 1)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // identical log-bucket formula on the integer cents domain (verified
+    // ulp-identical JVM vs DuckDB for all n in [1,10^6], tools/lncheck);
+    // rank convention floor(q*(n-1))+1, bucket indexes compared as ints
+    "q192_ddsketch" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT event_type,
+        |    CASE WHEN cents <= 0 THEN -1
+        |      ELSE CAST(ceil(ln(cents::DOUBLE) /
+        |        ln((1.0+0.02)/(1.0-0.02))) AS BIGINT) END AS bucket
+        |  FROM c),
+        |g AS (SELECT event_type, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |w AS (SELECT event_type, bucket,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM g),
+        |q AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q),
+        |r AS (SELECT w.event_type, q.q, w.n, w.bucket, w.cum,
+        |    CAST(floor(q.q * (w.n - 1)) + 1 AS BIGINT) AS rnk
+        |  FROM w CROSS JOIN q)
+        |SELECT event_type, q, n::BIGINT AS n,
+        |  min(CASE WHEN cum >= rnk THEN bucket END) AS bucket
+        |FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+
+    // q129's spectrum + Shannon entropy of the normalized powers; dominant
+    // period ranked on the 6-dp-quantized power (same arithmetic rounding
+    // as the Spark side) with smallest-period tie-break
+    "q193_spectral_entropy" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |r AS (SELECT user_id, v::DOUBLE AS y,
+        |    (row_number() OVER (PARTITION BY user_id ORDER BY d) - 1)::DOUBLE AS t
+        |  FROM daily),
+        |c AS (SELECT user_id, avg(y) AS mu FROM r GROUP BY 1),
+        |z AS (SELECT r.user_id, r.t, r.y - c.mu AS z
+        |  FROM r JOIN c USING (user_id)),
+        |p AS (SELECT unnest([2, 3, 7, 14]) AS period),
+        |a AS (SELECT z.user_id, p.period,
+        |    sum(z.z * cos(z.t * (2.0 * pi() / p.period))) AS sc,
+        |    sum(z.z * sin(z.t * (2.0 * pi() / p.period))) AS ss
+        |  FROM z CROSS JOIN p GROUP BY 1, 2),
+        |pw AS (SELECT user_id, period, sc*sc + ss*ss AS power FROM a),
+        |t AS (SELECT user_id, period, power,
+        |    power / sum(power) OVER (PARTITION BY user_id) AS p_share,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY floor(power*1e6 + 0.5) DESC, period ASC) AS dom_rn
+        |  FROM pw)
+        |SELECT user_id,
+        |  round(-sum(CASE WHEN p_share > 0 THEN p_share * ln(p_share)
+        |    ELSE 0 END) / ln(count(*)::DOUBLE), 6) AS spectral_entropy,
+        |  max(CASE WHEN dom_rn = 1 THEN period END)::INT AS dominant_period
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // strip replayed regex-for-regex (DuckDB needs the 'g' flag where Java
+    // replaces all matches by default), then the q91 canonicalizer replay
+    "q194_url_scrub" ->
+      """WITH u0 AS (SELECT doc_id,
+        |  'https://Tr.' || source || '.Example.COM:443/p/' || doc_id ||
+        |  '?utm_source=feed&b=' || doc_id || '&utm_campaign=x&a=1' ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents),
+        |st AS (SELECT doc_id, regexp_replace(regexp_replace(url,
+        |  '(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid)=[^&#]*&?', '', 'g'),
+        |  '[?&]+(#|$)', '\1') AS scrubbed FROM u0),
+        |p AS (SELECT doc_id, scrubbed,
+        |  lower(regexp_extract(scrubbed, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_extract(scrubbed, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+        |  regexp_extract(scrubbed, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |  regexp_extract(scrubbed, '\?([^#]*)', 1) AS query
+        |  FROM st),
+        |q AS (SELECT *, regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+        |  lower(regexp_replace(auth, ':[0-9]+$', '')) AS hostp,
+        |  coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |    x -> x <> '')), '&'), '') AS sq
+        |  FROM p)
+        |SELECT doc_id, scrubbed,
+        |  CASE WHEN scheme = '' THEN NULL ELSE
+        |    scheme || '://' || hostp
+        |    || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |             OR (scheme = 'https' AND port = '443') THEN ''
+        |        ELSE ':' || port END)
+        |    || (CASE WHEN path = '' THEN '/' ELSE path END)
+        |    || (CASE WHEN sq = '' THEN '' ELSE '?' || sq END)
+        |  END AS canon
+        |FROM q ORDER BY doc_id""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -72,6 +72,22 @@ object Hier {
       .otherwise(concat(scheme, lit("://"), hostp, portPart, pathPart, qPart))
   }
 
+  /** Strip tracking query params (utm_*, gclid, fbclid, msclkid, mc_eid)
+    * from a URL, repairing the separators they leave behind — the scrub
+    * step that runs BEFORE [[canonicalizeUrl]] in a crawl-dedup pipeline
+    * (the canonicalizer sorts and rebuilds the surviving params, so
+    * together they map every tracking-decorated variant of a page to one
+    * key). Two codegen'd regexp passes: remove each tracking param with
+    * its trailing `&`, then collapse a dangling `?`/`&` left at the end
+    * of the query (before a `#fragment` or end-of-string). No UDF, no
+    * shuffle; the q194 oracle replays the chain regex-for-regex.
+    */
+  def stripTracking(url: Column): Column = {
+    val stripped = regexp_replace(url,
+      "(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid)=[^&#]*&?", "")
+    regexp_replace(stripped, "[?&]+(#|$)", "$1")
+  }
+
   /** Salting for skewed hot keys: adds `salt ∈ [0, s)` derived from a row-level
     * column so the tier-1 aggregate fans a hot host over `s` reducers; the
     * caller re-aggregates without the salt afterwards (associative measures

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{HeavyHitters, Sketch, TextAnalysis}
+
+/** DDSketch quantile sketch, Misra–Gries heavy hitters, and URL
+  * canonicalization (oracle-covered end-to-end by q191/q192/q194; these
+  * tests pin the invariants the SQL twin can't see — the sketch's
+  * relative-error GUARANTEE against exact percentiles, exact mergeability,
+  * bucket monotonicity that the oracle's cumulative lookup relies on, MG
+  * exactness under adversarial ordering with heavy eviction, and the
+  * canonicalization contract on golden cases).
+  */
+class SketchSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val Alpha = 0.02
+
+  // seeded skewed values: lognormal-ish positive integers, 3 groups
+  private def seededValues(n: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val g = s"g${i % 3}"
+      val v = math.max(1L, math.round(math.exp(rnd.nextGaussian() * 1.5 + 5.0)))
+      (g, i % 7, v) // (group, part, value)
+    }.toDF("g", "part", "v")
+  }
+
+  test("ddsketch: bucket index is monotone over the integer domain") {
+    val lg = math.log(Sketch.gamma(Alpha))
+    var prev = Long.MinValue
+    var n = 1L
+    while (n <= 200000L) {
+      val idx = math.ceil(math.log(n.toDouble) / lg).toLong
+      assert(idx >= prev, s"bucket index decreased at n=$n")
+      prev = idx
+      n += 1
+    }
+  }
+
+  test("ddsketch: merge of partial sketches == direct build, bucket-exact") {
+    val df = seededValues(5000, seed = 7L)
+    val direct = Sketch.build(df, Seq("g"), "v", Alpha)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val merged = Sketch.merge(
+        Sketch.build(df, Seq("g", "part"), "v", Alpha), Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == direct)
+  }
+
+  test("ddsketch: quantile estimates hold the relative-error guarantee") {
+    val df = seededValues(5000, seed = 11L)
+    val qs = Seq(0.5, 0.9, 0.99)
+    val sk = Sketch.build(df, Seq("g"), "v", Alpha)
+    val est = Sketch.quantiles(sk, Seq("g"), qs, Alpha)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(4))).toMap
+    val raw = df.collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).map { case (g, vs) => (g, vs.map(_._2).sorted) }
+    for ((g, sorted) <- raw; q <- qs) {
+      val rank = (math.floor(q * (sorted.length - 1)) + 1).toInt // 1-based
+      val exact = sorted(rank - 1).toDouble
+      val e = est((g, q))
+      assert(math.abs(e - exact) / exact <= Alpha + 1e-9,
+        s"g=$g q=$q exact=$exact est=$e rel=${math.abs(e - exact) / exact}")
+    }
+  }
+
+  test("heavy hitters: exact equality with full count under heavy eviction") {
+    // domain of 800 tail items (each ~2 hits) + 4 hot items; k=32 counters
+    // per group → 25x eviction pressure; adversarial order (tail first,
+    // hot items last — the worst case for counter-based summaries)
+    val rnd = new scala.util.Random(13L)
+    val rows = (for (g <- Seq("a", "b"); i <- 0 until 1600) yield {
+      val item = if (i < 1200) s"t${rnd.nextInt(800)}" else s"hot${i % 4}"
+      (g, item)
+    }).toDF("g", "item")
+    val k = 32
+    val out = HeavyHitters.frequentItems(rows, Seq("g"), "item", k)
+      .select("g", "item", "cnt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val exact = rows.groupBy("g", "item").count()
+      .withColumn("n", sum(col("count")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .filter(col("count") >= floor(col("n") / k) + 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == exact)
+    assert(out.nonEmpty, "hot items must qualify") // 100 hits vs N/k=50
+  }
+
+  test("stripTracking: golden cases, alone and composed with canonicalizeUrl") {
+    val cases = Seq(
+      // strip + separator repair, fragment preserved
+      ("https://h.com/p?utm_source=x&id=1&utm_campaign=y#f",
+        "https://h.com/p?id=1#f"),
+      // all params were tracking → dangling '?' removed
+      ("https://h.com/?utm_a=1", "https://h.com/"),
+      ("https://h.com/p?a=1&fbclid=xyz", "https://h.com/p?a=1"),
+      ("https://h.com/p?gclid=z&a=1&mc_eid=7", "https://h.com/p?a=1"),
+      // dangling '&' before fragment repaired
+      ("https://h.com/p?a=1&utm_c=2#s", "https://h.com/p?a=1#s"),
+      // no tracking params → unchanged
+      ("http://h.com/p?b=2&a=1", "http://h.com/p?b=2&a=1"))
+    val out = cases.map(_._1).toDF("url")
+      .select(graft.functions.Hier.stripTracking(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want, s"want $want got $got")
+    }
+    // composed: tracking variants of the same page collapse to ONE key
+    val variants = Seq(
+      "HTTPS://Ex.COM:443/p/1?b=2&a=1",
+      "https://ex.com/p/1?utm_source=feed&a=1&b=2",
+      "https://EX.com/p/1?a=1&gclid=xyz&b=2&utm_campaign=c")
+    val keys = variants.toDF("url")
+      .select(graft.functions.Hier.canonicalizeUrl(
+        graft.functions.Hier.stripTracking(col("url"))).as("k"))
+      .collect().map(_.getString(0)).toSet
+    assert(keys == Set("https://ex.com/p/1?a=1&b=2"))
+  }
+}
