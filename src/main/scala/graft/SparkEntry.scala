@@ -2648,6 +2648,24 @@ object SparkEntry {
         .select(id, Hier.stripTracking(messy).as("scrubbed"))
         .withColumn("canon", Hier.canonicalizeUrl(col("scrubbed")))
         .orderBy("doc_id")
+    }),
+
+    // LTTB chart downsampling (Steinarsson 2013) of each user's daily
+    // integer-cents series to 20 points: shape-preserving companion to M4
+    // (q115). Integer-valued x (day index) and y (cents) make every
+    // triangle-area term float-exact, so the per-bucket argmax — the
+    // whole algorithm — is engine-independent; the oracle replays the
+    // sequential pick with a recursive CTE over the same list state.
+    "q195_lttb" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"),
+          (unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
+            .cast("long").as("d"))
+        .agg(sum(floor(col("value") * 100 + 0.5)).cast("long").as("cents"))
+      graft.operators.Lttb.downsample(daily, Seq("user_id"), "d", "cents",
+          threshold = 20)
+        .select(col("user_id"), col("x").as("d"), col("y").cast("long").as("cents"))
+        .orderBy("user_id", "d")
     })
   )
 
@@ -5797,7 +5815,59 @@ object SparkEntry {
         |    || (CASE WHEN path = '' THEN '/' ELSE path END)
         |    || (CASE WHEN sq = '' THEN '' ELSE '?' || sq END)
         |  END AS canon
-        |FROM q ORDER BY doc_id""".stripMargin
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    // the sequential LTTB pick replayed with a recursive CTE: same integer
+    // bucket boundaries (1-based list indexes = the engine's 0-based + 1),
+    // same next-bucket centroid, same abs((px-ax)(y-py)-(px-x)(ay-py))
+    // area in the same op order, first-max tie-break via list_position
+    "q195_lttb" ->
+      """WITH RECURSIVE
+        |d AS (SELECT user_id,
+        |    CAST(floor(epoch(date_trunc('day', ts))/86400) AS BIGINT) AS d,
+        |    CAST(sum(floor(value*100 + 0.5)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, list(d ORDER BY d) AS xs,
+        |    list(cents ORDER BY d) AS ys, count(*)::INT AS n
+        |  FROM d GROUP BY 1),
+        |base AS (SELECT user_id, xs, ys, n, 0 AS k, 1 AS prev,
+        |    [1] AS sel FROM s WHERE n > 20),
+        |rec AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT user_id, xs, ys, n, k + 1,
+        |    ls - 1 + list_position(areas, list_max(areas)),
+        |    list_append(sel, ls - 1 + list_position(areas, list_max(areas)))
+        |  FROM (
+        |    SELECT user_id, xs, ys, n, k, sel, ls,
+        |      list_transform(generate_series(ls, le),
+        |        i -> abs((px - ax) * (CAST(ys[i] AS DOUBLE) - py)
+        |               - (px - CAST(xs[i] AS DOUBLE)) * (ay - py))) AS areas
+        |    FROM (
+        |      SELECT user_id, xs, ys, n, k, prev, sel,
+        |        2 + (k * (n-2)) // 18 AS ls,
+        |        1 + ((k+1) * (n-2)) // 18 AS le,
+        |        CASE WHEN k = 17 THEN CAST(xs[n] AS DOUBLE)
+        |          ELSE CAST(list_sum(xs[(2 + ((k+1)*(n-2)) // 18) :
+        |                                (1 + ((k+2)*(n-2)) // 18)]) AS DOUBLE)
+        |            / (((k+2)*(n-2)) // 18 - ((k+1)*(n-2)) // 18) END AS ax,
+        |        CASE WHEN k = 17 THEN CAST(ys[n] AS DOUBLE)
+        |          ELSE CAST(list_sum(ys[(2 + ((k+1)*(n-2)) // 18) :
+        |                                (1 + ((k+2)*(n-2)) // 18)]) AS DOUBLE)
+        |            / (((k+2)*(n-2)) // 18 - ((k+1)*(n-2)) // 18) END AS ay,
+        |        CAST(xs[prev] AS DOUBLE) AS px,
+        |        CAST(ys[prev] AS DOUBLE) AS py
+        |      FROM rec WHERE k < 18)
+        |  )),
+        |fin AS (SELECT user_id, xs, ys, list_append(sel, n) AS sel
+        |  FROM rec WHERE k = 18),
+        |big AS (SELECT user_id, unnest(list_transform(sel, i ->
+        |    {'d': xs[i], 'cents': ys[i]}), recursive := true) FROM fin),
+        |small AS (SELECT user_id, d, cents FROM d
+        |  WHERE user_id IN (SELECT user_id FROM s WHERE n <= 20))
+        |SELECT user_id, d, cents FROM big
+        |UNION ALL SELECT user_id, d, cents FROM small
+        |ORDER BY user_id, d""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -29,38 +29,47 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** Misra–Gries summary: at most k counters. reduce = the classic
-    * decrement step; merge = counter-wise sum, then if over k entries
+  /** One Misra–Gries fold step: increment a live counter, insert while
+    * under budget, else the classic decrement-all (drop zeros). Shared by
+    * the batch Aggregator and [[graft.streaming.StreamingHeavyHitters]] so
+    * stream-vs-batch parity is structural.
+    */
+  private[graft] def mgReduce(b: Map[String, Long], item: String, k: Int): Map[String, Long] = {
+    if (item == null) b
+    else if (b.contains(item)) b.updated(item, b(item) + 1L)
+    else if (b.size < k) b.updated(item, 1L)
+    else b.iterator.map { case (i, c) => (i, c - 1L) }
+      .filter(_._2 > 0L).toMap
+  }
+
+  /** Merge two MG summaries: counter-wise sum, then if over k entries
     * subtract the (k+1)-st largest count from all and drop non-positives
     * (the standard mergeable-summary reduction — keeps the N/k bound).
-    * Buffer is a ≤ k-entry map regardless of input size.
+    */
+  private[graft] def mgMerge(a: Map[String, Long], b: Map[String, Long], k: Int): Map[String, Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val m = mutable.Map.empty[String, Long]
+    a.foreach { case (i, c) => m(i) = m.getOrElse(i, 0L) + c }
+    b.foreach { case (i, c) => m(i) = m.getOrElse(i, 0L) + c }
+    if (m.size <= k) m.toMap
+    else {
+      val kth = m.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      m.iterator.map { case (i, c) => (i, c - kth) }
+        .filter(_._2 > 0L).toMap
+    }
+  }
+
+  /** Misra–Gries summary Aggregator: at most k counters; buffer is a
+    * ≤ k-entry map regardless of input size.
     */
   private class MgAgg(k: Int) extends Aggregator[String, Map[String, Long], Seq[String]] {
     require(k >= 1, s"misra-gries k must be >= 1, got $k")
     def zero: Map[String, Long] = Map.empty
-
-    def reduce(b: Map[String, Long], item: String): Map[String, Long] = {
-      if (item == null) b
-      else if (b.contains(item)) b.updated(item, b(item) + 1L)
-      else if (b.size < k) b.updated(item, 1L)
-      else b.iterator.map { case (i, c) => (i, c - 1L) }
-        .filter(_._2 > 0L).toMap
-    }
-
-    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      if (a.isEmpty) return b
-      if (b.isEmpty) return a
-      val m = mutable.Map.empty[String, Long]
-      a.foreach { case (i, c) => m(i) = m.getOrElse(i, 0L) + c }
-      b.foreach { case (i, c) => m(i) = m.getOrElse(i, 0L) + c }
-      if (m.size <= k) m.toMap
-      else {
-        val kth = m.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-        m.iterator.map { case (i, c) => (i, c - kth) }
-          .filter(_._2 > 0L).toMap
-      }
-    }
-
+    def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+      mgReduce(b, item, k)
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      mgMerge(a, b, k)
     def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
     def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
     def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder()

@@ -676,6 +676,24 @@ class FeaturesSpec extends SparkSuite {
       byRole("max") == 21L * 60 && byRole("last") == 22L * 60)
   }
 
+  test("lttb: passthrough under threshold; endpoints + spike kept; shape sane") {
+    import graft.operators.Lttb
+    // passthrough: n <= t returns every point
+    val small = (0 until 5).map(i => ("k", i.toLong, i.toDouble)).toDF("k", "x", "y")
+    assert(Lttb.downsample(small, Seq("k"), "x", "y", 8).count() == 5)
+
+    // flat series with one spike: the spike MUST be among the 12 selected
+    val rnd = new scala.util.Random(3L)
+    val vals = (0 until 200).map(i =>
+      ("k", i.toLong, if (i == 137) 500.0 else rnd.nextInt(5).toDouble))
+    val out = Lttb.downsample(vals.toDF("k", "x", "y"), Seq("k"), "x", "y", 12)
+      .orderBy("x").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.length == 12)
+    assert(out.head._1 == 0L && out.last._1 == 199L) // endpoints always kept
+    assert(out.map(_._1).sliding(2).forall(p => p(0) < p(1))) // time order
+    assert(out.exists(_._1 == 137L), s"spike lost: ${out.mkString(",")}")
+  }
+
   test("cv folds match sklearn TimeSeriesSplit arithmetic") {
     val daily = (1 to 10).map(i => ("h", ts(f"2020-01-$i%02d"), i.toDouble)).toDF("host", "day", "v")
     val folds = CrossVal.timeSeriesSplits(daily, "day", nSplits = 2, gap = 1)

@@ -144,4 +144,16 @@ class PlanEvidenceSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"band attach must not sort-merge the event stream:\n$plan")
   }
+
+  test("heavy-hitters recount pass broadcasts the ≤k candidate set") {
+    import graft.operators.HeavyHitters
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_type", "cast(user_id as string) as item")
+    val hh = HeavyHitters.frequentItems(ev, Seq("event_type"), "item", k = 16)
+    val plan = finalPlan(hh).split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"pass 2 must broadcast the bounded candidate set:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the raw item stream must never sort-merge:\n$plan")
+  }
 }
