@@ -2666,6 +2666,27 @@ object SparkEntry {
           threshold = 20)
         .select(col("user_id"), col("x").as("d"), col("y").cast("long").as("cents"))
         .orderBy("user_id", "d")
+    }),
+
+    // Sketch-tier cascade: 1m DDSketch tier rows (fixed-size map column +
+    // associative measures) PROMOTED to 1h — the q62/q03 consistency
+    // contract for the sketch fallback path. Oracle computes the 1h grain
+    // directly from raw: measures must re-aggregate exactly and the
+    // promoted sketch must answer p50/p95 with the same bucket the direct
+    // build would (all-integer output).
+    "q196_sketch_promote" -> ((s, dir) => {
+      import graft.operators.Sketch
+      val cents = ev(s, dir)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      val t1m = Sketch.tierSketch(cents, Seq("event_type"), "ts", "cents",
+        bucketSeconds = 60L, alpha = 0.02)
+      val t1h = Sketch.promoteSketch(t1m, Seq("event_type"), tierSeconds = 3600L)
+      t1h.select(col("event_type"), col("bucket_start"), col("cnt"),
+          col("sum_v").as("sum_cents"), col("min_v").as("min_cents"),
+          col("max_v").as("max_cents"),
+          Sketch.quantileFromMap(col("dd_sketch"), 0.5).as("p50_b"),
+          Sketch.quantileFromMap(col("dd_sketch"), 0.95).as("p95_b"))
+        .orderBy("event_type", "bucket_start")
     })
   )
 
@@ -5867,7 +5888,40 @@ object SparkEntry {
         |  WHERE user_id IN (SELECT user_id FROM s WHERE n <= 20))
         |SELECT user_id, d, cents FROM big
         |UNION ALL SELECT user_id, d, cents FROM small
-        |ORDER BY user_id, d""".stripMargin
+        |ORDER BY user_id, d""".stripMargin,
+
+    // the 1h grain computed directly from raw: associative measures +
+    // the same log-bucket histogram and rank lookup the promoted sketch
+    // must reproduce (epoch floored, not rounded — DuckDB epoch() rounds)
+    "q196_sketch_promote" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS bucket_start,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT event_type, bucket_start, cents,
+        |    CASE WHEN cents <= 0 THEN -1
+        |      ELSE CAST(ceil(ln(cents::DOUBLE) /
+        |        ln((1.0+0.02)/(1.0-0.02))) AS BIGINT) END AS dd
+        |  FROM c),
+        |g AS (SELECT event_type, bucket_start, dd, count(*) AS cnt
+        |  FROM b GROUP BY 1, 2, 3),
+        |w AS (SELECT event_type, bucket_start, dd,
+        |    sum(cnt) OVER (PARTITION BY event_type, bucket_start ORDER BY dd) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type, bucket_start) AS n
+        |  FROM g),
+        |p AS (SELECT event_type, bucket_start,
+        |    min(CASE WHEN cum >= CAST(floor(0.5*(n-1))+1 AS BIGINT) THEN dd END) AS p50_b,
+        |    min(CASE WHEN cum >= CAST(floor(0.95*(n-1))+1 AS BIGINT) THEN dd END) AS p95_b
+        |  FROM w GROUP BY 1, 2),
+        |m AS (SELECT event_type, bucket_start, count(*) AS cnt,
+        |    sum(cents)::BIGINT AS sum_cents, min(cents) AS min_cents,
+        |    max(cents) AS max_cents
+        |  FROM c GROUP BY 1, 2)
+        |SELECT m.event_type, m.bucket_start, m.cnt, m.sum_cents,
+        |  m.min_cents, m.max_cents, p.p50_b, p.p95_b
+        |FROM m JOIN p USING (event_type, bucket_start)
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

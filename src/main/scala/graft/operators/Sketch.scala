@@ -106,4 +106,84 @@ object Sketch {
       .withColumn("estimate", bucketEstimate(col("bucket"), alpha))
       .drop("dd_rank")
   }
+
+  // ------------------------------------------------------------------ tiers
+
+  /** Sketch-tier build: tumbling `bucketSeconds` DDSketch rows per group —
+    * the FIXED-SIZE alternative to [[graft.operators.Rollup.tier1m]]'s exact
+    * point blocks for tiers whose per-bucket point count exceeds the block
+    * budget (p99 over a year of raw points at host grain). Each row carries
+    * the associative measures (cnt/sum/min/max) plus `dd_sketch`: a sorted
+    * map bucket→count bounded by the occupied-bucket count (~550 at α=2%
+    * over a 10⁶ domain) — row size is INDEPENDENT of the points aggregated.
+    *
+    * Two-stage aggregation, both map-side combined: stage 1 shuffles raw
+    * rows once to (keys, bucket, dd_bucket) — the same shuffle volume as
+    * the exact tier — and stage 2 folds the tiny per-bucket histogram rows
+    * into the map column.
+    */
+  def tierSketch(df: DataFrame, keys: Seq[String], tsCol: String,
+                 valueCol: String, bucketSeconds: Long, alpha: Double): DataFrame = {
+    val kcols = keys.map(col)
+    val withB = df
+      .withColumn("_ts_sec", unix_timestamp(col(tsCol).cast("timestamp")))
+      .withColumn("bucket_start", col("_ts_sec") - pmod(col("_ts_sec"), lit(bucketSeconds)))
+      .withColumn("dd_bucket", ddBucket(col(valueCol), alpha))
+    val stage1 = withB
+      .groupBy(kcols :+ col("bucket_start") :+ col("dd_bucket"): _*)
+      .agg(count(lit(1)).as("c"), sum(col(valueCol)).as("s"),
+        min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+    stage1
+      .groupBy(kcols :+ col("bucket_start"): _*)
+      .agg(sum(col("c")).as("cnt"), sum(col("s")).as("sum_v"),
+        min(col("mn")).as("min_v"), max(col("mx")).as("max_v"),
+        map_from_entries(array_sort(collect_list(struct(
+          col("dd_bucket"), col("c"))))).as("dd_sketch"))
+  }
+
+  /** Promote a finer sketch tier to `tierSeconds` buckets: associative
+    * measures re-aggregate from the finer rows; sketches merge by exploding
+    * the (tiny, bounded) maps and summing bucket counts. Both aggregations
+    * run over tier-sized rows — raw data is never re-read — and
+    * promote(tierSketch(1m)) == tierSketch(1h) EXACTLY (map-level equality:
+    * SketchSpec + the q196 oracle), the same consistency contract the exact
+    * tier proves for point blocks.
+    */
+  def promoteSketch(finer: DataFrame, keys: Seq[String], tierSeconds: Long): DataFrame = {
+    val kcols = keys.map(col)
+    val coarse = (col("bucket_start") - pmod(col("bucket_start"), lit(tierSeconds)))
+      .as("bucket_start")
+    val sk = finer
+      .select(kcols ++ Seq(coarse, explode(col("dd_sketch")).as(Seq("dd_bucket", "c"))): _*)
+      .groupBy(kcols :+ col("bucket_start") :+ col("dd_bucket"): _*)
+      .agg(sum(col("c")).as("c"))
+      .groupBy(kcols :+ col("bucket_start"): _*)
+      .agg(map_from_entries(array_sort(collect_list(struct(
+        col("dd_bucket"), col("c"))))).as("dd_sketch"))
+    val meas = finer
+      .groupBy(kcols :+ coarse: _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+    meas.join(sk, keys :+ "bucket_start")
+  }
+
+  /** Quantile bucket from a sketch-map column, declaratively (codegen'd
+    * HOFs, no UDF): sort the map entries by bucket, rank = floor(q·(n−1))+1
+    * (same convention as [[quantiles]]), scan the running count for the
+    * first bucket reaching the rank. Returns the bucket INDEX (integer —
+    * feed to [[bucketEstimate]] for the value estimate).
+    */
+  def quantileFromMap(m: Column, q: Double): Column = {
+    val entries = array_sort(map_entries(m))
+    val n = aggregate(entries, lit(0L), (acc, e) => acc + e.getField("value"))
+    val rank = (floor(lit(q) * (n - 1).cast("double")) + 1).cast("long")
+    val zero = struct(lit(0L).as("cum"), lit(null).cast("long").as("bkt"))
+    val scan = aggregate(entries, zero, (acc, e) => {
+      val cum = acc.getField("cum") + e.getField("value")
+      struct(cum.as("cum"),
+        when(acc.getField("bkt").isNull && cum >= rank, e.getField("key"))
+          .otherwise(acc.getField("bkt")).as("bkt"))
+    })
+    scan.getField("bkt")
+  }
 }

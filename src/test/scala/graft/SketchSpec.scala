@@ -65,6 +65,44 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("sketch tiers: promote(1m)==direct(1h) map-exact; quantile within α") {
+    import graft.operators.Sketch
+    val rnd = new scala.util.Random(23L)
+    val rows = (0 until 4000).map { i =>
+      val v = math.max(1L, math.round(math.exp(rnd.nextGaussian() * 1.2 + 4.0)))
+      (s"g${i % 2}", 1700000000L + (i.toLong * 13) % 7200, v)
+    }.toDF("g", "sec", "v").withColumn("ts", timestamp_seconds(col("sec")))
+
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1))
+    def rendered(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("g"), col("bucket_start"), col("cnt"), col("sum_v"),
+          col("min_v"), col("max_v"),
+          map_entries(col("dd_sketch")).cast("string").as("sk"))
+        .collect().map(r => (key(r), (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(6)))).toMap
+
+    val t1m = Sketch.tierSketch(rows, Seq("g"), "ts", "v", 60L, 0.02)
+    val promoted = rendered(Sketch.promoteSketch(t1m, Seq("g"), 3600L))
+    val direct = rendered(Sketch.tierSketch(rows, Seq("g"), "ts", "v", 3600L, 0.02))
+    assert(promoted == direct)
+
+    // declarative map quantile holds the relative-error guarantee per bucket
+    val est = Sketch.promoteSketch(t1m, Seq("g"), 3600L)
+      .select(col("g"), col("bucket_start"),
+        Sketch.bucketEstimate(
+          Sketch.quantileFromMap(col("dd_sketch"), 0.5), 0.02).as("e"))
+      .collect().map(r => (key(r), r.getDouble(2))).toMap
+    val raw = rows.collect()
+      .map(r => ((r.getString(0), r.getLong(1) - r.getLong(1) % 3600), r.getLong(2)))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sorted) }
+    raw.foreach { case (k, sorted) =>
+      val rank = (math.floor(0.5 * (sorted.length - 1)) + 1).toInt
+      val exact = sorted(rank - 1).toDouble
+      assert(math.abs(est(k) - exact) / exact <= 0.02 + 1e-9,
+        s"$k exact=$exact est=${est(k)}")
+    }
+  }
+
   test("heavy hitters: exact equality with full count under heavy eviction") {
     // domain of 800 tail items (each ~2 hits) + 4 hot items; k=32 counters
     // per group → 25x eviction pressure; adversarial order (tail first,
