@@ -2687,6 +2687,21 @@ object SparkEntry {
           Sketch.quantileFromMap(col("dd_sketch"), 0.5).as("p50_b"),
           Sketch.quantileFromMap(col("dd_sketch"), 0.95).as("p95_b"))
         .orderBy("event_type", "bucket_start")
+    }),
+
+    // Z-order (Morton) clustering key over (user_id, minute-of-day) — the
+    // write-time layout primitive that gives parquet row groups bounded
+    // min/max ranges on BOTH dimensions (functions.ZOrder scaladoc). Pure
+    // 64-bit shift/or/mask arithmetic, replayed step-for-step by the
+    // oracle — integer-exact across engines.
+    "q197_zorder" -> ((s, dir) => {
+      val base = ev(s, dir).select(col("event_id"),
+        col("user_id").as("a"),
+        floor(pmod(unix_timestamp(col("ts")), lit(86400L)) / lit(60L))
+          .cast("long").as("b"))
+      base
+        .withColumn("zkey", graft.functions.ZOrder.interleave(col("a"), col("b")))
+        .orderBy("event_id")
     })
   )
 
@@ -5921,7 +5936,30 @@ object SparkEntry {
         |SELECT m.event_type, m.bucket_start, m.cnt, m.sum_cents,
         |  m.min_cents, m.max_cents, p.p50_b, p.p95_b
         |FROM m JOIN p USING (event_type, bucket_start)
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // the identical five magic-mask spreading steps per operand (lateral
+    // column aliases), then even|odd<<1 — all 64-bit integer ops
+    "q197_zorder" ->
+      """WITH base AS (SELECT event_id, user_id::BIGINT AS a,
+        |    ((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 60) AS b
+        |  FROM events),
+        |z AS (SELECT event_id, a, b,
+        |  (a & 4294967295) AS a0,
+        |  ((a0 | (a0 << 16)) & 281470681808895) AS a1,
+        |  ((a1 | (a1 << 8)) & 71777214294589695) AS a2,
+        |  ((a2 | (a2 << 4)) & 1085102592571150095) AS a3,
+        |  ((a3 | (a3 << 2)) & 3689348814741910323) AS a4,
+        |  ((a4 | (a4 << 1)) & 6148914691236517205) AS a5,
+        |  (b & 4294967295) AS b0,
+        |  ((b0 | (b0 << 16)) & 281470681808895) AS b1,
+        |  ((b1 | (b1 << 8)) & 71777214294589695) AS b2,
+        |  ((b2 | (b2 << 4)) & 1085102592571150095) AS b3,
+        |  ((b3 | (b3 << 2)) & 3689348814741910323) AS b4,
+        |  ((b4 | (b4 << 1)) & 6148914691236517205) AS b5
+        |  FROM base)
+        |SELECT event_id, a, b, (a5 | (b5 << 1)) AS zkey
+        |FROM z ORDER BY event_id""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -167,6 +167,32 @@ object Sketch {
     meas.join(sk, keys :+ "bucket_start")
   }
 
+  /** Serving-path quantiles over `[startSec, endSec)` by STITCHING the
+    * coarsest sketch tiers that cover the range ([[Rollup.coverage]]) —
+    * the sketch twin of [[Rollup.readRange]]: a misaligned 25-day window
+    * reads ~24 day rows + edge hour/minute rows per group instead of raw
+    * points, and the stitched merge is just bucket-count sums, so the
+    * answer is IDENTICAL to building one sketch over the raw range
+    * (SketchSpec asserts equality against the direct build).
+    *
+    * @param tiers tierName → (bucketSeconds, tier frame from
+    *              [[tierSketch]]/[[promoteSketch]])
+    */
+  def readRange(tiers: Map[String, (Long, DataFrame)], keys: Seq[String],
+                startSec: Long, endSec: Long, qs: Seq[Double],
+                alpha: Double): DataFrame = {
+    val segs = Rollup.coverage(startSec, endSec,
+      tiers.map { case (n, (s, _)) => Rollup.Tier(n, s) }.toSeq)
+    val parts = segs.map { seg =>
+      tiers(seg.tier)._2
+        .filter(col("bucket_start") >= seg.startSec &&
+          col("bucket_start") < seg.endSec)
+        .select(keys.map(col) :+
+          explode(col("dd_sketch")).as(Seq("dd_bucket", "dd_count")): _*)
+    }
+    quantiles(merge(parts.reduce(_.unionByName(_)), keys), keys, qs, alpha)
+  }
+
   /** Quantile bucket from a sketch-map column, declaratively (codegen'd
     * HOFs, no UDF): sort the map entries by bucket, rank = floor(q·(n−1))+1
     * (same convention as [[quantiles]]), scan the running count for the

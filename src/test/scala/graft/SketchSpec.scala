@@ -103,6 +103,58 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("sketch readRange: stitched tiers == direct build over the raw range") {
+    import graft.operators.Sketch
+    val rnd = new scala.util.Random(29L)
+    // 3 hours of data; query a misaligned range [00:17, 02:23) so coverage
+    // stitches 1m edges around whole 1h interiors
+    val t0 = 1700000000L - 1700000000L % 3600
+    val rows = (0 until 6000).map { i =>
+      val v = math.max(1L, math.round(math.exp(rnd.nextGaussian() + 3.0)))
+      (s"g${i % 2}", t0 + (i.toLong * 7) % 10800, v)
+    }.toDF("g", "sec", "v").withColumn("ts", timestamp_seconds(col("sec")))
+    val t1m = Sketch.tierSketch(rows, Seq("g"), "ts", "v", 60L, 0.02)
+    val t1h = Sketch.promoteSketch(t1m, Seq("g"), 3600L)
+    val (s, e) = (t0 + 17 * 60, t0 + 2 * 3600 + 23 * 60)
+    val got = Sketch.readRange(
+        Map("1m" -> (60L, t1m), "1h" -> (3600L, t1h)),
+        Seq("g"), s, e, Seq(0.5, 0.95), 0.02)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)),
+        (r.getLong(2), r.get(3)))).toMap
+    val want = Sketch.quantiles(
+        Sketch.build(rows.filter(col("sec") >= s && col("sec") < e),
+          Seq("g"), "v", 0.02), Seq("g"), Seq(0.5, 0.95), 0.02)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)),
+        (r.getLong(2), r.get(3)))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("zorder: roundtrip bit-exact; aligned boxes are contiguous key ranges") {
+    import graft.functions.ZOrder
+    val rnd = new scala.util.Random(31L)
+    val pairs = (0 until 500).map(_ =>
+      (rnd.nextInt(Int.MaxValue).toLong, rnd.nextInt(Int.MaxValue).toLong))
+    val out = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.interleave(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (a, b, z) =>
+      assert(ZOrder.deinterleave(z) == ((a, b)), s"roundtrip failed at ($a,$b)")
+    }
+    // locality: every 2^k-aligned square box maps to one contiguous key
+    // range of exactly 4^k keys (k=2 exhaustive over a 32x32 grid)
+    val grid = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.interleave(col("a"), col("b")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for (a0 <- 0 until 32 by 4; b0 <- 0 until 32 by 4) {
+      val zs = for (a <- a0 until a0 + 4; b <- b0 until b0 + 4)
+        yield grid((a.toLong, b.toLong))
+      assert(zs.max - zs.min == 15 && zs.toSet.size == 16,
+        s"box ($a0,$b0) not contiguous: ${zs.sorted}")
+    }
+  }
+
   test("heavy hitters: exact equality with full count under heavy eviction") {
     // domain of 800 tail items (each ~2 hits) + 4 hot items; k=32 counters
     // per group → 25x eviction pressure; adversarial order (tail first,
