@@ -143,28 +143,34 @@ object Sketch {
 
   /** Promote a finer sketch tier to `tierSeconds` buckets: associative
     * measures re-aggregate from the finer rows; sketches merge by exploding
-    * the (tiny, bounded) maps and summing bucket counts. Both aggregations
-    * run over tier-sized rows — raw data is never re-read — and
-    * promote(tierSketch(1m)) == tierSketch(1h) EXACTLY (map-level equality:
-    * SketchSpec + the q196 oracle), the same consistency contract the exact
-    * tier proves for point blocks.
+    * the (tiny, bounded) maps and summing bucket counts — ONE pass, no
+    * self-join: each finer row's measures ride its first (pos = 0) map
+    * entry and re-aggregate beside the bucket counts (a tier row always
+    * has ≥ 1 entry — rows exist only where data exists). Runs over
+    * tier-sized rows — raw data is never re-read — and
+    * promote(tierSketch(1m)) == tierSketch(1h) EXACTLY (map-level
+    * equality: SketchSpec + the q196 oracle), the same consistency
+    * contract the exact tier proves for point blocks.
     */
   def promoteSketch(finer: DataFrame, keys: Seq[String], tierSeconds: Long): DataFrame = {
     val kcols = keys.map(col)
     val coarse = (col("bucket_start") - pmod(col("bucket_start"), lit(tierSeconds)))
       .as("bucket_start")
-    val sk = finer
-      .select(kcols ++ Seq(coarse, explode(col("dd_sketch")).as(Seq("dd_bucket", "c"))): _*)
+    val exploded = finer.select(
+      kcols ++ Seq(coarse, col("cnt"), col("sum_v"), col("min_v"), col("max_v"),
+        posexplode(col("dd_sketch")).as(Seq("pos", "dd_bucket", "c"))): _*)
+    exploded
       .groupBy(kcols :+ col("bucket_start") :+ col("dd_bucket"): _*)
-      .agg(sum(col("c")).as("c"))
+      .agg(sum(col("c")).as("c"),
+        sum(when(col("pos") === 0, col("cnt"))).as("pc"),
+        sum(when(col("pos") === 0, col("sum_v"))).as("ps"),
+        min(when(col("pos") === 0, col("min_v"))).as("pmn"),
+        max(when(col("pos") === 0, col("max_v"))).as("pmx"))
       .groupBy(kcols :+ col("bucket_start"): _*)
-      .agg(map_from_entries(array_sort(collect_list(struct(
-        col("dd_bucket"), col("c"))))).as("dd_sketch"))
-    val meas = finer
-      .groupBy(kcols :+ coarse: _*)
-      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_v")).as("sum_v"),
-        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
-    meas.join(sk, keys :+ "bucket_start")
+      .agg(sum(col("pc")).as("cnt"), sum(col("ps")).as("sum_v"),
+        min(col("pmn")).as("min_v"), max(col("pmx")).as("max_v"),
+        map_from_entries(array_sort(collect_list(struct(
+          col("dd_bucket"), col("c"))))).as("dd_sketch"))
   }
 
   /** Serving-path quantiles over `[startSec, endSec)` by STITCHING the
