@@ -2702,6 +2702,21 @@ object SparkEntry {
       base
         .withColumn("zkey", graft.functions.ZOrder.interleave(col("a"), col("b")))
         .orderBy("event_id")
+    }),
+
+    // Sliding-window distinct from per-bucket HLL registers: trailing-3
+    // 10-minute buckets per event_type (range frame — gaps contribute
+    // nothing). The oracle replays registers + linear counting from first
+    // principles (q76's machinery) over the same trailing range, plus the
+    // exact per-bucket and windowed distinct counts.
+    "q198_sliding_distinct" -> ((s, dir) => {
+      val items = ev(s, dir).select(col("event_type"), col("ts"),
+        concat(lit("u"), pmod(col("event_id"), lit(97))).as("item"))
+      graft.functions.Hll.slidingDistinct(items, Seq("event_type"), "ts",
+          "item", bucketSeconds = 600L, k = 3)
+        .select(col("event_type"), col("bucket_start"), col("bucket_distinct"),
+          r6(col("window_distinct_est")).as("window_distinct_est"))
+        .orderBy("event_type", "bucket_start")
     })
   )
 
@@ -5959,7 +5974,42 @@ object SparkEntry {
         |  ((b4 | (b4 << 1)) & 6148914691236517205) AS b5
         |  FROM base)
         |SELECT event_id, a, b, (a5 | (b5 << 1)) AS zkey
-        |FROM z ORDER BY event_id""".stripMargin
+        |FROM z ORDER BY event_id""".stripMargin,
+
+    // q76's register replay over the trailing range: existing buckets
+    // range-join the raw items of their window, then registers + linear
+    // counting from first principles; exact distinct rides along
+    "q198_sliding_distinct" ->
+      s"""WITH raw AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(ts)) AS BIGINT) % 600 AS b,
+        |    'u' || (event_id % 97) AS item FROM events),
+        |buckets AS (SELECT event_type, b,
+        |    count(DISTINCT item) AS bucket_distinct
+        |  FROM raw GROUP BY 1, 2),
+        |win AS (SELECT bk.event_type, bk.b, r.item
+        |  FROM buckets bk JOIN raw r ON r.event_type = bk.event_type
+        |    AND r.b BETWEEN bk.b - 1200 AND bk.b),
+        |items AS (SELECT DISTINCT event_type, b, item FROM win),
+        |h AS (SELECT event_type, b,
+        |    ('0x' || substr(md5(item),1,16))::UBIGINT AS u FROM items),
+        |bb AS (SELECT event_type, b, (u // 4503599627370496)::BIGINT AS idx,
+        |    (u % 4503599627370496)::BIGINT AS r FROM h),
+        |regs AS (SELECT event_type, b, idx,
+        |    max(CASE WHEN r = 0 THEN 53 ELSE 53 - (CASE $hllBitlenCase END) END) AS reg
+        |  FROM bb GROUP BY 1, 2, 3),
+        |agg AS (SELECT event_type, b, sum(power(2.0, -reg)) AS sum_present,
+        |    count(*) AS n_present FROM regs GROUP BY 1, 2),
+        |est AS (SELECT event_type, b, (4096 - n_present) AS zeros,
+        |    (0.7213/(1.0+1.079/4096)) * 4096.0 * 4096.0
+        |      / (sum_present + (4096 - n_present)) AS e FROM agg),
+        |fin AS (SELECT event_type, b,
+        |    CASE WHEN e <= 2.5*4096 AND zeros > 0
+        |         THEN 4096.0 * ln(4096.0/zeros) ELSE e END AS hll FROM est)
+        |SELECT bk.event_type, bk.b AS bucket_start, bk.bucket_distinct,
+        |  round(fin.hll, 6) AS window_distinct_est
+        |FROM buckets bk JOIN fin ON fin.event_type = bk.event_type AND fin.b = bk.b
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

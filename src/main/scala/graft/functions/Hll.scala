@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
 
 /** HyperLogLog cardinality sketch — the documented drop-in for the exact
   * `lang_set` distinct count in [[graft.operators.Rollup]] when the distinct
@@ -106,5 +106,39 @@ object Hll {
     val f = org.apache.spark.sql.functions.udf((r: Array[Byte]) =>
       if (r == null) 0.0 else estimate(r))
     f(c)
+  }
+
+  /** Sliding-window distinct count served from per-bucket HLL registers —
+    * the continuous-aggregate read "distinct items over the trailing k
+    * buckets, per bucket" (distinct users last 24h per host, stepped
+    * hourly). Per-bucket sketches build once ([[hllSketch]], one shuffle);
+    * the trailing merge is a RANGE-frame window whose state is the 4 KB
+    * register array — register max is associative and idempotent, so the
+    * windowed estimate equals a direct build over the union of the
+    * trailing buckets REGISTER-BYTE-exactly (PipelineOpsSpec asserts byte
+    * equality; q198's oracle replays registers + linear counting from
+    * first principles over the same trailing range). Exact sliding
+    * distinct would need every (item, bucket) pair shuffled k times;
+    * the register path moves k·4 KB per group-bucket regardless of item
+    * cardinality. A range (not rows) frame keeps gap semantics honest:
+    * absent buckets contribute nothing on both the engine and oracle side.
+    */
+  def slidingDistinct(df: DataFrame, keys: Seq[String], tsCol: String,
+                      itemCol: String, bucketSeconds: Long, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val kcols = keys.map(col)
+    val bucketed = df
+      .withColumn("_ts_sec", unix_timestamp(col(tsCol).cast("timestamp")))
+      .withColumn("bucket_start", col("_ts_sec") - pmod(col("_ts_sec"), lit(bucketSeconds)))
+      .groupBy(kcols :+ col("bucket_start"): _*)
+      .agg(hllSketch(col(itemCol)).as("_regs"),
+        countDistinct(col(itemCol)).as("bucket_distinct"))
+    val w = Window.partitionBy(kcols: _*)
+      .orderBy(col("bucket_start"))
+      .rangeBetween(-(k - 1) * bucketSeconds, 0)
+    bucketed
+      .withColumn("_wregs", hllMerge(col("_regs")).over(w))
+      .withColumn("window_distinct_est", hllEstimate(col("_wregs")))
+      .drop("_regs", "_wregs")
   }
 }

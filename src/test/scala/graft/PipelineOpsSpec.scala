@@ -290,6 +290,34 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("HLL slidingDistinct: windowed estimate == direct union build; exact per bucket") {
+    val rnd = new scala.util.Random(41L)
+    val t0 = 1700000000L - 1700000000L % 600
+    val rows = (0 until 4000).map { i =>
+      ("g" + (i % 2), t0 + (i.toLong * 11) % 3600, s"u${rnd.nextInt(300)}")
+    }.toDF("g", "sec", "item").withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Hll.slidingDistinct(rows, Seq("g"), "ts", "item",
+        bucketSeconds = 600L, k = 3)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.nonEmpty)
+    val raw = rows.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    out.foreach { case ((g, b), (bucketDistinct, est)) =>
+      val inBucket = raw.filter(x => x._1 == g && x._2 - x._2 % 600 == b)
+      assert(bucketDistinct == inBucket.map(_._3).distinct.length)
+      // direct union build over the trailing range — register-deterministic,
+      // so the estimate must match the windowed merge EXACTLY
+      val inWin = raw.filter(x =>
+        x._1 == g && x._2 - x._2 % 600 >= b - 1200 && x._2 - x._2 % 600 <= b)
+      val regs = new Array[Byte](Hll.M)
+      inWin.map(_._3).distinct.foreach(Hll.update(regs, _))
+      assert(Hll.estimate(regs) == est, s"($g,$b)")
+      // ...and the estimate is actually close to truth
+      val truth = inWin.map(_._3).distinct.length.toDouble
+      assert(math.abs(est - truth) / truth < 0.10, s"($g,$b) est=$est truth=$truth")
+    }
+  }
+
   // ------------------------------------------------------ connected components
 
   test("connectedComponents: chains, stars, and singles get min-id components") {
