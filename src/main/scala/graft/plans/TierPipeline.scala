@@ -232,11 +232,19 @@ object TierPipeline {
     * rewrite itself reads only the selected partitions (directory-pruned)
     * and shuffles them once into per-partition slot groups.
     *
+    * With `zOrderCluster = true` the rewrite also sorts each output file by
+    * the Morton key of (hashed host, minute-of-day)
+    * ([[graft.functions.ZOrder]]), so row-group min/max statistics are
+    * bounded on BOTH read dimensions — a one-host time-range read and a
+    * cross-host time-slice read each prune row groups instead of scanning
+    * the partition. Same rows, same files, better layout; the sort rides
+    * the compaction shuffle that was happening anyway.
+    *
     * @return (day, host_bucket) partitions rewritten
     */
   def compact(spark: SparkSession, cfg: Config, tier: String,
               maxFilesPerPartition: Int, targetFileBytes: Long,
-              runId: String): Seq[(String, Int)] = {
+              runId: String, zOrderCluster: Boolean = false): Seq[(String, Int)] = {
     require(maxFilesPerPartition >= 1, "maxFilesPerPartition must be >= 1")
     require(targetFileBytes >= 1, "targetFileBytes must be >= 1")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -268,11 +276,21 @@ object TierPipeline {
       .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
       .filter(keyInUdf(col("day"), col("host_bucket")))
     val nTasks = math.max(1, slots.values.sum)
-    selected
+    val slotted = selected
       .withColumn("_slot",
         pmod(xxhash64(col("host")), slotFor(col("day"), col("host_bucket")).cast("long")).cast("int"))
       .repartition(nTasks, col("day"), col("host_bucket"), col("_slot"))
       .drop("_slot")
+    // the partitioned writer re-sorts each task by the partition columns
+    // unless the incoming order already starts with them — lead with
+    // (day, host_bucket) so the z suffix SURVIVES the write
+    val clustered =
+      if (!zOrderCluster) slotted
+      else slotted.sortWithinPartitions(col("day"), col("host_bucket"),
+        graft.functions.ZOrder.interleave(
+          pmod(xxhash64(col("host")), lit(1L << 20)),
+          floor(pmod(col("bucket_start"), lit(86400L)) / lit(60L)).cast("long")))
+    clustered
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day", "host_bucket")

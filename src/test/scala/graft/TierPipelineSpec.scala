@@ -207,4 +207,40 @@ class TierPipelineSpec extends SparkSuite {
     // idempotent: everything now under the threshold
     assert(TierPipeline.compact(spark, cfg, "1h", 4, 1L << 30, "cmp2").isEmpty)
   }
+
+  test("compact with zOrderCluster: rows identical, files sorted by Morton key") {
+    val cfg = Config(freshRoot(), hostBuckets = 2)
+    TierPipeline.buildAll(pages, cfg, runId = "run1")
+    val frag = TierPipeline.withPartitionCols(
+      TierPipeline.readTier(spark, cfg, "1m"), cfg.hostBuckets)
+      .repartition(24)
+    frag.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day", "host_bucket")
+      .parquet(TierPipeline.tierPath(cfg.root, "1m"))
+    val before = TierPipeline.readTier(spark, cfg, "1m")
+      .select("host", "bucket_start", "cnt", "sum_len").collect().map(_.toSeq).toSet
+    val rewritten = TierPipeline.compact(spark, cfg, "1m",
+      maxFilesPerPartition = 4, targetFileBytes = 1L << 30, runId = "cmpz",
+      zOrderCluster = true)
+    assert(rewritten.nonEmpty)
+    val after = TierPipeline.readTier(spark, cfg, "1m")
+      .select("host", "bucket_start", "cnt", "sum_len").collect().map(_.toSeq).toSet
+    assert(after === before)
+    // every rewritten data file is internally sorted by the Morton key
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(TierPipeline.tierPath(cfg.root, "1m"))
+    val dataFiles = Files.walk(base).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("_")).toSeq
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach { f =>
+      val zs = spark.read.parquet(f.toString)
+        .select(graft.functions.ZOrder.interleave(
+          pmod(xxhash64(col("host")), lit(1L << 20)),
+          floor(pmod(col("bucket_start"), lit(86400L)) / lit(60L)).cast("long")).as("z"))
+        .collect().map(_.getLong(0))
+      assert(zs.sameElements(zs.sorted), s"file $f not z-sorted")
+    }
+  }
 }
