@@ -2717,6 +2717,27 @@ object SparkEntry {
         .select(col("event_type"), col("bucket_start"), col("bucket_distinct"),
           r6(col("window_distinct_est")).as("window_distinct_est"))
         .orderBy("event_type", "bucket_start")
+    }),
+
+    // PageRank over a deterministic, non-regular link graph on the doc_id
+    // domain: a cycle edge (i+1 mod n — a bijection for every n, so
+    // indegree >= 1 everywhere and the oracle's inner-join recursion keeps
+    // all nodes) plus a quadratic and a halving map that skew indegree
+    // (ranks span ~0.2x..6x uniform). Outdegree is exactly 3 by
+    // construction. Ranks reported n-normalized (uniform = 1.0) so the 6-dp
+    // round keeps full precision at any sf.
+    "q199_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val n = d.count()
+      val src = col("doc_id").cast("long").as("src")
+      val edges = Seq(
+        d.select(src, pmod(col("doc_id") + 1L, lit(n)).as("dst")),
+        d.select(src, pmod(col("doc_id") * col("doc_id") + 3L, lit(n)).as("dst")),
+        d.select(src, floor(col("doc_id") / 2L).cast("long").as("dst"))
+      ).reduce(_.unionByName(_))
+      graft.operators.Graph.pageRank(edges, iterations = 10)
+        .select(col("id"), r6(col("rank") * n).as("rank_norm"))
+        .orderBy("id")
     })
   )
 
@@ -6009,7 +6030,26 @@ object SparkEntry {
         |SELECT bk.event_type, bk.b AS bucket_start, bk.bucket_distinct,
         |  round(fin.hll, 6) AS window_distinct_est
         |FROM buckets bk JOIN fin ON fin.event_type = bk.event_type AND fin.b = bk.b
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // power iteration replayed as a recursive CTE: the working table holds
+    // iteration it's full rank vector; the recursive term is one join +
+    // group-by (aggregation in the recursive term probed OK in DuckDB).
+    // Outdegree is exactly 3 by construction, so rank/3.0 is exact.
+    "q199_pagerank" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id // 2) FROM documents),
+        |r AS (
+        |  SELECT doc_id AS id, 1.0::DOUBLE/(SELECT count(*) FROM documents) AS pr, 0 AS it FROM documents
+        |  UNION ALL
+        |  SELECT e.dst, 0.15::DOUBLE/(SELECT count(*) FROM documents) + 0.85*sum(r.pr/3.0), r.it+1
+        |  FROM r JOIN e ON e.src = r.id WHERE r.it < 10 GROUP BY e.dst, r.it+1)
+        |SELECT id, round(pr * (SELECT count(*) FROM documents), 6) AS rank_norm
+        |FROM r WHERE it = 10 ORDER BY id""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE
