@@ -2738,6 +2738,46 @@ object SparkEntry {
       graft.operators.Graph.pageRank(edges, iterations = 10)
         .select(col("id"), r6(col("rank") * n).as("rank_norm"))
         .orderBy("id")
+    }),
+
+    // multi-source BFS crawl depth over the same deterministic link graph:
+    // min link hops from seed docs 0..4, capped at 8 levels. Frontier-only
+    // expansion (each level joins just the newly discovered nodes); the
+    // oracle replays it with a deduplicating recursive CTE + min(hop).
+    // All-integer output — no float rounding concerns.
+    "q200_crawl_depth" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val n = d.count()
+      val src = col("doc_id").cast("long").as("src")
+      val edges = Seq(
+        d.select(src, pmod(col("doc_id") + 1L, lit(n)).as("dst")),
+        d.select(src, pmod(col("doc_id") * col("doc_id") + 3L, lit(n)).as("dst")),
+        d.select(src, floor(col("doc_id") / 2L).cast("long").as("dst"))
+      ).reduce(_.unionByName(_))
+      val seeds = d.filter(col("doc_id") < 5).select(col("doc_id").as("id"))
+      graft.operators.Graph.hopDistance(edges, seeds, maxHops = 8)
+        .orderBy("id")
+    }),
+
+    // per-node triangle count + local clustering coefficient on the
+    // undirected simple projection of the link graph (compact-forward,
+    // degree-ordered enumeration — Graph.triangles scaladoc). The oracle
+    // counts each triangle once via the value-ordered x<y<z join and fans
+    // it to its three vertices; counts are integer-exact, the coefficient
+    // is one double division.
+    "q201_triangles" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val n = d.count()
+      val src = col("doc_id").cast("long").as("src")
+      val edges = Seq(
+        d.select(src, pmod(col("doc_id") + 1L, lit(n)).as("dst")),
+        d.select(src, pmod(col("doc_id") * col("doc_id") + 3L, lit(n)).as("dst")),
+        d.select(src, floor(col("doc_id") / 2L).cast("long").as("dst"))
+      ).reduce(_.unionByName(_))
+      graft.operators.Graph.triangles(edges)
+        .select(col("id"), col("degree"), col("tri_cnt"),
+          r6(col("clustering_coeff")).as("clustering_coeff"))
+        .orderBy("id")
     })
   )
 
@@ -6049,7 +6089,48 @@ object SparkEntry {
         |  SELECT e.dst, 0.15::DOUBLE/(SELECT count(*) FROM documents) + 0.85*sum(r.pr/3.0), r.it+1
         |  FROM r JOIN e ON e.src = r.id WHERE r.it < 10 GROUP BY e.dst, r.it+1)
         |SELECT id, round(pr * (SELECT count(*) FROM documents), 6) AS rank_norm
-        |FROM r WHERE it = 10 ORDER BY id""".stripMargin
+        |FROM r WHERE it = 10 ORDER BY id""".stripMargin,
+
+    // deduplicating (UNION, not UNION ALL) recursion keeps the working
+    // table bounded by nodes x hops; min(hop) collapses revisits to the
+    // BFS distance
+    "q200_crawl_depth" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id // 2) FROM documents),
+        |d AS (
+        |  SELECT doc_id AS id, 0 AS hop FROM documents WHERE doc_id < 5
+        |  UNION
+        |  SELECT e.dst, d.hop + 1 FROM d JOIN e ON e.src = d.id WHERE d.hop < 8)
+        |SELECT id, min(hop) AS hop FROM d GROUP BY id ORDER BY id""".stripMargin,
+
+    // each triangle generated once as x<y<z, then fanned to its three
+    // vertices; explicit ::DOUBLE so the coefficient never runs through
+    // DECIMAL division
+    "q201_triangles" ->
+      """WITH raw AS (
+        |  SELECT doc_id AS s, (doc_id + 1) % (SELECT count(*) FROM documents) AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id // 2) FROM documents),
+        |u AS (SELECT DISTINCT least(s, t) AS x, greatest(s, t) AS y FROM raw WHERE s <> t),
+        |deg AS (SELECT id, count(*) AS degree FROM
+        |  (SELECT x AS id FROM u UNION ALL SELECT y FROM u) GROUP BY id),
+        |tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        |  FROM u e1 JOIN u e2 ON e2.x = e1.x AND e2.y > e1.y
+        |  JOIN u e3 ON e3.x = e1.y AND e3.y = e2.y),
+        |pern AS (SELECT id, count(*) AS tri_cnt FROM
+        |  (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+        |   UNION ALL SELECT c FROM tri) GROUP BY id)
+        |SELECT deg.id, deg.degree, coalesce(pern.tri_cnt, 0)::BIGINT AS tri_cnt,
+        |  round(CASE WHEN deg.degree < 2 THEN 0.0::DOUBLE
+        |    ELSE coalesce(pern.tri_cnt, 0)::DOUBLE * 2.0
+        |         / (deg.degree * (deg.degree - 1)) END, 6) AS clustering_coeff
+        |FROM deg LEFT JOIN pern ON pern.id = deg.id ORDER BY 1""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

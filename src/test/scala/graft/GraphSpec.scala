@@ -52,4 +52,42 @@ class GraphSpec extends SparkSuite {
     val ex = intercept[IllegalArgumentException](Graph.pageRank(edges, iterations = 2))
     assert(ex.getMessage.contains("dangling"))
   }
+
+  test("hopDistance: path graph distances, cap, and unreachable exclusion") {
+    // 0 -> 1 -> 2 -> 3 -> 4, plus isolated pair 10 -> 11
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val got = Graph.hopDistance(edges, seeds, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3)) // 4 beyond cap, 10/11 unreachable
+    // multi-source takes the min over seeds
+    val multi = Graph.hopDistance(edges, Seq(0L, 2L).toDF("id"), maxHops = 9).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(multi === Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 1, 4L -> 2))
+    // early exit when the frontier drains before the cap
+    assert(Graph.hopDistance(edges, seeds, maxHops = 100).count() === 5)
+  }
+
+  test("triangles: K4 is all-triangles, C5 is none, direction/duplicates collapse") {
+    val k4 = (for { i <- 0 until 4; j <- 0 until 4 if i != j } yield (i.toLong, j.toLong))
+      .toDF("src", "dst") // both directions + would-be duplicates
+    val gotK4 = Graph.triangles(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(gotK4.length === 4)
+    gotK4.foreach { case (_, deg, tri, cc) =>
+      assert(deg === 3L); assert(tri === 3L); assert(approxEq(cc, 1.0))
+    }
+    val c5 = (0 until 5).map(i => (i.toLong, ((i + 1) % 5).toLong)).toDF("src", "dst")
+    val gotC5 = Graph.triangles(c5).collect()
+    assert(gotC5.length === 5)
+    gotC5.foreach { r => assert(r.getLong(2) === 0L); assert(r.getDouble(3) === 0.0) }
+    // one triangle hanging off a path: 0-1-2-0 plus 2-3
+    val mixed = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L)).toDF("src", "dst")
+    val m = Graph.triangles(mixed).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(0L) === ((2L, 1L, 1.0)))
+    assert(m(1L) === ((2L, 1L, 1.0)))
+    assert(m(2L)._1 === 3L); assert(m(2L)._2 === 1L); assert(approxEq(m(2L)._3, 1.0 / 3))
+    assert(m(3L) === ((1L, 0L, 0.0)))
+  }
 }
