@@ -112,6 +112,11 @@ object GraftFunctions {
 
 /** `spark.sql.extensions`-compatible injector (zero-arg constructor). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    // continuous-aggregate routing (plans.TierRoute) — inside the operator-
+    // optimization batch, so pruning/pushdown keep running on the rewritten
+    // tier subtree; a no-op until a Route is registered
+    ext.injectOptimizerRule(_ => graft.plans.TierRouteRule())
+  }
 }

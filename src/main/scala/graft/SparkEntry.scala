@@ -38,6 +38,22 @@ object SparkEntry {
     when(c.isNull, lit(null).cast("double"))
       .otherwise(signum(c) * floor(abs(c) * 1e2 + 0.5) / 1e2)
 
+  /** Deterministic non-regular link graph on the doc_id domain (q199–q205):
+    * a cycle edge (bijective for every n → indegree ≥ 1 everywhere) plus a
+    * quadratic and a halving map that skew in-degree. Outdegree exactly 3.
+    */
+  private def docEdges(s: SparkSession, dir: String): (DataFrame, Long) = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val n = d.count()
+    val src = col("doc_id").cast("long").as("src")
+    val edges = Seq(
+      d.select(src, pmod(col("doc_id") + 1L, lit(n)).as("dst")),
+      d.select(src, pmod(col("doc_id") * col("doc_id") + 3L, lit(n)).as("dst")),
+      d.select(src, floor(col("doc_id") / 2L).cast("long").as("dst"))
+    ).reduce(_.unionByName(_))
+    (edges, n)
+  }
+
   /** Flagship query: full page pipeline on synthetic pages — synthesize →
     * hierarchy → 1m rollup → promote to 1h → hierarchy rollup. Driver
     * smoke-checks rows > 0 on sf0.001.
@@ -2727,14 +2743,7 @@ object SparkEntry {
     // construction. Ranks reported n-normalized (uniform = 1.0) so the 6-dp
     // round keeps full precision at any sf.
     "q199_pagerank" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"))
-      val n = d.count()
-      val src = col("doc_id").cast("long").as("src")
-      val edges = Seq(
-        d.select(src, pmod(col("doc_id") + 1L, lit(n)).as("dst")),
-        d.select(src, pmod(col("doc_id") * col("doc_id") + 3L, lit(n)).as("dst")),
-        d.select(src, floor(col("doc_id") / 2L).cast("long").as("dst"))
-      ).reduce(_.unionByName(_))
+      val (edges, n) = docEdges(s, dir)
       graft.operators.Graph.pageRank(edges, iterations = 10)
         .select(col("id"), r6(col("rank") * n).as("rank_norm"))
         .orderBy("id")
@@ -2746,15 +2755,8 @@ object SparkEntry {
     // oracle replays it with a deduplicating recursive CTE + min(hop).
     // All-integer output — no float rounding concerns.
     "q200_crawl_depth" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"))
-      val n = d.count()
-      val src = col("doc_id").cast("long").as("src")
-      val edges = Seq(
-        d.select(src, pmod(col("doc_id") + 1L, lit(n)).as("dst")),
-        d.select(src, pmod(col("doc_id") * col("doc_id") + 3L, lit(n)).as("dst")),
-        d.select(src, floor(col("doc_id") / 2L).cast("long").as("dst"))
-      ).reduce(_.unionByName(_))
-      val seeds = d.filter(col("doc_id") < 5).select(col("doc_id").as("id"))
+      val (edges, _) = docEdges(s, dir)
+      val seeds = docs(s, dir).filter(col("doc_id") < 5).select(col("doc_id").as("id"))
       graft.operators.Graph.hopDistance(edges, seeds, maxHops = 8)
         .orderBy("id")
     }),
@@ -2766,17 +2768,120 @@ object SparkEntry {
     // it to its three vertices; counts are integer-exact, the coefficient
     // is one double division.
     "q201_triangles" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"))
-      val n = d.count()
-      val src = col("doc_id").cast("long").as("src")
-      val edges = Seq(
-        d.select(src, pmod(col("doc_id") + 1L, lit(n)).as("dst")),
-        d.select(src, pmod(col("doc_id") * col("doc_id") + 3L, lit(n)).as("dst")),
-        d.select(src, floor(col("doc_id") / 2L).cast("long").as("dst"))
-      ).reduce(_.unionByName(_))
+      val (edges, _) = docEdges(s, dir)
       graft.operators.Graph.triangles(edges)
         .select(col("id"), col("degree"), col("tri_cnt"),
           r6(col("clustering_coeff")).as("clustering_coeff"))
+        .orderBy("id")
+    }),
+
+    // transparent continuous-aggregate routing (plans.TierRoute): a 1m tier
+    // is materialized once, a Route registered, and the HOURLY aggregate
+    // below is phrased AGAINST THE RAW events table — the optimizer rule
+    // rewrites it onto the tier (count->sum(cnt), sum->sum(sum),
+    // avg->sum/sum, min/max of partials) and the require() proves the
+    // rewrite actually fired (the optimized plan must scan the tier
+    // parquet, not events). The oracle aggregates raw directly — parity IS
+    // the routing contract.
+    "q202_tier_route" -> ((s, dir) => {
+      import graft.plans.TierRoute
+      val tierPath = s"${System.getProperty("java.io.tmpdir")}/graft_route_tier_${Integer.toHexString(dir.hashCode)}"
+      val raw = ev(s, dir)
+      val u = unix_timestamp(col("ts"))
+      raw.groupBy(col("user_id"), (u - pmod(u, lit(60L))).as("bucket_start"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+          min("value").as("min_value"), max("value").as("max_value"))
+        .write.mode("overwrite").parquet(tierPath)
+      TierRoute.install(s)
+      TierRoute.register(TierRoute.Route(
+        name = s"events_1m_$dir", raw = raw, tierSeconds = 60L,
+        tier = () => s.read.parquet(tierPath),
+        groupCols = Seq("user_id"), tsCol = "ts",
+        measure = TierRoute.AttrMeasure("value"), measureNonNull = true))
+      val cut = 1704240000L // 2024-01-03T00:00:00Z, hour-aligned
+      val routed = raw
+        .filter(u >= lit(cut))
+        .groupBy(col("user_id"), (u - pmod(u, lit(3600L))).as("bucket_start"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+          avg("value").as("avg_value"), min("value").as("min_value"),
+          max("value").as("max_value"))
+        .select(col("user_id"), col("bucket_start"), col("cnt"),
+          r6(col("sum_value")).as("sum_value"), r6(col("avg_value")).as("avg_value"),
+          r6(col("min_value")).as("min_value"), r6(col("max_value")).as("max_value"))
+        .orderBy("user_id", "bucket_start")
+      val scanned = TierRoute.relationPaths(routed.queryExecution.optimizedPlan)
+      require(scanned.exists(_.contains(tierPath)),
+        s"tier route did not fire — scanned $scanned")
+      routed
+    }),
+
+    // percentile routing: the tier additionally carries Gorilla point
+    // blocks (BlockAggregator), and the raw-phrased HOURLY
+    // percentile(value, .5/.95) is rewritten onto the k-way block merge
+    // (collect_list(block) -> mergeBlocksUdf -> struct fields) — the
+    // optimizer meeting the engine's signature exact-percentile promotion.
+    // Oracle: quantile_cont on raw at the same grain; parity is exact, 6-dp
+    // rounded on both sides.
+    "q203_route_pctl" -> ((s, dir) => {
+      import graft.plans.TierRoute
+      val tierPath = s"${System.getProperty("java.io.tmpdir")}/graft_route_blk_${Integer.toHexString(dir.hashCode)}"
+      val raw = ev(s, dir)
+      val u = unix_timestamp(col("ts"))
+      raw.groupBy(col("user_id"), (u - pmod(u, lit(60L))).as("bucket_start"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+          min("value").as("min_value"), max("value").as("max_value"),
+          graft.functions.codec.BlockAggregator(u, col("value")).as("m"))
+        .withColumn("block", col("m.block")).drop("m")
+        .write.mode("overwrite").parquet(tierPath)
+      TierRoute.install(s)
+      TierRoute.register(TierRoute.Route(
+        name = s"events_1m_blocks_$dir", raw = raw, tierSeconds = 60L,
+        tier = () => s.read.parquet(tierPath),
+        groupCols = Seq("user_id"), tsCol = "ts",
+        measure = TierRoute.AttrMeasure("value"), measureNonNull = true,
+        blockCol = Some("block")))
+      val routed = raw
+        .groupBy(col("user_id"), (u - pmod(u, lit(3600L))).as("bucket_start"))
+        .agg(percentile(col("value"), lit(0.5)).as("p50_v"),
+          percentile(col("value"), lit(0.95)).as("p95_v"),
+          count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("bucket_start"),
+          r6(col("p50_v")).as("p50_v"), r6(col("p95_v")).as("p95_v"), col("cnt"))
+        .orderBy("user_id", "bucket_start")
+      val scanned = TierRoute.relationPaths(routed.queryExecution.optimizedPlan)
+      require(scanned.exists(_.contains(tierPath)),
+        s"percentile tier route did not fire — scanned $scanned")
+      routed
+    }),
+
+    // crawl-frontier prioritization: the canonical composition of link
+    // analysis with the corpus quality pipeline — priority = n-normalized
+    // PageRank x heuristic quality score (q40's formula). Null quality
+    // (empty docs) propagates to null priority on both sides.
+    "q204_crawl_priority" -> ((s, dir) => {
+      val (edges, n) = docEdges(s, dir)
+      val pr = graft.operators.Graph.pageRank(edges, iterations = 10)
+        .select(col("id").as("doc_id"), (col("rank") * n).as("rank_norm"))
+      val q = TextAnalysis.qualityScore(docs(s, dir), "text")
+        .select(col("doc_id"), col("quality_score"))
+      pr.join(q, "doc_id")
+        .select(col("doc_id"), r6(col("rank_norm")).as("rank_norm"),
+          r6(col("quality_score")).as("quality_score"),
+          r6(col("rank_norm") * col("quality_score")).as("priority"))
+        .orderBy("doc_id")
+    }),
+
+    // HITS hubs & authorities: un-normalized alternating power iteration is
+    // integer-EXACT in doubles (all-ones start, integer sums throughout —
+    // Graph.hits scaladoc), so Spark and the oracle recursion agree
+    // bit-for-bit until the single final normalization division.
+    "q205_hits" -> ((s, dir) => {
+      val (edges, _) = docEdges(s, dir)
+      // 6 iterations: the deepest whose score totals stay inside 2^53 at
+      // sf0.1 (probed: sum_auth ~4.9e14 at T=6, ~5e16 at T=7)
+      graft.operators.Graph.hits(edges, iterations = 6)
+        .select(col("id"), r6(col("hub_norm")).as("hub_norm"),
+          r6(col("auth_norm")).as("auth_norm"))
         .orderBy("id")
     })
   )
@@ -6130,7 +6235,86 @@ object SparkEntry {
         |  round(CASE WHEN deg.degree < 2 THEN 0.0::DOUBLE
         |    ELSE coalesce(pern.tri_cnt, 0)::DOUBLE * 2.0
         |         / (deg.degree * (deg.degree - 1)) END, 6) AS clustering_coeff
-        |FROM deg LEFT JOIN pern ON pern.id = deg.id ORDER BY 1""".stripMargin
+        |FROM deg LEFT JOIN pern ON pern.id = deg.id ORDER BY 1""".stripMargin,
+
+    // the routing contract: the tier-served result must equal the raw
+    // aggregate — so the oracle IS the raw aggregate
+    "q202_tier_route" ->
+      """WITH b AS (SELECT user_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS u FROM events
+        |  WHERE CAST(floor(epoch(ts)) AS BIGINT) >= 1704240000)
+        |SELECT user_id, (u - u % 3600) AS bucket_start, count(*) AS cnt,
+        |  round(sum(value), 6) AS sum_value, round(avg(value), 6) AS avg_value,
+        |  round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // quantile_cont == Spark percentile == the engine's block percentile
+    // (linear interpolation; exactness through the block path is q62's
+    // contract) — so the raw-grain quantile IS the routed-percentile oracle
+    "q203_route_pctl" ->
+      """WITH b AS (SELECT user_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS u FROM events)
+        |SELECT user_id, (u - u % 3600) AS bucket_start,
+        |  round(quantile_cont(value, 0.5), 6) AS p50_v,
+        |  round(quantile_cont(value, 0.95), 6) AS p95_v,
+        |  count(*) AS cnt
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q199's power-iteration CTE x q40's quality formula
+    "q204_crawl_priority" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id // 2) FROM documents),
+        |r AS (
+        |  SELECT doc_id AS id, 1.0::DOUBLE/(SELECT count(*) FROM documents) AS pr, 0 AS it FROM documents
+        |  UNION ALL
+        |  SELECT e.dst, 0.15::DOUBLE/(SELECT count(*) FROM documents) + 0.85*sum(r.pr/3.0), r.it+1
+        |  FROM r JOIN e ON e.src = r.id WHERE r.it < 10 GROUP BY e.dst, r.it+1),
+        |pr AS (SELECT id, pr * (SELECT count(*) FROM documents) AS rank_norm
+        |  FROM r WHERE it = 10),
+        |w AS (SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    len(ws) AS n_tokens,
+        |    CASE WHEN len(text) > 0 THEN (len(text) - len(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))::DOUBLE / len(text) END AS punct_ratio,
+        |    CASE WHEN len(ws) > 0 THEN len(list_distinct(ws))::DOUBLE / len(ws) END AS type_token_ratio
+        |  FROM w),
+        |q AS (SELECT doc_id,
+        |    type_token_ratio * (1 - coalesce(punct_ratio, 0)) * least(n_tokens / 20.0, 1.0) AS quality_score
+        |  FROM f)
+        |SELECT q.doc_id, round(pr.rank_norm, 6) AS rank_norm,
+        |  round(q.quality_score, 6) AS quality_score,
+        |  round(pr.rank_norm * q.quality_score, 6) AS priority
+        |FROM pr JOIN q ON q.doc_id = pr.id ORDER BY q.doc_id""".stripMargin,
+
+    // un-normalized alternating recursion (integer-exact), one reference to
+    // the recursive CTE per term; final authorities = A^T h_10; normalized
+    // to mean 1.0 at the very end
+    "q205_hits" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id // 2) FROM documents),
+        |r AS (
+        |  SELECT doc_id AS id, 1.0::DOUBLE AS h, 0 AS it FROM documents
+        |  UNION ALL
+        |  SELECT e2.src, sum(a.a), a.it + 1
+        |  FROM (SELECT e.dst AS id, sum(r.h) AS a, r.it AS it
+        |        FROM r JOIN e ON e.src = r.id WHERE r.it < 6 GROUP BY 1, 3) a
+        |  JOIN e e2 ON e2.dst = a.id GROUP BY 1, a.it + 1),
+        |hf AS (SELECT id, h FROM r WHERE it = 6),
+        |af AS (SELECT e.dst AS id, sum(hf.h) AS a FROM hf JOIN e ON e.src = hf.id GROUP BY 1),
+        |n AS (SELECT count(*) AS cnt FROM documents),
+        |s AS (SELECT (SELECT sum(h) FROM hf) AS sh, (SELECT sum(a) FROM af) AS sa)
+        |SELECT hf.id, round(hf.h / s.sh * n.cnt, 6) AS hub_norm,
+        |  round(coalesce(af.a, 0) / s.sa * n.cnt, 6) AS auth_norm
+        |FROM hf LEFT JOIN af ON af.id = hf.id, s, n ORDER BY hf.id""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

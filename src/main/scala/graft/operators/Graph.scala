@@ -58,6 +58,61 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over `edges(src, dst)`.
+    *
+    * Alternating power iteration h ← A·(Aᵀ·h) run UN-normalized — starting
+    * from all-ones, every intermediate score is a sum of integers, so the
+    * whole recursion stays integer-EXACT in doubles (the growth factor is
+    * ~‖AAᵀ‖ per iteration; with out-degree ~3 and 10 iterations the values
+    * stay far below 2^53, asserted below) and the oracle's recursion
+    * reproduces it bit-for-bit. Normalization to mean 1.0 happens once at
+    * the end (hub/auth each divided by their sum × n — two exact-integer
+    * sums, one double division). Per iteration: two equi-joins + two
+    * map-side-combined groupBys; score state never touches the driver;
+    * lineage cut by periodic localCheckpoint.
+    *
+    * Returns (id, hub_norm, auth_norm) for every node, where auth is the
+    * post-iteration Aᵀ·h_T pass (nodes without in/out edges score 0).
+    */
+  def hits(edges: DataFrame, iterations: Int, checkpointEvery: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "HITS needs a non-empty edge set")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    def auth(h: DataFrame): DataFrame = e.join(h, e("src") === h("id"))
+      .groupBy(col("dst").as("aid")).agg(sum(col("h")).as("a"))
+      .withColumnRenamed("aid", "id")
+    var h = nodes.withColumn("h", lit(1.0))
+    for (i <- 1 to iterations) {
+      val a = auth(h)
+      val h2 = e.join(a, e("dst") === a("id"))
+        .groupBy(col("src").as("hid")).agg(sum(col("a")).as("h"))
+        .withColumnRenamed("hid", "id")
+      // nodes whose hub score drained to no contribution keep an explicit 0
+      h = nodes.join(h2, Seq("id"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0.0)).as("h"))
+      if (i % checkpointEvery == 0) h = h.localCheckpoint()
+    }
+    val aFinal = auth(h)
+    val scored = h.join(aFinal, Seq("id"), "left")
+      .select(col("id"), col("h"), coalesce(col("a"), lit(0.0)).as("a"))
+      .localCheckpoint()
+    val sums = scored.agg(sum(col("h")).as("sh"), sum(col("a")).as("sa"))
+    val s = sums.collect()(0) // one bounded row
+    // scores are non-negative, so the TOTALS bound every partial sum and
+    // every individual score: totals < 2^53 proves the whole recursion
+    // (including shuffle-order-dependent partial aggregation) was exact
+    require(math.max(s.getDouble(0), s.getDouble(1)) < 9.0e15,
+      s"HITS score totals exceeded the exact-integer double range " +
+      s"(sum_h=${s.getDouble(0)}, sum_auth=${s.getDouble(1)}); reduce iterations")
+    scored.select(col("id"),
+      (col("h") / s.getDouble(0) * n).as("hub_norm"),
+      (col("a") / s.getDouble(1) * n).as("auth_norm"))
+  }
+
   /** Multi-source BFS hop distance (crawl depth) over `edges(src, dst)`:
     * the minimum number of link hops from any seed to each reachable node,
     * capped at `maxHops`. Returns (id, hop) for REACHED nodes only.

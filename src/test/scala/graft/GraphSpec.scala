@@ -53,6 +53,34 @@ class GraphSpec extends SparkSuite {
     assert(ex.getMessage.contains("dangling"))
   }
 
+  test("hits: star graph hands hubs to the center and authority to the leaves") {
+    // 0 -> {1,2,3}: h(0)=3^T, leaves 0; final auth a(i)=3^T, a(0)=0
+    // normalized (n=4): hub = (4, 0, 0, 0), auth = (0, 4/3, 4/3, 4/3)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val m = Graph.hits(star, iterations = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(approxEq(m(0L)._1, 4.0)); assert(m(0L)._2 === 0.0)
+    Seq(1L, 2L, 3L).foreach { i =>
+      assert(m(i)._1 === 0.0); assert(approxEq(m(i)._2, 4.0 / 3))
+    }
+  }
+
+  test("hits: 2-cycle is uniform; scores sum to n on a skewed graph") {
+    val cyc = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    Graph.hits(cyc, iterations = 5).collect().foreach { r =>
+      assert(approxEq(r.getDouble(1), 1.0)); assert(approxEq(r.getDouble(2), 1.0))
+    }
+    val n = 30
+    val skew = (0 until n).flatMap { i =>
+      Seq((i.toLong, ((i + 1) % n).toLong), (i.toLong, ((i * i + 3) % n).toLong),
+          (i.toLong, (i / 2).toLong))
+    }.toDF("src", "dst")
+    val rows = Graph.hits(skew, iterations = 10).collect()
+    assert(rows.length === n)
+    assert(approxEq(rows.map(_.getDouble(1)).sum, n.toDouble, 1e-9))
+    assert(approxEq(rows.map(_.getDouble(2)).sum, n.toDouble, 1e-9))
+  }
+
   test("hopDistance: path graph distances, cap, and unreachable exclusion") {
     // 0 -> 1 -> 2 -> 3 -> 4, plus isolated pair 10 -> 11
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
