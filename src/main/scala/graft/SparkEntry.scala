@@ -2883,6 +2883,40 @@ object SparkEntry {
         .select(col("id"), r6(col("hub_norm")).as("hub_norm"),
           r6(col("auth_norm")).as("auth_norm"))
         .orderBy("id")
+    }),
+
+    // distinct-count routing: the tier carries per-bucket value SETS
+    // (collect_set — the lang_set pattern at page scale), and the
+    // raw-phrased hourly count(DISTINCT event_type) is rewritten onto the
+    // exact set re-merge (size(array_distinct(flatten(collect_list(set))))).
+    "q206_route_distinct" -> ((s, dir) => {
+      import graft.plans.TierRoute
+      val tierPath = s"${System.getProperty("java.io.tmpdir")}/graft_route_set_${Integer.toHexString(dir.hashCode)}"
+      val raw = ev(s, dir)
+      val u = unix_timestamp(col("ts"))
+      raw.groupBy(col("user_id"), (u - pmod(u, lit(60L))).as("bucket_start"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+          min("value").as("min_value"), max("value").as("max_value"),
+          collect_set(col("event_type")).as("type_set"))
+        .write.mode("overwrite").parquet(tierPath)
+      TierRoute.install(s)
+      TierRoute.register(TierRoute.Route(
+        name = s"events_1m_sets_$dir", raw = raw, tierSeconds = 60L,
+        tier = () => s.read.parquet(tierPath),
+        groupCols = Seq("user_id"), tsCol = "ts",
+        measure = TierRoute.AttrMeasure("value"), measureNonNull = true,
+        distinctCol = Some(("event_type", "type_set"))))
+      val routed = raw
+        .groupBy(col("user_id"), (u - pmod(u, lit(3600L))).as("bucket_start"))
+        .agg(countDistinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+        .select(col("user_id"), col("bucket_start"), col("n_types"), col("cnt"),
+          r6(col("sum_value")).as("sum_value"))
+        .orderBy("user_id", "bucket_start")
+      val scanned = TierRoute.relationPaths(routed.queryExecution.optimizedPlan)
+      require(scanned.exists(_.contains(tierPath)),
+        s"distinct tier route did not fire — scanned $scanned")
+      routed
     })
   )
 
@@ -6314,7 +6348,17 @@ object SparkEntry {
         |s AS (SELECT (SELECT sum(h) FROM hf) AS sh, (SELECT sum(a) FROM af) AS sa)
         |SELECT hf.id, round(hf.h / s.sh * n.cnt, 6) AS hub_norm,
         |  round(coalesce(af.a, 0) / s.sa * n.cnt, 6) AS auth_norm
-        |FROM hf LEFT JOIN af ON af.id = hf.id, s, n ORDER BY hf.id""".stripMargin
+        |FROM hf LEFT JOIN af ON af.id = hf.id, s, n ORDER BY hf.id""".stripMargin,
+
+    // the routing contract again: tier-set re-merge must equal the raw
+    // distinct count
+    "q206_route_distinct" ->
+      """WITH b AS (SELECT user_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS u FROM events)
+        |SELECT user_id, (u - u % 3600) AS bucket_start,
+        |  count(DISTINCT event_type) AS n_types, count(*) AS cnt,
+        |  round(sum(value), 6) AS sum_value
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE

@@ -99,6 +99,11 @@ object TierRoute {
     *                       nulls in the raw data; gates `avg` and
     *                       `count(measure)` rewrites, whose tier form
     *                       divides/counts by the ALL-rows `cnt` partial
+    * @param blockCol       tier column carrying the Gorilla point block;
+    *                       enables exact `percentile(m, 0.5/0.95)` routing
+    * @param distinctCol    (rawColumn, tierSetColumn): enables exact
+    *                       `count(DISTINCT rawColumn)` routing via set
+    *                       re-merge over the tier's per-bucket value sets
     */
   case class Route(
       name: String,
@@ -114,7 +119,8 @@ object TierRoute {
       sumCol: String = "sum_value",
       minCol: String = "min_value",
       maxCol: String = "max_value",
-      blockCol: Option[String] = None) {
+      blockCol: Option[String] = None,
+      distinctCol: Option[(String, String)] = None) {
     require(tierSeconds >= 1, s"tierSeconds must be >= 1, got $tierSeconds")
     private[plans] val rawPaths: Set[String] = relationPaths(raw.queryExecution.analyzed)
     require(rawPaths.nonEmpty, "raw frame must scan a file-source relation")
@@ -384,7 +390,24 @@ case class TierRouteRule() extends Rule[LogicalPlan] {
       c.children.forall(ch => ch.eval() != null)
 
     def mapAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined || ae.mode != Complete) return None
+      if (ae.filter.isDefined || ae.mode != Complete) return None
+      if (ae.isDistinct) {
+        // count(DISTINCT c) routes onto the tier's per-bucket distinct-value
+        // SET column (the lang_set pattern): re-merge = size(array_distinct(
+        // flatten(collect_list(set)))) — exact, because the tier keeps the
+        // full per-bucket set, and null raw values are absent from both
+        // sides (collect_set drops them, as does count distinct)
+        return (ae.aggregateFunction, route.distinctCol) match {
+          case (c: Count, Some((rawCol, setCol))) =>
+            (c.children, tierAttr(setCol)) match {
+              case (Seq(a: AttributeReference), Some(setAttr)) if a.name == rawCol =>
+                Some(Cast(Size(ArrayDistinct(Flatten(
+                  CollectList(setAttr).toAggregateExpression()))), LongType))
+              case _ => None
+            }
+          case _ => None
+        }
+      }
       ae.aggregateFunction match {
         case c: Count if countsAllRows(c) =>
           Some(Sum(cntAttr).toAggregateExpression())

@@ -201,6 +201,80 @@ class TierRouteSpec extends SparkSuite {
     }
   }
 
+  test("pages domain: length(text) measures route onto the page tier (CharLenMeasure)") {
+    // raw pages parquet with the hierarchy materialized (TierPipeline layout)
+    val rawDir = Files.createTempDirectory("graft_route_pages_raw").toString
+    graft.functions.Hier.withHierarchy(
+        graft.sources.Pages.synthesize(spark, 20000, seed = 7, minutes = 360))
+      .write.mode("overwrite").parquet(rawDir)
+    val rawPages = spark.read.parquet(rawDir)
+    val tierDir = Files.createTempDirectory("graft_route_pages_tier").toString
+    graft.operators.Rollup.tier1m(rawPages).drop("lang_set", "mean_len",
+        "lang_card", "p50_len", "p95_len")
+      .write.mode("overwrite").parquet(tierDir)
+    val pagesRoute = Route(
+      name = "pages_1m", raw = rawPages, tierSeconds = 60L,
+      tier = () => spark.read.parquet(tierDir),
+      groupCols = Seq("tld", "registered_domain", "host"), tsCol = "warc_ts",
+      measure = TierRoute.CharLenMeasure("text"), measureNonNull = true,
+      cntCol = "cnt", sumCol = "sum_len", minCol = "min_len", maxCol = "max_len",
+      blockCol = Some("block"))
+    val uw = unix_timestamp(col("warc_ts"))
+    def q(src: DataFrame): DataFrame = src
+      .groupBy(col("host"), (uw - pmod(uw, lit(3600L))).as("bucket_start"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(length(col("text")).cast("double")).as("sum_len"),
+        avg(length(col("text"))).as("mean_len"),
+        percentile(length(col("text")), lit(0.5)).as("p50_len"))
+      .orderBy("host", "bucket_start")
+    withRoutes(pagesRoute) {
+      val routed = q(rawPages)
+      assert(scannedPaths(routed).exists(_.contains(tierDir)), "pages query not routed")
+      val got = routed.collect()
+      TierRoute.clear()
+      val exp = q(rawPages).collect()
+      assert(got.length === exp.length)
+      got.zip(exp).foreach { case (g, e) =>
+        assert(g.getString(0) === e.getString(0))
+        assert(g.getLong(2) === e.getLong(2))
+        assert(approxEq(g.getDouble(3), e.getDouble(3)))
+        assert(approxEq(g.getDouble(4), e.getDouble(4)))
+        assert(approxEq(g.getDouble(5), e.getDouble(5)))
+      }
+      // utf8_char_count spelling routes too
+      TierRoute.register(pagesRoute)
+      val viaNative = rawPages.groupBy(col("host"))
+        .agg(sum(graft.functions.Utf8CharCountExpr(col("text")).cast("double")).as("s"))
+      assert(scannedPaths(viaNative).exists(_.contains(tierDir)))
+    }
+  }
+
+  test("count(DISTINCT col) routes onto the tier's per-bucket value sets") {
+    val dir = Files.createTempDirectory("graft_route_set").toString
+    raw.groupBy(col("user_id"), (u - pmod(u, lit(60L))).as("bucket_start"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        min("value").as("min_value"), max("value").as("max_value"),
+        collect_set(col("event_type")).as("type_set"))
+      .write.mode("overwrite").parquet(dir)
+    val setRoute = route("tset", dir, 60L)
+      .copy(distinctCol = Some(("event_type", "type_set")))
+    def q(src: DataFrame): DataFrame = src
+      .groupBy(col("user_id"), (u - pmod(u, lit(3600L))).as("bucket_start"))
+      .agg(countDistinct(col("event_type")).as("n_types"), count(lit(1)).as("cnt"))
+      .orderBy("user_id", "bucket_start")
+    withRoutes(setRoute) {
+      val routed = q(raw)
+      assert(scannedPaths(routed).exists(_.contains(dir)), "distinct query not routed")
+      val got = routed.collect()
+      TierRoute.clear()
+      assert(got.map(_.toSeq).toSeq === q(raw).collect().map(_.toSeq).toSeq)
+    }
+    // without distinctCol the distinct aggregate stays on raw
+    withRoutes(route("tset2", dir, 60L)) {
+      assert(scannedPaths(q(raw)).exists(_.contains("events.parquet")))
+    }
+  }
+
   test("avg and count(measure) rewrite only under the non-null contract") {
     val nullable = route("t1m", tier1mPath, 60L).copy(measureNonNull = false)
     withRoutes(nullable) {
