@@ -367,4 +367,29 @@ object TierPipeline {
     }
     written
   }
+
+  /** [[TierRoute]] registrations for a durable store: every stored tier
+    * becomes a route over `raw` (the pages frame WITH hierarchy columns,
+    * scanned from parquet), with `length(text)`/`utf8_char_count(text)`
+    * measures, exact percentiles via the Gorilla block column, and
+    * `count(DISTINCT lang)` via the per-bucket lang sets. After
+    * {{{
+    *   TierRoute.install(spark)
+    *   TierPipeline.routes(spark, cfg, raw).foreach(TierRoute.register)
+    * }}}
+    * raw-phrased aggregates are served by the coarsest eligible stored tier
+    * — a daily-by-host report query reads `tier_1d` instead of the raw
+    * corpus, with no change to the query.
+    */
+  def routes(spark: SparkSession, cfg: Config, raw: DataFrame): Seq[TierRoute.Route] =
+    Rollup.Tiers.map { t =>
+      TierRoute.Route(
+        name = s"${cfg.root}:${t.name}",
+        raw = raw, tierSeconds = t.seconds,
+        tier = () => readTier(spark, cfg, t.name),
+        groupCols = cfg.groupCols, tsCol = "warc_ts",
+        measure = TierRoute.CharLenMeasure("text"), measureNonNull = true,
+        cntCol = "cnt", sumCol = "sum_len", minCol = "min_len", maxCol = "max_len",
+        blockCol = Some("block"), distinctCol = Some(("lang", "lang_set")))
+    }
 }

@@ -275,6 +275,46 @@ class TierRouteSpec extends SparkSuite {
     }
   }
 
+  test("durable store routes: daily query reads tier_1d, hourly reads tier_1h") {
+    import graft.plans.TierPipeline
+    val rawDir = Files.createTempDirectory("graft_store_raw").toString
+    graft.functions.Hier.withHierarchy(
+        graft.sources.Pages.synthesize(spark, 20000, seed = 11, minutes = 2900))
+      .write.mode("overwrite").parquet(rawDir)
+    val rawPages = spark.read.parquet(rawDir)
+    val cfg = TierPipeline.Config(Files.createTempDirectory("graft_store").toString,
+      hostBuckets = 2, saltBuckets = 1)
+    TierPipeline.buildAll(rawPages, cfg, runId = "routes1")
+    val uw = unix_timestamp(col("warc_ts"))
+    def daily(src: DataFrame): DataFrame = src
+      .groupBy(col("host"), (uw - pmod(uw, lit(86400L))).as("bucket_start"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(length(col("text")).cast("double")).as("sum_len"),
+        countDistinct(col("lang")).as("lang_card"),
+        percentile(length(col("text")), lit(0.95)).as("p95_len"))
+      .orderBy("host", "bucket_start")
+    withRoutes(TierPipeline.routes(spark, cfg, rawPages): _*) {
+      val routedDaily = daily(rawPages)
+      val paths = scannedPaths(routedDaily)
+      assert(paths.exists(_.contains("tier_1d")), s"daily not on tier_1d: $paths")
+      val hourly = rawPages
+        .groupBy(col("host"), (uw - pmod(uw, lit(3600L))).as("bucket_start"))
+        .agg(sum(length(col("text")).cast("double")).as("sum_len"))
+      assert(scannedPaths(hourly).exists(_.contains("tier_1h")))
+      val got = routedDaily.collect()
+      TierRoute.clear()
+      val exp = daily(rawPages).collect()
+      assert(got.length === exp.length)
+      got.zip(exp).foreach { case (g, e) =>
+        assert(g.getString(0) === e.getString(0))
+        assert(g.getLong(2) === e.getLong(2))
+        assert(approxEq(g.getDouble(3), e.getDouble(3)))
+        assert(g.getLong(4) === e.getLong(4))
+        assert(approxEq(g.getDouble(5), e.getDouble(5)))
+      }
+    }
+  }
+
   test("avg and count(measure) rewrite only under the non-null contract") {
     val nullable = route("t1m", tier1mPath, 60L).copy(measureNonNull = false)
     withRoutes(nullable) {
