@@ -2917,6 +2917,106 @@ object SparkEntry {
       require(scanned.exists(_.contains(tierPath)),
         s"distinct tier route did not fire — scanned $scanned")
       routed
+    }),
+
+    // week-over-week on the daily tier: calendar-exact via a self-join on
+    // date - 7 (NOT lag(7) — a missing day would silently shift the
+    // comparison), delta integer-exact on the count measure.
+    "q207_wow" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Features.periodOverPeriod(
+          daily, Seq("event_type"), "day", "cnt", periodDays = 7)
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          col("cnt"), col("prev_value").as("prev_cnt"), col("delta"),
+          r6(col("ratio")).as("ratio"))
+        .orderBy("event_type", "day")
+    }),
+
+    // inverted-index term statistics: df / cf / impact-ordered postings
+    // head per term, min-df pruned. The argmax is packed into one max()
+    // struct aggregate — no window, two map-side-combined shuffles total.
+    "q208_postings" -> ((s, dir) => {
+      graft.operators.Search.termStats(docs(s, dir), "doc_id", "text", minDf = 5L)
+        .orderBy("term")
+    }),
+
+    // positional phrase search: postings equi-joined on (doc, pos+1) —
+    // co-partitioned after one shuffle on the doc id.
+    "q209_phrase" -> ((s, dir) => {
+      graft.operators.Search.phraseSearch(docs(s, dir), "doc_id", "text",
+          Seq("table", "hash"))
+        .select(col("doc"), col("n_matches"), col("first_pos").cast("long").as("first_pos"))
+        .orderBy("doc")
+    }),
+
+    // common-neighbors link prediction on the doc link graph: non-adjacent
+    // pairs sharing >= 3 neighbors, neighborhood Jaccard as the score.
+    // Counts integer-exact; the one division is 6-dp rounded both sides.
+    "q210_common_neighbors" -> ((s, dir) => {
+      val (edges, _) = docEdges(s, dir)
+      graft.operators.Graph.commonNeighbors(edges, minCommon = 3L)
+        .select(col("a"), col("b"), col("common"),
+          r6(col("nbr_jaccard")).as("nbr_jaccard"))
+        .orderBy("a", "b")
+    }),
+
+    // automatic seasonality detection: dominant ACF lag per event_type over
+    // hourly counts (argmax on 6-dp-rounded acf, smaller lag wins ties —
+    // the verify-skill cross-engine rank-cut rule).
+    "q211_season_detect" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.operators.Features.dominantPeriod(
+          hourly, Seq("event_type"), "bucket", "cnt", lags = (1 to 36))
+        .orderBy("event_type")
+    }),
+
+    // replayable bootstrap CI for the mean text length: 200 hash-seeded
+    // resamples (m = n here; m-out-of-n is the scale knob), exact interior
+    // means (int64 sums / one division), percentile CI over the replicate
+    // means. Every draw is auditor-replayable from md5 — no RNG state.
+    "q212_bootstrap_ci" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count() // bounded scalar: corpus row count
+      val means = graft.operators.Sampling.bootstrapMeans(
+        d, "doc_id", "n_chars", n = n, b = 200, m = n, seed = "bs1")
+      // full-sample mean instead of avg-of-replicates: int64 sum / one
+      // division stays bit-identical cross-engine; a double avg would
+      // depend on summation order
+      val meanFull = d.agg(
+        r6(sum(col("n_chars")).cast("double") / n).as("mean_full"))
+      means.agg(
+        count(lit(1)).as("b"),
+        r6(percentile(col("boot_mean"), lit(0.025))).as("ci_lo"),
+        r6(percentile(col("boot_mean"), lit(0.975))).as("ci_hi"))
+        .crossJoin(meanFull)
+    }),
+
+    // governed release of per-(lang, source) counts: k-anonymity
+    // suppression (< 10 withheld) + hash-seeded bounded integer noise,
+    // clamped at the floor — integer-exact, bit-replayable by the oracle.
+    "q213_dp_release" -> ((s, dir) => {
+      graft.operators.Governance.noisyCountRelease(
+          docs(s, dir), Seq("lang", "source"),
+          minGroupSize = 10L, noiseBound = 5L, seed = "dp1")
+        .orderBy("lang", "source")
+    }),
+
+    // asymmetric shingle containment (quote/subset detection): ordered
+    // pairs whose trigram-set overlap covers >= 8% of the FIRST doc's
+    // shingles — the relation Jaccard misses when sizes differ. Trigrams,
+    // not bigrams: this corpus's 31-word vocabulary makes bigram df huge
+    // (~2 docs in 5 share any given bigram) and the shared-shingle join
+    // quadratic — the q35 hot-shingle lesson applied at query-design time.
+    "q214_containment" -> ((s, dir) => {
+      graft.operators.Dedup.containmentPairs(docs(s, dir), "text", "doc_id",
+          shingleN = 3, minContainment = 0.08)
+        .select(col("id_a"), col("id_b"), col("inter"), col("n_a"),
+          r6(col("containment")).as("containment"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -6358,8 +6458,139 @@ object SparkEntry {
         |SELECT user_id, (u - u % 3600) AS bucket_start,
         |  count(DISTINCT event_type) AS n_types, count(*) AS cnt,
         |  round(sum(value), 6) AS sum_value
-        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // calendar-exact self-join on day - 7, never lag(7) over present rows
+    "q207_wow" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2)
+        |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.cnt,
+        |  p.cnt AS prev_cnt, d.cnt - p.cnt AS delta,
+        |  CASE WHEN p.cnt <> 0 THEN round(d.cnt::DOUBLE / p.cnt, 6) END AS ratio
+        |FROM d LEFT JOIN d p
+        |  ON p.event_type = d.event_type AND p.day = d.day - 7
+        |ORDER BY 1, 2""".stripMargin,
+
+    // impact head replayed with a window argmax (tf desc, doc asc);
+    // sum(tf) is HUGEINT -> ::BIGINT
+    "q208_postings" ->
+      """WITH w AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |pd AS (SELECT term, doc_id, count(*) AS tf FROM w GROUP BY 1, 2),
+        |rk AS (SELECT term, doc_id, tf, row_number()
+        |    OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn FROM pd),
+        |st AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+        |       FROM pd GROUP BY 1)
+        |SELECT st.term, st.df, st.cf, rk.doc_id AS top_doc, rk.tf AS top_tf
+        |FROM st JOIN rk ON rk.term = st.term AND rk.rn = 1
+        |WHERE st.df >= 5 ORDER BY st.term""".stripMargin,
+
+    // generate_subscripts is 1-based; Spark posexplode is 0-based
+    "q209_phrase" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(ws) AS term,
+        |    generate_subscripts(ws, 1) - 1 AS pos FROM w),
+        |m AS (SELECT a.doc_id, a.pos FROM p a
+        |      JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |      WHERE a.term = 'table' AND b.term = 'hash')
+        |SELECT doc_id AS doc, count(*) AS n_matches,
+        |  min(pos)::BIGINT AS first_pos
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // wedge self-join centered on the shared neighbor, NOT EXISTS drops
+    // already-adjacent pairs; the one division rounded 6 dp both sides
+    "q210_common_neighbors" ->
+      """WITH raw AS (
+        |  SELECT doc_id AS s, (doc_id + 1) % (SELECT count(*) FROM documents) AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id // 2) FROM documents),
+        |u AS (SELECT DISTINCT least(s, t) AS x, greatest(s, t) AS y FROM raw WHERE s <> t),
+        |adj AS (SELECT x AS v, y AS n FROM u UNION ALL SELECT y, x FROM u),
+        |deg AS (SELECT v, count(*) AS degree FROM adj GROUP BY 1),
+        |pairs AS (SELECT a.v AS a, b.v AS b, count(*) AS common
+        |          FROM adj a JOIN adj b ON b.n = a.n AND a.v < b.v GROUP BY 1, 2),
+        |cand AS (SELECT p.* FROM pairs p WHERE p.common >= 3
+        |         AND NOT EXISTS (SELECT 1 FROM u WHERE u.x = p.a AND u.y = p.b))
+        |SELECT c.a, c.b, c.common::BIGINT AS common,
+        |  round(c.common::DOUBLE / (da.degree + db.degree - c.common), 6) AS nbr_jaccard
+        |FROM cand c JOIN deg da ON da.v = c.a JOIN deg db ON db.v = c.b
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q211_season_detect" -> seasonDetectSql,
+
+    // the documents table IS the draw-index domain (doc_id contiguous
+    // 0..n-1 at every sf); replicate means are exact (int64 sum / one
+    // division), so quantile_cont sees bit-identical inputs
+    "q212_bootstrap_ci" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |grid AS (SELECT r.range AS rep, d0.doc_id AS i
+        |         FROM range(0, 200) r, documents d0),
+        |draws AS (SELECT rep, (('0x' || substr(md5(concat_ws(':', 'bs1', rep, i)), 1, 15))::BIGINT
+        |    % (SELECT n FROM n)) AS idx FROM grid),
+        |means AS (SELECT rep, sum(d.n_chars)::DOUBLE / (SELECT n FROM n) AS boot_mean
+        |          FROM draws JOIN documents d ON d.doc_id = draws.idx GROUP BY 1)
+        |SELECT count(*) AS b,
+        |  round(quantile_cont(boot_mean, 0.025), 6) AS ci_lo,
+        |  round(quantile_cont(boot_mean, 0.975), 6) AS ci_hi,
+        |  (SELECT round(sum(n_chars)::DOUBLE / (SELECT n FROM n), 6)
+        |   FROM documents) AS mean_full
+        |FROM means""".stripMargin,
+
+    // suppression + hash noise + clamp, all integer — bit-replayable
+    "q213_dp_release" ->
+      """WITH c AS (SELECT lang, source, count(*) AS cnt FROM documents
+        |           GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT lang, source,
+        |  greatest(cnt + (('0x' || substr(md5(concat_ws(':', 'dp1', lang, source)), 1, 15))::BIGINT
+        |    % 11) - 5, 10) AS released_count
+        |FROM c ORDER BY 1, 2""".stripMargin,
+
+    // trigram-set containment inter/|A|: same shingle rule as the engine
+    // (1-based list slots = element_at), raw-double threshold both sides
+    "q214_containment" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+        |  FROM w WHERE len(ws) >= 3),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |          FROM ex a JOIN ex b ON b.s = a.s AND a.doc_id <> b.doc_id
+        |          GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh)::BIGINT AS n FROM sh)
+        |SELECT i.id_a, i.id_b, i.inter::BIGINT AS inter, sz.n AS n_a,
+        |  round(i.inter::DOUBLE / sz.n, 6) AS containment
+        |FROM inter i JOIN sz ON sz.doc_id = i.id_a
+        |WHERE i.inter::DOUBLE / sz.n >= 0.08 ORDER BY 1, 2""".stripMargin
   )
+
+  /** q211's oracle: ACF per lag 1..36 via windowed lag + corr, argmax on
+    * the 6-dp-rounded value with the smaller lag winning ties (the
+    * cross-engine rank-cut rule). Generated — 36 stacked UNION ALL arms.
+    */
+  private def seasonDetectSql: String = {
+    val lags = 1 to 36
+    val lagCols = lags.map(k => s"lag(cnt, $k) OVER w AS l$k").mkString(", ")
+    val arms = lags.map(k =>
+      s"SELECT event_type, $k AS prd, round(corr(cnt, l$k), 6) AS r FROM l GROUP BY 1")
+      .mkString(" UNION ALL ")
+    s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+       |    count(*)::DOUBLE AS cnt FROM events GROUP BY 1, 2),
+       |l AS (SELECT event_type, cnt, $lagCols FROM h
+       |      WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+       |a AS ($arms),
+       |rk AS (SELECT event_type, prd, r, row_number()
+       |    OVER (PARTITION BY event_type ORDER BY r DESC, prd) AS rn
+       |  FROM a WHERE r IS NOT NULL)
+       |SELECT event_type, prd AS period, r AS acf FROM rk WHERE rn = 1
+       |ORDER BY event_type""".stripMargin
+  }
 
   /** Exact integer bit-length of the 52-bit remainder `r` as a SQL CASE
     * chain (`WHEN r >= 2^51 THEN 52 … WHEN r >= 1 THEN 1`) — avoids float

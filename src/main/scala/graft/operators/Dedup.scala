@@ -248,6 +248,48 @@ object Dedup {
       .select((groupCols.map(col) :+ col("id_a") :+ col("id_b") :+ col("jaccard")): _*)
   }
 
+  /** Asymmetric shingle CONTAINMENT |Sa ∩ Sb| / |Sa| — the quote/subset
+    * detector Jaccard misses: a short page wholly embedded in a long one
+    * scores near 1.0 here but near |a|/|b| under Jaccard (Broder 1997's
+    * containment, public paper). Emits ORDERED pairs (contained, container)
+    * with containment ≥ `minContainment` and a ≠ b; both directions of a
+    * pair can appear when each clears the threshold.
+    *
+    * Same candidate plan as [[ngramJaccardPairs]] (shared-shingle
+    * self-join, optional `maxDf` hot-shingle cap — at web scale the cap is
+    * MANDATORY, the scaladoc bound there applies unchanged); only the
+    * final ratio differs, so intersection counts stay integer-exact and
+    * the single division is the one float.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleN: Int = 3, minContainment: Double = 0.5,
+                       maxDf: Option[Long] = None): DataFrame = {
+    val docs = df
+      .withColumn("_ws", words(col(textCol)))
+      .select(col(idCol).as("id"),
+        array_distinct(wordShinglesOf(col("_ws"), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exAll = docs.select(col("id"), explode(col("sh")).as("s"))
+    val (ex, sizes) = maxDf match {
+      case Some(tau) =>
+        val rare = exAll.groupBy("s").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= tau).select("s")
+        val kept = exAll.join(rare, Seq("s"), "left_semi")
+          .select(col("id"), col("s")).localCheckpoint()
+        (kept, kept.groupBy("id").agg(count(lit(1)).as("n")))
+      case None =>
+        (exAll, docs.select(col("id"), size(col("sh")).cast("long").as("n")))
+    }
+    ex.toDF("id_a", "s")
+      .join(ex.toDF("id_b", "s"), "s")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .withColumn("containment", col("inter").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("containment"))
+  }
+
   // -------------------------------------------- incremental (batch-vs-history)
 
   /** Incremental exact dedup: drop from `newBatch` every row whose `textCol`

@@ -825,4 +825,53 @@ object Features {
       when(count(when(x.isNotNull && y.isNotNull, lit(1))).over(frame) === winRows
         && den > 0, (n * sxy - sx * sy) / den))
   }
+
+  /** Period-over-period comparison on a DAILY tier: each (hierarchy, date)
+    * row gains the value from exactly `periodDays` earlier plus the delta
+    * and ratio — the week-over-week / 28-day-over-28-day read every
+    * monitoring dashboard issues against the 1d retention tier.
+    *
+    * NOT `lag(k)`: a missing day would silently shift the comparison to
+    * the wrong calendar date. Calendar-exact via a self-equi-join on
+    * (hierarchy, date − periodDays) — both sides shuffle once on the same
+    * key, and at tier cardinality (hosts × days) the join is tiny relative
+    * to raw. Rows whose prior date is absent keep null prev/delta/ratio.
+    */
+  def periodOverPeriod(daily: DataFrame, hierarchy: Seq[String],
+                       dateCol: String, valCol: String,
+                       periodDays: Int): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    val prev = daily.select((hierarchy.map(col) :+
+      date_add(col(dateCol), periodDays).as(dateCol) :+
+      col(valCol).as("prev_value")): _*)
+    daily.join(prev, hierarchy :+ dateCol, "left")
+      .withColumn("delta", col(valCol) - col("prev_value"))
+      .withColumn("ratio",
+        when(col("prev_value") =!= 0, col(valCol).cast("double") / col("prev_value")))
+  }
+
+  /** Dominant seasonal period per series: the lag in `lags` whose
+    * autocorrelation ([[acf]]) is highest — the automatic period detector
+    * that picks the seasonality for Holt-Winters / seasonal decomposition
+    * instead of a hand-set constant.
+    *
+    * Cross-engine determinism: the argmax compares acf ROUNDED to 6 dp
+    * with the smaller lag winning ties — raw doubles differ in the last
+    * ulp between engines (verify-skill rank-cut rule). One aggregation
+    * over the tiny (series × lags) ACF table.
+    */
+  def dominantPeriod(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                     valCol: String, lags: Seq[Int]): DataFrame = {
+    // arithmetic half-away rounding, NOT Spark round() (BigDecimal
+    // shortest-repr — diverges from DuckDB's raw-double rounding)
+    val a = acf(df, hierarchy, tsCol, valCol, lags)
+      .withColumn("_r",
+        signum(col("acf")) * floor(abs(col("acf")) * 1e6 + 0.5) / 1e6)
+      .filter(col("_r").isNotNull)
+    a.groupBy(hierarchy.map(col): _*)
+      .agg(max(struct(col("_r").as("r"), (-col("lag")).as("neglag"))).as("_best"))
+      .select((hierarchy.map(col) :+
+        (-col("_best.neglag")).cast("int").as("period") :+
+        col("_best.r").as("acf")): _*)
+  }
 }

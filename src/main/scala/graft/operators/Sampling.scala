@@ -68,4 +68,35 @@ object Sampling {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(ord, col(idCol))
     df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  /** Replayable bootstrap: `b` resample means of an integer measure, for a
+    * percentile confidence interval on the mean (Efron 1979, public
+    * method). Returns one row per replicate: (rep, boot_mean).
+    *
+    * Draws are content-hash uniforms, not RNG state: replicate r's draw i
+    * picks row id md5Long("seed:r:i") mod n — the same auditor-replayable
+    * contract as [[hashSample]], and the DuckDB oracle re-derives every
+    * draw. Ids must be CONTIGUOUS 0..n-1 ([[graft.operators.Encoding]]'s
+    * ordinal dictionary produces exactly that for anything else).
+    *
+    * Scale: the draw grid is generate_series-shaped (b × m rows of two
+    * longs, no text), equi-joined once against the measure table — both
+    * sides one shuffle on the id. `m` is the m-out-of-n bootstrap size: at
+    * 10^12 rows resampling n-out-of-n is pointless and unpayable — fix m
+    * (10^5 or so) and the CI stays consistent (Bickel et al., public
+    * result) while the grid stays tiny. Means are exact: int64 sums, one
+    * double division.
+    */
+  def bootstrapMeans(df: DataFrame, idCol: String, valCol: String,
+                     n: Long, b: Int, m: Long, seed: String): DataFrame = {
+    require(n >= 1 && b >= 1 && m >= 1, s"need n,b,m >= 1, got n=$n b=$b m=$m")
+    val spark = df.sparkSession
+    val draws = spark.range(b.toLong).select(col("id").as("rep"))
+      .select(col("rep"), explode(sequence(lit(0L), lit(m - 1))).as("i"))
+      .select(col("rep"),
+        pmod(md5Long(concat_ws(":", lit(seed), col("rep"), col("i"))), lit(n)).as("_idx"))
+    draws.join(df.select(col(idCol).as("_idx"), col(valCol).as("_v")), "_idx")
+      .groupBy("rep")
+      .agg((sum(col("_v").cast("long")).cast("double") / m).as("boot_mean"))
+  }
 }
