@@ -3017,6 +3017,63 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("inter"), col("n_a"),
           r6(col("containment")).as("containment"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // bigram collocation lift p(ab)/(p(a)p(b)): exp(PMI) kept un-logged so
+    // the score is three fixed-order IEEE divisions on exact counts —
+    // bit-identical cross-engine, no transcendental.
+    "q215_collocations" -> ((s, dir) => {
+      graft.operators.TextAnalysis.collocations(docs(s, dir), "text",
+          minPairCount = 20L)
+        .orderBy("term_a", "term_b")
+    }),
+
+    // SCD type-2 from the event change log: runs of consecutive equal
+    // event_type per user become validity intervals (half-open, null-open
+    // tail), versioned in time order. Epoch seconds via truncation both
+    // sides (floor(epoch) in the oracle — the recipe's sub-second rule).
+    "q216_scd2" -> ((s, dir) => {
+      graft.operators.Scd.scd2(ev(s, dir), Seq("user_id"), "ts",
+          "event_type", "event_id")
+        .select(col("user_id"), col("state"), col("version"),
+          unix_timestamp(col("valid_from").cast("timestamp")).as("valid_from"),
+          unix_timestamp(col("valid_to").cast("timestamp")).as("valid_to"),
+          col("n_obs"))
+        .orderBy("user_id", "version")
+    }),
+
+    // Benford first-digit audit of n_chars: digit from the decimal
+    // rendering (no log10), expected shares are fixed 12-dp literals shared
+    // with the oracle, chi-square terms on exact counts.
+    "q217_benford" -> ((s, dir) => {
+      graft.operators.Governance.benfordDigits(docs(s, dir), "n_chars")
+        .orderBy("digit")
+    }),
+
+    // priority sampling (Duffield-Lund-Thorup): top-100 by w/u with
+    // hash-replayable u — every priority two IEEE ops on exact integers,
+    // so the cut is bit-deterministic; distributed TakeOrdered, no window.
+    "q218_weighted_sample" -> ((s, dir) => {
+      graft.operators.Sampling.prioritySample(docs(s, dir), "doc_id",
+          "n_chars", k = 100, seed = "ps1")
+        .orderBy("doc_id")
+    }),
+
+    // SAX motif classes: 5-day sign-pattern words (alphabet 2) over each
+    // user's value series; identical words = a motif class. Class summary
+    // is min/max member, never a collected list.
+    "q219_sax_motifs" -> ((s, dir) => {
+      graft.operators.Sax.motifs(ev(s, dir), "user_id", "ts", "value",
+          frameSeconds = 432000L, alphabet = 2, minSize = 2L)
+        .orderBy("sax_word")
+    }),
+
+    // tail attribution: which event_type owns the top-500 values — rank
+    // cut (integer-exact membership), lift = tail share / overall share.
+    "q220_tail_lift" -> ((s, dir) => {
+      graft.operators.Profile.tailLift(ev(s, dir), "event_type", "value",
+          "event_id", tailK = 500)
+        .orderBy("event_type")
     })
   )
 
@@ -6567,8 +6624,114 @@ object SparkEntry {
         |SELECT i.id_a, i.id_b, i.inter::BIGINT AS inter, sz.n AS n_a,
         |  round(i.inter::DOUBLE / sz.n, 6) AS containment
         |FROM inter i JOIN sz ON sz.doc_id = i.id_a
-        |WHERE i.inter::DOUBLE / sz.n >= 0.08 ORDER BY 1, 2""".stripMargin
+        |WHERE i.inter::DOUBLE / sz.n >= 0.08 ORDER BY 1, 2""".stripMargin,
+
+    // lift = (n_ab/B)/((n_a/T)(n_b/T)) in the engine's exact IEEE op order
+    "q215_collocations" ->
+      """WITH w AS (SELECT list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |wn AS (SELECT ws FROM w WHERE len(ws) > 0),
+        |u2 AS (SELECT term, count(*) AS n FROM (SELECT unnest(ws) AS term FROM wn) GROUP BY 1),
+        |bi AS (SELECT ws[i] AS term_a, ws[i+1] AS term_b, count(*) AS n_ab
+        |       FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM wn WHERE len(ws) >= 2)
+        |       GROUP BY 1, 2 HAVING count(*) >= 20),
+        |tot AS (SELECT sum(len(ws))::BIGINT AS t_total,
+        |        sum(greatest(len(ws) - 1, 0))::BIGINT AS b_total FROM wn)
+        |SELECT bi.term_a, bi.term_b, bi.n_ab::BIGINT AS n_ab,
+        |  ua.n::BIGINT AS n_a, ub.n::BIGINT AS n_b,
+        |  (bi.n_ab::DOUBLE / tot.b_total::DOUBLE) /
+        |    ((ua.n::DOUBLE / tot.t_total::DOUBLE) * (ub.n::DOUBLE / tot.t_total::DOUBLE)) AS lift
+        |FROM bi JOIN u2 ua ON ua.term = bi.term_a
+        |        JOIN u2 ub ON ub.term = bi.term_b, tot
+        |ORDER BY 1, 2""".stripMargin,
+
+    // run collapse via lag-change flag + running sum; null state is a state
+    // (IS NOT DISTINCT FROM = Spark's <=>); valid_to = next run's start
+    "q216_scd2" ->
+      """WITH f AS (SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+        |         THEN 0 ELSE 1 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS version FROM f),
+        |r AS (SELECT user_id, version::BIGINT AS version, min(event_type) AS state,
+        |    min(ts) AS vf, count(*) AS n_obs
+        |  FROM v GROUP BY 1, 2)
+        |SELECT user_id, state, version,
+        |  floor(epoch(vf))::BIGINT AS valid_from,
+        |  floor(epoch(lead(vf) OVER (PARTITION BY user_id ORDER BY version)))::BIGINT AS valid_to,
+        |  n_obs::BIGINT AS n_obs
+        |FROM r ORDER BY user_id, version""".stripMargin,
+
+    "q217_benford" -> benfordSql,
+
+    // priority q = w/u, u = (h+1)/2^60 — the same two IEEE ops; rank cut
+    // is (priority DESC, doc_id), bit-deterministic
+    "q218_weighted_sample" ->
+      """WITH p AS (SELECT doc_id, n_chars AS weight,
+        |    n_chars::DOUBLE / ((('0x' || substr(md5(concat_ws(':', 'ps1', doc_id)), 1, 15))::BIGINT + 1)::DOUBLE
+        |      / 1152921504606846976.0) AS priority
+        |  FROM documents WHERE n_chars > 0),
+        |t AS (SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT 100)
+        |SELECT doc_id, weight, priority FROM t ORDER BY doc_id""".stripMargin,
+
+    // q112's SAX pipeline at alphabet 2 / 5-day frames, grouped by word
+    "q219_sax_motifs" ->
+      """WITH m AS (SELECT user_id, avg(value) AS mu, stddev_pop(value) AS sd
+        |    FROM events GROUP BY 1),
+        |z AS (SELECT e.user_id,
+        |    epoch(date_trunc('minute', e.ts))::BIGINT
+        |      - epoch(date_trunc('minute', e.ts))::BIGINT % 432000 AS frame_start,
+        |    CASE WHEN m.sd > 0 THEN (e.value - m.mu) / m.sd ELSE 0 END AS z
+        |  FROM events e JOIN m USING (user_id)),
+        |p AS (SELECT user_id, frame_start, round(avg(z),6) AS paa FROM z GROUP BY 1,2),
+        |s AS (SELECT user_id, frame_start,
+        |    CASE WHEN paa < 0.0 THEN 'a' ELSE 'b' END AS sym FROM p),
+        |wd AS (SELECT user_id, string_agg(sym, '' ORDER BY frame_start) AS sax_word,
+        |    count(*) AS n_frames FROM s GROUP BY 1)
+        |SELECT sax_word, count(*) AS n_series,
+        |  min(user_id) AS member_min, max(user_id) AS member_max,
+        |  min(n_frames)::BIGINT AS min_frames, max(n_frames)::BIGINT AS max_frames
+        |FROM wd GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin,
+
+    // rank-cut tail membership (top-500 by value desc, event_id), then the
+    // same fixed-order share/lift arithmetic
+    "q220_tail_lift" ->
+      """WITH t AS (SELECT event_type FROM events ORDER BY value DESC, event_id LIMIT 500),
+        |tc AS (SELECT event_type, count(*) AS tail_cnt FROM t GROUP BY 1),
+        |o AS (SELECT event_type, count(*) AS total_cnt FROM events GROUP BY 1),
+        |n AS (SELECT count(*) AS n_total FROM events)
+        |SELECT o.event_type, o.total_cnt::BIGINT AS total_cnt,
+        |  coalesce(tc.tail_cnt, 0)::BIGINT AS tail_cnt,
+        |  coalesce(tc.tail_cnt, 0)::DOUBLE / 500.0 AS tail_share,
+        |  o.total_cnt::DOUBLE / n.n_total::DOUBLE AS overall_share,
+        |  CASE WHEN coalesce(tc.tail_cnt, 0) > 0
+        |       THEN (coalesce(tc.tail_cnt, 0)::DOUBLE / 500.0)
+        |            / (o.total_cnt::DOUBLE / n.n_total::DOUBLE) END AS lift
+        |FROM o LEFT JOIN tc USING (event_type), n ORDER BY 1""".stripMargin
   )
+
+  /** q217's oracle: the digit histogram joined to the SAME 12-dp expected-
+    * share literals the engine uses ([[graft.operators.Governance.BenfordExpected]]) —
+    * generated so one constant table serves both engines.
+    */
+  private def benfordSql: String = {
+    val values = graft.operators.Governance.BenfordExpected
+      .map { case (d, e) => s"($d, $e)" }.mkString(", ")
+    s"""WITH exp(digit, expected_share) AS (VALUES $values),
+       |c AS (SELECT substr((n_chars::BIGINT)::VARCHAR, 1, 1)::INT AS digit,
+       |    count(*) AS cnt FROM documents WHERE n_chars >= 1 GROUP BY 1),
+       |tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM c)
+       |SELECT e.digit, coalesce(c.cnt, 0)::BIGINT AS cnt,
+       |  coalesce(c.cnt, 0)::DOUBLE / tot.n_total::DOUBLE AS share,
+       |  e.expected_share,
+       |  (coalesce(c.cnt, 0)::DOUBLE - e.expected_share * tot.n_total::DOUBLE)
+       |    * (coalesce(c.cnt, 0)::DOUBLE - e.expected_share * tot.n_total::DOUBLE)
+       |    / (e.expected_share * tot.n_total::DOUBLE) AS chi2_term
+       |FROM exp e LEFT JOIN c USING (digit), tot
+       |ORDER BY e.digit""".stripMargin
+  }
 
   /** q211's oracle: ACF per lag 1..36 via windowed lag + corr, argmax on
     * the 6-dp-rounded value with the smaller lag winning ties (the

@@ -45,4 +45,50 @@ object Governance {
     counts.select((groupCols.map(col) :+
       greatest(col("_true") + noise, lit(minGroupSize)).as("released_count")): _*)
   }
+
+  /** Benford first-digit expectations log10(1 + 1/d), d = 1..9, as FIXED
+    * 12-dp literals — both the engine and any SQL oracle consume these
+    * exact constants, so no transcendental is evaluated at query time
+    * (JVM StrictMath vs libm last-ulp noise cannot appear).
+    */
+  val BenfordExpected: Seq[(Int, Double)] = Seq(
+    1 -> 0.301029995664, 2 -> 0.176091259056, 3 -> 0.124938736608,
+    4 -> 0.096910013008, 5 -> 0.079181246048, 6 -> 0.066946789631,
+    7 -> 0.057991946978, 8 -> 0.051152522447, 9 -> 0.045757490561)
+
+  /** Benford's-law first-significant-digit audit of a positive INTEGER
+    * measure (Benford 1938; Nigrini's fraud-screen use is the governance
+    * application: a synthetic or tampered measure column drifts from the
+    * log-curve). One row per digit 1..9 with the observed count, observed
+    * share, expected share, and the digit's Pearson χ² term
+    * (obs−exp)²/exp on counts — sum the column for the full statistic.
+    *
+    * Integer-exact everywhere: the digit is the first character of the
+    * decimal rendering (no log10), counts are longs, and the three float
+    * outputs are fixed-order IEEE arithmetic on those longs. One
+    * map-side-combined count on a 9-value key; the expected curve joins in
+    * as a 9-row literal frame.
+    */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val expected = spark.createDataFrame(BenfordExpected.map {
+      case (d, e) => (d, e)
+    }).toDF("digit", "expected_share")
+    val counts = df
+      .filter(col(valueCol) >= 1)
+      .select(substring(col(valueCol).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("n_total"))
+    expected.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share", col("cnt").cast("double") / col("n_total").cast("double"))
+      .withColumn("chi2_term", {
+        val exp = col("expected_share") * col("n_total").cast("double")
+        (col("cnt").cast("double") - exp) * (col("cnt").cast("double") - exp) / exp
+      })
+      .select(col("digit"), col("cnt"), col("share"),
+        col("expected_share"), col("chi2_term"))
+  }
 }

@@ -244,4 +244,36 @@ object Profile {
       .select(col("mi"), col("h_a"), col("h_b"), col("mi_norm"),
         col("n_cells"), col("_n").as("n"))
   }
+
+  /** Tail attribution: which segment drives the extreme tail? For the
+    * top-`tailK` rows by `valueCol` (ties broken by `tieCol` — a RANK cut,
+    * integer-exact, never a percentile threshold whose interpolated float
+    * could flake a membership compare), per-segment counts in the tail vs
+    * overall, and the lift (tail share ÷ overall share) — lift ≫ 1 marks
+    * the segment that owns the p99 ("the p99 latency is all
+    * /checkout"-style monitoring reads).
+    *
+    * Scale: the tail is a distributed TakeOrdered of K rows (no global
+    * window, nothing shuffled but K survivors); overall counts are one
+    * map-side-combined aggregation; the lift arithmetic is fixed-order
+    * IEEE on exact longs.
+    */
+  def tailLift(df: DataFrame, segmentCol: String, valueCol: String,
+               tieCol: String, tailK: Int): DataFrame = {
+    require(tailK >= 1, s"tailK must be >= 1, got $tailK")
+    val tail = df.orderBy(col(valueCol).desc, col(tieCol)).limit(tailK)
+      .groupBy(segmentCol).agg(count(lit(1)).as("tail_cnt"))
+    val overall = df.groupBy(segmentCol).agg(count(lit(1)).as("total_cnt"))
+    val n = df.agg(count(lit(1)).as("n_total"))
+    overall.join(tail, Seq(segmentCol), "left")
+      .na.fill(0L, Seq("tail_cnt"))
+      .crossJoin(broadcast(n))
+      .withColumn("tail_share", col("tail_cnt").cast("double") / lit(tailK.toDouble))
+      .withColumn("overall_share",
+        col("total_cnt").cast("double") / col("n_total").cast("double"))
+      .withColumn("lift",
+        when(col("tail_cnt") > 0, col("tail_share") / col("overall_share")))
+      .select(col(segmentCol), col("total_cnt"), col("tail_cnt"),
+        col("tail_share"), col("overall_share"), col("lift"))
+  }
 }

@@ -99,4 +99,31 @@ object Sampling {
       .groupBy("rep")
       .agg((sum(col("_v").cast("long")).cast("double") / m).as("boot_mean"))
   }
+
+  /** Priority sampling (Duffield, Lund & Thorup 2007): weight-proportional
+    * sample WITHOUT replacement by taking the top-k priorities
+    * q_i = w_i / u_i, u_i uniform on (0, 1] — the scheme whose
+    * threshold-adjusted estimator max(w_i, τ) is unbiased for subset sums.
+    *
+    * Replayable like every sampler here: u_i = (md5Long(seed:id) + 1) / 2⁶⁰
+    * — no RNG state, each priority is two fixed-order IEEE ops on exact
+    * integers, so an auditing engine reproduces every priority
+    * BIT-IDENTICALLY and the top-k cut cannot flake cross-engine (id
+    * tie-break makes the order total regardless).
+    *
+    * Scale: one narrow projection then a distributed TakeOrdered
+    * (`orderBy(...).limit(k)`) — no global window, no shuffle of the
+    * un-sampled mass. Weights must be positive.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (md5Long(concat_ws(":", lit(seed), col(idCol))) + 1L).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+    df.filter(col(weightCol) > 0)
+      .withColumn("priority", col(weightCol).cast("double") / u)
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col(weightCol).as("weight"), col("priority"))
+  }
 }

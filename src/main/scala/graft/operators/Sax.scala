@@ -83,4 +83,28 @@ object Sax {
           x => x.getField("sym")), "").as("sax_word"),
         count(lit(1)).as("n_frames"))
   }
+
+  /** Motif discovery by SAX-word collision (the Lin et al. 2003 use case):
+    * series whose whole-range words are IDENTICAL form a motif class — the
+    * "hosts shaped like this one" equi-group. Emits classes of at least
+    * `minSize` members with the class size and the min/max member key (a
+    * deterministic summary — never a collected member list, which at 10⁹
+    * series would be the one unbounded thing in the plan). `seriesCol` must
+    * be a single orderable key column.
+    *
+    * Scale: everything [[sax]] costs plus ONE more shuffle on the word —
+    * motif search over a series population without a single distance
+    * computation; candidate classes can then feed an exact verify stage the
+    * way LSH buckets feed [[Dedup]]'s.
+    */
+  def motifs(df: DataFrame, seriesCol: String, tsCol: String, valueCol: String,
+             frameSeconds: Long, alphabet: Int = 4, minSize: Long = 2L): DataFrame =
+    sax(df, Seq(seriesCol), tsCol, valueCol, frameSeconds, alphabet)
+      .groupBy(col("sax_word"))
+      .agg(count(lit(1)).as("n_series"),
+        min(col(seriesCol)).as("member_min"),
+        max(col(seriesCol)).as("member_max"),
+        min(col("n_frames")).as("min_frames"),
+        max(col("n_frames")).as("max_frames"))
+      .filter(col("n_series") >= minSize)
 }

@@ -465,4 +465,48 @@ object TextAnalysis {
       .withColumn("n_terms", col("_n").cast("long"))
       .select(col("zipf_slope"), col("n_terms"), col("max_freq"))
   }
+
+  /** Bigram collocation detection by pointwise lift
+    * p(ab) / (p(a)·p(b)) — the association measure behind PMI (Church &
+    * Hanks 1990; lift IS exp(PMI), emitted un-logged so the score is pure
+    * integer-count arithmetic: three IEEE divisions and one multiply in a
+    * FIXED order, bit-identical across engines — no transcendental `ln`
+    * whose last-ulp noise could flip a rounded compare).
+    *
+    * Counts: `n_ab` adjacent-pair occurrences, `n_a`/`n_b` token
+    * occurrences, over totals B (bigram slots) and T (tokens). Pairs below
+    * `minPairCount` are dropped BEFORE the unigram joins — at web scale the
+    * pair table above a support floor is vocabulary-sized, not corpus-
+    * sized, so both attach joins are cheap equi-joins; the totals ride in
+    * on one broadcast of a 1-row frame (no driver action).
+    *
+    * Adjacent pairs come from exploding a literal index sequence over the
+    * STAGED words array (the Catalyst-CSE rule on [[graft.functions.Hashing.wordShinglesOf]]):
+    * one narrow pass, no self-join on positions.
+    */
+  def collocations(docs: DataFrame, textCol: String,
+                   minPairCount: Long = 2L): DataFrame = {
+    val ws = docs.select(words(col(textCol)).as("ws")).filter(size(col("ws")) > 0)
+    val uni = ws.select(explode(col("ws")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val bi = ws.filter(size(col("ws")) >= 2)
+      .select(col("ws"), explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+      .select(element_at(col("ws"), col("i")).as("term_a"),
+        element_at(col("ws"), col("i") + 1).as("term_b"))
+      .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    val tot = ws.agg(
+      sum(size(col("ws"))).cast("long").as("t_total"),
+      sum(greatest(size(col("ws")) - 1, lit(0))).cast("long").as("b_total"))
+    bi
+      .join(uni.select(col("term").as("term_a"), col("n").as("n_a")), "term_a")
+      .join(uni.select(col("term").as("term_b"), col("n").as("n_b")), "term_b")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        (col("n_ab").cast("double") / col("b_total").cast("double")) /
+          ((col("n_a").cast("double") / col("t_total").cast("double")) *
+            (col("n_b").cast("double") / col("t_total").cast("double"))))
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("lift"))
+  }
 }
