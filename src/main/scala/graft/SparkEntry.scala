@@ -3074,6 +3074,52 @@ object SparkEntry {
       graft.operators.Profile.tailLift(ev(s, dir), "event_type", "value",
           "event_id", tailK = 500)
         .orderBy("event_type")
+    }),
+
+    // k-core peel on the doc link graph: 3 synchronous peel rounds at
+    // k=4 — bounded-round semantics IS the oracle contract (the SQL twin
+    // unrolls the same rounds); per round one degree count + two
+    // endpoint semi-joins, all on the vertex id.
+    "q221_kcore" -> ((s, dir) => {
+      val (edges, _) = docEdges(s, dir)
+      graft.operators.Graph.kCore(edges, k = 4L, rounds = 3)
+        .orderBy("v")
+    }),
+
+    // frequent 3-step event paths per user stream: two window leads, one
+    // count — discovers the funnels windowFunnel needs hand-specified.
+    "q222_path_trigrams" -> ((s, dir) => {
+      graft.operators.Sessions.pathNgrams(ev(s, dir), Seq("user_id"), "ts",
+          "event_id", "event_type", n = 3, minCount = 5L)
+        .orderBy("step_1", "step_2", "step_3")
+    }),
+
+    // first/last-touch attribution matrix for purchase conversions: both
+    // attribution extremes from one window pass.
+    "q223_attribution" -> ((s, dir) => {
+      graft.operators.Sessions.touchAttribution(ev(s, dir), Seq("user_id"),
+          "ts", "event_id", "event_type", targetState = "purchase")
+        .orderBy("first_touch", "last_touch")
+    }),
+
+    // hour-of-day profile cosine between event types: integer dot/norms
+    // on raw counts, one correctly-rounded sqrt pair at the end.
+    "q224_profile_sim" -> ((s, dir) => {
+      graft.operators.Profile.profileCosine(
+          ev(s, dir).withColumn("hod", hour(col("ts"))), "event_type", "hod")
+        .orderBy("seg_a", "seg_b")
+    }),
+
+    // coalesce per-user activity intervals [ts, ts + (event_id%7+1) min):
+    // single window pass (running-max-end run detection), epoch-second
+    // domain so the arithmetic is integer both sides.
+    "q225_interval_coalesce" -> ((s, dir) => {
+      val iv = ev(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts").cast("timestamp")).as("start_s"))
+        .withColumn("end_s", col("start_s") + (pmod(col("event_id"), lit(7L)) + 1L) * 60L)
+      graft.operators.Intervals.coalesceIntervals(iv, Seq("user_id"),
+          "start_s", "end_s", "event_id")
+        .orderBy("user_id", "span_seq")
     })
   )
 
@@ -6709,8 +6755,95 @@ object SparkEntry {
         |  CASE WHEN coalesce(tc.tail_cnt, 0) > 0
         |       THEN (coalesce(tc.tail_cnt, 0)::DOUBLE / 500.0)
         |            / (o.total_cnt::DOUBLE / n.n_total::DOUBLE) END AS lift
-        |FROM o LEFT JOIN tc USING (event_type), n ORDER BY 1""".stripMargin
+        |FROM o LEFT JOIN tc USING (event_type), n ORDER BY 1""".stripMargin,
+
+    "q221_kcore" -> kcoreSql(k = 4, rounds = 3),
+
+    "q222_path_trigrams" ->
+      """WITH g AS (SELECT user_id, event_type AS s1,
+        |    lead(event_type, 1) OVER w AS s2, lead(event_type, 2) OVER w AS s3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT s1 AS step_1, s2 AS step_2, s3 AS step_3,
+        |  count(*) AS n_occurrences, count(DISTINCT user_id)::BIGINT AS n_keys
+        |FROM g WHERE s3 IS NOT NULL
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 5 ORDER BY 1, 2, 3""".stripMargin,
+
+    // first touch = running first over the user stream, last touch = lag;
+    // '(none)' when the conversion opens the stream
+    "q223_attribution" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS ft,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        |  FROM events)
+        |SELECT ft AS first_touch, coalesce(pv, '(none)') AS last_touch,
+        |  count(*) AS n_conversions
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // integer dot/norms on raw counts; cosine = dot / (sqrt(ssa)*sqrt(ssb))
+    // in the engine's op order (IEEE sqrt is correctly rounded)
+    "q224_profile_sim" ->
+      """WITH p AS (SELECT event_type AS seg, EXTRACT(hour FROM ts)::INT AS b,
+        |    count(*) AS c FROM events GROUP BY 1, 2),
+        |n AS (SELECT seg, sum(c * c)::BIGINT AS ss FROM p GROUP BY 1),
+        |d AS (SELECT a.seg AS seg_a, b.seg AS seg_b, sum(a.c * b.c)::BIGINT AS dot
+        |      FROM p a JOIN p b ON b.b = a.b AND a.seg < b.seg GROUP BY 1, 2)
+        |SELECT d.seg_a, d.seg_b, d.dot,
+        |  d.dot::DOUBLE / (sqrt(na.ss::DOUBLE) * sqrt(nb.ss::DOUBLE)) AS cosine
+        |FROM d JOIN n na ON na.seg = d.seg_a JOIN n nb ON nb.seg = d.seg_b
+        |ORDER BY 1, 2""".stripMargin,
+
+    // running max of PRECEDING ends starts a new span when start exceeds
+    // it; run ids by running sum — identical window semantics both sides
+    "q225_interval_coalesce" ->
+      """WITH iv AS (SELECT user_id, event_id,
+        |    floor(epoch(ts))::BIGINT AS start_s,
+        |    floor(epoch(ts))::BIGINT + (event_id % 7 + 1) * 60 AS end_s
+        |  FROM events),
+        |f AS (SELECT *, max(end_s) OVER (PARTITION BY user_id
+        |    ORDER BY start_s, end_s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |r AS (SELECT *, CASE WHEN pm IS NULL OR start_s > pm THEN 1 ELSE 0 END AS nr
+        |  FROM f),
+        |s AS (SELECT *, sum(nr) OVER (PARTITION BY user_id
+        |    ORDER BY start_s, end_s, event_id ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM r)
+        |SELECT user_id, run::BIGINT AS span_seq,
+        |  min(start_s)::BIGINT AS span_start, max(end_s)::BIGINT AS span_end,
+        |  count(*) AS n_intervals
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
+
+  /** q221's oracle: the same bounded-round k-core peel as
+    * [[graft.operators.Graph.kCore]], unrolled — round i restricts the
+    * edge set to vertices whose round-(i−1) degree cleared k.
+    */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH raw AS (
+        |  SELECT doc_id AS s, (doc_id + 1) % (SELECT count(*) FROM documents) AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id // 2) FROM documents),
+        |u0 AS (SELECT DISTINCT least(s, t) AS x, greatest(s, t) AS y FROM raw WHERE s <> t)""".stripMargin)
+    for (i <- 0 until rounds) {
+      sb.append(s""",
+        |d$i AS (SELECT v, count(*) AS deg FROM (
+        |  SELECT x AS v FROM u$i UNION ALL SELECT y FROM u$i) GROUP BY 1),
+        |k$i AS (SELECT v FROM d$i WHERE deg >= $k),
+        |u${i + 1} AS (SELECT u$i.x, u$i.y FROM u$i
+        |  JOIN k$i a ON a.v = u$i.x JOIN k$i b ON b.v = u$i.y)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT v, count(*) AS degree FROM (
+      |  SELECT x AS v FROM u$rounds UNION ALL SELECT y FROM u$rounds) GROUP BY 1
+      |HAVING count(*) >= $k ORDER BY v""".stripMargin)
+    sb.toString
+  }
 
   /** q217's oracle: the digit histogram joined to the SAME 12-dp expected-
     * share literals the engine uses ([[graft.operators.Governance.BenfordExpected]]) —

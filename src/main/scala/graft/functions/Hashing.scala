@@ -50,12 +50,24 @@ object Hashing {
     */
   def wordShingles(text: Column, n: Int): Column = wordShinglesOf(words(text), n)
 
-  /** Shingles from a words array column (stage it as a real column first). */
+  /** Shingles from a words array column.
+    *
+    * LAMBDA-SHIELDED against CollapseProject: staging `ws` with
+    * `withColumn` is NOT enough — adjacent Projects collapse and the
+    * alias inlines into every `element_at`, so a computed `ws` (the
+    * usual `words(text)`) would re-split the text for EVERY element
+    * reference (O(words²) splits per row; measured 8× on the q214
+    * containment plan at sf0.1: 37 s → 4.5 s). Wrapping the array in
+    * `array(ws)` references it exactly ONCE; inside the outer transform
+    * the lambda VARIABLE `a` carries the materialized array, and lambda
+    * variables are evaluation results — nothing to inline.
+    */
   def wordShinglesOf(ws: Column, n: Int): Column =
-    when(size(ws) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
+    flatten(transform(array(ws), a =>
+      when(size(a) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(a) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(a, i + j)): _*)))))
 
   /** Character n-gram shingles over the raw text (spaces included) —
     * the language-ID feature space.

@@ -227,4 +227,43 @@ object Graph {
         (col("common").cast("double") /
           (col("deg_a") + col("deg_b") - col("common")).cast("double")).as("nbr_jaccard"))
   }
+
+  /** k-core peel (Seidman 1983): repeatedly remove vertices of degree < k
+    * from the undirected simple projection of `edges(src, dst)` — the
+    * surviving dense core is the link-farm / tightly-knit-community
+    * detector for web graphs (spam cores have high coreness, organic
+    * leaves peel immediately).
+    *
+    * Runs a FIXED number of synchronous peel `rounds` (not to fixpoint):
+    * the bounded-round semantics is the oracle parity contract — an
+    * unrolled SQL recursion computes the identical set — and the vertex
+    * set only shrinks, so `rounds ≥ max peel depth` IS the fixpoint in
+    * practice. Per round: one map-side-combined degree count + one semi-join
+    * of the edge set against survivors on EACH endpoint — all equi-joins
+    * on the vertex id, lineage cut by localCheckpoint every round (the
+    * edge set only shrinks, so each checkpoint is cheaper than the last).
+    *
+    * Returns surviving (id, degree) — degree measured INSIDE the final
+    * surviving subgraph.
+    */
+  def kCore(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("x"),
+        greatest(col("src"), col("dst")).as("y"))
+      .distinct()
+    var e = und.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val adj = e.select(col("x").as("v")).unionByName(e.select(col("y").as("v")))
+      val keep = adj.groupBy("v").agg(count(lit(1)).as("degree"))
+        .filter(col("degree") >= k).select("v")
+      e = e.join(keep.withColumnRenamed("v", "x"), Seq("x"), "left_semi")
+        .join(keep.withColumnRenamed("v", "y"), Seq("y"), "left_semi")
+        .select("x", "y").localCheckpoint()
+    }
+    e.select(col("x").as("v")).unionByName(e.select(col("y").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= k)
+  }
 }

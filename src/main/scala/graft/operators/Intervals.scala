@@ -66,4 +66,39 @@ object Intervals {
     p.join(i, cond, "inner")
       .select(points.columns.map(col) ++ carryCols.map(col): _*)
   }
+
+  /** Coalesce overlapping/touching intervals per key into their union —
+    * the coverage-audit primitive: collapse a pile of [start, end)
+    * windows (incidents, maintenance, crawl leases, tier-store coverage
+    * stamps) into disjoint spans, so "is there a hole?" becomes a gap
+    * between consecutive OUTPUT rows. Touching intervals (next.start ==
+    * running max end) merge — half-open semantics.
+    *
+    * The classic single-window-pass plan: order each key's intervals by
+    * (start, end, `tieCol`) — a TOTAL order, so run boundaries are
+    * reproducible — flag rows whose start exceeds the running max of all
+    * PRECEDING ends, running-sum the flags into a run id, and aggregate
+    * each run. One shuffle on the key; no self-join, no explode;
+    * correct for arbitrarily nested/duplicated intervals because the
+    * running max carries the furthest reach seen so far.
+    */
+  def coalesceIntervals(df: DataFrame, keyCols: Seq[String], startCol: String,
+                        endCol: String, tieCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col(startCol), col(endCol), col(tieCol))
+    val prevMax = max(col(endCol)).over(w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    df
+      .withColumn("_new_run",
+        when(prevMax.isNull || col(startCol) > prevMax, lit(1L)).otherwise(lit(0L)))
+      .withColumn("_run", sum(col("_new_run")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy((keys :+ col("_run")): _*)
+      .agg(min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+      .select((keys :+ col("_run").as("span_seq") :+ col("span_start") :+
+        col("span_end") :+ col("n_intervals")): _*)
+  }
 }

@@ -276,4 +276,36 @@ object Profile {
       .select(col(segmentCol), col("total_cnt"), col("tail_cnt"),
         col("tail_share"), col("overall_share"), col("lift"))
   }
+
+  /** Pairwise cosine similarity between segment activity PROFILES: each
+    * segment's row-count vector over `bucketCol` (hour-of-day, day-of-week,
+    * …), compared for every segment pair — "which event types share a
+    * temporal shape" / "which sources have the same hourly rhythm".
+    *
+    * Cosine is scale-invariant, so raw COUNTS are the vectors — dot
+    * products and squared norms stay integer-exact in longs, and the one
+    * float step is dot/(√ssa·√ssb) (IEEE sqrt is correctly rounded, so
+    * even that is bit-reproducible). The pair join is on the bucket key of
+    * the PROFILE table (|segments| × |buckets| rows — tiny), never on raw
+    * rows; everything upstream is one map-side-combined count. SPARSE
+    * semantics: segment pairs sharing no bucket produce NO row (their
+    * cosine is 0) — the inner bucket join is what keeps the pair table
+    * bounded by co-occurrence, not |segments|².
+    */
+  def profileCosine(df: DataFrame, segmentCol: String,
+                    bucketCol: String): DataFrame = {
+    val prof = df.groupBy(col(segmentCol).as("seg"), col(bucketCol).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val norms = prof.groupBy("seg").agg(sum(col("c") * col("c")).as("ss"))
+    val dots = prof.select(col("seg").as("seg_a"), col("b"), col("c").as("ca"))
+      .join(prof.select(col("seg").as("seg_b"), col("b"), col("c").as("cb")), "b")
+      .filter(col("seg_a") < col("seg_b"))
+      .groupBy("seg_a", "seg_b").agg(sum(col("ca") * col("cb")).as("dot"))
+    dots
+      .join(norms.select(col("seg").as("seg_a"), col("ss").as("ssa")), "seg_a")
+      .join(norms.select(col("seg").as("seg_b"), col("ss").as("ssb")), "seg_b")
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double"))))
+      .select(col("seg_a"), col("seg_b"), col("dot"), col("cosine"))
+  }
 }

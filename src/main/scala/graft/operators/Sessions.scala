@@ -115,4 +115,59 @@ object Sessions {
       .select((keys :+ col("max_step")) ++
         (1 to steps.length).map(i => timestamp_micros(col(s"t$i")).as(s"t$i")): _*)
   }
+
+  /** Frequent n-step paths: consecutive state n-grams per key stream
+    * (ordered by `tsCol`, `tieCol`), counted over the whole population —
+    * the "what do users do in sequence" read behind next-event prediction
+    * and UX funnels nobody hand-specified ([[windowFunnel]] needs the
+    * steps up front; this discovers them). The sequence-mining restriction
+    * to CONSECUTIVE n-grams is deliberate: it needs only n−1 window leads
+    * (one shuffle on the key), never PrefixSpan's exponential candidate
+    * space.
+    *
+    * Output: one row per n-gram (step_1..step_n, n_occurrences, n_keys)
+    * with occurrences ≥ `minCount`; n-grams never span keys.
+    */
+  def pathNgrams(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 tieCol: String, stateCol: String, n: Int,
+                 minCount: Long = 1L): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol), col(tieCol))
+    val grams = df
+      .withColumns(((1 until n).map(i =>
+        s"step_${i + 1}" -> lead(col(stateCol), i).over(w)) :+
+        ("step_1" -> col(stateCol))).toMap)
+    grams.filter(col(s"step_$n").isNotNull)
+      .groupBy((1 to n).map(i => col(s"step_$i")): _*)
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(struct(keys: _*)).as("n_keys"))
+      .filter(col("n_occurrences") >= minCount)
+  }
+
+  /** First/last-touch attribution: for every `targetState` event, the
+    * key's FIRST state ever (first touch) and the state immediately
+    * BEFORE the conversion (last touch, "(none)" when the conversion
+    * opens the stream). Output is the attribution matrix —
+    * (first_touch, last_touch, n_conversions) — the report marketing
+    * attribution models disagree about, both extremes in one pass.
+    *
+    * One window pass (two frame variants over the same sort — one
+    * exchange), then a count on the tiny touch-pair key.
+    */
+  def touchAttribution(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                       tieCol: String, stateCol: String,
+                       targetState: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol), col(tieCol))
+    df
+      .withColumn("_first", first(col(stateCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_prev", lag(col(stateCol), 1).over(w))
+      .filter(col(stateCol) === targetState)
+      .select(col("_first").as("first_touch"),
+        coalesce(col("_prev"), lit("(none)")).as("last_touch"))
+      .groupBy("first_touch", "last_touch")
+      .agg(count(lit(1)).as("n_conversions"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Governance, Profile, Sampling, Sax, Scd, Search, TextAnalysis}
+import graft.operators.{Dedup, Governance, Graph, Intervals, Profile, Sampling, Sax, Scd, Search, Sessions, TextAnalysis}
 
 /** The round-3 audit/retrieval wave (oracle-covered end-to-end by
   * q208–q220): these tests pin the semantics and invariants the SQL twin
@@ -171,6 +171,86 @@ class AuditRetrievalOpsSpec extends SparkSuite {
     (0L to 2L).foreach(i => assert(wmap(i) == wmap(i + 3)))
     assert(classes.count() >= 1)
     assert(classes.filter(col("n_series") < 2).count() == 0)
+  }
+
+  // ------------------------------------------------------------------ k-core
+
+  test("kCore: pendant chain peels, clique survives with inner degrees") {
+    // 4-clique {0,1,2,3} + chain 3-10-11 hanging off it
+    val cliq = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val edges = (cliq ++ Seq((3L, 10L), (10L, 11L))).toDF("src", "dst")
+    val out = Graph.kCore(edges, k = 3L, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)))
+  }
+
+  test("kCore: more rounds never grows the core") {
+    val edges = spark.range(100).select(col("id").as("src"),
+      ((col("id") * 7 + 3) % 100).as("dst"))
+    val c1 = Graph.kCore(edges, 2L, 1).select("v")
+    val c3 = Graph.kCore(edges, 2L, 3).select("v")
+    assert(c3.exceptAll(c1).count() == 0) // c3 ⊆ c1
+  }
+
+  // -------------------------------------------------------------- path mining
+
+  test("pathNgrams: consecutive trigrams only, never spanning keys") {
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "a"),
+      (2L, 5L, "b"), (2L, 6L, "c"), (2L, 7L, "a"))
+      .toDF("k", "eid", "s")
+      .withColumn("ts", timestamp_seconds(col("eid"))).drop()
+    val out = Sessions.pathNgrams(ev, Seq("k"), "ts", "eid", "s", n = 3)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("a", "b", "c")) == (1L, 1L))
+    assert(out(("b", "c", "a")) == (2L, 2L)) // once per key, both keys
+    assert(!out.contains(("c", "a", "b"))) // would span key 1 -> 2
+  }
+
+  test("touchAttribution: conversion opening a stream attributes to (none)") {
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "buy"),
+      (2L, 4L, "buy"), (2L, 5L, "view"), (2L, 6L, "buy"))
+      .toDF("k", "eid", "s")
+      .withColumn("ts", timestamp_seconds(col("eid")))
+    val out = Sessions.touchAttribution(ev, Seq("k"), "ts", "eid", "s", "buy")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out(("view", "click")) == 1L) // key 1: first=view, prev=click
+    assert(out(("buy", "(none)")) == 1L) // key 2 first event converts
+    assert(out(("buy", "view")) == 1L)   // key 2 second conversion
+  }
+
+  // ---------------------------------------------------------- profile cosine
+
+  test("profileCosine: identical shapes -> 1.0, disjoint -> 0.0") {
+    val df = Seq(
+      ("a", 0), ("a", 0), ("a", 1),   // a: [2,1,0]
+      ("b", 0), ("b", 0), ("b", 0), ("b", 0), ("b", 1), ("b", 1), // b=2a
+      ("c", 2), ("c", 2))             // c: [0,0,2]
+      .toDF("seg", "b")
+    val out = Profile.profileCosine(df, "seg", "b")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    assert(approxEq(out(("a", "b")), 1.0, 1e-15))
+    // zero-overlap pairs are omitted (no shared bucket -> no row), the
+    // documented sparse semantics
+    assert(!out.contains(("a", "c")) && !out.contains(("b", "c")))
+  }
+
+  // ------------------------------------------------------- interval coalesce
+
+  test("coalesceIntervals: overlap+touch merge, nesting absorbs, gaps split") {
+    val iv = Seq(
+      (1L, 1L, 0L, 10L), (1L, 2L, 5L, 8L),   // nested
+      (1L, 3L, 10L, 20L),                    // touches -> same span
+      (1L, 4L, 25L, 30L),                    // gap -> new span
+      (2L, 5L, 0L, 1L)).toDF("k", "eid", "s", "e")
+    val out = Intervals.coalesceIntervals(iv, Seq("k"), "s", "e", "eid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 0L, 20L, 3L), (1L, 2L, 25L, 30L, 1L), (2L, 1L, 0L, 1L, 1L)))
   }
 
   // -------------------------------------------------------------- tail lift
