@@ -3120,6 +3120,136 @@ object SparkEntry {
       graft.operators.Intervals.coalesceIntervals(iv, Seq("user_id"),
           "start_s", "end_s", "event_id")
         .orderBy("user_id", "span_seq")
+    }),
+
+    // Adamic-Adar link prediction: non-adjacent pairs scored by
+    // Σ 1/ln(deg) over common neighbors — each term the exact integer
+    // floor(1e12/ln(deg)+0.5) (ln is ulp-identical cross-engine on the
+    // integer domain), so the pair score is an order-independent BIGINT sum.
+    "q226_adamic_adar" -> ((s, dir) => {
+      val (edges, _) = docEdges(s, dir)
+      graft.operators.Graph.adamicAdar(edges, minCommon = 2L)
+        .select(col("a"), col("b"), col("common"), col("aa_pico"),
+          r6(col("aa_score")).as("aa_score"))
+        .orderBy("a", "b")
+    }),
+
+    // personalized PageRank from seed set {doc_id < 5}: q199's power
+    // iteration with restart mass concentrated on the seeds — the
+    // "crawl more pages like these" scorer.
+    "q227_ppr" -> ((s, dir) => {
+      val (edges, _) = docEdges(s, dir)
+      val seeds = docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 5)
+      graft.operators.Graph.personalizedPageRank(edges, seeds, iterations = 10)
+        .select(col("id"), r6(col("ppr") * 100).as("ppr_pct"))
+        .orderBy("id")
+    }),
+
+    // PPJoin-style prefix-filtered EXACT Jaccard join at τ=0.5 over the
+    // whole corpus (no group restriction): candidates only from the
+    // rarest-first shingle prefixes, then exact array_intersect verify.
+    // The oracle computes the same pairs by the naive all-shared-shingle
+    // join — exactness of the filter IS the contract.
+    "q228_ppjoin" -> ((s, dir) => {
+      graft.operators.Dedup.prefixJaccardJoin(docs(s, dir), "text", "doc_id",
+          shingleN = 3, tau = 0.5)
+        .select(col("id_a"), col("id_b"), col("inter"),
+          r6(col("jaccard")).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // path-prefix tree rollup: pages + chars under every /source, /source/
+    // lang, /source/lang/dNN prefix — one explode(literal seq) + one agg.
+    "q229_path_tree" -> ((s, dir) => {
+      val p = docs(s, dir).select(
+        concat(lit("/"), col("source"), lit("/"), col("lang"), lit("/d"),
+          pmod(col("doc_id"), lit(20L))).as("path"),
+        col("n_chars"))
+      graft.operators.PathTree.prefixRollup(p, "path", maxDepth = 3,
+          weightCol = "n_chars")
+        .orderBy("depth", "prefix")
+    }),
+
+    // Merkle-style snapshot diff: B = events minus id%97==13, value+1 where
+    // id%101==7, plus re-keyed copies of id%103==11 — the engine finds the
+    // exact deleted/changed/added set via bucket XOR digests + drill-down;
+    // the oracle computes the same set by a direct full outer join.
+    "q230_table_diff" -> ((s, dir) => {
+      val a = ev(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+      val b = a.filter(pmod(col("event_id"), lit(97L)) =!= 13L)
+        .withColumn("value",
+          when(pmod(col("event_id"), lit(101L)) === 7L, col("value") + lit(1.0))
+            .otherwise(col("value")))
+        .unionByName(a.filter(pmod(col("event_id"), lit(103L)) === 11L)
+          .withColumn("event_id", col("event_id") + lit(10000000L)))
+      graft.operators.Reconcile.merkleDiff(a, b, "event_id",
+          Seq("user_id", "event_type", "value"), buckets = 64)
+        .withColumnRenamed("pk", "event_id")
+        .orderBy("event_id", "status")
+    }),
+
+    // KMV bottom-k distinct sketch per source + a '_ALL_' row served by
+    // MERGING the per-source sketches (bottom-k of a union == bottom-k of
+    // unioned bottom-ks — the tier-promotion property, proven against the
+    // oracle's direct global bottom-k). Estimator branches (exact under k,
+    // (k−1)/U(k) at k) are both hash-replayable.
+    "q231_kmv" -> ((s, dir) => {
+      import graft.functions.{Hashing, Kmv}
+      val k = 16
+      val h = docs(s, dir).select(col("source"), Hashing.md5Long(col("text")).as("h"))
+      val per = h.groupBy("source").agg(
+        Kmv.kmvSketch(col("h"), k).as("sk"),
+        count_distinct(col("h")).as("n_distinct"))
+      val glob = per.agg(Kmv.kmvMerge(col("sk"), k).as("sk"))
+        .withColumn("source", lit("_ALL_"))
+        .crossJoin(h.agg(count_distinct(col("h")).as("n_distinct")))
+      per.select(col("source"), col("n_distinct"), col("sk"))
+        .unionByName(glob.select(col("source"), col("n_distinct"), col("sk")))
+        .select(col("source"), Kmv.kmvN(col("sk")).cast("long").as("sketch_n"),
+          col("n_distinct"), r6(Kmv.kmvEstimate(col("sk"), k)).as("est_distinct"))
+        .orderBy("source")
+    }),
+
+    // deterministic synchronous label propagation (mode label, min tie-
+    // break), 3 bounded rounds — the oracle unrolls the identical rounds.
+    "q232_label_prop" -> ((s, dir) => {
+      val (edges, _) = docEdges(s, dir)
+      graft.operators.Graph.labelPropagation(edges, rounds = 3)
+        .orderBy("id")
+    }),
+
+    // Theil-Sen robust activity trend per user over daily event counts:
+    // every pairwise slope is one IEEE division of exact integers, the
+    // median interpolates two of them — no float summation anywhere.
+    "q233_theil_sen" -> ((s, dir) => {
+      val daily = ev(s, dir).select(col("user_id"),
+          floor(unix_timestamp(col("ts").cast("timestamp")) / 86400L).as("day"))
+        .groupBy("user_id", "day").agg(count(lit(1)).as("cnt"))
+      graft.operators.Robust.theilSenSlope(daily, Seq("user_id"), "day", "cnt")
+        .select(col("user_id"), col("n_points"), r6(col("ts_slope")).as("ts_slope"))
+        .orderBy("user_id")
+    }),
+
+    // Ed-Join prefix-filtered exact Levenshtein join over ASCII-normalized
+    // 48-char prefixes (DuckDB levenshtein counts BYTES, Spark counts code
+    // points — ASCII normalization makes them the same function). Corpus =
+    // docs < 150 plus 1-substitution mutated copies (the q31 union
+    // pattern), so true near pairs exist by construction at every sf; the
+    // bound keeps the all-pairs oracle honest. NOTE the synthetic corpus
+    // is gram-poor (rarest-gram df ≈ 90 at sf0.1 — measured), so prefix
+    // filtering is data-defeated on FULL-corpus runs; on real web text the
+    // Zipfian gram tail is what makes Ed-Join sub-quadratic.
+    "q234_edit_join" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") < 150).select(col("doc_id"),
+        substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 48).as("s"))
+      val corpus = base.unionByName(base.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("s"), 1, 5), lit("X"), substring(col("s"), 7, 42)).as("s")))
+        .filter(length(col("s")) >= 40)
+      graft.operators.Dedup.editDistanceJoin(corpus, "doc_id", "s", maxDist = 8, q = 3)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -6813,7 +6943,184 @@ object SparkEntry {
         |SELECT user_id, run::BIGINT AS span_seq,
         |  min(start_s)::BIGINT AS span_start, max(end_s)::BIGINT AS span_end,
         |  count(*) AS n_intervals
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // per-term floor(1e12/ln(deg)+0.5) is the same BIGINT both engines
+    // (ln ulp-identical on integers); the pair score is an integer sum —
+    // order-independent, so no float-summation flake is possible
+    "q226_adamic_adar" ->
+      """WITH raw AS (
+        |  SELECT doc_id AS s, (doc_id + 1) % (SELECT count(*) FROM documents) AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id // 2) FROM documents),
+        |u AS (SELECT DISTINCT least(s, t) AS x, greatest(s, t) AS y FROM raw WHERE s <> t),
+        |adj AS (SELECT x AS v, y AS n FROM u UNION ALL SELECT y, x FROM u),
+        |deg AS (SELECT v, count(*) AS degree FROM adj GROUP BY v),
+        |ctr AS (SELECT adj.n AS c, adj.v AS node, w.term
+        |  FROM adj JOIN (SELECT v, floor(1e12 / ln(degree) + 0.5)::BIGINT AS term
+        |                 FROM deg WHERE degree >= 2) w ON w.v = adj.n),
+        |pairs AS (SELECT p.node AS a, q.node AS b,
+        |    count(*) AS common, sum(p.term)::BIGINT AS aa_pico
+        |  FROM ctr p JOIN ctr q ON p.c = q.c AND p.node < q.node
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT a, b, common, aa_pico, round(aa_pico::DOUBLE / 1e12, 6) AS aa_score
+        |FROM pairs LEFT JOIN u ON u.x = pairs.a AND u.y = pairs.b
+        |WHERE u.x IS NULL ORDER BY 1, 2""".stripMargin,
+
+    // q199's recursion with restart mass on the seeds only: every node has
+    // indegree >= 1 (cycle edge), so the grouped recursion covers all ids
+    "q227_ppr" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id // 2) FROM documents),
+        |r AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id < 5 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END AS pr,
+        |    0 AS it FROM documents
+        |  UNION ALL
+        |  SELECT e.dst,
+        |    0.15::DOUBLE * (CASE WHEN e.dst < 5 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END)
+        |      + 0.85::DOUBLE * sum(r.pr / 3.0::DOUBLE),
+        |    r.it + 1
+        |  FROM r JOIN e ON e.src = r.id WHERE r.it < 10 GROUP BY e.dst, r.it + 1)
+        |SELECT id, round(pr * 100, 6) AS ppr_pct
+        |FROM r WHERE it = 10 ORDER BY id""".stripMargin,
+
+    // the naive all-shared-shingle join IS the oracle for the prefix-
+    // filtered join — exactness (no pair dropped by the filter) is the
+    // whole contract
+    "q228_ppjoin" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+        |d AS (SELECT doc_id, sh, len(sh) AS n FROM s WHERE len(sh) > 0),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM d),
+        |ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i2
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, i2 AS inter,
+        |  round(i2::DOUBLE / (x.n + y.n - i2), 6) AS jaccard
+        |FROM ix JOIN d x ON x.doc_id = id_a JOIN d y ON y.doc_id = id_b
+        |WHERE i2::DOUBLE / (x.n + y.n - i2) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q229_path_tree" ->
+      """WITH p AS (SELECT '/' || source || '/' || lang || '/d' || (doc_id % 20) AS path,
+        |    n_chars FROM documents),
+        |x AS (SELECT t.d::INTEGER AS depth,
+        |    '/' || array_to_string((string_split(ltrim(path, '/'), '/'))[1:t.d], '/') AS prefix,
+        |    n_chars
+        |  FROM p CROSS JOIN generate_series(1, 3) t(d))
+        |SELECT depth, prefix, count(*) AS cnt, sum(n_chars)::BIGINT AS w_sum
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the direct full-outer diff IS the oracle; the engine must reach the
+    // identical set through bucket digests + drill-down
+    "q230_table_diff" ->
+      """WITH a AS (SELECT event_id, user_id, event_type, value FROM events),
+        |b AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CASE WHEN event_id % 101 = 7 THEN value + 1.0::DOUBLE ELSE value END AS value
+        |  FROM events WHERE event_id % 97 <> 13
+        |  UNION ALL
+        |  SELECT event_id + 10000000, user_id, event_type, value
+        |  FROM events WHERE event_id % 103 = 11),
+        |j AS (SELECT coalesce(a.event_id, b.event_id) AS event_id,
+        |    CASE WHEN b.event_id IS NULL THEN 'deleted'
+        |         WHEN a.event_id IS NULL THEN 'added'
+        |         WHEN a.value <> b.value OR a.user_id <> b.user_id
+        |           OR a.event_type <> b.event_type THEN 'changed'
+        |    END AS status
+        |  FROM a FULL OUTER JOIN b ON a.event_id = b.event_id)
+        |SELECT event_id, status FROM j WHERE status IS NOT NULL
+        |ORDER BY 1, 2""".stripMargin,
+
+    // shared md5int hash contract (see q31); the '_ALL_' row is the
+    // engine's MERGED sketch — the oracle computes the global bottom-k
+    // directly, so equality proves sketch mergeability
+    "q231_kmv" ->
+      """WITH h AS (SELECT DISTINCT source,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents),
+        |r AS (SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+        |per AS (SELECT source, count(*) AS nd,
+        |    max(CASE WHEN rn = 16 THEN h END) AS h16,
+        |    least(count(*), 16)::BIGINT AS sketch_n
+        |  FROM r GROUP BY source),
+        |g AS (SELECT '_ALL_' AS source, count(*) AS nd,
+        |    max(CASE WHEN rng = 16 THEN h END) AS h16,
+        |    least(count(*), 16)::BIGINT AS sketch_n
+        |  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rng
+        |        FROM (SELECT DISTINCT h FROM h))),
+        |u AS (SELECT * FROM per UNION ALL SELECT * FROM g)
+        |SELECT source, sketch_n, nd::BIGINT AS n_distinct,
+        |  round(CASE WHEN nd < 16 THEN nd::DOUBLE
+        |    ELSE 15.0::DOUBLE * 1152921504606846976.0 / h16 END, 6) AS est_distinct
+        |FROM u ORDER BY source""".stripMargin,
+
+    // three unrolled synchronous rounds; mode-with-min-tie-break is the
+    // deterministic LPA variant the engine runs
+    "q232_label_prop" ->
+      """WITH raw AS (
+        |  SELECT doc_id AS s, (doc_id + 1) % (SELECT count(*) FROM documents) AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id // 2) FROM documents),
+        |u AS (SELECT DISTINCT least(s, t) AS x, greatest(s, t) AS y FROM raw WHERE s <> t),
+        |adj AS (SELECT x AS v, y AS n FROM u UNION ALL SELECT y, x FROM u),
+        |l0 AS (SELECT DISTINCT v AS id, v AS label FROM adj),
+        |l1 AS (SELECT v AS id, label FROM (
+        |  SELECT adj.v, l0.label, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY adj.v ORDER BY count(*) DESC, l0.label) AS rn
+        |  FROM adj JOIN l0 ON l0.id = adj.n GROUP BY adj.v, l0.label) WHERE rn = 1),
+        |l2 AS (SELECT v AS id, label FROM (
+        |  SELECT adj.v, l1.label, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY adj.v ORDER BY count(*) DESC, l1.label) AS rn
+        |  FROM adj JOIN l1 ON l1.id = adj.n GROUP BY adj.v, l1.label) WHERE rn = 1),
+        |l3 AS (SELECT v AS id, label FROM (
+        |  SELECT adj.v, l2.label, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY adj.v ORDER BY count(*) DESC, l2.label) AS rn
+        |  FROM adj JOIN l2 ON l2.id = adj.n GROUP BY adj.v, l2.label) WHERE rn = 1)
+        |SELECT id, label FROM l3 ORDER BY id""".stripMargin,
+
+    // slopes are single divisions of exact integers; quantile_cont(0.5)
+    // == Spark percentile — interpolation of two identical doubles
+    "q233_theil_sen" ->
+      """WITH d AS (SELECT user_id,
+        |    floor(epoch(ts))::BIGINT // 86400 AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.user_id,
+        |    (b.cnt - a.cnt)::DOUBLE / (b.day - a.day)::DOUBLE AS slope
+        |  FROM d a JOIN d b ON a.user_id = b.user_id AND a.day < b.day),
+        |m AS (SELECT user_id, quantile_cont(slope, 0.5) AS ts_slope FROM p GROUP BY 1),
+        |n AS (SELECT user_id, count(*) AS n_points FROM d GROUP BY 1)
+        |SELECT n.user_id, n.n_points, round(m.ts_slope, 6) AS ts_slope
+        |FROM n LEFT JOIN m ON m.user_id = n.user_id ORDER BY 1""".stripMargin,
+
+    // naive all-pairs Levenshtein IS the oracle for the q-gram-prefiltered
+    // join; ASCII normalization aligns DuckDB's byte DP with Spark's
+    // code-point DP
+    "q234_edit_join" ->
+      """WITH s0 AS (SELECT doc_id,
+        |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 48) AS s
+        |  FROM documents WHERE doc_id < 150),
+        |c AS (SELECT doc_id, s FROM s0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(s, 1, 5) || 'X' || substr(s, 7, 42) FROM s0),
+        |f AS (SELECT * FROM c WHERE length(s) >= 40)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.s, b.s)::BIGINT AS dist
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 8
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** q221's oracle: the same bounded-round k-core peel as

@@ -228,6 +228,141 @@ object Graph {
           (col("deg_a") + col("deg_b") - col("common")).cast("double")).as("nbr_jaccard"))
   }
 
+  /** Adamic-Adar link prediction (Adamic & Adar 2003, public paper) over
+    * the undirected simple projection of `edges(src, dst)`: for every
+    * NON-adjacent pair {a, b} with at least `minCommon` common neighbors,
+    *   AA(a,b) = Σ_{z ∈ Γa∩Γb} 1 / ln(deg z)
+    * — common neighbors weighted down by how promiscuous they are (a hub
+    * that links everything predicts nothing; a rare shared neighbor is
+    * strong evidence two pages belong together).
+    *
+    * Cross-engine determinism: each term is computed as the exact integer
+    * `floor(1e12 / ln(deg) + 0.5)` (deg is an exact integer; JVM and DuckDB
+    * `ln` are ulp-identical over the integer domain — exhaustively probed
+    * for the q192 bucket oracle — so the scaled term is the same BIGINT in
+    * both engines) and the pair score is an order-independent integer SUM.
+    * The double `aa_score` is derived from that one integer at the end.
+    * A common neighbor has degree ≥ 2 by construction, so ln(deg) > 0.
+    *
+    * Plan: same wedge self-join as [[commonNeighbors]] (one shuffle on the
+    * shared-neighbor id, `maxDegree` caps hub fan-out) with the per-center
+    * term attached BEFORE the wedge join — the join carries one extra long
+    * column, the aggregate is a map-side-combined integer sum.
+    */
+  def adamicAdar(edges: DataFrame, minCommon: Long = 1L,
+                 maxDegree: Option[Long] = None): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("x"),
+        greatest(col("src"), col("dst")).as("y"))
+      .distinct()
+      .localCheckpoint() // consumed 3× (adjacency, anti-join, degrees)
+    val adj = und.select(col("x").as("v"), col("y").as("n"))
+      .unionByName(und.select(col("y").as("v"), col("x").as("n")))
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("degree"))
+    val centers0 = maxDegree.fold(deg)(cap => deg.filter(col("degree") <= cap))
+      .filter(col("degree") >= 2L) // a 1-degree node is never a common neighbor
+      .select(col("v").as("n"),
+        floor(lit(1e12) / log(col("degree").cast("double")) + 0.5)
+          .cast("long").as("term"))
+    val centers = adj.join(centers0, "n").select(col("n"), col("v"), col("term"))
+    centers.toDF("c", "a", "term")
+      .join(centers.toDF("c", "b", "term2"), "c")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"), sum(col("term")).as("aa_pico"))
+      .filter(col("common") >= minCommon)
+      .join(und.select(col("x").as("a"), col("y").as("b")), Seq("a", "b"), "left_anti")
+      .withColumn("aa_score", col("aa_pico").cast("double") / 1e12)
+  }
+
+  /** Personalized PageRank (the random walk restarts to a seed set instead
+    * of the whole graph — Haveliwala 2002 "Topic-Sensitive PageRank",
+    * public paper) over `edges(src, dst)`:
+    *   ppr'(v) = (1−d)·s(v) + d · Σ_{(u,v)∈E} ppr(u)/outdeg(u),
+    * where s(v) = 1/|S| for v ∈ seeds and 0 otherwise; start ppr = s.
+    * The result ranks the whole graph by proximity to the seeds — the
+    * crawl-frontier scorer for "more pages like these trusted ones".
+    *
+    * Same plan shape as [[pageRank]]: one equi-join + one map-side-combined
+    * groupBy per iteration, seed indicator attached once to the node frame,
+    * lineage cut by periodic localCheckpoint. Every node must have
+    * outdegree ≥ 1 (required, as in pageRank — dangling mass would leak).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iterations: Int,
+                           damping: Double = 0.85, checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    val sinks = nodes.join(edges.select(col("src")).distinct(),
+      nodes("id") === col("src"), "left_anti").count()
+    require(sinks == 0L, s"$sinks dangling node(s) (outdegree 0) — close the graph first")
+    val seedIds = seeds.select(col(seeds.columns.head).cast("long").as("id")).distinct()
+      .localCheckpoint()
+    val nSeeds = seedIds.count() // bounded scalar: seed-set size
+    require(nSeeds >= 1, "seed set is empty")
+    val seeded = nodes.join(seedIds.withColumn("s", lit(1.0 / nSeeds)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("s"), lit(0.0)).as("s"))
+      .localCheckpoint() // reused every iteration
+    val withDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint()
+    var ranks = seeded.select(col("id"), col("s").as("ppr"))
+    for (i <- 1 to iterations) {
+      val contribs = withDeg
+        .join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("ppr") / col("outdeg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("m"))
+      ranks = seeded.join(contribs, Seq("id"), "left")
+        .select(col("id"), (lit(1.0 - damping) * col("s") +
+          lit(damping) * coalesce(col("m"), lit(0.0))).as("ppr"))
+      if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Synchronous label propagation communities (Raghavan et al. 2007,
+    * public paper) over the undirected simple projection of
+    * `edges(src, dst)`: labels start as vertex ids; each round every vertex
+    * adopts the MOST FREQUENT label among its neighbors, ties broken by
+    * the smallest label — a fully deterministic variant of LPA (the
+    * classic one randomizes tie-breaks; determinism is what lets an
+    * unrolled SQL recursion replay the identical state, and what makes
+    * re-runs reproducible at 100 TB).
+    *
+    * Runs a FIXED number of synchronous `rounds` (the bounded-round oracle
+    * contract, as in [[kCore]]). Per round: one equi-join of the adjacency
+    * against the label frame + one integer count + one per-vertex argmax
+    * window (partitioned by the vertex — state bounded by its degree).
+    * Lineage cut by localCheckpoint every round.
+    *
+    * Returns (id, label) after the final round.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("x"),
+        greatest(col("src"), col("dst")).as("y"))
+      .distinct()
+      .localCheckpoint()
+    val adj = und.select(col("x").as("v"), col("y").as("n"))
+      .unionByName(und.select(col("y").as("v"), col("x").as("n")))
+    var labels = und.select(col("x").as("id")).unionByName(und.select(col("y").as("id")))
+      .distinct().withColumn("label", col("id")).localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("v").orderBy(col("cnt").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      labels = adj.join(labels, adj("n") === labels("id"))
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("_r", row_number().over(w))
+        .filter(col("_r") === 1)
+        .select(col("v").as("id"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** k-core peel (Seidman 1983): repeatedly remove vertices of degree < k
     * from the undirected simple projection of `edges(src, dst)` — the
     * surviving dense core is the link-farm / tightly-knit-community

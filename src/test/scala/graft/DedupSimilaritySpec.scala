@@ -82,6 +82,23 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(tau1.isEmpty)
   }
 
+  test("prefixJaccardJoin equals the naive exact join at every threshold") {
+    // real corpus slice: the prefix filter must drop NO qualifying pair
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        math.round(r.getAs[Double]("jaccard") * 1e9))).toSet
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val naive = Dedup.ngramJaccardPairs(
+        corpus.withColumn("g", lit("x")), "text", "doc_id", Seq("g"),
+        minJaccard = tau).collect()
+      val ppj = Dedup.prefixJaccardJoin(corpus, "text", "doc_id", tau = tau).collect()
+      assert(key(ppj) === key(naive), s"tau=$tau mismatch")
+    }
+    // sanity: the corpus actually exercises the path (near-dup pairs exist)
+    assert(Dedup.prefixJaccardJoin(corpus, "text", "doc_id", tau = 0.5).count() > 0)
+  }
+
   private lazy val vecs = Seq(
     (1L, Array(1f, 0f, 0f)),
     (2L, Array(2f, 0f, 0f)),      // same direction as 1 -> cos 1

@@ -118,4 +118,53 @@ class GraphSpec extends SparkSuite {
     assert(m(2L)._1 === 3L); assert(m(2L)._2 === 1L); assert(approxEq(m(2L)._3, 1.0 / 3))
     assert(m(3L) === ((1L, 0L, 0.0)))
   }
+
+  test("adamicAdar: hand-computed star-plus-path graph") {
+    // edges: 0-1, 0-2, 0-3 (star around 0, deg 3), 1-4, 2-4 (deg(4)=2).
+    // non-adjacent pairs with common neighbors:
+    //   {1,2}: common {0, 4} -> 1/ln3 + 1/ln2
+    //   {1,3}, {2,3}: common {0}  -> 1/ln3
+    //   {0,4}: common {1, 2}      -> 1/ln2 + 1/ln2 (deg(1)=deg(2)=2)
+    //   {3,4}: none
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (2L, 4L)).toDF("src", "dst")
+    def pico(deg: Int): Long = math.floor(1e12 / math.log(deg.toDouble) + 0.5).toLong
+    val got = Graph.adamicAdar(edges, minCommon = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got((1L, 2L)) === ((2L, pico(3) + pico(2))))
+    assert(got((1L, 3L)) === ((1L, pico(3))))
+    assert(got((2L, 3L)) === ((1L, pico(3))))
+    assert(got((0L, 4L)) === ((2L, 2 * pico(2))))
+    assert(got.size === 4)
+    // minCommon prunes the single-neighbor pairs
+    assert(Graph.adamicAdar(edges, minCommon = 2L).count() === 2L)
+  }
+
+  test("personalizedPageRank: mass conservation and seed concentration") {
+    // closed 12-cycle, seeds {0}: total mass stays 1; the seed holds the
+    // maximum score (teleport mass lands only there)
+    val n = 12
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val got = Graph.personalizedPageRank(edges, seeds, iterations = 12).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(approxEq(got.values.sum, 1.0))
+    assert(got(0L) === got.values.max)
+    // downstream of the seed decays geometrically along the cycle
+    assert(got(1L) > got(5L))
+  }
+
+  test("personalizedPageRank: hand-computed 2-node recurrence") {
+    // 0 -> 1, 1 -> 0, 1 -> 1; seed {0}: s = (1, 0)
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 1L)).toDF("src", "dst")
+    var e0 = 1.0; var e1 = 0.0
+    for (_ <- 1 to 6) {
+      val n0 = 0.15 + 0.85 * (e1 / 2)
+      val n1 = 0.85 * (e0 + e1 / 2)
+      e0 = n0; e1 = n1
+    }
+    val got = Graph.personalizedPageRank(edges, Seq(0L).toDF("id"), iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(approxEq(got(0L), e0))
+    assert(approxEq(got(1L), e1))
+  }
 }

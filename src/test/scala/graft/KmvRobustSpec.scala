@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, Kmv}
+import graft.operators.{Dedup, Graph, Robust}
+
+class KmvRobustSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("kmv: exact under k, sane estimate at k, merge == direct global sketch") {
+    val k = 8
+    val vals = (1 to 200).map(i => (s"grp${i % 4}", s"v$i")).toDF("g", "s")
+      .withColumn("h", Hashing.md5Long(col("s")))
+    // under-k group: 5 distinct values -> estimate is the exact count
+    val tiny = (1 to 5).map(i => s"t$i").toDF("s")
+      .withColumn("h", Hashing.md5Long(col("s")))
+      .agg(Kmv.kmvSketch(col("h"), k).as("sk"))
+      .select(Kmv.kmvN(col("sk")), Kmv.kmvEstimate(col("sk"), k)).head()
+    assert(tiny.getInt(0) === 5)
+    assert(tiny.getDouble(1) === 5.0)
+    // at-k: estimate within a loose factor of the truth (50 distinct per grp)
+    val est = vals.groupBy("g").agg(Kmv.kmvSketch(col("h"), k).as("sk"))
+      .select(Kmv.kmvEstimate(col("sk"), k).as("e")).collect().map(_.getDouble(0))
+    est.foreach(e => assert(e > 10 && e < 250, s"estimate $e implausible for 50"))
+    // merge of per-group sketches == sketch built over everything at once
+    val merged = vals.groupBy("g").agg(Kmv.kmvSketch(col("h"), k).as("sk"))
+      .agg(Kmv.kmvMerge(col("sk"), k).as("sk"))
+      .select(col("sk")).head().getAs[Array[Byte]](0)
+    val direct = vals.agg(Kmv.kmvSketch(col("h"), k).as("sk"))
+      .select(col("sk")).head().getAs[Array[Byte]](0)
+    assert(merged.toSeq === direct.toSeq)
+  }
+
+  test("kmv insert: ordering, dedup, capacity eviction") {
+    val k = 3
+    val b = new Array[Byte](4 + 8 * k)
+    Seq(50L, 10L, 30L, 50L, 40L, 5L).foreach(Kmv.insert(b, k, _))
+    // minima {5,10,30}: 50 evicted, duplicate 50 ignored, 40 evicted
+    val got = (0 until 3).map(i =>
+      java.nio.ByteBuffer.wrap(b, 4 + 8 * i, 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong)
+    assert(got === Seq(5L, 10L, 30L))
+  }
+
+  test("labelPropagation: two cliques joined by a bridge keep distinct labels") {
+    // clique A {0,1,2,3}, clique B {10,11,12,13}, bridge 3-10
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) :+ (3L, 10L))
+      .toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // within each clique everyone converges to the min id of the clique
+    assert(Seq(0L, 1L, 2L).map(got).distinct.size === 1)
+    assert(Seq(11L, 12L, 13L).map(got).distinct.size === 1)
+    assert(got(1L) !== got(11L)) // the two communities stay separate
+  }
+
+  test("theilSenSlope: exact on a line, robust to one outlier, null for 1-point") {
+    val line = (0 to 10).map(i => ("a", i.toLong, (3 * i + 7).toLong))
+    val outlier = line.updated(5, ("a", 5L, 1000L)).map { case (_, x, y) => ("b", x, y) }
+    val single = Seq(("c", 0L, 5L))
+    val df = (line ++ outlier ++ single).toDF("g", "x", "y")
+    val got = Robust.theilSenSlope(df, Seq("g"), "x", "y").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("a")._1 === 11L)
+    assert(approxEq(got("a")._2.get, 3.0))
+    assert(approxEq(got("b")._2.get, 3.0)) // the median shrugs the outlier off
+    assert(got("c") === ((1L, None)))
+    // contract: raw-scale groups are rejected, not silently exploded
+    intercept[IllegalArgumentException] {
+      Robust.theilSenSlope(df, Seq("g"), "x", "y", maxPoints = 5)
+    }
+  }
+
+  test("editDistanceJoin equals naive levenshtein join; short strings rejected") {
+    val base = "the quick brown fox jumps over the lazy dog!!"
+    val strs = Seq(
+      (1L, base),
+      (2L, base.replace("quick", "quack")),          // dist 1 (i -> a)
+      (3L, base.toUpperCase),                        // far
+      (4L, "a completely different sentence of sufficient length here"),
+      (5L, base.drop(3) + "xyz")                     // shifted
+    ).toDF("id", "s")
+    val got = Dedup.editDistanceJoin(strs, "id", "s", maxDist = 8, q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // naive check
+    val rows = strs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val naive = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+        .apply(sa, sb).intValue
+      if d <= 8
+    } yield (ia, ib) -> d).toMap
+    assert(got === naive)
+    assert(got((1L, 2L)) === 1)
+    intercept[IllegalArgumentException] {
+      Dedup.editDistanceJoin(Seq((9L, "tiny")).toDF("id", "s"), "id", "s", maxDist = 8)
+    }
+  }
+}
