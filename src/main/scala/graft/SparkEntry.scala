@@ -3250,6 +3250,65 @@ object SparkEntry {
       graft.operators.Dedup.editDistanceJoin(corpus, "doc_id", "s", maxDist = 8, q = 3)
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // KMV set algebra: audience overlap between event types on the
+    // (user, day) activity grain — per-type sketches, pairwise merged
+    // sketch (scalar merge), Jaccard/union/intersection estimates all
+    // hash-replayable; exact intersection carried for reference.
+    "q235_kmv_overlap" -> ((s, dir) => {
+      import graft.functions.{Hashing, Kmv}
+      val k = 64
+      val h = ev(s, dir).select(col("event_type"),
+          Hashing.md5Long(concat(col("user_id").cast("string"), lit(":"),
+            floor(unix_timestamp(col("ts").cast("timestamp")) / 86400L)
+              .cast("long").cast("string"))).as("h"))
+        .distinct()
+      val sk = h.groupBy("event_type").agg(
+        Kmv.kmvSketch(col("h"), k).as("sk"), count_distinct(col("h")).as("nd"))
+      val ex = h.toDF("type_a", "h").join(h.toDF("type_b", "h"), "h")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("exact_inter"))
+      sk.toDF("type_a", "sk_a", "nd_a")
+        .crossJoin(sk.toDF("type_b", "sk_b", "nd_b"))
+        .filter(col("type_a") < col("type_b"))
+        .withColumn("mk", Kmv.kmvMerge2(col("sk_a"), col("sk_b"), k))
+        .withColumn("inter_k", size(array_intersect(
+          array_intersect(Kmv.kmvValues(col("mk")), Kmv.kmvValues(col("sk_a"))),
+          Kmv.kmvValues(col("sk_b")))).cast("long"))
+        .withColumn("m_n", Kmv.kmvN(col("mk")).cast("long"))
+        .withColumn("union_est", Kmv.kmvEstimate(col("mk"), k))
+        .withColumn("jaccard_est",
+          col("inter_k").cast("double") / col("m_n").cast("double"))
+        .join(ex, Seq("type_a", "type_b"), "left")
+        .na.fill(0L, Seq("exact_inter"))
+        .select(col("type_a"), col("type_b"), col("nd_a"), col("nd_b"),
+          col("exact_inter"), col("m_n"), col("inter_k"),
+          r6(col("jaccard_est")).as("jaccard_est"),
+          r6(col("union_est")).as("union_est"),
+          r6(col("jaccard_est") * col("union_est")).as("inter_est"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // weekly growth accounting: every active user classed new/retained/
+    // resurrected, churn attributed to the period a user went silent —
+    // pure integer counts from one distinct pass + one per-user window.
+    "q236_growth" -> ((s, dir) => {
+      val weekly = ev(s, dir).select(col("user_id"),
+        (floor(floor(unix_timestamp(col("ts").cast("timestamp")) / 86400L) / 7L))
+          .cast("long").as("week"))
+      graft.operators.Sessions.growthAccounting(weekly, "user_id", "week")
+        .select(col("p").as("week"), col("status"), col("n"))
+        .orderBy("week", "status")
+    }),
+
+    // ABC / Pareto classification of sources by corpus chars: integer
+    // cumulative sums, one division per row, deterministic class cuts.
+    "q237_abc" -> ((s, dir) => {
+      graft.operators.Profile.abcClass(docs(s, dir), "source", "n_chars")
+        .select(col("cat").as("source"), col("w_sum"),
+          r6(col("cum_share")).as("cum_share"), col("abc_class"))
+        .orderBy("source")
     })
   )
 
@@ -7120,7 +7179,87 @@ object SparkEntry {
         |  levenshtein(a.s, b.s)::BIGINT AS dist
         |FROM f a JOIN f b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.s, b.s) <= 8
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // bottom-64 per type replayed from the shared md5int contract; the
+    // merged bottom-64 comes from the union of the two bottoms (the KMV
+    // merge identity), estimates are fixed-order IEEE on exact integers
+    "q235_kmv_overlap" ->
+      """WITH ud AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR || ':' ||
+        |      ((floor(epoch(ts))::BIGINT // 86400))::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM ud),
+        |bot AS (SELECT event_type, h FROM r WHERE rn <= 64),
+        |nd AS (SELECT event_type, count(*) AS nd FROM ud GROUP BY 1),
+        |types AS (SELECT a.event_type AS ta, a.nd AS nd_a, b.event_type AS tb, b.nd AS nd_b
+        |  FROM nd a JOIN nd b ON a.event_type < b.event_type),
+        |mb AS (SELECT ta, tb, h,
+        |    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+        |  FROM (SELECT DISTINCT t.ta, t.tb, x.h FROM types t
+        |        JOIN bot x ON x.event_type IN (t.ta, t.tb))),
+        |mk AS (SELECT ta, tb, h FROM mb WHERE rn <= 64),
+        |mstat AS (SELECT ta, tb, count(*) AS m_n, max(h) AS hk FROM mk GROUP BY 1, 2),
+        |ik AS (SELECT mk.ta, mk.tb, count(*) AS inter_k
+        |  FROM mk JOIN bot p ON p.event_type = mk.ta AND p.h = mk.h
+        |          JOIN bot q ON q.event_type = mk.tb AND q.h = mk.h
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS exact_inter
+        |  FROM ud a JOIN ud b ON a.h = b.h AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT t.ta AS type_a, t.tb AS type_b, t.nd_a, t.nd_b,
+        |  coalesce(ex.exact_inter, 0)::BIGINT AS exact_inter,
+        |  m.m_n::BIGINT AS m_n, coalesce(ik.inter_k, 0)::BIGINT AS inter_k,
+        |  round(coalesce(ik.inter_k, 0)::DOUBLE / m.m_n::DOUBLE, 6) AS jaccard_est,
+        |  round(CASE WHEN m.m_n < 64 THEN m.m_n::DOUBLE
+        |    ELSE 63.0::DOUBLE * 1152921504606846976.0 / m.hk END, 6) AS union_est,
+        |  round((coalesce(ik.inter_k, 0)::DOUBLE / m.m_n::DOUBLE) *
+        |    (CASE WHEN m.m_n < 64 THEN m.m_n::DOUBLE
+        |     ELSE 63.0::DOUBLE * 1152921504606846976.0 / m.hk END), 6) AS inter_est
+        |FROM types t
+        |JOIN mstat m ON m.ta = t.ta AND m.tb = t.tb
+        |LEFT JOIN ik ON ik.ta = t.ta AND ik.tb = t.tb
+        |LEFT JOIN ex ON ex.ta = t.ta AND ex.tb = t.tb
+        |ORDER BY 1, 2""".stripMargin,
+
+    // identical window triple (running-min / lag / lead) both sides;
+    // churn for period p+1 counted off period p's activity
+    "q236_growth" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    (floor(epoch(ts))::BIGINT // 86400) // 7 AS p FROM events),
+        |f AS (SELECT user_id, p,
+        |    min(p) OVER (PARTITION BY user_id) AS fst,
+        |    lag(p) OVER (PARTITION BY user_id ORDER BY p) AS prev,
+        |    lead(p) OVER (PARTITION BY user_id ORDER BY p) AS nxt
+        |  FROM a),
+        |mx AS (SELECT max(p) AS maxp FROM a),
+        |st AS (SELECT p,
+        |    CASE WHEN p = fst THEN 'new' WHEN prev = p - 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS status FROM f),
+        |act AS (SELECT p, status, count(*) AS n FROM st GROUP BY 1, 2),
+        |ch AS (SELECT f.p + 1 AS p, 'churned' AS status, count(*) AS n
+        |  FROM f CROSS JOIN mx
+        |  WHERE (nxt IS NULL OR nxt > f.p + 1) AND f.p + 1 <= mx.maxp
+        |  GROUP BY 1, 2)
+        |SELECT p AS week, status, n
+        |FROM (SELECT * FROM act UNION ALL SELECT * FROM ch)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // exact integer cumulative sums; the class cut compares the same
+    // division both engines
+    "q237_abc" ->
+      """WITH agg AS (SELECT source AS cat, sum(n_chars)::BIGINT AS w_sum
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT cat, w_sum,
+        |    sum(w_sum) OVER (ORDER BY w_sum DESC, cat ROWS UNBOUNDED PRECEDING) AS cum_w,
+        |    sum(w_sum) OVER () AS w_total FROM agg)
+        |SELECT cat AS source, w_sum,
+        |  round(cum_w::DOUBLE / w_total::DOUBLE, 6) AS cum_share,
+        |  CASE WHEN cum_w::DOUBLE / w_total::DOUBLE <= 0.8 THEN 'A'
+        |       WHEN cum_w::DOUBLE / w_total::DOUBLE <= 0.95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c ORDER BY 1""".stripMargin
   )
 
   /** q221's oracle: the same bounded-round k-core peel as

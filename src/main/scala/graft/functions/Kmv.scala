@@ -106,6 +106,35 @@ object Kmv {
     f(sk)
   }
 
+  /** Scalar: merge TWO sketches pairwise (for sketch set algebra over a
+    * pair table — the aggregate [[kmvMerge]] covers group rollups). */
+  def kmvMerge2(a: Column, b: Column, k: Int): Column = {
+    val f = org.apache.spark.sql.functions.udf { (x: Array[Byte], y: Array[Byte]) =>
+      if (x == null) y
+      else if (y == null) x
+      else {
+        val out = new Array[Byte](cap(k))
+        System.arraycopy(x, 0, out, 0, math.min(x.length, out.length))
+        val ny = count(y)
+        var i = 0
+        while (i < ny) { insert(out, k, get(y, i)); i += 1 }
+        out
+      }
+    }
+    f(a, b)
+  }
+
+  /** Scalar: the held minima as a sorted array<long> — for sketch set
+    * algebra (KMV intersection: |bottomk(A∪B) ∩ A_sk ∩ B_sk| / k estimates
+    * the Jaccard of the underlying sets, Beyer et al. 2007). */
+  def kmvValues(sk: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf { (b: Array[Byte]) =>
+      if (b == null) Array.empty[Long]
+      else Array.tabulate(count(b))(i => get(b, i))
+    }
+    f(sk)
+  }
+
   /** Scalar: distinct-count estimate — exact n while n < k, else the
     * unbiased (k−1)/U(k) with U(k) = kth-min / 2^60. Both branches are a
     * deterministic function of the value set (two IEEE ops on exact

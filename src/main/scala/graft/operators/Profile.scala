@@ -277,6 +277,38 @@ object Profile {
         col("tail_share"), col("overall_share"), col("lift"))
   }
 
+  /** ABC / Pareto classification: categories ranked by total weight
+    * (descending, id tie-break), classed A while the cumulative share is
+    * ≤ `aCut` (default 0.8), B while ≤ `bCut` (default 0.95), C after —
+    * the storage-triage view ("which hosts are the 80% of the corpus").
+    *
+    * Determinism: weights aggregate to exact integer sums, the cumulative
+    * sum is an integer window, and each share is ONE division of exact
+    * longs — the class boundaries compare identical doubles in both
+    * engines. The ranking window is global but runs on the AGGREGATED
+    * category table (|categories| rows) — the same bounded-domain contract
+    * as the ordinal dictionary in [[graft.operators.Encoding]]; never
+    * point it at an unaggregated key.
+    */
+  def abcClass(df: DataFrame, catCol: String, weightCol: String,
+               aCut: Double = 0.8, bCut: Double = 0.95): DataFrame = {
+    require(aCut > 0 && aCut < bCut && bCut < 1.0, s"need 0 < aCut < bCut < 1")
+    val agg = df.groupBy(col(catCol).as("cat"))
+      .agg(sum(col(weightCol)).as("w_sum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("w_sum").desc, col("cat"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = agg.agg(sum(col("w_sum")).as("w_total")) // one bounded scalar row
+    agg.withColumn("cum_w", sum(col("w_sum")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_share", col("cum_w").cast("double") / col("w_total").cast("double"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= aCut, lit("A"))
+          .when(col("cum_share") <= bCut, lit("B"))
+          .otherwise(lit("C")))
+      .select(col("cat"), col("w_sum"), col("cum_share"), col("abc_class"))
+  }
+
   /** Pairwise cosine similarity between segment activity PROFILES: each
     * segment's row-count vector over `bucketCol` (hour-of-day, day-of-week,
     * …), compared for every segment pair — "which event types share a

@@ -73,6 +73,46 @@ object Sessions {
       .agg(count(col("_u")).as("n_active"))
   }
 
+  /** Growth accounting (the "new / retained / resurrected / churned"
+    * decomposition popularized by the a16z/Social Capital growth-
+    * accounting framework, public blog literature): per period, every
+    * active user is exactly one of
+    *   new         — first-ever active period,
+    *   retained    — also active in the immediately previous period,
+    *   resurrected — active before, but not in the previous period;
+    * and `churned(p)` counts users active in p−1 but not in p (attributed
+    * to p, the period they went silent; the last observed period emits no
+    * churn — unknowable yet). Identity: active(p) = new + retained +
+    * resurrected, and retained(p) = active(p−1) − churned(p).
+    *
+    * Plan: ONE distinct (user, period) pass, one per-user window (lag /
+    * lead / running-min — all three from the same sort), then a
+    * period-sized count. Pure integer counts — cross-engine exact.
+    */
+  def growthAccounting(df: DataFrame, userCol: String, periodCol: String): DataFrame = {
+    val activity = df.select(col(userCol).as("_u"), col(periodCol).cast("long").as("p"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_u").orderBy("p")
+    val flagged = activity
+      .withColumn("_first", min(col("p")).over(w))
+      .withColumn("_prev", lag(col("p"), 1).over(w))
+      .withColumn("_next", lead(col("p"), 1).over(w))
+    val maxP = flagged.agg(max(col("p")).as("_maxp")) // one bounded scalar row
+    val status = flagged.crossJoin(maxP)
+      .select(col("p"), col("_next"), col("_maxp"),
+        when(col("p") === col("_first"), lit("new"))
+          .when(col("_prev") === col("p") - 1, lit("retained"))
+          .otherwise(lit("resurrected")).as("status"))
+    val active = status.groupBy("p", "status").agg(count(lit(1)).as("n"))
+    // churn: active in p, silent in p+1 — attributed to period p+1
+    val churned = status
+      .filter((col("_next").isNull || col("_next") > col("p") + 1) &&
+        col("p") + 1 <= col("_maxp"))
+      .select((col("p") + 1).as("p"), lit("churned").as("status"))
+      .groupBy("p", "status").agg(count(lit(1)).as("n"))
+    active.unionByName(churned)
+  }
+
   /** Windowed funnel (ClickHouse `windowFunnel` semantics, strict order):
     * per key, the earliest chain s_1 < s_2 < … with every step inside
     * `windowSeconds` of the step-1 time; returns each key with the step

@@ -72,6 +72,54 @@ class KmvRobustSpec extends SparkSuite {
     }
   }
 
+  test("kmv pairwise merge2 == aggregate merge; values are the sorted minima") {
+    val k = 8
+    val vals = (1 to 120).map(i => (s"g${i % 2}", s"v$i")).toDF("g", "s")
+      .withColumn("h", Hashing.md5Long(col("s")))
+    val per = vals.groupBy("g").agg(Kmv.kmvSketch(col("h"), k).as("sk"))
+    val viaAgg = per.agg(Kmv.kmvMerge(col("sk"), k).as("m"))
+      .select(Kmv.kmvValues(col("m"))).head().getSeq[Long](0)
+    val skA = per.filter(col("g") === "g0").select(col("sk"))
+    val skB = per.filter(col("g") === "g1").select(col("sk").as("sk2"))
+    val via2 = skA.crossJoin(skB)
+      .select(Kmv.kmvValues(Kmv.kmvMerge2(col("sk"), col("sk2"), k)))
+      .head().getSeq[Long](0)
+    assert(via2 === viaAgg)
+    assert(via2 === via2.sorted)
+    assert(via2.size === k)
+  }
+
+  test("growthAccounting: hand-computed statuses and churn attribution") {
+    // u1 active weeks 1,2,4; u2 active 1 only; u3 active 2,3
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 4L), (2L, 1L), (3L, 2L), (3L, 3L))
+      .toDF("u", "w")
+    val got = graft.operators.Sessions.growthAccounting(df, "u", "w")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got((1L, "new")) === 2L)        // u1@1, u2@1
+    assert(got((2L, "new")) === 1L)        // u3@2
+    assert(got((2L, "retained")) === 1L)   // u1@2
+    assert(got((3L, "retained")) === 1L)   // u3@3
+    assert(got((4L, "resurrected")) === 1L) // u1@4 (silent in 3)
+    assert(got((2L, "churned")) === 1L)    // u2 silent from week 2
+    assert(got((3L, "churned")) === 1L)    // u1 silent in 3
+    assert(got((4L, "churned")) === 1L)    // u3 silent in 4
+    // identity: active(p) = new + retained + resurrected
+    assert(!got.contains((5L, "churned"))) // beyond max observed week
+    assert(got.size === 8)
+  }
+
+  test("abcClass: hand-computed cuts, ties broken by category id") {
+    val df = Seq(("a", 120L), ("b", 48L), ("c", 22L), ("d", 10L))
+      .flatMap { case (c, n) => Seq.fill(2)((c, n / 2)) } // split rows, same sums
+      .toDF("cat", "w")
+    val got = graft.operators.Profile.abcClass(df, "cat", "w")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(got("a") === ((120L, "A"))) // cum 0.60
+    assert(got("b") === ((48L, "B")))  // cum 0.84
+    assert(got("c") === ((22L, "B")))  // cum 0.95 (== bCut boundary, inclusive)
+    assert(got("d") === ((10L, "C")))  // cum 1.00
+  }
+
   test("editDistanceJoin equals naive levenshtein join; short strings rejected") {
     val base = "the quick brown fox jumps over the lazy dog!!"
     val strs = Seq(
