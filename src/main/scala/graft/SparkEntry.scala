@@ -3309,6 +3309,48 @@ object SparkEntry {
         .select(col("cat").as("source"), col("w_sum"),
           r6(col("cum_share")).as("cum_share"), col("abc_class"))
         .orderBy("source")
+    }),
+
+    // signup → first-purchase latency per user at exact microsecond
+    // precision; never-converted users keep a null-latency row so the
+    // conversion rate falls out of the same frame.
+    "q238_conversion_latency" -> ((s, dir) => {
+      graft.operators.Sessions.conversionLatency(ev(s, dir), Seq("user_id"),
+          "ts", "event_type", fromState = "signup", toState = "purchase")
+        .select(col("user_id"), col("from_us"), col("to_us"),
+          r6(col("latency_s")).as("latency_s"))
+        .orderBy("user_id")
+    }),
+
+    // reciprocal best match over embeddings: mutual top-1 cosine pairs —
+    // the bitext/near-dup mining criterion that kills hub false positives.
+    "q239_rbm" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.reciprocalBestMatch(emb, "vec_id", "embedding")
+        .select(col("id_a"), col("id_b"), r6(col("sim")).as("sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // largest-remainder crawl-budget apportionment across sources by
+    // corpus chars — pure integer arithmetic, Σ alloc == budget exactly.
+    "q240_crawl_budget" -> ((s, dir) => {
+      graft.operators.Alloc.largestRemainder(docs(s, dir), "source", "n_chars",
+          budget = 10000L)
+        .orderBy("key")
+    }),
+
+    // rendezvous-hashing shard movement audit: assignment under 3 workers
+    // vs 4 — every moved key lands on the NEW worker (minimal disruption,
+    // visible in the from→to matrix).
+    "q241_rendezvous" -> ((s, dir) => {
+      val keys = docs(s, dir).select(col("doc_id"))
+      val before = graft.operators.Alloc.rendezvousAssign(keys, "doc_id",
+        Seq("w1", "w2", "w3"))
+      val after = graft.operators.Alloc.rendezvousAssign(keys, "doc_id",
+        Seq("w1", "w2", "w3", "w4"))
+      before.toDF("key", "node_before").join(after.toDF("key", "node_after"), "key")
+        .groupBy("node_before", "node_after").agg(count(lit(1)).as("n"))
+        .orderBy("node_before", "node_after")
     })
   )
 
@@ -7259,7 +7301,72 @@ object SparkEntry {
         |  CASE WHEN cum_w::DOUBLE / w_total::DOUBLE <= 0.8 THEN 'A'
         |       WHEN cum_w::DOUBLE / w_total::DOUBLE <= 0.95 THEN 'B'
         |       ELSE 'C' END AS abc_class
-        |FROM c ORDER BY 1""".stripMargin
+        |FROM c ORDER BY 1""".stripMargin,
+
+    // min(CASE …) keeps never-converted users; epoch_us == Spark
+    // unix_micros on the cast timestamp; one exact-integer division
+    "q238_conversion_latency" ->
+      """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS from_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |e AS (SELECT user_id, epoch_us(ts) AS to_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT s.user_id, s.from_us,
+        |    min(CASE WHEN e.to_us >= s.from_us THEN e.to_us END) AS to_us
+        |  FROM s LEFT JOIN e ON e.user_id = s.user_id GROUP BY 1, 2)
+        |SELECT user_id, from_us, to_us,
+        |  round((to_us - from_us)::DOUBLE / 1000000.0::DOUBLE, 6) AS latency_s
+        |FROM j ORDER BY user_id""".stripMargin,
+
+    // q36's cosine contract, rank-1 both directions, mutuality by self-join
+    "q239_rbm" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |  FROM c a CROSS JOIN c b WHERE a.vec_id <> b.vec_id
+        |    AND sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0),
+        |t AS (SELECT qa, qb, sim,
+        |    row_number() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk FROM sc),
+        |b1 AS (SELECT qa, qb, sim FROM t WHERE rk = 1)
+        |SELECT x.qa AS id_a, x.qb AS id_b, round(x.sim, 6) AS sim
+        |FROM b1 x JOIN b1 y ON y.qa = x.qb AND y.qb = x.qa
+        |WHERE x.qa < x.qb ORDER BY 1, 2""".stripMargin,
+
+    // pure integer Hamilton apportionment — base = floor division,
+    // leftover units to the largest remainders (key tie-break)
+    "q240_crawl_budget" ->
+      """WITH agg AS (SELECT source AS key, sum(n_chars)::BIGINT AS score
+        |  FROM documents GROUP BY 1 HAVING sum(n_chars) > 0),
+        |t AS (SELECT sum(score) AS s_total FROM agg),
+        |b AS (SELECT key, score, (score * 10000) // s_total AS base,
+        |    score * 10000 - ((score * 10000) // s_total) * s_total AS rem
+        |  FROM agg CROSS JOIN t),
+        |l AS (SELECT 10000 - sum(base) AS leftover FROM b),
+        |r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, key) AS rk FROM b)
+        |SELECT key, score,
+        |  (base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
+        |FROM r CROSS JOIN l ORDER BY key""".stripMargin,
+
+    // per-key argmax of the seeded hash per node set (hash DESC, node DESC
+    // matches the engine's struct-max tie semantics); moved keys must all
+    // land on w4
+    "q241_rendezvous" ->
+      """WITH k AS (SELECT doc_id AS key FROM documents),
+        |s1 AS (SELECT key, n.node,
+        |    ('0x' || substr(md5(n.node || ':' || key::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM k CROSS JOIN (VALUES ('w1'), ('w2'), ('w3')) n(node)),
+        |b1 AS (SELECT key, node FROM (SELECT key, node,
+        |    row_number() OVER (PARTITION BY key ORDER BY h DESC, node DESC) AS rk
+        |  FROM s1) WHERE rk = 1),
+        |s2 AS (SELECT key, n.node,
+        |    ('0x' || substr(md5(n.node || ':' || key::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM k CROSS JOIN (VALUES ('w1'), ('w2'), ('w3'), ('w4')) n(node)),
+        |b2 AS (SELECT key, node FROM (SELECT key, node,
+        |    row_number() OVER (PARTITION BY key ORDER BY h DESC, node DESC) AS rk
+        |  FROM s2) WHERE rk = 1)
+        |SELECT b1.node AS node_before, b2.node AS node_after, count(*) AS n
+        |FROM b1 JOIN b2 ON b2.key = b1.key
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** q221's oracle: the same bounded-round k-core peel as

@@ -73,6 +73,37 @@ object Sessions {
       .agg(count(col("_u")).as("n_active"))
   }
 
+  /** Per-key conversion latency: the time from each key's FIRST
+    * `fromState` event to its first `toState` event at-or-after it —
+    * "signup → first purchase" in seconds, one row per key that started
+    * the journey (never-converted keys carry a null latency, so the
+    * conversion rate falls out of the same frame). Timestamps compare at
+    * exact microsecond precision.
+    *
+    * Plan: two filtered min-aggregations on the SAME key (AQE reuses the
+    * exchange) + one join — the [[windowFunnel]] 2-step shape, kept
+    * separate because the latency DISTRIBUTION (not the step count) is
+    * the deliverable here.
+    */
+  def conversionLatency(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                        typeCol: String, fromState: String,
+                        toState: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val starts = df.filter(col(typeCol) === fromState)
+      .groupBy(keys: _*).agg(min(us).as("_from_us"))
+    val ends = df.filter(col(typeCol) === toState)
+      .select((keys :+ us.as("_to_us")): _*)
+    // min(when(...)) keeps never-converted keys as one null-latency row —
+    // a post-join filter would drop a key whose only to-events precede from
+    starts.join(ends, keyCols, "left")
+      .groupBy((keys :+ col("_from_us")): _*)
+      .agg(min(when(col("_to_us") >= col("_from_us"), col("_to_us"))).as("_to_us"))
+      .select((keys :+ col("_from_us").as("from_us") :+ col("_to_us").as("to_us") :+
+        ((col("_to_us") - col("_from_us")) / lit(1000000L)).cast("double")
+          .as("latency_s")): _*)
+  }
+
   /** Growth accounting (the "new / retained / resurrected / churned"
     * decomposition popularized by the a16z/Social Capital growth-
     * accounting framework, public blog literature): per period, every

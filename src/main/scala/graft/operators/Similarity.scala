@@ -41,8 +41,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision, left-to-right (oracle-identical order). */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ in double precision, left-to-right (oracle-identical order).
+    * Native codegen'd kernel ([[graft.functions.FloatDotExpr]]); the
+    * declarative HOF it replaced bit-for-bit is kept for the parity test:
+    * `aggregate(zip_with(a,b,(x,y) -> double(x)*double(y)), 0.0, +)`. */
+  def dot(a: Column, b: Column): Column = graft.functions.FloatDotExpr(a, b)
+
+  /** The pre-native HOF formulation of [[dot]] — parity-test reference. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -95,17 +101,46 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // norms are computed ONCE per vector BELOW the join (the join blocks
+    // CollapseProject from inlining them into the per-pair projection —
+    // inlined, each pair pays 3 dot kernels instead of 1; measured on the
+    // 2k×2k RBM self-join: 192 s inlined-HOF → 43 s hoisted-HOF → 6.7 s
+    // hoisted + native FloatDotExpr). sim is the bit-identical formula:
+    // dot/(sqrt(dot(a,a))·sqrt(dot(b,b))), null when a norm is 0.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("_qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("_cn"))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim",
+        when(col("_qn") * col("_cn") > 0,
+          dot(col("qv"), col("cv")) / (col("_qn") * col("_cn")))
+          .otherwise(lit(null).cast("double")))
       .filter(col("sim").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Reciprocal best match: pairs (a, b) where b is a's nearest cosine
+    * neighbor AND a is b's — the mutual-top-1 criterion of bitext/near-
+    * duplicate mining (each side vouches for the other, which kills the
+    * hub-vector false positives a one-directional top-1 keeps). Built on
+    * [[bruteForceTopK]] at k=1 (deterministic tie-break by neighbor id);
+    * the mutuality check is one self-join of the |corpus|-row top-1 table.
+    * Emits each mutual pair once (id_a < id_b) with its cosine.
+    */
+  def reciprocalBestMatch(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val top1 = bruteForceTopK(df, df, idCol, vecCol, k = 1)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .localCheckpoint() // consumed twice (both sides of the mutuality join)
+    top1.filter(col("query_id") < col("neighbor_id"))
+      .toDF("id_a", "id_b", "sim")
+      .join(top1.select(col("neighbor_id").as("id_a"), col("query_id").as("id_b")),
+        Seq("id_a", "id_b"), "left_semi")
   }
 
   /** Bucketed ANN: identical contract to [[bruteForceTopK]] but candidates

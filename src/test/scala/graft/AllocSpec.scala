@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Alloc, Sessions, Similarity}
+
+class AllocSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("largestRemainder: exact budget, within-1 quotas, remainder tie-break") {
+    // scores 5,3,2 over budget 7: quotas 3.5/2.1/1.4, bases 3/2/1 (sum 6),
+    // remainders .5/.1/.4 -> leftover unit to 'a'
+    val df = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("k", "s")
+    val got = Alloc.largestRemainder(df, "k", "s", budget = 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    // sum == budget for an awkward budget too
+    val tot = Alloc.largestRemainder(df, "k", "s", budget = 101L)
+      .agg(sum(col("alloc"))).head().getLong(0)
+    assert(tot === 101L)
+    // zero-score keys are excluded, zero budget allocates zero
+    val z = Alloc.largestRemainder(
+      Seq(("a", 5L), ("z", 0L)).toDF("k", "s"), "k", "s", budget = 0L).collect()
+    assert(z.map(_.getString(0)).toSet === Set("a"))
+    assert(z.forall(_.getLong(2) === 0L))
+  }
+
+  test("rendezvousAssign: deterministic, balanced-ish, minimal disruption") {
+    val keys = (0L until 400L).toDF("key")
+    val before = Alloc.rendezvousAssign(keys, "key", Seq("w1", "w2", "w3"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val again = Alloc.rendezvousAssign(keys, "key", Seq("w1", "w2", "w3"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before === again) // pure function of (key, node set)
+    val counts = before.values.groupBy(identity).view.mapValues(_.size)
+    assert(counts.size === 3)
+    counts.values.foreach(c => assert(c > 60 && c < 220, s"skewed: $counts"))
+    // adding w4: every moved key moves TO w4, nothing else shifts
+    val after = Alloc.rendezvousAssign(keys, "key", Seq("w1", "w2", "w3", "w4"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val moved = before.keys.filter(k => before(k) != after(k))
+    assert(moved.nonEmpty)
+    moved.foreach(k => assert(after(k) === "w4"))
+  }
+
+  test("conversionLatency: first-from to first-at-or-after-to, nulls kept") {
+    val df = Seq(
+      (1L, 100L, "signup"), (1L, 50L, "purchase"), (1L, 300L, "purchase"),
+      (2L, 100L, "signup"),                      // never converts
+      (3L, 100L, "signup"), (3L, 100L, "purchase"), // same instant counts
+      (4L, 500L, "purchase")                     // never signed up -> no row
+    ).toDF("u", "sec", "t")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Sessions.conversionLatency(df, Seq("u"), "ts", "t", "signup", "purchase")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1L) === ((Some(300000000L), Some(200.0)))) // the t=50 purchase is ignored
+    assert(got(2L) === ((None, None)))
+    assert(got(3L)._2 === Some(0.0))
+    assert(!got.contains(4L))
+  }
+
+  test("native vec_dot == declarative HOF dot (incl. empty/zero/null/unequal)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    } ++ Seq(
+      (100L, Array.fill(16)(0f)),
+      (101L, Array.empty[Float])
+    )
+    val df = rows.toDF("id", "v")
+    val both = df.toDF("ia", "a").crossJoin(df.toDF("ib", "b"))
+      .select(Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .collect()
+    both.foreach { r =>
+      val n = Option(r.get(0)).map(_.asInstanceOf[Double])
+      val h = Option(r.get(1)).map(_.asInstanceOf[Double])
+      // exact bit equality, not approx — the whole point of the contract
+      assert(n.map(java.lang.Double.doubleToLongBits) ===
+        h.map(java.lang.Double.doubleToLongBits))
+    }
+    // unequal lengths and null arrays -> null, matching zip_with poisoning
+    val odd = Seq((1L, Some(Array(1f, 2f)), Some(Array(1f, 2f, 3f))),
+      (2L, None, Some(Array(1f))))
+      .toDF("id", "a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("d")).collect()
+    assert(odd.forall(_.isNullAt(0)))
+  }
+
+  test("reciprocalBestMatch: mutual pairs only, emitted once") {
+    // 1<->2 mutual (identical direction), 3's best is 1 but 1's best is 2
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(2f, 0.0001f)),
+      (3L, Array(1f, 0.1f)), (4L, Array(0f, 1f)), (5L, Array(-0.1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.reciprocalBestMatch(vecs, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((4L, 5L)))
+    assert(got.forall { case (a, b) => a < b })
+    // every emitted pair is genuinely mutual-top-1
+    val top1 = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (a, b) => assert(top1(a) === b && top1(b) === a) }
+    assert(got === top1.filter { case (a, b) => top1(b) == a && a < b }.toSet)
+  }
+}
