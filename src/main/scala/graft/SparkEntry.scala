@@ -3351,6 +3351,35 @@ object SparkEntry {
       before.toDF("key", "node_before").join(after.toDF("key", "node_after"), "key")
         .groupBy("node_before", "node_after").agg(count(lit(1)).as("n"))
         .orderBy("node_before", "node_after")
+    }),
+
+    // share-of-parent over the q229 path tree: each prefix's chars as a
+    // fraction of its parent subtree (depth-1 against the global total) —
+    // one division of the rollup's exact integer sums per row.
+    "q242_tree_share" -> ((s, dir) => {
+      val p = docs(s, dir).select(
+        concat(lit("/"), col("source"), lit("/"), col("lang"), lit("/d"),
+          pmod(col("doc_id"), lit(20L))).as("path"),
+        col("n_chars"))
+      val roll = graft.operators.PathTree.prefixRollup(p, "path", maxDepth = 3,
+        weightCol = "n_chars")
+      graft.operators.PathTree.shareOfParent(roll)
+        .select(col("depth"), col("prefix"), col("w_sum"), col("parent_w"),
+          r6(col("parent_share")).as("parent_share"))
+        .orderBy("depth", "prefix")
+    }),
+
+    // weekly trending leaderboard: per-week event-type ranks with the
+    // previous week's rank and the delta — integer counts, total order,
+    // cross-engine exact.
+    "q243_trending" -> ((s, dir) => {
+      val weekly = ev(s, dir).select(col("event_type"),
+        (floor(floor(unix_timestamp(col("ts").cast("timestamp")) / 86400L) / 7L))
+          .cast("long").as("week"))
+      graft.operators.Profile.trendingRanks(weekly, "event_type", "week")
+        .select(col("p").as("week"), col("key").as("event_type"), col("cnt"),
+          col("rank"), col("prev_rank"), col("rank_delta"))
+        .orderBy("week", "rank")
     })
   )
 
@@ -7366,7 +7395,44 @@ object SparkEntry {
         |  FROM s2) WHERE rk = 1)
         |SELECT b1.node AS node_before, b2.node AS node_after, count(*) AS n
         |FROM b1 JOIN b2 ON b2.key = b1.key
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q229's rollup + a parent equi-join; every share one division of the
+    // exact integer sums
+    "q242_tree_share" ->
+      """WITH p AS (SELECT '/' || source || '/' || lang || '/d' || (doc_id % 20) AS path,
+        |    n_chars FROM documents),
+        |x AS (SELECT t.d::INTEGER AS depth,
+        |    '/' || array_to_string((string_split(ltrim(path, '/'), '/'))[1:t.d], '/') AS prefix,
+        |    n_chars
+        |  FROM p CROSS JOIN generate_series(1, 3) t(d)),
+        |roll AS (SELECT depth, prefix, sum(n_chars)::BIGINT AS w_sum
+        |  FROM x GROUP BY 1, 2),
+        |r AS (SELECT depth, prefix, w_sum,
+        |    CASE WHEN depth = 1 THEN NULL
+        |         ELSE regexp_replace(prefix, '/[^/]+$', '') END AS pp FROM roll),
+        |tot AS (SELECT sum(w_sum) AS rw FROM roll WHERE depth = 1)
+        |SELECT r.depth, r.prefix, r.w_sum,
+        |  coalesce(par.w_sum, tot.rw)::BIGINT AS parent_w,
+        |  round(r.w_sum::DOUBLE / coalesce(par.w_sum, tot.rw)::DOUBLE, 6) AS parent_share
+        |FROM r LEFT JOIN roll par ON par.depth = r.depth - 1 AND par.prefix = r.pp
+        |CROSS JOIN tot
+        |ORDER BY 1, 2""".stripMargin,
+
+    // integer leaderboard: identical rank order (cnt DESC, key), previous
+    // week via a (period+1, key) self-join
+    "q243_trending" ->
+      """WITH a AS (SELECT event_type,
+        |    (floor(epoch(ts))::BIGINT // 86400) // 7 AS week FROM events),
+        |c AS (SELECT week, event_type, count(*) AS cnt FROM a GROUP BY 1, 2),
+        |rk AS (SELECT week, event_type, cnt,
+        |    row_number() OVER (PARTITION BY week ORDER BY cnt DESC, event_type) AS rank
+        |  FROM c)
+        |SELECT x.week, x.event_type, x.cnt, x.rank,
+        |  y.rank AS prev_rank, y.rank - x.rank AS rank_delta
+        |FROM rk x LEFT JOIN rk y
+        |  ON y.week = x.week - 1 AND y.event_type = x.event_type
+        |ORDER BY x.week, x.rank""".stripMargin
   )
 
   /** q221's oracle: the same bounded-round k-core peel as

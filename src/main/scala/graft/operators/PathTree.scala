@@ -38,4 +38,30 @@ object PathTree {
       .groupBy("depth", "prefix")
       .agg(count(lit(1)).as("cnt"), sum(col("_w")).as("w_sum"))
   }
+
+  /** Share-of-parent over a [[prefixRollup]] result: each prefix's weight
+    * as a fraction of its parent prefix (depth-1 nodes take the GLOBAL
+    * total as parent) — the "which child dominates this subtree" reporting
+    * view. One equi-join on the parent prefix + one bounded scalar for the
+    * root total; each share is ONE division of the exact integer sums the
+    * rollup produced, so it is cross-engine deterministic.
+    */
+  def shareOfParent(rollup: DataFrame): DataFrame = {
+    val parents = rollup.select((col("depth") + 1).as("depth"),
+      col("prefix").as("_parent_prefix"), col("w_sum").as("parent_w"))
+    val rootW = rollup.filter(col("depth") === 1)
+      .agg(sum(col("w_sum")).as("_root_w")) // one bounded scalar row
+    rollup
+      .withColumn("_parent_prefix",
+        when(col("depth") === 1, lit(null).cast("string"))
+          .otherwise(regexp_replace(col("prefix"), "/[^/]+$", "")))
+      .join(parents, Seq("depth", "_parent_prefix"), "left")
+      .crossJoin(broadcast(rootW))
+      .withColumn("parent_w",
+        when(col("depth") === 1, col("_root_w")).otherwise(col("parent_w")))
+      .withColumn("parent_share",
+        col("w_sum").cast("double") / col("parent_w").cast("double"))
+      .select(col("depth"), col("prefix"), col("w_sum"), col("parent_w"),
+        col("parent_share"))
+  }
 }

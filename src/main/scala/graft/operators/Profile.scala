@@ -309,6 +309,30 @@ object Profile {
       .select(col("cat"), col("w_sum"), col("cum_share"), col("abc_class"))
   }
 
+  /** Trending ranks: per period, keys ranked by activity count (count
+    * desc, key tie-break), each carrying its PREVIOUS period's rank and
+    * the delta — the "top movers / new entries" leaderboard view (null
+    * prev_rank = new this period; positive delta = climbed). Ranks are
+    * integer counts under a total order, so the whole table is cross-
+    * engine exact. One count shuffle + one per-period window (bounded by
+    * key cardinality) + one self-join on (period+1, key).
+    */
+  def trendingRanks(df: DataFrame, keyCol: String, periodCol: String): DataFrame = {
+    val counts = df.groupBy(col(periodCol).cast("long").as("p"), col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p").orderBy(col("cnt").desc, col("key"))
+    val ranked = counts.withColumn("rank", row_number().over(w).cast("long"))
+      .localCheckpoint() // consumed twice (current + shifted-previous side)
+    ranked.join(
+        ranked.select((col("p") + 1).as("p"), col("key"),
+          col("rank").as("prev_rank")),
+        Seq("p", "key"), "left")
+      .withColumn("rank_delta", col("prev_rank") - col("rank"))
+      .select(col("p"), col("key"), col("cnt"), col("rank"),
+        col("prev_rank"), col("rank_delta"))
+  }
+
   /** Pairwise cosine similarity between segment activity PROFILES: each
     * segment's row-count vector over `bucketCol` (hour-of-day, day-of-week,
     * …), compared for every segment pair — "which event types share a
