@@ -3380,6 +3380,29 @@ object SparkEntry {
         .select(col("p").as("week"), col("key").as("event_type"), col("cnt"),
           col("rank"), col("prev_rank"), col("rank_delta"))
         .orderBy("week", "rank")
+    }),
+
+    // stratified sample: exactly 100 docs, source mix preserved via
+    // Hamilton quotas, members picked by seeded-hash rank — replayable
+    // end-to-end (no Bernoulli draws).
+    "q244_stratified" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedSample(
+          docs(s, dir).select(col("doc_id"), col("source")),
+          "source", "doc_id", total = 100L, seed = "ss1")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // distinctive terms between even/odd doc slices by add-1 odds ratio —
+    // ratio space on exact integer counts (a log would lean on libm
+    // agreement; the ratio is fixed-order IEEE both engines).
+    "q245_distinctive" -> ((s, dir) => {
+      graft.operators.TextAnalysis.distinctiveTerms(
+          docs(s, dir).withColumn("is_even", pmod(col("doc_id"), lit(2L)) === 0L),
+          "text", "is_even", minCount = 50L)
+        .select(col("word"), col("y_a"), col("y_b"),
+          r6(col("odds_ratio")).as("odds_ratio"))
+        .orderBy("word")
     })
   )
 
@@ -7432,7 +7455,45 @@ object SparkEntry {
         |  y.rank AS prev_rank, y.rank - x.rank AS rank_delta
         |FROM rk x LEFT JOIN rk y
         |  ON y.week = x.week - 1 AND y.event_type = x.event_type
-        |ORDER BY x.week, x.rank""".stripMargin
+        |ORDER BY x.week, x.rank""".stripMargin,
+
+    // Hamilton quotas on stratum sizes + per-stratum seeded-hash rank —
+    // the full sample replayed row-for-row
+    "q244_stratified" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |sz AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS s_total FROM sz),
+        |b AS (SELECT source, n, (n * 100) // s_total AS base,
+        |    n * 100 - ((n * 100) // s_total) * s_total AS rem
+        |  FROM sz CROSS JOIN t),
+        |l AS (SELECT 100 - sum(base) AS leftover FROM b),
+        |q AS (SELECT source, base + CASE WHEN
+        |    row_number() OVER (ORDER BY rem DESC, source) <= l.leftover
+        |    THEN 1 ELSE 0 END AS quota
+        |  FROM b CROSS JOIN l),
+        |r AS (SELECT d.doc_id, d.source,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY ('0x' || substr(md5('ss1:' || d.doc_id::VARCHAR), 1, 15))::BIGINT,
+        |        d.doc_id) AS rk
+        |  FROM d)
+        |SELECT r.doc_id, r.source FROM r JOIN q ON q.source = r.source
+        |WHERE r.rk <= q.quota ORDER BY doc_id""".stripMargin,
+
+    // add-1 odds ratio on exact integer counts, q35's tokenizer
+    "q245_distinctive" ->
+      """WITH tk AS (SELECT (doc_id % 2 = 0) AS a,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '')) AS word
+        |  FROM documents),
+        |pw AS (SELECT word,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS y_a,
+        |    sum(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS y_b
+        |  FROM tk GROUP BY 1),
+        |t AS (SELECT sum(y_a) AS n_a, sum(y_b) AS n_b FROM pw)
+        |SELECT word, y_a, y_b,
+        |  round(((y_a + 1)::DOUBLE / (n_a - y_a + 1)::DOUBLE) /
+        |        ((y_b + 1)::DOUBLE / (n_b - y_b + 1)::DOUBLE), 6) AS odds_ratio
+        |FROM pw CROSS JOIN t WHERE y_a + y_b >= 50 ORDER BY word""".stripMargin
   )
 
   /** q221's oracle: the same bounded-round k-core peel as

@@ -126,4 +126,34 @@ object Sampling {
       .limit(k)
       .select(col(idCol), col(weightCol).as("weight"), col("priority"))
   }
+
+  /** Stratified sample of exactly `total` rows with per-stratum counts
+    * apportioned PROPORTIONALLY to stratum sizes by the largest-remainder
+    * method ([[Alloc.largestRemainder]] — Σ quotas == total exactly,
+    * every stratum within 1 of its real share), members picked per
+    * stratum by seeded-hash rank — the auditor-replayable version of
+    * `sampleBy` (whose Bernoulli draws neither hit the target count nor
+    * replay from SQL). The training-data staple: "exactly 1M pages,
+    * source mix preserved".
+    *
+    * Plan: one stratum-size count, the bounded-domain apportionment, one
+    * broadcast quota join, one per-stratum window ranked by
+    * (md5(seed:id), id). The window sorts within each stratum — fine
+    * while strata are the natural corpus partitions (source, lang); the
+    * hash order makes the pick uniform within the stratum.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       total: Long, seed: String): DataFrame = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    val quotas = Alloc.largestRemainder(
+      df.select(col(stratumCol), lit(1L).as("_one")), stratumCol, "_one", total)
+      .select(col("key").as(stratumCol), col("alloc").as("_quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5Long(concat_ws(":", lit(seed), col(idCol))), col(idCol))
+    df.join(broadcast(quotas), stratumCol)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= col("_quota"))
+      .select(df.columns.map(col): _*) // the using-join fronted the stratum
+  }
 }

@@ -509,4 +509,37 @@ object TextAnalysis {
       .select(col("term_a"), col("term_b"), col("n_ab"), col("n_a"),
         col("n_b"), col("lift"))
   }
+
+  /** Distinctive terms between two corpus slices by add-1-smoothed ODDS
+    * RATIO (the rank statistic behind "Fightin' Words" log-odds, Monroe
+    * et al. 2008, public paper — kept in ratio space deliberately: every
+    * factor is a division of exact integer counts, so the score is a
+    * fixed-order IEEE product/quotient both engines reproduce bit-for-bit,
+    * where a log would lean on platform libm agreement).
+    *
+    *   or(w) = [(y_aw+1)/(n_a−y_aw+1)] / [(y_bw+1)/(n_b−y_bw+1)]
+    *
+    * with y the occurrence count of w in the slice and n the slice's total
+    * token count. or ≫ 1 = characteristic of slice A, ≪ 1 of slice B.
+    * `minCount` bounds the vocabulary (rare words carry no signal and
+    * explode the output).
+    *
+    * Plan: one explode + one (word, slice) count + a 2-way pivot by
+    * conditional sums + one scalar total row — all map-side combined.
+    */
+  def distinctiveTerms(docs: DataFrame, textCol: String, flagCol: String,
+                       minCount: Long = 1L): DataFrame = {
+    val toks = docs.select(col(flagCol).cast("boolean").as("_a"),
+        explode(words(col(textCol))).as("word"))
+    val perWord = toks.groupBy("word").agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("y_a"),
+      sum(when(col("_a"), 0L).otherwise(1L)).as("y_b"))
+    val totals = perWord.agg(sum(col("y_a")).as("n_a"), sum(col("y_b")).as("n_b"))
+    perWord.filter(col("y_a") + col("y_b") >= minCount)
+      .crossJoin(broadcast(totals))
+      .withColumn("odds_ratio",
+        ((col("y_a") + 1L).cast("double") / (col("n_a") - col("y_a") + 1L).cast("double")) /
+          ((col("y_b") + 1L).cast("double") / (col("n_b") - col("y_b") + 1L).cast("double")))
+      .select(col("word"), col("y_a"), col("y_b"), col("odds_ratio"))
+  }
 }

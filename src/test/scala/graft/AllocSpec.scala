@@ -59,6 +59,43 @@ class AllocSpec extends SparkSuite {
     assert(!got.contains(4L))
   }
 
+  test("stratifiedSample: exact total, proportional mix, deterministic replay") {
+    // strata sizes 60/30/10 over total 10 -> quotas 6/3/1
+    val df = ((1 to 60).map(i => (i.toLong, "big")) ++
+      (61 to 90).map(i => (i.toLong, "mid")) ++
+      (91 to 100).map(i => (i.toLong, "small"))).toDF("id", "s")
+    val got = graft.operators.Sampling.stratifiedSample(df, "s", "id", 10L, "sd")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === 10)
+    val mix = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(mix === Map("big" -> 6, "mid" -> 3, "small" -> 1))
+    // replay: same seed -> same rows; different seed -> (almost surely) different
+    val again = graft.operators.Sampling.stratifiedSample(df, "s", "id", 10L, "sd")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sortBy(_._1) === again.sortBy(_._1))
+    val other = graft.operators.Sampling.stratifiedSample(df, "s", "id", 10L, "other")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet !== other.toSet)
+  }
+
+  test("distinctiveTerms: hand odds ratios, minCount bound") {
+    val df = Seq(
+      (true, "apple apple apple shared"),
+      (false, "banana shared shared")
+    ).toDF("a", "text")
+    val got = graft.operators.TextAnalysis.distinctiveTerms(df, "text", "a")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // n_a = 4, n_b = 3
+    // apple: y_a=3,y_b=0 -> (4/2)/(1/4) = 8
+    assert(got("apple") === ((3L, 0L, 8.0)))
+    // banana: y_a=0,y_b=1 -> (1/5)/(2/3)
+    assert(approxEq(got("banana")._3, (1.0 / 5) / (2.0 / 3)))
+    // shared: y_a=1,y_b=2 -> (2/4)/(3/2)
+    assert(approxEq(got("shared")._3, 0.5 / 1.5))
+    assert(graft.operators.TextAnalysis.distinctiveTerms(df, "text", "a", minCount = 3L)
+      .collect().map(_.getString(0)).toSet === Set("apple", "shared"))
+  }
+
   test("native vec_dot == declarative HOF dot (incl. empty/zero/null/unequal)") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 50).map { i =>
