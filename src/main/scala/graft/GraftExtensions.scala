@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{FingerprintExpr, MinHashSigExpr, Utf8CharCountExpr}
+import graft.functions.{FingerprintExpr, FloatDotExpr, MinHashSigExpr, Utf8CharCountExpr}
 import graft.functions.HyperplaneBucketExpr
 import graft.operators.Similarity
 
@@ -84,6 +84,17 @@ object GraftFunctions {
       { args =>
         arity("minhash_sig", args, 2)
         MinHashSigExpr(args.head, litInt("minhash_sig", args, 1))
+      }),
+
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatDotExpr].getName, "vec_dot",
+        "vec_dot(a, b) - dot product of two array<float|double> vectors in " +
+        "double precision, left-to-right; NULL on null/unequal-length input. " +
+        "Bit-identical to aggregate(zip_with(a, b, (x, y) -> double(x) * " +
+        "double(y)), 0.0D, (s, v) -> s + v) but codegen'd."),
+      { args =>
+        arity("vec_dot", args, 2)
+        FloatDotExpr(args.head, args(1))
       }),
 
     (FunctionIdentifier("hyperplane_bucket"),

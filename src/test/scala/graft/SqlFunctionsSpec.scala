@@ -22,7 +22,7 @@ class SqlFunctionsSpec extends SparkSuite {
     // runtime register() call has happened for this session.
     val names = spark.sql("SHOW FUNCTIONS").collect().map(_.getString(0)).toSet
     for (fn <- Seq("utf8_char_count", "bottomk_fingerprint", "minhash_sig",
-                   "hyperplane_bucket"))
+                   "hyperplane_bucket", "vec_dot"))
       assert(names.contains(fn), s"$fn missing from SHOW FUNCTIONS")
     val desc = spark.sql("DESCRIBE FUNCTION utf8_char_count")
       .collect().map(_.getString(0)).mkString("\n")
@@ -38,6 +38,22 @@ class SqlFunctionsSpec extends SparkSuite {
     // multibyte sanity directly in SQL
     val r = spark.sql("SELECT utf8_char_count('héllo wörld — 漢字')").first().getLong(0)
     assert(r == "héllo wörld — 漢字".codePointCount(0, "héllo wörld — 漢字".length))
+  }
+
+  test("vec_dot SQL == the declarative HOF formulation, bit-exact") {
+    val r = spark.sql(
+      """SELECT vec_dot(a, b) AS nat,
+        |  aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)),
+        |            0.0D, (s, v) -> s + v) AS hof
+        |FROM VALUES
+        |  (array(1.5D, -2.25D, 3.0D), array(0.5D, 4.0D, -1.25D)),
+        |  (array(0.1D, 0.2D, 0.3D),   array(0.3D, 0.2D, 0.1D))
+        |AS t(a, b)""".stripMargin).collect()
+    r.foreach { row =>
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(row.getDouble(1)))
+    }
+    assert(spark.sql("SELECT vec_dot(array(1.0D), array(1.0D, 2.0D))").first().isNullAt(0))
   }
 
   test("bottomk_fingerprint SQL == FingerprintExpr column API") {
