@@ -3403,6 +3403,26 @@ object SparkEntry {
         .select(col("word"), col("y_a"), col("y_b"),
           r6(col("odds_ratio")).as("odds_ratio"))
         .orderBy("word")
+    }),
+
+    // symmetric int8 quantization of embeddings + reconstruction cosine —
+    // elementwise IEEE on exact inputs (round-half-up via floor(x+0.5)),
+    // codes replayed array-for-array by the oracle.
+    "q246_quantize" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.quantizeInt8(emb, "vec_id", "embedding")
+        .select(col("id").as("vec_id"), r6(col("scale")).as("scale"),
+          array_join(col("codes"), ",").as("codes_csv"),
+          r6(col("recon_cos")).as("recon_cos"))
+        .orderBy("vec_id")
+    }),
+
+    // skip-gram (center, context) counts within a 2-token window — the
+    // word2vec/GloVe training-pair table; symmetric, integer counts.
+    "q247_skipgrams" -> ((s, dir) => {
+      graft.operators.TextAnalysis.skipGrams(docs(s, dir), "text",
+          window = 2, minCount = 5L)
+        .orderBy("center", "context")
     })
   )
 
@@ -7493,7 +7513,50 @@ object SparkEntry {
         |SELECT word, y_a, y_b,
         |  round(((y_a + 1)::DOUBLE / (n_a - y_a + 1)::DOUBLE) /
         |        ((y_b + 1)::DOUBLE / (n_b - y_b + 1)::DOUBLE), 6) AS odds_ratio
-        |FROM pw CROSS JOIN t WHERE y_a + y_b >= 50 ORDER BY word""".stripMargin
+        |FROM pw CROSS JOIN t WHERE y_a + y_b >= 50 ORDER BY word""".stripMargin,
+
+    // elementwise replay: same abs-max, same floor(x/scale+0.5) rounding,
+    // same clamp, same left-to-right reconstruction cosine
+    "q246_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+        |      THEN list_max(list_transform(v, x -> abs(x))) / 127.0::DOUBLE
+        |    END AS scale FROM e),
+        |c AS (SELECT vec_id, v, scale,
+        |    CASE WHEN scale IS NOT NULL THEN
+        |      list_transform(v, x -> greatest(-127, least(127,
+        |        floor(x / scale + 0.5)::BIGINT)))
+        |    END AS codes FROM s),
+        |d AS (SELECT vec_id, v, scale, codes,
+        |    CASE WHEN scale IS NOT NULL THEN
+        |      list_transform(codes, q -> q::DOUBLE * scale)
+        |    END AS deq FROM c)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  array_to_string(codes, ',') AS codes_csv,
+        |  round(list_dot_product(v, deq) /
+        |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(deq, deq))), 6)
+        |    AS recon_cos
+        |FROM d ORDER BY vec_id""".stripMargin,
+
+    // window-2 skip-grams via zipped parallel unnests (d = 1 and d = 2),
+    // both orientations, integer counts
+    "q247_skipgrams" ->
+      """WITH w AS (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> x <> '') AS ws FROM documents),
+        |w2 AS (SELECT ws FROM w WHERE len(ws) >= 2),
+        |p AS (
+        |  SELECT unnest(list_transform(generate_series(1, greatest(len(ws)-1, 0)), i -> ws[i])) AS a,
+        |         unnest(list_transform(generate_series(1, greatest(len(ws)-1, 0)), i -> ws[i+1])) AS b
+        |  FROM w2
+        |  UNION ALL
+        |  SELECT unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)), i -> ws[i])),
+        |         unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)), i -> ws[i+2]))
+        |  FROM w2),
+        |u AS (SELECT a AS center, b AS context FROM p
+        |      UNION ALL SELECT b, a FROM p)
+        |SELECT center, context, count(*) AS n FROM u
+        |GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY 1, 2""".stripMargin
   )
 
   /** q221's oracle: the same bounded-round k-core peel as

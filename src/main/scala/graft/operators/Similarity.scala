@@ -125,6 +125,36 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * 4×-compression step every billion-vector ANN store applies before
+    * indexing (FAISS SQ8 family; Jégou et al. 2011 product-quantization
+    * lineage, public papers). Per vector: scale = max|xᵢ|/127, codes
+    * qᵢ = clamp(⌊xᵢ/scale + 0.5⌋, ±127), plus the DEQUANTIZED vector and
+    * the reconstruction cosine between original and dequantized — the
+    * quality gauge that decides whether SQ8 is safe for a corpus.
+    *
+    * Every step is elementwise IEEE on exact inputs (max is order-free,
+    * round-half-up via ⌊x+0.5⌋ — no banker's rounding ambiguity), so an
+    * independent SQL replay is bit-identical. One narrow projection; the
+    * cosine reuses the native [[dot]] kernel. All-zero vectors get null
+    * scale/codes.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val absMax = array_max(transform(col("_v"), x => abs(x.cast("double"))))
+    df.select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .withColumn("scale",
+        when(absMax > 0, absMax / 127.0).otherwise(lit(null).cast("double")))
+      .withColumn("codes",
+        when(col("scale").isNotNull,
+          transform(col("_v"), x => greatest(lit(-127L), least(lit(127L),
+            floor(x.cast("double") / col("scale") + 0.5).cast("long"))))))
+      .withColumn("deq",
+        when(col("scale").isNotNull,
+          transform(col("codes"), q => (q.cast("double") * col("scale")).cast("double"))))
+      .withColumn("recon_cos", cosine(col("_v"), col("deq")))
+      .select(col("id"), col("scale"), col("codes"), col("recon_cos"))
+  }
+
   /** Reciprocal best match: pairs (a, b) where b is a's nearest cosine
     * neighbor AND a is b's — the mutual-top-1 criterion of bitext/near-
     * duplicate mining (each side vouches for the other, which kills the

@@ -510,6 +510,35 @@ object TextAnalysis {
         col("n_b"), col("lift"))
   }
 
+  /** Skip-gram (center, context) pair counts within a token `window` —
+    * the co-occurrence table word2vec/GloVe trains from (Mikolov et al.
+    * 2013, Pennington et al. 2014, public papers): for every token, every
+    * neighbor within `window` positions on EITHER side counts once, so
+    * the matrix is symmetric (both directions emitted). The LLM-pipeline
+    * step that turns a raw corpus into embedding training pairs.
+    *
+    * Plan: stage the words array once, explode position × a LITERAL
+    * offset sequence (the CollapseProject pitfall rule), emit both
+    * orientations, ONE map-side-combined count. Output is linear in
+    * corpus tokens × window; `minCount` prunes the long tail.
+    */
+  def skipGrams(docs: DataFrame, textCol: String, window: Int = 2,
+                minCount: Long = 1L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val ws = docs.select(words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val pairs = ws
+      .select(col("ws"), explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+      .select(col("ws"), col("i"), explode(sequence(lit(1), lit(window))).as("d"))
+      .filter(col("i") + col("d") <= size(col("ws")))
+      .select(element_at(col("ws"), col("i")).as("a"),
+        element_at(col("ws"), col("i") + col("d")).as("b"))
+    pairs.select(col("a").as("center"), col("b").as("context"))
+      .unionByName(pairs.select(col("b").as("center"), col("a").as("context")))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** Distinctive terms between two corpus slices by add-1-smoothed ODDS
     * RATIO (the rank statistic behind "Fightin' Words" log-odds, Monroe
     * et al. 2008, public paper — kept in ratio space deliberately: every

@@ -124,6 +124,39 @@ class AllocSpec extends SparkSuite {
     assert(odd.forall(_.isNullAt(0)))
   }
 
+  test("quantizeInt8: codes round-trip, clamp, zero vector, high recon cosine") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0f, 0f, 0f, 0f)),          // all-zero -> null scale/codes
+      (3L, Array(127f, -127f, 63.5f, 1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // vec 1: scale = 1/127; codes = round(x*127) = 127, -64 (floor(-63.5)? no:
+    // floor(-63.5+0.5) = -63), 32 (floor(31.75+.5)=32), 0
+    val c1 = got(1L).getSeq[Long](2)
+    assert(got(1L).getDouble(1) === 1.0 / 127)
+    assert(c1 === Seq(127L, -63L, 32L, 0L))
+    assert(got(1L).getDouble(3) > 0.999) // reconstruction barely moves it
+    assert(got(2L).isNullAt(1) && got(2L).isNullAt(2) && got(2L).isNullAt(3))
+    assert(got(3L).getSeq[Long](2) === Seq(127L, -127L, 64L, 1L))
+  }
+
+  test("skipGrams: hand window-2 counts, symmetry, minCount") {
+    val df = Seq("a b c b").toDF("text")
+    val got = graft.operators.TextAnalysis.skipGrams(df, "text", window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // pairs (d=1): (a,b) (b,c) (c,b); (d=2): (a,c) (b,b)
+    assert(got(("a", "b")) === 1L)
+    assert(got(("b", "a")) === 1L)      // symmetric
+    assert(got(("b", "c")) === 2L)      // (b,c) d1 + (c,b) d1 reversed
+    assert(got(("c", "b")) === 2L)
+    assert(got((("b", "b"))) === 2L)    // both orientations of the d=2 (b,b)
+    assert(got((("a", "c"))) === 1L)
+    // symmetry across the whole table
+    got.foreach { case ((x, y), n) => assert(got((y, x)) === n) }
+  }
+
   test("reciprocalBestMatch: mutual pairs only, emitted once") {
     // 1<->2 mutual (identical direction), 3's best is 1 but 1's best is 2
     val vecs = Seq(
