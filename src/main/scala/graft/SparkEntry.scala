@@ -3423,6 +3423,28 @@ object SparkEntry {
       graft.operators.TextAnalysis.skipGrams(docs(s, dir), "text",
           window = 2, minCount = 5L)
         .orderBy("center", "context")
+    }),
+
+    // Tukey boxplot fences per event type: exact quartiles, fixed-order
+    // fence arithmetic, integer outlier counts.
+    "q248_tukey" -> ((s, dir) => {
+      graft.operators.Anomaly.tukeyFences(ev(s, dir), Seq("event_type"), "value")
+        .select(col("event_type"), r6(col("q1")).as("q1"), r6(col("q3")).as("q3"),
+          r6(col("lo_fence")).as("lo_fence"), r6(col("hi_fence")).as("hi_fence"),
+          col("n_below"), col("n_above"), col("n"))
+        .orderBy("event_type")
+    }),
+
+    // event_type × weekday contingency cells with expected-under-
+    // independence and standardized residuals — per cell (never a summed
+    // χ², which would hang on float summation order).
+    "q249_contingency" -> ((s, dir) => {
+      val d = ev(s, dir).withColumn("dow", dayofweek(col("ts").cast("timestamp")))
+      graft.operators.Anomaly.contingency(d, "event_type", "dow")
+        .select(col("a").as("event_type"), col("b").as("dow"), col("o"),
+          col("row_tot"), col("col_tot"),
+          r6(col("expected")).as("expected"), r6(col("residual")).as("residual"))
+        .orderBy("event_type", "dow")
     })
   )
 
@@ -7556,7 +7578,40 @@ object SparkEntry {
         |u AS (SELECT a AS center, b AS context FROM p
         |      UNION ALL SELECT b, a FROM p)
         |SELECT center, context, count(*) AS n FROM u
-        |GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY 1, 2""".stripMargin,
+
+    // quantile_cont quartiles, same fence order q1 - 1.5*(q3-q1)
+    "q248_tukey" ->
+      """WITH q AS (SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT event_type, q1, q3,
+        |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q),
+        |c AS (SELECT e.event_type,
+        |    sum(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END)::BIGINT AS n_below,
+        |    sum(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END)::BIGINT AS n_above,
+        |    count(*) AS n
+        |  FROM events e JOIN f ON f.event_type = e.event_type GROUP BY 1)
+        |SELECT c.event_type, round(f.q1, 6) AS q1, round(f.q3, 6) AS q3,
+        |  round(f.lo, 6) AS lo_fence, round(f.hi, 6) AS hi_fence,
+        |  n_below, n_above, n
+        |FROM c JOIN f USING (event_type) ORDER BY 1""".stripMargin,
+
+    // DuckDB dayofweek is 0=Sunday, Spark's is 1=Sunday -> +1 in the oracle
+    "q249_contingency" ->
+      """WITH d AS (SELECT event_type AS a, (dayofweek(ts) + 1)::INTEGER AS b
+        |  FROM events),
+        |cells AS (SELECT a, b, count(*) AS o FROM d GROUP BY 1, 2),
+        |rt AS (SELECT a, sum(o)::BIGINT AS row_tot FROM cells GROUP BY 1),
+        |ct AS (SELECT b, sum(o)::BIGINT AS col_tot FROM cells GROUP BY 1),
+        |n AS (SELECT sum(o)::BIGINT AS n_tot FROM cells)
+        |SELECT cells.a AS event_type, cells.b AS dow, cells.o,
+        |  rt.row_tot, ct.col_tot,
+        |  round((rt.row_tot * ct.col_tot)::DOUBLE / n.n_tot::DOUBLE, 6) AS expected,
+        |  round((cells.o::DOUBLE - (rt.row_tot * ct.col_tot)::DOUBLE / n.n_tot::DOUBLE)
+        |    / sqrt((rt.row_tot * ct.col_tot)::DOUBLE / n.n_tot::DOUBLE), 6) AS residual
+        |FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN n
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** q221's oracle: the same bounded-round k-core peel as

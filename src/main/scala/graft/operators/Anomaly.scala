@@ -177,4 +177,62 @@ object Anomaly {
         col("_r._5").as("cusum_neg"))): _*)
       .withColumn("is_drift", col("cusum_pos") > h || col("cusum_neg") > h)
   }
+
+  /** Tukey fences (Tukey 1977 EDA, public): per group the quartiles, IQR,
+    * and the count of points beyond q1 − k·IQR / q3 + k·IQR — the boxplot
+    * outlier rule, the distribution-free sibling of [[madOutliers]] (IQR
+    * tolerates 25% contamination where stdev tolerates none).
+    *
+    * One exact-percentile aggregation + one conditional-count aggregation
+    * on the same group key (AQE reuses the exchange). The fences are
+    * fixed-order IEEE on the interpolated quartiles, so the flag counts
+    * are cross-engine exact.
+    */
+  def tukeyFences(df: DataFrame, keyCols: Seq[String], valCol: String,
+                  k: Double = 1.5): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val keys = keyCols.map(col)
+    val q = df.groupBy(keys: _*).agg(
+      expr(s"percentile($valCol, 0.25)").as("q1"),
+      expr(s"percentile($valCol, 0.75)").as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo_fence", col("q1") - lit(k) * col("iqr"))
+      .withColumn("hi_fence", col("q3") + lit(k) * col("iqr"))
+    df.join(q, keyCols)
+      .groupBy(keys: _*)
+      .agg(first(col("q1")).as("q1"), first(col("q3")).as("q3"),
+        first(col("lo_fence")).as("lo_fence"), first(col("hi_fence")).as("hi_fence"),
+        sum(when(col(valCol) < col("lo_fence"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col(valCol) > col("hi_fence"), 1L).otherwise(0L)).as("n_above"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Contingency table with chi-square DECOMPOSITION per cell: observed
+    * count, expected under independence e = row_total·col_total/N (one
+    * division of exact integers), and the standardized Pearson residual
+    * (o−e)/√e. Emitted PER CELL deliberately — summing the χ² statistic
+    * would make the result depend on float summation order across cells,
+    * whereas every cell value here is fixed-order IEEE on exact counts;
+    * the reader sums the (bounded) cell table if they want the statistic.
+    *
+    * One (a, b) count + two marginal aggregations of that result + one
+    * scalar row — everything downstream of the first count operates on
+    * |A|×|B| rows.
+    */
+  def contingency(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // consumed 3×: marginals ×2 + the cell join
+    val rowTot = cells.groupBy("a").agg(sum(col("o")).as("row_tot"))
+    val colTot = cells.groupBy("b").agg(sum(col("o")).as("col_tot"))
+    val n = cells.agg(sum(col("o")).as("n_tot"))
+    cells.join(rowTot, "a").join(colTot, "b")
+      .crossJoin(broadcast(n))
+      .withColumn("expected",
+        (col("row_tot") * col("col_tot")).cast("double") / col("n_tot").cast("double"))
+      .withColumn("residual",
+        (col("o").cast("double") - col("expected")) / sqrt(col("expected")))
+      .select(col("a"), col("b"), col("o"), col("row_tot"), col("col_tot"),
+        col("expected"), col("residual"))
+  }
 }

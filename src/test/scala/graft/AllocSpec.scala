@@ -124,6 +124,36 @@ class AllocSpec extends SparkSuite {
     assert(odd.forall(_.isNullAt(0)))
   }
 
+  test("tukeyFences: hand quartiles, outlier counts, robust to the outlier itself") {
+    // 1..11 plus outlier 100: q1=3.25? percentile linear interp on 12 pts:
+    // q1 at rank 0.25*(12-1)=2.75 -> 3.75; q3 at 8.25 -> 9.25; iqr=5.5
+    // lo = 3.75 - 8.25 = -4.5; hi = 9.25 + 8.25 = 17.5 -> one above (100)
+    val df = ((1 to 11).map(_.toDouble) :+ 100.0).map(("g", _)).toDF("g", "v")
+    val r = graft.operators.Anomaly.tukeyFences(df, Seq("g"), "v").head()
+    assert(approxEq(r.getAs[Double]("q1"), 3.75))
+    assert(approxEq(r.getAs[Double]("q3"), 9.25))
+    assert(approxEq(r.getAs[Double]("lo_fence"), -4.5))
+    assert(approxEq(r.getAs[Double]("hi_fence"), 17.5))
+    assert(r.getAs[Long]("n_below") === 0L)
+    assert(r.getAs[Long]("n_above") === 1L)
+    assert(r.getAs[Long]("n") === 12L)
+  }
+
+  test("contingency: marginals, independence expecteds, residual signs") {
+    // perfectly independent 2x2 -> residuals exactly 0
+    val ind = Seq.fill(4)(("x", "u")) ++ Seq.fill(4)(("x", "v")) ++
+      Seq.fill(2)(("y", "u")) ++ Seq.fill(2)(("y", "v"))
+    val r0 = graft.operators.Anomaly.contingency(ind.toDF("a", "b"), "a", "b")
+      .collect()
+    r0.foreach(r => assert(approxEq(r.getAs[Double]("residual"), 0.0)))
+    // skewed cell: observed > expected -> positive residual
+    val skew = ind ++ Seq.fill(4)(("x", "u"))
+    val m = graft.operators.Anomaly.contingency(skew.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("residual")).toMap
+    assert(m(("x", "u")) > 0)
+    assert(m(("x", "v")) < 0)
+  }
+
   test("quantizeInt8: codes round-trip, clamp, zero vector, high recon cosine") {
     val vecs = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
