@@ -3445,6 +3445,27 @@ object SparkEntry {
           col("row_tot"), col("col_tot"),
           r6(col("expected")).as("expected"), r6(col("residual")).as("residual"))
         .orderBy("event_type", "dow")
+    }),
+
+    // interval × interval overlap join: activity spans of users < 30 vs
+    // 30-minute incident windows around error events — bucketized equi-
+    // join inside the engine, direct θ-join in the oracle; integer
+    // second overlap durations.
+    "q250_overlap_join" -> ((s, dir) => {
+      val base = ev(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"),
+        unix_timestamp(col("ts").cast("timestamp")).as("start_s"))
+      val acts = base.filter(col("user_id") < 30)
+        .withColumn("end_s",
+          col("start_s") + (pmod(col("event_id"), lit(7L)) + 1L) * 60L)
+        .select(col("event_id"), col("user_id"), col("start_s"), col("end_s"))
+      val incidents = base.filter(col("event_type") === "error")
+        .withColumn("end_s", col("start_s") + 1800L)
+        .select(col("event_id").as("incident_id"), col("start_s"), col("end_s"))
+      graft.operators.Intervals.overlapJoin(acts, incidents,
+          Seq("event_id", "user_id"), Seq("incident_id"),
+          "start_s", "end_s", bucketSeconds = 1800L)
+        .orderBy("a_event_id", "b_incident_id")
     })
   )
 
@@ -7611,7 +7632,22 @@ object SparkEntry {
         |  round((cells.o::DOUBLE - (rt.row_tot * ct.col_tot)::DOUBLE / n.n_tot::DOUBLE)
         |    / sqrt((rt.row_tot * ct.col_tot)::DOUBLE / n.n_tot::DOUBLE), 6) AS residual
         |FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN n
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // the direct θ-join IS the oracle for the bucketized equi-join plan
+    "q250_overlap_join" ->
+      """WITH base AS (SELECT event_id, user_id, event_type,
+        |    floor(epoch(ts))::BIGINT AS start_s FROM events),
+        |a AS (SELECT event_id, user_id, start_s,
+        |    start_s + (event_id % 7 + 1) * 60 AS end_s
+        |  FROM base WHERE user_id < 30),
+        |b AS (SELECT event_id AS incident_id, start_s, start_s + 1800 AS end_s
+        |  FROM base WHERE event_type = 'error')
+        |SELECT a.event_id AS a_event_id, a.user_id AS a_user_id,
+        |  b.incident_id AS b_incident_id,
+        |  least(a.end_s, b.end_s) - greatest(a.start_s, b.start_s) AS overlap_s
+        |FROM a JOIN b ON a.start_s < b.end_s AND b.start_s < a.end_s
+        |ORDER BY 1, 3""".stripMargin
   )
 
   /** q221's oracle: the same bounded-round k-core peel as

@@ -67,6 +67,48 @@ object Intervals {
       .select(points.columns.map(col) ++ carryCols.map(col): _*)
   }
 
+  /** Interval × interval OVERLAP join — the incident-correlation
+    * primitive ("which activity spans intersect which incident windows")
+    * that a point-in-interval join ([[intervalJoin]]) cannot express.
+    * Half-open `[start, end)` epoch-second intervals on both sides; emits
+    * one row per overlapping pair with the exact overlap duration
+    * `least(ends) − greatest(starts)`.
+    *
+    * Scale plan (the standard bucketized interval join — e.g. the Spark
+    * range-join pattern): each side explodes to the coarse time buckets it
+    * spans, the join is an EQUI-join on the bucket (never a full
+    * cross-with-θ), duplicate pairs from multi-bucket overlaps collapse
+    * with one distinct on the pair ids+bounds, and the θ-condition only
+    * verifies within buckets. `bucketSeconds` ≈ the typical interval
+    * length keeps the per-interval fan-out ~2 buckets; a very long
+    * interval degrades gracefully (more bucket rows, same correctness).
+    * All arithmetic is integer seconds — cross-engine exact.
+    */
+  def overlapJoin(a: DataFrame, b: DataFrame,
+                  aIdCols: Seq[String], bIdCols: Seq[String],
+                  startCol: String, endCol: String,
+                  bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    def buckets(df: DataFrame, ids: Seq[String], p: String): DataFrame =
+      df.filter(col(endCol) > col(startCol))
+        .select((ids.map(c => col(c).as(s"$p$c")) :+
+          col(startCol).cast("long").as(s"${p}s") :+
+          col(endCol).cast("long").as(s"${p}e")): _*)
+        .withColumn("_bk", explode(sequence(
+          expr(s"${p}s div ${bucketSeconds}L"),
+          expr(s"(${p}e - 1) div ${bucketSeconds}L"))))
+    val ab = buckets(a, aIdCols, "_a_")
+    val bb = buckets(b, bIdCols, "_b_")
+    ab.join(bb, Seq("_bk"))
+      .filter(col("_a_s") < col("_b_e") && col("_b_s") < col("_a_e"))
+      .drop("_bk").distinct() // multi-bucket overlaps collapse to one pair
+      .withColumn("overlap_s",
+        least(col("_a_e"), col("_b_e")) - greatest(col("_a_s"), col("_b_s")))
+      .select((aIdCols.map(c => col(s"_a_$c").as(s"a_$c")) ++
+        bIdCols.map(c => col(s"_b_$c").as(s"b_$c")) :+
+        col("overlap_s")): _*)
+  }
+
   /** Coalesce overlapping/touching intervals per key into their union —
     * the coverage-audit primitive: collapse a pile of [start, end)
     * windows (incidents, maintenance, crawl leases, tier-store coverage

@@ -124,6 +124,23 @@ class AllocSpec extends SparkSuite {
     assert(odd.forall(_.isNullAt(0)))
   }
 
+  test("overlapJoin: overlap/touch/nest/disjoint, bucket straddle dedups to one pair") {
+    import graft.operators.Intervals
+    val a = Seq((1L, 0L, 100L), (2L, 200L, 300L), (3L, 1000L, 5000L))
+      .toDF("aid", "start_s", "end_s")
+    val b = Seq(
+      (10L, 50L, 150L),   // overlaps a1 by 50
+      (11L, 100L, 120L),  // TOUCHES a1 (half-open: no overlap)
+      (12L, 210L, 220L),  // nested in a2 -> 10
+      (13L, 400L, 500L),  // disjoint
+      (14L, 900L, 4100L)  // straddles many buckets of a3 -> one pair, 3100
+    ).toDF("bid", "start_s", "end_s")
+    val got = Intervals.overlapJoin(a, b, Seq("aid"), Seq("bid"),
+        "start_s", "end_s", bucketSeconds = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((1L, 10L) -> 50L, (2L, 12L) -> 10L, (3L, 14L) -> 3100L))
+  }
+
   test("tukeyFences: hand quartiles, outlier counts, robust to the outlier itself") {
     // 1..11 plus outlier 100: q1=3.25? percentile linear interp on 12 pts:
     // q1 at rank 0.25*(12-1)=2.75 -> 3.75; q3 at 8.25 -> 9.25; iqr=5.5
