@@ -3466,6 +3466,34 @@ object SparkEntry {
           Seq("event_id", "user_id"), Seq("incident_id"),
           "start_s", "end_s", bucketSeconds = 1800L)
         .orderBy("a_event_id", "b_incident_id")
+    }),
+
+    // Kendall tau-b between daily event volume and daily active users per
+    // type: S is a pure integer pair statistic; only the final
+    // normalization touches floats (one sqrt of exact longs).
+    "q251_kendall" -> ((s, dir) => {
+      val daily = ev(s, dir).groupBy(col("event_type"),
+          floor(unix_timestamp(col("ts").cast("timestamp")) / 86400L).as("day"))
+        .agg(count(lit(1)).as("x"), count_distinct(col("user_id")).as("y"))
+      graft.operators.Robust.kendallTau(daily, Seq("event_type"), "day", "x", "y")
+        .select(col("event_type"), col("s"), col("n"), r6(col("tau_b")).as("tau_b"))
+        .orderBy("event_type")
+    }),
+
+    // cohorted conversion: signup-week cohorts, conversion = a purchase
+    // at-or-after the first signup (q238's operator), rate = one division
+    // of exact counts.
+    "q252_cohort_conversion" -> ((s, dir) => {
+      val lat = graft.operators.Sessions.conversionLatency(ev(s, dir),
+        Seq("user_id"), "ts", "event_type", "signup", "purchase")
+      lat.withColumn("cohort_week",
+          expr("(from_us div 1000000L div 86400L) div 7L"))
+        .groupBy("cohort_week")
+        .agg(count(lit(1)).as("n_started"),
+          sum(when(col("to_us").isNotNull, 1L).otherwise(0L)).as("n_converted"))
+        .withColumn("conv_rate",
+          r6(col("n_converted").cast("double") / col("n_started").cast("double")))
+        .orderBy("cohort_week")
     })
   )
 
@@ -7647,7 +7675,51 @@ object SparkEntry {
         |  b.incident_id AS b_incident_id,
         |  least(a.end_s, b.end_s) - greatest(a.start_s, b.start_s) AS overlap_s
         |FROM a JOIN b ON a.start_s < b.end_s AND b.start_s < a.end_s
-        |ORDER BY 1, 3""".stripMargin
+        |ORDER BY 1, 3""".stripMargin,
+
+    // S as an integer sign sum over ordered day pairs; tau-b ties from
+    // integer t(t-1)/2 sums; one sqrt at the end
+    "q251_kendall" ->
+      """WITH d AS (SELECT event_type,
+        |    floor(epoch(ts))::BIGINT // 86400 AS day,
+        |    count(*) AS x, count(DISTINCT user_id) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1
+        |             WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN -1 ELSE 0 END)::BIGINT AS s
+        |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |tx AS (SELECT event_type, sum((t * (t - 1)) // 2)::BIGINT AS n1
+        |  FROM (SELECT event_type, x, count(*) AS t FROM d GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |ty AS (SELECT event_type, sum((t * (t - 1)) // 2)::BIGINT AS n2
+        |  FROM (SELECT event_type, y, count(*) AS t FROM d GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |nn AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1)
+        |SELECT p.event_type, p.s, nn.n,
+        |  round(CASE WHEN (nn.n * (nn.n - 1)) // 2 - tx.n1 > 0
+        |              AND (nn.n * (nn.n - 1)) // 2 - ty.n2 > 0
+        |    THEN p.s::DOUBLE / sqrt(((nn.n * (nn.n - 1)) // 2 - tx.n1)::DOUBLE *
+        |                            ((nn.n * (nn.n - 1)) // 2 - ty.n2)::DOUBLE)
+        |  END, 6) AS tau_b
+        |FROM p JOIN tx USING (event_type) JOIN ty USING (event_type)
+        |JOIN nn USING (event_type) ORDER BY 1""".stripMargin,
+
+    // q238's latency frame rolled to signup-week cohorts
+    "q252_cohort_conversion" ->
+      """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS from_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |e AS (SELECT user_id, epoch_us(ts) AS to_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT s.user_id, s.from_us,
+        |    min(CASE WHEN e.to_us >= s.from_us THEN e.to_us END) AS to_us
+        |  FROM s LEFT JOIN e ON e.user_id = s.user_id GROUP BY 1, 2)
+        |SELECT (from_us // 1000000 // 86400) // 7 AS cohort_week,
+        |  count(*) AS n_started,
+        |  sum(CASE WHEN to_us IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_converted,
+        |  round(sum(CASE WHEN to_us IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS conv_rate
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** q221's oracle: the same bounded-round k-core peel as

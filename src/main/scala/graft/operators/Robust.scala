@@ -54,4 +54,50 @@ object Robust {
       .join(sizes, groupCols, "right")
       .select((groupCols.map(col) :+ col("n_points") :+ col("ts_slope")): _*)
   }
+
+  /** Kendall's τ-b rank correlation per group (Kendall 1938, tie-corrected
+    * τ-b form, public): concordant-minus-discordant pair sign sum over the
+    * tie-corrected pair counts,
+    *   τ_b = S / √((n₀−n₁)(n₀−n₂)),  n₀ = n(n−1)/2,
+    * n₁/n₂ = Σ t(t−1)/2 over tied x / tied y groups. The concordance
+    * sibling of [[graft.operators.Features.spearman]]: S is a pure INTEGER
+    * statistic on integer measures (every pair contributes −1/0/+1), so
+    * only the final normalization touches floats — one sqrt of a product
+    * of exact longs.
+    *
+    * Pairs are ordered by `idCol` (i < j) so each pair counts once. Same
+    * O(n²)-per-group contract and `maxPoints` gate as [[theilSenSlope]] —
+    * feed tier-aggregated series. Null τ when either measure is constant.
+    */
+  def kendallTau(df: DataFrame, groupCols: Seq[String], idCol: String,
+                 xCol: String, yCol: String, maxPoints: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "kendallTau needs at least one group column")
+    val pts = df.select((groupCols.map(col) :+ col(idCol).as("_i") :+
+      col(xCol).cast("long").as("_x") :+ col(yCol).cast("long").as("_y")): _*)
+      .localCheckpoint() // consumed 4×: sizes gate, pair sides, tie counts
+    val sizes = pts.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val tooBig = sizes.filter(col("n") > maxPoints).limit(1).collect()
+    require(tooBig.isEmpty,
+      s"a group exceeds maxPoints=$maxPoints points — feed tier-aggregated series")
+    val a = pts.toDF((groupCols :+ "_i1" :+ "_x1" :+ "_y1"): _*)
+    val b = pts.toDF((groupCols :+ "_i2" :+ "_x2" :+ "_y2"): _*)
+    val s = a.join(b, groupCols).filter(col("_i1") < col("_i2"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(signum((col("_x2") - col("_x1")) * (col("_y2") - col("_y1")))
+        .cast("long")).as("s"))
+    def tieSum(c: String, out: String) = pts
+      .groupBy((groupCols.map(col) :+ col(c)): _*).agg(count(lit(1)).as("_t"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(expr("(_t * (_t - 1)) div 2")).as(out))
+    s.join(tieSum("_x", "n1"), groupCols)
+      .join(tieSum("_y", "n2"), groupCols)
+      .join(sizes, groupCols)
+      .withColumn("_n0", expr("(n * (n - 1)) div 2"))
+      .withColumn("tau_b",
+        when((col("_n0") - col("n1")) > 0 && (col("_n0") - col("n2")) > 0,
+          col("s").cast("double") /
+            sqrt((col("_n0") - col("n1")).cast("double") *
+              (col("_n0") - col("n2")).cast("double"))))
+      .select((groupCols.map(col) :+ col("s") :+ col("n") :+ col("tau_b")): _*)
+  }
 }

@@ -120,6 +120,28 @@ class KmvRobustSpec extends SparkSuite {
     assert(got("d") === ((10L, "C")))  // cum 1.00
   }
 
+  test("kendallTau: perfect/inverted/tied goldens match the closed form") {
+    // g=a: y = x (perfect concordance, tau 1); g=b: y = -x (tau -1);
+    // g=c: x has ties -> tau-b with tie correction
+    val a = (1 to 6).map(i => ("a", i.toLong, i.toLong, (i * 2).toLong))
+    val b = (1 to 6).map(i => ("b", i.toLong, i.toLong, (10 - i).toLong))
+    val c = Seq(("c", 1L, 1L, 1L), ("c", 2L, 1L, 2L), ("c", 3L, 2L, 3L), ("c", 4L, 2L, 4L))
+    val df = (a ++ b ++ c).toDF("g", "i", "x", "y")
+    val got = graft.operators.Robust.kendallTau(df, Seq("g"), "i", "x", "y")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("a") === ((15L, Some(1.0))))
+    assert(got("b") === ((-15L, Some(-1.0))))
+    // c: pairs (i<j): (1,2) x tie ->0; (1,3)+; (1,4)+; (2,3)+; (2,4)+; (3,4) x tie ->0
+    // S=4, n0=6, n1 = 1+1 = 2 (two tied-x pairs), n2 = 0
+    // tau = 4 / sqrt(4*6) = 0.8164965...
+    assert(got("c")._1 === 4L)
+    assert(approxEq(got("c")._2.get, 4.0 / math.sqrt(24.0)))
+    // constant measure -> null tau
+    val const = Seq(("k", 1L, 5L, 1L), ("k", 2L, 5L, 2L)).toDF("g", "i", "x", "y")
+    assert(graft.operators.Robust.kendallTau(const, Seq("g"), "i", "x", "y")
+      .head().isNullAt(3))
+  }
+
   test("editDistanceJoin equals naive levenshtein join; short strings rejected") {
     val base = "the quick brown fox jumps over the lazy dog!!"
     val strs = Seq(
