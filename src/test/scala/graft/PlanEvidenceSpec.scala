@@ -156,4 +156,46 @@ class PlanEvidenceSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"the raw item stream must never sort-merge:\n$plan")
   }
+
+  test("merkleDiff drill-down is gated by BROADCAST semi-joins on the bucket list") {
+    import graft.operators.Reconcile
+    val a = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val b = a.filter(col("event_id") % 13 =!= 0)
+    val diff = Reconcile.merkleDiff(a, b, "event_id", Seq("user_id", "value"),
+      buckets = 32)
+    val plan = finalPlan(diff).split("== Initial Plan ==")(0)
+    // both row-level sides must be pruned by a broadcast LeftSemi on the
+    // (≤ buckets)-row differing-bucket list — at 100 TB this is what keeps
+    // the pk-level full-outer join from shuffling the full snapshots
+    val semis = "BroadcastHashJoin.*LeftSemi".r.findAllIn(plan).size
+    assert(semis >= 2, s"expected 2 broadcast semi-join gates, got $semis:\n$plan")
+  }
+
+  test("overlapJoin is a bucket EQUI-join — no cartesian/nested-loop anywhere") {
+    import graft.operators.Intervals
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"),
+        unix_timestamp(col("ts").cast("timestamp")).as("start_s"))
+      .withColumn("end_s", col("start_s") + 600L)
+    val a = ev.select(col("event_id").as("aid"), col("start_s"), col("end_s"))
+    val b = ev.select(col("event_id").as("bid"), col("start_s"), col("end_s"))
+    val j = Intervals.overlapJoin(a, b, Seq("aid"), Seq("bid"),
+      "start_s", "end_s", bucketSeconds = 3600L)
+    val plan = finalPlan(j).split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval overlap must never degrade to a θ-only join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected an equi-join on the time bucket:\n$plan")
+  }
+
+  test("prefix joins (PPJoin / Ed-Join) candidate stage is an equi-join on the token") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ppj = Dedup.prefixJaccardJoin(docs, "text", "doc_id", tau = 0.9)
+    val plan = finalPlan(ppj).split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"prefix filtering must never degrade to all-pairs:\n$plan")
+  }
 }
