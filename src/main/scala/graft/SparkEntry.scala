@@ -3494,6 +3494,26 @@ object SparkEntry {
         .withColumn("conv_rate",
           r6(col("n_converted").cast("double") / col("n_started").cast("double")))
         .orderBy("cohort_week")
+    }),
+
+    // Flesch reading ease per doc: sentence/word/vowel-group counts are
+    // exact integers, the formula is three fixed-order IEEE ops.
+    "q253_readability" -> ((s, dir) => {
+      graft.operators.TextAnalysis.readability(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_sent"), col("n_words"),
+          col("n_syll"), r6(col("flesch")).as("flesch"))
+        .orderBy("doc_id")
+    }),
+
+    // inter-event gap regularity (bot heuristic): integer power sums of
+    // second-grain gaps, cv = sqrt(n·Σg² − (Σg)²)/Σg — one sqrt + one
+    // division.
+    "q254_gap_regularity" -> ((s, dir) => {
+      graft.operators.Anomaly.gapRegularity(ev(s, dir), Seq("user_id"),
+          "ts", "event_id")
+        .select(col("user_id"), col("n_gaps"), col("sum_gap_s"),
+          r6(col("mean_gap_s")).as("mean_gap_s"), r6(col("gap_cv")).as("gap_cv"))
+        .orderBy("user_id")
     })
   )
 
@@ -7719,7 +7739,39 @@ object SparkEntry {
         |  sum(CASE WHEN to_us IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_converted,
         |  round(sum(CASE WHEN to_us IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
         |    / count(*)::DOUBLE, 6) AS conv_rate
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same sentence/word/vowel-group regexes; DuckDB lateral aliases keep
+    // the formula readable
+    "q253_readability" ->
+      """SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+        |    x -> trim(x) <> ''))::BIGINT AS n_sent,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> x <> ''))::BIGINT AS n_words,
+        |  len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syll,
+        |  round(CASE WHEN n_sent >= 1 AND n_words >= 1 THEN
+        |    206.835::DOUBLE
+        |      - 1.015::DOUBLE * (n_words::DOUBLE / n_sent::DOUBLE)
+        |      - 84.6::DOUBLE * (n_syll::DOUBLE / n_words::DOUBLE) END, 6) AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // integer gap power sums; identical (t, event_id) window order
+    "q254_gap_regularity" ->
+      """WITH o AS (SELECT user_id, floor(epoch(ts))::BIGINT AS t, event_id
+        |  FROM events),
+        |g AS (SELECT user_id,
+        |    t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+        |  FROM o),
+        |a AS (SELECT user_id, count(*) AS n_gaps, sum(gap)::BIGINT AS sum_gap_s,
+        |    sum(gap * gap)::BIGINT AS sum_gap2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps, sum_gap_s,
+        |  round(sum_gap_s::DOUBLE / n_gaps::DOUBLE, 6) AS mean_gap_s,
+        |  round(CASE WHEN n_gaps >= 2 AND sum_gap_s > 0 THEN
+        |    sqrt((n_gaps * sum_gap2 - sum_gap_s * sum_gap_s)::DOUBLE)
+        |      / sum_gap_s::DOUBLE END, 6) AS gap_cv
+        |FROM a ORDER BY user_id""".stripMargin
   )
 
   /** q221's oracle: the same bounded-round k-core peel as

@@ -207,6 +207,42 @@ object Anomaly {
         count(lit(1)).as("n"))
   }
 
+  /** Inter-event regularity per key — the timing-based bot detector:
+    * humans arrive with bursty, high-variance gaps, schedulers with
+    * metronomic ones, so a LOW coefficient of variation of the
+    * inter-event gap flags automation (the classic crawler/beacon
+    * heuristic). Per key over the event stream:
+    *   gaps gᵢ (integer seconds, one lag window),
+    *   cv = √(n·Σg² − (Σg)²) / Σg   (population std / mean, simplified —
+    * the n's cancel), computed from EXACT integer power sums, so the one
+    * sqrt and one division are the only float ops. Null cv for keys with
+    * < 2 gaps or zero total gap. Overflow bound: Σg² must fit a long —
+    * seconds-grain gaps over years are fine; document µs-grain inputs out.
+    *
+    * One window pass + one map-side-combined aggregation.
+    */
+  def gapRegularity(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                    tieCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val t = unix_timestamp(col(tsCol).cast("timestamp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(t, col(tieCol))
+    df.withColumn("_gap", t - lag(t, 1).over(w))
+      .filter(col("_gap").isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("_gap")).as("sum_gap_s"),
+        sum(col("_gap") * col("_gap")).as("sum_gap2"))
+      .withColumn("mean_gap_s",
+        col("sum_gap_s").cast("double") / col("n_gaps").cast("double"))
+      .withColumn("gap_cv",
+        when(col("n_gaps") >= 2 && col("sum_gap_s") > 0,
+          sqrt((col("n_gaps") * col("sum_gap2") - col("sum_gap_s") * col("sum_gap_s"))
+            .cast("double")) / col("sum_gap_s").cast("double")))
+      .select((keys :+ col("n_gaps") :+ col("sum_gap_s") :+
+        col("mean_gap_s") :+ col("gap_cv")): _*)
+  }
+
   /** Contingency table with chi-square DECOMPOSITION per cell: observed
     * count, expected under independence e = row_total·col_total/N (one
     * division of exact integers), and the standardized Pearson residual

@@ -510,6 +510,29 @@ object TextAnalysis {
         col("n_b"), col("lift"))
   }
 
+  /** Flesch reading-ease per document (Flesch 1948, public formula):
+    *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    * with sentences = non-empty `[.!?]+`-delimited segments, words = the
+    * engine's whitespace token rule, syllables ≈ non-overlapping
+    * `[aeiouy]+` vowel groups (the standard cheap estimator). A corpus-
+    * filtering quality feature (too-low = dense boilerplate/legalese,
+    * implausibly-high = token soup); every count is an exact integer and
+    * the formula is three fixed-order IEEE ops, so the score replays
+    * bit-for-bit. Null when a doc has no sentence or no word.
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol).as("id"),
+        size(filter(split(t, "[.!?]+"), s => trim(s) =!= "")).cast("long").as("n_sent"),
+        size(words(t)).cast("long").as("n_words"),
+        regexp_count(lower(t), lit("[aeiouy]+")).cast("long").as("n_syll"))
+      .withColumn("flesch",
+        when(col("n_sent") >= 1 && col("n_words") >= 1,
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") / col("n_sent").cast("double")) -
+            lit(84.6) * (col("n_syll").cast("double") / col("n_words").cast("double"))))
+  }
+
   /** Skip-gram (center, context) pair counts within a token `window` —
     * the co-occurrence table word2vec/GloVe trains from (Mikolov et al.
     * 2013, Pennington et al. 2014, public papers): for every token, every

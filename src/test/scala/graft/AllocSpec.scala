@@ -124,6 +124,39 @@ class AllocSpec extends SparkSuite {
     assert(odd.forall(_.isNullAt(0)))
   }
 
+  test("readability: hand Flesch on a two-sentence doc; degenerate docs null") {
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"), // 2 sents, 6 words, 6 vowel groups
+      (2L, "..."),                        // no sentences/words -> null
+      (3L, "zzz zzz")                     // words but 0 syllables -> formula still defined
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.readability(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1L)._1 === 2L)
+    assert(got(1L)._2 === 6L)
+    assert(got(1L)._3 === 6L)
+    assert(approxEq(got(1L)._4.get, 206.835 - 1.015 * 3.0 - 84.6 * 1.0))
+    assert(got(2L)._4 === None)
+    assert(approxEq(got(3L)._4.get, 206.835 - 1.015 * 2.0 - 0.0))
+  }
+
+  test("gapRegularity: metronome cv 0, bursty cv > 0, <2 gaps null") {
+    val mk = (u: Long, secs: Seq[Long]) => secs.zipWithIndex.map { case (s, i) =>
+      (u, i.toLong, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)))
+    }
+    val df = (mk(1L, Seq(0L, 60L, 120L, 180L)) ++      // gaps 60,60,60 -> cv 0
+      mk(2L, Seq(0L, 10L, 1000L, 1010L)) ++            // bursty
+      mk(3L, Seq(0L, 5L))                              // single gap -> null cv
+    ).toDF("u", "event_id", "ts")
+    val got = graft.operators.Anomaly.gapRegularity(df, Seq("u"), "ts", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1L) === ((3L, 180L, Some(0.0))))
+    assert(got(2L)._3.get > 0.5)
+    assert(got(3L) === ((1L, 5L, None)))
+  }
+
   test("overlapJoin: overlap/touch/nest/disjoint, bucket straddle dedups to one pair") {
     import graft.operators.Intervals
     val a = Seq((1L, 0L, 100L), (2L, 200L, 300L), (3L, 1000L, 5000L))
