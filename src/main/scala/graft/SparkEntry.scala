@@ -3514,6 +3514,29 @@ object SparkEntry {
         .select(col("user_id"), col("n_gaps"), col("sum_gap_s"),
           r6(col("mean_gap_s")).as("mean_gap_s"), r6(col("gap_cv")).as("gap_cv"))
         .orderBy("user_id")
+    }),
+
+    // syndication matrix over the corpus plus a 'mirror' aggregator (the
+    // q31 union pattern — the raw corpus has no cross-source exact dups):
+    // who shares distinct content digests with whom.
+    "q255_syndication" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val corpus = base.select(col("source"), col("text")).unionByName(
+        base.filter(pmod(col("doc_id"), lit(4L)) === 0L)
+          .select(lit("mirror").as("source"), col("text")))
+      graft.operators.Governance.syndicationMatrix(corpus, "source", "text")
+        .orderBy("src_a", "src_b")
+    }),
+
+    // behavioral Shannon entropy per user over the bounded event-type
+    // domain — the term sum is a FIXED-ORDER literal chain (alphabetical
+    // categories), replayed term-for-term by the oracle.
+    "q256_entropy" -> ((s, dir) => {
+      graft.operators.Profile.behaviorEntropy(ev(s, dir), Seq("user_id"),
+          "event_type")
+        .select(col("user_id"), col("n"), col("n_cats"),
+          r6(col("entropy")).as("entropy"))
+        .orderBy("user_id")
     })
   )
 
@@ -7771,7 +7794,41 @@ object SparkEntry {
         |  round(CASE WHEN n_gaps >= 2 AND sum_gap_s > 0 THEN
         |    sqrt((n_gaps * sum_gap2 - sum_gap_s * sum_gap_s)::DOUBLE)
         |      / sum_gap_s::DOUBLE END, 6) AS gap_cv
-        |FROM a ORDER BY user_id""".stripMargin
+        |FROM a ORDER BY user_id""".stripMargin,
+
+    "q255_syndication" ->
+      """WITH corpus AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'mirror', text FROM documents WHERE doc_id % 4 = 0),
+        |d AS (SELECT DISTINCT source AS src, md5(text) AS dig FROM corpus)
+        |SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+        |FROM d a JOIN d b ON a.dig = b.dig AND a.src < b.src
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the engine collects the category domain sorted (click, error,
+    // purchase, signup, view) and sums entropy terms in that literal
+    // order — the oracle evaluates the identical left-assoc chain
+    "q256_entropy" ->
+      """WITH c AS (SELECT user_id, count(*) AS n,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS c0,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS c2,
+        |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS c3,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS c4
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, n,
+        |  ((CASE WHEN c0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c1 > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN c2 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c3 > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN c4 > 0 THEN 1 ELSE 0 END))::BIGINT AS n_cats,
+        |  round(
+        |    (CASE WHEN c0 > 0 THEN -((c0::DOUBLE / n::DOUBLE) * ln(c0::DOUBLE / n::DOUBLE)) ELSE 0.0::DOUBLE END)
+        |    + (CASE WHEN c1 > 0 THEN -((c1::DOUBLE / n::DOUBLE) * ln(c1::DOUBLE / n::DOUBLE)) ELSE 0.0::DOUBLE END)
+        |    + (CASE WHEN c2 > 0 THEN -((c2::DOUBLE / n::DOUBLE) * ln(c2::DOUBLE / n::DOUBLE)) ELSE 0.0::DOUBLE END)
+        |    + (CASE WHEN c3 > 0 THEN -((c3::DOUBLE / n::DOUBLE) * ln(c3::DOUBLE / n::DOUBLE)) ELSE 0.0::DOUBLE END)
+        |    + (CASE WHEN c4 > 0 THEN -((c4::DOUBLE / n::DOUBLE) * ln(c4::DOUBLE / n::DOUBLE)) ELSE 0.0::DOUBLE END)
+        |  , 6) AS entropy
+        |FROM c ORDER BY user_id""".stripMargin
   )
 
   /** q221's oracle: the same bounded-round k-core peel as

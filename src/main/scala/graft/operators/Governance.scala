@@ -69,6 +69,23 @@ object Governance {
     * map-side-combined count on a 9-value key; the expected curve joins in
     * as a 9-row literal frame.
     */
+  /** Cross-source syndication matrix: for every source pair, how many
+    * distinct content digests appear in BOTH — the "who republishes whom"
+    * corpus-governance view (syndication networks inflate dedup rates and
+    * poison per-source quality stats if unnoticed). One distinct
+    * (source, digest) pass, one shared-digest self-join (bounded by
+    * content that actually duplicates — unique content never joins), one
+    * count.
+    */
+  def syndicationMatrix(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val d = df.select(col(srcCol).as("src"), md5(col(textCol)).as("_dig"))
+      .distinct()
+      .localCheckpoint() // consumed twice (both self-join sides)
+    d.toDF("src_a", "_dig").join(d.toDF("src_b", "_dig"), "_dig")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+  }
+
   def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     val expected = spark.createDataFrame(BenfordExpected.map {

@@ -309,6 +309,43 @@ object Profile {
       .select(col("cat"), col("w_sum"), col("cum_share"), col("abc_class"))
   }
 
+  /** Behavioral (Shannon) entropy per key over a BOUNDED category domain:
+    * H = −Σ_c (n_c/n)·ln(n_c/n) — the diversity score separating one-note
+    * automation from varied human behavior (0 = single category, ln|C| =
+    * uniform). The category list is collected at plan time (bounded-domain
+    * contract, same as the IVF centroid table and the ordinal dictionary)
+    * so the per-key term sum is a FIXED-ORDER literal expression chain —
+    * never a float aggregation whose order shuffles could reorder; an
+    * independent SQL replay evaluates the identical chain.
+    *
+    * One conditional-count aggregation per key; the entropy projection is
+    * narrow.
+    */
+  def behaviorEntropy(df: DataFrame, keyCols: Seq[String], catCol: String,
+                      maxCategories: Int = 1000): DataFrame = {
+    val cats = df.select(col(catCol).cast("string")).distinct()
+      .orderBy(catCol).limit(maxCategories + 1)
+      .collect().map(_.getString(0)) // bounded: the category domain
+    require(cats.length <= maxCategories,
+      s"more than $maxCategories categories — not a bounded-domain column")
+    val keys = keyCols.map(col)
+    val counted = df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        cats.zipWithIndex.map { case (c, i) =>
+          sum(when(col(catCol).cast("string") === c, 1L).otherwise(0L)).as(s"_c$i")
+        }: _*)
+    val terms = cats.indices.map { i =>
+      val p = col(s"_c$i").cast("double") / col("n").cast("double")
+      when(col(s"_c$i") > 0, -(p * log(p))).otherwise(lit(0.0))
+    }
+    counted
+      .withColumn("n_cats",
+        cats.indices.map(i => when(col(s"_c$i") > 0, 1L).otherwise(0L))
+          .reduce(_ + _))
+      .withColumn("entropy", terms.reduce(_ + _)) // fixed left-assoc order
+      .select((keys :+ col("n") :+ col("n_cats") :+ col("entropy")): _*)
+  }
+
   /** Trending ranks: per period, keys ranked by activity count (count
     * desc, key tie-break), each carrying its PREVIOUS period's rank and
     * the delta — the "top movers / new entries" leaderboard view (null

@@ -124,6 +124,33 @@ class AllocSpec extends SparkSuite {
     assert(odd.forall(_.isNullAt(0)))
   }
 
+  test("behaviorEntropy: uniform = ln k, single = 0, hand 2-cat value") {
+    val df = (Seq.fill(5)(("u1", "a")) ++ Seq.fill(5)(("u1", "b")) ++
+      Seq.fill(4)(("u2", "a")) ++
+      Seq.fill(3)(("u3", "a")) ++ Seq.fill(1)(("u3", "b"))).toDF("u", "c")
+    val got = graft.operators.Profile.behaviorEntropy(df, Seq("u"), "c")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(approxEq(got("u1")._3, math.log(2.0)))
+    assert(got("u2") === ((4L, 1L, 0.0)))
+    val h3 = -(0.75 * math.log(0.75)) - (0.25 * math.log(0.25))
+    assert(approxEq(got("u3")._3, h3))
+    // bounded-domain contract
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.behaviorEntropy(df, Seq("u"), "c", maxCategories = 1)
+    }
+  }
+
+  test("syndicationMatrix: shared distinct digests per source pair") {
+    val df = Seq(
+      ("s1", "shared one"), ("s1", "shared one"), // dup within source: distinct first
+      ("s2", "shared one"), ("s2", "only two"),
+      ("s3", "shared one"), ("s3", "only two")
+    ).toDF("source", "text")
+    val got = graft.operators.Governance.syndicationMatrix(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("s1", "s2") -> 1L, ("s1", "s3") -> 1L, ("s2", "s3") -> 2L))
+  }
+
   test("readability: hand Flesch on a two-sentence doc; degenerate docs null") {
     val df = Seq(
       (1L, "The cat sat. The dog ran!"), // 2 sents, 6 words, 6 vowel groups
