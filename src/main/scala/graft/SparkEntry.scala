@@ -3537,6 +3537,33 @@ object SparkEntry {
         .select(col("user_id"), col("n"), col("n_cats"),
           r6(col("entropy")).as("entropy"))
         .orderBy("user_id")
+    }),
+
+    // top-2 sources per language with the tail folded into 'OTHER' — the
+    // reporting shape a bare top-k misrepresents; integer counts.
+    "q257_topk_other" -> ((s, dir) => {
+      graft.operators.Profile.topKWithOther(docs(s, dir), Seq("lang"),
+          "source", k = 2)
+        .orderBy("lang", "category")
+    }),
+
+    // funnel drop-off: q104's click→view→purchase funnel aggregated to
+    // reached-counts and step conversion shares (exact counts, guarded
+    // divisions).
+    "q258_funnel_dropoff" -> ((s, dir) => {
+      val f = graft.operators.Sessions.windowFunnel(ev(s, dir), Seq("user_id"),
+        "ts", "event_type", Seq("click", "view", "purchase"),
+        windowSeconds = 7L * 86400)
+      f.agg(count(lit(1)).as("n_users"),
+          sum(when(col("max_step") >= 1, 1L).otherwise(0L)).as("reached_1"),
+          sum(when(col("max_step") >= 2, 1L).otherwise(0L)).as("reached_2"),
+          sum(when(col("max_step") >= 3, 1L).otherwise(0L)).as("reached_3"))
+        .select(col("n_users"), col("reached_1"), col("reached_2"), col("reached_3"),
+          r6(col("reached_1").cast("double") / col("n_users").cast("double")).as("conv_0_1"),
+          r6(when(col("reached_1") > 0,
+            col("reached_2").cast("double") / col("reached_1").cast("double"))).as("conv_1_2"),
+          r6(when(col("reached_2") > 0,
+            col("reached_3").cast("double") / col("reached_2").cast("double"))).as("conv_2_3"))
     })
   )
 
@@ -7828,7 +7855,49 @@ object SparkEntry {
         |    + (CASE WHEN c3 > 0 THEN -((c3::DOUBLE / n::DOUBLE) * ln(c3::DOUBLE / n::DOUBLE)) ELSE 0.0::DOUBLE END)
         |    + (CASE WHEN c4 > 0 THEN -((c4::DOUBLE / n::DOUBLE) * ln(c4::DOUBLE / n::DOUBLE)) ELSE 0.0::DOUBLE END)
         |  , 6) AS entropy
-        |FROM c ORDER BY user_id""".stripMargin
+        |FROM c ORDER BY user_id""".stripMargin,
+
+    "q257_topk_other" ->
+      """WITH c AS (SELECT lang, source, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, source, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, source) AS rk
+        |  FROM c)
+        |SELECT lang, CASE WHEN rk <= 2 THEN source ELSE 'OTHER' END AS category,
+        |  sum(cnt)::BIGINT AS cnt
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q104's funnel CTE aggregated to reached-counts + guarded shares
+    "q258_funnel_dropoff" ->
+      """WITH ev AS (SELECT user_id, event_type AS t, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM ev WHERE t = 'click' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.t = 'view' AND e.us > s1.t1
+        |    AND e.us <= s1.t1 + 604800000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e
+        |  JOIN s1 ON e.user_id = s1.user_id JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.t = 'purchase' AND e.us > s2.t2
+        |    AND e.us <= s1.t1 + 604800000000 GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |m AS (SELECT u.user_id,
+        |    (CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS max_step
+        |  FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |    LEFT JOIN s3 USING (user_id)),
+        |a AS (SELECT count(*) AS n_users,
+        |    sum(CASE WHEN max_step >= 1 THEN 1 ELSE 0 END)::BIGINT AS reached_1,
+        |    sum(CASE WHEN max_step >= 2 THEN 1 ELSE 0 END)::BIGINT AS reached_2,
+        |    sum(CASE WHEN max_step >= 3 THEN 1 ELSE 0 END)::BIGINT AS reached_3
+        |  FROM m)
+        |SELECT n_users, reached_1, reached_2, reached_3,
+        |  round(reached_1::DOUBLE / n_users::DOUBLE, 6) AS conv_0_1,
+        |  round(CASE WHEN reached_1 > 0
+        |    THEN reached_2::DOUBLE / reached_1::DOUBLE END, 6) AS conv_1_2,
+        |  round(CASE WHEN reached_2 > 0
+        |    THEN reached_3::DOUBLE / reached_2::DOUBLE END, 6) AS conv_2_3
+        |FROM a""".stripMargin
   )
 
   /** q221's oracle: the same bounded-round k-core peel as

@@ -309,6 +309,29 @@ object Profile {
       .select(col("cat"), col("w_sum"), col("cum_share"), col("abc_class"))
   }
 
+  /** Top-k categories per group with an explicit 'OTHER' rollup — the
+    * universal reporting shape ("top 2 sources per language, rest lumped")
+    * that a bare top-k silently misrepresents by dropping the tail mass.
+    * Rank by (count desc, category) on the AGGREGATED (group, category)
+    * table — the window is bounded by per-group category cardinality —
+    * then one re-aggregation folds the tail into 'OTHER'. Integer counts
+    * end to end.
+    */
+  def topKWithOther(df: DataFrame, groupCols: Seq[String], catCol: String,
+                    k: Int, otherLabel: String = "OTHER"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keys = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("cnt").desc, col("_cat"))
+    df.groupBy((keys :+ col(catCol).cast("string").as("_cat")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("category",
+        when(col("_rk") <= k, col("_cat")).otherwise(lit(otherLabel)))
+      .groupBy((keys :+ col("category")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** Behavioral (Shannon) entropy per key over a BOUNDED category domain:
     * H = −Σ_c (n_c/n)·ln(n_c/n) — the diversity score separating one-note
     * automation from varied human behavior (0 = single category, ln|C| =

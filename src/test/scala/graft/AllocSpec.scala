@@ -140,6 +140,15 @@ class AllocSpec extends SparkSuite {
     }
   }
 
+  test("topKWithOther: tail folds into OTHER, total mass conserved") {
+    val df = (Seq.fill(5)(("g", "a")) ++ Seq.fill(3)(("g", "b")) ++
+      Seq.fill(2)(("g", "c")) ++ Seq.fill(1)(("g", "d"))).toDF("g", "cat")
+    val got = graft.operators.Profile.topKWithOther(df, Seq("g"), "cat", k = 2)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got === Map("a" -> 5L, "b" -> 3L, "OTHER" -> 3L))
+    assert(got.values.sum === 11L)
+  }
+
   test("syndicationMatrix: shared distinct digests per source pair") {
     val df = Seq(
       ("s1", "shared one"), ("s1", "shared one"), // dup within source: distinct first
