@@ -3564,6 +3564,15 @@ object SparkEntry {
             col("reached_2").cast("double") / col("reached_1").cast("double"))).as("conv_1_2"),
           r6(when(col("reached_2") > 0,
             col("reached_3").cast("double") / col("reached_2").cast("double"))).as("conv_2_3"))
+    }),
+
+    // 3-truss peel on the doc link graph: 2 bounded synchronous rounds of
+    // drop-edges-with-support-below-1, then surviving edges with their
+    // final in-subgraph support — the edge-level sibling of q221's k-core.
+    "q259_ktruss" -> ((s, dir) => {
+      val (edges, _) = docEdges(s, dir)
+      graft.operators.Graph.kTruss(edges, k = 3L, rounds = 2)
+        .orderBy("x", "y")
     })
   )
 
@@ -7897,7 +7906,38 @@ object SparkEntry {
         |    THEN reached_2::DOUBLE / reached_1::DOUBLE END, 6) AS conv_1_2,
         |  round(CASE WHEN reached_2 > 0
         |    THEN reached_3::DOUBLE / reached_2::DOUBLE END, 6) AS conv_2_3
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // two unrolled support-peel rounds (k-2 = 1), then the final
+    // in-subgraph support — identical bounded-round contract to q221
+    "q259_ktruss" ->
+      """WITH raw AS (
+        |  SELECT doc_id AS s, (doc_id + 1) % (SELECT count(*) FROM documents) AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id // 2) FROM documents),
+        |u0 AS (SELECT DISTINCT least(s, t) AS x, greatest(s, t) AS y FROM raw WHERE s <> t),
+        |a0 AS (SELECT x AS v, y AS n FROM u0 UNION ALL SELECT y, x FROM u0),
+        |s0 AS (SELECT e.x, e.y, count(*) AS sup FROM u0 e
+        |  JOIN a0 p ON p.v = e.x JOIN a0 q ON q.v = e.y AND q.n = p.n
+        |  GROUP BY 1, 2),
+        |u1 AS (SELECT e.x, e.y FROM u0 e
+        |  JOIN s0 ON s0.x = e.x AND s0.y = e.y AND s0.sup >= 1),
+        |a1 AS (SELECT x AS v, y AS n FROM u1 UNION ALL SELECT y, x FROM u1),
+        |s1 AS (SELECT e.x, e.y, count(*) AS sup FROM u1 e
+        |  JOIN a1 p ON p.v = e.x JOIN a1 q ON q.v = e.y AND q.n = p.n
+        |  GROUP BY 1, 2),
+        |u2 AS (SELECT e.x, e.y FROM u1 e
+        |  JOIN s1 ON s1.x = e.x AND s1.y = e.y AND s1.sup >= 1),
+        |a2 AS (SELECT x AS v, y AS n FROM u2 UNION ALL SELECT y, x FROM u2),
+        |s2 AS (SELECT e.x, e.y, count(*) AS sup FROM u2 e
+        |  JOIN a2 p ON p.v = e.x JOIN a2 q ON q.v = e.y AND q.n = p.n
+        |  GROUP BY 1, 2)
+        |SELECT u2.x, u2.y, coalesce(s2.sup, 0)::BIGINT AS support
+        |FROM u2 LEFT JOIN s2 ON s2.x = u2.x AND s2.y = u2.y
+        |WHERE coalesce(s2.sup, 0) >= 1
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** q221's oracle: the same bounded-round k-core peel as

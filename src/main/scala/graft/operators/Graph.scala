@@ -363,6 +363,49 @@ object Graph {
     labels
   }
 
+  /** k-truss peel (Cohen 2008 "Trusses: cohesive subgraphs for social
+    * network analysis", public paper): repeatedly remove every edge whose
+    * SUPPORT (number of triangles through it) is below k−2 — the
+    * edge-level strengthening of [[kCore]]: a k-truss is a subgraph where
+    * every tie is reinforced by at least k−2 mutual contacts, which
+    * separates genuinely knit communities (link farms, mutual-citation
+    * rings) from hub-made stars that survive a degree peel.
+    *
+    * Bounded synchronous `rounds` (the [[kCore]] oracle contract — an
+    * unrolled SQL recursion replays the identical edge sets). Per round:
+    * support of edge (x,y) = |Γx ∩ Γy| counted by TWO adjacency
+    * equi-joins (a wedge join — Σ deg² fan-out, the [[triangles]] cost
+    * law), then a semi-join keeps supported edges; lineage cut per round,
+    * the edge set only shrinks. Returns surviving (x, y, support) with
+    * support measured INSIDE the final subgraph.
+    */
+  def kTruss(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("x"),
+        greatest(col("src"), col("dst")).as("y"))
+      .distinct()
+      .localCheckpoint()
+    def support(ed: DataFrame): DataFrame = {
+      val adj = ed.select(col("x").as("v"), col("y").as("n"))
+        .unionByName(ed.select(col("y").as("v"), col("x").as("n")))
+      // cn adjacent to BOTH endpoints: join x's neighbor list, then require
+      // the same cn in y's — the (y, cn) using-join is the triangle close
+      ed.join(adj.toDF("x", "cn"), "x")
+        .join(adj.toDF("y", "cn"), Seq("y", "cn"))
+        .groupBy("x", "y").agg(count(lit(1)).as("support"))
+    }
+    for (_ <- 1 to rounds) {
+      val keep = support(e).filter(col("support") >= k - 2).select("x", "y")
+      e = e.join(keep, Seq("x", "y"), "left_semi").localCheckpoint()
+    }
+    e.join(support(e), Seq("x", "y"), "left")
+      .withColumn("support", coalesce(col("support"), lit(0L)))
+      .filter(col("support") >= k - 2)
+      .select(col("x"), col("y"), col("support"))
+  }
+
   /** k-core peel (Seidman 1983): repeatedly remove vertices of degree < k
     * from the undirected simple projection of `edges(src, dst)` — the
     * surviving dense core is the link-farm / tightly-knit-community

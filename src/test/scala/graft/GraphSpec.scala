@@ -119,6 +119,18 @@ class GraphSpec extends SparkSuite {
     assert(m(3L) === ((1L, 0L, 0.0)))
   }
 
+  test("kTruss: triangle survives, pendant and star edges peel") {
+    // K4 on {0,1,2,3} (every edge support 2) + pendant 3-9 + star 10-{11,12}
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val edges = (k4 ++ Seq((3L, 9L), (10L, 11L), (10L, 12L))).toDF("src", "dst")
+    val got = Graph.kTruss(edges, k = 3L, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet === k4.toSet) // only the K4 edges survive a 3-truss
+    got.values.foreach(s => assert(s === 2L))
+    // k above the max support empties the graph
+    assert(Graph.kTruss(edges, k = 5L, rounds = 2).count() === 0L)
+  }
+
   test("adamicAdar: hand-computed star-plus-path graph") {
     // edges: 0-1, 0-2, 0-3 (star around 0, deg 3), 1-4, 2-4 (deg(4)=2).
     // non-adjacent pairs with common neighbors:
