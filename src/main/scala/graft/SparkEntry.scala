@@ -3573,6 +3573,63 @@ object SparkEntry {
       val (edges, _) = docEdges(s, dir)
       graft.operators.Graph.kTruss(edges, k = 3L, rounds = 2)
         .orderBy("x", "y")
+    }),
+
+    // RFM segmentation: rank-arithmetic quintile scores per customer —
+    // integer-exact cross-engine (rank cut on the r6-rounded monetary sum)
+    "q260_rfm" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      graft.operators.Segment.rfm(o, "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    }),
+
+    // time-weighted average of the per-user gauge (LOCF integral over
+    // irregular event timestamps — plain avg over-weights dense bursts)
+    "q261_twa" -> ((s, dir) => {
+      graft.operators.Features.timeWeightedAvg(ev(s, dir), Seq("user_id"),
+          "ts", "event_id", "value")
+        .select(col("user_id"), col("n_points"),
+          r6(col("duration_s")).as("duration_s"), r6(col("twa")).as("twa"))
+        .orderBy("user_id")
+    }),
+
+    // DAU / trailing-7-day distinct actives (stickiness) — exact sliding
+    // distinct via cover-explode, no per-day range join
+    "q262_stickiness" -> ((s, dir) => {
+      graft.operators.Sessions.stickiness(ev(s, dir), "user_id", "ts",
+          windowDays = 7)
+        .select(unix_timestamp(col("day").cast("timestamp")).as("day_s"),
+          col("dau"), col("window_active"), r6(col("stickiness")).as("stickiness"))
+        .orderBy("day_s")
+    }),
+
+    // cohort LTV curve: first-order-month cohorts, cumulative revenue per
+    // cohort customer by month offset (integer month indexing, never
+    // months_between floats). Revenue flows through as EXACT integer cents
+    // (long sums); the /100 descale and the cum/n division are
+    // deterministic double ops — a cumulated float revenue at 1e9 magnitude
+    // has ulps bigger than 6-dp rounding absorbs
+    "q263_ltv_curve" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("amt_c", floor(col("o_totalprice") * 100 + 0.5))
+      graft.operators.Segment.ltvCurve(o, "o_custkey", "o_orderdate", "amt_c")
+        .select(col("cohort_ym"), col("offset_m"), col("n_customers"),
+          (col("revenue") / 100).as("revenue"),
+          (col("cum_revenue") / 100).as("cum_revenue"),
+          (col("ltv") / 100).as("ltv"))
+        .orderBy("cohort_ym", "offset_m")
+    }),
+
+    // bloom-pre-filtered semi-join: exact left-semi result (oracle = IN
+    // subquery); the bloom pass drops non-matching rows at the scan
+    "q264_bloom_semi" -> ((s, dir) => {
+      val urgent = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      graft.operators.BloomJoin.semiJoin(li(s, dir), urgent,
+          "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), r6(sum(col("l_quantity"))).as("sum_qty"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -7937,7 +7994,76 @@ object SparkEntry {
         |SELECT u2.x, u2.y, coalesce(s2.sup, 0)::BIGINT AS support
         |FROM u2 LEFT JOIN s2 ON s2.x = u2.x AND s2.y = u2.y
         |WHERE coalesce(s2.sup, 0) >= 1
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // rank arithmetic replayed: score = 1 + (0-based rank * 5) // n
+    "q260_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey, epoch_us(max(o_orderdate))::BIGINT AS recency_us,
+        |    count(*)::BIGINT AS frequency, round(sum(o_totalprice), 6) AS monetary
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT *,
+        |  row_number() OVER (ORDER BY recency_us, o_custkey) - 1 AS rr,
+        |  row_number() OVER (ORDER BY frequency, o_custkey) - 1 AS fr,
+        |  row_number() OVER (ORDER BY monetary, o_custkey) - 1 AS mr,
+        |  count(*) OVER () AS n FROM base)
+        |SELECT o_custkey, recency_us, frequency, monetary,
+        |  (1 + (rr * 5) // n)::BIGINT AS r_score,
+        |  (1 + (fr * 5) // n)::BIGINT AS f_score,
+        |  (1 + (mr * 5) // n)::BIGINT AS m_score
+        |FROM r ORDER BY o_custkey""".stripMargin,
+
+    // per-term float order matches the Spark side exactly:
+    // value * ((nxt - us) / 1e6), summed then divided by the duration
+    "q261_twa" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS us, value,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT user_id, count(*)::BIGINT AS n_points,
+        |  round((max(us) - min(us)) / 1e6, 6) AS duration_s,
+        |  round(sum(value * ((nxt - us) / 1e6)) /
+        |    (CASE WHEN max(us) > min(us) THEN (max(us) - min(us)) / 1e6 END), 6) AS twa
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q262_stickiness" ->
+      """WITH pairs AS (SELECT DISTINCT user_id AS u, ts::DATE AS d FROM events),
+        |days AS (SELECT d, count(*)::BIGINT AS dau FROM pairs GROUP BY 1),
+        |w AS (SELECT dd.d, count(DISTINCT p.u)::BIGINT AS window_active
+        |  FROM (SELECT DISTINCT d FROM pairs) dd
+        |  JOIN pairs p ON dd.d BETWEEN p.d AND p.d + 6
+        |  GROUP BY 1)
+        |SELECT floor(epoch(days.d::TIMESTAMP))::BIGINT AS day_s, days.dau,
+        |  w.window_active, round(days.dau / w.window_active, 6) AS stickiness
+        |FROM days JOIN w ON days.d = w.d ORDER BY 1""".stripMargin,
+
+    // exact integer-cents replay: sums are exact BIGINTs, the two divisions
+    // (cum/n, then /100) are deterministic double ops in the same order
+    "q263_ltv_curve" ->
+      """WITH f AS (SELECT o_custkey AS cust,
+        |    (year(o_orderdate)*12 + month(o_orderdate))::INT AS ym,
+        |    floor(o_totalprice * 100 + 0.5)::BIGINT AS amt FROM orders),
+        |fst AS (SELECT cust, min(ym) AS cohort_ym FROM f GROUP BY 1),
+        |sizes AS (SELECT cohort_ym, count(*)::BIGINT AS n_customers
+        |  FROM fst GROUP BY 1),
+        |cells AS (SELECT fst.cohort_ym, f.ym - fst.cohort_ym AS offset_m,
+        |    sum(amt)::BIGINT AS rev
+        |  FROM f JOIN fst USING (cust) GROUP BY 1, 2),
+        |c AS (SELECT cohort_ym, offset_m, rev,
+        |  (sum(rev) OVER (PARTITION BY cohort_ym ORDER BY offset_m))::BIGINT AS cum
+        |  FROM cells)
+        |SELECT c.cohort_ym, c.offset_m, s.n_customers,
+        |  rev / 100 AS revenue, cum / 100 AS cum_revenue,
+        |  (cum / s.n_customers) / 100 AS ltv
+        |FROM c JOIN sizes s USING (cohort_ym)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // the bloom pre-filter is result-invisible: exact IN-subquery twin
+    "q264_bloom_semi" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+        |  round(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** q221's oracle: the same bounded-round k-core peel as

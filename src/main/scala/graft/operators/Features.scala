@@ -874,4 +874,39 @@ object Features {
         (-col("_best.neglag")).cast("int").as("period") :+
         col("_best.r").as("acf")): _*)
   }
+
+  /** Time-weighted average over IRREGULARLY sampled series (TimescaleDB
+    * `time_weight('LOCF', ...)` semantics): each sample holds its value
+    * until the next sample, so the average is
+    * `Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first)` — the plain `avg()` of an
+    * irregular gauge over-weights bursts of dense samples; this doesn't.
+    *
+    * Returns one row per key: `n_points`, `duration_s`, `twa` (null when
+    * the series has a single point / zero duration — there is no interval
+    * to weight). Timestamps are compared at exact microsecond precision;
+    * `tieCol` makes the ordering of equal-timestamp samples deterministic
+    * (a zero-length interval contributes zero weight regardless).
+    *
+    * Plan: one `lead` window + one aggregate over the SAME keys — Catalyst
+    * plans a single sort+exchange, and the aggregate is partial-merge
+    * (map-side combined). No join, no collect.
+    */
+  def timeWeightedAvg(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                      tieCol: String, valCol: String): DataFrame = {
+    val keys = hierarchy.map(col)
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val win = Window.partitionBy(keys: _*).orderBy(col(tsCol), col(tieCol))
+    val dtS = (lead(us, 1).over(win) - us) / lit(1e6) // seconds, double
+    df
+      .select((keys :+ us.as("_us") :+ (col(valCol) * dtS).as("_vdt")): _*)
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_points"),
+        ((max(col("_us")) - min(col("_us"))) / lit(1e6)).as("duration_s"),
+        // sum() skips the last point's null _vdt; a zero duration yields
+        // null twa via the guarded division
+        (sum(col("_vdt")) /
+          when(max(col("_us")) > min(col("_us")),
+            (max(col("_us")) - min(col("_us"))) / lit(1e6))).as("twa"))
+  }
 }

@@ -241,4 +241,36 @@ object Sessions {
       .groupBy("first_touch", "last_touch")
       .agg(count(lit(1)).as("n_conversions"))
   }
+
+  /** Engagement stickiness: per active day, the distinct users active THAT
+    * day (`dau`) and the distinct users active in the trailing
+    * `windowDays`-day window ending that day (`window_active` — DAU/WAU at
+    * 7, DAU/MAU at 28/30), plus the ratio. Only days with activity get a
+    * row.
+    *
+    * Scale design: exact sliding distinct WITHOUT a per-day range join —
+    * the (user, day) activity pairs are deduped once (one shuffle), then
+    * each pair is exploded to the ≤`windowDays` future days it covers and
+    * deduped again, so the cost is `windowDays × |active pairs|` narrow
+    * rows through two distinct shuffles, independent of raw event volume.
+    * (The HLL-register path in [[Sketch]] serves the same query
+    * approximately when `windowDays × pairs` is too much; this is the
+    * exact small-window form.)
+    */
+  def stickiness(df: DataFrame, userCol: String, tsCol: String,
+                 windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"stickiness: windowDays must be >= 1, got $windowDays")
+    val pairs = df
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_d")).distinct()
+    val dau = pairs.groupBy(col("_d").as("day")).agg(count(lit(1)).as("dau"))
+    val winActive = pairs
+      .select(col("_u"),
+        explode(sequence(col("_d"), date_add(col("_d"), windowDays - 1))).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("window_active"))
+    // inner join restricts to days that actually had activity (the explode
+    // also fabricates trailing days past each user's last active day)
+    dau.join(winActive, Seq("day"))
+      .withColumn("stickiness", col("dau") / col("window_active"))
+  }
 }
