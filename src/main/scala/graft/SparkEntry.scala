@@ -3630,6 +3630,85 @@ object SparkEntry {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"), r6(sum(col("l_quantity"))).as("sum_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // rank-biased overlap: year-over-year stability of the per-returnflag
+    // top-10 SUPPLIER-NATION ranking (25 nations — a domain whose top-10 is
+    // volume-driven, not noise-driven, at any SF; broadcast dim join feeds
+    // the rank; integer counts, id tie-break)
+    "q265_rbo" -> ((s, dir) => {
+      val sup = broadcast(s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      def yearCnt(y: Int) = li(s, dir)
+        .filter(year(col("l_shipdate")) === y)
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_returnflag"), col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Robust.rankBiasedOverlap(yearCnt(1995), yearCnt(1996),
+          Seq("l_returnflag"), "s_nationkey", "cnt", depth = 10, p = 0.9)
+        .select(col("l_returnflag"), col("n_common"), r6(col("rbo")).as("rbo"))
+        .orderBy("l_returnflag")
+    }),
+
+    // uptime coverage: each event keeps its user "up" for 1h; per-user
+    // merged coverage of January (exact µs arithmetic end to end)
+    "q266_uptime" -> ((s, dir) => {
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val iv = ev(s, dir).select(col("user_id"), us.as("s_us"),
+        (us + lit(3600000000L)).as("e_us"), col("event_id"))
+      graft.operators.Intervals.coverage(iv, Seq("user_id"), "s_us", "e_us",
+          "event_id", 1704067200000000L, 1706745600000000L)
+        .select(col("user_id"), col("n_spans"), col("covered_us"),
+          r6(col("uptime_share")).as("uptime_share"))
+        .orderBy("user_id")
+    }),
+
+    // quantile normalization: every event_type's value distribution mapped
+    // to the cross-type rank-mean reference (ranks on stored doubles with
+    // id tie-break — bit-identical ordering across engines)
+    "q267_qnorm" -> ((s, dir) => {
+      graft.operators.Scalers.quantileNormalize(ev(s, dir), "event_type",
+          "event_id", "value")
+        .select(col("event_type"), col("event_id"), col("rank"),
+          col("n_groups_at_rank"), r6(col("qnorm")).as("qnorm"))
+        .orderBy("event_type", "rank")
+    }),
+
+    // top-k set churn: week-over-week Jaccard of the per-type top-5 user
+    // leaderboard (integer week index, integer counts, id tie-break)
+    "q268_topk_churn" -> ((s, dir) => {
+      val wk = ev(s, dir).withColumn("_us",
+          unix_micros(col("ts").cast("timestamp")))
+        .withColumn("week", expr("(_us - 1704067200000000L) div 604800000000L"))
+        .groupBy(col("event_type"), col("week"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Profile.topKChurn(wk, Seq("event_type"), "week",
+          "user_id", "cnt", k = 5)
+        .select(col("event_type"), col("week"), col("n_prev"), col("n_cur"),
+          col("n_common"), r6(col("jaccard")).as("jaccard"))
+        .orderBy("event_type", "week")
+    }),
+
+    // Haar multi-resolution downsample: per-type event counts in 6h base
+    // buckets, 3 halving levels — every approx/detail an exact dyadic
+    // rational (integer sums over powers of two)
+    "q269_haar" -> ((s, dir) => {
+      graft.operators.Features.haarDownsample(ev(s, dir), Seq("event_type"),
+          "ts", epochUs = 1704067200000000L, baseUs = 21600000000L, levels = 3)
+        .select(col("event_type"), col("level"), col("idx"),
+          col("approx"), col("detail"))
+        .orderBy("event_type", "level", "idx")
+    }),
+
+    // Markov removal-effect attribution: purchase = conversion, the other
+    // four event types = channels; 6 propagation steps from START
+    "q270_markov_attr" -> ((s, dir) => {
+      graft.operators.Attribution.removalEffects(ev(s, dir), "user_id", "ts",
+          "event_id", "event_type", convType = "purchase",
+          channels = Seq("click", "error", "signup", "view"), steps = 6)
+        .select(col("removed_channel"), r6(col("p_conv")).as("p_conv"),
+          r6(col("removal_effect")).as("removal_effect"))
+        .orderBy("removed_channel")
     })
   )
 
@@ -8063,7 +8142,164 @@ object SparkEntry {
         |  round(sum(l_quantity), 6) AS sum_qty
         |FROM lineitem WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // truncated-RBO replay: an item in both top-10 prefixes contributes
+    // w(m) = Σ_{k=m..10} 0.9^(k-1)/k once, from m = max(rank_a, rank_b) —
+    // the weights are the plan-time constants the operator plants
+    "q265_rbo" ->
+      """WITH a AS (SELECT l_returnflag AS g, s_nationkey AS item, count(*) AS cnt
+        |    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |    WHERE year(l_shipdate) = 1995 GROUP BY 1, 2),
+        |b AS (SELECT l_returnflag AS g, s_nationkey AS item, count(*) AS cnt
+        |    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |    WHERE year(l_shipdate) = 1996 GROUP BY 1, 2),
+        |ra AS (SELECT g, item, row_number() OVER
+        |    (PARTITION BY g ORDER BY cnt DESC, item) AS r FROM a),
+        |rb AS (SELECT g, item, row_number() OVER
+        |    (PARTITION BY g ORDER BY cnt DESC, item) AS r FROM b),
+        |j AS (SELECT ra.g, greatest(ra.r, rb.r) AS m
+        |  FROM ra JOIN rb ON ra.g = rb.g AND ra.item = rb.item
+        |  WHERE ra.r <= 10 AND rb.r <= 10)
+        |SELECT g AS l_returnflag, count(*)::BIGINT AS n_common,
+        |  round(0.09999999999999998 * sum(CASE m
+        |    WHEN 1 THEN 2.354163994257143
+        |    WHEN 2 THEN 1.3541639942571426
+        |    WHEN 3 THEN 0.904163994257143
+        |    WHEN 4 THEN 0.634163994257143
+        |    WHEN 5 THEN 0.45191399425714296
+        |    WHEN 6 THEN 0.3206939942571429
+        |    WHEN 7 THEN 0.22227899425714287
+        |    WHEN 8 THEN 0.14635885140000005
+        |    WHEN 9 THEN 0.08657173890000001
+        |    WHEN 10 THEN 0.038742048900000006 END), 6) AS rbo
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // gaps-and-islands merge replayed: new span when start exceeds the
+    // running max of all PRECEDING clipped ends (exact µs integers)
+    "q266_uptime" ->
+      """WITH iv AS (SELECT user_id, event_id,
+        |    greatest(epoch_us(ts), 1704067200000000) AS s,
+        |    least(epoch_us(ts) + 3600000000, 1706745600000000) AS e
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, s, e,
+        |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+        |         THEN 1 ELSE 0 END AS nf
+        |  FROM iv WHERE s < e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY s, e, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |r AS (SELECT user_id, s, e,
+        |    sum(nf) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM f),
+        |sp AS (SELECT user_id, run, min(s) AS ss, max(e) AS se
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, count(*)::BIGINT AS n_spans,
+        |  sum(se - ss)::BIGINT AS covered_us,
+        |  round(sum(se - ss)::BIGINT / 2678400000000, 6) AS uptime_share
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q267_qnorm" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value, event_id) AS rank
+        |  FROM events),
+        |m AS (SELECT rank, avg(value) AS q, count(*) AS n FROM r GROUP BY 1)
+        |SELECT r.event_type, r.event_id, r.rank, m.n::BIGINT AS n_groups_at_rank,
+        |  round(m.q, 6) AS qnorm
+        |FROM r JOIN m USING (rank) ORDER BY 1, 3""".stripMargin,
+
+    // top-5 leaderboard churn: rank window -> shifted self-join on the
+    // following week -> k-sized intersection Jaccard
+    "q268_topk_churn" ->
+      """WITH wk AS (SELECT event_type, user_id,
+        |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS week,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3),
+        |top AS (SELECT event_type, week, user_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type, week
+        |        ORDER BY cnt DESC, user_id) AS r FROM wk) WHERE r <= 5),
+        |sz AS (SELECT event_type, week, count(*) AS n FROM top GROUP BY 1, 2),
+        |inter AS (SELECT a.event_type, a.week, count(*) AS n_common
+        |  FROM top a JOIN top b ON a.event_type = b.event_type
+        |    AND a.week = b.week + 1 AND a.user_id = b.user_id
+        |  GROUP BY 1, 2)
+        |SELECT c.event_type, c.week, p.n::BIGINT AS n_prev, c.n::BIGINT AS n_cur,
+        |  coalesce(i.n_common, 0)::BIGINT AS n_common,
+        |  round(coalesce(i.n_common, 0) / (p.n + c.n - coalesce(i.n_common, 0)), 6)
+        |    AS jaccard
+        |FROM sz c JOIN sz p ON c.event_type = p.event_type AND c.week = p.week + 1
+        |LEFT JOIN inter i ON i.event_type = c.event_type AND i.week = c.week
+        |ORDER BY 1, 2""".stripMargin,
+
+    // direct per-level replay: approx = span count / 2^l; detail uses the
+    // level-(l-1) left-child sum — parity of the level-(l-1) index; all
+    // dyadic rationals, exact in doubles in both engines
+    "q269_haar" ->
+      """WITH base AS (SELECT event_type,
+        |    (epoch_us(ts) - 1704067200000000) // 21600000000 AS b,
+        |    count(*) AS c
+        |  FROM events WHERE epoch_us(ts) >= 1704067200000000 GROUP BY 1, 2),
+        |lv AS (
+        |  SELECT event_type, 1 AS level, b // 2 AS idx, sum(c) AS s,
+        |    sum(CASE WHEN b % 2 = 0 THEN c ELSE 0 END) AS sl
+        |  FROM base GROUP BY 1, 3
+        |  UNION ALL
+        |  SELECT event_type, 2, b // 4, sum(c),
+        |    sum(CASE WHEN (b // 2) % 2 = 0 THEN c ELSE 0 END)
+        |  FROM base GROUP BY 1, 3
+        |  UNION ALL
+        |  SELECT event_type, 3, b // 8, sum(c),
+        |    sum(CASE WHEN (b // 4) % 2 = 0 THEN c ELSE 0 END)
+        |  FROM base GROUP BY 1, 3)
+        |SELECT event_type, level, idx,
+        |  s / (1 << level)::DOUBLE AS approx,
+        |  (2 * sl - s) / (1 << level)::DOUBLE AS detail
+        |FROM lv ORDER BY 1, 2, 3""".stripMargin,
+
+    // Markov removal effects replayed: journeys -> transition counts ->
+    // row-normalized probabilities -> per-variant redirected matrices ->
+    // bounded mass propagation as a recursive CTE (PageRank q199 pattern)
+    "q270_markov_attr" ->
+      """WITH RECURSIVE
+        |kept0 AS (SELECT user_id,
+        |    CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS state,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx
+        |  FROM events),
+        |cx AS (SELECT user_id, min(CASE WHEN state = 'CONV' THEN idx END) AS cidx
+        |  FROM kept0 GROUP BY 1),
+        |kept AS (SELECT kept0.user_id, state, idx FROM kept0 JOIN cx USING (user_id)
+        |  WHERE cx.cidx IS NULL OR idx <= cx.cidx),
+        |se AS (SELECT coalesce(lag(state) OVER (PARTITION BY user_id ORDER BY idx),
+        |    'START') AS f, state AS t FROM kept),
+        |ee AS (SELECT state AS f, 'NULL' AS t FROM kept
+        |  JOIN (SELECT user_id, max(idx) AS mx FROM kept GROUP BY 1) m
+        |    ON kept.user_id = m.user_id AND idx = mx WHERE state <> 'CONV'),
+        |cnt AS (SELECT f, t, count(*)::DOUBLE AS c
+        |  FROM (SELECT * FROM se UNION ALL SELECT * FROM ee) GROUP BY 1, 2),
+        |p AS (SELECT f, t, c / sum(c) OVER (PARTITION BY f) AS p FROM cnt),
+        |vars AS (SELECT unnest(['base','click','error','signup','view']) AS v),
+        |red AS (SELECT v, f,
+        |    CASE WHEN v <> 'base' AND t = v THEN 'NULL' ELSE t END AS t,
+        |    sum(p) AS p
+        |  FROM p CROSS JOIN vars WHERE v = 'base' OR f <> v GROUP BY 1, 2, 3),
+        |tr AS (SELECT * FROM red UNION ALL
+        |  SELECT v, s, s, 1.0::DOUBLE FROM vars
+        |  CROSS JOIN (SELECT unnest(['CONV','NULL']) AS s)),
+        |mass AS (
+        |  SELECT v, 'START' AS state, 1.0::DOUBLE AS m, 0 AS it FROM vars
+        |  UNION ALL
+        |  SELECT mass.v, tr.t, sum(mass.m * tr.p), it + 1
+        |  FROM mass JOIN tr ON tr.v = mass.v AND tr.f = mass.state
+        |  WHERE it < 6 GROUP BY mass.v, tr.t, it + 1),
+        |pc AS (SELECT v, m FROM mass WHERE it = 6 AND state = 'CONV'),
+        |pb AS (SELECT m AS mb FROM pc WHERE v = 'base')
+        |SELECT vars.v AS removed_channel,
+        |  round(coalesce(pc.m, 0), 6) AS p_conv,
+        |  CASE WHEN vars.v = 'base' THEN NULL
+        |       ELSE round(1 - coalesce(pc.m, 0) / pb.mb, 6) END AS removal_effect
+        |FROM vars LEFT JOIN pc ON pc.v = vars.v CROSS JOIN pb
+        |ORDER BY 1""".stripMargin
   )
 
   /** q221's oracle: the same bounded-round k-core peel as

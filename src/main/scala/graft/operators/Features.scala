@@ -909,4 +909,49 @@ object Features {
           when(max(col("_us")) > min(col("_us")),
             (max(col("_us")) - min(col("_us"))) / lit(1e6))).as("twa"))
   }
+
+  /** Haar multi-resolution downsample of per-bucket EVENT COUNTS: for each
+    * level ℓ = 1..`levels`, the approximation (mean count per base bucket
+    * over the 2^ℓ-bucket span, absent buckets counting 0) and the Haar
+    * detail coefficient ((left-half − right-half) / 2^ℓ) — the coarse
+    * views the tier cascade serves, plus the detail that reconstructs the
+    * finer level exactly (approx_ℓ ± detail_ℓ = the two child approxes).
+    *
+    * EVERYTHING is exact: integer count sums divided by powers of two are
+    * dyadic rationals, representable exactly in doubles — no rounding, no
+    * order sensitivity, in any engine. (That exactness is WHY the measure
+    * is a count; an arbitrary float measure would reintroduce shuffled
+    * sums.)
+    *
+    * Plan: one shuffle to base buckets, then `levels` halving aggregates,
+    * each half the size of the last — a binary tier cascade.
+    */
+  def haarDownsample(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                     epochUs: Long, baseUs: Long, levels: Int): DataFrame = {
+    require(levels >= 1 && levels <= 40,
+      s"haarDownsample: levels must be in [1,40], got $levels")
+    require(baseUs >= 1, s"haarDownsample: baseUs must be >= 1, got $baseUs")
+    val keys = hierarchy.map(col)
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    // integer `div`, not float `/`: at µs magnitudes (~1.7e15) a double
+    // quotient is within 1 ulp of a bucket boundary and can misbucket
+    var cur = df
+      .filter(us >= lit(epochUs))
+      .select((keys :+ (us - lit(epochUs)).as("_d")): _*)
+      .withColumn("_b", expr(s"_d div ${baseUs}L")).drop("_d")
+      .groupBy((keys :+ col("_b")): _*).agg(count(lit(1)).as("_s"))
+    val out = (1 to levels).map { l =>
+      val paired = cur
+        .withColumn("_parent", expr("_b div 2"))
+        .groupBy((keys :+ col("_parent")): _*)
+        .agg(sum(col("_s")).as("_s"),
+          sum(when(col("_b") % 2 === 0, col("_s")).otherwise(lit(0L))).as("_sl"))
+      cur = paired.select((keys :+ col("_parent").as("_b") :+ col("_s")): _*)
+      val denom = lit(1L << l)
+      paired.select((keys :+ lit(l).as("level") :+ col("_parent").as("idx") :+
+        (col("_s") / denom).as("approx") :+
+        ((lit(2L) * col("_sl") - col("_s")) / denom).as("detail")): _*)
+    }
+    out.reduce(_ unionByName _)
+  }
 }

@@ -143,4 +143,33 @@ object Intervals {
       .select((keys :+ col("_run").as("span_seq") :+ col("span_start") :+
         col("span_end") :+ col("n_intervals")): _*)
   }
+
+  /** Coverage / uptime: the total time each key's intervals cover inside
+    * the reporting window `[winStartUs, winEndUs)`, overlap-free — the SLA
+    * "percent of the month the host was up" readout. Intervals are clipped
+    * to the window, merged with [[coalesceIntervals]] (overlaps and
+    * touching intervals count once), and summed; zero-length intervals
+    * cover nothing and are dropped.
+    *
+    * All duration arithmetic is exact integer microseconds; `uptime_share`
+    * is one deterministic long/long division — no float sums anywhere.
+    * Plan: the coalesce window pass + one aggregate on the same key.
+    */
+  def coverage(df: DataFrame, keyCols: Seq[String], startUsCol: String,
+               endUsCol: String, tieCol: String, winStartUs: Long,
+               winEndUs: Long): DataFrame = {
+    require(winEndUs > winStartUs,
+      s"coverage: empty window [$winStartUs, $winEndUs)")
+    val keys = keyCols.map(col)
+    val clipped = df
+      .withColumn("_cs", greatest(col(startUsCol), lit(winStartUs)))
+      .withColumn("_ce", least(col(endUsCol), lit(winEndUs)))
+      .filter(col("_cs") < col("_ce"))
+    coalesceIntervals(clipped, keyCols, "_cs", "_ce", tieCol)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("covered_us"))
+      .withColumn("uptime_share",
+        col("covered_us") / lit(winEndUs - winStartUs))
+  }
 }

@@ -424,4 +424,40 @@ object Profile {
         (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double"))))
       .select(col("seg_a"), col("seg_b"), col("dot"), col("cosine"))
   }
+
+  /** Top-k set churn: per (group, period), the Jaccard overlap between the
+    * period's top-k item set and the PREVIOUS period's — "how much of the
+    * leaderboard turned over" ([[rankBiasedOverlap]]'s unweighted set
+    * cousin; this one ignores rank position entirely). Periods must be
+    * integer-indexed; a period without a predecessor gets no row.
+    *
+    * Rankings order by (`cntCol` DESC, item) — integer measure, id
+    * tie-break. Everything after the bounded per-(group, period) rank
+    * window is k-sized: set sizes, the intersection equi-join, and the
+    * exact integer Jaccard `|∩| / (|A|+|B|−|∩|)`.
+    */
+  def topKChurn(df: DataFrame, groupCols: Seq[String], periodCol: String,
+                itemCol: String, cntCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"topKChurn: k must be >= 1, got $k")
+    val keys = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((keys :+ col(periodCol)): _*)
+      .orderBy(col(cntCol).desc, col(itemCol))
+    val top = df.withColumn("_r", row_number().over(w)).filter(col("_r") <= k)
+      .select((keys :+ col(periodCol) :+ col(itemCol)): _*)
+    val sizes = top.groupBy((keys :+ col(periodCol)): _*)
+      .agg(count(lit(1)).as("_sz"))
+    val prev = top.select((keys :+ (col(periodCol) + 1).as(periodCol) :+
+      col(itemCol)): _*)
+    val inter = top.join(prev, groupCols :+ periodCol :+ itemCol)
+      .groupBy((keys :+ col(periodCol)): _*).agg(count(lit(1)).as("n_common"))
+    val prevSizes = sizes.select((keys :+ (col(periodCol) + 1).as(periodCol) :+
+      col("_sz").as("n_prev")): _*)
+    sizes.withColumnRenamed("_sz", "n_cur")
+      .join(prevSizes, groupCols :+ periodCol)
+      .join(inter, groupCols :+ periodCol, "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("jaccard", col("n_common") /
+        (col("n_prev") + col("n_cur") - col("n_common")))
+  }
 }

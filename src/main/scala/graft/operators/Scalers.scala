@@ -192,4 +192,33 @@ object Scalers {
         when(c.isNotNull, least(greatest(c, col("_lo")), col("_hi"))))
       .drop("_lo", "_hi")
   }
+
+  /** Quantile normalization (Bolstad et al. 2003 microarray form): make
+    * every group's value DISTRIBUTION identical while preserving each
+    * row's within-group rank — row at rank r gets the cross-group mean of
+    * the rank-r values. The standard fix for comparing measures across
+    * sources with different scales (hosts with different traffic bases,
+    * sensors with different gains).
+    *
+    * Rows rank within group by (`valCol`, `tieCol`) — raw stored values
+    * compare bit-identically across engines; the tie-break makes equal
+    * values deterministic. Groups of unequal size: rank r averages over
+    * the groups that HAVE a rank-r row (documented deviation from the
+    * equal-size textbook case).
+    *
+    * Plan: one bounded per-group rank window, one rank-grain aggregate
+    * (cardinality = max group size), one join back on rank — all
+    * shuffles on rank or group, nothing single-task.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, tieCol: String,
+                        valCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valCol), col(tieCol))
+    val ranked = df.withColumn("_rank", row_number().over(w))
+    val ref = ranked.groupBy("_rank")
+      .agg(avg(col(valCol)).as("_qnorm"), count(lit(1)).as("_n_groups"))
+    ranked.join(ref, Seq("_rank"))
+      .select(col(groupCol), col(tieCol), col(valCol), col("_rank").as("rank"),
+        col("_qnorm").as("qnorm"), col("_n_groups").as("n_groups_at_rank"))
+  }
 }

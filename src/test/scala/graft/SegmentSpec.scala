@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{BloomJoin, Features, Segment, Sessions}
+import graft.operators.{BloomJoin, Features, Intervals, Robust, Scalers, Segment, Sessions}
 
 class SegmentSpec extends SparkSuite {
   import spark.implicits._
@@ -104,5 +104,58 @@ class SegmentSpec extends SparkSuite {
     // empty build side -> empty result, no exception
     assert(BloomJoin.semiJoin(big, small.filter(lit(false)), "k", "sk")
       .count() === 0L)
+  }
+
+  test("rankBiasedOverlap: identical lists = 1-p^d, swap golden, disjoint empty") {
+    // 12 items, identical counts/order in both lists
+    val a = (1 to 12).map(i => ("g", s"i$i%02d".format(i), (100 - i).toLong))
+      .toDF("g", "item", "cnt")
+    val same = Robust.rankBiasedOverlap(a, a, Seq("g"), "item", "cnt",
+      depth = 10, p = 0.9).head
+    assert(same.getLong(1) === 10L)
+    assert(approxEq(same.getDouble(2), 1.0 - math.pow(0.9, 10)))
+    // two items, ranks swapped, d=2 p=0.5: rbo = 0.25 (hand-derived)
+    val x = Seq(("g", "x", 10L), ("g", "y", 5L)).toDF("g", "item", "cnt")
+    val y = Seq(("g", "x", 5L), ("g", "y", 10L)).toDF("g", "item", "cnt")
+    val sw = Robust.rankBiasedOverlap(x, y, Seq("g"), "item", "cnt", 2, 0.5).head
+    assert(sw.getLong(1) === 2L)
+    assert(approxEq(sw.getDouble(2), 0.25))
+    // disjoint item sets: no common row, group disappears
+    val z = Seq(("g", "zz", 10L)).toDF("g", "item", "cnt")
+    assert(Robust.rankBiasedOverlap(x, z, Seq("g"), "item", "cnt", 2, 0.5)
+      .count() === 0L)
+  }
+
+  test("coverage: overlap merge, touching merge, clipping, zero-length drop") {
+    val iv = Seq(
+      ("k1", 0L, 10L, 1L), ("k1", 5L, 15L, 2L),   // overlap -> [0,15]
+      ("k1", 20L, 30L, 3L), ("k1", 30L, 40L, 4L), // touching -> [20,40]
+      ("k1", 90L, 120L, 5L),                      // clipped -> [90,100]
+      ("k1", 50L, 50L, 6L),                       // zero-length: drops
+      ("k2", 200L, 300L, 7L))                     // fully outside: no row
+      .toDF("k", "s_us", "e_us", "id")
+    val got = Intervals.coverage(iv, Seq("k"), "s_us", "e_us", "id",
+      winStartUs = 0L, winEndUs = 100L).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getString(0) === "k1")
+    assert(r.getLong(1) === 3L)       // three merged spans
+    assert(r.getLong(2) === 45L)      // 15 + 20 + 10
+    assert(approxEq(r.getDouble(3), 0.45))
+  }
+
+  test("quantileNormalize: rank-mean reference, unequal group sizes") {
+    val df = Seq(
+      ("g1", 1L, 1.0), ("g1", 2L, 3.0), ("g1", 3L, 5.0),
+      ("g2", 4L, 2.0), ("g2", 5L, 4.0))
+      .toDF("g", "id", "v")
+    val got = Scalers.quantileNormalize(df, "g", "id", "v")
+      .collect().map(r => r.getLong(1) -> (r.getInt(3), r.getDouble(4))).toMap
+    assert(got(1L) === ((1, 1.5)) && got(4L) === ((1, 1.5))) // rank 1 avg(1,2)
+    assert(got(2L)._2 === 3.5 && got(5L)._2 === 3.5) // rank 2 avg(3,4)
+    assert(got(3L)._2 === 5.0)                       // rank 3: g1 only
+    val nAt = Scalers.quantileNormalize(df, "g", "id", "v")
+      .collect().map(r => r.getInt(3) -> r.getLong(5)).toMap
+    assert(nAt(3) === 1L && nAt(1) === 2L)
   }
 }
