@@ -3709,6 +3709,59 @@ object SparkEntry {
         .select(col("removed_channel"), r6(col("p_conv")).as("p_conv"),
           r6(col("removal_effect")).as("removal_effect"))
         .orderBy("removed_channel")
+    }),
+
+    // Kaplan-Meier retention: per type, user engagement span in whole days,
+    // churned if the last event predates Jan 24 (else right-censored)
+    "q271_km" -> ((s, dir) => {
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val subj = ev(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(us).as("_f"), max(us).as("_l"))
+        .withColumn("dur", expr("(_l - _f) div 86400000000L"))
+        .withColumn("e",
+          when(col("_l") < lit(1706054400000000L), lit(1)).otherwise(lit(0)))
+      graft.operators.Survival.kaplanMeier(subj, Seq("event_type"), "dur", "e")
+        .select(col("event_type"), col("t"), col("n_risk"), col("n_event"),
+          col("n_censored"), r6(col("survival")).as("survival"))
+        .orderBy("event_type", "t")
+    }),
+
+    // Mann-Whitney U: click-vs-view value distributions per day of month
+    // (midranks exact half-integers; tie-corrected normal z)
+    "q272_mwu" -> ((s, dir) => {
+      val d = ev(s, dir)
+        .withColumn("day", dayofmonth(col("ts").cast("timestamp")))
+      graft.operators.Robust.mannWhitney(d, Seq("day"), "event_type",
+          "click", "view", "value")
+        .select(col("day"), col("n_a"), col("n_b"), r6(col("u_a")).as("u_a"),
+          r6(col("z")).as("z"))
+        .orderBy("day")
+    }),
+
+    // Cohen's kappa: agreement between a char-count quality rule and a
+    // word-count quality rule, per source (integer-exact up to one division)
+    "q273_kappa" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("a", (col("n_chars") > 600).cast("string"))
+        .withColumn("b", (length(col("text")) -
+          length(translate(col("text"), " ", "")) > 80).cast("string"))
+      graft.operators.Robust.cohenKappa(d, Seq("source"), "a", "b")
+        .select(col("source"), col("n"), col("n_agree"),
+          r6(col("kappa")).as("kappa"))
+        .orderBy("source")
+    }),
+
+    // Jensen-Shannon divergence: weekly event-type mix vs the global mix
+    // (bounded 5-category domain, literal-order term fold)
+    "q274_jsd" -> ((s, dir) => {
+      val wk = ev(s, dir)
+        .withColumn("_us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("week", expr("(_us - 1704067200000000L) div 604800000000L"))
+      graft.operators.Profile.jsDivergence(wk, Seq("week"), "event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .select(col("week"), col("n"), r6(col("jsd")).as("jsd"))
+        .orderBy("week")
     })
   )
 
@@ -8299,7 +8352,105 @@ object SparkEntry {
         |  CASE WHEN vars.v = 'base' THEN NULL
         |       ELSE round(1 - coalesce(pc.m, 0) / pb.mb, 6) END AS removal_effect
         |FROM vars LEFT JOIN pc ON pc.v = vars.v CROSS JOIN pb
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    // KM replay: duration grain -> at-risk = total minus preceding exits ->
+    // ordered running sum of ln factors (deterministic cumprod), zero flag
+    // instead of ln(0)
+    "q271_km" ->
+      """WITH subj AS (SELECT event_type,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS t,
+        |    CASE WHEN max(epoch_us(ts)) < 1706054400000000 THEN 1 ELSE 0 END AS e
+        |  FROM events GROUP BY event_type, user_id),
+        |g AS (SELECT event_type, t, sum(e) AS d, sum(1 - e) AS c
+        |  FROM subj GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |    sum(d + c) OVER (PARTITION BY event_type) -
+        |    coalesce(sum(d + c) OVER (PARTITION BY event_type ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM g),
+        |s AS (SELECT *,
+        |    CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w = 1
+        |         THEN 0.0
+        |         ELSE exp(sum(ln(1 - d::DOUBLE / n_risk::DOUBLE)) OVER w)
+        |    END AS surv
+        |  FROM r WINDOW w AS (PARTITION BY event_type ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, t, n_risk::BIGINT AS n_risk, d::BIGINT AS n_event,
+        |  c::BIGINT AS n_censored, round(surv, 6) AS survival
+        |FROM s WHERE d > 0 ORDER BY 1, 2""".stripMargin,
+
+    // midranks = rank() + (ties-1)/2 (exact half-integers); per-row tie
+    // term t^2-1 sums to the standard per-block t^3-t
+    "q272_mwu" ->
+      """WITH b AS (SELECT day(ts) AS day, event_type, value FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |r AS (SELECT *, rank() OVER (PARTITION BY day ORDER BY value) AS rk,
+        |    count(*) OVER (PARTITION BY day, value) AS tc FROM b),
+        |a AS (SELECT day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_b,
+        |    sum(CASE WHEN event_type = 'click'
+        |        THEN rk + (tc - 1) / 2.0 ELSE 0 END) AS ra,
+        |    sum(tc * tc - 1) AS tie
+        |  FROM r GROUP BY 1)
+        |SELECT day, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+        |  round(ra - n_a * (n_a + 1) / 2.0, 6) AS u_a,
+        |  round((ra - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0) /
+        |    sqrt(n_a::DOUBLE * n_b / 12.0 * ((n_a + n_b + 1) -
+        |      tie::DOUBLE / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6) AS z
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // kappa is integer arithmetic up to one division:
+    // (n*agree - sum(n1*n2)) / (n^2 - sum(n1*n2))
+    "q273_kappa" ->
+      """WITH l AS (SELECT source, (n_chars > 600) AS a,
+        |    (length(text) - length(replace(text, ' ', '')) > 80) AS b
+        |  FROM documents),
+        |t AS (SELECT source, count(*) AS n,
+        |    sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS na FROM l GROUP BY 1),
+        |e AS (SELECT source, sum(n1 * n2) AS e FROM
+        |    (SELECT source, a AS k, count(*) AS n1 FROM l GROUP BY 1, 2) x
+        |  JOIN (SELECT source, b AS k, count(*) AS n2 FROM l GROUP BY 1, 2) y
+        |    USING (source, k)
+        |  GROUP BY 1)
+        |SELECT t.source, n::BIGINT AS n, na::BIGINT AS n_agree,
+        |  round((n * na - e) / (n * n - e)::DOUBLE, 6) AS kappa
+        |FROM t JOIN e USING (source) ORDER BY 1""".stripMargin,
+
+    // JSD with the same literal category order and left-assoc term sum as
+    // the operator (t_click + t_error + t_purchase + t_signup + t_view)
+    "q274_jsd" ->
+      """WITH wk AS (SELECT
+        |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS week,
+        |    event_type FROM events),
+        |p AS (SELECT week, count(*) AS n,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2,
+        |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c3,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c4
+        |  FROM wk GROUP BY 1),
+        |g AS (SELECT count(*) AS gn,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS g0,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS g1,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS g2,
+        |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS g3,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS g4
+        |  FROM wk)
+        |SELECT week, n::BIGINT AS n, round(
+        |    (CASE WHEN c0 > 0 THEN (c0/n::DOUBLE) * (ln(2*(c0/n::DOUBLE)) - ln(c0/n::DOUBLE + g0/gn::DOUBLE)) ELSE 0 END
+        |     + CASE WHEN g0 > 0 THEN (g0/gn::DOUBLE) * (ln(2*(g0/gn::DOUBLE)) - ln(c0/n::DOUBLE + g0/gn::DOUBLE)) ELSE 0 END) / 2
+        |  + (CASE WHEN c1 > 0 THEN (c1/n::DOUBLE) * (ln(2*(c1/n::DOUBLE)) - ln(c1/n::DOUBLE + g1/gn::DOUBLE)) ELSE 0 END
+        |     + CASE WHEN g1 > 0 THEN (g1/gn::DOUBLE) * (ln(2*(g1/gn::DOUBLE)) - ln(c1/n::DOUBLE + g1/gn::DOUBLE)) ELSE 0 END) / 2
+        |  + (CASE WHEN c2 > 0 THEN (c2/n::DOUBLE) * (ln(2*(c2/n::DOUBLE)) - ln(c2/n::DOUBLE + g2/gn::DOUBLE)) ELSE 0 END
+        |     + CASE WHEN g2 > 0 THEN (g2/gn::DOUBLE) * (ln(2*(g2/gn::DOUBLE)) - ln(c2/n::DOUBLE + g2/gn::DOUBLE)) ELSE 0 END) / 2
+        |  + (CASE WHEN c3 > 0 THEN (c3/n::DOUBLE) * (ln(2*(c3/n::DOUBLE)) - ln(c3/n::DOUBLE + g3/gn::DOUBLE)) ELSE 0 END
+        |     + CASE WHEN g3 > 0 THEN (g3/gn::DOUBLE) * (ln(2*(g3/gn::DOUBLE)) - ln(c3/n::DOUBLE + g3/gn::DOUBLE)) ELSE 0 END) / 2
+        |  + (CASE WHEN c4 > 0 THEN (c4/n::DOUBLE) * (ln(2*(c4/n::DOUBLE)) - ln(c4/n::DOUBLE + g4/gn::DOUBLE)) ELSE 0 END
+        |     + CASE WHEN g4 > 0 THEN (g4/gn::DOUBLE) * (ln(2*(g4/gn::DOUBLE)) - ln(c4/n::DOUBLE + g4/gn::DOUBLE)) ELSE 0 END) / 2
+        |  , 6) AS jsd
+        |FROM p CROSS JOIN g ORDER BY week""".stripMargin
   )
 
   /** q221's oracle: the same bounded-round k-core peel as

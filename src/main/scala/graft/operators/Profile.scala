@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataframe profiling — the reference's `describe()` summary
@@ -459,5 +459,52 @@ object Profile {
       .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
       .withColumn("jaccard", col("n_common") /
         (col("n_prev") + col("n_cur") - col("n_common")))
+  }
+
+  /** Jensen–Shannon divergence (Lin 1991) of each group's category
+    * distribution from the GLOBAL baseline distribution — the symmetric,
+    * bounded (≤ ln 2) drift measure that, unlike KL, tolerates categories
+    * absent on one side ("did this week's traffic mix shift?").
+    *
+    * `cats` is the caller's bounded category domain in a FIXED order (the
+    * [[behaviorEntropy]] contract): counts pivot to one column per
+    * category, and the ½Σp·ln(2p/(p+q)) + ½Σq·ln(2q/(p+q)) terms fold
+    * left-associatively over that literal list — no shuffled float sum
+    * anywhere, so the result is bit-stable across partitionings and
+    * engines. Counts themselves are exact integers; zero-mass categories
+    * contribute exactly 0 by convention.
+    *
+    * Plan: one group-grain pivot aggregate + one 1-row global aggregate
+    * broadcast by crossJoin.
+    */
+  def jsDivergence(df: DataFrame, groupCols: Seq[String], catCol: String,
+                   cats: Seq[String]): DataFrame = {
+    require(cats.nonEmpty && cats.distinct.length == cats.length,
+      "jsDivergence: cats must be a non-empty list of distinct categories")
+    val keys = groupCols.map(col)
+    def pivoted(grouped: Seq[Column]) = df
+      .filter(col(catCol).cast("string").isin(cats.map(x => x: Any): _*))
+      .groupBy(grouped: _*)
+      .agg(count(lit(1)).as("n"),
+        cats.zipWithIndex.map { case (c, i) =>
+          sum(when(col(catCol).cast("string") === c, 1L).otherwise(0L))
+            .as(s"_c$i")
+        }: _*)
+    val per = pivoted(keys)
+    val global = pivoted(Seq.empty).select(
+      (col("n").as("_gn") +: cats.indices.map(i => col(s"_c$i").as(s"_g$i"))): _*)
+    val joined = per.crossJoin(broadcast(global))
+    val terms = cats.indices.map { i =>
+      val p = col(s"_c$i").cast("double") / col("n").cast("double")
+      val q = col(s"_g$i").cast("double") / col("_gn").cast("double")
+      val m2 = p + q // 2m; ln(2p/(p+q)) = ln(2p) - ln(p+q)
+      (when(col(s"_c$i") > 0, p * (log(lit(2.0) * p) - log(m2)))
+        .otherwise(lit(0.0)) +
+        when(col(s"_g$i") > 0, q * (log(lit(2.0) * q) - log(m2)))
+          .otherwise(lit(0.0))) / 2
+    }
+    joined
+      .withColumn("jsd", terms.reduce(_ + _)) // fixed left-assoc order
+      .select((keys :+ col("n") :+ col("jsd")): _*)
   }
 }

@@ -140,4 +140,88 @@ object Robust {
       .agg(count(lit(1)).as("n_common"),
         ((lit(1.0) - p) * sum(w)).as("rbo"))
   }
+
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) per group: does
+    * segment A's value distribution stochastically dominate segment B's —
+    * the nonparametric two-sample comparison that needs no normality
+    * assumption (the A/B readout for skewed engagement metrics).
+    *
+    * Midranks handle ties exactly: `rank() + (tieCount−1)/2` — every
+    * midrank is a half-integer, so the rank sums are EXACT in doubles.
+    * `U_A = R_A − n_A(n_A+1)/2`; z uses the normal approximation with the
+    * standard tie correction `σ² = n_A n_B/12 · ((N+1) − Σ(t³−t)/(N(N−1)))`
+    * (no continuity correction — documented choice, same in the oracle).
+    *
+    * Scale: one rank window per group (bounded by group size), one
+    * aggregate. Ranks order by raw stored values + id tie-break-free —
+    * ties share a midrank so no tie-break is needed; float ORDER is
+    * bit-identical cross-engine (no float sums feed the ordering).
+    */
+  def mannWhitney(df: DataFrame, groupCols: Seq[String], segCol: String,
+                  segA: String, segB: String, valCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val both = df.filter(col(segCol).isin(segA, segB))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col(valCol))
+    val tiePart = org.apache.spark.sql.expressions.Window
+      .partitionBy((keys :+ col(valCol)): _*)
+    val ranked = both
+      .withColumn("_tc", count(lit(1)).over(tiePart))
+      .withColumn("_mid",
+        rank().over(w).cast("double") + (col("_tc") - 1).cast("double") / 2)
+    ranked.groupBy(keys: _*)
+      .agg(
+        sum(when(col(segCol) === segA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(segCol) === segB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(segCol) === segA, col("_mid")).otherwise(lit(0.0))).as("_ra"),
+        // Σ(t³−t) counted once per tie block: every row carries its block
+        // size, so summing (t²−1) per row = Σ over blocks of t·(t²−1)
+        sum(col("_tc") * col("_tc") - 1).as("_tie"))
+      .withColumn("u_a",
+        col("_ra") - col("n_a").cast("double") * (col("n_a") + 1) / 2)
+      .withColumn("_n", col("n_a") + col("n_b"))
+      .withColumn("_mu", col("n_a").cast("double") * col("n_b") / 2)
+      .withColumn("_var",
+        col("n_a").cast("double") * col("n_b") / 12 *
+          ((col("_n") + 1) - col("_tie").cast("double") /
+            (col("_n") * (col("_n") - 1))))
+      .withColumn("z",
+        when(col("_var") > 0, (col("u_a") - col("_mu")) / sqrt(col("_var"))))
+      .select((keys :+ col("n_a") :+ col("n_b") :+ col("u_a") :+ col("z")): _*)
+  }
+
+  /** Cohen's kappa (Cohen 1960) per group: chance-corrected agreement
+    * between two categorical labelings of the same rows (two quality
+    * heuristics, two classifiers, two annotators). With n rows, observed
+    * agreement `a` (label_1 = label_2) and per-category marginals n1_k /
+    * n2_k, `κ = (n·a − Σ_k n1_k·n2_k) / (n² − Σ_k n1_k·n2_k)` — the whole
+    * statistic is INTEGER arithmetic up to one final division, so it is
+    * cross-engine exact regardless of shuffle order.
+    *
+    * Scale: two category-grain aggregates + one equi-join on (group,
+    * category) — never a row-grain join; category cardinality bounds
+    * everything after the first shuffle.
+    */
+  def cohenKappa(df: DataFrame, groupCols: Seq[String], aCol: String,
+                 bCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val base = df.select((keys :+ col(aCol).cast("string").as("_a") :+
+      col(bCol).cast("string").as("_b")): _*)
+    val totals = base.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_a") === col("_b"), 1L).otherwise(0L)).as("n_agree"))
+    val ma = base.groupBy((keys :+ col("_a").as("_k")): _*)
+      .agg(count(lit(1)).as("_n1"))
+    val mb = base.groupBy((keys :+ col("_b").as("_k")): _*)
+      .agg(count(lit(1)).as("_n2"))
+    val chance = ma.join(mb, groupCols :+ "_k")
+      .groupBy(keys: _*).agg(sum(col("_n1") * col("_n2")).as("_e"))
+    totals.join(chance, groupCols)
+      .withColumn("kappa",
+        when(col("n") * col("n") === col("_e"),
+          lit(null).cast("double")) // pe = 1: kappa undefined
+          .otherwise((col("n") * col("n_agree") - col("_e")).cast("double") /
+            (col("n") * col("n") - col("_e")).cast("double")))
+      .select((keys :+ col("n") :+ col("n_agree") :+ col("kappa")): _*)
+  }
 }

@@ -4,56 +4,56 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Kaplan–Meier product-limit survival estimator (Kaplan & Meier 1958) —
-  * retention/churn curves that handle RIGHT-CENSORING correctly: a subject
-  * still active at the observation cutoff contributes to the risk set up to
-  * its censoring time without being counted as churned, which the naive
-  * "share retained at day t" cohort table ([[Sessions]] cohort retention)
-  * gets wrong whenever observation windows are ragged.
+/** Kaplan–Meier survival estimation (Kaplan & Meier 1958) — the retention /
+  * time-to-churn curve with right-censoring, the readout behind "what share
+  * of users are still active after t days".
   *
-  *   S(t) = Π_{tᵢ ≤ t, d_i > 0} (1 − dᵢ/nᵢ)
+  * Semantics: subjects contribute an integer `duration` and an `eventFlag`
+  * (1 = the terminal event was observed, 0 = censored — still alive when
+  * observation ended). At each distinct event time t, with n(t) subjects
+  * still at risk (duration ≥ t; ties: censored-at-t count as at-risk, the
+  * standard convention) and d(t) observed events,
+  * `S(t) = Π_{t_j ≤ t} (1 − d(t_j)/n(t_j))`. Rows are emitted at event
+  * times only (censor-only times change n but not S).
   *
-  * with dᵢ = events at tᵢ and nᵢ = subjects still at risk (duration ≥ tᵢ).
-  * The running product is computed as exp(Σ ln(1 − d/n)) — a pinned,
-  * engine-replayable form (mathematically identical, float-stable because
-  * the cumulative sum and the product share monotone term order); a time
-  * where the whole remaining risk set fails (d = n) makes the survival 0
-  * from that point on (log of 0 is absorbed explicitly, not through −∞).
+  * Cross-engine determinism: the cumulative product is exp of an ORDERED
+  * running sum of ln factors — fixed accumulation order in any engine (a
+  * running window frame, never a shuffled aggregate); each factor is an
+  * exact small rational. A zero factor (d = n at some time) short-circuits
+  * to S = 0 via an integer flag rather than ln(0) = −∞ arithmetic.
   *
-  * Scale shape: one grouped count per (key, t), one per-key window over
-  * DISTINCT event times (bounded by the time grain, not by subjects) —
-  * subjects never cross the shuffle as rows, only their (t, d, c) counts.
-  * Output: (keys..., t, n_risk, d, survival) — one row per event time.
+  * Scale: one shuffle to (group, duration) grain, then bounded per-group
+  * windows over DISTINCT durations — cost is the duration cardinality per
+  * group, independent of subject count.
   */
 object Survival {
 
-  /** @param durationCol integer time-to-event/censoring (e.g. days)
-    * @param eventCol    1 = event observed (churned), 0 = right-censored
-    */
-  def kaplanMeier(df: DataFrame, keyCols: Seq[String], durationCol: String,
+  def kaplanMeier(df: DataFrame, groupCols: Seq[String], durationCol: String,
                   eventCol: String): DataFrame = {
-    val keys = keyCols.map(col)
-    val perT = df
-      .filter(col(durationCol).isNotNull)
+    val keys = groupCols.map(col)
+    val grain = df
       .groupBy((keys :+ col(durationCol).cast("long").as("t")): _*)
-      .agg(sum(col(eventCol).cast("long")).as("d"), count(lit(1)).as("_c"))
-    val wAll = Window.partitionBy(keys: _*)
-    val wCum = wAll.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val atRisk = perT
-      .withColumn("n_risk", sum(col("_c")).over(wAll) -
-        sum(col("_c")).over(wCum) + col("_c"))
-      .filter(col("d") > 0)
-    val wEv = wAll.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    atRisk
-      .withColumn("_lt", when(col("d") < col("n_risk"),
-        log(lit(1.0) - col("d").cast("double") / col("n_risk"))).otherwise(lit(null)))
-      .withColumn("_dead", max(when(col("d") === col("n_risk"), 1L)
-        .otherwise(0L)).over(wEv))
-      .withColumn("survival", when(col("_dead") === 1L, lit(0.0))
-        .otherwise(exp(sum(col("_lt")).over(wEv))))
-      .select((keys :+ col("t") :+ col("n_risk") :+ col("d") :+
-        col("survival")): _*)
+      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("n_event"),
+        sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("n_censored"))
+    val byT = Window.partitionBy(keys: _*).orderBy(col("t"))
+    val prior = byT.rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = byT.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perG = Window.partitionBy(keys: _*)
+    grain
+      .withColumn("_total", sum(col("n_event") + col("n_censored")).over(perG))
+      .withColumn("n_risk",
+        col("_total") - coalesce(
+          sum(col("n_event") + col("n_censored")).over(prior), lit(0L)))
+      // ordered running sum of ln factors = deterministic cumprod; the
+      // integer zero flag handles d = n without ln(0)
+      .withColumn("_zero",
+        max(when(col("n_event") === col("n_risk"), 1L).otherwise(0L)).over(upTo))
+      .withColumn("survival",
+        when(col("_zero") === 1L, lit(0.0)).otherwise(exp(sum(
+          log(lit(1.0) - col("n_event").cast("double") /
+            col("n_risk").cast("double"))).over(upTo))))
+      .filter(col("n_event") > 0)
+      .select((keys :+ col("t") :+ col("n_risk") :+ col("n_event") :+
+        col("n_censored") :+ col("survival")): _*)
   }
 }
