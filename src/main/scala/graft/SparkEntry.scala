@@ -3762,6 +3762,65 @@ object SparkEntry {
           Seq("click", "error", "purchase", "signup", "view"))
         .select(col("week"), col("n"), r6(col("jsd")).as("jsd"))
         .orderBy("week")
+    }),
+
+    // CUPED: per-user post-period value adjusted by the pre-period
+    // covariate (pooled theta; Jan 16 split; arm = user parity)
+    "q275_cuped" -> ((s, dir) => {
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val unit = ev(s, dir).groupBy(col("user_id"))
+        .agg(sum(when(us < lit(1705363200000000L), col("value"))
+            .otherwise(lit(0.0))).as("x"),
+          sum(when(us >= lit(1705363200000000L), col("value"))
+            .otherwise(lit(0.0))).as("y"))
+        .withColumn("seg", (col("user_id") % 2).cast("string"))
+      graft.operators.Experiment.cuped(unit, "seg", "y", "x")
+        .select(col("seg"), col("n"), r6(col("y_mean")).as("y_mean"),
+          r6(col("y_adj_mean")).as("y_adj_mean"), r6(col("theta")).as("theta"),
+          r6(col("var_reduction")).as("var_reduction"))
+        .orderBy("seg")
+    }),
+
+    // difference-in-differences: 2x2 (user parity x Jan-16 split) cell
+    // means per event_type, fixed-order estimate from pivoted cells
+    "q276_did" -> ((s, dir) => {
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val d = ev(s, dir)
+        .withColumn("treat", (col("user_id") % 2).cast("int"))
+        .withColumn("post",
+          (us >= lit(1705363200000000L)).cast("int"))
+      graft.operators.Experiment.diffInDiff(d, Seq("event_type"), "treat",
+          "post", "value")
+        .select(col("event_type"), col("n"), r6(col("m_t0")).as("m_t0"),
+          r6(col("m_t1")).as("m_t1"), r6(col("m_c0")).as("m_c0"),
+          r6(col("m_c1")).as("m_c1"), r6(col("did")).as("did"))
+        .orderBy("event_type")
+    }),
+
+    // sample-ratio mismatch: Pearson chi-square of user-parity arm counts
+    // against the designed 50/50 split, per event_type
+    "q277_srm" -> ((s, dir) => {
+      val d = ev(s, dir)
+        .withColumn("arm", (col("user_id") % 2).cast("string"))
+      graft.operators.Experiment.srmCheck(d, Seq("event_type"), "arm",
+          Seq("0" -> 0.5, "1" -> 0.5))
+        .select(col("event_type"), col("n"), r6(col("chi2")).as("chi2"))
+        .orderBy("event_type")
+    }),
+
+    // empirical-Bayes shrinkage: per-user purchase rate pulled toward the
+    // method-of-moments beta prior
+    "q278_eb_rates" -> ((s, dir) => {
+      val item = ev(s, dir).groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("x"),
+          count(lit(1)).as("cnt"))
+      graft.operators.Experiment.ebShrinkRates(item, Seq("user_id"), "x", "cnt")
+        .select(col("user_id"), col("x"), col("n"),
+          r6(col("raw_rate")).as("raw_rate"),
+          r6(col("prior_strength")).as("prior_strength"),
+          r6(col("shrunk")).as("shrunk"))
+        .orderBy("user_id")
     })
   )
 
@@ -8450,7 +8509,79 @@ object SparkEntry {
         |  + (CASE WHEN c4 > 0 THEN (c4/n::DOUBLE) * (ln(2*(c4/n::DOUBLE)) - ln(c4/n::DOUBLE + g4/gn::DOUBLE)) ELSE 0 END
         |     + CASE WHEN g4 > 0 THEN (g4/gn::DOUBLE) * (ln(2*(g4/gn::DOUBLE)) - ln(c4/n::DOUBLE + g4/gn::DOUBLE)) ELSE 0 END) / 2
         |  , 6) AS jsd
-        |FROM p CROSS JOIN g ORDER BY week""".stripMargin
+        |FROM p CROSS JOIN g ORDER BY week""".stripMargin,
+
+    // CUPED moment-sum replay: pooled theta = (Sxy - SxSy/n)/(Sxx - Sx^2/n),
+    // identical operation order to the operator
+    "q275_cuped" ->
+      """WITH unit AS (SELECT user_id,
+        |    sum(CASE WHEN epoch_us(ts) < 1705363200000000 THEN value ELSE 0 END) AS x,
+        |    sum(CASE WHEN epoch_us(ts) >= 1705363200000000 THEN value ELSE 0 END) AS y,
+        |    (user_id % 2)::VARCHAR AS seg
+        |  FROM events GROUP BY user_id),
+        |p AS (SELECT count(*) AS pn, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM unit),
+        |g AS (SELECT seg, count(*) AS n, sum(x) AS gx, sum(y) AS gy
+        |  FROM unit GROUP BY 1)
+        |SELECT seg, n::BIGINT AS n, round(gy/n, 6) AS y_mean,
+        |  round(gy/n - ((sxy - sx*sy/pn)/(sxx - sx*sx/pn)) * (gx/n - sx/pn), 6)
+        |    AS y_adj_mean,
+        |  round((sxy - sx*sy/pn)/(sxx - sx*sx/pn), 6) AS theta,
+        |  round(((sxy - sx*sy/pn)/(sxx - sx*sx/pn)) *
+        |        ((sxy - sx*sy/pn)/(sxx - sx*sx/pn)) *
+        |        (sxx - sx*sx/pn) / (syy - sy*sy/pn), 6) AS var_reduction
+        |FROM g CROSS JOIN p ORDER BY 1""".stripMargin,
+
+    // 2x2 cell sums/counts pivoted exactly like the operator; the estimate
+    // is (m_t1 - m_t0) - (m_c1 - m_c0)
+    "q276_did" ->
+      """WITH c AS (SELECT event_type, count(*) AS n,
+        |    sum(CASE WHEN user_id % 2 = 1 AND epoch_us(ts) < 1705363200000000 THEN value ELSE 0 END) AS st0,
+        |    sum(CASE WHEN user_id % 2 = 1 AND epoch_us(ts) < 1705363200000000 THEN 1 ELSE 0 END) AS nt0,
+        |    sum(CASE WHEN user_id % 2 = 1 AND epoch_us(ts) >= 1705363200000000 THEN value ELSE 0 END) AS st1,
+        |    sum(CASE WHEN user_id % 2 = 1 AND epoch_us(ts) >= 1705363200000000 THEN 1 ELSE 0 END) AS nt1,
+        |    sum(CASE WHEN user_id % 2 = 0 AND epoch_us(ts) < 1705363200000000 THEN value ELSE 0 END) AS sc0,
+        |    sum(CASE WHEN user_id % 2 = 0 AND epoch_us(ts) < 1705363200000000 THEN 1 ELSE 0 END) AS nc0,
+        |    sum(CASE WHEN user_id % 2 = 0 AND epoch_us(ts) >= 1705363200000000 THEN value ELSE 0 END) AS sc1,
+        |    sum(CASE WHEN user_id % 2 = 0 AND epoch_us(ts) >= 1705363200000000 THEN 1 ELSE 0 END) AS nc1
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n::BIGINT AS n,
+        |  round(st0/nt0, 6) AS m_t0, round(st1/nt1, 6) AS m_t1,
+        |  round(sc0/nc0, 6) AS m_c0, round(sc1/nc1, 6) AS m_c1,
+        |  round((st1/nt1 - st0/nt0) - (sc1/nc1 - sc0/nc0), 6) AS did
+        |FROM c ORDER BY 1""".stripMargin,
+
+    // SRM chi-square on exact integers: ((o0-e)^2/e) + ((o1-e)^2/e) in the
+    // operator's literal arm order
+    "q277_srm" ->
+      """WITH c AS (SELECT event_type, count(*) AS n,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS o0,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS o1
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n::BIGINT AS n,
+        |  round((o0 - n::DOUBLE * 0.5) * (o0 - n::DOUBLE * 0.5) / (n::DOUBLE * 0.5)
+        |      + (o1 - n::DOUBLE * 0.5) * (o1 - n::DOUBLE * 0.5) / (n::DOUBLE * 0.5),
+        |    6) AS chi2
+        |FROM c ORDER BY 1""".stripMargin,
+
+    // beta-binomial method-of-moments prior replayed with the operator's
+    // exact formula order: m = sp/k, v = spp/k - m*m,
+    // ab = max(m(1-m)/v - 1, 1), shrunk = (x + m*ab)/(n + ab)
+    "q278_eb_rates" ->
+      """WITH item AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+        |    count(*) AS n FROM events GROUP BY 1),
+        |b AS (SELECT *, x::DOUBLE / n::DOUBLE AS p FROM item),
+        |m AS (SELECT count(*) AS k, sum(p) AS sp, sum(p*p) AS spp FROM b),
+        |j AS (SELECT b.*, m.sp, m.k,
+        |    CASE WHEN (spp/k - (sp/k)*(sp/k)) > 0
+        |         THEN greatest((sp/k)*(1 - sp/k)/(spp/k - (sp/k)*(sp/k)) - 1, 1.0)
+        |         ELSE 1.0 END AS ab
+        |  FROM b CROSS JOIN m)
+        |SELECT user_id, x::BIGINT AS x, n::BIGINT AS n, round(p, 6) AS raw_rate,
+        |  round(ab, 6) AS prior_strength,
+        |  round((x + (sp/k) * ab) / (n + ab), 6) AS shrunk
+        |FROM j ORDER BY 1""".stripMargin
   )
 
   /** q221's oracle: the same bounded-round k-core peel as

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Experimentation analytics: the A/B-test readouts a web-scale event log
+  * feeds — CUPED variance reduction, difference-in-differences, sample-ratio
+  * mismatch, and empirical-Bayes rate shrinkage.
+  *
+  * Determinism discipline: every statistic reduces to moment sums (Σx, Σy,
+  * Σxy, Σx²) followed by ONE closed-form combination per output column, with
+  * the combination's operation order mirrored token-for-token in the DuckDB
+  * oracles (the q171 AR-fit five-moment-sum precedent). Moment sums of
+  * stored doubles are shuffled-order additions — cross-engine agreement is
+  * at the 1e-9/r6 tolerance the harness grants floats, not bit-exactness.
+  */
+object Experiment {
+
+  /** CUPED (Deng, Xu, Kohavi & Walker, WSDM 2013): reduce metric variance
+    * with a pre-experiment covariate. θ = cov(x,y)/var(x) is estimated
+    * POOLED across all segments (the standard choice — a per-arm θ would
+    * bias the adjusted delta), then each segment reports its adjusted mean
+    * `mean(y) − θ·(mean(x_seg) − mean(x_pooled))`.
+    *
+    * Input is a UNIT-grain frame (one row per randomization unit, e.g. per
+    * user): `yCol` the experiment-period metric, `xCol` the pre-period
+    * covariate. Output per segment: n, y_mean, y_adj_mean, plus the pooled
+    * theta and the pooled variance-reduction factor ρ² = θ²·var(x)/var(y)
+    * (the fraction of metric variance CUPED removes).
+    *
+    * Plan: one pooled 1-row aggregate broadcast by crossJoin + one
+    * segment-grain aggregate — two scans, no row-grain join.
+    */
+  def cuped(df: DataFrame, segCol: String, yCol: String,
+            xCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val pooled = df.agg(
+      count(lit(1)).as("_pn"), sum(x).as("_sx"), sum(y).as("_sy"),
+      sum(x * y).as("_sxy"), sum(x * x).as("_sxx"), sum(y * y).as("_syy"))
+    val per = df.groupBy(col(segCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("_gx"), sum(y).as("_gy"))
+    per.crossJoin(broadcast(pooled))
+      .withColumn("_theta",
+        (col("_sxy") - col("_sx") * col("_sy") / col("_pn")) /
+          (col("_sxx") - col("_sx") * col("_sx") / col("_pn")))
+      .withColumn("y_mean", col("_gy") / col("n"))
+      .withColumn("y_adj_mean",
+        col("_gy") / col("n") - col("_theta") *
+          (col("_gx") / col("n") - col("_sx") / col("_pn")))
+      .withColumn("var_reduction",
+        col("_theta") * col("_theta") *
+          (col("_sxx") - col("_sx") * col("_sx") / col("_pn")) /
+          (col("_syy") - col("_sy") * col("_sy") / col("_pn")))
+      .select(col(segCol), col("n"), col("y_mean"), col("y_adj_mean"),
+        col("_theta").as("theta"), col("var_reduction"))
+  }
+
+  /** Difference-in-differences (Card & Krueger 1994 design): per group, the
+    * 2×2 of (treated, period) cell means and
+    * `did = (T_post − T_pre) − (C_post − C_pre)` — the causal-effect
+    * estimate under parallel trends. `treatCol`/`postCol` are 0/1 flags.
+    * One aggregate pass; the four cells pivot to columns so the estimate is
+    * a fixed-order expression, never a shuffled 4-row reduction.
+    */
+  def diffInDiff(df: DataFrame, groupCols: Seq[String], treatCol: String,
+                 postCol: String, yCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val y = col(yCol).cast("double")
+    def cell(t: Int, p: Int, tag: String) = Seq(
+      sum(when(col(treatCol) === t && col(postCol) === p, y)
+        .otherwise(lit(0.0))).as(s"_s$tag"),
+      sum(when(col(treatCol) === t && col(postCol) === p, 1L)
+        .otherwise(0L)).as(s"_n$tag"))
+    val cells = cell(1, 0, "t0") ++ cell(1, 1, "t1") ++
+      cell(0, 0, "c0") ++ cell(0, 1, "c1")
+    val agged = df.groupBy(keys: _*).agg(count(lit(1)).as("n"), cells: _*)
+    Seq("t0", "t1", "c0", "c1").foldLeft(agged) { (d, tag) =>
+      d.withColumn(s"m_$tag", col(s"_s$tag") / col(s"_n$tag"))
+    }
+      .withColumn("did",
+        (col("m_t1") - col("m_t0")) - (col("m_c1") - col("m_c0")))
+      .select((keys :+ col("n") :+ col("m_t0") :+ col("m_t1") :+
+        col("m_c0") :+ col("m_c1") :+ col("did")): _*)
+  }
+
+  /** Sample-ratio mismatch check: Pearson χ² of the observed arm counts
+    * against the design shares (`arms` = (label, expected share), literal,
+    * shares summing to 1). A large χ² (df = arms−1) means the bucketing is
+    * broken and every downstream readout is suspect — the first gate any
+    * experiment report runs. Counts pivot to columns; χ² is a fixed-order
+    * literal fold over exact integers (one division per arm).
+    */
+  def srmCheck(df: DataFrame, groupCols: Seq[String], armCol: String,
+               arms: Seq[(String, Double)]): DataFrame = {
+    require(arms.nonEmpty && math.abs(arms.map(_._2).sum - 1.0) < 1e-9,
+      "srmCheck: arm shares must sum to 1")
+    val keys = groupCols.map(col)
+    val agged = df
+      .filter(col(armCol).cast("string").isin(arms.map(_._1: Any): _*))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        arms.zipWithIndex.map { case ((a, _), i) =>
+          sum(when(col(armCol).cast("string") === a, 1L).otherwise(0L))
+            .as(s"_o$i")
+        }: _*)
+    val chi2 = arms.zipWithIndex.map { case ((_, share), i) =>
+      val e = col("n").cast("double") * share
+      (col(s"_o$i") - e) * (col(s"_o$i") - e) / e
+    }.reduce(_ + _) // fixed left-assoc order over the literal arm list
+    agged.withColumn("chi2", chi2)
+      .select((keys :+ col("n") :+ col("chi2")): _*)
+  }
+
+  /** Empirical-Bayes beta-binomial rate shrinkage (Robbins 1956 via the
+    * standard method-of-moments prior): per-item success rates x/n pulled
+    * toward the population prior — the fix for "1/1 = 100% beats 980/1000"
+    * leaderboard artifacts. Prior from the UNWEIGHTED moments of the raw
+    * per-item rates: with m = mean(p̂), v = var(p̂) (population form),
+    * α+β = m(1−m)/v − 1 (guarded to ≥ `minConcentration` — v ≈ 0 or
+    * super-binomial spread would otherwise produce a degenerate or negative
+    * prior), α = m·(α+β). Shrunk rate = (x + α)/(n + α + β).
+    *
+    * Plan: item grain is the input; one 1-row moment aggregate broadcast
+    * back — no second shuffle.
+    */
+  def ebShrinkRates(df: DataFrame, itemCols: Seq[String], xCol: String,
+                    nCol: String, minConcentration: Double = 1.0): DataFrame = {
+    val keys = itemCols.map(col)
+    val rate = col(xCol).cast("double") / col(nCol).cast("double")
+    val base = df.withColumn("_p", rate)
+    val mom = base.agg(count(lit(1)).as("_k"), sum(col("_p")).as("_sp"),
+      sum(col("_p") * col("_p")).as("_spp"))
+    base.crossJoin(broadcast(mom))
+      .withColumn("_m", col("_sp") / col("_k"))
+      .withColumn("_v",
+        col("_spp") / col("_k") - col("_m") * col("_m"))
+      .withColumn("_ab",
+        when(col("_v") > 0,
+          greatest(col("_m") * (lit(1.0) - col("_m")) / col("_v") - 1,
+            lit(minConcentration)))
+          .otherwise(lit(minConcentration)))
+      .withColumn("shrunk",
+        (col(xCol) + col("_m") * col("_ab")) /
+          (col(nCol) + col("_ab")))
+      .select((keys :+ col(xCol).as("x") :+ col(nCol).as("n") :+
+        col("_p").as("raw_rate") :+ col("_ab").as("prior_strength") :+
+        col("shrunk")): _*)
+  }
+}
