@@ -1893,8 +1893,8 @@ object SparkEntry {
             lit(1)).otherwise(lit(0)).as("churned"))
       graft.operators.Survival.kaplanMeier(subj, Seq("event_type"), "dur",
           "churned")
-        .select(col("event_type"), col("t"), col("n_risk"), col("d"),
-          r6(col("survival")).as("survival"))
+        .select(col("event_type"), col("t"), col("n_risk"),
+          col("n_event").as("d"), r6(col("survival")).as("survival"))
         .orderBy("event_type", "t")
     }),
 
@@ -3821,6 +3821,172 @@ object SparkEntry {
           r6(col("prior_strength")).as("prior_strength"),
           r6(col("shrunk")).as("shrunk"))
         .orderBy("user_id")
+    }),
+
+    // tail-conditional mean (CVaR / expected shortfall): top-decile tail by
+    // INTEGER rank cut with id tie-break — never an interpolated threshold
+    "q279_cvar" -> ((s, dir) => {
+      graft.operators.Profile.tailMean(ev(s, dir), Seq("event_type"),
+          "value", "event_id", tailNum = 1, tailDen = 10)
+        .select(col("event_type"), col("n"), col("k_tail"),
+          r6(col("var_threshold")).as("var_threshold"),
+          r6(col("tail_mean")).as("tail_mean"))
+        .orderBy("event_type")
+    }),
+
+    // local-maxima peaks on the hourly per-user count series (strict > over
+    // ±2 neighbors; integer counts so the flag is deterministic)
+    "q280_peaks" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .withColumn("ts_sec", unix_timestamp(col("ts").cast("timestamp")))
+        .withColumn("bucket_start", col("ts_sec") - pmod(col("ts_sec"), lit(3600L)))
+        .groupBy(col("user_id"), col("bucket_start"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Anomaly.peaks(hourly, Seq("user_id"), "bucket_start",
+          "cnt", radius = 2)
+        .filter(col("is_peak"))
+        .select(col("user_id"), col("bucket_start"), col("cnt"))
+        .orderBy("user_id", "bucket_start")
+    }),
+
+    // closed-form multivariate OLS (value ~ hour-of-day + day-of-month):
+    // one moment-sum pass + literal Cramer solve, replayed token-for-token
+    "q281_ols" -> ((s, dir) => {
+      val d = ev(s, dir)
+        .withColumn("x1", hour(col("ts").cast("timestamp")).cast("double"))
+        .withColumn("x2", dayofmonth(col("ts").cast("timestamp")).cast("double"))
+      graft.operators.Features.olsFit(d, Seq("event_type"), "value", "x1", "x2")
+        .select(col("event_type"), col("n"), r6(col("b0")).as("b0"),
+          r6(col("b1")).as("b1"), r6(col("b2")).as("b2"), r6(col("r2")).as("r2"))
+        .orderBy("event_type")
+    }),
+
+    // Hurst exponent (aggregated-variance method) of the daily count
+    // series per type; dyadic blocks 1/2/4, whole blocks only (daily grain
+    // keeps the series dense enough for complete blocks at every sf)
+    "q282_hurst" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .withColumn("ts_sec", unix_timestamp(col("ts").cast("timestamp")))
+        .withColumn("idx", expr("ts_sec div 86400L"))
+        .groupBy(col("event_type"), col("idx"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      graft.operators.Features.hurst(daily, Seq("event_type"), "idx", "v",
+          ms = Seq(1, 2, 4))
+        .select(col("event_type"), col("n_blocks"), r6(col("slope")).as("slope"),
+          r6(col("hurst")).as("hurst"))
+        .orderBy("event_type")
+    }),
+
+    // mSPRT always-valid p-value sequence: user-parity arms, daily
+    // checkpoints, tau^2 = 1 — the peeking-safe A/B readout
+    "q283_msprt" -> ((s, dir) => {
+      val d = ev(s, dir)
+        .withColumn("_us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("day", expr("(_us - 1704067200000000L) div 86400000000L"))
+        .withColumn("arm", (col("user_id") % 2).cast("string"))
+      graft.operators.Experiment.msprt(d, Seq("event_type"), "day", "arm",
+          "0", "1", "value", tauSq = 1.0)
+        .select(col("event_type"), col("day"), col("n_a"), col("n_b"),
+          r6(col("delta")).as("delta"), r6(col("lambda")).as("lambda"),
+          r6(col("p_always_valid")).as("p_always_valid"))
+        .orderBy("event_type", "day")
+    }),
+
+    // late-data tier upsert: 1m tier from on-time events, the late 20%
+    // merged in by Rollup.upsertPoints (only touched buckets re-merge; the
+    // oracle recomputes the 1m grain from ALL events incl. exact p50/p95 —
+    // proving upsert(tier(base), late) == tier(base ∪ late) through the
+    // Gorilla block path)
+    "q284_late_upsert" -> ((s, dir) => {
+      def t1m(d: DataFrame): DataFrame = d
+        .withColumn("ts_sec", unix_timestamp(col("ts").cast("timestamp")))
+        .withColumn("bucket_start", col("ts_sec") - pmod(col("ts_sec"), lit(60L)))
+        .groupBy(col("user_id"), col("bucket_start"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_len"),
+          min(col("value")).as("min_len"), max(col("value")).as("max_len"),
+          collect_set(col("event_type")).as("lang_set"),
+          graft.functions.codec.BlockAggregator(col("ts_sec"), col("value")).as("m"))
+        .withColumn("mean_len", col("sum_len") / col("cnt"))
+        .withColumn("lang_card", size(col("lang_set")).cast("long"))
+        .withColumn("p50_len", col("m.p50")).withColumn("p95_len", col("m.p95"))
+        .withColumn("block", col("m.block")).drop("m")
+      val all = ev(s, dir)
+      val tier = t1m(all.filter(pmod(col("event_id"), lit(5L)) =!= 0L))
+      val late = t1m(all.filter(pmod(col("event_id"), lit(5L)) === 0L))
+      Rollup.upsertPoints(tier, late, groupCols = Seq("user_id"))
+        .select(col("user_id"), col("bucket_start"), col("cnt"),
+          r6(col("sum_len")).as("sum_value"), r6(col("min_len")).as("min_value"),
+          r6(col("max_len")).as("max_value"), r6(col("p50_len")).as("p50"),
+          r6(col("p95_len")).as("p95"))
+        .orderBy("user_id", "bucket_start")
+    }),
+
+    // multi-window SLO burn rate: hourly error share per user-shard, 6h
+    // fast / 24h slow windows against a 0.2 budget — alert when both burn
+    "q285_burn_rate" -> ((s, dir) => {
+      val d = ev(s, dir).withColumn("shard", (col("user_id") % 4).cast("string"))
+      graft.operators.Anomaly.burnRate(d, Seq("shard"), "ts",
+          col("event_type") === "error", bucketSeconds = 3600L,
+          shortBuckets = 6, longBuckets = 24, budget = 0.2, threshold = 1.05)
+        .select(col("shard"), col("bucket_start"), col("total"), col("errors"),
+          r6(col("rate_short")).as("rate_short"),
+          r6(col("rate_long")).as("rate_long"),
+          col("alert").cast("int").as("alert"))
+        .orderBy("shard", "bucket_start")
+    }),
+
+    // Tukey median polish of the (weekday × week) count matrix per type —
+    // integer cells make every sweep median an exact dyadic rational
+    "q286_median_polish" -> ((s, dir) => {
+      val cells = ev(s, dir)
+        .withColumn("dow", dayofweek(col("ts").cast("timestamp")))
+        .withColumn("_us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("wk", expr("(_us - 1704067200000000L) div 604800000000L"))
+        .groupBy(col("event_type"), col("dow"), col("wk"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      graft.operators.Robust.medianPolish(cells, Seq("event_type"), "dow",
+          "wk", "v", iterations = 2)
+        .select(col("event_type"), col("dow"), col("wk"),
+          r6(col("row_eff")).as("row_eff"), r6(col("col_eff")).as("col_eff"),
+          r6(col("residual")).as("residual"))
+        .orderBy("event_type", "dow", "wk")
+    }),
+
+    // two-state Viterbi burst segmentation (Kleinberg-shaped) on hourly
+    // counts; INTEGER L1 emission costs and integer gamma = per-key base
+    // rate, so the optimal path is bit-exact cross-engine
+    "q287_bursts" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .withColumn("ts_sec", unix_timestamp(col("ts").cast("timestamp")))
+        .withColumn("bucket_start", col("ts_sec") - pmod(col("ts_sec"), lit(3600L)))
+        .groupBy(col("event_type"), col("bucket_start"))
+        .agg(count(lit(1)).as("n"))
+      val base = hourly.groupBy(col("event_type"))
+        .agg(expr("sum(n) div count(1)").as("mu"))
+      val costed = hourly.join(base, Seq("event_type"))
+        .withColumn("e0", abs(col("n") - col("mu")).cast("double"))
+        .withColumn("e1", abs(col("n") - lit(2L) * col("mu")).cast("double"))
+      graft.operators.Anomaly.burstSegments(costed, Seq("event_type"),
+          "bucket_start", "e0", "e1", col("mu"))
+        .select(col("event_type"), col("ts_sec").as("bucket_start"),
+          r6(col("cost_base")).as("cost_base"),
+          r6(col("cost_burst")).as("cost_burst"),
+          col("burst").cast("int").as("burst"))
+        .orderBy("event_type", "bucket_start")
+    }),
+
+    // rate/mix decomposition of the mean-value change across the Jan-16
+    // split: which types moved the topline by rate vs by traffic mix
+    "q288_rate_mix" -> ((s, dir) => {
+      val us = unix_micros(col("ts").cast("timestamp"))
+      graft.operators.Experiment.rateMix(ev(s, dir), Seq("event_type"),
+          us >= lit(1705363200000000L), "value")
+        .select(col("event_type"), col("n1"), col("n2"), r6(col("w1")).as("w1"),
+          r6(col("w2")).as("w2"), r6(col("r1")).as("r1"), r6(col("r2")).as("r2"),
+          r6(col("rate_effect")).as("rate_effect"),
+          r6(col("mix_effect")).as("mix_effect"),
+          r6(col("total_effect")).as("total_effect"))
+        .orderBy("event_type")
     })
   )
 
@@ -8581,8 +8747,262 @@ object SparkEntry {
         |SELECT user_id, x::BIGINT AS x, n::BIGINT AS n, round(p, 6) AS raw_rate,
         |  round(ab, 6) AS prior_strength,
         |  round((x + (sp/k) * ab) / (n + ab), 6) AS shrunk
-        |FROM j ORDER BY 1""".stripMargin
+        |FROM j ORDER BY 1""".stripMargin,
+
+    // integer rank cut k = ceil(n/10) with (value desc, id) tie-break —
+    // replays Profile.tailMean's rank-based tail definition
+    "q279_cvar" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, max(n)::BIGINT AS n, count(*)::BIGINT AS k_tail,
+        |  round(min(value), 6) AS var_threshold, round(avg(value), 6) AS tail_mean
+        |FROM r WHERE rn <= (n * 1 + 9) // 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // strict local maxima over ±2 rows; null-side frames pass (endpoints
+    // may be peaks) — mirrors Anomaly.peaks
+    "q280_peaks" ->
+      """WITH h AS (SELECT user_id,
+        |    floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 3600 AS bucket_start,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, bucket_start, cnt,
+        |    max(cnt) OVER (PARTITION BY user_id ORDER BY bucket_start
+        |      ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS ml,
+        |    max(cnt) OVER (PARTITION BY user_id ORDER BY bucket_start
+        |      ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS mr
+        |  FROM h)
+        |SELECT user_id, bucket_start, cnt::BIGINT AS cnt FROM m
+        |WHERE (ml IS NULL OR cnt > ml) AND (mr IS NULL OR cnt > mr)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Cramer's-rule 3x3 OLS replayed term for term from the same ten
+    // moment sums (Features.olsFit)
+    "q281_ols" ->
+      """WITH m AS (SELECT event_type, count(*)::DOUBLE AS n,
+        |    sum(hour(ts)::DOUBLE) AS s1, sum(date_part('day', ts)::DOUBLE) AS s2,
+        |    sum(value) AS sy,
+        |    sum(hour(ts)::DOUBLE * hour(ts)::DOUBLE) AS s11,
+        |    sum(hour(ts)::DOUBLE * date_part('day', ts)::DOUBLE) AS s12,
+        |    sum(date_part('day', ts)::DOUBLE * date_part('day', ts)::DOUBLE) AS s22,
+        |    sum(hour(ts)::DOUBLE * value) AS s1y,
+        |    sum(date_part('day', ts)::DOUBLE * value) AS s2y,
+        |    sum(value * value) AS syy
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT *,
+        |    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+        |    sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS d0,
+        |    n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS d1,
+        |    n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS d2
+        |  FROM m)
+        |SELECT event_type, n::BIGINT AS n,
+        |  round(CASE WHEN abs(det) > 1e-9 THEN d0/det END, 6) AS b0,
+        |  round(CASE WHEN abs(det) > 1e-9 THEN d1/det END, 6) AS b1,
+        |  round(CASE WHEN abs(det) > 1e-9 THEN d2/det END, 6) AS b2,
+        |  round(CASE WHEN abs(det) > 1e-9 AND (syy - sy*sy/n) > 0
+        |    THEN ((d0/det)*sy + (d1/det)*s1y + (d2/det)*s2y - sy*sy/n) / (syy - sy*sy/n)
+        |    END, 6) AS r2
+        |FROM d ORDER BY 1""".stripMargin,
+
+    "q282_hurst" -> hurstSql,
+
+    // cumulative two-arm moments -> mixture LR -> running-min always-valid
+    // p, replaying Experiment.msprt's literal operation order (tau^2 = 1)
+    "q283_msprt" ->
+      """WITH per AS (SELECT event_type,
+        |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN value ELSE 0 END) AS sa,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN value*value ELSE 0 END) AS qa,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cb,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN value ELSE 0 END) AS sb,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN value*value ELSE 0 END) AS qb
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, day,
+        |    sum(ca) OVER w AS na, sum(cb) OVER w AS nb,
+        |    sum(sa) OVER w AS Sa, sum(sb) OVER w AS Sb,
+        |    sum(qa) OVER w AS Qa, sum(qb) OVER w AS Qb
+        |  FROM per WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |sc AS (SELECT event_type, day, na, nb,
+        |    CASE WHEN na >= 1 AND nb >= 1 THEN Sb/nb::DOUBLE - Sa/na::DOUBLE END AS delta,
+        |    CASE WHEN na >= 2 AND nb >= 2 AND
+        |        (Qa - Sa*Sa/na::DOUBLE + Qb - Sb*Sb/nb::DOUBLE)/(na::DOUBLE + nb::DOUBLE - 2) > 0
+        |      THEN (Qa - Sa*Sa/na::DOUBLE + Qb - Sb*Sb/nb::DOUBLE)/(na::DOUBLE + nb::DOUBLE - 2)
+        |        * (1.0/na::DOUBLE + 1.0/nb::DOUBLE) END AS vt
+        |  FROM cum),
+        |lr AS (SELECT event_type, day, na, nb, delta,
+        |    CASE WHEN vt IS NOT NULL THEN
+        |      sqrt(vt/(vt + 1.0)) * exp(delta*delta*1.0/(2.0*vt*(vt + 1.0))) END AS lambda
+        |  FROM sc)
+        |SELECT event_type, day, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |  round(delta, 6) AS delta, round(lambda, 6) AS lambda,
+        |  round(min(CASE WHEN lambda IS NOT NULL
+        |      THEN least(1.0, 1.0/lambda) END)
+        |    OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS p_always_valid
+        |FROM lr ORDER BY 1, 2""".stripMargin,
+
+    // the upsert identity: tier(base) ⊕ late == tier(all); the oracle IS
+    // the direct 1m rollup of all events with exact interpolated quantiles
+    "q284_late_upsert" ->
+      """SELECT user_id,
+        |  floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 60 AS bucket_start,
+        |  count(*)::BIGINT AS cnt, round(sum(value), 6) AS sum_value,
+        |  round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // hourly error share per shard; 6h/24h trailing RANGE frames on the
+    // bucket index (gaps shorten the window on both engines)
+    "q285_burn_rate" ->
+      """WITH b AS (SELECT (user_id % 4)::VARCHAR AS shard,
+        |    floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 3600 AS bucket_start,
+        |    count(*) AS total,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT shard, bucket_start, total, errors,
+        |    (sum(errors) OVER ws)::DOUBLE / (sum(total) OVER ws)::DOUBLE AS rs,
+        |    (sum(errors) OVER wl)::DOUBLE / (sum(total) OVER wl)::DOUBLE AS rl
+        |  FROM b WINDOW
+        |    ws AS (PARTITION BY shard ORDER BY bucket_start // 3600
+        |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW),
+        |    wl AS (PARTITION BY shard ORDER BY bucket_start // 3600
+        |      RANGE BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT shard, bucket_start, total::BIGINT AS total, errors::BIGINT AS errors,
+        |  round(rs, 6) AS rate_short, round(rl, 6) AS rate_long,
+        |  CASE WHEN rs / 0.2 > 1.05 AND rl / 0.2 > 1.05 THEN 1 ELSE 0 END AS alert
+        |FROM w ORDER BY 1, 2""".stripMargin,
+
+    // two alternating (row, col) median sweeps replayed with windowed
+    // quantile_cont — integer cells keep every step dyadic-exact
+    "q286_median_polish" ->
+      """WITH c0 AS (SELECT event_type, dayofweek(ts) + 1 AS dow,
+        |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk,
+        |    count(*)::DOUBLE AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |s1 AS (SELECT *, quantile_cont(v, 0.5)
+        |    OVER (PARTITION BY event_type, dow) AS rm FROM c0),
+        |s2 AS (SELECT event_type, dow, wk, v - rm AS res, rm AS reff FROM s1),
+        |s3 AS (SELECT *, quantile_cont(res, 0.5)
+        |    OVER (PARTITION BY event_type, wk) AS cm FROM s2),
+        |s4 AS (SELECT event_type, dow, wk, res - cm AS res, reff, cm AS ceff FROM s3),
+        |s5 AS (SELECT *, quantile_cont(res, 0.5)
+        |    OVER (PARTITION BY event_type, dow) AS rm FROM s4),
+        |s6 AS (SELECT event_type, dow, wk, res - rm AS res,
+        |    reff + rm AS reff, ceff FROM s5),
+        |s7 AS (SELECT *, quantile_cont(res, 0.5)
+        |    OVER (PARTITION BY event_type, wk) AS cm FROM s6),
+        |s8 AS (SELECT event_type, dow, wk, res - cm AS res, reff,
+        |    ceff + cm AS ceff FROM s7)
+        |SELECT event_type, dow, wk, round(reff, 6) AS row_eff,
+        |  round(ceff, 6) AS col_eff, round(res, 6) AS residual
+        |FROM s8 ORDER BY 1, 2, 3""".stripMargin,
+
+    // forward Viterbi costs then a BACKWARD recursive walk for the state
+    // path, both on integer-exact costs; ties prefer base (<=) exactly as
+    // Anomaly.burstSegments pins them
+    "q287_bursts" ->
+      """WITH RECURSIVE h AS (SELECT event_type,
+        |    floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 3600 AS b,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, sum(n) // count(*) AS mu FROM h GROUP BY 1),
+        |c AS (SELECT h.event_type, b, n, mu,
+        |    abs(n - mu)::DOUBLE AS e0, abs(n - 2*mu)::DOUBLE AS e1,
+        |    row_number() OVER (PARTITION BY h.event_type ORDER BY b) AS rn,
+        |    count(*) OVER (PARTITION BY h.event_type) AS tot
+        |  FROM h JOIN m USING (event_type)),
+        |fwd AS MATERIALIZED (
+        |  SELECT event_type, rn, b, e0 AS c0, mu::DOUBLE + e1 AS c1,
+        |    mu::DOUBLE AS g, tot
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.event_type, c.rn, c.b,
+        |    least(f.c0, f.c1) + c.e0,
+        |    least(f.c0 + f.g, f.c1) + c.e1, f.g, f.tot
+        |  FROM c JOIN fwd f ON c.event_type = f.event_type AND c.rn = f.rn + 1),
+        |bwd AS (
+        |  SELECT event_type, rn, CASE WHEN c0 <= c1 THEN 0 ELSE 1 END AS st
+        |  FROM fwd WHERE rn = tot
+        |  UNION ALL
+        |  SELECT f.event_type, f.rn,
+        |    CASE WHEN bk.st = 0 THEN (CASE WHEN f.c0 <= f.c1 THEN 0 ELSE 1 END)
+        |      ELSE (CASE WHEN f.c0 + f.g <= f.c1 THEN 0 ELSE 1 END) END
+        |  FROM fwd f JOIN bwd bk
+        |    ON f.event_type = bk.event_type AND f.rn = bk.rn - 1)
+        |SELECT f.event_type, f.b AS bucket_start, round(f.c0, 6) AS cost_base,
+        |  round(f.c1, 6) AS cost_burst, bk.st AS burst
+        |FROM fwd f JOIN bwd bk ON f.event_type = bk.event_type AND f.rn = bk.rn
+        |ORDER BY 1, 2""".stripMargin,
+
+    // exact decomposition: mean2 - mean1 = sum_s [w2(r2-r1) + (w2-w1)r1];
+    // missing-side conventions (w=0, r1→0) mirrored from Experiment.rateMix
+    "q288_rate_mix" ->
+      """WITH per AS (SELECT event_type,
+        |    sum(CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN epoch_us(ts) < 1705363200000000 THEN value ELSE 0 END) AS s1,
+        |    sum(CASE WHEN epoch_us(ts) >= 1705363200000000 THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN epoch_us(ts) >= 1705363200000000 THEN value ELSE 0 END) AS s2
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM per),
+        |d AS (SELECT event_type, n1, n2,
+        |    n1::DOUBLE / t1::DOUBLE AS w1, n2::DOUBLE / t2::DOUBLE AS w2,
+        |    CASE WHEN n1 > 0 THEN s1 / n1 ELSE 0.0 END AS r1,
+        |    CASE WHEN n2 > 0 THEN s2 / n2 ELSE 0.0 END AS r2
+        |  FROM per CROSS JOIN t)
+        |SELECT event_type, n1::BIGINT AS n1, n2::BIGINT AS n2,
+        |  round(w1, 6) AS w1, round(w2, 6) AS w2,
+        |  round(r1, 6) AS r1, round(r2, 6) AS r2,
+        |  round(w2 * (r2 - r1), 6) AS rate_effect,
+        |  round((w2 - w1) * r1, 6) AS mix_effect,
+        |  round(w2 * (r2 - r1) + (w2 - w1) * r1, 6) AS total_effect
+        |FROM d ORDER BY 1""".stripMargin
   )
+
+  /** q282's oracle: the aggregated-variance Hurst replay. The ln-m design
+    * constants (Σln m, Σ(ln m)²) are computed ONCE here in JVM doubles and
+    * injected into the SQL as 17-significant-digit literals, so both
+    * engines combine the per-m ln-variances with bit-identical design
+    * constants (the [[graft.operators.Governance.BenfordExpected]]
+    * shared-constant pattern).
+    */
+  private def hurstSql: String = {
+    val ms = Seq(1, 2, 4)
+    val bucketSec = 86400L
+    val lnM = ms.map(m => math.log(m.toDouble))
+    def lit17(x: Double): String = "%.17g".format(x)
+    val blocks = ms.zipWithIndex.map { case (m, i) =>
+      s"""b$i AS (SELECT event_type, idx // $m AS b, sum(v) AS s, count(*) AS c
+         |  FROM h GROUP BY 1, 2),
+         |g$i AS (SELECT event_type, count(*)::DOUBLE AS k$i,
+         |    sum(s/c::DOUBLE) AS sm$i, sum((s/c::DOUBLE)*(s/c::DOUBLE)) AS ssm$i
+         |  FROM b$i WHERE c = $m GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val lnV = ms.indices.map(i => s"ln((ssm$i - sm$i*sm$i/k$i)/(k$i - 1))")
+    val valid = ms.indices.map(i =>
+      s"k$i >= 2 AND (ssm$i - sm$i*sm$i/k$i) > 0").mkString(" AND ")
+    val sy = lnV.foldLeft("0.0")((acc, v) => s"($acc + $v)")
+    val sxy = ms.indices.foldLeft("0.0")((acc, i) =>
+      s"($acc + ${lit17(lnM(i))} * ${lnV(i)})")
+    val (sx, sxx) = (lit17(lnM.sum), lit17(lnM.map(x => x * x).sum))
+    val p = s"${ms.length}.0"
+    val joins = ms.indices.tail.map(i => s"JOIN g$i USING (event_type)").mkString(" ")
+    val gcols = ms.indices.map(i => s"k$i, sm$i, ssm$i").mkString(", ")
+    s"""WITH h AS (SELECT event_type, floor(epoch(ts))::BIGINT // $bucketSec AS idx,
+       |    count(*)::DOUBLE AS v FROM events GROUP BY 1, 2),
+       |$blocks,
+       |j AS (SELECT g0.event_type, $gcols FROM g0 $joins),
+       |s AS (SELECT event_type, k0,
+       |    CASE WHEN $valid THEN
+       |      (($sxy) - $sx * ($sy) / $p) / ($sxx - $sx * $sx / $p) END AS slope
+       |  FROM j)
+       |SELECT event_type, k0::BIGINT AS n_blocks, round(slope, 6) AS slope,
+       |  round(CASE WHEN slope IS NOT NULL THEN 1.0 + slope / 2 END, 6) AS hurst
+       |FROM s ORDER BY 1""".stripMargin
+  }
 
   /** q221's oracle: the same bounded-round k-core peel as
     * [[graft.operators.Graph.kCore]], unrolled — round i restricts the

@@ -271,4 +271,147 @@ object Anomaly {
       .select(col("a"), col("b"), col("o"), col("row_tot"), col("col_tot"),
         col("expected"), col("residual"))
   }
+
+  /** Local-maxima peak detection: a row is a peak iff its value is STRICTLY
+    * greater than every value within `radius` rows on each side of it in
+    * the per-key time order. Strict comparison makes plateaus peak-free and
+    * the flag deterministic (no tie-break needed); rows near a series edge
+    * compare only against the neighbors that exist (an endpoint can be a
+    * peak). One window shuffle on the key; both row frames reuse the same
+    * sorted exchange.
+    *
+    * Returns the input plus `is_peak`; use `filter(col("is_peak"))` for the
+    * peak list. Works on any per-key ordered series — run it on a TIER
+    * table (1h/1d counts), never raw events, at scale.
+    */
+  def peaks(df: DataFrame, keyCols: Seq[String], tsCol: String,
+            valCol: String, radius: Int): DataFrame = {
+    require(radius >= 1, s"peaks: radius must be >= 1, got $radius")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    val left = max(col(valCol)).over(w.rowsBetween(-radius, -1))
+    val right = max(col(valCol)).over(w.rowsBetween(1, radius))
+    df.withColumn("is_peak",
+      (left.isNull || col(valCol) > left) &&
+        (right.isNull || col(valCol) > right))
+  }
+
+  /** Multi-window SLO burn-rate alerting (the SRE-workbook pattern): per
+    * key, bucket the event stream to `bucketSeconds` error/total counts,
+    * then compare the error RATE over a long and a short trailing window
+    * against `budget × threshold`. An alert fires only when BOTH windows
+    * burn hot — the long window gives significance, the short one confirms
+    * the burn is still happening (fast reset). Rates are exact integer
+    * ratios; the two range frames share one window exchange.
+    *
+    * @param errCond   boolean column marking an error event
+    * @param budget    SLO error budget as a rate (e.g. 0.1 = 10% errors allowed)
+    * @param threshold burn-rate multiple that pages (e.g. 2.0)
+    * @return one row per (key, bucket): counts, both rates, both burn
+    *         rates, and the `alert` flag
+    */
+  def burnRate(df: DataFrame, keyCols: Seq[String], tsCol: String,
+               errCond: org.apache.spark.sql.Column, bucketSeconds: Long,
+               shortBuckets: Int, longBuckets: Int,
+               budget: Double, threshold: Double): DataFrame = {
+    require(bucketSeconds >= 1 && shortBuckets >= 1 && longBuckets > shortBuckets,
+      "burnRate: need bucketSeconds >= 1 and longBuckets > shortBuckets >= 1")
+    require(budget > 0 && threshold > 0, "burnRate: budget and threshold must be > 0")
+    val keys = keyCols.map(col)
+    val bucketed = df
+      .withColumn("_sec", unix_timestamp(col(tsCol).cast("timestamp")))
+      .withColumn("bucket_start", col("_sec") - pmod(col("_sec"), lit(bucketSeconds)))
+      .groupBy((keys :+ col("bucket_start")): _*)
+      .agg(count(lit(1)).as("total"),
+        sum(when(errCond, 1L).otherwise(0L)).as("errors"))
+    // range frame on the bucket index, so missing (empty) buckets shorten
+    // the window honestly instead of silently stretching it over gaps
+    val w = Window.partitionBy(keys: _*)
+      .orderBy((col("bucket_start") / bucketSeconds).cast("long"))
+    def rate(nBuckets: Int) = {
+      val f = w.rangeBetween(-(nBuckets - 1).toLong, 0L)
+      sum(col("errors")).over(f).cast("double") /
+        sum(col("total")).over(f).cast("double")
+    }
+    bucketed
+      .withColumn("rate_short", rate(shortBuckets))
+      .withColumn("rate_long", rate(longBuckets))
+      .withColumn("burn_short", col("rate_short") / budget)
+      .withColumn("burn_long", col("rate_long") / budget)
+      .withColumn("alert",
+        col("burn_short") > threshold && col("burn_long") > threshold)
+  }
+
+  /** Two-state Viterbi burst segmentation (the Kleinberg 2002 automaton
+    * shape): per key, over the time-ordered series, find the min-cost
+    * base/burst state path where each row pays an emission cost in its
+    * state (`e0Col`/`e1Col`) and each base→burst transition pays `gamma`
+    * (burst→base is free, as in Kleinberg). Forward DP:
+    * `c0_t = min(c0, c1) + e0(t)`, `c1_t = min(c0 + γ, c1) + e1(t)`;
+    * ties break toward base (`<=`) in both the step mins and the backtrack,
+    * so the optimal path is unique and replayable.
+    *
+    * Cross-engine determinism: the DP path is a sequence of comparisons on
+    * accumulated costs — supply INTEGER-exact emission costs (e.g. L1
+    * distances of integer counts, the q287 pattern) and the path is
+    * bit-exact in any engine; true log-likelihood float costs work but put
+    * near-tie path choices at the mercy of last-ulp libm agreement.
+    *
+    * Per-key fold under the same series-size guard as [[cusum]]/EWMA — run
+    * it on TIER buckets, never raw events. Output: input keys + `ts_sec`,
+    * both running costs, and `burst` (the Viterbi state).
+    */
+  def burstSegments(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                    e0Col: String, e1Col: String,
+                    gammaCol: org.apache.spark.sql.Column): DataFrame = {
+    val keys = keyCols.map(col)
+    val foldUdf = udf { (pts: Seq[org.apache.spark.sql.Row], gamma: Double) =>
+      require(gamma >= 0, s"burstSegments: gamma must be >= 0, got $gamma")
+      require(pts.size <= Ewma.maxSeriesPoints,
+        s"burst series has ${pts.size} points (> Ewma.maxSeriesPoints=" +
+          s"${Ewma.maxSeriesPoints}). Aggregate to time buckets first.")
+      val sorted = pts.sortBy(_.getLong(0)).toArray
+      val n = sorted.length
+      val c0 = new Array[Double](n); val c1 = new Array[Double](n)
+      // fromBase(i): the min in c1_i's recurrence came from state 0
+      val fromBase0 = new Array[Boolean](n); val fromBase1 = new Array[Boolean](n)
+      var i = 0
+      while (i < n) {
+        val e0 = sorted(i).getDouble(1); val e1 = sorted(i).getDouble(2)
+        if (i == 0) {
+          // path starts in base state (Kleinberg's q0): burst at t=0 pays γ
+          c0(0) = e0; c1(0) = gamma + e1
+          fromBase0(0) = true; fromBase1(0) = true
+        } else {
+          fromBase0(i) = c0(i - 1) <= c1(i - 1)
+          fromBase1(i) = c0(i - 1) + gamma <= c1(i - 1)
+          c0(i) = math.min(c0(i - 1), c1(i - 1)) + e0
+          c1(i) = math.min(c0(i - 1) + gamma, c1(i - 1)) + e1
+        }
+        i += 1
+      }
+      val state = new Array[Int](n)
+      if (n > 0) {
+        state(n - 1) = if (c0(n - 1) <= c1(n - 1)) 0 else 1
+        var j = n - 1
+        while (j > 0) {
+          val fb = if (state(j) == 0) fromBase0(j) else fromBase1(j)
+          state(j - 1) = if (fb) 0 else 1
+          j -= 1
+        }
+      }
+      sorted.indices.map(k =>
+        (sorted(k).getLong(0), c0(k), c1(k), state(k) == 1))
+    }
+    df.withColumn("_gamma", gammaCol.cast("double"))
+      .groupBy(keys: _*)
+      .agg(collect_list(struct(
+        col(tsCol).cast("long").as("t"),
+        col(e0Col).cast("double").as("e0"),
+        col(e1Col).cast("double").as("e1"))).as("_pts"),
+        first(col("_gamma")).as("_g"))
+      .withColumn("_r", explode(foldUdf(col("_pts"), col("_g"))))
+      .select((keys ++ Seq(col("_r._1").as("ts_sec"),
+        col("_r._2").as("cost_base"), col("_r._3").as("cost_burst"),
+        col("_r._4").as("burst"))): _*)
+  }
 }

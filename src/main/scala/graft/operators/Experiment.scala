@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Experimentation analytics: the A/B-test readouts a web-scale event log
@@ -146,5 +147,115 @@ object Experiment {
       .select((keys :+ col(xCol).as("x") :+ col(nCol).as("n") :+
         col("_p").as("raw_rate") :+ col("_ab").as("prior_strength") :+
         col("shrunk")): _*)
+  }
+
+  /** Mixture sequential probability ratio test (mSPRT; Johari, Koomen,
+    * Pekelis & Walsh 2017 — the "always-valid p-value" behind peeking-safe
+    * A/B dashboards). Per group and per time-ordered checkpoint, with
+    * cumulative arm counts/means and a pooled variance estimate:
+    *
+    *   V_t  = σ̂²·(1/n_A + 1/n_B)                 (variance of the delta)
+    *   Λ_t  = sqrt(V/(V+τ²)) · exp(δ̂²·τ²/(2V(V+τ²)))   (mixture LR, N(0,τ²) prior)
+    *   p_t  = min(p_{t−1}, 1/Λ_t) capped at 1      (monotone, always valid)
+    *
+    * Every term is a closed-form combination of six cumulative moment sums,
+    * so an oracle replays it token for token; the running min is a window
+    * min over the same per-key ordering. One shuffle on the group key — the
+    * cumulative frames and the running min share the exchange.
+    *
+    * @param ckptCol   integer/date checkpoint column (analysis time order)
+    * @param armCol    string arm label; `armA`/`armB` select the comparison
+    * @param tauSq     mixture prior variance τ² on the mean difference
+    * @return one row per (group, checkpoint): cumulative n per arm, delta,
+    *         the mixture likelihood ratio `lambda`, and `p_always_valid`
+    */
+  def msprt(df: DataFrame, groupCols: Seq[String], ckptCol: String,
+            armCol: String, armA: String, armB: String, valCol: String,
+            tauSq: Double): DataFrame = {
+    require(tauSq > 0, s"msprt: tauSq must be > 0, got $tauSq")
+    val keys = groupCols.map(col)
+    val v = col(valCol).cast("double")
+    val isA = col(armCol) === armA
+    val isB = col(armCol) === armB
+    val perCkpt = df.filter(isA || isB)
+      .groupBy((keys :+ col(ckptCol)): _*)
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("_ca"),
+        sum(when(isA, v).otherwise(lit(0.0))).as("_sa"),
+        sum(when(isA, v * v).otherwise(lit(0.0))).as("_qa"),
+        sum(when(isB, 1L).otherwise(0L)).as("_cb"),
+        sum(when(isB, v).otherwise(lit(0.0))).as("_sb"),
+        sum(when(isB, v * v).otherwise(lit(0.0))).as("_qb"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col(ckptCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perCkpt
+      .withColumn("n_a", sum(col("_ca")).over(wCum))
+      .withColumn("n_b", sum(col("_cb")).over(wCum))
+      .withColumn("_Sa", sum(col("_sa")).over(wCum))
+      .withColumn("_Sb", sum(col("_sb")).over(wCum))
+      .withColumn("_Qa", sum(col("_qa")).over(wCum))
+      .withColumn("_Qb", sum(col("_qb")).over(wCum))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val delta = col("_Sb") / nb - col("_Sa") / na
+    val pooledVar = (col("_Qa") - col("_Sa") * col("_Sa") / na +
+      col("_Qb") - col("_Sb") * col("_Sb") / nb) / (na + nb - 2)
+    val vT = pooledVar * (lit(1.0) / na + lit(1.0) / nb)
+    val lam = sqrt(vT / (vT + tauSq)) *
+      exp(delta * delta * tauSq / (lit(2.0) * vT * (vT + tauSq)))
+    val defined = col("n_a") >= 2 && col("n_b") >= 2 && pooledVar > 0
+    val scored = cum
+      .withColumn("delta", when(col("n_a") >= 1 && col("n_b") >= 1, delta))
+      .withColumn("lambda", when(defined, lam))
+      .withColumn("_pt", when(defined, least(lit(1.0), lit(1.0) / lam)))
+    val wMin = Window.partitionBy(keys: _*).orderBy(col(ckptCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    scored
+      .withColumn("p_always_valid", min(col("_pt")).over(wMin))
+      .select((keys :+ col(ckptCol) :+ col("n_a") :+ col("n_b") :+
+        col("delta") :+ col("lambda") :+ col("p_always_valid")): _*)
+  }
+
+  /** Rate/mix decomposition of a weighted-mean metric change between two
+    * periods (the "why did the number move" root-cause table): with
+    * segment weights `w_s` (share of rows) and segment rates `r_s` (mean
+    * of the metric), the overall change decomposes EXACTLY as
+    *
+    *   mean₂ − mean₁ = Σ_s [ w₂_s·(r₂_s − r₁_s)  (rate effect)
+    *                       + (w₂_s − w₁_s)·r₁_s  (mix effect) ]
+    *
+    * — a segment hurting the topline because its rate fell reads in
+    * `rate_effect`; one hurting it because traffic shifted toward a
+    * low-rate segment reads in `mix_effect`. Segments present in only one
+    * period contribute their whole effect through the mix term (missing
+    * side: w = 0, and a missing r₁ is pinned to 0 — state the convention,
+    * the decomposition identity still holds because w₂·(r₂−0) + (w₂−0)·0
+    * degenerates to the rate term).
+    *
+    * One aggregate pass over both periods (conditional sums) + one 1-row
+    * broadcast of the period totals — no row-grain join.
+    */
+  def rateMix(df: DataFrame, segCols: Seq[String],
+              isPeriod2: org.apache.spark.sql.Column, valCol: String): DataFrame = {
+    val keys = segCols.map(col)
+    val v = col(valCol).cast("double")
+    val per = df.groupBy(keys: _*)
+      .agg(sum(when(!isPeriod2, 1L).otherwise(0L)).as("n1"),
+        sum(when(!isPeriod2, v).otherwise(lit(0.0))).as("_s1"),
+        sum(when(isPeriod2, 1L).otherwise(0L)).as("n2"),
+        sum(when(isPeriod2, v).otherwise(lit(0.0))).as("_s2"))
+    val tot = per.agg(sum(col("n1")).as("_t1"), sum(col("n2")).as("_t2"))
+    val w1 = col("n1").cast("double") / col("_t1").cast("double")
+    val w2 = col("n2").cast("double") / col("_t2").cast("double")
+    val r1 = when(col("n1") > 0, col("_s1") / col("n1")).otherwise(lit(0.0))
+    val r2 = when(col("n2") > 0, col("_s2") / col("n2")).otherwise(lit(0.0))
+    per.crossJoin(broadcast(tot))
+      .withColumn("w1", w1).withColumn("w2", w2)
+      .withColumn("r1", r1).withColumn("r2", r2)
+      .withColumn("rate_effect", col("w2") * (col("r2") - col("r1")))
+      .withColumn("mix_effect", (col("w2") - col("w1")) * col("r1"))
+      .withColumn("total_effect", col("rate_effect") + col("mix_effect"))
+      .select((keys :+ col("n1") :+ col("n2") :+ col("w1") :+ col("w2") :+
+        col("r1") :+ col("r2") :+ col("rate_effect") :+ col("mix_effect") :+
+        col("total_effect")): _*)
   }
 }

@@ -954,4 +954,120 @@ object Features {
     }
     out.reduce(_ unionByName _)
   }
+
+  /** Closed-form multivariate OLS fit, `y = b0 + b1·x1 + b2·x2`, per group:
+    * one pass of moment sums (the 3×3 Gram matrix + X'y) and a literal
+    * Cramer's-rule solve — the normal-equations pattern that scales to any
+    * row count because only 10 doubles per group cross the shuffle. The
+    * two-regressor case is closed-form-safe to replay in SQL; for general
+    * k, aggregate the same Gram matrix and Cholesky-solve the k×k system on
+    * the driver (k² scalars per group — the [[graft.operators.Pca]]
+    * pattern).
+    *
+    * Output per group: n, b0/b1/b2 and r2 (1 − SSR/SST, computed from the
+    * same moments in a pinned operation order so an oracle can replay it
+    * term for term). Degenerate design matrices (det ≈ 0) yield nulls.
+    */
+  def olsFit(df: DataFrame, groupCols: Seq[String], yCol: String,
+             x1Col: String, x2Col: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val (y, x1, x2) =
+      (col(yCol).cast("double"), col(x1Col).cast("double"), col(x2Col).cast("double"))
+    val m = df
+      .filter(y.isNotNull && x1.isNotNull && x2.isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).cast("double").as("_n"),
+        sum(x1).as("_s1"), sum(x2).as("_s2"), sum(y).as("_sy"),
+        sum(x1 * x1).as("_s11"), sum(x1 * x2).as("_s12"),
+        sum(x2 * x2).as("_s22"),
+        sum(x1 * y).as("_s1y"), sum(x2 * y).as("_s2y"),
+        sum(y * y).as("_syy"))
+    // 3x3 Cramer on [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] · b = [sy,s1y,s2y]
+    val (n, s1, s2, sy) = (col("_n"), col("_s1"), col("_s2"), col("_sy"))
+    val (s11, s12, s22) = (col("_s11"), col("_s12"), col("_s22"))
+    val (s1y, s2y, syy) = (col("_s1y"), col("_s2y"), col("_syy"))
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val d0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val d1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val d2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    val ok = abs(det) > lit(1e-9)
+    val (b0, b1, b2) = (d0 / det, d1 / det, d2 / det)
+    // SSR from moments: b'X'y with the intercept folded in; SST = syy - sy²/n
+    val sst = syy - sy * sy / n
+    val ssr = (b0 * sy + b1 * s1y + b2 * s2y) - sy * sy / n
+    m.select((keys :+ col("_n").cast("long").as("n") :+
+      when(ok, b0).as("b0") :+ when(ok, b1).as("b1") :+ when(ok, b2).as("b2") :+
+      when(ok && sst > 0, ssr / sst).as("r2")): _*)
+  }
+
+  /** Hurst exponent via the aggregated-variance method (Beran 1994 §4.4):
+    * chop the per-key regular series into non-overlapping blocks of m
+    * points for each dyadic m, take the variance of the block MEANS, and
+    * fit `ln Var(m) = c + (2H − 2)·ln m` by OLS over the (ln m, ln Var)
+    * points. H ≈ 0.5 for independent increments, → 1 under long-range
+    * dependence — a one-number memory profile of a tier series.
+    *
+    * Exactness discipline: incomplete tail blocks are DROPPED (a ragged
+    * mean would make the estimate depend on series length mod m); the
+    * final ln-ln fit folds a bounded per-m pivot in a literal column order,
+    * never a shuffled float aggregation, so an oracle replays it exactly.
+    * Plan: one shuffle to (key, finest block), then |ms| halving re-aggs of
+    * an already-tiny frame, then a pivot to one row per key.
+    *
+    * @param idxCol integer position of each point in its series (regular
+    *               grid — run on a gap-filled tier series)
+    * @param ms     dyadic block sizes, each dividing the next (e.g. 1,2,4,8)
+    */
+  def hurst(df: DataFrame, groupCols: Seq[String], idxCol: String,
+            valCol: String, ms: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(ms.length >= 2 && ms.head >= 1 && ms == ms.sorted && ms.distinct == ms,
+      s"hurst: ms must be >= 2 distinct ascending block sizes, got $ms")
+    require(ms.sliding(2).forall { case Seq(a, b) => b % a == 0 },
+      s"hurst: each block size must divide the next (halving re-agg), got $ms")
+    val keys = groupCols.map(col)
+    // blocks of the smallest m once from the raw series, then re-agg up
+    var cur = df
+      .select((keys :+ expr(s"$idxCol div ${ms.head}").as("_b") :+
+        col(valCol).cast("double").as("_v") :+ lit(1L).as("_c")): _*)
+      .groupBy((keys :+ col("_b")): _*)
+      .agg(sum(col("_v")).as("_v"), sum(col("_c")).as("_c"))
+    val perM = ms.zipWithIndex.map { case (mSize, i) =>
+      if (i > 0) {
+        val factor = mSize / ms(i - 1)
+        cur = cur.withColumn("_p", expr(s"_b div $factor")).drop("_b")
+          .groupBy((keys :+ col("_p").as("_b")): _*)
+          .agg(sum(col("_v")).as("_v"), sum(col("_c")).as("_c"))
+      }
+      val mean = col("_v") / col("_c")
+      cur.filter(col("_c") === mSize.toLong) // whole blocks only
+        .groupBy(keys: _*)
+        .agg(count(lit(1)).cast("double").as(s"_k$i"),
+          sum(mean).as(s"_s$i"), sum(mean * mean).as(s"_ss$i"))
+    }
+    val joined = perM.reduce((a, b) => a.join(b, groupCols))
+    // sample variance per m, then the 2-D OLS slope over (ln m, ln var) in
+    // literal order; keys with any degenerate variance (k<2 or var<=0) null out
+    val lnM = ms.map(mSize => math.log(mSize.toDouble))
+    val lnV = ms.indices.map { i =>
+      val (k, s, ss) = (col(s"_k$i"), col(s"_s$i"), col(s"_ss$i"))
+      log((ss - s * s / k) / (k - 1))
+    }
+    val valid = ms.indices.map { i =>
+      val (k, s, ss) = (col(s"_k$i"), col(s"_s$i"), col(s"_ss$i"))
+      k >= 2 && (ss - s * s / k) > 0
+    }.reduce(_ && _)
+    val p = ms.length.toDouble
+    val sx = lit(lnM.sum)
+    val sxx = lit(lnM.map(x => x * x).sum)
+    val sy = lnV.foldLeft(lit(0.0))(_ + _)
+    val sxy = ms.indices.map(i => lit(lnM(i)) * lnV(i)).foldLeft(lit(0.0))(_ + _)
+    val slope = (sxy - sx * sy / p) / (sxx - sx * sx / p)
+    joined.select((keys :+ col("_k0").cast("long").as("n_blocks") :+
+      when(valid, slope).as("slope") :+
+      when(valid, lit(1.0) + slope / 2).as("hurst")): _*)
+  }
 }

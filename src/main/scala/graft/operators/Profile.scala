@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataframe profiling — the reference's `describe()` summary
@@ -477,6 +478,41 @@ object Profile {
     * Plan: one group-grain pivot aggregate + one 1-row global aggregate
     * broadcast by crossJoin.
     */
+  /** Tail-conditional mean (CVaR / expected shortfall) by RANK: per group,
+    * the mean of the top `k = ceil(n·tailNum/tailDen)` values, ranked
+    * `(value desc, id)`. The tail is an INTEGER rank cut with an id
+    * tie-break, never an interpolated-quantile threshold filter — a float
+    * threshold (`value >= quantile_cont(q)`) can flip membership on the
+    * boundary ulp between engines, and under heavy ties it selects a
+    * different tail mass than the definition promises. `var_threshold` is
+    * the k-th (smallest selected) value — the rank-based VaR.
+    *
+    * One shuffle on the group key; ranking a group is O(group) — for a tiny
+    * tail fraction over a huge group, pre-filter with an approximate
+    * threshold (`percentile_approx`) minus a safety margin, then rank only
+    * the survivors (same result, bounded sort).
+    *
+    * @param tailNum/tailDen tail fraction as a rational (e.g. 1/10 for the
+    *                        top decile) so k is integer-exact cross-engine
+    */
+  def tailMean(df: DataFrame, groupCols: Seq[String], valCol: String,
+               idCol: String, tailNum: Int, tailDen: Int): DataFrame = {
+    require(tailNum >= 1 && tailDen >= tailNum,
+      s"tailMean: need 0 < tailNum/tailDen <= 1, got $tailNum/$tailDen")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valCol).desc, col(idCol))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    df.select((groupCols.map(col) :+ col(valCol) :+ col(idCol)): _*)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_k", expr(s"(_n * $tailNum + ${tailDen - 1}) div $tailDen"))
+      .filter(col("_rn") <= col("_k"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("_n")).as("n"), count(lit(1)).as("k_tail"),
+        min(col(valCol)).as("var_threshold"),
+        avg(col(valCol)).as("tail_mean"))
+  }
+
   def jsDivergence(df: DataFrame, groupCols: Seq[String], catCol: String,
                    cats: Seq[String]): DataFrame = {
     require(cats.nonEmpty && cats.distinct.length == cats.length,

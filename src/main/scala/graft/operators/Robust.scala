@@ -224,4 +224,50 @@ object Robust {
             (col("n") * col("n") - col("_e")).cast("double")))
       .select((keys :+ col("n") :+ col("n_agree") :+ col("kappa")): _*)
   }
+
+  /** Tukey median polish (Tukey 1977 EDA ch. 11; Hoaglin-Mosteller-Tukey
+    * 1983): robust additive two-way decomposition
+    * `y_rc ≈ row_eff_r + col_eff_c + residual_rc` by alternately sweeping
+    * out row medians then column medians, `iterations` times. The
+    * outlier-proof sibling of the mean-based two-way fit
+    * ([[Features.seasonalDecompose]]'s grouped means): one wrecked cell
+    * moves a mean sweep but not a median sweep.
+    *
+    * Convention pinned for replay: effects start at 0, each sweep ADDS the
+    * sweep median into the effect and subtracts it from the residuals; no
+    * grand-effect re-centering (the overall level stays absorbed in the
+    * row effects — the common simplified form). With integer-valued cells
+    * every median is an exact dyadic rational and the whole decomposition
+    * is bit-exact across engines.
+    *
+    * Plan: cells live at (key, row, col) grain; each sweep is ONE window
+    * exact-percentile over the cell table (a groupBy+join-back formulation
+    * would re-evaluate the whole upstream plan twice per sweep — 2^sweeps
+    * scans; windows keep it one linear chain of cell-table exchanges,
+    * never re-touching the raw events).
+    */
+  def medianPolish(df: DataFrame, keyCols: Seq[String], rowCol: String,
+                   colCol: String, valCol: String, iterations: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 16,
+      s"medianPolish: iterations must be in [1,16], got $iterations")
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val byRow = Window.partitionBy((keys :+ col("_r")): _*)
+    val byCol = Window.partitionBy((keys :+ col("_c")): _*)
+    var cells = df.select((keys :+ col(rowCol).as("_r") :+ col(colCol).as("_c") :+
+      col(valCol).cast("double").as("_res")): _*)
+      .withColumn("_reff", lit(0.0)).withColumn("_ceff", lit(0.0))
+    for (_ <- 1 to iterations) {
+      cells = cells
+        .withColumn("_rm", percentile(col("_res"), lit(0.5)).over(byRow))
+        .withColumn("_res", col("_res") - col("_rm"))
+        .withColumn("_reff", col("_reff") + col("_rm")).drop("_rm")
+        .withColumn("_cm", percentile(col("_res"), lit(0.5)).over(byCol))
+        .withColumn("_res", col("_res") - col("_cm"))
+        .withColumn("_ceff", col("_ceff") + col("_cm")).drop("_cm")
+    }
+    cells.select((keys :+ col("_r").as(rowCol) :+ col("_c").as(colCol) :+
+      col("_reff").as("row_eff") :+ col("_ceff").as("col_eff") :+
+      col("_res").as("residual")): _*)
+  }
 }

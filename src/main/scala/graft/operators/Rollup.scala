@@ -354,6 +354,40 @@ object Rollup {
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
   }
 
+  /** Late-data upsert into an existing tier table: merge newly-arrived
+    * points into ONLY the (group, bucket) rows they touch. Rows for
+    * unaffected buckets pass through untouched — their blocks are never
+    * decoded, so the cost is O(late data + affected tier rows), not
+    * O(tier size): at 10^12 stored points a late batch touching 0.01% of
+    * buckets decodes 0.01% of blocks. The merge itself is [[mergePartials]],
+    * so all associative measures re-aggregate and p50/p95 + the stored block
+    * are rebuilt exactly — `upsertPoints(tier1m(base), tier1m(late))` is
+    * row-identical to `tier1m(base ∪ late)` (spec + oracle q284).
+    *
+    * This is the batch twin of the streaming hot/cold union
+    * ([[graft.streaming.StreamingIngest]].readHot): streaming handles late
+    * data inside the watermark; this handles the straggler batch that
+    * arrives after the bucket was already promoted to the durable store.
+    *
+    * @param tier        existing tier table (tier1m/promote output schema)
+    * @param latePartial the late points pre-aggregated to the SAME tier
+    *                    grain and partial schema (run them through
+    *                    [[tier1m]] / the q62-shaped aggregate first)
+    */
+  def upsertPoints(tier: DataFrame, latePartial: DataFrame,
+                   groupCols: Seq[String] = Seq("tld", "registered_domain", "host")): DataFrame = {
+    val keys = groupCols :+ "bucket_start"
+    val affected = latePartial.select(keys.map(col): _*).distinct()
+    val partialCols = groupCols.map(col) ++ Seq(col("bucket_start"), col("cnt"),
+      col("sum_len"), col("min_len"), col("max_len"), col("lang_set"), col("block"))
+    val touched = tier.join(affected, keys, "left_semi").select(partialCols: _*)
+    val merged = mergePartials(
+      touched.unionByName(latePartial.select(partialCols: _*)), groupCols)
+    val untouched = tier.join(affected, keys, "left_anti")
+      .select(merged.columns.map(col): _*)
+    merged.unionByName(untouched)
+  }
+
   /** Two-phase (salted) variant of [[mergePartials]] for coarse groups with
     * unbounded fan-in: phase 1 merges within `(keys, salt)` sub-groups so no
     * single task materializes the whole group's blocks, phase 2 merges the

@@ -104,6 +104,28 @@ class RollupSpec extends SparkSuite {
       col("a.lang_card") =!= col("b.lang_card")).count() == 0)
   }
 
+  test("upsertPoints: late-data merge equals rebuilding the tier from all points") {
+    // split the corpus 80/20 on a url hash; the 20% arrives "late"
+    val isLate = pmod(xxhash64(col("url")), lit(5L)) === 0L
+    val tierBase = tier1m(pages.filter(!isLate))
+    val latePart = tier1m(pages.filter(isLate))
+    val upserted = upsertPoints(tierBase, latePart, Seq("tld", "registered_domain", "host"))
+      .select("host", "bucket_start", "cnt", "sum_len", "min_len", "max_len",
+        "p50_len", "p95_len", "lang_card")
+    val full = t1m
+      .select("host", "bucket_start", "cnt", "sum_len", "min_len", "max_len",
+        "p50_len", "p95_len", "lang_card")
+    val j = upserted.alias("a").join(full.alias("b"), Seq("host", "bucket_start"), "full_outer")
+    assert(j.filter(col("a.cnt").isNull || col("b.cnt").isNull).count() == 0)
+    assert(j.filter(col("a.cnt") =!= col("b.cnt") ||
+      abs(col("a.sum_len") - col("b.sum_len")) > 1e-9 ||
+      col("a.min_len") =!= col("b.min_len") ||
+      col("a.max_len") =!= col("b.max_len") ||
+      abs(col("a.p50_len") - col("b.p50_len")) > 1e-9 ||
+      abs(col("a.p95_len") - col("b.p95_len")) > 1e-9 ||
+      col("a.lang_card") =!= col("b.lang_card")).count() == 0)
+  }
+
   test("Utf8CharCountExpr equals length() on multi-byte unicode") {
     import spark.implicits._
     val texts = Seq("", "ascii only", "héllo wörld", "中文字符测试", "emoji 🙂🎉 mix",
