@@ -3987,6 +3987,84 @@ object SparkEntry {
           r6(col("mix_effect")).as("mix_effect"),
           r6(col("total_effect")).as("total_effect"))
         .orderBy("event_type")
+    }),
+
+    // UCB1 allocation scores per shard×arm: deterministic bandit readout,
+    // ln over INTEGER pull counts (cross-engine-safe ln domain)
+    "q289_ucb1" -> ((s, dir) => {
+      val shards = ev(s, dir)
+        .withColumn("shard", pmod(col("user_id"), lit(4L)).cast("string"))
+      graft.operators.Experiment.ucb1(shards, Seq("shard"), "event_type",
+          "value", c = 1.0)
+        .select(col("shard"), col("event_type"), col("n"), col("n_total"),
+          r6(col("mean")).as("mean"), r6(col("ucb")).as("ucb"))
+        .orderBy("shard", "event_type")
+    }),
+
+    // one-way ANOVA omnibus F per shard over the literal 5-arm event-type
+    // list — per-arm moment sums pivoted to columns, literal-order folds
+    "q290_anova" -> ((s, dir) => {
+      val shards = ev(s, dir)
+        .withColumn("shard", pmod(col("user_id"), lit(4L)).cast("string"))
+      graft.operators.Experiment.anovaF(shards, Seq("shard"), "event_type",
+          Seq("click", "view", "purchase", "error", "signup"), "value")
+        .select(col("shard"), col("n"), r6(col("ssb")).as("ssb"),
+          r6(col("ssw")).as("ssw"), r6(col("f_stat")).as("f_stat"))
+        .orderBy("shard")
+    }),
+
+    // BH-FDR + Holm adjustment within each lang family; hypothesis p-values
+    // derived from INTEGER char sums so the p ordering is cross-engine-exact
+    "q291_fdr" -> ((s, dir) => {
+      val hyp = docs(s, dir).groupBy(col("lang"), col("source"))
+        .agg(sum(col("n_chars")).as("_sc"))
+        .withColumn("p",
+          (pmod(col("_sc"), lit(997L)) + 1).cast("double") / lit(997.0))
+      graft.operators.Experiment.fdrAdjust(hyp, Seq("lang"), "p", "source")
+        .select(col("lang"), col("source"), r6(col("p")).as("p"),
+          col("m"), col("p_rank").cast("long").as("p_rank"),
+          r6(col("p_bh")).as("p_bh"), r6(col("p_holm")).as("p_holm"))
+        .orderBy("lang", "source")
+    }),
+
+    // PACF at lags 1..3 over each event type's daily count series
+    // (Durbin–Levinson unrolled — closed-form rationals in the ACF values)
+    "q292_pacf" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      graft.operators.Features.pacf(daily, Seq("event_type"), "d", "v", maxLag = 3)
+        .select(col("event_type"), col("lag").cast("long").as("lag"),
+          r6(col("pacf")).as("pacf"))
+        .orderBy("event_type", "lag")
+    }),
+
+    // Chao1 unseen-vocabulary richness per language over document terms
+    "q293_chao1" -> ((s, dir) => {
+      val terms = docs(s, dir).select(col("lang"),
+        explode(graft.functions.Hashing.words(lower(col("text")))).as("term"))
+      graft.operators.Profile.chao1(terms, Seq("lang"), "term")
+        .select(col("lang"), col("d_observed"), col("f1"), col("f2"),
+          r6(col("chao1")).as("chao1"))
+        .orderBy("lang")
+    }),
+
+    // best single mean-shift changepoint per shard on the hourly count
+    // series (binary segmentation top split; integer sums, rank on the
+    // 6-dp-rounded gain with a timestamp tie-break)
+    "q294_cpt" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .withColumn("shard", pmod(col("user_id"), lit(4L)).cast("string"))
+        .withColumn("ts_sec", unix_timestamp(col("ts").cast("timestamp")))
+        .withColumn("bucket_start", col("ts_sec") - pmod(col("ts_sec"), lit(3600L)))
+        .groupBy(col("shard"), col("bucket_start"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Anomaly.binarySegment(hourly, Seq("shard"),
+          "bucket_start", "cnt")
+        .select(col("shard"), col("n"), col("split_ts"), col("n_left"),
+          col("n_right"), r6(col("mean_left")).as("mean_left"),
+          r6(col("mean_right")).as("mean_right"), col("gain"))
+        .orderBy("shard")
     })
   )
 
@@ -8959,7 +9037,145 @@ object SparkEntry {
         |  round(w2 * (r2 - r1), 6) AS rate_effect,
         |  round((w2 - w1) * r1, 6) AS mix_effect,
         |  round(w2 * (r2 - r1) + (w2 - w1) * r1, 6) AS total_effect
-        |FROM d ORDER BY 1""".stripMargin
+        |FROM d ORDER BY 1""".stripMargin,
+
+    // UCB1: mean + 1.0·sqrt(2·ln(N)/n), N = shard total pulls (window sum)
+    "q289_ucb1" ->
+      """WITH a AS (SELECT (user_id % 4)::VARCHAR AS shard, event_type,
+        |    count(*)::BIGINT AS n, sum(value) AS s
+        |  FROM events GROUP BY 1, 2)
+        |SELECT shard, event_type, n,
+        |  (sum(n) OVER (PARTITION BY shard))::BIGINT AS n_total,
+        |  round(s / n, 6) AS mean,
+        |  round(s / n + 1.0 * sqrt(2.0 *
+        |    ln((sum(n) OVER (PARTITION BY shard))::DOUBLE) / n::DOUBLE), 6) AS ucb
+        |FROM a ORDER BY 1, 2""".stripMargin,
+
+    // ANOVA F from per-arm moment sums pivoted to columns; every Σ_a folds
+    // in the literal arm order click,view,purchase,error,signup
+    "q290_anova" ->
+      """WITH a AS (SELECT (user_id % 4)::VARCHAR AS shard, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS s0,
+        |    sum(CASE WHEN event_type = 'click' THEN value*value ELSE 0 END) AS q0,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END) AS s1,
+        |    sum(CASE WHEN event_type = 'view' THEN value*value ELSE 0 END) AS q1,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS s2,
+        |    sum(CASE WHEN event_type = 'purchase' THEN value*value ELSE 0 END) AS q2,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n3,
+        |    sum(CASE WHEN event_type = 'error' THEN value ELSE 0 END) AS s3,
+        |    sum(CASE WHEN event_type = 'error' THEN value*value ELSE 0 END) AS q3,
+        |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n4,
+        |    sum(CASE WHEN event_type = 'signup' THEN value ELSE 0 END) AS s4,
+        |    sum(CASE WHEN event_type = 'signup' THEN value*value ELSE 0 END) AS q4
+        |  FROM events
+        |  WHERE event_type IN ('click','view','purchase','error','signup')
+        |  GROUP BY 1),
+        |f AS (SELECT shard, n, n0, n1, n2, n3, n4,
+        |    ((((s0*s0/n0::DOUBLE + s1*s1/n1::DOUBLE) + s2*s2/n2::DOUBLE)
+        |      + s3*s3/n3::DOUBLE) + s4*s4/n4::DOUBLE) AS ssb_part,
+        |    ((((s0 + s1) + s2) + s3) + s4) AS s_tot,
+        |    ((((q0 + q1) + q2) + q3) + q4) AS q_tot
+        |  FROM a)
+        |SELECT shard, n,
+        |  round(CASE WHEN n0>=1 AND n1>=1 AND n2>=1 AND n3>=1 AND n4>=1 AND n>5
+        |    THEN ssb_part - s_tot*s_tot/n::DOUBLE END, 6) AS ssb,
+        |  round(CASE WHEN n0>=1 AND n1>=1 AND n2>=1 AND n3>=1 AND n4>=1 AND n>5
+        |    THEN q_tot - ssb_part END, 6) AS ssw,
+        |  round(CASE WHEN n0>=1 AND n1>=1 AND n2>=1 AND n3>=1 AND n4>=1 AND n>5
+        |         AND (q_tot - ssb_part) > 0
+        |    THEN ((ssb_part - s_tot*s_tot/n::DOUBLE) / 4.0)
+        |       / ((q_tot - ssb_part) / (n::DOUBLE - 5.0)) END, 6) AS f_stat
+        |FROM f ORDER BY 1""".stripMargin,
+
+    // BH = reversed running min of p·m/rank; Holm = running max of
+    // (m−rank+1)·p; p from integer char sums so the rank order is exact
+    "q291_fdr" ->
+      """WITH h AS (SELECT lang, source, sum(n_chars)::BIGINT AS sc
+        |  FROM documents GROUP BY 1, 2),
+        |p AS (SELECT lang, source, ((sc % 997) + 1)::DOUBLE / 997.0 AS p FROM h),
+        |r AS (SELECT lang, source, p,
+        |    count(*) OVER (PARTITION BY lang) AS m,
+        |    row_number() OVER (PARTITION BY lang ORDER BY p, source) AS p_rank
+        |  FROM p)
+        |SELECT lang, source, round(p, 6) AS p, m::BIGINT AS m,
+        |  p_rank::BIGINT AS p_rank,
+        |  round(least(1.0, min(p * m::DOUBLE / p_rank::DOUBLE)
+        |    OVER (PARTITION BY lang ORDER BY p DESC, source DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS p_bh,
+        |  round(least(1.0, max((m - p_rank + 1)::DOUBLE * p)
+        |    OVER (PARTITION BY lang ORDER BY p, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS p_holm
+        |FROM r ORDER BY lang, source""".stripMargin,
+
+    // Durbin–Levinson unrolled to lag 3: phi22/phi21 from rho1..2, pacf3
+    // from the same closed-form rationals — token-for-token the Scala unroll
+    "q292_pacf" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*)::DOUBLE AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, v,
+        |    lag(v,1) OVER w AS l1, lag(v,2) OVER w AS l2, lag(v,3) OVER w AS l3
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |a AS (SELECT event_type, corr(v, l1) AS r1, corr(v, l2) AS r2,
+        |    corr(v, l3) AS r3
+        |  FROM l GROUP BY 1),
+        |dl AS (SELECT event_type, r1, r2, r3,
+        |    (r2 - r1*r1) / (1.0 - r1*r1) AS phi22
+        |  FROM a),
+        |dl2 AS (SELECT event_type, r1, r2, r3, phi22,
+        |    r1 - phi22*r1 AS phi21 FROM dl),
+        |f AS (SELECT event_type, 1::BIGINT AS lag, r1 AS pacf FROM dl2
+        |  UNION ALL SELECT event_type, 2::BIGINT, phi22 FROM dl2
+        |  UNION ALL SELECT event_type, 3::BIGINT,
+        |    (r3 - (phi21*r2 + phi22*r1)) / (1.0 - (phi21*r1 + phi22*r2)) FROM dl2)
+        |SELECT event_type, lag, round(pacf, 6) AS pacf
+        |FROM f ORDER BY event_type, lag""".stripMargin,
+
+    // Chao1 = D + f1(f1−1)/(2(f2+1)) from the (lang, term) count table
+    "q293_chao1" ->
+      """WITH w AS (SELECT lang,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |t AS (SELECT lang, unnest(ws) AS term FROM w),
+        |c AS (SELECT lang, term, count(*) AS c FROM t GROUP BY 1, 2)
+        |SELECT lang, count(*)::BIGINT AS d_observed,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+        |  sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2,
+        |  round(count(*)::DOUBLE +
+        |    (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) *
+        |     (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1))::DOUBLE /
+        |    (2.0 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)::DOUBLE), 6) AS chao1
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // binary-segmentation top split: gain from exact integer prefix sums,
+    // winner ranked on the 6-dp-rounded gain with bucket tie-break
+    "q294_cpt" ->
+      """WITH h AS (SELECT (user_id % 4)::VARCHAR AS shard,
+        |    floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 3600 AS bucket_start,
+        |    count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2),
+        |s AS (SELECT shard, bucket_start,
+        |    row_number() OVER w AS i,
+        |    (sum(cnt) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS cs,
+        |    count(*) OVER (PARTITION BY shard) AS n,
+        |    (sum(cnt) OVER (PARTITION BY shard))::DOUBLE AS stot
+        |  FROM h WINDOW w AS (PARTITION BY shard ORDER BY bucket_start)),
+        |g AS (SELECT shard, bucket_start, i, n, cs, stot,
+        |    round(cs*cs / i::DOUBLE
+        |        + (stot-cs)*(stot-cs) / (n-i)::DOUBLE
+        |        - stot*stot / n::DOUBLE, 6) AS gain_r
+        |  FROM s WHERE i < n),
+        |p AS (SELECT *, row_number()
+        |    OVER (PARTITION BY shard ORDER BY gain_r DESC, bucket_start) AS rk
+        |  FROM g)
+        |SELECT shard, n::BIGINT AS n, bucket_start AS split_ts,
+        |  i::BIGINT AS n_left, (n - i)::BIGINT AS n_right,
+        |  round(cs / i::DOUBLE, 6) AS mean_left,
+        |  round((stot - cs) / (n - i)::DOUBLE, 6) AS mean_right,
+        |  gain_r AS gain
+        |FROM p WHERE rk = 1 ORDER BY shard""".stripMargin
   )
 
   /** q282's oracle: the aggregated-variance Hurst replay. The ln-m design

@@ -414,4 +414,58 @@ object Anomaly {
         col("_r._2").as("cost_base"), col("_r._3").as("cost_burst"),
         col("_r._4").as("burst"))): _*)
   }
+
+  /** Single best mean-shift changepoint per key (the first split of binary
+    * segmentation, Scott & Knott 1974 / the top level of PELT): over the
+    * time-ordered series, pick the split s maximizing the between-segment
+    * sum-of-squares gain
+    *
+    *   gain(s) = S_L²/n_L + S_R²/n_R − S²/n
+    *
+    * (algebraically = SSE_total − SSE_left − SSE_right — variances cancel,
+    * so only SUMS are needed). Prefix sums come from one cumulative window;
+    * the winner is picked by rank on the 6-dp-ROUNDED gain with a timestamp
+    * tie-break (raw-double gain ordering is ulp-fragile cross-engine; with
+    * integer-valued series the sums themselves are exact). The heavier
+    * statistical sibling of [[meanShiftScore]]: that scores EVERY point with
+    * a t-statistic, this returns the single argmax split with its segment
+    * means. One window shuffle; per-key rank is bounded by series length —
+    * tier-grain contract, never raw events.
+    *
+    * @return one row per key: n, split_ts (last point of the left segment),
+    *         n_left/n_right, mean_left/mean_right, gain
+    */
+  def binarySegment(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                    valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val wAll = Window.partitionBy(keys: _*)
+    val v = col(valCol).cast("double")
+    val staged = df
+      .withColumn("_i", row_number().over(wOrd))
+      .withColumn("_cs", sum(v).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_s", sum(v).over(wAll))
+    val nL = col("_i").cast("double")
+    val nR = (col("_n") - col("_i")).cast("double")
+    val gain = col("_cs") * col("_cs") / nL +
+      (col("_s") - col("_cs")) * (col("_s") - col("_cs")) / nR -
+      col("_s") * col("_s") / col("_n").cast("double")
+    val scored = staged
+      .filter(col("_i") < col("_n")) // split must leave a non-empty right side
+      // arithmetic 6-dp rounding of the raw double (NOT Spark `round`, whose
+      // BigDecimal shortest-repr path can round a boundary value the other
+      // way than DuckDB) — the rounded gain also drives the argmax ORDER
+      .withColumn("_gain_r", signum(gain) * floor(abs(gain) * 1e6 + 0.5) / 1e6)
+    val pick = Window.partitionBy(keys: _*)
+      .orderBy(col("_gain_r").desc, col(tsCol))
+    scored
+      .withColumn("_rk", row_number().over(pick))
+      .filter(col("_rk") === 1)
+      .select((keys ++ Seq(col("_n").as("n"), col(tsCol).as("split_ts"),
+        col("_i").as("n_left"), (col("_n") - col("_i")).as("n_right"),
+        (col("_cs") / nL).as("mean_left"),
+        ((col("_s") - col("_cs")) / nR).as("mean_right"),
+        col("_gain_r").as("gain"))): _*)
+  }
 }

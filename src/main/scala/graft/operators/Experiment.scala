@@ -215,6 +215,110 @@ object Experiment {
         col("delta") :+ col("lambda") :+ col("p_always_valid")): _*)
   }
 
+  /** UCB1 bandit allocation scores (Auer, Cesa-Bianchi & Fischer 2002):
+    * per (group, arm), `ucb = mean + c·sqrt(2·ln N / n)` with n the arm's
+    * pulls and N the group's total pulls — the arm a UCB1 policy would play
+    * next is the max-ucb row. Unlike Thompson sampling this is fully
+    * deterministic (no RNG), so it replays in any engine; the exploration
+    * term uses ln of INTEGER counts (the cross-engine-safe ln domain).
+    *
+    * Plan: one (group, arm) aggregate; the group total is a window sum over
+    * that arm-grain frame (arm cardinality per group is bounded), sharing
+    * the aggregate's partitioning — one shuffle total.
+    */
+  def ucb1(df: DataFrame, groupCols: Seq[String], armCol: String,
+           valCol: String, c: Double = 1.0): DataFrame = {
+    val keys = groupCols.map(col)
+    val v = col(valCol).cast("double")
+    val arms = df.groupBy((keys :+ col(armCol)): _*)
+      .agg(count(lit(1)).as("n"), sum(v).as("_s"))
+    val wG = Window.partitionBy(keys: _*)
+    arms
+      .withColumn("n_total", sum(col("n")).over(wG))
+      .withColumn("mean", col("_s") / col("n"))
+      .withColumn("ucb", col("_s") / col("n") +
+        lit(c) * sqrt(lit(2.0) * log(col("n_total").cast("double")) /
+          col("n").cast("double")))
+      .select((keys :+ col(armCol) :+ col("n") :+ col("n_total") :+
+        col("mean") :+ col("ucb")): _*)
+  }
+
+  /** One-way ANOVA F statistic per group over a LITERAL arm list:
+    * `F = (SSB/(k−1)) / (SSW/(n−k))` with SSB = Σ_a S_a²/n_a − S²/n and
+    * SSW = Q − Σ_a S_a²/n_a, all from per-arm moment sums (n_a, S_a, Q_a)
+    * pivoted to columns so every Σ_a is a fixed-order literal fold — the
+    * [[srmCheck]] pivot discipline, never a shuffled float reduction over
+    * arm rows. The omnibus "do any of the k arms differ" gate that precedes
+    * pairwise readouts. Groups missing an arm or with n ≤ k yield null F.
+    */
+  def anovaF(df: DataFrame, groupCols: Seq[String], armCol: String,
+             arms: Seq[String], valCol: String): DataFrame = {
+    require(arms.size >= 2, s"anovaF: need >= 2 arms, got ${arms.size}")
+    val keys = groupCols.map(col)
+    val v = col(valCol).cast("double")
+    val k = arms.size
+    val agged = df
+      .filter(col(armCol).cast("string").isin(arms.map(a => a: Any): _*))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        arms.zipWithIndex.flatMap { case (a, i) =>
+          val in = col(armCol).cast("string") === a
+          Seq(sum(when(in, 1L).otherwise(0L)).as(s"_n$i"),
+            sum(when(in, v).otherwise(lit(0.0))).as(s"_s$i"),
+            sum(when(in, v * v).otherwise(lit(0.0))).as(s"_q$i"))
+        }: _*)
+    // fixed left-assoc folds over the literal arm list
+    val sTot = arms.indices.map(i => col(s"_s$i")).reduce(_ + _)
+    val qTot = arms.indices.map(i => col(s"_q$i")).reduce(_ + _)
+    val ssbPart = arms.indices
+      .map(i => col(s"_s$i") * col(s"_s$i") / col(s"_n$i").cast("double"))
+      .reduce(_ + _)
+    val n = col("n").cast("double")
+    val defined = arms.indices.map(i => col(s"_n$i") >= 1L).reduce(_ && _) &&
+      col("n") > lit(k.toLong)
+    val ssb = ssbPart - sTot * sTot / n
+    val ssw = qTot - ssbPart
+    agged
+      .withColumn("ssb", when(defined, ssb))
+      .withColumn("ssw", when(defined, ssw))
+      .withColumn("f_stat", when(defined && ssw > 0,
+        (ssb / lit((k - 1).toDouble)) / (ssw / (n - lit(k.toDouble)))))
+      .select((keys :+ col("n") :+ col("ssb") :+ col("ssw") :+
+        col("f_stat")): _*)
+  }
+
+  /** Multiple-testing adjustment of per-hypothesis p-values within a family:
+    * Benjamini–Hochberg step-up FDR (`p_bh_i = min_{j ≥ i} p_j·m/j`, capped
+    * at 1) and Holm step-down FWER (`p_holm_i = max_{j ≤ i} (m−j+1)·p_j`,
+    * capped at 1), both from the ascending p rank within the family.
+    *
+    * Rank discipline: hypotheses are ordered by (pCol, idCol) — the caller
+    * must supply p-values whose ordering is cross-engine-stable (integer-
+    * derived, or pre-rounded; two raw float p's one ulp apart would flip
+    * ranks between engines). Both adjusted columns are running extrema over
+    * the same family partition — one shuffle, two sorted passes.
+    */
+  def fdrAdjust(df: DataFrame, familyCols: Seq[String], pCol: String,
+                idCol: String): DataFrame = {
+    val keys = familyCols.map(col)
+    val wF = Window.partitionBy(keys: _*)
+    val asc = Window.partitionBy(keys: _*).orderBy(col(pCol), col(idCol))
+    val ranked = df
+      .withColumn("m", count(lit(1)).over(wF))
+      .withColumn("p_rank", row_number().over(asc))
+    val desc = Window.partitionBy(keys: _*)
+      .orderBy(col(pCol).desc, col(idCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ascRun = asc.rowsBetween(Window.unboundedPreceding, 0)
+    ranked
+      .withColumn("p_bh", least(lit(1.0),
+        min(col(pCol) * col("m").cast("double") /
+          col("p_rank").cast("double")).over(desc)))
+      .withColumn("p_holm", least(lit(1.0),
+        max((col("m") - col("p_rank") + 1).cast("double") * col(pCol))
+          .over(ascRun)))
+  }
+
   /** Rate/mix decomposition of a weighted-mean metric change between two
     * periods (the "why did the number move" root-cause table): with
     * segment weights `w_s` (share of rows) and segment rates `r_s` (mean

@@ -412,6 +412,54 @@ object Features {
     agged.select(hierarchy.map(col) :+ expr(stackExpr): _*)
   }
 
+  /** Partial autocorrelation at lags 1..maxLag, per series, via the
+    * Durbin–Levinson recursion over the [[acf]] values (Box–Jenkins §3.2.36
+    * — the AR-order-selection companion to the ACF: pacf(k) is the lag-k
+    * coefficient of the best AR(k) fit, i.e. the correlation at lag k with
+    * the shorter lags partialled out).
+    *
+    *   φ₁₁ = ρ₁;  φ_nn = (ρ_n − Σ_{k<n} φ_{n−1,k}·ρ_{n−k})
+    *                    / (1 − Σ_{k<n} φ_{n−1,k}·ρ_k);
+    *   φ_{n,k} = φ_{n−1,k} − φ_nn·φ_{n−1,n−k}
+    *
+    * The recursion is BOUNDED by maxLag and unrolled at plan time into
+    * fixed-order column expressions over the per-lag corr aggregates — an
+    * oracle replays it term for term (each φ is a closed-form rational in
+    * ρ₁..ρ_n). One window stage + one groupBy, exactly [[acf]]'s plan;
+    * maxLag is capped because the unrolled expression tree is O(maxLag²).
+    *
+    * @return one row per (keys..., lag, pacf)
+    */
+  def pacf(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+           valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 8,
+      s"pacf: maxLag must be in [1, 8] (plan-time unrolled), got $maxLag")
+    val lags = 1 to maxLag
+    val win = w(hierarchy, tsCol)
+    val staged = lags.foldLeft(df)((d, k) =>
+      d.withColumn(s"_lag$k", lag(col(valCol), k).over(win)))
+    val agged = staged.groupBy(hierarchy.map(col): _*)
+      .agg(corr(col(valCol), col("_lag1")).as("_rho1"),
+        lags.tail.map(k => corr(col(valCol), col(s"_lag$k")).as(s"_rho$k")): _*)
+    def rho(k: Int) = col(s"_rho$k")
+    // Durbin–Levinson, unrolled: phi(n) = coefficients of the AR(n) fit
+    val phi = Array.ofDim[org.apache.spark.sql.Column](maxLag + 1, maxLag + 1)
+    phi(1)(1) = rho(1)
+    for (n <- 2 to maxLag) {
+      val num = rho(n) -
+        (1 until n).map(k => phi(n - 1)(k) * rho(n - k)).reduce(_ + _)
+      val den = lit(1.0) -
+        (1 until n).map(k => phi(n - 1)(k) * rho(k)).reduce(_ + _)
+      phi(n)(n) = num / den
+      for (k <- 1 until n) phi(n)(k) = phi(n - 1)(k) - phi(n)(n) * phi(n - 1)(n - k)
+    }
+    val withPhi = lags.foldLeft(agged)((d, n) =>
+      d.withColumn(s"_pacf$n", phi(n)(n)))
+    val stackExpr = s"stack($maxLag, " +
+      lags.map(n => s"$n, _pacf$n").mkString(", ") + ") AS (lag, pacf)"
+    withPhi.select(hierarchy.map(col) :+ expr(stackExpr): _*)
+  }
+
   /** Consecutive-streak annotation (gaps-and-islands): for a boolean
     * condition per row, `streak_id` numbers each maximal run of consecutive
     * condition-true rows within a key and `streak_len` is the running

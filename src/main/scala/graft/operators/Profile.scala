@@ -543,4 +543,33 @@ object Profile {
       .withColumn("jsd", terms.reduce(_ + _)) // fixed left-assoc order
       .select((keys :+ col("n") :+ col("jsd")): _*)
   }
+
+  /** Chao1 species-richness estimate per group (Chao 1984, bias-corrected
+    * form): from the observed distinct count D and the singleton/doubleton
+    * counts f₁/f₂ of a category column,
+    * `chao1 = D + f₁·(f₁−1) / (2·(f₂+1))` — a lower bound on the TRUE
+    * distinct count including never-observed categories. The corpus-health
+    * companion to [[graft.operators.TextAnalysis.vocabulary]]: observed
+    * vocabulary says what you have, Chao1 says how much of the long tail
+    * the sample hasn't surfaced yet. Bias-corrected (f₂+1) keeps it defined
+    * when no doubletons exist. Integer-exact up to the single final
+    * division.
+    *
+    * Plan: one (group, category) count aggregate (map-side combinable) +
+    * one group re-aggregate — same cascade shape as a tier rollup, never a
+    * distinct over raw rows.
+    */
+  def chao1(df: DataFrame, groupCols: Seq[String], catCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val perCat = df.groupBy((keys :+ col(catCol)): _*)
+      .agg(count(lit(1)).as("_c"))
+    perCat.groupBy(keys: _*)
+      .agg(count(lit(1)).as("d_observed"),
+        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("_c") === 2, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1",
+        col("d_observed").cast("double") +
+          (col("f1") * (col("f1") - 1)).cast("double") /
+            (lit(2.0) * (col("f2") + 1).cast("double")))
+  }
 }

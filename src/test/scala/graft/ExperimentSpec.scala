@@ -68,4 +68,59 @@ class ExperimentSpec extends SparkSuite {
           (r.getAs[Long]("x") + 0.5 * 2.0) / (r.getAs[Long]("n") + 2.0)))
       }
   }
+
+  test("ucb1: hand golden; the under-pulled arm gets the bigger bonus") {
+    // arm a: 3 pulls mean 1.0; arm b: 1 pull mean 2.0; N = 4
+    val df = Seq(("g", "a", 1.0), ("g", "a", 1.0), ("g", "a", 1.0),
+      ("g", "b", 2.0)).toDF("g", "arm", "v")
+    val got = Experiment.ucb1(df, Seq("g"), "arm", "v", c = 1.0)
+      .collect().map(r => r.getString(1) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_total"),
+          r.getAs[Double]("mean"), r.getAs[Double]("ucb"))).toMap
+    assert(got("a")._1 === 3L && got("b")._1 === 1L)
+    assert(got.values.forall(_._2 == 4L))
+    assert(approxEq(got("a")._4, 1.0 + math.sqrt(2 * math.log(4.0) / 3)))
+    assert(approxEq(got("b")._4, 2.0 + math.sqrt(2 * math.log(4.0) / 1)))
+    // exploration bonus shrinks with pulls
+    assert(got("b")._4 - got("b")._3 > got("a")._4 - got("a")._3)
+  }
+
+  test("anovaF: hand golden; identical arm means -> F = 0") {
+    // arms a = {1, 3} (mean 2), b = {5, 7} (mean 6): SSB = 16, SSW = 4,
+    // F = (16/1)/(4/2) = 8
+    val df = Seq(("g", "a", 1.0), ("g", "a", 3.0), ("g", "b", 5.0),
+      ("g", "b", 7.0)).toDF("g", "arm", "v")
+    val r = Experiment.anovaF(df, Seq("g"), "arm", Seq("a", "b"), "v").head
+    assert(approxEq(r.getAs[Double]("ssb"), 16.0))
+    assert(approxEq(r.getAs[Double]("ssw"), 4.0))
+    assert(approxEq(r.getAs[Double]("f_stat"), 8.0))
+    val flat = Seq(("g", "a", 1.0), ("g", "a", 3.0), ("g", "b", 1.0),
+      ("g", "b", 3.0)).toDF("g", "arm", "v")
+    val f = Experiment.anovaF(flat, Seq("g"), "arm", Seq("a", "b"), "v").head
+    assert(math.abs(f.getAs[Double]("ssb")) < 1e-9)
+    assert(math.abs(f.getAs[Double]("f_stat")) < 1e-9)
+  }
+
+  test("fdrAdjust: textbook BH and Holm goldens") {
+    // m = 4, sorted p = .01, .02, .03, .04:
+    // BH: p·m/rank = .04, .04, .04, .04 -> reversed running min all .04
+    // Holm: (m-rank+1)·p = .04, .06, .06, .04 -> running max .04,.06,.06,.06
+    val df = Seq(("f", "h1", 0.01), ("f", "h2", 0.02), ("f", "h3", 0.03),
+      ("f", "h4", 0.04)).toDF("fam", "id", "p")
+    val got = Experiment.fdrAdjust(df, Seq("fam"), "p", "id")
+      .collect().map(r => r.getString(1) ->
+        (r.getAs[Int]("p_rank"), r.getAs[Double]("p_bh"),
+          r.getAs[Double]("p_holm"))).toMap
+    assert(got("h1")._1 === 1 && got("h4")._1 === 4)
+    assert(got.values.forall(v => approxEq(v._2, 0.04)))
+    assert(approxEq(got("h1")._3, 0.04))
+    assert(approxEq(got("h2")._3, 0.06))
+    assert(approxEq(got("h3")._3, 0.06))
+    assert(approxEq(got("h4")._3, 0.06))
+    // adjusted p never exceeds 1
+    val big = Seq(("f", "a", 0.9), ("f", "b", 0.95)).toDF("fam", "id", "p")
+    Experiment.fdrAdjust(big, Seq("fam"), "p", "id").collect().foreach { r =>
+      assert(r.getAs[Double]("p_bh") <= 1.0 && r.getAs[Double]("p_holm") <= 1.0)
+    }
+  }
 }

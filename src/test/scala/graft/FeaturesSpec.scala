@@ -702,4 +702,18 @@ class FeaturesSpec extends SparkSuite {
     assert(folds(0).trainEnd == ts("2020-01-03"))
     assert(folds(1).testStart == ts("2020-01-08") && folds(1).trainEnd == ts("2020-01-06"))
   }
+
+  test("pacf: lag 1 equals acf lag 1; lag 2 matches the Durbin-Levinson rational of the acf values") {
+    val series = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0, 9.0, 8.0, 11.0)
+    val df = series.zipWithIndex
+      .map { case (v, i) => ("h", ts(f"2020-01-${i + 1}%02d"), v) }
+      .toDF("host", "day", "v")
+    val rho = Features.acf(df, Seq("host"), "day", "v", lags = Seq(1, 2))
+      .collect().map(r => r.getAs[Int]("lag") -> r.getAs[Double]("acf")).toMap
+    val pacf = Features.pacf(df, Seq("host"), "day", "v", maxLag = 2)
+      .collect().map(r => r.getAs[Int]("lag") -> r.getAs[Double]("pacf")).toMap
+    assert(approxEq(pacf(1), rho(1)))
+    assert(approxEq(pacf(2),
+      (rho(2) - rho(1) * rho(1)) / (1.0 - rho(1) * rho(1))))
+  }
 }

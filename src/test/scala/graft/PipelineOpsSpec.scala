@@ -1443,4 +1443,32 @@ class PipelineOpsSpec extends SparkSuite {
       frameSeconds = 600L, alphabet = 4).collect()(0).getString(1)
     assert(word.length == 6 && word.forall(c => c >= 'a' && c <= 'd'))
   }
+
+  test("chao1: hand golden and no-singleton floor") {
+    // counts {a:1, b:1, c:2, d:5}: D=4, f1=2, f2=1 -> 4 + 2*1/(2*2) = 4.5
+    val df = (Seq("a", "b") ++ Seq.fill(2)("c") ++ Seq.fill(5)("d"))
+      .map(("g", _)).toDF("g", "cat")
+    val r = graft.operators.Profile.chao1(df, Seq("g"), "cat").head
+    assert(r.getAs[Long]("d_observed") === 4L)
+    assert(r.getAs[Long]("f1") === 2L && r.getAs[Long]("f2") === 1L)
+    assert(approxEq(r.getAs[Double]("chao1"), 4.5))
+    // no singletons: estimate = observed (nothing unseen is inferred)
+    val sat = Seq.fill(3)(("g", "x")) ++ Seq.fill(3)(("g", "y"))
+    val r2 = graft.operators.Profile.chao1(sat.toDF("g", "cat"), Seq("g"), "cat").head
+    assert(approxEq(r2.getAs[Double]("chao1"), 2.0))
+  }
+
+  test("binarySegment: step series splits at the jump with exact segment means") {
+    val df = (Seq.fill(4)(0.0) ++ Seq.fill(3)(10.0)).zipWithIndex
+      .map { case (v, i) => ("k", i.toLong, v) }.toDF("k", "ts", "v")
+    val r = graft.operators.Anomaly.binarySegment(df, Seq("k"), "ts", "v").head
+    assert(r.getAs[Long]("split_ts") === 3L) // last point of the left segment
+    assert(r.getAs[Int]("n_left") === 4 && r.getAs[Long]("n_right") === 3L)
+    assert(approxEq(r.getAs[Double]("mean_left"), 0.0))
+    assert(approxEq(r.getAs[Double]("mean_right"), 10.0))
+    // flat series: zero gain everywhere, tie-break picks the earliest split
+    val flat = (0 until 5).map(i => ("k", i.toLong, 2.0)).toDF("k", "ts", "v")
+    val f = graft.operators.Anomaly.binarySegment(flat, Seq("k"), "ts", "v").head
+    assert(f.getAs[Double]("gain") === 0.0 && f.getAs[Long]("split_ts") === 0L)
+  }
 }
