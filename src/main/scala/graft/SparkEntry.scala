@@ -4065,6 +4065,88 @@ object SparkEntry {
           col("n_right"), r6(col("mean_left")).as("mean_left"),
           r6(col("mean_right")).as("mean_right"), col("gain"))
         .orderBy("shard")
+    }),
+
+    // D'Hondt highest-averages apportionment of 10 budget units across the
+    // event types by event count (divisor-method sibling of q190's Hamilton)
+    "q295_dhondt" -> ((s, dir) => {
+      graft.operators.Alloc.dhondt(
+          ev(s, dir).withColumn("one", lit(1L)), "event_type", "one", seats = 10)
+        .select(col("key"), col("score"), col("alloc"))
+        .orderBy("key")
+    }),
+
+    // Hodges–Lehmann robust center (median of Walsh averages) of the hourly
+    // count series per shard
+    "q296_hl" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .withColumn("shard", pmod(col("user_id"), lit(4L)).cast("string"))
+        .withColumn("ts_sec", unix_timestamp(col("ts").cast("timestamp")))
+        .withColumn("bucket_start", col("ts_sec") - pmod(col("ts_sec"), lit(3600L)))
+        .groupBy(col("shard"), col("bucket_start"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Robust.hodgesLehmann(hourly, Seq("shard"),
+          "bucket_start", "cnt")
+        .select(col("shard"), col("n_points"), r6(col("hl_center")).as("hl_center"))
+        .orderBy("shard")
+    }),
+
+    // Nelson–Aalen cumulative hazard on q271's right-censored churn frame
+    "q297_nelson_aalen" -> ((s, dir) => {
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val subj = ev(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(us).as("_f"), max(us).as("_l"))
+        .withColumn("dur", expr("(_l - _f) div 86400000000L"))
+        .withColumn("e",
+          when(col("_l") < lit(1706054400000000L), lit(1)).otherwise(lit(0)))
+      graft.operators.Survival.nelsonAalen(subj, Seq("event_type"), "dur", "e")
+        .select(col("event_type"), col("t"), col("n_risk"), col("n_event"),
+          col("n_censored"), r6(col("cum_hazard")).as("cum_hazard"),
+          r6(col("survival_fh")).as("survival_fh"))
+        .orderBy("event_type", "t")
+    }),
+
+    // Syntetos–Boylan debiased Croston on q83's intermittent daily series
+    "q298_sba" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+        .withColumn("v",
+          when(pmod(unix_timestamp(col("d")) / 86400, lit(3L)) === 0, col("v"))
+            .otherwise(lit(0.0)))
+      graft.operators.Forecast.sba(daily, Seq("user_id"), "d", "v",
+          alpha = 0.3, horizon = 3, stepSeconds = 86400L)
+        .select(col("user_id"), unix_timestamp(col("forecast_ts")).as("forecast_s"),
+          col("step").cast("long").as("step"), r6(col("yhat")).as("yhat"))
+        .orderBy("user_id", "step")
+    }),
+
+    // Lorenz curve of hourly event counts per shard (the curve under q120's
+    // Gini); ascending (cnt, bucket) rank, exact integer cumulative sums
+    "q299_lorenz" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .withColumn("shard", pmod(col("user_id"), lit(4L)).cast("string"))
+        .withColumn("ts_sec", unix_timestamp(col("ts").cast("timestamp")))
+        .withColumn("bucket_start", col("ts_sec") - pmod(col("ts_sec"), lit(3600L)))
+        .groupBy(col("shard"), col("bucket_start"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Profile.lorenz(hourly, Seq("shard"), "cnt", "bucket_start")
+        .select(col("shard"), col("i").cast("long").as("i"), col("bucket_start"),
+          col("cnt"), r6(col("p_pop")).as("p_pop"), r6(col("p_val")).as("p_val"))
+        .orderBy("shard", "i")
+    }),
+
+    // MinHash estimate vs exact Jaccard on the bounded q35 corpus slice —
+    // the k-calibration readout (k = 8 signature components)
+    "q300_mh_est" -> ((s, dir) => {
+      val bounded = docs(s, dir).filter(col("doc_id") < 60)
+      graft.operators.Dedup.minhashJaccardEst(bounded, "text", "doc_id",
+          Seq("lang"), k = 8)
+        .select(col("lang"), col("id_a"), col("id_b"),
+          r6(col("jaccard")).as("jaccard"), r6(col("est")).as("est"),
+          r6(col("err")).as("err"))
+        .orderBy("lang", "id_a", "id_b")
     })
   )
 
@@ -9175,7 +9257,139 @@ object SparkEntry {
         |  round(cs / i::DOUBLE, 6) AS mean_left,
         |  round((stot - cs) / (n - i)::DOUBLE, 6) AS mean_right,
         |  gain_r AS gain
-        |FROM p WHERE rk = 1 ORDER BY shard""".stripMargin
+        |FROM p WHERE rk = 1 ORDER BY shard""".stripMargin,
+
+    // top-10 quotients s/d win; ties pinned by (key, divisor) in the cut
+    "q295_dhondt" ->
+      """WITH a AS (SELECT event_type AS key, count(*)::BIGINT AS score
+        |  FROM events GROUP BY 1),
+        |q AS (SELECT key, score, g.d AS divisor,
+        |    score::DOUBLE / g.d::DOUBLE AS q
+        |  FROM a, generate_series(1, 10) g(d)),
+        |w AS (SELECT key FROM q ORDER BY q DESC, key, divisor LIMIT 10),
+        |c AS (SELECT key, count(*)::BIGINT AS alloc FROM w GROUP BY 1)
+        |SELECT a.key, a.score, coalesce(c.alloc, 0)::BIGINT AS alloc
+        |FROM a LEFT JOIN c USING (key) ORDER BY key""".stripMargin,
+
+    // median of Walsh averages (xi+xj)/2 over i <= j pairs (self-pairs in)
+    "q296_hl" ->
+      """WITH h AS (SELECT (user_id % 4)::VARCHAR AS shard,
+        |    floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 3600 AS bucket_start,
+        |    count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2),
+        |p AS (SELECT x.shard, (x.cnt + y.cnt) / 2.0 AS w
+        |  FROM h x JOIN h y ON x.shard = y.shard
+        |    AND x.bucket_start <= y.bucket_start),
+        |n AS (SELECT shard, count(*)::BIGINT AS n_points FROM h GROUP BY 1)
+        |SELECT n.shard, n.n_points,
+        |  round(quantile_cont(p.w, 0.5), 6) AS hl_center
+        |FROM p JOIN n ON p.shard = n.shard
+        |GROUP BY n.shard, n.n_points ORDER BY 1""".stripMargin,
+
+    // running sum of d/n over the ordered duration grain (censor-only rows
+    // contribute exactly 0); survival_fh = exp(-H)
+    "q297_nelson_aalen" ->
+      """WITH subj AS (SELECT event_type,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS t,
+        |    CASE WHEN max(epoch_us(ts)) < 1706054400000000 THEN 1 ELSE 0 END AS e
+        |  FROM events GROUP BY event_type, user_id),
+        |g AS (SELECT event_type, t, sum(e) AS d, sum(1 - e) AS c
+        |  FROM subj GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |    sum(d + c) OVER (PARTITION BY event_type) -
+        |    coalesce(sum(d + c) OVER (PARTITION BY event_type ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM g),
+        |h AS (SELECT *,
+        |    sum(d::DOUBLE / n_risk::DOUBLE) OVER (PARTITION BY event_type
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+        |  FROM r)
+        |SELECT event_type, t, n_risk::BIGINT AS n_risk, d::BIGINT AS n_event,
+        |  c::BIGINT AS n_censored, round(ch, 6) AS cum_hazard,
+        |  round(exp(-ch), 6) AS survival_fh
+        |FROM h WHERE d > 0 ORDER BY 1, 2""".stripMargin,
+
+    // q83's Croston replay scaled by the SBA debias factor (1 - alpha/2)
+    "q298_sba" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |g AS (SELECT user_id, d,
+        |    CASE WHEN (epoch(d)::BIGINT // 86400) % 3 = 0 THEN v ELSE 0.0 END AS v
+        |  FROM daily),
+        |r AS (SELECT user_id, d, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS idx,
+        |    max(d) OVER (PARTITION BY user_id) AS last_d FROM g),
+        |nz AS (SELECT user_id, last_d, idx, v,
+        |    coalesce(idx - lag(idx) OVER w, idx) AS q,
+        |    row_number() OVER w AS rn,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY idx DESC) - 1 AS back
+        |  FROM r WHERE v <> 0 WINDOW w AS (PARTITION BY user_id ORDER BY idx)),
+        |lvl AS (SELECT user_id, max(last_d) AS last_d,
+        |    sum(CASE WHEN rn = 1 THEN power(0.7, back)*v ELSE 0.3*power(0.7, back)*v END) AS z,
+        |    sum(CASE WHEN rn = 1 THEN power(0.7, back)*q ELSE 0.3*power(0.7, back)*q END) AS p
+        |  FROM nz GROUP BY 1)
+        |SELECT user_id, epoch(last_d)::BIGINT + g2.s*86400 AS forecast_s, g2.s AS step,
+        |  round(z/p * 0.85::DOUBLE, 6) AS yhat
+        |FROM lvl, generate_series(1,3) g2(s) ORDER BY 1,3""".stripMargin,
+
+    // ascending (cnt, bucket) rank; exact integer cumulative/total sums
+    "q299_lorenz" ->
+      """WITH h AS (SELECT (user_id % 4)::VARCHAR AS shard,
+        |    floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 3600 AS bucket_start,
+        |    count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2),
+        |l AS (SELECT shard, bucket_start, cnt,
+        |    row_number() OVER w AS i,
+        |    (sum(cnt) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS cs,
+        |    count(*) OVER (PARTITION BY shard) AS n,
+        |    (sum(cnt) OVER (PARTITION BY shard))::DOUBLE AS tot
+        |  FROM h WINDOW w AS (PARTITION BY shard ORDER BY cnt, bucket_start))
+        |SELECT shard, i::BIGINT AS i, bucket_start, cnt,
+        |  round(i::DOUBLE / n::DOUBLE, 6) AS p_pop,
+        |  round(cs / tot, 6) AS p_val
+        |FROM l ORDER BY shard, i""".stripMargin,
+
+    // q35's exact jaccard joined with the q32 md5 signature contract:
+    // est = (1/8) sum of per-seed min-hash agreements
+    "q300_mh_est" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id < 60),
+        |s AS (SELECT doc_id, lang, list_distinct(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+        |d AS (SELECT doc_id, lang, sh, len(sh) AS n FROM s WHERE len(sh) > 0),
+        |e AS (SELECT doc_id, lang, unnest(sh) AS g FROM d),
+        |m AS (SELECT doc_id, lang,
+        |    min(('0x' || substr(md5('0:' || g),1,15))::BIGINT) AS mh0,
+        |    min(('0x' || substr(md5('1:' || g),1,15))::BIGINT) AS mh1,
+        |    min(('0x' || substr(md5('2:' || g),1,15))::BIGINT) AS mh2,
+        |    min(('0x' || substr(md5('3:' || g),1,15))::BIGINT) AS mh3,
+        |    min(('0x' || substr(md5('4:' || g),1,15))::BIGINT) AS mh4,
+        |    min(('0x' || substr(md5('5:' || g),1,15))::BIGINT) AS mh5,
+        |    min(('0x' || substr(md5('6:' || g),1,15))::BIGINT) AS mh6,
+        |    min(('0x' || substr(md5('7:' || g),1,15))::BIGINT) AS mh7
+        |  FROM e GROUP BY 1, 2),
+        |inter AS (SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i2
+        |  FROM e a JOIN e b ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3),
+        |j AS (SELECT inter.lang, id_a, id_b,
+        |    i2::DOUBLE / (x.n + y.n - i2) AS jac
+        |  FROM inter
+        |  JOIN d x ON x.doc_id = id_a AND x.lang = inter.lang
+        |  JOIN d y ON y.doc_id = id_b AND y.lang = inter.lang),
+        |f AS (SELECT j.lang, id_a, id_b, jac,
+        |    ((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END +
+        |      CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END +
+        |      CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END +
+        |      CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END +
+        |      CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END +
+        |      CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END +
+        |      CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END +
+        |      CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END))::DOUBLE / 8.0 AS est
+        |  FROM j
+        |  JOIN m a ON a.doc_id = id_a AND a.lang = j.lang
+        |  JOIN m b ON b.doc_id = id_b AND b.lang = j.lang)
+        |SELECT lang, id_a, id_b, round(jac, 6) AS jaccard, round(est, 6) AS est,
+        |  round(est - jac, 6) AS err
+        |FROM f ORDER BY lang, id_a, id_b""".stripMargin
   )
 
   /** q282's oracle: the aggregated-variance Hurst replay. The ln-m design

@@ -70,4 +70,34 @@ object Alloc {
     val best = if (scored.size == 1) scored.head else greatest(scored: _*)
     df.select(col(keyCol).as("key"), best.getField("node").as("node"))
   }
+
+  /** D'Hondt (Jefferson) highest-averages apportionment — the divisor-method
+    * sibling of [[largestRemainder]]: each key's integer score spawns the
+    * quotients s/1, s/2, …, s/seats, and the `seats` largest quotients win
+    * one unit each. Favors large scores slightly (no remainder lottery);
+    * used where proportionality should never over-reward small players.
+    *
+    * Determinism: each quotient is ONE IEEE division of an integer by a
+    * small integer — computed identically in any engine — and the top-seats
+    * cut is a distributed TakeOrdered on (quotient desc, key, divisor), ties
+    * broken lexicographically so d'Hondt's ambiguous last seat is pinned.
+    * The quotient table is keys×seats rows on the AGGREGATED key table
+    * (bounded-domain contract, as [[largestRemainder]]).
+    */
+  def dhondt(df: DataFrame, keyCol: String, scoreCol: String,
+             seats: Int): DataFrame = {
+    require(seats >= 1, s"seats must be >= 1, got $seats")
+    val agg = df.groupBy(col(keyCol).as("key"))
+      .agg(sum(col(scoreCol)).cast("long").as("score"))
+      .filter(col("score") > 0)
+    val won = agg
+      .withColumn("divisor", explode(sequence(lit(1), lit(seats))))
+      .withColumn("_q", col("score").cast("double") / col("divisor").cast("double"))
+      .orderBy(col("_q").desc, col("key"), col("divisor"))
+      .limit(seats)
+      .groupBy(col("key")).agg(count(lit(1)).as("alloc"))
+    agg.join(won, Seq("key"), "left")
+      .withColumn("alloc", coalesce(col("alloc"), lit(0L)))
+      .select(col("key"), col("score"), col("alloc"))
+  }
 }

@@ -248,6 +248,42 @@ object Dedup {
       .select((groupCols.map(col) :+ col("id_a") :+ col("id_b") :+ col("jaccard")): _*)
   }
 
+  /** MinHash Jaccard ESTIMATE vs exact, per same-group candidate pair:
+    * `est = (1/k)·Σᵢ 1[mhᵢ(a) = mhᵢ(b)]` — each signature component agrees
+    * with probability exactly the Jaccard (Broder 1997), so est is an
+    * unbiased k-sample estimate of the exact value. This is the calibration
+    * readout for choosing k and the LSH band layout: run it on a bounded
+    * sample, look at the err distribution, size k to the tolerance.
+    *
+    * Pairs are [[ngramJaccardPairs]]'s candidates (shared-shingle
+    * equi-join — covers every pair with a non-empty intersection, which is
+    * every pair where est vs exact is informative); signatures are ONE
+    * native pass ([[minhashSignature]]); the agreement count is a
+    * fixed-order literal fold over the k component columns — integer-exact,
+    * replayable.
+    */
+  def minhashJaccardEst(df: DataFrame, textCol: String, idCol: String,
+                        groupCols: Seq[String], k: Int, shingleN: Int = 3,
+                        maxDf: Option[Long] = None): DataFrame = {
+    val exact = ngramJaccardPairs(df, textCol, idCol, groupCols, shingleN,
+      minJaccard = 0.0, maxDf = maxDf)
+    val sigs = minhashSignature(df, textCol, k, shingleN)
+      .select((groupCols.map(col) ++ Seq(col(idCol)) ++
+        (0 until k).map(i => col(s"mh$i"))): _*)
+    val a = sigs.toDF((groupCols ++ Seq("id_a") ++ (0 until k).map(i => s"_a$i")): _*)
+    val b = sigs.toDF((groupCols ++ Seq("id_b") ++ (0 until k).map(i => s"_b$i")): _*)
+    val agree = (0 until k)
+      .map(i => when(col(s"_a$i") === col(s"_b$i"), 1L).otherwise(0L))
+      .reduce(_ + _) // fixed left-assoc order over the literal component list
+    exact
+      .join(a, groupCols :+ "id_a")
+      .join(b, groupCols :+ "id_b")
+      .withColumn("est", agree.cast("double") / lit(k.toDouble))
+      .withColumn("err", col("est") - col("jaccard"))
+      .select((groupCols.map(col) :+ col("id_a") :+ col("id_b") :+
+        col("jaccard") :+ col("est") :+ col("err")): _*)
+  }
+
   /** Asymmetric shingle CONTAINMENT |Sa ∩ Sb| / |Sa| — the quote/subset
     * detector Jaccard misses: a short page wholly embedded in a long one
     * scores near 1.0 here but near |a|/|b| under Jaccard (Broder 1997's

@@ -572,4 +572,29 @@ object Profile {
           (col("f1") * (col("f1") - 1)).cast("double") /
             (lit(2.0) * (col("f2") + 1).cast("double")))
   }
+
+  /** Lorenz curve points per group (the curve whose doubled enclosed area is
+    * the Gini): rows ranked ascending by (value, id) — id tie-break keeps
+    * the order cross-engine-exact — with cumulative population share
+    * `p_pop = i/n` and cumulative value share `p_val = cumsum/total`.
+    * Inputs should be integer-valued measures (counts, bytes) so the
+    * cumulative sums are exact; the two shares are one division each.
+    * One window shuffle; row grain = input grain, so run it on a TIER or
+    * otherwise bounded domain (hosts, hourly buckets), never raw events.
+    */
+  def lorenz(df: DataFrame, groupCols: Seq[String], valCol: String,
+             idCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val v = col(valCol).cast("double")
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col(valCol), col(idCol))
+    val wAll = Window.partitionBy(keys: _*)
+    df.withColumn("i", row_number().over(wOrd))
+      .withColumn("_cs", sum(v).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_tot", sum(v).over(wAll))
+      .withColumn("p_pop", col("i").cast("double") / col("_n").cast("double"))
+      .withColumn("p_val", col("_cs") / col("_tot"))
+      .select((keys ++ Seq(col("i"), col(idCol), col(valCol), col("p_pop"),
+        col("p_val"))): _*)
+  }
 }

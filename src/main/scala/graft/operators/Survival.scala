@@ -56,4 +56,40 @@ object Survival {
       .select((keys :+ col("t") :+ col("n_risk") :+ col("n_event") :+
         col("n_censored") :+ col("survival")): _*)
   }
+
+  /** Nelson–Aalen cumulative-hazard estimator (Nelson 1972, Aalen 1978):
+    * Ĥ(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ over the same right-censored event grain as
+    * [[kaplanMeier]] — the additive view of the hazard (KM is the
+    * multiplicative view; exp(−Ĥ) is the Fleming–Harrington survival
+    * estimate, slightly above KM in small samples). Each term is ONE
+    * integer/integer IEEE division and the accumulation is a WINDOW-ordered
+    * running sum — fixed order, replayable term for term in any engine
+    * (the same discipline as KM's ordered ln sum).
+    *
+    * Plan: one aggregate to duration grain + three frames over one ordered
+    * exchange; cost = duration cardinality per group.
+    */
+  def nelsonAalen(df: DataFrame, groupCols: Seq[String], durationCol: String,
+                  eventCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val grain = df
+      .groupBy((keys :+ col(durationCol).cast("long").as("t")): _*)
+      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("n_event"),
+        sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("n_censored"))
+    val byT = Window.partitionBy(keys: _*).orderBy(col("t"))
+    val prior = byT.rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = byT.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perG = Window.partitionBy(keys: _*)
+    grain
+      .withColumn("_total", sum(col("n_event") + col("n_censored")).over(perG))
+      .withColumn("n_risk", col("_total") -
+        coalesce(sum(col("n_event") + col("n_censored")).over(prior), lit(0L)))
+      .withColumn("cum_hazard",
+        sum(col("n_event").cast("double") / col("n_risk").cast("double"))
+          .over(upTo))
+      .withColumn("survival_fh", exp(-col("cum_hazard")))
+      .filter(col("n_event") > 0) // censor-only times add 0 hazard (as in KM)
+      .select((keys :+ col("t") :+ col("n_risk") :+ col("n_event") :+
+        col("n_censored") :+ col("cum_hazard") :+ col("survival_fh")): _*)
+  }
 }

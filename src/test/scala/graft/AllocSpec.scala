@@ -289,4 +289,19 @@ class AllocSpec extends SparkSuite {
     got.foreach { case (a, b) => assert(top1(a) === b && top1(b) === a) }
     assert(got === top1.filter { case (a, b) => top1(b) == a && a < b }.toSet)
   }
+
+  test("dhondt: hand-allocated seats, exact budget, zero-seat keys kept") {
+    // scores A=7 B=5 C=3, 8 seats. Quotients won: A {7, 3.5, 2.33, 1.75},
+    // B {5, 2.5, 1.67}, C {3} -> 4/3/1
+    val df = (Seq.fill(7)("A") ++ Seq.fill(5)("B") ++ Seq.fill(3)("C"))
+      .map((_, 1L)).toDF("k", "s")
+    val got = Alloc.dhondt(df, "k", "s", seats = 8)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(got === Map("A" -> 4L, "B" -> 3L, "C" -> 1L))
+    // tiny party wins nothing but still appears; total always == seats
+    val skew = Seq(("big", 100L), ("tiny", 1L)).toDF("k", "s")
+    val s2 = Alloc.dhondt(skew, "k", "s", seats = 5)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(s2("big") === 5L && s2("tiny") === 0L)
+  }
 }

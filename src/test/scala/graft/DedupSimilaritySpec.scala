@@ -461,4 +461,24 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(out(0).getDouble(1) < out(1).getDouble(1))
     assert(out(1).getDouble(1) < out(2).getDouble(1))
   }
+
+  test("minhashJaccardEst: identical docs estimate exactly 1; est bounded in [0,1]") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, "g", base), (2L, "g", base),                     // identical pair
+      (3L, "g", base + " with a different tail entirely"),  // near-dup
+      (4L, "g", "completely unrelated words nowhere near the others at all"))
+      .toDF("id", "grp", "text")
+    val out = Dedup.minhashJaccardEst(docs, "text", "id", Seq("grp"), k = 8)
+      .collect()
+    val pairs = out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+      (r.getAs[Double]("jaccard"), r.getAs[Double]("est"))).toMap
+    // identical docs: every signature component agrees, exact jaccard 1
+    assert(pairs((1L, 2L)) === ((1.0, 1.0)))
+    out.foreach { r =>
+      val est = r.getAs[Double]("est")
+      assert(est >= 0.0 && est <= 1.0)
+      assert(r.getAs[Double]("err") === est - r.getAs[Double]("jaccard"))
+    }
+  }
 }

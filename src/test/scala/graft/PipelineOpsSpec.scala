@@ -1471,4 +1471,34 @@ class PipelineOpsSpec extends SparkSuite {
     val f = graft.operators.Anomaly.binarySegment(flat, Seq("k"), "ts", "v").head
     assert(f.getAs[Double]("gain") === 0.0 && f.getAs[Long]("split_ts") === 0L)
   }
+
+  test("sba: exactly croston debiased by (1 - alpha/2)") {
+    val hist = Seq(("k", 1L, 4.0), ("k", 2L, 0.0), ("k", 3L, 6.0),
+      ("k", 4L, 0.0), ("k", 5L, 0.0), ("k", 6L, 3.0))
+      .toDF("k", "s", "v")
+      .withColumn("ts", timestamp_seconds(col("s") * 86400)).drop("s")
+    val cro = Forecast.croston(hist, Seq("k"), "ts", "v",
+      alpha = 0.4, horizon = 2, stepSeconds = 86400L)
+      .collect().map(r => r.getAs[Int]("step") -> r.getAs[Double]("yhat")).toMap
+    val sba = Forecast.sba(hist, Seq("k"), "ts", "v",
+      alpha = 0.4, horizon = 2, stepSeconds = 86400L)
+      .collect().map(r => r.getAs[Int]("step") -> r.getAs[Double]("yhat")).toMap
+    assert(cro.keySet === sba.keySet)
+    cro.foreach { case (st, y) => assert(sba(st) === y * (1.0 - 0.4 / 2.0)) }
+  }
+
+  test("lorenz: hand curve; endpoint pinned at (1, 1)") {
+    // values {1, 1, 2, 4}, total 8: p_val = .125, .25, .5, 1 at p_pop quarters
+    val df = Seq(("g", 10L, 1L), ("g", 11L, 1L), ("g", 12L, 2L), ("g", 13L, 4L))
+      .toDF("g", "id", "v")
+    val got = graft.operators.Profile.lorenz(df, Seq("g"), "v", "id")
+      .collect().map(r => r.getAs[Int]("i") ->
+        (r.getAs[Double]("p_pop"), r.getAs[Double]("p_val"))).toMap
+    assert(got(1) === ((0.25, 0.125)) && got(2) === ((0.5, 0.25)))
+    assert(got(3) === ((0.75, 0.5)) && got(4) === ((1.0, 1.0)))
+    // ties rank by id: the two 1-values keep ids 10 then 11
+    val byI = graft.operators.Profile.lorenz(df, Seq("g"), "v", "id")
+      .collect().map(r => r.getAs[Int]("i") -> r.getAs[Long]("id")).toMap
+    assert(byI(1) === 10L && byI(2) === 11L)
+  }
 }

@@ -63,4 +63,40 @@ class SurvivalStatsSpec extends SparkSuite {
     Profile.jsDivergence(bal, Seq("g"), "cat", Seq("a", "b"))
       .collect().foreach(r => assert(r.getAs[Double]("jsd") === 0.0))
   }
+
+  test("nelsonAalen: textbook hazard accumulation with censoring") {
+    // durations: 1 (event), 1 (event), 2 (censored), 3 (event)
+    // t=1: n=4, d=2 -> H = 0.5; t=2 censor-only (skipped, adds 0);
+    // t=3: n=1, d=1 -> H = 1.5
+    val df = Seq(("g", 1L, 1), ("g", 1L, 1), ("g", 2L, 0), ("g", 3L, 1))
+      .toDF("g", "dur", "e")
+    val got = Survival.nelsonAalen(df, Seq("g"), "dur", "e")
+      .collect().map(r => r.getAs[Long]("t") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Double]("cum_hazard"),
+          r.getAs[Double]("survival_fh"))).toMap
+    assert(got.keySet === Set(1L, 3L)) // censor-only t=2 not emitted
+    assert(got(1L)._1 === 4L && approxEq(got(1L)._2, 0.5))
+    assert(got(3L)._1 === 1L && approxEq(got(3L)._2, 1.5))
+    assert(approxEq(got(3L)._3, math.exp(-1.5)))
+    // Fleming–Harrington survival sits at or above Kaplan–Meier
+    val km = Survival.kaplanMeier(df, Seq("g"), "dur", "e")
+      .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("survival")).toMap
+    km.foreach { case (t, s) => assert(got(t)._3 >= s - 1e-12) }
+  }
+
+  test("hodgesLehmann: median of Walsh averages, outlier-damped") {
+    // values {1, 2, 6}: Walsh avgs 1, 1.5, 3.5, 2, 4, 6 -> median 2.75
+    val df = Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 6.0))
+      .toDF("g", "id", "v")
+    val r = Robust.hodgesLehmann(df, Seq("g"), "id", "v").head
+    assert(r.getAs[Long]("n_points") === 3L)
+    assert(approxEq(r.getAs[Double]("hl_center"), 2.75))
+    // replacing the max with a wild outlier moves HL less than the mean
+    val wild = Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 600.0))
+      .toDF("g", "id", "v")
+    val hlWild = Robust.hodgesLehmann(wild, Seq("g"), "id", "v")
+      .head.getAs[Double]("hl_center")
+    // Walsh avgs {1, 1.5, 2, 300.5, 301, 600} -> median (2 + 300.5)/2
+    assert(math.abs(hlWild - 151.25) < 1e-9)
+  }
 }
