@@ -4147,6 +4147,93 @@ object SparkEntry {
           r6(col("jaccard")).as("jaccard"), r6(col("est")).as("est"),
           r6(col("err")).as("err"))
         .orderBy("lang", "id_a", "id_b")
+    }),
+
+    // Diebold–Mariano on q82's split: does the train-mean forecast beat the
+    // last-train-value naive over the 5-day test window (squared loss, h=1)
+    "q301_dm" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val ranked = daily.withColumn("_rd", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("d").desc)))
+      val p1 = ranked.filter(col("_rd") > 5)
+        .groupBy("user_id").agg(avg(col("v")).as("p1"))
+      val p2 = ranked.filter(col("_rd") === 6)
+        .select(col("user_id"), col("v").as("p2"))
+      val test = ranked.filter(col("_rd") <= 5)
+        .join(p1, "user_id").join(p2, "user_id")
+      Metrics.dieboldMariano(test, Seq("user_id"), "v", "p1", "p2")
+        .select(col("user_id"), col("n"), r6(col("mean_d")).as("mean_d"),
+          r6(col("dm_stat")).as("dm_stat"))
+        .orderBy("user_id")
+    }),
+
+    // experiment sizing readout per event type: arms by event-id parity,
+    // deterministic conversion flag; MDE at current traffic + per-arm N
+    // required to detect a 10% relative lift
+    "q302_mde" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("conv",
+          when(pmod(col("event_id"), lit(5L)) === 0, 1L).otherwise(0L))
+      graft.operators.Experiment.mdePower(e, Seq("event_type"),
+          isControl = pmod(col("event_id"), lit(2L)) === 0,
+          convCol = "conv", targetRel = 0.10)
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          r6(col("p_control")).as("p_control"), r6(col("p_pool")).as("p_pool"),
+          r6(col("mde_abs")).as("mde_abs"), r6(col("mde_rel")).as("mde_rel"),
+          r6(col("n_required")).as("n_required"))
+        .orderBy("event_type")
+    }),
+
+    // Burrows' Delta stylistic distance between language slices over the
+    // corpus-wide top-20 words — the provenance/style companion to content
+    // dedup (same fingerprint ⇒ same template farm)
+    "q303_burrows" -> ((s, dir) => {
+      TextAnalysis.burrowsDelta(docs(s, dir), "lang", "text", topM = 20)
+        .select(col("group_a").as("lang_a"), col("group_b").as("lang_b"),
+          col("m_used"), r6(col("delta")).as("delta"))
+        .orderBy("lang_a", "lang_b")
+    }),
+
+    // Murphy decomposition of q156's Brier score: reliability / resolution /
+    // uncertainty over the same 10 fixed bins and scored construction
+    "q304_brier_decomp" -> ((s, dir) => {
+      val e = ev(s, dir).filter(col("value").isNotNull &&
+        col("event_type").isNotNull)
+      val st = e.agg(min(col("value")).as("_lo"), max(col("value")).as("_hi"))
+      val scored = e.crossJoin(broadcast(st))
+        .withColumn("p", when(col("_hi") === col("_lo"), lit(0.0))
+          .otherwise((col("value") - col("_lo")) / (col("_hi") - col("_lo"))))
+        .withColumn("y", when(col("event_type") === "purchase", lit(1.0))
+          .otherwise(lit(0.0)))
+      graft.operators.Calibration.brierDecomposition(scored, "p", "y", bins = 10)
+        .select(col("n"), r6(col("brier")).as("brier"),
+          r6(col("reliability")).as("reliability"),
+          r6(col("resolution")).as("resolution"),
+          r6(col("uncertainty")).as("uncertainty"))
+    }),
+
+    // Theil's U2 on q82's split: train-mean forecast vs the lag-1 naive on
+    // the same test rows — the scale-free "does it beat persistence" number
+    "q305_theil_u" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d"))
+      val ranked = daily
+        .withColumn("nv", lag(col("v"), 1).over(wAsc))
+        .withColumn("_rd", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("d").desc)))
+      val p = ranked.filter(col("_rd") > 5)
+        .groupBy("user_id").agg(avg(col("v")).as("p"))
+      val test = ranked.filter(col("_rd") <= 5).join(p, "user_id")
+      Metrics.theilU(test, Seq("user_id"), "v", "p", "nv")
+        .select(col("user_id"), r6(col("theil_u")).as("theil_u"), col("n"))
+        .orderBy("user_id")
     })
   )
 
@@ -9389,7 +9476,111 @@ object SparkEntry {
         |  JOIN m b ON b.doc_id = id_b AND b.lang = j.lang)
         |SELECT lang, id_a, id_b, round(jac, 6) AS jaccard, round(est, 6) AS est,
         |  round(est - jac, 6) AS err
-        |FROM f ORDER BY lang, id_a, id_b""".stripMargin
+        |FROM f ORDER BY lang, id_a, id_b""".stripMargin,
+
+    // q82's split replayed; d = squared-loss differential, DM = d̄/√(γ₀/n)
+    "q301_dm" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |r AS (SELECT user_id, d, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d DESC) AS rd FROM daily),
+        |p1 AS (SELECT user_id, avg(v) AS p1 FROM r WHERE rd > 5 GROUP BY 1),
+        |p2 AS (SELECT user_id, v AS p2 FROM r WHERE rd = 6),
+        |t AS (SELECT r.user_id,
+        |    (r.v - p1.p1)*(r.v - p1.p1) - (r.v - p2.p2)*(r.v - p2.p2) AS dd
+        |  FROM r JOIN p1 USING (user_id) JOIN p2 USING (user_id) WHERE rd <= 5)
+        |SELECT user_id, count(*) AS n, round(avg(dd), 6) AS mean_d,
+        |  round(CASE WHEN var_pop(dd) > 0 AND count(*) >= 2
+        |    THEN avg(dd) / sqrt(var_pop(dd) / count(*)) END, 6) AS dm_stat
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // classical two-proportion sizing; z-quantile literals added in-engine
+    "q302_mde" ->
+      """WITH e AS (SELECT event_type, event_id % 2 AS arm,
+        |    CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS conv FROM events),
+        |g AS (SELECT event_type,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT AS c_a,
+        |    sum(conv)::BIGINT AS c, count(*)::BIGINT AS n
+        |  FROM e GROUP BY 1),
+        |f AS (SELECT event_type, n_a, n_b,
+        |    c_a::DOUBLE / n_a::DOUBLE AS p_ctl, c::DOUBLE / n::DOUBLE AS pp,
+        |    1.959963984540054::DOUBLE + 0.8416212335729143::DOUBLE AS zs
+        |  FROM g),
+        |m AS (SELECT event_type, n_a, n_b, p_ctl, pp, zs,
+        |    zs * sqrt(pp * (1.0 - pp) * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) AS mde
+        |  FROM f)
+        |SELECT event_type, n_a, n_b, round(p_ctl, 6) AS p_control,
+        |  round(pp, 6) AS p_pool, round(mde, 6) AS mde_abs,
+        |  round(mde / p_ctl, 6) AS mde_rel,
+        |  round(2.0 * pp * (1.0 - pp) * (zs * zs) /
+        |    ((0.1::DOUBLE * p_ctl) * (0.1::DOUBLE * p_ctl)), 6) AS n_required
+        |FROM m ORDER BY 1""".stripMargin,
+
+    // corpus-wide top-20 words (exact-count cut, word tie-break), per-lang
+    // relative frequencies densified with zeros, z-scored across langs,
+    // Delta = mean |z_a − z_b|; σ=0 words excluded by null z in BOTH engines
+    "q303_burrows" ->
+      """WITH toks AS (SELECT lang, unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), w -> w <> '')) AS word
+        |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+        |cnt AS (SELECT lang, word, count(*)::BIGINT AS c FROM toks GROUP BY 1,2),
+        |tot AS (SELECT lang, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+        |top AS (SELECT word FROM (SELECT word, sum(c) AS gc FROM cnt GROUP BY 1)
+        |  ORDER BY gc DESC, word LIMIT 20),
+        |dense AS (SELECT t.lang, p.word,
+        |    coalesce(c.c, 0)::DOUBLE / t.n::DOUBLE AS f
+        |  FROM tot t CROSS JOIN top p
+        |  LEFT JOIN cnt c ON c.lang = t.lang AND c.word = p.word),
+        |st AS (SELECT word, avg(f) AS mu, stddev_pop(f) AS sd FROM dense GROUP BY 1),
+        |z AS (SELECT d.lang, d.word,
+        |    CASE WHEN st.sd > 0 THEN (d.f - st.mu) / st.sd END AS z
+        |  FROM dense d JOIN st USING (word))
+        |SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |  count(abs(a.z - b.z))::BIGINT AS m_used,
+        |  round(avg(abs(a.z - b.z)), 6) AS delta
+        |FROM z a JOIN z b ON a.word = b.word AND a.lang < b.lang
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q156's bins replayed; REL/RES against the binned means, UNC = ō(1−ō)
+    "q304_brier_decomp" ->
+      """WITH st AS (SELECT min(value) AS lo, max(value) AS hi FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (SELECT CASE WHEN st.hi = st.lo THEN 0.0
+        |      ELSE (value - st.lo) / (st.hi - st.lo) END AS p,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events, st WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |bb AS (SELECT least(9, greatest(0, CAST(floor(p * 10) AS BIGINT))) AS bin,
+        |    p, y FROM b),
+        |per AS (SELECT bin, count(*) AS nb, avg(y) AS acc, avg(p) AS conf
+        |  FROM bb GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, avg((p - y) * (p - y)) AS brier,
+        |    avg(y) AS ybar FROM bb)
+        |SELECT max(tot.n)::BIGINT AS n, round(max(tot.brier), 6) AS brier,
+        |  round(sum(per.nb * (per.conf - per.acc) * (per.conf - per.acc)
+        |    / tot.n), 6) AS reliability,
+        |  round(sum(per.nb * (per.acc - tot.ybar) * (per.acc - tot.ybar)
+        |    / tot.n), 6) AS resolution,
+        |  round(max(tot.ybar * (1.0 - tot.ybar)), 6) AS uncertainty
+        |FROM per, tot""".stripMargin,
+
+    // q82's split with a lag-1 naive: U2 = √(SSE_model / SSE_naive)
+    "q305_theil_u" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |r AS (SELECT user_id, d, v,
+        |    lag(v) OVER (PARTITION BY user_id ORDER BY d) AS nv,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d DESC) AS rd FROM daily),
+        |p AS (SELECT user_id, avg(v) AS p FROM r WHERE rd > 5 GROUP BY 1),
+        |t AS (SELECT r.user_id, v, nv, p.p FROM r JOIN p USING (user_id)
+        |  WHERE rd <= 5 AND nv IS NOT NULL)
+        |SELECT user_id,
+        |  round(CASE WHEN sum((nv - v) * (nv - v)) > 0
+        |    THEN sqrt(sum((p - v) * (p - v)) / sum((nv - v) * (nv - v))) END, 6)
+        |    AS theil_u,
+        |  count(*) AS n
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** q282's oracle: the aggregated-variance Hurst replay. The ln-m design

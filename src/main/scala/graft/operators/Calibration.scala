@@ -48,6 +48,44 @@ object Calibration {
         max(col("_n")).as("n"))
   }
 
+  /** Murphy (1973) decomposition of the Brier score over the same fixed
+    * bins as [[ece]]:
+    *   REL = Σ n_k (p̄_k − ō_k)² / N   (reliability — miscalibration, lower
+    *                                    is better)
+    *   RES = Σ n_k (ō_k − ō)² / N     (resolution — how much the bins
+    *                                    separate outcomes, higher is better)
+    *   UNC = ō(1 − ō)                 (uncertainty — base-rate entropy,
+    *                                    forecaster can't change it)
+    * For BINNED forecasts Brier = REL − RES + UNC exactly; with continuous
+    * probabilities the within-bin variance of p leaves a small residual, so
+    * the raw `brier` is reported alongside for the audit. One binned
+    * aggregate + one scalar aggregate, broadcast-combined — same plan
+    * shape (and bin contract) as [[ece]].
+    *
+    * @return one row: (n, brier, reliability, resolution, uncertainty)
+    */
+  def brierDecomposition(df: DataFrame, probCol: String, labelCol: String,
+                         bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val binned = df.filter(p.isNotNull && y.isNotNull)
+      .withColumn("_bin", least(lit(bins - 1L), greatest(lit(0L),
+        floor(p * bins))))
+    val per = binned.groupBy("_bin")
+      .agg(count(lit(1)).as("_nb"), avg(y).as("_acc"), avg(p).as("_conf"))
+    val tot = binned.agg(count(lit(1)).as("_n"),
+      avg((p - y) * (p - y)).as("brier"), avg(y).as("_ybar"))
+    per.join(broadcast(tot))
+      .groupBy()
+      .agg(max(col("_n")).as("n"), max(col("brier")).as("brier"),
+        sum(col("_nb") * (col("_conf") - col("_acc")) *
+          (col("_conf") - col("_acc")) / col("_n")).as("reliability"),
+        sum(col("_nb") * (col("_acc") - col("_ybar")) *
+          (col("_acc") - col("_ybar")) / col("_n")).as("resolution"),
+        max(col("_ybar") * (lit(1.0) - col("_ybar"))).as("uncertainty"))
+  }
+
   /** Gains by descending-score bucket: (bucket, n, positives, cum_positives,
     * cum_capture). `tieCol` pins the rank order under score ties so the
     * buckets are deterministic.

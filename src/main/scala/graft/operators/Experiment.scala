@@ -362,4 +362,65 @@ object Experiment {
         col("r1") :+ col("r2") :+ col("rate_effect") :+ col("mix_effect") :+
         col("total_effect")): _*)
   }
+
+  /** Φ⁻¹(0.975) / Φ⁻¹(0.80) — the two-sided α=0.05, power=0.80 standard
+    * normal quantiles of the classical power formula (fixed literals so
+    * both engines add/multiply the identical doubles).
+    */
+  val Z975 = 1.959963984540054
+  val Z80 = 0.8416212335729143
+
+  /** Pre-experiment sizing readout (classical two-proportion normal
+    * approximation, e.g. Kohavi, Tang & Xu 2020 §17 — public): per group,
+    * from the CURRENT arm sizes and conversion rates,
+    *   mde_abs = (z_{1−α/2} + z_{power}) · sqrt(p̄(1−p̄)·(1/n_a + 1/n_b))
+    * (the smallest absolute lift this traffic can detect), its relative
+    * form over the control rate, and the per-arm N required to detect a
+    * `targetRel` relative lift at the same α/power:
+    *   n_req = 2·p̄(1−p̄)·(z₁+z₂)² / (targetRel·p_ctl)²
+    * p̄ is the pooled conversion rate. Answers "is this experiment sized
+    * to see the effect we care about" straight off the assignment log.
+    *
+    * One grouped aggregation (conditional integer sums) + closed-form
+    * columns; no joins. `n_req` stays a double (no ceil) — an integer cut
+    * on a float boundary is the cross-engine flake the oracle discipline
+    * bans.
+    *
+    * @return (keys..., n_a, n_b, p_control, p_pool, mde_abs, mde_rel,
+    *         n_required) — nulls where a rate/size degenerates (empty arm,
+    *         p̄ ∈ {0,1}, zero control rate)
+    */
+  def mdePower(df: DataFrame, groupCols: Seq[String],
+               isControl: org.apache.spark.sql.Column,
+               convCol: String, targetRel: Double,
+               zAlpha: Double = Z975, zPower: Double = Z80): DataFrame = {
+    require(targetRel > 0, s"targetRel must be > 0, got $targetRel")
+    val keys = groupCols.map(col)
+    val conv = col(convCol).cast("long")
+    val per = df.groupBy(keys: _*)
+      .agg(sum(when(isControl, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!isControl, 1L).otherwise(0L)).as("n_b"),
+        sum(when(isControl, conv).otherwise(0L)).as("_c_a"),
+        sum(conv).as("_c"), count(lit(1)).as("_n"))
+    val pPool = col("_c").cast("double") / col("_n").cast("double")
+    val pCtl = when(col("n_a") > 0, col("_c_a").cast("double") / col("n_a").cast("double"))
+    val zSum = lit(zAlpha) + lit(zPower)
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    val mdeAbs = when(col("n_a") > 0 && col("n_b") > 0 && pPool > 0 && pPool < 1,
+      zSum * se)
+    val delta = lit(targetRel) * col("p_control")
+    per
+      .withColumn("p_control", pCtl)
+      .withColumn("p_pool", pPool)
+      .withColumn("mde_abs", mdeAbs)
+      .withColumn("mde_rel",
+        when(col("p_control") > 0, col("mde_abs") / col("p_control")))
+      .withColumn("n_required",
+        when(col("p_control") > 0 && pPool > 0 && pPool < 1,
+          lit(2.0) * pPool * (lit(1.0) - pPool) * (zSum * zSum) / (delta * delta)))
+      .select((keys :+ col("n_a") :+ col("n_b") :+ col("p_control") :+
+        col("p_pool") :+ col("mde_abs") :+ col("mde_rel") :+
+        col("n_required")): _*)
+  }
 }

@@ -78,6 +78,56 @@ object Metrics {
       .select((keys :+ col("mase") :+ col("n")): _*)
   }
 
+  /** Diebold–Mariano statistic (Diebold & Mariano 1995 JBES — public) for
+    * equal predictive accuracy of two competing forecasts under SQUARED
+    * loss at horizon 1: per key, the loss differential
+    *   d_t = (y_t − p1_t)² − (y_t − p2_t)²
+    * is summarized as DM = d̄ / sqrt(Var_pop(d)/n) — asymptotically N(0,1)
+    * under the null of equal accuracy (h=1 ⇒ the long-run variance is just
+    * γ₀, no HAC autocovariance terms). DM ≪ 0 means forecast 1 wins. The
+    * missing COMPARISON member of this metric family: [[summarize]]/[[mase]]
+    * score one forecast, this decides between two on the same actuals.
+    *
+    * One grouped aggregation (mean + population variance of a projected
+    * expression) — a single shuffle on the series keys.
+    *
+    * @return (keys..., n, mean_d, dm_stat); dm_stat null when Var(d)=0
+    *         (identical losses, e.g. p1≡p2) or n<2
+    */
+  def dieboldMariano(df: DataFrame, keyCols: Seq[String], actualCol: String,
+                     pred1Col: String, pred2Col: String): DataFrame = {
+    val y = col(actualCol).cast("double")
+    val p1 = col(pred1Col).cast("double"); val p2 = col(pred2Col).cast("double")
+    val d = (y - p1) * (y - p1) - (y - p2) * (y - p2)
+    df.filter(y.isNotNull && p1.isNotNull && p2.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), avg(d).as("mean_d"), var_pop(d).as("_v"))
+      .withColumn("dm_stat", when(col("_v") > 0 && col("n") >= 2,
+        col("mean_d") / sqrt(col("_v") / col("n"))))
+      .drop("_v")
+  }
+
+  /** Theil's U2 (Theil 1966 — public): RMSE of the candidate forecast over
+    * the RMSE of the supplied naive forecast on the SAME rows,
+    *   U2 = sqrt(Σ(p−y)²) / sqrt(Σ(naive−y)²)
+    * — U2 < 1 beats naive, > 1 loses to it. The caller supplies the naive
+    * column (typically `lag(actual)` over the series window) so the
+    * comparison window is explicit and leak-free. One grouped aggregation.
+    *
+    * @return (keys..., theil_u, n); null when the naive SSE is 0
+    */
+  def theilU(df: DataFrame, keyCols: Seq[String], actualCol: String,
+             predCol: String, naiveCol: String): DataFrame = {
+    val y = col(actualCol).cast("double")
+    val p = col(predCol).cast("double"); val nv = col(naiveCol).cast("double")
+    df.filter(y.isNotNull && p.isNotNull && nv.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum((p - y) * (p - y)).as("_sp"),
+        sum((nv - y) * (nv - y)).as("_sn"), count(lit(1)).as("n"))
+      .withColumn("theil_u", when(col("_sn") > 0, sqrt(col("_sp") / col("_sn"))))
+      .select((keyCols.map(col) :+ col("theil_u") :+ col("n")): _*)
+  }
+
   /** Winkler interval score for a central (1−α) prediction interval
     * (Winkler 1972; Gneiting & Raftery 2007 eq. 43 — the proper scoring
     * rule for interval forecasts, and what FPP3 §5.9 recommends for

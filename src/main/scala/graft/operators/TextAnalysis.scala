@@ -594,4 +594,59 @@ object TextAnalysis {
           ((col("y_b") + 1L).cast("double") / (col("n_b") - col("y_b") + 1L).cast("double")))
       .select(col("word"), col("y_a"), col("y_b"), col("odds_ratio"))
   }
+
+  /** Burrows' Delta (Burrows 2002, "'Delta': a measure of stylistic
+    * difference" — public; the standard stylometry / authorship-attribution
+    * distance): over the corpus-wide `topM` most-frequent words, each text
+    * GROUP's relative word frequency is z-scored across the groups, and the
+    * distance between two groups is the mean absolute z-difference:
+    *   Δ(a,b) = mean_w |z_{a,w} − z_{b,w}|,  z = (f − μ_w) / σ_w
+    * Small Δ = same "stylistic fingerprint" (same boilerplate generator,
+    * same author, same template farm) — the style-level companion to
+    * content dedup ([[Dedup]]) for provenance clustering of web text.
+    *
+    * Plan: one tokenize+count pass, the top-M cut via distributed
+    * `orderBy(count desc, word).limit(m)` (TakeOrderedAndProject, ranked on
+    * exact integers — never a global row_number window), then everything
+    * downstream lives at (group × M) grain: densify by cross join with the
+    * broadcast word list (absent words are f=0, which the z-scores need),
+    * per-word moments across groups, and a pairwise self-join on word.
+    * Group count G is the caller's contract (authors/hosts/langs — bounded);
+    * the pairwise stage is G²·M tiny rows.
+    *
+    * σ_w = 0 words (identical share in every group) carry no signal: their
+    * z is null and `avg` skips them in both engines; `m_used` reports how
+    * many words actually contributed.
+    *
+    * @return (group_a, group_b, m_used, delta) for group_a < group_b
+    */
+  def burrowsDelta(docs: DataFrame, groupCol: String, textCol: String,
+                   topM: Int = 20): DataFrame = {
+    require(topM >= 2, s"topM must be >= 2, got $topM")
+    val g = col(groupCol)
+    val toks = docs.filter(g.isNotNull && col(textCol).isNotNull)
+      .select(g.as("_g"), explode(words(lower(col(textCol)))).as("word"))
+    val cnt = toks.groupBy(col("_g"), col("word")).agg(count(lit(1)).as("_c"))
+    val tot = cnt.groupBy(col("_g")).agg(sum(col("_c")).as("_n"))
+    val top = cnt.groupBy(col("word")).agg(sum(col("_c")).as("_gc"))
+      .orderBy(col("_gc").desc, col("word").asc).limit(topM)
+      .select(col("word"))
+    val dense = tot.crossJoin(broadcast(top))
+      .join(cnt, Seq("_g", "word"), "left")
+      .withColumn("f", coalesce(col("_c"), lit(0L)).cast("double") /
+        col("_n").cast("double"))
+      .select(col("_g"), col("word"), col("f"))
+    val stats = dense.groupBy(col("word"))
+      .agg(avg(col("f")).as("_mu"), stddev_pop(col("f")).as("_sd"))
+    val z = dense.join(broadcast(stats), Seq("word"))
+      .withColumn("z", when(col("_sd") > 0, (col("f") - col("_mu")) / col("_sd")))
+      .select(col("_g"), col("word"), col("z"))
+    val a = z.select(col("_g").as("group_a"), col("word"), col("z").as("_za"))
+    val b = z.select(col("_g").as("group_b"), col("word"), col("z").as("_zb"))
+    a.join(b, Seq("word"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(abs(col("_za") - col("_zb"))).as("m_used"),
+        avg(abs(col("_za") - col("_zb"))).as("delta"))
+  }
 }

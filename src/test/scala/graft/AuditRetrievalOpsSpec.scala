@@ -147,6 +147,24 @@ class AuditRetrievalOpsSpec extends SparkSuite {
     assert(out(("x", "y")) == 4.0 && out(("x", "z")) == 4.0)
   }
 
+  test("burrowsDelta: hand z-scores; sigma=0 words carry no signal") {
+    // A: f(x)=.5 f(y)=.25 f(z)=.25 | B: f(x)=.25 f(y)=.5 f(z)=.25
+    // z is equal-share in both groups -> sigma 0 -> excluded (m_used 2)
+    // x: mu=.375 sd_pop=.125 -> z_A=1, z_B=-1 (y mirrored)
+    // delta = mean(|1-(-1)|, |-1-1|) = 2
+    val docs = Seq(("A", "x x y z"), ("B", "x y y z")).toDF("g", "text")
+    val out = TextAnalysis.burrowsDelta(docs, "g", "text", topM = 3).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(r.fieldIndex("m_used")) == 2L)
+    assert(math.abs(r.getDouble(r.fieldIndex("delta")) - 2.0) < 1e-12)
+    // identical word distributions -> every word sigma=0 -> empty result
+    val same = Seq(("A", "x y"), ("B", "x y")).toDF("g", "text")
+    val d2 = TextAnalysis.burrowsDelta(same, "g", "text", topM = 2).collect()
+    assert(d2.length == 1 && d2(0).getLong(d2(0).fieldIndex("m_used")) == 0L)
+  }
+
   // ---------------------------------------------------------------- motifs
 
   test("motifs: classes regroup sax words exactly; singletons dropped") {

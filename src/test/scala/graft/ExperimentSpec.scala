@@ -123,4 +123,30 @@ class ExperimentSpec extends SparkSuite {
       assert(r.getAs[Double]("p_bh") <= 1.0 && r.getAs[Double]("p_holm") <= 1.0)
     }
   }
+
+  test("mdePower: closed-form sizing golden; degenerate arms null out") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // g: 100 control rows / 10 conv, 100 treat rows / 10 conv
+    // h: every row converts -> p_pool = 1 -> mde/n_required null
+    val rows = (0 until 200).map(i => ("g", i.toLong, if (i % 20 < 2) 1L else 0L)) ++
+      (0 until 10).map(i => ("h", i.toLong, 1L))
+    val df = rows.toDF("grp", "uid", "conv")
+    val out = Experiment.mdePower(df, Seq("grp"),
+        isControl = pmod(col("uid"), lit(2L)) === 0, convCol = "conv",
+        targetRel = 0.10)
+      .orderBy("grp").collect()
+    val g = out(0)
+    assert(g.getAs[Long]("n_a") == 100L && g.getAs[Long]("n_b") == 100L)
+    assert(approxEq(g.getAs[Double]("p_control"), 0.1))
+    assert(approxEq(g.getAs[Double]("p_pool"), 0.1))
+    val zs = Experiment.Z975 + Experiment.Z80
+    val mde = zs * math.sqrt(0.1 * 0.9 * (1.0 / 100 + 1.0 / 100))
+    assert(approxEq(g.getAs[Double]("mde_abs"), mde))
+    assert(approxEq(g.getAs[Double]("mde_rel"), mde / 0.1))
+    assert(approxEq(g.getAs[Double]("n_required"),
+      2.0 * 0.1 * 0.9 * zs * zs / (0.01 * 0.01)))
+    val h = out(1)
+    assert(h.isNullAt(h.fieldIndex("mde_abs")) &&
+      h.isNullAt(h.fieldIndex("n_required")))
+  }
 }

@@ -597,6 +597,30 @@ class PipelineOpsSpec extends SparkSuite {
     assert(rb.getDouble(rb.fieldIndex("ece")) > 0.9)
   }
 
+  test("brierDecomposition: Murphy identity exact for bin-constant forecasts") {
+    import graft.operators.Calibration
+    // same corpus as the ece golden: p constant within each touched bin, so
+    // Brier = REL - RES + UNC holds with zero residual.
+    // bin0: p=.05, acc=1/20; bin9: p=.95, acc=19/20 -> REL=0
+    // ybar=.5 -> UNC=.25; RES = (20*.45^2 + 20*.45^2)/40 = .2025
+    val cal = (0 until 20).map(i => (0.05, if (i < 1) 1.0 else 0.0)) ++
+      (0 until 20).map(i => (0.95, if (i < 19) 1.0 else 0.0))
+    val r = Calibration.brierDecomposition(cal.toDF("p", "y"), "p", "y").collect()(0)
+    val (brier, rel, res, unc) = (r.getDouble(r.fieldIndex("brier")),
+      r.getDouble(r.fieldIndex("reliability")),
+      r.getDouble(r.fieldIndex("resolution")),
+      r.getDouble(r.fieldIndex("uncertainty")))
+    assert(r.getLong(r.fieldIndex("n")) == 40L)
+    assert(approxEq(rel, 0.0) && approxEq(res, 0.2025) && approxEq(unc, 0.25))
+    assert(approxEq(brier, 0.0475) && approxEq(brier, rel - res + unc))
+    // anti-calibrated: all mass in one bin, REL = (.95-0)^2, RES = 0, UNC = 0
+    val bad = (0 until 10).map(_ => (0.95, 0.0))
+    val rb = Calibration.brierDecomposition(bad.toDF("p", "y"), "p", "y").collect()(0)
+    assert(approxEq(rb.getDouble(rb.fieldIndex("reliability")), 0.95 * 0.95))
+    assert(approxEq(rb.getDouble(rb.fieldIndex("resolution")), 0.0))
+    assert(approxEq(rb.getDouble(rb.fieldIndex("uncertainty")), 0.0))
+  }
+
   test("gainTable: perfect ranker captures everything in the positive buckets, buckets even") {
     import graft.operators.Calibration
     // 100 rows, top-10 scores are exactly the positives
@@ -970,6 +994,36 @@ class PipelineOpsSpec extends SparkSuite {
       .orderBy("k").collect()
     assert(math.abs(out(0).getDouble(1) - 1.5 / 2.5) < 1e-12 && out(0).getLong(2) == 2)
     assert(out(1).isNullAt(1))
+  }
+
+  test("dieboldMariano: hand d-series stat; null when the two forecasts tie") {
+    import graft.operators.Metrics
+    // k=1: losses1 = 1,1,1; losses2 = 4,4,0 -> d = -3,-3,1
+    // mean = -5/3, var_pop = (9+9+1)/3 - 25/9 = 32/9
+    val df = Seq(
+      (1L, 10.0, 9.0, 8.0), (1L, 12.0, 11.0, 14.0), (1L, 14.0, 15.0, 14.0),
+      (2L, 5.0, 4.0, 4.0), (2L, 6.0, 7.0, 7.0)) // p1 == p2 -> var(d)=0
+      .toDF("k", "y", "p1", "p2")
+    val out = Metrics.dieboldMariano(df, Seq("k"), "y", "p1", "p2")
+      .orderBy("k").collect()
+    val meanD = -5.0 / 3; val varD = 32.0 / 9
+    assert(out(0).getLong(1) == 3L)
+    assert(approxEq(out(0).getDouble(2), meanD))
+    assert(approxEq(out(0).getDouble(3), meanD / math.sqrt(varD / 3)))
+    assert(out(1).isNullAt(3)) // equal losses -> no verdict, not dm=NaN
+  }
+
+  test("theilU: 1 at parity with naive, <1 when the model wins, null on exact naive") {
+    import graft.operators.Metrics
+    val df = Seq(
+      (1L, 10.0, 11.0, 9.0), (1L, 12.0, 11.0, 13.0),  // SSE_p=2, SSE_n=2 -> 1
+      (2L, 10.0, 10.5, 8.0), (2L, 12.0, 11.5, 14.0),  // SSE_p=.5, SSE_n=8
+      (3L, 7.0, 9.0, 7.0))                            // naive exact -> null
+      .toDF("k", "y", "p", "nv")
+    val out = Metrics.theilU(df, Seq("k"), "y", "p", "nv").orderBy("k").collect()
+    assert(approxEq(out(0).getDouble(1), 1.0))
+    assert(approxEq(out(1).getDouble(1), math.sqrt(0.5 / 8.0)))
+    assert(out(2).isNullAt(1) && out(2).getLong(2) == 1L)
   }
 
   // --------------------------------------------------------------- Theta
