@@ -4234,6 +4234,480 @@ object SparkEntry {
       Metrics.theilU(test, Seq("user_id"), "v", "p", "nv")
         .select(col("user_id"), r6(col("theil_u")).as("theil_u"), col("n"))
         .orderBy("user_id")
+    }),
+
+    // hierarchical forecast reconciliation (top-down by historical
+    // proportions + the bottom-up coherence column): per-user mean-daily
+    // base forecasts disaggregated from the shard-level forecast
+    "q306_reconcile" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .withColumn("shard", pmod(col("user_id"), lit(4L)).cast("string"))
+        .groupBy(col("shard"), col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val childFc = daily.groupBy("shard", "user_id").agg(avg(col("v")).as("yhat"))
+      val parentFc = daily.groupBy(col("shard"), col("d"))
+        .agg(sum(col("v")).as("pv"))
+        .groupBy("shard").agg(avg(col("pv")).as("yhat"))
+      graft.operators.Forecast.reconcileTopDown(daily, childFc, parentFc,
+          Seq("shard"), Seq("shard", "user_id"), "v", "yhat")
+        .select(col("shard"), col("user_id"), r6(col("yhat")).as("yhat_base"),
+          r6(col("prop")).as("prop"), r6(col("yhat_td")).as("yhat_td"),
+          r6(col("yhat_bu")).as("yhat_bu"))
+        .orderBy("shard", "user_id")
+    }),
+
+    // TSB intermittent-demand forecast on q298's every-3rd-day demand mask —
+    // the probability level (updated EVERY period) is what distinguishes it
+    // from Croston/SBA
+    "q307_tsb" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+        .withColumn("v",
+          when(pmod(unix_timestamp(col("d")) / 86400, lit(3L)) === 0, col("v"))
+            .otherwise(lit(0.0)))
+      graft.operators.Forecast.tsb(daily, Seq("user_id"), "d", "v",
+          alpha = 0.3, beta = 0.2, horizon = 3, stepSeconds = 86400L)
+        .select(col("user_id"), unix_timestamp(col("forecast_ts")).as("forecast_s"),
+          col("step").cast("long").as("step"), r6(col("yhat")).as("yhat"))
+        .orderBy("user_id", "step")
+    }),
+
+    // Trigg tracking signal over the expanding-mean one-step forecast:
+    // cumulative error / cumulative MAD, |TS| > 4 alarms
+    "q308_tracking_signal" -> ((s, dir) => {
+      val wPrev = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val withFc = daily.withColumn("fc", avg(col("v")).over(wPrev))
+        .filter(col("fc").isNotNull)
+      Metrics.trackingSignal(withFc, Seq("user_id"), "d", "v", "fc")
+        .select(col("user_id"), unix_timestamp(col("d")).as("d_s"),
+          r6(col("cum_err")).as("cum_err"), r6(col("mad")).as("mad"),
+          r6(col("tsig")).as("tsig"), col("alarm"))
+        .orderBy("user_id", "d_s")
+    }),
+
+    // forecast value added: does the expanding-mean model beat the lag-1
+    // naive per user? FVA = (MAE_naive - MAE_model) / MAE_naive
+    "q309_fva" -> ((s, dir) => {
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d"))
+      val wPrev = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val staged = daily
+        .withColumn("naive", lag(col("v"), 1).over(wAsc))
+        .withColumn("fc", avg(col("v")).over(wPrev))
+        .filter(col("naive").isNotNull && col("fc").isNotNull)
+      staged.groupBy("user_id")
+        .agg(avg(abs(col("v") - col("naive"))).as("mae_naive"),
+          avg(abs(col("v") - col("fc"))).as("mae_model"),
+          count(lit(1)).as("n"))
+        .withColumn("fva", when(col("mae_naive") > 0,
+          (col("mae_naive") - col("mae_model")) / col("mae_naive")))
+        .select(col("user_id"), r6(col("mae_naive")).as("mae_naive"),
+          r6(col("mae_model")).as("mae_model"), r6(col("fva")).as("fva"),
+          col("n"))
+        .orderBy("user_id")
+    }),
+
+    // inverse-MAE weighted combination of the naive and train-mean
+    // forecasts, weights fit on the train window, scored on the 5-day test
+    "q310_combo" -> ((s, dir) => {
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d"))
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d").desc)
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val ranked = daily
+        .withColumn("naive", lag(col("v"), 1).over(wAsc))
+        .withColumn("_rd", row_number().over(wDesc))
+      val train = ranked.filter(col("_rd") > 5 && col("naive").isNotNull)
+      val stats = train.groupBy("user_id")
+        .agg(avg(abs(col("v") - col("naive"))).as("mae1"), avg(col("v")).as("m"))
+      val mae2 = train.join(stats, "user_id").groupBy("user_id")
+        .agg(avg(abs(col("v") - col("m"))).as("mae2"))
+      val test = ranked.filter(col("_rd") <= 5)
+        .join(stats, "user_id").join(mae2, "user_id")
+        .withColumn("w1", when(col("mae1") > 0 && col("mae2") > 0,
+          (lit(1.0) / col("mae1")) /
+            (lit(1.0) / col("mae1") + lit(1.0) / col("mae2"))))
+        .withColumn("fc",
+          col("w1") * col("naive") + (lit(1.0) - col("w1")) * col("m"))
+      test.groupBy("user_id")
+        .agg(max(col("w1")).as("w_naive"),
+          avg(abs(col("v") - col("fc"))).as("mae_combo"),
+          count(lit(1)).as("n_test"))
+        .select(col("user_id"), r6(col("w_naive")).as("w_naive"),
+          r6(col("mae_combo")).as("mae_combo"), col("n_test"))
+        .orderBy("user_id")
+    }),
+
+    // Cliff's delta effect size between even/odd-user value distributions
+    // per event type — the nonparametric effect size next to q272's U test
+    "q311_cliffs_delta" -> ((s, dir) => {
+      val d = ev(s, dir)
+        .withColumn("shard", pmod(col("user_id"), lit(2L)).cast("string"))
+      graft.operators.Robust.cliffsDelta(d, Seq("event_type"), "shard",
+          "0", "1", "value")
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          r6(col("delta")).as("delta"))
+        .orderBy("event_type")
+    }),
+
+    // two-sample energy distance (Székely–Rizzo) between the same shards —
+    // pair-count×gap closed form, no pair join
+    "q312_energy_dist" -> ((s, dir) => {
+      val d = ev(s, dir).withColumn("shard", pmod(col("user_id"), lit(2L)))
+      graft.operators.Drift.energyDistance(
+          d.filter(col("shard") === 0), d.filter(col("shard") === 1),
+          Seq("event_type"), "value")
+        .select(col("event_type"), r6(col("energy_dist")).as("energy_dist"),
+          r6(col("d2")).as("d2"), col("n_ref"), col("n_cur"))
+        .orderBy("event_type")
+    }),
+
+    // two-sample Cramér–von Mises (ECDF form, pooled-multiplicity weights)
+    "q313_cvm" -> ((s, dir) => {
+      val d = ev(s, dir).withColumn("shard", pmod(col("user_id"), lit(2L)))
+      graft.operators.Drift.cvm2(
+          d.filter(col("shard") === 0), d.filter(col("shard") === 1),
+          Seq("event_type"), "value")
+        .select(col("event_type"), r6(col("cvm")).as("cvm"),
+          col("n_ref"), col("n_cur"))
+        .orderBy("event_type")
+    }),
+
+    // directed degree assortativity of the q199 link graph (out-degree of
+    // src vs in-degree of dst, Pearson over edges)
+    "q314_assortativity" -> ((s, dir) => {
+      val (edges, _) = docEdges(s, dir)
+      graft.operators.Graph.degreeAssortativity(edges)
+        .select(r6(col("assortativity")).as("assortativity"), col("n_edges"))
+    }),
+
+    // edge reciprocity of the same graph (share of distinct non-self edges
+    // with a reverse edge)
+    "q315_reciprocity" -> ((s, dir) => {
+      val (edges, _) = docEdges(s, dir)
+      graft.operators.Graph.reciprocity(edges)
+        .select(col("n_edges"), col("n_reciprocal"),
+          r6(col("reciprocity")).as("reciprocity"))
+    }),
+
+    // Page–Hinkley drift detector over hourly event-type counts
+    // (δ=0.5 tolerated drift, λ=10 alarm threshold)
+    "q316_page_hinkley" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .withColumn("ts_sec", unix_timestamp(col("ts").cast("timestamp")))
+        .withColumn("bucket_start", col("ts_sec") - pmod(col("ts_sec"), lit(3600L)))
+        .groupBy(col("event_type"), col("bucket_start"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.operators.Anomaly.pageHinkley(hourly, Seq("event_type"),
+          "bucket_start", "cnt", delta = 0.5, lambda = 10.0)
+        .select(col("event_type"), col("bucket_start"),
+          r6(col("run_mean")).as("run_mean"), r6(col("ph")).as("ph"),
+          col("alarm"))
+        .orderBy("event_type", "bucket_start")
+    }),
+
+    // Theil's MSE decomposition (bias/variance/covariance) of the naive
+    // forecast on q305's 5-day test split — WHERE the naive's error lives
+    "q317_mse_decomp" -> ((s, dir) => {
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d"))
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d").desc)
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val ranked = daily
+        .withColumn("nv", lag(col("v"), 1).over(wAsc))
+        .withColumn("_rd", row_number().over(wDesc))
+      val test = ranked.filter(col("_rd") <= 5 && col("nv").isNotNull)
+      Metrics.mseDecomposition(test, Seq("user_id"), "v", "nv")
+        .select(col("user_id"), col("n"), r6(col("mse")).as("mse"),
+          r6(col("bias_part")).as("bias_part"),
+          r6(col("var_part")).as("var_part"),
+          r6(col("cov_part")).as("cov_part"),
+          r6(col("um")).as("um"), r6(col("us")).as("us"),
+          r6(col("uc")).as("uc"))
+        .orderBy("user_id")
+    }),
+
+    // Granger F at lag 1 per shard: does yesterday's click total improve
+    // the view-total prediction beyond its own lag?
+    "q318_granger" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .withColumn("shard", pmod(col("user_id"), lit(4L)).cast("string"))
+        .groupBy(col("shard"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(when(col("event_type") === "click", col("value"))
+            .otherwise(lit(0.0))).as("x"),
+          sum(when(col("event_type") === "view", col("value"))
+            .otherwise(lit(0.0))).as("y"))
+      graft.operators.Forecast.grangerF(daily, Seq("shard"), "d", "y", "x")
+        .select(col("shard"), col("n"), r6(col("rss_r")).as("rss_r"),
+          r6(col("rss_u")).as("rss_u"), r6(col("f_stat")).as("f_stat"))
+        .orderBy("shard")
+    }),
+
+    // Pettitt rank changepoint per user daily series — exact half-integer
+    // U_t, argmax on (|U| desc, ts asc)
+    "q319_pettitt" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Anomaly.pettitt(daily, Seq("user_id"), "d", "v")
+        .select(col("user_id"), col("n"), r6(col("u_max")).as("u_max"),
+          unix_timestamp(col("split_ts")).as("split_s"),
+          r6(col("p_approx")).as("p_approx"))
+        .orderBy("user_id")
+    }),
+
+    // Hedges' g standardized mean difference between even/odd users
+    "q320_hedges" -> ((s, dir) => {
+      val d = ev(s, dir)
+        .withColumn("shard", pmod(col("user_id"), lit(2L)).cast("string"))
+      graft.operators.Experiment.hedgesG(d, Seq("event_type"), "shard",
+          "0", "1", "value")
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          r6(col("cohen_d")).as("cohen_d"), r6(col("hedges_g")).as("hedges_g"))
+        .orderBy("event_type")
+    }),
+
+    // Brown–Forsythe variance-equality F across three event types per day
+    // (ANOVA on |value − per-arm median|)
+    "q321_brown_forsythe" -> ((s, dir) => {
+      val d = ev(s, dir)
+        .withColumn("day", dayofmonth(col("ts").cast("timestamp")))
+      graft.operators.Robust.brownForsythe(d, Seq("day"), "event_type",
+          Seq("click", "view", "purchase"), "value")
+        .select(col("day"), col("n"), r6(col("ssb")).as("ssb"),
+          r6(col("ssw")).as("ssw"), r6(col("f_stat")).as("f_stat"))
+        .orderBy("day")
+    }),
+
+    // Grubbs' most-extreme-point statistic per user daily series
+    "q322_grubbs" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Anomaly.grubbs(daily, Seq("user_id"), "v")
+        .select(col("user_id"), col("n"), r6(col("g_stat")).as("g_stat"),
+          r6(col("outlier_value")).as("outlier_value"))
+        .orderBy("user_id")
+    }),
+
+    // Wald–Wolfowitz runs test on the above/below-median sign sequence
+    "q323_runs" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Robust.runsTest(daily, Seq("user_id"), "d", "v")
+        .select(col("user_id"), col("n_above"), col("n_below"), col("runs"),
+          r6(col("z")).as("z"))
+        .orderBy("user_id")
+    }),
+
+    // partial correlation of daily click vs view totals with purchase held
+    // fixed, per shard — the deconfounded association readout
+    "q324_partial_corr" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .withColumn("shard", pmod(col("user_id"), lit(4L)).cast("string"))
+        .groupBy(col("shard"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(when(col("event_type") === "click", col("value"))
+            .otherwise(lit(0.0))).as("x"),
+          sum(when(col("event_type") === "view", col("value"))
+            .otherwise(lit(0.0))).as("y"),
+          sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0))).as("z"))
+      graft.operators.Profile.partialCorr(daily, Seq("shard"), "x", "y", "z")
+        .select(col("shard"), col("n"), r6(col("r_xy")).as("r_xy"),
+          r6(col("r_xz")).as("r_xz"), r6(col("r_yz")).as("r_yz"),
+          r6(col("r_xy_z")).as("r_xy_z"))
+        .orderBy("shard")
+    }),
+
+    // Kruskal–Wallis H across all five event types per day-of-month
+    "q325_kruskal" -> ((s, dir) => {
+      val d = ev(s, dir)
+        .withColumn("day", dayofmonth(col("ts").cast("timestamp")))
+      graft.operators.Robust.kruskalWallis(d, Seq("day"), "event_type", "value")
+        .select(col("day"), col("n"), col("n_arms"),
+          r6(col("h_raw")).as("h_raw"), r6(col("h_stat")).as("h_stat"))
+        .orderBy("day")
+    }),
+
+    // turning-point randomness test per user daily series
+    "q326_turning" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Profile.turningPoints(daily, Seq("user_id"), "d", "v")
+        .select(col("user_id"), col("n"), col("turning_points"),
+          r6(col("z")).as("z"))
+        .orderBy("user_id")
+    }),
+
+    // Lo–MacKinlay variance ratio (q=2) per user daily series
+    "q327_vr" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Forecast.varianceRatio(daily, Seq("user_id"), "d", "v", 2)
+        .select(col("user_id"), col("n_diff1"), col("n_diffq"),
+          r6(col("vr")).as("vr"))
+        .orderBy("user_id")
+    }),
+
+    // Durbin–Watson on lag-1-naive residuals of the daily series — ≈2 when
+    // the naive's errors are white, → 0 when it underfits persistence
+    "q328_dw" -> ((s, dir) => {
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d"))
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val resid = daily
+        .withColumn("e", col("v") - lag(col("v"), 1).over(wAsc))
+        .filter(col("e").isNotNull)
+      Metrics.durbinWatson(resid, Seq("user_id"), "d", "e")
+        .select(col("user_id"), col("n"), r6(col("dw")).as("dw"))
+        .orderBy("user_id")
+    }),
+
+    // CRPS of the train-window empirical ensemble against each of the 5
+    // test days (q305's split), one row per (user, test day). Daily values
+    // in INTEGER CENTS (the q152 quantized discipline): every |x−y| sum
+    // and the pair sum are exact integers, so each score is a ratio of
+    // exact sums — bit-identical across engines, no 6-dp boundary flakes.
+    "q329_crps" -> ((s, dir) => {
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d").desc)
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+        .withColumn("_rd", row_number().over(wDesc))
+      val ens = daily.filter(col("_rd") > 5).select(col("user_id"), col("v"))
+      val obs = daily.filter(col("_rd") <= 5)
+        .select(col("user_id"), unix_timestamp(col("d")).as("od"), col("v").as("y"))
+      Metrics.crpsEmpirical(ens, Seq("user_id"), "v", obs, "od", "y")
+        .select(col("user_id"), col("od"), col("n_ens"),
+          r6(col("crps") / 100).as("crps"))
+        .orderBy("user_id", "od")
+    }),
+
+    // Atkinson inequality (ε=0.5) of hourly event counts per shard
+    "q330_atkinson" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .withColumn("shard", pmod(col("user_id"), lit(4L)).cast("string"))
+        .withColumn("ts_sec", unix_timestamp(col("ts").cast("timestamp")))
+        .withColumn("b", col("ts_sec") - pmod(col("ts_sec"), lit(3600L)))
+        .groupBy(col("shard"), col("b"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.operators.Profile.atkinson(hourly, Seq("shard"), "cnt", epsilon = 0.5)
+        .select(col("shard"), col("n"), r6(col("mean")).as("mean"),
+          r6(col("ede")).as("ede"), r6(col("atkinson")).as("atkinson"))
+        .orderBy("shard")
+    }),
+
+    // Theil T inequality of the same hourly counts — the decomposable index
+    "q331_theil_ineq" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .withColumn("shard", pmod(col("user_id"), lit(4L)).cast("string"))
+        .withColumn("ts_sec", unix_timestamp(col("ts").cast("timestamp")))
+        .withColumn("b", col("ts_sec") - pmod(col("ts_sec"), lit(3600L)))
+        .groupBy(col("shard"), col("b"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.operators.Profile.theilT(hourly, Seq("shard"), "cnt")
+        .select(col("shard"), col("n"), r6(col("mean")).as("mean"),
+          r6(col("theil_t")).as("theil_t"))
+        .orderBy("shard")
+    }),
+
+    // Palma ratio of hourly counts per shard — integer rank cuts, never a
+    // float quantile boundary
+    "q332_palma" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .withColumn("shard", pmod(col("user_id"), lit(4L)).cast("string"))
+        .withColumn("ts_sec", unix_timestamp(col("ts").cast("timestamp")))
+        .withColumn("b", col("ts_sec") - pmod(col("ts_sec"), lit(3600L)))
+        .groupBy(col("shard"), col("b"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.operators.Profile.palma(hourly, Seq("shard"), "cnt", "b")
+        .select(col("shard"), col("n"), r6(col("top_share")).as("top_share"),
+          r6(col("bottom_share")).as("bottom_share"), r6(col("palma")).as("palma"))
+        .orderBy("shard")
+    }),
+
+    // Newey–West autocorrelation-robust SE of each user's daily mean
+    // (Bartlett weights, L=3) next to the i.i.d. SE it corrects
+    "q333_newey_west" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Robust.neweyWest(daily, Seq("user_id"), "d", "v", maxLag = 3)
+        .select(col("user_id"), col("n"), r6(col("mean")).as("mean"),
+          r6(col("se_iid")).as("se_iid"), r6(col("se_nw")).as("se_nw"))
+        .orderBy("user_id")
+    }),
+
+    // in-degree power-law exponent of the q199 link graph (CSN 2009 MLE)
+    "q334_powerlaw" -> ((s, dir) => {
+      val (edges, _) = docEdges(s, dir)
+      graft.operators.Graph.powerlawAlpha(edges, kmin = 2L)
+        .select(col("kmin"), col("n_nodes"), r6(col("alpha")).as("alpha"))
+    }),
+
+    // Newman modularity of the deterministic doc_id%7 partition over the
+    // undirected q199 graph
+    "q335_modularity" -> ((s, dir) => {
+      val (edges, _) = docEdges(s, dir)
+      val labels = docs(s, dir).select(col("doc_id").cast("long").as("id"),
+        pmod(col("doc_id"), lit(7L)).as("community"))
+      graft.operators.Graph.modularity(edges, labels)
+        .select(col("m"), col("n_communities"),
+          r6(col("modularity")).as("modularity"))
+    }),
+
+    // restricted mean survival time at τ=10 days over q271's censored frame
+    "q336_rmst" -> ((s, dir) => {
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val subj = ev(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(us).as("_f"), max(us).as("_l"))
+        .withColumn("dur", expr("(_l - _f) div 86400000000L"))
+        .withColumn("e",
+          when(col("_l") < lit(1706054400000000L), lit(1)).otherwise(lit(0)))
+      graft.operators.Survival.rmst(subj, Seq("event_type"), "dur", "e", tau = 10L)
+        .select(col("event_type"), col("tau"), col("n_times"),
+          r6(col("rmst")).as("rmst"))
+        .orderBy("event_type")
+    }),
+
+    // LB_Keogh lower bound (band 2) from each user's daily series to the
+    // cross-user mean daily profile — the DTW pruning pass
+    "q337_lb_keogh" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val ref = daily.groupBy(col("d")).agg(avg(col("v")).as("rv"))
+      graft.operators.Similarity.lbKeogh(daily, Seq("user_id"), "d", "v",
+          ref, "rv", band = 2)
+        .select(col("user_id"), r6(col("lb_keogh")).as("lb_keogh"),
+          col("n_matched"))
+        .orderBy("user_id")
     })
   )
 
@@ -9580,7 +10054,717 @@ object SparkEntry {
         |    THEN sqrt(sum((p - v) * (p - v)) / sum((nv - v) * (nv - v))) END, 6)
         |    AS theil_u,
         |  count(*) AS n
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // top-down = parent forecast × historical proportion; bottom-up = Σ
+    // child forecasts per parent (the coherence column)
+    "q306_reconcile" ->
+      """WITH daily AS (SELECT (user_id % 4)::VARCHAR AS shard, user_id,
+        |    date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2,3),
+        |cfc AS (SELECT shard, user_id, avg(v) AS yhat FROM daily GROUP BY 1,2),
+        |pdaily AS (SELECT shard, d, sum(v) AS pv FROM daily GROUP BY 1,2),
+        |pfc AS (SELECT shard, avg(pv) AS pfc FROM pdaily GROUP BY 1),
+        |ct AS (SELECT shard, user_id, sum(v) AS child_tot FROM daily GROUP BY 1,2),
+        |pt AS (SELECT shard, sum(child_tot) AS parent_tot FROM ct GROUP BY 1),
+        |bu AS (SELECT shard, sum(yhat) AS yhat_bu FROM cfc GROUP BY 1)
+        |SELECT c.shard, c.user_id, round(c.yhat, 6) AS yhat_base,
+        |  round(CASE WHEN pt.parent_tot <> 0
+        |    THEN ct.child_tot / pt.parent_tot END, 6) AS prop,
+        |  round(CASE WHEN pt.parent_tot <> 0
+        |    THEN pfc.pfc * (ct.child_tot / pt.parent_tot) END, 6) AS yhat_td,
+        |  round(bu.yhat_bu, 6) AS yhat_bu
+        |FROM cfc c JOIN ct USING (shard, user_id) JOIN pt USING (shard)
+        |  JOIN pfc USING (shard) JOIN bu USING (shard)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // TSB: p = SES(indicator over ALL days, β=0.2, init = first indicator),
+    // z = croston's size level (α=0.3); both as power-decay weighted sums
+    "q307_tsb" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |g AS (SELECT user_id, d,
+        |    CASE WHEN (epoch(d)::BIGINT // 86400) % 3 = 0 THEN v ELSE 0.0 END AS v
+        |  FROM daily),
+        |r AS (SELECT user_id, d, v,
+        |    row_number() OVER w AS rn,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d DESC) - 1 AS back,
+        |    max(d) OVER (PARTITION BY user_id) AS last_d
+        |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+        |p AS (SELECT user_id, max(last_d) AS last_d,
+        |    sum(CASE WHEN rn = 1 THEN power(0.8, back) ELSE 0.2*power(0.8, back) END
+        |        * CASE WHEN v <> 0 THEN 1.0 ELSE 0.0 END) AS p
+        |  FROM r GROUP BY 1),
+        |nz AS (SELECT user_id, v,
+        |    row_number() OVER w2 AS rn2,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d DESC) - 1 AS back2
+        |  FROM g WHERE v <> 0 WINDOW w2 AS (PARTITION BY user_id ORDER BY d)),
+        |z AS (SELECT user_id,
+        |    sum(CASE WHEN rn2 = 1 THEN power(0.7, back2)*v
+        |        ELSE 0.3*power(0.7, back2)*v END) AS z
+        |  FROM nz GROUP BY 1)
+        |SELECT p.user_id, epoch(p.last_d)::BIGINT + s.s*86400 AS forecast_s,
+        |  s.s AS step, round(p.p * z.z, 6) AS yhat
+        |FROM p JOIN z USING (user_id), generate_series(1,3) s(s)
+        |ORDER BY 1, 3""".stripMargin,
+
+    // TS_t = cumulative error / expanding MAD of the expanding-mean forecast
+    "q308_tracking_signal" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |f AS (SELECT user_id, d, v,
+        |    avg(v) OVER (PARTITION BY user_id ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fc
+        |  FROM daily),
+        |e AS (SELECT user_id, d, v - fc AS err FROM f WHERE fc IS NOT NULL),
+        |t AS (SELECT user_id, d,
+        |    sum(err) OVER w AS cum_err, avg(abs(err)) OVER w AS mad
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, epoch(d)::BIGINT AS d_s, round(cum_err, 6) AS cum_err,
+        |  round(mad, 6) AS mad,
+        |  round(CASE WHEN mad > 0 THEN cum_err/mad END, 6) AS tsig,
+        |  CASE WHEN mad > 0 AND abs(cum_err/mad) > 4.0 THEN 1 ELSE 0 END AS alarm
+        |FROM t ORDER BY 1, 2""".stripMargin,
+
+    "q309_fva" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |f AS (SELECT user_id, d, v,
+        |    lag(v) OVER (PARTITION BY user_id ORDER BY d) AS naive,
+        |    avg(v) OVER (PARTITION BY user_id ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fc
+        |  FROM daily),
+        |m AS (SELECT user_id, avg(abs(v - naive)) AS mae_naive,
+        |    avg(abs(v - fc)) AS mae_model, count(*) AS n
+        |  FROM f WHERE naive IS NOT NULL AND fc IS NOT NULL GROUP BY 1)
+        |SELECT user_id, round(mae_naive, 6) AS mae_naive,
+        |  round(mae_model, 6) AS mae_model,
+        |  round(CASE WHEN mae_naive > 0
+        |    THEN (mae_naive - mae_model) / mae_naive END, 6) AS fva, n
+        |FROM m ORDER BY 1""".stripMargin,
+
+    // inverse-MAE weights fit on train (rd > 5), scored on the 5-day test
+    "q310_combo" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |r AS (SELECT user_id, d, v,
+        |    lag(v) OVER (PARTITION BY user_id ORDER BY d) AS naive,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d DESC) AS rd
+        |  FROM daily),
+        |st AS (SELECT user_id, avg(abs(v - naive)) AS mae1, avg(v) AS m
+        |  FROM r WHERE rd > 5 AND naive IS NOT NULL GROUP BY 1),
+        |m2 AS (SELECT r.user_id, avg(abs(r.v - st.m)) AS mae2
+        |  FROM r JOIN st USING (user_id)
+        |  WHERE rd > 5 AND naive IS NOT NULL GROUP BY 1),
+        |t AS (SELECT r.user_id, r.v, r.naive, st.m,
+        |    CASE WHEN st.mae1 > 0 AND m2.mae2 > 0
+        |      THEN (1.0/st.mae1) / (1.0/st.mae1 + 1.0/m2.mae2) END AS w1
+        |  FROM r JOIN st USING (user_id) JOIN m2 USING (user_id)
+        |  WHERE rd <= 5)
+        |SELECT user_id, round(max(w1), 6) AS w_naive,
+        |  round(avg(abs(v - (w1*naive + (1.0 - w1)*m))), 6) AS mae_combo,
+        |  count(*) AS n_test
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // δ = 2U/(n_a·n_b) − 1 from the tie-averaged rank-sum U (q272 plumbing)
+    "q311_cliffs_delta" ->
+      """WITH b AS (SELECT event_type, (user_id % 2)::VARCHAR AS shard, value
+        |  FROM events),
+        |r AS (SELECT *, rank() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+        |    count(*) OVER (PARTITION BY event_type, value) AS tc FROM b),
+        |a AS (SELECT event_type,
+        |    sum(CASE WHEN shard = '0' THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN shard = '1' THEN 1 ELSE 0 END) AS n_b,
+        |    sum(CASE WHEN shard = '0' THEN rk + (tc - 1) / 2.0 ELSE 0 END) AS ra
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    2.0 * (ra - n_a * (n_a + 1) / 2.0) / (n_a::DOUBLE * n_b) - 1 END, 6)
+        |    AS delta
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // pair-count×gap closed form: Σ|x−y| = Σ g·(sr·(nc−sc)+sc·(nr−sr)),
+    // Σ|x−x'| = 2·Σ g·sr·(nr−sr); D² = 2E|XY| − E|XX'| − E|YY'|
+    "q312_energy_dist" ->
+      """WITH b AS (SELECT event_type, (user_id % 2) AS shard, value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |pv AS (SELECT event_type, v,
+        |    sum(CASE WHEN shard = 0 THEN 1 ELSE 0 END) AS cr,
+        |    sum(CASE WHEN shard = 1 THEN 1 ELSE 0 END) AS cc
+        |  FROM b GROUP BY 1, 2),
+        |c AS (SELECT event_type, v, cr, cc,
+        |    sum(cr) OVER w AS sr, sum(cc) OVER w AS sc,
+        |    sum(cr) OVER (PARTITION BY event_type) AS nr,
+        |    sum(cc) OVER (PARTITION BY event_type) AS nc,
+        |    lead(v) OVER (PARTITION BY event_type ORDER BY v) - v AS gap
+        |  FROM pv WINDOW w AS (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT event_type, nr, nc,
+        |    sum(CASE WHEN gap IS NOT NULL
+        |      THEN gap * (sr*(nc-sc) + sc*(nr-sr)) END) AS sxy,
+        |    sum(CASE WHEN gap IS NOT NULL THEN gap * sr * (nr-sr) END) AS sxx,
+        |    sum(CASE WHEN gap IS NOT NULL THEN gap * sc * (nc-sc) END) AS syy
+        |  FROM c WHERE nr > 0 AND nc > 0 GROUP BY 1, 2, 3),
+        |d AS (SELECT event_type, nr, nc,
+        |    2.0*coalesce(sxy, 0.0)/(nr*nc) - 2.0*coalesce(sxx, 0.0)/(nr*nr)
+        |      - 2.0*coalesce(syy, 0.0)/(nc*nc) AS d2
+        |  FROM s)
+        |SELECT event_type, round(sqrt(greatest(d2, 0.0)), 6) AS energy_dist,
+        |  round(d2, 6) AS d2, nr::BIGINT AS n_ref, nc::BIGINT AS n_cur
+        |FROM d ORDER BY 1""".stripMargin,
+
+    // ECDF form: T = nm/(n+m)² · Σ_z multiplicity·(F_n − G_m)²
+    "q313_cvm" ->
+      """WITH b AS (SELECT event_type, (user_id % 2) AS shard, value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |pv AS (SELECT event_type, v,
+        |    sum(CASE WHEN shard = 0 THEN 1 ELSE 0 END) AS cr,
+        |    sum(CASE WHEN shard = 1 THEN 1 ELSE 0 END) AS cc
+        |  FROM b GROUP BY 1, 2),
+        |c AS (SELECT event_type, v, cr, cc,
+        |    sum(cr) OVER w AS sr, sum(cc) OVER w AS sc,
+        |    sum(cr) OVER (PARTITION BY event_type) AS nr,
+        |    sum(cc) OVER (PARTITION BY event_type) AS nc
+        |  FROM pv WINDOW w AS (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT event_type, nr, nc,
+        |    sum((cr + cc) * power(sr::DOUBLE/nr - sc::DOUBLE/nc, 2)) AS t
+        |  FROM c WHERE nr > 0 AND nc > 0 GROUP BY 1, 2, 3)
+        |SELECT event_type,
+        |  round(t * nr * nc / power(nr + nc, 2), 6) AS cvm,
+        |  nr::BIGINT AS n_ref, nc::BIGINT AS n_cur
+        |FROM s ORDER BY 1""".stripMargin,
+
+    // Pearson over edges of (out-degree of src, in-degree of dst)
+    "q314_assortativity" ->
+      """WITH e AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id // 2) FROM documents),
+        |od AS (SELECT src, count(*) AS odeg FROM e GROUP BY 1),
+        |idg AS (SELECT dst, count(*) AS ideg FROM e GROUP BY 1),
+        |j AS (SELECT od.odeg::DOUBLE AS x, idg.ideg::DOUBLE AS y
+        |  FROM e JOIN od USING (src) JOIN idg USING (dst)),
+        |m AS (SELECT count(*) AS n_edges, count(*)::DOUBLE AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM j)
+        |SELECT round(CASE WHEN sqrt(greatest(n*sxx - sx*sx, 0.0)) *
+        |    sqrt(greatest(n*syy - sy*sy, 0.0)) > 0
+        |  THEN (n*sxy - sx*sy) / (sqrt(greatest(n*sxx - sx*sx, 0.0)) *
+        |    sqrt(greatest(n*syy - sy*sy, 0.0))) END, 6) AS assortativity,
+        |  n_edges
+        |FROM m""".stripMargin,
+
+    "q315_reciprocity" ->
+      """WITH e0 AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id // 2) FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |m AS (SELECT count(*) AS n_reciprocal FROM e
+        |  WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src))
+        |SELECT (SELECT count(*) FROM e) AS n_edges, m.n_reciprocal,
+        |  round(m.n_reciprocal::DOUBLE / (SELECT count(*) FROM e), 6) AS reciprocity
+        |FROM m""".stripMargin,
+
+    // PH_t = m_t − min_{i≤t} m_i with m_t = Σ(x − running mean − δ)
+    "q316_page_hinkley" ->
+      """WITH h AS (SELECT event_type,
+        |    floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 3600 AS bucket_start,
+        |    count(*)::DOUBLE AS cnt FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, bucket_start, cnt,
+        |    avg(cnt) OVER w AS run_mean
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT event_type, bucket_start, run_mean,
+        |    sum(cnt - run_mean - 0.5) OVER w AS mt
+        |  FROM m WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT event_type, bucket_start, run_mean,
+        |    mt - min(mt) OVER w AS ph
+        |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket_start, round(run_mean, 6) AS run_mean,
+        |  round(ph, 6) AS ph, CASE WHEN ph > 10.0 THEN 1 ELSE 0 END AS alarm
+        |FROM p ORDER BY 1, 2""".stripMargin,
+
+    // MSE = bias² + (s_f−s_y)² + 2(s_f·s_y − cov); population moments
+    "q317_mse_decomp" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1,2),
+        |r AS (SELECT user_id, d, v,
+        |    lag(v) OVER (PARTITION BY user_id ORDER BY d) AS nv,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d DESC) AS rd
+        |  FROM daily),
+        |t AS (SELECT user_id, v, nv FROM r WHERE rd <= 5 AND nv IS NOT NULL),
+        |g AS (SELECT user_id, count(*)::DOUBLE AS n, avg(v) AS my, avg(nv) AS mf,
+        |    avg(v*v) AS myy, avg(nv*nv) AS mff, avg(nv*v) AS mfy
+        |  FROM t GROUP BY 1),
+        |d AS (SELECT user_id, n,
+        |    sqrt(greatest(myy - my*my, 0.0)) AS sy,
+        |    sqrt(greatest(mff - mf*mf, 0.0)) AS sf,
+        |    mfy - mf*my AS cov, mff - 2.0*mfy + myy AS mse,
+        |    (mf - my)*(mf - my) AS bias_part
+        |  FROM g)
+        |SELECT user_id, n::BIGINT AS n, round(mse, 6) AS mse,
+        |  round(bias_part, 6) AS bias_part,
+        |  round((sf - sy)*(sf - sy), 6) AS var_part,
+        |  round(2.0*(sf*sy - cov), 6) AS cov_part,
+        |  round(CASE WHEN mse > 0 THEN bias_part/mse END, 6) AS um,
+        |  round(CASE WHEN mse > 0 THEN (sf - sy)*(sf - sy)/mse END, 6) AS us,
+        |  round(CASE WHEN mse > 0 THEN 2.0*(sf*sy - cov)/mse END, 6) AS uc
+        |FROM d ORDER BY 1""".stripMargin,
+
+    // centered-moment Cramer: restricted y~y₁, unrestricted y~y₁+x₁;
+    // F = (RSS_r − RSS_u)/(RSS_u/(n−3))
+    "q318_granger" ->
+      """WITH daily AS (SELECT (user_id % 4)::VARCHAR AS shard,
+        |    date_trunc('day', ts) AS d,
+        |    sum(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END) AS x,
+        |    sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END) AS y
+        |  FROM events WHERE event_type IN ('click','view') GROUP BY 1, 2),
+        |l AS (SELECT shard, d, y AS y0, lag(y) OVER w AS l1, lag(x) OVER w AS l2
+        |  FROM daily WINDOW w AS (PARTITION BY shard ORDER BY d)),
+        |f AS (SELECT * FROM l WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+        |c AS (SELECT shard, y0 - avg(y0) OVER p AS cy, l1 - avg(l1) OVER p AS c1,
+        |    l2 - avg(l2) OVER p AS c2
+        |  FROM f WINDOW p AS (PARTITION BY shard)),
+        |g AS (SELECT shard, count(*) AS n, sum(c1*c1) AS s11, sum(c2*c2) AS s22,
+        |    sum(c1*c2) AS s12, sum(cy*c1) AS s1y, sum(cy*c2) AS s2y,
+        |    sum(cy*cy) AS syy
+        |  FROM c GROUP BY 1),
+        |u AS (SELECT shard, n,
+        |    CASE WHEN s11 > 0 THEN syy - s1y*s1y/s11 END AS rss_r,
+        |    syy - (CASE WHEN s11*s22 - s12*s12 > 0
+        |        THEN (s1y*s22 - s2y*s12)/(s11*s22 - s12*s12) END)*s1y
+        |      - (CASE WHEN s11*s22 - s12*s12 > 0
+        |        THEN (s11*s2y - s12*s1y)/(s11*s22 - s12*s12) END)*s2y AS rss_u
+        |  FROM g)
+        |SELECT shard, n, round(rss_r, 6) AS rss_r, round(rss_u, 6) AS rss_u,
+        |  round(CASE WHEN rss_u > 0 AND n > 3
+        |    THEN (rss_r - rss_u)/(rss_u/(n - 3.0)) END, 6) AS f_stat
+        |FROM u ORDER BY 1""".stripMargin,
+
+    // U_t = cumsum(2·midrank − (n+1)) in time order (exact half-integers);
+    // K = max |U_t| for t < n; p ≈ 2exp(−6K²/(n³+n²))
+    "q319_pettitt" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, d,
+        |    rank() OVER (PARTITION BY user_id ORDER BY v)
+        |      + (count(*) OVER (PARTITION BY user_id, v) - 1)/2.0 AS mid,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM daily),
+        |u AS (SELECT user_id, d, n,
+        |    sum(2.0*mid - (n + 1)) OVER (PARTITION BY user_id ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ut,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS rt
+        |  FROM r),
+        |k AS (SELECT user_id, n, d, ut,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY abs(ut) DESC, d) AS rk
+        |  FROM u WHERE rt < n)
+        |SELECT user_id, n, round(abs(ut), 6) AS u_max,
+        |  epoch(d)::BIGINT AS split_s,
+        |  round(2.0*exp(-6.0*ut*ut/(n::DOUBLE*n*n + n::DOUBLE*n)), 6) AS p_approx
+        |FROM k WHERE rk = 1 ORDER BY 1""".stripMargin,
+
+    // d = Δmean/s_pool (sample variances), g = d·(1 − 3/(4N−9))
+    "q320_hedges" ->
+      """WITH a AS (SELECT event_type,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN value ELSE 0 END) AS sa,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN value ELSE 0 END) AS sb,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN value*value ELSE 0 END) AS qa,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN value*value ELSE 0 END) AS qb
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |v AS (SELECT event_type, n_a, n_b,
+        |    CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+        |      ((qa - sa*sa/n_a::DOUBLE) + (qb - sb*sb/n_b::DOUBLE))
+        |        / (n_a::DOUBLE + n_b - 2) END AS vp,
+        |    sa/n_a::DOUBLE - sb/n_b::DOUBLE AS dm
+        |  FROM a)
+        |SELECT event_type, n_a, n_b,
+        |  round(CASE WHEN vp > 0 THEN dm/sqrt(vp) END, 6) AS cohen_d,
+        |  round(CASE WHEN vp > 0 THEN dm/sqrt(vp) END
+        |    * (1.0 - 3.0/(4.0*(n_a + n_b) - 9)), 6) AS hedges_g
+        |FROM v ORDER BY 1""".stripMargin,
+
+    // q290's anovaF formula (k=3) on |value − per-(day,arm) median|
+    "q321_brown_forsythe" ->
+      """WITH b AS (SELECT day(ts) AS day, event_type, value FROM events
+        |  WHERE event_type IN ('click','view','purchase') AND value IS NOT NULL),
+        |med AS (SELECT day, event_type, quantile_cont(value, 0.5) AS med
+        |  FROM b GROUP BY 1, 2),
+        |c AS (SELECT b.day, b.event_type, abs(b.value - med.med) AS adev
+        |  FROM b JOIN med USING (day, event_type)),
+        |a AS (SELECT day, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN event_type = 'click' THEN adev ELSE 0 END) AS s0,
+        |    sum(CASE WHEN event_type = 'click' THEN adev*adev ELSE 0 END) AS q0,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN event_type = 'view' THEN adev ELSE 0 END) AS s1,
+        |    sum(CASE WHEN event_type = 'view' THEN adev*adev ELSE 0 END) AS q1,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(CASE WHEN event_type = 'purchase' THEN adev ELSE 0 END) AS s2,
+        |    sum(CASE WHEN event_type = 'purchase' THEN adev*adev ELSE 0 END) AS q2
+        |  FROM c GROUP BY 1),
+        |f AS (SELECT day, n, n0, n1, n2,
+        |    ((s0*s0/n0::DOUBLE + s1*s1/n1::DOUBLE) + s2*s2/n2::DOUBLE) AS ssb_part,
+        |    ((s0 + s1) + s2) AS s_tot, ((q0 + q1) + q2) AS q_tot
+        |  FROM a)
+        |SELECT day, n,
+        |  round(CASE WHEN n0>=1 AND n1>=1 AND n2>=1 AND n>3
+        |    THEN ssb_part - s_tot*s_tot/n::DOUBLE END, 6) AS ssb,
+        |  round(CASE WHEN n0>=1 AND n1>=1 AND n2>=1 AND n>3
+        |    THEN q_tot - ssb_part END, 6) AS ssw,
+        |  round(CASE WHEN n0>=1 AND n1>=1 AND n2>=1 AND n>3
+        |         AND (q_tot - ssb_part) > 0
+        |    THEN ((ssb_part - s_tot*s_tot/n::DOUBLE) / 2.0)
+        |       / ((q_tot - ssb_part) / (n::DOUBLE - 3.0)) END, 6) AS f_stat
+        |FROM f ORDER BY 1""".stripMargin,
+
+    // G = max|x−x̄|/s (sample sd); outlier value via arg_max on |dev|
+    "q322_grubbs" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, count(*)::BIGINT AS n, avg(v) AS mean,
+        |    sum(v*v) AS q, sum(v) AS s
+        |  FROM daily GROUP BY 1),
+        |mm AS (SELECT user_id, n, mean,
+        |    CASE WHEN n > 1 THEN
+        |      sqrt(greatest((q - s*s/n::DOUBLE)/(n::DOUBLE - 1), 0.0)) END AS sd
+        |  FROM m),
+        |g AS (SELECT d.user_id, mm.n, mm.sd,
+        |    max(abs(d.v - mm.mean)) AS dev,
+        |    arg_max(d.v, abs(d.v - mm.mean)) AS ov
+        |  FROM daily d JOIN mm USING (user_id) GROUP BY 1, 2, 3)
+        |SELECT user_id, n,
+        |  round(CASE WHEN sd > 0 AND n >= 3 THEN dev/sd END, 6) AS g_stat,
+        |  round(ov, 6) AS outlier_value
+        |FROM g ORDER BY 1""".stripMargin,
+
+    // runs of above/below-median signs (equal-to-median rows dropped)
+    "q323_runs" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT user_id, quantile_cont(v, 0.5) AS med FROM daily GROUP BY 1),
+        |s AS (SELECT d.user_id, d.d,
+        |    CASE WHEN d.v > med.med THEN 1 ELSE 0 END AS sg
+        |  FROM daily d JOIN med USING (user_id) WHERE d.v <> med.med),
+        |c AS (SELECT user_id, sg,
+        |    CASE WHEN lag(sg) OVER w IS NULL THEN 1
+        |         WHEN sg <> lag(sg) OVER w THEN 1 ELSE 0 END AS chg
+        |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+        |a AS (SELECT user_id, sum(sg)::BIGINT AS n_above,
+        |    sum(1 - sg)::BIGINT AS n_below, sum(chg)::BIGINT AS runs
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n_above, n_below, runs,
+        |  round(CASE WHEN n_above > 0 AND n_below > 0
+        |      AND 2.0*n_above*n_below*(2.0*n_above*n_below - (n_above + n_below))
+        |        / ((n_above + n_below)::DOUBLE*(n_above + n_below)
+        |           *(n_above + n_below - 1)) > 0
+        |    THEN (runs - (2.0*n_above*n_below/(n_above + n_below) + 1))
+        |      / sqrt(2.0*n_above*n_below*(2.0*n_above*n_below - (n_above + n_below))
+        |        / ((n_above + n_below)::DOUBLE*(n_above + n_below)
+        |           *(n_above + n_below - 1))) END, 6) AS z
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // Fisher recursion from one nine-moment pass over complete daily rows
+    "q324_partial_corr" ->
+      """WITH daily AS (SELECT (user_id % 4)::VARCHAR AS shard,
+        |    date_trunc('day', ts) AS d,
+        |    sum(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END) AS x,
+        |    sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END) AS y,
+        |    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS z
+        |  FROM events WHERE event_type IN ('click','view','purchase')
+        |  GROUP BY 1, 2),
+        |g AS (SELECT shard, count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(z) AS sz, sum(x*x) AS sxx, sum(y*y) AS syy, sum(z*z) AS szz,
+        |    sum(x*y) AS sxy, sum(x*z) AS sxz, sum(y*z) AS syz
+        |  FROM daily GROUP BY 1),
+        |r AS (SELECT shard, n,
+        |    CASE WHEN sqrt(greatest(n*sxx - sx*sx, 0.0))
+        |        * sqrt(greatest(n*syy - sy*sy, 0.0)) > 0
+        |      THEN (n*sxy - sx*sy) / (sqrt(greatest(n*sxx - sx*sx, 0.0))
+        |        * sqrt(greatest(n*syy - sy*sy, 0.0))) END AS r_xy,
+        |    CASE WHEN sqrt(greatest(n*sxx - sx*sx, 0.0))
+        |        * sqrt(greatest(n*szz - sz*sz, 0.0)) > 0
+        |      THEN (n*sxz - sx*sz) / (sqrt(greatest(n*sxx - sx*sx, 0.0))
+        |        * sqrt(greatest(n*szz - sz*sz, 0.0))) END AS r_xz,
+        |    CASE WHEN sqrt(greatest(n*syy - sy*sy, 0.0))
+        |        * sqrt(greatest(n*szz - sz*sz, 0.0)) > 0
+        |      THEN (n*syz - sy*sz) / (sqrt(greatest(n*syy - sy*sy, 0.0))
+        |        * sqrt(greatest(n*szz - sz*sz, 0.0))) END AS r_yz
+        |  FROM g)
+        |SELECT shard, n::BIGINT AS n, round(r_xy, 6) AS r_xy,
+        |  round(r_xz, 6) AS r_xz, round(r_yz, 6) AS r_yz,
+        |  round(CASE WHEN sqrt(greatest((1.0 - r_xz*r_xz)*(1.0 - r_yz*r_yz), 0.0)) > 0
+        |    THEN (r_xy - r_xz*r_yz)
+        |      / sqrt(greatest((1.0 - r_xz*r_xz)*(1.0 - r_yz*r_yz), 0.0)) END, 6)
+        |    AS r_xy_z
+        |FROM r ORDER BY 1""".stripMargin,
+
+    // pooled midranks; H = 12/(N(N+1))·ΣR²/n − 3(N+1), tie-corrected by
+    // C = 1 − Σ(t³−t)/(N³−N) with Σ counted per row as t²−1
+    "q325_kruskal" ->
+      """WITH b AS (SELECT day(ts) AS day, event_type, value FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT day, event_type,
+        |    rank() OVER (PARTITION BY day ORDER BY value)
+        |      + (count(*) OVER (PARTITION BY day, value) - 1)/2.0 AS mid,
+        |    count(*) OVER (PARTITION BY day, value) AS tc
+        |  FROM b),
+        |pa AS (SELECT day, event_type, count(*)::BIGINT AS ng,
+        |    sum(mid) AS rg, sum(tc*tc - 1) AS tie
+        |  FROM r GROUP BY 1, 2),
+        |g AS (SELECT day, sum(ng)::BIGINT AS n, count(*)::BIGINT AS n_arms,
+        |    sum(rg*rg/ng::DOUBLE) AS rr, sum(tie) AS ties
+        |  FROM pa GROUP BY 1)
+        |SELECT day, n, n_arms,
+        |  round(12.0/(n::DOUBLE*(n + 1)) * rr - 3.0*(n + 1), 6) AS h_raw,
+        |  round(CASE WHEN 1.0 - ties::DOUBLE/(n::DOUBLE*n*n - n) > 0
+        |    THEN (12.0/(n::DOUBLE*(n + 1)) * rr - 3.0*(n + 1))
+        |      / (1.0 - ties::DOUBLE/(n::DOUBLE*n*n - n)) END, 6) AS h_stat
+        |FROM g ORDER BY 1""".stripMargin,
+
+    // strict interior extrema: (x−prev)(x−next) > 0; z vs 2(n−2)/3
+    "q326_turning" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id, v,
+        |    lag(v) OVER w AS p, lead(v) OVER w AS f
+        |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+        |a AS (SELECT user_id, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN p IS NOT NULL AND f IS NOT NULL
+        |      AND (v - p)*(v - f) > 0 THEN 1 ELSE 0 END)::BIGINT AS turning_points
+        |  FROM l GROUP BY 1)
+        |SELECT user_id, n, turning_points,
+        |  round(CASE WHEN n >= 4 THEN
+        |    (turning_points - 2.0*(n - 2)/3) / sqrt((16.0*n - 29)/90) END, 6) AS z
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // VR(2) = Var(y_t − y_{t−2}) / (2·Var(y_t − y_{t−1})), population vars
+    "q327_vr" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id, v - lag(v, 1) OVER w AS d1,
+        |    v - lag(v, 2) OVER w AS dq
+        |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+        |a AS (SELECT user_id, count(d1)::BIGINT AS n_diff1,
+        |    count(dq)::BIGINT AS n_diffq,
+        |    avg(d1) AS m1, avg(d1*d1) AS q1, avg(dq) AS mq, avg(dq*dq) AS qq
+        |  FROM l GROUP BY 1)
+        |SELECT user_id, n_diff1, n_diffq,
+        |  round(CASE WHEN q1 - m1*m1 > 0 AND n_diffq > 0
+        |    THEN (qq - mq*mq) / (2.0*(q1 - m1*m1)) END, 6) AS vr
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // DW = Σ(e_t − e_{t−1})²/Σe², e = lag-1-naive residual; the lag runs
+    // WITHIN the residual frame (first day dropped before differencing)
+    "q328_dw" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, d,
+        |    v - lag(v) OVER (PARTITION BY user_id ORDER BY d) AS e FROM daily),
+        |f AS (SELECT user_id, d, e FROM r WHERE e IS NOT NULL),
+        |c AS (SELECT user_id, e,
+        |    e - lag(e) OVER (PARTITION BY user_id ORDER BY d) AS de FROM f),
+        |a AS (SELECT user_id, count(*) AS n, sum(de*de) AS num, sum(e*e) AS den
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n, round(CASE WHEN den > 0 THEN num/den END, 6) AS dw
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // CRPS = mean|x−y| − ps/n² with ps = Σ(2i−n−1)x₍ᵢ₎ = Σ_{i<j}|xᵢ−xⱼ|;
+    // integer-cents measures make every sum exact → per-row bit parity
+    "q329_crps" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    sum(round(value * 100, 0))::BIGINT AS v
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT user_id, d, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d DESC) AS rd
+        |  FROM daily),
+        |ens AS (SELECT user_id, v FROM rk WHERE rd > 5),
+        |obs AS (SELECT user_id, epoch(d)::BIGINT AS od, v AS y FROM rk WHERE rd <= 5),
+        |wr AS (SELECT user_id, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY v) AS i,
+        |    count(*) OVER (PARTITION BY user_id) AS ne FROM ens),
+        |wi AS (SELECT user_id, max(ne)::DOUBLE AS ne,
+        |    sum((2.0*i - ne - 1) * v) AS ps FROM wr GROUP BY 1),
+        |cr AS (SELECT e.user_id, o.od, avg(abs(e.v - o.y)) AS exy
+        |  FROM ens e JOIN obs o USING (user_id) GROUP BY 1, 2)
+        |SELECT cr.user_id, cr.od, wi.ne::BIGINT AS n_ens,
+        |  round((cr.exy - 0.5 * (2.0 * wi.ps / (wi.ne*wi.ne))) / 100, 6) AS crps
+        |FROM cr JOIN wi USING (user_id)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // A = 1 − EDE/μ, EDE = (mean(x^0.5))² for ε = 0.5
+    "q330_atkinson" ->
+      """WITH h AS (SELECT (user_id % 4)::VARCHAR AS shard,
+        |    floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 3600 AS b,
+        |    count(*)::DOUBLE AS cnt FROM events GROUP BY 1, 2),
+        |a AS (SELECT shard, count(*) AS n, avg(cnt) AS mean,
+        |    avg(power(cnt, 0.5)) AS me
+        |  FROM h WHERE cnt > 0 GROUP BY 1)
+        |SELECT shard, n, round(mean, 6) AS mean,
+        |  round(power(me, 2.0), 6) AS ede,
+        |  round(CASE WHEN mean > 0 THEN 1.0 - power(me, 2.0)/mean END, 6)
+        |    AS atkinson
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // T = mean((x/μ)·ln(x/μ)) over positive values
+    "q331_theil_ineq" ->
+      """WITH h AS (SELECT (user_id % 4)::VARCHAR AS shard,
+        |    floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 3600 AS b,
+        |    count(*)::DOUBLE AS cnt FROM events GROUP BY 1, 2),
+        |p AS (SELECT shard, b, cnt FROM h WHERE cnt > 0),
+        |m AS (SELECT shard, avg(cnt) AS mu, count(*) AS n FROM p GROUP BY 1),
+        |t AS (SELECT p.shard, m.n, max(m.mu) AS mean,
+        |    avg((p.cnt/m.mu) * ln(p.cnt/m.mu)) AS tt
+        |  FROM p JOIN m USING (shard) GROUP BY 1, 2)
+        |SELECT shard, n, round(mean, 6) AS mean, round(tt, 6) AS theil_t
+        |FROM t ORDER BY 1""".stripMargin,
+
+    // integer rank cuts: top = rank > n − n//10, bottom = rank ≤ (4n)//10
+    "q332_palma" ->
+      """WITH h AS (SELECT (user_id % 4)::VARCHAR AS shard,
+        |    floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 3600 AS b,
+        |    count(*)::DOUBLE AS cnt FROM events GROUP BY 1, 2),
+        |r AS (SELECT shard, b, cnt,
+        |    row_number() OVER (PARTITION BY shard ORDER BY cnt, b) AS rk,
+        |    count(*) OVER (PARTITION BY shard) AS n FROM h),
+        |a AS (SELECT shard, max(n) AS n, sum(cnt) AS tot,
+        |    sum(CASE WHEN rk > n - n//10 THEN cnt ELSE 0.0 END) AS top,
+        |    sum(CASE WHEN rk <= (4*n)//10 THEN cnt ELSE 0.0 END) AS bot
+        |  FROM r GROUP BY 1)
+        |SELECT shard, n::BIGINT AS n,
+        |  round(CASE WHEN tot <> 0 THEN top/tot END, 6) AS top_share,
+        |  round(CASE WHEN tot <> 0 THEN bot/tot END, 6) AS bottom_share,
+        |  round(CASE WHEN n >= 10 AND bot > 0 THEN top/bot END, 6) AS palma
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // Bartlett weights 2(1−l/4) = 1.5/1.0/0.5 at L=3; fixed fold order
+    "q333_newey_west" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |e AS (SELECT user_id, d, v,
+        |    v - avg(v) OVER (PARTITION BY user_id) AS e,
+        |    avg(v) OVER (PARTITION BY user_id) AS m FROM daily),
+        |l AS (SELECT user_id, e, m, lag(e, 1) OVER w AS e1,
+        |    lag(e, 2) OVER w AS e2, lag(e, 3) OVER w AS e3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+        |a AS (SELECT user_id, count(*) AS n, max(m) AS mean, sum(e*e) AS g0,
+        |    sum(e*e1) AS g1, sum(e*e2) AS g2, sum(e*e3) AS g3
+        |  FROM l GROUP BY 1)
+        |SELECT user_id, n, round(mean, 6) AS mean,
+        |  round(sqrt(g0/n::DOUBLE/n::DOUBLE), 6) AS se_iid,
+        |  round(sqrt(greatest((((g0/n::DOUBLE
+        |    + 1.5*(coalesce(g1, 0.0)/n::DOUBLE))
+        |    + 1.0*(coalesce(g2, 0.0)/n::DOUBLE))
+        |    + 0.5*(coalesce(g3, 0.0)/n::DOUBLE)), 0.0)/n::DOUBLE), 6) AS se_nw
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // α = 1 + n/Σln(k/(kmin−0.5)) over in-degrees k ≥ kmin = 2
+    "q334_powerlaw" ->
+      """WITH e AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id // 2) FROM documents),
+        |dg AS (SELECT dst, count(*) AS k FROM e GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS n_nodes,
+        |    sum(ln(k::DOUBLE / 1.5)) AS ls FROM dg WHERE k >= 2)
+        |SELECT 2::BIGINT AS kmin, n_nodes,
+        |  round(CASE WHEN ls > 0 THEN 1.0 + n_nodes::DOUBLE/ls END, 6) AS alpha
+        |FROM a""".stripMargin,
+
+    // Q = Σ_c (e_c/m − (d_c/2m)²) over the undirected simple graph with
+    // the deterministic doc_id%7 partition
+    "q335_modularity" ->
+      """WITH e0 AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id // 2) FROM documents),
+        |und AS (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+        |  FROM e0 WHERE src <> dst),
+        |lab AS (SELECT doc_id AS id, doc_id % 7 AS c FROM documents),
+        |t AS (SELECT und.x, und.y, lx.c AS cx, ly.c AS cy
+        |  FROM und JOIN lab lx ON lx.id = und.x JOIN lab ly ON ly.id = und.y),
+        |mm AS (SELECT count(*)::BIGINT AS m FROM t),
+        |wi AS (SELECT cx AS community, count(*)::BIGINT AS ec FROM t
+        |  WHERE cx = cy GROUP BY 1),
+        |dgr AS (SELECT c AS community, count(*)::BIGINT AS dc FROM
+        |  (SELECT x AS id, cx AS c FROM t UNION ALL SELECT y, cy FROM t)
+        |  GROUP BY 1),
+        |f AS (SELECT dgr.community,
+        |    coalesce(wi.ec, 0)::DOUBLE/(SELECT m FROM mm)
+        |      - (dgr.dc::DOUBLE/(2.0*(SELECT m FROM mm)))
+        |        * (dgr.dc::DOUBLE/(2.0*(SELECT m FROM mm))) AS term
+        |  FROM dgr LEFT JOIN wi USING (community))
+        |SELECT (SELECT m FROM mm) AS m, count(*)::BIGINT AS n_communities,
+        |  round(sum(term), 6) AS modularity
+        |FROM f""".stripMargin,
+
+    // ∫₀^τ S dt over q271's KM curve: Σ S(t_{i−1})·Δt + tail to τ = 10
+    "q336_rmst" ->
+      """WITH subj AS (SELECT event_type,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS t,
+        |    CASE WHEN max(epoch_us(ts)) < 1706054400000000 THEN 1 ELSE 0 END AS e
+        |  FROM events GROUP BY event_type, user_id),
+        |g AS (SELECT event_type, t, sum(e) AS d, sum(1 - e) AS c
+        |  FROM subj GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |    sum(d + c) OVER (PARTITION BY event_type) -
+        |    coalesce(sum(d + c) OVER (PARTITION BY event_type ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM g),
+        |s AS (SELECT *,
+        |    CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w = 1
+        |         THEN 0.0
+        |         ELSE exp(sum(ln(1 - d::DOUBLE / n_risk::DOUBLE)) OVER w)
+        |    END AS surv
+        |  FROM r WINDOW w AS (PARTITION BY event_type ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |k AS (SELECT event_type, t, surv FROM s WHERE d > 0 AND t <= 10),
+        |seg AS (SELECT event_type, t, surv,
+        |    coalesce(lag(t) OVER w, 0) AS pt,
+        |    coalesce(lag(surv) OVER w, 1.0) AS ps
+        |  FROM k WINDOW w AS (PARTITION BY event_type ORDER BY t)),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n_times,
+        |    sum(ps * (t - pt)::DOUBLE) AS body,
+        |    arg_max(surv, t) AS lasts, max(t) AS lastt
+        |  FROM seg GROUP BY 1)
+        |SELECT event_type, 10::BIGINT AS tau, n_times,
+        |  round(body + lasts * (10 - lastt)::DOUBLE, 6) AS rmst
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // envelope = rolling min/max of the mean profile over ±2 days; LB =
+    // Σ squared exceedance outside [L, U]
+    "q337_lb_keogh" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |ref AS (SELECT d, avg(v) AS rv FROM daily GROUP BY 1),
+        |env AS (SELECT d, max(rv) OVER w AS u, min(rv) OVER w AS l
+        |  FROM ref WINDOW w AS (ORDER BY d
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+        |j AS (SELECT daily.user_id, daily.v, env.u, env.l
+        |  FROM daily JOIN env USING (d)),
+        |a AS (SELECT user_id,
+        |    sum(CASE WHEN v > u THEN (v-u)*(v-u)
+        |             WHEN v < l THEN (l-v)*(l-v) ELSE 0.0 END) AS lb,
+        |    count(*) AS n_matched
+        |  FROM j GROUP BY 1)
+        |SELECT user_id, round(lb, 6) AS lb_keogh, n_matched
+        |FROM a ORDER BY 1""".stripMargin
   )
 
   /** q282's oracle: the aggregated-variance Hurst replay. The ln-m design

@@ -468,4 +468,105 @@ object Anomaly {
         ((col("_s") - col("_cs")) / nR).as("mean_right"),
         col("_gain_r").as("gain"))): _*)
   }
+
+  /** Page–Hinkley test (Page 1954; the streaming-drift form in Gama et al.
+    * 2014 §3.1) — the sequential mean-INCREASE detector that [[cusum]]'s
+    * fixed-target form doesn't give: the running mean itself is the
+    * baseline, so no training window is needed.
+    *   m_t  = Σ_{i≤t} (x_i − x̄_i − δ)    with x̄_i the running mean through i
+    *   PH_t = m_t − min_{i≤t} m_i        alarm when PH_t > λ
+    * δ absorbs tolerated drift; λ is the detection threshold (scale of the
+    * measure). The whole statistic is three cumulative windows per key —
+    * running mean, cumulative deviation, running min — one sort, no
+    * iteration, no state.
+    * Output: every input row + `run_mean`, `ph`, `alarm` (0/1).
+    */
+  def pageHinkley(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  valCol: String, delta: Double, lambda: Double): DataFrame = {
+    require(lambda > 0, s"lambda must be > 0, got $lambda")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = col(valCol).cast("double")
+    df.filter(v.isNotNull)
+      .withColumn("run_mean", avg(v).over(w))
+      .withColumn("_m", sum(v - col("run_mean") - lit(delta)).over(w))
+      .withColumn("ph", col("_m") - min(col("_m")).over(w))
+      .withColumn("alarm", (col("ph") > lambda).cast("int"))
+      .drop("_m")
+  }
+
+  /** Pettitt changepoint test (Pettitt 1979) — the rank-based single-
+    * changepoint locator ([[binarySegment]]'s nonparametric sibling:
+    * robust to outliers and any monotone transform because only RANKS
+    * enter):
+    *   U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j),  K = max_t |U_t| (t < n)
+    *   p ≈ 2·exp(−6K² / (n³ + n²))
+    * The double sum collapses: Σ_j sgn(x_i − x_j) = 2·midrank_i − (n+1)
+    * (ties cancel through the midrank), and the within-prefix part is
+    * antisymmetric, so U_t is just the CUMSUM of (2·midrank − (n+1)) in
+    * time order — one value-rank window + one time-cumsum window per key.
+    * Midranks are integers-or-halves, so U_t is cross-engine EXACT; the
+    * argmax is ranked on (|U_t| desc, ts asc), an exact-integer ordering.
+    * Output: one row per key: (keys..., n, u_max, split_ts, p_approx).
+    */
+  def pettitt(df: DataFrame, keyCols: Seq[String], tsCol: String,
+              valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val v = col(valCol).cast("double")
+    val wVal = Window.partitionBy(keys: _*).orderBy(v)
+    val wTie = Window.partitionBy((keys :+ v): _*)
+    val wAll = Window.partitionBy(keys: _*)
+    val wCum = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = df.filter(v.isNotNull)
+      .withColumn("_mid",
+        rank().over(wVal).cast("double") + (count(lit(1)).over(wTie) - 1) / 2.0)
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_u",
+        sum(lit(2.0) * col("_mid") - (col("_n") + 1)).over(wCum))
+      .withColumn("_rt", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(col(tsCol))))
+    val pick = Window.partitionBy(keys: _*)
+      .orderBy(abs(col("_u")).desc, col(tsCol))
+    staged
+      .filter(col("_rt") < col("_n")) // U_n = 0 by construction; t ranges 1..n−1
+      .withColumn("_rk", row_number().over(pick))
+      .filter(col("_rk") === 1)
+      .withColumn("_nd", col("_n").cast("double"))
+      .select((keys ++ Seq(col("_n").as("n"), abs(col("_u")).as("u_max"),
+        col(tsCol).as("split_ts"),
+        exp(lit(-6.0) * col("_u") * col("_u") /
+          (col("_nd") * col("_nd") * col("_nd") + col("_nd") * col("_nd")))
+          .multiply(2.0).as("p_approx"))): _*)
+  }
+
+  /** Grubbs' outlier statistic (Grubbs 1950) per key: G = max|x − x̄| / s
+    * (sample sd) with the offending value alongside — the single-most-
+    * extreme-point test that complements [[madOutliers]]' per-row flags
+    * and [[hampel]]'s rolling form. Two aggregates (moments, then the max
+    * deviation against the broadcast-joined moments) — the mean can't be
+    * known while scanning, so one re-touch is inherent. Keys with s = 0 or
+    * n < 3 emit null G. Output: (keys..., n, g_stat, outlier_value).
+    */
+  def grubbs(df: DataFrame, keyCols: Seq[String], valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val v = col(valCol).cast("double")
+    val moments = df.filter(v.isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), avg(v).as("_m"),
+        sum(v * v).as("_q"), sum(v).as("_s"))
+      .withColumn("_var", when(col("n") > 1,
+        (col("_q") - col("_s") * col("_s") / col("n").cast("double")) /
+          (col("n").cast("double") - 1)))
+      .withColumn("_sd", sqrt(greatest(col("_var"), lit(0.0))))
+    df.filter(v.isNotNull)
+      .join(broadcast(moments), keyCols)
+      .groupBy((keys :+ col("n") :+ col("_m") :+ col("_sd")): _*)
+      .agg(max(abs(v - col("_m"))).as("_dev"),
+        max_by(v, abs(v - col("_m"))).as("outlier_value"))
+      .withColumn("g_stat",
+        when(col("_sd") > 0 && col("n") >= 3, col("_dev") / col("_sd")))
+      .select((keys :+ col("n") :+ col("g_stat") :+ col("outlier_value")): _*)
+  }
 }

@@ -238,4 +238,97 @@ object Drift {
         col("_f") - (col("_i") - 1) / col("n_gaps"))).as("ks_stat"))
       .select((keys :+ col("lambda") :+ col("ks_stat") :+ col("n_gaps")): _*)
   }
+
+  /** Two-sample ENERGY distance per key (Székely & Rizzo 2004 — the
+    * metric that is zero iff the distributions are equal and, unlike
+    * [[ks]]/[[wasserstein1]], generalizes to multivariate; in 1-D it
+    * integrates the SQUARED ECDF gap where W₁ integrates |gap|):
+    *   D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'|
+    * Each expectation collapses to a pair-count-times-gap sum over the
+    * sorted distinct values — for the cut between consecutive values with
+    * gap g, the pairs straddling it contribute g each:
+    *   Σ|x−y|  = Σ g·(sr·(nc−sc) + sc·(nr−sr))
+    *   Σ|x−x'| = 2·Σ g·sr·(nr−sr)     (sr/sc = cumulative counts, nr/nc totals)
+    * so the whole statistic is ONE per-value aggregate + one cumulative
+    * window per key — identical plumbing (and per-key sort bound) to
+    * [[wasserstein1]], never an O(n²) pair join. The pair-count factors are
+    * exact integers; floats enter only at gap·count products, so mirror the
+    * construction on the oracle side and round the result.
+    * Output: (keys..., energy_dist, d2, n_ref, n_cur).
+    */
+  def energyDistance(ref: DataFrame, cur: DataFrame, keyCols: Seq[String],
+                     valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val v = col(valueCol).cast("double")
+    val tagged = ref.filter(v.isNotNull)
+      .select((keys :+ v.as("_v") :+ lit(1L).as("_ir") :+ lit(0L).as("_ic")): _*)
+      .unionByName(cur.filter(v.isNotNull)
+        .select((keys :+ v.as("_v") :+ lit(0L).as("_ir") :+ lit(1L).as("_ic")): _*))
+    val perVal = tagged.groupBy((keys :+ col("_v")): _*)
+      .agg(sum(col("_ir")).as("_cr"), sum(col("_ic")).as("_cc"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    val wNext = Window.partitionBy(keys: _*).orderBy(col("_v"))
+    val cum = perVal
+      .withColumn("_sr", sum(col("_cr")).over(w))
+      .withColumn("_sc", sum(col("_cc")).over(w))
+      .withColumn("n_ref", sum(col("_cr")).over(wAll))
+      .withColumn("n_cur", sum(col("_cc")).over(wAll))
+      .withColumn("_gap", lead(col("_v"), 1).over(wNext) - col("_v"))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+    cum.groupBy((keys :+ col("n_ref") :+ col("n_cur")): _*)
+      .agg(
+        sum(when(col("_gap").isNotNull, col("_gap") *
+          (col("_sr") * (col("n_cur") - col("_sc")) +
+           col("_sc") * (col("n_ref") - col("_sr"))))).as("_sxy"),
+        sum(when(col("_gap").isNotNull,
+          col("_gap") * col("_sr") * (col("n_ref") - col("_sr")))).as("_sxx"),
+        sum(when(col("_gap").isNotNull,
+          col("_gap") * col("_sc") * (col("n_cur") - col("_sc")))).as("_syy"))
+      .withColumn("d2",
+        lit(2.0) * coalesce(col("_sxy"), lit(0.0)) / (col("n_ref") * col("n_cur"))
+          - lit(2.0) * coalesce(col("_sxx"), lit(0.0)) / (col("n_ref") * col("n_ref"))
+          - lit(2.0) * coalesce(col("_syy"), lit(0.0)) / (col("n_cur") * col("n_cur")))
+      .withColumn("energy_dist", sqrt(greatest(col("d2"), lit(0.0))))
+      .select((keys :+ col("energy_dist") :+ col("d2") :+
+        col("n_ref") :+ col("n_cur")): _*)
+  }
+
+  /** Two-sample Cramér–von Mises statistic per key, ECDF form (Anderson
+    * 1962): T = nm/(n+m)² · Σ_z (F_n(z) − G_m(z))², summed over every
+    * POOLED observation z (distinct values weighted by pooled multiplicity
+    * — the natural ties handling; equal to the classical rank form when
+    * ties are absent). Between [[ks]] (max gap — localized shifts) and
+    * [[wasserstein1]] (integrated |gap| in value units), CvM weights gaps
+    * by local data density: sensitive where the data actually lives,
+    * scale-free in the value. Same per-value-counts plumbing; one window +
+    * one aggregate per key. Output: (keys..., cvm, n_ref, n_cur).
+    */
+  def cvm2(ref: DataFrame, cur: DataFrame, keyCols: Seq[String],
+           valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val v = col(valueCol).cast("double")
+    val tagged = ref.filter(v.isNotNull)
+      .select((keys :+ v.as("_v") :+ lit(1L).as("_ir") :+ lit(0L).as("_ic")): _*)
+      .unionByName(cur.filter(v.isNotNull)
+        .select((keys :+ v.as("_v") :+ lit(0L).as("_ir") :+ lit(1L).as("_ic")): _*))
+    val perVal = tagged.groupBy((keys :+ col("_v")): _*)
+      .agg(sum(col("_ir")).as("_cr"), sum(col("_ic")).as("_cc"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    val cum = perVal
+      .withColumn("_sr", sum(col("_cr")).over(w))
+      .withColumn("_sc", sum(col("_cc")).over(w))
+      .withColumn("n_ref", sum(col("_cr")).over(wAll))
+      .withColumn("n_cur", sum(col("_cc")).over(wAll))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+    cum.groupBy((keys :+ col("n_ref") :+ col("n_cur")): _*)
+      .agg(sum((col("_cr") + col("_cc")) *
+        pow(col("_sr") / col("n_ref") - col("_sc") / col("n_cur"), 2)).as("_s"))
+      .withColumn("cvm", col("_s") * col("n_ref") * col("n_cur") /
+        pow(col("n_ref") + col("n_cur"), 2))
+      .select((keys :+ col("cvm") :+ col("n_ref") :+ col("n_cur")): _*)
+  }
 }

@@ -423,4 +423,42 @@ object Experiment {
         col("p_pool") :+ col("mde_abs") :+ col("mde_rel") :+
         col("n_required")): _*)
   }
+
+  /** Cohen's d with Hedges' small-sample correction (Hedges 1981) per
+    * group: the standardized mean difference the experimentation layer
+    * reports next to [[mdePower]]'s sizing —
+    *   d = (x̄_A − x̄_B) / s_pool,  s²_pool = ((n_A−1)s²_A + (n_B−1)s²_B)/(n_A+n_B−2)
+    *   g = J·d,  J = 1 − 3/(4(n_A+n_B) − 9)
+    * One conditional-moment aggregation (six sums), arithmetic only after.
+    * Degenerate cells (either arm < 2 rows, zero pooled variance) emit
+    * nulls. Output: (groups..., n_a, n_b, cohen_d, hedges_g).
+    */
+  def hedgesG(df: DataFrame, groupCols: Seq[String], armCol: String,
+              armA: String, armB: String, valCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val v = col(valCol).cast("double")
+    val isA = col(armCol).cast("string") === armA
+    val isB = col(armCol).cast("string") === armB
+    df.filter(v.isNotNull && (isA || isB))
+      .groupBy(keys: _*)
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(isB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(isA, v).otherwise(lit(0.0))).as("_sa"),
+        sum(when(isB, v).otherwise(lit(0.0))).as("_sb"),
+        sum(when(isA, v * v).otherwise(lit(0.0))).as("_qa"),
+        sum(when(isB, v * v).otherwise(lit(0.0))).as("_qb"))
+      .withColumn("_na", col("n_a").cast("double"))
+      .withColumn("_nb", col("n_b").cast("double"))
+      .withColumn("_vp", when(col("n_a") >= 2 && col("n_b") >= 2,
+        ((col("_qa") - col("_sa") * col("_sa") / col("_na")) +
+         (col("_qb") - col("_sb") * col("_sb") / col("_nb"))) /
+          (col("_na") + col("_nb") - 2)))
+      .withColumn("cohen_d", when(col("_vp") > 0,
+        (col("_sa") / col("_na") - col("_sb") / col("_nb")) / sqrt(col("_vp"))))
+      .withColumn("hedges_g",
+        col("cohen_d") *
+          (lit(1.0) - lit(3.0) / (lit(4.0) * (col("_na") + col("_nb")) - 9)))
+      .select((keys :+ col("n_a") :+ col("n_b") :+ col("cohen_d") :+
+        col("hedges_g")): _*)
+  }
 }

@@ -557,4 +557,186 @@ object Forecast {
       .select((keys :+ col("phi1") :+ col("phi2") :+ col("rmse") :+
         col("n_obs")): _*)
   }
+
+  /** TSB method (Teunter, Syntetos & Babai 2011, "Intermittent demand:
+    * linking forecasting to inventory obsolescence") — the intermittent-
+    * demand forecaster that, unlike [[croston]], updates the demand
+    * PROBABILITY every period (so it decays toward zero when an item goes
+    * obsolete, which Croston's interval estimate never does):
+    *   p̂ = SES(1{demand≠0} over ALL periods, β),  p₁ = first indicator
+    *   ẑ = SES(non-zero demand sizes, α),          z₁ = first non-zero size
+    *   ŷ = p̂ · ẑ (flat over the horizon)
+    * Same closed-form machinery as [[croston]]: both recursions collapse to
+    * power-decay weighted sums (adjust=False, init = first observation), so
+    * TWO window ranks + one aggregate compute both levels — no iteration,
+    * no per-key state. Keys with no non-zero demand are absent (ẑ
+    * undefined), matching Croston's convention.
+    * Inputs are a REGULAR per-key series (run [[GapFill]] first).
+    */
+  def tsb(history: DataFrame, keyCols: Seq[String], tsCol: String,
+          valCol: String, alpha: Double, beta: Double, horizon: Int,
+          stepSeconds: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta > 0 && beta <= 1,
+      s"alpha/beta must be in (0, 1], got $alpha/$beta")
+    require(horizon >= 1 && stepSeconds >= 1,
+      s"horizon/stepSeconds must be >= 1, got $horizon/$stepSeconds")
+    val keys = keyCols.map(col)
+    val wAll = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val wAllDesc = Window.partitionBy(keys: _*).orderBy(col(tsCol).desc)
+    // probability level over ALL periods: weight (1-β)^(T-t) for t=1 else
+    // β(1-β)^(T-t); indicator = 1 iff demand non-zero
+    val p = history
+      .withColumn("_rn", row_number().over(wAll))
+      .withColumn("_back", row_number().over(wAllDesc) - 1)
+      .withColumn("_ind",
+        when(col(valCol).isNotNull && col(valCol) =!= 0, 1.0).otherwise(0.0))
+      .withColumn("_w",
+        when(col("_rn") === 1, pow(lit(1.0 - beta), col("_back")))
+          .otherwise(lit(beta) * pow(lit(1.0 - beta), col("_back"))))
+      .groupBy(keys: _*)
+      .agg(sum(col("_w") * col("_ind")).as("_p"), max(col(tsCol)).as("_origin"))
+    // size level over the NON-ZERO subsequence (identical to croston's ẑ)
+    val nz = history.filter(col(valCol).isNotNull && col(valCol) =!= 0)
+    val z = nz
+      .withColumn("_rn", row_number().over(wAll))
+      .withColumn("_back", row_number().over(wAllDesc) - 1)
+      .withColumn("_w",
+        when(col("_rn") === 1, pow(lit(1.0 - alpha), col("_back")))
+          .otherwise(lit(alpha) * pow(lit(1.0 - alpha), col("_back"))))
+      .groupBy(keys: _*)
+      .agg(sum(col("_w") * col(valCol)).as("_z"))
+    p.join(z, keyCols) // inner: keys with no demand have no ẑ
+      .withColumn("step", explode(sequence(lit(1), lit(horizon))))
+      .withColumn("forecast_ts",
+        timestamp_seconds(unix_timestamp(col("_origin")) + col("step") * stepSeconds))
+      .select((keys :+ col("forecast_ts") :+ col("step")
+        :+ (col("_p") * col("_z")).as("yhat")): _*)
+  }
+
+  /** Hierarchical forecast reconciliation — top-down by historical
+    * proportions plus the bottom-up check, the two classical methods
+    * (Hyndman & Athanasopoulos §10.3; the reference's hierarchy columns —
+    * forecastframe's `hierarchy` attribute threaded through every groupby —
+    * exist precisely so forecasts can be rolled up and disaggregated
+    * coherently). Given per-CHILD base forecasts and the history both
+    * grains aggregate from:
+    *   prop_c  = Σ history(c) / Σ history(parent(c))   (proportion of the total)
+    *   yhat_td = parent base forecast × prop_c          (top-down)
+    *   yhat_bu(parent) = Σ_c child base forecast        (bottom-up, attached
+    *                     to every child row for the coherence check)
+    * After reconciliation Σ_c yhat_td = parent forecast exactly — the
+    * coherence property the base (independent per-series) forecasts lack.
+    *
+    * Scale: proportions are one aggregate over history at child grain,
+    * rolled up to parent grain with a second partial-agg pass (never a
+    * re-scan); the parent-grain frames are parent-cardinality-sized and
+    * joined broadcast, so the only full-size pass is the child aggregate.
+    *
+    * @param childFc  per-child base forecasts: childKeys ++ (fcCol)
+    * @param parentFc per-parent base forecasts: parentKeys ++ (fcCol)
+    * @return childFc ++ (prop, yhat_td, yhat_bu) — one row per child
+    */
+  def reconcileTopDown(history: DataFrame, childFc: DataFrame,
+                       parentFc: DataFrame, parentKeys: Seq[String],
+                       childKeys: Seq[String], valCol: String,
+                       fcCol: String): DataFrame = {
+    require(childKeys.startsWith(parentKeys),
+      s"childKeys must refine parentKeys, got $childKeys vs $parentKeys")
+    val childTot = history.groupBy(childKeys.map(col): _*)
+      .agg(sum(col(valCol)).as("_child_tot"))
+    val parentTot = childTot.groupBy(parentKeys.map(col): _*)
+      .agg(sum(col("_child_tot")).as("_parent_tot"))
+    val buParent = childFc.groupBy(parentKeys.map(col): _*)
+      .agg(sum(col(fcCol)).as("yhat_bu"))
+    childFc
+      .join(childTot, childKeys)
+      .join(broadcast(parentTot), parentKeys)
+      .join(broadcast(parentFc.withColumnRenamed(fcCol, "_parent_fc")), parentKeys)
+      .join(broadcast(buParent), parentKeys)
+      .withColumn("prop",
+        when(col("_parent_tot") =!= 0, col("_child_tot") / col("_parent_tot")))
+      .withColumn("yhat_td", col("_parent_fc") * col("prop"))
+      .drop("_child_tot", "_parent_tot", "_parent_fc")
+  }
+
+  /** Granger-causality F test at lag 1 (Granger 1969): does x's past
+    * improve the prediction of y beyond y's own past? Per key, over the
+    * aligned (tsCol-ordered) series,
+    *   restricted:   y_t ~ y_{t−1}          RSS_r
+    *   unrestricted: y_t ~ y_{t−1} + x_{t−1} RSS_u
+    *   F = (RSS_r − RSS_u) / (RSS_u / (n − 3))
+    * Both regressions are fit on the MEAN-CENTERED sample (the same rows),
+    * so the intercept drops out and both collapse to closed forms over six
+    * moment sums — [[arFit2]]'s Cramer machinery with x₂ = the exogenous
+    * lag instead of y's second lag. One window pass + one aggregation; no
+    * iteration. Degenerate designs (det ≤ 0, RSS_u ≤ 0, n ≤ 3) emit null F.
+    * Output: (keys..., n, rss_r, rss_u, f_stat).
+    */
+  def grangerF(df: DataFrame, keyCols: Seq[String], tsCol: String,
+               yCol: String, xCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val win = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val winAll = Window.partitionBy(keys: _*)
+    val y = col(yCol).cast("double"); val x = col(xCol).cast("double")
+    val staged = df.filter(y.isNotNull && x.isNotNull)
+      .withColumn("_y0", y)
+      .withColumn("_l1", lag(y, 1).over(win))
+      .withColumn("_l2", lag(x, 1).over(win))
+      .filter(col("_l1").isNotNull && col("_l2").isNotNull)
+    val centered = staged
+      .withColumn("_cy", col("_y0") - avg(col("_y0")).over(winAll))
+      .withColumn("_c1", col("_l1") - avg(col("_l1")).over(winAll))
+      .withColumn("_c2", col("_l2") - avg(col("_l2")).over(winAll))
+    centered.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_c1") * col("_c1")).as("_s11"),
+        sum(col("_c2") * col("_c2")).as("_s22"),
+        sum(col("_c1") * col("_c2")).as("_s12"),
+        sum(col("_cy") * col("_c1")).as("_s1y"),
+        sum(col("_cy") * col("_c2")).as("_s2y"),
+        sum(col("_cy") * col("_cy")).as("_syy"))
+      .withColumn("_det", col("_s11") * col("_s22") - col("_s12") * col("_s12"))
+      .withColumn("rss_r", when(col("_s11") > 0,
+        col("_syy") - col("_s1y") * col("_s1y") / col("_s11")))
+      .withColumn("_b1", when(col("_det") > 0,
+        (col("_s1y") * col("_s22") - col("_s2y") * col("_s12")) / col("_det")))
+      .withColumn("_b2", when(col("_det") > 0,
+        (col("_s11") * col("_s2y") - col("_s12") * col("_s1y")) / col("_det")))
+      .withColumn("rss_u",
+        col("_syy") - col("_b1") * col("_s1y") - col("_b2") * col("_s2y"))
+      .withColumn("f_stat", when(col("rss_u") > 0 && col("n") > 3,
+        (col("rss_r") - col("rss_u")) /
+          (col("rss_u") / (col("n").cast("double") - 3))))
+      .select((keys :+ col("n") :+ col("rss_r") :+ col("rss_u") :+
+        col("f_stat")): _*)
+  }
+
+  /** Variance-ratio test of the random-walk hypothesis (Lo & MacKinlay
+    * 1988, simple overlapping form): VR(q) = Var(y_t − y_{t−q}) /
+    * (q · Var(y_t − y_{t−1})) — 1 for a random walk, > 1 under positive
+    * serial correlation (momentum), < 1 under mean reversion. Population
+    * variances over each difference's own sample (the simple estimator;
+    * the bias-corrected LM weights matter only for inference, which the
+    * z-less readout here doesn't claim). Two lag columns + one aggregate.
+    * Output: (keys..., n_diff1, n_diffq, vr) — null when Var₁ ≤ 0.
+    */
+  def varianceRatio(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                    valCol: String, q: Int): DataFrame = {
+    require(q >= 2, s"q must be >= 2, got $q")
+    val keys = keyCols.map(col)
+    val win = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .withColumn("_d1", v - lag(v, 1).over(win))
+      .withColumn("_dq", v - lag(v, q).over(win))
+    staged.groupBy(keys: _*)
+      .agg(count(col("_d1")).as("n_diff1"), count(col("_dq")).as("n_diffq"),
+        avg(col("_d1")).as("_m1"), avg(col("_d1") * col("_d1")).as("_q1"),
+        avg(col("_dq")).as("_mq"), avg(col("_dq") * col("_dq")).as("_qq"))
+      .withColumn("_v1", col("_q1") - col("_m1") * col("_m1"))
+      .withColumn("_vq", col("_qq") - col("_mq") * col("_mq"))
+      .withColumn("vr", when(col("_v1") > 0 && col("n_diffq") > 0,
+        col("_vq") / (lit(q.toDouble) * col("_v1"))))
+      .select((keys :+ col("n_diff1") :+ col("n_diffq") :+ col("vr")): _*)
+  }
 }

@@ -444,4 +444,117 @@ object Graph {
       .groupBy("v").agg(count(lit(1)).as("degree"))
       .filter(col("degree") >= k)
   }
+
+  /** Directed degree assortativity (Newman 2002, "Assortative mixing in
+    * networks" — out→in flavor): the Pearson correlation, over EDGES, of
+    * the source's out-degree with the target's in-degree. Positive =
+    * hubs link to hubs (social-web shape); negative = hubs link to leaves
+    * (hierarchical/crawl-tree shape) — a one-number structure summary that
+    * complements [[triangles]]/[[kCore]] density measures.
+    *
+    * Scale: two map-side-combined degree aggregates over the edge table,
+    * joined back on src then dst (degree tables are node-cardinality —
+    * re-partitioned equi-joins, broadcast when small), one corr() pass.
+    * Self-loops are kept (they contribute to both degrees, per Newman);
+    * parallel edges weight the correlation naturally. Dedup upstream if
+    * simple-graph semantics are wanted.
+    * Output: one row (assortativity, n_edges) — null when degenerate
+    * (constant degree on either side).
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("_od"))
+    val inDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("_id"))
+    // Pearson from the five moment sums, not corr(): Spark 4's Corr
+    // aggregate divides by the merged count inside its partial-MERGE step,
+    // which ANSI mode turns into DIVIDE_BY_ZERO whenever a shuffle
+    // partition is empty (observed on an 8-partition local run). The
+    // moment-sum form is also what the DuckDB oracle can replay exactly.
+    val x = col("_od").cast("double"); val y = col("_id").cast("double")
+    edges.join(outDeg, "src").join(inDeg, "dst")
+      .agg(count(lit(1)).as("n_edges"), sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * x).as("_sxx"), sum(y * y).as("_syy"), sum(x * y).as("_sxy"))
+      .withColumn("_n", col("n_edges").cast("double"))
+      .withColumn("_den",
+        sqrt(greatest(col("_n") * col("_sxx") - col("_sx") * col("_sx"), lit(0.0))) *
+          sqrt(greatest(col("_n") * col("_syy") - col("_sy") * col("_sy"), lit(0.0))))
+      .withColumn("assortativity",
+        when(col("_den") > 0,
+          (col("_n") * col("_sxy") - col("_sx") * col("_sy")) / col("_den")))
+      .select(col("assortativity"), col("n_edges"))
+  }
+
+  /** Edge reciprocity of a directed graph: the share of (distinct,
+    * non-self) edges whose reverse edge also exists — 1.0 for symmetric
+    * link graphs, near 0 for tree/feed-forward crawls. One distinct pass +
+    * one left-semi self-join on the swapped key (partitioned equi-join,
+    * no cross product). Output: (n_edges, n_reciprocal, reciprocity).
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val mutual = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(mutual.agg(count(lit(1)).as("n_reciprocal")))
+      .withColumn("reciprocity",
+        when(col("n_edges") > 0,
+          col("n_reciprocal").cast("double") / col("n_edges")))
+  }
+
+  /** Discrete power-law exponent by MLE (Clauset, Shalizi & Newman 2009,
+    * eq. 3.7 approximation): over the IN-degree distribution with k ≥ kmin,
+    *   α ≈ 1 + n / Σ ln(k / (kmin − 0.5))
+    * — the one-number heavy-tail summary of a web link graph (α ≈ 2.1 for
+    * real in-link distributions). One degree aggregate + one log
+    * aggregate; cross-engine-safe because each term is ln of an
+    * integer-over-literal ratio (the q192 integer-domain-log precedent).
+    * Output: (kmin, n_nodes, alpha).
+    */
+  def powerlawAlpha(edges: DataFrame, kmin: Long = 1L): DataFrame = {
+    require(kmin >= 1, s"kmin must be >= 1, got $kmin")
+    edges.groupBy(col("dst")).agg(count(lit(1)).as("_k"))
+      .filter(col("_k") >= kmin)
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(log(col("_k").cast("double") / (kmin - 0.5))).as("_ls"))
+      .withColumn("kmin", lit(kmin))
+      .withColumn("alpha",
+        when(col("_ls") > 0, lit(1.0) + col("n_nodes").cast("double") / col("_ls")))
+      .select(col("kmin"), col("n_nodes"), col("alpha"))
+  }
+
+  /** Newman–Girvan modularity (Newman 2006) of a GIVEN node partition over
+    * the undirected simple graph:
+    *   Q = Σ_c ( e_c/m − (d_c/2m)² )
+    * with m total edges, e_c within-community edges, d_c the community's
+    * degree sum — how much denser the communities are than a degree-
+    * preserving random rewiring (Q ≈ 0 random, 0.3+ real structure). The
+    * quality readout for [[labelPropagation]]'s output or any deterministic
+    * partition. Two label equi-joins + two bounded aggregates; the final
+    * Σ_c is community-cardinality-sized.
+    * Output: one row (m, n_communities, modularity).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("x"),
+        greatest(col("src"), col("dst")).as("y"))
+      .distinct()
+    val lx = labels.select(col("id").as("x"), col("community").as("_cx"))
+    val ly = labels.select(col("id").as("y"), col("community").as("_cy"))
+    val tagged = und.join(lx, "x").join(ly, "y")
+    val m = tagged.agg(count(lit(1)).as("m"))
+    val within = tagged.filter(col("_cx") === col("_cy"))
+      .groupBy(col("_cx").as("community")).agg(count(lit(1)).as("_ec"))
+    val degrees = tagged.select(col("x").as("id"), col("_cx").as("community"))
+      .unionByName(tagged.select(col("y").as("id"), col("_cy").as("community")))
+      .groupBy(col("community")).agg(count(lit(1)).as("_dc"))
+    degrees.join(within, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .withColumn("_term",
+        coalesce(col("_ec"), lit(0L)).cast("double") / col("m") -
+          (col("_dc").cast("double") / (lit(2.0) * col("m"))) *
+          (col("_dc").cast("double") / (lit(2.0) * col("m"))))
+      .agg(max(col("m")).as("m"), count(lit(1)).as("n_communities"),
+        sum(col("_term")).as("modularity"))
+  }
 }

@@ -154,4 +154,134 @@ object Metrics {
         avg(when(y >= l && y <= u, 1.0).otherwise(0.0)).as("coverage"),
         count(lit(1)).as("n"))
   }
+
+  /** Tracking signal — the classical forecast-monitoring statistic (Trigg
+    * 1964; every demand-planning text): per key, over the time-ordered
+    * (actual, forecast) series,
+    *   TS_t = Σ_{i≤t} e_i  /  mean_{i≤t} |e_i|     with e = actual − forecast
+    * — a persistent bias drives |TS| up while unbiased noise keeps it near
+    * zero; |TS| > threshold (4 is the textbook default ≈ 3σ for MAD-based
+    * control) flags a forecast gone stale. Expanding mean denominator (the
+    * cumulative-MAD variant) so both engines share an exact closed form —
+    * no smoothing recursion. One pass: two cumulative windows per key.
+    * Output: every input row + `cum_err`, `mad`, `tsig`, `alarm`.
+    */
+  def trackingSignal(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                     actualCol: String, fcCol: String,
+                     threshold: Double = 4.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val e = col(actualCol).cast("double") - col(fcCol).cast("double")
+    df.filter(col(actualCol).isNotNull && col(fcCol).isNotNull)
+      .withColumn("cum_err", sum(e).over(w))
+      .withColumn("mad", avg(abs(e)).over(w))
+      .withColumn("tsig", when(col("mad") > 0, col("cum_err") / col("mad")))
+      .withColumn("alarm",
+        (col("tsig").isNotNull && abs(col("tsig")) > threshold).cast("int"))
+  }
+
+  /** Theil's MSE decomposition (Theil 1966, "Applied Economic Forecasting"
+    * §2.4): splits per-key MSE into three interpretable, additive parts,
+    *   MSE = (f̄ − ȳ)²  +  (s_f − s_y)²  +  2(1 − r)·s_f·s_y
+    *          bias        variance           covariance
+    * (population sd; r = Pearson correlation of forecast and actual) —
+    * tells a forecaster WHERE the error lives: systematic offset, wrong
+    * volatility, or irreducible phase mismatch. Shares (um/us/uc sum to 1)
+    * are emitted alongside the raw parts. One aggregation pass per key over
+    * the six moment sums. Degenerate keys (zero MSE or zero sd) emit null
+    * shares rather than dividing by zero.
+    */
+  def mseDecomposition(df: DataFrame, keyCols: Seq[String], actualCol: String,
+                       predCol: String): DataFrame = {
+    val y = col(actualCol).cast("double")
+    val f = col(predCol).cast("double")
+    val g = df.filter(y.isNotNull && f.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("_n"),
+        avg(y).as("_my"), avg(f).as("_mf"),
+        avg(y * y).as("_myy"), avg(f * f).as("_mff"), avg(f * y).as("_mfy"))
+      .withColumn("_sy", sqrt(greatest(col("_myy") - col("_my") * col("_my"), lit(0.0))))
+      .withColumn("_sf", sqrt(greatest(col("_mff") - col("_mf") * col("_mf"), lit(0.0))))
+      .withColumn("_cov", col("_mfy") - col("_mf") * col("_my"))
+      .withColumn("mse",
+        col("_mff") - lit(2.0) * col("_mfy") + col("_myy"))
+      .withColumn("bias_part", (col("_mf") - col("_my")) * (col("_mf") - col("_my")))
+      .withColumn("var_part", (col("_sf") - col("_sy")) * (col("_sf") - col("_sy")))
+      .withColumn("cov_part",
+        lit(2.0) * (col("_sf") * col("_sy") - col("_cov")))
+    g.withColumn("um", when(col("mse") > 0, col("bias_part") / col("mse")))
+      .withColumn("us", when(col("mse") > 0, col("var_part") / col("mse")))
+      .withColumn("uc", when(col("mse") > 0, col("cov_part") / col("mse")))
+      .select((keyCols.map(col) :+ col("_n").cast("long").as("n") :+ col("mse") :+
+        col("bias_part") :+ col("var_part") :+ col("cov_part") :+
+        col("um") :+ col("us") :+ col("uc")): _*)
+  }
+
+  /** Durbin–Watson statistic (Durbin & Watson 1950) per key over the
+    * time-ordered residual series: DW = Σ(e_t − e_{t−1})² / Σe_t², in
+    * [0, 4] — ≈ 2 for uncorrelated residuals, → 0 under positive serial
+    * correlation (the fingerprint of an UNDERFIT forecast: errors cluster),
+    * → 4 under negative. DW ≈ 2(1 − ρ₁). One lag window + one aggregate.
+    * Output: (keys..., n, dw) — null when Σe² = 0.
+    */
+  def durbinWatson(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   residCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col(tsCol))
+    val e = col(residCol).cast("double")
+    df.filter(e.isNotNull)
+      .withColumn("_d", e - lag(e, 1).over(w))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_d") * col("_d")).as("_num"), sum(e * e).as("_den"))
+      .withColumn("dw", when(col("_den") > 0, col("_num") / col("_den")))
+      .select((keys :+ col("n") :+ col("dw")): _*)
+  }
+
+  /** CRPS of an empirical-ensemble forecast (Gneiting & Raftery 2007,
+    * eq. 21): for ensemble X = {x₁..x_n} and observation y,
+    *   CRPS = (1/n)Σ|xᵢ − y| − (1/2n²)ΣΣ|xᵢ − xⱼ|
+    * — the proper score that generalizes MAE to DISTRIBUTIONAL forecasts
+    * (it is MAE when n = 1) and what [[intervalScore]] approximates with
+    * two quantiles. The within-ensemble term collapses to the sorted-rank
+    * form Σᵢ(2i − n − 1)·x₍ᵢ₎ / n² (tie-order invariant), computed ONCE per
+    * key; the cross term is a (key)-local ensemble × observation join —
+    * bounded by design (tier-aggregated ensembles: n_ens · n_obs per key
+    * must be small; the [[graft.operators.Robust.theilSenSlope]] contract).
+    *
+    * Output: one row per OBSERVATION (keys..., obsId, n_ens, crps) — the
+    * caller aggregates. Emitting per-observation scores keeps the whole
+    * statistic a ratio of sums: with integer-quantized measures both sums
+    * are exact and the score is bit-identical across engines (a per-key
+    * AVG of the scores would re-introduce an addition-order ulp — observed
+    * as a 6-dp boundary flake at sf0.1 before this was split out).
+    */
+  def crpsEmpirical(ensemble: DataFrame, keyCols: Seq[String], valCol: String,
+                    obs: DataFrame, obsIdCol: String, obsCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val x = col(valCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(x)
+    val within = ensemble.filter(x.isNotNull)
+      .withColumn("_i", row_number().over(w).cast("double"))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keys: _*))
+        .cast("double"))
+      .groupBy(keys: _*)
+      .agg(max(col("_n")).as("_ne"),
+        sum((lit(2.0) * col("_i") - col("_n") - 1) * x).as("_pairsum"))
+      // ΣΣ over ORDERED pairs = 2·Σ_{i<j}; the rank sum gives the i<j half
+      .withColumn("_exx",
+        lit(2.0) * col("_pairsum") / (col("_ne") * col("_ne")))
+    val y = col(obsCol).cast("double")
+    val cross = ensemble.filter(x.isNotNull)
+      .join(obs.filter(y.isNotNull), keyCols)
+      .groupBy((keys :+ col(obsIdCol)): _*)
+      .agg(avg(abs(x - y)).as("_exy"))
+    cross.join(within, keyCols)
+      .select((keys :+ col(obsIdCol) :+ col("_ne").cast("long").as("n_ens") :+
+        (col("_exy") - lit(0.5) * col("_exx")).as("crps")): _*)
+  }
 }

@@ -597,4 +597,157 @@ object Profile {
       .select((keys ++ Seq(col("i"), col(idCol), col(valCol), col("p_pop"),
         col("p_val"))): _*)
   }
+
+  /** First-order partial correlation per key: the x–y association with the
+    * confounder z held fixed (Fisher's recursion over pairwise Pearsons):
+    *   r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r²_xz)(1 − r²_yz))
+    * — the profiling companion to a raw correlation matrix: a large r_xy
+    * that vanishes conditionally is a CONFOUNDED association, not a
+    * relationship. All three Pearsons come from ONE nine-moment
+    * aggregation over complete rows (x, y, z all non-null — the shared
+    * sample each r needs); degenerate denominators emit null.
+    * Output: (keys..., n, r_xy, r_xz, r_yz, r_xy_z).
+    */
+  def partialCorr(df: DataFrame, keyCols: Seq[String], xCol: String,
+                  yCol: String, zCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    val z = col(zCol).cast("double")
+    def pearson(sxy: Column, sx: Column, sy: Column, sxx: Column,
+                syy: Column, n: Column): Column = {
+      val num = n * sxy - sx * sy
+      val den = sqrt(greatest(n * sxx - sx * sx, lit(0.0))) *
+        sqrt(greatest(n * syy - sy * sy, lit(0.0)))
+      when(den > 0, num / den)
+    }
+    df.filter(x.isNotNull && y.isNotNull && z.isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("_sx"), sum(y).as("_sy"), sum(z).as("_sz"),
+        sum(x * x).as("_sxx"), sum(y * y).as("_syy"), sum(z * z).as("_szz"),
+        sum(x * y).as("_sxy"), sum(x * z).as("_sxz"), sum(y * z).as("_syz"))
+      .withColumn("_nd", col("n").cast("double"))
+      .withColumn("r_xy", pearson(col("_sxy"), col("_sx"), col("_sy"),
+        col("_sxx"), col("_syy"), col("_nd")))
+      .withColumn("r_xz", pearson(col("_sxz"), col("_sx"), col("_sz"),
+        col("_sxx"), col("_szz"), col("_nd")))
+      .withColumn("r_yz", pearson(col("_syz"), col("_sy"), col("_sz"),
+        col("_syy"), col("_szz"), col("_nd")))
+      .withColumn("_den", sqrt(greatest(
+          (lit(1.0) - col("r_xz") * col("r_xz")) *
+          (lit(1.0) - col("r_yz") * col("r_yz")), lit(0.0))))
+      .withColumn("r_xy_z", when(col("_den") > 0,
+        (col("r_xy") - col("r_xz") * col("r_yz")) / col("_den")))
+      .select((keys :+ col("n") :+ col("r_xy") :+ col("r_xz") :+
+        col("r_yz") :+ col("r_xy_z")): _*)
+  }
+
+  /** Turning-point test of series randomness (Kendall; Brockwell & Davis
+    * §1.6): count interior points that are strict local extrema —
+    * (x_t − x_{t−1})·(x_t − x_{t+1}) > 0 — against the i.i.d. expectation
+    *   E[T] = 2(n−2)/3,  Var[T] = (16n − 29)/90,  z = (T − E)/√Var.
+    * Too few turning points = trend/persistence; too many = alternation.
+    * Two lag/lead windows + one aggregate per key.
+    * Output: (keys..., n, turning_points, z).
+    */
+  def turningPoints(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                    valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val v = col(valCol).cast("double")
+    df.filter(v.isNotNull)
+      .withColumn("_p", lag(v, 1).over(w))
+      .withColumn("_f", lead(v, 1).over(w))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_p").isNotNull && col("_f").isNotNull &&
+          (v - col("_p")) * (v - col("_f")) > 0, 1L).otherwise(0L))
+          .as("turning_points"))
+      .withColumn("_nd", col("n").cast("double"))
+      .withColumn("z", when(col("n") >= 4,
+        (col("turning_points").cast("double") -
+          lit(2.0) * (col("_nd") - 2) / 3) /
+          sqrt((lit(16.0) * col("_nd") - 29) / 90)))
+      .select((keys :+ col("n") :+ col("turning_points") :+ col("z")): _*)
+  }
+
+  /** Atkinson inequality index (Atkinson 1970) per key over POSITIVE
+    * values, aversion ε ∈ (0,1)∪(1,∞):
+    *   A_ε = 1 − EDE/μ,   EDE = (mean(x^{1−ε}))^{1/(1−ε)}
+    * — the welfare-grounded sibling of [[gini]]: ε dials how much the
+    * bottom of the distribution matters (ε→0 ignores inequality, large ε
+    * cares only about the minimum). Non-positive values are excluded (the
+    * index is defined on positive quantities). One aggregate per key.
+    * Output: (keys..., n, mean, ede, atkinson).
+    */
+  def atkinson(df: DataFrame, keyCols: Seq[String], valCol: String,
+               epsilon: Double = 0.5): DataFrame = {
+    require(epsilon > 0 && epsilon != 1.0,
+      s"epsilon must be > 0 and != 1 (log form not implemented), got $epsilon")
+    val keys = keyCols.map(col)
+    val v = col(valCol).cast("double")
+    df.filter(v.isNotNull && v > 0)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), avg(v).as("mean"),
+        avg(pow(v, lit(1.0 - epsilon))).as("_me"))
+      .withColumn("ede", pow(col("_me"), lit(1.0 / (1.0 - epsilon))))
+      .withColumn("atkinson",
+        when(col("mean") > 0, lit(1.0) - col("ede") / col("mean")))
+      .select((keys :+ col("n") :+ col("mean") :+ col("ede") :+
+        col("atkinson")): _*)
+  }
+
+  /** Theil T inequality index (Theil 1967) per key over positive values:
+    *   T = mean((x/μ)·ln(x/μ)) ∈ [0, ln n]
+    * — the entropy-based inequality measure whose defining property is
+    * perfect DECOMPOSABILITY: T over a partition = within-group + between-
+    * group parts exactly (Gini's cross terms don't cancel), which makes it
+    * the right index to roll up a hierarchy. Two passes: the mean, then
+    * the ratio-log aggregate against the broadcast mean.
+    * Output: (keys..., n, mean, theil_t).
+    */
+  def theilT(df: DataFrame, keyCols: Seq[String], valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val v = col(valCol).cast("double")
+    val pos = df.filter(v.isNotNull && v > 0)
+    val m = pos.groupBy(keys: _*).agg(avg(v).as("_mu"), count(lit(1)).as("n"))
+    pos.join(broadcast(m), keyCols)
+      .groupBy((keys :+ col("n")): _*)
+      .agg(avg((v / col("_mu")) * log(v / col("_mu"))).as("theil_t"),
+        max(col("_mu")).as("mean"))
+      .select((keys :+ col("n") :+ col("mean") :+ col("theil_t")): _*)
+  }
+
+  /** Palma ratio per key: (value share of the top 10% of units) / (value
+    * share of the bottom 40%), units ranked ascending by (value, id) — the
+    * tail-focused inequality readout policy work prefers to a single Gini
+    * when the middle is stable. Cuts are pure INTEGER ranks (top = rank >
+    * n − n/10, bottom = rank ≤ 4n/10, integer division), so the membership
+    * is cross-engine exact — never a float quantile cut. One rank window +
+    * one conditional aggregate. Null when the top cut is empty (n < 10)
+    * or the bottom share is 0. Output: (keys..., n, top_share,
+    * bottom_share, palma).
+    */
+  def palma(df: DataFrame, keyCols: Seq[String], valCol: String,
+            idCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val v = col(valCol).cast("double")
+    val w = Window.partitionBy(keys: _*).orderBy(v, col(idCol))
+    val wAll = Window.partitionBy(keys: _*)
+    df.filter(v.isNotNull)
+      .withColumn("_r", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .groupBy(keys: _*)
+      .agg(max(col("_n")).as("n"), sum(v).as("_tot"),
+        sum(when(col("_r") > col("_n") - expr("_n div 10"), v)
+          .otherwise(lit(0.0))).as("_top"),
+        sum(when(col("_r") <= expr("(4 * _n) div 10"), v)
+          .otherwise(lit(0.0))).as("_bot"))
+      .withColumn("top_share", when(col("_tot") =!= 0, col("_top") / col("_tot")))
+      .withColumn("bottom_share", when(col("_tot") =!= 0, col("_bot") / col("_tot")))
+      .withColumn("palma",
+        when(col("n") >= 10 && col("_bot") > 0, col("_top") / col("_bot")))
+      .select((keys :+ col("n") :+ col("top_share") :+ col("bottom_share") :+
+        col("palma")): _*)
+  }
 }

@@ -305,4 +305,170 @@ object Robust {
       .join(sizes, groupCols, "right")
       .select((groupCols.map(col) :+ col("n_points") :+ col("hl_center")): _*)
   }
+
+  /** Cliff's delta (Cliff 1993) — the nonparametric EFFECT SIZE that
+    * belongs next to [[mannWhitney]]'s significance: δ = P(a > b) −
+    * P(a < b) over all cross pairs, in [−1, 1], robust to any monotone
+    * transform. From the rank-sum U (ties counted half): δ = 2U/(n_a·n_b)
+    * − 1 — so this is [[mannWhitney]]'s plan (one rank window + one
+    * aggregate, no pair join) plus one arithmetic column.
+    * |δ| ≳ 0.147/0.33/0.474 ≈ small/medium/large (Romano et al. 2006).
+    * Output: (groups..., n_a, n_b, delta).
+    */
+  def cliffsDelta(df: DataFrame, groupCols: Seq[String], segCol: String,
+                  segA: String, segB: String, valCol: String): DataFrame =
+    mannWhitney(df, groupCols, segCol, segA, segB, valCol)
+      .withColumn("delta",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          lit(2.0) * col("u_a") / (col("n_a").cast("double") * col("n_b")) - 1))
+      .select((groupCols.map(col) :+ col("n_a") :+ col("n_b") :+
+        col("delta")): _*)
+
+  /** Wald–Wolfowitz runs test per key: is the time-ordered sequence of
+    * above/below-median signs random, or does it trend/oscillate? Signs
+    * from the key's own exact median (values EQUAL to the median are
+    * dropped — the standard dichotomization), runs R counted by one lag
+    * window, then z = (R − E[R]) / √Var with
+    *   E[R] = 2n₁n₂/(n₁+n₂) + 1,
+    *   Var  = 2n₁n₂(2n₁n₂−n₁−n₂) / ((n₁+n₂)²(n₁+n₂−1)).
+    * Too few runs (z « 0) = trending/level-shifted series; too many =
+    * alternating. One exact-percentile aggregate + broadcast join + one
+    * lag window. Output: (keys..., n_above, n_below, runs, z).
+    */
+  def runsTest(df: DataFrame, groupCols: Seq[String], tsCol: String,
+               valCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val v = col(valCol).cast("double")
+    val med = df.filter(v.isNotNull).groupBy(keys: _*)
+      .agg(expr(s"percentile($valCol, 0.5)").as("_med"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col(tsCol))
+    val signed = df.filter(v.isNotNull)
+      .join(broadcast(med), groupCols)
+      .filter(v =!= col("_med"))
+      .withColumn("_s", (v > col("_med")).cast("int"))
+      .withColumn("_chg",
+        when(lag(col("_s"), 1).over(w).isNull, 1)
+          .otherwise((col("_s") =!= lag(col("_s"), 1).over(w)).cast("int")))
+    signed.groupBy(keys: _*)
+      .agg(sum(col("_s")).cast("long").as("n_above"),
+        sum(lit(1) - col("_s")).cast("long").as("n_below"),
+        sum(col("_chg")).cast("long").as("runs"))
+      .withColumn("_n1", col("n_above").cast("double"))
+      .withColumn("_n2", col("n_below").cast("double"))
+      .withColumn("_n", col("_n1") + col("_n2"))
+      .withColumn("_e", lit(2.0) * col("_n1") * col("_n2") / col("_n") + 1)
+      .withColumn("_var",
+        lit(2.0) * col("_n1") * col("_n2") *
+          (lit(2.0) * col("_n1") * col("_n2") - col("_n")) /
+          (col("_n") * col("_n") * (col("_n") - 1)))
+      .withColumn("z", when(col("_n1") > 0 && col("_n2") > 0 && col("_var") > 0,
+        (col("runs").cast("double") - col("_e")) / sqrt(col("_var"))))
+      .select((keys :+ col("n_above") :+ col("n_below") :+ col("runs") :+
+        col("z")): _*)
+  }
+
+  /** Kruskal–Wallis H test per group (Kruskal & Wallis 1952) — the k-arm
+    * generalization of [[mannWhitney]]: one pooled midrank window over all
+    * arms, per-arm rank sums, then
+    *   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),  H_c = H / C,
+    *   C = 1 − Σ(t³−t)/(N³−N)   (tie correction; Σ counted per row as t²−1)
+    * Output: (groups..., n, n_arms, h_raw, h_stat) — h_stat tie-corrected,
+    * null when every pooled value ties (C = 0).
+    */
+  def kruskalWallis(df: DataFrame, groupCols: Seq[String], armCol: String,
+                    valCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val v = col(valCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(v)
+    val tiePart = org.apache.spark.sql.expressions.Window
+      .partitionBy((keys :+ v): _*)
+    val ranked = df.filter(v.isNotNull && col(armCol).isNotNull)
+      .withColumn("_tc", count(lit(1)).over(tiePart))
+      .withColumn("_mid",
+        rank().over(w).cast("double") + (col("_tc") - 1).cast("double") / 2)
+    val perArm = ranked.groupBy((keys :+ col(armCol)): _*)
+      .agg(count(lit(1)).as("_ng"), sum(col("_mid")).as("_rg"),
+        sum(col("_tc") * col("_tc") - 1).as("_tie"))
+    perArm.groupBy(keys: _*)
+      .agg(sum(col("_ng")).as("n"), count(lit(1)).as("n_arms"),
+        sum(col("_rg") * col("_rg") / col("_ng").cast("double")).as("_rr"),
+        sum(col("_tie")).as("_ties"))
+      .withColumn("_nd", col("n").cast("double"))
+      .withColumn("h_raw",
+        lit(12.0) / (col("_nd") * (col("_nd") + 1)) * col("_rr") -
+          lit(3.0) * (col("_nd") + 1))
+      .withColumn("_c", lit(1.0) - col("_ties").cast("double") /
+        (col("_nd") * col("_nd") * col("_nd") - col("_nd")))
+      .withColumn("h_stat", when(col("_c") > 0, col("h_raw") / col("_c")))
+      .select((keys :+ col("n") :+ col("n_arms") :+ col("h_raw") :+
+        col("h_stat")): _*)
+  }
+
+  /** Brown–Forsythe variance-equality test (Brown & Forsythe 1974): the
+    * Levene family with the MEDIAN center — one-way ANOVA F on the
+    * absolute deviations |x − med_arm|, robust to non-normality where
+    * Bartlett's test is not. Per-(group, arm) exact medians (one
+    * aggregate, broadcast back), then [[Experiment.anovaF]] verbatim on
+    * the centered column. Output: anovaF's (groups..., n, ssb, ssw,
+    * f_stat).
+    */
+  def brownForsythe(df: DataFrame, groupCols: Seq[String], armCol: String,
+                    arms: Seq[String], valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val med = df.filter(v.isNotNull)
+      .filter(col(armCol).cast("string").isin(arms.map(a => a: Any): _*))
+      .groupBy((groupCols :+ armCol).map(col): _*)
+      .agg(expr(s"percentile($valCol, 0.5)").as("_med"))
+    val centered = df.filter(v.isNotNull)
+      .join(broadcast(med), groupCols :+ armCol)
+      .withColumn("_adev", abs(v - col("_med")))
+    Experiment.anovaF(centered, groupCols, armCol, arms, "_adev")
+  }
+
+  /** Newey–West (1987) long-run standard error of a series mean — the
+    * autocorrelation-robust SE an i.i.d. formula UNDERSTATES on positively
+    * correlated telemetry (a daily mean's error bars are wrong by the
+    * factor √(lrv/γ₀) when days persist):
+    *   γ_l = (1/n)Σ_{t>l} e_t·e_{t−l}   (e = x − x̄, population scaling)
+    *   lrv = γ₀ + 2·Σ_{l=1..L} (1 − l/(L+1))·γ_l   (Bartlett weights)
+    *   se_nw = √(lrv/n)   vs   se_iid = √(γ₀/n)
+    * Lag columns are a LITERAL fold over l = 1..maxLag (fixed combination
+    * order, oracle-replayable); one demeaning window + one aggregate.
+    * lrv is floored at 0 (Bartlett weighting keeps it ≥ 0 in exact
+    * arithmetic; float noise can graze below on near-degenerate series).
+    * Output: (keys..., n, mean, se_iid, se_nw).
+    */
+  def neweyWest(df: DataFrame, groupCols: Seq[String], tsCol: String,
+                valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val keys = groupCols.map(col)
+    val v = col(valCol).cast("double")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col(tsCol))
+    val demeaned = df.filter(v.isNotNull)
+      .withColumn("_e", v - avg(v).over(wAll))
+      .withColumn("_m", avg(v).over(wAll))
+    val lagged = (1 to maxLag).foldLeft(demeaned) { (d, l) =>
+      d.withColumn(s"_e$l", lag(col("_e"), l).over(wT))
+    }
+    val gammaAggs = Seq(count(lit(1)).as("n"), max(col("_m")).as("mean"),
+      sum(col("_e") * col("_e")).as("_g0")) ++
+      (1 to maxLag).map(l => sum(col("_e") * col(s"_e$l")).as(s"_g$l"))
+    val agged = lagged.groupBy(keys: _*).agg(gammaAggs.head, gammaAggs.tail: _*)
+    val nD = col("n").cast("double")
+    // fixed left-assoc Bartlett fold over the literal lag list
+    val lrv = (1 to maxLag).foldLeft(col("_g0") / nD) { (acc, l) =>
+      acc + lit(2.0 * (1.0 - l.toDouble / (maxLag + 1))) *
+        (coalesce(col(s"_g$l"), lit(0.0)) / nD)
+    }
+    agged
+      .withColumn("_lrv", greatest(lrv, lit(0.0)))
+      .withColumn("se_iid", sqrt(col("_g0") / nD / nD))
+      .withColumn("se_nw", sqrt(col("_lrv") / nD))
+      .select((keys :+ col("n") :+ col("mean") :+ col("se_iid") :+
+        col("se_nw")): _*)
+  }
 }

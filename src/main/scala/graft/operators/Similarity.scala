@@ -340,6 +340,41 @@ object Similarity {
       .select((keyCols.map(col) :+ col("dtw") :+ col("n_points")): _*)
   }
 
+  /** LB_Keogh lower bound (Keogh & Ratanamahatana 2005) from each key's
+    * series to a reference series — the CHEAP pruning companion to
+    * [[dtwToReference]]: LB_Keogh(x, ref) ≤ DTW(x, ref) for the same band,
+    * so candidates whose LB already exceeds a distance budget never pay
+    * the DP. Fully declarative (unlike the DTW fold): the reference's
+    * band-r envelope U/L = rolling max/min over [t−r, t+r], then
+    *   LB = Σ_t (x_t − U_t)²·1[x>U] + (L_t − x_t)²·1[x<L]
+    * via one equi-join on the time index + one aggregate. (Squared-L2
+    * step form; pair with a squared-cost DTW when thresholding.) The
+    * envelope window is a single partition — reference series only, which
+    * is bounded by contract (the dtwToReference constant license).
+    * Output: (keys..., lb_keogh, n_matched).
+    */
+  def lbKeogh(df: DataFrame, keyCols: Seq[String], idxCol: String,
+              valueCol: String, ref: DataFrame, refValCol: String,
+              band: Int): DataFrame = {
+    require(band >= 1, s"band must be >= 1, got $band")
+    val wEnv = org.apache.spark.sql.expressions.Window
+      .orderBy(col(idxCol)).rowsBetween(-band, band)
+    val env = ref
+      .select(col(idxCol), col(refValCol).cast("double").as("_rv"))
+      .withColumn("_u", max(col("_rv")).over(wEnv))
+      .withColumn("_l", min(col("_rv")).over(wEnv))
+      .select(col(idxCol), col("_u"), col("_l"))
+    val x = col(valueCol).cast("double")
+    df.filter(x.isNotNull)
+      .join(broadcast(env), Seq(idxCol))
+      .withColumn("_c",
+        when(x > col("_u"), (x - col("_u")) * (x - col("_u")))
+          .when(x < col("_l"), (col("_l") - x) * (col("_l") - x))
+          .otherwise(lit(0.0)))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_c")).as("lb_keogh"), count(lit(1)).as("n_matched"))
+  }
+
   /** Banded DTW DP over two series, L1 step cost. Exposed for testing. */
   def dtw(a: Array[Double], b: Array[Double], band: Int): Double = {
     val n = a.length; val m = b.length

@@ -69,6 +69,36 @@ object Survival {
     * Plan: one aggregate to duration grain + three frames over one ordered
     * exchange; cost = duration cardinality per group.
     */
+  /** Restricted mean survival time (Royston & Parmar 2013; the integral
+    * ∫₀^τ S(t)dt of the [[kaplanMeier]] step curve up to horizon τ) — the
+    * "average event-free time in the first τ units" readout that stays
+    * defined under heavy censoring where the median survival isn't.
+    * Step-function integral: each event time t_i ≤ τ contributes
+    * S(t_{i−1})·(t_i − t_{i−1}) (S = 1 before the first event), plus the
+    * tail S(t_last)·(τ − t_last). One lag window over the KM event grain +
+    * one aggregate. Groups whose first event time exceeds τ are absent
+    * (their RMST is trivially τ). Output: (groups..., tau, n_times, rmst).
+    */
+  def rmst(df: DataFrame, groupCols: Seq[String], durationCol: String,
+           eventCol: String, tau: Long): DataFrame = {
+    require(tau > 0, s"tau must be > 0, got $tau")
+    val keys = groupCols.map(col)
+    val km = kaplanMeier(df, groupCols, durationCol, eventCol)
+      .filter(col("t") <= tau)
+    val w = Window.partitionBy(keys: _*).orderBy(col("t"))
+    km.withColumn("_pt", coalesce(lag(col("t"), 1).over(w), lit(0L)))
+      .withColumn("_ps", coalesce(lag(col("survival"), 1).over(w), lit(1.0)))
+      .withColumn("_seg", col("_ps") * (col("t") - col("_pt")).cast("double"))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_times"), sum(col("_seg")).as("_body"),
+        max_by(col("survival"), col("t")).as("_lastS"),
+        max(col("t")).as("_lastT"))
+      .withColumn("tau", lit(tau))
+      .withColumn("rmst",
+        col("_body") + col("_lastS") * (lit(tau) - col("_lastT")).cast("double"))
+      .select((keys :+ col("tau") :+ col("n_times") :+ col("rmst")): _*)
+  }
+
   def nelsonAalen(df: DataFrame, groupCols: Seq[String], durationCol: String,
                   eventCol: String): DataFrame = {
     val keys = groupCols.map(col)
