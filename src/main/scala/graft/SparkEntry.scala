@@ -4681,7 +4681,8 @@ object SparkEntry {
           r6(col("modularity")).as("modularity"))
     }),
 
-    // restricted mean survival time at τ=10 days over q271's censored frame
+    // restricted mean survival time at τ=25 days over q271's censored frame
+    // (τ must exceed the smallest sf's event durations — 19-20 days at sf0.001)
     "q336_rmst" -> ((s, dir) => {
       val us = unix_micros(col("ts").cast("timestamp"))
       val subj = ev(s, dir)
@@ -4690,7 +4691,7 @@ object SparkEntry {
         .withColumn("dur", expr("(_l - _f) div 86400000000L"))
         .withColumn("e",
           when(col("_l") < lit(1706054400000000L), lit(1)).otherwise(lit(0)))
-      graft.operators.Survival.rmst(subj, Seq("event_type"), "dur", "e", tau = 10L)
+      graft.operators.Survival.rmst(subj, Seq("event_type"), "dur", "e", tau = 25L)
         .select(col("event_type"), col("tau"), col("n_times"),
           r6(col("rmst")).as("rmst"))
         .orderBy("event_type")
@@ -4708,6 +4709,252 @@ object SparkEntry {
         .select(col("user_id"), r6(col("lb_keogh")).as("lb_keogh"),
           col("n_matched"))
         .orderBy("user_id")
+    }),
+
+    // Bandt–Pompe permutation entropy (m=3) of each user's daily series —
+    // near 1 (normalized) means order patterns are noise, don't model it
+    "q338_perm_entropy" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Profile.permutationEntropy(daily, Seq("user_id"), "d", "v")
+        .select(col("user_id"), col("n_windows"), r6(col("pe")).as("pe"),
+          r6(col("pe_norm")).as("pe_norm"))
+        .orderBy("user_id")
+    }),
+
+    // Hjorth activity/mobility/complexity of the same daily series
+    "q339_hjorth" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Profile.hjorth(daily, Seq("user_id"), "d", "v")
+        .select(col("user_id"), col("n"), r6(col("activity")).as("activity"),
+          r6(col("mobility")).as("mobility"),
+          r6(col("complexity")).as("complexity"))
+        .orderBy("user_id")
+    }),
+
+    // Yule's K vocabulary-repetitiveness constant per source
+    "q340_yules_k" -> ((s, dir) => {
+      graft.operators.TextAnalysis.yulesK(docs(s, dir), Seq("source"), "text")
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          r6(col("yules_k")).as("yules_k"))
+        .orderBy("source")
+    }),
+
+    // Heaps'-law vocabulary-growth fit per source (ln V on ln N OLS)
+    "q341_heaps" -> ((s, dir) => {
+      graft.operators.TextAnalysis.heapsFit(docs(s, dir), Seq("source"),
+          "doc_id", "text")
+        .select(col("source"), col("n_docs"), r6(col("beta")).as("beta"),
+          r6(col("k")).as("k"))
+        .orderBy("source")
+    }),
+
+    // average-neighbor-degree spectrum knn(k) of the q199 graph — the
+    // curve behind q314's assortativity number
+    "q342_knn_degree" -> ((s, dir) => {
+      val (edges, _) = docEdges(s, dir)
+      graft.operators.Graph.avgNeighborDegree(edges)
+        .select(col("degree"), col("n_nodes"),
+          r6(col("avg_nbr_degree")).as("avg_nbr_degree"))
+        .orderBy("degree")
+    }),
+
+    // rich-club coefficient at degree cuts 1/2/3/5 (integer-exact)
+    "q343_rich_club" -> ((s, dir) => {
+      val (edges, _) = docEdges(s, dir)
+      graft.operators.Graph.richClub(edges, Seq(1L, 2L, 3L, 5L))
+        .select(col("k"), col("n_nodes"), col("n_edges"),
+          r6(col("phi")).as("phi"))
+        .orderBy("k")
+    }),
+
+    // Dickey–Fuller unit-root regression per user daily series
+    "q344_df_test" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Forecast.dickeyFuller(daily, Seq("user_id"), "d", "v")
+        .select(col("user_id"), col("n"), r6(col("rho")).as("rho"),
+          r6(col("t_stat")).as("t_stat"))
+        .orderBy("user_id")
+    }),
+
+    // Apdex score per event type treating value as latency (T = 50)
+    "q345_apdex" -> ((s, dir) => {
+      Metrics.apdex(ev(s, dir), Seq("event_type"), "value", threshold = 50.0)
+        .select(col("event_type"), col("n"), col("n_satisfied"),
+          col("n_tolerating"), r6(col("apdex")).as("apdex"))
+        .orderBy("event_type")
+    }),
+
+    // post-stratified arm means (strata = event_type, arms = even/odd
+    // users) — composition-noise-free comparison next to the raw means
+    "q346_post_strat" -> ((s, dir) => {
+      val d = ev(s, dir)
+        .withColumn("arm", pmod(col("user_id"), lit(2L)).cast("string"))
+      graft.operators.Experiment.postStratify(d, "arm", "event_type", "value")
+        .select(col("arm"), col("n"), r6(col("raw_mean")).as("raw_mean"),
+          r6(col("post_strat_mean")).as("post_strat_mean"),
+          r6(col("coverage")).as("coverage"))
+        .orderBy("arm")
+    }),
+
+    // hour-of-day + day-of-week seasonal strengths per event type
+    // (sequential profile removal — MSTL restricted to calendar means)
+    "q347_multi_seasonal" -> ((s, dir) => {
+      graft.operators.Features.multiSeasonalStrength(ev(s, dir),
+          Seq("event_type"), "ts", "value")
+        .select(col("event_type"), col("n"),
+          r6(col("strength_hod")).as("strength_hod"),
+          r6(col("strength_dow")).as("strength_dow"))
+        .orderBy("event_type")
+    }),
+
+    // log-rank test between even/odd-user survival curves per event type
+    // (dense pooled-time × segment risk grid; censoring-correct)
+    "q348_log_rank" -> ((s, dir) => {
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val subj = ev(s, dir)
+        .withColumn("seg", pmod(col("user_id"), lit(2L)).cast("string"))
+        .groupBy(col("event_type"), col("seg"), col("user_id"))
+        .agg(min(us).as("_f"), max(us).as("_l"))
+        .withColumn("dur", expr("(_l - _f) div 86400000000L"))
+        .withColumn("e",
+          when(col("_l") < lit(1706054400000000L), lit(1)).otherwise(lit(0)))
+      graft.operators.Survival.logRank(subj, Seq("event_type"), "seg",
+          "0", "1", "dur", "e")
+        .select(col("event_type"), r6(col("o1")).as("o1"), r6(col("e1")).as("e1"),
+          r6(col("var_lr")).as("var_lr"), r6(col("z")).as("z"), col("n_times"))
+        .orderBy("event_type")
+    }),
+
+    // Cochran–Mantel–Haenszel pooled odds ratio of (even/odd user) vs
+    // (value > 50), stratified by event type — Simpson's-paradox-proof
+    "q349_cmh" -> ((s, dir) => {
+      val d = ev(s, dir)
+        .withColumn("arm", pmod(col("user_id"), lit(2L)).cast("string"))
+        .withColumn("success", (col("value") > 50.0).cast("int"))
+      graft.operators.Experiment.cmhOddsRatio(d, Seq(), "event_type",
+          "arm", "0", "1", "success")
+        .select(col("n_strata"), col("n"), r6(col("or_mh")).as("or_mh"))
+    }),
+
+    // Tweedie deviances: Poisson (p=1) on daily event counts, Gamma (p=2)
+    // on daily value sums, each against the user's mean — the demand-
+    // appropriate losses squared error gets wrong
+    "q350_deviance" -> ((s, dir) => {
+      val dailyCnt = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      val muCnt = dailyCnt.groupBy("user_id").agg(avg(col("y")).as("mu"))
+      val pois = Metrics.tweedieDeviance(dailyCnt.join(muCnt, "user_id"),
+          Seq("user_id"), "y", "mu", power = 1)
+        .withColumn("family", lit("poisson"))
+      val dailyVal = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("y"))
+      val muVal = dailyVal.groupBy("user_id").agg(avg(col("y")).as("mu"))
+      val gam = Metrics.tweedieDeviance(dailyVal.join(muVal, "user_id"),
+          Seq("user_id"), "y", "mu", power = 2)
+        .withColumn("family", lit("gamma"))
+      pois.unionByName(gam)
+        .select(col("user_id"), col("family"), col("n"), col("n_excluded"),
+          r6(col("mean_deviance")).as("mean_deviance"))
+        .orderBy("user_id", "family")
+    }),
+
+    // ADIDA: aggregate the daily series into complete 3-day buckets, SES
+    // at the coarse grain (noise cancels), disaggregate evenly
+    "q351_adida" -> ((s, dir) => {
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d"))
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val bucketed = daily
+        .withColumn("_rn", row_number().over(wAsc))
+        .withColumn("b", expr("(_rn - 1) div 3"))
+        .groupBy(col("user_id"), col("b"))
+        .agg(sum(col("v")).as("bv"), count(lit(1)).as("_bc"))
+        .filter(col("_bc") === 3)
+        .withColumn("bt", timestamp_seconds(col("b") * 259200L))
+      graft.operators.Forecast.ses(bucketed, Seq("user_id"), "bt", "bv",
+          alpha = 0.3, horizon = 1, stepSeconds = 259200L)
+        .select(col("user_id"), r6(col("yhat") / 3).as("yhat_daily"))
+        .orderBy("user_id")
+    }),
+
+    // Wiener spectral flatness over q193's candidate periods: geometric /
+    // arithmetic mean of the periodogram powers (1 = white, → 0 = tonal)
+    "q352_spectral_flatness" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val per = Features.periodogram(daily, Seq("user_id"), "d", "v",
+        periods = Seq(2, 3, 7, 14))
+      val ps = Seq(2, 3, 7, 14)
+      val aggs = ps.map(p =>
+        sum(when(col("period") === p, col("power"))).as(s"_p$p"))
+      val piv = per.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+      val allPos = ps.map(p => col(s"_p$p") > 0).reduce(_ && _)
+      val lnSum = ps.map(p => log(col(s"_p$p"))).reduce(_ + _)
+      val mean = ps.map(p => col(s"_p$p")).reduce(_ + _) / 4
+      piv.withColumn("flatness", when(allPos, exp(lnSum / 4) / mean))
+        .select(col("user_id"), r6(col("flatness")).as("flatness"))
+        .orderBy("user_id")
+    }),
+
+    // integrated autocorrelation time τ = 1 + 2Σρ_l (l = 1..5) — how many
+    // observations one "effective" sample costs; n_eff = n/τ
+    "q353_acf_time" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      val acf = Features.acf(daily, Seq("user_id"), "d", "v",
+        lags = Seq(1, 2, 3, 4, 5))
+      val aggs = (1 to 5).map(l =>
+        sum(when(col("lag") === l, col("acf"))).as(s"_a$l"))
+      val piv = acf.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+      val chain = (1 to 5).map(l => col(s"_a$l")).reduce(_ + _)
+      piv.withColumn("tau_int", lit(1.0) + lit(2.0) * chain)
+        .select(col("user_id"), r6(col("tau_int")).as("tau_int"))
+        .orderBy("user_id")
+    }),
+
+    // AR(1) mean-reversion half-life from the Dickey–Fuller ρ:
+    // hl = −ln2 / ln(1 + ρ) when the process reverts (0 < φ < 1)
+    "q354_half_life" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Forecast.dickeyFuller(daily, Seq("user_id"), "d", "v")
+        .withColumn("_phi", lit(1.0) + col("rho"))
+        .withColumn("half_life",
+          when(col("_phi") > 0 && col("_phi") < 1,
+            lit(-0.6931471805599453) / log(col("_phi"))))
+        .select(col("user_id"), col("n"), r6(col("rho")).as("rho"),
+          r6(col("half_life")).as("half_life"))
+        .orderBy("user_id")
+    }),
+
+    // Harrell's C-index per event type: does per-user activity volume
+    // predict who churns sooner? (q271's censored frame; integer ties half)
+    "q355_cindex" -> ((s, dir) => {
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val subj = ev(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(us).as("_f"), max(us).as("_l"), count(lit(1)).as("pred"))
+        .withColumn("dur", expr("(_l - _f) div 86400000000L"))
+        .withColumn("e",
+          when(col("_l") < lit(1706054400000000L), lit(1)).otherwise(lit(0)))
+      graft.operators.Survival.concordanceIndex(subj, Seq("event_type"),
+          "dur", "e", "pred")
+        .select(col("event_type"), col("n_pairs"), col("n_concordant"),
+          col("n_tied"), r6(col("c_index")).as("c_index"))
+        .orderBy("event_type")
     })
   )
 
@@ -10714,7 +10961,7 @@ object SparkEntry {
         |  round(sum(term), 6) AS modularity
         |FROM f""".stripMargin,
 
-    // ∫₀^τ S dt over q271's KM curve: Σ S(t_{i−1})·Δt + tail to τ = 10
+    // ∫₀^τ S dt over q271's KM curve: Σ S(t_{i−1})·Δt + tail to τ = 25
     "q336_rmst" ->
       """WITH subj AS (SELECT event_type,
         |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS t,
@@ -10734,7 +10981,7 @@ object SparkEntry {
         |    END AS surv
         |  FROM r WINDOW w AS (PARTITION BY event_type ORDER BY t
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |k AS (SELECT event_type, t, surv FROM s WHERE d > 0 AND t <= 10),
+        |k AS (SELECT event_type, t, surv FROM s WHERE d > 0 AND t <= 25),
         |seg AS (SELECT event_type, t, surv,
         |    coalesce(lag(t) OVER w, 0) AS pt,
         |    coalesce(lag(surv) OVER w, 1.0) AS ps
@@ -10743,8 +10990,8 @@ object SparkEntry {
         |    sum(ps * (t - pt)::DOUBLE) AS body,
         |    arg_max(surv, t) AS lasts, max(t) AS lastt
         |  FROM seg GROUP BY 1)
-        |SELECT event_type, 10::BIGINT AS tau, n_times,
-        |  round(body + lasts * (10 - lastt)::DOUBLE, 6) AS rmst
+        |SELECT event_type, 25::BIGINT AS tau, n_times,
+        |  round(body + lasts * (25 - lastt)::DOUBLE, 6) AS rmst
         |FROM a ORDER BY 1""".stripMargin,
 
     // envelope = rolling min/max of the mean profile over ±2 days; LB =
@@ -10764,7 +11011,409 @@ object SparkEntry {
         |    count(*) AS n_matched
         |  FROM j GROUP BY 1)
         |SELECT user_id, round(lb, 6) AS lb_keogh, n_matched
-        |FROM a ORDER BY 1""".stripMargin
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // code = 4·[v₂>v₁] + 2·[v₃>v₂] + [v₃>v₁]; fixed-order entropy chain
+    // over the 8 literal codes; pe_norm divides by the 17-digit JVM ln 6
+    "q338_perm_entropy" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id, v, lead(v, 1) OVER w AS v2, lead(v, 2) OVER w AS v3
+        |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+        |c AS (SELECT user_id,
+        |    (CASE WHEN v2 > v THEN 4 ELSE 0 END +
+        |     CASE WHEN v3 > v2 THEN 2 ELSE 0 END +
+        |     CASE WHEN v3 > v THEN 1 ELSE 0 END) AS code
+        |  FROM l WHERE v2 IS NOT NULL AND v3 IS NOT NULL),
+        |p AS (SELECT user_id, count(*)::BIGINT AS n_windows,
+        |    sum(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN code = 1 THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS c2,
+        |    sum(CASE WHEN code = 3 THEN 1 ELSE 0 END) AS c3,
+        |    sum(CASE WHEN code = 4 THEN 1 ELSE 0 END) AS c4,
+        |    sum(CASE WHEN code = 5 THEN 1 ELSE 0 END) AS c5,
+        |    sum(CASE WHEN code = 6 THEN 1 ELSE 0 END) AS c6,
+        |    sum(CASE WHEN code = 7 THEN 1 ELSE 0 END) AS c7
+        |  FROM c GROUP BY 1),
+        |h AS (SELECT user_id, n_windows,
+        |    (((((((CASE WHEN c0 > 0 THEN -(c0::DOUBLE/n_windows)*ln(c0::DOUBLE/n_windows) ELSE 0.0 END
+        |    + CASE WHEN c1 > 0 THEN -(c1::DOUBLE/n_windows)*ln(c1::DOUBLE/n_windows) ELSE 0.0 END)
+        |    + CASE WHEN c2 > 0 THEN -(c2::DOUBLE/n_windows)*ln(c2::DOUBLE/n_windows) ELSE 0.0 END)
+        |    + CASE WHEN c3 > 0 THEN -(c3::DOUBLE/n_windows)*ln(c3::DOUBLE/n_windows) ELSE 0.0 END)
+        |    + CASE WHEN c4 > 0 THEN -(c4::DOUBLE/n_windows)*ln(c4::DOUBLE/n_windows) ELSE 0.0 END)
+        |    + CASE WHEN c5 > 0 THEN -(c5::DOUBLE/n_windows)*ln(c5::DOUBLE/n_windows) ELSE 0.0 END)
+        |    + CASE WHEN c6 > 0 THEN -(c6::DOUBLE/n_windows)*ln(c6::DOUBLE/n_windows) ELSE 0.0 END)
+        |    + CASE WHEN c7 > 0 THEN -(c7::DOUBLE/n_windows)*ln(c7::DOUBLE/n_windows) ELSE 0.0 END) AS pe
+        |  FROM p)
+        |SELECT user_id, n_windows, round(pe, 6) AS pe,
+        |  round(pe / 1.7917594692280550, 6) AS pe_norm
+        |FROM h ORDER BY 1""".stripMargin,
+
+    // population variances of v, Δv, Δ²v; mobility/complexity ratios
+    "q339_hjorth" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id, d, v,
+        |    v - lag(v, 1) OVER w AS d1 FROM daily
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+        |x AS (SELECT user_id, v, d1,
+        |    d1 - lag(d1, 1) OVER (PARTITION BY user_id ORDER BY d) AS d2
+        |  FROM l),
+        |a AS (SELECT user_id, count(*)::BIGINT AS n,
+        |    avg(v) AS m0, avg(v*v) AS q0, avg(d1) AS m1, avg(d1*d1) AS q1,
+        |    avg(d2) AS m2, avg(d2*d2) AS q2
+        |  FROM x GROUP BY 1)
+        |SELECT user_id, n, round(q0 - m0*m0, 6) AS activity,
+        |  round(CASE WHEN q0 - m0*m0 > 0
+        |    THEN sqrt((q1 - m1*m1)/(q0 - m0*m0)) END, 6) AS mobility,
+        |  round(CASE WHEN q1 - m1*m1 > 0 AND q0 - m0*m0 > 0
+        |      AND sqrt((q1 - m1*m1)/(q0 - m0*m0)) > 0
+        |    THEN sqrt((q2 - m2*m2)/(q1 - m1*m1))
+        |      / sqrt((q1 - m1*m1)/(q0 - m0*m0)) END, 6) AS complexity
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // K = 10⁴(Σm² − N)/N² — integer arithmetic up to one division
+    "q340_yules_k" ->
+      """WITH w AS (SELECT source,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |t AS (SELECT source, unnest(ws) AS term FROM w),
+        |tf AS (SELECT source, term, count(*) AS m FROM t GROUP BY 1, 2),
+        |a AS (SELECT source, sum(m)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS vocab, sum(m*m)::BIGINT AS mm
+        |  FROM tf GROUP BY 1)
+        |SELECT source, n_tokens, vocab,
+        |  round(CASE WHEN n_tokens > 0 THEN
+        |    10000.0 * (mm - n_tokens)::DOUBLE / (n_tokens*n_tokens)::DOUBLE
+        |  END, 6) AS yules_k
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // OLS of ln(types) on ln(tokens) across each source's documents
+    "q341_heaps" ->
+      """WITH w AS (SELECT source, doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |t AS (SELECT source, doc_id, unnest(ws) AS term FROM w),
+        |tf AS (SELECT source, doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+        |pd AS (SELECT source, doc_id, sum(tf)::BIGINT AS n, count(*)::BIGINT AS v
+        |  FROM tf GROUP BY 1, 2),
+        |pts AS (SELECT source, ln(n::DOUBLE) AS x, ln(v::DOUBLE) AS y
+        |  FROM pd WHERE n >= 1 AND v >= 1),
+        |g AS (SELECT source, count(*)::BIGINT AS n_docs, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy
+        |  FROM pts GROUP BY 1)
+        |SELECT source, n_docs,
+        |  round(CASE WHEN n_docs::DOUBLE*sxx - sx*sx > 0
+        |    THEN (n_docs::DOUBLE*sxy - sx*sy)/(n_docs::DOUBLE*sxx - sx*sx)
+        |  END, 6) AS beta,
+        |  round(exp(sy/n_docs::DOUBLE -
+        |    (CASE WHEN n_docs::DOUBLE*sxx - sx*sx > 0
+        |      THEN (n_docs::DOUBLE*sxy - sx*sy)/(n_docs::DOUBLE*sxx - sx*sx)
+        |    END) * (sx/n_docs::DOUBLE)), 6) AS k
+        |FROM g ORDER BY 1""".stripMargin,
+
+    // knn(k): per-node mean neighbor degree (exact ratio), bucketed by the
+    // node's own degree
+    "q342_knn_degree" ->
+      """WITH e0 AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id // 2) FROM documents),
+        |und AS (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+        |  FROM e0 WHERE src <> dst),
+        |adj AS (SELECT x AS v, y AS n FROM und UNION ALL SELECT y, x FROM und),
+        |deg AS (SELECT v, count(*)::BIGINT AS degree FROM adj GROUP BY 1),
+        |pn AS (SELECT a.v, sum(d2.degree)::DOUBLE / count(*) AS and_
+        |  FROM adj a JOIN deg d2 ON d2.v = a.n GROUP BY 1)
+        |SELECT deg.degree, count(*)::BIGINT AS n_nodes,
+        |  round(avg(pn.and_), 6) AS avg_nbr_degree
+        |FROM pn JOIN deg USING (v) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // φ(k) = 2E_{>k}/(N_{>k}(N_{>k}−1)); all-integer counts, cuts 1/2/3/5
+    "q343_rich_club" ->
+      """WITH e0 AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id // 2) FROM documents),
+        |und AS (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+        |  FROM e0 WHERE src <> dst),
+        |adj AS (SELECT x AS v, y AS n FROM und UNION ALL SELECT y, x FROM und),
+        |deg AS (SELECT v, count(*)::BIGINT AS degree FROM adj GROUP BY 1),
+        |tg AS (SELECT und.x, und.y, dx.degree AS dxd, dy.degree AS dyd
+        |  FROM und JOIN deg dx ON dx.v = und.x JOIN deg dy ON dy.v = und.y),
+        |ks AS (SELECT unnest([1, 2, 3, 5]) AS k),
+        |a AS (SELECT ks.k,
+        |    (SELECT count(*) FROM deg WHERE degree > ks.k)::BIGINT AS n_nodes,
+        |    (SELECT count(*) FROM tg WHERE dxd > ks.k AND dyd > ks.k)::BIGINT
+        |      AS n_edges
+        |  FROM ks)
+        |SELECT k::BIGINT AS k, n_nodes, n_edges,
+        |  round(CASE WHEN n_nodes >= 2 THEN
+        |    2.0 * n_edges / (n_nodes*(n_nodes - 1))::DOUBLE END, 6) AS phi
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // Δy ~ α + ρ·y₋₁ via centered moments; t = ρ/√(RSS/(n−2)/Sxx)
+    "q344_df_test" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id, d, v,
+        |    lag(v, 1) OVER (PARTITION BY user_id ORDER BY d) AS x
+        |  FROM daily),
+        |f AS (SELECT user_id, x, v - x AS dy FROM l WHERE x IS NOT NULL),
+        |c AS (SELECT user_id,
+        |    x - avg(x) OVER p AS cx, dy - avg(dy) OVER p AS cd
+        |  FROM f WINDOW p AS (PARTITION BY user_id)),
+        |g AS (SELECT user_id, count(*)::BIGINT AS n, sum(cx*cx) AS sxx,
+        |    sum(cx*cd) AS sxd, sum(cd*cd) AS sdd
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n,
+        |  round(CASE WHEN sxx > 0 THEN sxd/sxx END, 6) AS rho,
+        |  round(CASE WHEN sxx > 0 AND n > 2 AND sdd - sxd*sxd/sxx > 0
+        |    THEN (sxd/sxx) / sqrt((sdd - sxd*sxd/sxx)/(n::DOUBLE - 2)/sxx)
+        |  END, 6) AS t_stat
+        |FROM g ORDER BY 1""".stripMargin,
+
+    // Apdex = (satisfied + tolerating/2)/n at T = 50 (4T = 200)
+    "q345_apdex" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END)::BIGINT AS n_satisfied,
+        |  sum(CASE WHEN value > 50.0 AND value <= 200.0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_tolerating,
+        |  round((sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN value > 50.0 AND value <= 200.0 THEN 1 ELSE 0 END)/2.0)
+        |    / count(*), 6) AS apdex
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ŷ_arm = Σ_s (N_s/N)·ȳ_{arm,s}; pooled stratum weights
+    "q346_post_strat" ->
+      """WITH b AS (SELECT (user_id % 2)::VARCHAR AS arm, event_type AS s, value
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |pooled AS (SELECT s, count(*)::BIGINT AS ns FROM b GROUP BY 1),
+        |tot AS (SELECT sum(ns)::BIGINT AS nt FROM pooled),
+        |cell AS (SELECT arm, s, count(*)::BIGINT AS na, sum(value) AS sa
+        |  FROM b GROUP BY 1, 2)
+        |SELECT cell.arm, sum(cell.na)::BIGINT AS n,
+        |  round(sum(cell.sa)/sum(cell.na), 6) AS raw_mean,
+        |  round(sum((pooled.ns::DOUBLE/tot.nt) * (cell.sa/cell.na)), 6)
+        |    AS post_strat_mean,
+        |  round(sum(pooled.ns::DOUBLE/tot.nt), 6) AS coverage
+        |FROM cell JOIN pooled USING (s) CROSS JOIN tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // r₁ = v − hod profile; r₂ = r₁ − dow profile; strengths from
+    // population variance ratios (dow value convention differs between
+    // engines but only partitions — never compared)
+    "q347_multi_seasonal" ->
+      """WITH b AS (SELECT event_type, value AS v, hour(ts) AS hod,
+        |    dayofweek(ts) AS dow
+        |  FROM events WHERE value IS NOT NULL),
+        |hp AS (SELECT event_type, hod, avg(v) AS mh FROM b GROUP BY 1, 2),
+        |r1 AS (SELECT b.event_type, b.v, b.dow, b.v - hp.mh AS r1
+        |  FROM b JOIN hp USING (event_type, hod)),
+        |dp AS (SELECT event_type, dow, avg(r1) AS md FROM r1 GROUP BY 1, 2),
+        |r2 AS (SELECT r1.event_type, r1.v, r1.r1, r1.r1 - dp.md AS r2
+        |  FROM r1 JOIN dp USING (event_type, dow)),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    avg(v) AS m0, avg(v*v) AS q0, avg(r1) AS m1, avg(r1*r1) AS q1,
+        |    avg(r2) AS m2, avg(r2*r2) AS q2
+        |  FROM r2 GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CASE WHEN q0 - m0*m0 > 0 THEN
+        |    greatest(0.0, 1.0 - (q1 - m1*m1)/(q0 - m0*m0)) END, 6)
+        |    AS strength_hod,
+        |  round(CASE WHEN q1 - m1*m1 > 0 THEN
+        |    greatest(0.0, 1.0 - (q2 - m2*m2)/(q1 - m1*m1)) END, 6)
+        |    AS strength_dow
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // dense pooled-time × segment grid; O/E/V over rows with events
+    "q348_log_rank" ->
+      """WITH subj AS (SELECT event_type, (user_id % 2)::VARCHAR AS seg,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS t,
+        |    CASE WHEN max(epoch_us(ts)) < 1706054400000000 THEN 1 ELSE 0 END AS e
+        |  FROM events GROUP BY event_type, user_id, (user_id % 2)::VARCHAR),
+        |g AS (SELECT event_type, seg, t, sum(e) AS d, sum(1 - e) AS c
+        |  FROM subj GROUP BY 1, 2, 3),
+        |tm AS (SELECT DISTINCT event_type, t FROM g),
+        |grid AS (SELECT tm.event_type, tm.t, s.seg,
+        |    coalesce(g.d, 0) AS d, coalesce(g.c, 0) AS c
+        |  FROM tm CROSS JOIN (SELECT unnest(['0','1']) AS seg) s
+        |  LEFT JOIN g ON g.event_type = tm.event_type AND g.t = tm.t
+        |    AND g.seg = s.seg),
+        |risk AS (SELECT *,
+        |    sum(d + c) OVER (PARTITION BY event_type, seg) -
+        |    coalesce(sum(d + c) OVER (PARTITION BY event_type, seg ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nrisk
+        |  FROM grid),
+        |bt AS (SELECT event_type, t,
+        |    sum(CASE WHEN seg = '0' THEN d ELSE 0 END) AS d1,
+        |    sum(CASE WHEN seg = '0' THEN nrisk ELSE 0 END) AS n1,
+        |    sum(d) AS dt, sum(nrisk) AS nt
+        |  FROM risk GROUP BY 1, 2 HAVING sum(d) > 0 AND sum(nrisk) > 0),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n_times,
+        |    sum(d1)::DOUBLE AS o1,
+        |    sum(dt::DOUBLE * n1 / nt) AS e1,
+        |    sum(CASE WHEN nt > 1 THEN dt::DOUBLE * (n1::DOUBLE/nt)
+        |      * (1.0 - n1::DOUBLE/nt) * (nt - dt)::DOUBLE/(nt - 1)
+        |      ELSE 0.0 END) AS var_lr
+        |  FROM bt GROUP BY 1)
+        |SELECT event_type, round(o1, 6) AS o1, round(e1, 6) AS e1,
+        |  round(var_lr, 6) AS var_lr,
+        |  round(CASE WHEN var_lr > 0 THEN (o1 - e1)/sqrt(var_lr) END, 6) AS z,
+        |  n_times
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // OR_MH = Σ(ad/n)/Σ(bc/n), strata = event_type; null-value rows fall
+    // in neither cell on both sides
+    "q349_cmh" ->
+      """WITH cell AS (SELECT event_type,
+        |    sum(CASE WHEN user_id % 2 = 0 AND value > 50.0 THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN user_id % 2 = 0 AND NOT(value > 50.0) THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN user_id % 2 = 1 AND value > 50.0 THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN user_id % 2 = 1 AND NOT(value > 50.0) THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM events GROUP BY 1),
+        |a2 AS (SELECT count(*)::BIGINT AS n_strata,
+        |    sum(a + b + c + d)::BIGINT AS n,
+        |    sum(a*d/(a + b + c + d)::DOUBLE) AS num,
+        |    sum(b*c/(a + b + c + d)::DOUBLE) AS den
+        |  FROM cell)
+        |SELECT n_strata, n,
+        |  round(CASE WHEN den > 0 THEN num/den END, 6) AS or_mh
+        |FROM a2""".stripMargin,
+
+    // Poisson: 2(y ln(y/μ) − y + μ), y ln y → 0 at 0; Gamma: 2((y−μ)/μ − ln(y/μ))
+    "q350_deviance" ->
+      """WITH dc AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    count(*)::DOUBLE AS y FROM events GROUP BY 1, 2),
+        |mc AS (SELECT user_id, avg(y) AS mu FROM dc GROUP BY 1),
+        |pois AS (SELECT dc.user_id, 'poisson' AS family,
+        |    count(*)::BIGINT AS n, 0::BIGINT AS n_excluded,
+        |    avg(2.0 * ((CASE WHEN dc.y > 0 THEN dc.y * ln(dc.y/mc.mu)
+        |      ELSE 0.0 END) - dc.y + mc.mu)) AS mean_deviance
+        |  FROM dc JOIN mc USING (user_id) WHERE mc.mu > 0 GROUP BY 1),
+        |dv AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS y
+        |  FROM events GROUP BY 1, 2),
+        |mv AS (SELECT user_id, avg(y) AS mu FROM dv GROUP BY 1),
+        |gam0 AS (SELECT dv.user_id, dv.y, mv.mu,
+        |    CASE WHEN dv.y > 0 AND mv.mu > 0 THEN 1 ELSE 0 END AS ok
+        |  FROM dv JOIN mv USING (user_id)),
+        |gam AS (SELECT user_id, 'gamma' AS family,
+        |    sum(ok)::BIGINT AS n, sum(1 - ok)::BIGINT AS n_excluded,
+        |    sum(CASE WHEN ok = 1
+        |      THEN 2.0 * ((y - mu)/mu - ln(y/mu)) ELSE 0.0 END)
+        |      / sum(ok) AS mean_deviance
+        |  FROM gam0 GROUP BY 1)
+        |SELECT user_id, family, n, n_excluded, round(mean_deviance, 6)
+        |  AS mean_deviance
+        |FROM (SELECT * FROM pois UNION ALL SELECT * FROM gam)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // 3-day buckets (complete only), q79's SES closed form, even split
+    "q351_adida" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, d, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        |  FROM daily),
+        |bk AS (SELECT user_id, (rn - 1)//3 AS b, sum(v) AS bv, count(*) AS bc
+        |  FROM r GROUP BY 1, 2),
+        |f AS (SELECT user_id, b, bv,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY b) AS rn2,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY b DESC) - 1 AS back
+        |  FROM bk WHERE bc = 3),
+        |lvl AS (SELECT user_id,
+        |    sum(CASE WHEN rn2 = 1 THEN power(0.7, back)*bv
+        |        ELSE 0.3*power(0.7, back)*bv END) AS level
+        |  FROM f GROUP BY 1)
+        |SELECT user_id, round(level/3, 6) AS yhat_daily
+        |FROM lvl ORDER BY 1""".stripMargin,
+
+    // geometric/arithmetic power mean over the literal period set —
+    // q193's periodogram construction, fixed-order ln chain
+    "q352_spectral_flatness" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, v::DOUBLE AS y,
+        |    (row_number() OVER (PARTITION BY user_id ORDER BY d) - 1)::DOUBLE AS t
+        |  FROM daily),
+        |c AS (SELECT user_id, avg(y) AS mu FROM r GROUP BY 1),
+        |z AS (SELECT r.user_id, r.t, r.y - c.mu AS z FROM r JOIN c USING (user_id)),
+        |a AS (SELECT user_id,
+        |    sum(z * cos(t * (2.0 * pi() / 2)))*sum(z * cos(t * (2.0 * pi() / 2)))
+        |      + sum(z * sin(t * (2.0 * pi() / 2)))*sum(z * sin(t * (2.0 * pi() / 2))) AS p2,
+        |    sum(z * cos(t * (2.0 * pi() / 3)))*sum(z * cos(t * (2.0 * pi() / 3)))
+        |      + sum(z * sin(t * (2.0 * pi() / 3)))*sum(z * sin(t * (2.0 * pi() / 3))) AS p3,
+        |    sum(z * cos(t * (2.0 * pi() / 7)))*sum(z * cos(t * (2.0 * pi() / 7)))
+        |      + sum(z * sin(t * (2.0 * pi() / 7)))*sum(z * sin(t * (2.0 * pi() / 7))) AS p7,
+        |    sum(z * cos(t * (2.0 * pi() / 14)))*sum(z * cos(t * (2.0 * pi() / 14)))
+        |      + sum(z * sin(t * (2.0 * pi() / 14)))*sum(z * sin(t * (2.0 * pi() / 14))) AS p14
+        |  FROM z GROUP BY 1)
+        |SELECT user_id,
+        |  round(CASE WHEN p2 > 0 AND p3 > 0 AND p7 > 0 AND p14 > 0 THEN
+        |    exp((((ln(p2) + ln(p3)) + ln(p7)) + ln(p14)) / 4)
+        |      / ((((p2 + p3) + p7) + p14) / 4) END, 6) AS flatness
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // τ = 1 + 2(ρ₁+ρ₂+ρ₃+ρ₄+ρ₅), fixed-order chain; null acf propagates
+    "q353_acf_time" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id, v, lag(v,1) OVER w AS l1, lag(v,2) OVER w AS l2,
+        |    lag(v,3) OVER w AS l3, lag(v,4) OVER w AS l4, lag(v,5) OVER w AS l5
+        |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+        |a AS (SELECT user_id, corr(v, l1) AS a1, corr(v, l2) AS a2,
+        |    corr(v, l3) AS a3, corr(v, l4) AS a4, corr(v, l5) AS a5
+        |  FROM l GROUP BY 1)
+        |SELECT user_id,
+        |  round(1.0 + 2.0 * ((((a1 + a2) + a3) + a4) + a5), 6) AS tau_int
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // φ = 1 + ρ from q344's regression; hl = −ln2/ln(φ); 17-digit ln 2
+    "q354_half_life" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id, d, v,
+        |    lag(v, 1) OVER (PARTITION BY user_id ORDER BY d) AS x
+        |  FROM daily),
+        |f AS (SELECT user_id, x, v - x AS dy FROM l WHERE x IS NOT NULL),
+        |c AS (SELECT user_id,
+        |    x - avg(x) OVER p AS cx, dy - avg(dy) OVER p AS cd
+        |  FROM f WINDOW p AS (PARTITION BY user_id)),
+        |g AS (SELECT user_id, count(*)::BIGINT AS n, sum(cx*cx) AS sxx,
+        |    sum(cx*cd) AS sxd FROM c GROUP BY 1),
+        |h AS (SELECT user_id, n,
+        |    CASE WHEN sxx > 0 THEN sxd/sxx END AS rho FROM g)
+        |SELECT user_id, n, round(rho, 6) AS rho,
+        |  round(CASE WHEN 1.0 + rho > 0 AND 1.0 + rho < 1
+        |    THEN -0.69314718055994531 / ln(1.0 + rho) END, 6) AS half_life
+        |FROM h ORDER BY 1""".stripMargin,
+
+    // usable pairs: earlier duration is an EVENT; prediction ties half
+    "q355_cindex" ->
+      """WITH subj AS (SELECT event_type, user_id,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS t,
+        |    CASE WHEN max(epoch_us(ts)) < 1706054400000000 THEN 1 ELSE 0 END AS e,
+        |    count(*)::BIGINT AS pred
+        |  FROM events GROUP BY event_type, user_id),
+        |p AS (SELECT s1.event_type,
+        |    count(*)::BIGINT AS n_pairs,
+        |    sum(CASE WHEN s1.pred > s2.pred THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_concordant,
+        |    sum(CASE WHEN s1.pred = s2.pred THEN 1 ELSE 0 END)::BIGINT AS n_tied
+        |  FROM subj s1 JOIN subj s2 ON s1.event_type = s2.event_type
+        |    AND s1.t < s2.t
+        |  WHERE s1.e = 1 GROUP BY 1)
+        |SELECT event_type, n_pairs, n_concordant, n_tied,
+        |  round(CASE WHEN n_pairs > 0
+        |    THEN (n_concordant + n_tied/2.0) / n_pairs END, 6) AS c_index
+        |FROM p ORDER BY 1""".stripMargin
   )
 
   /** q282's oracle: the aggregated-variance Hurst replay. The ln-m design

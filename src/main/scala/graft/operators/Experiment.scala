@@ -461,4 +461,69 @@ object Experiment {
       .select((keys :+ col("n_a") :+ col("n_b") :+ col("cohen_d") :+
         col("hedges_g")): _*)
   }
+
+  /** Post-stratified mean per arm (survey-sampling standard; Holt & Smith
+    * 1979): reweight each arm's stratum means by the POOLED stratum
+    * shares, ŷ_arm = Σ_s (N_s/N)·ȳ_{arm,s} — removes the composition
+    * noise (or imbalance) a raw arm mean carries when strata landed
+    * unevenly across arms; the categorical-covariate sibling of [[cuped]].
+    * One (arm, stratum)-grain aggregate + one stratum-grain aggregate,
+    * joined at stratum grain. Arms missing a stratum contribute nothing
+    * for it (their estimate reweights over observed strata — emitted
+    * `coverage` = Σ observed N_s/N per arm makes that visible).
+    * Output: (armCol, n, raw_mean, post_strat_mean, coverage).
+    */
+  def postStratify(df: DataFrame, armCol: String, strataCol: String,
+                   yCol: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    val base = df.filter(y.isNotNull && col(strataCol).isNotNull)
+    val pooled = base.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("_ns"))
+    val tot = pooled.agg(sum(col("_ns")).as("_nt"))
+    val cell = base.groupBy(col(armCol), col(strataCol))
+      .agg(count(lit(1)).as("_na"), sum(y).as("_sa"))
+    cell.join(broadcast(pooled), strataCol).crossJoin(broadcast(tot))
+      .withColumn("_w", col("_ns").cast("double") / col("_nt"))
+      .groupBy(col(armCol))
+      .agg(sum(col("_na")).as("n"),
+        (sum(col("_sa")) / sum(col("_na"))).as("raw_mean"),
+        sum(col("_w") * (col("_sa") / col("_na"))).as("post_strat_mean"),
+        sum(col("_w")).as("coverage"))
+  }
+
+  /** Cochran–Mantel–Haenszel pooled odds ratio per group (Mantel &
+    * Haenszel 1959): association between arm and a binary outcome POOLED
+    * over strata without the aggregation bias a collapsed 2×2 suffers
+    * (Simpson's-paradox-proof):
+    *   OR_MH = Σ_s (a_s·d_s/n_s) / Σ_s (b_s·c_s/n_s)
+    * (a = A-success, b = A-fail, c = B-success, d = B-fail). Each term is
+    * one exact-integer-product division; only the final ratio of two sums
+    * is derived. Strata where either ratio's denominator degenerates
+    * contribute their exact zero terms naturally. One stratum-grain
+    * conditional aggregate + one group-grain sum.
+    * Output: (groups..., n_strata, n, or_mh) — null when Σbc/n = 0.
+    */
+  def cmhOddsRatio(df: DataFrame, groupCols: Seq[String], strataCol: String,
+                   armCol: String, armA: String, armB: String,
+                   successCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val isA = col(armCol).cast("string") === armA
+    val isB = col(armCol).cast("string") === armB
+    val s = col(successCol) === 1
+    val cell = df.filter(isA || isB)
+      .groupBy((keys :+ col(strataCol)): _*)
+      .agg(sum(when(isA && s, 1L).otherwise(0L)).as("_a"),
+        sum(when(isA && !s, 1L).otherwise(0L)).as("_b"),
+        sum(when(isB && s, 1L).otherwise(0L)).as("_c"),
+        sum(when(isB && !s, 1L).otherwise(0L)).as("_d"))
+      .withColumn("_n",
+        (col("_a") + col("_b") + col("_c") + col("_d")).cast("double"))
+    cell.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("_a") + col("_b") + col("_c") + col("_d")).as("n"),
+        sum(col("_a") * col("_d") / col("_n")).as("_num"),
+        sum(col("_b") * col("_c") / col("_n")).as("_den"))
+      .withColumn("or_mh", when(col("_den") > 0, col("_num") / col("_den")))
+      .select((keys :+ col("n_strata") :+ col("n") :+ col("or_mh")): _*)
+  }
 }

@@ -1118,4 +1118,51 @@ object Features {
       when(valid, slope).as("slope") :+
       when(valid, lit(1.0) + slope / 2).as("hurst")): _*)
   }
+
+  /** Multi-seasonal strength per key via sequential mean-profile removal
+    * (the MSTL idea — Bandara et al. 2021 — restricted to two calendar
+    * components, profile means instead of LOESS so every step is a
+    * grouped aggregate the oracle replays exactly):
+    *   r₁ = v − mean over (key, hour-of-day);  r₂ = r₁ − mean over
+    *   (key, day-of-week);
+    *   strength_hod = max(0, 1 − Var(r₁)/Var(v)),
+    *   strength_dow = max(0, 1 − Var(r₂)/Var(r₁))
+    * — how much variance each calendar cycle explains, the multi-period
+    * generalization of [[seasonalDecompose]]'s single-period strength.
+    * Two profile joins (bounded 24- and 7-row profiles per key, broadcast)
+    * + one six-moment aggregate; population variances.
+    * Output: (keys..., n, strength_hod, strength_dow).
+    */
+  def multiSeasonalStrength(df: DataFrame, keyCols: Seq[String],
+                            tsCol: String, valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val v = col(valCol).cast("double")
+    val t = col(tsCol).cast("timestamp")
+    val base = df.filter(v.isNotNull)
+      .withColumn("_hod", hour(t))
+      .withColumn("_dow", dayofweek(t))
+      .withColumn("_v", v)
+    val hodProf = base.groupBy((keys :+ col("_hod")): _*)
+      .agg(avg(col("_v")).as("_mh"))
+    val r1 = base.join(broadcast(hodProf), keyCols :+ "_hod")
+      .withColumn("_r1", col("_v") - col("_mh"))
+    val dowProf = r1.groupBy((keys :+ col("_dow")): _*)
+      .agg(avg(col("_r1")).as("_md"))
+    val r2 = r1.join(broadcast(dowProf), keyCols :+ "_dow")
+      .withColumn("_r2", col("_r1") - col("_md"))
+    r2.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        avg(col("_v")).as("_m0"), avg(col("_v") * col("_v")).as("_q0"),
+        avg(col("_r1")).as("_m1"), avg(col("_r1") * col("_r1")).as("_q1"),
+        avg(col("_r2")).as("_m2"), avg(col("_r2") * col("_r2")).as("_q2"))
+      .withColumn("_v0", col("_q0") - col("_m0") * col("_m0"))
+      .withColumn("_v1", col("_q1") - col("_m1") * col("_m1"))
+      .withColumn("_v2", col("_q2") - col("_m2") * col("_m2"))
+      .withColumn("strength_hod", when(col("_v0") > 0,
+        greatest(lit(0.0), lit(1.0) - col("_v1") / col("_v0"))))
+      .withColumn("strength_dow", when(col("_v1") > 0,
+        greatest(lit(0.0), lit(1.0) - col("_v2") / col("_v1"))))
+      .select((keys :+ col("n") :+ col("strength_hod") :+
+        col("strength_dow")): _*)
+  }
 }

@@ -739,4 +739,41 @@ object Forecast {
         col("_vq") / (lit(q.toDouble) * col("_v1"))))
       .select((keys :+ col("n_diff1") :+ col("n_diffq") :+ col("vr")): _*)
   }
+
+  /** Dickey–Fuller unit-root regression per key (Dickey & Fuller 1979,
+    * the no-lag, intercept form): Δy_t = α + ρ·y_{t−1} + ε. ρ̂ near 0 with
+    * an insignificant t means a RANDOM WALK (difference before modeling);
+    * strongly negative ρ̂ means mean reversion (model levels). Closed form
+    * on the mean-centered sample ([[grangerF]]'s machinery, one
+    * regressor): ρ̂ = S_xd/S_xx, RSS = S_dd − S_xd²/S_xx,
+    * t = ρ̂ / √(RSS/(n−2)/S_xx). (The t is compared against DF critical
+    * values ≈ −2.86 at 5%, not normal ones — emitted, not thresholded.)
+    * Output: (keys..., n, rho, t_stat) — nulls on degenerate designs.
+    */
+  def dickeyFuller(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val win = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val winAll = Window.partitionBy(keys: _*)
+    val y = col(valCol).cast("double")
+    val staged = df.filter(y.isNotNull)
+      .withColumn("_x", lag(y, 1).over(win))
+      .withColumn("_dy", y - lag(y, 1).over(win))
+      .filter(col("_x").isNotNull)
+      .withColumn("_cx", col("_x") - avg(col("_x")).over(winAll))
+      .withColumn("_cd", col("_dy") - avg(col("_dy")).over(winAll))
+    staged.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_cx") * col("_cx")).as("_sxx"),
+        sum(col("_cx") * col("_cd")).as("_sxd"),
+        sum(col("_cd") * col("_cd")).as("_sdd"))
+      .withColumn("rho", when(col("_sxx") > 0, col("_sxd") / col("_sxx")))
+      .withColumn("_rss",
+        col("_sdd") - col("_sxd") * col("_sxd") / col("_sxx"))
+      .withColumn("t_stat", when(col("_sxx") > 0 && col("n") > 2 &&
+          col("_rss") > 0,
+        col("rho") / sqrt(col("_rss") / (col("n").cast("double") - 2) /
+          col("_sxx"))))
+      .select((keys :+ col("n") :+ col("rho") :+ col("t_stat")): _*)
+  }
 }

@@ -557,4 +557,68 @@ object Graph {
       .agg(max(col("m")).as("m"), count(lit(1)).as("n_communities"),
         sum(col("_term")).as("modularity"))
   }
+
+  /** Average-neighbor-degree spectrum knn(k) (Pastor-Satorras et al. 2001)
+    * over the undirected simple graph: for each degree k, the mean over
+    * degree-k nodes of their mean neighbor degree — the CURVE behind
+    * [[degreeAssortativity]]'s single number (decreasing knn(k) =
+    * disassortative hub-to-leaf wiring, the usual web shape). Per-node
+    * mean neighbor degree is an exact integer ratio; only the final
+    * per-bucket mean is a float sum. One adjacency build + two bounded
+    * aggregates. Output: (degree, n_nodes, avg_nbr_degree).
+    */
+  def avgNeighborDegree(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("x"),
+        greatest(col("src"), col("dst")).as("y"))
+      .distinct()
+    val adj = und.select(col("x").as("v"), col("y").as("n"))
+      .unionByName(und.select(col("y").as("v"), col("x").as("n")))
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("degree"))
+    val perNode = adj
+      .join(deg.select(col("v").as("n"), col("degree").as("_nd")), "n")
+      .groupBy("v").agg(sum(col("_nd")).as("_s"), count(lit(1)).as("_k"))
+      .withColumn("_and", col("_s").cast("double") / col("_k"))
+    perNode.join(deg, "v")
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"), avg(col("_and")).as("avg_nbr_degree"))
+  }
+
+  /** Rich-club coefficient (Zhou & Mondragón 2004) at the literal degree
+    * cuts `ks`: among nodes with degree > k,
+    *   φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1))
+    * — do the best-connected hosts link to EACH OTHER more than a random
+    * graph would? (Rising φ(k) = an elite core; the hub-interconnection
+    * readout [[kCore]]'s peel doesn't give.) Entirely integer counts + one
+    * division per k, so cross-engine exact. Degree-tag the edge endpoints
+    * once; each k is two conditional sums over the same pass.
+    * Output: one row per k: (k, n_nodes, n_edges, phi).
+    */
+  def richClub(edges: DataFrame, ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty, "richClub needs at least one degree cut")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("x"),
+        greatest(col("src"), col("dst")).as("y"))
+      .distinct()
+    val adj = und.select(col("x").as("v"), col("y").as("n"))
+      .unionByName(und.select(col("y").as("v"), col("x").as("n")))
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("degree"))
+    val tagged = und
+      .join(deg.select(col("v").as("x"), col("degree").as("_dx")), "x")
+      .join(deg.select(col("v").as("y"), col("degree").as("_dy")), "y")
+    val edgeAggs = ks.map(k =>
+      sum(when(col("_dx") > k && col("_dy") > k, 1L).otherwise(0L)).as(s"_e$k"))
+    val e = tagged.agg(edgeAggs.head, edgeAggs.tail: _*)
+    val nodeAggs = ks.map(k =>
+      sum(when(col("degree") > k, 1L).otherwise(0L)).as(s"_n$k"))
+    val nn = deg.agg(nodeAggs.head, nodeAggs.tail: _*)
+    val rows = ks.map(k =>
+      struct(lit(k).as("k"), col(s"_n$k").as("n_nodes"),
+        col(s"_e$k").as("n_edges"),
+        when(col(s"_n$k") >= 2,
+          lit(2.0) * col(s"_e$k") /
+            (col(s"_n$k") * (col(s"_n$k") - 1)).cast("double")).as("phi")))
+    e.crossJoin(nn)
+      .select(explode(array(rows: _*)).as("d")).select("d.*")
+  }
 }

@@ -284,4 +284,56 @@ object Metrics {
       .select((keys :+ col(obsIdCol) :+ col("_ne").cast("long").as("n_ens") :+
         (col("_exy") - lit(0.5) * col("_exx")).as("crps")): _*)
   }
+
+  /** Apdex score (Apdex Alliance standard) per key: with target threshold
+    * T, a measurement is satisfied (≤ T), tolerating (≤ 4T) or frustrated;
+    *   Apdex = (n_satisfied + n_tolerating/2) / n ∈ [0, 1]
+    * — the de-facto latency SLO readout. Integer counts + ONE division
+    * (cross-engine exact). One conditional aggregate.
+    * Output: (keys..., n, n_satisfied, n_tolerating, apdex).
+    */
+  def apdex(df: DataFrame, keyCols: Seq[String], valCol: String,
+            threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val v = col(valCol).cast("double")
+    df.filter(v.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(v <= threshold, 1L).otherwise(0L)).as("n_satisfied"),
+        sum(when(v > threshold && v <= 4 * threshold, 1L).otherwise(0L))
+          .as("n_tolerating"))
+      .withColumn("apdex",
+        (col("n_satisfied") + col("n_tolerating") / lit(2.0)) / col("n"))
+  }
+
+  /** Mean Tweedie deviance per key at power p ∈ {1, 2} — the right loss
+    * for the count/positive-skewed demand the reference forecasts (squared
+    * error over-penalizes high-volume series):
+    *   p = 1 (Poisson): d = 2(y·ln(y/μ) − y + μ),  y ln y → 0 at y = 0
+    *   p = 2 (Gamma):   d = 2((y − μ)/μ − ln(y/μ)),  y > 0 required
+    * Rows violating the domain (μ ≤ 0; y < 0 at p=1; y ≤ 0 at p=2) are
+    * excluded and counted in `n_excluded`. One conditional aggregate.
+    * Output: (keys..., n, n_excluded, mean_deviance).
+    */
+  def tweedieDeviance(df: DataFrame, keyCols: Seq[String], actualCol: String,
+                      predCol: String, power: Int): DataFrame = {
+    require(power == 1 || power == 2, s"power must be 1 or 2, got $power")
+    val keys = keyCols.map(col)
+    val y = col(actualCol).cast("double")
+    val mu = col(predCol).cast("double")
+    val ok = if (power == 1) y >= 0 && mu > 0 else y > 0 && mu > 0
+    val d = if (power == 1)
+      lit(2.0) * (when(y > 0, y * log(y / mu)).otherwise(lit(0.0)) - y + mu)
+    else
+      lit(2.0) * ((y - mu) / mu - log(y / mu))
+    df.filter(y.isNotNull && mu.isNotNull)
+      .groupBy(keys: _*)
+      .agg(sum(when(ok, 1L).otherwise(0L)).as("n"),
+        sum(when(!ok, 1L).otherwise(0L)).as("n_excluded"),
+        sum(when(ok, d).otherwise(lit(0.0))).as("_dev"))
+      .withColumn("mean_deviance",
+        when(col("n") > 0, col("_dev") / col("n"))) // ANSI-safe: all-excluded keys
+      .select((keys :+ col("n") :+ col("n_excluded") :+
+        col("mean_deviance")): _*)
+  }
 }

@@ -750,4 +750,79 @@ object Profile {
       .select((keys :+ col("n") :+ col("top_share") :+ col("bottom_share") :+
         col("palma")): _*)
   }
+
+  /** Permutation entropy at order m = 3 (Bandt & Pompe 2002) per key — the
+    * complexity/forecastability readout from ORDER patterns alone: each
+    * consecutive triple (v_t, v_{t+1}, v_{t+2}) maps to one of six
+    * orderings; PE = Shannon entropy of the pattern distribution (nats),
+    * `pe_norm` = PE/ln 6 ∈ [0,1] (0 = fully deterministic ordering, 1 =
+    * i.i.d. noise — a series with pe_norm near 1 is not worth fitting).
+    * Pattern code = 4·1[v₂>v₁] + 2·1[v₃>v₂] + 1[v₃>v₁] (strict; ties fall
+    * to the lower pattern deterministically). The entropy is a FIXED-ORDER
+    * literal chain over the 8 possible codes (the q256 float-sum
+    * discipline), after two lead windows + one pivot aggregate per key.
+    * Output: (keys..., n_windows, pe, pe_norm).
+    */
+  def permutationEntropy(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                         valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val v = col(valCol).cast("double")
+    val coded = df.filter(v.isNotNull)
+      .withColumn("_v2", lead(v, 1).over(w))
+      .withColumn("_v3", lead(v, 2).over(w))
+      .filter(col("_v2").isNotNull && col("_v3").isNotNull)
+      .withColumn("_code",
+        (col("_v2") > v).cast("int") * 4 +
+          (col("_v3") > col("_v2")).cast("int") * 2 +
+          (col("_v3") > v).cast("int"))
+    val aggs = count(lit(1)).as("n_windows") +:
+      (0 to 7).map(c =>
+        sum(when(col("_code") === c, 1L).otherwise(0L)).as(s"_c$c"))
+    val pivoted = coded.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val n = col("n_windows").cast("double")
+    val pe = (0 to 7).map { c =>
+      when(col(s"_c$c") > 0,
+        -(col(s"_c$c") / n) * log(col(s"_c$c") / n)).otherwise(lit(0.0))
+    }.reduce(_ + _) // fixed left-assoc chain over the literal code list
+    pivoted
+      .withColumn("pe", pe)
+      .withColumn("pe_norm", col("pe") / math.log(6.0))
+      .select((keys :+ col("n_windows") :+ col("pe") :+ col("pe_norm")): _*)
+  }
+
+  /** Hjorth parameters (Hjorth 1970) per key — the three-number mobile
+    * summary of a series' shape from variances of the signal and its
+    * differences (population form, each over its own sample):
+    *   activity   = Var(v)
+    *   mobility   = √(Var(Δv)/Var(v))        (mean frequency proxy)
+    *   complexity = √(Var(Δ²v)/Var(Δv)) / mobility  (bandwidth proxy, ≥ 1)
+    * Two lag windows + one six-moment aggregate. Degenerate variances
+    * emit nulls downstream of the first zero.
+    * Output: (keys..., n, activity, mobility, complexity).
+    */
+  def hjorth(df: DataFrame, keyCols: Seq[String], tsCol: String,
+             valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .withColumn("_d1", v - lag(v, 1).over(w))
+      .withColumn("_d2", col("_d1") - lag(col("_d1"), 1).over(w))
+    staged.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        avg(v).as("_m0"), avg(v * v).as("_q0"),
+        avg(col("_d1")).as("_m1"), avg(col("_d1") * col("_d1")).as("_q1"),
+        avg(col("_d2")).as("_m2"), avg(col("_d2") * col("_d2")).as("_q2"))
+      .withColumn("activity", col("_q0") - col("_m0") * col("_m0"))
+      .withColumn("_v1", col("_q1") - col("_m1") * col("_m1"))
+      .withColumn("_v2", col("_q2") - col("_m2") * col("_m2"))
+      .withColumn("mobility",
+        when(col("activity") > 0, sqrt(col("_v1") / col("activity"))))
+      .withColumn("complexity",
+        when(col("_v1") > 0 && col("mobility") > 0,
+          sqrt(col("_v2") / col("_v1")) / col("mobility")))
+      .select((keys :+ col("n") :+ col("activity") :+ col("mobility") :+
+        col("complexity")): _*)
+  }
 }

@@ -649,4 +649,65 @@ object TextAnalysis {
       .agg(count(abs(col("_za") - col("_zb"))).as("m_used"),
         avg(abs(col("_za") - col("_zb"))).as("delta"))
   }
+
+  /** Yule's characteristic K (Yule 1944) per group — the length-robust
+    * vocabulary-repetitiveness constant ([[vocabulary]]'s TTR shrinks with
+    * document size; K doesn't):
+    *   K = 10⁴ · (Σ_w m_w² − N) / N²    (m_w = term frequency, N = tokens)
+    * High K = template/boilerplate-heavy text (few words doing most of the
+    * work) — a corpus-quality screen beside [[zipfSlope]]. The statistic is
+    * INTEGER arithmetic up to one division (cross-engine exact). Two
+    * partial-aggregable shuffles, term grain then group grain.
+    * Output: (groups..., n_tokens, vocab, yules_k).
+    */
+  def yulesK(docs: DataFrame, groupCols: Seq[String], textCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val tf = docs
+      .select((keys :+ explode(words(lower(col(textCol)))).as("term")): _*)
+      .groupBy((keys :+ col("term")): _*).agg(count(lit(1)).as("_m"))
+    tf.groupBy(keys: _*)
+      .agg(sum(col("_m")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("_m") * col("_m")).as("_mm"))
+      .withColumn("yules_k", when(col("n_tokens") > 0,
+        lit(1e4) * (col("_mm") - col("n_tokens")).cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double")))
+      .select((keys :+ col("n_tokens") :+ col("vocab") :+ col("yules_k")): _*)
+  }
+
+  /** Heaps'-law fit per group (Heaps 1978): vocabulary growth V ≈ k·N^β
+    * across the group's documents, fit by OLS of ln V on ln N over per-doc
+    * (tokens, types) points — β ≈ 0.4–0.6 for natural text; β → 1 flags
+    * near-random token streams, β → 0 heavy template reuse. Companion
+    * diagnostic to [[yulesK]] and [[zipfSlope]]. Per-doc counts are one
+    * term-grain aggregate ([[vocabulary]]'s plan); the fit is a five-moment
+    * closed form per group. Docs with < 1 token are excluded; degenerate
+    * designs (constant ln N) emit nulls.
+    * Output: (groups..., n_docs, beta, k).
+    */
+  def heapsFit(docs: DataFrame, groupCols: Seq[String], idCol: String,
+               textCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val perDoc = docs
+      .select((keys :+ col(idCol).as("_id") :+
+        explode(words(lower(col(textCol)))).as("term")): _*)
+      .groupBy((keys :+ col("_id") :+ col("term")): _*)
+      .agg(count(lit(1)).as("_tf"))
+      .groupBy((keys :+ col("_id")): _*)
+      .agg(sum(col("_tf")).as("_n"), count(lit(1)).as("_v"))
+      .filter(col("_n") >= 1 && col("_v") >= 1)
+      .withColumn("_x", log(col("_n").cast("double")))
+      .withColumn("_y", log(col("_v").cast("double")))
+    perDoc.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_x") * col("_y")).as("_sxy"))
+      .withColumn("_nd", col("n_docs").cast("double"))
+      .withColumn("_den", col("_nd") * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn("beta", when(col("_den") > 0,
+        (col("_nd") * col("_sxy") - col("_sx") * col("_sy")) / col("_den")))
+      .withColumn("k",
+        exp(col("_sy") / col("_nd") - col("beta") * (col("_sx") / col("_nd"))))
+      .select((keys :+ col("n_docs") :+ col("beta") :+ col("k")): _*)
+  }
 }

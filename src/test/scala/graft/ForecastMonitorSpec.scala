@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Anomaly, Drift, Experiment, Forecast, Graph, Metrics, Profile, Robust, Similarity, Survival}
+import graft.operators.{Anomaly, Drift, Experiment, Forecast, Graph, Metrics, Profile, Robust, Similarity, Survival, TextAnalysis}
 
 /** Hand-computed goldens for the round-3 closing wave: TSB, top-down
   * reconciliation, tracking signal, MSE decomposition, Cliff's delta,
@@ -324,6 +324,141 @@ class ForecastMonitorSpec extends SparkSuite {
     val sref = (0 to 3).map(i => (i.toLong, math.sin(i.toDouble))).toDF("idx", "rv")
     assert(math.abs(Similarity.lbKeogh(same, Seq("k"), "idx", "v", sref, "rv", 1)
       .head().getAs[Double]("lb_keogh")) < 1e-12)
+  }
+
+  test("permutationEntropy: monotone = 0, zigzag hand entropy") {
+    val mono = (1 to 5).map(i => ("k", ts(i), i.toDouble)).toDF("k", "t", "v")
+    val m = Profile.permutationEntropy(mono, Seq("k"), "t", "v").head()
+    assert(math.abs(m.getAs[Double]("pe")) < 1e-12)
+    val zig = Seq(1.0, 3.0, 2.0, 4.0, 3.0).zipWithIndex
+      .map { case (v, i) => ("k", ts(i + 1), v) }.toDF("k", "t", "v")
+    val z = Profile.permutationEntropy(zig, Seq("k"), "t", "v").head()
+    val h = -(2.0 / 3) * math.log(2.0 / 3) - (1.0 / 3) * math.log(1.0 / 3)
+    assert(z.getAs[Long]("n_windows") === 3L)
+    assert(math.abs(z.getAs[Double]("pe") - h) < 1e-12)
+  }
+
+  test("hjorth: square-wave goldens") {
+    val df = Seq(0.0, 1.0, 0.0, 1.0, 0.0).zipWithIndex
+      .map { case (v, i) => ("k", ts(i + 1), v) }.toDF("k", "t", "v")
+    val r = Profile.hjorth(df, Seq("k"), "t", "v").head()
+    assert(math.abs(r.getAs[Double]("activity") - 0.24) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mobility") - math.sqrt(1.0 / 0.24)) < 1e-12)
+    val complexity = math.sqrt(32.0 / 9.0) / math.sqrt(1.0 / 0.24)
+    assert(math.abs(r.getAs[Double]("complexity") - complexity) < 1e-12)
+  }
+
+  test("yulesK + heapsFit: tiny-corpus goldens") {
+    val docs = Seq(("g", 1L, "a a b")).toDF("g", "id", "text")
+    val k = TextAnalysis.yulesK(docs, Seq("g"), "text").head()
+    assert(k.getAs[Long]("n_tokens") === 3L && k.getAs[Long]("vocab") === 2L)
+    assert(math.abs(k.getAs[Double]("yules_k") - 1e4 * 2.0 / 9.0) < 1e-9)
+    val two = Seq(("g", 1L, "a"), ("g", 2L, "a b a b")).toDF("g", "id", "text")
+    val h = TextAnalysis.heapsFit(two, Seq("g"), "id", "text").head()
+    assert(math.abs(h.getAs[Double]("beta") - 0.5) < 1e-12)
+    assert(math.abs(h.getAs[Double]("k") - 1.0) < 1e-12)
+  }
+
+  test("avgNeighborDegree + richClub on hand graphs") {
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val knn = Graph.avgNeighborDegree(path).collect()
+      .map(r => r.getAs[Long]("degree") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Double]("avg_nbr_degree"))).toMap
+    assert(knn(1L) === (2L, 2.0)) // leaves see the hub
+    assert(knn(2L) === (1L, 1.0)) // hub sees leaves
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val rc = Graph.richClub(tri, Seq(1L, 2L)).collect()
+      .map(r => r.getAs[Long]("k") -> r).toMap
+    assert(math.abs(rc(1L).getAs[Double]("phi") - 1.0) < 1e-12) // triangle core
+    assert(rc(2L).getAs[Any]("phi") == null) // a single node has no pairs
+  }
+
+  test("dickeyFuller: alternating series is maximal mean reversion") {
+    val df = Seq(1.0, -1.0, 1.0, -1.0, 1.0).zipWithIndex
+      .map { case (v, i) => ("k", ts(i + 1), v) }.toDF("k", "t", "v")
+    val r = Forecast.dickeyFuller(df, Seq("k"), "t", "v").head()
+    assert(math.abs(r.getAs[Double]("rho") - (-2.0)) < 1e-12)
+    assert(r.getAs[Any]("t_stat") == null) // perfect fit -> zero RSS
+  }
+
+  test("apdex: textbook bucket split") {
+    val df = Seq(10.0, 60.0, 100.0, 300.0).map(("svc", _)).toDF("svc", "v")
+    val r = Metrics.apdex(df, Seq("svc"), "v", threshold = 50.0).head()
+    assert(r.getAs[Long]("n_satisfied") === 1L)
+    assert(r.getAs[Long]("n_tolerating") === 2L)
+    assert(math.abs(r.getAs[Double]("apdex") - 0.5) < 1e-12)
+  }
+
+  test("postStratify: pooled weights remove composition imbalance") {
+    val df = Seq(("A", "s1", 1.0), ("B", "s1", 3.0),
+      ("A", "s2", 5.0), ("A", "s2", 5.0), ("B", "s2", 7.0))
+      .toDF("arm", "s", "y")
+    val got = Experiment.postStratify(df, "arm", "s", "y").collect()
+      .map(r => r.getAs[String]("arm") -> r).toMap
+    assert(math.abs(got("A").getAs[Double]("post_strat_mean") - 3.4) < 1e-12)
+    assert(math.abs(got("B").getAs[Double]("post_strat_mean") - 5.4) < 1e-12)
+    assert(math.abs(got("A").getAs[Double]("coverage") - 1.0) < 1e-12)
+  }
+
+  test("multiSeasonalStrength: pure hour-of-day signal -> strength 1") {
+    val rows = for (day <- 1 to 3; h <- 0 until 24) yield
+      ("k", java.sql.Timestamp.valueOf(f"2024-01-0$day $h%02d:00:00"), h.toDouble)
+    val df = rows.toDF("k", "t", "v")
+    val r = graft.operators.Features.multiSeasonalStrength(df, Seq("k"), "t", "v").head()
+    assert(math.abs(r.getAs[Double]("strength_hod") - 1.0) < 1e-12)
+    assert(r.getAs[Any]("strength_dow") == null) // no residual variance left
+  }
+
+  test("logRank: symmetric arms give z = 0; early-vs-late separates") {
+    val sym = Seq(("g", "A", 2L, 1), ("g", "A", 4L, 1),
+      ("g", "B", 2L, 1), ("g", "B", 4L, 1)).toDF("g", "seg", "dur", "e")
+    val r = Survival.logRank(sym, Seq("g"), "seg", "A", "B", "dur", "e").head()
+    assert(math.abs(r.getAs[Double]("o1") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("e1") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z")) < 1e-12)
+    val sep = Seq(("g", "A", 1L, 1), ("g", "A", 1L, 1),
+      ("g", "B", 5L, 1), ("g", "B", 5L, 1)).toDF("g", "seg", "dur", "e")
+    val s = Survival.logRank(sep, Seq("g"), "seg", "A", "B", "dur", "e").head()
+    assert(math.abs(s.getAs[Double]("o1") - 2.0) < 1e-12)
+    assert(math.abs(s.getAs[Double]("e1") - 1.0) < 1e-12)
+    assert(math.abs(s.getAs[Double]("z") - math.sqrt(3.0)) < 1e-9)
+  }
+
+  test("cmhOddsRatio: two-stratum hand golden = 2.6") {
+    val rows =
+      Seq.fill(3)(("s1", "A", 1)) ++ Seq.fill(1)(("s1", "A", 0)) ++
+      Seq.fill(1)(("s1", "B", 1)) ++ Seq.fill(3)(("s1", "B", 0)) ++
+      Seq.fill(2)(("s2", "A", 1)) ++ Seq.fill(2)(("s2", "A", 0)) ++
+      Seq.fill(2)(("s2", "B", 1)) ++ Seq.fill(2)(("s2", "B", 0))
+    val df = rows.toDF("s", "arm", "succ")
+    val r = Experiment.cmhOddsRatio(df, Seq(), "s", "arm", "A", "B", "succ").head()
+    assert(r.getAs[Long]("n_strata") === 2L)
+    assert(math.abs(r.getAs[Double]("or_mh") - 2.6) < 1e-12)
+  }
+
+  test("tweedieDeviance: zero at y = mu, Poisson zero-count term = 2mu") {
+    val perfect = Seq(("k", 3.0, 3.0), ("k", 5.0, 5.0)).toDF("k", "y", "mu")
+    assert(math.abs(Metrics.tweedieDeviance(perfect, Seq("k"), "y", "mu", 1)
+      .head().getAs[Double]("mean_deviance")) < 1e-12)
+    assert(math.abs(Metrics.tweedieDeviance(perfect, Seq("k"), "y", "mu", 2)
+      .head().getAs[Double]("mean_deviance")) < 1e-12)
+    val zero = Seq(("k", 0.0, 1.0)).toDF("k", "y", "mu")
+    assert(math.abs(Metrics.tweedieDeviance(zero, Seq("k"), "y", "mu", 1)
+      .head().getAs[Double]("mean_deviance") - 2.0) < 1e-12)
+    // gamma domain: y = 0 is excluded, not NaN'd
+    val g = Metrics.tweedieDeviance(zero, Seq("k"), "y", "mu", 2).head()
+    assert(g.getAs[Long]("n_excluded") === 1L)
+  }
+
+  test("concordanceIndex: perfect and inverted predictors") {
+    val df = Seq(("g", 1L, 1, 10.0), ("g", 2L, 1, 5.0), ("g", 3L, 0, 1.0))
+      .toDF("g", "dur", "e", "pred")
+    val r = Survival.concordanceIndex(df, Seq("g"), "dur", "e", "pred").head()
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    assert(math.abs(r.getAs[Double]("c_index") - 1.0) < 1e-12)
+    val inv = df.withColumn("pred", -col("pred"))
+    assert(math.abs(Survival.concordanceIndex(inv, Seq("g"), "dur", "e", "pred")
+      .head().getAs[Double]("c_index")) < 1e-12)
   }
 
   test("pageHinkley: flat series never alarms, a level jump does") {
