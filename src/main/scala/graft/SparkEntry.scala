@@ -4955,6 +4955,122 @@ object SparkEntry {
         .select(col("event_type"), col("n_pairs"), col("n_concordant"),
           col("n_tied"), r6(col("c_index")).as("c_index"))
         .orderBy("event_type")
+    }),
+
+    // Cook's distance of every day against each user's OLS trend — which
+    // observation moved the line, not just which residual is big
+    "q356_cooks" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Robust.cooksDistance(daily, Seq("user_id"), "d", "v")
+        .select(col("user_id"), unix_timestamp(col("d")).as("d_s"),
+          r6(col("resid")).as("resid"), r6(col("leverage")).as("leverage"),
+          r6(col("cooks_d")).as("cooks_d"))
+        .orderBy("user_id", "d_s")
+    }),
+
+    // Friedman rank test: are the five event types systematically ordered
+    // in mean value across day-of-month blocks?
+    "q357_friedman" -> ((s, dir) => {
+      val mv = ev(s, dir)
+        .withColumn("blk", dayofmonth(col("ts").cast("timestamp")))
+        .groupBy(col("blk"), col("event_type"))
+        .agg(avg(col("value")).as("mv"))
+      graft.operators.Robust.friedman(mv, "blk", "event_type", "mv")
+        .select(col("n_blocks"), col("k"), r6(col("chi2")).as("chi2"))
+    }),
+
+    // Cronbach's alpha of the five per-user event-type value totals —
+    // do the "items" measure one underlying engagement trait?
+    "q358_cronbach" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "error", "signup")
+      val aggsP = types.map(t => sum(when(col("event_type") === t, col("value"))
+        .otherwise(lit(0.0))).as(s"_s_$t"))
+      val piv = ev(s, dir).groupBy(col("user_id"))
+        .agg(aggsP.head, aggsP.tail: _*)
+      val total = types.map(t => col(s"_s_$t")).reduce(_ + _)
+      val mAggs = Seq(count(lit(1)).cast("double").as("_n"),
+        sum(total).as("_st"), sum(total * total).as("_qt")) ++
+        types.flatMap(t => Seq(sum(col(s"_s_$t")).as(s"_m_$t"),
+          sum(col(s"_s_$t") * col(s"_s_$t")).as(s"_q_$t")))
+      val m = piv.agg(mAggs.head, mAggs.tail: _*)
+      def popVar(sc: Column, qc: Column) = qc / col("_n") - (sc / col("_n")) * (sc / col("_n"))
+      val sumVar = types.map(t => popVar(col(s"_m_$t"), col(s"_q_$t"))).reduce(_ + _)
+      val varT = popVar(col("_st"), col("_qt"))
+      m.withColumn("alpha", when(varT > 0,
+          lit(5.0 / 4.0) * (lit(1.0) - sumVar / varT)))
+        .withColumn("k", lit(5L))
+        .withColumn("n_users", col("_n").cast("long"))
+        .select(col("k"), col("n_users"), r6(col("alpha")).as("alpha"))
+    }),
+
+    // van Belle–Hughes trend homogeneity over q172's per-season MK z's:
+    // χ²_total = Σz², χ²_trend = m·z̄², χ²_homog = the difference (df m−1)
+    "q359_trend_homog" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+        .withColumn("dow", dayofweek(col("day")))
+      val mk = Features.mannKendall(daily, Seq("user_id", "dow"), "day", "v")
+      val aggsZ = (1 to 7).map(d =>
+        sum(when(col("dow") === d, col("z"))).as(s"_z$d"))
+      val piv = mk.groupBy(col("user_id")).agg(aggsZ.head, aggsZ.tail: _*)
+      val mCnt = (1 to 7).map(d =>
+        when(col(s"_z$d").isNotNull, 1).otherwise(0)).reduce(_ + _)
+      val zSum = (1 to 7).map(d => coalesce(col(s"_z$d"), lit(0.0))).reduce(_ + _)
+      val z2Sum = (1 to 7).map(d =>
+        coalesce(col(s"_z$d") * col(s"_z$d"), lit(0.0))).reduce(_ + _)
+      piv.withColumn("m", mCnt.cast("long"))
+        .withColumn("chi2_total", z2Sum)
+        .withColumn("chi2_trend", when(col("m") > 0,
+          col("m") * (zSum / col("m")) * (zSum / col("m"))))
+        .withColumn("chi2_homog", col("chi2_total") - col("chi2_trend"))
+        .select(col("user_id"), col("m"), r6(col("chi2_total")).as("chi2_total"),
+          r6(col("chi2_trend")).as("chi2_trend"),
+          r6(col("chi2_homog")).as("chi2_homog"))
+        .orderBy("user_id")
+    }),
+
+    // SNHT mean-shift breakpoint on the standardized daily series
+    "q360_snht" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.Anomaly.snht(daily, Seq("user_id"), "d", "v")
+        .select(col("user_id"), col("n"),
+          unix_timestamp(col("split_ts")).as("split_s"),
+          r6(col("t_stat")).as("t_stat"))
+        .orderBy("user_id")
+    }),
+
+    // MAPA: SES per-day rates from 1/2/3-day aggregation levels combined
+    // by a fixed-order mean — temporal-aggregation ensemble forecasting
+    "q361_mapa" -> ((s, dir) => {
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d"))
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      def rate(b: Int): DataFrame = {
+        val series = if (b == 1)
+          daily.select(col("user_id"), col("d").as("bt"), col("v").as("bv"))
+        else daily
+          .withColumn("_rn", row_number().over(wAsc))
+          .withColumn("bk", expr(s"(_rn - 1) div $b"))
+          .groupBy(col("user_id"), col("bk"))
+          .agg(sum(col("v")).as("bv"), count(lit(1)).as("_bc"))
+          .filter(col("_bc") === b)
+          .withColumn("bt", timestamp_seconds(col("bk") * (b * 86400L)))
+        graft.operators.Forecast.ses(series, Seq("user_id"), "bt", "bv",
+            alpha = 0.3, horizon = 1, stepSeconds = b * 86400L)
+          .select(col("user_id"), (col("yhat") / b).as(s"r$b"))
+      }
+      rate(1).join(rate(2), "user_id").join(rate(3), "user_id")
+        .withColumn("yhat_daily", ((col("r1") + col("r2")) + col("r3")) / 3)
+        .select(col("user_id"), r6(col("r1")).as("r1"), r6(col("r2")).as("r2"),
+          r6(col("r3")).as("r3"), r6(col("yhat_daily")).as("yhat_daily"))
+        .orderBy("user_id")
     })
   )
 
@@ -11413,7 +11529,208 @@ object SparkEntry {
         |SELECT event_type, n_pairs, n_concordant, n_tied,
         |  round(CASE WHEN n_pairs > 0
         |    THEN (n_concordant + n_tied/2.0) / n_pairs END, 6) AS c_index
-        |FROM p ORDER BY 1""".stripMargin
+        |FROM p ORDER BY 1""".stripMargin,
+
+    // OLS trend per user: h = 1/n + (t−t̄)²/Stt; D = e²/(2s²)·h/(1−h)²
+    "q356_cooks" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s1 AS (SELECT user_id, d, v,
+        |    (row_number() OVER (PARTITION BY user_id ORDER BY d) - 1)::DOUBLE AS t,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM daily),
+        |s2 AS (SELECT *, avg(t) OVER p AS tm, avg(v) OVER p AS ym
+        |  FROM s1 WINDOW p AS (PARTITION BY user_id)),
+        |s3 AS (SELECT *,
+        |    sum((t - tm)*(t - tm)) OVER p AS stt,
+        |    sum((t - tm)*(v - ym)) OVER p AS sty
+        |  FROM s2 WINDOW p AS (PARTITION BY user_id)),
+        |s4 AS (SELECT *,
+        |    v - (ym - (CASE WHEN stt > 0 THEN sty/stt END)*tm)
+        |      - (CASE WHEN stt > 0 THEN sty/stt END)*t AS resid
+        |  FROM s3),
+        |s5 AS (SELECT *, sum(resid*resid) OVER (PARTITION BY user_id) AS rss
+        |  FROM s4),
+        |s6 AS (SELECT user_id, d, n, resid,
+        |    1.0/n + (t - tm)*(t - tm)/stt AS lev,
+        |    CASE WHEN n > 2 THEN rss/(n::DOUBLE - 2) END AS s2v
+        |  FROM s5)
+        |SELECT user_id, epoch(d)::BIGINT AS d_s, round(resid, 6) AS resid,
+        |  round(lev, 6) AS leverage,
+        |  round(CASE WHEN s2v > 0 AND lev < 1 THEN
+        |    resid*resid/(2.0*s2v) * lev/((1.0 - lev)*(1.0 - lev)) END, 6)
+        |    AS cooks_d
+        |FROM s6 ORDER BY 1, 2""".stripMargin,
+
+    // complete blocks only; midranks within block; χ² over arm rank sums
+    "q357_friedman" ->
+      """WITH mv AS (SELECT day(ts) AS blk, event_type AS arm, avg(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |kk AS (SELECT count(DISTINCT arm) AS k FROM mv),
+        |cb AS (SELECT blk FROM mv GROUP BY blk
+        |  HAVING count(*) = (SELECT k FROM kk)),
+        |r AS (SELECT mv.blk, mv.arm,
+        |    rank() OVER (PARTITION BY mv.blk ORDER BY mv.v)
+        |      + (count(*) OVER (PARTITION BY mv.blk, mv.v) - 1)/2.0 AS mid
+        |  FROM mv JOIN cb USING (blk)),
+        |pa AS (SELECT arm, sum(mid) AS rj, count(*) AS nb FROM r GROUP BY 1),
+        |a AS (SELECT max(nb)::BIGINT AS n_blocks,
+        |    (SELECT k FROM kk)::BIGINT AS k, sum(rj*rj) AS rr FROM pa)
+        |SELECT n_blocks, k,
+        |  round(12.0/(n_blocks::DOUBLE * k * (k + 1)) * rr
+        |    - 3.0*n_blocks*(k + 1), 6) AS chi2
+        |FROM a""".stripMargin,
+
+    // α = k/(k−1)·(1 − Σσᵢ²/σ_T²), population variances, literal item chain
+    "q358_cronbach" ->
+      """WITH piv AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END) AS s_click,
+        |    sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END) AS s_view,
+        |    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS s_purchase,
+        |    sum(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END) AS s_error,
+        |    sum(CASE WHEN event_type = 'signup' THEN value ELSE 0.0 END) AS s_signup
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT count(*)::DOUBLE AS n,
+        |    sum(((((s_click + s_view) + s_purchase) + s_error) + s_signup)) AS st,
+        |    sum(((((s_click + s_view) + s_purchase) + s_error) + s_signup)
+        |      * ((((s_click + s_view) + s_purchase) + s_error) + s_signup)) AS qt,
+        |    sum(s_click) AS m1, sum(s_click*s_click) AS q1,
+        |    sum(s_view) AS m2, sum(s_view*s_view) AS q2,
+        |    sum(s_purchase) AS m3, sum(s_purchase*s_purchase) AS q3,
+        |    sum(s_error) AS m4, sum(s_error*s_error) AS q4,
+        |    sum(s_signup) AS m5, sum(s_signup*s_signup) AS q5
+        |  FROM piv),
+        |v AS (SELECT n,
+        |    ((((q1/n - (m1/n)*(m1/n)) + (q2/n - (m2/n)*(m2/n)))
+        |      + (q3/n - (m3/n)*(m3/n))) + (q4/n - (m4/n)*(m4/n)))
+        |      + (q5/n - (m5/n)*(m5/n)) AS sv,
+        |    qt/n - (st/n)*(st/n) AS vt
+        |  FROM m)
+        |SELECT 5::BIGINT AS k, n::BIGINT AS n_users,
+        |  round(CASE WHEN vt > 0 THEN 1.25 * (1.0 - sv/vt) END, 6) AS alpha
+        |FROM v""".stripMargin,
+
+    // per-(user, dow) MK z's (q172's construction) pivoted to a literal
+    // dow chain; χ²_trend = m·z̄², homog = total − trend
+    "q359_trend_homog" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (SELECT user_id, day, v, dayofweek(day) + 1 AS dow FROM daily),
+        |pr AS (SELECT a.user_id, a.dow,
+        |    sum(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END)
+        |      AS s_part
+        |  FROM dd a JOIN dd b ON a.user_id = b.user_id AND a.dow = b.dow
+        |    AND b.day > a.day
+        |  GROUP BY 1, 2),
+        |nn AS (SELECT user_id, dow, count(*) AS n FROM dd GROUP BY 1, 2),
+        |mk AS (SELECT nn.user_id, nn.dow, coalesce(pr.s_part, 0) AS s, nn.n,
+        |    nn.n*(nn.n - 1)*(2*nn.n + 5)/18.0 AS var
+        |  FROM nn LEFT JOIN pr USING (user_id, dow)),
+        |z AS (SELECT user_id, dow,
+        |    CASE WHEN n >= 2 THEN
+        |      (s - CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)
+        |        / sqrt(var) END AS z
+        |  FROM mk),
+        |p AS (SELECT user_id,
+        |    max(CASE WHEN dow = 1 THEN z END) AS z1,
+        |    max(CASE WHEN dow = 2 THEN z END) AS z2,
+        |    max(CASE WHEN dow = 3 THEN z END) AS z3,
+        |    max(CASE WHEN dow = 4 THEN z END) AS z4,
+        |    max(CASE WHEN dow = 5 THEN z END) AS z5,
+        |    max(CASE WHEN dow = 6 THEN z END) AS z6,
+        |    max(CASE WHEN dow = 7 THEN z END) AS z7
+        |  FROM z GROUP BY 1),
+        |h AS (SELECT user_id,
+        |    (((((CASE WHEN z1 IS NOT NULL THEN 1 ELSE 0 END
+        |      + CASE WHEN z2 IS NOT NULL THEN 1 ELSE 0 END)
+        |      + CASE WHEN z3 IS NOT NULL THEN 1 ELSE 0 END)
+        |      + CASE WHEN z4 IS NOT NULL THEN 1 ELSE 0 END)
+        |      + CASE WHEN z5 IS NOT NULL THEN 1 ELSE 0 END)
+        |      + CASE WHEN z6 IS NOT NULL THEN 1 ELSE 0 END)
+        |      + CASE WHEN z7 IS NOT NULL THEN 1 ELSE 0 END AS m,
+        |    ((((((coalesce(z1, 0.0) + coalesce(z2, 0.0)) + coalesce(z3, 0.0))
+        |      + coalesce(z4, 0.0)) + coalesce(z5, 0.0)) + coalesce(z6, 0.0))
+        |      + coalesce(z7, 0.0)) AS zs,
+        |    ((((((coalesce(z1*z1, 0.0) + coalesce(z2*z2, 0.0))
+        |      + coalesce(z3*z3, 0.0)) + coalesce(z4*z4, 0.0))
+        |      + coalesce(z5*z5, 0.0)) + coalesce(z6*z6, 0.0))
+        |      + coalesce(z7*z7, 0.0)) AS z2s
+        |  FROM p)
+        |SELECT user_id, m::BIGINT AS m, round(z2s, 6) AS chi2_total,
+        |  round(CASE WHEN m > 0 THEN m * (zs/m) * (zs/m) END, 6) AS chi2_trend,
+        |  round(z2s - (CASE WHEN m > 0 THEN m * (zs/m) * (zs/m) END), 6)
+        |    AS chi2_homog
+        |FROM h ORDER BY 1""".stripMargin,
+
+    // T_t = cz²/t + (czn−cz)²/(n−t) on standardized values; argmax on the
+    // 6-dp-rounded T with ts tie-break (binarySegment discipline)
+    "q360_snht" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s1 AS (SELECT user_id, d, v,
+        |    count(*) OVER p AS n, avg(v) OVER p AS m,
+        |    sqrt(greatest(avg(v*v) OVER p - (avg(v) OVER p)*(avg(v) OVER p),
+        |      0.0)) AS sd
+        |  FROM daily WINDOW p AS (PARTITION BY user_id)),
+        |s2 AS (SELECT user_id, d, n, (v - m)/sd AS z
+        |  FROM s1 WHERE sd > 0),
+        |s3 AS (SELECT user_id, d, n,
+        |    sum(z) OVER (PARTITION BY user_id ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cz,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS i,
+        |    sum(z) OVER (PARTITION BY user_id) AS czn
+        |  FROM s2),
+        |s4 AS (SELECT user_id, d, n,
+        |    cz*cz/i + (czn - cz)*(czn - cz)/(n - i) AS t
+        |  FROM s3 WHERE i < n),
+        |s5 AS (SELECT user_id, d, n,
+        |    CASE WHEN t >= 0 THEN floor(t*1e6 + 0.5)/1e6
+        |         ELSE -floor(-t*1e6 + 0.5)/1e6 END AS tr
+        |  FROM s4),
+        |s6 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY tr DESC, d) AS rk FROM s5)
+        |SELECT user_id, n::BIGINT AS n, epoch(d)::BIGINT AS split_s,
+        |  round(tr, 6) AS t_stat
+        |FROM s6 WHERE rk = 1 ORDER BY 1""".stripMargin,
+
+    // three SES levels at 1/2/3-day aggregation, per-day rates, fixed-
+    // order mean — q79's closed form at each level
+    "q361_mapa" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |r1s AS (SELECT user_id, d, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d DESC) - 1 AS back
+        |  FROM daily),
+        |l1 AS (SELECT user_id,
+        |    sum(CASE WHEN rn = 1 THEN power(0.7, back)*v
+        |        ELSE 0.3*power(0.7, back)*v END) AS r1
+        |  FROM r1s GROUP BY 1),
+        |b2 AS (SELECT user_id, (rn - 1)//2 AS bk, sum(v) AS bv, count(*) AS bc
+        |  FROM r1s GROUP BY 1, 2),
+        |f2 AS (SELECT user_id, bv,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY bk) AS rn2,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY bk DESC) - 1 AS back2
+        |  FROM b2 WHERE bc = 2),
+        |l2 AS (SELECT user_id,
+        |    sum(CASE WHEN rn2 = 1 THEN power(0.7, back2)*bv
+        |        ELSE 0.3*power(0.7, back2)*bv END)/2 AS r2
+        |  FROM f2 GROUP BY 1),
+        |b3 AS (SELECT user_id, (rn - 1)//3 AS bk, sum(v) AS bv, count(*) AS bc
+        |  FROM r1s GROUP BY 1, 2),
+        |f3 AS (SELECT user_id, bv,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY bk) AS rn3,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY bk DESC) - 1 AS back3
+        |  FROM b3 WHERE bc = 3),
+        |l3 AS (SELECT user_id,
+        |    sum(CASE WHEN rn3 = 1 THEN power(0.7, back3)*bv
+        |        ELSE 0.3*power(0.7, back3)*bv END)/3 AS r3
+        |  FROM f3 GROUP BY 1)
+        |SELECT l1.user_id, round(l1.r1, 6) AS r1, round(l2.r2, 6) AS r2,
+        |  round(l3.r3, 6) AS r3,
+        |  round(((l1.r1 + l2.r2) + l3.r3)/3, 6) AS yhat_daily
+        |FROM l1 JOIN l2 USING (user_id) JOIN l3 USING (user_id)
+        |ORDER BY 1""".stripMargin
   )
 
   /** q282's oracle: the aggregated-variance Hurst replay. The ln-m design

@@ -569,4 +569,48 @@ object Anomaly {
         when(col("_sd") > 0 && col("n") >= 3, col("_dev") / col("_sd")))
       .select((keys :+ col("n") :+ col("g_stat") :+ col("outlier_value")): _*)
   }
+
+  /** Standard normal homogeneity test (Alexandersson 1986, SNHT) per key —
+    * the single-breakpoint MEAN-SHIFT locator on the STANDARDIZED series
+    * (where [[binarySegment]] maximizes raw SS gain and [[pettitt]] uses
+    * ranks, SNHT is the parametric z-score form climate homogenization
+    * uses):
+    *   T_t = t·z̄₁² + (n−t)·z̄₂²,  z = (x − μ)/σ (population moments)
+    * maximized over t = 1..n−1; T ≳ 8–10 flags a break for typical n.
+    * With prefix sums cz_t: T_t = cz_t²/t + (cz_n − cz_t)²/(n−t) — one
+    * moment window + one cumulative window; the argmax is ranked on the
+    * arithmetic-6dp-rounded T with the ts tie-break (the [[binarySegment]]
+    * rank discipline). Output: (keys..., n, split_ts, t_stat).
+    */
+  def snht(df: DataFrame, keyCols: Seq[String], tsCol: String,
+           valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val wAll = Window.partitionBy(keys: _*)
+    val wCum = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_m", avg(v).over(wAll))
+      .withColumn("_sd", sqrt(greatest(
+        avg(v * v).over(wAll) - col("_m") * col("_m"), lit(0.0))))
+      .filter(col("_sd") > 0)
+      .withColumn("_z", (v - col("_m")) / col("_sd"))
+      .withColumn("_cz", sum(col("_z")).over(wCum))
+      .withColumn("_i", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(col(tsCol))))
+      .withColumn("_czn", sum(col("_z")).over(wAll))
+    val t = staged.filter(col("_i") < col("_n"))
+      .withColumn("_t",
+        col("_cz") * col("_cz") / col("_i") +
+          (col("_czn") - col("_cz")) * (col("_czn") - col("_cz")) /
+            (col("_n") - col("_i")))
+      .withColumn("_tr", signum(col("_t")) * floor(abs(col("_t")) * 1e6 + 0.5) / 1e6)
+    val pick = Window.partitionBy(keys: _*)
+      .orderBy(col("_tr").desc, col(tsCol))
+    t.withColumn("_rk", row_number().over(pick))
+      .filter(col("_rk") === 1)
+      .select((keys ++ Seq(col("_n").as("n"), col(tsCol).as("split_ts"),
+        col("_tr").as("t_stat"))): _*)
+  }
 }

@@ -471,4 +471,85 @@ object Robust {
       .select((keys :+ col("n") :+ col("mean") :+ col("se_iid") :+
         col("se_nw")): _*)
   }
+
+  /** Cook's distance for the per-key OLS trend fit (Cook 1977): for each
+    * observation of the time-indexed series y ~ a + b·t,
+    *   h_i = 1/n + (t_i − t̄)²/S_tt   (leverage)
+    *   D_i = e_i²/(p·s²) · h_i/(1 − h_i)²   (p = 2, s² = RSS/(n−2))
+    * — WHICH day moved the trend line, not just whether residuals are big:
+    * a moderate residual at the series edge (high leverage) can dominate a
+    * large one in the middle. D_i > 4/n is the usual screen. All moments
+    * ride windows over one sort; no second scan.
+    * Output: every input row + (t_idx, resid, leverage, cooks_d).
+    */
+  def cooksDistance(df: DataFrame, groupCols: Seq[String], tsCol: String,
+                    valCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col(tsCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    val y = col(valCol).cast("double")
+    val staged = df.filter(y.isNotNull)
+      .withColumn("t_idx", (row_number().over(wOrd) - 1).cast("double"))
+      .withColumn("_n", count(lit(1)).over(wAll).cast("double"))
+      .withColumn("_tm", avg(col("t_idx")).over(wAll))
+      .withColumn("_ym", avg(y).over(wAll))
+      .withColumn("_stt",
+        sum((col("t_idx") - col("_tm")) * (col("t_idx") - col("_tm"))).over(wAll))
+      .withColumn("_sty",
+        sum((col("t_idx") - col("_tm")) * (y - col("_ym"))).over(wAll))
+      .withColumn("_b", when(col("_stt") > 0, col("_sty") / col("_stt")))
+      .withColumn("resid",
+        y - (col("_ym") - col("_b") * col("_tm")) - col("_b") * col("t_idx"))
+      .withColumn("_rss", sum(col("resid") * col("resid")).over(wAll))
+      .withColumn("_s2", when(col("_n") > 2, col("_rss") / (col("_n") - 2)))
+      .withColumn("leverage",
+        lit(1.0) / col("_n") +
+          (col("t_idx") - col("_tm")) * (col("t_idx") - col("_tm")) / col("_stt"))
+      .withColumn("cooks_d",
+        when(col("_s2") > 0 && col("leverage") < 1,
+          col("resid") * col("resid") / (lit(2.0) * col("_s2")) *
+            col("leverage") / ((lit(1.0) - col("leverage")) *
+              (lit(1.0) - col("leverage")))))
+    staged.drop("_n", "_tm", "_ym", "_stt", "_sty", "_b", "_rss", "_s2")
+  }
+
+  /** Friedman rank test (Friedman 1937): are the k arms' values
+    * systematically ordered across the n complete blocks (repeated
+    * measures — each block contributes one midrank per arm)?
+    *   χ² = 12/(n·k(k+1)) · Σ_j R_j² − 3n(k+1)   (df = k − 1)
+    * Only COMPLETE blocks (all k arms present) enter, k = the global arm
+    * count; midranks keep ties exact (half-integers). One within-block
+    * rank window + two bounded aggregates.
+    * Output: one row (n_blocks, k, chi2).
+    */
+  def friedman(df: DataFrame, blockCol: String, armCol: String,
+               valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = df.filter(v.isNotNull && col(armCol).isNotNull)
+    val k = base.agg(countDistinct(col(armCol)).as("k"))
+    val complete = base
+      .withColumn("_ba", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(blockCol))))
+      .crossJoin(broadcast(k))
+      .filter(col("_ba") === col("k"))
+    val wBlk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(blockCol)).orderBy(v)
+    val tiePart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(blockCol), v)
+    val ranked = complete
+      .withColumn("_mid", rank().over(wBlk).cast("double") +
+        (count(lit(1)).over(tiePart) - 1).cast("double") / 2)
+    val perArm = ranked.groupBy(col(armCol))
+      .agg(sum(col("_mid")).as("_rj"), count(lit(1)).as("_nb"),
+        max(col("k")).as("_k"))
+    perArm.agg(max(col("_nb")).as("n_blocks"), max(col("_k")).as("k"),
+        sum(col("_rj") * col("_rj")).as("_rr"))
+      .withColumn("_nd", col("n_blocks").cast("double"))
+      .withColumn("_kd", col("k").cast("double"))
+      .withColumn("chi2", when(col("n_blocks") > 0,
+        lit(12.0) / (col("_nd") * col("_kd") * (col("_kd") + 1)) * col("_rr") -
+          lit(3.0) * col("_nd") * (col("_kd") + 1)))
+      .select(col("n_blocks"), col("k"), col("chi2"))
+  }
 }

@@ -461,6 +461,41 @@ class ForecastMonitorSpec extends SparkSuite {
       .head().getAs[Double]("c_index")) < 1e-12)
   }
 
+  test("cooksDistance: OLS influence laws (Σh = 2, Σe ≈ 0, spike dominates)") {
+    val df = Seq(0.0, 0.0, 0.0, 0.0, 10.0).zipWithIndex
+      .map { case (v, i) => ("k", ts(i + 1), v) }.toDF("k", "t", "v")
+    val rows = Robust.cooksDistance(df, Seq("k"), "t", "v")
+      .orderBy("t").collect()
+    val hSum = rows.map(_.getAs[Double]("leverage")).sum
+    assert(math.abs(hSum - 2.0) < 1e-9, s"sum of leverages = $hSum, want p = 2")
+    assert(math.abs(rows.map(_.getAs[Double]("resid")).sum) < 1e-9)
+    val ds = rows.map(_.getAs[Double]("cooks_d"))
+    assert(ds.last === ds.max, "the edge spike must carry the largest D")
+  }
+
+  test("friedman: perfectly ordered arms hit the k=3 maximum chi2 = 6") {
+    val df = (1 to 3).flatMap(b => Seq((b, "a", 1.0), (b, "b", 2.0), (b, "c", 3.0)))
+      .toDF("blk", "arm", "v")
+    val r = Robust.friedman(df, "blk", "arm", "v").head()
+    assert(r.getAs[Long]("n_blocks") === 3L && r.getAs[Long]("k") === 3L)
+    assert(math.abs(r.getAs[Double]("chi2") - 6.0) < 1e-12)
+    // incomplete blocks are dropped
+    val withHole = df.unionByName(Seq((4, "a", 9.0)).toDF("blk", "arm", "v"))
+    assert(Robust.friedman(withHole, "blk", "arm", "v").head()
+      .getAs[Long]("n_blocks") === 3L)
+  }
+
+  test("snht: step series splits at the step with T = 6") {
+    val df = (1 to 6).map(i => ("k", ts(i), if (i <= 3) 0.0 else 10.0))
+      .toDF("k", "t", "v")
+    val r = Anomaly.snht(df, Seq("k"), "t", "v").head()
+    assert(r.getAs[java.sql.Timestamp]("split_ts").toInstant.getEpochSecond === 3L)
+    assert(math.abs(r.getAs[Double]("t_stat") - 6.0) < 1e-9)
+    // constant series: sd = 0 -> no rows (nothing to test)
+    val flat = (1 to 5).map(i => ("k", ts(i), 2.0)).toDF("k", "t", "v")
+    assert(Anomaly.snht(flat, Seq("k"), "t", "v").count() === 0L)
+  }
+
   test("pageHinkley: flat series never alarms, a level jump does") {
     val df = (1 to 4).map(i => ("k", ts(i), Seq(0.0, 0.0, 0.0, 10.0)(i - 1)))
       .toDF("k", "t", "v")
