@@ -5071,6 +5071,84 @@ object SparkEntry {
         .select(col("user_id"), r6(col("r1")).as("r1"), r6(col("r2")).as("r2"),
           r6(col("r3")).as("r3"), r6(col("yhat_daily")).as("yhat_daily"))
         .orderBy("user_id")
+    }),
+
+    // Jarque-Bera normality of the daily event-count series per type —
+    // integer counts keep all four moment sums bit-exact cross-engine
+    "q362_jarque_bera" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.jarqueBera(daily, Seq("event_type"), "cnt")
+        .select(col("event_type"), col("n"), r6(col("skew")).as("skew"),
+          r6(col("ex_kurt")).as("ex_kurt"), r6(col("jb")).as("jb"))
+        .orderBy("event_type")
+    }),
+
+    // McNemar paired flip: per user, "had a purchase" in the first half of
+    // the month (day <= 15) vs the second half
+    "q363_mcnemar" -> ((s, dir) => {
+      val paired = ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "purchase" &&
+            dayofmonth(col("ts")) <= 15, 1).otherwise(0)).as("pre"),
+          max(when(col("event_type") === "purchase" &&
+            dayofmonth(col("ts")) >= 16, 1).otherwise(0)).as("post"))
+      graft.operators.StatTests.mcnemar(paired, Nil, "pre", "post")
+        .select(col("n_pairs"), col("b"), col("c"), r6(col("chi2")).as("chi2"))
+    }),
+
+    // Chow midpoint structural-break F on each user's daily-sum trend
+    "q364_chow" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.StatTests.chow(daily, Seq("user_id"), "d", "v")
+        .select(col("user_id"), col("n"),
+          r6(col("rss_pooled")).as("rss_pooled"),
+          r6(col("rss_split")).as("rss_split"), r6(col("f_stat")).as("f_stat"))
+        .orderBy("user_id")
+    }),
+
+    // KPSS level-stationarity of the daily count series per event type —
+    // the dickey-fuller (q344) mirror image
+    "q365_kpss" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.operators.StatTests.kpss(daily, Seq("event_type"), "d", "cnt")
+        .select(col("event_type"), col("n"), r6(col("eta")).as("eta"))
+        .orderBy("event_type")
+    }),
+
+    // Cochran's Q over day blocks x event-type treatments; success = the
+    // day's count strictly above the type's mean daily count (integer
+    // cross-multiplied compare, no float boundary)
+    "q366_cochran_q" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "error", "signup")
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), dayofmonth(col("ts")).as("blk"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("x",
+          (col("cnt") * count(lit(1)).over(wT) >
+            sum(col("cnt")).over(wT)).cast("int"))
+      graft.operators.StatTests.cochranQ(daily, "blk", "event_type", types, "x")
+        .select(col("n_blocks"), col("k"), r6(col("q")).as("q"))
+    }),
+
+    // Breusch-Pagan LM: is the variance of each user's daily-sum trend
+    // residuals drifting with time?
+    "q367_breusch_pagan" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.StatTests.breuschPagan(daily, Seq("user_id"), "d", "v")
+        .select(col("user_id"), col("n"), r6(col("slope")).as("slope"),
+          r6(col("r2_aux")).as("r2_aux"), r6(col("lm")).as("lm"))
+        .orderBy("user_id")
     })
   )
 
@@ -11730,7 +11808,180 @@ object SparkEntry {
         |  round(l3.r3, 6) AS r3,
         |  round(((l1.r1 + l2.r2) + l3.r3)/3, 6) AS yhat_daily
         |FROM l1 JOIN l2 USING (user_id) JOIN l3 USING (user_id)
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    // raw power sums on integer-valued doubles (exact), central moments
+    // expanded exactly as the engine's fixed-order algebra
+    "q362_jarque_bera" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*)::DOUBLE AS x FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*)::BIGINT AS n, sum(x) AS s1,
+        |    sum(x*x) AS s2, sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+        |  FROM daily GROUP BY 1),
+        |c AS (SELECT event_type, n, n::DOUBLE AS nd, s1/n::DOUBLE AS mu,
+        |    s2, s3, s4 FROM m),
+        |mm AS (SELECT event_type, n, nd,
+        |    s2/nd - mu*mu AS m2,
+        |    s3/nd - 3.0*mu*(s2/nd) + 2.0*mu*mu*mu AS m3,
+        |    s4/nd - 4.0*mu*(s3/nd) + 6.0*mu*mu*(s2/nd)
+        |      - 3.0*mu*mu*mu*mu AS m4
+        |  FROM c),
+        |sk AS (SELECT event_type, n, nd,
+        |    CASE WHEN n >= 2 AND m2 > 0 THEN m3/sqrt(m2*m2*m2) END AS skew,
+        |    CASE WHEN n >= 2 AND m2 > 0 THEN m4/(m2*m2) - 3.0 END AS ex_kurt
+        |  FROM mm)
+        |SELECT event_type, n, round(skew, 6) AS skew,
+        |  round(ex_kurt, 6) AS ex_kurt,
+        |  round(nd/6.0 * (skew*skew + ex_kurt*ex_kurt/4.0), 6) AS jb
+        |FROM sk ORDER BY 1""".stripMargin,
+
+    "q363_mcnemar" ->
+      """WITH p AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND day(ts) <= 15
+        |      THEN 1 ELSE 0 END) AS pre,
+        |    max(CASE WHEN event_type = 'purchase' AND day(ts) >= 16
+        |      THEN 1 ELSE 0 END) AS post
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS n_pairs,
+        |    sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)::BIGINT AS c
+        |  FROM p)
+        |SELECT n_pairs, b, c,
+        |  round(CASE WHEN b + c > 0 THEN
+        |    ((b - c)::DOUBLE)*((b - c)::DOUBLE)/((b + c)::DOUBLE) END, 6)
+        |    AS chi2
+        |FROM a""".stripMargin,
+
+    // pooled + per-half OLS RSS from raw moment sums; x = 0-based index
+    "q364_chow" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s1 AS (SELECT user_id, v,
+        |    (row_number() OVER w - 1)::DOUBLE AS x,
+        |    row_number() OVER w AS rn, count(*) OVER p AS n
+        |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d),
+        |    p AS (PARTITION BY user_id)),
+        |s2 AS (SELECT *, CASE WHEN rn <= n::DOUBLE/2 THEN 1 ELSE 2 END AS seg
+        |  FROM s1),
+        |g AS (SELECT user_id, count(*) AS np,
+        |    sum(x) AS sxp, sum(x*x) AS sxxp, sum(v) AS syp,
+        |    sum(v*v) AS syyp, sum(x*v) AS sxyp,
+        |    sum(CASE WHEN seg = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN seg = 1 THEN x ELSE 0.0 END) AS sx1,
+        |    sum(CASE WHEN seg = 1 THEN x*x ELSE 0.0 END) AS sxx1,
+        |    sum(CASE WHEN seg = 1 THEN v ELSE 0.0 END) AS sy1,
+        |    sum(CASE WHEN seg = 1 THEN v*v ELSE 0.0 END) AS syy1,
+        |    sum(CASE WHEN seg = 1 THEN x*v ELSE 0.0 END) AS sxy1,
+        |    sum(CASE WHEN seg = 2 THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN seg = 2 THEN x ELSE 0.0 END) AS sx2,
+        |    sum(CASE WHEN seg = 2 THEN x*x ELSE 0.0 END) AS sxx2,
+        |    sum(CASE WHEN seg = 2 THEN v ELSE 0.0 END) AS sy2,
+        |    sum(CASE WHEN seg = 2 THEN v*v ELSE 0.0 END) AS syy2,
+        |    sum(CASE WHEN seg = 2 THEN x*v ELSE 0.0 END) AS sxy2
+        |  FROM s2 GROUP BY 1),
+        |r AS (SELECT user_id, np, n1, n2,
+        |    CASE WHEN (sxxp - sxp*sxp/np::DOUBLE) > 0 THEN
+        |      (syyp - syp*syp/np::DOUBLE)
+        |      - (sxyp - sxp*syp/np::DOUBLE)*(sxyp - sxp*syp/np::DOUBLE)
+        |        /(sxxp - sxp*sxp/np::DOUBLE) END AS rssp,
+        |    CASE WHEN (sxx1 - sx1*sx1/n1::DOUBLE) > 0 THEN
+        |      (syy1 - sy1*sy1/n1::DOUBLE)
+        |      - (sxy1 - sx1*sy1/n1::DOUBLE)*(sxy1 - sx1*sy1/n1::DOUBLE)
+        |        /(sxx1 - sx1*sx1/n1::DOUBLE) END AS rss1,
+        |    CASE WHEN (sxx2 - sx2*sx2/n2::DOUBLE) > 0 THEN
+        |      (syy2 - sy2*sy2/n2::DOUBLE)
+        |      - (sxy2 - sx2*sy2/n2::DOUBLE)*(sxy2 - sx2*sy2/n2::DOUBLE)
+        |        /(sxx2 - sx2*sx2/n2::DOUBLE) END AS rss2
+        |  FROM g),
+        |f AS (SELECT user_id, np,
+        |    CASE WHEN n1 >= 3 AND n2 >= 3 THEN rssp END AS rss_pooled,
+        |    CASE WHEN n1 >= 3 AND n2 >= 3 THEN rss1 + rss2 END AS rss_split
+        |  FROM r)
+        |SELECT user_id, np::BIGINT AS n, round(rss_pooled, 6) AS rss_pooled,
+        |  round(rss_split, 6) AS rss_split,
+        |  round(CASE WHEN rss_split > 0 AND np > 4 THEN
+        |    ((rss_pooled - rss_split)/2.0)
+        |      /(rss_split/(np::DOUBLE - 4.0)) END, 6) AS f_stat
+        |FROM f ORDER BY 1""".stripMargin,
+
+    // demeaned ordered cumsum; eta = sum(S_t^2)/(n^2 * sum(e^2)/n)
+    "q365_kpss" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*)::DOUBLE AS cnt FROM events GROUP BY 1, 2),
+        |s1 AS (SELECT event_type, d,
+        |    cnt - avg(cnt) OVER (PARTITION BY event_type) AS e FROM daily),
+        |s2 AS (SELECT event_type, e,
+        |    sum(e) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM s1),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(e*e) AS see, sum(s*s) AS sss FROM s2 GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CASE WHEN n >= 2 AND see > 0 THEN
+        |    sss/(n::DOUBLE * n::DOUBLE * (see/n::DOUBLE)) END, 6) AS eta
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // success = day count strictly above the type's mean daily count
+    // (integer cross-multiply); complete 5-type blocks only
+    "q366_cochran_q" ->
+      """WITH daily AS (SELECT event_type, day(ts) AS blk, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type, blk,
+        |    CASE WHEN cnt * (count(*) OVER p) > (sum(cnt) OVER p)
+        |      THEN 1 ELSE 0 END AS x
+        |  FROM daily WINDOW p AS (PARTITION BY event_type)),
+        |b AS (SELECT blk, count(*) AS kc, sum(x) AS bi,
+        |    sum(CASE WHEN event_type = 'click' THEN x END) AS t0,
+        |    sum(CASE WHEN event_type = 'view' THEN x END) AS t1,
+        |    sum(CASE WHEN event_type = 'purchase' THEN x END) AS t2,
+        |    sum(CASE WHEN event_type = 'error' THEN x END) AS t3,
+        |    sum(CASE WHEN event_type = 'signup' THEN x END) AS t4
+        |  FROM x GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS n_blocks, sum(bi) AS nn,
+        |    sum(bi*bi) AS bb, sum(t0) AS tt0, sum(t1) AS tt1,
+        |    sum(t2) AS tt2, sum(t3) AS tt3, sum(t4) AS tt4
+        |  FROM b WHERE kc = 5)
+        |SELECT n_blocks, 5::BIGINT AS k,
+        |  round(CASE WHEN (5*nn - bb)::DOUBLE > 0 THEN 20.0 * (
+        |    (((((tt0::DOUBLE - nn::DOUBLE/5.0)*(tt0::DOUBLE - nn::DOUBLE/5.0)
+        |    + (tt1::DOUBLE - nn::DOUBLE/5.0)*(tt1::DOUBLE - nn::DOUBLE/5.0))
+        |    + (tt2::DOUBLE - nn::DOUBLE/5.0)*(tt2::DOUBLE - nn::DOUBLE/5.0))
+        |    + (tt3::DOUBLE - nn::DOUBLE/5.0)*(tt3::DOUBLE - nn::DOUBLE/5.0))
+        |    + (tt4::DOUBLE - nn::DOUBLE/5.0)*(tt4::DOUBLE - nn::DOUBLE/5.0)))
+        |    / (5*nn - bb)::DOUBLE END, 6) AS q
+        |FROM a""".stripMargin,
+
+    // OLS residuals via window moments, then e^2-on-t auxiliary R^2
+    "q367_breusch_pagan" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s1 AS (SELECT user_id, d, v,
+        |    (row_number() OVER (PARTITION BY user_id ORDER BY d) - 1)::DOUBLE AS x
+        |  FROM daily),
+        |s2 AS (SELECT *, avg(x) OVER p AS xm, avg(v) OVER p AS ym
+        |  FROM s1 WINDOW p AS (PARTITION BY user_id)),
+        |s3 AS (SELECT *,
+        |    sum((x - xm)*(x - xm)) OVER p AS sxx,
+        |    sum((x - xm)*(v - ym)) OVER p AS sxy
+        |  FROM s2 WINDOW p AS (PARTITION BY user_id)),
+        |s4 AS (SELECT *,
+        |    CASE WHEN sxx > 0 THEN sxy/sxx END AS b FROM s3),
+        |s5 AS (SELECT user_id, x, sxx, b,
+        |    (v - (ym - b*xm) - b*x)*(v - (ym - b*xm) - b*x) AS g
+        |  FROM s4),
+        |g AS (SELECT user_id, count(*) AS n, max(b) AS slope,
+        |    max(sxx) AS sxxg, sum(x) AS sx, sum(g) AS sg,
+        |    sum(g*g) AS sgg, sum(x*g) AS sxg
+        |  FROM s5 GROUP BY 1),
+        |r AS (SELECT user_id, n, slope, sxxg,
+        |    sgg - sg*sg/n::DOUBLE AS sggc, sxg - sx*sg/n::DOUBLE AS sxgc
+        |  FROM g)
+        |SELECT user_id, n::BIGINT AS n, round(slope, 6) AS slope,
+        |  round(CASE WHEN n >= 3 AND sxxg > 0 AND sggc > 0 THEN
+        |    sxgc*sxgc/(sxxg*sggc) END, 6) AS r2_aux,
+        |  round(CASE WHEN n >= 3 AND sxxg > 0 AND sggc > 0 THEN
+        |    n::DOUBLE * (sxgc*sxgc/(sxxg*sggc)) END, 6) AS lm
+        |FROM r ORDER BY 1""".stripMargin
   )
 
   /** q282's oracle: the aggregated-variance Hurst replay. The ln-m design

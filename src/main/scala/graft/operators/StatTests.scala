@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributional and structural diagnostics over grouped series — the
+  * "is this metric stream still well-behaved?" layer that sits between the
+  * rollup tiers and the alerting queries: normality (Jarque–Bera), paired
+  * binary shift (McNemar), structural break in a fitted trend (Chow),
+  * level-stationarity (KPSS), treatment effects on binary block designs
+  * (Cochran's Q), and heteroskedasticity of residuals (Breusch–Pagan).
+  *
+  * All tests are closed-form moment algebra: one shuffle per test (the
+  * groupBy on the key columns; window stages reuse the same partitioning so
+  * Catalyst plans a single Exchange). No collect, no iteration — every
+  * statistic is a fixed-order fold over per-group moment sums, so the plans
+  * scale to millions of groups unchanged. Reference: forecastframe exposes
+  * only descriptive stats (`describe`, `calc_statistics`); these tests are
+  * the engine-native extension of that diagnostics surface.
+  */
+object StatTests {
+
+  /** Jarque–Bera normality test per group (Jarque & Bera 1980):
+    * `JB = n/6·(S² + K²/4)` with S the population skewness `m3/m2^1.5` and
+    * K the EXCESS kurtosis `m4/m2² − 3`, central moments expanded from raw
+    * power sums (Σx, Σx², Σx³, Σx⁴) so the whole test is one aggregate
+    * pass. Large JB ⇒ reject normality (χ²₂ reference). Feed it integer-
+    * valued series (e.g. bucket counts) for bit-exact cross-engine moments;
+    * float inputs are fine to the usual 6-dp rounding discipline.
+    * Output: (keys..., n, skew, ex_kurt, jb); null when n < 2 or m2 ≤ 0.
+    */
+  def jarqueBera(df: DataFrame, groupCols: Seq[String],
+                 valCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val x = col(valCol).cast("double")
+    val agged = df.filter(x.isNotNull).groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("_s1"),
+        sum(x * x).as("_s2"), sum(x * x * x).as("_s3"),
+        sum(x * x * x * x).as("_s4"))
+    val n = col("n").cast("double")
+    val mu = col("_s1") / n
+    val m2 = col("_s2") / n - mu * mu
+    val m3 = col("_s3") / n - lit(3.0) * mu * (col("_s2") / n) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("_s4") / n - lit(4.0) * mu * (col("_s3") / n) +
+      lit(6.0) * mu * mu * (col("_s2") / n) - lit(3.0) * mu * mu * mu * mu
+    val ok = col("n") >= 2 && m2 > 0
+    agged
+      .withColumn("skew", when(ok, m3 / sqrt(m2 * m2 * m2)))
+      .withColumn("ex_kurt", when(ok, m4 / (m2 * m2) - lit(3.0)))
+      .withColumn("jb", when(ok, n / lit(6.0) *
+        (col("skew") * col("skew") +
+          col("ex_kurt") * col("ex_kurt") / lit(4.0))))
+      .select((keys :+ col("n") :+ col("skew") :+ col("ex_kurt") :+
+        col("jb")): _*)
+  }
+
+  /** McNemar's test for paired binary outcomes (McNemar 1947): given one
+    * row per unit with 0/1 `preCol`/`postCol` indicators, counts the
+    * discordant pairs b = (1→0) and c = (0→1) and reports
+    * `χ² = (b−c)²/(b+c)` (1 df, no continuity correction — both engines
+    * compute the same integer algebra, so the statistic is bit-exact).
+    * The canonical "did the flag flip between periods?" readout for a
+    * cohort. Output: (keys..., n_pairs, b, c, chi2); chi2 null when
+    * b + c = 0 (no discordant pairs — the test is undefined).
+    */
+  def mcnemar(df: DataFrame, groupCols: Seq[String], preCol: String,
+              postCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val pre = col(preCol).cast("long")
+    val post = col(postCol).cast("long")
+    val base = df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(pre === 1L && post === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(pre === 0L && post === 1L, 1L).otherwise(0L)).as("c"))
+    val d = (col("b") - col("c")).cast("double")
+    base.withColumn("chi2", when(col("b") + col("c") > 0,
+        d * d / (col("b") + col("c")).cast("double")))
+      .select((keys :+ col("n_pairs") :+ col("b") :+ col("c") :+
+        col("chi2")): _*)
+  }
+
+  /** Chow structural-break test per key (Chow 1960): fit `y = a + b·t` by
+    * OLS on the full series, then separately on the first ⌊n/2⌋ and the
+    * remaining points (the midpoint split — the classic "did the trend
+    * regime change halfway?" form), and compare residual sums of squares:
+    * `F = ((RSS_p − RSS₁ − RSS₂)/k) / ((RSS₁+RSS₂)/(n − 2k))`, k = 2
+    * parameters. RSS via raw moment sums (`Syy − Sxy²/Sxx` with
+    * `Sxx = Σx² − (Σx)²/n`), where x is the 0-based row index — integer-
+    * exact in both engines. One window pass for the index, one groupBy
+    * with conditional sums for pooled + both segments (single shuffle).
+    * Output: (keys..., n, rss_pooled, rss_split, f_stat); null F on
+    * degenerate segments (n₁ < 3, n₂ < 3, or zero x-variance anywhere).
+    */
+  def chow(df: DataFrame, keyCols: Seq[String], tsCol: String,
+           valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val win = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val winAll = Window.partitionBy(keys: _*)
+    val y = col(valCol).cast("double")
+    val staged = df.filter(y.isNotNull)
+      .withColumn("_rn", row_number().over(win))
+      .withColumn("_n", count(lit(1)).over(winAll))
+      .withColumn("_x", (col("_rn") - 1).cast("double"))
+      .withColumn("_seg", when(col("_rn") <= col("_n") / 2, 1).otherwise(2))
+    def moments(tag: String, pred: Column) = Seq(
+      sum(when(pred, 1L).otherwise(0L)).as(s"_n$tag"),
+      sum(when(pred, col("_x")).otherwise(lit(0.0))).as(s"_sx$tag"),
+      sum(when(pred, col("_x") * col("_x")).otherwise(lit(0.0))).as(s"_sxx$tag"),
+      sum(when(pred, y).otherwise(lit(0.0))).as(s"_sy$tag"),
+      sum(when(pred, y * y).otherwise(lit(0.0))).as(s"_syy$tag"),
+      sum(when(pred, col("_x") * y).otherwise(lit(0.0))).as(s"_sxy$tag"))
+    val aggs = moments("p", lit(true)) ++ moments("1", col("_seg") === 1) ++
+      moments("2", col("_seg") === 2)
+    val agged = staged.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    def rss(tag: String): Column = {
+      val n = col(s"_n$tag").cast("double")
+      val sxx = col(s"_sxx$tag") - col(s"_sx$tag") * col(s"_sx$tag") / n
+      val sxy = col(s"_sxy$tag") - col(s"_sx$tag") * col(s"_sy$tag") / n
+      val syy = col(s"_syy$tag") - col(s"_sy$tag") * col(s"_sy$tag") / n
+      when(sxx > 0, syy - sxy * sxy / sxx)
+    }
+    val n = col("_np").cast("double")
+    val ok = col("_n1") >= 3 && col("_n2") >= 3
+    agged
+      .withColumn("rss_pooled", when(ok, rss("p")))
+      .withColumn("rss_split", when(ok, rss("1") + rss("2")))
+      .withColumn("f_stat", when(ok && col("rss_split") > 0 &&
+          col("_np") > 4,
+        ((col("rss_pooled") - col("rss_split")) / lit(2.0)) /
+          (col("rss_split") / (n - lit(4.0)))))
+      .withColumn("n", col("_np"))
+      .select((keys :+ col("n") :+ col("rss_pooled") :+ col("rss_split") :+
+        col("f_stat")): _*)
+  }
+
+  /** KPSS level-stationarity statistic per key (Kwiatkowski et al. 1992,
+    * lag truncation l = 0): demean the series, accumulate partial sums
+    * `S_t = Σ_{i≤t} e_i` in time order, and report
+    * `η = Σ_t S_t² / (n² · σ̂²)` with `σ̂² = Σe²/n`. LARGE η rejects
+    * stationarity — the mirror image of [[Forecast.dickeyFuller]] (which
+    * rejects a unit root); running both brackets the series. The partial
+    * sums are an ordered window cumsum — both engines add in ascending
+    * time order, so the accumulation sequence is identical. Output:
+    * (keys..., n, eta); null when n < 2 or σ̂² = 0.
+    */
+  def kpss(df: DataFrame, keyCols: Seq[String], tsCol: String,
+           valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val winAll = Window.partitionBy(keys: _*)
+    val winCum = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val y = col(valCol).cast("double")
+    val staged = df.filter(y.isNotNull)
+      .withColumn("_e", y - avg(y).over(winAll))
+      .withColumn("_s", sum(col("_e")).over(winCum))
+    staged.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum(col("_e") * col("_e")).as("_see"),
+        sum(col("_s") * col("_s")).as("_sss"))
+      .withColumn("eta", when(col("n") >= 2 && col("_see") > 0,
+        col("_sss") / (col("n").cast("double") * col("n").cast("double") *
+          (col("_see") / col("n").cast("double")))))
+      .select((keys :+ col("n") :+ col("eta")): _*)
+  }
+
+  /** Cochran's Q test (Cochran 1950) over a complete binary block design:
+    * one row per (block, treatment) with a 0/1 `xCol`; blocks missing any
+    * of the k LITERAL treatments are dropped (the [[Robust.friedman]]
+    * complete-block discipline). `Q = k(k−1)·Σ_j(T_j − N/k)² /
+    * (k·ΣB_i − ΣB_i²)` with T_j the treatment totals, B_i the block totals,
+    * N the grand total — all integer sums, so Q is bit-exact cross-engine
+    * up to the final division. The k-treatment generalization of
+    * [[mcnemar]]. Output: one row (n_blocks, k, q); q null when every
+    * block is all-0 or all-1 (denominator 0).
+    */
+  def cochranQ(df: DataFrame, blockCol: String, treatCol: String,
+               treatments: Seq[String], xCol: String): DataFrame = {
+    require(treatments.size >= 2,
+      s"cochranQ: need >= 2 treatments, got ${treatments.size}")
+    val k = treatments.size
+    val x = col(xCol).cast("long")
+    val bAggs = Seq(count(lit(1)).as("_kc"), sum(x).as("_bi")) ++
+      treatments.zipWithIndex.map { case (t, i) =>
+        sum(when(col(treatCol).cast("string") === t, x)).as(s"_t$i")
+      }
+    val base = df
+      .filter(col(treatCol).cast("string").isin(treatments.map(a => a: Any): _*))
+      .groupBy(col(blockCol))
+      .agg(bAggs.head, bAggs.tail: _*)
+      .filter(col("_kc") === k.toLong)
+    val tAggs = Seq(count(lit(1)).as("n_blocks"),
+      sum(col("_bi")).as("_nn"), sum(col("_bi") * col("_bi")).as("_bb")) ++
+      treatments.indices.map(i => sum(col(s"_t$i")).as(s"_tt$i"))
+    val agged = base.agg(tAggs.head, tAggs.tail: _*)
+    val nd = col("_nn").cast("double")
+    val ssb = treatments.indices
+      .map { i =>
+        val d = col(s"_tt$i").cast("double") - nd / lit(k.toDouble)
+        d * d
+      }
+      .reduce(_ + _)
+    val denom = (lit(k.toLong) * col("_nn") - col("_bb")).cast("double")
+    agged
+      .withColumn("k", lit(k.toLong))
+      .withColumn("q", when(denom > 0,
+        lit((k * (k - 1)).toDouble) * ssb / denom))
+      .select(col("n_blocks"), col("k"), col("q"))
+  }
+
+  /** Breusch–Pagan heteroskedasticity test per key (Breusch & Pagan 1979,
+    * Koenker's studentized LM form): fit `y = a + b·t` by OLS on the
+    * 0-based time index, square the residuals, and regress e² back on t;
+    * `LM = n·R²_aux` where for the single regressor
+    * `R² = Sxg² / (Sxx·Sgg)` (g = e²). Large LM ⇒ the residual variance
+    * drifts with time — a rollup whose noise floor is growing. Two window
+    * stages over one partitioning (index + fit means, then residuals),
+    * one final aggregate. Output: (keys..., n, slope, r2_aux, lm); null on
+    * degenerate designs (n < 3, zero x- or g-variance).
+    */
+  def breuschPagan(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val win = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val winAll = Window.partitionBy(keys: _*)
+    val y = col(valCol).cast("double")
+    val staged = df.filter(y.isNotNull)
+      .withColumn("_x", (row_number().over(win) - 1).cast("double"))
+      .withColumn("_xm", avg(col("_x")).over(winAll))
+      .withColumn("_ym", avg(y).over(winAll))
+      .withColumn("_sxx",
+        sum((col("_x") - col("_xm")) * (col("_x") - col("_xm"))).over(winAll))
+      .withColumn("_sxy",
+        sum((col("_x") - col("_xm")) * (y - col("_ym"))).over(winAll))
+      .withColumn("_b", when(col("_sxx") > 0, col("_sxy") / col("_sxx")))
+      .withColumn("_e", y - (col("_ym") - col("_b") * col("_xm")) -
+        col("_b") * col("_x"))
+      .withColumn("_g", col("_e") * col("_e"))
+    val agged = staged.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), max(col("_b")).as("slope"),
+        max(col("_sxx")).as("_sxxg"),
+        sum(col("_x")).as("_sx"), sum(col("_g")).as("_sg"),
+        sum(col("_g") * col("_g")).as("_sgg"),
+        sum(col("_x") * col("_g")).as("_sxg"))
+    val n = col("n").cast("double")
+    val sgg = col("_sgg") - col("_sg") * col("_sg") / n
+    val sxg = col("_sxg") - col("_sx") * col("_sg") / n
+    val ok = col("n") >= 3 && col("_sxxg") > 0 && sgg > 0
+    agged
+      .withColumn("r2_aux", when(ok, sxg * sxg / (col("_sxxg") * sgg)))
+      .withColumn("lm", when(ok, n * col("r2_aux")))
+      .select((keys :+ col("n") :+ col("slope") :+ col("r2_aux") :+
+        col("lm")): _*)
+  }
+}

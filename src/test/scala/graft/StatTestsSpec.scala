@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.StatTests
+
+/** Hand goldens for the distributional/structural diagnostics, computed
+  * independently with numpy (least-squares + moment definitions) — values
+  * pinned to the published formulas: Jarque–Bera 1980, McNemar 1947,
+  * Chow 1960, KPSS 1992 (l=0), Cochran 1950, Breusch–Pagan 1979 (Koenker
+  * studentized form).
+  */
+class StatTestsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(i: Int) = new java.sql.Timestamp((1704067200L + i * 86400L) * 1000L)
+
+  test("jarqueBera: symmetric uniform-ish series has zero skew, platykurtic tail") {
+    val x = Seq(3.0, 7, 2, 9, 4, 12, 5, 8, 6, 10, 1, 11)
+    val df = x.map(v => (1L, v)).toDF("k", "v")
+    val r = StatTests.jarqueBera(df, Seq("k"), "v").collect()(0)
+    assert(r.getAs[Long]("n") === 12L)
+    assert(approxEq(r.getAs[Double]("skew"), 0.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("ex_kurt"), -1.2167832167832167))
+    assert(approxEq(r.getAs[Double]("jb"), 0.7402806983226562))
+  }
+
+  test("jarqueBera: constant series yields null (m2 = 0)") {
+    val df = Seq((1L, 5.0), (1L, 5.0), (1L, 5.0)).toDF("k", "v")
+    val r = StatTests.jarqueBera(df, Seq("k"), "v").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("jb")))
+  }
+
+  test("mcnemar: b=3 c=1 discordant pairs give chi2 = 1") {
+    val pairs = Seq((1, 0), (1, 0), (1, 0), (0, 1), (1, 1), (1, 1), (0, 0), (0, 0))
+    val df = pairs.toDF("pre", "post")
+    val r = StatTests.mcnemar(df, Nil, "pre", "post").collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 8L)
+    assert(r.getAs[Long]("b") === 3L)
+    assert(r.getAs[Long]("c") === 1L)
+    assert(approxEq(r.getAs[Double]("chi2"), 1.0, 1e-12))
+    // all-concordant: undefined
+    val conc = Seq((1, 1), (0, 0)).toDF("pre", "post")
+    val r2 = StatTests.mcnemar(conc, Nil, "pre", "post").collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("chi2")))
+  }
+
+  test("chow: slope break at the midpoint — numpy lstsq golden") {
+    val y = Seq(1.0, 2.1, 2.9, 4.2, 5.0, 6.1, 10.0, 12.2, 13.9, 16.1, 18.0, 20.2)
+    val df = y.zipWithIndex.map { case (v, i) => (1L, ts(i), v) }.toDF("k", "t", "v")
+    val r = StatTests.chow(df, Seq("k"), "t", "v").collect()(0)
+    assert(r.getAs[Long]("n") === 12L)
+    assert(approxEq(r.getAs[Double]("rss_pooled"), 13.228310023310028, 1e-6))
+    assert(approxEq(r.getAs[Double]("rss_split"), 0.11961904761904824, 1e-6))
+    assert(approxEq(r.getAs[Double]("f_stat"), 438.34794663934576, 1e-6))
+    // a pure line has no break: F ~ small (split RSS ~ pooled RSS)
+    val line = (0 until 12).map(i => (1L, ts(i), 2.0 * i + 1.0)).toDF("k", "t", "v")
+    val rl = StatTests.chow(line, Seq("k"), "t", "v").collect()(0)
+    assert(rl.isNullAt(rl.fieldIndex("f_stat")) ||
+      math.abs(rl.getAs[Double]("f_stat")) < 1e-6)
+  }
+
+  test("kpss: l=0 eta matches the partial-sum definition") {
+    val x = Seq(3.0, 7, 2, 9, 4, 12, 5, 8, 6, 10, 1, 11)
+    val df = x.zipWithIndex.map { case (v, i) => (1L, ts(i), v) }.toDF("k", "t", "v")
+    val r = StatTests.kpss(df, Seq("k"), "t", "v").collect()(0)
+    assert(approxEq(r.getAs[Double]("eta"), 0.12033799533799534))
+    // a strong trend inflates eta far above the 0.463 5% critical value
+    val trend = (0 until 40).map(i => (1L, ts(i), i.toDouble)).toDF("k", "t", "v")
+    val rt = StatTests.kpss(trend, Seq("k"), "t", "v").collect()(0)
+    assert(rt.getAs[Double]("eta") > 0.463)
+  }
+
+  test("cochranQ: 6 blocks x 3 treatments golden = 0.4; complete blocks only") {
+    val x = Seq( // (block, treatment, success) — the numpy design matrix
+      (1, "a", 1), (1, "b", 1), (1, "c", 0),
+      (2, "a", 1), (2, "b", 0), (2, "c", 0),
+      (3, "a", 1), (3, "b", 1), (3, "c", 1),
+      (4, "a", 0), (4, "b", 1), (4, "c", 0),
+      (5, "a", 1), (5, "b", 0), (5, "c", 1),
+      (6, "a", 0), (6, "b", 1), (6, "c", 1))
+    val df = x.toDF("blk", "treat", "x")
+    val r = StatTests.cochranQ(df, "blk", "treat", Seq("a", "b", "c"), "x").collect()(0)
+    assert(r.getAs[Long]("n_blocks") === 6L)
+    assert(approxEq(r.getAs[Double]("q"), 0.4, 1e-12))
+    // drop one cell -> that block is incomplete and excluded
+    val incomplete = df.filter(!(col("blk") === 6 && col("treat") === "c"))
+    val r2 = StatTests.cochranQ(incomplete, "blk", "treat", Seq("a", "b", "c"), "x")
+      .collect()(0)
+    assert(r2.getAs[Long]("n_blocks") === 5L)
+  }
+
+  test("breuschPagan: variance growing with t — numpy golden LM") {
+    val y = Seq(2.3381051407600713, 2.36021878883775, 3.0131280654714336,
+      3.703758141498254, 3.5266461828245568, 4.501445901034164,
+      4.999287691313655, 3.920748124289121, 7.017658005663494,
+      7.160548367511504, 6.2494852312398885, 7.276987260445562,
+      8.707419123875452, 8.10796537721253, 8.611601474123926,
+      7.029489598765656, 10.998244561405398, 10.735373720045374,
+      11.548919847519928, 8.294298483073336, 15.631539320610246,
+      12.854971731549623, 12.070864136112668, 18.57268055190278,
+      13.88199632236232, 10.583167512304248, 13.865362004802478,
+      8.863886204282004, 19.148189648029764, 15.208929612587943)
+    val df = y.zipWithIndex.map { case (v, i) => (1L, ts(i), v) }.toDF("k", "t", "v")
+    val r = StatTests.breuschPagan(df, Seq("k"), "t", "v").collect()(0)
+    assert(r.getAs[Long]("n") === 30L)
+    assert(approxEq(r.getAs[Double]("slope"), 0.47175375192298735, 1e-9))
+    assert(approxEq(r.getAs[Double]("r2_aux"), 0.24284754954838458, 1e-9))
+    assert(approxEq(r.getAs[Double]("lm"), 7.285426486451538, 1e-9))
+    // homoskedastic pure line: residuals ~ 0, aux R2 degenerate or ~ 0
+    val line = (0 until 20).map(i => (1L, ts(i), 3.0 * i)).toDF("k", "t", "v")
+    val rl = StatTests.breuschPagan(line, Seq("k"), "t", "v").collect()(0)
+    assert(rl.isNullAt(rl.fieldIndex("lm")) || rl.getAs[Double]("lm") < 1e-6)
+  }
+}

@@ -19,6 +19,11 @@ def main():
         name = os.path.basename(p)[:-len(".parquet")]
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # optional 3rd arg: comma-separated name prefixes (subset check after a
+    # filtered graft.Verify run)
+    if len(sys.argv) > 3:
+        prefixes = tuple(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k.startswith(prefixes)}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         res_dir = os.path.join(out_dir, name)
