@@ -5149,6 +5149,135 @@ object SparkEntry {
         .select(col("user_id"), col("n"), r6(col("slope")).as("slope"),
           r6(col("r2_aux")).as("r2_aux"), r6(col("lm")).as("lm"))
         .orderBy("user_id")
+    }),
+
+    // Engle-Granger cointegration between daily count series of three
+    // literal event-type pairs (y regressed on x, then no-intercept DF on
+    // the residuals)
+    "q368_engle_granger" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c_click"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c_view"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c_purchase"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("c_error"))
+      val pairs = Seq(("click_on_view", "c_click", "c_view"),
+        ("view_on_error", "c_view", "c_error"),
+        ("click_on_purchase", "c_click", "c_purchase"))
+      val stacked = pairs.map { case (name, yc, xc) =>
+        daily.select(lit(name).as("pair"), col("d"),
+          col(xc).as("x"), col(yc).as("y"))
+      }.reduce(_.unionByName(_))
+      graft.operators.StatTests.engleGranger(stacked, Seq("pair"), "d", "x", "y")
+        .select(col("pair"), col("n"), r6(col("beta")).as("beta"),
+          r6(col("rho")).as("rho"), r6(col("t_stat")).as("t_stat"))
+        .orderBy("pair")
+    }),
+
+    // Bradley-Terry strengths of the five event types from daily count
+    // "contests" (higher daily count wins), 5 MM rounds
+    "q369_bradley_terry" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "error", "signup")
+      val daily = ev(s, dir)
+        .groupBy(col("event_type").as("t"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = daily.select(col("t").as("item"), col("d"), col("cnt").as("ca"))
+      val b = daily.select(col("t").as("opp"), col("d"), col("cnt").as("cb"))
+      val pairCounts = a.join(b, Seq("d")).filter(col("item") =!= col("opp"))
+        .groupBy(col("item"), col("opp"))
+        .agg(sum(when(col("ca") > col("cb"), 1L).otherwise(0L)).as("wins"))
+      val r = graft.operators.StatTests.bradleyTerry(
+        pairCounts, "item", "opp", "wins", types, iterations = 5)
+      r.select((types.map(t => r6(col(s"p_$t")).as(s"p_$t")) :+
+        col("n_comparisons")): _*)
+    }),
+
+    // Page's L ordered-trend test: day-of-month blocks, event types scored
+    // against the fixed lexicographic arm order on mean value
+    "q370_page_l" -> ((s, dir) => {
+      val order = Seq("click", "error", "purchase", "signup", "view")
+      val mv = ev(s, dir)
+        .withColumn("blk", dayofmonth(col("ts").cast("timestamp")))
+        .groupBy(col("blk"), col("event_type"))
+        .agg(avg(col("value")).as("mv"))
+      graft.operators.StatTests.pageL(mv, "blk", "event_type", order, "mv")
+        .select(col("n_blocks"), col("k"), r6(col("l_stat")).as("l_stat"),
+          r6(col("z")).as("z"))
+    }),
+
+    // Simpson / Shannon / Pielou diversity of the language mix per source
+    // over the literal 5-language domain (fixed-order entropy folds)
+    "q371_diversity" -> ((s, dir) => {
+      val langs = Seq("en", "zh", "es", "de", "fr")
+      val aggsD = langs.zipWithIndex.map { case (l, i) =>
+        sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"_n$i")
+      } :+ count(lit(1)).as("n_docs")
+      val piv = docs(s, dir).groupBy(col("source"))
+        .agg(aggsD.head, aggsD.tail: _*)
+      val nTot = col("n_docs").cast("double")
+      def p(i: Int) = col(s"_n$i").cast("double") / nTot
+      val simpson = lit(1.0) - langs.indices.map(i => p(i) * p(i)).reduce(_ + _)
+      val shannon = langs.indices.map(i =>
+        when(col(s"_n$i") > 0, -p(i) * log(p(i))).otherwise(lit(0.0)))
+        .reduce(_ + _)
+      val kPresent = langs.indices.map(i =>
+        when(col(s"_n$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+      piv.withColumn("k_langs", kPresent)
+        .withColumn("simpson", simpson)
+        .withColumn("shannon", shannon)
+        .withColumn("evenness",
+          when(col("k_langs") > 1, col("shannon") / log(col("k_langs").cast("double"))))
+        .select(col("source"), col("n_docs"), col("k_langs"),
+          r6(col("simpson")).as("simpson"), r6(col("shannon")).as("shannon"),
+          r6(col("evenness")).as("evenness"))
+        .orderBy("source")
+    }),
+
+    // Fano factor + Poisson overdispersion chi2 of daily counts per type
+    // (integer moments, bit-exact cross-engine)
+    "q372_fano" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val agged = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cnt").cast("double")).as("_s"),
+          sum(col("cnt").cast("double") * col("cnt").cast("double")).as("_q"))
+      val n = col("n").cast("double")
+      val m = col("_s") / n
+      val popVar = col("_q") / n - m * m
+      val sampVar = (col("_q") - col("_s") * col("_s") / n) / (n - lit(1.0))
+      agged
+        .withColumn("fano", when(m > 0, popVar / m))
+        .withColumn("chi2", when(m > 0 && col("n") >= 2,
+          (n - lit(1.0)) * sampVar / m))
+        .select(col("event_type"), col("n"), r6(col("fano")).as("fano"),
+          r6(col("chi2")).as("chi2"))
+        .orderBy("event_type")
+    }),
+
+    // Gumbel method-of-moments fit on daily maxima of value per type, with
+    // the 30-day return level (shared 16-digit sqrt(6)/pi literal)
+    "q373_gumbel" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(max(col("value")).as("mx"))
+      val agged = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("mx")).as("_s"),
+          sum(col("mx") * col("mx")).as("_q"))
+      val n = col("n").cast("double")
+      val m = col("_s") / n
+      val popVar = col("_q") / n - m * m
+      val beta = when(popVar > 0, sqrt(popVar) * lit(0.779696801233676))
+      agged
+        .withColumn("beta", beta)
+        .withColumn("mu", m - lit(0.5772156649015329) * col("beta"))
+        .withColumn("rl30", col("mu") -
+          col("beta") * log(-log(lit(1.0) - lit(1.0) / lit(30.0))))
+        .select(col("event_type"), col("n"), r6(col("mu")).as("mu"),
+          r6(col("beta")).as("beta"), r6(col("rl30")).as("rl30"))
+        .orderBy("event_type")
     })
   )
 
@@ -11981,8 +12110,200 @@ object SparkEntry {
         |    sxgc*sxgc/(sxxg*sggc) END, 6) AS r2_aux,
         |  round(CASE WHEN n >= 3 AND sxxg > 0 AND sggc > 0 THEN
         |    n::DOUBLE * (sxgc*sxgc/(sxxg*sggc)) END, 6) AS lm
-        |FROM r ORDER BY 1""".stripMargin
+        |FROM r ORDER BY 1""".stripMargin,
+
+    // stage-1 OLS via window moments; stage-2 no-intercept DF on residuals
+    "q368_engle_granger" ->
+      """WITH dp AS (SELECT date_trunc('day', ts) AS d,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_click,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c_view,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c_purchase,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c_error
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT 'click_on_view' AS pair, d, c_view::DOUBLE AS x,
+        |    c_click::DOUBLE AS y FROM dp
+        |  UNION ALL
+        |  SELECT 'view_on_error', d, c_error::DOUBLE, c_view::DOUBLE FROM dp
+        |  UNION ALL
+        |  SELECT 'click_on_purchase', d, c_purchase::DOUBLE, c_click::DOUBLE
+        |    FROM dp),
+        |s2 AS (SELECT *, avg(x) OVER p AS xm, avg(y) OVER p AS ym
+        |  FROM st WINDOW p AS (PARTITION BY pair)),
+        |s3 AS (SELECT *,
+        |    sum((x - xm)*(x - xm)) OVER p AS sxx,
+        |    sum((x - xm)*(y - ym)) OVER p AS sxy
+        |  FROM s2 WINDOW p AS (PARTITION BY pair)),
+        |s4 AS (SELECT *, CASE WHEN sxx > 0 THEN sxy/sxx END AS beta FROM s3),
+        |s5 AS (SELECT pair, d, beta,
+        |    y - (ym - beta*xm) - beta*x AS e FROM s4),
+        |s6 AS (SELECT pair, beta, e,
+        |    lag(e) OVER (PARTITION BY pair ORDER BY d) AS el FROM s5),
+        |s7 AS (SELECT pair, beta, el, e - el AS de FROM s6),
+        |g AS (SELECT pair, count(*)::BIGINT AS n, max(beta) AS beta,
+        |    sum(CASE WHEN el IS NOT NULL THEN 1 ELSE 0 END) AS nr,
+        |    sum(el*el) AS se2, sum(el*de) AS sed, sum(de*de) AS sdd
+        |  FROM s7 GROUP BY 1),
+        |r AS (SELECT pair, n, beta,
+        |    CASE WHEN se2 > 0 THEN sed/se2 END AS rho,
+        |    nr, se2, sdd - sed*sed/se2 AS rss
+        |  FROM g)
+        |SELECT pair, n, round(beta, 6) AS beta, round(rho, 6) AS rho,
+        |  round(CASE WHEN se2 > 0 AND nr > 1 AND rss > 0 THEN
+        |    rho/sqrt(rss/(nr::DOUBLE - 1)/se2) END, 6) AS t_stat
+        |FROM r ORDER BY 1""".stripMargin,
+
+    "q369_bradley_terry" -> btSql(
+      Seq("click", "view", "purchase", "error", "signup"), 5),
+
+    // friedman midranks scored against the fixed lexicographic arm order;
+    // E[L] = 45n, Var[L] = 25n at k = 5
+    "q370_page_l" ->
+      """WITH mv AS (SELECT day(ts) AS blk, event_type AS arm, avg(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |cb AS (SELECT blk FROM mv GROUP BY blk HAVING count(*) = 5),
+        |r AS (SELECT mv.blk, mv.arm,
+        |    rank() OVER (PARTITION BY mv.blk ORDER BY mv.v)
+        |      + (count(*) OVER (PARTITION BY mv.blk, mv.v) - 1)/2.0 AS mid
+        |  FROM mv JOIN cb USING (blk)),
+        |a AS (SELECT count(DISTINCT blk)::BIGINT AS n_blocks,
+        |    sum(CASE WHEN arm = 'click' THEN mid ELSE 0.0 END) AS r0,
+        |    sum(CASE WHEN arm = 'error' THEN mid ELSE 0.0 END) AS r1,
+        |    sum(CASE WHEN arm = 'purchase' THEN mid ELSE 0.0 END) AS r2,
+        |    sum(CASE WHEN arm = 'signup' THEN mid ELSE 0.0 END) AS r3,
+        |    sum(CASE WHEN arm = 'view' THEN mid ELSE 0.0 END) AS r4
+        |  FROM r),
+        |l AS (SELECT n_blocks,
+        |    ((((1.0*r0 + 2.0*r1) + 3.0*r2) + 4.0*r3) + 5.0*r4) AS lv
+        |  FROM a)
+        |SELECT n_blocks, 5::BIGINT AS k, round(lv, 6) AS l_stat,
+        |  round((lv - n_blocks::DOUBLE * 45.0)
+        |    / sqrt(n_blocks::DOUBLE * 25.0), 6) AS z
+        |FROM l""".stripMargin,
+
+    // literal 5-language pivot; fixed-order entropy and simpson folds
+    "q371_diversity" ->
+      """WITH piv AS (SELECT source,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS n3,
+        |    sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS n4,
+        |    count(*)::BIGINT AS n_docs
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT source, n_docs, n0, n1, n2, n3, n4,
+        |    n0::DOUBLE/n_docs::DOUBLE AS p0, n1::DOUBLE/n_docs::DOUBLE AS p1,
+        |    n2::DOUBLE/n_docs::DOUBLE AS p2, n3::DOUBLE/n_docs::DOUBLE AS p3,
+        |    n4::DOUBLE/n_docs::DOUBLE AS p4
+        |  FROM piv),
+        |s AS (SELECT source, n_docs,
+        |    ((((CASE WHEN n0 > 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN n1 > 0 THEN 1 ELSE 0 END)
+        |      + CASE WHEN n2 > 0 THEN 1 ELSE 0 END)
+        |      + CASE WHEN n3 > 0 THEN 1 ELSE 0 END)
+        |      + CASE WHEN n4 > 0 THEN 1 ELSE 0 END)::BIGINT AS k_langs,
+        |    1.0 - ((((p0*p0 + p1*p1) + p2*p2) + p3*p3) + p4*p4) AS simpson,
+        |    ((((CASE WHEN n0 > 0 THEN -p0*ln(p0) ELSE 0.0 END
+        |      + CASE WHEN n1 > 0 THEN -p1*ln(p1) ELSE 0.0 END)
+        |      + CASE WHEN n2 > 0 THEN -p2*ln(p2) ELSE 0.0 END)
+        |      + CASE WHEN n3 > 0 THEN -p3*ln(p3) ELSE 0.0 END)
+        |      + CASE WHEN n4 > 0 THEN -p4*ln(p4) ELSE 0.0 END) AS shannon
+        |  FROM c)
+        |SELECT source, n_docs, k_langs, round(simpson, 6) AS simpson,
+        |  round(shannon, 6) AS shannon,
+        |  round(CASE WHEN k_langs > 1 THEN shannon/ln(k_langs::DOUBLE) END, 6)
+        |    AS evenness
+        |FROM s ORDER BY 1""".stripMargin,
+
+    // integer daily-count moments: fano = popvar/mean, Poisson dispersion
+    // chi2 = (n-1) * sample var / mean
+    "q372_fano" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(cnt::DOUBLE) AS s, sum(cnt::DOUBLE * cnt::DOUBLE) AS q
+        |  FROM daily GROUP BY 1),
+        |c AS (SELECT event_type, n, s/n::DOUBLE AS m,
+        |    q/n::DOUBLE - (s/n::DOUBLE)*(s/n::DOUBLE) AS popvar,
+        |    (q - s*s/n::DOUBLE)/(n::DOUBLE - 1.0) AS sampvar
+        |  FROM a)
+        |SELECT event_type, n,
+        |  round(CASE WHEN m > 0 THEN popvar/m END, 6) AS fano,
+        |  round(CASE WHEN m > 0 AND n >= 2 THEN
+        |    (n::DOUBLE - 1.0) * sampvar / m END, 6) AS chi2
+        |FROM c ORDER BY 1""".stripMargin,
+
+    // MoM Gumbel on daily maxima; shared 16-digit sqrt(6)/pi and Euler
+    // gamma literals; 30-day return level
+    "q373_gumbel" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    max(value) AS mx FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n, sum(mx) AS s,
+        |    sum(mx*mx) AS q FROM daily GROUP BY 1),
+        |c AS (SELECT event_type, n, s/n::DOUBLE AS m,
+        |    q/n::DOUBLE - (s/n::DOUBLE)*(s/n::DOUBLE) AS popvar
+        |  FROM a),
+        |b AS (SELECT event_type, n, m,
+        |    CASE WHEN popvar > 0 THEN sqrt(popvar) * 0.779696801233676 END
+        |      AS beta
+        |  FROM c),
+        |g AS (SELECT event_type, n, beta,
+        |    m - 0.5772156649015329 * beta AS mu FROM b)
+        |SELECT event_type, n, round(mu, 6) AS mu, round(beta, 6) AS beta,
+        |  round(mu - beta * ln(-ln(1.0 - 1.0/30.0)), 6) AS rl30
+        |FROM g ORDER BY 1""".stripMargin
   )
+
+  /** q369's oracle: the same pivoted Jacobi MM rounds as
+    * [[graft.operators.StatTests.bradleyTerry]], unrolled — one CTE pair
+    * (q-step, renormalize) per iteration, with every Σ a fixed left-assoc
+    * chain in ascending item order so both engines fold identically.
+    */
+  private def btSql(types: Seq[String], iterations: Int): String = {
+    val k = types.size
+    val idx = types.indices
+    def chain(terms: Seq[String]): String = terms.reduce((a, b) => s"($a + $b)")
+    val wDefs = (for { i <- idx; j <- idx if i != j } yield
+      s"coalesce(max(CASE WHEN i = '${types(i)}' AND j = '${types(j)}' THEN w END), 0.0) AS w_${i}_$j")
+      .mkString(",\n    ")
+    val wiDefs = idx.map { i =>
+      chain(idx.filter(_ != i).map(j => s"w_${i}_$j")) + s" AS bw_$i"
+    }.mkString(",\n    ")
+    val p0 = idx.map(i => s"${1.0 / k} AS p0_$i").mkString(", ")
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH daily AS (SELECT event_type AS t, date_trunc('day', ts) AS d,
+         |    count(*) AS cnt FROM events GROUP BY 1, 2),
+         |pw AS (SELECT a.t AS i, b.t AS j,
+         |    sum(CASE WHEN a.cnt > b.cnt THEN 1 ELSE 0 END)::DOUBLE AS w
+         |  FROM daily a JOIN daily b ON a.d = b.d AND a.t <> b.t
+         |  GROUP BY 1, 2),
+         |piv AS (SELECT
+         |    $wDefs,
+         |    sum(w) AS tot FROM pw),
+         |it0 AS (SELECT *,
+         |    $wiDefs,
+         |    $p0 FROM piv)""".stripMargin)
+    for (t <- 1 to iterations) {
+      val qDefs = idx.map { i =>
+        val denom = chain(idx.filter(_ != i).map(j =>
+          s"(w_${i}_$j + w_${j}_$i)/(p${t - 1}_$i + p${t - 1}_$j)"))
+        s"CASE WHEN $denom > 0 THEN bw_$i/($denom) ELSE p${t - 1}_$i END AS q${t}_$i"
+      }.mkString(",\n    ")
+      val total = chain(idx.map(i => s"q${t}_$i"))
+      val pDefs = idx.map(i => s"q${t}_$i/($total) AS p${t}_$i").mkString(",\n    ")
+      sb.append(s""",
+        |q$t AS (SELECT *,
+        |    $qDefs FROM it${t - 1}),
+        |it$t AS (SELECT *,
+        |    $pDefs FROM q$t)""".stripMargin)
+    }
+    val outs = idx.map(i =>
+      s"round(p${iterations}_$i, 6) AS p_${types(i)}").mkString(", ")
+    sb.append(s"""
+      |SELECT $outs, tot::BIGINT AS n_comparisons FROM it$iterations""".stripMargin)
+    sb.toString
+  }
 
   /** q282's oracle: the aggregated-variance Hurst replay. The ln-m design
     * constants (Σln m, Σ(ln m)²) are computed ONCE here in JVM doubles and

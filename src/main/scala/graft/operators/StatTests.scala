@@ -208,6 +208,143 @@ object StatTests {
       .select(col("n_blocks"), col("k"), col("q"))
   }
 
+  /** Engle–Granger two-step cointegration per key (Engle & Granger 1987):
+    * stage 1 regresses `y = α + β·x` by OLS (window moments, one pass);
+    * stage 2 runs the NO-INTERCEPT Dickey–Fuller regression
+    * `Δe_t = ρ·e_{t−1}` on the stage-1 residuals (the EG convention — the
+    * residuals are mean-zero by construction, so no constant):
+    * `ρ̂ = Σe_{t−1}Δe / Σe²_{t−1}`, `t = ρ̂/√(RSS/(n−1)/Σe²)`. A strongly
+    * negative t (vs the EG critical values, ≈ −3.37 at 5%) means the two
+    * series share a common stochastic trend — e.g. two host-level traffic
+    * tiers moving together. Input: one row per (keys, ts) with both series
+    * aligned. Output: (keys..., n, beta, rho, t_stat).
+    */
+  def engleGranger(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   xCol: String, yCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val win = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val winAll = Window.partitionBy(keys: _*)
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val staged = df.filter(x.isNotNull && y.isNotNull)
+      .withColumn("_xm", avg(x).over(winAll))
+      .withColumn("_ym", avg(y).over(winAll))
+      .withColumn("_sxx",
+        sum((x - col("_xm")) * (x - col("_xm"))).over(winAll))
+      .withColumn("_sxy",
+        sum((x - col("_xm")) * (y - col("_ym"))).over(winAll))
+      .withColumn("_beta", when(col("_sxx") > 0, col("_sxy") / col("_sxx")))
+      .withColumn("_e", y - (col("_ym") - col("_beta") * col("_xm")) -
+        col("_beta") * x)
+      .withColumn("_el", lag(col("_e"), 1).over(win))
+      .withColumn("_de", col("_e") - col("_el"))
+    val agged = staged.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), max(col("_beta")).as("beta"),
+        sum(when(col("_el").isNotNull, 1L).otherwise(0L)).as("_nr"),
+        sum(col("_el") * col("_el")).as("_se2"),
+        sum(col("_el") * col("_de")).as("_sed"),
+        sum(col("_de") * col("_de")).as("_sdd"))
+    val rho = when(col("_se2") > 0, col("_sed") / col("_se2"))
+    val rss = col("_sdd") - col("_sed") * col("_sed") / col("_se2")
+    agged
+      .withColumn("rho", rho)
+      .withColumn("t_stat", when(col("_se2") > 0 && col("_nr") > 1 &&
+          rss > 0,
+        col("rho") / sqrt(rss / (col("_nr").cast("double") - 1) /
+          col("_se2"))))
+      .select((keys :+ col("n") :+ col("beta") :+ col("rho") :+
+        col("t_stat")): _*)
+  }
+
+  /** Bradley–Terry paired-comparison strengths over a LITERAL item list
+    * (Bradley & Terry 1952; Hunter 2004 MM updates): given per-ordered-pair
+    * win counts (`w_ij` = times i beat j), runs `iterations` fixed-point
+    * rounds of `p_i ← W_i / Σ_{j≠i} n_ij/(p_i + p_j)` from the uniform
+    * start, renormalizing to Σp = 1 each round with a fixed-order literal
+    * fold — the whole solve is one projection chain over a single pivoted
+    * row (k² counts), so it costs nothing at any corpus scale; all the data
+    * weight is in the upstream pair-count aggregation. `df` must have one
+    * row per ordered pair (itemCol, oppCol, wins). Output: one row with a
+    * `p_<item>` strength column per item plus `n_comparisons`.
+    */
+  def bradleyTerry(df: DataFrame, itemCol: String, oppCol: String,
+                   winsCol: String, items: Seq[String],
+                   iterations: Int): DataFrame = {
+    require(items.size >= 2 && iterations >= 1)
+    val k = items.size
+    val w = col(winsCol).cast("double")
+    // pivot the k*(k-1) ordered-pair counts into one row: _w_{i}_{j}
+    val aggs = (for {
+      i <- items.indices; j <- items.indices if i != j
+    } yield sum(when(col(itemCol) === items(i) && col(oppCol) === items(j), w)
+      .otherwise(lit(0.0))).as(s"_w_${i}_$j")) :+
+      sum(w).cast("long").as("n_comparisons")
+    var row = df.agg(aggs.head, aggs.tail: _*)
+    def wij(i: Int, j: Int) = col(s"_w_${i}_$j")
+    // W_i and symmetric n_ij as fixed columns
+    for (i <- items.indices) {
+      val wi = items.indices.filter(_ != i).map(j => wij(i, j)).reduce(_ + _)
+      row = row.withColumn(s"_W_$i", wi)
+      row = row.withColumn(s"_p_$i", lit(1.0 / k))
+    }
+    for (_ <- 1 to iterations) {
+      for (i <- items.indices) {
+        val denom = items.indices.filter(_ != i).map { j =>
+          (wij(i, j) + wij(j, i)) / (col(s"_p_$i") + col(s"_p_$j"))
+        }.reduce(_ + _)
+        row = row.withColumn(s"_q_$i",
+          when(denom > 0, col(s"_W_$i") / denom).otherwise(col(s"_p_$i")))
+      }
+      val total = items.indices.map(i => col(s"_q_$i")).reduce(_ + _)
+      for (i <- items.indices)
+        row = row.withColumn(s"_p_$i", col(s"_q_$i") / total)
+    }
+    val out = items.indices.map(i => col(s"_p_$i").as(s"p_${items(i)}"))
+    row.select((out :+ col("n_comparisons")): _*)
+  }
+
+  /** Page's L trend test for ordered alternatives (Page 1963): Friedman
+    * midranks within complete blocks, but scored against a PRE-SPECIFIED
+    * treatment order — `L = Σ_j j·R_j` over the literal `orderedArms`
+    * (position j = 1..k), with the normal approximation
+    * `z = (L − n·k(k+1)²/4) / √(n·k²(k+1)(k²−1)/144)`. Rejects "no trend"
+    * against the ordered alternative (arm j stochastically ≤ arm j+1) with
+    * far more power than Friedman's omnibus χ² when the order is known.
+    * Blocks missing any arm are dropped ([[Robust.friedman]] discipline).
+    * Output: one row (n_blocks, k, l_stat, z).
+    */
+  def pageL(df: DataFrame, blockCol: String, armCol: String,
+            orderedArms: Seq[String], valCol: String): DataFrame = {
+    require(orderedArms.size >= 3, "pageL: need >= 3 ordered arms")
+    val k = orderedArms.size
+    val v = col(valCol).cast("double")
+    val base = df.filter(v.isNotNull &&
+      col(armCol).cast("string").isin(orderedArms.map(a => a: Any): _*))
+      .withColumn("_ba", count(lit(1)).over(Window.partitionBy(col(blockCol))))
+      .filter(col("_ba") === k.toLong)
+    val wBlk = Window.partitionBy(col(blockCol)).orderBy(v)
+    val tiePart = Window.partitionBy(col(blockCol), v)
+    val ranked = base.withColumn("_mid", rank().over(wBlk).cast("double") +
+      (count(lit(1)).over(tiePart) - 1).cast("double") / 2)
+    val aggs = Seq(countDistinct(col(blockCol)).as("n_blocks")) ++
+      orderedArms.zipWithIndex.map { case (a, i) =>
+        sum(when(col(armCol).cast("string") === a, col("_mid"))
+          .otherwise(lit(0.0))).as(s"_r$i")
+      }
+    val agged = ranked.agg(aggs.head, aggs.tail: _*)
+    val l = orderedArms.indices
+      .map(i => lit((i + 1).toDouble) * col(s"_r$i")).reduce(_ + _)
+    val n = col("n_blocks").cast("double")
+    val kd = k.toDouble
+    val mean = n * lit(kd * (kd + 1) * (kd + 1) / 4.0)
+    val sd = sqrt(n * lit(kd * kd * (kd + 1) * (kd * kd - 1) / 144.0))
+    agged
+      .withColumn("k", lit(k.toLong))
+      .withColumn("l_stat", when(col("n_blocks") > 0, l))
+      .withColumn("z", when(col("n_blocks") > 0, (l - mean) / sd))
+      .select(col("n_blocks"), col("k"), col("l_stat"), col("z"))
+  }
+
   /** Breusch–Pagan heteroskedasticity test per key (Breusch & Pagan 1979,
     * Koenker's studentized LM form): fit `y = a + b·t` by OLS on the
     * 0-based time index, square the residuals, and regress e² back on t;

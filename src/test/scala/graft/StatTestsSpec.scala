@@ -111,4 +111,66 @@ class StatTestsSpec extends SparkSuite {
     val rl = StatTests.breuschPagan(line, Seq("k"), "t", "v").collect()(0)
     assert(rl.isNullAt(rl.fieldIndex("lm")) || rl.getAs[Double]("lm") < 1e-6)
   }
+
+  test("engleGranger: cointegrated pair strongly rejects (numpy golden)") {
+    val x = Seq(1.7494547413, 1.4633817445, 0.9788166123, -1.674501947,
+      -1.6827865764, -2.0024179401, -2.5390473024, -2.2236446339,
+      -1.8025939177, -2.8681968981, -3.7544365681, -4.2301700608,
+      -3.5404877506, -2.9792955745, -4.2848440843, -5.4043193459,
+      -4.6674819547, -3.0928478816, -3.1239229701, -3.8073695975,
+      -2.711739899, -3.0213165362, -2.2955643114, -0.746492678,
+      -0.1164128556, -0.0429196186, 0.6893517353, 0.0467763429,
+      -0.1313168324, -0.7052713918, -0.9096467075, -1.3961418076,
+      -1.5819171316, -1.9624535483, -1.873475913, -1.8098042516,
+      -1.5134571435, -0.110686024, -1.6575485916, -0.3619300068)
+    val y = Seq(3.4277343489, 2.557059627, 1.9059072944, -3.3214523815,
+      -3.0453056156, -4.3233262147, -5.0128901423, -4.4119434166,
+      -4.1104211033, -6.0921203759, -7.3288425345, -8.2516699449,
+      -6.7546622431, -5.7984446344, -8.4511245648, -10.771778433,
+      -8.9722334167, -6.4386155935, -6.2904140144, -7.4991329536,
+      -5.8967280906, -5.6493499804, -4.8289881252, -1.5145101797,
+      0.4141766166, -0.3346704128, 1.2198918624, 0.5620637939,
+      -0.5866918124, -1.5401600693, -1.6644682038, -2.6556657571,
+      -2.9857284022, -3.8137551963, -3.3433384044, -3.3148258592,
+      -2.8483307507, -0.4262125329, -3.529165162, -1.2963468761)
+    val df = x.zip(y).zipWithIndex.map { case ((xv, yv), i) => (1L, ts(i), xv, yv) }
+      .toDF("k", "t", "x", "y")
+    val r = StatTests.engleGranger(df, Seq("k"), "t", "x", "y").collect()(0)
+    assert(r.getAs[Long]("n") === 40L)
+    assert(approxEq(r.getAs[Double]("beta"), 1.958647613912626, 1e-9))
+    assert(approxEq(r.getAs[Double]("rho"), -1.0514684178804978, 1e-9))
+    assert(approxEq(r.getAs[Double]("t_stat"), -6.196234516735642, 1e-9))
+  }
+
+  test("bradleyTerry: Jacobi MM golden; strengths sum to 1, dominance ordering") {
+    val pairs = Seq(("a", "b", 8L), ("b", "a", 2L), ("a", "c", 6L),
+      ("c", "a", 4L), ("b", "c", 5L), ("c", "b", 5L))
+    val df = pairs.toDF("item", "opp", "wins")
+    val r = StatTests.bradleyTerry(df, "item", "opp", "wins",
+      Seq("a", "b", "c"), iterations = 5).collect()(0)
+    val (pa, pb, pc) = (r.getAs[Double]("p_a"), r.getAs[Double]("p_b"),
+      r.getAs[Double]("p_c"))
+    assert(approxEq(pa, 0.5346557610828194, 1e-12))
+    assert(approxEq(pb, 0.19982238099415198, 1e-12))
+    assert(approxEq(pc, 0.2655218579230287, 1e-12))
+    assert(approxEq(pa + pb + pc, 1.0, 1e-12))
+    assert(pa > pc && pc > pb, "a dominates; c edges out b (6-4 vs 2-8)")
+    assert(r.getAs[Long]("n_comparisons") === 30L)
+  }
+
+  test("pageL: perfectly ordered blocks reach the maximum L = 55n, z = 2*sqrt(n)") {
+    // arm at order position j gets value j in every block: R_j = n*j
+    val arms = Seq("a", "b", "c", "d", "e")
+    val rows = for (blk <- 1 to 4; (a, j) <- arms.zipWithIndex)
+      yield (blk, a, (j + 1).toDouble)
+    val df = rows.toDF("blk", "arm", "v")
+    val r = StatTests.pageL(df, "blk", "arm", arms, "v").collect()(0)
+    assert(r.getAs[Long]("n_blocks") === 4L)
+    assert(approxEq(r.getAs[Double]("l_stat"), 220.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("z"), 4.0, 1e-12))
+    // reversed order scores the minimum: L = n*k(k+1)^2/4 - (L_max - E) = 140
+    val rev = StatTests.pageL(df, "blk", "arm", arms.reverse, "v").collect()(0)
+    assert(approxEq(rev.getAs[Double]("l_stat"), 140.0, 1e-12))
+    assert(approxEq(rev.getAs[Double]("z"), -4.0, 1e-12))
+  }
 }
