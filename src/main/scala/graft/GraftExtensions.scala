@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{FingerprintExpr, FloatDotExpr, MinHashSigExpr, Utf8CharCountExpr}
+import graft.functions.{FingerprintExpr, FloatDotExpr, JaroWinklerExpr, MinHashSigExpr, Utf8CharCountExpr}
 import graft.functions.HyperplaneBucketExpr
 import graft.operators.Similarity
 
@@ -111,6 +111,17 @@ object GraftFunctions {
         HyperplaneBucketExpr(
           args.head,
           Similarity.rademacherSigns(table, bits, dim).map(_.toArray).toArray)
+      }),
+
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1] on UTF-8 " +
+        "bytes (== code points on ASCII); 0.0 if either side is empty; " +
+        "Winkler prefix boost (<=4, 0.1) applied when jaro > 0.7. " +
+        "Fuzz-verified equal to DuckDB's jaro_winkler_similarity."),
+      { args =>
+        arity("jaro_winkler", args, 2)
+        JaroWinklerExpr(args.head, args(1))
       })
   )
 

@@ -5278,6 +5278,91 @@ object SparkEntry {
         .select(col("event_type"), col("n"), r6(col("mu")).as("mu"),
           r6(col("beta")).as("beta"), r6(col("rl30")).as("rl30"))
         .orderBy("event_type")
+    }),
+
+    // Jaro-Winkler near-dup pairs over the bounded mutated-copy corpus
+    // (q234 scoping) via the native codegen'd expression; threshold on the
+    // 6-dp-rounded score (cross-engine rank-cut rule)
+    "q374_jw_near_dup" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") < 150).select(col("doc_id"),
+        substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 48).as("t"))
+      val corpus = base.unionByName(base.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("t"), 1, 5), lit("X"),
+            substring(col("t"), 7, 42)).as("t")))
+        .filter(length(col("t")) >= 40)
+      val a = corpus.select(col("doc_id").as("id_a"), col("t").as("ta"))
+      val b = corpus.select(col("doc_id").as("id_b"), col("t").as("tb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("jw",
+          r6(graft.functions.JaroWinklerExpr(col("ta"), col("tb"))))
+        .filter(col("jw") >= 0.9)
+        .select(col("id_a"), col("id_b"), col("jw"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Jonckheere-Terpstra ordered-alternative test on daily counts across
+    // the lexicographic event-type order
+    "q375_jonckheere" -> ((s, dir) => {
+      val order = Seq("click", "error", "purchase", "signup", "view")
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.jonckheere(daily, "event_type", order, "cnt")
+        .select(col("n"), r6(col("j_stat")).as("j_stat"), r6(col("z")).as("z"))
+    }),
+
+    // Mood's median test: do the five types share a common daily-count
+    // median? (integer counts -> exact order statistic + chi2 cells)
+    "q376_mood_median" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "error", "signup")
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.moodMedian(daily, "event_type", types, "cnt")
+        .select(col("n"), col("median").cast("double").as("median"),
+          r6(col("chi2")).as("chi2"))
+    }),
+
+    // entropy rate of the user-level event-type Markov chain (q174's
+    // transition grain): how predictable is the next event?
+    "q377_markov_entropy" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "error", "signup")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tr = ev(s, dir).filter(col("event_type").isNotNull)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      graft.operators.StatTests.markovEntropyRate(tr, "event_type",
+          "next_type", types)
+        .select(col("n_transitions"),
+          r6(col("entropy_rate")).as("entropy_rate"),
+          r6(col("perplexity")).as("perplexity"))
+    }),
+
+    // Tukey-Kramer HSD pairwise q statistics on daily counts after the
+    // q290 omnibus ANOVA
+    "q378_tukey_hsd" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "error", "signup")
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.tukeyHsd(daily, "event_type", types, "cnt")
+        .select(col("arm_a"), col("arm_b"), r6(col("mean_a")).as("mean_a"),
+          r6(col("mean_b")).as("mean_b"), r6(col("q_stat")).as("q_stat"))
+        .orderBy("arm_a", "arm_b")
+    }),
+
+    // Ansari-Bradley scale test: click vs view daily-count dispersion
+    // (tie-averaged end scores, exact finite-population moments)
+    "q379_ansari_bradley" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.ansariBradley(daily, "event_type",
+          "click", "view", "cnt")
+        .select(col("n_a"), col("n_b"), r6(col("ab_stat")).as("ab_stat"),
+          r6(col("z")).as("z"))
     })
   )
 
@@ -12251,8 +12336,193 @@ object SparkEntry {
         |    m - 0.5772156649015329 * beta AS mu FROM b)
         |SELECT event_type, n, round(mu, 6) AS mu, round(beta, 6) AS beta,
         |  round(mu - beta * ln(-ln(1.0 - 1.0/30.0)), 6) AS rl30
-        |FROM g ORDER BY 1""".stripMargin
+        |FROM g ORDER BY 1""".stripMargin,
+
+    // DuckDB's builtin jaro_winkler_similarity IS the oracle for the
+    // native JaroWinklerExpr (fuzz-verified equal semantics); threshold on
+    // the rounded score
+    "q374_jw_near_dup" ->
+      """WITH s0 AS (SELECT doc_id,
+        |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 48) AS t
+        |  FROM documents WHERE doc_id < 150),
+        |c AS (SELECT doc_id, t FROM s0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    concat(substr(t, 1, 5), 'X', substr(t, 7, 42)) FROM s0),
+        |cc AS (SELECT doc_id, t FROM c WHERE length(t) >= 40),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(jaro_winkler_similarity(a.t, b.t), 6) AS jw
+        |  FROM cc a JOIN cc b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jw FROM p WHERE jw >= 0.9
+        |ORDER BY 1, 2""".stripMargin,
+
+    // ordered-group pair counting (+1/2 ties); tie-free normal moments
+    "q375_jonckheere" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |b AS (SELECT CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+        |    WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4
+        |    END AS g, cnt::DOUBLE AS v FROM daily
+        |  WHERE event_type IN ('click','error','purchase','signup','view')),
+        |j AS (SELECT sum(CASE WHEN x.v < y.v THEN 1.0
+        |    WHEN x.v = y.v THEN 0.5 ELSE 0.0 END) AS j_stat
+        |  FROM b x JOIN b y ON x.g < y.g),
+        |sz AS (SELECT g, count(*) AS ni FROM b GROUP BY 1),
+        |m AS (SELECT sum(ni)::BIGINT AS n, sum(ni*ni) AS n2,
+        |    sum(ni*ni*(2*ni + 3)) AS n3 FROM sz),
+        |z AS (SELECT j.j_stat, m.n,
+        |    (m.n::DOUBLE * m.n::DOUBLE - n2::DOUBLE)/4.0 AS e,
+        |    (m.n::DOUBLE * m.n::DOUBLE * (2.0*m.n::DOUBLE + 3.0)
+        |      - n3::DOUBLE)/72.0 AS var
+        |  FROM j, m)
+        |SELECT n, round(j_stat, 6) AS j_stat,
+        |  round(CASE WHEN var > 0 THEN (j_stat - e)/sqrt(var) END, 6) AS z
+        |FROM z""".stripMargin,
+
+    // lower-middle order statistic by explicit row_number; chi2 over the
+    // 2 x 5 above/not-above table with rational expectations
+    "q376_mood_median" -> moodMedianSql(
+      Seq("click", "view", "purchase", "error", "signup")),
+
+    "q377_markov_entropy" -> markovEntropySql(
+      Seq("click", "view", "purchase", "error", "signup")),
+
+    // per-arm moment pivot -> SSW -> MSW -> 10 literal Tukey-Kramer pairs
+    "q378_tukey_hsd" -> tukeyHsdSql(
+      Seq("click", "view", "purchase", "error", "signup")),
+
+    // end scores tie-averaged per value group; exact finite-population z
+    "q379_ansari_bradley" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type AS arm, cnt::DOUBLE AS v FROM daily
+        |  WHERE event_type IN ('click', 'view')),
+        |r AS (SELECT arm, v, row_number() OVER (ORDER BY v, arm) AS rn,
+        |    count(*) OVER () AS n FROM b),
+        |s0 AS (SELECT arm, v,
+        |    least(rn::DOUBLE, (n + 1 - rn)::DOUBLE) AS s0 FROM r),
+        |s1 AS (SELECT arm, avg(s0) OVER (PARTITION BY v) AS s FROM s0),
+        |a AS (SELECT
+        |    sum(CASE WHEN arm = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN arm = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN arm = 'click' THEN s ELSE 0.0 END) AS ab_stat,
+        |    sum(s) AS ss, sum(s*s) AS sq FROM s1),
+        |z AS (SELECT n_a, n_b, ab_stat,
+        |    (n_a + n_b)::DOUBLE AS nt,
+        |    n_a::DOUBLE * ss / (n_a + n_b)::DOUBLE AS e,
+        |    n_a::DOUBLE * n_b::DOUBLE / ((n_a + n_b)::DOUBLE - 1.0)
+        |      * (sq/(n_a + n_b)::DOUBLE
+        |        - (ss/(n_a + n_b)::DOUBLE)*(ss/(n_a + n_b)::DOUBLE)) AS var
+        |  FROM a)
+        |SELECT n_a, n_b, round(ab_stat, 6) AS ab_stat,
+        |  round(CASE WHEN var > 0 THEN (ab_stat - e)/sqrt(var) END, 6) AS z
+        |FROM z""".stripMargin
   )
+
+  /** q376's oracle: the [[graft.operators.StatTests.moodMedian]] explicit
+    * lower-middle order statistic plus the 2×k χ² cells, generated so the
+    * per-arm (above, not-above) terms fold in the identical ascending-arm
+    * order.
+    */
+  private def moodMedianSql(arms: Seq[String]): String = {
+    val idx = arms.indices
+    def chain(terms: Seq[String]): String = terms.reduce((a, b) => s"($a + $b)")
+    val aDefs = idx.flatMap { i =>
+      Seq(
+        s"sum(CASE WHEN arm = '${arms(i)}' AND v > (SELECT median FROM med) THEN 1 ELSE 0 END) AS a$i",
+        s"sum(CASE WHEN arm = '${arms(i)}' THEN 1 ELSE 0 END) AS t$i")
+    }.mkString(",\n    ")
+    val aTot = chain(idx.map(i => s"a$i"))
+    val terms = idx.map { i =>
+      val ea = s"(t$i::DOUBLE * at::DOUBLE / n::DOUBLE)"
+      val eb = s"(t$i::DOUBLE * (n - at)::DOUBLE / n::DOUBLE)"
+      val oa = s"a$i::DOUBLE"
+      val ob = s"(t$i - a$i)::DOUBLE"
+      s"(($oa - $ea)*($oa - $ea)/$ea + ($ob - $eb)*($ob - $eb)/$eb)"
+    }
+    val ok = idx.map(i => s"t$i >= 1").mkString(" AND ") +
+      " AND at > 0 AND at < n"
+    s"""WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+       |    count(*) AS cnt FROM events GROUP BY 1, 2),
+       |b AS (SELECT event_type AS arm, cnt::DOUBLE AS v FROM daily),
+       |r AS (SELECT arm, v, row_number() OVER (ORDER BY v, arm) AS rn,
+       |    count(*) OVER () AS n FROM b),
+       |med AS (SELECT v AS median FROM r
+       |  WHERE rn = floor((n + 1)::DOUBLE/2.0)::BIGINT),
+       |a AS (SELECT count(*)::BIGINT AS n,
+       |    $aDefs FROM b),
+       |c AS (SELECT *, $aTot AS at FROM a)
+       |SELECT n, (SELECT median FROM med) AS median,
+       |  round(CASE WHEN $ok THEN ${chain(terms)} END, 6) AS chi2
+       |FROM c""".stripMargin
+  }
+
+  /** q377's oracle: the same k² literal pivot + fixed-order entropy folds
+    * as [[graft.operators.StatTests.markovEntropyRate]], generated so the
+    * summation structure is identical in both engines.
+    */
+  private def markovEntropySql(states: Seq[String]): String = {
+    val idx = states.indices
+    def chain(terms: Seq[String]): String = terms.reduce((a, b) => s"($a + $b)")
+    val pivDefs = (for { i <- idx; j <- idx } yield
+      s"sum(CASE WHEN f = '${states(i)}' AND t = '${states(j)}' THEN 1 ELSE 0 END) AS n_${i}_$j")
+      .mkString(",\n    ")
+    val niDefs = idx.map(i =>
+      chain(idx.map(j => s"n_${i}_$j")) + s" AS ni_$i").mkString(",\n    ")
+    val nTot = chain(idx.map(i => s"ni_$i"))
+    val h = chain(idx.map { i =>
+      val inner = chain(idx.map { j =>
+        s"CASE WHEN n_${i}_$j > 0 THEN -(n_${i}_$j::DOUBLE/ni_$i::DOUBLE)" +
+          s" * ln(n_${i}_$j::DOUBLE/ni_$i::DOUBLE) ELSE 0.0 END"
+      })
+      s"CASE WHEN ni_$i > 0 THEN (ni_$i::DOUBLE/($nTot)::DOUBLE) * ($inner) ELSE 0.0 END"
+    })
+    s"""WITH tr AS (SELECT event_type AS f,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+       |  FROM events WHERE event_type IS NOT NULL),
+       |tt AS (SELECT f, t FROM tr WHERE t IS NOT NULL),
+       |piv AS (SELECT
+       |    $pivDefs FROM tt),
+       |ni AS (SELECT *,
+       |    $niDefs FROM piv),
+       |hh AS (SELECT ($nTot)::BIGINT AS n_transitions, $h AS h FROM ni)
+       |SELECT n_transitions, round(h, 6) AS entropy_rate,
+       |  round(exp(h), 6) AS perplexity FROM hh""".stripMargin
+  }
+
+  /** q378's oracle: the [[graft.operators.StatTests.tukeyHsd]] moment
+    * pivot and the k(k−1)/2 Tukey–Kramer pair rows, generated with the
+    * identical fixed-order SSW fold.
+    */
+  private def tukeyHsdSql(arms: Seq[String]): String = {
+    val idx = arms.indices
+    val k = arms.size
+    def chain(terms: Seq[String]): String = terms.reduce((a, b) => s"($a + $b)")
+    val pivDefs = (Seq("count(*) AS n") ++ idx.flatMap { i =>
+      Seq(
+        s"sum(CASE WHEN event_type = '${arms(i)}' THEN 1 ELSE 0 END) AS n$i",
+        s"sum(CASE WHEN event_type = '${arms(i)}' THEN cnt::DOUBLE ELSE 0.0 END) AS s$i",
+        s"sum(CASE WHEN event_type = '${arms(i)}' THEN cnt::DOUBLE*cnt::DOUBLE ELSE 0.0 END) AS q$i")
+    }).mkString(",\n    ")
+    val ssw = chain(idx.map(i => s"(q$i - s$i*s$i/n$i::DOUBLE)"))
+    val pairSelects = (for { i <- idx; j <- idx if i < j } yield
+      s"""SELECT '${arms(i)}' AS arm_a, '${arms(j)}' AS arm_b,
+         |  round(s$i/n$i::DOUBLE, 6) AS mean_a,
+         |  round(s$j/n$j::DOUBLE, 6) AS mean_b,
+         |  round(CASE WHEN n$i >= 1 AND n$j >= 1 AND n > $k AND msw > 0 THEN
+         |    abs(s$i/n$i::DOUBLE - s$j/n$j::DOUBLE)
+         |      / sqrt(msw/2.0 * (1.0/n$i::DOUBLE + 1.0/n$j::DOUBLE)) END, 6)
+         |    AS q_stat FROM m""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+       |    count(*) AS cnt FROM events GROUP BY 1, 2),
+       |piv AS (SELECT
+       |    $pivDefs FROM daily),
+       |m AS (SELECT *, ($ssw)/(n - $k)::DOUBLE AS msw FROM piv),
+       |u AS (
+       |  $pairSelects)
+       |SELECT * FROM u ORDER BY arm_a, arm_b""".stripMargin
+  }
 
   /** q369's oracle: the same pivoted Jacobi MM rounds as
     * [[graft.operators.StatTests.bradleyTerry]], unrolled — one CTE pair

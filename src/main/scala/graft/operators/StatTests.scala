@@ -345,6 +345,228 @@ object StatTests {
       .select(col("n_blocks"), col("k"), col("l_stat"), col("z"))
   }
 
+  /** Jonckheere–Terpstra test for ordered alternatives (Jonckheere 1954):
+    * across the LITERAL ordered groups g₁ < … < g_k,
+    * `J = Σ_{a<b} #{x∈g_a, y∈g_b : x < y}` (+½ per tie), with the normal
+    * approximation `E = (N² − Σnᵢ²)/4`,
+    * `V = (N²(2N+3) − Σnᵢ²(2nᵢ+3))/72` (tie-free form). Rejects "no
+    * difference" against the monotone-ordering alternative — the
+    * independent-samples cousin of [[pageL]]. The pair count is a join
+    * over group pairs: O(Σ_{a<b} n_a·n_b) comparisons — intended for the
+    * AGGREGATED grain (daily/bucket summaries), not raw events; feed it
+    * integer-valued summaries for bit-exact cross-engine counting.
+    * Output: one row (n, j_stat, z).
+    */
+  def jonckheere(df: DataFrame, armCol: String, orderedArms: Seq[String],
+                 valCol: String): DataFrame = {
+    require(orderedArms.size >= 3, "jonckheere: need >= 3 ordered arms")
+    val v = col(valCol).cast("double")
+    val ordExpr = orderedArms.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (a, i)) =>
+        when(col(armCol).cast("string") === a, lit(i)).otherwise(acc)
+      }
+    val base = df.filter(v.isNotNull).select(ordExpr.as("g"), v.as("v"))
+      .filter(col("g") >= 0)
+    val a = base.select(col("g").as("ga"), col("v").as("va"))
+    val b = base.select(col("g").as("gb"), col("v").as("vb"))
+    val j = a.crossJoin(b).filter(col("ga") < col("gb"))
+      .agg(sum(when(col("va") < col("vb"), 1.0)
+        .when(col("va") === col("vb"), 0.5).otherwise(0.0)).as("j_stat"))
+    val sizes = base.groupBy(col("g")).agg(count(lit(1)).as("ni"))
+      .agg(sum(col("ni")).as("n"), sum(col("ni") * col("ni")).as("_n2"),
+        sum(col("ni") * col("ni") * (lit(2L) * col("ni") + lit(3L))).as("_n3"))
+    j.crossJoin(sizes)
+      .withColumn("_e",
+        (col("n").cast("double") * col("n").cast("double") -
+          col("_n2").cast("double")) / lit(4.0))
+      .withColumn("_v",
+        (col("n").cast("double") * col("n").cast("double") *
+          (lit(2.0) * col("n").cast("double") + lit(3.0)) -
+          col("_n3").cast("double")) / lit(72.0))
+      .withColumn("z", when(col("_v") > 0,
+        (col("j_stat") - col("_e")) / sqrt(col("_v"))))
+      .select(col("n"), col("j_stat"), col("z"))
+  }
+
+  /** Mood's median test (Mood 1950): χ² independence of "above the grand
+    * median" vs group over k LITERAL arms. The grand median is the LOWER
+    * MIDDLE order statistic, located with an explicit row_number formula
+    * (`rn = (N+1) div 2` on the (value, arm) ordering) so both engines pick
+    * the identical data value — never a builtin whose even-N interpolation
+    * differs. The global sort funnels one task: intended for aggregated
+    * summaries (the engine-wide single-task-sort bound, q53 dictionary
+    * discipline). `χ² = Σ_cells (O − E)²/E` with E = row·col/N — integer
+    * O and rational E, bit-exact cross-engine. Output: one row
+    * (n, median, chi2); chi2 null if any arm is missing or any expected
+    * cell is 0.
+    */
+  def moodMedian(df: DataFrame, armCol: String, arms: Seq[String],
+                 valCol: String): DataFrame = {
+    require(arms.size >= 2, "moodMedian: need >= 2 arms")
+    val k = arms.size
+    val v = col(valCol).cast("double")
+    val base = df.filter(v.isNotNull &&
+      col(armCol).cast("string").isin(arms.map(a => a: Any): _*))
+      .select(col(armCol).cast("string").as("arm"), v.as("v"))
+    val w = Window.orderBy(col("v"), col("arm"))
+    val winAll = Window.partitionBy()
+    val med = base
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(winAll))
+      .filter(col("_rn") ===
+        floor((col("_n") + 1L).cast("double") / 2.0).cast("long"))
+      .select(col("v").as("median"))
+    val aggs = Seq(count(lit(1)).as("n")) ++ arms.zipWithIndex.flatMap {
+      case (a, i) => Seq(
+        sum(when(col("arm") === a && col("v") > col("median"), 1L)
+          .otherwise(0L)).as(s"_a$i"),
+        sum(when(col("arm") === a, 1L).otherwise(0L)).as(s"_t$i"))
+    }
+    val agged = base.crossJoin(broadcast(med)).agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(med))
+    val aTot = arms.indices.map(i => col(s"_a$i")).reduce(_ + _)
+    val n = col("n").cast("double")
+    val chi2 = arms.indices.map { i =>
+      val ti = col(s"_t$i").cast("double")
+      val ea = ti * aTot.cast("double") / n
+      val eb = ti * (col("n") - aTot).cast("double") / n
+      val oa = col(s"_a$i").cast("double")
+      val ob = (col(s"_t$i") - col(s"_a$i")).cast("double")
+      (oa - ea) * (oa - ea) / ea + (ob - eb) * (ob - eb) / eb
+    }.reduce(_ + _)
+    val defined = arms.indices.map(i => col(s"_t$i") >= 1L).reduce(_ && _) &&
+      aTot > 0 && aTot < col("n")
+    agged.withColumn("chi2", when(defined, chi2))
+      .select(col("n"), col("median"), col("chi2"))
+  }
+
+  /** Entropy rate of the empirical first-order Markov chain over LITERAL
+    * states (Shannon 1948): `H = −Σᵢ πᵢ Σⱼ pᵢⱼ ln pᵢⱼ` with πᵢ the
+    * from-state share of transitions and pᵢⱼ = nᵢⱼ/nᵢ — how predictable
+    * the next event type is given the current one. All k² transition
+    * counts pivot into ONE row (conditional integer sums), the double-sum
+    * is a fixed-order literal fold, and `perplexity = e^H` is the
+    * effective branching factor. Output: one row
+    * (n_transitions, entropy_rate, perplexity).
+    */
+  def markovEntropyRate(df: DataFrame, fromCol: String, toCol: String,
+                        states: Seq[String]): DataFrame = {
+    require(states.size >= 2)
+    val aggs = (for { i <- states.indices; j <- states.indices } yield
+      sum(when(col(fromCol) === states(i) && col(toCol) === states(j), 1L)
+        .otherwise(0L)).as(s"_n_${i}_$j")) :+ count(lit(1)).as("_n_all")
+    val row = df
+      .filter(col(fromCol).cast("string").isin(states.map(a => a: Any): _*) &&
+        col(toCol).cast("string").isin(states.map(a => a: Any): _*))
+      .agg(aggs.head, aggs.tail: _*)
+    def nij(i: Int, j: Int) = col(s"_n_${i}_$j")
+    val withTot = states.indices.foldLeft(row) { (r, i) =>
+      r.withColumn(s"_ni_$i", states.indices.map(j => nij(i, j)).reduce(_ + _))
+    }
+    val nTot = states.indices.map(i => col(s"_ni_$i")).reduce(_ + _)
+    val h = states.indices.map { i =>
+      val pi = col(s"_ni_$i").cast("double") / nTot.cast("double")
+      val inner = states.indices.map { j =>
+        val pij = nij(i, j).cast("double") / col(s"_ni_$i").cast("double")
+        when(nij(i, j) > 0, -pij * log(pij)).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      when(col(s"_ni_$i") > 0, pi * inner).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    withTot
+      .withColumn("n_transitions", nTot)
+      .withColumn("entropy_rate", h)
+      .withColumn("perplexity", exp(col("entropy_rate")))
+      .select(col("n_transitions"), col("entropy_rate"), col("perplexity"))
+  }
+
+  /** Tukey HSD pairwise readout after [[Experiment.anovaF]]'s omnibus
+    * (Tukey 1949): for every literal arm pair,
+    * `q = |m̄ᵢ − m̄ⱼ| / √(MSW/2 · (1/nᵢ + 1/nⱼ))` (the Tukey–Kramer
+    * unequal-n form) with MSW = SSW/(N−k) from the same per-arm moment
+    * pivot. Emitted as the STATISTIC (compared against studentized-range
+    * critical values offline — no closed-form p). One aggregate pass, the
+    * k(k−1)/2 pair rows assembled from literal selects on the single
+    * pivoted row. Output: (arm_a, arm_b, mean_a, mean_b, q_stat).
+    */
+  def tukeyHsd(df: DataFrame, armCol: String, arms: Seq[String],
+               valCol: String): DataFrame = {
+    require(arms.size >= 2)
+    val k = arms.size
+    val v = col(valCol).cast("double")
+    val aggs = Seq(count(lit(1)).as("n")) ++ arms.zipWithIndex.flatMap {
+      case (a, i) =>
+        val in = col(armCol).cast("string") === a
+        Seq(sum(when(in, 1L).otherwise(0L)).as(s"_n$i"),
+          sum(when(in, v).otherwise(lit(0.0))).as(s"_s$i"),
+          sum(when(in, v * v).otherwise(lit(0.0))).as(s"_q$i"))
+    }
+    val piv = df
+      .filter(col(armCol).cast("string").isin(arms.map(a => a: Any): _*))
+      .groupBy().agg(aggs.head, aggs.tail: _*)
+    val ssw = arms.indices.map(i =>
+      col(s"_q$i") - col(s"_s$i") * col(s"_s$i") / col(s"_n$i").cast("double"))
+      .reduce(_ + _)
+    val msw = ssw / (col("n") - lit(k.toLong)).cast("double")
+    val withM = piv.withColumn("_msw", msw)
+    val pairs = for { i <- arms.indices; j <- arms.indices if i < j } yield
+      withM.select(
+        lit(arms(i)).as("arm_a"), lit(arms(j)).as("arm_b"),
+        (col(s"_s$i") / col(s"_n$i").cast("double")).as("mean_a"),
+        (col(s"_s$j") / col(s"_n$j").cast("double")).as("mean_b"),
+        when(col(s"_n$i") >= 1L && col(s"_n$j") >= 1L &&
+            col("n") > lit(k.toLong) && col("_msw") > 0,
+          abs(col(s"_s$i") / col(s"_n$i").cast("double") -
+            col(s"_s$j") / col(s"_n$j").cast("double")) /
+            sqrt(col("_msw") / lit(2.0) *
+              (lit(1.0) / col(s"_n$i").cast("double") +
+                lit(1.0) / col(s"_n$j").cast("double")))).as("q_stat"))
+    pairs.reduce(_.unionByName(_))
+  }
+
+  /** Ansari–Bradley two-sample scale test (Ansari & Bradley 1960): pooled
+    * values scored from both ends — `s = min(rank, N+1−rank)` on the
+    * explicit (value, arm, tiebreak) row_number ordering, then tied values
+    * get the MEAN score of their tie group — and `AB = Σ s` over sample A.
+    * Standardized with the exact finite-population moments of a random
+    * n₁-subset of the realized scores (`E = n₁·s̄`,
+    * `V = n₁n₂/(N−1)·(Σs²/N − s̄²)`), which is tie-correct by
+    * construction. Small AB ⇒ sample A concentrates at the extremes
+    * (LARGER dispersion). Global sort = one task: aggregated-grain input
+    * only. Output: one row (n_a, n_b, ab_stat, z).
+    */
+  def ansariBradley(df: DataFrame, armCol: String, armA: String,
+                    armB: String, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = df.filter(v.isNotNull &&
+      (col(armCol).cast("string") === armA ||
+        col(armCol).cast("string") === armB))
+      .select(col(armCol).cast("string").as("arm"), v.as("v"))
+    val w = Window.orderBy(col("v"), col("arm"))
+    val winAll = Window.partitionBy()
+    val tiePart = Window.partitionBy(col("v"))
+    val scored = base
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(winAll))
+      .withColumn("_s0", least(col("_rn").cast("double"),
+        (col("_n") + 1L - col("_rn")).cast("double")))
+      .withColumn("_s", avg(col("_s0")).over(tiePart))
+    scored.agg(
+        sum(when(col("arm") === armA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === armB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === armA, col("_s")).otherwise(lit(0.0)))
+          .as("ab_stat"),
+        sum(col("_s")).as("_ss"), sum(col("_s") * col("_s")).as("_sq"))
+      .withColumn("_nt", (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("_e", col("n_a").cast("double") * col("_ss") / col("_nt"))
+      .withColumn("_var", col("n_a").cast("double") * col("n_b").cast("double") /
+        (col("_nt") - lit(1.0)) *
+        (col("_sq") / col("_nt") -
+          (col("_ss") / col("_nt")) * (col("_ss") / col("_nt"))))
+      .withColumn("z", when(col("_var") > 0,
+        (col("ab_stat") - col("_e")) / sqrt(col("_var"))))
+      .select(col("n_a"), col("n_b"), col("ab_stat"), col("z"))
+  }
+
   /** Breusch–Pagan heteroskedasticity test per key (Breusch & Pagan 1979,
     * Koenker's studentized LM form): fit `y = a + b·t` by OLS on the
     * 0-based time index, square the residuals, and regress e² back on t;

@@ -173,4 +173,89 @@ class StatTestsSpec extends SparkSuite {
     assert(approxEq(rev.getAs[Double]("l_stat"), 140.0, 1e-12))
     assert(approxEq(rev.getAs[Double]("z"), -4.0, 1e-12))
   }
+
+  test("jaro_winkler: DuckDB-pinned goldens, symmetry, SQL registry") {
+    import graft.functions.JaroWinklerHelper
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinklerHelper.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+    // goldens probed from DuckDB jaro_winkler_similarity this session
+    val goldens = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("abc", "abc", 1.0),
+      ("", "", 0.0), // DuckDB convention: empty is similar to nothing
+      ("a", "", 0.0),
+      ("abcd", "dcba", 0.5),
+      ("crate", "trace", 0.7333333333333334), // jaro > 0.7 but prefix 0
+      ("xy", "yx", 0.0), // window 0: no matches
+      ("hello world", "world hello", 0.503030303030303),
+      ("prefix match rocks", "prefix match rules", 0.9333333333333333))
+    for ((a, b, want) <- goldens) {
+      assert(jw(a, b) === want, s"jw($a, $b)")
+      assert(jw(b, a) === jw(a, b), s"symmetry of ($a, $b)")
+    }
+    // registered SQL surface
+    val got = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS s").collect()(0).getDouble(0)
+    assert(got === 0.9611111111111111)
+  }
+
+  test("jonckheere: ordered 3-group golden (ties counted half)") {
+    val rows = Seq("g1" -> Seq(1.0, 3, 5, 7), "g2" -> Seq(2.0, 4, 6, 8, 10),
+      "g3" -> Seq(5.0, 9, 11, 13)).flatMap { case (g, vs) => vs.map((g, _)) }
+    val df = rows.toDF("arm", "v")
+    val r = StatTests.jonckheere(df, "arm", Seq("g1", "g2", "g3"), "v").collect()(0)
+    assert(r.getAs[Long]("n") === 13L)
+    assert(approxEq(r.getAs[Double]("j_stat"), 44.5, 1e-12))
+    assert(approxEq(r.getAs[Double]("z"), 2.1542109924517607, 1e-12))
+  }
+
+  test("moodMedian: lower-middle order statistic and 2x2 chi2 golden") {
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 5.0),
+      ("b", 6.0), ("b", 7.0), ("b", 8.0), ("a", 9.0))
+    val df = rows.toDF("arm", "v")
+    val r = StatTests.moodMedian(df, "arm", Seq("a", "b"), "v").collect()(0)
+    assert(r.getAs[Long]("n") === 9L)
+    assert(r.getAs[Double]("median") === 5.0)
+    assert(approxEq(r.getAs[Double]("chi2"), 2.7225, 1e-12))
+  }
+
+  test("markovEntropyRate: 2-state chain golden; deterministic chain has H = 0") {
+    val seq = "aabababbbaab"
+    val tr = seq.zip(seq.tail).map { case (f, t) => (f.toString, t.toString) }
+      .toDF("f", "t")
+    val r = StatTests.markovEntropyRate(tr, "f", "t", Seq("a", "b")).collect()(0)
+    assert(r.getAs[Long]("n_transitions") === 11L)
+    assert(approxEq(r.getAs[Double]("entropy_rate"), 0.6531039404377417, 1e-12))
+    assert(approxEq(r.getAs[Double]("perplexity"), 1.9214957907954946, 1e-12))
+    val detSeq = "ababababab"
+    val det = detSeq.zip(detSeq.tail).map {
+      case (f, t) => (f.toString, t.toString) }.toDF("f", "t")
+    val rd = StatTests.markovEntropyRate(det, "f", "t", Seq("a", "b")).collect()(0)
+    assert(approxEq(rd.getAs[Double]("entropy_rate"), 0.0, 1e-12))
+  }
+
+  test("tukeyHsd: 3-group Tukey-Kramer goldens") {
+    val rows = Seq("a" -> Seq(1.0, 2, 3, 4), "b" -> Seq(2.0, 4, 6, 8),
+      "c" -> Seq(10.0, 12, 14, 16)).flatMap { case (g, vs) => vs.map((g, _)) }
+    val df = rows.toDF("arm", "v")
+    val got = StatTests.tukeyHsd(df, "arm", Seq("a", "b", "c"), "v")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getAs[Double]("q_stat"))).toMap
+    assert(approxEq(got(("a", "b")), 2.23606797749979, 1e-9))
+    assert(approxEq(got(("a", "c")), 9.391485505499116, 1e-9))
+    assert(approxEq(got(("b", "c")), 7.155417527999327, 1e-9))
+  }
+
+  test("ansariBradley: extremes-vs-center golden (x disperses, AB small, z < 0)") {
+    val rows = Seq(("x", 1.0), ("x", 9.0), ("x", 2.0), ("x", 8.0), ("y", 4.0),
+      ("y", 5.0), ("y", 5.0), ("y", 6.0))
+    val df = rows.toDF("arm", "v")
+    val r = StatTests.ansariBradley(df, "arm", "x", "y", "v").collect()(0)
+    assert(r.getAs[Long]("n_a") === 4L)
+    assert(r.getAs[Long]("n_b") === 4L)
+    assert(approxEq(r.getAs[Double]("ab_stat"), 6.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("z"), -2.3664319132398464, 1e-12))
+  }
 }
