@@ -5363,6 +5363,85 @@ object SparkEntry {
           "click", "view", "cnt")
         .select(col("n_a"), col("n_b"), r6(col("ab_stat")).as("ab_stat"),
           r6(col("z")).as("z"))
+    }),
+
+    // TextRank keyword scores: PageRank over the adjacent-token graph of
+    // the top-40 corpus terms, 4 damped rounds; all nodes emitted (no
+    // float rank cut)
+    "q380_textrank" -> ((s, dir) => {
+      graft.operators.TextAnalysis.textRank(docs(s, dir), "text",
+          topN = 40, iterations = 4)
+        .select(col("term"), col("freq"), r6(col("score")).as("score"))
+        .orderBy("term")
+    }),
+
+    // Fisher's exact one-sided p for lang=en x long-doc (n_chars >= 1000):
+    // ordered ln-factorial cumsum, ordered tail sum over k
+    "q381_fisher_exact" -> ((s, dir) => {
+      val flags = docs(s, dir).select(
+        (col("lang") === "en").cast("int").as("fa"),
+        (col("n_chars") >= 1000L).cast("int").as("fb"))
+      graft.operators.StatTests.fisherExact(flags, "fa", "fb")
+        .select(col("a"), col("b"), col("c"), col("d"),
+          r6(col("p_greater")).as("p_greater"))
+    }),
+
+    // Chapman capture-recapture: users active in days 1-15 vs 16-31
+    // estimate the total engaged population
+    "q382_capture_recapture" -> ((s, dir) => {
+      val flags = ev(s, dir).groupBy(col("user_id"))
+        .agg(max(when(dayofmonth(col("ts")) <= 15, 1).otherwise(0)).as("f1"),
+          max(when(dayofmonth(col("ts")) >= 16, 1).otherwise(0)).as("f2"))
+      graft.operators.StatTests.chapman(flags, "f1", "f2")
+        .select(col("n1"), col("n2"), col("m"), r6(col("n_hat")).as("n_hat"),
+          r6(col("se")).as("se"))
+    }),
+
+    // Good-Turing smoothing of the corpus term-frequency table, r = 1..5
+    "q383_good_turing" -> ((s, dir) => {
+      graft.operators.TextAnalysis.goodTuring(docs(s, dir), "text", maxR = 5)
+        .select(col("r"), col("n_r"), col("n_r_next"),
+          r6(col("r_star")).as("r_star"), r6(col("p_unseen")).as("p_unseen"))
+        .orderBy("r")
+    }),
+
+    // Lin's concordance: does the daily view count reproduce the daily
+    // click count (agreement, not just correlation)?
+    "q384_ccc" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+      graft.operators.StatTests.concordance(daily, Nil, "x", "y")
+        .select(col("n"), r6(col("pearson")).as("pearson"),
+          r6(col("ccc")).as("ccc"))
+    }),
+
+    // switchback readout: alternate-day arms (day % 2), Welch t on daily
+    // total value via explicit moment sums
+    "q385_switchback" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+        .withColumn("arm", pmod(dayofmonth(col("d")), lit(2)))
+      val agged = daily.agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("v")).otherwise(lit(0.0))).as("_s1"),
+        sum(when(col("arm") === 1, col("v") * col("v")).otherwise(lit(0.0))).as("_q1"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("v")).otherwise(lit(0.0))).as("_s0"),
+        sum(when(col("arm") === 0, col("v") * col("v")).otherwise(lit(0.0))).as("_q0"))
+      val n1 = col("n1").cast("double"); val n0 = col("n0").cast("double")
+      val m1 = col("_s1") / n1; val m0 = col("_s0") / n0
+      val v1 = (col("_q1") - col("_s1") * col("_s1") / n1) / (n1 - lit(1.0))
+      val v0 = (col("_q0") - col("_s0") * col("_s0") / n0) / (n0 - lit(1.0))
+      val ok = col("n1") >= 2 && col("n0") >= 2
+      agged
+        .withColumn("effect", when(ok, m1 - m0))
+        .withColumn("t_stat", when(ok && (v1 / n1 + v0 / n0) > 0,
+          (m1 - m0) / sqrt(v1 / n1 + v0 / n0)))
+        .select(col("n1"), col("n0"), r6(col("effect")).as("effect"),
+          r6(col("t_stat")).as("t_stat"))
     })
   )
 
@@ -12416,8 +12495,174 @@ object SparkEntry {
         |  FROM a)
         |SELECT n_a, n_b, round(ab_stat, 6) AS ab_stat,
         |  round(CASE WHEN var > 0 THEN (ab_stat - e)/sqrt(var) END, 6) AS z
-        |FROM z""".stripMargin
+        |FROM z""".stripMargin,
+
+    "q380_textrank" -> textRankSql(topN = 40, iterations = 4, damping = 0.85),
+
+    // ordered ln-factorial cumsum (0..n), lookup joins, ordered tail sum
+    "q381_fisher_exact" ->
+      """WITH f AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS fa,
+        |    CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END AS fb FROM documents),
+        |cc AS (SELECT
+        |    sum(CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN fa = 1 AND fb = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN fa = 0 AND fb = 1 THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN fa = 0 AND fb = 0 THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM f),
+        |c2 AS (SELECT *, a + b + c + d AS n, a + b AS r1, c + d AS r2,
+        |    a + c AS c1 FROM cc),
+        |seq AS (SELECT row_number() OVER () - 1 AS i FROM documents
+        |  UNION ALL SELECT count(*) FROM documents),
+        |lf AS (SELECT i, sum(CASE WHEN i >= 1 THEN ln(i::DOUBLE) ELSE 0.0 END)
+        |    OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v FROM seq),
+        |ks AS (SELECT c2.*, lf.i AS k FROM c2 JOIN lf
+        |  ON lf.i BETWEEN c2.a AND least(c2.r1, c2.c1)),
+        |t AS (SELECT ks.k, ks.a, ks.b, ks.c, ks.d,
+        |    lk.v AS lf_k, lr1k.v AS lf_r1k, lc1k.v AS lf_c1k,
+        |    lr2x.v AS lf_r2x, lr1.v AS lf_r1, lr2.v AS lf_r2,
+        |    lnn.v AS lf_n, lc1.v AS lf_c1, lnc1.v AS lf_nc1
+        |  FROM ks
+        |  JOIN lf lk ON lk.i = ks.k
+        |  JOIN lf lr1k ON lr1k.i = ks.r1 - ks.k
+        |  JOIN lf lc1k ON lc1k.i = ks.c1 - ks.k
+        |  JOIN lf lr2x ON lr2x.i = ks.r2 - ks.c1 + ks.k
+        |  JOIN lf lr1 ON lr1.i = ks.r1
+        |  JOIN lf lr2 ON lr2.i = ks.r2
+        |  JOIN lf lnn ON lnn.i = ks.n
+        |  JOIN lf lc1 ON lc1.i = ks.c1
+        |  JOIN lf lnc1 ON lnc1.i = ks.n - ks.c1),
+        |p AS (SELECT k, a, b, c, d,
+        |    sum(exp(lf_r1 - lf_k - lf_r1k + (lf_r2 - lf_c1k - lf_r2x)
+        |      - (lf_n - lf_c1 - lf_nc1)))
+        |      OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |        CURRENT ROW) AS cum,
+        |    row_number() OVER (ORDER BY k DESC) AS rn
+        |  FROM t)
+        |SELECT a, b, c, d, round(cum, 6) AS p_greater FROM p WHERE rn = 1""".stripMargin,
+
+    "q382_capture_recapture" ->
+      """WITH fl AS (SELECT user_id,
+        |    max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS f1,
+        |    max(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS f2
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT sum(CASE WHEN f1 = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN f2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(CASE WHEN f1 = 1 AND f2 = 1 THEN 1 ELSE 0 END)::BIGINT AS m
+        |  FROM fl)
+        |SELECT n1, n2, m,
+        |  round((n1 + 1)::DOUBLE * (n2 + 1)::DOUBLE / (m + 1)::DOUBLE - 1.0, 6)
+        |    AS n_hat,
+        |  round(sqrt((n1 + 1)::DOUBLE * (n2 + 1)::DOUBLE * (n1 - m)::DOUBLE
+        |    * (n2 - m)::DOUBLE / ((m + 1)::DOUBLE * (m + 1)::DOUBLE
+        |    * (m + 2)::DOUBLE)), 6) AS se
+        |FROM a""".stripMargin,
+
+    "q383_good_turing" ->
+      """WITH tf AS (SELECT term, count(*) AS r FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+        |      '\s+'), x -> x <> '')) AS term FROM documents) GROUP BY 1),
+        |nr AS (SELECT r, count(*) AS n_r FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(r)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN r = 1 THEN 1 ELSE 0 END)::BIGINT AS n1 FROM tf),
+        |rs AS (SELECT unnest(generate_series(1, 5)) AS r)
+        |SELECT rs.r::BIGINT AS r, coalesce(a.n_r, 0)::BIGINT AS n_r,
+        |  coalesce(b.n_r, 0)::BIGINT AS n_r_next,
+        |  round(CASE WHEN coalesce(a.n_r, 0) > 0 AND coalesce(b.n_r, 0) > 0
+        |    THEN (rs.r + 1)::DOUBLE * b.n_r::DOUBLE / a.n_r::DOUBLE END, 6)
+        |    AS r_star,
+        |  round(tot.n1::DOUBLE / tot.n_tokens::DOUBLE, 6) AS p_unseen
+        |FROM rs LEFT JOIN nr a ON a.r = rs.r
+        |  LEFT JOIN nr b ON b.r = rs.r + 1, tot
+        |ORDER BY 1""".stripMargin,
+
+    "q384_ccc" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS n, sum(x::DOUBLE) AS sx,
+        |    sum(y::DOUBLE) AS sy, sum(x::DOUBLE * x::DOUBLE) AS sxx,
+        |    sum(y::DOUBLE * y::DOUBLE) AS syy,
+        |    sum(x::DOUBLE * y::DOUBLE) AS sxy FROM daily),
+        |c AS (SELECT n, sx/n::DOUBLE AS mx, sy/n::DOUBLE AS my,
+        |    sxx/n::DOUBLE - (sx/n::DOUBLE)*(sx/n::DOUBLE) AS vx,
+        |    syy/n::DOUBLE - (sy/n::DOUBLE)*(sy/n::DOUBLE) AS vy,
+        |    sxy/n::DOUBLE - (sx/n::DOUBLE)*(sy/n::DOUBLE) AS cxy
+        |  FROM a)
+        |SELECT n,
+        |  round(CASE WHEN n >= 2 AND vx > 0 AND vy > 0 THEN
+        |    cxy/sqrt(vx*vy) END, 6) AS pearson,
+        |  round(CASE WHEN n >= 2 AND vx > 0 AND vy > 0 THEN
+        |    2.0*cxy/(vx + vy + (mx - my)*(mx - my)) END, 6) AS ccc
+        |FROM c""".stripMargin,
+
+    "q385_switchback" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1),
+        |arm AS (SELECT v, day(d) % 2 AS arm FROM daily),
+        |a AS (SELECT
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN arm = 1 THEN v ELSE 0.0 END) AS s1,
+        |    sum(CASE WHEN arm = 1 THEN v*v ELSE 0.0 END) AS q1,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN arm = 0 THEN v ELSE 0.0 END) AS s0,
+        |    sum(CASE WHEN arm = 0 THEN v*v ELSE 0.0 END) AS q0
+        |  FROM arm),
+        |c AS (SELECT n1, n0, s1/n1::DOUBLE AS m1, s0/n0::DOUBLE AS m0,
+        |    (q1 - s1*s1/n1::DOUBLE)/(n1::DOUBLE - 1.0) AS v1,
+        |    (q0 - s0*s0/n0::DOUBLE)/(n0::DOUBLE - 1.0) AS v0
+        |  FROM a)
+        |SELECT n1, n0,
+        |  round(CASE WHEN n1 >= 2 AND n0 >= 2 THEN m1 - m0 END, 6) AS effect,
+        |  round(CASE WHEN n1 >= 2 AND n0 >= 2
+        |      AND (v1/n1::DOUBLE + v0/n0::DOUBLE) > 0 THEN
+        |    (m1 - m0)/sqrt(v1/n1::DOUBLE + v0/n0::DOUBLE) END, 6) AS t_stat
+        |FROM c""".stripMargin
   )
+
+  /** q380's oracle: the same bounded-node TextRank rounds as
+    * [[graft.operators.TextAnalysis.textRank]], unrolled — bigrams from
+    * PARALLEL unnests of shifted list slices (DuckDB's generate_series
+    * rejects lateral column args), one vote+renormalize CTE pair per
+    * round, damping constants emitted with the exact JVM doubles.
+    */
+  private def textRankSql(topN: Int, iterations: Int, damping: Double): String = {
+    def lit17(x: Double): String = "%.17g".format(x)
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH w AS (SELECT list_filter(regexp_split_to_array(trim(lower(text)),
+         |    '\\s+'), x -> x <> '') AS ws FROM documents),
+         |wnz AS (SELECT ws FROM w WHERE len(ws) > 0),
+         |nf AS (SELECT term, count(*) AS freq FROM (
+         |    SELECT unnest(ws) AS term FROM wnz) GROUP BY 1
+         |  ORDER BY freq DESC, term LIMIT $topN),
+         |bi AS (SELECT unnest(list_slice(ws, 1, len(ws) - 1)) AS a,
+         |    unnest(list_slice(ws, 2, len(ws))) AS b
+         |  FROM wnz WHERE len(ws) >= 2),
+         |bf AS (SELECT least(a, b) AS x, greatest(a, b) AS y, count(*) AS w
+         |  FROM bi WHERE a <> b AND a IN (SELECT term FROM nf)
+         |    AND b IN (SELECT term FROM nf)
+         |  GROUP BY 1, 2),
+         |dir AS (SELECT x AS src, y AS dst, w FROM bf
+         |  UNION ALL SELECT y, x, w FROM bf),
+         |st AS (SELECT src, sum(w) AS wsrc FROM dir GROUP BY 1),
+         |dd AS (SELECT d.src, d.dst, d.w, st.wsrc FROM dir d JOIN st USING (src)),
+         |it0 AS (SELECT term, 1.0 AS s FROM nf)""".stripMargin)
+    for (t <- 1 to iterations) {
+      sb.append(s""",
+        |v$t AS (SELECT dd.dst AS term,
+        |    sum(dd.w::DOUBLE/dd.wsrc::DOUBLE * p.s) AS vin
+        |  FROM dd JOIN it${t - 1} p ON dd.src = p.term GROUP BY 1),
+        |it$t AS (SELECT nf.term,
+        |    ${lit17(1.0 - damping)} + ${lit17(damping)} * coalesce(v$t.vin, 0.0) AS s
+        |  FROM nf LEFT JOIN v$t USING (term))""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT nf.term, nf.freq::BIGINT AS freq, round(it$iterations.s, 6) AS score
+      |FROM nf JOIN it$iterations USING (term) ORDER BY 1""".stripMargin)
+    sb.toString
+  }
 
   /** q376's oracle: the [[graft.operators.StatTests.moodMedian]] explicit
     * lower-middle order statistic plus the 2×k χ² cells, generated so the

@@ -611,4 +611,122 @@ object StatTests {
       .select((keys :+ col("n") :+ col("slope") :+ col("r2_aux") :+
         col("lm")): _*)
   }
+
+  /** Fisher's exact test (one-sided, greater) on a 2×2 table built from
+    * two 0/1 flags per unit: a = both, b = A only, c = B only, d = neither;
+    * `p = Σ_{k≥a} C(r1,k)·C(r2,c1−k) / C(n,c1)` over the feasible k range.
+    * Log-factorials come from an ORDERED cumulative sum of ln(i) over
+    * 1..n (ascending window — both engines accumulate in the identical
+    * order), and the tail probability is the final row of an ordered
+    * cumulative sum over k — no shuffled float reduction anywhere. The
+    * ln-factorial table is O(n) rows through a single ordered window:
+    * this is the SMALL-n exact test (contingency cells after aggregation);
+    * at raw-corpus n use the χ² family (q187/q249) instead. Output: one
+    * row (a, b, c, d, p_greater).
+    */
+  def fisherExact(df: DataFrame, flagACol: String, flagBCol: String): DataFrame = {
+    val fa = col(flagACol).cast("long")
+    val fb = col(flagBCol).cast("long")
+    val counts = df.agg(
+        sum(when(fa === 1L && fb === 1L, 1L).otherwise(0L)).as("a"),
+        sum(when(fa === 1L && fb === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(fa === 0L && fb === 1L, 1L).otherwise(0L)).as("c"),
+        sum(when(fa === 0L && fb === 0L, 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("r1", col("a") + col("b"))
+      .withColumn("r2", col("c") + col("d"))
+      .withColumn("c1", col("a") + col("c"))
+    // lnfact(i) for i in 0..n via ordered cumsum (row i=0 contributes 0)
+    val lf = counts.select(explode(sequence(lit(0L), col("n"))).as("i"))
+      .withColumn("v", sum(when(col("i") >= 1L,
+        log(col("i").cast("double"))).otherwise(lit(0.0)))
+        .over(Window.orderBy(col("i"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def look(tag: String, key: Column) = lf
+      .select(col("i").as(s"_i$tag"), col("v").as(s"lf_$tag"))
+      .join(counts.select(key.as(s"_k$tag")),
+        col(s"_i$tag") === col(s"_k$tag")).select(col(s"lf_$tag"))
+    // constant part: ln C(n, c1) pieces + row-margin factorials
+    val const = counts
+      .crossJoin(look("r1", col("r1"))).crossJoin(look("r2", col("r2")))
+      .crossJoin(look("n", col("n"))).crossJoin(look("c1", col("c1")))
+      .crossJoin(look("nc1", col("n") - col("c1")))
+    val ks = const.withColumn("k",
+      explode(sequence(col("a"), least(col("r1"), col("c1")))))
+    val terms = ks
+      .join(lf.select(col("i").as("k"), col("v").as("lf_k")), "k")
+      .join(lf.select((col("i")).as("_rk"), col("v").as("lf_r1k")),
+        col("_rk") === col("r1") - col("k"))
+      .join(lf.select(col("i").as("_ck"), col("v").as("lf_c1k")),
+        col("_ck") === col("c1") - col("k"))
+      .join(lf.select(col("i").as("_xk"), col("v").as("lf_r2x")),
+        col("_xk") === col("r2") - col("c1") + col("k"))
+      .withColumn("_lnp",
+        col("lf_r1") - col("lf_k") - col("lf_r1k") +
+          (col("lf_r2") - col("lf_c1k") - col("lf_r2x")) -
+          (col("lf_n") - col("lf_c1") - col("lf_nc1")))
+      .withColumn("_cum", sum(exp(col("_lnp"))).over(Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_rn", row_number().over(Window.orderBy(col("k").desc)))
+      .filter(col("_rn") === 1)
+    terms.select(col("a"), col("b"), col("c"), col("d"),
+      col("_cum").as("p_greater"))
+  }
+
+  /** Chapman capture–recapture estimator (Chapman 1951): from two capture
+    * flags per unit, `N̂ = (n₁+1)(n₂+1)/(m+1) − 1` with variance
+    * `(n₁+1)(n₂+1)(n₁−m)(n₂−m) / ((m+1)²(m+2))` — the bias-corrected
+    * Lincoln–Petersen population estimate. The web-scale use: two crawl
+    * passes over the same host estimate how many pages the crawler has
+    * NOT seen. Pure integer margins (bit-exact). Output: one row
+    * (n1, n2, m, n_hat, se).
+    */
+  def chapman(df: DataFrame, flag1Col: String, flag2Col: String): DataFrame = {
+    val f1 = col(flag1Col).cast("long")
+    val f2 = col(flag2Col).cast("long")
+    df.agg(sum(when(f1 === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(f2 === 1L, 1L).otherwise(0L)).as("n2"),
+        sum(when(f1 === 1L && f2 === 1L, 1L).otherwise(0L)).as("m"))
+      .withColumn("n_hat",
+        (col("n1") + 1L).cast("double") * (col("n2") + 1L).cast("double") /
+          (col("m") + 1L).cast("double") - lit(1.0))
+      .withColumn("se", sqrt(
+        (col("n1") + 1L).cast("double") * (col("n2") + 1L).cast("double") *
+          (col("n1") - col("m")).cast("double") *
+          (col("n2") - col("m")).cast("double") /
+          ((col("m") + 1L).cast("double") * (col("m") + 1L).cast("double") *
+            (col("m") + 2L).cast("double"))))
+      .select(col("n1"), col("n2"), col("m"), col("n_hat"), col("se"))
+  }
+
+  /** Lin's concordance correlation coefficient per key (Lin 1989):
+    * `CCC = 2·c_xy / (v_x + v_y + (m_x − m_y)²)` on POPULATION moments —
+    * penalizes both scatter (like Pearson) and systematic bias (unlike
+    * Pearson), the right agreement score for "does the cheap tier
+    * reproduce the exact tier". Pearson r emitted alongside for the
+    * decomposition CCC = r·C_b. One aggregate pass. Output:
+    * (keys..., n, pearson, ccc); null on zero variance.
+    */
+  def concordance(df: DataFrame, keyCols: Seq[String], xCol: String,
+                  yCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val agged = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * x).as("_sxx"), sum(y * y).as("_syy"), sum(x * y).as("_sxy"))
+    val n = col("n").cast("double")
+    val mx = col("_sx") / n
+    val my = col("_sy") / n
+    val vx = col("_sxx") / n - mx * mx
+    val vy = col("_syy") / n - my * my
+    val cxy = col("_sxy") / n - mx * my
+    val ok = col("n") >= 2 && vx > 0 && vy > 0
+    agged
+      .withColumn("pearson", when(ok, cxy / sqrt(vx * vy)))
+      .withColumn("ccc", when(ok,
+        lit(2.0) * cxy / (vx + vy + (mx - my) * (mx - my))))
+      .select((keys :+ col("n") :+ col("pearson") :+ col("ccc")): _*)
+  }
 }

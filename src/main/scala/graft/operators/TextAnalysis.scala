@@ -710,4 +710,86 @@ object TextAnalysis {
         exp(col("_sy") / col("_nd") - col("beta") * (col("_sx") / col("_nd"))))
       .select((keys :+ col("n_docs") :+ col("beta") :+ col("k")): _*)
   }
+
+  /** TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over the
+    * word co-occurrence graph — nodes are the `topN` corpus terms (total
+    * frequency, ties broken by term — a distributed TakeOrdered cut, never
+    * a full-vocab window), edges are ADJACENT-token pairs whose both ends
+    * survive the cut, undirected with co-occurrence weights. `iterations`
+    * rounds of `s_i = (1−d) + d·Σ_{j∼i} (w_ij / W_j)·s_j` from the all-ones
+    * start (W_j = total incident weight). Per-round cost is one broadcast-
+    * size join on the bounded node set — the corpus-size work is only the
+    * single bigram aggregation. Output: (term, freq, score) for all topN
+    * nodes (rank downstream on the ROUNDED score, term tiebreak — the
+    * cross-engine rank-cut rule).
+    */
+  def textRank(docs: DataFrame, textCol: String, topN: Int = 50,
+               iterations: Int = 4, damping: Double = 0.85): DataFrame = {
+    require(topN >= 2 && iterations >= 1)
+    val ws = docs.select(words(lower(col(textCol))).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val nodes = ws.select(explode(col("ws")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(topN)
+    val pairs = ws.filter(size(col("ws")) >= 2)
+      .select(col("ws"), explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+      .select(element_at(col("ws"), col("i")).as("a"),
+        element_at(col("ws"), col("i") + 1).as("b"))
+      .filter(col("a") =!= col("b"))
+      .join(broadcast(nodes.select(col("term").as("a"))), "a")
+      .join(broadcast(nodes.select(col("term").as("b"))), "b")
+      .select(least(col("a"), col("b")).as("x"),
+        greatest(col("a"), col("b")).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("w"))
+    // directed both ways; out-strength of the SOURCE divides its vote
+    val dir0 = pairs.select(col("x").as("src"), col("y").as("dst"), col("w"))
+      .unionByName(pairs.select(col("y").as("src"), col("x").as("dst"), col("w")))
+    val strength = dir0.groupBy(col("src")).agg(sum(col("w")).as("wsrc"))
+    val dir = dir0.join(strength, "src").localCheckpoint()
+    var scores = nodes.select(col("term"), lit(1.0).as("score"))
+    for (_ <- 1 to iterations) {
+      val votes = dir.join(scores.withColumnRenamed("term", "src"), "src")
+        .groupBy(col("dst").as("term"))
+        .agg(sum(col("w").cast("double") / col("wsrc").cast("double") *
+          col("score")).as("_in"))
+      scores = nodes.select(col("term"))
+        .join(votes, Seq("term"), "left")
+        .select(col("term"), (lit(1.0 - damping) +
+          lit(damping) * coalesce(col("_in"), lit(0.0))).as("score"))
+    }
+    nodes.join(scores, "term").select(col("term"), col("freq"), col("score"))
+  }
+
+  /** Good–Turing frequency smoothing over the corpus vocabulary (Good
+    * 1953): with N_r = #terms seen exactly r times, the adjusted count is
+    * `r* = (r+1)·N_{r+1}/N_r` and the unseen-mass estimate is
+    * `p0 = N_1/N` (N = total tokens). The workhorse sanity check for
+    * language-model count tables: r* far from r flags an unreliable
+    * frequency band. Pure integer count arithmetic (bit-exact
+    * cross-engine). Output: one row per r in 1..maxR:
+    * (r, n_r, n_r_next, r_star, p_unseen); r_star null when N_r or
+    * N_{r+1} is 0.
+    */
+  def goodTuring(docs: DataFrame, textCol: String, maxR: Int = 5): DataFrame = {
+    require(maxR >= 1)
+    val tf = docs.select(explode(words(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("r"))
+    val nr = tf.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val tot = tf.agg(sum(col("r")).as("_n_tokens"),
+      sum(when(col("r") === 1L, 1L).otherwise(0L)).as("_n1"))
+    val rs = docs.sparkSession.range(1, maxR + 1).toDF("r")
+    rs.join(broadcast(nr), Seq("r"), "left")
+      .join(broadcast(nr.select((col("r") - 1L).as("r"),
+        col("n_r").as("n_r_next"))), Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("n_r", coalesce(col("n_r"), lit(0L)))
+      .withColumn("n_r_next", coalesce(col("n_r_next"), lit(0L)))
+      .withColumn("r_star", when(col("n_r") > 0 && col("n_r_next") > 0,
+        (col("r") + 1L).cast("double") * col("n_r_next").cast("double") /
+          col("n_r").cast("double")))
+      .withColumn("p_unseen",
+        col("_n1").cast("double") / col("_n_tokens").cast("double"))
+      .select(col("r"), col("n_r"), col("n_r_next"), col("r_star"),
+        col("p_unseen"))
+  }
 }

@@ -258,4 +258,75 @@ class StatTestsSpec extends SparkSuite {
     assert(approxEq(r.getAs[Double]("ab_stat"), 6.0, 1e-12))
     assert(approxEq(r.getAs[Double]("z"), -2.3664319132398464, 1e-12))
   }
+
+  test("fisherExact: 2x2 (3,1,2,4) one-sided p = 11/42 (exact-fraction golden)") {
+    val rows = Seq((1, 1), (1, 1), (1, 1), (1, 0), (0, 1), (0, 1),
+      (0, 0), (0, 0), (0, 0), (0, 0))
+    val df = rows.toDF("fa", "fb")
+    val r = StatTests.fisherExact(df, "fa", "fb").collect()(0)
+    assert((r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c"),
+      r.getAs[Long]("d")) === ((3L, 1L, 2L, 4L)))
+    assert(approxEq(r.getAs[Double]("p_greater"), 0.2619047619047619, 1e-9))
+    // the whole-table extreme: a = r1 -> p = single-term hypergeometric
+    val ext = Seq((1, 1), (1, 1), (0, 0), (0, 0)).toDF("fa", "fb")
+    val re = StatTests.fisherExact(ext, "fa", "fb").collect()(0)
+    assert(approxEq(re.getAs[Double]("p_greater"), 1.0 / 6.0, 1e-9))
+  }
+
+  test("chapman: (60, 50, 20) golden; recapturing everything collapses to n1") {
+    val units = (1 to 100).map { i =>
+      (i, if (i <= 60) 1 else 0, if (i > 40 && i <= 60) 1 else if (i > 60 && i <= 90) 1 else 0)
+    }
+    val df = units.toDF("id", "f1", "f2")
+    val r = StatTests.chapman(df, "f1", "f2").collect()(0)
+    assert((r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("m")) ===
+      ((60L, 50L, 20L)))
+    assert(approxEq(r.getAs[Double]("n_hat"), 147.14285714285714, 1e-12))
+    assert(approxEq(r.getAs[Double]("se"), 19.61597924982332, 1e-12))
+    // full recapture: m = n1 = n2 -> n_hat = n1, se = 0
+    val full = (1 to 30).map(i => (i, 1, 1)).toDF("id", "f1", "f2")
+    val rf = StatTests.chapman(full, "f1", "f2").collect()(0)
+    assert(approxEq(rf.getAs[Double]("n_hat"), 30.0, 1e-12))
+    assert(rf.getAs[Double]("se") === 0.0)
+  }
+
+  test("concordance: CCC penalizes bias, Pearson does not") {
+    val x = Seq(1.0, 2, 3, 4, 5, 6)
+    val y = Seq(1.2, 1.9, 3.4, 3.9, 5.1, 6.3)
+    val df = x.zip(y).toDF("x", "y")
+    val r = StatTests.concordance(df, Nil, "x", "y").collect()(0)
+    assert(approxEq(r.getAs[Double]("pearson"), 0.9942996299513437, 1e-12))
+    assert(approxEq(r.getAs[Double]("ccc"), 0.9910913140311803, 1e-12))
+    // constant shift: pearson unchanged at 1 for y = x + 5, ccc collapses
+    val shifted = x.map(v => (v, v + 5.0)).toDF("x", "y")
+    val rs = StatTests.concordance(shifted, Nil, "x", "y").collect()(0)
+    assert(approxEq(rs.getAs[Double]("pearson"), 1.0, 1e-12))
+    assert(rs.getAs[Double]("ccc") < 0.25)
+  }
+
+  test("textRank: tiny 3-node chain golden (hub scores highest)") {
+    import graft.operators.TextAnalysis
+    val df = Seq("a b a c", "b c b").toDF("text")
+    val got = TextAnalysis.textRank(df, "text", topN = 3, iterations = 4)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("freq"),
+        r.getAs[Double]("score"))).sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq("a", "b", "c"))
+    assert(got.map(_._2).toSeq === Seq(2L, 3L, 2L))
+    assert(approxEq(got(0)._3, 0.9188984567901234, 1e-9))
+    assert(approxEq(got(1)._3, 1.162203086419753, 1e-9))
+    assert(approxEq(got(2)._3, 0.9188984567901234, 1e-9))
+  }
+
+  test("goodTuring: freq table [1,1,1,2,2,3] gives r1* = 4/3, r2* = 3/2, p0 = 0.3") {
+    import graft.operators.TextAnalysis
+    // six terms with freqs 1,1,1,2,2,3 -> 10 tokens
+    val df = Seq("t1 t2 t3 t4 t4 t5 t5 t6 t6 t6").toDF("text")
+    val got = TextAnalysis.goodTuring(df, "text", maxR = 3)
+      .collect().sortBy(_.getAs[Long]("r"))
+    assert(got.map(_.getAs[Long]("n_r")).toSeq === Seq(3L, 2L, 1L))
+    assert(approxEq(got(0).getAs[Double]("r_star"), 4.0 / 3.0, 1e-12))
+    assert(approxEq(got(1).getAs[Double]("r_star"), 1.5, 1e-12))
+    assert(got(2).isNullAt(got(2).fieldIndex("r_star"))) // N_4 = 0
+    assert(approxEq(got(0).getAs[Double]("p_unseen"), 0.3, 1e-12))
+  }
 }
