@@ -5442,6 +5442,90 @@ object SparkEntry {
           (m1 - m0) / sqrt(v1 / n1 + v0 / n0)))
         .select(col("n1"), col("n0"), r6(col("effect")).as("effect"),
           r6(col("t_stat")).as("t_stat"))
+    }),
+
+    // AMS F2 sketch on the corpus term-frequency table: 8 md5-signed
+    // counters (exact integers) vs the exact second moment
+    "q386_ams_f2" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(explode(graft.functions.Hashing.words(lower(col("text"))))
+          .as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      graft.operators.Sketch.amsF2(tf, "term", "cnt", rows = 8)
+        .select(col("n_items"), col("f2_exact"), r6(col("f2_est")).as("f2_est"),
+          r6(col("rel_err")).as("rel_err"))
+    }),
+
+    // Dunning G2 keyness between even/odd doc halves (q245's split) — the
+    // log-likelihood twin of the odds-ratio distinctive terms
+    "q387_keyness" -> ((s, dir) => {
+      graft.operators.TextAnalysis.keynessG2(
+          docs(s, dir).withColumn("is_even", pmod(col("doc_id"), lit(2L)) === 0L),
+          "text", "is_even", minCount = 50L)
+        .select(col("term"), col("y_a"), col("y_b"), r6(col("g2")).as("g2"),
+          col("over"))
+        .orderBy("term")
+    }),
+
+    // Woolf odds-ratio CI on the q381 2x2 (lang=en x n_chars >= 1000)
+    "q388_odds_ci" -> ((s, dir) => {
+      val cells = docs(s, dir).agg(
+        sum(when(col("lang") === "en" && col("n_chars") >= 1000L, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("lang") === "en" && col("n_chars") < 1000L, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("lang") =!= "en" && col("n_chars") >= 1000L, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("lang") =!= "en" && col("n_chars") < 1000L, 1L)
+          .otherwise(0L)).as("d"))
+      val ok = col("a") >= 1L && col("b") >= 1L && col("c") >= 1L &&
+        col("d") >= 1L
+      val or = col("a").cast("double") * col("d").cast("double") /
+        (col("b").cast("double") * col("c").cast("double"))
+      val se = sqrt(lit(1.0) / col("a").cast("double") +
+        lit(1.0) / col("b").cast("double") +
+        lit(1.0) / col("c").cast("double") + lit(1.0) / col("d").cast("double"))
+      cells
+        .withColumn("odds_ratio", when(ok, or))
+        .withColumn("ci_lo", when(ok, exp(log(or) - lit(1.96) * se)))
+        .withColumn("ci_hi", when(ok, exp(log(or) + lit(1.96) * se)))
+        .select(col("a"), col("b"), col("c"), col("d"),
+          r6(col("odds_ratio")).as("odds_ratio"), r6(col("ci_lo")).as("ci_lo"),
+          r6(col("ci_hi")).as("ci_hi"))
+    }),
+
+    // Cox-Stuart paired-halves trend sign test on daily counts per type
+    "q389_cox_stuart" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.coxStuart(daily, Seq("event_type"), "d", "cnt")
+        .select(col("event_type"), col("n"), col("m"), col("s_plus"),
+          r6(col("z")).as("z"))
+        .orderBy("event_type")
+    }),
+
+    // Wilcoxon signed-rank on the paired daily (click, view) counts —
+    // the paired cousin of q179's Mann-Whitney
+    "q390_wilcoxon_sr" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+      graft.operators.StatTests.wilcoxonSignedRank(daily, "x", "y")
+        .select(col("n_pairs"), col("n_nonzero"), r6(col("w_plus")).as("w_plus"),
+          r6(col("z")).as("z"))
+    }),
+
+    // Bartlett variance-homogeneity across the five types' daily counts —
+    // the normal-theory complement of q321's Brown-Forsythe
+    "q391_bartlett" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "error", "signup")
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.bartlett(daily, "event_type", types, "cnt")
+        .select(col("n"), r6(col("chi2")).as("chi2"))
     })
   )
 
@@ -12618,8 +12702,154 @@ object SparkEntry {
         |  round(CASE WHEN n1 >= 2 AND n0 >= 2
         |      AND (v1/n1::DOUBLE + v0/n0::DOUBLE) > 0 THEN
         |    (m1 - m0)/sqrt(v1/n1::DOUBLE + v0/n0::DOUBLE) END, 6) AS t_stat
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "q386_ams_f2" -> amsF2Sql(rows = 8),
+
+    // same integer term counts, equal-rate expectations, x*ln(x/E) terms
+    "q387_keyness" ->
+      """WITH t AS (SELECT (doc_id % 2 = 0) AS fl,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+        |      '\s+'), x -> x <> '')) AS term FROM documents),
+        |tf0 AS (SELECT term,
+        |    sum(CASE WHEN fl THEN 1 ELSE 0 END)::BIGINT AS y_a,
+        |    sum(CASE WHEN NOT fl THEN 1 ELSE 0 END)::BIGINT AS y_b
+        |  FROM t GROUP BY 1),
+        |tf AS (SELECT * FROM tf0 WHERE y_a + y_b >= 50),
+        |tot AS (SELECT sum(y_a)::DOUBLE AS na, sum(y_b)::DOUBLE AS nb FROM tf)
+        |SELECT term, y_a, y_b,
+        |  round(2.0 * (
+        |    CASE WHEN y_a > 0 THEN y_a::DOUBLE * ln(y_a::DOUBLE
+        |      / (na * (y_a + y_b)::DOUBLE / (na + nb))) ELSE 0.0 END
+        |    + CASE WHEN y_b > 0 THEN y_b::DOUBLE * ln(y_b::DOUBLE
+        |      / (nb * (y_a + y_b)::DOUBLE / (na + nb))) ELSE 0.0 END), 6) AS g2,
+        |  CASE WHEN y_a::DOUBLE * nb > y_b::DOUBLE * na THEN 'a' ELSE 'b' END
+        |    AS over
+        |FROM tf, tot ORDER BY term""".stripMargin,
+
+    "q388_odds_ci" ->
+      """WITH c AS (SELECT
+        |    sum(CASE WHEN lang = 'en' AND n_chars >= 1000 THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN lang = 'en' AND n_chars < 1000 THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN lang <> 'en' AND n_chars >= 1000 THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN lang <> 'en' AND n_chars < 1000 THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM documents),
+        |o AS (SELECT a, b, c, d,
+        |    a::DOUBLE * d::DOUBLE / (b::DOUBLE * c::DOUBLE) AS orr,
+        |    sqrt(1.0/a::DOUBLE + 1.0/b::DOUBLE + 1.0/c::DOUBLE
+        |      + 1.0/d::DOUBLE) AS se,
+        |    (a >= 1 AND b >= 1 AND c >= 1 AND d >= 1) AS ok
+        |  FROM c)
+        |SELECT a, b, c, d,
+        |  round(CASE WHEN ok THEN orr END, 6) AS odds_ratio,
+        |  round(CASE WHEN ok THEN exp(ln(orr) - 1.96*se) END, 6) AS ci_lo,
+        |  round(CASE WHEN ok THEN exp(ln(orr) + 1.96*se) END, 6) AS ci_hi
+        |FROM o""".stripMargin,
+
+    // pair x_i with x_{i+ceil(n/2)}; binomial(m, 1/2) normal approximation
+    "q389_cox_stuart" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |s1 AS (SELECT event_type, cnt::DOUBLE AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily),
+        |s2 AS (SELECT *, ceil(n::DOUBLE/2.0)::BIGINT AS h FROM s1),
+        |j AS (SELECT a.event_type, max(a.n) AS n,
+        |    sum(CASE WHEN b.v > a.v THEN 1 ELSE 0 END)::BIGINT AS s_plus,
+        |    sum(CASE WHEN b.v <> a.v THEN 1 ELSE 0 END)::BIGINT AS m
+        |  FROM s2 a JOIN s2 b ON a.event_type = b.event_type
+        |    AND b.rn = a.rn + a.h
+        |  WHERE a.rn <= a.n - a.h GROUP BY 1)
+        |SELECT event_type, n::BIGINT AS n, m, s_plus,
+        |  round(CASE WHEN m > 0 THEN
+        |    (s_plus::DOUBLE - m::DOUBLE/2.0)/sqrt(m::DOUBLE/4.0) END, 6) AS z
+        |FROM j ORDER BY 1""".stripMargin,
+
+    // midranks of |d| over nonzero pairs; tie-corrected variance
+    "q390_wilcoxon_sr" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT (x - y)::DOUBLE AS dd, abs((x - y)::DOUBLE) AS ad
+        |  FROM daily),
+        |nz AS (SELECT dd, ad FROM b WHERE dd <> 0.0),
+        |r AS (SELECT dd,
+        |    rank() OVER (ORDER BY ad)
+        |      + (count(*) OVER (PARTITION BY ad) - 1)/2.0 AS mid,
+        |    count(*) OVER (PARTITION BY ad) AS t FROM nz),
+        |a AS (SELECT count(*)::BIGINT AS n_nonzero,
+        |    sum(CASE WHEN dd > 0 THEN mid ELSE 0.0 END) AS w_plus,
+        |    sum((t*t*t - t)::DOUBLE / t::DOUBLE) AS tie FROM r),
+        |tot AS (SELECT count(*)::BIGINT AS n_pairs FROM b),
+        |z AS (SELECT tot.n_pairs, a.n_nonzero, a.w_plus,
+        |    n_nonzero::DOUBLE AS nd,
+        |    n_nonzero::DOUBLE * (n_nonzero::DOUBLE + 1)
+        |      * (n_nonzero::DOUBLE * 2 + 1) / 24.0 - a.tie/48.0 AS var
+        |  FROM tot, a)
+        |SELECT n_pairs, n_nonzero, round(w_plus, 6) AS w_plus,
+        |  round(CASE WHEN n_nonzero > 0 AND var > 0 THEN
+        |    (w_plus - nd*(nd + 1)/4.0)/sqrt(var) END, 6) AS z
+        |FROM z""".stripMargin,
+
+    "q391_bartlett" -> bartlettSql(
+      Seq("click", "view", "purchase", "error", "signup"))
   )
+
+  /** q386's oracle: the same md5-parity ±1 counters as
+    * [[graft.operators.Sketch.amsF2]], generated with the engine's hash
+    * parity contract and the identical fixed-order estimator fold.
+    */
+  private def amsF2Sql(rows: Int): String = {
+    def chain(terms: Seq[String]): String = terms.reduce((a, b) => s"($a + $b)")
+    val counters = (0 until rows).map { r =>
+      s"sum(cnt * ((('0x' || substr(md5('$r:' || term), 1, 15))::BIGINT % 2) * 2 - 1)) AS c$r"
+    }.mkString(",\n    ")
+    val est = chain((0 until rows).map(r => s"c$r::DOUBLE * c$r::DOUBLE")) +
+      s" / ${rows.toDouble}"
+    s"""WITH tf AS (SELECT term, count(*) AS cnt FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+       |      '\\s+'), x -> x <> '')) AS term FROM documents) GROUP BY 1),
+       |a AS (SELECT count(*)::BIGINT AS n_items,
+       |    sum(cnt*cnt)::BIGINT AS f2_exact,
+       |    $counters FROM tf),
+       |e AS (SELECT n_items, f2_exact, $est AS est FROM a)
+       |SELECT n_items, f2_exact, round(est, 6) AS f2_est,
+       |  round(abs(est - f2_exact::DOUBLE)/f2_exact::DOUBLE, 6) AS rel_err
+       |FROM e""".stripMargin
+  }
+
+  /** q391's oracle: [[graft.operators.StatTests.bartlett]]'s moment pivot
+    * with the identical fixed-order Σ(nᵢ−1)Sᵢ² / Σln / Σ1/(nᵢ−1) folds.
+    */
+  private def bartlettSql(arms: Seq[String]): String = {
+    val idx = arms.indices
+    val k = arms.size
+    def chain(terms: Seq[String]): String = terms.reduce((a, b) => s"($a + $b)")
+    val pivDefs = (Seq("count(*) AS n") ++ idx.flatMap { i =>
+      Seq(
+        s"sum(CASE WHEN event_type = '${arms(i)}' THEN 1 ELSE 0 END) AS n$i",
+        s"sum(CASE WHEN event_type = '${arms(i)}' THEN cnt::DOUBLE ELSE 0.0 END) AS s$i",
+        s"sum(CASE WHEN event_type = '${arms(i)}' THEN cnt::DOUBLE*cnt::DOUBLE ELSE 0.0 END) AS q$i")
+    }).mkString(",\n    ")
+    def s2(i: Int) = s"((q$i - s$i*s$i/n$i::DOUBLE)/(n$i::DOUBLE - 1))"
+    val sp2 = chain(idx.map(i => s"(n$i::DOUBLE - 1) * ${s2(i)}")) +
+      s" / (n::DOUBLE - $k.0)"
+    val num = s"(n::DOUBLE - $k.0) * ln($sp2) - " +
+      chain(idx.map(i => s"(n$i::DOUBLE - 1) * ln(${s2(i)})"))
+    val cFac = s"1.0 + (${chain(idx.map(i => s"1.0/(n$i::DOUBLE - 1)"))}" +
+      s" - 1.0/(n::DOUBLE - $k.0)) / ${3.0 * (k - 1)}"
+    val ok = idx.map(i => s"n$i >= 2").mkString(" AND ") + " AND " +
+      idx.map(i => s"${s2(i)} > 0").mkString(" AND ")
+    s"""WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+       |    count(*) AS cnt FROM events GROUP BY 1, 2),
+       |piv AS (SELECT
+       |    $pivDefs FROM daily)
+       |SELECT n::BIGINT AS n,
+       |  round(CASE WHEN $ok THEN ($num) / ($cFac) END, 6) AS chi2
+       |FROM piv""".stripMargin
+  }
 
   /** q380's oracle: the same bounded-node TextRank rounds as
     * [[graft.operators.TextAnalysis.textRank]], unrolled — bigrams from

@@ -218,4 +218,39 @@ object Sketch {
     })
     scan.getField("bkt")
   }
+
+  /** AMS F2 sketch (Alon, Matias & Szegedy 1996): the second frequency
+    * moment `F2 = Σ_item count²` estimated by `rows` independent ±1-signed
+    * counters — counter_r = Σ count(item)·sign_r(item) with sign_r the
+    * parity bit of the seeded 60-bit md5 hash ([[graft.functions.Hashing]]
+    * family, oracle-replayable) — and the fixed-order mean of counter².
+    * Every counter is an exact integer (counts × ±1), so the estimate is
+    * bit-exact cross-engine; the sketch is one aggregate pass with k
+    * hash columns, mergeable by addition (the streaming/self-join-free
+    * join-size estimator). Exact F2 carried alongside for calibration
+    * (the q300 MinHash est-vs-exact pattern). Output: one row
+    * (n_items, f2_exact, f2_est, rel_err).
+    */
+  def amsF2(df: DataFrame, itemCol: String, countCol: String,
+            rows: Int = 8): DataFrame = {
+    require(rows >= 1)
+    val cnt = col(countCol).cast("long")
+    val aggs = Seq(count(lit(1)).as("n_items"),
+      sum(cnt * cnt).as("f2_exact")) ++
+      (0 until rows).map { r =>
+        val sign = pmod(graft.functions.Hashing.md5LongSeeded(r,
+          col(itemCol).cast("string")), lit(2L)) * 2L - 1L
+        sum(cnt * sign).as(s"_c$r")
+      }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val est = (0 until rows)
+      .map(r => col(s"_c$r").cast("double") * col(s"_c$r").cast("double"))
+      .reduce(_ + _) / lit(rows.toDouble)
+    agged
+      .withColumn("f2_est", est)
+      .withColumn("rel_err",
+        abs(col("f2_est") - col("f2_exact").cast("double")) /
+          col("f2_exact").cast("double"))
+      .select(col("n_items"), col("f2_exact"), col("f2_est"), col("rel_err"))
+  }
 }

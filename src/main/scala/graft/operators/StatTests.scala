@@ -729,4 +729,117 @@ object StatTests {
         lit(2.0) * cxy / (vx + vy + (mx - my) * (mx - my))))
       .select((keys :+ col("n") :+ col("pearson") :+ col("ccc")): _*)
   }
+
+  /** Cox–Stuart trend test per key (Cox & Stuart 1955): pair x_i with
+    * x_{i+⌈n/2⌉} (the middle point of an odd series is unpaired), count
+    * S⁺ = #(later > earlier) among the m non-tied pairs, and standardize
+    * against Binomial(m, ½): `z = (S⁺ − m/2)/√(m/4)`. The sign-test
+    * cousin of Mann–Kendall — O(n) pairs instead of O(n²), the cheap
+    * first-pass trend screen. Feed integer-valued series for exact tie
+    * handling. One self-join on the shifted row index (same partition
+    * key, no extra shuffle). Output: (keys..., n, m, s_plus, z).
+    */
+  def coxStuart(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val win = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val winAll = Window.partitionBy(keys: _*)
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .withColumn("_rn", row_number().over(win))
+      .withColumn("_n", count(lit(1)).over(winAll))
+      .withColumn("_h", ceil(col("_n").cast("double") / 2.0).cast("long"))
+    val a = staged.select((keys :+ col("_rn") :+ col("_n") :+ col("_h") :+
+      v.as("_va")): _*).filter(col("_rn") <= col("_n") - col("_h"))
+    val b = staged.select((keyCols.map(k => col(k).as(s"_b_$k")) :+
+      col("_rn").as("_rnb") :+ v.as("_vb")): _*)
+    val keyCond = keyCols.map(k => col(k) === col(s"_b_$k"))
+      .foldLeft(col("_rnb") === col("_rn") + col("_h"))(_ && _)
+    val agged = a.join(b, keyCond).groupBy(keys: _*)
+      .agg(max(col("_n")).as("n"),
+        sum(when(col("_vb") > col("_va"), 1L).otherwise(0L)).as("s_plus"),
+        sum(when(col("_vb") =!= col("_va"), 1L).otherwise(0L)).as("m"))
+    agged
+      .withColumn("z", when(col("m") > 0,
+        (col("s_plus").cast("double") - col("m").cast("double") / 2.0) /
+          sqrt(col("m").cast("double") / 4.0)))
+      .select((keys :+ col("n") :+ col("m") :+ col("s_plus") :+
+        col("z")): _*)
+  }
+
+  /** Wilcoxon signed-rank test on paired values (Wilcoxon 1945): drop
+    * zero differences, midrank |d| across the remaining pairs, and sum the
+    * ranks of the positive side: `W⁺`; standardized with the tie-corrected
+    * variance `n(n+1)(2n+1)/24 − Σ(t³−t)/48`. The PAIRED cousin of
+    * [[Robust.mannWhitney]]. Feed integer-valued pairs (bucket counts) so
+    * |d| ties are exact. Global midranking = one sort over the pair grain
+    * (aggregated input only). Output: one row (n_pairs, n_nonzero,
+    * w_plus, z).
+    */
+  def wilcoxonSignedRank(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d = col(xCol).cast("double") - col(yCol).cast("double")
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(d.as("d")).withColumn("_ad", abs(col("d")))
+    val nz = base.filter(col("d") =!= 0.0)
+    val w = Window.orderBy(col("_ad"))
+    val tiePart = Window.partitionBy(col("_ad"))
+    val ranked = nz
+      .withColumn("_mid", rank().over(w).cast("double") +
+        (count(lit(1)).over(tiePart) - 1).cast("double") / 2)
+      .withColumn("_t", count(lit(1)).over(tiePart))
+    val agged = ranked.agg(count(lit(1)).as("n_nonzero"),
+      sum(when(col("d") > 0, col("_mid")).otherwise(lit(0.0))).as("w_plus"),
+      // each tie group of size t contributes t*(t^3 - t); dividing by t
+      // once per member keeps it a plain row aggregate
+      sum((col("_t") * col("_t") * col("_t") - col("_t")).cast("double") /
+        col("_t").cast("double")).as("_tie"))
+    val tot = base.agg(count(lit(1)).as("n_pairs"))
+    val n = col("n_nonzero").cast("double")
+    val varW = n * (n + 1) * (n * 2 + 1) / lit(24.0) - col("_tie") / lit(48.0)
+    tot.crossJoin(agged)
+      .withColumn("z", when(col("n_nonzero") > 0 && varW > 0,
+        (col("w_plus") - n * (n + 1) / lit(4.0)) / sqrt(varW)))
+      .select(col("n_pairs"), col("n_nonzero"), col("w_plus"), col("z"))
+  }
+
+  /** Bartlett's test for variance homogeneity across k LITERAL arms
+    * (Bartlett 1937): `χ² = ((N−k)·ln S_p² − Σ(nᵢ−1)·ln Sᵢ²) / C` with
+    * `C = 1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1))`, sample variances from
+    * the per-arm moment pivot ([[Experiment.anovaF]] discipline). The
+    * normal-theory complement to the rank-based Brown–Forsythe (q321) —
+    * more powerful when the data really are normal, fragile otherwise;
+    * run both. Output: one row (n, chi2); null when any arm has nᵢ < 2
+    * or a zero variance.
+    */
+  def bartlett(df: DataFrame, armCol: String, arms: Seq[String],
+               valCol: String): DataFrame = {
+    require(arms.size >= 2)
+    val k = arms.size
+    val v = col(valCol).cast("double")
+    val aggs = Seq(count(lit(1)).as("n")) ++ arms.zipWithIndex.flatMap {
+      case (a, i) =>
+        val in = col(armCol).cast("string") === a
+        Seq(sum(when(in, 1L).otherwise(0L)).as(s"_n$i"),
+          sum(when(in, v).otherwise(lit(0.0))).as(s"_s$i"),
+          sum(when(in, v * v).otherwise(lit(0.0))).as(s"_q$i"))
+    }
+    val piv = df
+      .filter(col(armCol).cast("string").isin(arms.map(a => a: Any): _*))
+      .groupBy().agg(aggs.head, aggs.tail: _*)
+    def ni(i: Int) = col(s"_n$i").cast("double")
+    def s2(i: Int) =
+      (col(s"_q$i") - col(s"_s$i") * col(s"_s$i") / ni(i)) / (ni(i) - 1)
+    val n = col("n").cast("double")
+    val nk = n - lit(k.toDouble)
+    val sp2 = arms.indices.map(i => (ni(i) - 1) * s2(i)).reduce(_ + _) / nk
+    val num = nk * log(sp2) -
+      arms.indices.map(i => (ni(i) - 1) * log(s2(i))).reduce(_ + _)
+    val cFac = lit(1.0) +
+      (arms.indices.map(i => lit(1.0) / (ni(i) - 1)).reduce(_ + _) -
+        lit(1.0) / nk) / lit(3.0 * (k - 1))
+    val ok = arms.indices.map(i => col(s"_n$i") >= 2L).reduce(_ && _) &&
+      arms.indices.map(i => s2(i) > 0).reduce(_ && _)
+    piv.withColumn("chi2", when(ok, num / cFac))
+      .select(col("n"), col("chi2"))
+  }
 }

@@ -792,4 +792,43 @@ object TextAnalysis {
       .select(col("r"), col("n_r"), col("n_r_next"), col("r_star"),
         col("p_unseen"))
   }
+
+  /** Dunning log-likelihood keyness G² (Dunning 1993) between the two
+    * corpus halves split by a boolean `flagCol`: per term,
+    * `G² = 2·(a·ln(a/E_a) + b·ln(b/E_b))` with a/b the term counts in
+    * each half, `E_a = N_A·(a+b)/(N_A+N_B)` the equal-rate expectation,
+    * and zero-count terms contributing 0 to their side (x·ln(x/E) → 0).
+    * The log-likelihood cousin of the odds-ratio distinctive-terms view
+    * (q245) — G² stays calibrated when a or b is tiny. `over` marks which
+    * side overuses the term. One term-count aggregation (integer), one
+    * broadcast of the two totals. Output: (term, y_a, y_b, g2, over)
+    * for terms with a+b ≥ minCount (integer cut, deterministic).
+    */
+  def keynessG2(docs: DataFrame, textCol: String, flagCol: String,
+                minCount: Long = 10L): DataFrame = {
+    val tf = docs
+      .select(col(flagCol).cast("boolean").as("fl"),
+        explode(words(lower(col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(sum(when(col("fl"), 1L).otherwise(0L)).as("y_a"),
+        sum(when(!col("fl"), 1L).otherwise(0L)).as("y_b"))
+      .filter(col("y_a") + col("y_b") >= minCount)
+    val tot = tf.agg(sum(col("y_a")).as("_na"), sum(col("y_b")).as("_nb"))
+    val na = col("_na").cast("double")
+    val nb = col("_nb").cast("double")
+    val ea = na * (col("y_a") + col("y_b")).cast("double") / (na + nb)
+    val eb = nb * (col("y_a") + col("y_b")).cast("double") / (na + nb)
+    val termA = when(col("y_a") > 0,
+      col("y_a").cast("double") * log(col("y_a").cast("double") / ea))
+      .otherwise(lit(0.0))
+    val termB = when(col("y_b") > 0,
+      col("y_b").cast("double") * log(col("y_b").cast("double") / eb))
+      .otherwise(lit(0.0))
+    tf.crossJoin(broadcast(tot))
+      .withColumn("g2", lit(2.0) * (termA + termB))
+      .withColumn("over",
+        when(col("y_a").cast("double") * nb > col("y_b").cast("double") * na,
+          lit("a")).otherwise(lit("b")))
+      .select(col("term"), col("y_a"), col("y_b"), col("g2"), col("over"))
+  }
 }

@@ -329,4 +329,68 @@ class StatTestsSpec extends SparkSuite {
     assert(got(2).isNullAt(got(2).fieldIndex("r_star"))) // N_4 = 0
     assert(approxEq(got(0).getAs[Double]("p_unseen"), 0.3, 1e-12))
   }
+
+  test("coxStuart: strictly rising series pairs all up; flat series m = 0") {
+    val rising = (1 to 10).map(i => (1L, ts(i), i.toDouble)).toDF("k", "t", "v")
+    val r = StatTests.coxStuart(rising, Seq("k"), "t", "v").collect()(0)
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("m") === 5L)
+    assert(r.getAs[Long]("s_plus") === 5L)
+    assert(approxEq(r.getAs[Double]("z"), 2.23606797749979, 1e-12))
+    // odd n: middle point unpaired -> floor(n/2) pairs
+    val odd = (1 to 9).map(i => (1L, ts(i), i.toDouble)).toDF("k", "t", "v")
+    val ro = StatTests.coxStuart(odd, Seq("k"), "t", "v").collect()(0)
+    assert(ro.getAs[Long]("m") === 4L)
+    val flat = (1 to 8).map(i => (1L, ts(i), 7.0)).toDF("k", "t", "v")
+    val rf = StatTests.coxStuart(flat, Seq("k"), "t", "v").collect()(0)
+    assert(rf.getAs[Long]("m") === 0L)
+    assert(rf.isNullAt(rf.fieldIndex("z")))
+  }
+
+  test("wilcoxonSignedRank: tie-corrected golden; zero diffs dropped") {
+    val x = Seq(10.0, 12, 9, 15, 11, 13, 8, 14)
+    val y = Seq(8.0, 12, 7, 12, 14, 9, 8, 10)
+    val df = x.zip(y).toDF("x", "y")
+    val r = StatTests.wilcoxonSignedRank(df, "x", "y").collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 8L)
+    assert(r.getAs[Long]("n_nonzero") === 6L)
+    assert(approxEq(r.getAs[Double]("w_plus"), 17.5, 1e-12))
+    assert(approxEq(r.getAs[Double]("z"), 1.4798459832287318, 1e-12))
+  }
+
+  test("bartlett: 3-group variance-homogeneity golden; equal variances -> ~0") {
+    val rows = Seq("a" -> Seq(1.0, 2, 3, 4, 5), "b" -> Seq(2.0, 4, 6, 8, 10),
+      "c" -> Seq(1.0, 1.5, 2, 2.5, 3)).flatMap { case (g, vs) => vs.map((g, _)) }
+    val df = rows.toDF("arm", "v")
+    val r = StatTests.bartlett(df, "arm", Seq("a", "b", "c"), "v").collect()(0)
+    assert(r.getAs[Long]("n") === 15L)
+    assert(approxEq(r.getAs[Double]("chi2"), 6.0438505097025645, 1e-9))
+    // identical spreads: chi2 exactly 0 up to rounding
+    val eq = Seq("a", "b", "c").flatMap(g => Seq(1.0, 2, 3).map((g, _))).toDF("arm", "v")
+    val re = StatTests.bartlett(eq, "arm", Seq("a", "b", "c"), "v").collect()(0)
+    assert(math.abs(re.getAs[Double]("chi2")) < 1e-9)
+  }
+
+  test("amsF2: exact F2 on known counts; estimator within 3x for 8 rows") {
+    import graft.operators.Sketch
+    val tf = (1 to 50).map(i => (s"item$i", (i % 7 + 1).toLong)).toDF("term", "cnt")
+    val r = Sketch.amsF2(tf, "term", "cnt", rows = 8).collect()(0)
+    val exact = (1 to 50).map(i => { val c = (i % 7 + 1).toLong; c * c }).sum
+    assert(r.getAs[Long]("n_items") === 50L)
+    assert(r.getAs[Long]("f2_exact") === exact)
+    // unbiased estimator, variance ~ 2F2^2/rows: loose deterministic bound
+    assert(r.getAs[Double]("rel_err") < 3.0)
+  }
+
+  test("keynessG2: balanced halves give g2 ~ 0; skewed term scores high") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((true, "x x x y"), (false, "x x x z")).toDF("fl", "text")
+    val got = TextAnalysis.keynessG2(docs, "text", "fl", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getAs[Double]("g2"))).toMap
+    assert(math.abs(got("x")) < 1e-12, "perfectly balanced term")
+    assert(got("y") > 1.0, "y only in half A")
+    val overs = TextAnalysis.keynessG2(docs, "text", "fl", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getAs[String]("over"))).toMap
+    assert(overs("y") === "a" && overs("z") === "b")
+  }
 }
