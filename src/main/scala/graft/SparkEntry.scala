@@ -5526,6 +5526,97 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
       graft.operators.StatTests.bartlett(daily, "event_type", types, "cnt")
         .select(col("n"), r6(col("chi2")).as("chi2"))
+    }),
+
+    // one-knot hinge trend per user: b2 = midpoint slope change (Cramer
+    // 3x3 on integer-exact X'X; det guard bit-exact)
+    "q392_hinge_trend" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(col("value")).as("v"))
+      graft.operators.StatTests.hingeTrend(daily, Seq("user_id"), "d", "v")
+        .select(col("user_id"), col("n"), r6(col("b0")).as("b0"),
+          r6(col("b1")).as("b1"), r6(col("b2")).as("b2"))
+        .orderBy("user_id")
+    }),
+
+    // Lepage combined location+scale: MWU z^2 + Ansari-Bradley z^2 on the
+    // click-vs-view daily counts
+    "q393_lepage" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val mw = graft.operators.Robust.mannWhitney(daily, Nil, "event_type",
+        "click", "view", "cnt").select(col("n_a"), col("n_b"),
+        col("z").as("z_loc"))
+      val ab = graft.operators.StatTests.ansariBradley(daily, "event_type",
+        "click", "view", "cnt").select(col("z").as("z_scale"))
+      mw.crossJoin(ab)
+        .withColumn("lepage",
+          col("z_loc") * col("z_loc") + col("z_scale") * col("z_scale"))
+        .select(col("n_a"), col("n_b"), r6(col("z_loc")).as("z_loc"),
+          r6(col("z_scale")).as("z_scale"), r6(col("lepage")).as("lepage"))
+    }),
+
+    // Byar approximate Poisson-rate CI per event type (events per day)
+    "q394_poisson_ci" -> ((s, dir) => {
+      val agged = ev(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("x"),
+          countDistinct(date_trunc("day", col("ts"))).as("t_days"))
+      val xd = col("x").cast("double")
+      val td = col("t_days").cast("double")
+      val x1 = xd + lit(1.0)
+      val cLo = lit(1.0) - lit(1.0) / (lit(9.0) * xd) -
+        lit(1.96) / (lit(3.0) * sqrt(xd))
+      val cHi = lit(1.0) - lit(1.0) / (lit(9.0) * x1) +
+        lit(1.96) / (lit(3.0) * sqrt(x1))
+      agged
+        .withColumn("rate", xd / td)
+        .withColumn("ci_lo", when(col("x") >= 1L,
+          xd * (cLo * cLo * cLo) / td))
+        .withColumn("ci_hi", x1 * (cHi * cHi * cHi) / td)
+        .select(col("event_type"), col("x"), col("t_days"),
+          r6(col("rate")).as("rate"), r6(col("ci_lo")).as("ci_lo"),
+          r6(col("ci_hi")).as("ci_hi"))
+        .orderBy("event_type")
+    }),
+
+    // split-half reliability: odd-day vs even-day per-user value totals,
+    // population Pearson + Spearman-Brown step-up (the q358 companion)
+    "q395_split_half" -> ((s, dir) => {
+      val u = ev(s, dir).groupBy(col("user_id"))
+        .agg(sum(when(pmod(dayofmonth(col("ts")), lit(2)) === 1, col("value"))
+          .otherwise(lit(0.0))).as("o"),
+          sum(when(pmod(dayofmonth(col("ts")), lit(2)) === 0, col("value"))
+            .otherwise(lit(0.0))).as("e"))
+      val r = graft.operators.StatTests.concordance(u, Nil, "o", "e")
+        .select(col("n").as("n_users"), col("pearson"))
+      r.withColumn("sb", lit(2.0) * col("pearson") /
+          (lit(1.0) + col("pearson")))
+        .select(col("n_users"), r6(col("pearson")).as("r_half"),
+          r6(col("sb")).as("sb"))
+    }),
+
+    // Pareto front of documents on (n_chars, n_tokens) — the skyline of
+    // "long AND token-dense" corpus members
+    "q396_skyline" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        size(graft.functions.Hashing.words(lower(col("text"))))
+          .cast("long").as("n_tokens"))
+      graft.operators.Skyline.paretoFront(d, "doc_id", "n_chars", "n_tokens")
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Blomqvist quadrant beta of the daily (click, view) pair — O(n)
+    // robust association around the medians
+    "q397_blomqvist" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+      graft.operators.StatTests.blomqvistBeta(daily, "x", "y")
+        .select(col("n"), col("n_used"), r6(col("beta")).as("beta"))
     })
   )
 
@@ -12794,7 +12885,150 @@ object SparkEntry {
         |FROM z""".stripMargin,
 
     "q391_bartlett" -> bartlettSql(
-      Seq("click", "view", "purchase", "error", "signup"))
+      Seq("click", "view", "purchase", "error", "signup")),
+
+    // Cramer 3x3 on the hinge design; integer det guard
+    "q392_hinge_trend" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s1 AS (SELECT user_id, v,
+        |    (row_number() OVER (PARTITION BY user_id ORDER BY d) - 1)::DOUBLE AS t,
+        |    count(*) OVER (PARTITION BY user_id) AS nn
+        |  FROM daily),
+        |s2 AS (SELECT user_id, v, t,
+        |    greatest(t - floor(nn::DOUBLE/2.0), 0.0) AS h, nn FROM s1),
+        |g AS (SELECT user_id, count(*)::BIGINT AS n,
+        |    sum(t) AS sa, sum(h) AS sb, sum(t*t) AS s11, sum(t*h) AS s12,
+        |    sum(h*h) AS s22, sum(v) AS sy, sum(t*v) AS s1y, sum(h*v) AS s2y
+        |  FROM s2 GROUP BY 1),
+        |c AS (SELECT *, n::DOUBLE AS nd,
+        |    n::DOUBLE*(s11*s22 - s12*s12) - sa*(sa*s22 - s12*sb)
+        |      + sb*(sa*s12 - s11*sb) AS da
+        |  FROM g),
+        |e AS (SELECT user_id, n, da,
+        |    sy*(s11*s22 - s12*s12) - sa*(s1y*s22 - s12*s2y)
+        |      + sb*(s1y*s12 - s11*s2y) AS d0,
+        |    nd*(s1y*s22 - s12*s2y) - sy*(sa*s22 - s12*sb)
+        |      + sb*(sa*s2y - s1y*sb) AS d1,
+        |    nd*(s11*s2y - s1y*s12) - sa*(sa*s2y - s1y*sb)
+        |      + sy*(sa*s12 - s11*sb) AS d2
+        |  FROM c)
+        |SELECT user_id, n,
+        |  round(CASE WHEN n >= 4 AND da > 0 THEN d0/da END, 6) AS b0,
+        |  round(CASE WHEN n >= 4 AND da > 0 THEN d1/da END, 6) AS b1,
+        |  round(CASE WHEN n >= 4 AND da > 0 THEN d2/da END, 6) AS b2
+        |FROM e ORDER BY 1""".stripMargin,
+
+    // MWU z (q179 machinery) + AB z (q379 machinery) on the same pooled
+    // frame; L = z1^2 + z2^2
+    "q393_lepage" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type AS arm, cnt::DOUBLE AS v FROM daily
+        |  WHERE event_type IN ('click', 'view')),
+        |r1 AS (SELECT arm, v,
+        |    rank() OVER (ORDER BY v)
+        |      + (count(*) OVER (PARTITION BY v) - 1)/2.0 AS mid,
+        |    count(*) OVER (PARTITION BY v) AS tc FROM b),
+        |mw AS (SELECT
+        |    sum(CASE WHEN arm = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN arm = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN arm = 'click' THEN mid ELSE 0.0 END) AS ra,
+        |    sum(tc*tc - 1) AS tie FROM r1),
+        |mz AS (SELECT n_a, n_b,
+        |    (ra - n_a::DOUBLE*(n_a + 1)/2 - n_a::DOUBLE*n_b/2)
+        |      / sqrt(n_a::DOUBLE*n_b/12*(((n_a + n_b) + 1)
+        |        - tie::DOUBLE/((n_a + n_b)*((n_a + n_b) - 1)))) AS z_loc
+        |  FROM mw),
+        |r2 AS (SELECT arm, v, row_number() OVER (ORDER BY v, arm) AS rn,
+        |    count(*) OVER () AS n FROM b),
+        |s0 AS (SELECT arm, v,
+        |    least(rn::DOUBLE, (n + 1 - rn)::DOUBLE) AS s0 FROM r2),
+        |s1 AS (SELECT arm, avg(s0) OVER (PARTITION BY v) AS s FROM s0),
+        |aa AS (SELECT
+        |    sum(CASE WHEN arm = 'click' THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN arm = 'view' THEN 1 ELSE 0 END)::BIGINT AS nb,
+        |    sum(CASE WHEN arm = 'click' THEN s ELSE 0.0 END) AS ab_stat,
+        |    sum(s) AS ss, sum(s*s) AS sq FROM s1),
+        |az AS (SELECT
+        |    (ab_stat - na::DOUBLE * ss / (na + nb)::DOUBLE)
+        |      / sqrt(na::DOUBLE * nb::DOUBLE / ((na + nb)::DOUBLE - 1.0)
+        |        * (sq/(na + nb)::DOUBLE
+        |          - (ss/(na + nb)::DOUBLE)*(ss/(na + nb)::DOUBLE))) AS z_scale
+        |  FROM aa)
+        |SELECT n_a, n_b, round(z_loc, 6) AS z_loc,
+        |  round(z_scale, 6) AS z_scale,
+        |  round(z_loc*z_loc + z_scale*z_scale, 6) AS lepage
+        |FROM mz, az""".stripMargin,
+
+    "q394_poisson_ci" ->
+      """WITH a AS (SELECT event_type, count(*)::BIGINT AS x,
+        |    count(DISTINCT date_trunc('day', ts))::BIGINT AS t_days
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT event_type, x, t_days, x::DOUBLE AS xd,
+        |    t_days::DOUBLE AS td, x::DOUBLE + 1.0 AS x1,
+        |    1.0 - 1.0/(9.0*x::DOUBLE) - 1.96/(3.0*sqrt(x::DOUBLE)) AS clo,
+        |    1.0 - 1.0/(9.0*(x::DOUBLE + 1.0))
+        |      + 1.96/(3.0*sqrt(x::DOUBLE + 1.0)) AS chi
+        |  FROM a)
+        |SELECT event_type, x, t_days, round(xd/td, 6) AS rate,
+        |  round(CASE WHEN x >= 1 THEN xd * (clo*clo*clo) / td END, 6) AS ci_lo,
+        |  round(x1 * (chi*chi*chi) / td, 6) AS ci_hi
+        |FROM c ORDER BY 1""".stripMargin,
+
+    // population pearson on (odd-day, even-day) user totals; SB step-up
+    "q395_split_half" ->
+      """WITH u AS (SELECT user_id,
+        |    sum(CASE WHEN day(ts) % 2 = 1 THEN value ELSE 0.0 END) AS o,
+        |    sum(CASE WHEN day(ts) % 2 = 0 THEN value ELSE 0.0 END) AS e
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(o) AS sx, sum(e) AS sy,
+        |    sum(o*o) AS sxx, sum(e*e) AS syy, sum(o*e) AS sxy FROM u),
+        |c AS (SELECT n,
+        |    sxx/n::DOUBLE - (sx/n::DOUBLE)*(sx/n::DOUBLE) AS vx,
+        |    syy/n::DOUBLE - (sy/n::DOUBLE)*(sy/n::DOUBLE) AS vy,
+        |    sxy/n::DOUBLE - (sx/n::DOUBLE)*(sy/n::DOUBLE) AS cxy
+        |  FROM m),
+        |r AS (SELECT n, CASE WHEN n >= 2 AND vx > 0 AND vy > 0 THEN
+        |    cxy/sqrt(vx*vy) END AS r FROM c)
+        |SELECT n AS n_users, round(r, 6) AS r_half,
+        |  round(2.0*r/(1.0 + r), 6) AS sb
+        |FROM r""".stripMargin,
+
+    "q396_skyline" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_tokens FROM d a
+        |WHERE NOT EXISTS (SELECT 1 FROM d b
+        |  WHERE a.n_chars <= b.n_chars AND a.n_tokens <= b.n_tokens
+        |    AND (a.n_chars < b.n_chars OR a.n_tokens < b.n_tokens))
+        |ORDER BY doc_id""".stripMargin,
+
+    // explicit lower-middle medians per coordinate; quadrant counts
+    "q397_blomqvist" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS xi,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS yi
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT xi::DOUBLE AS x, yi::DOUBLE AS y FROM daily),
+        |mx AS (SELECT x AS med_x FROM (SELECT x,
+        |    row_number() OVER (ORDER BY x) AS rn, count(*) OVER () AS n
+        |  FROM b) WHERE rn = floor((n + 1)::DOUBLE/2.0)::BIGINT),
+        |my AS (SELECT y AS med_y FROM (SELECT y,
+        |    row_number() OVER (ORDER BY y) AS rn, count(*) OVER () AS n
+        |  FROM b) WHERE rn = floor((n + 1)::DOUBLE/2.0)::BIGINT),
+        |a AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN (x > med_x AND y > med_y)
+        |      OR (x < med_x AND y < med_y) THEN 1 ELSE 0 END)::BIGINT AS conc,
+        |    sum(CASE WHEN (x > med_x AND y < med_y)
+        |      OR (x < med_x AND y > med_y) THEN 1 ELSE 0 END)::BIGINT AS disc
+        |  FROM b, mx, my)
+        |SELECT n, (conc + disc) AS n_used,
+        |  round(CASE WHEN conc + disc > 0 THEN
+        |    (conc - disc)::DOUBLE/(conc + disc)::DOUBLE END, 6) AS beta
+        |FROM a""".stripMargin
   )
 
   /** q386's oracle: the same md5-parity ±1 counters as

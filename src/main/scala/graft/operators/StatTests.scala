@@ -842,4 +842,94 @@ object StatTests {
     piv.withColumn("chi2", when(ok, num / cFac))
       .select(col("n"), col("chi2"))
   }
+
+  /** One-knot hinge (piecewise-linear) trend per key: OLS of
+    * `y = b0 + b1·t + b2·(t−k)₊` with the knot at k = ⌊n/2⌋ — b2 is the
+    * SLOPE CHANGE at the midpoint, the continuous cousin of the [[chow]]
+    * break F. The 3×3 normal equations are solved by Cramer's rule in a
+    * fixed expression order; the X'X determinant is pure INTEGER moment
+    * algebra (t and (t−k)₊ are integers), so the singularity guard
+    * `det > 0` is bit-exact cross-engine. One window pass + one aggregate.
+    * Output: (keys..., n, b0, b1, b2); nulls when n < 4 or det = 0.
+    */
+  def hingeTrend(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val win = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val winAll = Window.partitionBy(keys: _*)
+    val y = col(valCol).cast("double")
+    val staged = df.filter(y.isNotNull)
+      .withColumn("_rn", row_number().over(win))
+      .withColumn("_nn", count(lit(1)).over(winAll))
+      .withColumn("_t", (col("_rn") - 1).cast("double"))
+      .withColumn("_k", floor(col("_nn").cast("double") / 2.0))
+      .withColumn("_h", greatest(col("_t") - col("_k"), lit(0.0)))
+    val agged = staged.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_t")).as("_s1"), sum(col("_h")).as("_s2"),
+        sum(col("_t") * col("_t")).as("_s11"),
+        sum(col("_t") * col("_h")).as("_s12"),
+        sum(col("_h") * col("_h")).as("_s22"),
+        sum(y).as("_sy"), sum(col("_t") * y).as("_s1y"),
+        sum(col("_h") * y).as("_s2y"))
+    val nd = col("n").cast("double")
+    // X'X = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]] — Cramer
+    def det3(a: Column, b: Column, c: Column, d: Column, e: Column,
+             f: Column, g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val dA = det3(nd, col("_s1"), col("_s2"),
+      col("_s1"), col("_s11"), col("_s12"),
+      col("_s2"), col("_s12"), col("_s22"))
+    val d0 = det3(col("_sy"), col("_s1"), col("_s2"),
+      col("_s1y"), col("_s11"), col("_s12"),
+      col("_s2y"), col("_s12"), col("_s22"))
+    val d1 = det3(nd, col("_sy"), col("_s2"),
+      col("_s1"), col("_s1y"), col("_s12"),
+      col("_s2"), col("_s2y"), col("_s22"))
+    val d2 = det3(nd, col("_s1"), col("_sy"),
+      col("_s1"), col("_s11"), col("_s1y"),
+      col("_s2"), col("_s12"), col("_s2y"))
+    val ok = col("n") >= 4 && dA > 0
+    agged
+      .withColumn("b0", when(ok, d0 / dA))
+      .withColumn("b1", when(ok, d1 / dA))
+      .withColumn("b2", when(ok, d2 / dA))
+      .select((keys :+ col("n") :+ col("b0") :+ col("b1") :+ col("b2")): _*)
+  }
+
+  /** Blomqvist's medial correlation β (Blomqvist 1950): quadrant sign
+    * concordance around the component medians —
+    * `β = (n_conc − n_disc)/(n_conc + n_disc)` over points off both
+    * medians. Medians are the explicit lower-middle order statistic
+    * ([[moodMedian]] locator) per coordinate, so tie exclusion is
+    * bit-exact on integer-valued pairs. Detects monotone association with
+    * quadrant-level robustness (a one-number cousin of Kendall at O(n)
+    * instead of O(n²)). Output: one row (n, n_used, beta).
+    */
+  def blomqvistBeta(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.as("x"), y.as("y"))
+    def med(c: String) = base
+      .withColumn("_rn", row_number().over(Window.orderBy(col(c))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("_rn") ===
+        floor((col("_n") + 1L).cast("double") / 2.0).cast("long"))
+      .select(col(c).as(s"med_$c"))
+    val agged = base.crossJoin(broadcast(med("x"))).crossJoin(broadcast(med("y")))
+      .agg(count(lit(1)).as("n"),
+        sum(when((col("x") > col("med_x") && col("y") > col("med_y")) ||
+          (col("x") < col("med_x") && col("y") < col("med_y")), 1L)
+          .otherwise(0L)).as("_conc"),
+        sum(when((col("x") > col("med_x") && col("y") < col("med_y")) ||
+          (col("x") < col("med_x") && col("y") > col("med_y")), 1L)
+          .otherwise(0L)).as("_disc"))
+    agged
+      .withColumn("n_used", col("_conc") + col("_disc"))
+      .withColumn("beta", when(col("n_used") > 0,
+        (col("_conc") - col("_disc")).cast("double") /
+          col("n_used").cast("double")))
+      .select(col("n"), col("n_used"), col("beta"))
+  }
 }

@@ -393,4 +393,46 @@ class StatTestsSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getAs[String]("over"))).toMap
     assert(overs("y") === "a" && overs("z") === "b")
   }
+
+  test("hingeTrend: exact piecewise-linear series recovered (b0=2, b1=1, b2=3)") {
+    // y = 2 + t + 3*max(t-5, 0), n = 10, knot = floor(10/2) = 5: exact fit
+    val rows = (0 until 10).map { t =>
+      (1L, ts(t), 2.0 + t + 3.0 * math.max(t - 5, 0))
+    }
+    val df = rows.toDF("k", "t", "v")
+    val r = StatTests.hingeTrend(df, Seq("k"), "t", "v").collect()(0)
+    assert(r.getAs[Long]("n") === 10L)
+    assert(approxEq(r.getAs[Double]("b0"), 2.0, 1e-9))
+    assert(approxEq(r.getAs[Double]("b1"), 1.0, 1e-9))
+    assert(approxEq(r.getAs[Double]("b2"), 3.0, 1e-9))
+    // a pure line: slope change 0
+    val line = (0 until 10).map(t => (1L, ts(t), 4.0 + 2.0 * t)).toDF("k", "t", "v")
+    val rl = StatTests.hingeTrend(line, Seq("k"), "t", "v").collect()(0)
+    assert(approxEq(rl.getAs[Double]("b1"), 2.0, 1e-9))
+    assert(approxEq(rl.getAs[Double]("b2"), 0.0, 1e-9))
+  }
+
+  test("blomqvistBeta: perfect monotone pair = 1, anti-monotone = -1") {
+    val x = Seq(1.0, 2, 3, 4, 5, 6, 7)
+    val up = x.map(v => (v, 2.0 * v)).toDF("x", "y")
+    val r = StatTests.blomqvistBeta(up, "x", "y").collect()(0)
+    assert(r.getAs[Long]("n") === 7L)
+    assert(r.getAs[Long]("n_used") === 6L) // the median point sits on both
+    assert(approxEq(r.getAs[Double]("beta"), 1.0, 1e-12))
+    val down = x.map(v => (v, -v)).toDF("x", "y")
+    val rd = StatTests.blomqvistBeta(down, "x", "y").collect()(0)
+    assert(approxEq(rd.getAs[Double]("beta"), -1.0, 1e-12))
+  }
+
+  test("paretoFront: dominated points drop, ties on the front survive") {
+    import graft.operators.Skyline
+    val pts = Seq((1L, 5L, 1L), (2L, 4L, 2L), (3L, 3L, 3L), (4L, 2L, 2L),
+      (5L, 1L, 5L), (6L, 3L, 3L), (7L, 2L, 4L))
+    val df = pts.toDF("id", "x", "y")
+    val got = Skyline.paretoFront(df, "id", "x", "y")
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    // (4,2,2) dominated by (3,3,3); (2,4,2) not dominated; duplicates
+    // (3,3,3)/(6,3,3) both survive; (7,2,4) survives (y=4 beats 3s)
+    assert(got === Seq(1L, 2L, 3L, 5L, 6L, 7L))
+  }
 }
