@@ -5617,6 +5617,79 @@ object SparkEntry {
           sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
       graft.operators.StatTests.blomqvistBeta(daily, "x", "y")
         .select(col("n"), col("n_used"), r6(col("beta")).as("beta"))
+    }),
+
+    // Cramér's V (plain + Bergsma bias-corrected) for lang x source
+    "q398_cramers_v" -> ((s, dir) => {
+      graft.operators.StatTests.cramersV(docs(s, dir), "lang", "source")
+        .select(col("n"), col("r_levels"), col("c_levels"),
+          r6(col("chi2")).as("chi2"), r6(col("v")).as("v"),
+          r6(col("v_corrected")).as("v_corrected"))
+    }),
+
+    // Goodman-Kruskal gamma + Somers' D_yx on the daily (click, view)
+    // count pairs — ordinal association with tie semantics
+    "q399_ordinal_assoc" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+      graft.operators.StatTests.ordinalAssociation(daily, "x", "y")
+        .select(col("n"), col("n_conc"), col("n_disc"),
+          r6(col("gamma")).as("gamma"), r6(col("somers_d")).as("somers_d"))
+    }),
+
+    // Theil's U(lang | source): how much of the language mix does the
+    // source explain?
+    "q400_theil_u_cat" -> ((s, dir) => {
+      val langs = Seq("en", "zh", "es", "de", "fr")
+      graft.operators.StatTests.theilU(docs(s, dir), "lang", langs, "source")
+        .select(col("n"), r6(col("h_x")).as("h_x"),
+          r6(col("h_x_given_y")).as("h_x_given_y"), r6(col("u")).as("u"))
+    }),
+
+    // D'Agostino K2 omnibus normality on daily counts per type — the
+    // small-n-calibrated upgrade of q362's Jarque-Bera
+    "q401_dagostino" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.dagostinoK2(daily, Seq("event_type"), "cnt")
+        .select(col("event_type"), col("n"), r6(col("z_skew")).as("z_skew"),
+          r6(col("z_kurt")).as("z_kurt"), r6(col("k2")).as("k2"))
+        .orderBy("event_type")
+    }),
+
+    // MWU-derived effect sizes: rank-biserial r and common-language
+    // effect size for click vs view daily counts
+    "q402_effect_sizes" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val mw = graft.operators.Robust.mannWhitney(daily, Nil, "event_type",
+        "click", "view", "cnt")
+      val nn = col("n_a").cast("double") * col("n_b").cast("double")
+      mw.withColumn("cles", col("u_a") / nn)
+        .withColumn("rank_biserial", lit(2.0) * col("u_a") / nn - lit(1.0))
+        .select(col("n_a"), col("n_b"), r6(col("u_a")).as("u_a"),
+          r6(col("cles")).as("cles"),
+          r6(col("rank_biserial")).as("rank_biserial"))
+    }),
+
+    // linear-weighted kappa between the n_chars tercile and the n_tokens
+    // tercile of each document (ordinal agreement of two length notions)
+    "q403_weighted_kappa" -> ((s, dir) => {
+      val w1 = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_chars"), col("doc_id"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_tokens"), col("doc_id"))
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"),
+          size(graft.functions.Hashing.words(lower(col("text"))))
+            .cast("long").as("n_tokens"))
+        .withColumn("ta", ntile(3).over(w1).cast("string"))
+        .withColumn("tb", ntile(3).over(w2).cast("string"))
+      graft.operators.StatTests.weightedKappa(d, "ta", "tb", Seq("1", "2", "3"))
+        .select(col("n"), r6(col("kappa_w")).as("kappa_w"))
     })
   )
 
@@ -13028,8 +13101,193 @@ object SparkEntry {
         |SELECT n, (conc + disc) AS n_used,
         |  round(CASE WHEN conc + disc > 0 THEN
         |    (conc - disc)::DOUBLE/(conc + disc)::DOUBLE END, 6) AS beta
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "q398_cramers_v" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS na FROM cells GROUP BY 1),
+        |cb AS (SELECT b, sum(o) AS nb FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(o)::BIGINT AS n,
+        |    count(DISTINCT a)::BIGINT AS r_levels,
+        |    count(DISTINCT b)::BIGINT AS c_levels FROM cells),
+        |grid AS (SELECT ra.a, cb.b, ra.na, cb.nb,
+        |    coalesce(cells.o, 0) AS oc
+        |  FROM ra CROSS JOIN cb LEFT JOIN cells USING (a, b)),
+        |x AS (SELECT sum((oc::DOUBLE - na::DOUBLE*nb::DOUBLE/n::DOUBLE)
+        |      *(oc::DOUBLE - na::DOUBLE*nb::DOUBLE/n::DOUBLE)
+        |      /(na::DOUBLE*nb::DOUBLE/n::DOUBLE)) AS chi2,
+        |    max(n) AS n, max(r_levels) AS r_levels, max(c_levels) AS c_levels
+        |  FROM grid, tot),
+        |f AS (SELECT n, r_levels, c_levels, chi2, n::DOUBLE AS nd,
+        |    r_levels::DOUBLE AS rl, c_levels::DOUBLE AS cl FROM x),
+        |g AS (SELECT *, chi2/nd AS phi2,
+        |    greatest(0.0, chi2/nd - (rl - 1)*(cl - 1)/(nd - 1)) AS phit,
+        |    rl - (rl - 1)*(rl - 1)/(nd - 1) AS rt,
+        |    cl - (cl - 1)*(cl - 1)/(nd - 1) AS ct FROM f)
+        |SELECT n, r_levels, c_levels, round(chi2, 6) AS chi2,
+        |  round(CASE WHEN least(rl, cl) > 1 THEN
+        |    sqrt(phi2/(least(rl, cl) - 1)) END, 6) AS v,
+        |  round(CASE WHEN least(rt, ct) > 1 THEN
+        |    sqrt(phit/(least(rt, ct) - 1)) END, 6) AS v_corrected
+        |FROM g""".stripMargin,
+
+    // full pair self-join; unordered counts halved by integer div
+    "q399_ordinal_assoc" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT x::DOUBLE AS x, y::DOUBLE AS y FROM daily),
+        |j AS (SELECT count(*) AS np2,
+        |    sum(CASE WHEN (a.x < c.x AND a.y < c.y)
+        |      OR (a.x > c.x AND a.y > c.y) THEN 1 ELSE 0 END) AS c2,
+        |    sum(CASE WHEN (a.x < c.x AND a.y > c.y)
+        |      OR (a.x > c.x AND a.y < c.y) THEN 1 ELSE 0 END) AS d2,
+        |    sum(CASE WHEN a.x <> c.x AND a.y = c.y THEN 1 ELSE 0 END) AS ty2
+        |  FROM b a, b c),
+        |h AS (SELECT sqrt(np2::DOUBLE)::BIGINT AS n, (c2//2)::BIGINT AS n_conc,
+        |    (d2//2)::BIGINT AS n_disc, (ty2//2)::BIGINT AS ty FROM j)
+        |SELECT n, n_conc, n_disc,
+        |  round(CASE WHEN n_conc + n_disc > 0 THEN
+        |    (n_conc - n_disc)::DOUBLE/(n_conc + n_disc)::DOUBLE END, 6)
+        |    AS gamma,
+        |  round(CASE WHEN n_conc + n_disc + ty > 0 THEN
+        |    (n_conc - n_disc)::DOUBLE/(n_conc + n_disc + ty)::DOUBLE END, 6)
+        |    AS somers_d
+        |FROM h""".stripMargin,
+
+    // per-source literal-lang entropy folds; H(x|y) = sum p(y) H(x|y)
+    "q400_theil_u_cat" ->
+      """WITH p AS (SELECT source,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS x0,
+        |    sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS x1,
+        |    sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS x2,
+        |    sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS x3,
+        |    sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS x4,
+        |    count(*) AS ny
+        |  FROM documents WHERE lang IN ('en','zh','es','de','fr')
+        |  GROUP BY 1),
+        |h AS (SELECT source, ny, x0, x1, x2, x3, x4,
+        |    ((((CASE WHEN x0 > 0 THEN -(x0::DOUBLE/ny::DOUBLE)*ln(x0::DOUBLE/ny::DOUBLE) ELSE 0.0 END
+        |      + CASE WHEN x1 > 0 THEN -(x1::DOUBLE/ny::DOUBLE)*ln(x1::DOUBLE/ny::DOUBLE) ELSE 0.0 END)
+        |      + CASE WHEN x2 > 0 THEN -(x2::DOUBLE/ny::DOUBLE)*ln(x2::DOUBLE/ny::DOUBLE) ELSE 0.0 END)
+        |      + CASE WHEN x3 > 0 THEN -(x3::DOUBLE/ny::DOUBLE)*ln(x3::DOUBLE/ny::DOUBLE) ELSE 0.0 END)
+        |      + CASE WHEN x4 > 0 THEN -(x4::DOUBLE/ny::DOUBLE)*ln(x4::DOUBLE/ny::DOUBLE) ELSE 0.0 END) AS hy
+        |  FROM p),
+        |a AS (SELECT sum(ny)::BIGINT AS n, sum(x0) AS t0, sum(x1) AS t1,
+        |    sum(x2) AS t2, sum(x3) AS t3, sum(x4) AS t4,
+        |    sum(ny::DOUBLE * hy) AS snh FROM h),
+        |f AS (SELECT n, snh/n::DOUBLE AS hxy,
+        |    ((((CASE WHEN t0 > 0 THEN -(t0::DOUBLE/n::DOUBLE)*ln(t0::DOUBLE/n::DOUBLE) ELSE 0.0 END
+        |      + CASE WHEN t1 > 0 THEN -(t1::DOUBLE/n::DOUBLE)*ln(t1::DOUBLE/n::DOUBLE) ELSE 0.0 END)
+        |      + CASE WHEN t2 > 0 THEN -(t2::DOUBLE/n::DOUBLE)*ln(t2::DOUBLE/n::DOUBLE) ELSE 0.0 END)
+        |      + CASE WHEN t3 > 0 THEN -(t3::DOUBLE/n::DOUBLE)*ln(t3::DOUBLE/n::DOUBLE) ELSE 0.0 END)
+        |      + CASE WHEN t4 > 0 THEN -(t4::DOUBLE/n::DOUBLE)*ln(t4::DOUBLE/n::DOUBLE) ELSE 0.0 END) AS hx
+        |  FROM a)
+        |SELECT n, round(hx, 6) AS h_x, round(hxy, 6) AS h_x_given_y,
+        |  round(CASE WHEN hx > 0 THEN (hx - hxy)/hx END, 6) AS u
+        |FROM f""".stripMargin,
+
+    // the full D'Agostino 1990 transform chain, stage by stage
+    "q401_dagostino" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*)::DOUBLE AS x FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*)::BIGINT AS nl, sum(x) AS s1,
+        |    sum(x*x) AS s2, sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+        |  FROM daily GROUP BY 1),
+        |c AS (SELECT event_type, nl, nl::DOUBLE AS n, s1/nl::DOUBLE AS mu,
+        |    s2, s3, s4 FROM m),
+        |mm AS (SELECT *, s2/n - mu*mu AS m2,
+        |    s3/n - 3.0*mu*(s2/n) + 2.0*mu*mu*mu AS m3,
+        |    s4/n - 4.0*mu*(s3/n) + 6.0*mu*mu*(s2/n)
+        |      - 3.0*mu*mu*mu*mu AS m4 FROM c),
+        |g AS (SELECT event_type, nl, n, m2,
+        |    m3/sqrt(m2*m2*m2) AS g1, m4/(m2*m2) - 3.0 AS g2 FROM mm),
+        |sk AS (SELECT *, g1 * sqrt((n + 1)*(n + 3)/(6.0*(n - 2))) AS y,
+        |    3.0*(n*n + 27.0*n - 70.0)*(n + 1)*(n + 3)
+        |      /((n - 2)*(n + 5)*(n + 7)*(n + 9)) AS b2 FROM g),
+        |sk2 AS (SELECT *, sqrt(2.0*(b2 - 1)) - 1.0 AS w2 FROM sk),
+        |sk3 AS (SELECT *, 1.0/sqrt(ln(sqrt(w2))) AS delta,
+        |    sqrt(2.0/(w2 - 1)) AS alpha FROM sk2),
+        |sk4 AS (SELECT *,
+        |    delta * ln(y/alpha + sqrt((y/alpha)*(y/alpha) + 1)) AS z1
+        |  FROM sk3),
+        |ku AS (SELECT *, -6.0/(n + 1) AS eg2,
+        |    24.0*n*(n - 2)*(n - 3)/((n + 1)*(n + 1)*(n + 3)*(n + 5)) AS vg2
+        |  FROM sk4),
+        |ku2 AS (SELECT *, (g2 - eg2)/sqrt(vg2) AS xk,
+        |    6.0*(n*n - 5.0*n + 2.0)/((n + 7)*(n + 9))
+        |      * sqrt(6.0*(n + 3)*(n + 5)/(n*(n - 2)*(n - 3))) AS beta
+        |  FROM ku),
+        |ku3 AS (SELECT *, 6.0 + 8.0/beta
+        |    * (2.0/beta + sqrt(1.0 + 4.0/(beta*beta))) AS aa FROM ku2),
+        |ku4 AS (SELECT *,
+        |    (1.0 - 2.0/(9.0*aa) - cbrt((1.0 - 2.0/aa)
+        |      /(1.0 + xk*sqrt(2.0/(aa - 4)))))
+        |      / sqrt(2.0/(9.0*aa)) AS z2
+        |  FROM ku3)
+        |SELECT event_type, nl AS n,
+        |  round(CASE WHEN nl >= 9 AND m2 > 0 THEN z1 END, 6) AS z_skew,
+        |  round(CASE WHEN nl >= 9 AND m2 > 0 THEN z2 END, 6) AS z_kurt,
+        |  round(CASE WHEN nl >= 9 AND m2 > 0 THEN z1*z1 + z2*z2 END, 6) AS k2
+        |FROM ku4 ORDER BY 1""".stripMargin,
+
+    // MWU midranks (q179 machinery) -> u_a -> CLES and rank-biserial
+    "q402_effect_sizes" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type AS arm, cnt::DOUBLE AS v FROM daily
+        |  WHERE event_type IN ('click', 'view')),
+        |r1 AS (SELECT arm, v,
+        |    rank() OVER (ORDER BY v)
+        |      + (count(*) OVER (PARTITION BY v) - 1)/2.0 AS mid FROM b),
+        |mw AS (SELECT
+        |    sum(CASE WHEN arm = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN arm = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN arm = 'click' THEN mid ELSE 0.0 END) AS ra FROM r1),
+        |mz AS (SELECT n_a, n_b,
+        |    ra - n_a::DOUBLE*(n_a + 1)/2 AS ua FROM mw)
+        |SELECT n_a, n_b, round(ua, 6) AS u_a,
+        |  round(ua/(n_a::DOUBLE*n_b::DOUBLE), 6) AS cles,
+        |  round(2.0*ua/(n_a::DOUBLE*n_b::DOUBLE) - 1.0, 6) AS rank_biserial
+        |FROM mz""".stripMargin,
+
+    "q403_weighted_kappa" -> weightedKappaSql(3)
   )
+
+  /** q403's oracle: ntile terciles on the identical (value, doc_id)
+    * orderings, then [[graft.operators.StatTests.weightedKappa]]'s literal
+    * 9-cell pivot with the same ascending-(i,j) ΣvO/ΣvE folds, generated.
+    */
+  private def weightedKappaSql(k: Int): String = {
+    val idx = 0 until k
+    def chain(terms: Seq[String]): String = terms.reduce((a, b) => s"($a + $b)")
+    val cells = (for { i <- idx; j <- idx } yield
+      s"sum(CASE WHEN ta = ${i + 1} AND tb = ${j + 1} THEN 1 ELSE 0 END) AS o_${i}_$j")
+      .mkString(",\n    ")
+    val margins = idx.flatMap { i =>
+      Seq(chain(idx.map(j => s"o_${i}_$j")) + s" AS ra_$i",
+        chain(idx.map(j => s"o_${j}_$i")) + s" AS cb_$i")
+    }.mkString(",\n    ")
+    val vO = chain(for { i <- idx; j <- idx if i != j } yield
+      s"${math.abs(i - j).toDouble} * o_${i}_$j::DOUBLE")
+    val vE = chain(for { i <- idx; j <- idx if i != j } yield
+      s"${math.abs(i - j).toDouble} * ra_$i::DOUBLE * cb_$j::DOUBLE / n::DOUBLE")
+    s"""WITH d AS (SELECT doc_id, n_chars,
+       |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      x -> x <> ''))::BIGINT AS n_tokens FROM documents),
+       |t AS (SELECT ntile($k) OVER (ORDER BY n_chars, doc_id) AS ta,
+       |    ntile($k) OVER (ORDER BY n_tokens, doc_id) AS tb FROM d),
+       |piv AS (SELECT count(*)::BIGINT AS n,
+       |    $cells FROM t),
+       |mg AS (SELECT *,
+       |    $margins FROM piv)
+       |SELECT n, round(CASE WHEN n > 0 AND ($vE) > 0 THEN
+       |  1.0 - ($vO) / ($vE) END, 6) AS kappa_w
+       |FROM mg""".stripMargin
+  }
 
   /** q386's oracle: the same md5-parity ±1 counters as
     * [[graft.operators.Sketch.amsF2]], generated with the engine's hash

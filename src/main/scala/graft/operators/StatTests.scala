@@ -932,4 +932,228 @@ object StatTests {
           col("n_used").cast("double")))
       .select(col("n"), col("n_used"), col("beta"))
   }
+
+  /** Cramér's V association for an r×c contingency of two categorical
+    * columns (Cramér 1946), with the Bergsma bias-corrected variant:
+    * `V = √(χ²/(n·(min(r,c)−1)))`;
+    * `Ṽ = √(φ̃²/min(r̃−1, c̃−1))`, φ̃² = max(0, χ²/n − (r−1)(c−1)/(n−1)),
+    * r̃ = r − (r−1)²/(n−1), c̃ likewise. χ² from integer cell counts and
+    * rational expectations via an (a, b) cell aggregation + two marginal
+    * joins — category cardinality bounds everything after the first
+    * shuffle ([[Anomaly.contingency]] shape). Output: one row
+    * (n, r_levels, c_levels, chi2, v, v_corrected).
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val ra = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_na"))
+    val cb = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_nb"))
+    val tot = cells.agg(sum(col("_o")).as("_n"),
+      countDistinct(col("_a")).as("r_levels"),
+      countDistinct(col("_b")).as("c_levels"))
+    // complete the r x c grid so ZERO cells contribute (0 - E)^2/E too
+    val joined = ra.crossJoin(cb)
+      .join(cells, Seq("_a", "_b"), "left")
+      .withColumn("_oc", coalesce(col("_o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val e = col("_na").cast("double") * col("_nb").cast("double") /
+      col("_n").cast("double")
+    val chi2 = joined
+      .agg(sum((col("_oc").cast("double") - e) * (col("_oc").cast("double") - e) / e)
+        .as("chi2"),
+        max(col("_n")).as("n"), max(col("r_levels")).as("r_levels"),
+        max(col("c_levels")).as("c_levels"))
+    val n = col("n").cast("double")
+    val rl = col("r_levels").cast("double")
+    val cl = col("c_levels").cast("double")
+    val phi2 = col("chi2") / n
+    val phiT = greatest(lit(0.0),
+      phi2 - (rl - 1) * (cl - 1) / (n - 1))
+    val rT = rl - (rl - 1) * (rl - 1) / (n - 1)
+    val cT = cl - (cl - 1) * (cl - 1) / (n - 1)
+    chi2
+      .withColumn("v", when(least(rl, cl) > 1,
+        sqrt(phi2 / (least(rl, cl) - 1))))
+      .withColumn("v_corrected", when(least(rT, cT) > 1,
+        sqrt(phiT / (least(rT, cT) - 1))))
+      .select(col("n"), col("r_levels"), col("c_levels"), col("chi2"),
+        col("v"), col("v_corrected"))
+  }
+
+  /** Goodman–Kruskal γ and Somers' D from one pairwise concordance pass
+    * (Goodman & Kruskal 1954; Somers 1962): over all point pairs,
+    * C = concordant, D = discordant, T_y = ties on y only;
+    * `γ = (C−D)/(C+D)` (ignores all ties) and
+    * `D_yx = (C−D)/(C+D+T_y)` (penalizes response ties — the ordinal
+    * regression asymmetry). O(n²) pair join: aggregated-grain input only
+    * (the [[jonckheere]] bound); integer-valued pairs keep every count
+    * exact. Output: one row (n, n_conc, n_disc, gamma, somers_d).
+    */
+  def ordinalAssociation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    val a = base.select(col("x").as("xa"), col("y").as("ya"))
+    val b = base.select(col("x").as("xb"), col("y").as("yb"))
+    val agged = a.crossJoin(b)
+      .agg((count(lit(1))).as("_np2"),
+        sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+          (col("xa") > col("xb") && col("ya") > col("yb")), 1L)
+          .otherwise(0L)).as("_c2"),
+        sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+          (col("xa") > col("xb") && col("ya") < col("yb")), 1L)
+          .otherwise(0L)).as("_d2"),
+        sum(when(col("xa") =!= col("xb") && col("ya") === col("yb"), 1L)
+          .otherwise(0L)).as("_ty2"))
+    // every unordered pair counted twice in the self-join; halve exactly
+    val agg2 = agged.select(
+      (sqrt(col("_np2").cast("double")).cast("long")).as("n"),
+      (col("_c2") / 2L).cast("long").as("n_conc"),
+      (col("_d2") / 2L).cast("long").as("n_disc"),
+      (col("_ty2") / 2L).cast("long").as("_ty"))
+    agg2
+      .withColumn("gamma", when(col("n_conc") + col("n_disc") > 0,
+        (col("n_conc") - col("n_disc")).cast("double") /
+          (col("n_conc") + col("n_disc")).cast("double")))
+      .withColumn("somers_d",
+        when(col("n_conc") + col("n_disc") + col("_ty") > 0,
+          (col("n_conc") - col("n_disc")).cast("double") /
+            (col("n_conc") + col("n_disc") + col("_ty")).cast("double")))
+      .select(col("n"), col("n_conc"), col("n_disc"), col("gamma"),
+        col("somers_d"))
+  }
+
+  /** Theil's uncertainty coefficient U(x|y) over a LITERAL x domain
+    * (Theil 1970): `U = (H(x) − H(x|y)) / H(x)` with
+    * `H(x|y) = Σ_y p(y)·H(x | y)` — the share of x's entropy explained by
+    * knowing y, the asymmetric information-theoretic cousin of
+    * [[cramersV]]. Inner entropies are fixed-order folds over the literal
+    * x list; the outer Σ_y is a float aggregation over the y grain
+    * (bounded category cardinality — the q256 entropy discipline).
+    * Output: one row (n, h_x, h_x_given_y, u).
+    */
+  def theilU(df: DataFrame, xCol: String, xDomain: Seq[String],
+             yCol: String): DataFrame = {
+    require(xDomain.size >= 2)
+    val aggs = xDomain.zipWithIndex.map { case (v, i) =>
+      sum(when(col(xCol).cast("string") === v, 1L).otherwise(0L)).as(s"_x$i")
+    } :+ count(lit(1)).as("_ny")
+    val perY = df
+      .filter(col(xCol).cast("string").isin(xDomain.map(a => a: Any): _*))
+      .groupBy(col(yCol)).agg(aggs.head, aggs.tail: _*)
+    def entropy(counts: Seq[Column], tot: Column): Column =
+      counts.map { c =>
+        val p = c.cast("double") / tot.cast("double")
+        when(c > 0, -p * log(p)).otherwise(lit(0.0))
+      }.reduce(_ + _)
+    val hGiven = perY
+      .withColumn("_hy", entropy(xDomain.indices.map(i => col(s"_x$i")),
+        col("_ny")))
+      .agg(sum(col("_ny")).as("n"),
+        xDomain.indices.map(i => sum(col(s"_x$i")).as(s"_tx$i")) :+
+          sum(col("_ny").cast("double") * col("_hy")).as("_sumNh"): _*)
+    val n = col("n").cast("double")
+    val hx = entropy(xDomain.indices.map(i => col(s"_tx$i")), col("n"))
+    hGiven
+      .withColumn("h_x", hx)
+      .withColumn("h_x_given_y", col("_sumNh") / n)
+      .withColumn("u", when(col("h_x") > 0,
+        (col("h_x") - col("h_x_given_y")) / col("h_x")))
+      .select(col("n"), col("h_x"), col("h_x_given_y"), col("u"))
+  }
+
+  /** D'Agostino K² omnibus normality test (D'Agostino, Belanger &
+    * D'Agostino 1990): the skewness z (Johnson SU transform) and the
+    * Anscombe–Glynn kurtosis z, combined as `K² = Z₁² + Z₂²` (χ²₂
+    * reference). Every constant is a closed-form function of n, every
+    * step elementary (√, ln, ∛ — cross-engine ulp-identical in practice),
+    * moments from the [[jarqueBera]] raw power sums. The small-n-calibrated
+    * upgrade of JB. Output: (keys..., n, z_skew, z_kurt, k2); null when
+    * n < 9 (the kurtosis transform needs n > 8) or m2 ≤ 0.
+    */
+  def dagostinoK2(df: DataFrame, groupCols: Seq[String],
+                  valCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val x = col(valCol).cast("double")
+    val agged = df.filter(x.isNotNull).groupBy(keys: _*)
+      .agg(count(lit(1)).as("nl"), sum(x).as("_s1"),
+        sum(x * x).as("_s2"), sum(x * x * x).as("_s3"),
+        sum(x * x * x * x).as("_s4"))
+    val n = col("nl").cast("double")
+    val mu = col("_s1") / n
+    val m2 = col("_s2") / n - mu * mu
+    val m3 = col("_s3") / n - lit(3.0) * mu * (col("_s2") / n) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("_s4") / n - lit(4.0) * mu * (col("_s3") / n) +
+      lit(6.0) * mu * mu * (col("_s2") / n) - lit(3.0) * mu * mu * mu * mu
+    val g1 = m3 / sqrt(m2 * m2 * m2)
+    val g2 = m4 / (m2 * m2) - lit(3.0)
+    // skewness: Johnson SU
+    val yv = g1 * sqrt((n + 1) * (n + 3) / (lit(6.0) * (n - 2)))
+    val b2 = lit(3.0) * (n * n + lit(27.0) * n - lit(70.0)) * (n + 1) * (n + 3) /
+      ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+    val w2 = sqrt(lit(2.0) * (b2 - 1)) - lit(1.0)
+    val delta = lit(1.0) / sqrt(log(sqrt(w2)))
+    val alpha = sqrt(lit(2.0) / (w2 - 1))
+    val z1 = delta * log(yv / alpha + sqrt((yv / alpha) * (yv / alpha) + 1))
+    // kurtosis: Anscombe-Glynn
+    val eg2 = lit(-6.0) / (n + 1)
+    val vg2 = lit(24.0) * n * (n - 2) * (n - 3) /
+      ((n + 1) * (n + 1) * (n + 3) * (n + 5))
+    val xk = (g2 - eg2) / sqrt(vg2)
+    val beta = lit(6.0) * (n * n - lit(5.0) * n + lit(2.0)) /
+      ((n + 7) * (n + 9)) *
+      sqrt(lit(6.0) * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+    val aa = lit(6.0) + lit(8.0) / beta *
+      (lit(2.0) / beta + sqrt(lit(1.0) + lit(4.0) / (beta * beta)))
+    val z2 = (lit(1.0) - lit(2.0) / (lit(9.0) * aa) -
+      cbrt((lit(1.0) - lit(2.0) / aa) /
+        (lit(1.0) + xk * sqrt(lit(2.0) / (aa - 4))))) /
+      sqrt(lit(2.0) / (lit(9.0) * aa))
+    val ok = col("nl") >= 9 && m2 > 0
+    agged
+      .withColumn("z_skew", when(ok, z1))
+      .withColumn("z_kurt", when(ok, z2))
+      .withColumn("k2", when(ok, col("z_skew") * col("z_skew") +
+        col("z_kurt") * col("z_kurt")))
+      .withColumn("n", col("nl"))
+      .select((keys :+ col("n") :+ col("z_skew") :+ col("z_kurt") :+
+        col("k2")): _*)
+  }
+
+  /** Linear-weighted Cohen's kappa for ORDINAL categories (Cohen 1968):
+    * with disagreement weights v_ij = |i−j| over the literal ordered
+    * level list, `κ_w = 1 − Σv·O / Σv·E` (O observed cells, E = row·col/n
+    * chance cells). Integer observed counts and rational expectations —
+    * bit-exact up to the final division. Reduces to plain kappa for
+    * 2-level inputs. Output: one row (n, kappa_w).
+    */
+  def weightedKappa(df: DataFrame, aCol: String, bCol: String,
+                    levels: Seq[String]): DataFrame = {
+    require(levels.size >= 2)
+    val k = levels.size
+    val aggs = (for { i <- 0 until k; j <- 0 until k } yield
+      sum(when(col(aCol).cast("string") === levels(i) &&
+        col(bCol).cast("string") === levels(j), 1L).otherwise(0L))
+        .as(s"_o_${i}_$j")) :+ count(lit(1)).as("n")
+    val piv = df
+      .filter(col(aCol).cast("string").isin(levels.map(a => a: Any): _*) &&
+        col(bCol).cast("string").isin(levels.map(a => a: Any): _*))
+      .agg(aggs.head, aggs.tail: _*)
+    def o(i: Int, j: Int) = col(s"_o_${i}_$j")
+    val withM = (0 until k).foldLeft(piv) { (p, i) =>
+      p.withColumn(s"_ra_$i", (0 until k).map(j => o(i, j)).reduce(_ + _))
+        .withColumn(s"_cb_$i", (0 until k).map(j => o(j, i)).reduce(_ + _))
+    }
+    val n = col("n").cast("double")
+    val vO = (for { i <- 0 until k; j <- 0 until k if i != j } yield
+      lit(math.abs(i - j).toDouble) * o(i, j).cast("double")).reduce(_ + _)
+    val vE = (for { i <- 0 until k; j <- 0 until k if i != j } yield
+      lit(math.abs(i - j).toDouble) * col(s"_ra_$i").cast("double") *
+        col(s"_cb_$j").cast("double") / n).reduce(_ + _)
+    withM
+      .withColumn("kappa_w", when(col("n") > 0 && vE > 0,
+        lit(1.0) - vO / vE))
+      .select(col("n"), col("kappa_w"))
+  }
 }

@@ -435,4 +435,68 @@ class StatTestsSpec extends SparkSuite {
     // (3,3,3)/(6,3,3) both survive; (7,2,4) survives (y=4 beats 3s)
     assert(got === Seq(1L, 2L, 3L, 5L, 6L, 7L))
   }
+
+  test("cramersV: 2x3 golden; perfect association gives V = 1") {
+    val rows = Seq.fill(10)(("r1", "c1")) ++ Seq.fill(20)(("r1", "c2")) ++
+      Seq.fill(30)(("r1", "c3")) ++ Seq.fill(30)(("r2", "c1")) ++
+      Seq.fill(20)(("r2", "c2")) ++ Seq.fill(10)(("r2", "c3"))
+    val df = rows.toDF("a", "b")
+    val r = StatTests.cramersV(df, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n") === 120L)
+    assert(approxEq(r.getAs[Double]("chi2"), 20.0, 1e-9))
+    assert(approxEq(r.getAs[Double]("v"), 0.408248290463863, 1e-9))
+    assert(approxEq(r.getAs[Double]("v_corrected"), 0.38875434853236673, 1e-9))
+    val perfect = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q"))).toDF("a", "b")
+    val rp = StatTests.cramersV(perfect, "a", "b").collect()(0)
+    assert(approxEq(rp.getAs[Double]("v"), 1.0, 1e-12))
+  }
+
+  test("ordinalAssociation: gamma ignores ties, Somers' D penalizes y-ties") {
+    val x = Seq(1.0, 2, 2, 3, 4, 5)
+    val y = Seq(1.0, 3, 2, 2, 5, 5)
+    val df = x.zip(y).toDF("x", "y")
+    val r = StatTests.ordinalAssociation(df, "x", "y").collect()(0)
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("n_conc") === 11L)
+    assert(r.getAs[Long]("n_disc") === 1L)
+    assert(approxEq(r.getAs[Double]("gamma"), 0.8333333333333334, 1e-12))
+    assert(approxEq(r.getAs[Double]("somers_d"), 0.7142857142857143, 1e-12))
+  }
+
+  test("theilU: hand 2x2 golden; independent split gives u ~ 0") {
+    val rows = Seq.fill(8)(("a", "u")) ++ Seq.fill(2)(("b", "u")) ++
+      Seq.fill(3)(("a", "v")) ++ Seq.fill(7)(("b", "v"))
+    val df = rows.toDF("x", "y")
+    val r = StatTests.theilU(df, "x", Seq("a", "b"), "y").collect()(0)
+    assert(approxEq(r.getAs[Double]("h_x"), 0.6881388137135884, 1e-12))
+    assert(approxEq(r.getAs[Double]("h_x_given_y"), 0.5556333627965406, 1e-12))
+    assert(approxEq(r.getAs[Double]("u"), 0.19255628119851723, 1e-12))
+    val indep = (Seq.fill(5)(("a", "u")) ++ Seq.fill(5)(("b", "u")) ++
+      Seq.fill(5)(("a", "v")) ++ Seq.fill(5)(("b", "v"))).toDF("x", "y")
+    val ri = StatTests.theilU(indep, "x", Seq("a", "b"), "y").collect()(0)
+    assert(math.abs(ri.getAs[Double]("u")) < 1e-12)
+  }
+
+  test("dagostinoK2: python-replicated transform-chain golden") {
+    val xs = Seq(3.0, 7, 2, 9, 4, 12, 5, 8, 6, 10, 1, 11, 15, 2, 6, 7, 9, 3, 4, 8)
+    val df = xs.map(v => (1L, v)).toDF("k", "v")
+    val r = StatTests.dagostinoK2(df, Seq("k"), "v").collect()(0)
+    assert(r.getAs[Long]("n") === 20L)
+    assert(approxEq(r.getAs[Double]("z_skew"), 0.9382613132028281, 1e-9))
+    assert(approxEq(r.getAs[Double]("z_kurt"), -0.05317330451014746, 1e-9))
+    assert(approxEq(r.getAs[Double]("k2"), 0.8831616921656243, 1e-9))
+  }
+
+  test("weightedKappa: perfect agreement = 1; reversal strongly negative") {
+    val agree = Seq.fill(4)(("1", "1")) ++ Seq.fill(4)(("2", "2")) ++
+      Seq.fill(4)(("3", "3"))
+    val r = StatTests.weightedKappa(agree.toDF("a", "b"), "a", "b",
+      Seq("1", "2", "3")).collect()(0)
+    assert(approxEq(r.getAs[Double]("kappa_w"), 1.0, 1e-12))
+    val rev = Seq.fill(4)(("1", "3")) ++ Seq.fill(4)(("2", "2")) ++
+      Seq.fill(4)(("3", "1"))
+    val rr = StatTests.weightedKappa(rev.toDF("a", "b"), "a", "b",
+      Seq("1", "2", "3")).collect()(0)
+    assert(rr.getAs[Double]("kappa_w") < -0.4)
+  }
 }
