@@ -5690,6 +5690,123 @@ object SparkEntry {
         .withColumn("tb", ntile(3).over(w2).cast("string"))
       graft.operators.StatTests.weightedKappa(d, "ta", "tb", Seq("1", "2", "3"))
         .select(col("n"), r6(col("kappa_w")).as("kappa_w"))
+    }),
+
+    // Sen's slope with the rank-based nonparametric CI on each type's
+    // daily count series (the q143 point estimate grown a CI)
+    "q404_sen_ci" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.senSlopeCI(daily, Seq("event_type"), "d", "cnt")
+        .select(col("event_type"), col("n"), col("n_pairs"),
+          r6(col("slope")).as("slope"), r6(col("ci_lo")).as("ci_lo"),
+          r6(col("ci_hi")).as("ci_hi"))
+        .orderBy("event_type")
+    }),
+
+    // Bowley quartile skew + Moors octile kurtosis per type (explicit
+    // lower-value order-statistic picks, no interpolating builtins)
+    "q405_robust_shape" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.robustShape(daily, Seq("event_type"), "cnt")
+        .select(col("event_type"), col("n"), col("q1"), col("median"),
+          col("q3"), r6(col("bowley_skew")).as("bowley_skew"),
+          r6(col("moors_kurt")).as("moors_kurt"))
+        .orderBy("event_type")
+    }),
+
+    // ANOVA effect sizes (eta2, epsilon2, omega2) from the q290 omnibus
+    // moment pivot on daily counts
+    "q406_anova_effects" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "error", "signup")
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = graft.operators.Experiment.anovaF(daily, Nil, "event_type",
+        types, "cnt")
+      val msw = col("ssw") / (col("n") - lit(5L)).cast("double")
+      val sst = col("ssb") + col("ssw")
+      val adj = col("ssb") - lit(4.0) * msw
+      a.withColumn("eta2", when(sst > 0, col("ssb") / sst))
+        .withColumn("epsilon2", when(sst > 0, adj / sst))
+        .withColumn("omega2", when(sst + msw > 0, adj / (sst + msw)))
+        .select(col("n"), r6(col("eta2")).as("eta2"),
+          r6(col("epsilon2")).as("epsilon2"), r6(col("omega2")).as("omega2"))
+    }),
+
+    // GPD method-of-moments tail fit on above-mean daily-count excesses
+    // (integer cross-multiplied exceedance rule)
+    "q407_gpd_tail" -> ((s, dir) => {
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("_tot", sum(col("cnt")).over(wT))
+        .withColumn("_nn", count(lit(1)).over(wT))
+        .filter(col("cnt") * col("_nn") > col("_tot"))
+        .withColumn("excess", col("cnt").cast("double") -
+          col("_tot").cast("double") / col("_nn").cast("double"))
+      graft.operators.StatTests.gpdFit(daily, Seq("event_type"), "excess")
+        .select(col("event_type"), col("n_exceed"), r6(col("xi")).as("xi"),
+          r6(col("sigma")).as("sigma"))
+        .orderBy("event_type")
+    }),
+
+    // Spearman rho with the Fisher-z CI per type: daily count vs daily
+    // total value
+    "q408_spearman_ci" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("x"), sum(col("value")).as("y"))
+      val r = Features.spearman(daily, Seq("event_type"), "x", "y")
+      val rho = col("spearman_rho")
+      val z = lit(0.5) * log((lit(1.0) + rho) / (lit(1.0) - rho))
+      val half = lit(1.96) / sqrt(col("n").cast("double") - lit(3.0))
+      def invZ(a: Column) =
+        (exp(lit(2.0) * a) - lit(1.0)) / (exp(lit(2.0) * a) + lit(1.0))
+      val ok = col("n") > 3 && abs(rho) < 1
+      r.withColumn("ci_lo", when(ok, invZ(z - half)))
+        .withColumn("ci_hi", when(ok, invZ(z + half)))
+        .select(col("event_type"), col("n"), r6(rho).as("rho"),
+          r6(col("ci_lo")).as("ci_lo"), r6(col("ci_hi")).as("ci_hi"))
+        .orderBy("event_type")
+    }),
+
+    // confusion-matrix metrics for "long doc predicts English": precision,
+    // recall, F1, specificity, balanced accuracy, Youden J, MCC
+    "q409_confusion_metrics" -> ((s, dir) => {
+      val cells = docs(s, dir).agg(
+        sum(when(col("n_chars") >= 1000L && col("lang") === "en", 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("n_chars") >= 1000L && col("lang") =!= "en", 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("n_chars") < 1000L && col("lang") === "en", 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("n_chars") < 1000L && col("lang") =!= "en", 1L)
+          .otherwise(0L)).as("tn"))
+      def d(c: String) = col(c).cast("double")
+      val prec = when(col("tp") + col("fp") > 0, d("tp") / (d("tp") + d("fp")))
+      val rec = when(col("tp") + col("fn") > 0, d("tp") / (d("tp") + d("fn")))
+      val spec = when(col("tn") + col("fp") > 0, d("tn") / (d("tn") + d("fp")))
+      val mccDen = sqrt((d("tp") + d("fp")) * (d("tp") + d("fn")) *
+        (d("tn") + d("fp")) * (d("tn") + d("fn")))
+      cells
+        .withColumn("precision", prec)
+        .withColumn("recall", rec)
+        .withColumn("f1", when(prec + rec > 0,
+          lit(2.0) * prec * rec / (prec + rec)))
+        .withColumn("balanced_acc", (rec + spec) / 2.0)
+        .withColumn("youden_j", rec + spec - lit(1.0))
+        .withColumn("mcc", when(mccDen > 0,
+          (d("tp") * d("tn") - d("fp") * d("fn")) / mccDen))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          r6(col("precision")).as("precision"), r6(col("recall")).as("recall"),
+          r6(col("f1")).as("f1"), r6(col("balanced_acc")).as("balanced_acc"),
+          r6(col("youden_j")).as("youden_j"), r6(col("mcc")).as("mcc"))
     })
   )
 
@@ -13254,7 +13371,183 @@ object SparkEntry {
         |  round(2.0*ua/(n_a::DOUBLE*n_b::DOUBLE) - 1.0, 6) AS rank_biserial
         |FROM mz""".stripMargin,
 
-    "q403_weighted_kappa" -> weightedKappaSql(3)
+    "q403_weighted_kappa" -> weightedKappaSql(3),
+
+    // pairwise slopes ranked on (slope, i, j); explicit rank picks for the
+    // median and the Gilbert CI ranks
+    "q404_sen_ci" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |s1 AS (SELECT event_type, cnt::DOUBLE AS v,
+        |    (row_number() OVER (PARTITION BY event_type ORDER BY d) - 1)::DOUBLE AS i
+        |  FROM daily),
+        |p AS (SELECT a.event_type, a.i AS i, b.i AS j,
+        |    (b.v - a.v)/(b.i - a.i) AS s
+        |  FROM s1 a JOIN s1 b ON a.event_type = b.event_type AND a.i < b.i),
+        |r AS (SELECT event_type, s,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY s, i, j) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS np FROM p),
+        |c AS (SELECT *,
+        |    (1.0 + sqrt(1.0 + 8.0*np::DOUBLE))/2.0 AS neff FROM r),
+        |c2 AS (SELECT *,
+        |    1.96*sqrt(neff*(neff - 1)*(neff*2 + 5)/18.0) AS cb FROM c),
+        |c3 AS (SELECT *, floor((np::DOUBLE + 1.0)/2.0)::BIGINT AS rmed,
+        |    greatest(1, ceil((np::DOUBLE - cb)/2.0)::BIGINT) AS rlo,
+        |    least(np, ceil((np::DOUBLE + cb)/2.0 + 1.0)::BIGINT) AS rhi
+        |  FROM c2),
+        |g AS (SELECT event_type, max(np)::BIGINT AS n_pairs,
+        |    max(CASE WHEN rn = rmed THEN s END) AS slope,
+        |    max(CASE WHEN rn = rlo THEN s END) AS ci_lo,
+        |    max(CASE WHEN rn = rhi THEN s END) AS ci_hi
+        |  FROM c3 GROUP BY 1)
+        |SELECT event_type,
+        |  ((1.0 + sqrt(1.0 + 8.0*n_pairs::DOUBLE))/2.0)::BIGINT AS n,
+        |  n_pairs, round(slope, 6) AS slope, round(ci_lo, 6) AS ci_lo,
+        |  round(ci_hi, 6) AS ci_hi
+        |FROM g ORDER BY 1""".stripMargin,
+
+    // octile picks at rank floor((n-1)p)+1 (lower-value convention)
+    "q405_robust_shape" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |s1 AS (SELECT event_type, cnt::DOUBLE AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cnt) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM daily),
+        |g AS (SELECT event_type, max(n)::BIGINT AS n,
+        |    max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.125)::BIGINT + 1 THEN v END) AS e1,
+        |    max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.25)::BIGINT + 1 THEN v END) AS e2,
+        |    max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.375)::BIGINT + 1 THEN v END) AS e3,
+        |    max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.5)::BIGINT + 1 THEN v END) AS e4,
+        |    max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.625)::BIGINT + 1 THEN v END) AS e5,
+        |    max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.75)::BIGINT + 1 THEN v END) AS e6,
+        |    max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.875)::BIGINT + 1 THEN v END) AS e7
+        |  FROM s1 GROUP BY 1)
+        |SELECT event_type, n, e2 AS q1, e4 AS median, e6 AS q3,
+        |  round(CASE WHEN e6 - e2 > 0 THEN
+        |    (e6 + e2 - 2.0*e4)/(e6 - e2) END, 6) AS bowley_skew,
+        |  round(CASE WHEN e6 - e2 > 0 THEN
+        |    ((e7 - e5) + (e3 - e1))/(e6 - e2) END, 6) AS moors_kurt
+        |FROM g ORDER BY 1""".stripMargin,
+
+    // the q290 moment pivot -> SSB/SSW -> eta2 / epsilon2 / omega2
+    "q406_anova_effects" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |piv AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN event_type = 'click' THEN cnt::DOUBLE ELSE 0.0 END) AS s0,
+        |    sum(CASE WHEN event_type = 'click' THEN cnt::DOUBLE*cnt::DOUBLE ELSE 0.0 END) AS q0,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN event_type = 'view' THEN cnt::DOUBLE ELSE 0.0 END) AS s1,
+        |    sum(CASE WHEN event_type = 'view' THEN cnt::DOUBLE*cnt::DOUBLE ELSE 0.0 END) AS q1,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN event_type = 'purchase' THEN cnt::DOUBLE ELSE 0.0 END) AS s2,
+        |    sum(CASE WHEN event_type = 'purchase' THEN cnt::DOUBLE*cnt::DOUBLE ELSE 0.0 END) AS q2,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n3,
+        |    sum(CASE WHEN event_type = 'error' THEN cnt::DOUBLE ELSE 0.0 END) AS s3,
+        |    sum(CASE WHEN event_type = 'error' THEN cnt::DOUBLE*cnt::DOUBLE ELSE 0.0 END) AS q3,
+        |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n4,
+        |    sum(CASE WHEN event_type = 'signup' THEN cnt::DOUBLE ELSE 0.0 END) AS s4,
+        |    sum(CASE WHEN event_type = 'signup' THEN cnt::DOUBLE*cnt::DOUBLE ELSE 0.0 END) AS q4
+        |  FROM daily
+        |  WHERE event_type IN ('click','view','purchase','error','signup')),
+        |m AS (SELECT n,
+        |    ((((s0*s0/n0::DOUBLE + s1*s1/n1::DOUBLE) + s2*s2/n2::DOUBLE)
+        |      + s3*s3/n3::DOUBLE) + s4*s4/n4::DOUBLE) AS ssbp,
+        |    ((((s0 + s1) + s2) + s3) + s4) AS st,
+        |    ((((q0 + q1) + q2) + q3) + q4) AS qt,
+        |    (n0 >= 1 AND n1 >= 1 AND n2 >= 1 AND n3 >= 1 AND n4 >= 1
+        |      AND n > 5) AS ok
+        |  FROM piv),
+        |e AS (SELECT n, ok, ssbp - st*st/n::DOUBLE AS ssb,
+        |    qt - ssbp AS ssw FROM m),
+        |f AS (SELECT n, ok, ssb, ssw, ssb + ssw AS sst,
+        |    ssw/(n - 5)::DOUBLE AS msw FROM e)
+        |SELECT n::BIGINT AS n,
+        |  round(CASE WHEN ok AND sst > 0 THEN ssb/sst END, 6) AS eta2,
+        |  round(CASE WHEN ok AND sst > 0 THEN
+        |    (ssb - 4.0*msw)/sst END, 6) AS epsilon2,
+        |  round(CASE WHEN ok AND sst + msw > 0 THEN
+        |    (ssb - 4.0*msw)/(sst + msw) END, 6) AS omega2
+        |FROM f""".stripMargin,
+
+    // integer exceedance rule; GPD MoM on the rational excesses
+    "q407_gpd_tail" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS tot,
+        |    count(*) OVER (PARTITION BY event_type) AS nn FROM daily),
+        |x AS (SELECT event_type,
+        |    cnt::DOUBLE - tot::DOUBLE/nn::DOUBLE AS excess
+        |  FROM w WHERE cnt * nn > tot),
+        |g AS (SELECT event_type, count(*)::BIGINT AS n_exceed,
+        |    sum(excess) AS s, sum(excess*excess) AS q FROM x GROUP BY 1),
+        |c AS (SELECT event_type, n_exceed, s/n_exceed::DOUBLE AS m,
+        |    (q - s*s/n_exceed::DOUBLE)/(n_exceed::DOUBLE - 1) AS s2
+        |  FROM g),
+        |f AS (SELECT event_type, n_exceed, m, s2, m*m/s2 AS ratio,
+        |    (n_exceed >= 3 AND s2 > 0 AND m > 0) AS ok FROM c)
+        |SELECT event_type, n_exceed,
+        |  round(CASE WHEN ok THEN (1.0 - ratio)/2.0 END, 6) AS xi,
+        |  round(CASE WHEN ok THEN m*(ratio + 1)/2.0 END, 6) AS sigma
+        |FROM f ORDER BY 1""".stripMargin,
+
+    // q153's midrank-moment spearman per type + the Fisher-z interval
+    "q408_spearman_ci" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS x, sum(value) AS y FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, x::DOUBLE AS x, y::DOUBLE AS y FROM daily
+        |  WHERE x IS NOT NULL AND y IS NOT NULL),
+        |r1 AS (SELECT *, (row_number() OVER (PARTITION BY event_type ORDER BY x))::DOUBLE AS rnx
+        |  FROM b),
+        |r2 AS (SELECT *, avg(rnx) OVER (PARTITION BY event_type, x) AS rxa FROM r1),
+        |r3 AS (SELECT *, (row_number() OVER (PARTITION BY event_type ORDER BY y))::DOUBLE AS rny
+        |  FROM r2),
+        |r4 AS (SELECT *, avg(rny) OVER (PARTITION BY event_type, y) AS rya FROM r3),
+        |g AS (SELECT event_type, count(*)::DOUBLE AS n,
+        |    sum(rxa) AS sx, sum(rya) AS sy, sum(rxa*rxa) AS sxx,
+        |    sum(rya*rya) AS syy, sum(rxa*rya) AS sxy
+        |  FROM r4 GROUP BY 1),
+        |rr AS (SELECT event_type, n,
+        |    CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0
+        |      THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+        |    END AS rho FROM g),
+        |ci AS (SELECT event_type, n, rho,
+        |    0.5*ln((1.0 + rho)/(1.0 - rho)) AS z,
+        |    1.96/sqrt(n - 3.0) AS half FROM rr)
+        |SELECT event_type, n::BIGINT AS n, round(rho, 6) AS rho,
+        |  round(CASE WHEN n > 3 AND abs(rho) < 1 THEN
+        |    (exp(2.0*(z - half)) - 1.0)/(exp(2.0*(z - half)) + 1.0) END, 6)
+        |    AS ci_lo,
+        |  round(CASE WHEN n > 3 AND abs(rho) < 1 THEN
+        |    (exp(2.0*(z + half)) - 1.0)/(exp(2.0*(z + half)) + 1.0) END, 6)
+        |    AS ci_hi
+        |FROM ci ORDER BY 1""".stripMargin,
+
+    "q409_confusion_metrics" ->
+      """WITH c AS (SELECT
+        |    sum(CASE WHEN n_chars >= 1000 AND lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |    sum(CASE WHEN n_chars >= 1000 AND lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |    sum(CASE WHEN n_chars < 1000 AND lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS fn,
+        |    sum(CASE WHEN n_chars < 1000 AND lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS tn
+        |  FROM documents),
+        |m AS (SELECT tp, fp, fn, tn,
+        |    CASE WHEN tp + fp > 0 THEN tp::DOUBLE/(tp::DOUBLE + fp::DOUBLE) END AS prec,
+        |    CASE WHEN tp + fn > 0 THEN tp::DOUBLE/(tp::DOUBLE + fn::DOUBLE) END AS rec,
+        |    CASE WHEN tn + fp > 0 THEN tn::DOUBLE/(tn::DOUBLE + fp::DOUBLE) END AS spec,
+        |    sqrt((tp::DOUBLE + fp::DOUBLE)*(tp::DOUBLE + fn::DOUBLE)
+        |      *(tn::DOUBLE + fp::DOUBLE)*(tn::DOUBLE + fn::DOUBLE)) AS mden
+        |  FROM c)
+        |SELECT tp, fp, fn, tn, round(prec, 6) AS precision,
+        |  round(rec, 6) AS recall,
+        |  round(CASE WHEN prec + rec > 0 THEN
+        |    2.0*prec*rec/(prec + rec) END, 6) AS f1,
+        |  round((rec + spec)/2.0, 6) AS balanced_acc,
+        |  round(rec + spec - 1.0, 6) AS youden_j,
+        |  round(CASE WHEN mden > 0 THEN
+        |    (tp::DOUBLE*tn::DOUBLE - fp::DOUBLE*fn::DOUBLE)/mden END, 6) AS mcc
+        |FROM m""".stripMargin
   )
 
   /** q403's oracle: ntile terciles on the identical (value, doc_id)

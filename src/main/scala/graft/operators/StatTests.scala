@@ -1156,4 +1156,121 @@ object StatTests {
         lit(1.0) - vO / vE))
       .select(col("n"), col("kappa_w"))
   }
+
+  /** Sen's slope with the rank-based nonparametric CI (Sen 1968; Gilbert
+    * 1987): all pairwise slopes (y_j−y_i)/(x_j−x_i) over the 0-based time
+    * index, the point estimate at the explicit LOWER-MIDDLE rank, and the
+    * CI at ranks ⌈(N'−C)/2⌉ and ⌈(N'+C)/2 + 1⌉ (capped to [1, N']) with
+    * `C = 1.96·√(n(n−1)(2n+5)/18)`. Slopes of integer-valued series are
+    * correctly-rounded rationals — equal rationals give IDENTICAL doubles
+    * in both engines, so the (slope, i, j) rank order is deterministic.
+    * O(n²) pairs per key: aggregated-grain input ([[jonckheere]] bound).
+    * Output: (keys..., n, n_pairs, slope, ci_lo, ci_hi).
+    */
+  def senSlopeCI(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val win = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .withColumn("_i", (row_number().over(win) - 1).cast("double"))
+      .select((keys :+ col("_i") :+ v.as("_v")): _*)
+    val b = staged.select((keyCols.map(k => col(k).as(s"_b_$k")) :+
+      col("_i").as("_j") :+ col("_v").as("_w")): _*)
+    val cond = keyCols.map(k => col(k) === col(s"_b_$k"))
+      .foldLeft(col("_i") < col("_j"))(_ && _)
+    val slopes = staged.join(b, cond)
+      .select((keys :+ col("_i") :+ col("_j") :+
+        ((col("_w") - col("_v")) / (col("_j") - col("_i"))).as("_s")): _*)
+    val wRank = Window.partitionBy(keys: _*)
+      .orderBy(col("_s"), col("_i"), col("_j"))
+    val wAll = Window.partitionBy(keys: _*)
+    val ranked = slopes
+      .withColumn("_rn", row_number().over(wRank))
+      .withColumn("_np", count(lit(1)).over(wAll))
+    val nEff = (lit(1.0) + sqrt(lit(1.0) + lit(8.0) *
+      col("_np").cast("double"))) / 2.0 // n from N' = n(n-1)/2
+    val cBand = lit(1.96) * sqrt(nEff * (nEff - 1) *
+      (nEff * 2 + 5) / lit(18.0))
+    val npd = col("_np").cast("double")
+    val withIdx = ranked
+      .withColumn("_rmed", floor((npd + 1.0) / 2.0).cast("long"))
+      .withColumn("_rlo", greatest(lit(1L),
+        ceil((npd - cBand) / 2.0).cast("long")))
+      .withColumn("_rhi", least(col("_np"),
+        ceil((npd + cBand) / 2.0 + 1.0).cast("long")))
+    withIdx.groupBy(keys: _*)
+      .agg(max(col("_np")).as("n_pairs"),
+        max(when(col("_rn") === col("_rmed"), col("_s"))).as("slope"),
+        max(when(col("_rn") === col("_rlo"), col("_s"))).as("ci_lo"),
+        max(when(col("_rn") === col("_rhi"), col("_s"))).as("ci_hi"))
+      .withColumn("n", ((lit(1.0) + sqrt(lit(1.0) + lit(8.0) *
+        col("n_pairs").cast("double"))) / 2.0).cast("long"))
+      .select((keys :+ col("n") :+ col("n_pairs") :+ col("slope") :+
+        col("ci_lo") :+ col("ci_hi")): _*)
+  }
+
+  /** Quantile-based robust shape per key: Bowley quartile skewness
+    * `(Q3 + Q1 − 2·Q2)/(Q3 − Q1)` and Moors octile kurtosis
+    * `((E7−E5) + (E3−E1))/(E6 − E2)` (Moors 1988), all order statistics
+    * picked at the explicit rank `⌊(n−1)·p⌋ + 1` (lower-value convention)
+    * so every pick is an actual data value — never an interpolating
+    * builtin whose even-n behavior differs between engines. One window
+    * pass + one conditional-max aggregate. Output:
+    * (keys..., n, q1, median, q3, bowley_skew, moors_kurt).
+    */
+  def robustShape(df: DataFrame, keyCols: Seq[String],
+                  valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val v = col(valCol).cast("double")
+    val win = Window.partitionBy(keys: _*).orderBy(v, monotonically_increasing_id())
+    val winAll = Window.partitionBy(keys: _*)
+    val staged = df.filter(v.isNotNull)
+      .withColumn("_rn", row_number().over(win))
+      .withColumn("_n", count(lit(1)).over(winAll))
+    def idx(p: Double) =
+      floor((col("_n") - 1L).cast("double") * lit(p)).cast("long") + 1L
+    val octs = (1 to 7).map(i => i / 8.0)
+    val aggs = Seq(max(col("_n")).as("n")) ++ octs.zipWithIndex.map {
+      case (p, i) =>
+        max(when(col("_rn") === idx(p), v)).as(s"_e${i + 1}")
+    }
+    val agged = staged.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val (q1, q2, q3) = (col("_e2"), col("_e4"), col("_e6"))
+    agged
+      .withColumn("bowley_skew", when(q3 - q1 > 0,
+        (q3 + q1 - lit(2.0) * q2) / (q3 - q1)))
+      .withColumn("moors_kurt", when(col("_e6") - col("_e2") > 0,
+        ((col("_e7") - col("_e5")) + (col("_e3") - col("_e1"))) /
+          (col("_e6") - col("_e2"))))
+      .select((keys :+ col("n") :+ q1.as("q1") :+ q2.as("median") :+
+        q3.as("q3") :+ col("bowley_skew") :+ col("moors_kurt")): _*)
+  }
+
+  /** Generalized-Pareto tail fit by method of moments on threshold
+    * excesses (Hosking & Wallis 1987): with excess mean m and sample
+    * variance s², `ξ̂ = (1 − m²/s²)/2` and `σ̂ = m·(m²/s² + 1)/2`.
+    * ξ̂ > 0 ⇒ heavy (Pareto-like) tail, ξ̂ < 0 ⇒ bounded tail. The caller
+    * supplies the already-thresholded excess column (keep the exceedance
+    * rule integer-exact — e.g. `n·cnt > Σcnt` cross-multiplication).
+    * One aggregate pass. Output: (keys..., n_exceed, xi, sigma); null
+    * when n < 3 or s² ≤ 0.
+    */
+  def gpdFit(df: DataFrame, keyCols: Seq[String],
+             excessCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val x = col(excessCol).cast("double")
+    val agged = df.filter(x.isNotNull).groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_exceed"), sum(x).as("_s"),
+        sum(x * x).as("_q"))
+    val n = col("n_exceed").cast("double")
+    val m = col("_s") / n
+    val s2 = (col("_q") - col("_s") * col("_s") / n) / (n - 1)
+    val ratio = m * m / s2
+    val ok = col("n_exceed") >= 3 && s2 > 0 && m > 0
+    agged
+      .withColumn("xi", when(ok, (lit(1.0) - ratio) / 2.0))
+      .withColumn("sigma", when(ok, m * (ratio + 1) / 2.0))
+      .select((keys :+ col("n_exceed") :+ col("xi") :+ col("sigma")): _*)
+  }
 }

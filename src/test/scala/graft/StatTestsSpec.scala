@@ -499,4 +499,45 @@ class StatTestsSpec extends SparkSuite {
       Seq("1", "2", "3")).collect()(0)
     assert(rr.getAs[Double]("kappa_w") < -0.4)
   }
+
+  test("senSlopeCI: rank-pick golden; pure line has zero-width CI") {
+    val y = Seq(3.0, 5, 4, 7, 8, 6, 9, 11, 10, 13)
+    val df = y.zipWithIndex.map { case (v, i) => (1L, ts(i), v) }.toDF("k", "t", "v")
+    val r = StatTests.senSlopeCI(df, Seq("k"), "t", "v").collect()(0)
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("n_pairs") === 45L)
+    assert(approxEq(r.getAs[Double]("slope"), 1.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("ci_lo"), 0.6666666666666666, 1e-12))
+    assert(approxEq(r.getAs[Double]("ci_hi"), 1.3333333333333333, 1e-12))
+    val line = (0 until 10).map(i => (1L, ts(i), 2.5 * i)).toDF("k", "t", "v")
+    val rl = StatTests.senSlopeCI(line, Seq("k"), "t", "v").collect()(0)
+    assert(approxEq(rl.getAs[Double]("slope"), 2.5, 1e-12))
+    assert(approxEq(rl.getAs[Double]("ci_lo"), 2.5, 1e-12))
+    assert(approxEq(rl.getAs[Double]("ci_hi"), 2.5, 1e-12))
+  }
+
+  test("robustShape: even grid is symmetric (bowley 0, moors 1)") {
+    val df = (0 to 16).map(i => (1L, i.toDouble)).toDF("k", "v")
+    val r = StatTests.robustShape(df, Seq("k"), "v").collect()(0)
+    assert(r.getAs[Long]("n") === 17L)
+    assert(r.getAs[Double]("q1") === 4.0)
+    assert(r.getAs[Double]("median") === 8.0)
+    assert(r.getAs[Double]("q3") === 12.0)
+    assert(approxEq(r.getAs[Double]("bowley_skew"), 0.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("moors_kurt"), 1.0, 1e-12))
+    // right-skewed data: bowley > 0
+    val skewed = (Seq.fill(8)(1.0) ++ Seq(2.0, 3, 5, 9, 17, 33, 65, 129, 257))
+      .map((1L, _)).toDF("k", "v")
+    val rs = StatTests.robustShape(skewed, Seq("k"), "v").collect()(0)
+    assert(rs.getAs[Double]("bowley_skew") > 0.0)
+  }
+
+  test("gpdFit: MoM golden; exponential-like tail gives xi near 0") {
+    val ex = Seq(0.5, 1.2, 0.3, 2.5, 0.8, 1.9, 0.1, 3.2)
+    val df = ex.map((1L, _)).toDF("k", "excess")
+    val r = StatTests.gpdFit(df, Seq("k"), "excess").collect()(0)
+    assert(r.getAs[Long]("n_exceed") === 8L)
+    assert(approxEq(r.getAs[Double]("xi"), -0.18916095156450918, 1e-12))
+    assert(approxEq(r.getAs[Double]("sigma"), 1.5607737489284184, 1e-12))
+  }
 }
