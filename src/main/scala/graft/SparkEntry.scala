@@ -5807,6 +5807,93 @@ object SparkEntry {
           r6(col("precision")).as("precision"), r6(col("recall")).as("recall"),
           r6(col("f1")).as("f1"), r6(col("balanced_acc")).as("balanced_acc"),
           r6(col("youden_j")).as("youden_j"), r6(col("mcc")).as("mcc"))
+    }),
+
+    // Buishand adjusted-partial-sum range per type — the cumulative
+    // mean-shift screen beside q360's SNHT and q319's Pettitt
+    "q410_buishand" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.operators.StatTests.buishandRange(daily, Seq("event_type"), "d", "cnt")
+        .select(col("event_type"), col("n"), r6(col("r_range")).as("r_range"),
+          r6(col("r_scaled")).as("r_scaled"))
+        .orderBy("event_type")
+    }),
+
+    // von Neumann successive-difference ratio per type (white noise ~ 2)
+    "q411_von_neumann" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.operators.StatTests.vonNeumann(daily, Seq("event_type"), "d", "cnt")
+        .select(col("event_type"), col("n"), r6(col("vn")).as("vn"))
+        .orderBy("event_type")
+    }),
+
+    // RMSSE (M5 accuracy metric): naive-1 forecast on the back half,
+    // scaled by the front half's naive MSE
+    "q412_rmsse" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("d"))
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("y"))
+        .withColumn("yhat", lag(col("y"), 1).over(w))
+        .withColumn("seg", when(dayofmonth(col("d")) <= 15, 1).otherwise(2))
+        .filter(col("yhat").isNotNull)
+      val agged = daily.groupBy(col("event_type"))
+        .agg(
+          sum(when(col("seg") === 1, 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("seg") === 1,
+            (col("y") - col("yhat")) * (col("y") - col("yhat")))
+            .otherwise(lit(0.0))).as("_trainSse"),
+          sum(when(col("seg") === 2, 1L).otherwise(0L)).as("n_test"),
+          sum(when(col("seg") === 2,
+            (col("y") - col("yhat")) * (col("y") - col("yhat")))
+            .otherwise(lit(0.0))).as("_testSse"))
+      val scale = col("_trainSse") / col("n_train").cast("double")
+      val mse = col("_testSse") / col("n_test").cast("double")
+      agged.withColumn("rmsse",
+          when(col("n_train") >= 1 && col("n_test") >= 1 && scale > 0,
+            sqrt(mse / scale)))
+        .select(col("event_type"), col("n_train"), col("n_test"),
+          r6(col("rmsse")).as("rmsse"))
+        .orderBy("event_type")
+    }),
+
+    // Taylor fluctuation scaling: ln(var) on ln(mean) of per-user daily
+    // counts — how does volatility grow with volume?
+    "q413_taylor_law" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.taylorLaw(daily, Seq("user_id"), "cnt")
+        .select(col("n_units"),
+          r6(col("intercept_ln_a")).as("intercept_ln_a"),
+          r6(col("slope_b")).as("slope_b"))
+    }),
+
+    // Lorenz asymmetry of per-user event counts: are the heavy users or
+    // the long tail driving the inequality q150 measures?
+    "q414_lorenz_asym" -> ((s, dir) => {
+      val perUser = ev(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.lorenzAsymmetry(perUser, "cnt")
+        .select(col("n"), r6(col("f_below")).as("f_below"),
+          r6(col("l_below")).as("l_below"), r6(col("s_asym")).as("s_asym"))
+    }),
+
+    // Kendall's W: do the five event types rank the days of the month the
+    // same way? (tie-corrected concordance over complete day blocks)
+    "q415_kendall_w" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "error", "signup")
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), dayofmonth(col("ts")).as("blk"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.operators.StatTests.kendallW(daily, "blk", "event_type", types, "cnt")
+        .select(col("n_items"), col("m"), r6(col("w")).as("w"),
+          r6(col("chi2")).as("chi2"))
     })
   )
 
@@ -13547,7 +13634,119 @@ object SparkEntry {
         |  round(rec + spec - 1.0, 6) AS youden_j,
         |  round(CASE WHEN mden > 0 THEN
         |    (tp::DOUBLE*tn::DOUBLE - fp::DOUBLE*fn::DOUBLE)/mden END, 6) AS mcc
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "q410_buishand" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*)::DOUBLE AS cnt FROM events GROUP BY 1, 2),
+        |s1 AS (SELECT event_type, d,
+        |    cnt - avg(cnt) OVER (PARTITION BY event_type) AS e FROM daily),
+        |s2 AS (SELECT event_type, e,
+        |    sum(e) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM s1),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n, max(s) AS smax,
+        |    min(s) AS smin, sum(e*e) AS see FROM s2 GROUP BY 1),
+        |c AS (SELECT event_type, n, smax - smin AS r_range,
+        |    sqrt(see/n::DOUBLE) AS sd FROM a)
+        |SELECT event_type, n, round(r_range, 6) AS r_range,
+        |  round(CASE WHEN sd > 0 THEN
+        |    r_range/sd/sqrt(n::DOUBLE) END, 6) AS r_scaled
+        |FROM c ORDER BY 1""".stripMargin,
+
+    "q411_von_neumann" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*)::DOUBLE AS cnt FROM events GROUP BY 1, 2),
+        |s1 AS (SELECT event_type, cnt,
+        |    cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY d) AS dd,
+        |    cnt - avg(cnt) OVER (PARTITION BY event_type) AS e FROM daily),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(dd*dd) AS sdd, sum(e*e) AS see FROM s1 GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CASE WHEN n >= 2 AND see > 0 THEN sdd/see END, 6) AS vn
+        |FROM a ORDER BY 1""".stripMargin,
+
+    "q412_rmsse" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*)::DOUBLE AS y FROM events GROUP BY 1, 2),
+        |s1 AS (SELECT event_type, d, y,
+        |    lag(y) OVER (PARTITION BY event_type ORDER BY d) AS yhat
+        |  FROM daily),
+        |s2 AS (SELECT event_type, y, yhat,
+        |    CASE WHEN day(d) <= 15 THEN 1 ELSE 2 END AS seg FROM s1
+        |  WHERE yhat IS NOT NULL),
+        |a AS (SELECT event_type,
+        |    sum(CASE WHEN seg = 1 THEN 1 ELSE 0 END)::BIGINT AS n_train,
+        |    sum(CASE WHEN seg = 1 THEN (y - yhat)*(y - yhat) ELSE 0.0 END)
+        |      AS tr,
+        |    sum(CASE WHEN seg = 2 THEN 1 ELSE 0 END)::BIGINT AS n_test,
+        |    sum(CASE WHEN seg = 2 THEN (y - yhat)*(y - yhat) ELSE 0.0 END)
+        |      AS te
+        |  FROM s2 GROUP BY 1)
+        |SELECT event_type, n_train, n_test,
+        |  round(CASE WHEN n_train >= 1 AND n_test >= 1
+        |      AND tr/n_train::DOUBLE > 0 THEN
+        |    sqrt((te/n_test::DOUBLE)/(tr/n_train::DOUBLE)) END, 6) AS rmsse
+        |FROM a ORDER BY 1""".stripMargin,
+
+    "q413_taylor_law" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, count(*)::BIGINT AS n,
+        |    sum(cnt::DOUBLE) AS s, sum(cnt::DOUBLE*cnt::DOUBLE) AS q
+        |  FROM daily GROUP BY 1),
+        |f AS (SELECT s/n::DOUBLE AS m,
+        |    (q - s*s/n::DOUBLE)/(n::DOUBLE - 1) AS v FROM u
+        |  WHERE n >= 2),
+        |l AS (SELECT ln(m) AS x, ln(v) AS y FROM f WHERE m > 0 AND v > 0),
+        |g AS (SELECT count(*)::BIGINT AS n_units, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(x*y) AS sxy FROM l),
+        |c AS (SELECT n_units, n_units::DOUBLE AS nd, sx, sy, sxx, sxy,
+        |    n_units::DOUBLE*sxx - sx*sx AS den FROM g),
+        |e AS (SELECT n_units, sx, sy, nd,
+        |    CASE WHEN den > 0 THEN (nd*sxy - sx*sy)/den END AS b FROM c)
+        |SELECT n_units, round(sy/nd - b*(sx/nd), 6) AS intercept_ln_a,
+        |  round(b, 6) AS slope_b
+        |FROM e""".stripMargin,
+
+    "q414_lorenz_asym" ->
+      """WITH u AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |w AS (SELECT cnt AS x, count(*) OVER () AS n, sum(cnt) OVER () AS t
+        |  FROM u),
+        |a AS (SELECT max(n)::BIGINT AS n, max(t) AS tt,
+        |    sum(CASE WHEN x * n < t THEN 1 ELSE 0 END)::BIGINT AS nb,
+        |    sum(CASE WHEN x * n < t THEN x ELSE 0 END) AS mb FROM w)
+        |SELECT n, round(nb::DOUBLE/n::DOUBLE, 6) AS f_below,
+        |  round(mb::DOUBLE/tt::DOUBLE, 6) AS l_below,
+        |  round(nb::DOUBLE/n::DOUBLE + mb::DOUBLE/tt::DOUBLE, 6) AS s_asym
+        |FROM a""".stripMargin,
+
+    // midranks per rater; tie-corrected W over complete day blocks
+    "q415_kendall_w" ->
+      """WITH daily AS (SELECT event_type, day(ts) AS blk,
+        |    count(*)::DOUBLE AS cnt FROM events GROUP BY 1, 2),
+        |cb AS (SELECT blk FROM daily GROUP BY blk HAVING count(*) = 5),
+        |b AS (SELECT daily.event_type, daily.blk, daily.cnt
+        |  FROM daily JOIN cb USING (blk)),
+        |r AS (SELECT event_type, blk,
+        |    rank() OVER (PARTITION BY event_type ORDER BY cnt)
+        |      + (count(*) OVER (PARTITION BY event_type, cnt) - 1)/2.0 AS mid,
+        |    count(*) OVER (PARTITION BY event_type, cnt) AS t FROM b),
+        |tj AS (SELECT sum((t*t*t - t)::DOUBLE / t::DOUBLE) AS tsum FROM r),
+        |pi AS (SELECT blk, sum(mid) AS rj FROM r GROUP BY 1),
+        |pi2 AS (SELECT rj, count(*) OVER () AS n FROM pi),
+        |a AS (SELECT max(n)::BIGINT AS n_items,
+        |    sum((rj - 5.0*(n::DOUBLE + 1)/2)
+        |      *(rj - 5.0*(n::DOUBLE + 1)/2)) AS ss
+        |  FROM pi2),
+        |f AS (SELECT n_items, ss, tsum, n_items::DOUBLE AS nd FROM a, tj),
+        |g AS (SELECT n_items, ss, nd,
+        |    25.0*(nd*nd*nd - nd) - 5.0*tsum AS denom FROM f)
+        |SELECT n_items, 5::BIGINT AS m,
+        |  round(CASE WHEN denom > 0 THEN 12.0*ss/denom END, 6) AS w,
+        |  round(CASE WHEN denom > 0 THEN
+        |    5.0*(nd - 1)*(12.0*ss/denom) END, 6) AS chi2
+        |FROM g""".stripMargin
   )
 
   /** q403's oracle: ntile terciles on the identical (value, doc_id)

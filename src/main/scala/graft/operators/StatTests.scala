@@ -1273,4 +1273,165 @@ object StatTests {
       .withColumn("sigma", when(ok, m * (ratio + 1) / 2.0))
       .select((keys :+ col("n_exceed") :+ col("xi") :+ col("sigma")): _*)
   }
+
+  /** Buishand range test per key (Buishand 1982): adjusted partial sums
+    * `S_t = Σ_{i≤t}(x_i − x̄)` in time order, range `R = max S − min S`,
+    * reported raw, scaled by the population sd (`R/σ`), and rescaled by
+    * √n (`R/(σ√n)` — the value compared against Buishand's critical
+    * table). The cumulative-sum cousin of [[kpss]]/q360's SNHT: sensitive
+    * to a single mean shift anywhere in the series. Ordered cumsum ⇒
+    * identical accumulation order cross-engine. Output:
+    * (keys..., n, r_range, r_scaled); null when σ = 0.
+    */
+  def buishandRange(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                    valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val winAll = Window.partitionBy(keys: _*)
+    val winCum = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .withColumn("_e", v - avg(v).over(winAll))
+      .withColumn("_s", sum(col("_e")).over(winCum))
+    staged.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), max(col("_s")).as("_smax"),
+        min(col("_s")).as("_smin"), sum(col("_e") * col("_e")).as("_see"))
+      .withColumn("_sd", sqrt(col("_see") / col("n").cast("double")))
+      .withColumn("r_range", col("_smax") - col("_smin"))
+      .withColumn("r_scaled", when(col("_sd") > 0,
+        col("r_range") / col("_sd") / sqrt(col("n").cast("double"))))
+      .select((keys :+ col("n") :+ col("r_range") :+ col("r_scaled")): _*)
+  }
+
+  /** Von Neumann ratio per key (von Neumann 1941):
+    * `VN = Σ(x_{t+1} − x_t)² / Σ(x − x̄)²` — ≈ 2 for white noise, → 0
+    * under strong trend/positive autocorrelation, → 4 under alternation.
+    * The cheapest one-number randomness screen (the [[coxStuart]]
+    * companion on the magnitude side). Output: (keys..., n, vn); null
+    * when n < 2 or zero variance.
+    */
+  def vonNeumann(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val win = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val winAll = Window.partitionBy(keys: _*)
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .withColumn("_d", v - lag(v, 1).over(win))
+      .withColumn("_e", v - avg(v).over(winAll))
+    staged.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum(col("_d") * col("_d")).as("_sdd"),
+        sum(col("_e") * col("_e")).as("_see"))
+      .withColumn("vn", when(col("n") >= 2 && col("_see") > 0,
+        col("_sdd") / col("_see")))
+      .select((keys :+ col("n") :+ col("vn")): _*)
+  }
+
+  /** Taylor's power law (fluctuation scaling, Taylor 1961): across units,
+    * OLS of `ln(var)` on `ln(mean)` of each unit's series —
+    * `var ≈ a·mean^b`; b ≈ 1 is Poisson-like, b → 2 is synchronized /
+    * bursty. The one-number "how does volatility grow with volume"
+    * diagnostic for traffic streams. Per-unit moments are one aggregate
+    * (integer-exact on counts); the cross-unit OLS a second. Units with
+    * mean ≤ 0, var ≤ 0, or n < 2 are dropped. Output: one row
+    * (n_units, intercept_ln_a, slope_b).
+    */
+  def taylorLaw(df: DataFrame, unitCols: Seq[String],
+                valCol: String): DataFrame = {
+    val units = unitCols.map(col)
+    val v = col(valCol).cast("double")
+    val perUnit = df.filter(v.isNotNull).groupBy(units: _*)
+      .agg(count(lit(1)).as("_n"), sum(v).as("_s"), sum(v * v).as("_q"))
+      .withColumn("_m", col("_s") / col("_n").cast("double"))
+      .withColumn("_v", (col("_q") - col("_s") * col("_s") /
+        col("_n").cast("double")) / (col("_n").cast("double") - 1))
+      .filter(col("_n") >= 2 && col("_m") > 0 && col("_v") > 0)
+      .select(log(col("_m")).as("_x"), log(col("_v")).as("_y"))
+    perUnit.agg(count(lit(1)).as("n_units"), sum(col("_x")).as("_sx"),
+        sum(col("_y")).as("_sy"), sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_x") * col("_y")).as("_sxy"))
+      .withColumn("_nd", col("n_units").cast("double"))
+      .withColumn("_den", col("_nd") * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn("slope_b", when(col("_den") > 0,
+        (col("_nd") * col("_sxy") - col("_sx") * col("_sy")) / col("_den")))
+      .withColumn("intercept_ln_a",
+        col("_sy") / col("_nd") - col("slope_b") * (col("_sx") / col("_nd")))
+      .select(col("n_units"), col("intercept_ln_a"), col("slope_b"))
+  }
+
+  /** Lorenz asymmetry coefficient (Damgaard & Weiner 2000, no-
+    * interpolation convention documented here): with units strictly below
+    * the mean (`x·n < T` — integer cross-multiplication on count data),
+    * `S = F(μ) + L(μ)` where F = unit share below the mean and L = mass
+    * share below the mean. S < 1 ⇒ inequality driven by many small units;
+    * S > 1 ⇒ by a few giants. The directional companion to the Gini
+    * (q150) / Lorenz curve (q299). Output: one row
+    * (n, f_below, l_below, s_asym).
+    */
+  def lorenzAsymmetry(df: DataFrame, valCol: String): DataFrame = {
+    val v = col(valCol).cast("long")
+    df.filter(v.isNotNull)
+      .select(v.as("_x"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("_t", sum(col("_x")).over(Window.partitionBy()))
+      .agg(max(col("_n")).as("n"), max(col("_t")).as("_tt"),
+        sum(when(col("_x") * col("_n") < col("_t"), 1L).otherwise(0L))
+          .as("_nb"),
+        sum(when(col("_x") * col("_n") < col("_t"), col("_x"))
+          .otherwise(lit(0L))).as("_mb"))
+      .withColumn("f_below",
+        col("_nb").cast("double") / col("n").cast("double"))
+      .withColumn("l_below",
+        col("_mb").cast("double") / col("_tt").cast("double"))
+      .withColumn("s_asym", col("f_below") + col("l_below"))
+      .select(col("n"), col("f_below"), col("l_below"), col("s_asym"))
+  }
+
+  /** Kendall's coefficient of concordance W with tie correction (Kendall
+    * & Babington Smith 1939): m raters (LITERAL list) midrank n items;
+    * `W = 12·Σ(R_j − m(n+1)/2)² / (m²(n³−n) − m·ΣT)` with
+    * `T = Σ(t³−t)` per rater over its tie groups. W = 1 ⇔ all raters
+    * agree on the full ordering; `χ² = m(n−1)W`. Items missing any rater
+    * are dropped (complete-block discipline). Output: one row
+    * (n_items, m, w, chi2).
+    */
+  def kendallW(df: DataFrame, itemCol: String, raterCol: String,
+               raters: Seq[String], valCol: String): DataFrame = {
+    require(raters.size >= 2)
+    val m = raters.size
+    val v = col(valCol).cast("double")
+    val base = df.filter(v.isNotNull &&
+      col(raterCol).cast("string").isin(raters.map(a => a: Any): _*))
+      .withColumn("_cnt", count(lit(1)).over(
+        Window.partitionBy(col(itemCol))))
+      .filter(col("_cnt") === m.toLong)
+    val wR = Window.partitionBy(col(raterCol)).orderBy(v)
+    val tiePart = Window.partitionBy(col(raterCol), v)
+    val ranked = base
+      .withColumn("_mid", rank().over(wR).cast("double") +
+        (count(lit(1)).over(tiePart) - 1).cast("double") / 2)
+      .withColumn("_t", count(lit(1)).over(tiePart))
+    val perItem = ranked.groupBy(col(itemCol))
+      .agg(sum(col("_mid")).as("_rj"))
+    val ties = ranked
+      .agg(sum((col("_t") * col("_t") * col("_t") - col("_t")).cast("double") /
+        col("_t").cast("double")).as("_tsum"))
+    val agged = perItem
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+      .agg(max(col("_n")).as("n_items"),
+        sum((col("_rj") - lit(m.toDouble) *
+          (col("_n").cast("double") + 1) / 2) *
+          (col("_rj") - lit(m.toDouble) *
+            (col("_n").cast("double") + 1) / 2)).as("_ss"))
+      .crossJoin(ties)
+    val nd = col("n_items").cast("double")
+    val denom = lit((m * m).toDouble) * (nd * nd * nd - nd) -
+      lit(m.toDouble) * col("_tsum")
+    agged
+      .withColumn("m", lit(m.toLong))
+      .withColumn("w", when(denom > 0, lit(12.0) * col("_ss") / denom))
+      .withColumn("chi2", when(denom > 0,
+        lit(m.toDouble) * (nd - 1) * col("w")))
+      .select(col("n_items"), col("m"), col("w"), col("chi2"))
+  }
 }

@@ -540,4 +540,60 @@ class StatTestsSpec extends SparkSuite {
     assert(approxEq(r.getAs[Double]("xi"), -0.18916095156450918, 1e-12))
     assert(approxEq(r.getAs[Double]("sigma"), 1.5607737489284184, 1e-12))
   }
+
+  test("buishandRange and vonNeumann: numpy goldens on the shared series") {
+    val x = Seq(3.0, 7, 2, 9, 4, 12, 5, 8, 6, 10, 1, 11)
+    val df = x.zipWithIndex.map { case (v, i) => (1L, ts(i), v) }.toDF("k", "t", "v")
+    val rb = StatTests.buishandRange(df, Seq("k"), "t", "v").collect()(0)
+    assert(approxEq(rb.getAs[Double]("r_range"), 8.5, 1e-12))
+    assert(approxEq(rb.getAs[Double]("r_scaled"), 0.7108057085060272, 1e-12))
+    val rv = StatTests.vonNeumann(df, Seq("k"), "t", "v").collect()(0)
+    assert(approxEq(rv.getAs[Double]("vn"), 3.062937062937063, 1e-12))
+    // strong trend drives VN toward 0
+    val trend = (0 until 30).map(i => (1L, ts(i), i.toDouble)).toDF("k", "t", "v")
+    val rt = StatTests.vonNeumann(trend, Seq("k"), "t", "v").collect()(0)
+    assert(rt.getAs[Double]("vn") < 0.1)
+  }
+
+  test("taylorLaw: exact power-law units recover slope 1.5, ln a = ln 2") {
+    // construct units whose sample mean/var are exactly (m, 2 m^1.5):
+    // two points m-d, m+d have mean m, sample var 2d^2 -> d = m^0.75
+    val rows = Seq(2.0, 4.0, 8.0, 16.0).zipWithIndex.flatMap { case (m, u) =>
+      val d = math.pow(m, 0.75)
+      Seq((u.toLong, ts(0), m - d), (u.toLong, ts(1), m + d))
+    }
+    val df = rows.toDF("u", "t", "v")
+    val r = StatTests.taylorLaw(df, Seq("u"), "v").collect()(0)
+    assert(r.getAs[Long]("n_units") === 4L)
+    assert(approxEq(r.getAs[Double]("slope_b"), 1.5, 1e-9))
+    assert(approxEq(r.getAs[Double]("intercept_ln_a"), math.log(2.0), 1e-9))
+  }
+
+  test("lorenzAsymmetry: equal units give S = F + L with F = L = 0; skew shifts S") {
+    val eq = (1 to 10).map(_ => (1L, 5L)).toDF("k", "cnt")
+    val re = StatTests.lorenzAsymmetry(eq, "cnt").collect()(0)
+    assert(re.getAs[Double]("s_asym") === 0.0) // nobody strictly below the mean
+    // one giant: 9 units of 1 + one of 91 -> mean 10; below = 9 units, mass 9
+    val sk = ((1 to 9).map(_ => (1L, 1L)) :+ ((1L, 91L))).toDF("k", "cnt")
+    val rs = StatTests.lorenzAsymmetry(sk, "cnt").collect()(0)
+    assert(approxEq(rs.getAs[Double]("f_below"), 0.9, 1e-12))
+    assert(approxEq(rs.getAs[Double]("l_below"), 0.09, 1e-12))
+    assert(approxEq(rs.getAs[Double]("s_asym"), 0.99, 1e-12))
+  }
+
+  test("kendallW: perfect agreement = 1, chi2 = m(n-1); reversal lowers W") {
+    val raters = Seq("a", "b", "c")
+    val perfect = for (r <- raters; i <- 1 to 4) yield (i, r, i.toDouble)
+    val rp = StatTests.kendallW(perfect.toDF("item", "rater", "v"),
+      "item", "rater", raters, "v").collect()(0)
+    assert(rp.getAs[Long]("n_items") === 4L)
+    assert(approxEq(rp.getAs[Double]("w"), 1.0, 1e-12))
+    assert(approxEq(rp.getAs[Double]("chi2"), 9.0, 1e-12))
+    val mixed = (for (i <- 1 to 4) yield (i, "a", i.toDouble)) ++
+      (for (i <- 1 to 4) yield (i, "b", (5 - i).toDouble)) ++
+      (for (i <- 1 to 4) yield (i, "c", i.toDouble))
+    val rm = StatTests.kendallW(mixed.toDF("item", "rater", "v"),
+      "item", "rater", raters, "v").collect()(0)
+    assert(rm.getAs[Double]("w") < 0.4)
+  }
 }
