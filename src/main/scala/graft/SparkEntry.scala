@@ -5894,6 +5894,107 @@ object SparkEntry {
       graft.operators.StatTests.kendallW(daily, "blk", "event_type", types, "cnt")
         .select(col("n_items"), col("m"), r6(col("w")).as("w"),
           r6(col("chi2")).as("chi2"))
+    }),
+
+    // Fleiss' kappa: 5 type-"raters" vote whether each day beats their own
+    // mean daily count (q366's integer rule; absent type-day = 0 vote)
+    "q416_fleiss_kappa" -> ((s, dir) => {
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val votes = ev(s, dir)
+        .groupBy(col("event_type"), dayofmonth(col("ts")).as("blk"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("x", (col("cnt") * count(lit(1)).over(wT) >
+          sum(col("cnt")).over(wT)).cast("long"))
+        .groupBy(col("blk")).agg(sum(col("x")).as("pos"))
+      graft.operators.StatTests.fleissKappa(votes, "pos", m = 5)
+        .select(col("n_items"), col("m"), r6(col("p_bar")).as("p_bar"),
+          r6(col("p_e")).as("p_e"), r6(col("kappa")).as("kappa"))
+    }),
+
+    // Gwet's AC1 on the same design — the prevalence-stable companion
+    "q417_gwets_ac1" -> ((s, dir) => {
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val votes = ev(s, dir)
+        .groupBy(col("event_type"), dayofmonth(col("ts")).as("blk"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("x", (col("cnt") * count(lit(1)).over(wT) >
+          sum(col("cnt")).over(wT)).cast("long"))
+        .groupBy(col("blk")).agg(sum(col("x")).as("pos"))
+      graft.operators.StatTests.gwetAc1(votes, "pos", m = 5)
+        .select(col("n_items"), col("m"), r6(col("p_bar")).as("p_bar"),
+          r6(col("p_e_gwet")).as("p_e_gwet"), r6(col("ac1")).as("ac1"))
+    }),
+
+    // SAS bimodality coefficient from sample-corrected skew/kurtosis on
+    // daily counts per type (BC > 0.555 hints bimodal)
+    "q418_bimodality" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val agged = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("_s1"),
+          sum(col("x") * col("x")).as("_s2"),
+          sum(col("x") * col("x") * col("x")).as("_s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("_s4"))
+      val n = col("n").cast("double")
+      val mu = col("_s1") / n
+      val m2 = col("_s2") / n - mu * mu
+      val m3 = col("_s3") / n - lit(3.0) * mu * (col("_s2") / n) +
+        lit(2.0) * mu * mu * mu
+      val m4 = col("_s4") / n - lit(4.0) * mu * (col("_s3") / n) +
+        lit(6.0) * mu * mu * (col("_s2") / n) - lit(3.0) * mu * mu * mu * mu
+      val g1 = m3 / sqrt(m2 * m2 * m2) * sqrt(n * (n - 1)) / (n - 2)
+      val g2 = (n - 1) / ((n - 2) * (n - 3)) *
+        ((n + 1) * (m4 / (m2 * m2) - lit(3.0)) + lit(6.0))
+      val ok = col("n") >= 4 && m2 > 0
+      agged
+        .withColumn("skew_g1", when(ok, g1))
+        .withColumn("kurt_g2", when(ok, g2))
+        .withColumn("bc", when(ok, (g1 * g1 + 1) /
+          (g2 + lit(3.0) * (n - 1) * (n - 1) / ((n - 2) * (n - 3)))))
+        .select(col("event_type"), col("n"), r6(col("skew_g1")).as("skew_g1"),
+          r6(col("kurt_g2")).as("kurt_g2"), r6(col("bc")).as("bc"))
+        .orderBy("event_type")
+    }),
+
+    // CUSUM-of-squares variance-change locator on daily count diffs
+    "q419_cusum_squares" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("d"))
+      val diffs = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("dx", col("cnt") - lag(col("cnt"), 1).over(w))
+        .filter(col("dx").isNotNull)
+      graft.operators.StatTests.cusumSquares(diffs, Seq("event_type"), "d", "dx")
+        .select(col("event_type"), col("n"), r6(col("stat")).as("stat"),
+          unix_timestamp(col("split_ts")).as("split_s"))
+        .orderBy("event_type")
+    }),
+
+    // exact binomial sign test on the paired daily (click, view) counts —
+    // the q390 companion via the q381 ln-factorial machinery
+    "q420_sign_test" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+      graft.operators.StatTests.signTestExact(daily, "x", "y")
+        .select(col("n_pairs"), col("b"), col("c"),
+          r6(col("p_two_sided")).as("p_two_sided"))
+    }),
+
+    // Rousseeuw-Croux Qn robust scale of the click daily counts (pairwise
+    // gap order statistic, 50% breakdown)
+    "q421_qn_scale" -> ((s, dir) => {
+      val daily = ev(s, dir).filter(col("event_type") === "click")
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.qnScale(daily, "cnt")
+        .select(col("n"), col("n_pairs"), r6(col("qn_raw")).as("qn_raw"),
+          r6(col("qn")).as("qn"))
     })
   )
 
@@ -13746,7 +13847,150 @@ object SparkEntry {
         |  round(CASE WHEN denom > 0 THEN 12.0*ss/denom END, 6) AS w,
         |  round(CASE WHEN denom > 0 THEN
         |    5.0*(nd - 1)*(12.0*ss/denom) END, 6) AS chi2
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "q416_fleiss_kappa" ->
+      """WITH daily AS (SELECT event_type, day(ts) AS blk, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type, blk,
+        |    CASE WHEN cnt * (count(*) OVER p) > (sum(cnt) OVER p)
+        |      THEN 1 ELSE 0 END AS x
+        |  FROM daily WINDOW p AS (PARTITION BY event_type)),
+        |v AS (SELECT blk, sum(x)::DOUBLE AS pos FROM x GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS n_items,
+        |    sum((pos*pos + (5.0 - pos)*(5.0 - pos) - 5.0)/20.0) AS sp,
+        |    sum(pos) AS votes FROM v),
+        |c AS (SELECT n_items, sp/n_items::DOUBLE AS p_bar,
+        |    votes/(n_items::DOUBLE * 5.0) AS share FROM a),
+        |e AS (SELECT n_items, p_bar,
+        |    share*share + (1.0 - share)*(1.0 - share) AS pe FROM c)
+        |SELECT n_items, 5::BIGINT AS m, round(p_bar, 6) AS p_bar,
+        |  round(pe, 6) AS p_e,
+        |  round(CASE WHEN 1.0 - pe > 0 THEN (p_bar - pe)/(1.0 - pe) END, 6)
+        |    AS kappa
+        |FROM e""".stripMargin,
+
+    "q417_gwets_ac1" ->
+      """WITH daily AS (SELECT event_type, day(ts) AS blk, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type, blk,
+        |    CASE WHEN cnt * (count(*) OVER p) > (sum(cnt) OVER p)
+        |      THEN 1 ELSE 0 END AS x
+        |  FROM daily WINDOW p AS (PARTITION BY event_type)),
+        |v AS (SELECT blk, sum(x)::DOUBLE AS pos FROM x GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS n_items,
+        |    sum((pos*pos + (5.0 - pos)*(5.0 - pos) - 5.0)/20.0) AS sp,
+        |    sum(pos) AS votes FROM v),
+        |c AS (SELECT n_items, sp/n_items::DOUBLE AS p_bar,
+        |    votes/(n_items::DOUBLE * 5.0) AS share FROM a),
+        |e AS (SELECT n_items, p_bar,
+        |    2.0*share*(1.0 - share) AS pe FROM c)
+        |SELECT n_items, 5::BIGINT AS m, round(p_bar, 6) AS p_bar,
+        |  round(pe, 6) AS p_e_gwet,
+        |  round(CASE WHEN 1.0 - pe > 0 THEN (p_bar - pe)/(1.0 - pe) END, 6)
+        |    AS ac1
+        |FROM e""".stripMargin,
+
+    // sample-corrected g1/g2 from raw power sums; SAS BC formula
+    "q418_bimodality" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*)::DOUBLE AS x FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*)::BIGINT AS nl, sum(x) AS s1,
+        |    sum(x*x) AS s2, sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+        |  FROM daily GROUP BY 1),
+        |c AS (SELECT event_type, nl, nl::DOUBLE AS n, s1/nl::DOUBLE AS mu,
+        |    s2, s3, s4 FROM m),
+        |mm AS (SELECT *, s2/n - mu*mu AS m2,
+        |    s3/n - 3.0*mu*(s2/n) + 2.0*mu*mu*mu AS m3,
+        |    s4/n - 4.0*mu*(s3/n) + 6.0*mu*mu*(s2/n)
+        |      - 3.0*mu*mu*mu*mu AS m4 FROM c),
+        |g AS (SELECT event_type, nl, n, m2,
+        |    m3/sqrt(m2*m2*m2) * sqrt(n*(n - 1))/(n - 2) AS g1,
+        |    (n - 1)/((n - 2)*(n - 3))
+        |      * ((n + 1)*(m4/(m2*m2) - 3.0) + 6.0) AS g2 FROM mm)
+        |SELECT event_type, nl AS n,
+        |  round(CASE WHEN nl >= 4 AND m2 > 0 THEN g1 END, 6) AS skew_g1,
+        |  round(CASE WHEN nl >= 4 AND m2 > 0 THEN g2 END, 6) AS kurt_g2,
+        |  round(CASE WHEN nl >= 4 AND m2 > 0 THEN
+        |    (g1*g1 + 1)/(g2 + 3.0*(n - 1)*(n - 1)/((n - 2)*(n - 3))) END, 6)
+        |    AS bc
+        |FROM g ORDER BY 1""".stripMargin,
+
+    // C_t = cum(x^2)/total; rounded argmax with ts tie-break
+    "q419_cusum_squares" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |df AS (SELECT event_type, d,
+        |    (cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY d))::DOUBLE
+        |      AS dx FROM daily),
+        |nz AS (SELECT event_type, d, dx*dx AS q FROM df WHERE dx IS NOT NULL),
+        |s AS (SELECT event_type, d,
+        |    sum(q) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq,
+        |    sum(q) OVER (PARTITION BY event_type) AS tq,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM nz),
+        |dd AS (SELECT event_type, d, n,
+        |    abs(cq/tq - i::DOUBLE/n::DOUBLE) AS dv FROM s WHERE tq > 0),
+        |dr AS (SELECT event_type, d, n,
+        |    floor(dv*1e6 + 0.5)/1e6 AS dvr FROM dd),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY dvr DESC, d) AS rk FROM dr)
+        |SELECT event_type, n::BIGINT AS n, round(dvr, 6) AS stat,
+        |  epoch(d)::BIGINT AS split_s
+        |FROM p WHERE rk = 1 ORDER BY 1""".stripMargin,
+
+    // binomial tail via the q381 ordered ln-factorial cumsum
+    "q420_sign_test" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |cc AS (SELECT count(*)::BIGINT AS n_pairs,
+        |    sum(CASE WHEN x > y THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN x < y THEN 1 ELSE 0 END)::BIGINT AS c
+        |  FROM daily),
+        |c2 AS (SELECT *, b + c AS m, least(b, c) AS kmax FROM cc),
+        |seq AS (SELECT unnest(generate_series(0, (SELECT m FROM c2))) AS i),
+        |lf AS (SELECT i, sum(CASE WHEN i >= 1 THEN ln(i::DOUBLE) ELSE 0.0 END)
+        |    OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v FROM seq),
+        |ks AS (SELECT c2.*, lf.i AS k FROM c2 JOIN lf
+        |  ON lf.i BETWEEN 0 AND c2.kmax),
+        |t AS (SELECT ks.k, ks.n_pairs, ks.b, ks.c, ks.m,
+        |    lm.v AS lf_m, lk.v AS lf_k, lmk.v AS lf_mk
+        |  FROM ks
+        |  JOIN lf lm ON lm.i = ks.m
+        |  JOIN lf lk ON lk.i = ks.k
+        |  JOIN lf lmk ON lmk.i = ks.m - ks.k),
+        |p AS (SELECT n_pairs, b, c,
+        |    sum(exp(lf_m - lf_k - lf_mk - m::DOUBLE * ln(2.0)))
+        |      OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |        CURRENT ROW) AS cum,
+        |    row_number() OVER (ORDER BY k DESC) AS rk
+        |  FROM t)
+        |SELECT n_pairs, b, c,
+        |  round(least(1.0, 2.0*cum), 6) AS p_two_sided
+        |FROM p WHERE rk = 1""".stripMargin,
+
+    // pairwise-gap order statistic k = C(floor(n/2)+1, 2)
+    "q421_qn_scale" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |b AS (SELECT cnt::DOUBLE AS x,
+        |    row_number() OVER (ORDER BY cnt) AS i FROM daily),
+        |g AS (SELECT abs(a.x - c.x) AS gp, a.i AS i, c.i AS j
+        |  FROM b a JOIN b c ON a.i < c.i),
+        |r AS (SELECT gp, row_number() OVER (ORDER BY gp, i, j) AS rn,
+        |    count(*) OVER () AS np FROM g),
+        |c3 AS (SELECT *, (1.0 + sqrt(1.0 + 8.0*np::DOUBLE))/2.0 AS nd FROM r),
+        |c4 AS (SELECT *,
+        |    ((floor(nd/2.0) + 1.0)*(floor(nd/2.0) + 1.0 - 1.0)/2.0)::BIGINT
+        |      AS kidx FROM c3)
+        |SELECT nd::BIGINT AS n, np::BIGINT AS n_pairs,
+        |  round(gp, 6) AS qn_raw, round(gp * 2.2219, 6) AS qn
+        |FROM c4 WHERE rn = greatest(1, kidx)""".stripMargin
   )
 
   /** q403's oracle: ntile terciles on the identical (value, doc_id)

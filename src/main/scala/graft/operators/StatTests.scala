@@ -1434,4 +1434,167 @@ object StatTests {
         lit(m.toDouble) * (nd - 1) * col("w")))
       .select(col("n_items"), col("m"), col("w"), col("chi2"))
   }
+
+  /** Fleiss' kappa for m raters × binary category (Fleiss 1971): per item
+    * with n_1 positive votes of m, `P_i = (n_1² + (m−n_1)² − m)/(m(m−1))`,
+    * `κ = (P̄ − P_e)/(1 − P_e)` with `P_e = π² + (1−π)²` from the overall
+    * positive share π. All-integer vote counts ⇒ exact to the final
+    * divisions. Input: one row per (item) with `posCol` = positive votes
+    * and the constant rater count m. Output: one row
+    * (n_items, m, p_bar, p_e, kappa).
+    */
+  def fleissKappa(df: DataFrame, posCol: String, m: Int): DataFrame = {
+    require(m >= 2)
+    val pos = col(posCol).cast("double")
+    val md = m.toDouble
+    val pi = (pos * pos + (lit(md) - pos) * (lit(md) - pos) - lit(md)) /
+      lit(md * (md - 1))
+    val agged = df.agg(count(lit(1)).as("n_items"),
+      sum(pi).as("_sp"), sum(pos).as("_votes"))
+    val n = col("n_items").cast("double")
+    val pBar = col("_sp") / n
+    val share = col("_votes") / (n * lit(md))
+    val pe = share * share + (lit(1.0) - share) * (lit(1.0) - share)
+    agged
+      .withColumn("m", lit(m.toLong))
+      .withColumn("p_bar", pBar)
+      .withColumn("p_e", pe)
+      .withColumn("kappa", when(lit(1.0) - pe > 0,
+        (pBar - pe) / (lit(1.0) - pe)))
+      .select(col("n_items"), col("m"), col("p_bar"), col("p_e"),
+        col("kappa"))
+  }
+
+  /** Gwet's AC1 for the same m-rater binary design (Gwet 2008): identical
+    * observed agreement P̄ but the chance term `P_e = 2π(1−π)` — stable
+    * where Fleiss' kappa collapses under prevalence skew (the "kappa
+    * paradox"); report both side by side. Output: one row
+    * (n_items, m, p_bar, p_e_gwet, ac1).
+    */
+  def gwetAc1(df: DataFrame, posCol: String, m: Int): DataFrame = {
+    require(m >= 2)
+    val pos = col(posCol).cast("double")
+    val md = m.toDouble
+    val pi = (pos * pos + (lit(md) - pos) * (lit(md) - pos) - lit(md)) /
+      lit(md * (md - 1))
+    val agged = df.agg(count(lit(1)).as("n_items"),
+      sum(pi).as("_sp"), sum(pos).as("_votes"))
+    val n = col("n_items").cast("double")
+    val pBar = col("_sp") / n
+    val share = col("_votes") / (n * lit(md))
+    val pe = lit(2.0) * share * (lit(1.0) - share)
+    agged
+      .withColumn("m", lit(m.toLong))
+      .withColumn("p_bar", pBar)
+      .withColumn("p_e_gwet", pe)
+      .withColumn("ac1", when(lit(1.0) - pe > 0,
+        (pBar - pe) / (lit(1.0) - pe)))
+      .select(col("n_items"), col("m"), col("p_bar"), col("p_e_gwet"),
+        col("ac1"))
+  }
+
+  /** CUSUM-of-squares variance-change statistic (Brown, Durbin & Evans
+    * 1975): `C_t = Σ_{i≤t} x²_i / Σ x²`, `stat = max_t |C_t − t/n|`, with
+    * the argmax timestamp under the (rounded stat desc, ts) rank rule —
+    * the VARIANCE sibling of the mean-shift family ([[buishandRange]],
+    * q360 SNHT). Ordered cumsum ⇒ identical accumulation. Output:
+    * (keys..., n, stat, split_ts).
+    */
+  def cusumSquares(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val winAll = Window.partitionBy(keys: _*)
+    val winCum = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val winOrd = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .withColumn("_q", v * v)
+      .withColumn("_cq", sum(col("_q")).over(winCum))
+      .withColumn("_tq", sum(col("_q")).over(winAll))
+      .withColumn("_i", row_number().over(winOrd))
+      .withColumn("_n", count(lit(1)).over(winAll))
+      .filter(col("_tq") > 0)
+      .withColumn("_d", abs(col("_cq") / col("_tq") -
+        col("_i").cast("double") / col("_n").cast("double")))
+      .withColumn("_dr", signum(col("_d")) *
+        floor(abs(col("_d")) * 1e6 + 0.5) / 1e6)
+    val wPick = Window.partitionBy(keys: _*)
+      .orderBy(col("_dr").desc, col(tsCol))
+    staged.withColumn("_rk", row_number().over(wPick))
+      .filter(col("_rk") === 1)
+      .select((keys :+ col("_n").as("n") :+ col("_dr").as("stat") :+
+        col(tsCol).as("split_ts")): _*)
+  }
+
+  /** Exact paired sign test (two-sided): with b = positive and c =
+    * negative differences (zeros dropped), m = b + c,
+    * `p = min(1, 2·Σ_{k≤min(b,c)} C(m,k)·2⁻ᵐ)` — binomial tail via the
+    * same ORDERED ln-factorial cumsum as [[fisherExact]] (no shuffled
+    * float reduction). The distribution-free companion of
+    * [[wilcoxonSignedRank]] when even ranks are suspect. Output: one row
+    * (n_pairs, b, c, p_two_sided).
+    */
+  def signTestExact(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d = col(xCol).cast("double") - col(yCol).cast("double")
+    val counts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(d > 0, 1L).otherwise(0L)).as("b"),
+        sum(when(d < 0, 1L).otherwise(0L)).as("c"))
+      .withColumn("_m", col("b") + col("c"))
+      .withColumn("_kmax", least(col("b"), col("c")))
+    val lf = counts.select(col("_m"),
+        explode(sequence(lit(0L), col("_m"))).as("i"))
+      .withColumn("v", sum(when(col("i") >= 1L,
+        log(col("i").cast("double"))).otherwise(lit(0.0)))
+        .over(Window.orderBy(col("i"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val lfm = lf.groupBy().agg(max(when(col("i") === col("_m"), col("v")))
+      .as("lf_m"))
+    val ks = counts.crossJoin(broadcast(lfm))
+      .withColumn("k", explode(sequence(lit(0L), col("_kmax"))))
+    val terms = ks
+      .join(lf.select(col("i").as("k"), col("v").as("lf_k")), "k")
+      .join(lf.select(col("i").as("_mk"), col("v").as("lf_mk")),
+        col("_mk") === col("_m") - col("k"))
+      .withColumn("_lnp", col("lf_m") - col("lf_k") - col("lf_mk") -
+        col("_m").cast("double") * log(lit(2.0)))
+      .withColumn("_cum", sum(exp(col("_lnp"))).over(Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_rk", row_number().over(Window.orderBy(col("k").desc)))
+      .filter(col("_rk") === 1)
+    terms.select(col("n_pairs"), col("b"), col("c"),
+      least(lit(1.0), lit(2.0) * col("_cum")).as("p_two_sided"))
+  }
+
+  /** Rousseeuw–Croux Qn-style robust scale: the k-th order statistic of
+    * the pairwise gaps |xᵢ − xⱼ| (i < j), k = ⌊(⌊n/2⌋+1 choose 2... the
+    * classical k = C(h,2) with h = ⌊n/2⌋+1⌋), times the consistency
+    * factor 2.2219. 50% breakdown without a location estimate — the scale
+    * companion of q86's MAD. O(n²) pairs: aggregated-grain input only.
+    * Integer-valued inputs make every gap exact. Output: one row
+    * (n, n_pairs, qn_raw, qn).
+    */
+  def qnScale(df: DataFrame, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = df.filter(v.isNotNull)
+      .select(v.as("_x"))
+      .withColumn("_i", row_number().over(Window.orderBy(col("_x"))))
+    val b = base.select(col("_x").as("_y"), col("_i").as("_j"))
+    val gaps = base.join(b, col("_i") < col("_j"))
+      .select(abs(col("_x") - col("_y")).as("_g"), col("_i"), col("_j"))
+    val ranked = gaps
+      .withColumn("_rn", row_number().over(
+        Window.orderBy(col("_g"), col("_i"), col("_j"))))
+      .withColumn("_np", count(lit(1)).over(Window.partitionBy()))
+    // n from N' = n(n-1)/2; h = floor(n/2) + 1; k = C(h, 2)
+    val nd = (lit(1.0) + sqrt(lit(1.0) + lit(8.0) *
+      col("_np").cast("double"))) / 2.0
+    val h = floor(nd / 2.0) + 1.0
+    val kIdx = (h * (h - 1.0) / 2.0).cast("long")
+    ranked.filter(col("_rn") === greatest(lit(1L), kIdx))
+      .select(nd.cast("long").as("n"), col("_np").as("n_pairs"),
+        col("_g").as("qn_raw"),
+        (col("_g") * lit(2.2219)).as("qn"))
+  }
 }

@@ -596,4 +596,52 @@ class StatTestsSpec extends SparkSuite {
       "item", "rater", raters, "v").collect()(0)
     assert(rm.getAs[Double]("w") < 0.4)
   }
+
+  test("fleissKappa and gwetAc1: shared design goldens; AC1 > kappa here") {
+    val votes = Seq(5L, 4L, 1L, 0L, 3L, 5L).map((1L, _)).toDF("k", "pos")
+    val rf = StatTests.fleissKappa(votes, "pos", m = 5).collect()(0)
+    assert(rf.getAs[Long]("n_items") === 6L)
+    assert(approxEq(rf.getAs[Double]("p_bar"), 0.7666666666666666, 1e-12))
+    assert(approxEq(rf.getAs[Double]("p_e"), 0.52, 1e-12))
+    assert(approxEq(rf.getAs[Double]("kappa"), 0.5138888888888887, 1e-12))
+    val rg = StatTests.gwetAc1(votes, "pos", m = 5).collect()(0)
+    assert(approxEq(rg.getAs[Double]("p_e_gwet"), 0.48, 1e-12))
+    assert(approxEq(rg.getAs[Double]("ac1"), 0.5512820512820512, 1e-12))
+    assert(rg.getAs[Double]("ac1") > rf.getAs[Double]("kappa"))
+  }
+
+  test("signTestExact: binomial tail golden p(8 vs 2 of 10) = 0.109375") {
+    val rows = (1 to 8).map(i => (10.0 + i, 5.0)) ++ Seq((1.0, 5.0), (2.0, 5.0))
+    val df = rows.toDF("x", "y")
+    val r = StatTests.signTestExact(df, "x", "y").collect()(0)
+    assert(r.getAs[Long]("b") === 8L)
+    assert(r.getAs[Long]("c") === 2L)
+    assert(approxEq(r.getAs[Double]("p_two_sided"), 0.109375, 1e-9))
+    // balanced: p capped at 1
+    val bal = Seq((2.0, 1.0), (1.0, 2.0)).toDF("x", "y")
+    val rb = StatTests.signTestExact(bal, "x", "y").collect()(0)
+    assert(approxEq(rb.getAs[Double]("p_two_sided"), 1.0, 1e-12))
+  }
+
+  test("qnScale: gaps of 1..10 pick the 15th ordered gap = 2") {
+    val df = (1 to 10).map(i => (1L, i.toDouble)).toDF("k", "v")
+    val r = StatTests.qnScale(df, "v").collect()(0)
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("n_pairs") === 45L)
+    assert(r.getAs[Double]("qn_raw") === 2.0)
+    assert(approxEq(r.getAs[Double]("qn"), 4.4438, 1e-12))
+  }
+
+  test("cusumSquares: a variance burst pulls the split toward the burst start") {
+    val calm = (0 until 20).map(i => (1L, ts(i), if (i % 2 == 0) 1.0 else -1.0))
+    val burst = (20 until 30).map(i => (1L, ts(i), if (i % 2 == 0) 10.0 else -10.0))
+    val df = (calm ++ burst).toDF("k", "t", "v")
+    val r = StatTests.cusumSquares(df, Seq("k"), "t", "v").collect()(0)
+    assert(r.getAs[Long]("n") === 30L)
+    // before the burst C_t lags t/n maximally right at the boundary
+    val splitIdx = (r.getAs[java.sql.Timestamp]("split_ts").getTime / 1000L -
+      1704067200L) / 86400L
+    assert(splitIdx >= 18L && splitIdx <= 21L)
+    assert(r.getAs[Double]("stat") > 0.4)
+  }
 }
