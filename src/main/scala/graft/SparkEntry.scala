@@ -5995,6 +5995,93 @@ object SparkEntry {
       graft.operators.StatTests.qnScale(daily, "cnt")
         .select(col("n"), col("n_pairs"), r6(col("qn_raw")).as("qn_raw"),
           r6(col("qn")).as("qn"))
+    }),
+
+    // Hodges-Lehmann two-sample shift (click minus view daily counts)
+    // with the Moses rank CI — the magnitude q179's MWU only tests
+    "q422_hl_shift" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.hlShift(daily, "event_type", "click", "view",
+          "cnt")
+        .select(col("n_a"), col("n_b"), r6(col("shift")).as("shift"),
+          r6(col("ci_lo")).as("ci_lo"), r6(col("ci_hi")).as("ci_hi"))
+    }),
+
+    // one-sample KS of click intra-day second offsets against U(0, 86400)
+    "q423_ks_uniform" -> ((s, dir) => {
+      val u = ev(s, dir).filter(col("event_type") === "click")
+        .select((unix_timestamp(col("ts").cast("timestamp")) % 86400L)
+          .cast("double").as("u"))
+      graft.operators.StatTests.ksUniform(u, "u", span = 86400.0)
+        .select(col("n"), r6(col("d_stat")).as("d_stat"))
+    }),
+
+    // circular statistics of the click time-of-day angle: mean direction,
+    // resultant, circular variance, Rayleigh uniformity z
+    "q424_circular" -> ((s, dir) => {
+      val th = ev(s, dir).filter(col("event_type") === "click")
+        .select(((unix_timestamp(col("ts").cast("timestamp")) % 86400L)
+          .cast("double") * lit(6.283185307179586) / lit(86400.0)).as("theta"))
+      graft.operators.StatTests.circularStats(th, "theta")
+        .select(col("n"), r6(col("mean_dir")).as("mean_dir"),
+          r6(col("resultant")).as("resultant"),
+          r6(col("circ_var")).as("circ_var"),
+          r6(col("rayleigh_z")).as("rayleigh_z"))
+    }),
+
+    // distribution-free order-statistic CI for the median click daily count
+    "q425_median_ci" -> ((s, dir) => {
+      val daily = ev(s, dir).filter(col("event_type") === "click")
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.medianCI(daily, "cnt")
+        .select(col("n"), col("median"), col("ci_lo"), col("ci_hi"))
+    }),
+
+    // proportion effect sizes for the purchase share, first vs second half
+    // of month: Cohen's h, risk ratio with log CI
+    "q426_proportion_effects" -> ((s, dir) => {
+      val cells = ev(s, dir).agg(
+        sum(when(dayofmonth(col("ts")) <= 15 &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("x1"),
+        sum(when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L)).as("n1"),
+        sum(when(dayofmonth(col("ts")) >= 16 &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("x2"),
+        sum(when(dayofmonth(col("ts")) >= 16, 1L).otherwise(0L)).as("n2"))
+      val p1 = col("x1").cast("double") / col("n1").cast("double")
+      val p2 = col("x2").cast("double") / col("n2").cast("double")
+      val ok = col("x1") >= 1L && col("x2") >= 1L && col("n1") >= 1L &&
+        col("n2") >= 1L
+      val rr = p1 / p2
+      val se = sqrt((lit(1.0) - p1) / col("x1").cast("double") +
+        (lit(1.0) - p2) / col("x2").cast("double"))
+      cells
+        .withColumn("p1", when(ok, p1))
+        .withColumn("p2", when(ok, p2))
+        .withColumn("cohens_h", when(ok,
+          lit(2.0) * asin(sqrt(p1)) - lit(2.0) * asin(sqrt(p2))))
+        .withColumn("risk_ratio", when(ok, rr))
+        .withColumn("rr_lo", when(ok, exp(log(rr) - lit(1.96) * se)))
+        .withColumn("rr_hi", when(ok, exp(log(rr) + lit(1.96) * se)))
+        .select(col("x1"), col("n1"), col("x2"), col("n2"),
+          r6(col("p1")).as("p1"), r6(col("p2")).as("p2"),
+          r6(col("cohens_h")).as("cohens_h"),
+          r6(col("risk_ratio")).as("risk_ratio"), r6(col("rr_lo")).as("rr_lo"),
+          r6(col("rr_hi")).as("rr_hi"))
+    }),
+
+    // RBF-kernel MMD (median-heuristic bandwidth) between the click and
+    // view daily-count distributions — detects ANY shape difference
+    "q427_mmd" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.mmdRbf(daily, "event_type", "click", "view",
+          "cnt")
+        .select(col("n_a"), col("n_b"), r6(col("bandwidth")).as("bandwidth"),
+          r6(col("mmd2")).as("mmd2"))
     })
   )
 
@@ -13990,7 +14077,141 @@ object SparkEntry {
         |      AS kidx FROM c3)
         |SELECT nd::BIGINT AS n, np::BIGINT AS n_pairs,
         |  round(gp, 6) AS qn_raw, round(gp * 2.2219, 6) AS qn
-        |FROM c4 WHERE rn = greatest(1, kidx)""".stripMargin
+        |FROM c4 WHERE rn = greatest(1, kidx)""".stripMargin,
+
+    // pairwise differences ranked on (d, i, j); median + Moses CI ranks
+    "q422_hl_shift" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |a AS (SELECT cnt::DOUBLE AS x,
+        |    row_number() OVER (ORDER BY cnt) AS i FROM daily
+        |  WHERE event_type = 'click'),
+        |b AS (SELECT cnt::DOUBLE AS y,
+        |    row_number() OVER (ORDER BY cnt) AS j FROM daily
+        |  WHERE event_type = 'view'),
+        |p AS (SELECT a.x - b.y AS dd, a.i, b.j FROM a, b),
+        |r AS (SELECT dd, row_number() OVER (ORDER BY dd, i, j) AS rn,
+        |    count(*) OVER () AS np FROM p),
+        |nn AS (SELECT (SELECT count(*) FROM a)::BIGINT AS n_a,
+        |    (SELECT count(*) FROM b)::BIGINT AS n_b),
+        |c AS (SELECT r.*, nn.n_a, nn.n_b,
+        |    sqrt(nn.n_a::DOUBLE * nn.n_b::DOUBLE
+        |      * (nn.n_a::DOUBLE + nn.n_b::DOUBLE + 1)/12.0) AS sd
+        |  FROM r, nn),
+        |c2 AS (SELECT *, floor((np::DOUBLE + 1.0)/2.0)::BIGINT AS rmed,
+        |    greatest(1, ceil(np::DOUBLE/2.0 - 1.96*sd)::BIGINT) AS rlo,
+        |    least(np, ceil(np::DOUBLE/2.0 + 1.96*sd + 1.0)::BIGINT) AS rhi
+        |  FROM c)
+        |SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+        |  round(max(CASE WHEN rn = rmed THEN dd END), 6) AS shift,
+        |  round(max(CASE WHEN rn = rlo THEN dd END), 6) AS ci_lo,
+        |  round(max(CASE WHEN rn = rhi THEN dd END), 6) AS ci_hi
+        |FROM c2""".stripMargin,
+
+    "q423_ks_uniform" ->
+      """WITH u AS (SELECT
+        |    ((floor(epoch(ts))::BIGINT % 86400))::DOUBLE AS u
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT u, row_number() OVER (ORDER BY u) AS i,
+        |    count(*) OVER () AS n FROM u),
+        |d AS (SELECT n, greatest(i::DOUBLE/n::DOUBLE - u/86400.0,
+        |    u/86400.0 - (i::DOUBLE - 1)/n::DOUBLE) AS dv FROM r)
+        |SELECT max(n)::BIGINT AS n, round(max(dv), 6) AS d_stat
+        |FROM d""".stripMargin,
+
+    "q424_circular" ->
+      """WITH th AS (SELECT
+        |    ((floor(epoch(ts))::BIGINT % 86400))::DOUBLE
+        |      * 6.283185307179586 / 86400.0 AS t
+        |  FROM events WHERE event_type = 'click'),
+        |a AS (SELECT count(*)::BIGINT AS n, sum(cos(t)) AS c,
+        |    sum(sin(t)) AS s FROM th),
+        |c2 AS (SELECT n, c, s, c/n::DOUBLE AS cb, s/n::DOUBLE AS sb FROM a),
+        |f AS (SELECT n, c, s, sqrt(cb*cb + sb*sb) AS r FROM c2)
+        |SELECT n, round(atan2(s, c), 6) AS mean_dir,
+        |  round(r, 6) AS resultant, round(1.0 - r, 6) AS circ_var,
+        |  round(n::DOUBLE * r * r, 6) AS rayleigh_z
+        |FROM f""".stripMargin,
+
+    "q425_median_ci" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |r AS (SELECT cnt::DOUBLE AS x, row_number() OVER (ORDER BY cnt) AS rn,
+        |    count(*) OVER () AS n FROM daily),
+        |c AS (SELECT *, floor((n::DOUBLE + 1.0)/2.0)::BIGINT AS rmed,
+        |    greatest(1, floor((n::DOUBLE - 1.96*sqrt(n::DOUBLE))/2.0)::BIGINT)
+        |      AS rlo,
+        |    least(n, ceil(1.0 + (n::DOUBLE + 1.96*sqrt(n::DOUBLE))/2.0)::BIGINT)
+        |      AS rhi
+        |  FROM r)
+        |SELECT max(n)::BIGINT AS n,
+        |  max(CASE WHEN rn = rmed THEN x END) AS median,
+        |  max(CASE WHEN rn = rlo THEN x END) AS ci_lo,
+        |  max(CASE WHEN rn = rhi THEN x END) AS ci_hi
+        |FROM c""".stripMargin,
+
+    "q426_proportion_effects" ->
+      """WITH c AS (SELECT
+        |    sum(CASE WHEN day(ts) <= 15 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END)::BIGINT AS x1,
+        |    sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN day(ts) >= 16 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END)::BIGINT AS x2,
+        |    sum(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END)::BIGINT AS n2
+        |  FROM events),
+        |m AS (SELECT x1, n1, x2, n2,
+        |    x1::DOUBLE/n1::DOUBLE AS p1, x2::DOUBLE/n2::DOUBLE AS p2,
+        |    (x1 >= 1 AND x2 >= 1 AND n1 >= 1 AND n2 >= 1) AS ok
+        |  FROM c),
+        |e AS (SELECT *, p1/p2 AS rr,
+        |    sqrt((1.0 - p1)/x1::DOUBLE + (1.0 - p2)/x2::DOUBLE) AS se
+        |  FROM m)
+        |SELECT x1, n1, x2, n2,
+        |  round(CASE WHEN ok THEN p1 END, 6) AS p1,
+        |  round(CASE WHEN ok THEN p2 END, 6) AS p2,
+        |  round(CASE WHEN ok THEN
+        |    2.0*asin(sqrt(p1)) - 2.0*asin(sqrt(p2)) END, 6) AS cohens_h,
+        |  round(CASE WHEN ok THEN rr END, 6) AS risk_ratio,
+        |  round(CASE WHEN ok THEN exp(ln(rr) - 1.96*se) END, 6) AS rr_lo,
+        |  round(CASE WHEN ok THEN exp(ln(rr) + 1.96*se) END, 6) AS rr_hi
+        |FROM e""".stripMargin,
+
+    // median-heuristic bandwidth by explicit rank; full-ordered-pair
+    // kernel sums incl. diagonal (biased V-statistic)
+    "q427_mmd" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |ids AS (SELECT event_type AS arm, cnt::DOUBLE AS v,
+        |    row_number() OVER (ORDER BY cnt::DOUBLE, event_type) AS id
+        |  FROM daily WHERE event_type IN ('click', 'view')),
+        |g AS (SELECT abs(a.v - c.v) AS gp, a.id AS i, c.id AS j
+        |  FROM ids a JOIN ids c ON a.id < c.id),
+        |gm AS (SELECT greatest(gp, 1e-9) AS gamma FROM (
+        |    SELECT gp, row_number() OVER (ORDER BY gp, i, j) AS rn,
+        |      count(*) OVER () AS np FROM g)
+        |  WHERE rn = floor((np::DOUBLE + 1.0)/2.0)::BIGINT),
+        |k AS (SELECT a.arm AS arm1, c.arm AS arm2, gm.gamma,
+        |    exp(-(a.v - c.v)*(a.v - c.v)/(2.0*gm.gamma*gm.gamma)) AS kv
+        |  FROM ids a, ids c, gm),
+        |agg AS (SELECT max(gamma) AS bandwidth,
+        |    sum(CASE WHEN arm1 = 'click' AND arm2 = 'click' THEN kv
+        |      ELSE 0.0 END) AS kxx,
+        |    sum(CASE WHEN arm1 = 'view' AND arm2 = 'view' THEN kv
+        |      ELSE 0.0 END) AS kyy,
+        |    sum(CASE WHEN arm1 = 'click' AND arm2 = 'view' THEN kv
+        |      ELSE 0.0 END) AS kxy,
+        |    sum(CASE WHEN arm1 = 'click' AND arm2 = 'click' THEN 1
+        |      ELSE 0 END) AS nxx,
+        |    sum(CASE WHEN arm1 = 'view' AND arm2 = 'view' THEN 1
+        |      ELSE 0 END) AS nyy,
+        |    sum(CASE WHEN arm1 = 'click' AND arm2 = 'view' THEN 1
+        |      ELSE 0 END) AS nxy
+        |  FROM k)
+        |SELECT sqrt(nxx::DOUBLE)::BIGINT AS n_a, sqrt(nyy::DOUBLE)::BIGINT AS n_b,
+        |  round(bandwidth, 6) AS bandwidth,
+        |  round(kxx/nxx::DOUBLE + kyy/nyy::DOUBLE
+        |    - 2.0*kxy/nxy::DOUBLE, 6) AS mmd2
+        |FROM agg""".stripMargin
   )
 
   /** q403's oracle: ntile terciles on the identical (value, doc_id)

@@ -1597,4 +1597,182 @@ object StatTests {
         col("_g").as("qn_raw"),
         (col("_g") * lit(2.2219)).as("qn"))
   }
+
+  /** Hodges–Lehmann two-sample shift estimate with the Moses rank CI:
+    * the explicit lower-middle order statistic of ALL pairwise
+    * differences x − y (n_a·n_b of them), CI at ranks
+    * `⌈N/2 − 1.96·√(n_a·n_b(n_a+n_b+1)/12)⌉` and the mirrored upper rank
+    * (capped to [1, N]) — the estimate "how much did the distribution
+    * shift" that mannWhitney only tests. Integer-valued inputs give exact
+    * differences and a deterministic (diff, i, j) rank order. O(n_a·n_b)
+    * pairs: aggregated-grain input. Output: one row
+    * (n_a, n_b, shift, ci_lo, ci_hi).
+    */
+  def hlShift(df: DataFrame, armCol: String, armA: String, armB: String,
+              valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = df.filter(v.isNotNull)
+    val a = base.filter(col(armCol).cast("string") === armA)
+      .select(v.as("_x"))
+      .withColumn("_i", row_number().over(Window.orderBy(col("_x"))))
+    val b = base.filter(col(armCol).cast("string") === armB)
+      .select(v.as("_y"))
+      .withColumn("_j", row_number().over(Window.orderBy(col("_y"))))
+    val diffs = a.crossJoin(b).select((col("_x") - col("_y")).as("_d"),
+      col("_i"), col("_j"))
+    val ranked = diffs
+      .withColumn("_rn", row_number().over(
+        Window.orderBy(col("_d"), col("_i"), col("_j"))))
+      .withColumn("_np", count(lit(1)).over(Window.partitionBy()))
+    val npd = col("_np").cast("double")
+    // n_a*n_b = N; recover n_a + n_b is not needed — the Moses sd uses
+    // both, so carry them in as literal-free aggregates
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    val withN = ranked.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+    val sd = sqrt(col("n_a").cast("double") * col("n_b").cast("double") *
+      (col("n_a").cast("double") + col("n_b").cast("double") + 1) / lit(12.0))
+    val withIdx = withN
+      .withColumn("_rmed", floor((npd + 1.0) / 2.0).cast("long"))
+      .withColumn("_rlo", greatest(lit(1L),
+        ceil(npd / 2.0 - lit(1.96) * sd).cast("long")))
+      .withColumn("_rhi", least(col("_np"),
+        ceil(npd / 2.0 + lit(1.96) * sd + 1.0).cast("long")))
+    withIdx.groupBy(col("n_a"), col("n_b"))
+      .agg(max(when(col("_rn") === col("_rmed"), col("_d"))).as("shift"),
+        max(when(col("_rn") === col("_rlo"), col("_d"))).as("ci_lo"),
+        max(when(col("_rn") === col("_rhi"), col("_d"))).as("ci_hi"))
+      .select(col("n_a"), col("n_b"), col("shift"), col("ci_lo"),
+        col("ci_hi"))
+  }
+
+  /** One-sample Kolmogorov–Smirnov statistic against U(0, span): with
+    * sorted values u₍ᵢ₎ and F(u) = u/span,
+    * `D = max_i max(i/n − F(u₍ᵢ₎), F(u₍ᵢ₎) − (i−1)/n)` — the classic
+    * are-the-arrival-offsets-uniform screen. Integer-second offsets keep
+    * F exact ratios. One global sort at the aggregated/bounded grain.
+    * Output: one row (n, d_stat).
+    */
+  def ksUniform(df: DataFrame, valCol: String, span: Double): DataFrame = {
+    require(span > 0)
+    val v = col(valCol).cast("double")
+    val ranked = df.filter(v.isNotNull).select(v.as("_u"))
+      .withColumn("_i", row_number().over(Window.orderBy(col("_u"))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+    val n = col("_n").cast("double")
+    val f = col("_u") / lit(span)
+    val d = greatest(col("_i").cast("double") / n - f,
+      f - (col("_i").cast("double") - 1) / n)
+    ranked.agg(max(col("_n")).as("n"), max(d).as("d_stat"))
+      .select(col("n"), col("d_stat"))
+  }
+
+  /** Circular summary + Rayleigh uniformity test over angles in radians
+    * (Mardia & Jupp 2000): resultant `R̄ = √(C̄² + S̄²)` of the unit
+    * vectors, mean direction atan2(S̄, C̄), circular variance 1 − R̄, and
+    * the Rayleigh statistic `z = n·R̄²` (large z rejects uniformity —
+    * e.g. "is traffic concentrated at an hour of day?"). cos/sin sums are
+    * the only floats; one aggregate pass. Output: one row
+    * (n, mean_dir, resultant, circ_var, rayleigh_z).
+    */
+  def circularStats(df: DataFrame, angleCol: String): DataFrame = {
+    val th = col(angleCol).cast("double")
+    val agged = df.filter(th.isNotNull)
+      .agg(count(lit(1)).as("n"), sum(cos(th)).as("_c"), sum(sin(th)).as("_s"))
+    val n = col("n").cast("double")
+    val cb = col("_c") / n
+    val sb = col("_s") / n
+    val r = sqrt(cb * cb + sb * sb)
+    agged
+      .withColumn("mean_dir", atan2(col("_s"), col("_c")))
+      .withColumn("resultant", r)
+      .withColumn("circ_var", lit(1.0) - r)
+      .withColumn("rayleigh_z", n * r * r)
+      .select(col("n"), col("mean_dir"), col("resultant"), col("circ_var"),
+        col("rayleigh_z"))
+  }
+
+  /** Distribution-free order-statistic CI for the median: the point
+    * estimate at the explicit lower-middle rank, the interval at ranks
+    * `⌊(n − 1.96·√n)/2⌋` and `⌈1 + (n + 1.96·√n)/2⌉` (binomial normal
+    * approximation, capped) — actual data values, exact coverage
+    * guarantees, no distributional assumption. Output: one row
+    * (n, median, ci_lo, ci_hi).
+    */
+  def medianCI(df: DataFrame, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val ranked = df.filter(v.isNotNull).select(v.as("_x"))
+      .withColumn("_rn", row_number().over(Window.orderBy(col("_x"))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+    val nd = col("_n").cast("double")
+    val withIdx = ranked
+      .withColumn("_rmed", floor((nd + 1.0) / 2.0).cast("long"))
+      .withColumn("_rlo", greatest(lit(1L),
+        floor((nd - lit(1.96) * sqrt(nd)) / 2.0).cast("long")))
+      .withColumn("_rhi", least(col("_n"),
+        ceil(lit(1.0) + (nd + lit(1.96) * sqrt(nd)) / 2.0).cast("long")))
+    withIdx.agg(max(col("_n")).as("n"),
+        max(when(col("_rn") === col("_rmed"), col("_x"))).as("median"),
+        max(when(col("_rn") === col("_rlo"), col("_x"))).as("ci_lo"),
+        max(when(col("_rn") === col("_rhi"), col("_x"))).as("ci_hi"))
+      .select(col("n"), col("median"), col("ci_lo"), col("ci_hi"))
+  }
+
+  /** Biased (V-statistic) RBF-kernel maximum mean discrepancy between two
+    * samples (Gretton et al. 2012): `MMD² = mean k(x,x') + mean k(y,y')
+    * − 2·mean k(x,y)` with `k(a,b) = exp(−(a−b)²/(2γ²))` and γ the MEDIAN
+    * pairwise absolute gap over the pooled sample (explicit lower-middle
+    * rank — the deterministic median heuristic). Detects ANY distribution
+    * difference, not just location/scale. O(n²) kernels: aggregated-grain
+    * input. Output: one row (n_a, n_b, bandwidth, mmd2).
+    */
+  def mmdRbf(df: DataFrame, armCol: String, armA: String, armB: String,
+             valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = df.filter(v.isNotNull &&
+      (col(armCol).cast("string") === armA ||
+        col(armCol).cast("string") === armB))
+      .select(col(armCol).cast("string").as("_arm"), v.as("_v"))
+      .withColumn("_id", row_number().over(
+        Window.orderBy(col("_v"), col("_arm"))))
+    val b2 = base.select(col("_arm").as("_arm2"), col("_v").as("_v2"),
+      col("_id").as("_id2"))
+    val pairs = base.crossJoin(b2).filter(col("_id") < col("_id2"))
+      .select(abs(col("_v") - col("_v2")).as("_g"), col("_id"), col("_id2"))
+    val gamma = pairs
+      .withColumn("_rn", row_number().over(
+        Window.orderBy(col("_g"), col("_id"), col("_id2"))))
+      .withColumn("_np", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("_rn") ===
+        floor((col("_np").cast("double") + 1.0) / 2.0).cast("long"))
+      .select(greatest(col("_g"), lit(1e-9)).as("_gamma"))
+    val all = base.crossJoin(b2).crossJoin(broadcast(gamma))
+      .withColumn("_k", exp(-(col("_v") - col("_v2")) *
+        (col("_v") - col("_v2")) /
+        (lit(2.0) * col("_gamma") * col("_gamma"))))
+    val agged = all.agg(
+      sum(when(col("_arm") === armA && col("_arm2") === armA, col("_k"))
+        .otherwise(lit(0.0))).as("_kxx"),
+      sum(when(col("_arm") === armB && col("_arm2") === armB, col("_k"))
+        .otherwise(lit(0.0))).as("_kyy"),
+      sum(when(col("_arm") === armA && col("_arm2") === armB, col("_k"))
+        .otherwise(lit(0.0))).as("_kxy"),
+      sum(when(col("_arm") === armA && col("_arm2") === armA, 1L)
+        .otherwise(0L)).as("_nxx"),
+      sum(when(col("_arm") === armB && col("_arm2") === armB, 1L)
+        .otherwise(0L)).as("_nyy"),
+      sum(when(col("_arm") === armA && col("_arm2") === armB, 1L)
+        .otherwise(0L)).as("_nxy"),
+      max(col("_gamma")).as("bandwidth"))
+    val na = sqrt(col("_nxx").cast("double"))
+    val nb = sqrt(col("_nyy").cast("double"))
+    agged
+      .withColumn("n_a", na.cast("long"))
+      .withColumn("n_b", nb.cast("long"))
+      .withColumn("mmd2",
+        col("_kxx") / col("_nxx").cast("double") +
+          col("_kyy") / col("_nyy").cast("double") -
+          lit(2.0) * col("_kxy") / col("_nxy").cast("double"))
+      .select(col("n_a"), col("n_b"), col("bandwidth"), col("mmd2"))
+  }
 }

@@ -644,4 +644,59 @@ class StatTestsSpec extends SparkSuite {
     assert(splitIdx >= 18L && splitIdx <= 21L)
     assert(r.getAs[Double]("stat") > 0.4)
   }
+
+  test("hlShift: pairwise-difference median + Moses CI golden") {
+    val rows = Seq(("a", 5.0), ("a", 7.0), ("a", 9.0), ("a", 11.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0))
+    val df = rows.toDF("arm", "v")
+    val r = StatTests.hlShift(df, "arm", "a", "b", "v").collect()(0)
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) === ((4L, 3L)))
+    assert(r.getAs[Double]("shift") === 6.0)
+    assert(r.getAs[Double]("ci_lo") === 2.0)
+    assert(r.getAs[Double]("ci_hi") === 10.0)
+  }
+
+  test("ksUniform: clustered points D = 0.8; uniform grid D small") {
+    val df = Seq(0.05, 0.1, 0.1, 0.15, 0.2).map((1L, _)).toDF("k", "u")
+    val r = StatTests.ksUniform(df, "u", span = 1.0).collect()(0)
+    assert(approxEq(r.getAs[Double]("d_stat"), 0.8, 1e-12))
+    val grid = (1 to 100).map(i => (1L, (i - 0.5) / 100.0)).toDF("k", "u")
+    val rg = StatTests.ksUniform(grid, "u", span = 1.0).collect()(0)
+    assert(rg.getAs[Double]("d_stat") <= 0.005 + 1e-12)
+  }
+
+  test("circularStats: concentrated angles give resultant 1, z = n; opposed cancel") {
+    val conc = Seq.fill(10)((1L, 1.25)).toDF("k", "theta")
+    val r = StatTests.circularStats(conc, "theta").collect()(0)
+    assert(approxEq(r.getAs[Double]("resultant"), 1.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("rayleigh_z"), 10.0, 1e-9))
+    assert(approxEq(r.getAs[Double]("mean_dir"), 1.25, 1e-12))
+    val opposed = (Seq.fill(5)((1L, 0.0)) ++ Seq.fill(5)((1L, math.Pi)))
+      .toDF("k", "theta")
+    val ro = StatTests.circularStats(opposed, "theta").collect()(0)
+    assert(ro.getAs[Double]("resultant") < 1e-9)
+  }
+
+  test("medianCI: rank picks bracket the median on 1..25") {
+    val df = (1 to 25).map(i => (1L, i.toDouble)).toDF("k", "v")
+    val r = StatTests.medianCI(df, "v").collect()(0)
+    assert(r.getAs[Double]("median") === 13.0)
+    // rlo = floor((25 - 9.8)/2) = 7; rhi = ceil(1 + (25 + 9.8)/2) = 19
+    assert(r.getAs[Double]("ci_lo") === 7.0)
+    assert(r.getAs[Double]("ci_hi") === 19.0)
+  }
+
+  test("mmdRbf: identical distributions ~ 0, separated ones large (golden)") {
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 10.0), ("b", 11.0), ("b", 12.0))
+    val r = StatTests.mmdRbf(rows.toDF("arm", "v"), "arm", "a", "b", "v")
+      .collect()(0)
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) === ((3L, 3L)))
+    assert(r.getAs[Double]("bandwidth") === 8.0)
+    assert(approxEq(r.getAs[Double]("mmd2"), 0.9144051838258709, 1e-9))
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+    val rs = StatTests.mmdRbf(same.toDF("arm", "v"), "arm", "a", "b", "v")
+      .collect()(0)
+    assert(math.abs(rs.getAs[Double]("mmd2")) < 1e-9)
+  }
 }
