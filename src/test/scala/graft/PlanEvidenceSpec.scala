@@ -198,4 +198,24 @@ class PlanEvidenceSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"prefix filtering must never degrade to all-pairs:\n$plan")
   }
+
+  test("StatTests moment tests are single-shuffle plans (jarqueBera, chow, breuschPagan)") {
+    import graft.operators.StatTests
+    val daily = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .agg(sum(col("value")).as("v"))
+    // daily itself costs one shuffle; each diagnostic must add NO MORE than
+    // one (its groupBy/window partitioning on the same keys is reused)
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = finalPlan(df).split("== Initial Plan ==")(0)
+      "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    }
+    val base = exchanges(daily)
+    assert(exchanges(StatTests.jarqueBera(daily, Seq("user_id"), "v")) <= base + 1,
+      "jarqueBera must be one aggregate pass over the input")
+    assert(exchanges(StatTests.chow(daily, Seq("user_id"), "d", "v")) <= base + 1,
+      "chow's window + groupBy share one user_id exchange")
+    assert(exchanges(StatTests.breuschPagan(daily, Seq("user_id"), "d", "v")) <= base + 1,
+      "breuschPagan's two window stages + aggregate share one exchange")
+  }
 }
