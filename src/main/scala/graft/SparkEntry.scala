@@ -6082,6 +6082,75 @@ object SparkEntry {
           "cnt")
         .select(col("n_a"), col("n_b"), r6(col("bandwidth")).as("bandwidth"),
           r6(col("mmd2")).as("mmd2"))
+    }),
+
+    // Yuen's 20%-trimmed t on the click-vs-view daily counts — the
+    // outlier-robust alternative to q169's Welch
+    "q428_yuen_t" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.yuenT(daily, "event_type", "click", "view",
+          "cnt")
+        .select(col("n_a"), col("n_b"), col("h_a"), col("h_b"),
+          r6(col("tmean_a")).as("tmean_a"), r6(col("tmean_b")).as("tmean_b"),
+          r6(col("t_stat")).as("t_stat"))
+    }),
+
+    // Dixon's Q most-extreme-point screen per type's daily counts
+    "q429_dixon_q" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.dixonQ(daily, Seq("event_type"), "cnt")
+        .select(col("event_type"), col("n"), r6(col("q_min")).as("q_min"),
+          r6(col("q_max")).as("q_max"))
+        .orderBy("event_type")
+    }),
+
+    // first-harmonic (cosinor) fit of the hour-of-day activity profile:
+    // mesor, amplitude, acrophase, variance explained
+    "q430_harmonic_fit" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(hour(col("ts")).as("hb"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.operators.StatTests.harmonicFit(hourly, "hb", "cnt", period = 24)
+        .select(col("n"), r6(col("mesor")).as("mesor"),
+          r6(col("amplitude")).as("amplitude"), r6(col("phase")).as("phase"),
+          r6(col("var_explained")).as("var_explained"))
+    }),
+
+    // ICC(1) with the unequal-size k0 correction: how much daily-count
+    // variance is BETWEEN users vs within?
+    "q431_icc" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.icc1(daily, Seq("user_id"), "cnt")
+        .select(col("n"), col("n_groups"), r6(col("k0")).as("k0"),
+          r6(col("msb")).as("msb"), r6(col("msw")).as("msw"),
+          r6(col("icc")).as("icc"))
+    }),
+
+    // ROC-AUC of n_chars as a predictor of lang = en (midrank identity)
+    "q432_roc_auc" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        (col("lang") === "en").cast("long").as("y"),
+        col("n_chars").cast("double").as("score"))
+      graft.operators.StatTests.rocAuc(d, "y", "score")
+        .select(col("n_pos"), col("n_neg"), r6(col("auc")).as("auc"))
+    }),
+
+    // Brunner-Munzel nonparametric Behrens-Fisher on click vs view daily
+    // counts — MWU without the equal-dispersion assumption
+    "q433_brunner_munzel" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.brunnerMunzel(daily, "event_type", "click",
+          "view", "cnt")
+        .select(col("n_a"), col("n_b"), r6(col("p_hat")).as("p_hat"),
+          r6(col("w_stat")).as("w_stat"))
     })
   )
 
@@ -14211,8 +14280,187 @@ object SparkEntry {
         |  round(bandwidth, 6) AS bandwidth,
         |  round(kxx/nxx::DOUBLE + kyy/nyy::DOUBLE
         |    - 2.0*kxy/nxy::DOUBLE, 6) AS mmd2
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // per-arm trim ranks, winsorized clamps, Yuen denominator
+    "q428_yuen_t" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type AS arm, cnt::DOUBLE AS v FROM daily
+        |  WHERE event_type IN ('click', 'view')),
+        |r AS (SELECT arm, v,
+        |    row_number() OVER (PARTITION BY arm ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY arm) AS n FROM b),
+        |g AS (SELECT *, floor(n::DOUBLE * 0.2)::BIGINT AS gg FROM r),
+        |g2 AS (SELECT *,
+        |    max(CASE WHEN rn = gg + 1 THEN v END) OVER (PARTITION BY arm) AS lo,
+        |    max(CASE WHEN rn = n - gg THEN v END) OVER (PARTITION BY arm) AS hi
+        |  FROM g),
+        |wz AS (SELECT arm, v,
+        |    CASE WHEN rn <= gg THEN lo WHEN rn > n - gg THEN hi ELSE v END AS wv,
+        |    (rn > gg AND rn <= n - gg) AS intrim FROM g2),
+        |a AS (SELECT
+        |    sum(CASE WHEN arm = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN arm = 'click' AND intrim THEN 1 ELSE 0 END)::BIGINT AS h_a,
+        |    sum(CASE WHEN arm = 'click' AND intrim THEN v ELSE 0.0 END) AS ts_a,
+        |    sum(CASE WHEN arm = 'click' THEN wv ELSE 0.0 END) AS ws_a,
+        |    sum(CASE WHEN arm = 'click' THEN wv*wv ELSE 0.0 END) AS wq_a,
+        |    sum(CASE WHEN arm = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN arm = 'view' AND intrim THEN 1 ELSE 0 END)::BIGINT AS h_b,
+        |    sum(CASE WHEN arm = 'view' AND intrim THEN v ELSE 0.0 END) AS ts_b,
+        |    sum(CASE WHEN arm = 'view' THEN wv ELSE 0.0 END) AS ws_b,
+        |    sum(CASE WHEN arm = 'view' THEN wv*wv ELSE 0.0 END) AS wq_b
+        |  FROM wz),
+        |c AS (SELECT *, ts_a/h_a::DOUBLE AS tma, ts_b/h_b::DOUBLE AS tmb,
+        |    (n_a::DOUBLE - 1)
+        |      * ((wq_a - ws_a*ws_a/n_a::DOUBLE)/(n_a::DOUBLE - 1))
+        |      / (h_a::DOUBLE * (h_a::DOUBLE - 1)) AS da,
+        |    (n_b::DOUBLE - 1)
+        |      * ((wq_b - ws_b*ws_b/n_b::DOUBLE)/(n_b::DOUBLE - 1))
+        |      / (h_b::DOUBLE * (h_b::DOUBLE - 1)) AS db
+        |  FROM a)
+        |SELECT n_a, n_b, h_a, h_b,
+        |  round(CASE WHEN h_a >= 2 AND h_b >= 2 THEN tma END, 6) AS tmean_a,
+        |  round(CASE WHEN h_a >= 2 AND h_b >= 2 THEN tmb END, 6) AS tmean_b,
+        |  round(CASE WHEN h_a >= 2 AND h_b >= 2 AND da + db > 0 THEN
+        |    (tma - tmb)/sqrt(da + db) END, 6) AS t_stat
+        |FROM c""".stripMargin,
+
+    "q429_dixon_q" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, cnt::DOUBLE AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cnt) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM daily),
+        |a AS (SELECT event_type, max(n)::BIGINT AS n,
+        |    max(CASE WHEN rn = 1 THEN v END) AS x1,
+        |    max(CASE WHEN rn = 2 THEN v END) AS x2,
+        |    max(CASE WHEN rn = n - 1 THEN v END) AS xn1,
+        |    max(CASE WHEN rn = n THEN v END) AS xn
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CASE WHEN n >= 3 AND xn - x1 > 0 THEN
+        |    (x2 - x1)/(xn - x1) END, 6) AS q_min,
+        |  round(CASE WHEN n >= 3 AND xn - x1 > 0 THEN
+        |    (xn - xn1)/(xn - x1) END, 6) AS q_max
+        |FROM a ORDER BY 1""".stripMargin,
+
+    "q430_harmonic_fit" -> harmonicFitSql(24),
+
+    "q431_icc" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |per AS (SELECT user_id, count(*)::BIGINT AS ni,
+        |    sum(cnt::DOUBLE) AS si, sum(cnt::DOUBLE*cnt::DOUBLE) AS qi
+        |  FROM daily GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS n_groups, sum(ni)::BIGINT AS n,
+        |    sum(ni*ni) AS n2, sum(si) AS st, sum(qi) AS qt,
+        |    sum(si*si/ni::DOUBLE) AS ssbp FROM per),
+        |c AS (SELECT n, n_groups,
+        |    (ssbp - st*st/n::DOUBLE)/(n_groups::DOUBLE - 1) AS msb,
+        |    (qt - ssbp)/(n::DOUBLE - n_groups::DOUBLE) AS msw,
+        |    (n::DOUBLE - n2::DOUBLE/n::DOUBLE)/(n_groups::DOUBLE - 1) AS k0
+        |  FROM a)
+        |SELECT n, n_groups,
+        |  round(CASE WHEN n_groups >= 2 AND n > n_groups THEN k0 END, 6) AS k0,
+        |  round(CASE WHEN n_groups >= 2 AND n > n_groups THEN msb END, 6) AS msb,
+        |  round(CASE WHEN n_groups >= 2 AND n > n_groups THEN msw END, 6) AS msw,
+        |  round(CASE WHEN n_groups >= 2 AND n > n_groups
+        |      AND msb + (k0 - 1)*msw > 0 THEN
+        |    (msb - msw)/(msb + (k0 - 1)*msw) END, 6) AS icc
+        |FROM c""".stripMargin,
+
+    "q432_roc_auc" ->
+      """WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    n_chars::DOUBLE AS s FROM documents),
+        |r AS (SELECT y,
+        |    rank() OVER (ORDER BY s)
+        |      + (count(*) OVER (PARTITION BY s) - 1)/2.0 AS mid FROM d),
+        |a AS (SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+        |    sum(CASE WHEN y = 1 THEN mid ELSE 0.0 END) AS rp FROM r)
+        |SELECT n_pos, n_neg,
+        |  round(CASE WHEN n_pos >= 1 AND n_neg >= 1 THEN
+        |    (rp/n_pos::DOUBLE - (n_pos::DOUBLE + 1)/2)/n_neg::DOUBLE END, 6)
+        |    AS auc
+        |FROM a""".stripMargin,
+
+    // pooled + within midranks; placement variances; BM eq. 4.7 reduced
+    "q433_brunner_munzel" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type AS arm, cnt::DOUBLE AS v FROM daily
+        |  WHERE event_type IN ('click', 'view')),
+        |r AS (SELECT arm,
+        |    rank() OVER (ORDER BY v)
+        |      + (count(*) OVER (PARTITION BY v) - 1)/2.0 AS rp,
+        |    rank() OVER (PARTITION BY arm ORDER BY v)
+        |      + (count(*) OVER (PARTITION BY arm, v) - 1)/2.0 AS rw
+        |  FROM b),
+        |r2 AS (SELECT arm, rp, rp - rw AS dd FROM r),
+        |a AS (SELECT
+        |    sum(CASE WHEN arm = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN arm = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN arm = 'click' THEN rp ELSE 0.0 END) AS ra,
+        |    sum(CASE WHEN arm = 'view' THEN rp ELSE 0.0 END) AS rb,
+        |    sum(CASE WHEN arm = 'click' THEN dd ELSE 0.0 END) AS da,
+        |    sum(CASE WHEN arm = 'view' THEN dd ELSE 0.0 END) AS db,
+        |    sum(CASE WHEN arm = 'click' THEN dd*dd ELSE 0.0 END) AS qa,
+        |    sum(CASE WHEN arm = 'view' THEN dd*dd ELSE 0.0 END) AS qb
+        |  FROM r2),
+        |c AS (SELECT n_a, n_b, n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+        |    ra/n_a::DOUBLE AS rma, rb/n_b::DOUBLE AS rmb,
+        |    (qa - da*da/n_a::DOUBLE)/(n_a::DOUBLE - 1) AS s2a,
+        |    (qb - db*db/n_b::DOUBLE)/(n_b::DOUBLE - 1) AS s2b
+        |  FROM a),
+        |e AS (SELECT n_a, n_b, na, nb, rma, rmb,
+        |    (na + nb) * sqrt(s2a/(na*nb*nb) + s2b/(nb*na*na)) AS se
+        |  FROM c)
+        |SELECT n_a, n_b,
+        |  round(CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+        |    (rmb - (nb + 1)/2)/na END, 6) AS p_hat,
+        |  round(CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0 THEN
+        |    (rmb - rma)/se END, 6) AS w_stat
+        |FROM e""".stripMargin
   )
+
+  /** q430's oracle: the same 24-bin pivot + Fourier-1 folds as
+    * [[graft.operators.StatTests.harmonicFit]], with every cos/sin
+    * constant emitted as the 17-digit JVM double so both engines multiply
+    * identical values.
+    */
+  private def harmonicFitSql(period: Int): String = {
+    def lit17(x: Double): String = "%.17g".format(x)
+    val idx = 0 until period
+    def chain(terms: Seq[String]): String = terms.reduce((a, b) => s"($a + $b)")
+    val pivDefs = idx.map(b =>
+      s"coalesce(sum(CASE WHEN b = $b THEN m END), 0.0) AS m$b")
+      .mkString(",\n    ")
+    val mesor = chain(idx.map(b => s"m$b")) + s" / ${period.toDouble}"
+    val ca = chain(idx.map(b =>
+      s"m$b * ${lit17(math.cos(2.0 * math.Pi * b / period))}")) +
+      s" * ${lit17(2.0 / period)}"
+    val cb = chain(idx.map(b =>
+      s"m$b * ${lit17(math.sin(2.0 * math.Pi * b / period))}")) +
+      s" * ${lit17(2.0 / period)}"
+    val msq = chain(idx.map(b => s"m$b * m$b")) + s" / ${period.toDouble}"
+    s"""WITH hourly AS (SELECT hour(ts) AS b, date_trunc('day', ts) AS d,
+       |    count(*)::DOUBLE AS cnt FROM events GROUP BY 1, 2),
+       |perbin AS (SELECT b, avg(cnt) AS m, count(*) AS cr FROM hourly
+       |  WHERE b BETWEEN 0 AND ${period - 1} GROUP BY 1),
+       |piv AS (SELECT sum(cr)::BIGINT AS n, count(*)::BIGINT AS nb,
+       |    $pivDefs FROM perbin),
+       |f AS (SELECT n, nb, $mesor AS mesor, $ca AS ca, $cb AS cb,
+       |    $msq AS msq FROM piv),
+       |g AS (SELECT n, nb, mesor, ca, cb, msq - mesor*mesor AS varb FROM f)
+       |SELECT n, round(CASE WHEN nb = $period THEN mesor END, 6) AS mesor,
+       |  round(CASE WHEN nb = $period THEN sqrt(ca*ca + cb*cb) END, 6)
+       |    AS amplitude,
+       |  round(CASE WHEN nb = $period THEN atan2(cb, ca) END, 6) AS phase,
+       |  round(CASE WHEN nb = $period AND varb > 0 THEN
+       |    (ca*ca + cb*cb)/2.0/varb END, 6) AS var_explained
+       |FROM g""".stripMargin
+  }
 
   /** q403's oracle: ntile terciles on the identical (value, doc_id)
     * orderings, then [[graft.operators.StatTests.weightedKappa]]'s literal

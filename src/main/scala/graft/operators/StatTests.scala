@@ -1775,4 +1775,260 @@ object StatTests {
           lit(2.0) * col("_kxy") / col("_nxy").cast("double"))
       .select(col("n_a"), col("n_b"), col("bandwidth"), col("mmd2"))
   }
+
+  /** Yuen's trimmed-mean two-sample t (Yuen 1974): per arm, trim
+    * g = ⌊0.2·n⌋ from each end by explicit integer rank cuts, compare
+    * trimmed means with winsorized variances:
+    * `t = (x̄_t1 − x̄_t2) / √(d1 + d2)`, `d = (n−1)·s²_w / (h·(h−1))`,
+    * h = n − 2g (winsorized variance = variance after clamping the
+    * trimmed tails to the cut values). Outlier-robust where Welch's t is
+    * not. Integer rank cuts ⇒ deterministic membership. Output: one row
+    * (n_a, n_b, h_a, h_b, tmean_a, tmean_b, t_stat).
+    */
+  def yuenT(df: DataFrame, armCol: String, armA: String, armB: String,
+            valCol: String, trim: Double = 0.2): DataFrame = {
+    require(trim > 0 && trim < 0.5)
+    val v = col(valCol).cast("double")
+    val base = df.filter(v.isNotNull &&
+      (col(armCol).cast("string") === armA ||
+        col(armCol).cast("string") === armB))
+      .select(col(armCol).cast("string").as("_arm"), v.as("_v"))
+    val w = Window.partitionBy(col("_arm")).orderBy(col("_v"))
+    val wAll = Window.partitionBy(col("_arm"))
+    val staged = base
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_g", floor(col("_n").cast("double") * lit(trim)).cast("long"))
+      // winsorize: clamp ranks <= g to the (g+1)-th value, >= n-g to (n-g)-th
+      .withColumn("_lo", max(when(col("_rn") === col("_g") + 1L, col("_v")))
+        .over(wAll))
+      .withColumn("_hi", max(when(col("_rn") === col("_n") - col("_g"),
+        col("_v"))).over(wAll))
+      .withColumn("_wv", when(col("_rn") <= col("_g"), col("_lo"))
+        .when(col("_rn") > col("_n") - col("_g"), col("_hi"))
+        .otherwise(col("_v")))
+      .withColumn("_inTrim",
+        col("_rn") > col("_g") && col("_rn") <= col("_n") - col("_g"))
+    def side(tag: String, arm: String) = Seq(
+      sum(when(col("_arm") === arm, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(col("_arm") === arm && col("_inTrim"), 1L).otherwise(0L))
+        .as(s"h_$tag"),
+      sum(when(col("_arm") === arm && col("_inTrim"), col("_v"))
+        .otherwise(lit(0.0))).as(s"_ts_$tag"),
+      sum(when(col("_arm") === arm, col("_wv")).otherwise(lit(0.0)))
+        .as(s"_ws_$tag"),
+      sum(when(col("_arm") === arm, col("_wv") * col("_wv"))
+        .otherwise(lit(0.0))).as(s"_wq_$tag"))
+    val aggs = side("a", armA) ++ side("b", armB)
+    val agged = staged.agg(aggs.head, aggs.tail: _*)
+    def stats(tag: String) = {
+      val n = col(s"n_$tag").cast("double")
+      val h = col(s"h_$tag").cast("double")
+      val tm = col(s"_ts_$tag") / h
+      val sw2 = (col(s"_wq_$tag") - col(s"_ws_$tag") * col(s"_ws_$tag") / n) /
+        (n - 1)
+      val d = (n - 1) * sw2 / (h * (h - 1))
+      (tm, d)
+    }
+    val (tma, da) = stats("a")
+    val (tmb, db) = stats("b")
+    val ok = col("h_a") >= 2L && col("h_b") >= 2L
+    agged
+      .withColumn("tmean_a", when(ok, tma))
+      .withColumn("tmean_b", when(ok, tmb))
+      .withColumn("t_stat", when(ok && da + db > 0,
+        (tma - tmb) / sqrt(da + db)))
+      .select(col("n_a"), col("n_b"), col("h_a"), col("h_b"),
+        col("tmean_a"), col("tmean_b"), col("t_stat"))
+  }
+
+  /** Dixon's Q for the most extreme point on each end (Dixon 1950, r10
+    * form): `Q_min = (x₍₂₎−x₍₁₎)/range`, `Q_max = (x₍ₙ₎−x₍ₙ₋₁₎)/range` —
+    * the smallest-sample outlier screen (compare against Dixon's critical
+    * table offline). Explicit rank picks. Output: (keys..., n, q_min,
+    * q_max); null when range = 0 or n < 3.
+    */
+  def dixonQ(df: DataFrame, keyCols: Seq[String], valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val v = col(valCol).cast("double")
+    val w = Window.partitionBy(keys: _*).orderBy(v)
+    val wAll = Window.partitionBy(keys: _*)
+    val staged = df.filter(v.isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+    val agged = staged.groupBy(keys: _*)
+      .agg(max(col("_n")).as("n"),
+        max(when(col("_rn") === 1L, v)).as("_x1"),
+        max(when(col("_rn") === 2L, v)).as("_x2"),
+        max(when(col("_rn") === col("_n") - 1L, v)).as("_xn1"),
+        max(when(col("_rn") === col("_n"), v)).as("_xn"))
+    val range = col("_xn") - col("_x1")
+    val ok = col("n") >= 3 && range > 0
+    agged
+      .withColumn("q_min", when(ok, (col("_x2") - col("_x1")) / range))
+      .withColumn("q_max", when(ok, (col("_xn") - col("_xn1")) / range))
+      .select((keys :+ col("n") :+ col("q_min") :+ col("q_max")): _*)
+  }
+
+  /** First-harmonic (24-bin) seasonal fit: with per-bin means m_b over the
+    * LITERAL bin domain 0..23, the Fourier-1 coefficients
+    * `a = (2/24)·Σ m_b·cos(2πb/24)`, `b = (2/24)·Σ m_b·sin(2πb/24)`,
+    * amplitude √(a²+b²), acrophase atan2(b, a), and the fraction of
+    * between-bin variance the harmonic explains
+    * (`(a²+b²)/2 / var(m_b)`). Every trig constant is a plan-time JVM
+    * double shared with the oracle via 17-digit literals. Output: one row
+    * (n, mesor, amplitude, phase, var_explained).
+    */
+  def harmonicFit(df: DataFrame, binCol: String, valCol: String,
+                  period: Int = 24): DataFrame = {
+    require(period >= 3)
+    val v = col(valCol).cast("double")
+    val perBin = df.filter(v.isNotNull &&
+      col(binCol).between(0, period - 1))
+      .groupBy(col(binCol).as("_b")).agg(avg(v).as("_m"),
+        count(lit(1)).as("_cnt"))
+    val aggs = Seq(sum(col("_cnt")).as("n"), count(lit(1)).as("_nb")) ++
+      (0 until period).flatMap { b =>
+        Seq(sum(when(col("_b") === b, col("_m"))).as(s"_m$b"))
+      }
+    val piv = perBin.agg(aggs.head, aggs.tail: _*)
+    def m(b: Int) = coalesce(col(s"_m$b"), lit(0.0))
+    val mesor = (0 until period).map(m).reduce(_ + _) / lit(period.toDouble)
+    val ca = (0 until period).map { b =>
+      m(b) * lit(math.cos(2.0 * math.Pi * b / period))
+    }.reduce(_ + _) * lit(2.0 / period)
+    val cb = (0 until period).map { b =>
+      m(b) * lit(math.sin(2.0 * math.Pi * b / period))
+    }.reduce(_ + _) * lit(2.0 / period)
+    val msq = (0 until period).map(b => m(b) * m(b)).reduce(_ + _) /
+      lit(period.toDouble)
+    val varB = msq - mesor * mesor
+    val ok = col("_nb") === period.toLong
+    piv
+      .withColumn("mesor", when(ok, mesor))
+      .withColumn("amplitude", when(ok, sqrt(ca * ca + cb * cb)))
+      .withColumn("phase", when(ok, atan2(cb, ca)))
+      .withColumn("var_explained", when(ok && varB > 0,
+        (ca * ca + cb * cb) / 2.0 / varB))
+      .select(col("n"), col("mesor"), col("amplitude"), col("phase"),
+        col("var_explained"))
+  }
+
+  /** One-way intraclass correlation ICC(1) with the unequal-group-size
+    * k₀ correction (Fisher 1925; Donner 1986): from the [[tukeyHsd]]-style
+    * group moment cascade, `ICC = (MSB − MSW)/(MSB + (k₀−1)·MSW)` with
+    * `k₀ = (N − Σnᵢ²/N)/(G−1)` — how much of the variance lives BETWEEN
+    * units (users) rather than within. Two aggregates (group grain then
+    * global). Output: one row (n, n_groups, k0, msb, msw, icc).
+    */
+  def icc1(df: DataFrame, groupCols: Seq[String], valCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val v = col(valCol).cast("double")
+    val per = df.filter(v.isNotNull).groupBy(keys: _*)
+      .agg(count(lit(1)).as("_ni"), sum(v).as("_si"), sum(v * v).as("_qi"))
+    val agged = per.agg(count(lit(1)).as("n_groups"),
+      sum(col("_ni")).as("n"), sum(col("_ni") * col("_ni")).as("_n2"),
+      sum(col("_si")).as("_st"), sum(col("_qi")).as("_qt"),
+      sum(col("_si") * col("_si") / col("_ni").cast("double")).as("_ssb"))
+    val n = col("n").cast("double")
+    val g = col("n_groups").cast("double")
+    val ssb = col("_ssb") - col("_st") * col("_st") / n
+    val ssw = col("_qt") - col("_ssb")
+    val msb = ssb / (g - 1)
+    val msw = ssw / (n - g)
+    val k0 = (n - col("_n2").cast("double") / n) / (g - 1)
+    val ok = col("n_groups") >= 2 && col("n") > col("n_groups")
+    agged
+      .withColumn("k0", when(ok, k0))
+      .withColumn("msb", when(ok, msb))
+      .withColumn("msw", when(ok, msw))
+      .withColumn("icc", when(ok && msb + (k0 - 1) * msw > 0,
+        (msb - msw) / (msb + (k0 - 1) * msw)))
+      .select(col("n"), col("n_groups"), col("k0"), col("msb"), col("msw"),
+        col("icc"))
+  }
+
+  /** ROC-AUC from midranks (the Mann–Whitney identity): with pooled
+    * midranks of the score, `AUC = (R̄₊ − (n₊+1)/2)/n₋` — the probability
+    * a random positive outscores a random negative, ties counted half.
+    * Integer-valued scores keep the midranks exact. One rank window +
+    * one aggregate. Output: one row (n_pos, n_neg, auc).
+    */
+  def rocAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val y = col(labelCol).cast("long")
+    val sc = col(scoreCol).cast("double")
+    val base = df.filter(sc.isNotNull && y.isNotNull)
+      .select(y.as("_y"), sc.as("_s"))
+    val w = Window.orderBy(col("_s"))
+    val tiePart = Window.partitionBy(col("_s"))
+    val ranked = base.withColumn("_mid",
+      rank().over(w).cast("double") +
+        (count(lit(1)).over(tiePart) - 1).cast("double") / 2)
+    val agged = ranked.agg(
+      sum(when(col("_y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("_y") === 0L, 1L).otherwise(0L)).as("n_neg"),
+      sum(when(col("_y") === 1L, col("_mid")).otherwise(lit(0.0))).as("_rp"))
+    val np = col("n_pos").cast("double")
+    val nn = col("n_neg").cast("double")
+    agged
+      .withColumn("auc", when(col("n_pos") >= 1 && col("n_neg") >= 1,
+        (col("_rp") / np - (np + 1) / 2) / nn))
+      .select(col("n_pos"), col("n_neg"), col("auc"))
+  }
+
+  /** Brunner–Munzel rank test (Brunner & Munzel 2000): the
+    * unequal-variance ("nonparametric Behrens–Fisher") generalization of
+    * Mann–Whitney. From pooled midranks R and within-sample midranks r:
+    * relative effect `p̂ = (R̄₂ − (n₂+1)/2)/n₁`, placement variances
+    * `Sᵢ² = var_samp(R − r within sample i)`, and the statistic
+    * `W = (R̄₂ − R̄₁) / (N·√(S₁²/(n₁·n₂²) + S₂²/(n₂·n₁²)))` — the reduced
+    * computational form of the paper's eq. 4.7, mirrored verbatim by the
+    * oracle and pinned to a published worked example in the spec. Prefer
+    * this over MWU when the two groups' dispersions visibly differ.
+    * Output: one row (n_a, n_b, p_hat, w_stat).
+    */
+  def brunnerMunzel(df: DataFrame, armCol: String, armA: String,
+                    armB: String, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = df.filter(v.isNotNull &&
+      (col(armCol).cast("string") === armA ||
+        col(armCol).cast("string") === armB))
+      .select(col(armCol).cast("string").as("_arm"), v.as("_v"))
+    val wPool = Window.orderBy(col("_v"))
+    val tiePool = Window.partitionBy(col("_v"))
+    val wIn = Window.partitionBy(col("_arm")).orderBy(col("_v"))
+    val tieIn = Window.partitionBy(col("_arm"), col("_v"))
+    // NOTE: Spark column resolution is case-insensitive — "_R" and "_r"
+    // would silently overwrite each other in withColumn; use distinct names
+    val ranked = base
+      .withColumn("_rp", rank().over(wPool).cast("double") +
+        (count(lit(1)).over(tiePool) - 1).cast("double") / 2)
+      .withColumn("_rw", rank().over(wIn).cast("double") +
+        (count(lit(1)).over(tieIn) - 1).cast("double") / 2)
+      .withColumn("_d", col("_rp") - col("_rw"))
+    val agged = ranked.agg(
+      sum(when(col("_arm") === armA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("_arm") === armB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("_arm") === armA, col("_rp")).otherwise(lit(0.0))).as("_ra"),
+      sum(when(col("_arm") === armB, col("_rp")).otherwise(lit(0.0))).as("_rb"),
+      sum(when(col("_arm") === armA, col("_d")).otherwise(lit(0.0))).as("_da"),
+      sum(when(col("_arm") === armB, col("_d")).otherwise(lit(0.0))).as("_db"),
+      sum(when(col("_arm") === armA, col("_d") * col("_d"))
+        .otherwise(lit(0.0))).as("_qa"),
+      sum(when(col("_arm") === armB, col("_d") * col("_d"))
+        .otherwise(lit(0.0))).as("_qb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val nt = na + nb
+    val rma = col("_ra") / na
+    val rmb = col("_rb") / nb
+    val s2a = (col("_qa") - col("_da") * col("_da") / na) / (na - 1)
+    val s2b = (col("_qb") - col("_db") * col("_db") / nb) / (nb - 1)
+    val se = nt * sqrt(s2a / (na * nb * nb) + s2b / (nb * na * na))
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    agged
+      .withColumn("p_hat", when(ok, (rmb - (nb + 1) / 2) / na))
+      .withColumn("w_stat", when(ok && se > 0, (rmb - rma) / se))
+      .select(col("n_a"), col("n_b"), col("p_hat"), col("w_stat"))
+  }
 }

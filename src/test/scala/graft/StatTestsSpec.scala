@@ -699,4 +699,67 @@ class StatTestsSpec extends SparkSuite {
       .collect()(0)
     assert(math.abs(rs.getAs[Double]("mmd2")) < 1e-9)
   }
+
+  test("brunnerMunzel: published worked example W = 3.1375, p_hat = 0.789") {
+    // Brunner & Munzel's data as used in the scipy documentation
+    val x1 = Seq(1.0, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1)
+    val x2 = Seq(3.0, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4)
+    val df = (x1.map(("a", _)) ++ x2.map(("b", _))).toDF("arm", "v")
+    val r = StatTests.brunnerMunzel(df, "arm", "a", "b", "v").collect()(0)
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) === ((14L, 11L)))
+    assert(approxEq(r.getAs[Double]("p_hat"), 0.7889610389610391, 1e-12))
+    assert(approxEq(r.getAs[Double]("w_stat"), 3.137467482302951, 1e-9))
+  }
+
+  test("yuenT: trimmed means ignore the outlier Welch's t is dragged by") {
+    val xa = Seq(1.0, 2, 3, 4, 5, 6, 7, 8, 9, 100)
+    val xb = Seq(2.0, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+    val df = (xa.map(("a", _)) ++ xb.map(("b", _))).toDF("arm", "v")
+    val r = StatTests.yuenT(df, "arm", "a", "b", "v").collect()(0)
+    assert((r.getAs[Long]("h_a"), r.getAs[Long]("h_b")) === ((6L, 6L)))
+    assert(approxEq(r.getAs[Double]("tmean_a"), 5.5, 1e-12))
+    assert(approxEq(r.getAs[Double]("tmean_b"), 6.5, 1e-12))
+    assert(approxEq(r.getAs[Double]("t_stat"), -0.5940885257860046, 1e-9))
+  }
+
+  test("dixonQ: planted extreme dominates q_max") {
+    val df = (Seq(1.0, 2, 3, 4, 5, 6, 7, 50)).map((1L, _)).toDF("k", "v")
+    val r = StatTests.dixonQ(df, Seq("k"), "v").collect()(0)
+    assert(approxEq(r.getAs[Double]("q_max"), 43.0 / 49.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("q_min"), 1.0 / 49.0, 1e-12))
+  }
+
+  test("harmonicFit: pure cosine profile recovered exactly") {
+    // m_b = 5 + 3 cos(2 pi b/24 - 1): amplitude 3, phase 1, all variance
+    val rows = for (b <- 0 until 24; d <- 1 to 3) yield
+      (b, d, 5.0 + 3.0 * math.cos(2 * math.Pi * b / 24 - 1.0))
+    val df = rows.toDF("hb", "d", "cnt")
+    val r = StatTests.harmonicFit(df, "hb", "cnt", period = 24).collect()(0)
+    assert(r.getAs[Long]("n") === 72L)
+    assert(approxEq(r.getAs[Double]("mesor"), 5.0, 1e-9))
+    assert(approxEq(r.getAs[Double]("amplitude"), 3.0, 1e-9))
+    assert(approxEq(r.getAs[Double]("phase"), 1.0, 1e-9))
+    assert(approxEq(r.getAs[Double]("var_explained"), 1.0, 1e-9))
+  }
+
+  test("icc1: strong between-group separation gives icc near 1 (golden)") {
+    val rows = Seq(1L -> Seq(1.0, 2, 3), 2L -> Seq(4.0, 5, 6, 7),
+      3L -> Seq(10.0, 11)).flatMap { case (g, vs) => vs.map((g, _)) }
+    val df = rows.toDF("g", "v")
+    val r = StatTests.icc1(df, Seq("g"), "v").collect()(0)
+    assert(approxEq(r.getAs[Double]("k0"), 2.888888888888889, 1e-12))
+    assert(approxEq(r.getAs[Double]("msb"), 43.361111111111114, 1e-9))
+    assert(approxEq(r.getAs[Double]("msw"), 1.25, 1e-12))
+    assert(approxEq(r.getAs[Double]("icc"), 0.9210206561360874, 1e-9))
+  }
+
+  test("rocAuc: midrank identity golden; perfect separation = 1") {
+    val rows = Seq((1L, 0.9), (1L, 0.8), (1L, 0.8), (0L, 0.8), (0L, 0.3),
+      (1L, 0.2), (0L, 0.1), (0L, 0.1))
+    val r = StatTests.rocAuc(rows.toDF("y", "s"), "y", "s").collect()(0)
+    assert(approxEq(r.getAs[Double]("auc"), 0.8125, 1e-12))
+    val perfect = Seq((1L, 5.0), (1L, 4.0), (0L, 2.0), (0L, 1.0))
+    val rp = StatTests.rocAuc(perfect.toDF("y", "s"), "y", "s").collect()(0)
+    assert(approxEq(rp.getAs[Double]("auc"), 1.0, 1e-12))
+  }
 }
