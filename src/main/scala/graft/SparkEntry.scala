@@ -6151,6 +6151,77 @@ object SparkEntry {
           "view", "cnt")
         .select(col("n_a"), col("n_b"), r6(col("p_hat")).as("p_hat"),
           r6(col("w_stat")).as("w_stat"))
+    }),
+
+    // Siegel repeated-medians slope of the click daily trend — the 50%-
+    // breakdown upgrade of q143's Theil-Sen (29%)
+    "q434_siegel_slope" -> ((s, dir) => {
+      val daily = ev(s, dir).filter(col("event_type") === "click")
+        .groupBy((unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
+          .cast("long").as("day_idx"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.siegelSlope(daily, "day_idx", "cnt")
+        .select(col("n"), r6(col("slope")).as("slope"),
+          r6(col("intercept")).as("intercept"))
+    }),
+
+    // Rousseeuw-Croux Sn robust scale of the click daily counts — the
+    // median-of-high-medians companion of q421's Qn
+    "q435_sn_scale" -> ((s, dir) => {
+      val daily = ev(s, dir).filter(col("event_type") === "click")
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.snScale(daily, "cnt")
+        .select(col("n"), r6(col("sn_raw")).as("sn_raw"), r6(col("sn")).as("sn"))
+    }),
+
+    // sample L-moments of the click daily counts: robust l1/l2 + L-CV,
+    // L-skew, L-kurtosis by order-statistic weights
+    "q436_lmoments" -> ((s, dir) => {
+      val daily = ev(s, dir).filter(col("event_type") === "click")
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.lmoments(daily, "cnt")
+        .select(col("n"), r6(col("l1")).as("l1"), r6(col("l2")).as("l2"),
+          r6(col("t2")).as("t2"), r6(col("t3")).as("t3"),
+          r6(col("t4")).as("t4"))
+    }),
+
+    // Cucconi joint location-scale test on click vs view daily counts —
+    // one statistic for "did the level OR the spread move"
+    "q437_cucconi" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.cucconi(daily, "event_type", "click",
+          "view", "cnt")
+        .select(col("n_a"), col("n_b"), r6(col("u_stat")).as("u_stat"),
+          r6(col("v_stat")).as("v_stat"), r6(col("rho")).as("rho"),
+          r6(col("c_stat")).as("c_stat"))
+    }),
+
+    // Quade blocked rank test: days = blocks, event types = treatments,
+    // blocks weighted by their range — the power upgrade of q357 Friedman
+    "q438_quade" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.quade(daily, "d", "event_type", "cnt")
+        .select(col("n_blocks"), col("k"), r6(col("a_term")).as("a_term"),
+          r6(col("b_term")).as("b_term"), r6(col("f_stat")).as("f_stat"))
+    }),
+
+    // Spiegelhalter calibration Z of a fixed rational length->is-english
+    // score p = n/(n+2000) (transcendental-free: exact cross-engine) —
+    // the binning-free companion of q156's ECE
+    "q439_spiegelhalter_z" -> ((s, dir) => {
+      val scored = docs(s, dir).select(
+        (col("lang") === "en").cast("double").as("y"),
+        (col("n_chars").cast("double") /
+          (col("n_chars").cast("double") + lit(2000.0))).as("p"))
+      graft.operators.StatTests.spiegelhalterZ(scored, "y", "p")
+        .select(col("n"), r6(col("brier")).as("brier"),
+          r6(col("z_stat")).as("z_stat"))
     })
   )
 
@@ -14421,7 +14492,144 @@ object SparkEntry {
         |    (rmb - (nb + 1)/2)/na END, 6) AS p_hat,
         |  round(CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0 THEN
         |    (rmb - rma)/se END, 6) AS w_stat
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    // repeated medians: per-point quantile_cont(0.5) of pairwise slopes,
+    // then the median of medians; intercept from the slope constant
+    "q434_siegel_slope" ->
+      """WITH daily AS (SELECT
+        |    floor(epoch(date_trunc('day', ts)) / 86400)::BIGINT AS x,
+        |    count(*) AS cnt FROM events WHERE event_type = 'click'
+        |  GROUP BY 1),
+        |p AS (SELECT a.x::DOUBLE AS x1, a.cnt::DOUBLE AS y1,
+        |    (b.cnt::DOUBLE - a.cnt::DOUBLE)/(b.x::DOUBLE - a.x::DOUBLE) AS sl
+        |  FROM daily a JOIN daily b ON a.x <> b.x),
+        |pp AS (SELECT x1, y1, quantile_cont(sl, 0.5) AS mi
+        |  FROM p GROUP BY 1, 2),
+        |s AS (SELECT count(*)::BIGINT AS n,
+        |    quantile_cont(mi, 0.5) AS slope FROM pp)
+        |SELECT s.n, round(s.slope, 6) AS slope,
+        |  round(quantile_cont(pp.y1 - s.slope * pp.x1, 0.5), 6) AS intercept
+        |FROM pp, s GROUP BY s.n, s.slope""".stripMargin,
+
+    // lomed of himeds: inner rank floor(n/2)+1 over each point's n-1
+    // gaps, outer rank floor((n+1)/2) over the n high medians
+    "q435_sn_scale" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |b AS (SELECT cnt::DOUBLE AS x,
+        |    row_number() OVER (ORDER BY cnt) AS i FROM daily),
+        |g AS (SELECT a.i AS i, c.i AS j, abs(a.x - c.x) AS gp
+        |  FROM b a JOIN b c ON a.i <> c.i),
+        |r AS (SELECT i, gp,
+        |    row_number() OVER (PARTITION BY i ORDER BY gp, j) AS rn,
+        |    count(*) OVER (PARTITION BY i) AS m FROM g),
+        |hm AS (SELECT i, gp AS hmv FROM r
+        |  WHERE rn = floor((m + 1)/2.0)::BIGINT + 1),
+        |o AS (SELECT hmv, row_number() OVER (ORDER BY hmv, i) AS rn2,
+        |    count(*) OVER () AS n FROM hm)
+        |SELECT n::BIGINT AS n, round(hmv, 6) AS sn_raw,
+        |  round(hmv * 1.1926, 6) AS sn
+        |FROM o WHERE rn2 = floor((n + 1)/2.0)::BIGINT""".stripMargin,
+
+    // probability-weighted moments by rank weights; Hosking's l/t ratios
+    "q436_lmoments" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |r AS (SELECT cnt::DOUBLE AS x,
+        |    row_number() OVER (ORDER BY cnt)::DOUBLE AS i,
+        |    count(*) OVER ()::DOUBLE AS n FROM daily),
+        |a AS (SELECT max(n)::BIGINT AS n, avg(x) AS b0,
+        |    avg(x * (i-1)/(n-1)) AS b1,
+        |    avg(x * (i-1)/(n-1) * (i-2)/(n-2)) AS b2,
+        |    avg(x * (i-1)/(n-1) * (i-2)/(n-2) * (i-3)/(n-3)) AS b3 FROM r),
+        |l AS (SELECT n, b0 AS l1, 2.0*b1 - b0 AS l2,
+        |    6.0*b2 - 6.0*b1 + b0 AS l3,
+        |    20.0*b3 - 30.0*b2 + 12.0*b1 - b0 AS l4 FROM a)
+        |SELECT n, round(l1, 6) AS l1, round(l2, 6) AS l2,
+        |  round(CASE WHEN l1 <> 0 THEN l2/l1 END, 6) AS t2,
+        |  round(CASE WHEN l2 <> 0 THEN l3/l2 END, 6) AS t3,
+        |  round(CASE WHEN l2 <> 0 THEN l4/l2 END, 6) AS t4
+        |FROM l""".stripMargin,
+
+    // squared midrank sums from both ends; Cucconi's U/V/rho/C
+    "q437_cucconi" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type AS arm, cnt::DOUBLE AS v FROM daily
+        |  WHERE event_type IN ('click', 'view')),
+        |r AS (SELECT arm, rank() OVER (ORDER BY v)
+        |    + (count(*) OVER (PARTITION BY v) - 1)/2.0 AS mid FROM b),
+        |a AS (SELECT
+        |    sum(CASE WHEN arm = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN arm = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN arm = 'view' THEN mid*mid ELSE 0.0 END) AS sr2,
+        |    sum(CASE WHEN arm = 'view' THEN mid ELSE 0.0 END) AS sr
+        |  FROM r),
+        |c AS (SELECT n_a, n_b, sr2, sr, n_a::DOUBLE AS m, n_b::DOUBLE AS n,
+        |    n_a::DOUBLE + n_b::DOUBLE AS bn FROM a),
+        |e AS (SELECT n_a, n_b, sr2,
+        |    n*(bn+1)*(bn+1) - 2.0*(bn+1)*sr + sr2 AS sc2,
+        |    n*(bn+1)*(2.0*bn+1) AS mu,
+        |    sqrt(m*n*(bn+1)*(2.0*bn+1)*(8.0*bn+11)/5.0) AS den,
+        |    2.0*(bn*bn-4)/((2.0*bn+1)*(8.0*bn+11)) - 1 AS rho
+        |  FROM c),
+        |f AS (SELECT n_a, n_b, rho, den,
+        |    (6.0*sr2 - mu)/den AS u, (6.0*sc2 - mu)/den AS vv FROM e)
+        |SELECT n_a, n_b,
+        |  round(CASE WHEN n_a >= 1 AND n_b >= 1 AND den > 0
+        |    THEN u END, 6) AS u_stat,
+        |  round(CASE WHEN n_a >= 1 AND n_b >= 1 AND den > 0
+        |    THEN vv END, 6) AS v_stat,
+        |  round(CASE WHEN n_a >= 1 AND n_b >= 1 AND den > 0
+        |    THEN rho END, 6) AS rho,
+        |  round(CASE WHEN n_a >= 1 AND n_b >= 1 AND den > 0
+        |    THEN (u*u + vv*vv - 2.0*rho*u*vv)/(2.0*(1.0 - rho*rho))
+        |  END, 6) AS c_stat
+        |FROM f""".stripMargin,
+
+    // within-block midranks, block-range midrank weights, Quade's A/B/F
+    "q438_quade" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, event_type,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |kk AS (SELECT count(DISTINCT event_type)::BIGINT AS k FROM daily),
+        |cb AS (SELECT daily.*, kk.k,
+        |    count(*) OVER (PARTITION BY d) AS ba FROM daily, kk),
+        |comp AS (SELECT * FROM cb WHERE ba = k),
+        |rk AS (SELECT *, rank() OVER (PARTITION BY d ORDER BY cnt)
+        |    + (count(*) OVER (PARTITION BY d, cnt) - 1)/2.0 AS mid,
+        |    (max(cnt) OVER (PARTITION BY d)
+        |      - min(cnt) OVER (PARTITION BY d))::DOUBLE AS rng
+        |  FROM comp),
+        |blk AS (SELECT DISTINCT d, rng FROM rk),
+        |qr AS (SELECT d, rank() OVER (ORDER BY rng)
+        |    + (count(*) OVER (PARTITION BY rng) - 1)/2.0 AS q FROM blk),
+        |sc AS (SELECT rk.event_type, rk.k,
+        |    qr.q * (rk.mid - (rk.k::DOUBLE + 1)/2) AS s
+        |  FROM rk JOIN qr ON rk.d = qr.d),
+        |pa AS (SELECT event_type, sum(s) AS sj, sum(s*s) AS aj,
+        |    count(*) AS nb, max(k) AS karm FROM sc GROUP BY 1),
+        |t AS (SELECT max(nb)::BIGINT AS n_blocks, max(karm)::BIGINT AS k,
+        |    sum(aj) AS a_term, sum(sj*sj) AS ss FROM pa)
+        |SELECT n_blocks, k, round(a_term, 6) AS a_term,
+        |  round(ss/n_blocks::DOUBLE, 6) AS b_term,
+        |  round(CASE WHEN a_term - ss/n_blocks::DOUBLE > 0 THEN
+        |    (n_blocks::DOUBLE - 1)*(ss/n_blocks::DOUBLE)
+        |      /(a_term - ss/n_blocks::DOUBLE) END, 6) AS f_stat
+        |FROM t""".stripMargin,
+
+    // one aggregate: Brier + Spiegelhalter's exact-moment calibration z
+    "q439_spiegelhalter_z" ->
+      """WITH s AS (SELECT
+        |    (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS y,
+        |    n_chars::DOUBLE/(n_chars::DOUBLE + 2000.0) AS p
+        |  FROM documents),
+        |a AS (SELECT count(*)::BIGINT AS n, avg((y-p)*(y-p)) AS brier,
+        |    sum((y-p)*(1.0 - 2.0*p)) AS num,
+        |    sum((1.0 - 2.0*p)*(1.0 - 2.0*p)*p*(1.0-p)) AS den FROM s)
+        |SELECT n, round(brier, 6) AS brier,
+        |  round(CASE WHEN den > 0 THEN num/sqrt(den) END, 6) AS z_stat
+        |FROM a""".stripMargin
   )
 
   /** q430's oracle: the same 24-bin pivot + Fourier-1 folds as

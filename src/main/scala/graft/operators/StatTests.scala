@@ -2031,4 +2031,254 @@ object StatTests {
       .withColumn("w_stat", when(ok && se > 0, (rmb - rma) / se))
       .select(col("n_a"), col("n_b"), col("p_hat"), col("w_stat"))
   }
+
+  /** Siegel repeated-medians slope (Siegel 1982): for every point i, the
+    * MEDIAN over j ≠ i of the pairwise slopes (y_j − y_i)/(x_j − x_i),
+    * then the median of those per-point medians — 50% breakdown (vs
+    * Theil–Sen's 29%, [[graft.operators.Robust.theilSenSlope]]): up to
+    * HALF the points can be arbitrary garbage before the slope moves.
+    * Intercept = median_i(y_i − slope·x_i). Both medians are the exact
+    * interpolating `percentile` = SQL `quantile_cont(0.5)`; integer x/y
+    * make every slope one exact IEEE division, so the estimate is
+    * cross-engine replayable. O(n²) pairs — aggregated-grain series only.
+    * Output: one row (n, slope, intercept).
+    */
+  def siegelSlope(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val pts = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.as("_x"), y.as("_y"))
+    val a = pts.toDF("_x1", "_y1")
+    val b = pts.toDF("_x2", "_y2")
+    val perPoint = a.crossJoin(b)
+      .filter(col("_x1") =!= col("_x2"))
+      .groupBy(col("_x1"), col("_y1"))
+      .agg(percentile(
+        (col("_y2") - col("_y1")) / (col("_x2") - col("_x1")), lit(0.5))
+        .as("_mi"))
+      .localCheckpoint() // consumed twice: slope median + intercept pass
+    val slope = perPoint.agg(count(lit(1)).as("n"),
+      percentile(col("_mi"), lit(0.5)).as("slope"))
+    perPoint.crossJoin(broadcast(slope))
+      .withColumn("_ic", col("_y1") - col("slope") * col("_x1"))
+      .groupBy(col("n"), col("slope"))
+      .agg(percentile(col("_ic"), lit(0.5)).as("intercept"))
+      .select(col("n"), col("slope"), col("intercept"))
+  }
+
+  /** Rousseeuw–Croux Sn robust scale (Rousseeuw & Croux 1993): the
+    * "median of high medians of gaps" —
+    *   Sn = 1.1926 · lomed_i ( himed_{j≠i} |x_i − x_j| )
+    * with himed = the (⌊n/2⌋+1)-th order statistic of the n−1 gaps of
+    * point i and lomed = the ⌊(n+1)/2⌋-th order statistic across points.
+    * 50% breakdown WITHOUT pairing symmetric gaps the way [[qnScale]]
+    * does; both medians are explicit integer rank picks (ties broken by
+    * the partner index) so the result is deterministic cross-engine on
+    * integer inputs. O(n²) pairs — aggregated-grain input only.
+    * Output: one row (n, sn_raw, sn).
+    */
+  def snScale(df: DataFrame, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = df.filter(v.isNotNull).select(v.as("_x"))
+      .withColumn("_i", row_number().over(Window.orderBy(col("_x"))))
+    val b = base.select(col("_x").as("_y"), col("_i").as("_j"))
+    val gaps = base.join(b, col("_i") =!= col("_j"))
+      .select(col("_i"), col("_j"), abs(col("_x") - col("_y")).as("_g"))
+    val wIn = Window.partitionBy(col("_i")).orderBy(col("_g"), col("_j"))
+    val ranked = gaps
+      .withColumn("_rn", row_number().over(wIn))
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy(col("_i"))))
+    // himed over n−1 gaps: rank ⌊n/2⌋+1 where n = m+1 points
+    val himed = ranked
+      .filter(col("_rn") === floor((col("_m") + 1) / 2) + 1)
+      .select(col("_i"), col("_g").as("_hm"))
+    val outer = himed
+      .withColumn("_rn2", row_number().over(
+        Window.orderBy(col("_hm"), col("_i"))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+    outer.filter(col("_rn2") === floor((col("_n") + 1) / 2))
+      .select(col("_n").as("n"), col("_hm").as("sn_raw"),
+        (col("_hm") * lit(1.1926)).as("sn"))
+  }
+
+  /** Sample L-moments (Hosking 1990) by direct order-statistic weights:
+    * with x₍₁₎ ≤ … ≤ x₍ₙ₎ and probability-weighted moments
+    *   b_r = (1/n) Σᵢ x₍ᵢ₎ · Π_{s=1..r} (i−s)/(n−s),
+    * l1 = b0, l2 = 2b1 − b0, l3 = 6b2 − 6b1 + b0,
+    * l4 = 20b3 − 30b2 + 12b1 − b0; ratios t2 = l2/l1 (L-CV),
+    * t3 = l3/l2 (L-skew), t4 = l4/l2 (L-kurtosis). Rank-weighted SUMS —
+    * no squaring of deviations, so far more outlier-resistant than
+    * conventional skew/kurtosis (q56) and defined whenever the mean is.
+    * Tied values share equal x so the weighted sum is tie-order invariant.
+    * One global sort + one aggregate. Output: one row
+    * (n, l1, l2, t2, t3, t4).
+    */
+  def lmoments(df: DataFrame, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val ranked = df.filter(v.isNotNull).select(v.as("_x"))
+      .withColumn("_i", row_number().over(Window.orderBy(col("_x")))
+        .cast("double"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy())
+        .cast("double"))
+    val i = col("_i")
+    val n = col("_n")
+    val w1 = (i - 1) / (n - 1)
+    val w2 = w1 * (i - 2) / (n - 2)
+    val w3 = w2 * (i - 3) / (n - 3)
+    val agged = ranked.agg(
+      max(col("_n")).cast("long").as("n"),
+      avg(col("_x")).as("_b0"),
+      avg(col("_x") * w1).as("_b1"),
+      avg(col("_x") * w2).as("_b2"),
+      avg(col("_x") * w3).as("_b3"))
+    val l1 = col("_b0")
+    val l2 = lit(2.0) * col("_b1") - col("_b0")
+    val l3 = lit(6.0) * col("_b2") - lit(6.0) * col("_b1") + col("_b0")
+    val l4 = lit(20.0) * col("_b3") - lit(30.0) * col("_b2") +
+      lit(12.0) * col("_b1") - col("_b0")
+    agged
+      .withColumn("l1", l1)
+      .withColumn("l2", l2)
+      .withColumn("t2", when(l1 =!= 0.0, l2 / l1))
+      .withColumn("t3", when(l2 =!= 0.0, l3 / l2))
+      .withColumn("t4", when(l2 =!= 0.0, l4 / l2))
+      .select(col("n"), col("l1"), col("l2"), col("t2"), col("t3"),
+        col("t4"))
+  }
+
+  /** Cucconi two-sample location-AND-scale test (Cucconi 1968; Marozzi
+    * 2009 review): from the pooled midranks R_j of sample B (sizes
+    * m = n_a, n = n_b, N = m + n),
+    *   U = (6ΣR_j² − n(N+1)(2N+1)) / √(mn(N+1)(2N+1)(8N+11)/5)
+    *   V = (6Σ(N+1−R_j)² − n(N+1)(2N+1)) / √(same)
+    *   ρ = 2(N²−4)/((2N+1)(8N+11)) − 1
+    *   C = (U² + V² − 2ρUV) / (2(1−ρ²))
+    * — squared-rank sums from BOTH ends detect a location shift, a scale
+    * change, or both in one statistic (older than, and competitive with,
+    * Lepage q393). Midranks substitute for ranks under ties (documented
+    * deviation from the no-tie original; both engines midrank
+    * identically). One pooled rank window + one aggregate. Output: one
+    * row (n_a, n_b, u_stat, v_stat, rho, c_stat).
+    */
+  def cucconi(df: DataFrame, armCol: String, armA: String, armB: String,
+              valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = df.filter(v.isNotNull &&
+      (col(armCol).cast("string") === armA ||
+        col(armCol).cast("string") === armB))
+      .select(col(armCol).cast("string").as("_arm"), v.as("_v"))
+    val wPool = Window.orderBy(col("_v"))
+    val tiePool = Window.partitionBy(col("_v"))
+    val ranked = base.withColumn("_mid",
+      rank().over(wPool).cast("double") +
+        (count(lit(1)).over(tiePool) - 1).cast("double") / 2)
+    val agged = ranked.agg(
+      sum(when(col("_arm") === armA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("_arm") === armB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("_arm") === armB, col("_mid") * col("_mid"))
+        .otherwise(lit(0.0))).as("_sr2"),
+      sum(when(col("_arm") === armB, col("_mid")).otherwise(lit(0.0)))
+        .as("_sr"))
+    val m = col("n_a").cast("double")
+    val n = col("n_b").cast("double")
+    val bigN = m + n
+    // Σ(N+1−R)² = n(N+1)² − 2(N+1)ΣR + ΣR²
+    val sc2 = n * (bigN + 1) * (bigN + 1) -
+      lit(2.0) * (bigN + 1) * col("_sr") + col("_sr2")
+    val mu = n * (bigN + 1) * (lit(2.0) * bigN + 1)
+    val den = sqrt(m * n * (bigN + 1) * (lit(2.0) * bigN + 1) *
+      (lit(8.0) * bigN + 11) / 5.0)
+    val u = (lit(6.0) * col("_sr2") - mu) / den
+    val vv = (lit(6.0) * sc2 - mu) / den
+    val rho = lit(2.0) * (bigN * bigN - 4) /
+      ((lit(2.0) * bigN + 1) * (lit(8.0) * bigN + 11)) - 1
+    val ok = col("n_a") >= 1 && col("n_b") >= 1 && den > 0
+    agged
+      .withColumn("u_stat", when(ok, u))
+      .withColumn("v_stat", when(ok, vv))
+      .withColumn("rho", when(ok, rho))
+      .withColumn("c_stat", when(ok,
+        (u * u + vv * vv - lit(2.0) * rho * u * vv) /
+          (lit(2.0) * (lit(1.0) - rho * rho))))
+      .select(col("n_a"), col("n_b"), col("u_stat"), col("v_stat"),
+        col("rho"), col("c_stat"))
+  }
+
+  /** Quade test (Quade 1979): the blocked k-treatment rank test that
+    * WEIGHTS blocks by how much they discriminate — within-block midranks
+    * R_ij, block ranges ranked across blocks (midranks) as Q_i, scores
+    * S_ij = Q_i·(R_ij − (k+1)/2), per-treatment sums S_j; then
+    *   A = Σ S_ij²,  B = (1/b)·Σ_j S_j²,  F = (b−1)·B/(A−B)
+    * (df k−1, (b−1)(k−1)). More powerful than Friedman (q357) when block
+    * spreads differ. Only COMPLETE blocks enter (all k treatments
+    * present). Null F when A = B (every block identically ordered —
+    * perfectly concordant). Two rank windows + bounded aggregates.
+    * Output: one row (n_blocks, k, a_term, b_term, f_stat).
+    */
+  def quade(df: DataFrame, blockCol: String, armCol: String,
+            valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = df.filter(v.isNotNull && col(armCol).isNotNull)
+    val k = base.agg(countDistinct(col(armCol)).as("_k"))
+    val complete = base
+      .withColumn("_ba", count(lit(1)).over(
+        Window.partitionBy(col(blockCol))))
+      .crossJoin(broadcast(k))
+      .filter(col("_ba") === col("_k"))
+    val wBlk = Window.partitionBy(col(blockCol)).orderBy(v)
+    val tieBlk = Window.partitionBy(col(blockCol), v)
+    val ranked = complete
+      .withColumn("_mid", rank().over(wBlk).cast("double") +
+        (count(lit(1)).over(tieBlk) - 1).cast("double") / 2)
+      .withColumn("_rng",
+        max(v).over(Window.partitionBy(col(blockCol))) -
+          min(v).over(Window.partitionBy(col(blockCol))))
+    // block-range midranks: rank the DISTINCT block rows, re-attach
+    val blocks = ranked.select(col(blockCol).as("_blk"), col("_rng"))
+      .distinct()
+    val wRng = Window.orderBy(col("_rng"))
+    val tieRng = Window.partitionBy(col("_rng"))
+    val q = blocks.withColumn("_q",
+      rank().over(wRng).cast("double") +
+        (count(lit(1)).over(tieRng) - 1).cast("double") / 2)
+    val scored = ranked.join(broadcast(q),
+        ranked(blockCol) === q("_blk"))
+      .withColumn("_s",
+        col("_q") * (col("_mid") - (col("_k").cast("double") + 1) / 2))
+    val perArm = scored.groupBy(col(armCol))
+      .agg(sum(col("_s")).as("_sj"), sum(col("_s") * col("_s")).as("_aj"),
+        count(lit(1)).as("_nb"), max(col("_k")).as("_karm"))
+    perArm.agg(max(col("_nb")).as("n_blocks"), max(col("_karm")).as("k"),
+        sum(col("_aj")).as("a_term"), sum(col("_sj") * col("_sj")).as("_ss"))
+      .withColumn("b_term", col("_ss") / col("n_blocks").cast("double"))
+      .withColumn("f_stat",
+        when(col("a_term") - col("b_term") > 0,
+          (col("n_blocks").cast("double") - 1) * col("b_term") /
+            (col("a_term") - col("b_term"))))
+      .select(col("n_blocks"), col("k"), col("a_term"), col("b_term"),
+        col("f_stat"))
+  }
+
+  /** Spiegelhalter's calibration Z (Spiegelhalter 1986): given binary
+    * outcomes y and forecast probabilities p, the Brier score decomposes
+    * so that under perfect calibration
+    *   Z = Σ (y−p)(1−2p) / √(Σ (1−2p)²·p·(1−p)) ~ N(0,1)
+    * — |Z| ≫ 2 means the probabilities are systematically mis-calibrated
+    * (the one-number screen beside q156's binned ECE: no binning choice
+    * at all). One aggregate pass. Output: one row (n, brier, z_stat).
+    */
+  def spiegelhalterZ(df: DataFrame, yCol: String, pCol: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    val p = col(pCol).cast("double")
+    val agged = df.filter(y.isNotNull && p.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        avg((y - p) * (y - p)).as("brier"),
+        sum((y - p) * (lit(1.0) - lit(2.0) * p)).as("_num"),
+        sum((lit(1.0) - lit(2.0) * p) * (lit(1.0) - lit(2.0) * p) * p *
+          (lit(1.0) - p)).as("_den"))
+    agged
+      .withColumn("z_stat", when(col("_den") > 0,
+        col("_num") / sqrt(col("_den"))))
+      .select(col("n"), col("brier"), col("z_stat"))
+  }
 }

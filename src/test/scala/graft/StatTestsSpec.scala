@@ -762,4 +762,84 @@ class StatTestsSpec extends SparkSuite {
     val rp = StatTests.rocAuc(perfect.toDF("y", "s"), "y", "s").collect()(0)
     assert(approxEq(rp.getAs[Double]("auc"), 1.0, 1e-12))
   }
+
+  test("siegelSlope: exact line recovered; one wrecked endpoint ignored") {
+    val line = (1 to 5).map(x => (x.toDouble, 3.0 * x + 1.0)).toDF("x", "y")
+    val r = StatTests.siegelSlope(line, "x", "y").collect()(0)
+    assert(r.getAs[Long]("n") === 5L)
+    assert(approxEq(r.getAs[Double]("slope"), 3.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("intercept"), 1.0, 1e-12))
+    // y = 2x except y(9) = 100: per-point medians stay 2 (50% breakdown)
+    val broken = ((1 to 8).map(x => (x.toDouble, 2.0 * x)) :+ (9.0, 100.0))
+      .toDF("x", "y")
+    val rb = StatTests.siegelSlope(broken, "x", "y").collect()(0)
+    assert(approxEq(rb.getAs[Double]("slope"), 2.0, 1e-12))
+    assert(approxEq(rb.getAs[Double]("intercept"), 0.0, 1e-12))
+  }
+
+  test("snScale: 1..10 picks lomed of himeds = 4") {
+    // per-point high medians (rank 6 of 9 gaps): [6,5,4,3,3,3,3,4,5,6];
+    // lomed = 5th smallest = 4
+    val df = (1 to 10).map(v => Tuple1(v.toDouble)).toDF("v")
+    val r = StatTests.snScale(df, "v").collect()(0)
+    assert(r.getAs[Long]("n") === 10L)
+    assert(approxEq(r.getAs[Double]("sn_raw"), 4.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("sn"), 4.7704, 1e-12))
+  }
+
+  test("lmoments: 1..10 gives l1=5.5, l2=11/6, t3=t4=0 exactly") {
+    val df = (1 to 10).map(v => Tuple1(v.toDouble)).toDF("v")
+    val r = StatTests.lmoments(df, "v").collect()(0)
+    assert(r.getAs[Long]("n") === 10L)
+    assert(approxEq(r.getAs[Double]("l1"), 5.5, 1e-12))
+    assert(approxEq(r.getAs[Double]("l2"), 11.0 / 6.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("t2"), 1.0 / 3.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("t3"), 0.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("t4"), 0.0, 1e-12))
+  }
+
+  test("cucconi: interleaved hand example C = 1/6; shift blows C up") {
+    // A={1,4,5,8}, B={2,3,6,7}: ranks of B = 2,3,6,7; U = V =
+    // (6*98 - 612)/sqrt(36720); rho = 120/1275 - 1; C = U^2/(1+rho) = 1/6
+    val a = Seq(1.0, 4, 5, 8).map(("a", _))
+    val b = Seq(2.0, 3, 6, 7).map(("b", _))
+    val r = StatTests.cucconi((a ++ b).toDF("arm", "v"), "arm", "a", "b", "v")
+      .collect()(0)
+    val expU = (6.0 * 98 - 612) / math.sqrt(36720.0)
+    assert(approxEq(r.getAs[Double]("u_stat"), expU, 1e-12))
+    assert(approxEq(r.getAs[Double]("v_stat"), expU, 1e-12))
+    assert(approxEq(r.getAs[Double]("rho"), 120.0 / 1275.0 - 1.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("c_stat"), 1.0 / 6.0, 1e-9))
+    val shifted = (Seq(1.0, 2, 3, 4).map(("a", _)) ++
+      Seq(101.0, 102, 103, 104).map(("b", _))).toDF("arm", "v")
+    val rs = StatTests.cucconi(shifted, "arm", "a", "b", "v").collect()(0)
+    assert(rs.getAs[Double]("c_stat") > 2.0)
+  }
+
+  test("quade: concordant blocks with ranges 2/4/6 give F = 12") {
+    // within-block ranks 1,2,3 everywhere; Q = 1,2,3; A = 28, B = 24
+    val rows = Seq(
+      (1L, "t1", 1.0), (1L, "t2", 2.0), (1L, "t3", 3.0),
+      (2L, "t1", 10.0), (2L, "t2", 12.0), (2L, "t3", 14.0),
+      (3L, "t1", 100.0), (3L, "t2", 103.0), (3L, "t3", 106.0))
+    val r = StatTests.quade(rows.toDF("blk", "arm", "v"), "blk", "arm", "v")
+      .collect()(0)
+    assert(r.getAs[Long]("n_blocks") === 3L)
+    assert(r.getAs[Long]("k") === 3L)
+    assert(approxEq(r.getAs[Double]("a_term"), 28.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("b_term"), 24.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("f_stat"), 12.0, 1e-12))
+  }
+
+  test("spiegelhalterZ: two-point hand golden; perfect p=y gives z=null") {
+    val df = Seq((1.0, 0.8), (0.0, 0.4)).toDF("y", "p")
+    val r = StatTests.spiegelhalterZ(df, "y", "p").collect()(0)
+    assert(r.getAs[Long]("n") === 2L)
+    assert(approxEq(r.getAs[Double]("brier"), 0.1, 1e-12))
+    assert(approxEq(r.getAs[Double]("z_stat"), -0.2 / math.sqrt(0.0672), 1e-12))
+    // degenerate p in {0,1} matching y exactly: den = 0 -> null z
+    val perfect = Seq((1.0, 1.0), (0.0, 0.0)).toDF("y", "p")
+    val rp = StatTests.spiegelhalterZ(perfect, "y", "p").collect()(0)
+    assert(rp.isNullAt(rp.fieldIndex("z_stat")))
+  }
 }
