@@ -6222,6 +6222,70 @@ object SparkEntry {
       graft.operators.StatTests.spiegelhalterZ(scored, "y", "p")
         .select(col("n"), r6(col("brier")).as("brier"),
           r6(col("z_stat")).as("z_stat"))
+    }),
+
+    // Hosmer-Lemeshow decile calibration chi2 of the same rational
+    // length->is-english score q439 tests globally — WHICH bins are off
+    "q440_hosmer_lemeshow" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"),
+        (col("lang") === "en").cast("double").as("y"),
+        (col("n_chars").cast("double") /
+          (col("n_chars").cast("double") + lit(2000.0))).as("p"))
+      graft.operators.StatTests.hosmerLemeshow(scored, "y", "p", "doc_id",
+          g = 10)
+        .select(col("g"), col("n"), r6(col("hl_chi2")).as("hl_chi2"))
+    }),
+
+    // Krippendorff's alpha: days = units, each active user's did-they-
+    // purchase as a binary rating — agreement with unequal raters/unit
+    "q441_krippendorff" -> ((s, dir) => {
+      val ratings = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"), col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("int")).as("rated"))
+      graft.operators.StatTests.krippendorffAlpha(ratings, "d", "rated")
+        .select(col("n_units"), col("n_ratings"), r6(col("alpha")).as("alpha"))
+    }),
+
+    // Kuiper's V of click intra-day offsets vs U(0, 86400) — the
+    // wrap-point-fair circular refinement of q423's KS
+    "q442_kuiper" -> ((s, dir) => {
+      val u = ev(s, dir).filter(col("event_type") === "click")
+        .select((unix_timestamp(col("ts").cast("timestamp")) % 86400L)
+          .cast("double").as("u"))
+      graft.operators.StatTests.kuiperUniform(u, "u", span = 86400.0)
+        .select(col("n"), r6(col("d_plus")).as("d_plus"),
+          r6(col("d_minus")).as("d_minus"), r6(col("v_stat")).as("v_stat"))
+    }),
+
+    // sample entropy (m=2, r = median |successive diff|) of the click
+    // daily counts — regularity score of the traffic series
+    "q443_sample_entropy" -> ((s, dir) => {
+      val daily = ev(s, dir).filter(col("event_type") === "click")
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.sampleEntropy(daily, "d", "cnt")
+        .select(col("n"), r6(col("r")).as("r"), col("b_pairs"),
+          col("a_pairs"), r6(col("sampen")).as("sampen"))
+    }),
+
+    // Higuchi fractal dimension (kMax=5) of the click daily counts —
+    // smooth trend ~1, space-filling noise ~2
+    "q444_higuchi_fd" -> ((s, dir) => {
+      val daily = ev(s, dir).filter(col("event_type") === "click")
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.higuchiFd(daily, "d", "cnt", kMax = 5)
+        .select(col("n"), r6(col("fd")).as("fd"))
+    }),
+
+    // c3 nonlinearity + time-reversal asymmetry (lag 1) of the click
+    // daily counts — sawtooth build/crash shapes ACF can't see
+    "q445_c3_trev" -> ((s, dir) => {
+      val daily = ev(s, dir).filter(col("event_type") === "click")
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.c3Trev(daily, "d", "cnt", lagStep = 1)
+        .select(col("n"), r6(col("c3")).as("c3"), r6(col("trev")).as("trev"))
     })
   )
 
@@ -14629,6 +14693,127 @@ object SparkEntry {
         |    sum((1.0 - 2.0*p)*(1.0 - 2.0*p)*p*(1.0-p)) AS den FROM s)
         |SELECT n, round(brier, 6) AS brier,
         |  round(CASE WHEN den > 0 THEN num/sqrt(den) END, 6) AS z_stat
+        |FROM a""".stripMargin,
+
+    // ntile deciles on (p, doc_id); per-bin (O-E)^2/(E(1-E/n)) sum
+    "q440_hosmer_lemeshow" ->
+      """WITH s AS (SELECT doc_id,
+        |    (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS y,
+        |    n_chars::DOUBLE/(n_chars::DOUBLE + 2000.0) AS p
+        |  FROM documents),
+        |b AS (SELECT y, p, ntile(10) OVER (ORDER BY p, doc_id) AS g FROM s),
+        |per AS (SELECT g, count(*) AS n, sum(y) AS o1, sum(p) AS e1
+        |  FROM b GROUP BY 1)
+        |SELECT count(*)::BIGINT AS g, sum(n)::BIGINT AS n,
+        |  round(sum((o1 - e1)*(o1 - e1)/(e1*(1.0 - e1/n::DOUBLE))), 6)
+        |    AS hl_chi2
+        |FROM per""".stripMargin,
+
+    // nominal alpha: per-unit mismatch rationals + value marginals
+    "q441_krippendorff" ->
+      """WITH ratings AS (SELECT date_trunc('day', ts) AS d, user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS rated
+        |  FROM events GROUP BY 1, 2),
+        |uv AS (SELECT d, rated::VARCHAR AS v, count(*) AS nuv
+        |  FROM ratings GROUP BY 1, 2),
+        |pu AS (SELECT d, sum(nuv) AS mu, sum(nuv*nuv) AS sq FROM uv
+        |  GROUP BY 1 HAVING sum(nuv) >= 2),
+        |o AS (SELECT count(*)::BIGINT AS n_units,
+        |    sum(mu)::BIGINT AS n_ratings,
+        |    sum((mu*mu - sq)::DOUBLE/(mu - 1)::DOUBLE) AS so FROM pu),
+        |nv AS (SELECT sum(nv2*nv2) AS snv FROM (
+        |    SELECT uv.v, sum(uv.nuv) AS nv2 FROM uv JOIN pu ON uv.d = pu.d
+        |    GROUP BY 1))
+        |SELECT n_units, n_ratings,
+        |  round(CASE WHEN n_ratings::DOUBLE*n_ratings::DOUBLE - snv > 0
+        |    THEN 1.0 - (n_ratings::DOUBLE - 1)*so
+        |      /(n_ratings::DOUBLE*n_ratings::DOUBLE - snv) END, 6) AS alpha
+        |FROM o, nv""".stripMargin,
+
+    // Kuiper: D+ and D- from one sorted ECDF pass, V = D+ + D-
+    "q442_kuiper" ->
+      """WITH u AS (SELECT
+        |    ((floor(epoch(ts))::BIGINT % 86400))::DOUBLE AS u
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT u, row_number() OVER (ORDER BY u) AS i,
+        |    count(*) OVER () AS n FROM u),
+        |d AS (SELECT n, i::DOUBLE/n::DOUBLE - u/86400.0 AS dp,
+        |    u/86400.0 - (i::DOUBLE - 1)/n::DOUBLE AS dm FROM r)
+        |SELECT max(n)::BIGINT AS n, round(max(dp), 6) AS d_plus,
+        |  round(max(dm), 6) AS d_minus,
+        |  round(max(dp) + max(dm), 6) AS v_stat
+        |FROM d""".stripMargin,
+
+    // m=2 template pairs under the exact-median-gap radius; -ln(A/B)
+    "q443_sample_entropy" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |b AS (SELECT cnt::DOUBLE AS v0,
+        |    lead(cnt::DOUBLE, 1) OVER (ORDER BY d) AS v1,
+        |    lead(cnt::DOUBLE, 2) OVER (ORDER BY d) AS v2,
+        |    row_number() OVER (ORDER BY d) AS i FROM daily),
+        |rr AS (SELECT quantile_cont(abs(v1 - v0), 0.5) AS r FROM b
+        |  WHERE v1 IS NOT NULL),
+        |t AS (SELECT i, v0, v1, v2 FROM b WHERE v2 IS NOT NULL),
+        |p AS (SELECT
+        |    (greatest(abs(a.v0 - c.v0), abs(a.v1 - c.v1)) <= rr.r) AS bm,
+        |    (greatest(abs(a.v0 - c.v0), abs(a.v1 - c.v1),
+        |      abs(a.v2 - c.v2)) <= rr.r) AS am
+        |  FROM t a JOIN t c ON a.i < c.i, rr),
+        |a2 AS (SELECT
+        |    sum(CASE WHEN bm THEN 1 ELSE 0 END)::BIGINT AS b_pairs,
+        |    sum(CASE WHEN am THEN 1 ELSE 0 END)::BIGINT AS a_pairs FROM p)
+        |SELECT (SELECT count(*) FROM daily)::BIGINT AS n,
+        |  round((SELECT r FROM rr), 6) AS r, b_pairs, a_pairs,
+        |  round(CASE WHEN a_pairs > 0 AND b_pairs > 0 THEN
+        |    -ln(a_pairs::DOUBLE/b_pairs::DOUBLE) END, 6) AS sampen
+        |FROM a2""".stripMargin,
+
+    // literal (k,m) grid; per-offset curve lengths; ln-ln OLS slope
+    "q444_higuchi_fd" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |idx AS (SELECT cnt::DOUBLE AS x,
+        |    row_number() OVER (ORDER BY d) AS i,
+        |    count(*) OVER () AS n FROM daily),
+        |grid AS (SELECT g1.k, g2.m
+        |  FROM generate_series(1, 5) g1(k), generate_series(1, 5) g2(m)
+        |  WHERE g2.m <= g1.k),
+        |sub AS (SELECT grid.k, grid.m, idx.i, idx.n, idx.x
+        |  FROM idx, grid WHERE idx.i >= grid.m
+        |    AND (idx.i - grid.m) % grid.k = 0),
+        |df2 AS (SELECT k, m, n,
+        |    abs(x - lag(x) OVER (PARTITION BY k, m ORDER BY i)) AS dd
+        |  FROM sub),
+        |lm AS (SELECT k, m, max(n) AS nn, sum(dd) AS s, count(dd) AS c
+        |  FROM df2 WHERE dd IS NOT NULL GROUP BY 1, 2),
+        |lk AS (SELECT k, max(nn) AS nn,
+        |    avg(s*(nn::DOUBLE - 1)/(c::DOUBLE*k::DOUBLE)/k::DOUBLE) AS lkv
+        |  FROM lm GROUP BY 1),
+        |pts AS (SELECT nn, ln(k::DOUBLE) AS lx, ln(lkv) AS ly FROM lk),
+        |ag AS (SELECT max(nn)::BIGINT AS n, count(*)::DOUBLE AS kc,
+        |    sum(lx) AS sx, sum(ly) AS sy, sum(lx*ly) AS sxy,
+        |    sum(lx*lx) AS sxx FROM pts)
+        |SELECT n, round(CASE WHEN kc*sxx - sx*sx > 0 THEN
+        |    -(kc*sxy - sx*sy)/(kc*sxx - sx*sx) END, 6) AS fd
+        |FROM ag""".stripMargin,
+
+    // lead windows; c3 product mean + time-reversal asymmetry ratio
+    "q445_c3_trev" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |b AS (SELECT cnt::DOUBLE AS v0,
+        |    lead(cnt::DOUBLE, 1) OVER (ORDER BY d) AS v1,
+        |    lead(cnt::DOUBLE, 2) OVER (ORDER BY d) AS v2 FROM daily),
+        |a AS (SELECT count(*)::BIGINT AS n,
+        |    avg(CASE WHEN v2 IS NOT NULL THEN v0*v1*v2 END) AS c3,
+        |    avg(CASE WHEN v1 IS NOT NULL
+        |      THEN (v1-v0)*(v1-v0)*(v1-v0) END) AS m3,
+        |    avg(CASE WHEN v1 IS NOT NULL THEN (v1-v0)*(v1-v0) END) AS m2
+        |  FROM b)
+        |SELECT n, round(c3, 6) AS c3,
+        |  round(CASE WHEN m2 > 0 THEN m3/sqrt(m2*m2*m2) END, 6) AS trev
         |FROM a""".stripMargin
   )
 

@@ -2267,6 +2267,217 @@ object StatTests {
     * (the one-number screen beside q156's binned ECE: no binning choice
     * at all). One aggregate pass. Output: one row (n, brier, z_stat).
     */
+  /** Hosmer–Lemeshow goodness-of-calibration (Hosmer & Lemeshow 1980):
+    * rank rows by forecast probability (id tie-break — deterministic
+    * cross-engine cut), split into `g` equal-count ntile bins, then
+    *   HL = Σ_g (O1_g − E1_g)² / (E1_g·(1 − E1_g/n_g))   (df = g − 2)
+    * with O1 = observed positives, E1 = Σp per bin. The BINNED companion
+    * of [[spiegelhalterZ]] (which bin is mis-calibrated, not just
+    * whether). One global ntile window (bounded input contract — score
+    * grain, not raw events) + one bin aggregate. Output: one row
+    * (g, n, hl_chi2).
+    */
+  def hosmerLemeshow(df: DataFrame, yCol: String, pCol: String,
+                     idCol: String, g: Int = 10): DataFrame = {
+    require(g >= 2, s"hosmerLemeshow: g must be >= 2, got $g")
+    val y = col(yCol).cast("double")
+    val p = col(pCol).cast("double")
+    val binned = df.filter(y.isNotNull && p.isNotNull)
+      .withColumn("_g", ntile(g).over(Window.orderBy(p, col(idCol))))
+    val per = binned.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"), sum(y).as("_o1"), sum(p).as("_e1"))
+    val term = (col("_o1") - col("_e1")) * (col("_o1") - col("_e1")) /
+      (col("_e1") * (lit(1.0) - col("_e1") / col("_n").cast("double")))
+    per.agg(count(lit(1)).cast("long").as("g"), sum(col("_n")).as("n"),
+      sum(term).as("hl_chi2"))
+  }
+
+  /** Krippendorff's alpha, nominal data (Krippendorff 1970/2004): chance-
+    * corrected agreement over units with ANY number of ratings ≥ 2 (the
+    * generalization kappa/Fleiss can't do — raters per unit may differ).
+    * From per-(unit, value) counts n_uv, m_u = Σ_v n_uv:
+    *   Σo  = Σ_u (m_u² − Σ_v n_uv²)/(m_u − 1)   (observed mismatches)
+    *   α = 1 − (N−1)·Σo / (N² − Σ_v n_v²),  n_v = Σ_u n_uv,  N = Σ m_u
+    * Integer arithmetic except the per-unit rational — cross-engine
+    * exact. Units with m_u < 2 are dropped (standard). Two bounded
+    * aggregates. Output: one row (n_units, n_ratings, alpha).
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+                        valCol: String): DataFrame = {
+    val perUv = df.filter(col(valCol).isNotNull)
+      .groupBy(col(unitCol).as("_u"), col(valCol).cast("string").as("_v"))
+      .agg(count(lit(1)).as("_nuv"))
+    val perU = perUv.groupBy(col("_u"))
+      .agg(sum(col("_nuv")).as("_mu"),
+        sum(col("_nuv") * col("_nuv")).as("_sq"))
+      .filter(col("_mu") >= 2)
+    val omm = perU.agg(
+      count(lit(1)).as("n_units"), sum(col("_mu")).as("n_ratings"),
+      sum((col("_mu") * col("_mu") - col("_sq")).cast("double") /
+        (col("_mu") - 1).cast("double")).as("_so"))
+    val nv = perUv.join(perU.select(col("_u")), Seq("_u"))
+      .groupBy(col("_v")).agg(sum(col("_nuv")).as("_nv"))
+      .agg(sum(col("_nv") * col("_nv")).as("_snv"))
+    val nD = col("n_ratings").cast("double")
+    omm.crossJoin(broadcast(nv))
+      .withColumn("alpha",
+        when(nD * nD - col("_snv") > 0,
+          lit(1.0) - (nD - 1) * col("_so") / (nD * nD - col("_snv"))))
+      .select(col("n_units"), col("n_ratings"), col("alpha"))
+  }
+
+  /** Kuiper's V against U(0, span) (Kuiper 1960): V = D⁺ + D⁻ with
+    *   D⁺ = max_i (i/n − F(u₍ᵢ₎)),  D⁻ = max_i (F(u₍ᵢ₎) − (i−1)/n)
+    * — the rotation-invariant refinement of the one-sample KS (q423):
+    * equally sensitive at every phase of a CIRCULAR domain like
+    * time-of-day, where KS under-weights deviations near the wrap point.
+    * Same one-sort plan as [[ksUniform]]. Output: one row
+    * (n, d_plus, d_minus, v_stat).
+    */
+  def kuiperUniform(df: DataFrame, valCol: String, span: Double): DataFrame = {
+    require(span > 0)
+    val v = col(valCol).cast("double")
+    val ranked = df.filter(v.isNotNull).select(v.as("_u"))
+      .withColumn("_i", row_number().over(Window.orderBy(col("_u"))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+    val n = col("_n").cast("double")
+    val f = col("_u") / lit(span)
+    ranked.agg(max(col("_n")).as("n"),
+        max(col("_i").cast("double") / n - f).as("d_plus"),
+        max(f - (col("_i").cast("double") - 1) / n).as("d_minus"))
+      .withColumn("v_stat", col("d_plus") + col("d_minus"))
+      .select(col("n"), col("d_plus"), col("d_minus"), col("v_stat"))
+  }
+
+  /** Sample entropy, m = 2 (Richman & Moorman 2000): over the N−2
+    * template vectors (x_i, x_{i+1}[, x_{i+2}]),
+    *   B = #{i<j : max(|Δx|, |Δx₊₁|) ≤ r},  A = same with |Δx₊₂| too,
+    *   SampEn = −ln(A/B)
+    * — low = regular/predictable series, high = irregular. `r` defaults
+    * to the exact MEDIAN of |successive differences| (integer inputs →
+    * half-integer r, so every ≤-r decision is EXACT cross-engine; never
+    * a float-σ rule whose ulp could flip a boundary pair). O(n²) pairs —
+    * aggregated-grain series only. Output: one row
+    * (n, r, b_pairs, a_pairs, sampen) — null sampen when A or B = 0.
+    */
+  def sampleEntropy(df: DataFrame, tsCol: String, valCol: String,
+                    rOverride: Option[Double] = None): DataFrame = {
+    val v = col(valCol).cast("double")
+    val w = Window.orderBy(col(tsCol))
+    val base = df.filter(v.isNotNull)
+      .withColumn("_i", row_number().over(w))
+      .withColumn("_v0", v)
+      .withColumn("_v1", lead(v, 1).over(w))
+      .withColumn("_v2", lead(v, 2).over(w))
+    val rDf = rOverride match {
+      case Some(r) => base.agg(lit(r).as("_r")).limit(1)
+      case None => base.filter(col("_v1").isNotNull)
+        .agg(percentile(abs(col("_v1") - col("_v0")), lit(0.5)).as("_r"))
+    }
+    val tmpl = base.filter(col("_v2").isNotNull)
+      .select(col("_i"), col("_v0"), col("_v1"), col("_v2"))
+      .crossJoin(broadcast(rDf))
+    val b = tmpl.select(col("_i").as("_j"), col("_v0").as("_w0"),
+      col("_v1").as("_w1"), col("_v2").as("_w2"))
+    val pairs = tmpl.join(b, col("_i") < col("_j"))
+      .select(col("_r"),
+        (greatest(abs(col("_v0") - col("_w0")),
+          abs(col("_v1") - col("_w1"))) <= col("_r")).as("_bm"),
+        (greatest(abs(col("_v0") - col("_w0")), abs(col("_v1") - col("_w1")),
+          abs(col("_v2") - col("_w2"))) <= col("_r")).as("_am"))
+    val counts = base.agg(count(lit(1)).as("n"))
+    val agged = pairs.agg(max(col("_r")).as("r"),
+      sum(when(col("_bm"), 1L).otherwise(0L)).as("b_pairs"),
+      sum(when(col("_am"), 1L).otherwise(0L)).as("a_pairs"))
+    counts.crossJoin(broadcast(agged))
+      .withColumn("sampen",
+        when(col("a_pairs") > 0 && col("b_pairs") > 0,
+          -log(col("a_pairs").cast("double") / col("b_pairs").cast("double"))))
+      .select(col("n"), col("r"), col("b_pairs"), col("a_pairs"),
+        col("sampen"))
+  }
+
+  /** Higuchi fractal dimension (Higuchi 1988): for each scale k ≤ kMax
+    * and offset m ≤ k, the curve length of the subsampled series
+    *   L_m(k) = (Σ |x_{m+ik} − x_{m+(i−1)k}|) · (n−1)/(c·k) / k
+    * (c = the subsequence's diff count ⌊(n−m)/k⌋), L(k) = mean_m L_m(k);
+    * FD = −slope of the OLS fit of ln L(k) on ln k — 1 for a smooth
+    * trend, →2 for space-filling noise (a self-similarity companion of
+    * q282's Hurst). The (k, m) grid is a LITERAL broadcast cross join
+    * (≤ kMax(kMax+1)/2 combos, no lateral ranges); integer inputs keep
+    * every length sum exact. Output: one row (n, fd).
+    */
+  def higuchiFd(df: DataFrame, tsCol: String, valCol: String,
+                kMax: Int = 5): DataFrame = {
+    require(kMax >= 2, s"higuchiFd: kMax must be >= 2, got $kMax")
+    val v = col(valCol).cast("double")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = (1 to kMax).flatMap(k => (1 to k).map(m => (k, m)))
+      .toDF("_k", "_m")
+    val indexed = df.filter(v.isNotNull)
+      .withColumn("_i", row_number().over(Window.orderBy(col(tsCol))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+      .select(col("_i"), col("_n"), v.as("_x"))
+    val sub = indexed.crossJoin(broadcast(grid))
+      .filter(col("_i") >= col("_m") &&
+        pmod(col("_i") - col("_m"), col("_k")) === 0)
+    val wSub = Window.partitionBy(col("_k"), col("_m")).orderBy(col("_i"))
+    val diffs = sub
+      .withColumn("_d", abs(col("_x") - lag(col("_x"), 1).over(wSub)))
+      .filter(col("_d").isNotNull)
+    val lm = diffs.groupBy(col("_k"), col("_m"))
+      .agg(sum(col("_d")).as("_s"), count(lit(1)).as("_c"),
+        max(col("_n")).as("_nn"))
+      .withColumn("_lm", col("_s") * (col("_nn").cast("double") - 1) /
+        (col("_c").cast("double") * col("_k").cast("double")) /
+        col("_k").cast("double"))
+    val lk = lm.groupBy(col("_k"))
+      .agg(avg(col("_lm")).as("_lk"), max(col("_nn")).as("_nn"))
+      .select(col("_nn"), log(col("_k").cast("double")).as("_lx"),
+        log(col("_lk")).as("_ly"))
+    lk.agg(max(col("_nn")).as("n"), count(lit(1)).cast("double").as("_kc"),
+        sum(col("_lx")).as("_sx"), sum(col("_ly")).as("_sy"),
+        sum(col("_lx") * col("_ly")).as("_sxy"),
+        sum(col("_lx") * col("_lx")).as("_sxx"))
+      .withColumn("fd",
+        when(col("_kc") * col("_sxx") - col("_sx") * col("_sx") > 0,
+          -(col("_kc") * col("_sxy") - col("_sx") * col("_sy")) /
+            (col("_kc") * col("_sxx") - col("_sx") * col("_sx"))))
+      .select(col("n"), col("fd"))
+  }
+
+  /** Nonlinearity + time-reversal asymmetry diagnostics at lag ℓ
+    * (Schreiber & Schmitz 1997; the tsfresh c3 feature):
+    *   c3   = mean(x_t · x_{t+ℓ} · x_{t+2ℓ})
+    *   trev = mean((x_{t+ℓ} − x_t)³) / mean((x_{t+ℓ} − x_t)²)^{3/2}
+    * A linear-Gaussian series has trev ≈ 0 — sawtooth asymmetry (slow
+    * build, fast crash — typical of traffic incidents) shows up as
+    * trev ≠ 0 where autocorrelation sees nothing. Two lead windows + one
+    * aggregate; integer inputs keep products exact below 2^53. Output:
+    * one row (n, c3, trev).
+    */
+  def c3Trev(df: DataFrame, tsCol: String, valCol: String,
+             lagStep: Int = 1): DataFrame = {
+    require(lagStep >= 1, s"c3Trev: lagStep must be >= 1, got $lagStep")
+    val v = col(valCol).cast("double")
+    val w = Window.orderBy(col(tsCol))
+    val staged = df.filter(v.isNotNull)
+      .withColumn("_v0", v)
+      .withColumn("_v1", lead(v, lagStep).over(w))
+      .withColumn("_v2", lead(v, 2 * lagStep).over(w))
+    val d = col("_v1") - col("_v0")
+    val agged = staged.agg(count(lit(1)).as("n"),
+      avg(when(col("_v2").isNotNull,
+        col("_v0") * col("_v1") * col("_v2"))).as("c3"),
+      avg(when(col("_v1").isNotNull, d * d * d)).as("_m3"),
+      avg(when(col("_v1").isNotNull, d * d)).as("_m2"))
+    agged
+      .withColumn("trev", when(col("_m2") > 0,
+        col("_m3") / sqrt(col("_m2") * col("_m2") * col("_m2"))))
+      .select(col("n"), col("c3"), col("trev"))
+  }
+
   def spiegelhalterZ(df: DataFrame, yCol: String, pCol: String): DataFrame = {
     val y = col(yCol).cast("double")
     val p = col(pCol).cast("double")

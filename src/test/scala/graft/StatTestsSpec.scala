@@ -842,4 +842,76 @@ class StatTestsSpec extends SparkSuite {
     val rp = StatTests.spiegelhalterZ(perfect, "y", "p").collect()(0)
     assert(rp.isNullAt(rp.fieldIndex("z_stat")))
   }
+
+  test("hosmerLemeshow: two-bin hand golden 26/21") {
+    // bins {0.2,0.4} O1=1 E1=0.6 and {0.6,0.8} O1=2 E1=1.4:
+    // 0.16/0.42 + 0.36/0.42 = 26/21
+    val df = Seq((1L, 0.0, 0.2), (2L, 1.0, 0.4), (3L, 1.0, 0.6),
+      (4L, 1.0, 0.8)).toDF("id", "y", "p")
+    val r = StatTests.hosmerLemeshow(df, "y", "p", "id", g = 2).collect()(0)
+    assert(r.getAs[Long]("g") === 2L)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(approxEq(r.getAs[Double]("hl_chi2"), 26.0 / 21.0, 1e-12))
+  }
+
+  test("krippendorffAlpha: unequal-rater hand golden 4/9; perfect = 1") {
+    // units A {1,1}, B {0,0}, C {1,0}: So = 2, n1 = n0 = 3, N = 6
+    // alpha = 1 - 5*2/(36 - 18) = 4/9
+    val rows = Seq(("A", 1), ("A", 1), ("B", 0), ("B", 0), ("C", 1), ("C", 0))
+    val r = StatTests.krippendorffAlpha(rows.toDF("u", "v"), "u", "v")
+      .collect()(0)
+    assert(r.getAs[Long]("n_units") === 3L)
+    assert(r.getAs[Long]("n_ratings") === 6L)
+    assert(approxEq(r.getAs[Double]("alpha"), 4.0 / 9.0, 1e-12))
+    val agree = Seq(("A", 1), ("A", 1), ("B", 0), ("B", 0), ("B", 0))
+    val ra = StatTests.krippendorffAlpha(agree.toDF("u", "v"), "u", "v")
+      .collect()(0)
+    assert(approxEq(ra.getAs[Double]("alpha"), 1.0, 1e-12))
+  }
+
+  test("kuiperUniform: V = D+ + D- on a skewed grid") {
+    // u = 0.8, 0.9 on span 1: D+ = max(1/2-0.8, 1-0.9) = 0.1,
+    // D- = max(0.8-0, 0.9-0.5) = 0.8, V = 0.9
+    val df = Seq(0.8, 0.9).map(Tuple1(_)).toDF("u")
+    val r = StatTests.kuiperUniform(df, "u", span = 1.0).collect()(0)
+    assert(approxEq(r.getAs[Double]("d_plus"), 0.1, 1e-12))
+    assert(approxEq(r.getAs[Double]("d_minus"), 0.8, 1e-12))
+    assert(approxEq(r.getAs[Double]("v_stat"), 0.9, 1e-12))
+  }
+
+  test("sampleEntropy: constant-increment series has entropy 0") {
+    val df = (1 to 6).map(i => (ts(i), i.toDouble)).toDF("t", "v")
+    val r = StatTests.sampleEntropy(df, "t", "v", rOverride = Some(1.0))
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("b_pairs") === 3L)
+    assert(r.getAs[Long]("a_pairs") === 3L)
+    assert(approxEq(r.getAs[Double]("sampen"), 0.0, 1e-12))
+    // r below every gap: B = 0 -> null sampen
+    val rn = StatTests.sampleEntropy(df, "t", "v", rOverride = Some(0.5))
+      .collect()(0)
+    assert(rn.getAs[Long]("b_pairs") === 0L)
+    assert(rn.isNullAt(rn.fieldIndex("sampen")))
+  }
+
+  test("higuchiFd: straight line has fractal dimension exactly 1") {
+    val df = (1 to 30).map(i => (ts(i), i.toDouble)).toDF("t", "v")
+    val r = StatTests.higuchiFd(df, "t", "v", kMax = 5).collect()(0)
+    assert(r.getAs[Long]("n") === 30L)
+    assert(approxEq(r.getAs[Double]("fd"), 1.0, 1e-9))
+  }
+
+  test("c3Trev: hand goldens on tiny series") {
+    val line = Seq(1.0, 2.0, 3.0).zipWithIndex
+      .map { case (v, i) => (ts(i), v) }.toDF("t", "v")
+    val r = StatTests.c3Trev(line, "t", "v").collect()(0)
+    assert(approxEq(r.getAs[Double]("c3"), 6.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("trev"), 1.0, 1e-12))
+    // alternating 1,2,1,2: diffs +1,-1,+1 -> trev = 1/3; c3 = (2+4)/2 = 3
+    val alt = Seq(1.0, 2.0, 1.0, 2.0).zipWithIndex
+      .map { case (v, i) => (ts(i), v) }.toDF("t", "v")
+    val ra = StatTests.c3Trev(alt, "t", "v").collect()(0)
+    assert(approxEq(ra.getAs[Double]("c3"), 3.0, 1e-12))
+    assert(approxEq(ra.getAs[Double]("trev"), 1.0 / 3.0, 1e-12))
+  }
 }
