@@ -6286,6 +6286,68 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
       graft.operators.StatTests.c3Trev(daily, "d", "cnt", lagStep = 1)
         .select(col("n"), r6(col("c3")).as("c3"), r6(col("trev")).as("trev"))
+    }),
+
+    // Chatterjee's xi: is daily purchase count a FUNCTION of daily click
+    // count? (beyond-monotone dependence; ties-general, d-tie-broken)
+    "q446_chatterjee_xi" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum((col("event_type") === "click").cast("long")).as("x"),
+          sum((col("event_type") === "purchase").cast("long")).as("y"))
+      graft.operators.StatTests.chatterjeeXi(daily, "x", "y", "d")
+        .select(col("n"), r6(col("xi")).as("xi"))
+    }),
+
+    // Hoeffding's D independence test on the same daily (clicks,
+    // purchases) pair — classical null, any-dependence alternative
+    "q447_hoeffding_d" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum((col("event_type") === "click").cast("long")).as("x"),
+          sum((col("event_type") === "purchase").cast("long")).as("y"))
+      graft.operators.StatTests.hoeffdingD(daily, "x", "y", "d")
+        .select(col("n"), r6(col("d_stat")).as("d_stat"))
+    }),
+
+    // distance correlation of the daily pair — energy-statistics
+    // complement (dCor = 0 iff independent; exact integer distances)
+    "q448_distance_corr" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum((col("event_type") === "click").cast("long")).as("x"),
+          sum((col("event_type") === "purchase").cast("long")).as("y"))
+      graft.operators.StatTests.distanceCorr(daily, "x", "y", "d")
+        .select(col("n"), r6(col("dcov2")).as("dcov2"),
+          r6(col("dvarx2")).as("dvarx2"), r6(col("dvary2")).as("dvary2"),
+          r6(col("dcor")).as("dcor"))
+    }),
+
+    // binary transfer entropy clicks->purchases at lag 1 — directed
+    // information flow the symmetric measures above can't see
+    "q449_transfer_entropy" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum((col("event_type") === "click").cast("long")).as("x"),
+          sum((col("event_type") === "purchase").cast("long")).as("y"))
+      graft.operators.StatTests.transferEntropy(daily, "d", "x", "y")
+        .select(col("t"), r6(col("te_nats")).as("te_nats"))
+    }),
+
+    // two-sample Anderson-Darling: click vs purchase value
+    // distributions, tail-weighted (vs q142 KS / q313 CvM)
+    "q450_ad_2sample" -> ((s, dir) => {
+      graft.operators.StatTests.adTwoSample(ev(s, dir), "event_type",
+          "click", "purchase", "value", "event_id")
+        .select(col("n_a"), col("n_b"), r6(col("a2")).as("a2"))
+    }),
+
+    // Baumgartner-Weiss-Schindler B on the same two arms — the
+    // variance-rescaled ECDF gap that weights both tails fully
+    "q451_bws" -> ((s, dir) => {
+      graft.operators.StatTests.bws(ev(s, dir), "event_type",
+          "click", "purchase", "value", "event_id")
+        .select(col("n_a"), col("n_b"), r6(col("b_stat")).as("b_stat"))
     })
   )
 
@@ -14814,7 +14876,145 @@ object SparkEntry {
         |  FROM b)
         |SELECT n, round(c3, 6) AS c3,
         |  round(CASE WHEN m2 > 0 THEN m3/sqrt(m2*m2*m2) END, 6) AS trev
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // ties-general xi: r/l via RANGE-framed counts, consecutive-in-x |dr|
+    "q446_chatterjee_xi" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT d, x, y,
+        |    count(*) OVER (ORDER BY y) AS r,
+        |    count(*) OVER (ORDER BY y DESC) AS l,
+        |    count(*) OVER () AS n FROM daily),
+        |t AS (SELECT n, l, r, lead(r) OVER (ORDER BY x, d) AS rn FROM s),
+        |a AS (SELECT max(n) AS n,
+        |    sum(CASE WHEN rn IS NOT NULL THEN abs(rn - r) ELSE 0 END)
+        |      AS num,
+        |    sum(l*(n - l)) AS den FROM t)
+        |SELECT n::BIGINT AS n,
+        |  round(CASE WHEN den > 0 THEN
+        |    1.0 - n::DOUBLE*num::DOUBLE/(2.0*den::DOUBLE) END, 6) AS xi
+        |FROM a""".stripMargin,
+
+    // midrank u() self-join; D1/D2/D3 per Hoeffding 1948
+    "q447_hoeffding_d" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |per AS (SELECT a.d,
+        |    sum(CASE WHEN a.x > c.x THEN 1.0 WHEN a.x = c.x THEN 0.5
+        |      ELSE 0.0 END) AS ra,
+        |    sum(CASE WHEN a.y > c.y THEN 1.0 WHEN a.y = c.y THEN 0.5
+        |      ELSE 0.0 END) AS rb,
+        |    sum((CASE WHEN a.x > c.x THEN 1.0 WHEN a.x = c.x THEN 0.5
+        |      ELSE 0.0 END) * (CASE WHEN a.y > c.y THEN 1.0
+        |      WHEN a.y = c.y THEN 0.5 ELSE 0.0 END)) AS q
+        |  FROM daily a JOIN daily c ON a.d <> c.d GROUP BY 1),
+        |ag AS (SELECT count(*)::DOUBLE AS n,
+        |    sum(q*(q - 1)) AS d1, sum(ra*(ra - 1)*rb*(rb - 1)) AS d2,
+        |    sum((ra - 1)*(rb - 1)*q) AS d3 FROM per)
+        |SELECT n::BIGINT AS n, round(CASE WHEN n >= 5 THEN
+        |    30.0*((n - 2)*(n - 3)*d1 + d2 - 2.0*(n - 2)*d3)
+        |    /(n*(n - 1)*(n - 2)*(n - 3)*(n - 4)) END, 6) AS d_stat
+        |FROM ag""".stripMargin,
+
+    // Szekely-Rizzo V-statistics from one full self-join + row sums
+    "q448_distance_corr" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |rows_ AS (SELECT a.d, sum(abs(a.x - c.x)*abs(a.y - c.y)) AS sab,
+        |    sum(abs(a.x - c.x)*abs(a.x - c.x)) AS saa,
+        |    sum(abs(a.y - c.y)*abs(a.y - c.y)) AS sbb,
+        |    sum(abs(a.x - c.x)) AS ra, sum(abs(a.y - c.y)) AS rb
+        |  FROM daily a JOIN daily c ON true GROUP BY 1),
+        |ag AS (SELECT count(*)::DOUBLE AS n, sum(sab) AS tab,
+        |    sum(saa) AS taa, sum(sbb) AS tbb, sum(ra) AS ga,
+        |    sum(rb) AS gb, sum(ra*rb) AS rab, sum(ra*ra) AS raa,
+        |    sum(rb*rb) AS rbb FROM rows_),
+        |v AS (SELECT n,
+        |    tab/(n*n) + (ga/(n*n))*(gb/(n*n)) - 2.0*rab/(n*n*n) AS dcov2,
+        |    taa/(n*n) + (ga/(n*n))*(ga/(n*n)) - 2.0*raa/(n*n*n) AS dvarx2,
+        |    tbb/(n*n) + (gb/(n*n))*(gb/(n*n)) - 2.0*rbb/(n*n*n) AS dvary2
+        |  FROM ag)
+        |SELECT n::BIGINT AS n, round(dcov2, 6) AS dcov2,
+        |  round(dvarx2, 6) AS dvarx2, round(dvary2, 6) AS dvary2,
+        |  round(CASE WHEN dvarx2 > 0 AND dvary2 > 0 AND dcov2 >= 0 THEN
+        |    sqrt(dcov2/sqrt(dvarx2*dvary2)) END, 6) AS dcor
+        |FROM v""".stripMargin,
+
+    // above-median binarization; rational triple counts; one ln per triple
+    "q449_transfer_entropy" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |med AS (SELECT quantile_cont(x, 0.5) AS mx,
+        |    quantile_cont(y, 0.5) AS my FROM daily),
+        |b AS (SELECT d, (x > mx)::INT AS xb, (y > my)::INT AS yb
+        |  FROM daily, med),
+        |tri AS (SELECT xb, yb, lead(yb) OVER (ORDER BY d) AS y1 FROM b),
+        |t3 AS (SELECT y1, yb, xb, count(*) AS c3 FROM tri
+        |  WHERE y1 IS NOT NULL GROUP BY 1, 2, 3),
+        |t2a AS (SELECT yb, xb, sum(c3) AS c2a FROM t3 GROUP BY 1, 2),
+        |t2b AS (SELECT y1, yb, sum(c3) AS c2b FROM t3 GROUP BY 1, 2),
+        |t1 AS (SELECT yb, sum(c3) AS c1 FROM t3 GROUP BY 1),
+        |j AS (SELECT t3.c3, t2a.c2a, t2b.c2b, t1.c1 FROM t3
+        |  JOIN t2a ON t3.yb = t2a.yb AND t3.xb = t2a.xb
+        |  JOIN t2b ON t3.y1 = t2b.y1 AND t3.yb = t2b.yb
+        |  JOIN t1 ON t3.yb = t1.yb)
+        |SELECT sum(c3)::BIGINT AS t,
+        |  round(sum(c3::DOUBLE*ln(c3::DOUBLE*c1::DOUBLE
+        |    /(c2a::DOUBLE*c2b::DOUBLE)))/sum(c3)::DOUBLE, 6) AS te_nats
+        |FROM j""".stripMargin,
+
+    // Scholz-Stephens version-1 A2 (k=2), (value, event_id) tie-break
+    "q450_ad_2sample" ->
+      """WITH pooled AS (SELECT
+        |    (event_type = 'click')::INT AS isa, value AS v, event_id
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |s AS (SELECT isa,
+        |    row_number() OVER (ORDER BY v, event_id) AS i,
+        |    sum(isa) OVER (ORDER BY v, event_id) AS m,
+        |    count(*) OVER () AS nn, sum(isa) OVER () AS na
+        |  FROM pooled)
+        |SELECT max(na)::BIGINT AS n_a, max(nn - na)::BIGINT AS n_b,
+        |  round((1.0/max(na)::DOUBLE + 1.0/max(nn - na)::DOUBLE) *
+        |    sum((nn::DOUBLE*m::DOUBLE - na::DOUBLE*i::DOUBLE)
+        |      *(nn::DOUBLE*m::DOUBLE - na::DOUBLE*i::DOUBLE)
+        |      /(i::DOUBLE*(nn::DOUBLE - i::DOUBLE)*nn::DOUBLE)), 6) AS a2
+        |FROM s WHERE i < nn""".stripMargin,
+
+    // BWS B = (B_A + B_B)/2 from pooled + within-arm ranks
+    "q451_bws" ->
+      """WITH pooled AS (SELECT
+        |    (event_type = 'click')::INT AS isa, value AS v, event_id
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |s AS (SELECT isa,
+        |    row_number() OVER (ORDER BY v, event_id) AS r,
+        |    row_number() OVER (PARTITION BY isa ORDER BY v, event_id) AS i,
+        |    sum(isa) OVER () AS na, count(*) OVER () AS nn
+        |  FROM pooled),
+        |t AS (SELECT isa, na, nn,
+        |    CASE WHEN isa = 1 THEN na::DOUBLE
+        |      ELSE (nn - na)::DOUBLE END AS nown,
+        |    CASE WHEN isa = 1 THEN (nn - na)::DOUBLE
+        |      ELSE na::DOUBLE END AS noth,
+        |    r::DOUBLE AS rd, i::DOUBLE AS id_ FROM s),
+        |parts AS (SELECT isa, max(na) AS gna, max(nn) AS gnn,
+        |    sum((rd - (nn::DOUBLE/nown)*id_)*(rd - (nn::DOUBLE/nown)*id_)
+        |      /((id_/(nown + 1))*(1.0 - id_/(nown + 1))*noth*nn::DOUBLE
+        |        /nown))/max(nown) AS bpart
+        |  FROM t GROUP BY 1)
+        |SELECT max(gna)::BIGINT AS n_a, max(gnn - gna)::BIGINT AS n_b,
+        |  round(sum(bpart)/2.0, 6) AS b_stat
+        |FROM parts""".stripMargin
   )
 
   /** q430's oracle: the same 24-bin pivot + Fourier-1 folds as

@@ -2478,6 +2478,261 @@ object StatTests {
       .select(col("n"), col("c3"), col("trev"))
   }
 
+  /** Chatterjee's rank correlation ξ (Chatterjee 2021, ties-general form):
+    * with rows ordered by (x, id) and r_i = #{j : y_j ≤ y_i},
+    * l_i = #{j : y_j ≥ y_i},
+    *   ξ = 1 − n·Σ_{i<n} |r_{i+1} − r_i| / (2·Σ_i l_i(n − l_i)).
+    * ξ → 1 iff y is a measurable FUNCTION of x (not just monotone like
+    * Spearman, not just linear like Pearson) and ≈ 0 under independence —
+    * the modern default for "does x determine y at all?". Deterministic:
+    * x-ties break on idCol (the paper randomizes; a fixed tie-break keeps
+    * the statistic oracle-replayable). All counts are exact integers; the
+    * single division happens once at the end. Two global-window passes on
+    * a pre-aggregated series (bounded rows). Output: one row (n, xi).
+    */
+  def chatterjeeXi(df: DataFrame, xCol: String, yCol: String,
+                   idCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val staged = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.as("_x"), y.as("_y"), col(idCol).as("_id"))
+      .withColumn("_r", count(lit(1)).over(Window.orderBy(col("_y"))))
+      .withColumn("_l", count(lit(1)).over(Window.orderBy(col("_y").desc)))
+      .withColumn("_rn",
+        lead(col("_r"), 1).over(Window.orderBy(col("_x"), col("_id"))))
+      .withColumn("_nn", count(lit(1)).over(Window.partitionBy()))
+    val agged = staged.agg(count(lit(1)).as("n"),
+      sum(when(col("_rn").isNotNull,
+        abs(col("_rn") - col("_r"))).otherwise(0L)).as("_num"),
+      sum(col("_l") * (col("_nn") - col("_l"))).as("_den"))
+    agged
+      .withColumn("xi", when(col("_den") > 0,
+        lit(1.0) - col("n").cast("double") * col("_num").cast("double") /
+          (lit(2.0) * col("_den").cast("double"))))
+      .select(col("n"), col("xi"))
+  }
+
+  /** Hoeffding's D test of independence (Hoeffding 1948, midrank form):
+    * with u(t) = 1 if t>0, ½ if t=0, 0 if t<0 and per-row sums over j≠i
+    *   a_i = Σ u(x_i−x_j), b_i = Σ u(y_i−y_j), q_i = Σ u(x_i−x_j)u(y_i−y_j),
+    *   D1 = Σ q_i(q_i−1), D2 = Σ a_i(a_i−1)b_i(b_i−1),
+    *   D3 = Σ (a_i−1)(b_i−1)q_i,
+    *   D  = 30·((n−2)(n−3)D1 + D2 − 2(n−2)D3) / (n(n−1)(n−2)(n−3)(n−4)).
+    * D detects ANY dependence with ξ-like generality but a classical null
+    * distribution; D = 1 at perfect monotone dependence. The q_i sums need
+    * the bivariate joint, hence one self-join — intended for bounded
+    * pre-aggregated series (daily buckets), never raw events; half-integer
+    * midranks are exact in doubles. Output: one row (n, d_stat).
+    */
+  def hoeffdingD(df: DataFrame, xCol: String, yCol: String,
+                 idCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(col(idCol).as("_id"), x.as("_x"), y.as("_y"))
+    val other = base.select(col("_id").as("_jd"), col("_x").as("_xj"),
+      col("_y").as("_yj"))
+    def u(d: Column): Column =
+      when(d > 0, 1.0).when(d === 0, 0.5).otherwise(0.0)
+    val per = base.join(other, col("_id") =!= col("_jd"))
+      .groupBy(col("_id"))
+      .agg(sum(u(col("_x") - col("_xj"))).as("_a"),
+        sum(u(col("_y") - col("_yj"))).as("_b"),
+        sum(u(col("_x") - col("_xj")) * u(col("_y") - col("_yj")))
+          .as("_q"))
+    val agged = per.agg(count(lit(1)).cast("double").as("_n"),
+      sum(col("_q") * (col("_q") - 1)).as("_d1"),
+      sum(col("_a") * (col("_a") - 1) * col("_b") * (col("_b") - 1))
+        .as("_d2"),
+      sum((col("_a") - 1) * (col("_b") - 1) * col("_q")).as("_d3"))
+    val n = col("_n")
+    agged
+      .withColumn("d_stat", when(n >= 5,
+        lit(30.0) * ((n - 2) * (n - 3) * col("_d1") + col("_d2") -
+          lit(2.0) * (n - 2) * col("_d3")) /
+          (n * (n - 1) * (n - 2) * (n - 3) * (n - 4))))
+      .select(n.cast("bigint").as("n"), col("d_stat"))
+  }
+
+  /** Distance correlation (Székely, Rizzo & Bakirov 2007, V-statistic):
+    * over ALL ordered pairs (i,j) with a_ij = |x_i−x_j|, b_ij = |y_i−y_j|,
+    *   dCov² = mean(a·b) + mean(a)·mean(b) − 2·mean_i(rowmean_a·rowmean_b),
+    * dVar likewise with a (resp. b) twice, dCor = dCov/√(dVarX·dVarY).
+    * dCor = 0 ⟺ independence (for finite first moments) and = 1 at exact
+    * linear dependence — the energy-statistics complement of ξ/D above.
+    * One self-join + one groupBy on a bounded pre-aggregated series;
+    * integer-valued inputs keep every pairwise sum exact. Output: one row
+    * (n, dcov2, dvarx2, dvary2, dcor).
+    */
+  def distanceCorr(df: DataFrame, xCol: String, yCol: String,
+                   idCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(col(idCol).as("_id"), x.as("_x"), y.as("_y"))
+    val other = base.select(col("_id").as("_jd"), col("_x").as("_xj"),
+      col("_y").as("_yj"))
+    val perRow = base.join(other, lit(true))
+      .select(col("_id"), abs(col("_x") - col("_xj")).as("_a"),
+        abs(col("_y") - col("_yj")).as("_b"))
+      .groupBy(col("_id"))
+      .agg(sum(col("_a") * col("_b")).as("_sab"),
+        sum(col("_a") * col("_a")).as("_saa"),
+        sum(col("_b") * col("_b")).as("_sbb"),
+        sum(col("_a")).as("_ra"), sum(col("_b")).as("_rb"))
+    val agged = perRow.agg(count(lit(1)).cast("double").as("_n"),
+      sum(col("_sab")).as("_tab"), sum(col("_saa")).as("_taa"),
+      sum(col("_sbb")).as("_tbb"),
+      sum(col("_ra")).as("_ga"), sum(col("_rb")).as("_gb"),
+      sum(col("_ra") * col("_rb")).as("_rab"),
+      sum(col("_ra") * col("_ra")).as("_raa"),
+      sum(col("_rb") * col("_rb")).as("_rbb"))
+    val n = col("_n")
+    def vstat(pairSum: Column, gA: Column, gB: Column,
+              rowProd: Column): Column =
+      pairSum / (n * n) + (gA / (n * n)) * (gB / (n * n)) -
+        lit(2.0) * rowProd / (n * n * n)
+    agged
+      .withColumn("dcov2",
+        vstat(col("_tab"), col("_ga"), col("_gb"), col("_rab")))
+      .withColumn("dvarx2",
+        vstat(col("_taa"), col("_ga"), col("_ga"), col("_raa")))
+      .withColumn("dvary2",
+        vstat(col("_tbb"), col("_gb"), col("_gb"), col("_rbb")))
+      .withColumn("dcor",
+        when(col("dvarx2") > 0 && col("dvary2") > 0 && col("dcov2") >= 0,
+          sqrt(col("dcov2") / sqrt(col("dvarx2") * col("dvary2")))))
+      .select(n.cast("bigint").as("n"), col("dcov2"), col("dvarx2"),
+        col("dvary2"), col("dcor"))
+  }
+
+  /** Binary transfer entropy x→y at lag 1 (Schreiber 2000): both series
+    * are binarized ABOVE their own exact median (b = 1{v > median}), then
+    *   TE = Σ p(y′,y,x) · ln( p(y′,y,x)·p(y) / (p(y,x)·p(y′,y)) )
+    * over the (y′ = lead(y), y, x) transition triples — the directed,
+    * model-free "does knowing x's past reduce surprise in y's future
+    * beyond y's own past?" companion of q318's Granger F (which only sees
+    * linear coupling). All probabilities are exact rational counts over
+    * T = n−1 transitions; ln runs once per observed triple (≤ 8), so the
+    * result is cross-engine exact. Output: one row
+    * (t = transitions, te_nats).
+    */
+  def transferEntropy(df: DataFrame, tsCol: String, xCol: String,
+                      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(col(tsCol).as("_t"), x.as("_x"), y.as("_y"))
+    val med = base.agg(percentile(col("_x"), lit(0.5)).as("_mx"),
+      percentile(col("_y"), lit(0.5)).as("_my"))
+    val w = Window.orderBy(col("_t"))
+    val tri = base.crossJoin(broadcast(med))
+      .select((col("_x") > col("_mx")).cast("int").as("_xb"),
+        (col("_y") > col("_my")).cast("int").as("_yb"), col("_t"))
+      .withColumn("_y1", lead(col("_yb"), 1).over(w))
+      .filter(col("_y1").isNotNull)
+    val c3 = tri.groupBy(col("_y1"), col("_yb"), col("_xb"))
+      .agg(count(lit(1)).as("_c3"))
+    val c2a = tri.groupBy(col("_yb").as("_yb2"), col("_xb").as("_xb2"))
+      .agg(count(lit(1)).as("_c2a"))
+    val c2b = tri.groupBy(col("_y1").as("_y12"), col("_yb").as("_yb3"))
+      .agg(count(lit(1)).as("_c2b"))
+    val c1 = tri.groupBy(col("_yb").as("_yb4")).agg(count(lit(1)).as("_c1"))
+    val joined = c3
+      .join(broadcast(c2a),
+        col("_yb") === col("_yb2") && col("_xb") === col("_xb2"))
+      .join(broadcast(c2b),
+        col("_y1") === col("_y12") && col("_yb") === col("_yb3"))
+      .join(broadcast(c1), col("_yb") === col("_yb4"))
+    joined.agg(sum(col("_c3")).as("t"),
+        sum(col("_c3").cast("double") *
+          log(col("_c3").cast("double") * col("_c1").cast("double") /
+            (col("_c2a").cast("double") * col("_c2b").cast("double"))))
+          .as("_num"))
+      .select(col("t"),
+        (col("_num") / col("t").cast("double")).as("te_nats"))
+  }
+
+  /** Two-sample Anderson–Darling A² (Scholz & Stephens 1987, version-1
+    * k=2): pool both arms, order by (value, id) — the deterministic
+    * tie-break keeps ranks oracle-replayable — and with M_i = # of arm-A
+    * values among the i smallest of the N pooled,
+    *   A² = (1/n_a + 1/n_b) · Σ_{i=1}^{N−1} (N·M_i − n_a·i)² / (i(N−i)N).
+    * Weighting by 1/(i(N−i)) makes A² far more tail-sensitive than q142's
+    * KS or q313's CvM — the right default for "did the DISTRIBUTION of
+    * purchase values shift in the tails?". One global sort window over the
+    * pooled arms (bounded by the arm filter), integer M_i exact. Output:
+    * one row (n_a, n_b, a2).
+    */
+  def adTwoSample(df: DataFrame, armCol: String, armA: String, armB: String,
+                  valCol: String, idCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val pooled = df.filter(v.isNotNull &&
+        (col(armCol) === armA || col(armCol) === armB))
+      .select((col(armCol) === armA).cast("int").as("_isa"), v.as("_v"),
+        col(idCol).as("_id"))
+    val w = Window.orderBy(col("_v"), col("_id"))
+    val staged = pooled
+      .withColumn("_i", row_number().over(w))
+      .withColumn("_m", sum(col("_isa")).over(w))
+      .withColumn("_nn", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("_na", sum(col("_isa")).over(Window.partitionBy()))
+    val nn = col("_nn").cast("double")
+    val na = col("_na").cast("double")
+    val term = (nn * col("_m").cast("double") -
+      na * col("_i").cast("double"))
+    staged.filter(col("_i") < col("_nn"))
+      .agg(max(col("_na")).as("n_a"),
+        max(col("_nn") - col("_na")).as("n_b"),
+        sum(term * term /
+          (col("_i").cast("double") * (nn - col("_i").cast("double")) * nn))
+          .as("_s"),
+        max(lit(1.0) / na + lit(1.0) / (nn - na)).as("_w"))
+      .select(col("n_a"), col("n_b"), (col("_s") * col("_w")).as("a2"))
+  }
+
+  /** Baumgartner–Weiß–Schindler two-sample B statistic (BWS 1998): with
+    * arm A's sorted values holding pooled ranks R_1 < … < R_{n_a},
+    *   B_A = (1/n_a) Σ_i (R_i − (N/n_a)·i)² /
+    *         ( (i/(n_a+1))(1 − i/(n_a+1)) · n_b·N/n_a ),
+    * B_B symmetric, B = (B_A + B_B)/2. The variance-rescaled ECDF gap
+    * weights BOTH tails fully (unlike KS's sup or CvM's uniform weight) —
+    * shown by BWS to dominate both for location-scale alternatives.
+    * Pooled ranks break ties on idCol (deterministic, oracle-replayable);
+    * two window passes, integer ranks exact. Output: one row
+    * (n_a, n_b, b_stat).
+    */
+  def bws(df: DataFrame, armCol: String, armA: String, armB: String,
+          valCol: String, idCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val pooled = df.filter(v.isNotNull &&
+        (col(armCol) === armA || col(armCol) === armB))
+      .select((col(armCol) === armA).cast("int").as("_isa"), v.as("_v"),
+        col(idCol).as("_id"))
+      .withColumn("_r",
+        row_number().over(Window.orderBy(col("_v"), col("_id"))))
+      .withColumn("_i", row_number().over(
+        Window.partitionBy(col("_isa")).orderBy(col("_v"), col("_id"))))
+      .withColumn("_na", sum(col("_isa")).over(Window.partitionBy()))
+      .withColumn("_nn", count(lit(1)).over(Window.partitionBy()))
+    val nn = col("_nn").cast("double")
+    val na = col("_na").cast("double")
+    val nb = nn - na
+    val nOwn = when(col("_isa") === 1, na).otherwise(nb)
+    val nOther = when(col("_isa") === 1, nb).otherwise(na)
+    val i = col("_i").cast("double")
+    val gap = col("_r").cast("double") - (nn / nOwn) * i
+    val frac = i / (nOwn + 1)
+    val term = gap * gap / (frac * (lit(1.0) - frac) * nOther * nn / nOwn)
+    pooled
+      .groupBy(col("_isa"))
+      .agg(max(col("_na")).as("_gna"), max(col("_nn")).as("_gnn"),
+        (sum(term) / max(nOwn)).as("_bpart"))
+      .agg(max(col("_gna")).as("n_a"),
+        max(col("_gnn") - col("_gna")).as("n_b"),
+        (sum(col("_bpart")) / 2).as("b_stat"))
+  }
+
   def spiegelhalterZ(df: DataFrame, yCol: String, pCol: String): DataFrame = {
     val y = col(yCol).cast("double")
     val p = col(pCol).cast("double")

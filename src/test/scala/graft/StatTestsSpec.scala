@@ -914,4 +914,83 @@ class StatTestsSpec extends SparkSuite {
     assert(approxEq(ra.getAs[Double]("c3"), 3.0, 1e-12))
     assert(approxEq(ra.getAs[Double]("trev"), 1.0 / 3.0, 1e-12))
   }
+
+  test("chatterjeeXi: perfect monotone n=4 hits the (n-2)/(n+1) maximum") {
+    // y = x, no ties: r (x-ordered) = 1,2,3,4; sum|dr| = 3; num = 12;
+    // l = 4,3,2,1 -> den = 2*(3+4+3) = 20; xi = 1 - 12/20 = 0.4 = 2/5
+    val df = Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 3.0, 30.0),
+      (4L, 4.0, 40.0)).toDF("id", "x", "y")
+    val r = StatTests.chatterjeeXi(df, "x", "y", "id").collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(approxEq(r.getAs[Double]("xi"), 0.4, 1e-12))
+    // constant y: den = 0 -> null
+    val c = Seq((1L, 1.0, 5.0), (2L, 2.0, 5.0), (3L, 3.0, 5.0))
+      .toDF("id", "x", "y")
+    val rc = StatTests.chatterjeeXi(c, "x", "y", "id").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("xi")))
+  }
+
+  test("hoeffdingD: perfect dependence n=5 gives D = 1") {
+    // a=b=q = 0,1,2,3,4: D1=20, D2=184, D3=50
+    // D = 30*(6*20 + 184 - 6*100... ) -> 30*(120+184-300)/120 = 1
+    val df = (1 to 5).map(i => (i.toLong, i.toDouble, i.toDouble * 2))
+      .toDF("id", "x", "y")
+    val r = StatTests.hoeffdingD(df, "x", "y", "id").collect()(0)
+    assert(r.getAs[Long]("n") === 5L)
+    assert(approxEq(r.getAs[Double]("d_stat"), 1.0, 1e-12))
+    // n = 4 < 5: null (formula divides by n-4)
+    val small = (1 to 4).map(i => (i.toLong, i.toDouble, i.toDouble))
+      .toDF("id", "x", "y")
+    val rs = StatTests.hoeffdingD(small, "x", "y", "id").collect()(0)
+    assert(rs.isNullAt(rs.fieldIndex("d_stat")))
+  }
+
+  test("distanceCorr: exact linear dependence gives dCor = 1") {
+    val df = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 6.0),
+      (4L, 5.0, 10.0)).toDF("id", "x", "y")
+    val r = StatTests.distanceCorr(df, "x", "y", "id").collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(approxEq(r.getAs[Double]("dcor"), 1.0, 1e-12))
+    // dVar scaling: b = 2a => dvary2 = 4*dvarx2
+    assert(approxEq(r.getAs[Double]("dvary2"),
+      4.0 * r.getAs[Double]("dvarx2"), 1e-12))
+  }
+
+  test("transferEntropy: y lead-copies x -> hand golden in nats") {
+    // x = 1,1,0,0,1,0,1,0; y(t+1) = x(t), y(1) = 0; medians 0.5
+    // TE = (3 ln(4/3) + ln 3 + 2 ln 1.5 + ln 4)/7
+    val x = Seq(1.0, 1, 0, 0, 1, 0, 1, 0)
+    val y = Seq(0.0, 1, 1, 0, 0, 1, 0, 1)
+    val df = x.indices.map(i => (ts(i), x(i), y(i))).toDF("t", "x", "y")
+    val r = StatTests.transferEntropy(df, "t", "x", "y").collect()(0)
+    assert(r.getAs[Long]("t") === 7L)
+    val want = (3 * math.log(4.0 / 3) + math.log(3.0) +
+      2 * math.log(1.5) + math.log(4.0)) / 7
+    assert(approxEq(r.getAs[Double]("te_nats"), want, 1e-12))
+    // y independent of everything (constant): te = 0 over 1 triple type
+    val cy = x.indices.map(i => (ts(i), x(i), 0.0)).toDF("t", "x", "y")
+    val rc = StatTests.transferEntropy(cy, "t", "x", "y").collect()(0)
+    assert(approxEq(rc.getAs[Double]("te_nats"), 0.0, 1e-12))
+  }
+
+  test("adTwoSample: interleaved 2x2 hand golden 2/3") {
+    // pooled 1A,2B,3A,4B: M = 1,1,2 -> sum = 8/3; A2 = 1*(8/3)/4 = 2/3
+    val df = Seq(("a", 1.0, 1L), ("b", 2.0, 2L), ("a", 3.0, 3L),
+      ("b", 4.0, 4L)).toDF("arm", "v", "id")
+    val r = StatTests.adTwoSample(df, "arm", "a", "b", "v", "id")
+      .collect()(0)
+    assert(r.getAs[Long]("n_a") === 2L)
+    assert(r.getAs[Long]("n_b") === 2L)
+    assert(approxEq(r.getAs[Double]("a2"), 2.0 / 3.0, 1e-12))
+  }
+
+  test("bws: fully separated 2x2 hand golden 1.6875") {
+    // A = {1,2}, B = {3,4}: B_A = (9/8 + 9/2)/2, B_B = (9/8)/2
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 3.0, 3L),
+      ("b", 4.0, 4L)).toDF("arm", "v", "id")
+    val r = StatTests.bws(df, "arm", "a", "b", "v", "id").collect()(0)
+    assert(r.getAs[Long]("n_a") === 2L)
+    assert(r.getAs[Long]("n_b") === 2L)
+    assert(approxEq(r.getAs[Double]("b_stat"), 1.6875, 1e-12))
+  }
 }
