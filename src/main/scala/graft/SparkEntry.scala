@@ -6348,6 +6348,70 @@ object SparkEntry {
       graft.operators.StatTests.bws(ev(s, dir), "event_type",
           "click", "purchase", "value", "event_id")
         .select(col("n_a"), col("n_b"), r6(col("b_stat")).as("b_stat"))
+    }),
+
+    // Bartels rank von Neumann ratio: serial dependence in the daily
+    // event-count series (nonparametric randomness check)
+    "q452_bartels_rank" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.bartelsRank(daily, "d", "cnt")
+        .select(col("n"), r6(col("rvn")).as("rvn"), r6(col("z")).as("z"))
+    }),
+
+    // Nadaraya-Watson Gaussian kernel smoother of the daily click-count
+    // series, evaluated at day-index grid points (h = 7 days)
+    "q453_nadaraya_watson" -> ((s, dir) => {
+      val daily = ev(s, dir).filter(col("event_type") === "click")
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("x", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("d")))
+          .cast("double"))
+      graft.operators.StatTests.nadarayaWatson(daily, "x", "cnt", 7.0,
+          Seq(10.0, 30.0, 60.0))
+        .select(col("g"), r6(col("yhat")).as("yhat"), col("n"))
+    }),
+
+    // Gumbel PPCC: are the daily maxima of event value Gumbel-distributed?
+    // (the pre-check for the q-return-level extrapolation)
+    "q454_gumbel_ppcc" -> ((s, dir) => {
+      val daily = ev(s, dir).filter(col("value").isNotNull)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(max(col("value")).as("mx"))
+      graft.operators.StatTests.gumbelPpcc(daily, "mx", "d")
+        .select(col("n"), r6(col("ppcc")).as("ppcc"))
+    }),
+
+    // Lomb-Scargle power at 1d and 7d on the hourly mean-value series —
+    // the uneven-sampling periodogram (missing buckets don't smear power)
+    "q455_lomb_scargle" -> ((s, dir) => {
+      val hourly = ev(s, dir).filter(col("value").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(avg(col("value")).as("m"))
+      graft.operators.StatTests.lombScargle(hourly, "h", "m",
+          Seq(86400.0, 604800.0))
+        .select(col("period_sec"), r6(col("power")).as("power"), col("n"))
+    }),
+
+    // DFA scaling exponent of the daily count series (alpha ~ 0.5 white
+    // noise, 1.0 1/f, 1.5 Brownian) over box sizes 4/8/16
+    "q456_dfa" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.dfa(daily, "d", "cnt", Seq(4, 8, 16))
+        .select(col("s"), col("nboxes"), r6(col("f2")).as("f2"),
+          r6(col("alpha")).as("alpha"))
+    }),
+
+    // Weibull shape/scale of purchase values by median-rank regression
+    "q457_weibull_mrr" -> ((s, dir) => {
+      val pur = ev(s, dir).filter(col("event_type") === "purchase")
+      graft.operators.StatTests.weibullMrr(pur, "value", "event_id")
+        .select(col("n"), r6(col("shape")).as("shape"),
+          r6(col("scale_")).as("scale_"))
     })
   )
 
@@ -15014,7 +15078,138 @@ object SparkEntry {
         |  FROM t GROUP BY 1)
         |SELECT max(gna)::BIGINT AS n_a, max(gnn - gna)::BIGINT AS n_b,
         |  round(sum(bpart)/2.0, 6) AS b_stat
-        |FROM parts""".stripMargin
+        |FROM parts""".stripMargin,
+
+    // ranks = row_number over (cnt, d); integer numerator, exact n(n^2-1)/12
+    "q452_bartels_rank" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT d, row_number() OVER (ORDER BY cnt, d) AS r,
+        |    count(*) OVER () AS n FROM daily),
+        |t AS (SELECT n, r, lead(r) OVER (ORDER BY d) AS rn FROM s),
+        |a AS (SELECT max(n)::DOUBLE AS n,
+        |    sum(CASE WHEN rn IS NOT NULL THEN (r - rn)*(r - rn)
+        |      ELSE 0 END)::DOUBLE AS num FROM t)
+        |SELECT n::BIGINT AS n,
+        |  round(CASE WHEN n >= 2 THEN num/(n*(n*n - 1)/12.0) END, 6) AS rvn,
+        |  round(CASE WHEN n >= 4 THEN
+        |    (num/(n*(n*n - 1)/12.0) - 2.0)
+        |    /sqrt(4.0*(n - 2)*(5.0*n*n - 2*n - 9)
+        |      /(5.0*n*(n + 1)*(n - 1)*(n - 1))) END, 6) AS z
+        |FROM a""".stripMargin,
+
+    // Gaussian kernel weights exp(-(((g-x)/h)^2)/2); weighted mean per g
+    "q453_nadaraya_watson" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |s AS (SELECT row_number() OVER (ORDER BY d)::DOUBLE AS x,
+        |    cnt::DOUBLE AS y FROM daily),
+        |g AS (SELECT unnest([10.0, 30.0, 60.0]::DOUBLE[]) AS gv),
+        |w AS (SELECT gv,
+        |    exp(-(((gv - x)/7.0)*((gv - x)/7.0))/2) AS w, y FROM s, g)
+        |SELECT gv AS g, round(sum(w*y)/sum(w), 6) AS yhat,
+        |  count(*)::BIGINT AS n
+        |FROM w GROUP BY 1""".stripMargin,
+
+    // Gringorten positions, Gumbel reduced variates, Pearson r from sums
+    "q454_gumbel_ppcc" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, max(value) AS mx
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |s AS (SELECT mx, row_number() OVER (ORDER BY mx, d) AS i,
+        |    count(*) OVER () AS n FROM daily),
+        |t AS (SELECT mx AS x,
+        |    -ln(-ln((i::DOUBLE - 0.44)/(n::DOUBLE + 0.12))) AS m FROM s),
+        |a AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(m) AS sm,
+        |    sum(x*m) AS sxm, sum(x*x) AS sxx, sum(m*m) AS smm FROM t)
+        |SELECT n::BIGINT AS n,
+        |  round(CASE WHEN (sxx - sx*sx/n) > 0 AND (smm - sm*sm/n) > 0 THEN
+        |    (sxm - sx*sm/n)
+        |    /sqrt((sxx - sx*sx/n)*(smm - sm*sm/n)) END, 6) AS ppcc
+        |FROM a""".stripMargin,
+
+    // half-angle tau (no atan2); Sum cos^2 = (n+R)/2 exactly
+    "q455_lomb_scargle" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, avg(value) AS m
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |s2 AS (SELECT (epoch_us(h) - min(epoch_us(h)) OVER ())::DOUBLE/1e6
+        |    AS t, m - avg(m) OVER () AS z FROM hourly),
+        |g AS (SELECT count(*) AS n, sum(z*z) AS zz,
+        |    sum(z*cos(t*(2*pi()/86400.0))) AS cz0,
+        |    sum(z*sin(t*(2*pi()/86400.0))) AS sz0,
+        |    sum(cos((t*(2*pi()/86400.0))*2)) AS c20,
+        |    sum(sin((t*(2*pi()/86400.0))*2)) AS s20,
+        |    sum(z*cos(t*(2*pi()/604800.0))) AS cz1,
+        |    sum(z*sin(t*(2*pi()/604800.0))) AS sz1,
+        |    sum(cos((t*(2*pi()/604800.0))*2)) AS c21,
+        |    sum(sin((t*(2*pi()/604800.0))*2)) AS s21 FROM s2),
+        |u AS (SELECT 86400.0 AS period_sec, cz0 AS cz, sz0 AS sz,
+        |    c20 AS c2, s20 AS s2, n, zz FROM g
+        |  UNION ALL SELECT 604800.0, cz1, sz1, c21, s21, n, zz FROM g),
+        |w AS (SELECT period_sec, n, zz, cz, sz, c2, s2,
+        |    sqrt(c2*c2 + s2*s2) AS r FROM u),
+        |x AS (SELECT period_sec, n, zz, cz, sz, r,
+        |    CASE WHEN r > 0 THEN sqrt((1.0 + c2/r)/2) ELSE 1.0 END AS ct,
+        |    CASE WHEN r > 0 THEN sign(s2)*sqrt((1.0 - c2/r)/2)
+        |      ELSE 0.0 END AS st FROM w),
+        |y AS (SELECT period_sec, n, zz,
+        |    cz*ct + sz*st AS cterm, sz*ct - cz*st AS sterm,
+        |    (n::DOUBLE + r)/2 AS cc, (n::DOUBLE - r)/2 AS ss FROM x)
+        |SELECT period_sec,
+        |  round(CASE WHEN zz/n::DOUBLE > 0 THEN
+        |    ((CASE WHEN cc > 0 THEN cterm*cterm/cc ELSE 0 END)
+        |     + (CASE WHEN ss > 0 THEN sterm*sterm/ss ELSE 0 END))
+        |    /(2.0*(zz/n::DOUBLE)) END, 6) AS power,
+        |  n::BIGINT AS n
+        |FROM y""".stripMargin,
+
+    // profile cumsum, per-box OLS detrend via closed-form SSres,
+    // log-log slope over sizes with F^2 > 0
+    "q456_dfa" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT d, row_number() OVER (ORDER BY d)::DOUBLE AS k,
+        |    count(*) OVER () AS n, avg(cnt::DOUBLE) OVER () AS mu,
+        |    sum(cnt::DOUBLE) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cs FROM daily),
+        |prof AS (SELECT k, n, cs - k*mu AS y FROM st),
+        |boxed AS (SELECT sz.s, floor((k - 1)/sz.s) AS b, k, y FROM prof,
+        |    (VALUES (4), (8), (16)) sz(s)
+        |  WHERE floor((k - 1)/sz.s) < floor(n/sz.s)),
+        |pb AS (SELECT s, b, count(*)::DOUBLE AS m, sum(k) AS sk,
+        |    sum(y) AS sy, sum(k*y) AS sky, sum(k*k) AS skk,
+        |    sum(y*y) AS syy FROM boxed GROUP BY 1, 2),
+        |ps AS (SELECT s, count(*) AS nboxes,
+        |    sum((syy - sy*sy/m)
+        |      - (sky - sk*sy/m)*(sky - sk*sy/m)/(skk - sk*sk/m))
+        |      /(count(*)*s)::DOUBLE AS f2 FROM pb GROUP BY 1),
+        |pts AS (SELECT s, nboxes, f2, ln(s::DOUBLE) AS xl,
+        |    CASE WHEN f2 > 0 THEN ln(f2)/2 END AS yl FROM ps),
+        |fit AS (SELECT CASE WHEN count(*) >= 2 THEN
+        |    (sum(xl*yl) - sum(xl)*sum(yl)/count(*)::DOUBLE)
+        |    /(sum(xl*xl) - sum(xl)*sum(xl)/count(*)::DOUBLE) END AS alpha
+        |  FROM pts WHERE yl IS NOT NULL)
+        |SELECT s, nboxes, round(f2, 6) AS f2, round(alpha, 6) AS alpha
+        |FROM pts CROSS JOIN fit""".stripMargin,
+
+    // Benard median ranks; ln(-ln(1-p)) on ln v; shape = slope,
+    // scale = exp(-intercept/shape)
+    "q457_weibull_mrr" ->
+      """WITH pur AS (SELECT value AS v, event_id FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |    AND value > 0),
+        |s AS (SELECT v, row_number() OVER (ORDER BY v, event_id) AS i,
+        |    count(*) OVER () AS n FROM pur),
+        |t AS (SELECT ln(v) AS x,
+        |    ln(-ln(1.0 - (i::DOUBLE - 0.3)/(n::DOUBLE + 0.4))) AS y
+        |  FROM s),
+        |a AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*y) AS sxy, sum(x*x) AS sxx FROM t),
+        |b AS (SELECT n, sx, sy, CASE WHEN n >= 2 AND (sxx - sx*sx/n) > 0
+        |    THEN (sxy - sx*sy/n)/(sxx - sx*sx/n) END AS shape FROM a)
+        |SELECT n::BIGINT AS n, round(shape, 6) AS shape,
+        |  round(CASE WHEN shape IS NOT NULL AND shape <> 0 THEN
+        |    exp(-(sy/n - shape*sx/n)/shape) END, 6) AS scale_
+        |FROM b""".stripMargin
   )
 
   /** q430's oracle: the same 24-bin pivot + Fourier-1 folds as

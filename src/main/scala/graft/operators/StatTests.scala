@@ -2733,6 +2733,269 @@ object StatTests {
         (sum(col("_bpart")) / 2).as("b_stat"))
   }
 
+  /** Bartels' rank version of von Neumann's ratio (Bartels 1982) — the
+    * nonparametric randomness test: with ranks R_1…R_n in TIME order,
+    *   RVN = Σ_{i<n} (R_i − R_{i+1})² / Σ_i (R_i − R̄)²,
+    * RVN ≈ 2 under randomness, < 2 under positive serial dependence
+    * (trend/persistence), > 2 under alternation. Ranks here are
+    * `row_number` over (value, ts) — a deterministic tie-break instead of
+    * midranks, keeping the statistic oracle-replayable — so the
+    * denominator is exactly n(n²−1)/12. The standardization uses Bartels'
+    * exact null variance 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²).
+    * One bounded series, two window passes. Output: (n, rvn, z).
+    */
+  def bartelsRank(df: DataFrame, tsCol: String, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .select(col(tsCol).as("_t"), v.as("_v"))
+      .withColumn("_r",
+        row_number().over(Window.orderBy(col("_v"), col("_t")))
+          .cast("double"))
+      .withColumn("_rn", lead(col("_r"), 1).over(Window.orderBy(col("_t"))))
+    val agged = staged.agg(count(lit(1)).as("n"),
+      sum(when(col("_rn").isNotNull,
+        (col("_r") - col("_rn")) * (col("_r") - col("_rn")))
+        .otherwise(0.0)).as("_num"))
+    val n = col("n").cast("double")
+    agged
+      .withColumn("rvn", when(col("n") >= 2,
+        col("_num") / (n * (n * n - 1) / 12.0)))
+      .withColumn("z", when(col("n") >= 4,
+        (col("rvn") - 2.0) /
+          sqrt(lit(4.0) * (n - 2) * (lit(5.0) * n * n - n * 2 - 9) /
+            (lit(5.0) * n * (n + 1) * (n - 1) * (n - 1)))))
+      .select(col("n"), col("rvn"), col("z"))
+  }
+
+  /** Nadaraya–Watson kernel regression (Nadaraya 1964, Watson 1964) —
+    * the nonparametric trend CURVE where [[coxStuart]]/Mann–Kendall only
+    * give a trend verdict: at each requested grid point g,
+    *   ŷ(g) = Σ_i K((g − x_i)/h)·y_i / Σ_i K((g − x_i)/h),
+    * with the Gaussian kernel K(u) = exp(−u²/2). Bandwidth h is the
+    * caller's smoothing knob (small h → wiggly, large h → flat). The
+    * grid is a bounded literal list, so the plan is one explode of
+    * |grid| per row and one groupBy(g) — no pairwise blowup, no sort.
+    * Output: one row per grid point (g, yhat, n).
+    */
+  def nadarayaWatson(df: DataFrame, xCol: String, yCol: String,
+                     bandwidth: Double, grid: Seq[Double]): DataFrame = {
+    require(bandwidth > 0, s"bandwidth must be positive, got $bandwidth")
+    require(grid.nonEmpty, "grid must be non-empty")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val staged = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.as("_x"), y.as("_y"),
+        explode(array(grid.map(lit): _*)).as("_g"))
+    val t = (col("_g") - col("_x")) / lit(bandwidth)
+    staged
+      .withColumn("_w", exp(-(t * t) / 2))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"), sum(col("_w") * col("_y")).as("_wy"),
+        sum(col("_w")).as("_w0"))
+      .select(col("_g").as("g"),
+        when(col("_w0") > 0, col("_wy") / col("_w0")).as("yhat"), col("n"))
+  }
+
+  /** Gumbel probability-plot correlation coefficient — the PPCC
+    * goodness-of-fit (Filliben 1975 technique, Gumbel plotting variant
+    * standard in hydrology): sort the block maxima ascending with a
+    * deterministic (value, id) tie-break, give rank i the Gringorten
+    * plotting position p_i = (i − 0.44)/(n + 0.12), and correlate the
+    * ordered sample with the Gumbel reduced variates
+    * m_i = −ln(−ln p_i). PPCC near 1 ⇒ the maxima are Gumbel — the
+    * pre-check that licenses q-return-level extrapolation. Pearson r is
+    * expanded from one pass of raw sums. Output: (n, ppcc).
+    */
+  def gumbelPpcc(df: DataFrame, valCol: String, idCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .select(v.as("_x"), col(idCol).as("_id"))
+      .withColumn("_i",
+        row_number().over(Window.orderBy(col("_x"), col("_id")))
+          .cast("double"))
+      .withColumn("_n",
+        count(lit(1)).over(Window.partitionBy()).cast("double"))
+      .withColumn("_m", -log(-log((col("_i") - 0.44) / (col("_n") + 0.12))))
+    val agged = staged.agg(count(lit(1)).as("n"),
+      sum(col("_x")).as("_sx"), sum(col("_m")).as("_sm"),
+      sum(col("_x") * col("_m")).as("_sxm"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_m") * col("_m")).as("_smm"))
+    val nd = col("n").cast("double")
+    val cov = col("_sxm") - col("_sx") * col("_sm") / nd
+    val vx = col("_sxx") - col("_sx") * col("_sx") / nd
+    val vm = col("_smm") - col("_sm") * col("_sm") / nd
+    agged
+      .withColumn("ppcc", when(vx > 0 && vm > 0, cov / sqrt(vx * vm)))
+      .select(col("n"), col("ppcc"))
+  }
+
+  /** Lomb–Scargle periodogram for UNEVENLY sampled series (Lomb 1976,
+    * Scargle 1982) at candidate periods: unlike the Schuster periodogram
+    * ([[graft.operators.Features.periodogram]]) which assumes integer
+    * phases, this evaluates true time offsets, so missing buckets and
+    * irregular spacing do not smear power. The phase shift τ that makes
+    * the cos/sin basis orthogonal is derived WITHOUT atan2 (which is not
+    * cross-engine reproducible) via half-angle algebra: with
+    * C2 = Σcos 2ωt, S2 = Σsin 2ωt, R = √(C2²+S2²),
+    *   cos ωτ = √((1 + C2/R)/2),  sin ωτ = sign(S2)·√((1 − C2/R)/2),
+    * and then Σcos²ω(t−τ) = (n+R)/2, Σsin²ω(t−τ) = (n−R)/2 exactly.
+    *   P(ω) = [ (Σz·cosω(t−τ))²/((n+R)/2)
+    *          + (Σz·sinω(t−τ))²/((n−R)/2) ] / (2σ²),  σ² = Σz²/n,
+    * z mean-centered. One window pass (mean + t origin) and one
+    * aggregation carrying 4 trig sums per candidate period. Times are
+    * taken in SECONDS from the series minimum (exact long arithmetic
+    * before the single double division). Output: one row per period
+    * (period_sec, power, n).
+    */
+  def lombScargle(df: DataFrame, tsCol: String, valCol: String,
+                  periodsSec: Seq[Double]): DataFrame = {
+    require(periodsSec.nonEmpty && periodsSec.forall(_ > 0),
+      s"periods must be positive, got $periodsSec")
+    val v = col(valCol).cast("double")
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val staged = df.filter(v.isNotNull && col(tsCol).isNotNull)
+      .select(us.as("_us"), v.as("_v"))
+      .withColumn("_t",
+        ((col("_us") - min(col("_us")).over(Window.partitionBy()))
+          .cast("double") / 1e6))
+      .withColumn("_z", col("_v") - avg(col("_v")).over(Window.partitionBy()))
+    val sums = periodsSec.zipWithIndex.flatMap { case (p, k) =>
+      val w = 2.0 * math.Pi / p
+      val ang = col("_t") * lit(w)
+      Seq(sum(col("_z") * cos(ang)).as(s"_cz$k"),
+        sum(col("_z") * sin(ang)).as(s"_sz$k"),
+        sum(cos(ang * 2)).as(s"_c2$k"),
+        sum(sin(ang * 2)).as(s"_s2$k"))
+    }
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(col("_z") * col("_z")).as("_zz")) ++ sums
+    val agged = staged.agg(aggs.head, aggs.tail: _*)
+    val nd = col("n").cast("double")
+    val sig2 = col("_zz") / nd
+    val rows = periodsSec.zipWithIndex.map { case (p, k) =>
+      val r = sqrt(col(s"_c2$k") * col(s"_c2$k") +
+        col(s"_s2$k") * col(s"_s2$k"))
+      val cosT = when(r > 0, sqrt((lit(1.0) + col(s"_c2$k") / r) / 2))
+        .otherwise(1.0)
+      val sinT = when(r > 0,
+        signum(col(s"_s2$k")) * sqrt((lit(1.0) - col(s"_c2$k") / r) / 2))
+        .otherwise(0.0)
+      val cTerm = col(s"_cz$k") * cosT + col(s"_sz$k") * sinT
+      val sTerm = col(s"_sz$k") * cosT - col(s"_cz$k") * sinT
+      val cc = (nd + r) / 2
+      val ss = (nd - r) / 2
+      val p1 = when(cc > 0, cTerm * cTerm / cc).otherwise(0.0)
+      val p2 = when(ss > 0, sTerm * sTerm / ss).otherwise(0.0)
+      struct(lit(p).as("period_sec"),
+        when(sig2 > 0, (p1 + p2) / (lit(2.0) * sig2)).as("power"))
+    }
+    agged.select(col("n"), explode(array(rows: _*)).as("_e"))
+      .select(col("_e.period_sec").as("period_sec"), col("_e.power").as("power"),
+        col("n"))
+  }
+
+  /** Detrended fluctuation analysis (Peng et al. 1994) — the
+    * scaling-exponent estimate that works on nonstationary series where
+    * q-autocorrelation/Hurst R/S breaks down: integrate the centered
+    * series into a profile Y_k = Σ_{i≤k}(v_i − v̄), cut it into
+    * ⌊n/s⌋ non-overlapping boxes of each size s, least-squares detrend
+    * each box, and measure F²(s) = mean squared residual. The DFA
+    * exponent α is the log–log slope of F(s) vs s (α ≈ 0.5 white noise,
+    * 1.0 1/f, 1.5 Brownian). Per-box OLS residuals come from the closed
+    * form SSres = Syy − Sxy²/Sxx on centered box sums — one explode of
+    * |boxSizes| per row, one (size, box) aggregation, one |boxSizes|-row
+    * reduction; no iteration. α uses only sizes with F² > 0.
+    * Output: one row per s (s, nboxes, f2, alpha — alpha repeated).
+    */
+  def dfa(df: DataFrame, tsCol: String, valCol: String,
+          boxSizes: Seq[Int]): DataFrame = {
+    require(boxSizes.nonEmpty && boxSizes.forall(_ >= 3),
+      s"box sizes must all be >= 3, got $boxSizes")
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .select(col(tsCol).as("_t"), v.as("_v"))
+      .withColumn("_k",
+        row_number().over(Window.orderBy(col("_t"))).cast("double"))
+      .withColumn("_mu", avg(col("_v")).over(Window.partitionBy()))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("_y",
+        sum(col("_v")).over(Window.orderBy(col("_t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+          col("_k") * col("_mu"))
+    val boxed = staged
+      .select(col("_k"), col("_y"), col("_n"),
+        explode(array(boxSizes.map(lit): _*)).as("_s"))
+      .withColumn("_b", floor((col("_k") - 1) / col("_s")))
+      .filter(col("_b") < floor(col("_n") / col("_s")))
+    val perBox = boxed.groupBy(col("_s"), col("_b"))
+      .agg(count(lit(1)).cast("double").as("_m"),
+        sum(col("_k")).as("_sk"), sum(col("_y")).as("_sy"),
+        sum(col("_k") * col("_y")).as("_sky"),
+        sum(col("_k") * col("_k")).as("_skk"),
+        sum(col("_y") * col("_y")).as("_syy"))
+    val sxx = col("_skk") - col("_sk") * col("_sk") / col("_m")
+    val sxy = col("_sky") - col("_sk") * col("_sy") / col("_m")
+    val syy = col("_syy") - col("_sy") * col("_sy") / col("_m")
+    val perSize = perBox
+      .withColumn("_ssres", syy - sxy * sxy / sxx)
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("nboxes"),
+        (sum(col("_ssres")) /
+          (count(lit(1)) * col("_s")).cast("double")).as("f2"))
+    val pts = perSize
+      .withColumn("_xl", log(col("_s").cast("double")))
+      .withColumn("_yl", when(col("f2") > 0, log(col("f2")) / 2))
+    val fit = pts.filter(col("_yl").isNotNull)
+      .agg(count(lit(1)).cast("double").as("_np"),
+        sum(col("_xl")).as("_sx"), sum(col("_yl")).as("_sy2"),
+        sum(col("_xl") * col("_yl")).as("_sxy2"),
+        sum(col("_xl") * col("_xl")).as("_sxx2"))
+      .select(when(col("_np") >= 2,
+        (col("_sxy2") - col("_sx") * col("_sy2") / col("_np")) /
+          (col("_sxx2") - col("_sx") * col("_sx") / col("_np")))
+        .as("alpha"))
+    pts.crossJoin(fit)
+      .select(col("_s").as("s"), col("nboxes"), col("f2"), col("alpha"))
+  }
+
+  /** Weibull fit by median-rank regression (the standard "Weibull paper"
+    * estimator of reliability engineering): sort the positive sample
+    * ascending with a deterministic (value, id) tie-break, assign Benard
+    * median ranks p_i = (i − 0.3)/(n + 0.4), and regress
+    * y_i = ln(−ln(1 − p_i)) on x_i = ln v_i. The slope is the shape k
+    * and exp(−intercept/k) the scale λ — exact whenever the sample lies
+    * on a Weibull quantile curve, robust to moment blowup unlike MLE,
+    * and fully closed-form (one rank window + one sums pass).
+    * Output: (n, shape, scale_).
+    */
+  def weibullMrr(df: DataFrame, valCol: String, idCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull && v > 0)
+      .select(v.as("_v"), col(idCol).as("_id"))
+      .withColumn("_i",
+        row_number().over(Window.orderBy(col("_v"), col("_id")))
+          .cast("double"))
+      .withColumn("_n",
+        count(lit(1)).over(Window.partitionBy()).cast("double"))
+      .withColumn("_x", log(col("_v")))
+      .withColumn("_y",
+        log(-log(lit(1.0) - (col("_i") - 0.3) / (col("_n") + 0.4))))
+    val agged = staged.agg(count(lit(1)).as("n"),
+      sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(col("_x") * col("_y")).as("_sxy"),
+      sum(col("_x") * col("_x")).as("_sxx"))
+    val nd = col("n").cast("double")
+    val sxx = col("_sxx") - col("_sx") * col("_sx") / nd
+    val sxy = col("_sxy") - col("_sx") * col("_sy") / nd
+    agged
+      .withColumn("shape", when(col("n") >= 2 && sxx > 0, sxy / sxx))
+      .withColumn("scale_", when(col("shape").isNotNull && col("shape") =!= 0,
+        exp(-(col("_sy") / nd - col("shape") * col("_sx") / nd) /
+          col("shape"))))
+      .select(col("n"), col("shape"), col("scale_"))
+  }
+
   def spiegelhalterZ(df: DataFrame, yCol: String, pCol: String): DataFrame = {
     val y = col(yCol).cast("double")
     val p = col(pCol).cast("double")

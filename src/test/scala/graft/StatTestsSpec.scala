@@ -984,6 +984,80 @@ class StatTestsSpec extends SparkSuite {
     assert(approxEq(r.getAs[Double]("a2"), 2.0 / 3.0, 1e-12))
   }
 
+  test("bartelsRank: monotone ranks 1..4 give RVN = 0.6 and Bartels z") {
+    // num = 3, den = 4*15/12 = 5 -> rvn = 0.6
+    // var(n=4) = 4*2*(80-8-9)/(5*4*5*9) = 0.56
+    val df = Seq((ts(0), 1.0), (ts(1), 2.0), (ts(2), 3.0), (ts(3), 4.0))
+      .toDF("t", "v")
+    val r = StatTests.bartelsRank(df, "t", "v").collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(approxEq(r.getAs[Double]("rvn"), 0.6, 1e-12))
+    assert(approxEq(r.getAs[Double]("z"), -1.4 / math.sqrt(0.56), 1e-12))
+  }
+
+  test("nadarayaWatson: symmetric pair -> midpoint mean; off-grid golden") {
+    // x = 0 (y=0), x = 2 (y=2), h = 2: at g=1 weights are equal -> 1;
+    // at g=0: yhat = 2e^{-1/2}/(1 + e^{-1/2})
+    val df = Seq((0.0, 0.0), (2.0, 2.0)).toDF("x", "y")
+    val rows = StatTests.nadarayaWatson(df, "x", "y", 2.0, Seq(0.0, 1.0))
+      .collect().map(r => r.getAs[Double]("g") -> r).toMap
+    assert(rows(1.0).getAs[Long]("n") === 2L)
+    assert(approxEq(rows(1.0).getAs[Double]("yhat"), 1.0, 1e-12))
+    val e = math.exp(-0.5)
+    assert(approxEq(rows(0.0).getAs[Double]("yhat"), 2 * e / (1 + e), 1e-12))
+  }
+
+  test("gumbelPpcc: exact Gumbel reduced variates give PPCC = 1") {
+    val n = 4
+    val m = (1 to n).map(i =>
+      -math.log(-math.log((i - 0.44) / (n + 0.12))))
+    val df = m.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val r = StatTests.gumbelPpcc(df, "v", "id").collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(approxEq(r.getAs[Double]("ppcc"), 1.0, 1e-12))
+  }
+
+  test("lombScargle: pure 4-sample-period cosine gives power n/2") {
+    // v = 1,0,-1,0,... daily; period 4 days; sigma^2 = 0.5 -> P = 4
+    val v = Seq(1.0, 0, -1, 0, 1, 0, -1, 0)
+    val df = v.indices.map(i => (ts(i), v(i))).toDF("t", "v")
+    val r = StatTests.lombScargle(df, "t", "v", Seq(4 * 86400.0))
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 8L)
+    assert(approxEq(r.getAs[Double]("power"), 4.0, 1e-6))
+  }
+
+  test("dfa: alternating +-1 profile, boxes 4/8 -> exact F2 and alpha") {
+    // Y = 1,0,1,0,...; F2(4) = 0.2, F2(8) = 5/21,
+    // alpha = 0.5*ln((5/21)/0.2)/ln 2
+    val df = (0 until 16).map(i => (ts(i), if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("t", "v")
+    val rows = StatTests.dfa(df, "t", "v", Seq(4, 8)).collect()
+      .map(r => r.getAs[Int]("s") -> r).toMap
+    assert(rows(4).getAs[Long]("nboxes") === 4L)
+    assert(approxEq(rows(4).getAs[Double]("f2"), 0.2, 1e-12))
+    assert(rows(8).getAs[Long]("nboxes") === 2L)
+    assert(approxEq(rows(8).getAs[Double]("f2"), 5.0 / 21, 1e-12))
+    val alpha = 0.5 * math.log((5.0 / 21) / 0.2) / math.log(2.0)
+    assert(approxEq(rows(4).getAs[Double]("alpha"), alpha, 1e-12))
+    assert(approxEq(rows(8).getAs[Double]("alpha"), alpha, 1e-12))
+  }
+
+  test("weibullMrr: exact Weibull quantile sample recovers shape/scale") {
+    val (k, lam, n) = (1.5, 2.0, 5)
+    val v = (1 to n).map { i =>
+      val p = (i - 0.3) / (n + 0.4)
+      lam * math.pow(-math.log(1 - p), 1 / k)
+    }
+    val df = v.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("id", "v")
+    val r = StatTests.weibullMrr(df, "v", "id").collect()(0)
+    assert(r.getAs[Long]("n") === 5L)
+    assert(approxEq(r.getAs[Double]("shape"), k, 1e-9))
+    assert(approxEq(r.getAs[Double]("scale_"), lam, 1e-9))
+  }
+
   test("bws: fully separated 2x2 hand golden 1.6875") {
     // A = {1,2}, B = {3,4}: B_A = (9/8 + 9/2)/2, B_B = (9/8)/2
     val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 3.0, 3L),
