@@ -6412,6 +6412,66 @@ object SparkEntry {
       graft.operators.StatTests.weibullMrr(pur, "value", "event_id")
         .select(col("n"), r6(col("shape")).as("shape"),
           r6(col("scale_")).as("scale_"))
+    }),
+
+    // Allan variance ladder of the hourly mean-value stream: which noise
+    // regime (white / flicker / random-walk) is the metric in?
+    "q458_allan_var" -> ((s, dir) => {
+      val hourly = ev(s, dir).filter(col("value").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(avg(col("value")).as("m"))
+      graft.operators.StatTests.allanVariance(hourly, "h", "m", Seq(1, 2, 4))
+        .select(col("tau"), col("groups"), r6(col("avar")).as("avar"))
+    }),
+
+    // temporal semivariogram of daily counts at lags 1/2/7/14 — the
+    // drift-robust ACF cousin, pairs matched on actual day offsets
+    "q459_variogram" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.variogram(daily, "d", "cnt", Seq(1, 2, 7, 14))
+        .select(col("h"), col("n_pairs"), r6(col("gamma")).as("gamma"))
+    }),
+
+    // Ripley's K at 1m/10m/1h scales on purchase times: how clustered is
+    // the purchase process vs uniform-Poisson at each scale?
+    "q460_ripley_k" -> ((s, dir) => {
+      val pur = ev(s, dir).filter(col("event_type") === "purchase")
+      graft.operators.StatTests.ripleyK(pur, "ts", Seq(60.0, 600.0, 3600.0))
+        .select(col("r_sec"), col("n"), col("pairs"),
+          r6(col("k_hat")).as("k_hat"), r6(col("ratio")).as("ratio"))
+    }),
+
+    // Epanechnikov KDE of event value at a fixed grid — the exact-zero
+    // compact-support density readout
+    "q461_epanechnikov_kde" -> ((s, dir) => {
+      graft.operators.StatTests.epanechnikovKde(ev(s, dir), "value", 5.0,
+          Seq(2.0, 5.0, 10.0, 20.0))
+        .select(col("g"), r6(col("fhat")).as("fhat"), col("n"))
+    }),
+
+    // local-linear kernel regression on the daily click series — the
+    // boundary-bias-corrected sibling of q453's NW smoother
+    "q462_local_linear" -> ((s, dir) => {
+      val daily = ev(s, dir).filter(col("event_type") === "click")
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("x", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("d")))
+          .cast("double"))
+      graft.operators.StatTests.localLinear(daily, "x", "cnt", 7.0,
+          Seq(10.0, 30.0, 60.0))
+        .select(col("g"), r6(col("yhat")).as("yhat"), col("n"))
+    }),
+
+    // Hill tail-index of purchase values over the top-100 order stats:
+    // how heavy is the value tail really?
+    "q463_hill" -> ((s, dir) => {
+      val pur = ev(s, dir).filter(col("event_type") === "purchase")
+      graft.operators.StatTests.hillEstimator(pur, "value", "event_id", 100)
+        .select(col("n_top"), r6(col("threshold")).as("threshold"),
+          r6(col("inv_alpha")).as("inv_alpha"), r6(col("alpha")).as("alpha"))
     })
   )
 
@@ -15209,7 +15269,102 @@ object SparkEntry {
         |SELECT n::BIGINT AS n, round(shape, 6) AS shape,
         |  round(CASE WHEN shape IS NOT NULL AND shape <> 0 THEN
         |    exp(-(sy/n - shape*sx/n)/shape) END, 6) AS scale_
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+
+    // non-overlapping tau-bucket means; AVAR = sum(dM^2)/(2(G-1))
+    "q458_allan_var" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, avg(value) AS m
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |st AS (SELECT m, row_number() OVER (ORDER BY h) AS k,
+        |    count(*) OVER () AS n FROM hourly),
+        |boxed AS (SELECT tz.tau, floor((k - 1)/tz.tau) AS g, m FROM st,
+        |    (VALUES (1), (2), (4)) tz(tau)
+        |  WHERE floor((k - 1)/tz.tau) < floor(n/tz.tau)),
+        |gm AS (SELECT tau, g, avg(m) AS mm FROM boxed GROUP BY 1, 2),
+        |ld AS (SELECT tau, mm,
+        |    lead(mm) OVER (PARTITION BY tau ORDER BY g) AS mn FROM gm)
+        |SELECT tau, count(*)::BIGINT AS groups,
+        |  round(sum(CASE WHEN mn IS NOT NULL THEN (mn - mm)*(mn - mm)
+        |      ELSE 0 END)/(2.0*(count(*) - 1)::DOUBLE), 6) AS avar
+        |FROM ld GROUP BY 1""".stripMargin,
+
+    // pairs matched on day offsets from the series start
+    "q459_variogram" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT date_diff('day', min(d) OVER (), d) AS dd,
+        |    cnt::DOUBLE AS v FROM daily),
+        |l AS (SELECT dd, v, hz.h FROM b,
+        |    (VALUES (1), (2), (7), (14)) hz(h)),
+        |j AS (SELECT l.h, (r.v - l.v)*(r.v - l.v) AS sq FROM l
+        |  JOIN b r ON r.dd = l.dd + l.h)
+        |SELECT h, count(*)::BIGINT AS n_pairs,
+        |  round(sum(sq)/(2.0*count(*)::DOUBLE), 6) AS gamma
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // one range-frame pass per r; K = span*pairs/n^2; CSR ratio K/(2r)
+    "q460_ripley_k" ->
+      """WITH p AS (SELECT epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'purchase' AND ts IS NOT NULL),
+        |c AS (SELECT us,
+        |    count(*) OVER (ORDER BY us RANGE BETWEEN 60000000 PRECEDING
+        |      AND CURRENT ROW) - 1 AS c0,
+        |    count(*) OVER (ORDER BY us RANGE BETWEEN 600000000 PRECEDING
+        |      AND CURRENT ROW) - 1 AS c1,
+        |    count(*) OVER (ORDER BY us RANGE BETWEEN 3600000000 PRECEDING
+        |      AND CURRENT ROW) - 1 AS c2 FROM p),
+        |a AS (SELECT count(*) AS n, (max(us) - min(us))::DOUBLE/1e6 AS span,
+        |    sum(c0) AS p0, sum(c1) AS p1, sum(c2) AS p2 FROM c),
+        |u AS (SELECT 60.0 AS r_sec, p0 AS pr, n, span FROM a
+        |  UNION ALL SELECT 600.0, p1, n, span FROM a
+        |  UNION ALL SELECT 3600.0, p2, n, span FROM a)
+        |SELECT r_sec, n::BIGINT AS n, pr::BIGINT AS pairs,
+        |  round(span*pr::DOUBLE/(n::DOUBLE*n::DOUBLE), 6) AS k_hat,
+        |  round(span*pr::DOUBLE/(n::DOUBLE*n::DOUBLE)/(2.0*r_sec), 6)
+        |    AS ratio
+        |FROM u""".stripMargin,
+
+    // compact-support kernel: far points contribute exact zeros
+    "q461_epanechnikov_kde" ->
+      """WITH v AS (SELECT value AS x FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT unnest([2.0, 5.0, 10.0, 20.0]::DOUBLE[]) AS gv),
+        |w AS (SELECT gv, CASE WHEN abs((gv - x)/5.0) <= 1 THEN
+        |    0.75*(1.0 - ((gv - x)/5.0)*((gv - x)/5.0)) ELSE 0 END AS kk
+        |  FROM v, g)
+        |SELECT gv AS g, round(sum(kk)/(count(*)::DOUBLE*5.0), 6) AS fhat,
+        |  count(*)::BIGINT AS n
+        |FROM w GROUP BY 1""".stripMargin,
+
+    // weighted-least-squares closed form (S2*T0 - S1*T1)/(S0*S2 - S1^2)
+    "q462_local_linear" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |s AS (SELECT row_number() OVER (ORDER BY d)::DOUBLE AS x,
+        |    cnt::DOUBLE AS y FROM daily),
+        |g AS (SELECT unnest([10.0, 30.0, 60.0]::DOUBLE[]) AS gv),
+        |w AS (SELECT gv, x, y,
+        |    exp(-(((x - gv)/7.0)*((x - gv)/7.0))/2) AS w FROM s, g),
+        |a AS (SELECT gv, count(*) AS n, sum(w) AS s0,
+        |    sum(w*(x - gv)) AS s1, sum(w*(x - gv)*(x - gv)) AS s2,
+        |    sum(w*y) AS t0, sum(w*(x - gv)*y) AS t1 FROM w GROUP BY 1)
+        |SELECT gv AS g, round(CASE WHEN s0*s2 - s1*s1 <> 0 THEN
+        |    (s2*t0 - s1*t1)/(s0*s2 - s1*s1) END, 6) AS yhat,
+        |  n::BIGINT AS n
+        |FROM a""".stripMargin,
+
+    // top-(k+1) order stats only; 1/alpha = mean ln(x_i / x_(k+1))
+    "q463_hill" ->
+      """WITH top AS (SELECT value AS v FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL AND value > 0
+        |  ORDER BY value DESC, event_id LIMIT 101),
+        |a AS (SELECT count(*) AS cnt, min(v) AS thr, sum(ln(v)) AS slog
+        |  FROM top)
+        |SELECT 100::BIGINT AS n_top, round(thr, 6) AS threshold,
+        |  round(CASE WHEN cnt = 101 THEN
+        |    (slog - 101.0*ln(thr))/100.0 END, 6) AS inv_alpha,
+        |  round(CASE WHEN cnt = 101 AND (slog - 101.0*ln(thr))/100.0 > 0
+        |    THEN 1.0/((slog - 101.0*ln(thr))/100.0) END, 6) AS alpha
+        |FROM a""".stripMargin
   )
 
   /** q430's oracle: the same 24-bin pivot + Fourier-1 folds as

@@ -2996,6 +2996,213 @@ object StatTests {
       .select(col("n"), col("shape"), col("scale_"))
   }
 
+  /** Allan variance (Allan 1966) — the frequency-stability ladder used
+    * for oscillators and, here, metric-stream stability: bucket the
+    * time-ordered series into non-overlapping groups of τ consecutive
+    * points, take group means M_g, and
+    *   AVAR(τ) = Σ_{g<G−1} (M_{g+1} − M_g)² / (2(G−1)).
+    * Plotting AVAR against τ separates white noise (slope −1) from
+    * flicker (flat) from random walk (slope +1) — the "which noise
+    * regime is this metric in?" diagnostic that a single variance can't
+    * answer. One explode of |taus| per row, one (τ, group) aggregation,
+    * one lead pass. Partial trailing groups are dropped. Output: one row
+    * per τ (tau, groups, avar).
+    */
+  def allanVariance(df: DataFrame, tsCol: String, valCol: String,
+                    taus: Seq[Int]): DataFrame = {
+    require(taus.nonEmpty && taus.forall(_ >= 1),
+      s"taus must all be >= 1, got $taus")
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .select(col(tsCol).as("_t"), v.as("_v"))
+      .withColumn("_k", row_number().over(Window.orderBy(col("_t"))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+      .select(col("_k"), col("_v"), col("_n"),
+        explode(array(taus.map(lit): _*)).as("_tau"))
+      .withColumn("_g", floor((col("_k") - 1) / col("_tau")))
+      .filter(col("_g") < floor(col("_n") / col("_tau")))
+    val grouped = staged.groupBy(col("_tau"), col("_g"))
+      .agg(avg(col("_v")).as("_m"))
+      .withColumn("_mn", lead(col("_m"), 1)
+        .over(Window.partitionBy(col("_tau")).orderBy(col("_g"))))
+    grouped.groupBy(col("_tau").as("tau"))
+      .agg(count(lit(1)).as("groups"),
+        (sum(when(col("_mn").isNotNull,
+          (col("_mn") - col("_m")) * (col("_mn") - col("_m")))
+          .otherwise(0.0)) /
+          (lit(2.0) * (count(lit(1)) - 1).cast("double"))).as("avar"))
+  }
+
+  /** Empirical temporal (semi)variogram (Matheron 1963): at each
+    * requested integer lag h,
+    *   γ(h) = Σ_{pairs at lag h} (x_{t+h} − x_t)² / (2·N_h),
+    * where pairs are matched on the ACTUAL time index (days since the
+    * series start), so calendar gaps produce fewer pairs instead of
+    * silently misaligned ones — the nonstationarity-robust cousin of the
+    * ACF (it needs no mean/variance normalization and stays defined
+    * under drift). One equi-join per the exploded lag column on the
+    * bounded pre-aggregated series. Output: one row per lag
+    * (h, n_pairs, gamma).
+    */
+  def variogram(df: DataFrame, tsCol: String, valCol: String,
+                lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      s"lags must all be >= 1, got $lags")
+    val v = col(valCol).cast("double")
+    val base = df.filter(v.isNotNull)
+      .select(col(tsCol).as("_d"), v.as("_v"))
+      .withColumn("_dd",
+        datediff(col("_d"), min(col("_d")).over(Window.partitionBy())))
+    val left = base
+      .select(col("_dd"), col("_v"),
+        explode(array(lags.map(lit): _*)).as("_h"))
+    val right = base.select(col("_dd").as("_dd2"), col("_v").as("_v2"))
+    left.join(right, col("_dd2") === col("_dd") + col("_h"))
+      .groupBy(col("_h").as("h"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum((col("_v2") - col("_v")) * (col("_v2") - col("_v"))) /
+          (lit(2.0) * count(lit(1)).cast("double"))).as("gamma"))
+  }
+
+  /** Ripley's K for 1-D temporal point patterns (Ripley 1977, adapted to
+    * the line): with event times t_1…t_n over an observed span
+    * T = t_max − t_min and
+    *   P(r) = Σ_i #{j ≠ i : 0 ≤ t_i − t_j ≤ r},
+    *   K̂(r) = T·P(r)/n²,
+    * the CSR (uniform Poisson) expectation is K(r) ≈ 2r, so
+    * ratio = K̂/(2r) > 1 flags clustering at scale r and < 1 inhibition —
+    * the multi-scale complement of q-burst detection (which finds WHERE
+    * bursts are; this measures HOW clustered the process is per scale).
+    * P(r) is ONE range-frame window pass per r over the time-sorted
+    * events (no pairwise join): count over RANGE r·10⁶ µs PRECEDING.
+    * Simultaneously-timestamped pairs are counted in both orientations
+    * (microsecond stamps make exact ties measure-zero). Output: one row
+    * per r (r_sec, n, pairs, k_hat, ratio).
+    */
+  def ripleyK(df: DataFrame, tsCol: String, rsSec: Seq[Double]): DataFrame = {
+    require(rsSec.nonEmpty && rsSec.forall(_ > 0),
+      s"radii must be positive, got $rsSec")
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val base = df.filter(col(tsCol).isNotNull).select(us.as("_us"))
+    val w = Window.orderBy(col("_us"))
+    val counted = rsSec.zipWithIndex.foldLeft(base) { case (acc, (r, k)) =>
+      acc.withColumn(s"_c$k",
+        count(lit(1)).over(w.rangeBetween(-math.round(r * 1e6), 0)) - 1)
+    }
+    val aggs = Seq(count(lit(1)).as("n"),
+      ((max(col("_us")) - min(col("_us"))).cast("double") / 1e6)
+        .as("_span")) ++
+      rsSec.indices.map(k => sum(col(s"_c$k")).as(s"_p$k"))
+    val agged = counted.agg(aggs.head, aggs.tail: _*)
+    val nd = col("n").cast("double")
+    val rows = rsSec.zipWithIndex.map { case (r, k) =>
+      val kHat = col("_span") * col(s"_p$k").cast("double") / (nd * nd)
+      struct(lit(r).as("r_sec"), col(s"_p$k").as("pairs"),
+        kHat.as("k_hat"), (kHat / lit(2.0 * r)).as("ratio"))
+    }
+    agged.select(col("n"), explode(array(rows: _*)).as("_e"))
+      .select(col("_e.r_sec").as("r_sec"), col("n"), col("_e.pairs").as("pairs"),
+        col("_e.k_hat").as("k_hat"), col("_e.ratio").as("ratio"))
+  }
+
+  /** Epanechnikov kernel density estimate at fixed grid points
+    * (Epanechnikov 1969 — the MSE-optimal kernel):
+    *   f̂(g) = (1/(n·h)) Σ_i 0.75·(1 − u_i²)·1{|u_i| ≤ 1},
+    *   u_i = (g − x_i)/h.
+    * The compact support makes far points contribute EXACT zeros (no
+    * cross-engine exp-tail noise), and the density curve at a literal
+    * grid is the distribution-shape readout that histograms quantize
+    * away. One explode of |grid| per row, one groupBy(g).
+    * Output: one row per grid point (g, fhat, n).
+    */
+  def epanechnikovKde(df: DataFrame, valCol: String, bandwidth: Double,
+                      grid: Seq[Double]): DataFrame = {
+    require(bandwidth > 0, s"bandwidth must be positive, got $bandwidth")
+    require(grid.nonEmpty, "grid must be non-empty")
+    val x = col(valCol).cast("double")
+    val staged = df.filter(x.isNotNull)
+      .select(x.as("_x"), explode(array(grid.map(lit): _*)).as("_g"))
+    val u = (col("_g") - col("_x")) / lit(bandwidth)
+    staged
+      .withColumn("_k",
+        when(abs(u) <= 1, lit(0.75) * (lit(1.0) - u * u)).otherwise(0.0))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"), sum(col("_k")).as("_sk"))
+      .select(col("_g").as("g"),
+        (col("_sk") / (col("n").cast("double") * bandwidth)).as("fhat"),
+        col("n"))
+  }
+
+  /** Local LINEAR kernel regression (Fan 1992) — [[nadarayaWatson]] with
+    * a first-order term, which removes the boundary and curvature bias
+    * that makes NW sag at the series edges: at grid point g, weighted
+    * least squares of y on (x − g) with Gaussian weights
+    * w = exp(−((x−g)/h)²/2) gives the closed form
+    *   ŷ(g) = (S₂T₀ − S₁T₁) / (S₀S₂ − S₁²),
+    * S_k = Σ w·u^k, T_k = Σ w·u^k·y, u = x − g. Exact on any globally
+    * linear trend (NW is not). Same one-explode one-groupBy plan as NW.
+    * Output: one row per grid point (g, yhat, n).
+    */
+  def localLinear(df: DataFrame, xCol: String, yCol: String,
+                  bandwidth: Double, grid: Seq[Double]): DataFrame = {
+    require(bandwidth > 0, s"bandwidth must be positive, got $bandwidth")
+    require(grid.nonEmpty, "grid must be non-empty")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val staged = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.as("_x"), y.as("_y"),
+        explode(array(grid.map(lit): _*)).as("_g"))
+    val u = col("_x") - col("_g")
+    val t = u / lit(bandwidth)
+    val agged = staged
+      .withColumn("_w", exp(-(t * t) / 2))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"), sum(col("_w")).as("_s0"),
+        sum(col("_w") * (col("_x") - col("_g"))).as("_s1"),
+        sum(col("_w") * (col("_x") - col("_g")) *
+          (col("_x") - col("_g"))).as("_s2"),
+        sum(col("_w") * col("_y")).as("_t0"),
+        sum(col("_w") * (col("_x") - col("_g")) * col("_y")).as("_t1"))
+    val den = col("_s0") * col("_s2") - col("_s1") * col("_s1")
+    agged.select(col("_g").as("g"),
+      when(den =!= 0,
+        (col("_s2") * col("_t0") - col("_s1") * col("_t1")) / den)
+        .as("yhat"),
+      col("n"))
+  }
+
+  /** Hill estimator of the Pareto tail index (Hill 1975): with the k
+    * largest observations x₍₁₎ ≥ … ≥ x₍ₖ₎ and the (k+1)-th largest as
+    * the threshold x₍ₖ₊₁₎,
+    *   1/α̂ = (1/k) Σ_{i≤k} ln(x₍ᵢ₎ / x₍ₖ₊₁₎).
+    * α̂ ≈ 1–2 means infinite-variance heavy tails (plan for extreme
+    * spikes); α̂ > 4 means near-Gaussian tails — the standard "how heavy
+    * is this value distribution's tail really?" readout, exact on any
+    * Pareto sample. The ONLY full-data pass is a distributed top-(k+1)
+    * (`orderBy(...).limit(k+1)` → TakeOrderedAndProject, never a global
+    * window); everything after runs on k+1 rows. Deterministic (value,
+    * id) tie-break. Output: one row (n_top = k, threshold, inv_alpha,
+    * alpha).
+    */
+  def hillEstimator(df: DataFrame, valCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = col(valCol).cast("double")
+    val top = df.filter(v.isNotNull && v > 0)
+      .select(v.as("_v"), col(idCol).as("_id"))
+      .orderBy(col("_v").desc, col("_id"))
+      .limit(k + 1)
+    top.agg(count(lit(1)).as("_cnt"), min(col("_v")).as("threshold"),
+        sum(log(col("_v"))).as("_slog"))
+      .select(lit(k).cast("bigint").as("n_top"), col("threshold"),
+        when(col("_cnt") === k + 1,
+          (col("_slog") - lit((k + 1).toDouble) * log(col("threshold"))) /
+            lit(k.toDouble)).as("inv_alpha"))
+      .withColumn("alpha",
+        when(col("inv_alpha").isNotNull && col("inv_alpha") > 0,
+          lit(1.0) / col("inv_alpha")))
+  }
+
   def spiegelhalterZ(df: DataFrame, yCol: String, pCol: String): DataFrame = {
     val y = col(yCol).cast("double")
     val p = col(pCol).cast("double")

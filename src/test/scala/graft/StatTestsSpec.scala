@@ -1058,6 +1058,68 @@ class StatTestsSpec extends SparkSuite {
     assert(approxEq(r.getAs[Double]("scale_"), lam, 1e-9))
   }
 
+  test("allanVariance: stepped series 1,1,2,2,3,3 at tau 1 and 2") {
+    // tau=2: group means 1,2,3 -> avar = (1+1)/(2*2) = 0.5
+    // tau=1: diffs 0,1,0,1,0 -> avar = 2/(2*5) = 0.2
+    val v = Seq(1.0, 1, 2, 2, 3, 3)
+    val df = v.indices.map(i => (ts(i), v(i))).toDF("t", "v")
+    val rows = StatTests.allanVariance(df, "t", "v", Seq(1, 2)).collect()
+      .map(r => r.getAs[Int]("tau") -> r).toMap
+    assert(rows(2).getAs[Long]("groups") === 3L)
+    assert(approxEq(rows(2).getAs[Double]("avar"), 0.5, 1e-12))
+    assert(rows(1).getAs[Long]("groups") === 6L)
+    assert(approxEq(rows(1).getAs[Double]("avar"), 0.2, 1e-12))
+  }
+
+  test("variogram: 1,2,4 on consecutive days at lags 1 and 2") {
+    // h=1: pairs (1,2),(2,4) -> gamma = 5/4; h=2: (1,4) -> 9/2
+    val df = Seq((ts(0), 1.0), (ts(1), 2.0), (ts(2), 4.0)).toDF("t", "v")
+    val rows = StatTests.variogram(df, "t", "v", Seq(1, 2)).collect()
+      .map(r => r.getAs[Int]("h") -> r).toMap
+    assert(rows(1).getAs[Long]("n_pairs") === 2L)
+    assert(approxEq(rows(1).getAs[Double]("gamma"), 1.25, 1e-12))
+    assert(rows(2).getAs[Long]("n_pairs") === 1L)
+    assert(approxEq(rows(2).getAs[Double]("gamma"), 4.5, 1e-12))
+  }
+
+  test("ripleyK: times 0,1,10s at r=2 -> one pair, K = 10/9") {
+    val base = 1704067200L * 1000L
+    val df = Seq(0L, 1000L, 10000L)
+      .map(ms => Tuple1(new java.sql.Timestamp(base + ms))).toDF("t")
+    val r = StatTests.ripleyK(df, "t", Seq(2.0)).collect()(0)
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Long]("pairs") === 1L)
+    assert(approxEq(r.getAs[Double]("k_hat"), 10.0 / 9, 1e-12))
+    assert(approxEq(r.getAs[Double]("ratio"), 10.0 / 36, 1e-12))
+  }
+
+  test("epanechnikovKde: two points, h=2 -> hand golden; far grid = 0") {
+    // x = {0, 1}, g=0: (0.75 + 0.75*0.75)/(2*2) = 0.328125
+    val df = Seq(0.0, 1.0).map(Tuple1(_)).toDF("v")
+    val rows = StatTests.epanechnikovKde(df, "v", 2.0, Seq(0.0, 9.0))
+      .collect().map(r => r.getAs[Double]("g") -> r).toMap
+    assert(approxEq(rows(0.0).getAs[Double]("fhat"), 0.328125, 1e-12))
+    assert(approxEq(rows(9.0).getAs[Double]("fhat"), 0.0, 1e-12))
+  }
+
+  test("localLinear: exact on a global linear trend (NW is not)") {
+    val df = (0 to 4).map(i => (i.toDouble, 2.0 * i + 1)).toDF("x", "y")
+    val rows = StatTests.localLinear(df, "x", "y", 1.5, Seq(0.0, 2.5))
+      .collect().map(r => r.getAs[Double]("g") -> r).toMap
+    assert(approxEq(rows(2.5).getAs[Double]("yhat"), 6.0, 1e-9))
+    assert(approxEq(rows(0.0).getAs[Double]("yhat"), 1.0, 1e-9))
+  }
+
+  test("hillEstimator: dyadic sample 16,8,4,2 with k=3 -> alpha = 1/(2 ln 2)") {
+    val df = Seq(16.0, 8.0, 4.0, 2.0, 1.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val r = StatTests.hillEstimator(df, "v", "id", 3).collect()(0)
+    assert(r.getAs[Long]("n_top") === 3L)
+    assert(approxEq(r.getAs[Double]("threshold"), 2.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("inv_alpha"), 2 * math.log(2.0), 1e-12))
+    assert(approxEq(r.getAs[Double]("alpha"), 1 / (2 * math.log(2.0)), 1e-12))
+  }
+
   test("bws: fully separated 2x2 hand golden 1.6875") {
     // A = {1,2}, B = {3,4}: B_A = (9/8 + 9/2)/2, B_B = (9/8)/2
     val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 3.0, 3L),
