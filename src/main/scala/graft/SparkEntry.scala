@@ -6472,6 +6472,70 @@ object SparkEntry {
       graft.operators.StatTests.hillEstimator(pur, "value", "event_id", 100)
         .select(col("n_top"), r6(col("threshold")).as("threshold"),
           r6(col("inv_alpha")).as("inv_alpha"), r6(col("alpha")).as("alpha"))
+    }),
+
+    // Cornish-Fisher p95 from four moments vs the exact p95 — the
+    // "non-Gaussian quantile from power sums only" estimator
+    "q464_cornish_fisher" -> ((s, dir) => {
+      graft.operators.StatTests.cornishFisher(ev(s, dir), "value", 0.95,
+          1.6448536269514722)
+        .select(col("n"), r6(col("mean")).as("mu"), r6(col("sd")).as("sd"),
+          r6(col("skew")).as("skew"), r6(col("ex_kurt")).as("ex_kurt"),
+          r6(col("cf_q")).as("cf_q"), r6(col("exact_q")).as("exact_q"))
+    }),
+
+    // Wiener spectral flatness per event type: does ANY candidate period
+    // dominate the daily series, or is the spectrum noise-flat?
+    "q465_spectral_flatness" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Features.spectralFlatness(daily, Seq("event_type"),
+          "d", "cnt", Seq(3, 7, 14, 30))
+        .select(col("event_type"), col("n_periods"),
+          r6(col("flatness")).as("flatness"))
+    }),
+
+    // Baxter-King 6..32-day band-pass cycle of the daily count series
+    // (literal demeaned weights, interior rows only)
+    "q466_baxter_king" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Features.baxterKing(daily, "d", "cnt", 6, 32, 12)
+        .select(col("d"), r6(col("cycle")).as("cycle"))
+    }),
+
+    // recurrence quantification (eps = 5 counts, integer-exact cut):
+    // recurrence rate + order-2 determinism of the daily count series
+    "q467_rqa" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.rqa(daily, "d", "cnt", 5L)
+        .select(col("n"), col("rec_pairs"), r6(col("rr")).as("rr"),
+          r6(col("det2")).as("det2"))
+    }),
+
+    // Poincare SD1/SD2 of the hourly mean-value stream: short-term
+    // jitter vs long-term level spread in two numbers
+    "q468_poincare" -> ((s, dir) => {
+      val hourly = ev(s, dir).filter(col("value").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(avg(col("value")).as("m"))
+      graft.operators.StatTests.poincareSd(hourly, "h", "m")
+        .select(col("n_pairs"), r6(col("sd1")).as("sd1"),
+          r6(col("sd2")).as("sd2"), r6(col("sd_ratio")).as("sd_ratio"))
+    }),
+
+    // mean Teager-Kaiser energy of daily counts — transient-burst energy
+    // that plain variance smears out
+    "q469_tkeo" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.tkeo(daily, "d", "cnt")
+        .select(col("n_interior"), r6(col("mean_tkeo")).as("mean_tkeo"))
     })
   )
 
@@ -15364,7 +15428,120 @@ object SparkEntry {
         |    (slog - 101.0*ln(thr))/100.0 END, 6) AS inv_alpha,
         |  round(CASE WHEN cnt = 101 AND (slog - 101.0*ln(thr))/100.0 > 0
         |    THEN 1.0/((slog - 101.0*ln(thr))/100.0) END, 6) AS alpha
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // central moments from power sums; third-order CF expansion at z_95
+    "q464_cornish_fisher" ->
+      """WITH a AS (SELECT count(*)::DOUBLE AS n, sum(value) AS s1,
+        |    sum(value*value) AS s2, sum(value*value*value) AS s3,
+        |    sum(value*value*value*value) AS s4,
+        |    quantile_cont(value, 0.95) AS exact_q
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT n, exact_q, s1/n AS m1,
+        |    s2/n - (s1/n)*(s1/n) AS m2,
+        |    s3/n - 3.0*(s1/n)*s2/n + 2.0*(s1/n)*(s1/n)*(s1/n) AS m3,
+        |    s4/n - 4.0*(s1/n)*s3/n + 6.0*(s1/n)*(s1/n)*s2/n
+        |      - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4 FROM a),
+        |d AS (SELECT n, exact_q, m1,
+        |    CASE WHEN m2 > 0 THEN sqrt(m2) END AS sd,
+        |    CASE WHEN m2 > 0 THEN m3/(sqrt(m2)*m2) END AS skew,
+        |    CASE WHEN m2 > 0 THEN m4/(m2*m2) - 3.0 END AS ex_kurt FROM m)
+        |SELECT n::BIGINT AS n, round(m1, 6) AS mu, round(sd, 6) AS sd,
+        |  round(skew, 6) AS skew, round(ex_kurt, 6) AS ex_kurt,
+        |  round(CASE WHEN sd IS NOT NULL THEN m1 + sd*(z + (z*z - 1)*skew/6
+        |    + (z*z*z - z*3)*ex_kurt/24
+        |    - (z*z*z*2 - z*5)*skew*skew/36) END, 6) AS cf_q,
+        |  round(exact_q, 6) AS exact_q
+        |FROM d, (SELECT 1.6448536269514722::DOUBLE AS z) zz""".stripMargin,
+
+    // Schuster powers (q193 skeleton), then exp(mean ln P)/mean P
+    "q465_spectral_flatness" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, cnt::DOUBLE AS y,
+        |    (row_number() OVER (PARTITION BY event_type ORDER BY d) - 1)
+        |      ::DOUBLE AS t FROM daily),
+        |c AS (SELECT event_type, avg(y) AS mu FROM r GROUP BY 1),
+        |z AS (SELECT r.event_type, r.t, r.y - c.mu AS z
+        |  FROM r JOIN c USING (event_type)),
+        |p AS (SELECT unnest([3, 7, 14, 30]) AS period),
+        |a AS (SELECT z.event_type, p.period,
+        |    sum(z.z * cos(z.t * (2.0 * pi() / p.period))) AS sc,
+        |    sum(z.z * sin(z.t * (2.0 * pi() / p.period))) AS ss
+        |  FROM z CROSS JOIN p GROUP BY 1, 2),
+        |pw AS (SELECT event_type, sc*sc + ss*ss AS power FROM a)
+        |SELECT event_type, count(*)::BIGINT AS n_periods,
+        |  round(exp(avg(ln(power)))/avg(power), 6) AS flatness
+        |FROM pw WHERE power > 0 GROUP BY 1""".stripMargin,
+
+    // literal demeaned BK weights (interpolated below), interior rows only
+    "q466_baxter_king" -> {
+      val b = graft.operators.Features.baxterKingWeights(6, 32, 12)
+      val terms = (s"(${b(0)})*v" +: (1 to 12).map(j =>
+        s"(${b(j)})*(lag(v, $j) OVER w + lead(v, $j) OVER w)"))
+        .mkString("\n|    + ")
+      s"""WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+         |  FROM events GROUP BY 1),
+         |s AS (SELECT d, cnt::DOUBLE AS v,
+         |    row_number() OVER (ORDER BY d) AS i,
+         |    count(*) OVER () AS n FROM daily),
+         |f AS (SELECT d, $terms AS cycle, i, n FROM s
+         |  WINDOW w AS (ORDER BY d))
+         |SELECT d, round(cycle, 6) AS cycle FROM f
+         |WHERE i > 12 AND i <= n - 12""".stripMargin
+    },
+
+    // integer eps-recurrence; det2 via the (i+1, j+1) successor join
+    "q467_rqa" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT cnt::BIGINT AS v, row_number() OVER (ORDER BY d) AS i,
+        |    count(*) OVER () AS n FROM daily),
+        |rec AS (SELECT a.i, b2.j, a.n FROM b a JOIN
+        |    (SELECT i AS j, v AS vj FROM b) b2
+        |  ON a.i <> b2.j AND abs(a.v - b2.vj) <= 5),
+        |j AS (SELECT r.i, r.j, r.n, s.ip FROM rec r LEFT JOIN
+        |    (SELECT i - 1 AS ip, j - 1 AS jp FROM rec) s
+        |  ON r.i = s.ip AND r.j = s.jp)
+        |SELECT max(n)::BIGINT AS n, count(*)::BIGINT AS rec_pairs,
+        |  round(count(*)::DOUBLE/(max(n)::DOUBLE*max(n)::DOUBLE), 6) AS rr,
+        |  round(CASE WHEN
+        |      sum(CASE WHEN i < n AND j < n THEN 1 ELSE 0 END) > 0 THEN
+        |    sum(CASE WHEN ip IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    /sum(CASE WHEN i < n AND j < n THEN 1 ELSE 0 END)::DOUBLE
+        |    END, 6) AS det2
+        |FROM j""".stripMargin,
+
+    // successive-pair rotated variances, population form
+    "q468_poincare" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, avg(value) AS m
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |p AS (SELECT m, lead(m) OVER (ORDER BY h) AS mn FROM hourly),
+        |q AS (SELECT (m - mn)/sqrt(2.0) AS d, (m + mn)/sqrt(2.0) AS s
+        |  FROM p WHERE mn IS NOT NULL),
+        |a AS (SELECT count(*)::DOUBLE AS n, sum(d) AS sd1s,
+        |    sum(d*d) AS sd2s, sum(s) AS ss1, sum(s*s) AS ss2 FROM q),
+        |v AS (SELECT n, sd2s/n - (sd1s/n)*(sd1s/n) AS v1,
+        |    ss2/n - (ss1/n)*(ss1/n) AS v2 FROM a)
+        |SELECT n::BIGINT AS n_pairs,
+        |  round(CASE WHEN v1 >= 0 THEN sqrt(v1) END, 6) AS sd1,
+        |  round(CASE WHEN v2 >= 0 THEN sqrt(v2) END, 6) AS sd2,
+        |  round(CASE WHEN v2 > 0 AND v1 >= 0 THEN sqrt(v1)/sqrt(v2) END, 6)
+        |    AS sd_ratio
+        |FROM v""".stripMargin,
+
+    // interior-point discrete energy operator x^2 - x_prev*x_next
+    "q469_tkeo" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT cnt::DOUBLE AS v,
+        |    lag(cnt::DOUBLE) OVER (ORDER BY d) AS vp,
+        |    lead(cnt::DOUBLE) OVER (ORDER BY d) AS vn FROM daily),
+        |i AS (SELECT v, vp, vn FROM b
+        |  WHERE vp IS NOT NULL AND vn IS NOT NULL)
+        |SELECT count(*)::BIGINT AS n_interior,
+        |  round(sum(v*v - vp*vn)/count(*)::DOUBLE, 6) AS mean_tkeo
+        |FROM i""".stripMargin
   )
 
   /** q430's oracle: the same 24-bin pivot + Fourier-1 folds as

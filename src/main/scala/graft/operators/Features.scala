@@ -908,6 +908,77 @@ object Features {
     * ulp between engines (verify-skill rank-cut rule). One aggregation
     * over the tiny (series × lags) ACF table.
     */
+  /** Spectral flatness (Wiener entropy) over the candidate-period
+    * Schuster powers of [[periodogram]]:
+    *   SFM = exp(mean(ln Pₖ)) / mean(Pₖ)  over the candidates with
+    * Pₖ > 0 — the geometric/arithmetic power-ratio in [0, 1]. SFM → 1
+    * means energy spread evenly across the candidate set (noise-like —
+    * no candidate explains the series); SFM → 0 means energy
+    * concentrated in few periods (strongly seasonal). The one-number
+    * companion of [[dominantPeriod]]: that names the winning period,
+    * this says whether A winner exists at all. Same single-shuffle plan
+    * as periodogram plus one tiny per-key reduction over |periods| rows.
+    * Output: (keys..., n_periods, flatness).
+    */
+  def spectralFlatness(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                       valCol: String, periods: Seq[Int]): DataFrame = {
+    val p = periodogram(df, hierarchy, tsCol, valCol, periods)
+      .filter(col("power") > 0)
+    p.groupBy(hierarchy.map(col): _*)
+      .agg(count(lit(1)).as("n_periods"),
+        (exp(avg(log(col("power")))) / avg(col("power"))).as("flatness"))
+  }
+
+  /** Baxter–King band-pass filter (Baxter & King 1999) — the
+    * business-cycle extractor: an order-K symmetric moving average whose
+    * weights approximate an ideal band-pass keeping only oscillations
+    * with period ∈ [pLow, pHigh]:
+    *   b_j = (sin(ω₂j) − sin(ω₁j))/(πj), b₀ = (ω₂ − ω₁)/π,
+    *   ω₁ = 2π/pHigh, ω₂ = 2π/pLow,
+    * demeaned so the weights sum to EXACTLY zero (unit roots and slow
+    * trends are annihilated, not just damped). The weights are
+    * compile-time Scala constants inlined as literals — the same doubles
+    * an oracle can replay — and the filter is one rows-frame window of
+    * 2K+1 lag/lead terms (codegen'd, no join). The K boundary points on
+    * each side are dropped (the filter is undefined there; emitting
+    * shortened averages would alias trend into the band). Output:
+    * (tsCol, cycle) for the interior rows.
+    */
+  def baxterKing(df: DataFrame, tsCol: String, valCol: String,
+                 pLow: Int, pHigh: Int, k: Int): DataFrame = {
+    require(2 <= pLow && pLow < pHigh, s"need 2 <= pLow < pHigh, got $pLow/$pHigh")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val b = baxterKingWeights(pLow, pHigh, k)
+    val v = col(valCol).cast("double")
+    val win = Window.orderBy(col(tsCol))
+    val staged = df.filter(v.isNotNull)
+      .select(col(tsCol), v.as("_v"))
+      .withColumn("_i", row_number().over(win))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+    val terms = lit(b.head) * col("_v") +: 1.to(k).map { j =>
+      lit(b(j)) * (lag(col("_v"), j).over(win) + lead(col("_v"), j).over(win))
+    }
+    staged
+      .withColumn("cycle", terms.reduce(_ + _))
+      .filter(col("_i") > k && col("_i") <= col("_n") - k)
+      .select(col(tsCol), col("cycle"))
+  }
+
+  /** The literal BK weights for a given (pLow, pHigh, k) — exposed so an
+    * independent oracle can replay [[baxterKing]] with the SAME doubles
+    * (Double.toString round-trips bit-exactly through SQL parsers).
+    */
+  def baxterKingWeights(pLow: Int, pHigh: Int, k: Int): Seq[Double] = {
+    val w1 = 2.0 * math.Pi / pHigh
+    val w2 = 2.0 * math.Pi / pLow
+    val raw = 0.to(k).map { j =>
+      if (j == 0) (w2 - w1) / math.Pi
+      else (math.sin(w2 * j) - math.sin(w1 * j)) / (math.Pi * j)
+    }
+    val mean = (raw.head + 2.0 * raw.tail.sum) / (2 * k + 1)
+    raw.map(_ - mean)
+  }
+
   def dominantPeriod(df: DataFrame, hierarchy: Seq[String], tsCol: String,
                      valCol: String, lags: Seq[Int]): DataFrame = {
     // arithmetic half-away rounding, NOT Spark round() (BigDecimal

@@ -3203,6 +3203,145 @@ object StatTests {
           lit(1.0) / col("inv_alpha")))
   }
 
+  /** Cornish–Fisher quantile estimate (Cornish & Fisher 1938): adjust
+    * the Gaussian quantile z_p for the sample's skewness S and excess
+    * kurtosis K via the third-order expansion
+    *   w = z + (z²−1)S/6 + (z³−3z)K/24 − (2z³−5z)S²/36,
+    *   q̂_p = μ + σ·w,
+    * the "what p95 does a non-Gaussian metric imply from four moments
+    * only?" estimator — computable from a SINGLE pass of power sums even
+    * where storing the data for an exact quantile is off the table, and
+    * a drift alarm when it diverges from the exact stored-tier
+    * percentile (emitted alongside for comparison). z_p is a caller
+    * literal (e.g. 1.6448536269514722 for p95), so the whole statistic
+    * is moment algebra. Output: one row (n, mean, sd, skew, ex_kurt,
+    * cf_q, exact_q).
+    */
+  def cornishFisher(df: DataFrame, valCol: String, p: Double,
+                    zP: Double): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    val x = col(valCol).cast("double")
+    val agged = df.filter(x.isNotNull)
+      .agg(count(lit(1)).as("n"), sum(x).as("_s1"), sum(x * x).as("_s2"),
+        sum(x * x * x).as("_s3"), sum(x * x * x * x).as("_s4"),
+        percentile(x, lit(p)).as("exact_q"))
+    val nd = col("n").cast("double")
+    val m1 = col("_s1") / nd
+    val m2 = col("_s2") / nd - m1 * m1
+    val m3 = col("_s3") / nd - lit(3.0) * m1 * col("_s2") / nd +
+      lit(2.0) * m1 * m1 * m1
+    val m4 = col("_s4") / nd - lit(4.0) * m1 * col("_s3") / nd +
+      lit(6.0) * m1 * m1 * col("_s2") / nd - lit(3.0) * m1 * m1 * m1 * m1
+    val z = lit(zP)
+    agged
+      .withColumn("mean", m1)
+      .withColumn("sd", when(m2 > 0, sqrt(m2)))
+      .withColumn("skew", when(m2 > 0, m3 / (sqrt(m2) * m2)))
+      .withColumn("ex_kurt", when(m2 > 0, m4 / (m2 * m2) - 3.0))
+      .withColumn("cf_q", when(col("sd").isNotNull,
+        col("mean") + col("sd") * (z +
+          (z * z - 1) * col("skew") / 6 +
+          (z * z * z - z * 3) * col("ex_kurt") / 24 -
+          (z * z * z * 2 - z * 5) * col("skew") * col("skew") / 36)))
+      .select(col("n"), col("mean"), col("sd"), col("skew"),
+        col("ex_kurt"), col("cf_q"), col("exact_q"))
+  }
+
+  /** Recurrence quantification on an integer-valued series (Zbilut &
+    * Webber 1992, ε-recurrence): with a recurrence when
+    * |x_i − x_j| ≤ ε (i ≠ j; ε and the values INTEGER so the cut is
+    * cross-engine exact — never a float boundary),
+    *   RR   = #recurrent ordered pairs / n²,
+    *   DET₂ = #recurrent pairs whose successor (i+1, j+1) is also
+    *          recurrent / #recurrent pairs with a successor in range,
+    * the determinism share: high RR + high DET₂ means the series
+    * revisits values along PARALLEL trajectories (deterministic
+    * structure), high RR + low DET₂ means unstructured level-crowding.
+    * One self-join on the bounded pre-aggregated series plus one
+    * (i+1, j+1) equi-join of the recurrence set with itself.
+    * Output: one row (n, rec_pairs, rr, det2).
+    */
+  def rqa(df: DataFrame, tsCol: String, valCol: String,
+          eps: Long): DataFrame = {
+    require(eps >= 0, s"eps must be >= 0, got $eps")
+    val v = col(valCol).cast("long")
+    val base = df.filter(v.isNotNull)
+      .select(col(tsCol).as("_t"), v.as("_v"))
+      .withColumn("_i", row_number().over(Window.orderBy(col("_t"))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+      .drop("_t")
+    val other = base.select(col("_i").as("_j"), col("_v").as("_vj"))
+    val rec = base.join(other, col("_i") =!= col("_j") &&
+        abs(col("_v") - col("_vj")) <= eps)
+      .select(col("_i"), col("_j"), col("_n"))
+    val succ = rec.select((col("_i") - 1).as("_ip"), (col("_j") - 1).as("_jp"))
+    val joined = rec.join(succ,
+      col("_i") === col("_ip") && col("_j") === col("_jp"), "left")
+    joined.agg(max(col("_n")).as("n"),
+        count(lit(1)).as("rec_pairs"),
+        sum(when(col("_ip").isNotNull, 1L).otherwise(0L)).as("_det_num"),
+        sum(when(col("_i") < col("_n") && col("_j") < col("_n"), 1L)
+          .otherwise(0L)).as("_det_den"))
+      .withColumn("rr", col("rec_pairs").cast("double") /
+        (col("n").cast("double") * col("n").cast("double")))
+      .withColumn("det2", when(col("_det_den") > 0,
+        col("_det_num").cast("double") / col("_det_den").cast("double")))
+      .select(col("n"), col("rec_pairs"), col("rr"), col("det2"))
+  }
+
+  /** Poincaré-plot descriptors SD1/SD2 (Brennan, Palaniswami & Kamen
+    * 2001 — the HRV standard, applied to metric streams): over
+    * successive pairs (x_t, x_{t+1}),
+    *   SD1² = Var((x_t − x_{t+1})/√2)   (short-term jitter),
+    *   SD2² = Var((x_t + x_{t+1})/√2)   (long-term level spread),
+    * population variances. SD1/SD2 ≪ 1 means a smooth drifting level;
+    * ≈ 1 means white noise — an interpretable two-number decomposition
+    * of successive-difference structure. One lead window + one moment
+    * pass. Output: one row (n_pairs, sd1, sd2, sd_ratio).
+    */
+  def poincareSd(df: DataFrame, tsCol: String, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .select(col(tsCol).as("_t"), v.as("_v"))
+      .withColumn("_vn", lead(col("_v"), 1).over(Window.orderBy(col("_t"))))
+      .filter(col("_vn").isNotNull)
+      .withColumn("_d", (col("_v") - col("_vn")) / sqrt(lit(2.0)))
+      .withColumn("_s", (col("_v") + col("_vn")) / sqrt(lit(2.0)))
+    val agged = staged.agg(count(lit(1)).as("n_pairs"),
+      sum(col("_d")).as("_sd1"), sum(col("_d") * col("_d")).as("_sd2"),
+      sum(col("_s")).as("_ss1"), sum(col("_s") * col("_s")).as("_ss2"))
+    val nd = col("n_pairs").cast("double")
+    val v1 = col("_sd2") / nd - (col("_sd1") / nd) * (col("_sd1") / nd)
+    val v2 = col("_ss2") / nd - (col("_ss1") / nd) * (col("_ss1") / nd)
+    agged
+      .withColumn("sd1", when(v1 >= 0, sqrt(v1)))
+      .withColumn("sd2", when(v2 >= 0, sqrt(v2)))
+      .withColumn("sd_ratio", when(col("sd2") > 0, col("sd1") / col("sd2")))
+      .select(col("n_pairs"), col("sd1"), col("sd2"), col("sd_ratio"))
+  }
+
+  /** Mean Teager–Kaiser energy (Kaiser 1990): the discrete energy
+    * operator Ψ[x]_t = x_t² − x_{t−1}·x_{t+1} tracks INSTANTANEOUS
+    * amplitude·frequency energy — it spikes on sharp transients that
+    * variance (which sees only level spread) smears out, making the
+    * mean Ψ a cheap burst-energy summary per series. Interior points
+    * only; integer inputs keep every term exact. One window pass.
+    * Output: one row (n_interior, mean_tkeo).
+    */
+  def tkeo(df: DataFrame, tsCol: String, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val w = Window.orderBy(col("_t"))
+    val staged = df.filter(v.isNotNull)
+      .select(col(tsCol).as("_t"), v.as("_v"))
+      .withColumn("_vp", lag(col("_v"), 1).over(w))
+      .withColumn("_vn", lead(col("_v"), 1).over(w))
+      .filter(col("_vp").isNotNull && col("_vn").isNotNull)
+    staged.agg(count(lit(1)).as("n_interior"),
+        sum(col("_v") * col("_v") - col("_vp") * col("_vn")).as("_s"))
+      .select(col("n_interior"),
+        (col("_s") / col("n_interior").cast("double")).as("mean_tkeo"))
+  }
+
   def spiegelhalterZ(df: DataFrame, yCol: String, pCol: String): DataFrame = {
     val y = col(yCol).cast("double")
     val p = col(pCol).cast("double")

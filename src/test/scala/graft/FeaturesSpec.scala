@@ -509,6 +509,43 @@ class FeaturesSpec extends SparkSuite {
     fo.foreach(p => assert(p < 1e-18))
   }
 
+  test("spectralFlatness: planted sine near 0, white-ish alternation near 1") {
+    // period-7 sine: almost all candidate power in one bin -> flatness ~ 0
+    val df = (0 until 56).map(i => (1L, i.toLong * 86400,
+      10.0 + 5.0 * math.sin(2 * math.Pi * i / 7.0)))
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val f = Features.spectralFlatness(df, Seq("k"), "ts", "v", Seq(2, 3, 7, 14))
+      .collect()(0).getAs[Double]("flatness")
+    assert(f < 0.05, s"concentrated spectrum should be near 0, got $f")
+    // two equal-power bins -> flatness ~ 1 (geometric = arithmetic mean):
+    // equal-amplitude period-4 and period-8 sines (neither aliases at
+    // integer sampling), 32 samples = full cycles of both
+    val eq = (0 until 32).map(i => (1L, i.toLong * 86400,
+      math.sin(2 * math.Pi * i / 4.0 + 0.3) + math.sin(2 * math.Pi * i / 8.0 + 0.3)))
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val fe = Features.spectralFlatness(eq, Seq("k"), "ts", "v", Seq(4, 8))
+      .collect()(0).getAs[Double]("flatness")
+    assert(fe > 0.95, s"two equal bins should be ~1, got $fe")
+  }
+
+  test("baxterKing: annihilates constants+trend, passes in-band sine") {
+    // weights sum to zero -> a pure linear trend filters to ~0
+    val trend = (0 until 60).map(i => (i.toLong * 86400, 5.0 + 2.0 * i))
+      .toDF("t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val z = Features.baxterKing(trend, "ts", "v", 6, 32, 12)
+      .collect().map(_.getAs[Double]("cycle"))
+    assert(z.length === 60 - 24)
+    z.foreach(c => assert(math.abs(c) < 1e-9, s"trend should filter to 0: $c"))
+    // a period-12 sine (inside the 6..32 band) passes with gain ~1
+    val sine = (0 until 96).map(i =>
+      (i.toLong * 86400, math.sin(2 * math.Pi * i / 12.0)))
+      .toDF("t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val s = Features.baxterKing(sine, "ts", "v", 6, 32, 12)
+      .collect().map(_.getAs[Double]("cycle"))
+    val inAmp = s.map(math.abs).max
+    assert(inAmp > 0.85 && inAmp < 1.15, s"in-band gain should be ~1: $inAmp")
+  }
+
   test("decompStrength: planted trend/seasonal score ≈1, noise-only ≈0") {
     // strong seasonal (period 3) + linear trend, zero remainder → both ≈ 1
     val sPat = Seq(2.0, -1.0, -1.0)

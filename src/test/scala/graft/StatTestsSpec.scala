@@ -1120,6 +1120,59 @@ class StatTestsSpec extends SparkSuite {
     assert(approxEq(r.getAs[Double]("alpha"), 1 / (2 * math.log(2.0)), 1e-12))
   }
 
+  test("cornishFisher: symmetric sample -> CF q = mean + z*sd; exact p95") {
+    // {1,2,3,4,5}: skew = 0, ex_kurt = -1.3; CF reduces to
+    // mean + sd*(z - (z^3-3z)*1.3/24)
+    val df = (1 to 5).map(_.toDouble).map(Tuple1(_)).toDF("v")
+    val z = 1.6448536269514722
+    val r = StatTests.cornishFisher(df, "v", 0.95, z).collect()(0)
+    assert(r.getAs[Long]("n") === 5L)
+    assert(approxEq(r.getAs[Double]("mean"), 3.0, 1e-12))
+    val sd = math.sqrt(2.0)
+    assert(approxEq(r.getAs[Double]("sd"), sd, 1e-12))
+    assert(approxEq(r.getAs[Double]("skew"), 0.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("ex_kurt"), -1.3, 1e-12))
+    val want = 3.0 + sd * (z + (z * z * z - 3 * z) * (-1.3) / 24)
+    assert(approxEq(r.getAs[Double]("cf_q"), want, 1e-12))
+    assert(approxEq(r.getAs[Double]("exact_q"), 4.8, 1e-12))
+  }
+
+  test("rqa: period-2 series is fully order-2 deterministic") {
+    // v = 10,20,10,20,10,20 with eps=0: rec pairs = same-parity i<>j
+    // n=6 -> 3+3 values per class, 3*2*2=12 pairs; every pair with a
+    // successor in range stays recurrent -> det2 = 1
+    val v = Seq(10L, 20, 10, 20, 10, 20)
+    val df = v.indices.map(i => (ts(i), v(i))).toDF("t", "v")
+    val r = StatTests.rqa(df, "t", "v", 0L).collect()(0)
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("rec_pairs") === 12L)
+    assert(approxEq(r.getAs[Double]("rr"), 12.0 / 36, 1e-12))
+    assert(approxEq(r.getAs[Double]("det2"), 1.0, 1e-12))
+  }
+
+  test("poincareSd: alternating series -> all jitter, zero level spread") {
+    // v = 0,2,0,2: diffs/sqrt2 = -r2,r2,-r2 (r2 = sqrt 2), sums/sqrt2
+    // all = r2 -> sd2 = 0; sd1 = population sd of (-r2,r2,-r2)
+    val v = Seq(0.0, 2, 0, 2)
+    val df = v.indices.map(i => (ts(i), v(i))).toDF("t", "v")
+    val r = StatTests.poincareSd(df, "t", "v").collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    val r2 = math.sqrt(2.0)
+    val mu = -r2 / 3
+    val varD = ((-r2 - mu) * (-r2 - mu) * 2 + (r2 - mu) * (r2 - mu)) / 3
+    assert(approxEq(r.getAs[Double]("sd1"), math.sqrt(varD), 1e-9))
+    assert(approxEq(r.getAs[Double]("sd2"), 0.0, 1e-9))
+  }
+
+  test("tkeo: geometric series has zero Teager-Kaiser energy") {
+    // interior points: 2^2 - 1*4 = 0 and 4^2 - 2*8 = 0
+    val v = Seq(1.0, 2, 4, 8)
+    val df = v.indices.map(i => (ts(i), v(i))).toDF("t", "v")
+    val r = StatTests.tkeo(df, "t", "v").collect()(0)
+    assert(r.getAs[Long]("n_interior") === 2L)
+    assert(approxEq(r.getAs[Double]("mean_tkeo"), 0.0, 1e-12))
+  }
+
   test("bws: fully separated 2x2 hand golden 1.6875") {
     // A = {1,2}, B = {3,4}: B_A = (9/8 + 9/2)/2, B_B = (9/8)/2
     val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 3.0, 3L),
