@@ -6536,6 +6536,71 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
       graft.operators.StatTests.tkeo(daily, "d", "cnt")
         .select(col("n_interior"), r6(col("mean_tkeo")).as("mean_tkeo"))
+    }),
+
+    // Engle ARCH(1) LM on daily counts: does today's variance predict
+    // tomorrow's (volatility clustering)?
+    "q470_arch_lm" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.archLm(daily, "d", "cnt")
+        .select(col("n_pairs"), r6(col("r2")).as("r2"), r6(col("lm")).as("lm"))
+    }),
+
+    // Ferro-Segers extremal index of hourly max-value exceedances over
+    // the exact p90: do extremes arrive alone or in clusters?
+    "q471_extremal_index" -> ((s, dir) => {
+      val hourly = ev(s, dir).filter(col("value").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(max(col("value")).as("mx"))
+      graft.operators.StatTests.extremalIndex(hourly, "h", "mx", 0.9)
+        .select(col("n_exceed"), r6(col("threshold")).as("threshold"),
+          r6(col("theta")).as("theta"))
+    }),
+
+    // mean-excess curve at literal thresholds — the graphical GPD
+    // threshold diagnostic (linear rise = heavy tail)
+    "q472_mean_excess" -> ((s, dir) => {
+      graft.operators.StatTests.meanExcess(ev(s, dir), "value",
+          Seq(10.0, 20.0, 40.0))
+        .select(col("u"), col("n_exceed"),
+          r6(col("mean_excess")).as("mean_excess"))
+    }),
+
+    // QQ location-scale decomposition click -> purchase: HOW did the
+    // value distribution move (scale slope + location intercept)?
+    "q473_qq_decomp" -> ((s, dir) => {
+      graft.operators.StatTests.qqDecomp(ev(s, dir), "event_type",
+          "click", "purchase", "value",
+          Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+        .select(col("n_q"), r6(col("slope")).as("slope"),
+          r6(col("intercept")).as("intercept"), r6(col("r2")).as("r2"))
+    }),
+
+    // cross-spectrum phase alignment of daily clicks vs purchases at
+    // 7/14/30d: in-phase, anti-phase, or lead-lag at each period?
+    "q474_cross_spectrum" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum((col("event_type") === "click").cast("long")).as("x"),
+          sum((col("event_type") === "purchase").cast("long")).as("y"))
+      graft.operators.StatTests.crossSpectrum(daily, "d", "x", "y",
+          Seq(7, 14, 30))
+        .select(col("period"), r6(col("sxx")).as("sxx"),
+          r6(col("syy")).as("syy"), r6(col("re_norm")).as("re_norm"),
+          r6(col("im_norm")).as("im_norm"))
+    }),
+
+    // rho_DCCA of daily clicks vs purchases at box sizes 4/8/16 —
+    // co-movement of fluctuations, immune to a shared trend
+    "q475_dcca" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum((col("event_type") === "click").cast("long")).as("x"),
+          sum((col("event_type") === "purchase").cast("long")).as("y"))
+      graft.operators.StatTests.dcca(daily, "d", "x", "y", Seq(4, 8, 16))
+        .select(col("s"), col("nboxes"), r6(col("rho")).as("rho"))
     })
   )
 
@@ -15541,7 +15606,164 @@ object SparkEntry {
         |  WHERE vp IS NOT NULL AND vn IS NOT NULL)
         |SELECT count(*)::BIGINT AS n_interior,
         |  round(sum(v*v - vp*vn)/count(*)::DOUBLE, 6) AS mean_tkeo
-        |FROM i""".stripMargin
+        |FROM i""".stripMargin,
+
+    // centered-square lag-1 regression; LM = m * R^2
+    "q470_arch_lm" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT d, cnt::DOUBLE AS v FROM daily),
+        |c AS (SELECT d, (v - avg(v) OVER ())*(v - avg(v) OVER ()) AS s
+        |  FROM st),
+        |p AS (SELECT s, lag(s) OVER (ORDER BY d) AS sp FROM c),
+        |f AS (SELECT s, sp FROM p WHERE sp IS NOT NULL),
+        |a AS (SELECT count(*)::DOUBLE AS m, sum(s) AS sy, sum(sp) AS sx,
+        |    sum(s*sp) AS sxy, sum(sp*sp) AS sxx, sum(s*s) AS syy FROM f),
+        |t AS (SELECT m, CASE WHEN (sxx - sx*sx/m) > 0
+        |      AND (syy - sy*sy/m) > 0 THEN
+        |    (sxy - sx*sy/m)*(sxy - sx*sy/m)
+        |    /((sxx - sx*sx/m)*(syy - sy*sy/m)) END AS r2 FROM a)
+        |SELECT m::BIGINT AS n_pairs, round(r2, 6) AS r2,
+        |  round(m*r2, 6) AS lm
+        |FROM t""".stripMargin,
+
+    // Ferro-Segers intervals estimator over exact-p90 exceedance gaps
+    "q471_extremal_index" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+        |    max(value) AS mx FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1),
+        |st AS (SELECT mx, row_number() OVER (ORDER BY h) AS i,
+        |    quantile_cont(mx, 0.9) OVER () AS u FROM hourly),
+        |e AS (SELECT i, u FROM st WHERE mx > u),
+        |g AS (SELECT u, (i - lag(i) OVER (ORDER BY i))::DOUBLE AS t FROM e),
+        |a AS (SELECT count(*) AS ne, max(u) AS threshold, max(t) AS gmax,
+        |    sum(t) AS s1, sum(t*t) AS s2, sum(t - 1) AS d1,
+        |    sum((t - 1)*(t - 2)) AS d2 FROM g)
+        |SELECT ne::BIGINT AS n_exceed, round(threshold, 6) AS threshold,
+        |  round(CASE WHEN ne >= 2 THEN least(1.0,
+        |    CASE WHEN gmax <= 2 THEN 2.0*s1*s1/((ne - 1)::DOUBLE*s2)
+        |      ELSE CASE WHEN d2 > 0 THEN
+        |        2.0*d1*d1/((ne - 1)::DOUBLE*d2) END END) END, 6) AS theta
+        |FROM a""".stripMargin,
+
+    // e(u) = mean(x - u | x > u) at literal thresholds
+    "q472_mean_excess" ->
+      """WITH v AS (SELECT value AS x FROM events WHERE value IS NOT NULL),
+        |e AS (SELECT uz.u, x FROM v,
+        |    (SELECT unnest([10.0, 20.0, 40.0]::DOUBLE[]) AS u) uz
+        |  WHERE x > uz.u)
+        |SELECT u, count(*)::BIGINT AS n_exceed,
+        |  round(avg(x - u), 6) AS mean_excess
+        |FROM e GROUP BY 1""".stripMargin,
+
+    // exact quantile pairs on the p-grid; OLS of q_B on q_A
+    "q473_qq_decomp" ->
+      """WITH a AS (SELECT quantile_cont(value, 0.1) AS p1,
+        |    quantile_cont(value, 0.2) AS p2, quantile_cont(value, 0.3) AS p3,
+        |    quantile_cont(value, 0.4) AS p4, quantile_cont(value, 0.5) AS p5,
+        |    quantile_cont(value, 0.6) AS p6, quantile_cont(value, 0.7) AS p7,
+        |    quantile_cont(value, 0.8) AS p8, quantile_cont(value, 0.9) AS p9
+        |  FROM events WHERE value IS NOT NULL AND event_type = 'click'),
+        |b AS (SELECT quantile_cont(value, 0.1) AS p1,
+        |    quantile_cont(value, 0.2) AS p2, quantile_cont(value, 0.3) AS p3,
+        |    quantile_cont(value, 0.4) AS p4, quantile_cont(value, 0.5) AS p5,
+        |    quantile_cont(value, 0.6) AS p6, quantile_cont(value, 0.7) AS p7,
+        |    quantile_cont(value, 0.8) AS p8, quantile_cont(value, 0.9) AS p9
+        |  FROM events WHERE value IS NOT NULL AND event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT a.p1 AS qa, b.p1 AS qb FROM a, b
+        |  UNION ALL SELECT a.p2, b.p2 FROM a, b
+        |  UNION ALL SELECT a.p3, b.p3 FROM a, b
+        |  UNION ALL SELECT a.p4, b.p4 FROM a, b
+        |  UNION ALL SELECT a.p5, b.p5 FROM a, b
+        |  UNION ALL SELECT a.p6, b.p6 FROM a, b
+        |  UNION ALL SELECT a.p7, b.p7 FROM a, b
+        |  UNION ALL SELECT a.p8, b.p8 FROM a, b
+        |  UNION ALL SELECT a.p9, b.p9 FROM a, b),
+        |s AS (SELECT count(*)::DOUBLE AS m, sum(qa) AS sx, sum(qb) AS sy,
+        |    sum(qa*qb) AS sxy, sum(qa*qa) AS sxx, sum(qb*qb) AS syy
+        |  FROM pairs),
+        |t AS (SELECT m, sx, sy, (sxy - sx*sy/m) AS cov,
+        |    (sxx - sx*sx/m) AS vx, (syy - sy*sy/m) AS vy FROM s),
+        |u AS (SELECT m, sx, sy, cov, vx, vy,
+        |    CASE WHEN vx > 0 THEN cov/vx END AS slope FROM t)
+        |SELECT m::BIGINT AS n_q, round(slope, 6) AS slope,
+        |  round(CASE WHEN slope IS NOT NULL THEN sy/m - slope*sx/m END, 6)
+        |    AS intercept,
+        |  round(CASE WHEN vx > 0 AND vy > 0 THEN cov*cov/(vx*vy) END, 6)
+        |    AS r2
+        |FROM u""".stripMargin,
+
+    // Schuster sums per series; cospectrum/quadrature normalized by
+    // sqrt(Sxx*Syy) = cos/sin of the phase lag
+    "q474_cross_spectrum" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT x::DOUBLE AS xv, y::DOUBLE AS yv,
+        |    (row_number() OVER (ORDER BY d) - 1)::DOUBLE AS t FROM daily),
+        |c AS (SELECT t, xv - avg(xv) OVER () AS zx,
+        |    yv - avg(yv) OVER () AS zy FROM st),
+        |a AS (SELECT
+        |    sum(zx*cos(t*(2.0*pi()/7))) AS cx7,
+        |    sum(zx*sin(t*(2.0*pi()/7))) AS sx7,
+        |    sum(zy*cos(t*(2.0*pi()/7))) AS cy7,
+        |    sum(zy*sin(t*(2.0*pi()/7))) AS sy7,
+        |    sum(zx*cos(t*(2.0*pi()/14))) AS cx14,
+        |    sum(zx*sin(t*(2.0*pi()/14))) AS sx14,
+        |    sum(zy*cos(t*(2.0*pi()/14))) AS cy14,
+        |    sum(zy*sin(t*(2.0*pi()/14))) AS sy14,
+        |    sum(zx*cos(t*(2.0*pi()/30))) AS cx30,
+        |    sum(zx*sin(t*(2.0*pi()/30))) AS sx30,
+        |    sum(zy*cos(t*(2.0*pi()/30))) AS cy30,
+        |    sum(zy*sin(t*(2.0*pi()/30))) AS sy30 FROM c),
+        |u AS (SELECT 7 AS period, cx7 AS cx, sx7 AS sx, cy7 AS cy,
+        |    sy7 AS sy FROM a
+        |  UNION ALL SELECT 14, cx14, sx14, cy14, sy14 FROM a
+        |  UNION ALL SELECT 30, cx30, sx30, cy30, sy30 FROM a)
+        |SELECT period, round(cx*cx + sx*sx, 6) AS sxx,
+        |  round(cy*cy + sy*sy, 6) AS syy,
+        |  round(CASE WHEN cx*cx + sx*sx > 0 AND cy*cy + sy*sy > 0 THEN
+        |    (cx*cy + sx*sy)/sqrt((cx*cx + sx*sx)*(cy*cy + sy*sy)) END, 6)
+        |    AS re_norm,
+        |  round(CASE WHEN cx*cx + sx*sx > 0 AND cy*cy + sy*sy > 0 THEN
+        |    (sx*cy - cx*sy)/sqrt((cx*cx + sx*sx)*(cy*cy + sy*sy)) END, 6)
+        |    AS im_norm
+        |FROM u""".stripMargin,
+
+    // dfa-style boxes; residual closed forms for AA/BB/AB; Zebende rho
+    "q475_dcca" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT d, row_number() OVER (ORDER BY d)::DOUBLE AS k,
+        |    count(*) OVER () AS n,
+        |    avg(x::DOUBLE) OVER () AS mx, avg(y::DOUBLE) OVER () AS my,
+        |    sum(x::DOUBLE) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cx,
+        |    sum(y::DOUBLE) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cy FROM daily),
+        |prof AS (SELECT k, n, cx - k*mx AS a, cy - k*my AS b FROM st),
+        |boxed AS (SELECT sz.s, floor((k - 1)/sz.s) AS box, k, a, b
+        |  FROM prof, (VALUES (4), (8), (16)) sz(s)
+        |  WHERE floor((k - 1)/sz.s) < floor(n/sz.s)),
+        |pb AS (SELECT s, box, count(*)::DOUBLE AS m, sum(k) AS sk,
+        |    sum(k*k) AS skk, sum(a) AS sa, sum(b) AS sb,
+        |    sum(k*a) AS ska, sum(k*b) AS skb, sum(a*a) AS saa,
+        |    sum(b*b) AS sbb, sum(a*b) AS sab FROM boxed GROUP BY 1, 2),
+        |r AS (SELECT s,
+        |    (saa - sa*sa/m) - (ska - sk*sa/m)*(ska - sk*sa/m)
+        |      /(skk - sk*sk/m) AS raa,
+        |    (sbb - sb*sb/m) - (skb - sk*sb/m)*(skb - sk*sb/m)
+        |      /(skk - sk*sk/m) AS rbb,
+        |    (sab - sa*sb/m) - (ska - sk*sa/m)*(skb - sk*sb/m)
+        |      /(skk - sk*sk/m) AS rab FROM pb)
+        |SELECT s, count(*)::BIGINT AS nboxes,
+        |  round(CASE WHEN sum(raa) > 0 AND sum(rbb) > 0 THEN
+        |    sum(rab)/sqrt(sum(raa)*sum(rbb)) END, 6) AS rho
+        |FROM r GROUP BY 1""".stripMargin
   )
 
   /** q430's oracle: the same 24-bin pivot + Fourier-1 folds as

@@ -3342,6 +3342,254 @@ object StatTests {
         (col("_s") / col("n_interior").cast("double")).as("mean_tkeo"))
   }
 
+  /** Engle's ARCH(1) LM test (Engle 1982): volatility clustering check.
+    * Center the series, square the deviations s_t = (x_t − x̄)², and
+    * regress s_t on s_{t−1}; LM = m·R² (m = #pairs) is asymptotically
+    * χ²₁ under "no ARCH". Large LM ⇒ today's variance predicts
+    * tomorrow's — variance-stationarity is violated even if the level
+    * is stationary (the complement of q-KPSS/Dickey-Fuller which only
+    * see the level). R² is squared Pearson correlation from one sums
+    * pass over the lag-paired squares. Output: one row (n_pairs, r2, lm).
+    */
+  def archLm(df: DataFrame, tsCol: String, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .select(col(tsCol).as("_t"), v.as("_v"))
+      .withColumn("_mu", avg(col("_v")).over(Window.partitionBy()))
+      .withColumn("_s",
+        (col("_v") - col("_mu")) * (col("_v") - col("_mu")))
+      .withColumn("_sp", lag(col("_s"), 1).over(Window.orderBy(col("_t"))))
+      .filter(col("_sp").isNotNull)
+    val agged = staged.agg(count(lit(1)).cast("double").as("_m"),
+      sum(col("_s")).as("_sy"), sum(col("_sp")).as("_sx"),
+      sum(col("_s") * col("_sp")).as("_sxy"),
+      sum(col("_sp") * col("_sp")).as("_sxx"),
+      sum(col("_s") * col("_s")).as("_syy"))
+    val m = col("_m")
+    val cov = col("_sxy") - col("_sx") * col("_sy") / m
+    val vx = col("_sxx") - col("_sx") * col("_sx") / m
+    val vy = col("_syy") - col("_sy") * col("_sy") / m
+    agged
+      .withColumn("r2", when(vx > 0 && vy > 0, cov * cov / (vx * vy)))
+      .withColumn("lm", col("_m") * col("r2"))
+      .select(m.cast("bigint").as("n_pairs"), col("r2"), col("lm"))
+  }
+
+  /** Ferro–Segers intervals estimator of the extremal index (Ferro &
+    * Segers 2003): with exceedance positions of x > u (u = the exact
+    * p-quantile) and interexceedance gaps T_1…T_{N−1},
+    *   θ̂ = min(1, 2(ΣT_i)² / ((N−1)·ΣT_i²))            if max T ≤ 2,
+    *   θ̂ = min(1, 2(Σ(T_i−1))² / ((N−1)·Σ(T_i−1)(T_i−2)))  otherwise.
+    * θ ≈ 1 means exceedances arrive independently; θ ≈ 1/k means they
+    * arrive in clusters of mean size k — the number that corrects naive
+    * return-period math when extremes cluster. Gaps are integer index
+    * differences (exact); the threshold reuses the engine's exact
+    * percentile. Output: one row (n_exceed, threshold, theta).
+    */
+  def extremalIndex(df: DataFrame, tsCol: String, valCol: String,
+                    p: Double): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .select(col(tsCol).as("_t"), v.as("_v"))
+      .withColumn("_i", row_number().over(Window.orderBy(col("_t"))))
+      .withColumn("_u",
+        percentile(col("_v"), lit(p)).over(Window.partitionBy()))
+    val gaps = staged.filter(col("_v") > col("_u"))
+      .withColumn("_ip", lag(col("_i"), 1).over(Window.orderBy(col("_i"))))
+      .withColumn("_g", (col("_i") - col("_ip")).cast("double"))
+    val agged = gaps.agg(count(lit(1)).as("n_exceed"),
+      max(col("_u")).as("threshold"), max(col("_g")).as("_gmax"),
+      sum(col("_g")).as("_s1"), sum(col("_g") * col("_g")).as("_s2"),
+      sum(col("_g") - 1).as("_d1"),
+      sum((col("_g") - 1) * (col("_g") - 2)).as("_d2"))
+    val nm1 = (col("n_exceed") - 1).cast("double")
+    val small = lit(2.0) * col("_s1") * col("_s1") / (nm1 * col("_s2"))
+    val big = lit(2.0) * col("_d1") * col("_d1") / (nm1 * col("_d2"))
+    agged
+      .withColumn("theta", when(col("n_exceed") >= 2,
+        least(lit(1.0), when(col("_gmax") <= 2, small)
+          .otherwise(when(col("_d2") > 0, big)))))
+      .select(col("n_exceed"), col("threshold"), col("theta"))
+  }
+
+  /** Mean-excess (mean residual life) curve at literal thresholds:
+    *   e(u) = mean(x − u | x > u),  n_u = #{x > u}.
+    * The shape over increasing u is THE graphical GPD diagnostic
+    * (Davison & Smith 1990): linear-increasing e(u) ⇒ heavy Pareto
+    * tail (slope ξ/(1−ξ)), flat ⇒ exponential tail, decreasing ⇒ short
+    * tail — it picks the threshold where q-GPD fitting becomes valid.
+    * One explode of |thresholds| per row, one groupBy. Output: one row
+    * per u (u, n_exceed, mean_excess).
+    */
+  def meanExcess(df: DataFrame, valCol: String,
+                 thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val x = col(valCol).cast("double")
+    val staged = df.filter(x.isNotNull)
+      .select(x.as("_x"), explode(array(thresholds.map(lit): _*)).as("_u"))
+      .filter(col("_x") > col("_u"))
+    staged.groupBy(col("_u"))
+      .agg(count(lit(1)).as("n_exceed"),
+        avg(col("_x") - col("_u")).as("mean_excess"))
+      .select(col("_u").as("u"), col("n_exceed"), col("mean_excess"))
+  }
+
+  /** Q–Q location-scale decomposition of a two-sample shift: evaluate
+    * both arms' exact quantiles on a literal p-grid and regress
+    * q_B(p) on q_A(p) by OLS. slope ≈ scale ratio, intercept ≈ location
+    * shift, r² ≈ "is B an affine transform of A?" — the interpretable
+    * decomposition that a single KS/AD/BWS statistic can't give: it says
+    * HOW the distribution moved, not just that it did. Two grouped
+    * percentile-array aggregations (one per arm), a posexplode pairing,
+    * and one sums pass over |grid| rows. Output: one row
+    * (n_q, slope, intercept, r2).
+    */
+  def qqDecomp(df: DataFrame, armCol: String, armA: String, armB: String,
+               valCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1),
+      s"probabilities must be in (0,1), got $ps")
+    val v = col(valCol).cast("double")
+    val grid = array(ps.map(lit): _*)
+    def quants(arm: String, out: String) =
+      df.filter(v.isNotNull && col(armCol) === arm)
+        .agg(percentile(v, grid).as("_qs"))
+        .select(posexplode(col("_qs")).as(Seq("_p", out)))
+    val paired = quants(armA, "_qa")
+      .join(quants(armB, "_qb").withColumnRenamed("_p", "_p2"),
+        col("_p") === col("_p2"))
+    val agged = paired.agg(count(lit(1)).cast("double").as("_m"),
+      sum(col("_qa")).as("_sx"), sum(col("_qb")).as("_sy"),
+      sum(col("_qa") * col("_qb")).as("_sxy"),
+      sum(col("_qa") * col("_qa")).as("_sxx"),
+      sum(col("_qb") * col("_qb")).as("_syy"))
+    val m = col("_m")
+    val cov = col("_sxy") - col("_sx") * col("_sy") / m
+    val vx = col("_sxx") - col("_sx") * col("_sx") / m
+    val vy = col("_syy") - col("_sy") * col("_sy") / m
+    agged
+      .withColumn("slope", when(vx > 0, cov / vx))
+      .withColumn("intercept",
+        when(col("slope").isNotNull,
+          col("_sy") / m - col("slope") * col("_sx") / m))
+      .withColumn("r2", when(vx > 0 && vy > 0, cov * cov / (vx * vy)))
+      .select(m.cast("bigint").as("n_q"), col("slope"), col("intercept"),
+        col("r2"))
+  }
+
+  /** Single-bin cross-spectrum phase alignment at candidate periods: with
+    * both series mean-centered on a shared time index and the Schuster
+    * sums Cₓ = Σzₓcos ωt, Sₓ = Σzₓsin ωt (likewise y),
+    *   re_norm = (CₓC_y + SₓS_y)/√(Sxx·Syy)   (cospectrum = cos Δφ),
+    *   im_norm = (SₓC_y − CₓS_y)/√(Sxx·Syy)   (quadrature = sin Δφ),
+    * i.e. the cosine/sine of the PHASE LAG between the two series at
+    * that period, weighted by how coherent the bin is. re_norm → 1:
+    * in-phase at this period; → −1: anti-phase; im_norm ≠ 0: one leads
+    * the other by a fraction of the cycle that q-cross-correlation's
+    * integer-lag argmax can't resolve. (Raw single-bin coherence is
+    * identically 1, so it is NOT reported — this is the honest
+    * unsmoothed readout.) One window pass + one aggregation carrying
+    * 4 trig sums per period. Output: one row per period
+    * (period, sxx, syy, re_norm, im_norm).
+    */
+  def crossSpectrum(df: DataFrame, tsCol: String, xCol: String,
+                    yCol: String, periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2),
+      s"periods must all be >= 2, got $periods")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val staged = df.filter(x.isNotNull && y.isNotNull)
+      .select(col(tsCol).as("_t"), x.as("_x"), y.as("_y"))
+      .withColumn("_i",
+        (row_number().over(Window.orderBy(col("_t"))) - 1).cast("double"))
+      .withColumn("_zx", col("_x") - avg(col("_x")).over(Window.partitionBy()))
+      .withColumn("_zy", col("_y") - avg(col("_y")).over(Window.partitionBy()))
+    val sums = periods.flatMap { p =>
+      val ang = col("_i") * lit(2.0 * math.Pi / p)
+      Seq(sum(col("_zx") * cos(ang)).as(s"_cx$p"),
+        sum(col("_zx") * sin(ang)).as(s"_sx$p"),
+        sum(col("_zy") * cos(ang)).as(s"_cy$p"),
+        sum(col("_zy") * sin(ang)).as(s"_sy$p"))
+    }
+    val agged = staged.agg(sums.head, sums.tail: _*)
+    val rows = periods.map { p =>
+      val sxx = col(s"_cx$p") * col(s"_cx$p") + col(s"_sx$p") * col(s"_sx$p")
+      val syy = col(s"_cy$p") * col(s"_cy$p") + col(s"_sy$p") * col(s"_sy$p")
+      val re = col(s"_cx$p") * col(s"_cy$p") + col(s"_sx$p") * col(s"_sy$p")
+      val im = col(s"_sx$p") * col(s"_cy$p") - col(s"_cx$p") * col(s"_sy$p")
+      struct(lit(p).as("period"), sxx.as("sxx"), syy.as("syy"),
+        when(sxx > 0 && syy > 0, re / sqrt(sxx * syy)).as("re_norm"),
+        when(sxx > 0 && syy > 0, im / sqrt(sxx * syy)).as("im_norm"))
+    }
+    agged.select(explode(array(rows: _*)).as("_e"))
+      .select(col("_e.period").as("period"), col("_e.sxx").as("sxx"),
+        col("_e.syy").as("syy"), col("_e.re_norm").as("re_norm"),
+        col("_e.im_norm").as("im_norm"))
+  }
+
+  /** Detrended cross-correlation analysis ρ_DCCA (Podobnik & Stanley
+    * 2008; Zebende 2011): [[dfa]] run on TWO series at once — integrate
+    * both centered series into profiles, per box OLS-detrend each
+    * against the time index, and correlate the RESIDUALS:
+    *   ρ_DCCA(s) = ΣresX·resY / √(ΣresX² · ΣresY²)  over all boxes of
+    * size s. Detrending first means ρ measures co-movement of the
+    * FLUCTUATIONS, immune to both series sharing a trend — the fix for
+    * spurious correlation between two drifting metrics. Same
+    * explode/groupBy plan as dfa with 3 residual closed forms per box.
+    * Output: one row per s (s, nboxes, rho).
+    */
+  def dcca(df: DataFrame, tsCol: String, xCol: String, yCol: String,
+           boxSizes: Seq[Int]): DataFrame = {
+    require(boxSizes.nonEmpty && boxSizes.forall(_ >= 3),
+      s"box sizes must all be >= 3, got $boxSizes")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = df.filter(x.isNotNull && y.isNotNull)
+      .select(col(tsCol).as("_t"), x.as("_x"), y.as("_y"))
+      .withColumn("_k",
+        row_number().over(Window.orderBy(col("_t"))).cast("double"))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_a",
+        sum(col("_x")).over(wCum) - col("_k") * avg(col("_x")).over(wAll))
+      .withColumn("_b",
+        sum(col("_y")).over(wCum) - col("_k") * avg(col("_y")).over(wAll))
+    val boxed = staged
+      .select(col("_k"), col("_a"), col("_b"), col("_n"),
+        explode(array(boxSizes.map(lit): _*)).as("_s"))
+      .withColumn("_box", floor((col("_k") - 1) / col("_s")))
+      .filter(col("_box") < floor(col("_n") / col("_s")))
+    val perBox = boxed.groupBy(col("_s"), col("_box"))
+      .agg(count(lit(1)).cast("double").as("_m"),
+        sum(col("_k")).as("_sk"), sum(col("_k") * col("_k")).as("_skk"),
+        sum(col("_a")).as("_sa"), sum(col("_b")).as("_sb"),
+        sum(col("_k") * col("_a")).as("_ska"),
+        sum(col("_k") * col("_b")).as("_skb"),
+        sum(col("_a") * col("_a")).as("_saa"),
+        sum(col("_b") * col("_b")).as("_sbb"),
+        sum(col("_a") * col("_b")).as("_sab"))
+    val skk = col("_skk") - col("_sk") * col("_sk") / col("_m")
+    val ska = col("_ska") - col("_sk") * col("_sa") / col("_m")
+    val skb = col("_skb") - col("_sk") * col("_sb") / col("_m")
+    val resAA = (col("_saa") - col("_sa") * col("_sa") / col("_m")) -
+      ska * ska / skk
+    val resBB = (col("_sbb") - col("_sb") * col("_sb") / col("_m")) -
+      skb * skb / skk
+    val resAB = (col("_sab") - col("_sa") * col("_sb") / col("_m")) -
+      ska * skb / skk
+    perBox
+      .withColumn("_raa", resAA).withColumn("_rbb", resBB)
+      .withColumn("_rab", resAB)
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("nboxes"), sum(col("_raa")).as("_taa"),
+        sum(col("_rbb")).as("_tbb"), sum(col("_rab")).as("_tab"))
+      .select(col("_s").as("s"), col("nboxes"),
+        when(col("_taa") > 0 && col("_tbb") > 0,
+          col("_tab") / sqrt(col("_taa") * col("_tbb"))).as("rho"))
+  }
+
   def spiegelhalterZ(df: DataFrame, yCol: String, pCol: String): DataFrame = {
     val y = col(yCol).cast("double")
     val p = col(pCol).cast("double")

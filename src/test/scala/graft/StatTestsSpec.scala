@@ -1173,6 +1173,84 @@ class StatTestsSpec extends SparkSuite {
     assert(approxEq(r.getAs[Double]("mean_tkeo"), 0.0, 1e-12))
   }
 
+  test("archLm: lag-1 square regression matches hand sums") {
+    val v = Seq(0.0, 2, 0, 4, 0, 2)
+    val df = v.indices.map(i => (ts(i), v(i))).toDF("t", "v")
+    val mu = v.sum / v.length
+    val sq = v.map(x => (x - mu) * (x - mu))
+    val pairs = sq.init.zip(sq.tail) // (sp, s)
+    val m = pairs.length.toDouble
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val cov = sxy - sx * sy / m
+    val r2 = cov * cov / ((sxx - sx * sx / m) * (syy - sy * sy / m))
+    val r = StatTests.archLm(df, "t", "v").collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 5L)
+    assert(approxEq(r.getAs[Double]("r2"), r2, 1e-9))
+    assert(approxEq(r.getAs[Double]("lm"), m * r2, 1e-9))
+  }
+
+  test("extremalIndex: clustered exceedances give theta = 16/35") {
+    // exceedances at i = 1..5 and 14: gaps 1,1,1,1,9 -> big-gap branch:
+    // theta = 2*8^2/(5*56) = 16/35
+    val exceed = Set(1, 2, 3, 4, 5, 14)
+    val df = (1 to 20).map(i =>
+      (ts(i), if (exceed(i)) 9.0 else 0.0)).toDF("t", "v")
+    val r = StatTests.extremalIndex(df, "t", "v", 0.5).collect()(0)
+    assert(r.getAs[Long]("n_exceed") === 6L)
+    assert(approxEq(r.getAs[Double]("threshold"), 0.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("theta"), 16.0 / 35, 1e-12))
+  }
+
+  test("meanExcess: {1,5,10} at u = 0 and 4") {
+    val df = Seq(1.0, 5.0, 10.0).map(Tuple1(_)).toDF("v")
+    val rows = StatTests.meanExcess(df, "v", Seq(0.0, 4.0)).collect()
+      .map(r => r.getAs[Double]("u") -> r).toMap
+    assert(rows(0.0).getAs[Long]("n_exceed") === 3L)
+    assert(approxEq(rows(0.0).getAs[Double]("mean_excess"), 16.0 / 3, 1e-12))
+    assert(rows(4.0).getAs[Long]("n_exceed") === 2L)
+    assert(approxEq(rows(4.0).getAs[Double]("mean_excess"), 3.5, 1e-12))
+  }
+
+  test("qqDecomp: affine arm B = 2A + 3 recovers slope/intercept, r2 = 1") {
+    val a = (1 to 5).map(v => ("a", v.toDouble))
+    val b = (1 to 5).map(v => ("b", 2.0 * v + 3))
+    val df = (a ++ b).toDF("arm", "v")
+    val r = StatTests.qqDecomp(df, "arm", "a", "b", "v",
+      Seq(0.25, 0.5, 0.75)).collect()(0)
+    assert(r.getAs[Long]("n_q") === 3L)
+    assert(approxEq(r.getAs[Double]("slope"), 2.0, 1e-9))
+    assert(approxEq(r.getAs[Double]("intercept"), 3.0, 1e-9))
+    assert(approxEq(r.getAs[Double]("r2"), 1.0, 1e-12))
+  }
+
+  test("crossSpectrum: quarter-cycle lag gives re_norm = 0, im_norm = -1") {
+    val x = Seq(1.0, 0, -1, 0, 1, 0, -1, 0)
+    val y = Seq(0.0, 1, 0, -1, 0, 1, 0, -1)
+    val df = x.indices.map(i => (ts(i), x(i), y(i))).toDF("t", "x", "y")
+    val r = StatTests.crossSpectrum(df, "t", "x", "y", Seq(4)).collect()(0)
+    assert(r.getAs[Int]("period") === 4)
+    assert(approxEq(r.getAs[Double]("sxx"), 16.0, 1e-9))
+    assert(approxEq(r.getAs[Double]("syy"), 16.0, 1e-9))
+    assert(approxEq(r.getAs[Double]("re_norm"), 0.0, 1e-9))
+    assert(approxEq(r.getAs[Double]("im_norm"), -1.0, 1e-9))
+  }
+
+  test("dcca: exact linear coupling gives rho = +-1") {
+    val x = Seq(1.0, 3, 1, 3, 1, 3, 1, 3)
+    val df = x.indices.map(i => (ts(i), x(i), 2 * x(i)))
+      .toDF("t", "x", "y")
+    val r = StatTests.dcca(df, "t", "x", "y", Seq(4)).collect()(0)
+    assert(r.getAs[Long]("nboxes") === 2L)
+    assert(approxEq(r.getAs[Double]("rho"), 1.0, 1e-12))
+    val anti = x.indices.map(i => (ts(i), x(i), 10 - 2 * x(i)))
+      .toDF("t", "x", "y")
+    val ra = StatTests.dcca(anti, "t", "x", "y", Seq(4)).collect()(0)
+    assert(approxEq(ra.getAs[Double]("rho"), -1.0, 1e-12))
+  }
+
   test("bws: fully separated 2x2 hand golden 1.6875") {
     // A = {1,2}, B = {3,4}: B_A = (9/8 + 9/2)/2, B_B = (9/8)/2
     val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 3.0, 3L),
