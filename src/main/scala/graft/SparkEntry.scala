@@ -6601,6 +6601,69 @@ object SparkEntry {
           sum((col("event_type") === "purchase").cast("long")).as("y"))
       graft.operators.StatTests.dcca(daily, "d", "x", "y", Seq(4, 8, 16))
         .select(col("s"), col("nboxes"), r6(col("rho")).as("rho"))
+    }),
+
+    // dispersion entropy (3 quantile classes, pairs) of the hourly mean
+    // value — amplitude-aware sibling of permutation entropy
+    "q476_dispersion_entropy" -> ((s, dir) => {
+      val hourly = ev(s, dir).filter(col("value").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(avg(col("value")).as("m"))
+      graft.operators.StatTests.dispersionEntropy(hourly, "h", "m", 3, 2)
+        .select(col("t"), col("n_distinct"), r6(col("h_norm")).as("h_norm"))
+    }),
+
+    // Goh-Barabasi burstiness B and memory M of purchase inter-event
+    // times: Poisson (0,0), cron (-1,.), cascading retries (+,+)
+    "q477_burstiness" -> ((s, dir) => {
+      val pur = ev(s, dir).filter(col("event_type") === "purchase")
+      graft.operators.StatTests.burstiness(pur, "ts")
+        .select(col("n_gaps"), r6(col("b")).as("b"), r6(col("mem")).as("mem"))
+    }),
+
+    // runs-declustered POT cluster census of hourly max-value spikes
+    // (p90 threshold, run gap 3) — the operational view of q471's theta
+    "q478_pot_clusters" -> ((s, dir) => {
+      val hourly = ev(s, dir).filter(col("value").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(max(col("value")).as("mx"))
+      graft.operators.StatTests.potClusters(hourly, "h", "mx", 0.9, 3)
+        .select(col("n_exceed"), col("n_clusters"),
+          r6(col("mean_size")).as("mean_size"), col("max_size"))
+    }),
+
+    // seasonal Mann-Kendall by day-of-week: trend with the weekly cycle
+    // removed by construction (pairs never straddle seasons)
+    "q479_seasonal_mk" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("sea", dayofweek(col("d")))
+      graft.operators.StatTests.seasonalMannKendall(daily, "sea", "d", "cnt")
+        .select(col("n"), col("n_seasons"), col("s"), r6(col("z")).as("z"))
+    }),
+
+    // Fisher's g over candidate-period powers of the daily series: is
+    // the dominant period REAL or flat-spectrum luck? (exact p-value)
+    "q480_fisher_g" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.fisherG(daily, "d", "cnt",
+          Seq(3, 4, 5, 7, 14, 30))
+        .select(col("n"), r6(col("g_stat")).as("g_stat"),
+          r6(col("p_value")).as("p_value"))
+    }),
+
+    // zero-inflated Poisson moment fit of per-user purchase counts:
+    // are the zeros structural or Poisson luck?
+    "q481_zip_fit" -> ((s, dir) => {
+      val perUser = ev(s, dir).groupBy(col("user_id"))
+        .agg(sum((col("event_type") === "purchase").cast("long")).as("pc"))
+      graft.operators.StatTests.zipFit(perUser, "pc")
+        .select(col("n"), r6(col("mean")).as("mean_"),
+          r6(col("var_")).as("var_"), r6(col("lambda_")).as("lambda_"),
+          r6(col("pi_")).as("pi_"))
     })
   )
 
@@ -15763,7 +15826,134 @@ object SparkEntry {
         |SELECT s, count(*)::BIGINT AS nboxes,
         |  round(CASE WHEN sum(raa) > 0 AND sum(rbb) > 0 THEN
         |    sum(rab)/sqrt(sum(raa)*sum(rbb)) END, 6) AS rho
-        |FROM r GROUP BY 1""".stripMargin
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // ntile(3) classes on (m, h); base-3 pair patterns; exact counts
+    "q476_dispersion_entropy" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, avg(value) AS m
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |cls AS (SELECT h, ntile(3) OVER (ORDER BY m, h)::BIGINT AS c
+        |  FROM hourly),
+        |emb AS (SELECT c, lead(c) OVER (ORDER BY h) AS c1 FROM cls),
+        |pat AS (SELECT c*3 + c1 AS p, count(*) AS cnt FROM emb
+        |  WHERE c1 IS NOT NULL GROUP BY 1),
+        |a AS (SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS n_distinct,
+        |    sum(cnt::DOUBLE*ln(cnt::DOUBLE)) AS slnc FROM pat)
+        |SELECT t, n_distinct,
+        |  round((ln(t::DOUBLE) - slnc/t::DOUBLE)/(2*ln(3)), 6) AS h_norm
+        |FROM a""".stripMargin,
+
+    // inter-event gap moments; lag-paired correlation for memory
+    "q477_burstiness" ->
+      """WITH p AS (SELECT epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'purchase' AND ts IS NOT NULL),
+        |g0 AS (SELECT us, lag(us) OVER (ORDER BY us) AS prev FROM p),
+        |g1 AS (SELECT (us - prev)::DOUBLE/1e6 AS g, us FROM g0
+        |  WHERE prev IS NOT NULL),
+        |g2 AS (SELECT g, lead(g) OVER (ORDER BY us) AS gn FROM g1),
+        |a AS (SELECT count(*)::DOUBLE AS n, sum(g) AS s1, sum(g*g) AS s2,
+        |    sum(CASE WHEN gn IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE AS m,
+        |    sum(CASE WHEN gn IS NOT NULL THEN g ELSE 0 END) AS px,
+        |    sum(CASE WHEN gn IS NOT NULL THEN gn ELSE 0 END) AS py,
+        |    sum(CASE WHEN gn IS NOT NULL THEN g*gn ELSE 0 END) AS pxy,
+        |    sum(CASE WHEN gn IS NOT NULL THEN g*g ELSE 0 END) AS pxx,
+        |    sum(CASE WHEN gn IS NOT NULL THEN gn*gn ELSE 0 END) AS pyy
+        |  FROM g2)
+        |SELECT n::BIGINT AS n_gaps,
+        |  round(CASE WHEN sqrt(s2/n - (s1/n)*(s1/n)) + s1/n > 0 THEN
+        |    (sqrt(s2/n - (s1/n)*(s1/n)) - s1/n)
+        |    /(sqrt(s2/n - (s1/n)*(s1/n)) + s1/n) END, 6) AS b,
+        |  round(CASE WHEN (pxx - px*px/m) > 0 AND (pyy - py*py/m) > 0 THEN
+        |    (pxy - px*py/m)/sqrt((pxx - px*px/m)*(pyy - py*py/m)) END, 6)
+        |    AS mem
+        |FROM a""".stripMargin,
+
+    // cumulative new-cluster indicators over exceedance positions
+    "q478_pot_clusters" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+        |    max(value) AS mx FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1),
+        |st AS (SELECT mx, row_number() OVER (ORDER BY h) AS i,
+        |    quantile_cont(mx, 0.9) OVER () AS u FROM hourly),
+        |e AS (SELECT i FROM st WHERE mx > u),
+        |n1 AS (SELECT i, CASE WHEN lag(i) OVER (ORDER BY i) IS NULL
+        |      OR i - lag(i) OVER (ORDER BY i) > 3 THEN 1 ELSE 0 END AS nw
+        |  FROM e),
+        |c AS (SELECT sum(nw) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS cl FROM n1),
+        |pc AS (SELECT cl, count(*) AS sz FROM c GROUP BY 1)
+        |SELECT sum(sz)::BIGINT AS n_exceed, count(*)::BIGINT AS n_clusters,
+        |  round(sum(sz)::DOUBLE/count(*)::DOUBLE, 6) AS mean_size,
+        |  max(sz)::BIGINT AS max_size
+        |FROM pc""".stripMargin,
+
+    // within-season sign pairs; combined S, summed variances
+    "q479_seasonal_mk" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |sd AS (SELECT dayofweek(d) AS sea, d, cnt::DOUBLE AS y FROM daily),
+        |pairs AS (SELECT a.sea, sign(b.y - a.y)::BIGINT AS sg
+        |  FROM sd a JOIN sd b ON a.sea = b.sea AND b.d > a.d),
+        |ps AS (SELECT sea, sum(sg) AS s FROM pairs GROUP BY 1),
+        |ns AS (SELECT sea, count(*) AS nsea FROM sd GROUP BY 1),
+        |j AS (SELECT coalesce(ps.s, 0) AS s, ns.nsea FROM ns
+        |  LEFT JOIN ps USING (sea)),
+        |a AS (SELECT sum(nsea)::BIGINT AS n, count(*)::BIGINT AS n_seasons,
+        |    sum(s)::BIGINT AS s,
+        |    sum(nsea*(nsea - 1)*(nsea*2 + 5)/18.0) AS var FROM j)
+        |SELECT n, n_seasons, s,
+        |  round(CASE WHEN var > 0 THEN (s - sign(s::DOUBLE))/sqrt(var)
+        |    END, 6) AS z
+        |FROM a""".stripMargin,
+
+    // Schuster powers at 6 candidates; exact Fisher-g null p-value via
+    // the truncated alternating-binomial sum (max(0, 1-jg)^5 terms)
+    "q480_fisher_g" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT cnt::DOUBLE AS v,
+        |    (row_number() OVER (ORDER BY d) - 1)::DOUBLE AS t FROM daily),
+        |c AS (SELECT t, v - avg(v) OVER () AS z FROM st),
+        |a AS (SELECT count(*) AS n,
+        |    sum(z*cos(t*(2.0*pi()/3))) AS c3, sum(z*sin(t*(2.0*pi()/3))) AS s3,
+        |    sum(z*cos(t*(2.0*pi()/4))) AS c4, sum(z*sin(t*(2.0*pi()/4))) AS s4,
+        |    sum(z*cos(t*(2.0*pi()/5))) AS c5, sum(z*sin(t*(2.0*pi()/5))) AS s5,
+        |    sum(z*cos(t*(2.0*pi()/7))) AS c7, sum(z*sin(t*(2.0*pi()/7))) AS s7,
+        |    sum(z*cos(t*(2.0*pi()/14))) AS c14, sum(z*sin(t*(2.0*pi()/14))) AS s14,
+        |    sum(z*cos(t*(2.0*pi()/30))) AS c30, sum(z*sin(t*(2.0*pi()/30))) AS s30
+        |  FROM c),
+        |pw AS (SELECT n, c3*c3 + s3*s3 AS p3, c4*c4 + s4*s4 AS p4,
+        |    c5*c5 + s5*s5 AS p5, c7*c7 + s7*s7 AS p7,
+        |    c14*c14 + s14*s14 AS p14, c30*c30 + s30*s30 AS p30 FROM a),
+        |g AS (SELECT n, CASE WHEN p3 + p4 + p5 + p7 + p14 + p30 > 0 THEN
+        |    greatest(p3, p4, p5, p7, p14, p30)
+        |    /(p3 + p4 + p5 + p7 + p14 + p30) END AS gs FROM pw),
+        |t AS (SELECT n, gs,
+        |    greatest(0.0, 1.0 - gs*1) AS b1, greatest(0.0, 1.0 - gs*2) AS b2,
+        |    greatest(0.0, 1.0 - gs*3) AS b3, greatest(0.0, 1.0 - gs*4) AS b4,
+        |    greatest(0.0, 1.0 - gs*5) AS b5, greatest(0.0, 1.0 - gs*6) AS b6
+        |  FROM g)
+        |SELECT n::BIGINT AS n, round(gs, 6) AS g_stat,
+        |  round(CASE WHEN gs IS NOT NULL THEN
+        |    6.0*(b1*b1*b1*b1*b1) - 15.0*(b2*b2*b2*b2*b2)
+        |    + 20.0*(b3*b3*b3*b3*b3) - 15.0*(b4*b4*b4*b4*b4)
+        |    + 6.0*(b5*b5*b5*b5*b5) - 1.0*(b6*b6*b6*b6*b6) END, 6)
+        |    AS p_value
+        |FROM t""".stripMargin,
+
+    // ZIP method of moments: lambda = (v + m^2 - m)/m, pi = 1 - m/lambda
+    "q481_zip_fit" ->
+      """WITH pu AS (SELECT user_id, sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS pc FROM events GROUP BY 1),
+        |a AS (SELECT count(*)::DOUBLE AS n, sum(pc::DOUBLE) AS s1,
+        |    sum(pc::DOUBLE*pc::DOUBLE) AS s2 FROM pu),
+        |m AS (SELECT n, s1/n AS mean, s2/n - (s1/n)*(s1/n) AS var FROM a),
+        |l AS (SELECT n, mean, var, CASE WHEN mean > 0 THEN
+        |    (var + mean*mean - mean)/mean END AS lambda FROM m)
+        |SELECT n::BIGINT AS n, round(mean, 6) AS mean_,
+        |  round(var, 6) AS var_, round(lambda, 6) AS lambda_,
+        |  round(CASE WHEN lambda > 0 THEN 1.0 - mean/lambda END, 6) AS pi_
+        |FROM l""".stripMargin
   )
 
   /** q430's oracle: the same 24-bin pivot + Fourier-1 folds as

@@ -3590,6 +3590,241 @@ object StatTests {
           col("_tab") / sqrt(col("_taa") * col("_tbb"))).as("rho"))
   }
 
+  /** Dispersion entropy (Rostaghi & Azami 2016, quantile-class variant):
+    * map each value to one of m classes by exact rank (`ntile(m)` over a
+    * deterministic (value, ts) order — integer-exact, no Gaussian CDF),
+    * embed d consecutive classes into a pattern, and take the
+    * Shannon entropy of the pattern distribution normalized by
+    * ln(m^d) ∈ (0, 1]. The class-based sibling of permutation entropy:
+    * it sees AMPLITUDE structure (which ordinal patterns discard) while
+    * staying fully rank-robust. Pattern counts are exact integers; one
+    * ntile window + d−1 leads + one groupBy. Output: one row
+    * (t = patterns, n_distinct, h_norm).
+    */
+  def dispersionEntropy(df: DataFrame, tsCol: String, valCol: String,
+                        m: Int, d: Int): DataFrame = {
+    require(m >= 2, s"classes m must be >= 2, got $m")
+    require(d >= 2 && d <= 4, s"embedding d must be in [2,4], got $d")
+    val v = col(valCol).cast("double")
+    val wT = Window.orderBy(col("_t"))
+    val base = df.filter(v.isNotNull)
+      .select(col(tsCol).as("_t"), v.as("_v"))
+      .withColumn("_c",
+        ntile(m).over(Window.orderBy(col("_v"), col("_t"))).cast("long"))
+    val emb = (1 until d).foldLeft(base) { (acc, j) =>
+      acc.withColumn(s"_c$j", lead(col("_c"), j).over(wT))
+    }
+    val patCol = (1 until d).foldLeft(col("_c")) { (acc, j) =>
+      acc * m + col(s"_c$j")
+    }
+    val pats = emb.filter((1 until d).map(j => col(s"_c$j").isNotNull)
+        .reduce(_ && _))
+      .select(patCol.as("_pat"))
+      .groupBy(col("_pat")).agg(count(lit(1)).as("_cnt"))
+    pats.agg(sum(col("_cnt")).as("t"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("_cnt").cast("double") *
+          log(col("_cnt").cast("double"))).as("_slnc"))
+      .select(col("t"), col("n_distinct"),
+        ((log(col("t").cast("double")) -
+          col("_slnc") / col("t").cast("double")) /
+          lit(d * math.log(m.toDouble))).as("h_norm"))
+  }
+
+  /** Burstiness and memory of an event stream (Goh & Barabási 2008):
+    * over the inter-event times τ_i (seconds, exact µs differences),
+    *   B = (σ − μ)/(σ + μ)   (−1 periodic, 0 Poisson, →1 bursty),
+    *   M = corr(τ_i, τ_{i+1}) (do long gaps follow long gaps?).
+    * The (B, M) pair is the standard two-axis classification of
+    * human/machine activity streams — a Poisson process sits at (0, 0),
+    * cron jobs at (−1, ·), cascading retries in the (+, +) quadrant.
+    * Population moments from one sums pass; M from the lag-paired sums.
+    * Output: one row (n_gaps, b, mem).
+    */
+  def burstiness(df: DataFrame, tsCol: String): DataFrame = {
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val gaps = df.filter(col(tsCol).isNotNull)
+      .select(us.as("_us"))
+      .withColumn("_prev", lag(col("_us"), 1).over(Window.orderBy(col("_us"))))
+      .filter(col("_prev").isNotNull)
+      .withColumn("_g", (col("_us") - col("_prev")).cast("double") / 1e6)
+      .withColumn("_gn", lead(col("_g"), 1).over(Window.orderBy(col("_us"))))
+    val agged = gaps.agg(count(lit(1)).cast("double").as("_n"),
+      sum(col("_g")).as("_s1"), sum(col("_g") * col("_g")).as("_s2"),
+      sum(when(col("_gn").isNotNull, 1L).otherwise(0L))
+        .cast("double").as("_m"),
+      sum(when(col("_gn").isNotNull, col("_g")).otherwise(0.0)).as("_px"),
+      sum(when(col("_gn").isNotNull, col("_gn")).otherwise(0.0)).as("_py"),
+      sum(when(col("_gn").isNotNull, col("_g") * col("_gn"))
+        .otherwise(0.0)).as("_pxy"),
+      sum(when(col("_gn").isNotNull, col("_g") * col("_g"))
+        .otherwise(0.0)).as("_pxx"),
+      sum(when(col("_gn").isNotNull, col("_gn") * col("_gn"))
+        .otherwise(0.0)).as("_pyy"))
+    val mu = col("_s1") / col("_n")
+    val sig = sqrt(col("_s2") / col("_n") - mu * mu)
+    val covP = col("_pxy") - col("_px") * col("_py") / col("_m")
+    val vxP = col("_pxx") - col("_px") * col("_px") / col("_m")
+    val vyP = col("_pyy") - col("_py") * col("_py") / col("_m")
+    agged
+      .withColumn("b", when(sig + mu > 0, (sig - mu) / (sig + mu)))
+      .withColumn("mem", when(vxP > 0 && vyP > 0, covP / sqrt(vxP * vyP)))
+      .select(col("_n").cast("bigint").as("n_gaps"), col("b"), col("mem"))
+  }
+
+  /** Peaks-over-threshold runs declustering (Smith 1989): exceedances of
+    * the exact p-quantile belong to the same cluster when separated by
+    * ≤ runGap positions; a gap > runGap starts a new cluster. Reports
+    * the cluster census — the operational companion of
+    * [[extremalIndex]] (θ estimates 1/mean-cluster-size; this SHOWS the
+    * clusters): n_exceed, n_clusters, mean_size, max_size. Cluster ids
+    * are a cumulative sum of integer gap indicators (exact); one sort
+    * window over the bounded exceedance set. Output: one row.
+    */
+  def potClusters(df: DataFrame, tsCol: String, valCol: String,
+                  p: Double, runGap: Int): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    require(runGap >= 1, s"runGap must be >= 1, got $runGap")
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .select(col(tsCol).as("_t"), v.as("_v"))
+      .withColumn("_i", row_number().over(Window.orderBy(col("_t"))))
+      .withColumn("_u",
+        percentile(col("_v"), lit(p)).over(Window.partitionBy()))
+    val exceed = staged.filter(col("_v") > col("_u"))
+      .withColumn("_prev", lag(col("_i"), 1).over(Window.orderBy(col("_i"))))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("_i") - col("_prev") > runGap, 1L)
+          .otherwise(0L))
+      .withColumn("_cl", sum(col("_new")).over(Window.orderBy(col("_i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perCluster = exceed.groupBy(col("_cl"))
+      .agg(count(lit(1)).as("_size"))
+    perCluster.agg(sum(col("_size")).as("n_exceed"),
+        count(lit(1)).as("n_clusters"),
+        (sum(col("_size")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_size"),
+        max(col("_size")).as("max_size"))
+      .select(col("n_exceed"), col("n_clusters"), col("mean_size"),
+        col("max_size"))
+  }
+
+  /** Seasonal Mann–Kendall trend test (Hirsch & Slack 1984): run the MK
+    * sign-pair count WITHIN each season (pairs never straddle seasons,
+    * so a pure weekly cycle contributes exactly zero), then combine:
+    *   S = Σ_s S_s,  Var = Σ_s n_s(n_s−1)(2n_s+5)/18,
+    *   Z = (S − sign S)/√Var.
+    * THE standard trend test for seasonal series — plain MK mistakes
+    * seasonality for trend; this is immune by construction. One
+    * within-season self-join on the bounded pre-aggregated series.
+    * Output: one row (n, n_seasons, s, z).
+    */
+  def seasonalMannKendall(df: DataFrame, seasonCol: String, tsCol: String,
+                          valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = df.filter(v.isNotNull)
+      .select(col(seasonCol).as("_sea"), col(tsCol).as("_t"), v.as("_y"))
+    val b = base.select(col("_sea").as("_sea2"), col("_t").as("_t2"),
+      col("_y").as("_y2"))
+    val sPerSeason = base.join(b,
+        col("_sea") === col("_sea2") && col("_t2") > col("_t"))
+      .groupBy(col("_sea").as("_sea3"))
+      .agg(sum(signum(col("_y2") - col("_y")).cast("long")).as("_sraw"))
+    // left join from the count side so single-observation seasons (zero
+    // pairs) still contribute their n_s to the variance term
+    val perSeason = base.groupBy(col("_sea"))
+      .agg(count(lit(1)).as("_ns"))
+      .join(sPerSeason, col("_sea") === col("_sea3"), "left")
+      .withColumn("_s", coalesce(col("_sraw"), lit(0L)))
+    val agged = perSeason.agg(sum(col("_ns")).as("n"),
+      count(lit(1)).as("n_seasons"), sum(col("_s")).as("s"),
+      sum(col("_ns") * (col("_ns") - 1) * (col("_ns") * 2 + 5) / lit(18.0))
+        .as("_var"))
+    agged
+      .withColumn("z", when(col("_var") > 0,
+        (col("s") - signum(col("s").cast("double"))) / sqrt(col("_var"))))
+      .select(col("n"), col("n_seasons"), col("s"), col("z"))
+  }
+
+  /** Fisher's g test for a hidden periodicity (Fisher 1929) over a
+    * literal candidate-period set: with Schuster powers P₁…P_N,
+    *   g = max P / Σ P,
+    *   p = Σ_{j=1}^{N} (−1)^{j−1} C(N,j)·max(0, 1−jg)^{N−1},
+    * the EXACT null distribution of the largest normalized ordinate
+    * (the max(0,·) truncation implements the ⌊1/g⌋ limit). This is the
+    * significance test [[graft.operators.Features.dominantPeriod]]
+    * lacks: it says whether the winning period is real or what a flat
+    * spectrum would produce anyway. The binomial coefficients and the
+    * (N−1)-power expand to literal chains — pure arithmetic, no special
+    * functions. Output: one row (n, g_stat, p_value).
+    */
+  def fisherG(df: DataFrame, tsCol: String, valCol: String,
+              periods: Seq[Int]): DataFrame = {
+    require(periods.size >= 2 && periods.forall(_ >= 2),
+      s"need >= 2 candidate periods all >= 2, got $periods")
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .select(col(tsCol).as("_t"), v.as("_v"))
+      .withColumn("_i",
+        (row_number().over(Window.orderBy(col("_t"))) - 1).cast("double"))
+      .withColumn("_z", col("_v") - avg(col("_v")).over(Window.partitionBy()))
+    val sums = periods.flatMap { p =>
+      val ang = col("_i") * lit(2.0 * math.Pi / p)
+      Seq(sum(col("_z") * cos(ang)).as(s"_c$p"),
+        sum(col("_z") * sin(ang)).as(s"_s$p"))
+    }
+    val aggs = Seq(count(lit(1)).as("n")) ++ sums
+    val agged = staged.agg(aggs.head, aggs.tail: _*)
+    val powers = periods.map(p =>
+      col(s"_c$p") * col(s"_c$p") + col(s"_s$p") * col(s"_s$p"))
+    val total = powers.reduce(_ + _)
+    val gCol = when(total > 0, greatest(powers: _*) / total)
+    val nCand = periods.size
+    def choose(n: Int, k: Int): Double =
+      (1 to k).map(i => (n - i + 1).toDouble / i).product
+    def intPow(c: Column, e: Int): Column =
+      (1 until e).foldLeft(c)((acc, _) => acc * c)
+    val pTerms = (1 to nCand).map { j =>
+      val base = greatest(lit(0.0), lit(1.0) - col("g_stat") * j)
+      lit(if (j % 2 == 1) choose(nCand, j) else -choose(nCand, j)) *
+        intPow(base, nCand - 1)
+    }
+    agged
+      .withColumn("g_stat", gCol)
+      .withColumn("p_value",
+        when(col("g_stat").isNotNull, pTerms.reduce(_ + _)))
+      .select(col("n"), col("g_stat"), col("p_value"))
+  }
+
+  /** Zero-inflated Poisson moment fit (ZIP MoM): for a count variable
+    * with mean m and population variance v,
+    *   λ̂ = (v + m² − m)/m,  π̂ = 1 − m/λ̂,
+    * the closed-form method-of-moments answer to "are the zeros
+    * structural or just Poisson luck?" — π̂ ≈ 0 means plain Poisson
+    * (q-Fano ≈ 1 agrees); π̂ → 1 means a dormant-population mixture,
+    * which changes capacity math entirely. One moment pass; null when
+    * m = 0 or the implied λ ≤ 0. Output: one row
+    * (n, mean, var_, lambda_, pi_).
+    */
+  def zipFit(df: DataFrame, valCol: String): DataFrame = {
+    val x = col(valCol).cast("double")
+    val agged = df.filter(x.isNotNull)
+      .agg(count(lit(1)).cast("double").as("_n"), sum(x).as("_s1"),
+        sum(x * x).as("_s2"))
+    val m = col("_s1") / col("_n")
+    val vv = col("_s2") / col("_n") - m * m
+    agged
+      .withColumn("mean", m)
+      .withColumn("var_", vv)
+      .withColumn("lambda_", when(m > 0,
+        (col("var_") + col("mean") * col("mean") - col("mean")) /
+          col("mean")))
+      .withColumn("pi_", when(col("lambda_") > 0,
+        lit(1.0) - col("mean") / col("lambda_")))
+      .select(col("_n").cast("bigint").as("n"), col("mean"), col("var_"),
+        col("lambda_"), col("pi_"))
+  }
+
   def spiegelhalterZ(df: DataFrame, yCol: String, pCol: String): DataFrame = {
     val y = col(yCol).cast("double")
     val p = col(pCol).cast("double")

@@ -1251,6 +1251,77 @@ class StatTestsSpec extends SparkSuite {
     assert(approxEq(ra.getAs[Double]("rho"), -1.0, 1e-12))
   }
 
+  test("dispersionEntropy: monotone 1..6 with m=3 gives ln5/(2 ln3)") {
+    // classes 1,1,2,2,3,3 -> 5 distinct pair patterns, each once
+    val df = (1 to 6).map(i => (ts(i), i.toDouble)).toDF("t", "v")
+    val r = StatTests.dispersionEntropy(df, "t", "v", 3, 2).collect()(0)
+    assert(r.getAs[Long]("t") === 5L)
+    assert(r.getAs[Long]("n_distinct") === 5L)
+    assert(approxEq(r.getAs[Double]("h_norm"),
+      math.log(5.0) / (2 * math.log(3.0)), 1e-12))
+  }
+
+  test("burstiness: constant gaps -> B = -1; two gaps 1,3 -> B = -1/3") {
+    val base = 1704067200L * 1000L
+    def tf(ms: Seq[Long]) =
+      ms.map(m => Tuple1(new java.sql.Timestamp(base + m))).toDF("t")
+    val r = StatTests.burstiness(tf(Seq(0L, 60000L, 120000L, 180000L)), "t")
+      .collect()(0)
+    assert(r.getAs[Long]("n_gaps") === 3L)
+    assert(approxEq(r.getAs[Double]("b"), -1.0, 1e-9))
+    assert(r.isNullAt(r.fieldIndex("mem"))) // zero gap variance
+    val r2 = StatTests.burstiness(tf(Seq(0L, 1000L, 4000L)), "t").collect()(0)
+    assert(approxEq(r2.getAs[Double]("b"), -1.0 / 3, 1e-12))
+  }
+
+  test("potClusters: run of 5 plus isolated spike -> 2 clusters") {
+    val exceed = Set(1, 2, 3, 4, 5, 14)
+    val df = (1 to 20).map(i =>
+      (ts(i), if (exceed(i)) 9.0 else 0.0)).toDF("t", "v")
+    val r = StatTests.potClusters(df, "t", "v", 0.5, 3).collect()(0)
+    assert(r.getAs[Long]("n_exceed") === 6L)
+    assert(r.getAs[Long]("n_clusters") === 2L)
+    assert(approxEq(r.getAs[Double]("mean_size"), 3.0, 1e-12))
+    assert(r.getAs[Long]("max_size") === 5L)
+  }
+
+  test("seasonalMannKendall: rising season + flat season combine") {
+    // A: 1,2,3 -> S=3; B: 5,5,5 -> S=0; Var = 2*(3*2*11/18) = 22/3
+    val rows = Seq(("a", ts(0), 1.0), ("b", ts(1), 5.0), ("a", ts(2), 2.0),
+      ("b", ts(3), 5.0), ("a", ts(4), 3.0), ("b", ts(5), 5.0))
+    val df = rows.toDF("sea", "t", "v")
+    val r = StatTests.seasonalMannKendall(df, "sea", "t", "v").collect()(0)
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("n_seasons") === 2L)
+    assert(r.getAs[Long]("s") === 3L)
+    assert(approxEq(r.getAs[Double]("z"), 2.0 / math.sqrt(22.0 / 3), 1e-12))
+  }
+
+  test("fisherG: dominant bin significant, two equal bins give p = 1") {
+    val x = Seq(1.0, 0, -1, 0, 1, 0, -1, 0)
+    val df = x.indices.map(i => (ts(i), x(i))).toDF("t", "v")
+    val r = StatTests.fisherG(df, "t", "v", Seq(3, 4)).collect()(0)
+    val g = r.getAs[Double]("g_stat")
+    assert(g > 0.8) // period-3 bin keeps some leakage power at n = 8
+    // N = 2, g > 1/2: p = 2(1-g) exactly
+    assert(approxEq(r.getAs[Double]("p_value"), 2 * (1 - g), 1e-12))
+    val eq = (0 until 32).map(i => (ts(i),
+      math.sin(2 * math.Pi * i / 4.0 + 0.3) +
+        math.sin(2 * math.Pi * i / 8.0 + 0.3))).toDF("t", "v")
+    val re = StatTests.fisherG(eq, "t", "v", Seq(4, 8)).collect()(0)
+    assert(approxEq(re.getAs[Double]("p_value"), 1.0, 1e-6))
+  }
+
+  test("zipFit: {0,0,0,2,4} -> lambda = 7/3, pi = 17/35") {
+    val df = Seq(0.0, 0, 0, 2, 4).map(Tuple1(_)).toDF("v")
+    val r = StatTests.zipFit(df, "v").collect()(0)
+    assert(r.getAs[Long]("n") === 5L)
+    assert(approxEq(r.getAs[Double]("mean"), 1.2, 1e-12))
+    assert(approxEq(r.getAs[Double]("var_"), 2.56, 1e-12))
+    assert(approxEq(r.getAs[Double]("lambda_"), 7.0 / 3, 1e-12))
+    assert(approxEq(r.getAs[Double]("pi_"), 17.0 / 35, 1e-12))
+  }
+
   test("bws: fully separated 2x2 hand golden 1.6875") {
     // A = {1,2}, B = {3,4}: B_A = (9/8 + 9/2)/2, B_B = (9/8)/2
     val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 3.0, 3L),
