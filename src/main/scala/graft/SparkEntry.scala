@@ -6664,6 +6664,72 @@ object SparkEntry {
         .select(col("n"), r6(col("mean")).as("mean_"),
           r6(col("var_")).as("var_"), r6(col("lambda_")).as("lambda_"),
           r6(col("pi_")).as("pi_"))
+    }),
+
+    // grey GM(1,1) 3-step forecast of daily counts — the small-sample
+    // grey-systems trend model, fully closed form
+    "q482_grey_gm11" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Forecast.greyGm11(daily, "d", "cnt", 3)
+        .select(col("step"), r6(col("yhat")).as("yhat"))
+    }),
+
+    // Syntetos-Boylan ADI/CV2 demand classification of daily purchase
+    // counts: which forecaster family (SES/Croston/SBA) fits?
+    "q483_adi_cv2" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum((col("event_type") === "purchase").cast("long")).as("pc"))
+      graft.operators.StatTests.adiCv2(daily, "d", "pc")
+        .select(col("n_buckets"), col("n_demand"), col("adi"), col("cv2"),
+          col("label"))
+    }),
+
+    // generalized Hurst H(1)/H(2) over a lag ladder: is one scaling law
+    // enough, or do big jumps scale differently (multifractality)?
+    "q484_ghe" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.generalizedHurst(daily, "d", "cnt",
+          Seq(1, 2, 4, 8))
+        .select(r6(col("h1")).as("h1"), r6(col("h2")).as("h2"),
+          r6(col("mf_gap")).as("mf_gap"))
+    }),
+
+    // Mardia circular-linear correlation: does event value depend on
+    // time-of-day at all (any phase, both harmonics)?
+    "q485_circ_linear" -> ((s, dir) => {
+      val staged = ev(s, dir).filter(col("ts").isNotNull)
+        .withColumn("hr", hour(col("ts")))
+      graft.operators.StatTests.circularLinearCorr(staged, "value", "hr", 24)
+        .select(col("n"), r6(col("r_xc")).as("r_xc"),
+          r6(col("r_xs")).as("r_xs"), r6(col("r_cs")).as("r_cs"),
+          r6(col("r2")).as("r2"))
+    }),
+
+    // spectral roll-off of the daily series: the first candidate period
+    // (fast->slow) where 85% of candidate power is accumulated
+    "q486_rolloff" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.spectralRolloff(daily, "d", "cnt",
+          Seq(3, 4, 5, 7, 14, 30), 0.85)
+        .select(col("rolloff_period"), col("cum_share"), col("n"))
+    }),
+
+    // two-scale Grassberger-Procaccia correlation dimension of daily
+    // counts at integer radii 2 and 8 (exact pair counts)
+    "q487_corr_dim" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.StatTests.corrDim(daily, "d", "cnt", 2L, 8L)
+        .select(col("n_pairs"), col("c1_pairs"), col("c2_pairs"),
+          r6(col("d2")).as("d2"))
     })
   )
 
@@ -15953,7 +16019,165 @@ object SparkEntry {
         |SELECT n::BIGINT AS n, round(mean, 6) AS mean_,
         |  round(var, 6) AS var_, round(lambda, 6) AS lambda_,
         |  round(CASE WHEN lambda > 0 THEN 1.0 - mean/lambda END, 6) AS pi_
-        |FROM l""".stripMargin
+        |FROM l""".stripMargin,
+
+    // adjacent-mean OLS for (a, b); exact exponential forecast replay
+    "q482_grey_gm11" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT d, cnt::DOUBLE AS x0,
+        |    row_number() OVER (ORDER BY d) AS k,
+        |    sum(cnt::DOUBLE) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS x1 FROM daily),
+        |fst AS (SELECT x0 AS x01 FROM st WHERE k = 1),
+        |p AS (SELECT x0, (lag(x1) OVER (ORDER BY k) + x1)/2 AS z, k
+        |  FROM st),
+        |pp AS (SELECT x0, z, k FROM p WHERE z IS NOT NULL),
+        |a AS (SELECT count(*)::DOUBLE AS m, sum(z) AS sz, sum(x0) AS sx,
+        |    sum(z*x0) AS szx, sum(z*z) AS szz, max(k)::DOUBLE AS n
+        |  FROM pp),
+        |ab AS (SELECT m, n, sx, sz, CASE WHEN (szz - sz*sz/m) <> 0 THEN
+        |    -((szx - sz*sx/m)/(szz - sz*sz/m)) END AS av FROM a),
+        |ab2 AS (SELECT n, av, CASE WHEN av IS NOT NULL THEN
+        |    sx/m + av*sz/m END AS bv FROM ab),
+        |h AS (SELECT unnest([1, 2, 3]) AS step)
+        |SELECT h.step,
+        |  round(CASE WHEN av IS NOT NULL AND av <> 0 THEN
+        |    (1.0 - exp(av))*(f.x01 - bv/av)*exp(-av*(n + h.step - 1))
+        |    END, 6) AS yhat
+        |FROM ab2, fst f, h""".stripMargin,
+
+    // nonzero-demand intervals + size moments; label cut on rounded stats
+    "q483_adi_cv2" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pc
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT pc::DOUBLE AS v, row_number() OVER (ORDER BY d) AS i,
+        |    count(*) OVER () AS n FROM daily),
+        |dem AS (SELECT v, i, n, lag(i) OVER (ORDER BY i) AS ip FROM st
+        |  WHERE v <> 0),
+        |a AS (SELECT max(n) AS nb, count(*) AS nd,
+        |    avg(CASE WHEN ip IS NOT NULL THEN (i - ip)::DOUBLE END) AS adi0,
+        |    avg(v) AS mu, sum(v*v)/count(*)::DOUBLE AS m2 FROM dem),
+        |r AS (SELECT nb, nd,
+        |    sign(adi0)*floor(abs(adi0)*1e6 + 0.5)/1e6 AS adi,
+        |    CASE WHEN mu <> 0 THEN sign((m2 - mu*mu)/(mu*mu))
+        |      *floor(abs((m2 - mu*mu)/(mu*mu))*1e6 + 0.5)/1e6 END AS cv2
+        |  FROM a)
+        |SELECT nb::BIGINT AS n_buckets, nd::BIGINT AS n_demand, adi, cv2,
+        |  CASE WHEN adi IS NULL OR cv2 IS NULL THEN 'unclassified'
+        |    WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+        |    WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+        |    WHEN adi < 1.32 THEN 'erratic' ELSE 'lumpy' END AS label
+        |FROM r""".stripMargin,
+
+    // q-moment scaling slopes over the lag ladder; H(2) halves its slope
+    "q484_ghe" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT cnt::DOUBLE AS v, row_number() OVER (ORDER BY d) AS i
+        |  FROM daily),
+        |l AS (SELECT i, v, tz.tau FROM b,
+        |    (VALUES (1), (2), (4), (8)) tz(tau)),
+        |j AS (SELECT l.tau, abs(r.v - l.v) AS ad,
+        |    (r.v - l.v)*(r.v - l.v) AS sq FROM l
+        |  JOIN b r ON r.i = l.i + l.tau),
+        |pl AS (SELECT tau, avg(ad) AS k1, avg(sq) AS k2 FROM j GROUP BY 1),
+        |pt AS (SELECT ln(tau::DOUBLE) AS xl,
+        |    CASE WHEN k1 > 0 THEN ln(k1) END AS y1,
+        |    CASE WHEN k2 > 0 THEN ln(k2) END AS y2 FROM pl),
+        |s1 AS (SELECT count(y1)::DOUBLE AS m,
+        |    sum(CASE WHEN y1 IS NOT NULL THEN xl*y1 END) AS sxy,
+        |    sum(CASE WHEN y1 IS NOT NULL THEN xl END) AS sx,
+        |    sum(y1) AS sy,
+        |    sum(CASE WHEN y1 IS NOT NULL THEN xl*xl END) AS sxx FROM pt),
+        |s2 AS (SELECT count(y2)::DOUBLE AS m,
+        |    sum(CASE WHEN y2 IS NOT NULL THEN xl*y2 END) AS sxy,
+        |    sum(CASE WHEN y2 IS NOT NULL THEN xl END) AS sx,
+        |    sum(y2) AS sy,
+        |    sum(CASE WHEN y2 IS NOT NULL THEN xl*xl END) AS sxx FROM pt),
+        |f AS (SELECT
+        |    (s1.sxy - s1.sx*s1.sy/s1.m)/(s1.sxx - s1.sx*s1.sx/s1.m) AS h1,
+        |    ((s2.sxy - s2.sx*s2.sy/s2.m)/(s2.sxx - s2.sx*s2.sx/s2.m))/2
+        |      AS h2 FROM s1, s2)
+        |SELECT round(h1, 6) AS h1, round(h2, 6) AS h2,
+        |  round(h1 - h2, 6) AS mf_gap
+        |FROM f""".stripMargin,
+
+    // Mardia R^2 from the three pairwise correlations
+    "q485_circ_linear" ->
+      """WITH b AS (SELECT value AS x,
+        |    cos(hour(ts)*(2.0*pi()/24)) AS c,
+        |    sin(hour(ts)*(2.0*pi()/24)) AS s FROM events
+        |  WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |a AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(c) AS sc,
+        |    sum(s) AS ss, sum(x*c) AS sxc, sum(x*s) AS sxs,
+        |    sum(c*s) AS scs, sum(x*x) AS sxx, sum(c*c) AS scc,
+        |    sum(s*s) AS sss FROM b),
+        |r AS (SELECT n,
+        |    CASE WHEN (sxx - sx*sx/n) > 0 AND (scc - sc*sc/n) > 0 THEN
+        |      (sxc - sx*sc/n)/sqrt((sxx - sx*sx/n)*(scc - sc*sc/n)) END
+        |      AS rxc,
+        |    CASE WHEN (sxx - sx*sx/n) > 0 AND (sss - ss*ss/n) > 0 THEN
+        |      (sxs - sx*ss/n)/sqrt((sxx - sx*sx/n)*(sss - ss*ss/n)) END
+        |      AS rxs,
+        |    CASE WHEN (scc - sc*sc/n) > 0 AND (sss - ss*ss/n) > 0 THEN
+        |      (scs - sc*ss/n)/sqrt((scc - sc*sc/n)*(sss - ss*ss/n)) END
+        |      AS rcs FROM a)
+        |SELECT n::BIGINT AS n, round(rxc, 6) AS r_xc,
+        |  round(rxs, 6) AS r_xs, round(rcs, 6) AS r_cs,
+        |  round(CASE WHEN rxc IS NOT NULL AND rxs IS NOT NULL
+        |      AND rcs IS NOT NULL AND rcs*rcs < 1 THEN
+        |    (rxc*rxc + rxs*rxs - 2.0*rxc*rxs*rcs)/(1.0 - rcs*rcs) END, 6)
+        |    AS r2
+        |FROM r""".stripMargin,
+
+    // quantized power shares; cumulative walk fast->slow; first >= 0.85
+    "q486_rolloff" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT cnt::DOUBLE AS v,
+        |    (row_number() OVER (ORDER BY d) - 1)::DOUBLE AS t FROM daily),
+        |c AS (SELECT t, v - avg(v) OVER () AS z FROM st),
+        |a AS (SELECT count(*) AS n,
+        |    sum(z*cos(t*(2.0*pi()/3))) AS c3, sum(z*sin(t*(2.0*pi()/3))) AS s3,
+        |    sum(z*cos(t*(2.0*pi()/4))) AS c4, sum(z*sin(t*(2.0*pi()/4))) AS s4,
+        |    sum(z*cos(t*(2.0*pi()/5))) AS c5, sum(z*sin(t*(2.0*pi()/5))) AS s5,
+        |    sum(z*cos(t*(2.0*pi()/7))) AS c7, sum(z*sin(t*(2.0*pi()/7))) AS s7,
+        |    sum(z*cos(t*(2.0*pi()/14))) AS c14, sum(z*sin(t*(2.0*pi()/14))) AS s14,
+        |    sum(z*cos(t*(2.0*pi()/30))) AS c30, sum(z*sin(t*(2.0*pi()/30))) AS s30
+        |  FROM c),
+        |pw AS (SELECT n, c3*c3 + s3*s3 AS p3, c4*c4 + s4*s4 AS p4,
+        |    c5*c5 + s5*s5 AS p5, c7*c7 + s7*s7 AS p7,
+        |    c14*c14 + s14*s14 AS p14, c30*c30 + s30*s30 AS p30 FROM a),
+        |u AS (SELECT n, 3 AS p, p3 AS pwr FROM pw
+        |  UNION ALL SELECT n, 4, p4 FROM pw
+        |  UNION ALL SELECT n, 5, p5 FROM pw
+        |  UNION ALL SELECT n, 7, p7 FROM pw
+        |  UNION ALL SELECT n, 14, p14 FROM pw
+        |  UNION ALL SELECT n, 30, p30 FROM pw),
+        |sh AS (SELECT n, p,
+        |    floor(pwr/sum(pwr) OVER () * 1e6 + 0.5)/1e6 AS share FROM u),
+        |cm AS (SELECT n, p, sum(share) OVER (ORDER BY p ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sh)
+        |SELECT p AS rolloff_period, cum AS cum_share, n::BIGINT AS n
+        |FROM cm WHERE cum >= 0.85 ORDER BY p LIMIT 1""".stripMargin,
+
+    // exact integer pair counts at two radii; D2 = ln ratio / ln 4
+    "q487_corr_dim" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT cnt::BIGINT AS v, row_number() OVER (ORDER BY d) AS i
+        |  FROM daily),
+        |p AS (SELECT abs(a.v - c.v) AS dd FROM b a JOIN b c ON a.i < c.i),
+        |ag AS (SELECT sum(CASE WHEN dd <= 2 THEN 1 ELSE 0 END)::BIGINT
+        |      AS c1,
+        |    sum(CASE WHEN dd <= 8 THEN 1 ELSE 0 END)::BIGINT AS c2,
+        |    count(*)::BIGINT AS np FROM p)
+        |SELECT np AS n_pairs, c1 AS c1_pairs, c2 AS c2_pairs,
+        |  round(CASE WHEN c1 > 0 AND c2 > 0 THEN
+        |    ln(c2::DOUBLE/c1::DOUBLE)/ln(4.0) END, 6) AS d2
+        |FROM ag""".stripMargin
   )
 
   /** q430's oracle: the same 24-bin pivot + Fourier-1 folds as

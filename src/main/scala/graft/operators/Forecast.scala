@@ -78,6 +78,54 @@ object Forecast {
   /** Drift forecast: the line through the first and last observation,
     * extrapolated `horizon` steps. One aggregate pass + explode.
     */
+  /** Grey GM(1,1) forecast (Deng 1982) — the small-sample trend model of
+    * grey-systems theory, built for series far too short for ARIMA: with
+    * the accumulated series x1_k = Σ_{i≤k} x0_i and adjacent means
+    * z_k = (x1_{k−1} + x1_k)/2, fit the grey differential equation
+    * x0_k = −a·z_k + b by plain 2-parameter OLS (k = 2…n), then
+    *   x̂0(n+h) = (1 − e^a)·(x0_1 − b/a)·e^{−a·(n+h−1)}.
+    * Everything is closed form: one cumulative window, one lag, one sums
+    * pass, and the forecast explodes a literal horizon sequence — no
+    * iteration, no collect. Null yhat when the OLS denominator or `a`
+    * degenerates (constant series forecast flat via a → 0 guard).
+    * Output: one row per step (step, yhat).
+    */
+  def greyGm11(history: DataFrame, tsCol: String, valCol: String,
+               horizon: Int): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val v = col(valCol).cast("double")
+    val w = Window.orderBy(col("_t"))
+    val staged = history.filter(v.isNotNull)
+      .select(col(tsCol).as("_t"), v.as("_x0"))
+      .withColumn("_k", row_number().over(w))
+      .withColumn("_x1", sum(col("_x0")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_x1p", lag(col("_x1"), 1).over(w))
+      .withColumn("_first", first(col("_x0")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pairs = staged.filter(col("_x1p").isNotNull)
+      .withColumn("_z", (col("_x1p") + col("_x1")) / 2)
+    val agged = pairs.agg(count(lit(1)).cast("double").as("_m"),
+      sum(col("_z")).as("_sz"), sum(col("_x0")).as("_sx"),
+      sum(col("_z") * col("_x0")).as("_szx"),
+      sum(col("_z") * col("_z")).as("_szz"),
+      max(col("_k")).cast("double").as("_n"),
+      min(col("_first")).as("_x01"))
+    // OLS of x0 on z: slope = cov/var; a = -slope, b = intercept
+    val den = col("_szz") - col("_sz") * col("_sz") / col("_m")
+    val slope = (col("_szx") - col("_sz") * col("_sx") / col("_m")) / den
+    val withAb = agged
+      .withColumn("_a", when(den =!= 0, -slope))
+      .withColumn("_b", when(col("_a").isNotNull,
+        col("_sx") / col("_m") + col("_a") * col("_sz") / col("_m")))
+    withAb
+      .withColumn("step", explode(sequence(lit(1), lit(horizon))))
+      .withColumn("yhat", when(col("_a").isNotNull && col("_a") =!= 0,
+        (lit(1.0) - exp(col("_a"))) * (col("_x01") - col("_b") / col("_a")) *
+          exp(-col("_a") * (col("_n") + col("step") - 1))))
+      .select(col("step"), col("yhat"))
+  }
+
   def drift(history: DataFrame, keyCols: Seq[String], tsCol: String,
             valCol: String, horizon: Int, stepSeconds: Long): DataFrame = {
     require(horizon >= 1 && stepSeconds >= 1,

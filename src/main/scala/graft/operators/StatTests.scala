@@ -3825,6 +3825,226 @@ object StatTests {
         col("lambda_"), col("pi_"))
   }
 
+  /** Syntetos–Boylan demand classification (SBC 2005): over a
+    * time-bucketed demand series,
+    *   ADI = mean interval between nonzero-demand buckets,
+    *   CV² = (σ/μ)² over the nonzero demand sizes (population),
+    * and the quadrant cut at ADI 1.32 / CV² 0.49 names the right
+    * forecasting family: smooth (SES-class), intermittent (Croston),
+    * erratic (robust SES), lumpy (SBA) — the router in front of the
+    * engine's q-Croston/q-SBA/q-TSB forecasters. The label is cut on
+    * the 6-dp-rounded statistics so the classification is cross-engine
+    * stable. Output: one row (n_buckets, n_demand, adi, cv2, label).
+    */
+  def adiCv2(df: DataFrame, tsCol: String, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val demands = df.filter(v.isNotNull)
+      .select(col(tsCol).as("_t"), v.as("_v"))
+      .withColumn("_i", row_number().over(Window.orderBy(col("_t"))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("_v") =!= 0.0)
+      .withColumn("_ip", lag(col("_i"), 1).over(Window.orderBy(col("_i"))))
+    val agged = demands.agg(max(col("_n")).as("n_buckets"),
+      count(lit(1)).as("n_demand"),
+      avg(when(col("_ip").isNotNull,
+        (col("_i") - col("_ip")).cast("double"))).as("_adi"),
+      avg(col("_v")).as("_mu"),
+      (sum(col("_v") * col("_v")) / count(lit(1)).cast("double")).as("_m2"))
+    def r6c(c: Column): Column =
+      signum(c) * floor(abs(c) * 1e6 + 0.5) / 1e6
+    val withStats = agged
+      .withColumn("adi", r6c(col("_adi")))
+      .withColumn("cv2", when(col("_mu") =!= 0,
+        r6c((col("_m2") - col("_mu") * col("_mu")) /
+          (col("_mu") * col("_mu")))))
+    withStats
+      .withColumn("label",
+        when(col("adi").isNull || col("cv2").isNull, lit("unclassified"))
+          .when(col("adi") < 1.32 && col("cv2") < 0.49, lit("smooth"))
+          .when(col("adi") >= 1.32 && col("cv2") < 0.49, lit("intermittent"))
+          .when(col("adi") < 1.32, lit("erratic"))
+          .otherwise(lit("lumpy")))
+      .select(col("n_buckets"), col("n_demand"), col("adi"), col("cv2"),
+        col("label"))
+  }
+
+  /** Generalized Hurst exponents H(q) (Barabási & Vicsek 1991; Di
+    * Matteo 2007): from the q-th absolute-moment scaling of increments,
+    *   K_q(τ) = mean |x_{t+τ} − x_t|^q  ~  τ^{qH(q)},
+    * H(q) = slope of ln K_q(τ) on ln τ, divided by q, over a literal
+    * lag ladder. H(1) ≈ H(2) means monofractal (one scaling law rules
+    * all magnitudes); H(1) > H(2) means multifractal intermittency —
+    * big jumps scale differently from small ones, so ONE Hurst number
+    * (q-Hurst, q-DFA) undersells the tail risk. |Δ| for q=1 and Δ² for
+    * q=2 are exact on integer series. One explode over lags with a
+    * self-join on shifted positions, one per-lag reduction, one 2-point
+    * slope per q. Output: one row (h1, h2, mf_gap = h1 − h2).
+    */
+  def generalizedHurst(df: DataFrame, tsCol: String, valCol: String,
+                       lags: Seq[Int]): DataFrame = {
+    require(lags.size >= 2 && lags.forall(_ >= 1),
+      s"need >= 2 positive lags, got $lags")
+    val v = col(valCol).cast("double")
+    val base = df.filter(v.isNotNull)
+      .select(col(tsCol).as("_t"), v.as("_v"))
+      .withColumn("_i", row_number().over(Window.orderBy(col("_t"))))
+    val left = base.select(col("_i"), col("_v"),
+      explode(array(lags.map(lit): _*)).as("_tau"))
+    val right = base.select(col("_i").as("_i2"), col("_v").as("_v2"))
+    val perLag = left.join(right, col("_i2") === col("_i") + col("_tau"))
+      .groupBy(col("_tau"))
+      .agg(avg(abs(col("_v2") - col("_v"))).as("_k1"),
+        avg((col("_v2") - col("_v")) * (col("_v2") - col("_v"))).as("_k2"))
+      .withColumn("_xl", log(col("_tau").cast("double")))
+      .withColumn("_y1", when(col("_k1") > 0, log(col("_k1"))))
+      .withColumn("_y2", when(col("_k2") > 0, log(col("_k2"))))
+    def slope(yCol: String) = {
+      val m = count(when(col(yCol).isNotNull, 1)).cast("double")
+      (sum(when(col(yCol).isNotNull, col("_xl") * col(yCol))) -
+        sum(when(col(yCol).isNotNull, col("_xl"))) *
+          sum(col(yCol)) / m) /
+        (sum(when(col(yCol).isNotNull, col("_xl") * col("_xl"))) -
+          sum(when(col(yCol).isNotNull, col("_xl"))) *
+            sum(when(col(yCol).isNotNull, col("_xl"))) / m)
+    }
+    perLag.agg(slope("_y1").as("_h1"), (slope("_y2") / 2).as("_h2"))
+      .select(col("_h1").as("h1"), col("_h2").as("h2"),
+        (col("_h1") - col("_h2")).as("mf_gap"))
+  }
+
+  /** Mardia's circular–linear correlation (Mardia 1976): association
+    * between a linear variable x and an angle θ via the closed form
+    *   R² = (r²ₓc + r²ₓs − 2·rₓc·rₓs·r_cs) / (1 − r²_cs),
+    * with rₓc = corr(x, cos θ), rₓs = corr(x, sin θ),
+    * r_cs = corr(cos θ, sin θ). This answers "does the metric depend on
+    * time-of-day AT ALL?" without binning into hours (q-ANOVA) or
+    * assuming a single harmonic (q-cosinor): any phase, both harmonic
+    * components. θ comes from an integer bucket (hour·2π/24 — exact
+    * angles). One trig projection + one sums pass. Output: one row
+    * (n, r_xc, r_xs, r_cs, r2).
+    */
+  def circularLinearCorr(df: DataFrame, valCol: String,
+                         hourCol: String, period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val x = col(valCol).cast("double")
+    val ang = col(hourCol).cast("double") * lit(2.0 * math.Pi / period)
+    val staged = df.filter(x.isNotNull && col(hourCol).isNotNull)
+      .select(x.as("_x"), cos(ang).as("_c"), sin(ang).as("_s"))
+    val agged = staged.agg(count(lit(1)).cast("double").as("_n"),
+      sum(col("_x")).as("_sx"), sum(col("_c")).as("_sc"),
+      sum(col("_s")).as("_ss"), sum(col("_x") * col("_c")).as("_sxc"),
+      sum(col("_x") * col("_s")).as("_sxs"),
+      sum(col("_c") * col("_s")).as("_scs"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_c") * col("_c")).as("_scc"),
+      sum(col("_s") * col("_s")).as("_sss"))
+    val n = col("_n")
+    def corr(sab: Column, sa: Column, sb: Column, saa: Column,
+             sbb: Column): Column = {
+      val cov = sab - sa * sb / n
+      val va = saa - sa * sa / n
+      val vb = sbb - sb * sb / n
+      when(va > 0 && vb > 0, cov / sqrt(va * vb))
+    }
+    val rxc = corr(col("_sxc"), col("_sx"), col("_sc"), col("_sxx"),
+      col("_scc"))
+    val rxs = corr(col("_sxs"), col("_sx"), col("_ss"), col("_sxx"),
+      col("_sss"))
+    val rcs = corr(col("_scs"), col("_sc"), col("_ss"), col("_scc"),
+      col("_sss"))
+    agged
+      .withColumn("r_xc", rxc).withColumn("r_xs", rxs)
+      .withColumn("r_cs", rcs)
+      .withColumn("r2", when(col("r_xc").isNotNull &&
+          col("r_xs").isNotNull && col("r_cs").isNotNull &&
+          col("r_cs") * col("r_cs") < 1,
+        (col("r_xc") * col("r_xc") + col("r_xs") * col("r_xs") -
+          lit(2.0) * col("r_xc") * col("r_xs") * col("r_cs")) /
+          (lit(1.0) - col("r_cs") * col("r_cs"))))
+      .select(n.cast("bigint").as("n"), col("r_xc"), col("r_xs"),
+        col("r_cs"), col("r2"))
+  }
+
+  /** Spectral roll-off over a literal candidate-period ladder: walking
+    * the candidates from HIGH frequency to low (ascending period), the
+    * roll-off is the first period at which the cumulative share of
+    * Schuster power reaches `share` (e.g. 0.85) — "how much of the
+    * variance lives at fast scales?". Shares are quantized to 6 dp
+    * BEFORE the cumulative compare (the [[graft.operators.Features.dominantPeriod]]
+    * discipline: never cut a rank/threshold on raw float sums).
+    * Output: one row (rolloff_period, cum_share, n).
+    */
+  def spectralRolloff(df: DataFrame, tsCol: String, valCol: String,
+                      periods: Seq[Int], share: Double): DataFrame = {
+    require(periods.size >= 2 && periods.forall(_ >= 2),
+      s"need >= 2 candidate periods, got $periods")
+    require(share > 0 && share < 1, s"share must be in (0,1), got $share")
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .select(col(tsCol).as("_t"), v.as("_v"))
+      .withColumn("_i",
+        (row_number().over(Window.orderBy(col("_t"))) - 1).cast("double"))
+      .withColumn("_z", col("_v") - avg(col("_v")).over(Window.partitionBy()))
+    val sums = periods.flatMap { p =>
+      val ang = col("_i") * lit(2.0 * math.Pi / p)
+      Seq(sum(col("_z") * cos(ang)).as(s"_c$p"),
+        sum(col("_z") * sin(ang)).as(s"_s$p"))
+    }
+    val aggs = Seq(count(lit(1)).as("n")) ++ sums
+    val agged = staged.agg(aggs.head, aggs.tail: _*)
+    val rows = periods.map { p =>
+      struct(lit(p).as("period"),
+        (col(s"_c$p") * col(s"_c$p") + col(s"_s$p") * col(s"_s$p"))
+          .as("power"))
+    }
+    val exploded = agged
+      .select(col("n"), explode(array(rows: _*)).as("_e"))
+      .select(col("n"), col("_e.period").as("_p"), col("_e.power").as("_pw"))
+      .withColumn("_share",
+        floor(col("_pw") / sum(col("_pw")).over(Window.partitionBy()) * 1e6
+          + 0.5) / 1e6)
+      .withColumn("_cum", sum(col("_share")).over(Window.orderBy(col("_p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    exploded.filter(col("_cum") >= share)
+      .orderBy(col("_p"))
+      .limit(1)
+      .select(col("_p").as("rolloff_period"), col("_cum").as("cum_share"),
+        col("n"))
+  }
+
+  /** Grassberger–Procaccia correlation dimension, two-scale estimate
+    * (1983): with the correlation integral C(ε) = #{pairs i<j :
+    * |x_i − x_j| ≤ ε}/(n(n−1)/2) at two INTEGER radii ε₁ < ε₂,
+    *   D₂ ≈ ln(C(ε₂)/C(ε₁)) / ln(ε₂/ε₁),
+    * the attractor-dimension reading of the [[rqa]] recurrence machinery
+    * (≈ 0 for a few discrete levels, grows with dynamical complexity).
+    * Integer radii on integer-valued series keep both pair counts exact.
+    * One self-join producing both counts at once. Output: one row
+    * (n, c1_pairs, c2_pairs, d2).
+    */
+  def corrDim(df: DataFrame, tsCol: String, valCol: String,
+              eps1: Long, eps2: Long): DataFrame = {
+    require(eps1 >= 1 && eps2 > eps1, s"need 1 <= eps1 < eps2, got $eps1/$eps2")
+    val v = col(valCol).cast("long")
+    val base = df.filter(v.isNotNull)
+      .select(col(tsCol).as("_t"), v.as("_v"))
+      .withColumn("_i", row_number().over(Window.orderBy(col("_t"))))
+      .drop("_t")
+    val other = base.select(col("_i").as("_j"), col("_v").as("_vj"))
+    val pairs = base.join(other, col("_i") < col("_j"))
+      .select(abs(col("_v") - col("_vj")).as("_d"))
+    val agged = pairs.agg(
+      sum(when(col("_d") <= eps1, 1L).otherwise(0L)).as("c1_pairs"),
+      sum(when(col("_d") <= eps2, 1L).otherwise(0L)).as("c2_pairs"),
+      count(lit(1)).as("_np"))
+    agged
+      .withColumn("d2", when(col("c1_pairs") > 0 && col("c2_pairs") > 0,
+        log(col("c2_pairs").cast("double") / col("c1_pairs").cast("double")) /
+          lit(math.log(eps2.toDouble / eps1.toDouble))))
+      .select(col("_np").as("n_pairs"), col("c1_pairs"), col("c2_pairs"),
+        col("d2"))
+  }
+
   def spiegelhalterZ(df: DataFrame, yCol: String, pCol: String): DataFrame = {
     val y = col(yCol).cast("double")
     val p = col(pCol).cast("double")

@@ -1322,6 +1322,77 @@ class StatTestsSpec extends SparkSuite {
     assert(approxEq(r.getAs[Double]("pi_"), 17.0 / 35, 1e-12))
   }
 
+  test("greyGm11: exactly grey-generated series recovers the forecast") {
+    // generate x0 from the grey equation with a = 0.2, b = 10:
+    // x0_k = (b - a*x1_{k-1})/(1 + a/2); OLS recovers (a, b) exactly
+    val (a0, b0) = (0.2, 10.0)
+    val x0 = scala.collection.mutable.ArrayBuffer(1.0)
+    var x1 = 1.0
+    for (_ <- 2 to 6) {
+      val nxt = (b0 - a0 * x1) / (1 + a0 / 2)
+      x0 += nxt; x1 += nxt
+    }
+    val df = x0.toSeq.zipWithIndex.map { case (v, i) => (ts(i), v) }
+      .toDF("t", "v")
+    val rows = graft.operators.Forecast.greyGm11(df, "t", "v", 2)
+      .collect().map(r => r.getAs[Int]("step") -> r).toMap
+    val n = x0.length
+    def fc(h: Int) = (1 - math.exp(a0)) * (x0.head - b0 / a0) *
+      math.exp(-a0 * (n + h - 1))
+    assert(approxEq(rows(1).getAs[Double]("yhat"), fc(1), 1e-9))
+    assert(approxEq(rows(2).getAs[Double]("yhat"), fc(2), 1e-9))
+  }
+
+  test("adiCv2: intermittent pattern 2,0,0,4,0,4") {
+    val v = Seq(2.0, 0, 0, 4, 0, 4)
+    val df = v.indices.map(i => (ts(i), v(i))).toDF("t", "v")
+    val r = StatTests.adiCv2(df, "t", "v").collect()(0)
+    assert(r.getAs[Long]("n_buckets") === 6L)
+    assert(r.getAs[Long]("n_demand") === 3L)
+    assert(approxEq(r.getAs[Double]("adi"), 2.5, 1e-9))
+    assert(approxEq(r.getAs[Double]("cv2"), 0.08, 1e-9))
+    assert(r.getAs[String]("label") === "intermittent")
+  }
+
+  test("generalizedHurst: pure linear trend gives H(1) = H(2) = 1") {
+    val df = (1 to 20).map(i => (ts(i), i.toDouble)).toDF("t", "v")
+    val r = StatTests.generalizedHurst(df, "t", "v", Seq(1, 2, 4)).collect()(0)
+    assert(approxEq(r.getAs[Double]("h1"), 1.0, 1e-9))
+    assert(approxEq(r.getAs[Double]("h2"), 1.0, 1e-9))
+    assert(approxEq(r.getAs[Double]("mf_gap"), 0.0, 1e-9))
+  }
+
+  test("circularLinearCorr: x = cos(theta) on the quarter grid -> R2 = 1") {
+    val df = Seq((0, 1.0), (6, 0.0), (12, -1.0), (18, 0.0))
+      .toDF("hr", "x")
+    val r = StatTests.circularLinearCorr(df, "x", "hr", 24).collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(approxEq(r.getAs[Double]("r_xc"), 1.0, 1e-9))
+    assert(approxEq(r.getAs[Double]("r_cs"), 0.0, 1e-9))
+    assert(approxEq(r.getAs[Double]("r2"), 1.0, 1e-9))
+  }
+
+  test("spectralRolloff: pure period-4 tone rolls off at 4") {
+    val v = Seq(1.0, 0, -1, 0, 1, 0, -1, 0)
+    val df = v.indices.map(i => (ts(i), v(i))).toDF("t", "v")
+    val r = StatTests.spectralRolloff(df, "t", "v", Seq(4, 8), 0.85)
+      .collect()(0)
+    assert(r.getAs[Int]("rolloff_period") === 4)
+    assert(r.getAs[Double]("cum_share") > 0.99)
+  }
+
+  test("corrDim: two tight level pairs at radii 2/11") {
+    // values 0,1,10,11: diffs {1,10,11,9,10,1}; C(2) = 2, C(11) = 6
+    val v = Seq(0L, 1, 10, 11)
+    val df = v.indices.map(i => (ts(i), v(i))).toDF("t", "v")
+    val r = StatTests.corrDim(df, "t", "v", 2L, 11L).collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 6L)
+    assert(r.getAs[Long]("c1_pairs") === 2L)
+    assert(r.getAs[Long]("c2_pairs") === 6L)
+    assert(approxEq(r.getAs[Double]("d2"),
+      math.log(3.0) / math.log(5.5), 1e-12))
+  }
+
   test("bws: fully separated 2x2 hand golden 1.6875") {
     // A = {1,2}, B = {3,4}: B_A = (9/8 + 9/2)/2, B_B = (9/8)/2
     val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 3.0, 3L),
