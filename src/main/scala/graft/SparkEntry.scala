@@ -6730,6 +6730,73 @@ object SparkEntry {
       graft.operators.StatTests.corrDim(daily, "d", "cnt", 2L, 8L)
         .select(col("n_pairs"), col("c1_pairs"), col("c2_pairs"),
           r6(col("d2")).as("d2"))
+    }),
+
+    // Shewhart I-MR chart of daily counts: classic 2.66*MRbar limits +
+    // out-of-control counts on both charts
+    "q488_imr_chart" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Spc.imrChart(daily, "d", "cnt")
+        .select(col("n"), r6(col("xbar")).as("xbar"),
+          r6(col("mrbar")).as("mrbar"), r6(col("ucl_x")).as("ucl_x"),
+          r6(col("lcl_x")).as("lcl_x"), col("ooc_x"), col("ooc_mr"))
+    }),
+
+    // EWMA control chart (lambda 0.2, L=3) with exact time-varying
+    // limits — catches the small sustained shifts Shewhart misses
+    "q489_ewma_chart" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Spc.ewmaChart(daily, "d", "cnt", 0.2, 3.0)
+        .select(col("n"), r6(col("xbar")).as("xbar"),
+          r6(col("sigma")).as("sigma"), col("ooc"))
+    }),
+
+    // process capability of event value against literal specs [0, 60]
+    "q490_capability" -> ((s, dir) => {
+      graft.operators.Spc.capability(ev(s, dir), "value", 0.0, 60.0)
+        .select(col("n"), r6(col("mu")).as("mu"), r6(col("sigma")).as("sigma"),
+          r6(col("cp")).as("cp"), r6(col("cpk")).as("cpk"))
+    }),
+
+    // Western Electric runs rules over the daily count chart: beyond-3
+    // sigma, 9-same-side, 6-trending, 14-alternating trigger counts
+    "q491_we_rules" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Spc.westernElectric(daily, "d", "cnt")
+        .select(col("n"), col("r1"), col("r2"), col("r3"), col("r4"))
+    }),
+
+    // max drawdown + ulcer index of the daily mean-value level series
+    "q492_drawdown" -> ((s, dir) => {
+      val daily = ev(s, dir).filter(col("value").isNotNull)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(avg(col("value")).as("m"))
+      graft.operators.StatTests.drawdown(daily, "d", "m")
+        .select(col("n"), r6(col("peak")).as("peak"),
+          r6(col("max_dd")).as("max_dd"),
+          r6(col("max_dd_pct")).as("max_dd_pct"), r6(col("ulcer")).as("ulcer"))
+    }),
+
+    // Sortino + Omega of day-over-day count changes: downside-only
+    // volatility and gain/loss mass ratio
+    "q493_sortino_omega" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      val diffs = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("r", col("cnt").cast("double") -
+          lag(col("cnt").cast("double"), 1).over(w))
+        .filter(col("r").isNotNull)
+      graft.operators.StatTests.sortinoOmega(diffs, "r")
+        .select(col("n"), r6(col("mean_r")).as("mean_r"),
+          r6(col("downside_dev")).as("downside_dev"),
+          r6(col("sortino")).as("sortino"), r6(col("omega")).as("omega"))
     })
   )
 
@@ -16177,7 +16244,123 @@ object SparkEntry {
         |SELECT np AS n_pairs, c1 AS c1_pairs, c2 AS c2_pairs,
         |  round(CASE WHEN c1 > 0 AND c2 > 0 THEN
         |    ln(c2::DOUBLE/c1::DOUBLE)/ln(4.0) END, 6) AS d2
-        |FROM ag""".stripMargin
+        |FROM ag""".stripMargin,
+
+    // moving ranges; 2.66/3.267 Shewhart constants; strict exceedances
+    "q488_imr_chart" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT cnt::DOUBLE AS x, d FROM daily),
+        |mr AS (SELECT x, abs(x - lag(x) OVER (ORDER BY d)) AS m FROM st),
+        |a AS (SELECT count(*) AS n, avg(x) AS xbar, avg(m) AS mrbar
+        |  FROM mr),
+        |lim AS (SELECT n, xbar, mrbar, xbar + 2.66*mrbar AS ucl,
+        |    xbar - 2.66*mrbar AS lcl, 3.267*mrbar AS uclmr FROM a)
+        |SELECT max(n)::BIGINT AS n, round(max(xbar), 6) AS xbar,
+        |  round(max(mrbar), 6) AS mrbar, round(max(ucl), 6) AS ucl_x,
+        |  round(max(lcl), 6) AS lcl_x,
+        |  sum(CASE WHEN x > ucl OR x < lcl THEN 1 ELSE 0 END)::BIGINT
+        |    AS ooc_x,
+        |  sum(CASE WHEN m > uclmr THEN 1 ELSE 0 END)::BIGINT AS ooc_mr
+        |FROM mr, lim""".stripMargin,
+
+    // closed-form z weights; exact time-varying sigma_z(t) limits
+    "q489_ewma_chart" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT cnt::DOUBLE AS x, row_number() OVER (ORDER BY d) AS i
+        |  FROM daily),
+        |mom AS (SELECT count(*) AS n, avg(x) AS xbar,
+        |    sqrt(sum(x*x)/count(*)::DOUBLE - avg(x)*avg(x)) AS sigma
+        |  FROM b),
+        |z AS (SELECT a.i,
+        |    max(pow(0.8, a.i))*max(m.xbar)
+        |      + sum(0.2*pow(0.8, a.i - c.i)*c.x) AS z,
+        |    max(m.xbar) AS xb, max(m.sigma) AS sg
+        |  FROM b a JOIN b c ON c.i <= a.i, mom m GROUP BY a.i),
+        |o AS (SELECT CASE WHEN abs(z - xb) >
+        |    3.0*sg*sqrt((0.2/1.8)*(1.0 - pow(0.8, i*2))) THEN 1 ELSE 0 END
+        |    AS ooc, xb, sg FROM z)
+        |SELECT count(*)::BIGINT AS n, round(max(xb), 6) AS xbar,
+        |  round(max(sg), 6) AS sigma, sum(ooc)::BIGINT AS ooc
+        |FROM o""".stripMargin,
+
+    // population-sigma capability vs literal [0, 60] specs
+    "q490_capability" ->
+      """WITH a AS (SELECT count(*) AS n, avg(value) AS mu,
+        |    sum(value*value)/count(*)::DOUBLE AS m2 FROM events
+        |  WHERE value IS NOT NULL),
+        |s AS (SELECT n, mu, sqrt(m2 - mu*mu) AS sigma FROM a)
+        |SELECT n::BIGINT AS n, round(mu, 6) AS mu,
+        |  round(sigma, 6) AS sigma,
+        |  round(CASE WHEN sigma > 0 THEN 60.0/(6.0*sigma) END, 6) AS cp,
+        |  round(CASE WHEN sigma > 0 THEN
+        |    least(60.0 - mu, mu - 0.0)/(3.0*sigma) END, 6) AS cpk
+        |FROM s""".stripMargin,
+
+    // integer rolling side/trend/alternation indicators per WECO rule
+    "q491_we_rules" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT d, cnt::DOUBLE AS x FROM daily),
+        |m AS (SELECT avg(x) AS mu, sqrt(avg(x*x) - avg(x)*avg(x)) AS sg
+        |  FROM st),
+        |s1 AS (SELECT d, x, mu, sg, (x > mu)::BIGINT AS ab,
+        |    (x < mu)::BIGINT AS bl, x - lag(x) OVER (ORDER BY d) AS dd,
+        |    row_number() OVER (ORDER BY d) AS i FROM st, m),
+        |s2 AS (SELECT *, (dd > 0)::BIGINT AS up, (dd < 0)::BIGINT AS dn,
+        |    CASE WHEN dd * lag(dd) OVER (ORDER BY d) < 0 THEN 1 ELSE 0 END
+        |      AS alt FROM s1),
+        |s3 AS (SELECT i,
+        |    CASE WHEN abs(x - mu) > 3.0*sg THEN 1 ELSE 0 END AS r1,
+        |    greatest(sum(ab) OVER w9, sum(bl) OVER w9) AS same9,
+        |    greatest(sum(up) OVER w5, sum(dn) OVER w5) AS mono6,
+        |    sum(alt) OVER w12 AS alt12
+        |  FROM s2 WINDOW
+        |    w9 AS (ORDER BY d ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+        |    w5 AS (ORDER BY d ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |    w12 AS (ORDER BY d ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+        |SELECT count(*)::BIGINT AS n, sum(r1)::BIGINT AS r1,
+        |  sum(CASE WHEN i >= 9 AND same9 = 9 THEN 1 ELSE 0 END)::BIGINT
+        |    AS r2,
+        |  sum(CASE WHEN i >= 6 AND mono6 = 5 THEN 1 ELSE 0 END)::BIGINT
+        |    AS r3,
+        |  sum(CASE WHEN i >= 14 AND alt12 = 12 THEN 1 ELSE 0 END)::BIGINT
+        |    AS r4
+        |FROM s3""".stripMargin,
+
+    // running peak; relative drawdowns; ulcer = rms of drawdown pct
+    "q492_drawdown" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, avg(value) AS m
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |st AS (SELECT m AS x, max(m) OVER (ORDER BY d ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS pk FROM daily),
+        |dd AS (SELECT x, pk, pk - x AS dd,
+        |    CASE WHEN pk > 0 THEN (pk - x)/pk END AS ddp FROM st)
+        |SELECT count(*)::BIGINT AS n, round(max(pk), 6) AS peak,
+        |  round(max(dd), 6) AS max_dd, round(max(ddp), 6) AS max_dd_pct,
+        |  round(CASE WHEN count(ddp) > 0 THEN
+        |    sqrt(sum(ddp*ddp)/count(ddp)::DOUBLE) END, 6) AS ulcer
+        |FROM dd""".stripMargin,
+
+    // one-sided second moment; gain/loss mass ratio at zero target
+    "q493_sortino_omega" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |r0 AS (SELECT cnt::DOUBLE - lag(cnt::DOUBLE) OVER (ORDER BY d)
+        |    AS r FROM daily),
+        |rr AS (SELECT r FROM r0 WHERE r IS NOT NULL),
+        |a AS (SELECT count(*) AS n, avg(r) AS mean_r,
+        |    sum(CASE WHEN r < 0 THEN r*r ELSE 0 END) AS dsq,
+        |    sum(CASE WHEN r > 0 THEN r ELSE 0 END) AS gain,
+        |    sum(CASE WHEN r < 0 THEN -r ELSE 0 END) AS loss FROM rr),
+        |s AS (SELECT n, mean_r, sqrt(dsq/n::DOUBLE) AS ddev, gain, loss
+        |  FROM a)
+        |SELECT n::BIGINT AS n, round(mean_r, 6) AS mean_r,
+        |  round(ddev, 6) AS downside_dev,
+        |  round(CASE WHEN ddev > 0 THEN mean_r/ddev END, 6) AS sortino,
+        |  round(CASE WHEN loss > 0 THEN gain/loss END, 6) AS omega
+        |FROM s""".stripMargin
   )
 
   /** q430's oracle: the same 24-bin pivot + Fourier-1 folds as

@@ -4045,6 +4045,62 @@ object StatTests {
         col("d2"))
   }
 
+  /** Maximum drawdown + ulcer index of a level series (Martin & McCann
+    * 1989 for the ulcer): with the running peak P_t = max_{i≤t} x_i and
+    * relative drawdown D_t = (P_t − x_t)/P_t,
+    *   max_dd = max(P_t − x_t),  max_dd_pct = max D_t,
+    *   ulcer = √(mean D_t²)  (percent-squared mean — penalizes DEPTH
+    * and DURATION of slumps, unlike the single worst point).
+    * The "how bad did it get and for how long" capacity-planning
+    * readout for any cumulative or level KPI. One running-max window +
+    * one moment pass; relative forms null when a peak ≤ 0 is involved.
+    * Output: one row (n, peak, max_dd, max_dd_pct, ulcer).
+    */
+  def drawdown(df: DataFrame, tsCol: String, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val staged = df.filter(v.isNotNull)
+      .select(col(tsCol).as("_t"), v.as("_x"))
+      .withColumn("_peak", max(col("_x")).over(Window.orderBy(col("_t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_dd", col("_peak") - col("_x"))
+      .withColumn("_ddp", when(col("_peak") > 0, col("_dd") / col("_peak")))
+    staged.agg(count(lit(1)).as("n"), max(col("_peak")).as("peak"),
+        max(col("_dd")).as("max_dd"), max(col("_ddp")).as("max_dd_pct"),
+        when(count(col("_ddp")) > 0,
+          sqrt(sum(col("_ddp") * col("_ddp")) /
+            count(col("_ddp")).cast("double"))).as("ulcer"))
+      .select(col("n"), col("peak"), col("max_dd"), col("max_dd_pct"),
+        col("ulcer"))
+  }
+
+  /** Sortino ratio and Omega ratio of a change series against a zero
+    * target (Sortino & Price 1994; Keating & Shadwick 2002):
+    *   downside_dev = √(mean(min(r, 0)²))     (only bad volatility),
+    *   sortino = mean(r) / downside_dev,
+    *   omega   = Σ max(r, 0) / Σ max(−r, 0)   (gain mass over loss mass).
+    * Together they grade a metric's trajectory the way plain mean/sd
+    * can't: symmetric volatility is forgiven, sustained downside is
+    * not. One moment pass over the (already-differenced) series.
+    * Output: one row (n, mean_r, downside_dev, sortino, omega).
+    */
+  def sortinoOmega(df: DataFrame, valCol: String): DataFrame = {
+    val r = col(valCol).cast("double")
+    val agged = df.filter(r.isNotNull)
+      .agg(count(lit(1)).as("n"), avg(r).as("mean_r"),
+        sum(when(r < 0, r * r).otherwise(0.0)).as("_dsq"),
+        sum(when(r > 0, r).otherwise(0.0)).as("_gain"),
+        sum(when(r < 0, -r).otherwise(0.0)).as("_loss"))
+    agged
+      .withColumn("downside_dev",
+        sqrt(col("_dsq") / col("n").cast("double")))
+      .withColumn("sortino", when(col("downside_dev") > 0,
+        col("mean_r") / col("downside_dev")))
+      .withColumn("omega", when(col("_loss") > 0,
+        col("_gain") / col("_loss")))
+      .select(col("n"), col("mean_r"), col("downside_dev"), col("sortino"),
+        col("omega"))
+  }
+
   def spiegelhalterZ(df: DataFrame, yCol: String, pCol: String): DataFrame = {
     val y = col(yCol).cast("double")
     val p = col(pCol).cast("double")

@@ -1393,6 +1393,29 @@ class StatTestsSpec extends SparkSuite {
       math.log(3.0) / math.log(5.5), 1e-12))
   }
 
+  test("drawdown: 10,5,8,4 level path") {
+    val v = Seq(10.0, 5, 8, 4)
+    val df = v.indices.map(i => (ts(i), v(i))).toDF("t", "v")
+    val r = StatTests.drawdown(df, "t", "v").collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(approxEq(r.getAs[Double]("peak"), 10.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("max_dd"), 6.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("max_dd_pct"), 0.6, 1e-12))
+    assert(approxEq(r.getAs[Double]("ulcer"),
+      math.sqrt((0.25 + 0.04 + 0.36) / 4), 1e-12))
+  }
+
+  test("sortinoOmega: {2,-1,3,-2} changes") {
+    val df = Seq(2.0, -1, 3, -2).map(Tuple1(_)).toDF("r")
+    val r = StatTests.sortinoOmega(df, "r").collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(approxEq(r.getAs[Double]("mean_r"), 0.5, 1e-12))
+    val ddev = math.sqrt(5.0 / 4)
+    assert(approxEq(r.getAs[Double]("downside_dev"), ddev, 1e-12))
+    assert(approxEq(r.getAs[Double]("sortino"), 0.5 / ddev, 1e-12))
+    assert(approxEq(r.getAs[Double]("omega"), 5.0 / 3, 1e-12))
+  }
+
   test("bws: fully separated 2x2 hand golden 1.6875") {
     // A = {1,2}, B = {3,4}: B_A = (9/8 + 9/2)/2, B_B = (9/8)/2
     val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 3.0, 3L),
