@@ -6797,6 +6797,80 @@ object SparkEntry {
         .select(col("n"), r6(col("mean_r")).as("mean_r"),
           r6(col("downside_dev")).as("downside_dev"),
           r6(col("sortino")).as("sortino"), r6(col("omega")).as("omega"))
+    }),
+
+    // Erlang C staffing per hour-of-day: P(wait) and mean-wait factor
+    // from measured per-minute arrival rates (mu=2/min, 5 agents)
+    "q494_erlang_c" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val byHod = hourly.withColumn("hod", hour(col("h")))
+        .groupBy(col("hod"))
+        .agg(avg(col("c") / lit(60.0)).as("lam"))
+      graft.operators.OpsMath.erlangC(byHod, Seq("hod"), "lam", 2.0, 5)
+        .select(col("hod"), r6(col("lambda")).as("lambda"),
+          r6(col("offered_a")).as("offered_a"),
+          r6(col("erlang_b")).as("erlang_b"),
+          r6(col("erlang_c")).as("erlang_c"),
+          r6(col("mean_wait")).as("mean_wait"))
+    }),
+
+    // newsvendor stocking of daily purchase demand at cu=3/co=1
+    // (critical ratio 0.75) with expected shortage/leftover
+    "q495_newsvendor" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum((col("event_type") === "purchase").cast("long")).as("pc"))
+      graft.operators.OpsMath.newsvendor(daily, "pc", 3.0, 1.0)
+        .select(col("n"), col("ratio"), r6(col("q_star")).as("q_star"),
+          r6(col("exp_short")).as("exp_short"),
+          r6(col("exp_left")).as("exp_left"))
+    }),
+
+    // capacity runway: buckets until 1M cumulative events at the
+    // last-14-day run rate
+    "q496_runway" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.OpsMath.capacityRunway(daily, "d", "cnt", 1e6, 14)
+        .select(col("n"), r6(col("level")).as("level"),
+          r6(col("run_rate")).as("run_rate"),
+          r6(col("runway_buckets")).as("runway_buckets"))
+    }),
+
+    // Pickands tail index of purchase values (k=25) — consistent for
+    // ALL tail regimes, beside q463's heavy-tail-only Hill
+    "q497_pickands" -> ((s, dir) => {
+      val pur = ev(s, dir).filter(col("event_type") === "purchase")
+      graft.operators.StatTests.pickands(pur, "value", "event_id", 25)
+        .select(col("k"), r6(col("x_k")).as("x_k"),
+          r6(col("x_2k")).as("x_2k"), r6(col("x_4k")).as("x_4k"),
+          r6(col("xi")).as("xi"))
+    }),
+
+    // Dekkers-Einmahl-de Haan moment estimator over the same top-100
+    // order stats as Hill — the all-regime gamma
+    "q498_moment_tail" -> ((s, dir) => {
+      val pur = ev(s, dir).filter(col("event_type") === "purchase")
+      graft.operators.StatTests.momentTailEstimator(pur, "value",
+          "event_id", 100)
+        .select(col("n_top"), r6(col("threshold")).as("threshold"),
+          r6(col("m1")).as("m1"), r6(col("m2")).as("m2"),
+          r6(col("gamma_")).as("gamma_"))
+    }),
+
+    // GEV fit of daily maxima by L-moments (literal Lanczos gamma,
+    // replayed by the oracle) + 20/100-day return levels
+    "q499_gev_lmom" -> ((s, dir) => {
+      val daily = ev(s, dir).filter(col("value").isNotNull)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(max(col("value")).as("mx"))
+      graft.operators.StatTests.gevLmomFit(daily, "mx", Seq(20, 100))
+        .select(col("n"), r6(col("kappa")).as("kappa"),
+          r6(col("alpha_")).as("alpha_"), r6(col("mu_")).as("mu_"),
+          col("ret_t"), r6(col("ret_level")).as("ret_level"))
     })
   )
 
@@ -16360,7 +16434,130 @@ object SparkEntry {
         |  round(ddev, 6) AS downside_dev,
         |  round(CASE WHEN ddev > 0 THEN mean_r/ddev END, 6) AS sortino,
         |  round(CASE WHEN loss > 0 THEN gain/loss END, 6) AS omega
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // Erlang B recursion unrolled to 5 agents; C and wait guarded a < N
+    "q494_erlang_c" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |hod AS (SELECT hour(h) AS hod, avg(c/60.0) AS lam FROM hourly
+        |  GROUP BY 1),
+        |s0 AS (SELECT hod, lam, lam/2.0 AS a FROM hod),
+        |s1 AS (SELECT *, a*1.0/(1.0 + a*1.0) AS b1 FROM s0),
+        |s2 AS (SELECT *, a*b1/(2.0 + a*b1) AS b2 FROM s1),
+        |s3 AS (SELECT *, a*b2/(3.0 + a*b2) AS b3 FROM s2),
+        |s4 AS (SELECT *, a*b3/(4.0 + a*b3) AS b4 FROM s3),
+        |s5 AS (SELECT *, a*b4/(5.0 + a*b4) AS b5 FROM s4),
+        |f AS (SELECT hod, lam, a, b5, CASE WHEN a < 5 THEN
+        |    5.0*b5/(5.0 - a*(1.0 - b5)) END AS cc FROM s5)
+        |SELECT hod, round(lam, 6) AS lambda, round(a, 6) AS offered_a,
+        |  round(b5, 6) AS erlang_b, round(cc, 6) AS erlang_c,
+        |  round(CASE WHEN cc IS NOT NULL THEN cc/(10.0 - lam) END, 6)
+        |    AS mean_wait
+        |FROM f""".stripMargin,
+
+    // exact critical-ratio quantile + one-sided expected costs
+    "q495_newsvendor" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pc
+        |  FROM events GROUP BY 1),
+        |q AS (SELECT quantile_cont(pc::DOUBLE, 0.75) AS qs FROM daily)
+        |SELECT count(*)::BIGINT AS n, 0.75::DOUBLE AS ratio,
+        |  round(max(qs), 6) AS q_star,
+        |  round(avg(greatest(pc::DOUBLE - qs, 0.0)), 6) AS exp_short,
+        |  round(avg(greatest(qs - pc::DOUBLE, 0.0)), 6) AS exp_left
+        |FROM daily, q""".stripMargin,
+
+    // cumulative level + trailing-14 run rate + buckets-to-capacity
+    "q496_runway" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS n, sum(cnt::DOUBLE) AS level FROM daily),
+        |r AS (SELECT avg(cnt::DOUBLE) AS run_rate FROM
+        |    (SELECT cnt FROM daily ORDER BY d DESC LIMIT 14))
+        |SELECT n::BIGINT AS n, round(level, 6) AS level,
+        |  round(run_rate, 6) AS run_rate,
+        |  round(CASE WHEN run_rate > 0 AND level < 1000000.0 THEN
+        |    (1000000.0 - level)/run_rate END, 6) AS runway_buckets
+        |FROM t, r""".stripMargin,
+
+    // k/2k/4k order-stat spacings; ln ratio over ln 2
+    "q497_pickands" ->
+      """WITH top AS (SELECT value AS v,
+        |    row_number() OVER (ORDER BY value DESC, event_id) AS r
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  ORDER BY value DESC, event_id LIMIT 100),
+        |a AS (SELECT count(*) AS cnt,
+        |    max(CASE WHEN r = 25 THEN v END) AS xk,
+        |    max(CASE WHEN r = 50 THEN v END) AS x2k,
+        |    max(CASE WHEN r = 100 THEN v END) AS x4k FROM top)
+        |SELECT 25::BIGINT AS k, round(xk, 6) AS x_k,
+        |  round(x2k, 6) AS x_2k, round(x4k, 6) AS x_4k,
+        |  round(CASE WHEN cnt = 100 AND xk - x2k > 0 AND x2k - x4k > 0
+        |    THEN ln((xk - x2k)/(x2k - x4k))/ln(2.0) END, 6) AS xi
+        |FROM a""".stripMargin,
+
+    // top-k log-excess moments; DEdH gamma
+    "q498_moment_tail" ->
+      """WITH top AS (SELECT value AS v FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL AND value > 0
+        |  ORDER BY value DESC, event_id LIMIT 101),
+        |a AS (SELECT count(*) AS cnt, min(v) AS thr, sum(ln(v)) AS sl,
+        |    sum(ln(v)*ln(v)) AS sll FROM top),
+        |m AS (SELECT cnt, thr,
+        |    CASE WHEN cnt = 101 THEN (sl - 101.0*ln(thr))/100.0 END AS m1,
+        |    CASE WHEN cnt = 101 THEN
+        |      (sll - 2.0*ln(thr)*sl + 101.0*ln(thr)*ln(thr))/100.0 END
+        |      AS m2 FROM a)
+        |SELECT 100::BIGINT AS n_top, round(thr, 6) AS threshold,
+        |  round(m1, 6) AS m1, round(m2, 6) AS m2,
+        |  round(CASE WHEN m2 IS NOT NULL AND m2 > 0
+        |      AND (1.0 - m1*m1/m2) <> 0 THEN
+        |    m1 + 1 - 0.5/(1.0 - m1*m1/m2) END, 6) AS gamma_
+        |FROM m""".stripMargin,
+
+    // L-moment GEV (Hosking) with the SAME Lanczos literals as the
+    // engine (interpolated below) and pow-based return levels
+    "q499_gev_lmom" -> {
+      val cs = graft.operators.StatTests.lanczosCoeffs
+      val aExpr = cs.head.toString + cs.zipWithIndex.tail.map {
+        case (cc, i) => s" + ($cc)/(z - 1 + $i.0)"
+      }.mkString
+      val sqrt2pi = math.sqrt(2.0 * math.Pi)
+      val ln2ln3 = math.log(2.0) / math.log(3.0)
+      s"""WITH daily AS (SELECT date_trunc('day', ts) AS d,
+         |    max(value) AS mx FROM events WHERE value IS NOT NULL
+         |  GROUP BY 1),
+         |r AS (SELECT mx AS x, row_number() OVER (ORDER BY mx)::DOUBLE AS i,
+         |    count(*) OVER ()::DOUBLE AS n FROM daily),
+         |a AS (SELECT max(n)::BIGINT AS n, avg(x) AS b0,
+         |    avg(x * (i-1)/(n-1)) AS b1,
+         |    avg(x * (i-1)/(n-1) * (i-2)/(n-2)) AS b2 FROM r),
+         |l AS (SELECT n, b0 AS l1, 2.0*b1 - b0 AS l2,
+         |    6.0*b2 - 6.0*b1 + b0 AS l3 FROM a),
+         |t AS (SELECT n, l1, l2, CASE WHEN l2 <> 0 THEN l3/l2 END AS t3
+         |  FROM l),
+         |cc AS (SELECT n, l1, l2, 2.0/(3.0 + t3) - $ln2ln3 AS c FROM t),
+         |kk AS (SELECT n, l1, l2, 7.8590*c + 2.9554*c*c AS kappa FROM cc),
+         |zz AS (SELECT n, l1, l2, kappa, 1.0 + kappa AS z FROM kk),
+         |gg AS (SELECT n, l1, l2, kappa, CASE WHEN z >= 0.5 THEN
+         |    $sqrt2pi * pow(z + 6.5, z - 0.5) * exp(-(z + 6.5))
+         |      * ($aExpr) END AS g1k FROM zz),
+         |al AS (SELECT n, l1, kappa, g1k, CASE WHEN kappa <> 0
+         |      AND (1.0 - pow(2.0, -kappa)) <> 0 AND g1k IS NOT NULL THEN
+         |    l2*kappa/((1.0 - pow(2.0, -kappa))*g1k) END AS alpha FROM gg),
+         |mm AS (SELECT n, kappa, alpha, CASE WHEN alpha IS NOT NULL THEN
+         |    l1 - alpha*(1.0 - g1k)/kappa END AS mu FROM al),
+         |u AS (SELECT n, kappa, alpha, mu, 20 AS ret_t,
+         |    -ln(1.0 - ${1.0 / 20}) AS y FROM mm
+         |  UNION ALL SELECT n, kappa, alpha, mu, 100,
+         |    -ln(1.0 - ${1.0 / 100}) FROM mm)
+         |SELECT n, round(kappa, 6) AS kappa, round(alpha, 6) AS alpha_,
+         |  round(mu, 6) AS mu_, ret_t,
+         |  round(CASE WHEN mu IS NOT NULL THEN
+         |    mu + alpha*(1.0 - pow(y, kappa))/kappa END, 6) AS ret_level
+         |FROM u""".stripMargin
+    }
   )
 
   /** q430's oracle: the same 24-bin pivot + Fourier-1 folds as

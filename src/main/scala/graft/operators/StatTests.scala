@@ -4101,6 +4101,146 @@ object StatTests {
         col("omega"))
   }
 
+  /** Pickands tail-index estimator (Pickands 1975): from the k-th, 2k-th
+    * and 4k-th largest order statistics,
+    *   ξ̂ = ln((x₍ₖ₎ − x₍₂ₖ₎)/(x₍₂ₖ₎ − x₍₄ₖ₎)) / ln 2.
+    * Unlike [[hillEstimator]] (valid only for ξ > 0), Pickands is
+    * consistent for ALL tail regimes — ξ < 0 (finite endpoint), = 0
+    * (exponential), > 0 (Pareto) — so the pair (Hill, Pickands) reads
+    * both the heaviness AND the domain of attraction. Only a
+    * distributed top-4k is touched (TakeOrderedAndProject); ties broken
+    * on idCol. Null when a spacing degenerates. Output: one row
+    * (k, x_k, x_2k, x_4k, xi).
+    */
+  def pickands(df: DataFrame, valCol: String, idCol: String,
+               k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = col(valCol).cast("double")
+    val top = df.filter(v.isNotNull)
+      .select(v.as("_v"), col(idCol).as("_id"))
+      .orderBy(col("_v").desc, col("_id"))
+      .limit(4 * k)
+      .withColumn("_r", row_number().over(
+        Window.orderBy(col("_v").desc, col("_id"))))
+    val agged = top.agg(count(lit(1)).as("_cnt"),
+      max(when(col("_r") === k, col("_v"))).as("x_k"),
+      max(when(col("_r") === 2 * k, col("_v"))).as("x_2k"),
+      max(when(col("_r") === 4 * k, col("_v"))).as("x_4k"))
+    agged
+      .withColumn("xi", when(col("_cnt") === 4 * k &&
+          col("x_k") - col("x_2k") > 0 && col("x_2k") - col("x_4k") > 0,
+        log((col("x_k") - col("x_2k")) / (col("x_2k") - col("x_4k"))) /
+          lit(math.log(2.0))))
+      .select(lit(k).cast("bigint").as("k"), col("x_k"), col("x_2k"),
+        col("x_4k"), col("xi"))
+  }
+
+  /** Dekkers–Einmahl–de Haan moment estimator of the extreme-value
+    * index (DEdH 1989): with the top-k log-excesses over the (k+1)-th
+    * largest, M₁ = mean ln(x᛫/thr) and M₂ = mean ln²(x᛫/thr),
+    *   γ̂ = M₁ + 1 − ½ / (1 − M₁²/M₂).
+    * The all-regime refinement of [[hillEstimator]] (γ = Hill's 1/α for
+    * heavy tails but stays consistent for γ ≤ 0), sharing its
+    * distributed top-(k+1) plan. Output: one row
+    * (n_top, threshold, m1, m2, gamma_).
+    */
+  def momentTailEstimator(df: DataFrame, valCol: String, idCol: String,
+                          k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = col(valCol).cast("double")
+    val top = df.filter(v.isNotNull && v > 0)
+      .select(v.as("_v"), col(idCol).as("_id"))
+      .orderBy(col("_v").desc, col("_id"))
+      .limit(k + 1)
+    val agged = top.agg(count(lit(1)).as("_cnt"), min(col("_v")).as("threshold"),
+      sum(log(col("_v"))).as("_sl"),
+      sum(log(col("_v")) * log(col("_v"))).as("_sll"))
+    // mean of ln(x/thr) over the k strict-top rows; the threshold row
+    // contributes ln(thr/thr) = 0 to both sums, so subtract its terms
+    val lt = log(col("threshold"))
+    val m1 = (col("_sl") - lit((k + 1).toDouble) * lt) / lit(k.toDouble)
+    val m2 = (col("_sll") - lit(2.0) * lt * col("_sl") +
+      lit((k + 1).toDouble) * lt * lt) / lit(k.toDouble)
+    agged
+      .withColumn("m1", when(col("_cnt") === k + 1, m1))
+      .withColumn("m2", when(col("_cnt") === k + 1, m2))
+      .withColumn("gamma_", when(col("m2").isNotNull && col("m2") > 0 &&
+          (lit(1.0) - col("m1") * col("m1") / col("m2")) =!= 0,
+        col("m1") + 1 - lit(0.5) /
+          (lit(1.0) - col("m1") * col("m1") / col("m2"))))
+      .select(lit(k).cast("bigint").as("n_top"), col("threshold"),
+        col("m1"), col("m2"), col("gamma_"))
+  }
+
+  /** The Lanczos gamma approximation (g = 7, 9 terms — Lanczos 1964;
+    * coefficients as published in Numerical Recipes / Boost) as a plain
+    * Column expression for z ≥ 0.5:
+    *   Γ(z) = √(2π)·t^{z−0.5}·e^{−t}·A(z),  t = z + 6.5,
+    *   A(z) = c₀ + Σ_{i=1..8} cᵢ/(z − 1 + i),
+    * |rel err| < 1e−13 on (0.5, 1.5] — far inside the 6-dp compare. The
+    * SAME literal coefficients are replayed by the SQL oracle, so both
+    * engines run the identical formula (ulp-level exp/pow noise only).
+    */
+  val lanczosCoeffs: Seq[Double] = Seq(
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+
+  def lanczosGamma(z: Column): Column = {
+    val a = lanczosCoeffs.zipWithIndex.tail.foldLeft(
+      lit(lanczosCoeffs.head): Column) { case (acc, (c, i)) =>
+      acc + lit(c) / (z - 1 + lit(i.toDouble))
+    }
+    val t = z + lit(6.5)
+    when(z >= 0.5,
+      lit(math.sqrt(2.0 * math.Pi)) * pow(t, z - lit(0.5)) * exp(-t) * a)
+  }
+
+  /** GEV fit by L-moments (Hosking, Wallis & Wood 1985) + return
+    * levels: from the sample L-moments (l₁, l₂, t₃) of block maxima,
+    *   c = 2/(3 + t₃) − ln2/ln3,   κ = 7.8590c + 2.9554c²,
+    *   α = l₂·κ / ((1 − 2^{−κ})·Γ(1+κ)),
+    *   μ = l₁ − α(1 − Γ(1+κ))/κ,
+    * and the T-block return level x_T = μ + α(1 − y^κ)/κ with
+    * y = −ln(1 − 1/T). κ > 0 is a bounded tail, κ < 0 heavy (GEV ξ =
+    * −κ) — the full three-parameter extension of the engine's Gumbel
+    * return levels, fitted by the same order-statistic L-moment pass as
+    * [[lmoments]] and evaluated through [[lanczosGamma]] (both engines
+    * replay identical literals). Output: one row per T
+    * (n, kappa, alpha_, mu_, ret_t, ret_level).
+    */
+  def gevLmomFit(df: DataFrame, valCol: String,
+                 returnTs: Seq[Int]): DataFrame = {
+    require(returnTs.nonEmpty && returnTs.forall(_ >= 2),
+      s"return periods must all be >= 2, got $returnTs")
+    val lm = lmoments(df, valCol)
+    val c = lit(2.0) / (lit(3.0) + col("t3")) -
+      lit(math.log(2.0) / math.log(3.0))
+    val fitted = lm
+      .withColumn("_c", c)
+      .withColumn("kappa",
+        lit(7.8590) * col("_c") + lit(2.9554) * col("_c") * col("_c"))
+      .withColumn("_g1k", lanczosGamma(lit(1.0) + col("kappa")))
+      .withColumn("alpha_", when(col("kappa") =!= 0 &&
+          (lit(1.0) - pow(lit(2.0), -col("kappa"))) =!= 0 &&
+          col("_g1k").isNotNull,
+        col("l2") * col("kappa") /
+          ((lit(1.0) - pow(lit(2.0), -col("kappa"))) * col("_g1k"))))
+      .withColumn("mu_", when(col("alpha_").isNotNull,
+        col("l1") - col("alpha_") * (lit(1.0) - col("_g1k")) / col("kappa")))
+    val rows = returnTs.map { t =>
+      val y = -log(lit(1.0) - lit(1.0 / t))
+      struct(lit(t).as("ret_t"),
+        when(col("mu_").isNotNull,
+          col("mu_") + col("alpha_") *
+            (lit(1.0) - pow(y, col("kappa"))) / col("kappa")).as("ret_level"))
+    }
+    fitted.select(col("n"), col("kappa"), col("alpha_"), col("mu_"),
+        explode(array(rows: _*)).as("_e"))
+      .select(col("n"), col("kappa"), col("alpha_"), col("mu_"),
+        col("_e.ret_t").as("ret_t"), col("_e.ret_level").as("ret_level"))
+  }
+
   def spiegelhalterZ(df: DataFrame, yCol: String, pCol: String): DataFrame = {
     val y = col(yCol).cast("double")
     val p = col(pCol).cast("double")

@@ -1416,6 +1416,82 @@ class StatTestsSpec extends SparkSuite {
     assert(approxEq(r.getAs[Double]("omega"), 5.0 / 3, 1e-12))
   }
 
+  test("pickands: constructed spacings give xi = 1; short sample null") {
+    val df = Seq(7.0, 3.0, 2.5, 1.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val r = StatTests.pickands(df, "v", "id", 1).collect()(0)
+    assert(approxEq(r.getAs[Double]("x_k"), 7.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("x_2k"), 3.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("x_4k"), 1.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("xi"), 1.0, 1e-12))
+    val short = Seq(1.0, 2.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val rs = StatTests.pickands(short, "v", "id", 1).collect()(0)
+    assert(rs.isNullAt(rs.fieldIndex("xi")))
+  }
+
+  test("momentTailEstimator: {e^2, e, 1} with k=2 -> gamma = -2.5") {
+    val e = math.exp(1.0)
+    val df = Seq(e * e, e, 1.0, 0.5).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val r = StatTests.momentTailEstimator(df, "v", "id", 2).collect()(0)
+    assert(approxEq(r.getAs[Double]("threshold"), 1.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("m1"), 1.5, 1e-9))
+    assert(approxEq(r.getAs[Double]("m2"), 2.5, 1e-9))
+    assert(approxEq(r.getAs[Double]("gamma_"), -2.5, 1e-9))
+  }
+
+  test("lanczosGamma: known values to 1e-12 relative") {
+    val df = spark.range(1).select(
+      StatTests.lanczosGamma(org.apache.spark.sql.functions.lit(1.0))
+        .as("g1"),
+      StatTests.lanczosGamma(org.apache.spark.sql.functions.lit(1.5))
+        .as("g15"),
+      StatTests.lanczosGamma(org.apache.spark.sql.functions.lit(0.5))
+        .as("g05"))
+    val r = df.collect()(0)
+    assert(approxEq(r.getAs[Double]("g1"), 1.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("g15"), math.sqrt(math.Pi) / 2, 1e-12))
+    assert(approxEq(r.getAs[Double]("g05"), math.sqrt(math.Pi), 1e-12))
+  }
+
+  test("gevLmomFit: matches a plain-Scala replication of the pipeline") {
+    val v = Seq(12.0, 15, 11, 20, 18, 14, 25, 13, 16, 22, 19, 17)
+    val df = v.zipWithIndex.map { case (x, i) => (ts(i), x) }.toDF("t", "v")
+    val rows = StatTests.gevLmomFit(df, "v", Seq(10)).collect()
+    // replicate: sorted ranks -> b-moments -> Hosking GEV
+    val s = v.sorted
+    val n = s.length.toDouble
+    def bmom(ord: Int): Double = s.zipWithIndex.map { case (x, i0) =>
+      val i = i0 + 1.0
+      val w = (0 until ord).map(j => (i - 1 - j) / (n - 1 - j)).product
+      x * w
+    }.sum / n
+    val (b0, b1, b2) = (bmom(0), bmom(1), bmom(2))
+    val l1 = b0; val l2 = 2 * b1 - b0; val l3 = 6 * b2 - 6 * b1 + b0
+    val t3 = l3 / l2
+    val c = 2.0 / (3 + t3) - math.log(2) / math.log(3)
+    val kappa = 7.8590 * c + 2.9554 * c * c
+    def gamma(z: Double): Double = {
+      val cs = StatTests.lanczosCoeffs
+      val a = cs.head + cs.zipWithIndex.tail
+        .map { case (cc, i) => cc / (z - 1 + i) }.sum
+      math.sqrt(2 * math.Pi) * math.pow(z + 6.5, z - 0.5) *
+        math.exp(-(z + 6.5)) * a
+    }
+    val g1k = gamma(1 + kappa)
+    val alpha = l2 * kappa / ((1 - math.pow(2, -kappa)) * g1k)
+    val mu = l1 - alpha * (1 - g1k) / kappa
+    val y = -math.log(1 - 0.1)
+    val ret = mu + alpha * (1 - math.pow(y, kappa)) / kappa
+    val r = rows(0)
+    assert(approxEq(r.getAs[Double]("kappa"), kappa, 1e-9))
+    assert(approxEq(r.getAs[Double]("alpha_"), alpha, 1e-9))
+    assert(approxEq(r.getAs[Double]("mu_"), mu, 1e-9))
+    assert(r.getAs[Int]("ret_t") === 10)
+    assert(approxEq(r.getAs[Double]("ret_level"), ret, 1e-9))
+  }
+
   test("bws: fully separated 2x2 hand golden 1.6875") {
     // A = {1,2}, B = {3,4}: B_A = (9/8 + 9/2)/2, B_B = (9/8)/2
     val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 3.0, 3L),
