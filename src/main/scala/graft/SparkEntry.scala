@@ -6871,6 +6871,76 @@ object SparkEntry {
         .select(col("n"), r6(col("kappa")).as("kappa"),
           r6(col("alpha_")).as("alpha_"), r6(col("mu_")).as("mu_"),
           col("ret_t"), r6(col("ret_level")).as("ret_level"))
+    }),
+
+    // negative-binomial moment fit of per-user event counts — the
+    // gamma-heterogeneity answer to q481's structural-zeros ZIP
+    "q500_negbin_fit" -> ((s, dir) => {
+      val perUser = ev(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      graft.operators.StatTests.negBinFit(perUser, "c")
+        .select(col("n"), r6(col("mean_")).as("mean_"),
+          r6(col("var_")).as("var_"), r6(col("r_")).as("r_"),
+          r6(col("p_")).as("p_"))
+    }),
+
+    // James-Stein positive-part shrinkage of per-event-type mean values
+    // toward the grand mean (k=5 groups)
+    "q501_james_stein" -> ((s, dir) => {
+      graft.operators.StatTests.jamesStein(
+          ev(s, dir).filter(col("value").isNotNull), "event_type", "value")
+        .select(col("group"), col("n_g"), r6(col("raw_mean")).as("raw_mean"),
+          r6(col("shrunk")).as("shrunk"))
+    }),
+
+    // Tukey one-df non-additivity of the dow x 6h-daypart mean-value
+    // table: do the factors interact multiplicatively?
+    "q502_tukey_additivity" -> ((s, dir) => {
+      val staged = ev(s, dir).filter(col("value").isNotNull)
+        .withColumn("dow", dayofweek(col("ts")))
+        .withColumn("dp", floor(hour(col("ts")) / lit(6)))
+      graft.operators.StatTests.tukeyAdditivity(staged, "dow", "dp", "value")
+        .select(col("cells_"), r6(col("ss_res")).as("ss_res"),
+          r6(col("ss_nonadd")).as("ss_nonadd"), r6(col("f_stat")).as("f_stat"))
+    }),
+
+    // decision stump: which literal value cut most separates purchases
+    // from the rest? (quantized-gain argmax, threshold tie-break)
+    "q503_decision_stump" -> ((s, dir) => {
+      val staged = ev(s, dir).filter(col("value").isNotNull)
+        .withColumn("y", (col("event_type") === "purchase").cast("long"))
+      graft.operators.StatTests.decisionStump(staged, "value", "y",
+          Seq(5.0, 10.0, 20.0, 40.0))
+        .select(col("thr"), col("n_left"), col("n_right"),
+          r6(col("gini_gain")).as("gini_gain"), col("best"))
+    }),
+
+    // Bland-Altman agreement of hourly click vs purchase mean values:
+    // bias, limits of agreement, and pairs outside them
+    "q504_bland_altman" -> ((s, dir) => {
+      val hourly = ev(s, dir).filter(col("value").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(avg(when(col("event_type") === "click", col("value"))).as("a"),
+          avg(when(col("event_type") === "purchase", col("value"))).as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull)
+      graft.operators.StatTests.blandAltman(hourly, "a", "b")
+        .select(col("n"), r6(col("bias")).as("bias"), r6(col("sd_d")).as("sd_d"),
+          r6(col("loa_low")).as("loa_low"), r6(col("loa_high")).as("loa_high"),
+          col("n_outside"))
+    }),
+
+    // Wilson CIs per arm + Newcombe square-and-add difference CI for
+    // P(value > 20 | click) vs P(value > 20 | purchase)
+    "q505_newcombe" -> ((s, dir) => {
+      val staged = ev(s, dir).filter(col("value").isNotNull)
+        .withColumn("s", (col("value") > 20).cast("long"))
+      graft.operators.StatTests.newcombeCi(staged, "event_type",
+          "click", "purchase", "s")
+        .select(col("n1"), r6(col("p1")).as("p1"), r6(col("lo1")).as("lo1"),
+          r6(col("hi1")).as("hi1"), col("n2"), r6(col("p2")).as("p2"),
+          r6(col("lo2")).as("lo2"), r6(col("hi2")).as("hi2"),
+          r6(col("diff")).as("diff"), r6(col("d_lo")).as("d_lo"),
+          r6(col("d_hi")).as("d_hi"))
     })
   )
 
@@ -16557,6 +16627,141 @@ object SparkEntry {
          |  round(CASE WHEN mu IS NOT NULL THEN
          |    mu + alpha*(1.0 - pow(y, kappa))/kappa END, 6) AS ret_level
          |FROM u""".stripMargin
+    },
+
+    // NB method of moments: r = m^2/(v-m), p = m/v; null if v <= m
+    "q500_negbin_fit" ->
+      """WITH pu AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |a AS (SELECT count(*)::DOUBLE AS n, sum(c::DOUBLE) AS s1,
+        |    sum(c::DOUBLE*c::DOUBLE) AS s2 FROM pu),
+        |m AS (SELECT n, s1/n AS mean, s2/n - (s1/n)*(s1/n) AS var FROM a),
+        |r AS (SELECT n, mean, var, CASE WHEN var > mean AND mean > 0 THEN
+        |    mean*mean/(var - mean) END AS rr FROM m)
+        |SELECT n::BIGINT AS n, round(mean, 6) AS mean_,
+        |  round(var, 6) AS var_, round(rr, 6) AS r_,
+        |  round(CASE WHEN rr IS NOT NULL THEN mean/var END, 6) AS p_
+        |FROM r""".stripMargin,
+
+    // pooled per-mean variance; positive-part shrink factor
+    "q501_james_stein" ->
+      """WITH per AS (SELECT event_type AS grp, count(*)::DOUBLE AS ng,
+        |    avg(value) AS rm, sum(value*value)/count(*)::DOUBLE AS m2
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |pe AS (SELECT grp, ng, rm, (m2 - rm*rm)/ng AS se2 FROM per),
+        |g AS (SELECT count(*)::DOUBLE AS k, avg(rm) AS gm,
+        |    avg(se2) AS sbar FROM pe),
+        |ss AS (SELECT sum((rm - g.gm)*(rm - g.gm)) AS s FROM pe, g),
+        |f AS (SELECT k, gm, sbar, s, CASE WHEN k >= 4 AND s > 0 THEN
+        |    greatest(0.0, 1.0 - (k - 3)*sbar/s) END AS c FROM g, ss)
+        |SELECT pe.grp AS "group", pe.ng::BIGINT AS n_g,
+        |  round(pe.rm, 6) AS raw_mean,
+        |  round(CASE WHEN f.c IS NOT NULL THEN
+        |    f.gm + f.c*(pe.rm - f.gm) END, 6) AS shrunk
+        |FROM pe, f""".stripMargin,
+
+    // cell means, additive margins, Tukey 1-df SS and F
+    "q502_tukey_additivity" ->
+      """WITH cells AS (SELECT dayofweek(ts) AS r, floor(hour(ts)/6) AS c,
+        |    avg(value) AS m FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |wm AS (SELECT r, c, m, avg(m) OVER (PARTITION BY r) AS rm,
+        |    avg(m) OVER (PARTITION BY c) AS cm, avg(m) OVER () AS gm
+        |  FROM cells),
+        |eff AS (SELECT r, c, m, rm - gm AS a, cm - gm AS b,
+        |    m - rm - cm + gm AS res FROM wm),
+        |rsq AS (SELECT sum(aa*aa) AS sa2, count(*)::DOUBLE AS nr FROM
+        |    (SELECT DISTINCT r, a AS aa FROM eff)),
+        |csq AS (SELECT sum(bb*bb) AS sb2, count(*)::DOUBLE AS nc FROM
+        |    (SELECT DISTINCT c, b AS bb FROM eff)),
+        |ag AS (SELECT count(*) AS cells_, sum(res*res) AS ss_res,
+        |    sum(res*a*b) AS num FROM eff),
+        |f AS (SELECT cells_, ss_res, CASE WHEN sa2 > 0 AND sb2 > 0 THEN
+        |    num*num/(sa2*sb2) END AS ssn,
+        |    (nr - 1)*(nc - 1) - 1 AS dfr FROM ag, rsq, csq)
+        |SELECT cells_::BIGINT AS cells_, round(ss_res, 6) AS ss_res,
+        |  round(ssn, 6) AS ss_nonadd,
+        |  round(CASE WHEN ssn IS NOT NULL AND dfr > 0
+        |      AND (ss_res - ssn) > 0 THEN
+        |    ssn/((ss_res - ssn)/dfr) END, 6) AS f_stat
+        |FROM f""".stripMargin,
+
+    // exact split counts; quantized-gain argmax, smallest-thr tie-break
+    "q503_decision_stump" ->
+      """WITH s AS (SELECT value AS x,
+        |    (event_type = 'purchase')::BIGINT AS y FROM events
+        |  WHERE value IS NOT NULL),
+        |e AS (SELECT tz.t, x, y FROM s,
+        |    (SELECT unnest([5.0, 10.0, 20.0, 40.0]::DOUBLE[]) AS t) tz),
+        |p AS (SELECT t, count(*)::DOUBLE AS n, sum(y)::DOUBLE AS pos,
+        |    sum(CASE WHEN x <= t THEN 1 ELSE 0 END)::DOUBLE AS nl,
+        |    sum(CASE WHEN x <= t THEN y ELSE 0 END)::DOUBLE AS pl
+        |  FROM e GROUP BY 1),
+        |g AS (SELECT t, n, pos, nl, pl, n - nl AS nr, pos - pl AS pr
+        |  FROM p),
+        |sc AS (SELECT t, nl, nr, CASE WHEN nl > 0 AND nr > 0 THEN
+        |    2.0*(pos/n)*(1.0 - pos/n)
+        |    - (nl*(2.0*(pl/nl)*(1.0 - pl/nl))
+        |       + nr*(2.0*(pr/nr)*(1.0 - pr/nr)))/n ELSE 0.0 END AS gain
+        |  FROM g),
+        |q AS (SELECT t, nl, nr, gain,
+        |    sign(gain)*floor(abs(gain)*1e6 + 0.5)/1e6 AS qg FROM sc),
+        |b AS (SELECT max(qg) AS bq FROM q),
+        |b2 AS (SELECT min(t) AS bt FROM q, b WHERE qg = bq)
+        |SELECT t AS thr, nl::BIGINT AS n_left, nr::BIGINT AS n_right,
+        |  round(gain, 6) AS gini_gain,
+        |  (qg = b.bq AND t = b2.bt) AS best
+        |FROM q, b, b2""".stripMargin,
+
+    // paired hourly means; 1.96-sd limits; outside recount
+    "q504_bland_altman" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+        |    avg(CASE WHEN event_type = 'click' THEN value END) AS a,
+        |    avg(CASE WHEN event_type = 'purchase' THEN value END) AS b
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |p AS (SELECT a - b AS d FROM hourly
+        |  WHERE a IS NOT NULL AND b IS NOT NULL),
+        |m AS (SELECT count(*) AS n, avg(d) AS bias,
+        |    sum(d*d)/count(*)::DOUBLE AS m2 FROM p),
+        |s AS (SELECT n, bias, sqrt(m2 - bias*bias) AS sd FROM m),
+        |l AS (SELECT n, bias, sd, bias - 1.96*sd AS lo,
+        |    bias + 1.96*sd AS hi FROM s)
+        |SELECT max(n)::BIGINT AS n, round(max(bias), 6) AS bias,
+        |  round(max(sd), 6) AS sd_d, round(max(lo), 6) AS loa_low,
+        |  round(max(hi), 6) AS loa_high,
+        |  sum(CASE WHEN d < lo OR d > hi THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_outside
+        |FROM p, l""".stripMargin,
+
+    // Wilson bounds per arm; Newcombe square-and-add difference CI
+    "q505_newcombe" -> {
+      val z = 1.959963984540054
+      val z2 = z * z
+      s"""WITH s AS (SELECT event_type, (value > 20)::BIGINT AS sc
+         |  FROM events WHERE value IS NOT NULL),
+         |w1 AS (SELECT count(*)::DOUBLE AS n1, sum(sc)::DOUBLE AS x1
+         |  FROM s WHERE event_type = 'click'),
+         |w2 AS (SELECT count(*)::DOUBLE AS n2, sum(sc)::DOUBLE AS x2
+         |  FROM s WHERE event_type = 'purchase'),
+         |c1 AS (SELECT n1, x1/n1 AS p1,
+         |    (x1/n1 + $z2/(n1*2) - $z*sqrt((x1/n1)*(1.0 - x1/n1)/n1
+         |      + $z2/(n1*n1*4)))/(1.0 + $z2/n1) AS lo1,
+         |    (x1/n1 + $z2/(n1*2) + $z*sqrt((x1/n1)*(1.0 - x1/n1)/n1
+         |      + $z2/(n1*n1*4)))/(1.0 + $z2/n1) AS hi1 FROM w1),
+         |c2 AS (SELECT n2, x2/n2 AS p2,
+         |    (x2/n2 + $z2/(n2*2) - $z*sqrt((x2/n2)*(1.0 - x2/n2)/n2
+         |      + $z2/(n2*n2*4)))/(1.0 + $z2/n2) AS lo2,
+         |    (x2/n2 + $z2/(n2*2) + $z*sqrt((x2/n2)*(1.0 - x2/n2)/n2
+         |      + $z2/(n2*n2*4)))/(1.0 + $z2/n2) AS hi2 FROM w2),
+         |j AS (SELECT *, p1 - p2 AS diff FROM c1, c2)
+         |SELECT n1::BIGINT AS n1, round(p1, 6) AS p1, round(lo1, 6) AS lo1,
+         |  round(hi1, 6) AS hi1, n2::BIGINT AS n2, round(p2, 6) AS p2,
+         |  round(lo2, 6) AS lo2, round(hi2, 6) AS hi2,
+         |  round(diff, 6) AS diff,
+         |  round(diff - sqrt((p1 - lo1)*(p1 - lo1)
+         |    + (hi2 - p2)*(hi2 - p2)), 6) AS d_lo,
+         |  round(diff + sqrt((hi1 - p1)*(hi1 - p1)
+         |    + (p2 - lo2)*(p2 - lo2)), 6) AS d_hi
+         |FROM j""".stripMargin
     }
   )
 

@@ -4241,6 +4241,234 @@ object StatTests {
         col("_e.ret_t").as("ret_t"), col("_e.ret_level").as("ret_level"))
   }
 
+  /** Negative-binomial moment fit: for an overdispersed count variable
+    * with mean m and population variance v > m,
+    *   r̂ = m²/(v − m),  p̂ = m/v,
+    * the closed-form companion of [[zipFit]] — ZIP explains excess zeros
+    * by a dormant mixture, NB by gamma-heterogeneous rates; fitting both
+    * and comparing deviances is the standard overdispersion triage.
+    * Null when v ≤ m (no overdispersion — plain Poisson wins). One
+    * moment pass. Output: one row (n, mean_, var_, r_, p_).
+    */
+  def negBinFit(df: DataFrame, valCol: String): DataFrame = {
+    val x = col(valCol).cast("double")
+    val agged = df.filter(x.isNotNull)
+      .agg(count(lit(1)).cast("double").as("_n"), sum(x).as("_s1"),
+        sum(x * x).as("_s2"))
+    val m = col("_s1") / col("_n")
+    val vv = col("_s2") / col("_n") - m * m
+    agged
+      .withColumn("mean_", m).withColumn("var_", vv)
+      .withColumn("r_", when(col("var_") > col("mean_") &&
+          col("mean_") > 0,
+        col("mean_") * col("mean_") / (col("var_") - col("mean_"))))
+      .withColumn("p_", when(col("r_").isNotNull,
+        col("mean_") / col("var_")))
+      .select(col("_n").cast("bigint").as("n"), col("mean_"), col("var_"),
+        col("r_"), col("p_"))
+  }
+
+  /** James–Stein shrinkage of k group means toward the grand mean
+    * (James & Stein 1961, positive-part estimator): with per-group means
+    * m_i, the pooled within-group variance of a group mean σ̄² (mean of
+    * s²_i/n_i), and S = Σ(m_i − m̄)²,
+    *   c = max(0, 1 − (k−3)·σ̄²/S),   shrunk_i = m̄ + c·(m_i − m̄).
+    * Dominates the raw means in total squared error whenever k ≥ 4 —
+    * the frequentist twin of q-EB shrinkage for RATES, here for means.
+    * One grouped moment pass + one bounded reduction + a broadcast
+    * join-back. Output: (group, n_g, raw_mean, shrunk).
+    */
+  def jamesStein(df: DataFrame, groupCol: String,
+                 valCol: String): DataFrame = {
+    val x = col(valCol).cast("double")
+    val per = df.filter(x.isNotNull).groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).cast("double").as("_ng"), avg(x).as("raw_mean"),
+        (sum(x * x) / count(lit(1)).cast("double")).as("_m2"))
+      .withColumn("_se2",
+        (col("_m2") - col("raw_mean") * col("raw_mean")) / col("_ng"))
+    val glob = per.agg(count(lit(1)).cast("double").as("_k"),
+      avg(col("raw_mean")).as("_gm"), avg(col("_se2")).as("_sbar"))
+    val s = per.crossJoin(broadcast(glob))
+      .withColumn("_dev",
+        (col("raw_mean") - col("_gm")) * (col("raw_mean") - col("_gm")))
+    val s2 = s.groupBy().agg(max(col("_k")).as("_k2"),
+      max(col("_gm")).as("_gm2"), max(col("_sbar")).as("_sbar2"),
+      sum(col("_dev")).as("_ss"))
+    per.crossJoin(broadcast(s2))
+      .withColumn("_c", when(col("_k2") >= 4 && col("_ss") > 0,
+        greatest(lit(0.0), lit(1.0) -
+          (col("_k2") - 3) * col("_sbar2") / col("_ss"))))
+      .withColumn("shrunk", when(col("_c").isNotNull,
+        col("_gm2") + col("_c") * (col("raw_mean") - col("_gm2"))))
+      .select(col("group"), col("_ng").cast("bigint").as("n_g"),
+        col("raw_mean"), col("shrunk"))
+  }
+
+  /** Tukey's one-degree-of-freedom test for non-additivity (Tukey
+    * 1949): on a two-way table of cell means m_ij with row effects
+    * a_i = rowmean − grand, column effects b_j = colmean − grand and
+    * additive residuals r_ij = m_ij − rowmean_i − colmean_j + grand,
+    *   SS_nonadd = (Σ r_ij·a_i·b_j)² / (Σa_i²·Σb_j²),
+    *   F = SS_nonadd / ((SS_res − SS_nonadd)/(RC − R − C)),
+    * large F ⇒ the factors INTERACT multiplicatively (a log transform
+    * would fix it) — the "is dow × hour really additive?" pre-check
+    * before trusting any additive seasonal profile. Cell means, margins
+    * and the test are three grouped passes over the bounded table.
+    * Output: one row (cells_, ss_res, ss_nonadd, f_stat).
+    */
+  def tukeyAdditivity(df: DataFrame, rowCol: String, colCol: String,
+                      valCol: String): DataFrame = {
+    val x = col(valCol).cast("double")
+    val cells = df.filter(x.isNotNull)
+      .groupBy(col(rowCol).as("_r"), col(colCol).as("_c"))
+      .agg(avg(x).as("_m"))
+    val withMargins = cells
+      .withColumn("_rm", avg(col("_m")).over(Window.partitionBy(col("_r"))))
+      .withColumn("_cm", avg(col("_m")).over(Window.partitionBy(col("_c"))))
+      .withColumn("_gm", avg(col("_m")).over(Window.partitionBy()))
+      .withColumn("_a", col("_rm") - col("_gm"))
+      .withColumn("_b", col("_cm") - col("_gm"))
+      .withColumn("_res",
+        col("_m") - col("_rm") - col("_cm") + col("_gm"))
+    // distinct-entity effect sums: each row/column effect counted ONCE
+    val rowSq = withMargins.select(col("_r"), col("_a")).distinct()
+      .agg(sum(col("_a") * col("_a")).as("_sa2"),
+        count(lit(1)).cast("double").as("_nr"))
+    val colSq = withMargins.select(col("_c"), col("_b")).distinct()
+      .agg(sum(col("_b") * col("_b")).as("_sb2"),
+        count(lit(1)).cast("double").as("_nc"))
+    val agged = withMargins.agg(count(lit(1)).as("cells_"),
+      sum(col("_res") * col("_res")).as("ss_res"),
+      sum(col("_res") * col("_a") * col("_b")).as("_num"))
+      .crossJoin(broadcast(rowSq)).crossJoin(broadcast(colSq))
+    val ssNon = when(col("_sa2") > 0 && col("_sb2") > 0,
+      col("_num") * col("_num") / (col("_sa2") * col("_sb2")))
+    val dfRes = (col("_nr") - 1) * (col("_nc") - 1) - 1
+    agged
+      .withColumn("ss_nonadd", ssNon)
+      .withColumn("f_stat", when(col("ss_nonadd").isNotNull && dfRes > 0 &&
+          (col("ss_res") - col("ss_nonadd")) > 0,
+        col("ss_nonadd") /
+          ((col("ss_res") - col("ss_nonadd")) / dfRes)))
+      .select(col("cells_"), col("ss_res"), col("ss_nonadd"), col("f_stat"))
+  }
+
+  /** Single-feature decision stump on a literal threshold grid: for each
+    * candidate cut t, split on x ≤ t and score the weighted Gini
+    * impurity drop for a binary label,
+    *   gain(t) = G(parent) − (n_L·G_L + n_R·G_R)/n,  G = 2p(1−p).
+    * The best cut (6-dp-quantized gain, smallest-threshold tie-break —
+    * never a raw-float argmax) is flagged. The "which single value cut
+    * most separates converters?" explainability readout; all counts are
+    * exact integers. One explode over the literal grid + one groupBy.
+    * Output: one row per threshold (thr, n_left, n_right, gini_gain,
+    * best).
+    */
+  def decisionStump(df: DataFrame, featureCol: String, labelCol: String,
+                    thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val x = col(featureCol).cast("double")
+    val y = col(labelCol).cast("long")
+    val staged = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.as("_x"), y.as("_y"),
+        explode(array(thresholds.map(lit): _*)).as("_t"))
+    val per = staged.groupBy(col("_t"))
+      .agg(count(lit(1)).cast("double").as("_n"),
+        sum(col("_y")).cast("double").as("_pos"),
+        sum(when(col("_x") <= col("_t"), 1L).otherwise(0L))
+          .cast("double").as("_nl"),
+        sum(when(col("_x") <= col("_t"), col("_y")).otherwise(0L))
+          .cast("double").as("_pl"))
+    def gini(p: Column): Column = lit(2.0) * p * (lit(1.0) - p)
+    val nr = col("_n") - col("_nl")
+    val pr = col("_pos") - col("_pl")
+    val scored = per
+      .withColumn("_gain", when(col("_nl") > 0 && nr > 0,
+        gini(col("_pos") / col("_n")) -
+          (col("_nl") * gini(col("_pl") / col("_nl")) +
+            nr * gini(pr / nr)) / col("_n")).otherwise(0.0))
+      .withColumn("_q",
+        signum(col("_gain")) * floor(abs(col("_gain")) * 1e6 + 0.5) / 1e6)
+    val best = scored.agg(
+      max(struct(col("_q").as("q"), (-col("_t")).as("negt"))).as("_b"))
+    scored.crossJoin(broadcast(best))
+      .withColumn("best",
+        col("_q") === col("_b.q") && col("_t") === -col("_b.negt"))
+      .select(col("_t").as("thr"), col("_nl").cast("bigint").as("n_left"),
+        nr.cast("bigint").as("n_right"), col("_gain").as("gini_gain"),
+        col("best"))
+  }
+
+  /** Bland–Altman agreement of two paired measurement streams (Bland &
+    * Altman 1986): over the paired differences d,
+    *   bias = mean d,  LoA = bias ± 1.96·sd(d)  (population sd),
+    * with the count of pairs outside the limits. THE standard for "do
+    * two tiers/pipelines measure the same thing?", where correlation
+    * misleads (perfectly correlated streams can disagree by a constant
+    * or a scale). One moment pass + one recount against the limits.
+    * Output: one row (n, bias, sd_d, loa_low, loa_high, n_outside).
+    */
+  def blandAltman(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d = col(aCol).cast("double") - col(bCol).cast("double")
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(d.as("_d"))
+    val mom = base.agg(count(lit(1)).as("n"), avg(col("_d")).as("bias"),
+      (sum(col("_d") * col("_d")) / count(lit(1)).cast("double")).as("_m2"))
+      .withColumn("sd_d", sqrt(col("_m2") - col("bias") * col("bias")))
+      .withColumn("loa_low", col("bias") - lit(1.96) * col("sd_d"))
+      .withColumn("loa_high", col("bias") + lit(1.96) * col("sd_d"))
+    base.crossJoin(broadcast(mom))
+      .agg(max(col("n")).as("n"), max(col("bias")).as("bias"),
+        max(col("sd_d")).as("sd_d"), max(col("loa_low")).as("loa_low"),
+        max(col("loa_high")).as("loa_high"),
+        sum(when(col("_d") < col("loa_low") ||
+          col("_d") > col("loa_high"), 1L).otherwise(0L)).as("n_outside"))
+  }
+
+  /** Wilson score intervals + Newcombe difference interval (Wilson
+    * 1927; Newcombe 1998 method 10): per arm, the Wilson 95% bounds
+    *   (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n),
+    * and for the difference p̂₁ − p̂₂ the Newcombe square-and-add CI
+    *   [δ − √((p̂₁−l₁)² + (u₂−p̂₂)²),  δ + √((u₁−p̂₁)² + (p̂₂−l₂)²)].
+    * Wilson never collapses at 0/1 counts like the Wald interval, and
+    * Newcombe inherits that — the production-grade proportion CI pair.
+    * z = 1.959963984540054 (a literal both engines share). Two grouped
+    * counts + pure arithmetic. Output: one row
+    * (n1, p1, lo1, hi1, n2, p2, lo2, hi2, diff, d_lo, d_hi).
+    */
+  def newcombeCi(df: DataFrame, armCol: String, armA: String, armB: String,
+                 successCol: String): DataFrame = {
+    val z = 1.959963984540054
+    val s = col(successCol).cast("long")
+    def wilson(arm: String, tag: String) = {
+      val agged = df.filter(col(armCol) === arm && s.isNotNull)
+        .agg(count(lit(1)).cast("double").as(s"_n$tag"),
+          sum(s).cast("double").as(s"_x$tag"))
+      val n = col(s"_n$tag")
+      val p = col(s"_x$tag") / n
+      val z2 = lit(z * z)
+      val center = p + z2 / (n * 2)
+      val half = lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (n * n * 4))
+      val denom = lit(1.0) + z2 / n
+      agged
+        .withColumn(s"p$tag", p)
+        .withColumn(s"lo$tag", (center - half) / denom)
+        .withColumn(s"hi$tag", (center + half) / denom)
+    }
+    val joined = wilson(armA, "1").crossJoin(broadcast(wilson(armB, "2")))
+    joined
+      .withColumn("diff", col("p1") - col("p2"))
+      .withColumn("d_lo", col("diff") - sqrt(
+        (col("p1") - col("lo1")) * (col("p1") - col("lo1")) +
+          (col("hi2") - col("p2")) * (col("hi2") - col("p2"))))
+      .withColumn("d_hi", col("diff") + sqrt(
+        (col("hi1") - col("p1")) * (col("hi1") - col("p1")) +
+          (col("p2") - col("lo2")) * (col("p2") - col("lo2"))))
+      .select(col("_n1").cast("bigint").as("n1"), col("p1"), col("lo1"),
+        col("hi1"), col("_n2").cast("bigint").as("n2"), col("p2"),
+        col("lo2"), col("hi2"), col("diff"), col("d_lo"), col("d_hi"))
+  }
+
   def spiegelhalterZ(df: DataFrame, yCol: String, pCol: String): DataFrame = {
     val y = col(yCol).cast("double")
     val p = col(pCol).cast("double")

@@ -1492,6 +1492,94 @@ class StatTestsSpec extends SparkSuite {
     assert(approxEq(r.getAs[Double]("ret_level"), ret, 1e-9))
   }
 
+  test("negBinFit: {0,1,2,5} -> r = 8/3, p = 4/7") {
+    val df = Seq(0.0, 1, 2, 5).map(Tuple1(_)).toDF("v")
+    val r = StatTests.negBinFit(df, "v").collect()(0)
+    assert(approxEq(r.getAs[Double]("mean_"), 2.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("var_"), 3.5, 1e-12))
+    assert(approxEq(r.getAs[Double]("r_"), 8.0 / 3, 1e-12))
+    assert(approxEq(r.getAs[Double]("p_"), 4.0 / 7, 1e-12))
+    // underdispersed -> null r
+    val u = Seq(1.0, 1, 1, 1).map(Tuple1(_)).toDF("v")
+    val ru = StatTests.negBinFit(u, "v").collect()(0)
+    assert(ru.isNullAt(ru.fieldIndex("r_")))
+  }
+
+  test("jamesStein: k=4 groups shrink by 1 - sbar/S") {
+    val rows = Seq(("a", 0.0), ("a", 2.0), ("b", 2.0), ("b", 4.0),
+      ("c", 4.0), ("c", 6.0), ("d", 10.0), ("d", 12.0))
+    val df = rows.toDF("g", "v")
+    val out = StatTests.jamesStein(df, "g", "v").collect()
+      .map(r => r.getAs[String]("group") -> r).toMap
+    // se2 = (pop var 1)/2 each -> sbar = 0.5; gm = 5; S = 56
+    val c = 1.0 - 0.5 / 56
+    assert(approxEq(out("a").getAs[Double]("raw_mean"), 1.0, 1e-12))
+    assert(approxEq(out("a").getAs[Double]("shrunk"), 5 - 4 * c, 1e-12))
+    assert(approxEq(out("d").getAs[Double]("shrunk"), 5 + 6 * c, 1e-12))
+  }
+
+  test("tukeyAdditivity: exact product table puts ALL residual in 1 df") {
+    // m = x*y: residual = a*b/gm exactly -> ss_nonadd = ss_res, F null
+    val rows = for (x <- Seq(1.0, 2.0); y <- Seq(1.0, 3.0, 4.0))
+      yield (s"r$x", s"c$y", x * y)
+    val df = rows.toDF("r", "c", "v")
+    val r = StatTests.tukeyAdditivity(df, "r", "c", "v").collect()(0)
+    assert(r.getAs[Long]("cells_") === 6L)
+    val sa2 = 2 * math.pow(4.0 / 3, 2)
+    val sb2 = 10.5
+    val expect = sa2 * sb2 / 16.0 // gm = 4
+    assert(approxEq(r.getAs[Double]("ss_res"), expect, 1e-9))
+    assert(approxEq(r.getAs[Double]("ss_nonadd"), expect, 1e-9))
+    assert(r.isNullAt(r.fieldIndex("f_stat")))
+  }
+
+  test("decisionStump: perfect split wins with full parent gain") {
+    val df = Seq((1.0, 0L), (2.0, 0L), (3.0, 1L), (4.0, 1L)).toDF("x", "y")
+    val rows = StatTests.decisionStump(df, "x", "y", Seq(1.5, 2.5))
+      .collect().map(r => r.getAs[Double]("thr") -> r).toMap
+    assert(approxEq(rows(2.5).getAs[Double]("gini_gain"), 0.5, 1e-12))
+    assert(rows(2.5).getAs[Boolean]("best"))
+    assert(approxEq(rows(1.5).getAs[Double]("gini_gain"), 1.0 / 6, 1e-12))
+    assert(!rows(1.5).getAs[Boolean]("best"))
+  }
+
+  test("blandAltman: diffs {1,3} -> bias 2, sd 1, none outside") {
+    val df = Seq((2.0, 1.0), (5.0, 2.0)).toDF("a", "b")
+    val r = StatTests.blandAltman(df, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n") === 2L)
+    assert(approxEq(r.getAs[Double]("bias"), 2.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("sd_d"), 1.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("loa_low"), 2 - 1.96, 1e-12))
+    assert(approxEq(r.getAs[Double]("loa_high"), 2 + 1.96, 1e-12))
+    assert(r.getAs[Long]("n_outside") === 0L)
+  }
+
+  test("newcombeCi: matches a plain-Scala Wilson/Newcombe replication") {
+    val rows = Seq(("a", 1L), ("a", 0L), ("a", 1L), ("a", 0L),
+      ("b", 1L), ("b", 1L), ("b", 0L))
+    val df = rows.toDF("arm", "s")
+    val r = StatTests.newcombeCi(df, "arm", "a", "b", "s").collect()(0)
+    val z = 1.959963984540054
+    def wilson(x: Double, n: Double): (Double, Double, Double) = {
+      val p = x / n
+      val c = p + z * z / (n * 2)
+      val h = z * math.sqrt(p * (1 - p) / n + z * z / (n * n * 4))
+      val d = 1 + z * z / n
+      (p, (c - h) / d, (c + h) / d)
+    }
+    val (p1, lo1, hi1) = wilson(2, 4)
+    val (p2, lo2, hi2) = wilson(2, 3)
+    assert(approxEq(r.getAs[Double]("p1"), p1, 1e-12))
+    assert(approxEq(r.getAs[Double]("lo1"), lo1, 1e-12))
+    assert(approxEq(r.getAs[Double]("hi2"), hi2, 1e-12))
+    val diff = p1 - p2
+    val dLo = diff - math.sqrt(math.pow(p1 - lo1, 2) + math.pow(hi2 - p2, 2))
+    val dHi = diff + math.sqrt(math.pow(hi1 - p1, 2) + math.pow(p2 - lo2, 2))
+    assert(approxEq(r.getAs[Double]("diff"), diff, 1e-12))
+    assert(approxEq(r.getAs[Double]("d_lo"), dLo, 1e-12))
+    assert(approxEq(r.getAs[Double]("d_hi"), dHi, 1e-12))
+  }
+
   test("bws: fully separated 2x2 hand golden 1.6875") {
     // A = {1,2}, B = {3,4}: B_A = (9/8 + 9/2)/2, B_B = (9/8)/2
     val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 3.0, 3L),
