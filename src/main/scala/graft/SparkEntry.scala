@@ -6941,6 +6941,73 @@ object SparkEntry {
           r6(col("lo2")).as("lo2"), r6(col("hi2")).as("hi2"),
           r6(col("diff")).as("diff"), r6(col("d_lo")).as("d_lo"),
           r6(col("d_hi")).as("d_hi"))
+    }),
+
+    // Deming errors-in-both regression of the q504 hourly pairs — the
+    // method-comparison line OLS attenuates
+    "q506_deming" -> ((s, dir) => {
+      val hourly = ev(s, dir).filter(col("value").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(avg(when(col("event_type") === "click", col("value"))).as("a"),
+          avg(when(col("event_type") === "purchase", col("value"))).as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull)
+      graft.operators.StatTests.deming(hourly, "a", "b", 1.0)
+        .select(col("n"), r6(col("slope")).as("slope"),
+          r6(col("intercept")).as("intercept"))
+    }),
+
+    // Heidke + Peirce skill of the persistence forecast for
+    // above-median daily volume (yesterday high -> today high?)
+    "q507_heidke_peirce" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      val staged = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("med", percentile(col("cnt").cast("double"), lit(0.5))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("obs", (col("cnt").cast("double") > col("med"))
+          .cast("long"))
+        .withColumn("fc", lag(col("obs"), 1).over(w))
+        .filter(col("fc").isNotNull)
+      graft.operators.StatTests.heidkePeirce(staged, "obs", "fc")
+        .select(col("n"), col("hits"), col("false_alarms"), col("misses"),
+          col("corr_neg"), r6(col("pss")).as("pss"), r6(col("hss")).as("hss"))
+    }),
+
+    // power-mean ladder of positive event values (HM <= GM <= AM <= QM)
+    "q508_power_means" -> ((s, dir) => {
+      graft.operators.StatTests.powerMeans(ev(s, dir), "value")
+        .select(col("n"), r6(col("hm")).as("hm"), r6(col("gm")).as("gm"),
+          r6(col("am")).as("am"), r6(col("qm")).as("qm"))
+    }),
+
+    // Youden J optimal value cut for predicting purchases (quantized-J
+    // argmax over the literal grid) — the deployable operating point
+    "q509_youden" -> ((s, dir) => {
+      val staged = ev(s, dir).filter(col("value").isNotNull)
+        .withColumn("y", (col("event_type") === "purchase").cast("long"))
+      graft.operators.StatTests.youdenCut(staged, "y", "value",
+          Seq(5.0, 10.0, 20.0, 40.0))
+        .select(col("thr"), r6(col("sens")).as("sens"),
+          r6(col("spec")).as("spec"), r6(col("j")).as("j"), col("best"))
+    }),
+
+    // Hill diversity ladder of per-user activity: effective user counts
+    // D1/D2 and Pielou evenness beside raw richness
+    "q510_hill_diversity" -> ((s, dir) => {
+      graft.operators.StatTests.hillDiversity(ev(s, dir), "user_id")
+        .select(col("s_"), r6(col("d1")).as("d1"), r6(col("d2")).as("d2"),
+          r6(col("evenness")).as("evenness"))
+    }),
+
+    // day-over-day active-user turnover: Jaccard overlap of adjacent
+    // daily distinct-user sets (flat DAU can hide 50% replacement)
+    "q511_user_turnover" -> ((s, dir) => {
+      graft.operators.StatTests.turnover(
+          ev(s, dir).withColumn("d", date_trunc("day", col("ts"))),
+          "d", "user_id")
+        .select(col("dd"), col("n_prev"), col("n_curr"), col("n_common"),
+          r6(col("jaccard")).as("jaccard"))
     })
   )
 
@@ -16762,7 +16829,124 @@ object SparkEntry {
          |  round(diff + sqrt((hi1 - p1)*(hi1 - p1)
          |    + (p2 - lo2)*(p2 - lo2)), 6) AS d_hi
          |FROM j""".stripMargin
-    }
+    },
+
+    // centered moments; positive root of the Deming quadratic
+    "q506_deming" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+        |    avg(CASE WHEN event_type = 'click' THEN value END) AS a,
+        |    avg(CASE WHEN event_type = 'purchase' THEN value END) AS b
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |p AS (SELECT a AS x, b AS y FROM hourly
+        |  WHERE a IS NOT NULL AND b IS NOT NULL),
+        |ag AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM p),
+        |m AS (SELECT n, sx, sy, sxx/n - (sx/n)*(sx/n) AS mxx,
+        |    syy/n - (sy/n)*(sy/n) AS myy,
+        |    sxy/n - (sx/n)*(sy/n) AS mxy FROM ag),
+        |s AS (SELECT n, sx, sy, CASE WHEN mxy <> 0 THEN
+        |    ((myy - 1.0*mxx) + sqrt((myy - 1.0*mxx)*(myy - 1.0*mxx)
+        |      + 4.0*mxy*mxy))/(2.0*mxy) END AS slope FROM m)
+        |SELECT n::BIGINT AS n, round(slope, 6) AS slope,
+        |  round(CASE WHEN slope IS NOT NULL THEN sy/n - slope*sx/n END, 6)
+        |    AS intercept
+        |FROM s""".stripMargin,
+
+    // persistence forecast vs above-exact-median observation
+    "q507_heidke_peirce" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT d, cnt, quantile_cont(cnt::DOUBLE, 0.5) OVER ()
+        |    AS med FROM daily),
+        |ob AS (SELECT d, (cnt::DOUBLE > med)::BIGINT AS obs FROM st),
+        |fc AS (SELECT obs, lag(obs) OVER (ORDER BY d) AS f FROM ob),
+        |g AS (SELECT obs, f FROM fc WHERE f IS NOT NULL),
+        |a AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN f = 1 AND obs = 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS hits,
+        |    sum(CASE WHEN f = 1 AND obs = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS false_alarms,
+        |    sum(CASE WHEN f = 0 AND obs = 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS misses,
+        |    sum(CASE WHEN f = 0 AND obs = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS corr_neg FROM g),
+        |d2 AS (SELECT n, hits, false_alarms, misses, corr_neg,
+        |    hits::DOUBLE AS ad, false_alarms::DOUBLE AS bd,
+        |    misses::DOUBLE AS cd, corr_neg::DOUBLE AS dd FROM a)
+        |SELECT n, hits, false_alarms, misses, corr_neg,
+        |  round(CASE WHEN (ad + cd) > 0 AND (bd + dd) > 0 THEN
+        |    ad/(ad + cd) - bd/(bd + dd) END, 6) AS pss,
+        |  round(CASE WHEN (ad + cd)*(cd + dd) + (ad + bd)*(bd + dd) > 0
+        |    THEN 2.0*(ad*dd - bd*cd)
+        |      /((ad + cd)*(cd + dd) + (ad + bd)*(bd + dd)) END, 6) AS hss
+        |FROM d2""".stripMargin,
+
+    // one pass of reciprocal/ln/linear/square sums
+    "q508_power_means" ->
+      """WITH v AS (SELECT value AS x FROM events
+        |  WHERE value IS NOT NULL AND value > 0),
+        |a AS (SELECT count(*)::DOUBLE AS n, sum(1.0/x) AS sinv,
+        |    sum(ln(x)) AS sln, sum(x) AS s1, sum(x*x) AS s2 FROM v)
+        |SELECT n::BIGINT AS n, round(n/sinv, 6) AS hm,
+        |  round(exp(sln/n), 6) AS gm, round(s1/n, 6) AS am,
+        |  round(sqrt(s2/n), 6) AS qm
+        |FROM a""".stripMargin,
+
+    // exact confusion counts per cut; quantized-J argmax
+    "q509_youden" ->
+      """WITH s AS (SELECT (event_type = 'purchase')::BIGINT AS y,
+        |    value AS sc FROM events WHERE value IS NOT NULL),
+        |e AS (SELECT tz.t, y, sc FROM s,
+        |    (SELECT unnest([5.0, 10.0, 20.0, 40.0]::DOUBLE[]) AS t) tz),
+        |p AS (SELECT t,
+        |    sum(CASE WHEN sc > t AND y = 1 THEN 1 ELSE 0 END)::DOUBLE
+        |      AS tp,
+        |    sum(CASE WHEN sc <= t AND y = 0 THEN 1 ELSE 0 END)::DOUBLE
+        |      AS tn,
+        |    sum((y = 1)::INT)::DOUBLE AS pos,
+        |    sum((y = 0)::INT)::DOUBLE AS neg FROM e GROUP BY 1),
+        |sc2 AS (SELECT t, CASE WHEN pos > 0 THEN tp/pos END AS sens,
+        |    CASE WHEN neg > 0 THEN tn/neg END AS spec FROM p),
+        |j AS (SELECT t, sens, spec, sens + spec - 1 AS j FROM sc2),
+        |q AS (SELECT t, sens, spec, j,
+        |    sign(j)*floor(abs(j)*1e6 + 0.5)/1e6 AS qj FROM j),
+        |b AS (SELECT max(qj) AS bq FROM q),
+        |b2 AS (SELECT min(t) AS bt FROM q, b WHERE qj = bq)
+        |SELECT t AS thr, round(sens, 6) AS sens, round(spec, 6) AS spec,
+        |  round(j, 6) AS j, (qj = b.bq AND t = b2.bt) AS best
+        |FROM q, b, b2""".stripMargin,
+
+    // share entropy/Simpson from exact counts; Hill effective numbers
+    "q510_hill_diversity" ->
+      """WITH per AS (SELECT user_id, count(*) AS c FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS s_, sum(c)::DOUBLE AS tot,
+        |    sum(c::DOUBLE*ln(c::DOUBLE)) AS slnc,
+        |    sum(c::DOUBLE*c::DOUBLE) AS sc2 FROM per),
+        |h AS (SELECT s_, tot, ln(tot) - slnc/tot AS hh, sc2 FROM a)
+        |SELECT s_, round(exp(hh), 6) AS d1, round(tot*tot/sc2, 6) AS d2,
+        |  round(CASE WHEN s_ > 1 THEN hh/ln(s_::DOUBLE) END, 6)
+        |    AS evenness
+        |FROM h""".stripMargin,
+
+    // adjacent-day distinct-user sets; exact overlap; Jaccard
+    "q511_user_turnover" ->
+      """WITH dl AS (SELECT DISTINCT date_trunc('day', ts) AS d,
+        |    user_id AS u FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |dd AS (SELECT date_diff('day', min(d) OVER (), d) AS dd, u
+        |  FROM dl),
+        |sz AS (SELECT dd, count(*) AS sz FROM dd GROUP BY 1),
+        |cm AS (SELECT a.dd, count(*) AS com FROM dd a JOIN dd b
+        |  ON b.dd = a.dd + 1 AND b.u = a.u GROUP BY 1),
+        |p AS (SELECT s1.dd, s1.sz AS np, s2.sz AS nc,
+        |    coalesce(cm.com, 0) AS ncom FROM sz s1
+        |  JOIN (SELECT dd - 1 AS ddp, sz FROM sz) s2 ON s1.dd = s2.ddp
+        |  LEFT JOIN cm ON cm.dd = s1.dd)
+        |SELECT dd, np::BIGINT AS n_prev, nc::BIGINT AS n_curr,
+        |  ncom::BIGINT AS n_common,
+        |  round(ncom::DOUBLE/(np + nc - ncom)::DOUBLE, 6) AS jaccard
+        |FROM p""".stripMargin
   )
 
   /** q430's oracle: the same 24-bin pivot + Fourier-1 folds as

@@ -4469,6 +4469,191 @@ object StatTests {
         col("lo2"), col("hi2"), col("diff"), col("d_lo"), col("d_hi"))
   }
 
+  /** Deming regression (errors in BOTH variables, Deming 1943; ratio of
+    * error variances λ): from centered population moments,
+    *   slope = (s_yy − λs_xx + √((s_yy − λs_xx)² + 4λs_xy²)) / (2s_xy),
+    *   intercept = ȳ − slope·x̄.
+    * OLS assumes x is exact and attenuates the slope when it is not —
+    * for method-comparison pairs (two pipelines measuring the same
+    * quantity, the [[blandAltman]] setting) Deming is the right line.
+    * Closed-form from one moment pass; null when s_xy = 0.
+    * Output: one row (n, slope, intercept).
+    */
+  def deming(df: DataFrame, xCol: String, yCol: String,
+             lambda: Double = 1.0): DataFrame = {
+    require(lambda > 0, s"lambda must be positive, got $lambda")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val agged = df.filter(x.isNotNull && y.isNotNull)
+      .agg(count(lit(1)).cast("double").as("_n"), sum(x).as("_sx"),
+        sum(y).as("_sy"), sum(x * x).as("_sxx"), sum(y * y).as("_syy"),
+        sum(x * y).as("_sxy"))
+    val n = col("_n")
+    val mxx = col("_sxx") / n - (col("_sx") / n) * (col("_sx") / n)
+    val myy = col("_syy") / n - (col("_sy") / n) * (col("_sy") / n)
+    val mxy = col("_sxy") / n - (col("_sx") / n) * (col("_sy") / n)
+    val d = myy - lit(lambda) * mxx
+    agged
+      .withColumn("slope", when(mxy =!= 0,
+        (d + sqrt(d * d + lit(4.0 * lambda) * mxy * mxy)) /
+          (lit(2.0) * mxy)))
+      .withColumn("intercept", when(col("slope").isNotNull,
+        col("_sy") / n - col("slope") * col("_sx") / n))
+      .select(n.cast("bigint").as("n"), col("slope"), col("intercept"))
+  }
+
+  /** Heidke and Peirce skill scores for a binary event forecast
+    * (Heidke 1926; Peirce 1884): from the contingency counts hits a,
+    * false alarms b, misses c, correct negatives d,
+    *   PSS = a/(a+c) − b/(b+d)        (hit rate − false-alarm rate),
+    *   HSS = 2(ad − bc)/((a+c)(c+d) + (a+b)(b+d)),
+    * both 0 for a no-skill forecast (random or constant) and 1 for a
+    * perfect one — the categorical companions of q-Brier that a naive
+    * accuracy number fakes under class imbalance. Exact integer counts.
+    * Output: one row (n, hits, false_alarms, misses, corr_neg, pss,
+    * hss).
+    */
+  def heidkePeirce(df: DataFrame, obsCol: String,
+                   fcCol: String): DataFrame = {
+    val o = col(obsCol).cast("long")
+    val f = col(fcCol).cast("long")
+    val agged = df.filter(o.isNotNull && f.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(f === 1 && o === 1, 1L).otherwise(0L)).as("hits"),
+        sum(when(f === 1 && o === 0, 1L).otherwise(0L)).as("false_alarms"),
+        sum(when(f === 0 && o === 1, 1L).otherwise(0L)).as("misses"),
+        sum(when(f === 0 && o === 0, 1L).otherwise(0L)).as("corr_neg"))
+    val a = col("hits").cast("double")
+    val b = col("false_alarms").cast("double")
+    val c = col("misses").cast("double")
+    val dd = col("corr_neg").cast("double")
+    val hssDen = (a + c) * (c + dd) + (a + b) * (b + dd)
+    agged
+      .withColumn("pss", when((a + c) > 0 && (b + dd) > 0,
+        a / (a + c) - b / (b + dd)))
+      .withColumn("hss", when(hssDen > 0,
+        lit(2.0) * (a * dd - b * c) / hssDen))
+      .select(col("n"), col("hits"), col("false_alarms"), col("misses"),
+        col("corr_neg"), col("pss"), col("hss"))
+  }
+
+  /** The power-mean ladder over a positive sample: harmonic (p = −1),
+    * geometric (p → 0), arithmetic (p = 1) and quadratic (p = 2) means.
+    * The AM/GM gap reads multiplicative spread, HM the rate-averaging
+    * answer (mean of speeds), QM the energy mean — and the ladder
+    * HM ≤ GM ≤ AM ≤ QM is a free internal consistency invariant. One
+    * moment pass (Σ1/x, Σln x, Σx, Σx²). Output: one row
+    * (n, hm, gm, am, qm).
+    */
+  def powerMeans(df: DataFrame, valCol: String): DataFrame = {
+    val x = col(valCol).cast("double")
+    val agged = df.filter(x.isNotNull && x > 0)
+      .agg(count(lit(1)).cast("double").as("_n"),
+        sum(lit(1.0) / x).as("_sinv"), sum(log(x)).as("_sln"),
+        sum(x).as("_s1"), sum(x * x).as("_s2"))
+    agged.select(col("_n").cast("bigint").as("n"),
+      (col("_n") / col("_sinv")).as("hm"),
+      exp(col("_sln") / col("_n")).as("gm"),
+      (col("_s1") / col("_n")).as("am"),
+      sqrt(col("_s2") / col("_n")).as("qm"))
+  }
+
+  /** Youden J optimal cut over a literal threshold grid: per cut t
+    * (predict positive when score > t),
+    *   J(t) = sensitivity + specificity − 1,
+    * with the best cut chosen on the 6-dp-quantized J (smallest
+    * threshold tie-break — never a raw-float argmax). The operating-
+    * point companion of q-ROC-AUC: AUC says the score CAN discriminate,
+    * Youden names the threshold to deploy. Exact integer confusion
+    * counts per cut. Output: one row per threshold
+    * (thr, sens, spec, j, best).
+    */
+  def youdenCut(df: DataFrame, labelCol: String, scoreCol: String,
+                thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val y = col(labelCol).cast("long")
+    val s = col(scoreCol).cast("double")
+    val staged = df.filter(y.isNotNull && s.isNotNull)
+      .select(y.as("_y"), s.as("_s"),
+        explode(array(thresholds.map(lit): _*)).as("_t"))
+    val per = staged.groupBy(col("_t"))
+      .agg(sum(when(col("_s") > col("_t") && col("_y") === 1, 1L)
+          .otherwise(0L)).cast("double").as("_tp"),
+        sum(when(col("_s") <= col("_t") && col("_y") === 0, 1L)
+          .otherwise(0L)).cast("double").as("_tn"),
+        sum((col("_y") === 1).cast("long")).cast("double").as("_p"),
+        sum((col("_y") === 0).cast("long")).cast("double").as("_neg"))
+    val scored = per
+      .withColumn("sens", when(col("_p") > 0, col("_tp") / col("_p")))
+      .withColumn("spec", when(col("_neg") > 0, col("_tn") / col("_neg")))
+      .withColumn("j", col("sens") + col("spec") - 1)
+      .withColumn("_q",
+        signum(col("j")) * floor(abs(col("j")) * 1e6 + 0.5) / 1e6)
+    val best = scored.agg(
+      max(struct(col("_q").as("q"), (-col("_t")).as("negt"))).as("_b"))
+    scored.crossJoin(broadcast(best))
+      .withColumn("best",
+        col("_q") === col("_b.q") && col("_t") === -col("_b.negt"))
+      .select(col("_t").as("thr"), col("sens"), col("spec"), col("j"),
+        col("best"))
+  }
+
+  /** Hill diversity numbers (Hill 1973) of a share distribution:
+    *   D₀ = S (richness), D₁ = exp(−Σp ln p) (Shannon's effective
+    * count), D₂ = 1/Σp² (inverse Simpson), plus Pielou evenness
+    * J = H/ln S. The "how many EFFECTIVE hosts/users carry this
+    * traffic?" ladder — D₁/D₂ drop long before raw richness does when
+    * concentration creeps in. Shares from exact counts; one groupBy +
+    * one reduction. Output: one row (s_, d1, d2, evenness).
+    */
+  def hillDiversity(df: DataFrame, keyCol: String): DataFrame = {
+    val per = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("_c"))
+    val agged = per.agg(count(lit(1)).as("s_"),
+      sum(col("_c")).cast("double").as("_tot"),
+      sum(col("_c").cast("double") * log(col("_c").cast("double")))
+        .as("_slnc"),
+      sum(col("_c").cast("double") * col("_c").cast("double")).as("_sc2"))
+    val h = log(col("_tot")) - col("_slnc") / col("_tot")
+    agged
+      .withColumn("d1", exp(h))
+      .withColumn("d2", col("_tot") * col("_tot") / col("_sc2"))
+      .withColumn("evenness", when(col("s_") > 1,
+        h / log(col("s_").cast("double"))))
+      .select(col("s_"), col("d1"), col("d2"), col("evenness"))
+  }
+
+  /** Day-over-day population turnover: for each adjacent bucket pair,
+    * the Jaccard overlap of the distinct-key sets plus the joined /
+    * churned counts,
+    *   jaccard = |A∩B| / (|A| + |B| − |A∩B|).
+    * The membership-level churn reading that aggregate counts hide (a
+    * flat DAU curve can mask 50% daily replacement). Distinct sets per
+    * bucket, one self-join on the +1 bucket index, exact integer
+    * overlap counts. Output: one row per adjacent pair
+    * (dd, n_prev, n_curr, n_common, jaccard).
+    */
+  def turnover(df: DataFrame, tsCol: String, keyCol: String): DataFrame = {
+    val daily = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(tsCol).as("_d"), col(keyCol).as("_u")).distinct()
+      .withColumn("_dd",
+        datediff(col("_d"), min(col("_d")).over(Window.partitionBy())))
+    val sizes = daily.groupBy(col("_dd")).agg(count(lit(1)).as("_sz"))
+    val nxt = daily.select((col("_dd") - 1).as("_ddn"), col("_u").as("_un"))
+    val common = daily.join(nxt,
+        col("_dd") === col("_ddn") && col("_u") === col("_un"))
+      .groupBy(col("_dd")).agg(count(lit(1)).as("_com"))
+    val paired = sizes.join(sizes.select((col("_dd") - 1).as("_ddp"),
+        col("_sz").as("_szn")), col("_dd") === col("_ddp"))
+      .join(common, Seq("_dd"), "left")
+      .withColumn("n_common", coalesce(col("_com"), lit(0L)))
+    paired.select(col("_dd").as("dd"), col("_sz").as("n_prev"),
+        col("_szn").as("n_curr"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("_sz") + col("_szn") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
+
   def spiegelhalterZ(df: DataFrame, yCol: String, pCol: String): DataFrame = {
     val y = col(yCol).cast("double")
     val p = col(pCol).cast("double")

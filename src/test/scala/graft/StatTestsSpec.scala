@@ -1580,6 +1580,70 @@ class StatTestsSpec extends SparkSuite {
     assert(approxEq(r.getAs[Double]("d_hi"), dHi, 1e-12))
   }
 
+  test("deming: exact line recovers slope/intercept (lambda = 1)") {
+    val df = Seq((0.0, 1.0), (1.0, 3.0), (2.0, 5.0), (3.0, 7.0))
+      .toDF("x", "y")
+    val r = StatTests.deming(df, "x", "y", 1.0).collect()(0)
+    assert(approxEq(r.getAs[Double]("slope"), 2.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("intercept"), 1.0, 1e-12))
+  }
+
+  test("heidkePeirce: balanced 2/1/1/2 table gives PSS = HSS = 1/3") {
+    val rows = Seq((1L, 1L), (1L, 1L), (0L, 1L), (1L, 0L), (0L, 0L),
+      (0L, 0L))
+    val df = rows.toDF("obs", "fc")
+    val r = StatTests.heidkePeirce(df, "obs", "fc").collect()(0)
+    assert(r.getAs[Long]("hits") === 2L)
+    assert(r.getAs[Long]("false_alarms") === 1L)
+    assert(r.getAs[Long]("misses") === 1L)
+    assert(r.getAs[Long]("corr_neg") === 2L)
+    assert(approxEq(r.getAs[Double]("pss"), 1.0 / 3, 1e-12))
+    assert(approxEq(r.getAs[Double]("hss"), 1.0 / 3, 1e-12))
+  }
+
+  test("powerMeans: {1,4} ladder HM < GM < AM < QM") {
+    val df = Seq(1.0, 4.0).map(Tuple1(_)).toDF("v")
+    val r = StatTests.powerMeans(df, "v").collect()(0)
+    assert(approxEq(r.getAs[Double]("hm"), 1.6, 1e-12))
+    assert(approxEq(r.getAs[Double]("gm"), 2.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("am"), 2.5, 1e-12))
+    assert(approxEq(r.getAs[Double]("qm"), math.sqrt(8.5), 1e-12))
+  }
+
+  test("youdenCut: clean separation picks the separating cut with J = 1") {
+    val df = Seq((1L, 10.0), (1L, 9.0), (0L, 1.0), (0L, 2.0))
+      .toDF("y", "s")
+    val rows = StatTests.youdenCut(df, "y", "s", Seq(1.5, 5.0)).collect()
+      .map(r => r.getAs[Double]("thr") -> r).toMap
+    assert(approxEq(rows(5.0).getAs[Double]("j"), 1.0, 1e-12))
+    assert(rows(5.0).getAs[Boolean]("best"))
+    assert(approxEq(rows(1.5).getAs[Double]("j"), 0.5, 1e-12))
+    assert(!rows(1.5).getAs[Boolean]("best"))
+  }
+
+  test("hillDiversity: two equal keys -> D1 = D2 = 2, evenness 1") {
+    val df = Seq("a", "a", "b", "b").map(Tuple1(_)).toDF("k")
+    val r = StatTests.hillDiversity(df, "k").collect()(0)
+    assert(r.getAs[Long]("s_") === 2L)
+    assert(approxEq(r.getAs[Double]("d1"), 2.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("d2"), 2.0, 1e-12))
+    assert(approxEq(r.getAs[Double]("evenness"), 1.0, 1e-12))
+  }
+
+  test("turnover: {1,2} -> {2,3} -> {3} day chain") {
+    val rows = Seq((ts(0), 1L), (ts(0), 2L), (ts(1), 2L), (ts(1), 3L),
+      (ts(2), 3L))
+    val df = rows.toDF("d", "u")
+    val out = StatTests.turnover(df, "d", "u").collect()
+      .map(r => r.getAs[Int]("dd") -> r).toMap
+    assert(out(0).getAs[Long]("n_prev") === 2L)
+    assert(out(0).getAs[Long]("n_curr") === 2L)
+    assert(out(0).getAs[Long]("n_common") === 1L)
+    assert(approxEq(out(0).getAs[Double]("jaccard"), 1.0 / 3, 1e-12))
+    assert(out(1).getAs[Long]("n_curr") === 1L)
+    assert(approxEq(out(1).getAs[Double]("jaccard"), 0.5, 1e-12))
+  }
+
   test("bws: fully separated 2x2 hand golden 1.6875") {
     // A = {1,2}, B = {3,4}: B_A = (9/8 + 9/2)/2, B_B = (9/8)/2
     val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 3.0, 3L),
