@@ -1502,8 +1502,15 @@ object SparkEntry {
 
     // PCA + whitening over the embeddings table, certified by the ANALYTIC
     // invariant: the whitened projections' population covariance is the k×k
-    // identity (diag λ/(λ+eps) ≈ 1 to 4 dp, off-diagonals exactly 0) — an
-    // oracle no float-op replay could fake
+    // identity. DETERMINISM: r3 compared 4-dp-rounded covar_pop against
+    // literal 1.0/0.0 — but the true diagonal is λᵢ/(λᵢ+eps), and
+    // covar_pop's partial-merge order wobbles the last ulp, so a value
+    // sitting on a 0.00005 rounding boundary flipped between runs. Now the
+    // compared quantity is a BOOLEAN: |cov − expected| < 5e-4, where
+    // expected is the model-derived λᵢ/(λᵢ+eps) plan literal (0 off-diag).
+    // The tolerance is ~10^12 ulps wide, so merge-order noise (≤ a few
+    // ulps) can never flip the bit; the oracle asserts the invariant holds
+    // everywhere.
     "q120_pca_whiten" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val model = graft.operators.Pca.fit(emb, "embedding", k = 8)
@@ -1513,12 +1520,16 @@ object SparkEntry {
       val aggs = pairs.map { case (i, j) =>
         covar_pop(element_at(col("pca"), i + 1),
           element_at(col("pca"), j + 1)).as(s"c_${i}_$j") }
-      def r4(c: Column): Column = signum(c) * floor(abs(c) * 1e4 + 0.5) / 1e4
+      val eps = 1e-9
       proj.agg(aggs.head, aggs.tail: _*)
         .select(explode(array(pairs.map { case (i, j) =>
+          val expected =
+            if (i == j) model.eigenvalues(i) / (model.eigenvalues(i) + eps)
+            else 0.0
           struct(lit(i).as("i"), lit(j).as("j"),
-            r4(col(s"c_${i}_$j")).as("cov")) }: _*)).as("e"))
-        .select(col("e.i"), col("e.j"), col("e.cov"))
+            (abs(col(s"c_${i}_$j") - lit(expected)) < lit(5e-4))
+              .as("identity_ok")) }: _*)).as("e"))
+        .select(col("e.i"), col("e.j"), col("e.identity_ok"))
         .orderBy("i", "j")
     }),
 
@@ -1912,11 +1923,19 @@ object SparkEntry {
     // seasonal-aware anomaly detection COMPOSED: classical decomposition
     // strips weekly structure, then robust MAD z-scores run on the
     // REMAINDER — a raw-value MAD would flag every seasonal peak; this
-    // flags only what the seasonality cannot explain
+    // flags only what the seasonality cannot explain.
+    // DETERMINISM: the head quantizes value to integer CENTS before the
+    // daily sum (the q152 wasserstein1Quantized discipline) — r3 summed
+    // raw doubles, whose shuffle-order-dependent accumulation error
+    // (~1e-10 relative over thousands of addends) made one of 3,106
+    // 6-dp-rounded rows straddle a 0.0000005 boundary between runs. With
+    // exact integer daily sums, every downstream op (7-wide window means,
+    // per-phase means, MAD medians) starts from bit-identical inputs and
+    // runs in deterministic frame order, so 6-dp rounding is stable.
     "q148_seasonal_esd" -> ((s, dir) => {
       val daily = ev(s, dir)
         .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
-        .agg(sum(col("value")).as("v"))
+        .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("v"))
       val dec = Features.seasonalDecompose(daily, Seq("user_id"), "d", "v",
           period = 7)
         .filter(col("remainder").isNotNull)
@@ -6644,7 +6663,9 @@ object SparkEntry {
     }),
 
     // Fisher's g over candidate-period powers of the daily series: is
-    // the dominant period REAL or flat-spectrum luck? (exact p-value)
+    // the dominant period REAL or flat-spectrum luck? (p-value is
+    // approximate for this non-Fourier candidate grid — see
+    // StatTests.fisherG scaladoc; exact only at orthogonal k/n periods)
     "q480_fisher_g" -> ((s, dir) => {
       val daily = ev(s, dir)
         .groupBy(date_trunc("day", col("ts")).as("d"))
@@ -8711,10 +8732,12 @@ object SparkEntry {
         |FROM sel ORDER BY 1, 2, 3""".stripMargin,
 
     // analytic oracle: whitened-PCA covariance IS the identity — no replay
-    // of the eigen solve, the mathematical invariant itself is the check
+    // of the eigen solve, the mathematical invariant itself is the check.
+    // The Spark side reduces each cell to |cov − λᵢ/(λᵢ+eps)| < 5e-4 (a
+    // boolean immune to agg merge-order ulps); the oracle asserts TRUE
+    // for all k×k cells.
     "q120_pca_whiten" ->
-      """SELECT a.i::INT AS i, b.j::INT AS j,
-        |  CASE WHEN a.i = b.j THEN 1.0 ELSE 0.0 END AS cov
+      """SELECT a.i::INT AS i, b.j::INT AS j, TRUE AS identity_ok
         |FROM (SELECT unnest(generate_series(0, 7)) AS i) a
         |CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) b
         |ORDER BY 1, 2""".stripMargin,
@@ -9340,9 +9363,12 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q93's decomposition replayed, then median/MAD robust z on the
-    // remainder (quantile_cont parity), 3.0 cut
+    // remainder (quantile_cont parity), 3.0 cut. Daily sums run in
+    // integer cents (matching the Spark head) so both engines start from
+    // the identical exact value regardless of accumulation order.
     "q148_seasonal_esd" ->
-      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    sum(round(value * 100)::BIGINT) / 100.0 AS v
         |  FROM events GROUP BY 1,2),
         |i AS (SELECT user_id, d, v::DOUBLE AS y,
         |    (row_number() OVER (PARTITION BY user_id ORDER BY d) - 1) % 7 AS pos,
@@ -15838,17 +15864,19 @@ object SparkEntry {
         |  round(sum(sq)/(2.0*count(*)::DOUBLE), 6) AS gamma
         |FROM j GROUP BY 1""".stripMargin,
 
-    // one range-frame pass per r; K = span*pairs/n^2; CSR ratio K/(2r)
+    // one TWO-SIDED range-frame pass per r (both orientations, self
+    // excluded) so E[pairs] ~ n^2*2r/span under CSR; K = span*pairs/n^2;
+    // CSR-calibrated ratio K/(2r)
     "q460_ripley_k" ->
       """WITH p AS (SELECT epoch_us(ts) AS us FROM events
         |  WHERE event_type = 'purchase' AND ts IS NOT NULL),
         |c AS (SELECT us,
         |    count(*) OVER (ORDER BY us RANGE BETWEEN 60000000 PRECEDING
-        |      AND CURRENT ROW) - 1 AS c0,
+        |      AND 60000000 FOLLOWING) - 1 AS c0,
         |    count(*) OVER (ORDER BY us RANGE BETWEEN 600000000 PRECEDING
-        |      AND CURRENT ROW) - 1 AS c1,
+        |      AND 600000000 FOLLOWING) - 1 AS c1,
         |    count(*) OVER (ORDER BY us RANGE BETWEEN 3600000000 PRECEDING
-        |      AND CURRENT ROW) - 1 AS c2 FROM p),
+        |      AND 3600000000 FOLLOWING) - 1 AS c2 FROM p),
         |a AS (SELECT count(*) AS n, (max(us) - min(us))::DOUBLE/1e6 AS span,
         |    sum(c0) AS p0, sum(c1) AS p1, sum(c2) AS p2 FROM c),
         |u AS (SELECT 60.0 AS r_sec, p0 AS pr, n, span FROM a
@@ -16514,11 +16542,12 @@ object SparkEntry {
       """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
         |  FROM events GROUP BY 1),
         |st AS (SELECT d, cnt::DOUBLE AS x FROM daily),
-        |m AS (SELECT avg(x) AS mu, sqrt(avg(x*x) - avg(x)*avg(x)) AS sg
-        |  FROM st),
-        |s1 AS (SELECT d, x, mu, sg, (x > mu)::BIGINT AS ab,
-        |    (x < mu)::BIGINT AS bl, x - lag(x) OVER (ORDER BY d) AS dd,
-        |    row_number() OVER (ORDER BY d) AS i FROM st, m),
+        |s0 AS (SELECT d, x, x - lag(x) OVER (ORDER BY d) AS dd,
+        |    row_number() OVER (ORDER BY d) AS i FROM st),
+        |m AS (SELECT avg(x) AS mu,
+        |    (SELECT avg(abs(dd)) FROM s0) / 1.128 AS sg FROM st),
+        |s1 AS (SELECT s0.d, s0.x, mu, sg, (x > mu)::BIGINT AS ab,
+        |    (x < mu)::BIGINT AS bl, s0.dd, s0.i FROM s0, m),
         |s2 AS (SELECT *, (dd > 0)::BIGINT AS up, (dd < 0)::BIGINT AS dn,
         |    CASE WHEN dd * lag(dd) OVER (ORDER BY d) < 0 THEN 1 ELSE 0 END
         |      AS alt FROM s1),

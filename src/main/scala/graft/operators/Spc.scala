@@ -131,12 +131,17 @@ object Spc {
     *   rule 2: 9 consecutive points on the same side of μ;
     *   rule 3: 6 consecutive points strictly in/decreasing;
     *   rule 4: 14 consecutive points strictly alternating up/down.
-    * Counts are of RULE-TRIGGERING POSITIONS (the t at which the run
-    * completes) — integer-exact rolling sums of side/trend indicators
-    * over fixed row frames; "same side" means strictly above μ (a point
-    * exactly at μ breaks a run, documented). The free pattern alarms
-    * that catch what single-point limits miss. Output: one row
-    * (n, r1, r2, r3, r4).
+    * Rule 1's σ is the Shewhart moving-range estimate MR̄/d₂ (d₂ =
+    * 1.128), the SAME σ [[imrChart]] draws its limits from — the
+    * in-sample population SD is inflated by the very shifts/trends the
+    * rules exist to detect, which would make rule-1 triggers
+    * inconsistent with the I-chart's ooc_x and less sensitive than the
+    * WECO convention. Counts are of RULE-TRIGGERING POSITIONS (the t at
+    * which the run completes) — integer-exact rolling sums of
+    * side/trend indicators over fixed row frames; "same side" means
+    * strictly above μ (a point exactly at μ breaks a run, documented).
+    * The free pattern alarms that catch what single-point limits miss.
+    * Output: one row (n, r1, r2, r3, r4).
     */
   def westernElectric(df: DataFrame, tsCol: String,
                       valCol: String): DataFrame = {
@@ -145,12 +150,11 @@ object Spc {
     val staged = df.filter(v.isNotNull)
       .select(col(tsCol).as("_t"), v.as("_x"))
       .withColumn("_mu", avg(col("_x")).over(Window.partitionBy()))
-      .withColumn("_sg", sqrt(
-        avg(col("_x") * col("_x")).over(Window.partitionBy()) -
-          col("_mu") * col("_mu")))
+      .withColumn("_d", col("_x") - lag(col("_x"), 1).over(w))
+      .withColumn("_sg",
+        avg(abs(col("_d"))).over(Window.partitionBy()) / lit(1.128))
       .withColumn("_above", (col("_x") > col("_mu")).cast("long"))
       .withColumn("_below", (col("_x") < col("_mu")).cast("long"))
-      .withColumn("_d", col("_x") - lag(col("_x"), 1).over(w))
       .withColumn("_up", (col("_d") > 0).cast("long"))
       .withColumn("_dn", (col("_d") < 0).cast("long"))
       .withColumn("_alt",

@@ -3067,17 +3067,18 @@ object StatTests {
   /** Ripley's K for 1-D temporal point patterns (Ripley 1977, adapted to
     * the line): with event times t_1…t_n over an observed span
     * T = t_max − t_min and
-    *   P(r) = Σ_i #{j ≠ i : 0 ≤ t_i − t_j ≤ r},
+    *   P(r) = Σ_i #{j ≠ i : |t_i − t_j| ≤ r},
     *   K̂(r) = T·P(r)/n²,
     * the CSR (uniform Poisson) expectation is K(r) ≈ 2r, so
     * ratio = K̂/(2r) > 1 flags clustering at scale r and < 1 inhibition —
     * the multi-scale complement of q-burst detection (which finds WHERE
     * bursts are; this measures HOW clustered the process is per scale).
-    * P(r) is ONE range-frame window pass per r over the time-sorted
-    * events (no pairwise join): count over RANGE r·10⁶ µs PRECEDING.
-    * Simultaneously-timestamped pairs are counted in both orientations
-    * (microsecond stamps make exact ties measure-zero). Output: one row
-    * per r (r_sec, n, pairs, k_hat, ratio).
+    * P(r) counts BOTH orientations — ONE two-sided range-frame window
+    * pass per r over the time-sorted events (no pairwise join): count
+    * over RANGE r·10⁶ µs PRECEDING AND r·10⁶ µs FOLLOWING, minus self —
+    * so E[P] ≈ n²·2r/T under CSR and the 2r baseline is calibrated (a
+    * one-sided count would read ratio ≈ 0.5 on a uniform process).
+    * Output: one row per r (r_sec, n, pairs, k_hat, ratio).
     */
   def ripleyK(df: DataFrame, tsCol: String, rsSec: Seq[Double]): DataFrame = {
     require(rsSec.nonEmpty && rsSec.forall(_ > 0),
@@ -3087,7 +3088,8 @@ object StatTests {
     val w = Window.orderBy(col("_us"))
     val counted = rsSec.zipWithIndex.foldLeft(base) { case (acc, (r, k)) =>
       acc.withColumn(s"_c$k",
-        count(lit(1)).over(w.rangeBetween(-math.round(r * 1e6), 0)) - 1)
+        count(lit(1)).over(
+          w.rangeBetween(-math.round(r * 1e6), math.round(r * 1e6))) - 1)
     }
     val aggs = Seq(count(lit(1)).as("n"),
       ((max(col("_us")) - min(col("_us"))).cast("double") / 1e6)
@@ -3750,13 +3752,21 @@ object StatTests {
     * literal candidate-period set: with Schuster powers P₁…P_N,
     *   g = max P / Σ P,
     *   p = Σ_{j=1}^{N} (−1)^{j−1} C(N,j)·max(0, 1−jg)^{N−1},
-    * the EXACT null distribution of the largest normalized ordinate
-    * (the max(0,·) truncation implements the ⌊1/g⌋ limit). This is the
-    * significance test [[graft.operators.Features.dominantPeriod]]
-    * lacks: it says whether the winning period is real or what a flat
-    * spectrum would produce anyway. The binomial coefficients and the
-    * (N−1)-power expand to literal chains — pure arithmetic, no special
-    * functions. Output: one row (n, g_stat, p_value).
+    * the null distribution of the largest normalized ordinate (the
+    * max(0,·) truncation implements the ⌊1/g⌋ limit). That null is
+    * EXACT only when the ordinates are periodogram powers at orthogonal
+    * Fourier frequencies k/n of the realized sample length (where the
+    * powers are iid exponential under Gaussian white noise); for an
+    * arbitrary candidate grid like {3,4,5,7,14,30} the Schuster powers
+    * at non-Fourier periods are correlated, so the reported p_value is
+    * an APPROXIMATION — still the right ranking statistic, but not an
+    * exact tail probability. Restrict `periods` to divisors n/k of the
+    * series length when exactness matters. This is the significance
+    * test [[graft.operators.Features.dominantPeriod]] lacks: it says
+    * whether the winning period is real or what a flat spectrum would
+    * produce anyway. The binomial coefficients and the (N−1)-power
+    * expand to literal chains — pure arithmetic, no special functions.
+    * Output: one row (n, g_stat, p_value).
     */
   def fisherG(df: DataFrame, tsCol: String, valCol: String,
               periods: Seq[Int]): DataFrame = {

@@ -68,7 +68,11 @@ class SpcSpec extends SparkSuite {
     val df = (1 to 10).map(i => (ts(i), i.toDouble)).toDF("t", "v")
     val r = Spc.westernElectric(df, "t", "v").collect()(0)
     assert(r.getAs[Long]("n") === 10L)
-    assert(r.getAs[Long]("r1") === 0L)
+    // MR-bar sigma = 1/1.128 = 0.8865: 3-sigma band is mu +- 2.6596, so
+    // the trend's extremes {1,2,9,10} trip rule 1 — exactly the WECO
+    // sensitivity the population-SD convention (sigma 2.87, 0 trips)
+    // would have hidden; imrChart's ooc_x uses the same MR sigma
+    assert(r.getAs[Long]("r1") === 4L)
     assert(r.getAs[Long]("r2") === 0L)
     assert(r.getAs[Long]("r3") === 5L)
     assert(r.getAs[Long]("r4") === 0L)

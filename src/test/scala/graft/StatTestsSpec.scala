@@ -1082,15 +1082,17 @@ class StatTestsSpec extends SparkSuite {
     assert(approxEq(rows(2).getAs[Double]("gamma"), 4.5, 1e-12))
   }
 
-  test("ripleyK: times 0,1,10s at r=2 -> one pair, K = 10/9") {
+  test("ripleyK: times 0,1,10s at r=2 -> two ordered pairs, K = 20/9") {
+    // |ti - tj| <= 2s holds for (0,1) in BOTH orientations -> P = 2;
+    // K = span*P/n^2 = 10*2/9; CSR ratio = K/(2r) = 20/36
     val base = 1704067200L * 1000L
     val df = Seq(0L, 1000L, 10000L)
       .map(ms => Tuple1(new java.sql.Timestamp(base + ms))).toDF("t")
     val r = StatTests.ripleyK(df, "t", Seq(2.0)).collect()(0)
     assert(r.getAs[Long]("n") === 3L)
-    assert(r.getAs[Long]("pairs") === 1L)
-    assert(approxEq(r.getAs[Double]("k_hat"), 10.0 / 9, 1e-12))
-    assert(approxEq(r.getAs[Double]("ratio"), 10.0 / 36, 1e-12))
+    assert(r.getAs[Long]("pairs") === 2L)
+    assert(approxEq(r.getAs[Double]("k_hat"), 20.0 / 9, 1e-12))
+    assert(approxEq(r.getAs[Double]("ratio"), 20.0 / 36, 1e-12))
   }
 
   test("epanechnikovKde: two points, h=2 -> hand golden; far grid = 0") {
