@@ -1174,11 +1174,14 @@ object SparkEntry {
     }),
 
     // classical additive seasonal decomposition, weekly period on the daily
-    // series (trend = centered 7-MA, seasonal = centered per-position means)
+    // series (trend = centered 7-MA, seasonal = centered per-position means).
+    // Daily sums run in integer cents (q148's determinism discipline): raw
+    // double sums are shuffle-order-dependent in the last ulps, and this
+    // chain rounds them through window means + per-phase means at 6 dp
     "q93_seasonal_decomp" -> ((s, dir) => {
       val daily = ev(s, dir)
         .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
-        .agg(sum(col("value")).as("v"))
+        .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("v"))
       Features.seasonalDecompose(daily, Seq("user_id"), "d", "v", period = 7)
         .select(col("user_id"), unix_timestamp(col("d")).as("d_s"),
           r6(col("trend")).as("trend"), r6(col("seasonal")).as("seasonal"),
@@ -1599,7 +1602,8 @@ object SparkEntry {
     "q125_decomp_strength" -> ((s, dir) => {
       val daily = ev(s, dir)
         .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
-        .agg(sum(col("value")).as("v"))
+        // integer-cents head: same determinism argument as q93/q148
+        .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("v"))
       Features.decompStrength(daily, Seq("user_id"), "d", "v", period = 7)
         .select(col("user_id"), col("n"),
           r6(col("trend_strength")).as("trend_strength"),
@@ -2027,7 +2031,8 @@ object SparkEntry {
     "q155_control_chart" -> ((s, dir) => {
       val daily = ev(s, dir)
         .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
-        .agg(sum(col("value")).as("v"))
+        // integer-cents head: same determinism argument as q93/q148
+        .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("v"))
         .withColumn("ts_sec", unix_timestamp(col("day")))
       val stats = Ewma.ewmVarFrame(daily, Seq("user_id"), "day", "v",
         span = 3.0)
@@ -7029,6 +7034,20 @@ object SparkEntry {
           "d", "user_id")
         .select(col("dd"), col("n_prev"), col("n_curr"), col("n_common"),
           r6(col("jaccard")).as("jaccard"))
+    }),
+
+    // containment with a BINDING document-frequency cap (maxDf=2) — the
+    // mode containmentPairs' scaladoc calls MANDATORY at web scale (bounds
+    // per-shingle join fan-out at min(df, τ)²), now under oracle exactly
+    // as q64 covers the capped Jaccard: containment is over the df≤τ
+    // shingle universe on both engines (q214 keeps the uncapped twin)
+    "q512_containment_capped" -> ((s, dir) => {
+      graft.operators.Dedup.containmentPairs(
+          docs(s, dir).filter(col("doc_id") < 60), "text", "doc_id",
+          shingleN = 3, minContainment = 0.05, maxDf = Some(2L))
+        .select(col("id_a"), col("id_b"), col("inter"), col("n_a"),
+          r6(col("containment")).as("containment"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -8244,7 +8263,8 @@ object SparkEntry {
         |FROM w LEFT JOIN agg a USING (doc_id) ORDER BY w.doc_id""".stripMargin,
 
     "q93_seasonal_decomp" ->
-      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    sum(round(value * 100)::BIGINT) / 100.0 AS v
         |  FROM events GROUP BY 1,2),
         |i AS (SELECT user_id, d, v::DOUBLE AS y,
         |    (row_number() OVER (PARTITION BY user_id ORDER BY d) - 1) % 7 AS pos,
@@ -8855,7 +8875,8 @@ object SparkEntry {
     // q93's decomposition aggregated to the FPP3 strength scalars; edge
     // rows (null trend) excluded, zero-variance denominators null
     "q125_decomp_strength" ->
-      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    sum(round(value * 100)::BIGINT) / 100.0 AS v
         |  FROM events GROUP BY 1,2),
         |i AS (SELECT user_id, d, v::DOUBLE AS y,
         |    (row_number() OVER (PARTITION BY user_id ORDER BY d) - 1) % 7 AS pos,
@@ -9520,7 +9541,8 @@ object SparkEntry {
     // sigma limits and breach flags
     "q155_control_chart" ->
       """WITH RECURSIVE daily AS (SELECT user_id, date_trunc('day', ts) AS day,
-        |    sum(value) AS v FROM events GROUP BY 1,2),
+        |    sum(round(value * 100)::BIGINT) / 100.0 AS v
+        |  FROM events GROUP BY 1,2),
         |r AS (SELECT user_id, floor(epoch(day))::BIGINT AS day_sec, v::DOUBLE AS y,
         |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM daily),
         |rec AS (
@@ -16975,7 +16997,29 @@ object SparkEntry {
         |SELECT dd, np::BIGINT AS n_prev, nc::BIGINT AS n_curr,
         |  ncom::BIGINT AS n_common,
         |  round(ncom::DOUBLE/(np + nc - ncom)::DOUBLE, 6) AS jaccard
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    // q214's twin with the df<=2 hot-shingle cap applied on both engines:
+    // n_a counts only kept (rare) shingles, so the ratio's denominator is
+    // the capped universe — the scale-safe semantics, not a post-filter
+    "q512_containment_capped" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id < 60),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+        |  FROM w WHERE len(ws) >= 3),
+        |ex0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |rare AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 2),
+        |ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN rare USING (s)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |          FROM ex a JOIN ex b ON b.s = a.s AND a.doc_id <> b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b, i.inter::BIGINT AS inter, sz.n::BIGINT AS n_a,
+        |  round(i.inter::DOUBLE / sz.n, 6) AS containment
+        |FROM inter i JOIN sz ON sz.doc_id = i.id_a
+        |WHERE i.inter::DOUBLE / sz.n >= 0.05 ORDER BY 1, 2""".stripMargin
   )
 
   /** q430's oracle: the same 24-bin pivot + Fourier-1 folds as
