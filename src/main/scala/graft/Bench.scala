@@ -144,7 +144,29 @@ object Bench {
     val total = ok.map(_._2._2).sum
     val coldTotal = ok.map(_._2._1).sum
     val runsJson = rawTimes.mkString("[", ",", "]")
-    val json = s"""{"metric":"rollup throughput (pages/sec), 1m->1d tier cascade","value":$pagesPerSec,"unit":"pages/sec","rollup_pages":$nPages,"rollup_sec":$rollupSec,"rollup_runs":$runsJson,"rows_1d":$rows1d,"cpus":$cpus,"queries_total_sec":$total,"queries_cold_total_sec":$coldTotal,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // ---- ambient scan baselines (bench-window comparability receipt) ----
+    // A warm full-table noop scan per input table, timed in the SAME window
+    // as the per-query sweep: when a big-scan query's warm time moves
+    // between rounds, scan_sec says whether the WINDOW moved (contention /
+    // cache-honesty harness changes re-reading parquet — the r3 q01–q03
+    // "inflation" was exactly this) or the PLAN regressed. Compute-bound
+    // queries should track (query_sec − scan_sec of their table), which is
+    // harness-invariant.
+    val scanSecs = (if (runQueries)
+      Seq("events", "documents", "embeddings", "lineitem", "orders")
+    else Seq.empty).flatMap { t =>
+      val p = new java.io.File(s"$sfDir/$t.parquet")
+      if (!p.exists()) None else {
+        val read = () => materialize(spark.read.parquet(p.getPath)
+          .select(col("*")))
+        read() // warm (footers + codegen), matching the warm query times
+        val t0 = System.nanoTime(); read()
+        Some(t -> (System.nanoTime() - t0) / 1e9)
+      }
+    }
+    val scanJson = scanSecs.map { case (k, v) => s"\"$k\":$v" }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"rollup throughput (pages/sec), 1m->1d tier cascade","value":$pagesPerSec,"unit":"pages/sec","rollup_pages":$nPages,"rollup_sec":$rollupSec,"rollup_runs":$runsJson,"rows_1d":$rows1d,"cpus":$cpus,"queries_total_sec":$total,"queries_cold_total_sec":$coldTotal,"scan_sec":$scanJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // machine-readable copy for the driver — README documents this file as
     // the canonical artifact (sbt may wrap the stdout line below)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_OUT.json"), json)
@@ -153,5 +175,10 @@ object Bench {
     // StdoutOutput passes it through un-prefixed; only sbt's own
     // "[success]" trailer follows)
     println(json)
+    // third channel for the driver's parser (stdout's last line gets sbt's
+    // "[success]" trailer appended): the bare JSON is ALSO the final stderr
+    // line, preceded by a greppable sentinel
+    System.err.println("GRAFT_BENCH_JSON_BELOW")
+    System.err.println(json)
   }
 }

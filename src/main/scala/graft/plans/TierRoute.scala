@@ -438,6 +438,18 @@ case class TierRouteRule() extends Rule[LogicalPlan] {
       }
     }
 
+    // EVERY aggregate function in the output must be individually mappable
+    // onto tier partials — checking only the rewritten output's references
+    // is NOT enough: an unmapped aggregate whose argument is a grouping
+    // dimension (count(user_id) / sum(user_id) / count(DISTINCT user_id)
+    // while grouped by user_id) would have its ARGUMENT substituted to the
+    // tier attribute by the grouping-rewrite pass below and then pass the
+    // reference check — silently aggregating TIER rows instead of raw
+    // rows. Caught by TierRouteFuzzSpec on its first run.
+    val allMapped = agg.aggregateExpressions.forall(ne =>
+      ne.collect { case ae: AggregateExpression => ae }
+        .forall(ae => mapAgg(ae).isDefined))
+    if (!allMapped) return None
     val tierOutput = AttributeSet(tierPlan.output)
     val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
       val rewritten = ne.transformDown {
