@@ -89,20 +89,33 @@ object Calibration {
   /** Gains by descending-score bucket: (bucket, n, positives, cum_positives,
     * cum_capture). `tieCol` pins the rank order under score ties so the
     * buckets are deterministic.
+    *
+    * The global descending rank is computed WITHOUT a single-task window:
+    * `sort` gives range partitioning, so per-partition index + partition
+    * offset IS the global rank (the same licensed RDD zipWithIndex
+    * drop-down as `Encoding.fitOrdinal` — r3 review flagged the previous
+    * `row_number().over(Window.orderBy(...))` realization as the first
+    * thing to die when pointed at a full scored corpus rather than a
+    * bounded eval set). The only remaining unpartitioned window runs over
+    * the ≤`buckets` aggregated rows.
     */
   def gainTable(df: DataFrame, scoreCol: String, labelCol: String,
                 tieCol: String, buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = df.sparkSession
     val sc = col(scoreCol).cast("double")
     val y = col(labelCol).cast("long")
-    val ranked = df.filter(sc.isNotNull && y.isNotNull)
-      .withColumn("_rn", row_number().over(
-        Window.orderBy(sc.desc, col(tieCol))))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("bucket",
-        floor((col("_rn") - 1) * buckets / col("_n")).cast("long"))
-    val per = ranked.groupBy("bucket")
-      .agg(count(lit(1)).as("n"), sum(y).as("positives"))
+    val base = df.filter(sc.isNotNull && y.isNotNull)
+      .select(sc.as("_s"), y.as("_y"), col(tieCol).as("_t"))
+    val n = base.count()
+    require(n > 0, "gainTable on an empty frame")
+    // 0-based rank i -> bucket i*buckets/n (Long division == floor here)
+    val bucketed = base.sort(col("_s").desc, col("_t")).rdd.zipWithIndex()
+      .map { case (r, i) => (i * buckets / n, r.getLong(1)) }
+    import spark.implicits._
+    val per = bucketed.toDF("bucket", "_y")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("positives"))
     val wCum = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     per
