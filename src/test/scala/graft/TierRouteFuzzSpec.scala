@@ -190,4 +190,110 @@ class TierRouteFuzzSpec extends SparkSuite {
     assert(nKept >= 100, s"degenerate generator: only $nKept fallbacks")
     info(s"fuzz: $nRewritten rewritten (parity-checked), $nKept kept raw")
   }
+
+  test("fuzz: block-percentile + distinct-set route arms (400 shapes)") {
+    val rnd = new scala.util.Random(4042026L)
+    TierRoute.clear()
+    TierRoute.install(spark)
+    // tier that carries the Gorilla block AND the per-bucket value set, so
+    // percentile(0.5/0.95) and count(DISTINCT event_type) become eligible
+    val dir = Files.createTempDirectory("graft_route_fuzz_blk").toString
+    raw.groupBy(col("user_id"), (u - pmod(u, lit(60L))).as("bucket_start"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        min("value").as("min_value"), max("value").as("max_value"),
+        collect_set(col("event_type")).as("type_set"),
+        graft.functions.codec.BlockAggregator(u, col("value")).as("m"))
+      .withColumn("block", col("m.block")).drop("m")
+      .write.mode("overwrite").parquet(dir)
+    val route = mkRoute.copy(name = "fuzzblk", tier = () => spark.read.parquet(dir),
+      blockCol = Some("block"), distinctCol = Some(("event_type", "type_set")))
+
+    var nRewritten = 0
+    var nKept = 0
+    (1 to 400).foreach { trial =>
+      val parts = Seq.newBuilder[String]
+      var eligible = true
+      def note(d: String, ok: Boolean): Unit = {
+        parts += (if (ok) d else d + "!"); if (!ok) eligible = false
+      }
+      val dimChoice = rnd.nextInt(3)    // 0 none, 1-2 user_id
+      val bucketChoice = rnd.nextInt(6) // 0-2 aligned, 3 misaligned, 4-5 none
+      val alignedW = Seq(60L, 300L, 3600L)(rnd.nextInt(3))
+      val aggPool: Seq[(String, () => Column, Boolean)] = Seq(
+        ("p50_val", () => percentile(col("value"), lit(0.5)), true),
+        ("p95_val", () => percentile(col("value"), lit(0.95)), true),
+        ("p90_val", () => percentile(col("value"), lit(0.9)), false),
+        ("cntd_type", () => countDistinct(col("event_type")), true),
+        ("cntd_val", () => countDistinct(col("value")), false),
+        ("count_star", () => count(lit(1)), true),
+        ("sum_val", () => sum(col("value")), true),
+        ("avg_val", () => avg(col("value")), true),
+        ("stddev_val", () => stddev_pop(col("value")), false))
+      val drawPool = if (rnd.nextInt(10) < 5) aggPool.filter(_._3) else aggPool
+      val pickedAggs = rnd.shuffle(drawPool).take(1 + rnd.nextInt(3))
+      dimChoice match {
+        case 1 | 2 => note("g:user", true)
+        case _     => ()
+      }
+      bucketChoice match {
+        case 0 | 1 | 2 => note(s"b:$alignedW", true)
+        case 3         => note("b:90", false)
+        case _         => ()
+      }
+      pickedAggs.foreach { case (n, _, ok) => note(s"a:$n", ok) }
+      val desc = s"blk trial $trial: ${parts.result().mkString(" ")}"
+
+      var sortCols = Seq.empty[String]
+      def build(): DataFrame = {
+        sortCols = Seq.empty
+        val groupExprs = Seq.newBuilder[Column]
+        dimChoice match {
+          case 1 | 2 => groupExprs += col("user_id"); sortCols :+= "user_id"
+          case _     => ()
+        }
+        bucketChoice match {
+          case 0 | 1 | 2 =>
+            groupExprs += (u - pmod(u, lit(alignedW))).as("bucket")
+            sortCols :+= "bucket"
+          case 3 =>
+            groupExprs += (u - pmod(u, lit(90L))).as("bucket")
+            sortCols :+= "bucket"
+          case _ => ()
+        }
+        val aggs = pickedAggs.map { case (n, c, _) => c().as(n) }
+        val grouped = groupExprs.result()
+        if (grouped.isEmpty) raw.agg(aggs.head, aggs.tail: _*)
+        else raw.groupBy(grouped: _*).agg(aggs.head, aggs.tail: _*)
+      }
+
+      TierRoute.register(route)
+      val routedDf = build()
+      val scanned = TierRoute.relationPaths(routedDf.queryExecution.optimizedPlan)
+      val wasRewritten = scanned.exists(_.contains(dir))
+      assert(wasRewritten === eligible,
+        s"$desc — expected eligible=$eligible but scanned $scanned")
+      if (wasRewritten) {
+        nRewritten += 1
+        def rows(df: DataFrame) = (sortCols match {
+          case Nil => df
+          case cs  => df.orderBy(cs.map(col): _*)
+        }).collect()
+        val got = rows(routedDf)
+        TierRoute.clear()
+        val exp = rows(build())
+        assert(got.length === exp.length, s"$desc — row count mismatch")
+        got.zip(exp).foreach { case (g, e) =>
+          g.toSeq.zip(e.toSeq).foreach {
+            case (d1: Double, d2: Double) =>
+              assert(approxEq(d1, d2), s"$desc — $d1 != $d2")
+            case (v1, v2) => assert(v1 === v2, s"$desc — $v1 != $v2")
+          }
+        }
+      } else nKept += 1
+      TierRoute.clear()
+    }
+    assert(nRewritten >= 60, s"degenerate generator: only $nRewritten rewrites")
+    assert(nKept >= 60, s"degenerate generator: only $nKept fallbacks")
+    info(s"blk fuzz: $nRewritten rewritten (parity-checked), $nKept kept raw")
+  }
 }
