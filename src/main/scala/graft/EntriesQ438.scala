@@ -7,7 +7,7 @@ import graft.functions.Hier
 import graft.operators.{Conformal, CrossVal, Dedup, Encoding, Ewma, Features, GapFill, Hist, Intervals, Metrics, Multimodal, Profile, Rollup, Sax, Scalers, Similarity, TextAnalysis}
 import graft.EntryHelpers._
 
-/** SparkEntry queries q438–q512 with their DuckDB oracle twins,
+/** SparkEntry queries q438–q513 with their DuckDB oracle twins,
   * split from the former single-file map (round-4 maintainability item:
   * entries and oracles live side by side per file so a mispaired oracle
   * is caught by the duplicate/coverage checks in [[SparkEntry]]).
@@ -839,6 +839,34 @@ private[graft] object EntriesQ438 extends EntryPart {
         .select(col("id_a"), col("id_b"), col("inter"), col("n_a"),
           r6(col("containment")).as("containment"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // banded DTW distance from each user's LAST-7-day series to a fixed
+    // reference pattern — the pattern-similarity triage read at the tier
+    // grain. Bounding the window to exactly ref-length points makes the
+    // Sakoe-Chiba DP a fixed small grid, so the previously spec-only DTW
+    // fold gains a full DuckDB oracle (dtwRefSql unrolls the same DP
+    // cell-for-cell as lateral aliases). Daily sums run in integer cents
+    // (the q148 determinism discipline); every DP op is the identical
+    // |a-b|/least/+ tree in both engines.
+    "q513_dtw_reference" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d").desc)
+      val last7 = daily.withColumn("_rn",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("_rn") <= 7)
+      val eligible = last7.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("_c")).filter(col("_c") === 7)
+        .select("user_id")
+      graft.operators.Similarity.dtwToReference(
+          last7.join(eligible, "user_id"), Seq("user_id"), "d", "v",
+          reference = Seq(50.0, 75.0, 100.0, 125.0, 100.0, 75.0, 50.0),
+          band = 2)
+        .select(col("user_id"), r6(col("dtw")).as("dtw"), col("n_points"))
+        .orderBy("user_id")
     }),
   )
 
@@ -2441,5 +2469,24 @@ private[graft] object EntriesQ438 extends EntryPart {
         |  round(i.inter::DOUBLE / sz.n, 6) AS containment
         |FROM inter i JOIN sz ON sz.doc_id = i.id_a
         |WHERE i.inter::DOUBLE / sz.n >= 0.05 ORDER BY 1, 2""".stripMargin,
+
+    // last-7 pivot (rn=7 is the oldest -> x1), then the banded DTW DP
+    // unrolled by dtwRefSql (same cell order and op tree as the Scala DP)
+    "q513_dtw_reference" ->
+      s"""WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    sum(round(value * 100)::BIGINT) / 100.0 AS v
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT user_id, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d DESC) AS rn
+        |  FROM daily),
+        |l7 AS (SELECT user_id, v, rn FROM rk WHERE rn <= 7),
+        |el AS (SELECT user_id FROM l7 GROUP BY 1 HAVING count(*) = 7),
+        |pv AS (SELECT l7.user_id,
+        |${(1 to 7).map(i => s"    max(CASE WHEN rn = ${8 - i} THEN v END) AS x$i")
+             .mkString("", ",\n|", "")}
+        |  FROM l7 JOIN el USING (user_id) GROUP BY 1),
+        |dp AS (${dtwRefSql(Seq(50.0, 75.0, 100.0, 125.0, 100.0, 75.0, 50.0), band = 2)})
+        |SELECT user_id, round(dtwv, 6) AS dtw, 7::BIGINT AS n_points
+        |FROM dp ORDER BY user_id""".stripMargin,
   )
 }

@@ -499,4 +499,40 @@ private[graft] object EntryHelpers {
     */
   def hllBitlenCase: String =
     (51 to 0 by -1).map(bit => s"WHEN r >= ${1L << bit} THEN ${bit + 1}").mkString(" ")
+
+  /** q513's oracle: the banded DTW DP of
+    * [[graft.operators.Similarity.dtwToReference]] UNROLLED cell-by-cell as
+    * DuckDB lateral column aliases — with both series pinned to length
+    * `ref.size` the Sakoe–Chiba band makes the in-band cell set a small
+    * fixed grid, so the "no SQL replay exists" limitation of the streaming
+    * fold disappears for the bounded-window query form. Cell order follows
+    * the Scala DP exactly (row-major, `curr(j) = cost + min(prev(j),
+    * curr(j−1), prev(j−1))`, out-of-band = unreachable, the (0,0) corner
+    * the only zero source), and every float op is the same |a−b| / `least`
+    * / `+` tree in both engines — deterministic-identical before the 6-dp
+    * round. Ref constants are emitted at 17 significant digits (the
+    * hurstSql shared-constant pattern). Expects a CTE `pv` providing
+    * `user_id, x1..x<n>` (ascending time order).
+    */
+  def dtwRefSql(ref: Seq[Double], band: Int): String = {
+    val m = ref.size
+    val w = math.max(band, 0) // n == m, so |n−m| never widens the band
+    def lit17(x: Double): String = "%.17g".format(x)
+    def inBand(i: Int, j: Int): Boolean = math.abs(i - j) <= w
+    val cells = for {
+      i <- 1 to m
+      j <- math.max(1, i - w) to math.min(m, i + w)
+    } yield {
+      val cost = s"abs(x$i - ${lit17(ref(j - 1))})"
+      val nbrs = Seq.newBuilder[String]
+      if (i == 1 && j == 1) nbrs += "0.0"                           // prev(0) corner
+      if (i > 1 && inBand(i - 1, j)) nbrs += s"d_${i - 1}_$j"       // up
+      if (j > 1 && inBand(i, j - 1)) nbrs += s"d_${i}_${j - 1}"     // left
+      if (i > 1 && j > 1 && inBand(i - 1, j - 1)) nbrs += s"d_${i - 1}_${j - 1}" // diag
+      val ns = nbrs.result()
+      val best = if (ns.size == 1) ns.head else s"least(${ns.mkString(", ")})"
+      s"$cost + $best AS d_${i}_$j"
+    }
+    s"SELECT user_id, ${cells.mkString(",\n    ")},\n    d_${m}_$m AS dtwv FROM pv"
+  }
 }

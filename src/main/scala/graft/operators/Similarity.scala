@@ -311,10 +311,13 @@ object Similarity {
     *
     * The reference is a driver-side constant (same bounded license as the
     * IVF centroids); each key's series folds in one task under the
-    * [[graft.operators.Ewma.maxSeriesPoints]] guard. Deterministic DP — no
-    * SQL replay exists, so evidence is the spec goldens (identity 0, hand
-    * DP, shift tolerance vs Euclidean, band binding), the per-key-fold
-    * evidence class.
+    * [[graft.operators.Ewma.maxSeriesPoints]] guard. Deterministic DP —
+    * evidence is the spec goldens (identity 0, hand DP, shift tolerance vs
+    * Euclidean, band binding) PLUS, for the bounded-window query form
+    * where both series have the reference's length, a full DuckDB oracle:
+    * q513 unrolls this exact banded DP cell-for-cell as lateral column
+    * aliases (EntryHelpers.dtwRefSql), so the fold is SQL-replayed after
+    * all for fixed-length windows.
     * Output: (keys..., dtw, n_points).
     */
   def dtwToReference(df: DataFrame, keyCols: Seq[String], tsCol: String,
