@@ -7,7 +7,7 @@ import graft.functions.Hier
 import graft.operators.{Conformal, CrossVal, Dedup, Encoding, Ewma, Features, GapFill, Hist, Intervals, Metrics, Multimodal, Profile, Rollup, Sax, Scalers, Similarity, TextAnalysis}
 import graft.EntryHelpers._
 
-/** SparkEntry queries q438–q513 with their DuckDB oracle twins,
+/** SparkEntry queries q438–q514 with their DuckDB oracle twins,
   * split from the former single-file map (round-4 maintainability item:
   * entries and oracles live side by side per file so a mispaired oracle
   * is caught by the duplicate/coverage checks in [[SparkEntry]]).
@@ -867,6 +867,28 @@ private[graft] object EntriesQ438 extends EntryPart {
           band = 2)
         .select(col("user_id"), r6(col("dtw")).as("dtw"), col("n_points"))
         .orderBy("user_id")
+    }),
+
+    // isotonic (PAVA) monotone calibration of per-bin event counts vs the
+    // value-score bin — the previously spec-only pooling recursion gains a
+    // DuckDB oracle through the PAVA minimax identity
+    // fitted_i = max_{j<=i} min_{k>=i} mean(y_j..y_k), a closed form over
+    // prefix sums. EXACTNESS: y is integer counts and w = 1, so with pava
+    // carrying exact block sums every block mean is the correctly-rounded
+    // rational S/len; candidate means are rationals with denominator <= 21
+    // whose distinct values differ by >= 1/441 (>> ulp at count scale), so
+    // both engines' min/max pick the identical double — bit-equal before
+    // the 6-dp round
+    "q514_isotonic" -> ((s, dir) => {
+      val binned = ev(s, dir)
+        .filter(col("value").isNotNull && col("value") >= 0)
+        .withColumn("bin",
+          least(floor(col("value") / lit(5.0)).cast("double"), lit(20.0)))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.operators.Isotonic.fitFrame(binned, Seq("event_type"), "bin", "cnt")
+        .select(col("event_type"), col("x"), r6(col("y_fit")).as("y_fit"))
+        .orderBy("event_type", "x")
     }),
   )
 
@@ -2488,5 +2510,27 @@ private[graft] object EntriesQ438 extends EntryPart {
         |dp AS (${dtwRefSql(Seq(50.0, 75.0, 100.0, 125.0, 100.0, 75.0, 50.0), band = 2)})
         |SELECT user_id, round(dtwv, 6) AS dtw, 7::BIGINT AS n_points
         |FROM dp ORDER BY user_id""".stripMargin,
+
+    // PAVA via the minimax identity: mu(j,k) = (S_k - S_{j-1})/(k - j + 1)
+    // over consecutive positions, fitted_i = max_{j<=i} min_{k>=i} mu
+    "q514_isotonic" ->
+      """WITH b AS (SELECT event_type, least(floor(value/5), 20)::DOUBLE AS bin,
+        |    count(*)::DOUBLE AS y
+        |  FROM events WHERE value IS NOT NULL AND value >= 0 GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY bin) AS i,
+        |    sum(y) OVER (PARTITION BY event_type ORDER BY bin) AS S FROM b),
+        |m AS (SELECT s.event_type, s.i AS j, e.i AS k,
+        |    (e.S - coalesce(p.S, 0)) / (e.i - s.i + 1) AS mu
+        |  FROM c s JOIN c e ON e.event_type = s.event_type AND e.i >= s.i
+        |  LEFT JOIN c p ON p.event_type = s.event_type AND p.i = s.i - 1),
+        |inn AS (SELECT m.event_type, m.j, ix.i, min(m.mu) AS v
+        |  FROM m JOIN c ix ON ix.event_type = m.event_type
+        |    AND m.j <= ix.i AND m.k >= ix.i
+        |  GROUP BY 1, 2, 3),
+        |f AS (SELECT event_type, i, max(v) AS fit FROM inn GROUP BY 1, 2)
+        |SELECT c.event_type, c.bin AS x, round(f.fit, 6) AS y_fit
+        |FROM f JOIN c ON c.event_type = f.event_type AND c.i = f.i
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -13,7 +13,7 @@ import graft.operators.Rollup
   * aligned on both sides; float outputs are rounded to 6 dp on both sides so
   * summation-order ulp noise cannot flip the hash compare.
   *
-  * The 513 query/oracle pairs live in the `EntriesQ*` part files (~2.3k
+  * The 514 query/oracle pairs live in the `EntriesQ*` part files (~2.3k
   * lines each, entries and oracles side by side per range); this object
   * only concatenates them and enforces that names are unique and every
   * oracle has a query.

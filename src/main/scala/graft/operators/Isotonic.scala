@@ -19,31 +19,41 @@ import org.apache.spark.sql.functions._
   * piecewise-constant and monotone, preserving the weighted mean of each
   * pooled block exactly.
   *
-  * No DuckDB-oracle row: the pooling recursion has no SQL form — evidence
-  * is the spec (hand goldens, monotonicity + block-mean invariants, weight
-  * handling, sorted-input identity), the same evidence class as the codec
-  * and streaming layers.
+  * Oracle: the pooling RECURSION has no SQL form, but the fitted VALUES
+  * do — the PAVA minimax identity fitted_i = max_{j≤i} min_{k≥i}
+  * mean(y_j..y_k) is a closed form over prefix sums that SQL computes
+  * directly; q514 replays the unweighted integer-count case bit-for-bit
+  * (blocks carry EXACT (Σwy, Σw) sums — see below — so each block mean is
+  * the correctly-rounded rational both engines produce). The spec keeps
+  * the recursion-level evidence (hand goldens, monotonicity + block-mean
+  * invariants, weight handling, sorted-input identity).
   */
 object Isotonic {
 
   /** One series: (x, y, w) triples → fitted values aligned with the
     * (x, y)-sorted order. Pure function, exposed for testing.
+    *
+    * Blocks carry EXACT (Σwy, Σw) sums; the violation test compares
+    * cross-products (s₁·w₂ > s₂·w₁ ⇔ s₁/w₁ > s₂/w₂ for w > 0) and each
+    * mean divides ONCE at emit. The previous mean-recombination form
+    * ((m₁w₁ + m₂w₂)/w) re-multiplied an already-rounded mean, drifting a
+    * few ulps per deep pool; with exact sums, integer-valued (y, w)
+    * inputs give every block mean as the correctly-rounded rational
+    * Σwy/Σw — the property the q514 minimax SQL oracle relies on.
     */
   def pava(points: Seq[(Double, Double, Double)]): Seq[(Double, Double)] = {
     require(points.forall(_._3 > 0), "weights must be > 0")
     val sorted = points.sortBy(p => (p._1, p._2))
     val n = sorted.length
     if (n == 0) return Seq.empty
-    // blocks as (mean, weight, count) — pool while the last two violate
-    val means = new Array[Double](n); val ws = new Array[Double](n)
+    val swy = new Array[Double](n); val sw = new Array[Double](n)
     val cnt = new Array[Int](n)
     var top = -1
     sorted.foreach { case (_, y, w) =>
-      top += 1; means(top) = y; ws(top) = w; cnt(top) = 1
-      while (top > 0 && means(top - 1) > means(top)) {
-        val wSum = ws(top - 1) + ws(top)
-        means(top - 1) = (means(top - 1) * ws(top - 1) + means(top) * ws(top)) / wSum
-        ws(top - 1) = wSum; cnt(top - 1) += cnt(top)
+      top += 1; swy(top) = y * w; sw(top) = w; cnt(top) = 1
+      while (top > 0 && swy(top - 1) * sw(top) > swy(top) * sw(top - 1)) {
+        swy(top - 1) += swy(top); sw(top - 1) += sw(top)
+        cnt(top - 1) += cnt(top)
         top -= 1
       }
     }
@@ -51,8 +61,9 @@ object Isotonic {
     var b = 0
     var i = 0
     while (b <= top) {
+      val mean = swy(b) / sw(b)
       var j = 0
-      while (j < cnt(b)) { out += ((sorted(i)._1, means(b))); i += 1; j += 1 }
+      while (j < cnt(b)) { out += ((sorted(i)._1, mean)); i += 1; j += 1 }
       b += 1
     }
     out.result()
