@@ -1121,14 +1121,18 @@ private[graft] object EntriesQ001 extends EntryPart {
 
     // classical additive seasonal decomposition, weekly period on the daily
     // series (trend = centered 7-MA, seasonal = centered per-position means).
-    // Daily sums run in integer cents (q148's determinism discipline): raw
-    // double sums are shuffle-order-dependent in the last ulps, and this
-    // chain rounds them through window means + per-phase means at 6 dp
+    // Runs in seasonalDecomposeExact's scaled-integer algebra (q148's
+    // two-part determinism discipline): the integer-cents head alone was
+    // NOT sufficient — the generic path's per-phase avg(double) still
+    // accumulated in shuffle-merge order. Here every order-sensitive
+    // reduction is a long sum and every double op a fixed expression tree,
+    // so trend/seasonal/remainder are bit-identical across runs + engines.
     "q93_seasonal_decomp" -> ((s, dir) => {
       val daily = ev(s, dir)
         .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
-        .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("v"))
-      Features.seasonalDecompose(daily, Seq("user_id"), "d", "v", period = 7)
+        .agg(sum(round(col("value") * 100).cast("long")).as("vc"))
+      Features.seasonalDecomposeExact(daily, Seq("user_id"), "d", "vc",
+          period = 7, scale = 100L)
         .select(col("user_id"), unix_timestamp(col("d")).as("d_s"),
           r6(col("trend")).as("trend"), r6(col("seasonal")).as("seasonal"),
           r6(col("remainder")).as("remainder"))
@@ -2402,19 +2406,35 @@ private[graft] object EntriesQ001 extends EntryPart {
         |  md5(coalesce(a.kept_text, '')) AS kept_md5
         |FROM w LEFT JOIN agg a USING (doc_id) ORDER BY w.doc_id""".stripMargin,
 
+    // verbatim DuckDB twin of Features.seasonalDecomposeExact: BIGINT
+    // window/phase sums, single double divisions, fixed-association ctr
+    // fold — bit-exact vs the Spark plan (same determinism argument)
     "q93_seasonal_decomp" ->
       """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
-        |    sum(round(value * 100)::BIGINT) / 100.0 AS v
+        |    sum(round(value * 100)::BIGINT) AS vc
         |  FROM events GROUP BY 1,2),
-        |i AS (SELECT user_id, d, v::DOUBLE AS y,
+        |i AS (SELECT user_id, d, vc, vc / 100.0 AS y,
         |    (row_number() OVER (PARTITION BY user_id ORDER BY d) - 1) % 7 AS pos,
-        |    CASE WHEN count(v) OVER f = 7 THEN avg(v) OVER f END AS trend
+        |    CASE WHEN count(vc) OVER f = 7 THEN sum(vc) OVER f END AS sp
         |  FROM daily
         |  WINDOW f AS (PARTITION BY user_id ORDER BY d
         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |d2 AS (SELECT *, y - trend AS det FROM i),
-        |sr AS (SELECT user_id, pos, avg(det) AS s_raw FROM d2 GROUP BY 1,2),
-        |c AS (SELECT user_id, avg(s_raw) AS ctr FROM sr GROUP BY 1)
+        |d2 AS (SELECT user_id, d, y, pos, sp / 700.0 AS trend,
+        |    7 * vc - sp AS detp FROM i),
+        |sr AS (SELECT user_id, pos, sum(detp) / (700.0 * count(detp)) AS s_raw
+        |  FROM d2 GROUP BY 1,2 HAVING count(detp) > 0),
+        |piv AS (SELECT user_id,
+        |    sum(CASE WHEN pos = 0 THEN s_raw END) AS s0,
+        |    sum(CASE WHEN pos = 1 THEN s_raw END) AS s1,
+        |    sum(CASE WHEN pos = 2 THEN s_raw END) AS s2,
+        |    sum(CASE WHEN pos = 3 THEN s_raw END) AS s3,
+        |    sum(CASE WHEN pos = 4 THEN s_raw END) AS s4,
+        |    sum(CASE WHEN pos = 5 THEN s_raw END) AS s5,
+        |    sum(CASE WHEN pos = 6 THEN s_raw END) AS s6
+        |  FROM sr GROUP BY 1),
+        |c AS (SELECT user_id,
+        |    ((((((s0 + s1) + s2) + s3) + s4) + s5) + s6) / 7.0 AS ctr
+        |  FROM piv)
         |SELECT d2.user_id, floor(epoch(d))::BIGINT AS d_s,
         |  round(trend, 6) AS trend,
         |  round(s_raw - ctr, 6) AS seasonal,

@@ -372,9 +372,11 @@ private[graft] object EntriesQ099 extends EntryPart {
     "q125_decomp_strength" -> ((s, dir) => {
       val daily = ev(s, dir)
         .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
-        // integer-cents head: same determinism argument as q93/q148
-        .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("v"))
-      Features.decompStrength(daily, Seq("user_id"), "d", "v", period = 7)
+        // exact scaled-integer decomposition (q93/q148 discipline); the
+        // trailing var_pop ratios stay double but see bit-identical inputs
+        .agg(sum(round(col("value") * 100).cast("long")).as("vc"))
+      Features.decompStrengthExact(daily, Seq("user_id"), "d", "vc",
+          period = 7, scale = 100L)
         .select(col("user_id"), col("n"),
           r6(col("trend_strength")).as("trend_strength"),
           r6(col("seasonal_strength")).as("seasonal_strength"))
@@ -698,20 +700,23 @@ private[graft] object EntriesQ099 extends EntryPart {
     // strips weekly structure, then robust MAD z-scores run on the
     // REMAINDER — a raw-value MAD would flag every seasonal peak; this
     // flags only what the seasonality cannot explain.
-    // DETERMINISM: the head quantizes value to integer CENTS before the
-    // daily sum (the q152 wasserstein1Quantized discipline) — r3 summed
-    // raw doubles, whose shuffle-order-dependent accumulation error
-    // (~1e-10 relative over thousands of addends) made one of 3,106
-    // 6-dp-rounded rows straddle a 0.0000005 boundary between runs. With
-    // exact integer daily sums, every downstream op (7-wide window means,
-    // per-phase means, MAD medians) starts from bit-identical inputs and
-    // runs in deterministic frame order, so 6-dp rounding is stable.
+    // DETERMINISM (the two-part r4→r5 fix): (a) the head quantizes value
+    // to integer CENTS before the daily sum, so both engines start from
+    // the identical exact series; (b) the decomposition itself runs in
+    // seasonalDecomposeExact's scaled-integer algebra — r4's remaining
+    // hole was the per-phase groupBy().agg(avg(_det)) inside the generic
+    // seasonalDecompose, which accumulated non-integer doubles in
+    // shuffle-merge order. Now every order-sensitive reduction is a LONG
+    // sum and every double op a fixed expression tree (see the
+    // determinism argument on Features.seasonalDecomposeExact), so the
+    // remainders entering the MAD medians are bit-identical across runs
+    // and engines, and 6-dp rounding is stable.
     "q148_seasonal_esd" -> ((s, dir) => {
       val daily = ev(s, dir)
         .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
-        .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("v"))
-      val dec = Features.seasonalDecompose(daily, Seq("user_id"), "d", "v",
-          period = 7)
+        .agg(sum(round(col("value") * 100).cast("long")).as("vc"))
+      val dec = Features.seasonalDecomposeExact(daily, Seq("user_id"), "d",
+          "vc", period = 7, scale = 100L)
         .filter(col("remainder").isNotNull)
       graft.operators.Anomaly.madOutliers(dec, Seq("user_id"), "remainder",
           threshold = 3.0)
@@ -1521,21 +1526,34 @@ private[graft] object EntriesQ099 extends EntryPart {
         |  row_number() OVER (PARTITION BY component ORDER BY score DESC, id) = 1 AS keep
         |FROM lab ORDER BY id""".stripMargin,
 
-    // q93's decomposition aggregated to the FPP3 strength scalars; edge
-    // rows (null trend) excluded, zero-variance denominators null
+    // q93's EXACT decomposition aggregated to the FPP3 strength scalars;
+    // edge rows (null trend) excluded, zero-variance denominators null
     "q125_decomp_strength" ->
       """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
-        |    sum(round(value * 100)::BIGINT) / 100.0 AS v
+        |    sum(round(value * 100)::BIGINT) AS vc
         |  FROM events GROUP BY 1,2),
-        |i AS (SELECT user_id, d, v::DOUBLE AS y,
+        |i AS (SELECT user_id, d, vc, vc / 100.0 AS y,
         |    (row_number() OVER (PARTITION BY user_id ORDER BY d) - 1) % 7 AS pos,
-        |    CASE WHEN count(v) OVER f = 7 THEN avg(v) OVER f END AS trend
+        |    CASE WHEN count(vc) OVER f = 7 THEN sum(vc) OVER f END AS sp
         |  FROM daily
         |  WINDOW f AS (PARTITION BY user_id ORDER BY d
         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |d2 AS (SELECT *, y - trend AS det FROM i),
-        |sr AS (SELECT user_id, pos, avg(det) AS s_raw FROM d2 GROUP BY 1,2),
-        |c AS (SELECT user_id, avg(s_raw) AS ctr FROM sr GROUP BY 1),
+        |d2 AS (SELECT user_id, d, y, pos, sp / 700.0 AS trend,
+        |    7 * vc - sp AS detp FROM i),
+        |sr AS (SELECT user_id, pos, sum(detp) / (700.0 * count(detp)) AS s_raw
+        |  FROM d2 GROUP BY 1,2 HAVING count(detp) > 0),
+        |piv AS (SELECT user_id,
+        |    sum(CASE WHEN pos = 0 THEN s_raw END) AS s0,
+        |    sum(CASE WHEN pos = 1 THEN s_raw END) AS s1,
+        |    sum(CASE WHEN pos = 2 THEN s_raw END) AS s2,
+        |    sum(CASE WHEN pos = 3 THEN s_raw END) AS s3,
+        |    sum(CASE WHEN pos = 4 THEN s_raw END) AS s4,
+        |    sum(CASE WHEN pos = 5 THEN s_raw END) AS s5,
+        |    sum(CASE WHEN pos = 6 THEN s_raw END) AS s6
+        |  FROM sr GROUP BY 1),
+        |c AS (SELECT user_id,
+        |    ((((((s0 + s1) + s2) + s3) + s4) + s5) + s6) / 7.0 AS ctr
+        |  FROM piv),
         |fin AS (SELECT d2.user_id, trend, s_raw - ctr AS seasonal,
         |    y - trend - (s_raw - ctr) AS remainder
         |  FROM d2 JOIN sr USING (user_id, pos) JOIN c USING (user_id)
@@ -2032,23 +2050,38 @@ private[graft] object EntriesQ099 extends EntryPart {
         |WHERE e.value IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // q93's decomposition replayed, then median/MAD robust z on the
-    // remainder (quantile_cont parity), 3.0 cut. Daily sums run in
-    // integer cents (matching the Spark head) so both engines start from
-    // the identical exact value regardless of accumulation order.
+    // q93's EXACT decomposition replayed (integer-cents window/phase sums,
+    // single double divisions, fixed-association ctr fold — the verbatim
+    // DuckDB twin of Features.seasonalDecomposeExact), then median/MAD
+    // robust z on the remainder (quantile_cont parity), 3.0 cut. Every
+    // order-sensitive reduction is a BIGINT sum, so the remainders are
+    // bit-identical to Spark's and the exact-repr hash matches.
     "q148_seasonal_esd" ->
       """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
-        |    sum(round(value * 100)::BIGINT) / 100.0 AS v
+        |    sum(round(value * 100)::BIGINT) AS vc
         |  FROM events GROUP BY 1,2),
-        |i AS (SELECT user_id, d, v::DOUBLE AS y,
+        |i AS (SELECT user_id, d, vc, vc / 100.0 AS y,
         |    (row_number() OVER (PARTITION BY user_id ORDER BY d) - 1) % 7 AS pos,
-        |    CASE WHEN count(v) OVER f = 7 THEN avg(v) OVER f END AS trend
+        |    CASE WHEN count(vc) OVER f = 7 THEN sum(vc) OVER f END AS sp
         |  FROM daily
         |  WINDOW f AS (PARTITION BY user_id ORDER BY d
         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |d2 AS (SELECT *, y - trend AS det FROM i),
-        |sr AS (SELECT user_id, pos, avg(det) AS s_raw FROM d2 GROUP BY 1,2),
-        |c AS (SELECT user_id, avg(s_raw) AS ctr FROM sr GROUP BY 1),
+        |d2 AS (SELECT user_id, d, y, pos, sp / 700.0 AS trend,
+        |    7 * vc - sp AS detp FROM i),
+        |sr AS (SELECT user_id, pos, sum(detp) / (700.0 * count(detp)) AS s_raw
+        |  FROM d2 GROUP BY 1,2 HAVING count(detp) > 0),
+        |piv AS (SELECT user_id,
+        |    sum(CASE WHEN pos = 0 THEN s_raw END) AS s0,
+        |    sum(CASE WHEN pos = 1 THEN s_raw END) AS s1,
+        |    sum(CASE WHEN pos = 2 THEN s_raw END) AS s2,
+        |    sum(CASE WHEN pos = 3 THEN s_raw END) AS s3,
+        |    sum(CASE WHEN pos = 4 THEN s_raw END) AS s4,
+        |    sum(CASE WHEN pos = 5 THEN s_raw END) AS s5,
+        |    sum(CASE WHEN pos = 6 THEN s_raw END) AS s6
+        |  FROM sr GROUP BY 1),
+        |c AS (SELECT user_id,
+        |    ((((((s0 + s1) + s2) + s3) + s4) + s5) + s6) / 7.0 AS ctr
+        |  FROM piv),
         |rem AS (SELECT d2.user_id, floor(epoch(d))::BIGINT AS d_s,
         |    y - trend - (s_raw - ctr) AS rem
         |  FROM d2 JOIN sr USING (user_id, pos) JOIN c USING (user_id)

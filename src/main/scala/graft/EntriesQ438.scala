@@ -7,7 +7,7 @@ import graft.functions.Hier
 import graft.operators.{Conformal, CrossVal, Dedup, Encoding, Ewma, Features, GapFill, Hist, Intervals, Metrics, Multimodal, Profile, Rollup, Sax, Scalers, Similarity, TextAnalysis}
 import graft.EntryHelpers._
 
-/** SparkEntry queries q438–q514 with their DuckDB oracle twins,
+/** SparkEntry queries q438–q515 with their DuckDB oracle twins,
   * split from the former single-file map (round-4 maintainability item:
   * entries and oracles live side by side per file so a mispaired oracle
   * is caught by the duplicate/coverage checks in [[SparkEntry]]).
@@ -889,6 +889,43 @@ private[graft] object EntriesQ438 extends EntryPart {
       graft.operators.Isotonic.fitFrame(binned, Seq("event_type"), "bin", "cnt")
         .select(col("event_type"), col("x"), r6(col("y_fit")).as("y_fit"))
         .orderBy("event_type", "x")
+    }),
+
+    // dHash image near-dup DECISION layer (banding + Hamming verify) over
+    // PRECOMPUTED hash literals — the decode itself is oracle-invisible
+    // (DuckDB cannot read images; q60 + MultimodalSpec cover it), but the
+    // candidate generation and verify are pure integer algebra a DuckDB
+    // twin replays exactly (the q513/q514 closing move). Fixture: each
+    // doc_id < 1200 gets a 64-bit hash whose four 16-bit bands are
+    // affine-mod values (odd multipliers => bijections mod 2^16, so
+    // DISTINCT ids never collide on any band); every 7th id gets a mutant
+    // copy with band-0 bits flipped — 2 bits (accepted, hamming 2) or,
+    // every 14th, 10 bits (candidate found via bands 1-3 but REJECTED by
+    // the hamming cut). Exercises banding, multi-band candidate dedup
+    // (each pair surfaces in 3 bands -> distinct), and the verify filter.
+    "q515_image_neardup_decision" -> ((s, dir) => {
+      val ids = docs(s, dir).filter(col("doc_id") < 1200)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      def band(mult: Long, add: Long, mod: Long) =
+        pmod(col("doc_id") * lit(mult) + lit(add), lit(mod))
+      val h = band(40503L, 1299721L, 65536L) +
+        band(2654435761L, 97L, 65536L) * lit(65536L) +
+        band(11400714819323L, 12345L, 65536L) * lit(4294967296L) +
+        band(2246822519L, 7L, 32768L) * lit(281474976710656L)
+      val base = ids.select(
+        concat(lit("d"), col("doc_id")).as("img_id"), h.as("dhash"),
+        col("doc_id"))
+      val mut = base.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(concat(lit("m"), col("doc_id")).as("img_id"),
+          col("dhash").bitwiseXOR(
+            when(pmod(col("doc_id"), lit(14)) === 7, lit(23387L))
+              .otherwise(lit(3L))).as("dhash"))
+      val hashes = base.select("img_id", "dhash").union(mut)
+      graft.operators.Multimodal.nearDupImages(hashes, "img_id",
+          maxHamming = 8)
+        .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"),
+          col("hamming"))
+        .orderBy("id_a", "id_b")
     }),
   )
 
@@ -2531,6 +2568,36 @@ private[graft] object EntriesQ438 extends EntryPart {
         |f AS (SELECT event_type, i, max(v) AS fit FROM inn GROUP BY 1, 2)
         |SELECT c.event_type, c.bin AS x, round(f.fit, 6) AS y_fit
         |FROM f JOIN c ON c.event_type = f.event_type AND c.i = f.i
+        |ORDER BY 1, 2""".stripMargin,
+
+    // same affine-mod hash fixture, 4-band LSH via unnest, shared-band
+    // equi-join, pair dedup, bit_count(xor) Hamming verify — all integer
+    // algebra, exact in both engines
+    "q515_image_neardup_decision" ->
+      """WITH ids AS (SELECT doc_id::BIGINT AS doc_id FROM documents
+        |  WHERE doc_id < 1200),
+        |base AS (SELECT 'd' || doc_id AS img_id,
+        |    (doc_id * 40503 + 1299721) % 65536
+        |    + ((doc_id * 2654435761 + 97) % 65536) * 65536
+        |    + ((doc_id * 11400714819323 + 12345) % 65536) * 4294967296
+        |    + ((doc_id * 2246822519 + 7) % 32768) * 281474976710656 AS dhash,
+        |    doc_id
+        |  FROM ids),
+        |mut AS (SELECT 'm' || doc_id AS img_id,
+        |    xor(dhash, CASE WHEN doc_id % 14 = 7 THEN 23387 ELSE 3 END) AS dhash
+        |  FROM base WHERE doc_id % 7 = 0),
+        |h AS (SELECT img_id, dhash FROM base
+        |  UNION ALL SELECT img_id, dhash FROM mut),
+        |banded AS (SELECT img_id, dhash, band,
+        |    (dhash >> (band * 16)) & 65535 AS key
+        |  FROM h, unnest([0, 1, 2, 3]) AS t(band)),
+        |cand AS (SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b,
+        |    a.dhash AS h_a, b.dhash AS h_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.img_id < b.img_id)
+        |SELECT id_a, id_b, h_a, h_b,
+        |  bit_count(xor(h_a, h_b))::BIGINT AS hamming
+        |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 8
         |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -273,6 +273,77 @@ object Features {
       .drop("_pos", "_det", "_s_raw", "_ctr")
   }
 
+  /** Order-INDEPENDENT classical additive decomposition over a SCALED-
+    * INTEGER series — the exact-arithmetic twin of [[seasonalDecompose]]
+    * for hash-exact cross-engine / cross-run parity. `intCol` is the
+    * series as `long` fixed-point at `scale` (cents: scale = 100); the
+    * logical value is y = intCol / scale. Emits `y, trend, seasonal,
+    * remainder` beside the input columns.
+    *
+    * Determinism argument — it must cover EVERY aggregate in the chain,
+    * not just the head (the r4 q148 lesson):
+    *   1. s_p   = sum(intCol) over the centered p-frame — LONG sum: exact
+    *      integer arithmetic, associative, order-independent (safe even if
+    *      the engine evaluates the frame via a segment tree).
+    *   2. trend = s_p / (p·scale) — ONE double division of exact operands:
+    *      IEEE-754 round-to-nearest, bit-identical on JVM and DuckDB.
+    *   3. det_p = p·intCol − s_p — exact long; this is the detrended value
+    *      at scale p·scale (det = y − trend = det_p / (p·scale)).
+    *   4. per-phase Σ det_p and count — LONG sum + count: exact and
+    *      shuffle-merge-order-independent. (r4's hole was exactly here:
+    *      `avg(double)` accumulated non-dyadic fractions in merge order.)
+    *      s_raw = Σdet_p / (p·scale·n_phase) — one double division; the
+    *      long→double cast of an exact |Σ| < 2^53 sum is lossless.
+    *   5. ctr = LEFT FOLD of the per-phase means in ascending-phase order
+    *      (sort_array over unique `_pos` + `aggregate` HOF — a fixed
+    *      association ((…(s₀+s₁)+…)+s_{p−1}), NOT a grouped double agg),
+    *      divided by the phase count.
+    *   6. seasonal = s_raw − ctr; remainder = (y − trend) − seasonal —
+    *      per-row fixed-arity expression trees over deterministic operands.
+    * Every shuffle-order-sensitive reduction is over longs; every double
+    * op is a fixed expression tree — replayable verbatim in a DuckDB twin
+    * (same divisions, same fold association) for exact-repr hash parity.
+    *
+    * Bound for step 4's losslessness: |Σ det_p| ≤ p·max|intCol|·n_phase;
+    * callers keep p·scale·Σ|y| below 2^53 (cents at p=7 over ~10^3-row
+    * series with |y| ≤ 10^6: ~10^12 — 3 orders of margin).
+    */
+  def seasonalDecomposeExact(df: DataFrame, hierarchy: Seq[String],
+                             tsCol: String, intCol: String, period: Int,
+                             scale: Long = 100L): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd and >= 3 (even periods need the 2x$period MA), got $period")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val h = period / 2
+    val c = col(intCol).cast("long")
+    val den = lit((period * scale).toDouble)
+    val win = w(hierarchy, tsCol)
+    val frame = win.rowsBetween(-h, h)
+    val indexed = df
+      .withColumn("_pos", pmod(row_number().over(win) - 1, lit(period)))
+      .withColumn("_sp", when(count(c).over(frame) === period, sum(c).over(frame)))
+      .withColumn("y", c / lit(scale.toDouble))
+      .withColumn("trend", col("_sp") / den)
+      .withColumn("_detp", lit(period.toLong) * c - col("_sp"))
+    val keys = hierarchy.map(col)
+    val sRaw = indexed.groupBy((keys :+ col("_pos")): _*)
+      .agg((sum(col("_detp")).cast("double") /
+        (den * count(col("_detp")))).as("_s_raw"))
+      .filter(col("_s_raw").isNotNull)
+    val ctr = sRaw.groupBy(keys: _*)
+      .agg((aggregate(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_s_raw")))),
+            x => x.getField("_s_raw")),
+          lit(0.0), (acc, v) => acc + v) /
+        count(lit(1)).cast("double")).as("_ctr"))
+    indexed
+      .join(sRaw, hierarchy :+ "_pos")
+      .join(ctr, hierarchy)
+      .withColumn("seasonal", col("_s_raw") - col("_ctr"))
+      .withColumn("remainder", col("y") - col("trend") - col("seasonal"))
+      .drop("_pos", "_sp", "_detp", "_s_raw", "_ctr")
+  }
+
   /** Periodogram at CANDIDATE periods — "which seasonality does this series
     * have": for each candidate period p, the spectral power of the
     * mean-centered series at frequency 1/p,
@@ -325,9 +396,24 @@ object Features {
     * denominators yield null (strength undefined, not 1).
     */
   def decompStrength(df: DataFrame, hierarchy: Seq[String], tsCol: String,
-                     valueCol: String, period: Int): DataFrame = {
-    val dec = seasonalDecompose(df, hierarchy, tsCol, valueCol, period)
-      .filter(col("trend").isNotNull)
+                     valueCol: String, period: Int): DataFrame =
+    strengthOf(seasonalDecompose(df, hierarchy, tsCol, valueCol, period), hierarchy)
+
+  /** [[decompStrength]] over the order-independent
+    * [[seasonalDecomposeExact]] decomposition (scaled-integer input) — the
+    * component series entering the variances are bit-deterministic; the
+    * `var_pop` reductions themselves remain last-ulp merge-order-sensitive
+    * (double sums), bounded by the r6 rounding the entry applies.
+    */
+  def decompStrengthExact(df: DataFrame, hierarchy: Seq[String], tsCol: String,
+                          intCol: String, period: Int,
+                          scale: Long = 100L): DataFrame =
+    strengthOf(
+      seasonalDecomposeExact(df, hierarchy, tsCol, intCol, period, scale),
+      hierarchy)
+
+  private def strengthOf(decomposed: DataFrame, hierarchy: Seq[String]): DataFrame = {
+    val dec = decomposed.filter(col("trend").isNotNull)
     val r = col("remainder")
     dec.groupBy(hierarchy.map(col): _*)
       .agg(count(lit(1)).as("n"), var_pop(r).as("_vr"),
@@ -960,7 +1046,8 @@ object Features {
     }
     staged
       .withColumn("cycle", terms.reduce(_ + _))
-      .filter(col("_i") > k && col("_i") <= col("_n") - k)
+      .filter(Bounded.gate(col("_n"), Bounded.DefaultMaxPoints, "baxterKing") &&
+        col("_i") > k && col("_i") <= col("_n") - k)
       .select(col(tsCol), col("cycle"))
   }
 

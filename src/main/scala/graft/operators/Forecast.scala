@@ -115,7 +115,9 @@ object Forecast {
     val den = col("_szz") - col("_sz") * col("_sz") / col("_m")
     val slope = (col("_szx") - col("_sz") * col("_sx") / col("_m")) / den
     val withAb = agged
-      .withColumn("_a", when(den =!= 0, -slope))
+      .withColumn("_a", when(
+        Bounded.gate(col("_m"), Bounded.DefaultMaxPoints, "greyGm11") &&
+          den =!= 0, -slope))
       .withColumn("_b", when(col("_a").isNotNull,
         col("_sx") / col("_m") + col("_a") * col("_sz") / col("_m")))
     withAb

@@ -39,7 +39,9 @@ object Spc {
     val agged = staged.agg(count(lit(1)).as("n"), avg(col("_x")).as("xbar"),
       avg(col("_mr")).as("mrbar"))
     val limits = agged
-      .withColumn("ucl_x", col("xbar") + lit(2.66) * col("mrbar"))
+      .withColumn("ucl_x", when(
+        Bounded.gate(col("n"), Bounded.DefaultMaxPoints, "imrChart"),
+        col("xbar") + lit(2.66) * col("mrbar")))
       .withColumn("lcl_x", col("xbar") - lit(2.66) * col("mrbar"))
       .withColumn("_ucl_mr", lit(3.267) * col("mrbar"))
     staged.crossJoin(broadcast(limits))
@@ -78,7 +80,10 @@ object Spc {
     // shift being hunted) or in-sample fallback when no reference exists
     val mom = base.agg(count(lit(1)).as("n"), avg(col("_x")).as("_xbarIn"),
       sum(col("_x") * col("_x")).as("_s2"))
-      .withColumn("xbar", mu0.map(lit).getOrElse(col("_xbarIn")))
+      // 20k cap, not the default 4M: the z_t realization below is an
+      // O(n²) range self-join on the series grain
+      .withColumn("xbar", when(Bounded.gate(col("n"), 20000L, "ewmaChart"),
+        mu0.map(lit).getOrElse(col("_xbarIn"))))
       .withColumn("sigma", sigma0.map(lit).getOrElse(
         sqrt(col("_s2") / col("n").cast("double") -
           col("_xbarIn") * col("_xbarIn"))))
@@ -151,8 +156,10 @@ object Spc {
       .select(col(tsCol).as("_t"), v.as("_x"))
       .withColumn("_mu", avg(col("_x")).over(Window.partitionBy()))
       .withColumn("_d", col("_x") - lag(col("_x"), 1).over(w))
-      .withColumn("_sg",
-        avg(abs(col("_d"))).over(Window.partitionBy()) / lit(1.128))
+      .withColumn("_sg", when(
+        Bounded.gate(count(lit(1)).over(Window.partitionBy()),
+          Bounded.DefaultMaxPoints, "westernElectric"),
+        avg(abs(col("_d"))).over(Window.partitionBy()) / lit(1.128)))
       .withColumn("_above", (col("_x") > col("_mu")).cast("long"))
       .withColumn("_below", (col("_x") < col("_mu")).cast("long"))
       .withColumn("_up", (col("_d") > 0).cast("long"))

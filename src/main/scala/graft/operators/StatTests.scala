@@ -413,7 +413,8 @@ object StatTests {
     val med = base
       .withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(winAll))
-      .filter(col("_rn") ===
+      .filter(Bounded.gate(col("_n"), Bounded.DefaultMaxPoints, "moodMedian") &&
+        col("_rn") ===
         floor((col("_n") + 1L).cast("double") / 2.0).cast("long"))
       .select(col("v").as("median"))
     val aggs = Seq(count(lit(1)).as("n")) ++ arms.zipWithIndex.flatMap {
@@ -547,8 +548,10 @@ object StatTests {
     val scored = base
       .withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(winAll))
-      .withColumn("_s0", least(col("_rn").cast("double"),
-        (col("_n") + 1L - col("_rn")).cast("double")))
+      .withColumn("_s0", when(
+        Bounded.gate(col("_n"), Bounded.DefaultMaxPoints, "ansariBradley"),
+        least(col("_rn").cast("double"),
+          (col("_n") + 1L - col("_rn")).cast("double"))))
       .withColumn("_s", avg(col("_s0")).over(tiePart))
     scored.agg(
         sum(when(col("arm") === armA, 1L).otherwise(0L)).as("n_a"),
@@ -637,7 +640,11 @@ object StatTests {
       .withColumn("r2", col("c") + col("d"))
       .withColumn("c1", col("a") + col("c"))
     // lnfact(i) for i in 0..n via ordered cumsum (row i=0 contributes 0)
-    val lf = counts.select(explode(sequence(lit(0L), col("n"))).as("i"))
+    // the ln-factorial table is O(n) rows through ONE cumsum task —
+    // Bounded.gate keeps a 100 TB-scale flag table from exploding it
+    val lf = counts.select(explode(sequence(lit(0L),
+        when(Bounded.gate(col("n"), Bounded.DefaultMaxPoints, "fisherExact"),
+          col("n")))).as("i"))
       .withColumn("v", sum(when(col("i") >= 1L,
         log(col("i").cast("double"))).otherwise(lit(0.0)))
         .over(Window.orderBy(col("i"))
@@ -784,8 +791,12 @@ object StatTests {
     val w = Window.orderBy(col("_ad"))
     val tiePart = Window.partitionBy(col("_ad"))
     val ranked = nz
-      .withColumn("_mid", rank().over(w).cast("double") +
-        (count(lit(1)).over(tiePart) - 1).cast("double") / 2)
+      .withColumn("_nAll", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("_mid", when(
+        Bounded.gate(col("_nAll"), Bounded.DefaultMaxPoints,
+          "wilcoxonSignedRank"),
+        rank().over(w).cast("double") +
+          (count(lit(1)).over(tiePart) - 1).cast("double") / 2))
       .withColumn("_t", count(lit(1)).over(tiePart))
     val agged = ranked.agg(count(lit(1)).as("n_nonzero"),
       sum(when(col("d") > 0, col("_mid")).otherwise(lit(0.0))).as("w_plus"),
@@ -914,7 +925,9 @@ object StatTests {
     def med(c: String) = base
       .withColumn("_rn", row_number().over(Window.orderBy(col(c))))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
-      .filter(col("_rn") ===
+      .filter(Bounded.gate(col("_n"), Bounded.DefaultMaxPoints,
+          "blomqvistBeta") &&
+        col("_rn") ===
         floor((col("_n") + 1L).cast("double") / 2.0).cast("long"))
       .select(col(c).as(s"med_$c"))
     val agged = base.crossJoin(broadcast(med("x"))).crossJoin(broadcast(med("y")))
@@ -1544,7 +1557,9 @@ object StatTests {
       .withColumn("_m", col("b") + col("c"))
       .withColumn("_kmax", least(col("b"), col("c")))
     val lf = counts.select(col("_m"),
-        explode(sequence(lit(0L), col("_m"))).as("i"))
+        explode(sequence(lit(0L),
+          when(Bounded.gate(col("_m"), Bounded.DefaultMaxPoints,
+            "signTestExact"), col("_m")))).as("i"))
       .withColumn("v", sum(when(col("i") >= 1L,
         log(col("i").cast("double"))).otherwise(lit(0.0)))
         .over(Window.orderBy(col("i"))

@@ -399,8 +399,14 @@ object TextAnalysis {
       .select(explode(words(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val totals = counts.agg(sum(col("c")).as("N"), count(lit(1)).as("V"))
+    // with maxVocab set the build side is ≤ maxVocab rows post-limit:
+    // hint broadcast EXPLICITLY so the exploded token stream never
+    // shuffles — relying on AQE to convert leaves a sort-merge plan on
+    // the table when the limit's stats arrive late (r4's slowest warm
+    // query). Unbounded vocab keeps the un-hinted join (its size is
+    // corpus-dependent; AQE decides from the real build size).
     val vocab = maxVocab.fold(counts)(n =>
-      counts.orderBy(col("c").desc, col("tok")).limit(n))
+      broadcast(counts.orderBy(col("c").desc, col("tok")).limit(n)))
     val bits = docs
       .select(col(idCol).as("id"), explode(words(col(textCol))).as("tok"))
       .join(vocab, Seq("tok"), "left")

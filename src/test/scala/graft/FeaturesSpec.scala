@@ -407,6 +407,49 @@ class FeaturesSpec extends SparkSuite {
     }
   }
 
+  test("seasonalDecomposeExact: agrees with double path; bit-stable under repartition") {
+    // same planted series as above, carried as integer cents
+    val sPat = Seq(2.0, -1.0, -1.0)
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 60).flatMap { i =>
+      Seq(1L, 2L).map { k =>
+        val v = 100.0 + i + sPat(i % 3) + rnd.nextInt(200) / 100.0
+        (k, i.toLong * 86400, math.round(v * 100), v)
+      }
+    }
+    val df = rows.toDF("k", "t", "vc", "v")
+      .withColumn("ts", timestamp_seconds(col("t")))
+    val exact = Features.seasonalDecomposeExact(df, Seq("k"), "ts", "vc", period = 3)
+      .orderBy("k", "t").collect()
+    val dbl = Features.seasonalDecompose(df, Seq("k"), "ts", "v", period = 3)
+      .orderBy("k", "t").collect()
+    // numerically equivalent to the generic double path (1e-9: the double
+    // path's own accumulation error bound at this size)
+    exact.zip(dbl).foreach { case (e, d) =>
+      Seq("trend", "seasonal", "remainder").foreach { c =>
+        val ei = e.fieldIndex(c); val di = d.fieldIndex(c)
+        assert(e.isNullAt(ei) == d.isNullAt(di), s"$c nullity")
+        if (!e.isNullAt(ei))
+          assert(math.abs(e.getDouble(ei) - d.getDouble(di)) < 1e-9, s"$c value")
+      }
+    }
+    // order-independence: a different physical layout (repartition + extra
+    // shuffle pressure) must produce BIT-identical doubles, not just close
+    val shuffled = Features.seasonalDecomposeExact(
+        df.repartition(13, col("t")), Seq("k"), "ts", "vc", period = 3)
+      .orderBy("k", "t").collect()
+    exact.zip(shuffled).foreach { case (a, b) =>
+      Seq("y", "trend", "seasonal", "remainder").foreach { c =>
+        val ia = a.fieldIndex(c); val ib = b.fieldIndex(c)
+        assert(a.isNullAt(ia) == b.isNullAt(ib), s"$c nullity under shuffle")
+        if (!a.isNullAt(ia))
+          assert(java.lang.Double.doubleToLongBits(a.getDouble(ia)) ==
+            java.lang.Double.doubleToLongBits(b.getDouble(ib)),
+            s"$c not bit-identical under repartition")
+      }
+    }
+  }
+
   test("seasonalFill: nulls take the last SAME-PHASE value, not the previous row") {
     import graft.operators.GapFill
     // period 2: phases alternate A B A B; nulls at idx 4 (phase A) and 5 (B)

@@ -1,19 +1,50 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB correctness compare.
 
-Usage: python3 tools/check_oracle.py <verifyOutDir> <sfDir>
+Usage: python3 tools/check_oracle.py <verifyOutDir> <sfDir> [prefixes] [--tol]
 
 Reads each <name>.parquet result written by graft.Verify plus
 oracle_sql.json, runs the oracle SQL in DuckDB against the sf tables,
 and compares: schema (sorted column names), row count, and values
-(columns sorted by name, rows sorted, float-tolerant 1e-9 + exact-repr
-hash like the driver's).
+(columns sorted by name, rows sorted).
+
+MODES — the r4 lesson: the driver hashes EXACT value reprs, so a
+tolerance compare is blind to exactly the failure class that kept
+recurring (shuffle-order double accumulation straddling an r6 rounding
+boundary). Therefore:
+  * DEFAULT = exact-repr mode: every cell must match by repr()
+    (bit-exact for floats, like the driver's hash). This is THE
+    receipt instrument.
+  * --tol   = legacy 1e-9 float tolerance (useful only to localize a
+    failure as "tiny float drift" vs "wrong values").
 """
 import sys, json, glob, os
 import duckdb
 
+
+def cell_repr(x):
+    # one canonical repr per cell: numpy scalars normalized to python
+    # types (np.int32(5) and np.int64(5) must both read "5"), NaN/None
+    # collapsed like a hash would
+    import numpy as np
+    if x is None:
+        return "NULL"
+    if isinstance(x, (bool, np.bool_)):
+        return repr(bool(x))
+    if isinstance(x, (float, np.floating)):
+        x = float(x)
+        if x != x:
+            return "NaN"
+        return repr(x)
+    if isinstance(x, (int, np.integer)):
+        return repr(int(x))
+    return repr(x)
+
+
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    args = [a for a in sys.argv[1:] if a != "--tol"]
+    tol_mode = "--tol" in sys.argv
+    out_dir, sf_dir = args[0], args[1]
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
@@ -21,8 +52,8 @@ def main():
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     # optional 3rd arg: comma-separated name prefixes (subset check after a
     # filtered graft.Verify run)
-    if len(sys.argv) > 3:
-        prefixes = tuple(sys.argv[3].split(","))
+    if len(args) > 2:
+        prefixes = tuple(args[2].split(","))
         oracle = {k: v for k, v in oracle.items() if k.startswith(prefixes)}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
@@ -56,16 +87,21 @@ def main():
                 bad.append(f"{c}: dtype {a.dtype} != {b.dtype} (driver repr-hash would fail)")
                 continue
             try:
-                import pandas as pd
-                if a.dtype.kind == "f" or b.dtype.kind == "f":
-                    import numpy as np
+                if tol_mode and (a.dtype.kind == "f" or b.dtype.kind == "f"):
                     af, bf = a.astype(float), b.astype(float)
                     ok = ((af - bf).abs() <= 1e-9) | (af.isna() & bf.isna())
+                    if not ok.all():
+                        i = ok.idxmin()
+                        bad.append(f"{c}[{i}]: {a[i]!r} != {b[i]!r}")
                 else:
-                    ok = (a == b) | (a.isna() & b.isna())
-                if not ok.all():
-                    i = ok.idxmin()
-                    bad.append(f"{c}[{i}]: {a[i]!r} != {b[i]!r}")
+                    # exact-repr mode (default): mirror the driver's hash
+                    import pandas as pd
+                    av = a.where(pd.notna(a), None).map(cell_repr)
+                    bv = b.where(pd.notna(b), None).map(cell_repr)
+                    ok = av == bv
+                    if not ok.all():
+                        i = ok.idxmin()
+                        bad.append(f"{c}[{i}]: {av[i]} != {bv[i]} (exact-repr)")
             except Exception as e:
                 bad.append(f"{c}: compare error {e}")
         if bad:
@@ -74,7 +110,9 @@ def main():
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    mode = "tol-1e-9" if tol_mode else "exact-repr"
+    print(f"== {n_pass} pass, {n_fail} fail [{mode} mode] ==")
     sys.exit(1 if n_fail else 0)
+
 
 main()
