@@ -116,6 +116,8 @@ object Calibration {
     val per = bucketed.toDF("bucket", "_y")
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), sum(col("_y")).as("positives"))
+    // bounded-input contract: this unpartitioned window sees at most
+    // `buckets` rows (one per bucket, a caller literal) — no gate needed
     val wCum = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     per

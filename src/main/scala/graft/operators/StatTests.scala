@@ -18,6 +18,22 @@ import org.apache.spark.sql.functions._
   * scale to millions of groups unchanged. Reference: forecastframe exposes
   * only descriptive stats (`describe`, `calc_statistics`); these tests are
   * the engine-native extension of that diagnostics surface.
+  *
+  * BOUNDED-INPUT CONTRACT (file-wide): several tests in this file are
+  * GLOBAL statistics by definition — a pooled rank sum, a grand median,
+  * one ln-factorial table, one fitted trend — and their natural plan
+  * funnels the (already aggregated) sample through ONE unpartitioned
+  * `Window.orderBy` sort task. That is the correct plan at the intended
+  * grain: these operate on tier-rolled/bucketed summaries, never raw
+  * events — the same "aggregated-grain input only" discipline each
+  * affected scaladoc states. The highest-volume heads additionally
+  * enforce it at runtime via [[Bounded.gate]] (moodMedian,
+  * ansariBradley, wilcoxonSignedRank, blomqvistBeta, and the
+  * fisherExact/signTestExact ln-factorial tables); the remaining
+  * unpartitioned windows in this file run on frames those same shapes
+  * bound (per-arm summaries, k-row tie tables, literal-length
+  * sequences) and inherit the [[Bounded.DefaultMaxPoints]] contract by
+  * documentation.
   */
 object StatTests {
 
