@@ -927,6 +927,35 @@ private[graft] object EntriesQ438 extends EntryPart {
           col("hamming"))
         .orderBy("id_a", "id_b")
     }),
+
+    // rolling-origin model selection COMPOSED (r5): the reference's
+    // cross_validate + grid-search DECISION layer (which model for which
+    // series) over the engine's own forecaster family — 3 candidates
+    // (drift, SES α=0.3, seasonal-naive m=7) × 2 weekly fold boundaries
+    // on the daily integer-cents series; forecasts clipped to each
+    // fold's held-out region, sMAPE pooled across folds, per-user winner
+    // ranked on the 6-dp grid with model-name tie-break (the rank-cut
+    // discipline). The oracle replays all three forecasters (q73/q74/q79
+    // logic) per fold prefix and the identical scoring tail.
+    "q516_model_select" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("v"))
+      val f = graft.operators.Forecast
+      val cands: Seq[(String, DataFrame => DataFrame)] = Seq(
+        ("drift", (t: DataFrame) => f.drift(t, Seq("user_id"), "d", "v",
+          horizon = 7, stepSeconds = 86400L)),
+        ("ses_a03", (t: DataFrame) => f.ses(t, Seq("user_id"), "d", "v",
+          alpha = 0.3, horizon = 7, stepSeconds = 86400L)),
+        ("snaive_7", (t: DataFrame) => f.seasonalNaive(t, Seq("user_id"),
+          "d", "v", period = 7, horizon = 7, stepSeconds = 86400L)))
+      f.rollingOriginSelect(daily, Seq("user_id"), "d", "v", cands,
+          Seq(java.sql.Timestamp.valueOf("2024-01-17 00:00:00"),
+            java.sql.Timestamp.valueOf("2024-01-24 00:00:00")))
+        .select(col("user_id"), col("model"), col("n_eval"),
+          r6(col("smape")).as("smape"), col("rank"), col("is_best"))
+        .orderBy("user_id", "model")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -2599,5 +2628,61 @@ private[graft] object EntriesQ438 extends EntryPart {
         |  bit_count(xor(h_a, h_b))::BIGINT AS hamming
         |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 8
         |ORDER BY 1, 2""".stripMargin,
+
+    // three forecasters replayed per fold prefix (q74 drift, q79 SES
+    // closed form, q73 snaive source-lookup), clipped to the held-out
+    // region, pooled sMAPE, 6-dp-grid rank with name tie-break
+    "q516_model_select" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    sum(round(value * 100)::BIGINT) / 100.0 AS v
+        |  FROM events GROUP BY 1,2),
+        |tr AS (SELECT b.bs, dd.user_id, dd.d, dd.v
+        |  FROM daily dd, (SELECT unnest([1705449600, 1706054400]) AS bs) b
+        |  WHERE epoch(dd.d)::BIGINT < b.bs),
+        |pk_dr AS (SELECT bs, user_id, min_by(v, d) AS y1, max_by(v, d) AS yT,
+        |    max(d) AS last_d, count(*) AS n FROM tr GROUP BY 1,2),
+        |fc_dr AS (SELECT bs, user_id, 'drift' AS model,
+        |    epoch(last_d)::BIGINT + g.s*86400 AS fs,
+        |    CASE WHEN n > 1 THEN yT + g.s*(yT - y1)/(n - 1) ELSE yT END AS yhat
+        |  FROM pk_dr, generate_series(1,7) g(s)),
+        |r_se AS (SELECT bs, user_id, d, v,
+        |    row_number() OVER (PARTITION BY bs, user_id ORDER BY d) AS rn,
+        |    row_number() OVER (PARTITION BY bs, user_id ORDER BY d DESC) - 1 AS back
+        |  FROM tr WHERE v IS NOT NULL),
+        |lvl AS (SELECT bs, user_id,
+        |    sum(CASE WHEN rn = 1 THEN power(0.7, back) * v
+        |             ELSE 0.3 * power(0.7, back) * v END) AS level,
+        |    max(d) AS last_d FROM r_se GROUP BY 1,2),
+        |fc_se AS (SELECT bs, user_id, 'ses_a03' AS model,
+        |    epoch(last_d)::BIGINT + g.s*86400 AS fs, level AS yhat
+        |  FROM lvl, generate_series(1,7) g(s)),
+        |pk_sn AS (SELECT bs, user_id, max(d) AS last_d FROM tr GROUP BY 1,2),
+        |f_sn AS (SELECT bs, user_id,
+        |    epoch(last_d)::BIGINT + g.s*86400 AS fs,
+        |    epoch(last_d)::BIGINT + (g.s - 7*ceil(g.s/7.0))::BIGINT*86400 AS src_s
+        |  FROM pk_sn, generate_series(1,7) g(s)),
+        |fc_sn AS (SELECT f.bs, f.user_id, 'snaive_7' AS model, f.fs,
+        |    t2.v AS yhat
+        |  FROM f_sn f LEFT JOIN tr t2
+        |    ON f.bs = t2.bs AND f.user_id = t2.user_id
+        |    AND epoch(t2.d)::BIGINT = f.src_s),
+        |fc AS (SELECT * FROM fc_dr UNION ALL SELECT * FROM fc_se
+        |  UNION ALL SELECT * FROM fc_sn),
+        |j AS (SELECT fc.user_id, fc.model, fc.yhat, a.v AS y
+        |  FROM fc JOIN daily a ON a.user_id = fc.user_id
+        |    AND epoch(a.d)::BIGINT = fc.fs
+        |  WHERE fc.fs >= fc.bs AND fc.yhat IS NOT NULL),
+        |sc AS (SELECT user_id, model, count(*) AS n_eval,
+        |    sum(abs(y - yhat)) AS sae, sum(abs(y) + abs(yhat)) AS sden
+        |  FROM j GROUP BY 1,2),
+        |rk AS (SELECT user_id, model, n_eval,
+        |    CASE WHEN sden > 0 THEN 2.0 * sae / sden END AS smape FROM sc),
+        |fin AS (SELECT user_id, model, n_eval, smape,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY floor(smape * 1e6 + 0.5) ASC NULLS LAST, model) AS rank
+        |  FROM rk)
+        |SELECT user_id, model, n_eval, round(smape, 6) AS smape,
+        |  rank, rank = 1 AS is_best
+        |FROM fin ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -826,4 +826,89 @@ object Forecast {
           col("_sxx"))))
       .select((keys :+ col("n") :+ col("rho") :+ col("t_stat")): _*)
   }
+
+  /** Rolling-origin forecaster selection — the reference's
+    * `cross_validate` + grid-search MODEL-SELECTION semantics
+    * (/root/reference/forecastframe/model.py:1356-1417 cross_validate,
+    * :319-375 grid search) re-expressed Spark-first over the engine's own
+    * forecaster family. SURVEY §7 keeps LightGBM/Prophet FITTING out of
+    * engine scope; what the pipeline needs from that layer is the
+    * decision — "which model (and params) for which series" — and that
+    * decision is pure plan algebra:
+    *
+    * For each fold boundary b (date literals — SURVEY §2.6's Spark
+    * equivalent of `TimeSeriesSplit` over the time index): every
+    * candidate trains on rows with ts < b and emits its `horizon`
+    * forecasts; forecasts land on the held-out (key, ts) grid (feed a
+    * REGULAR series — run [[GapFill]] first if the grid has holes; grid
+    * points with no actual simply don't score), are clipped to the
+    * held-out region (a key whose history ends early must not be scored
+    * on its own training rows), and accumulate per-(key, candidate)
+    * sMAPE across all folds:
+    *   sMAPE = 2·Σ|y−ŷ| / Σ(|y|+|ŷ|)  (aggregate-then-divide).
+    * The per-key winner ranks on round(sMAPE, 6) with the candidate NAME
+    * as tie-break — the engine-wide "never rank-cut on raw float sums"
+    * discipline, so both engines' ranks agree whenever their 6-dp scores
+    * do.
+    *
+    * Scale shape: each candidate×fold is the candidate's own one-shuffle
+    * plan over the filtered train prefix; the M·F forecast frames union
+    * into one (key, ts)-join against the actuals and ONE final
+    * groupBy(key, model) + per-key rank window. No collect, no
+    * per-key iteration — a million-series population selects its models
+    * in one job, and adding a candidate adds one branch to the union,
+    * not a pass over the data.
+    *
+    * `candidates` are (name, train => forecast) closures whose output
+    * carries (keys..., forecast_ts, yhat) — every forecaster in this
+    * file qualifies; parameter sweeps are just more entries
+    * ("ses_a03" -> ses(α=0.3), "ses_a05" -> ses(α=0.5), …).
+    * Output: (keys..., model, n_eval, smape, rank, is_best) — one row
+    * per key × candidate that produced ≥ 1 scored point.
+    */
+  def rollingOriginSelect(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                          valCol: String,
+                          candidates: Seq[(String, DataFrame => DataFrame)],
+                          boundaries: Seq[java.sql.Timestamp]): DataFrame = {
+    require(candidates.nonEmpty, "rollingOriginSelect: need >= 1 candidate")
+    require(candidates.map(_._1).distinct.size == candidates.size,
+      "rollingOriginSelect: candidate names must be distinct")
+    require(boundaries.nonEmpty, "rollingOriginSelect: need >= 1 fold boundary")
+    val keys = keyCols.map(col)
+    val perFold = boundaries.map { b =>
+      val train = df.filter(col(tsCol) < lit(b))
+      candidates.map { case (name, f) =>
+        f(train).select((keys :+
+          unix_timestamp(col("forecast_ts")).as("_fs") :+
+          col("yhat").cast("double").as("_yhat")): _*)
+          .withColumn("model", lit(name))
+      }.reduce(_.unionByName(_))
+        // held-out region only: stale keys forecast from their own last
+        // observation, which can land before the boundary (= train rows)
+        .filter(col("_fs") >= unix_timestamp(lit(b)))
+    }
+    val actual = df.filter(col(valCol).isNotNull)
+      .select((keys :+ unix_timestamp(col(tsCol)).as("_fs") :+
+        col(valCol).cast("double").as("_y")): _*)
+    val scored = perFold.reduce(_.unionByName(_))
+      .filter(col("_yhat").isNotNull)
+      .join(actual, keyCols :+ "_fs")
+      .groupBy((keys :+ col("model")): _*)
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("_y") - col("_yhat"))).as("_sae"),
+        sum(abs(col("_y")) + abs(col("_yhat"))).as("_sden"))
+      .withColumn("smape",
+        when(col("_sden") > 0, lit(2.0) * col("_sae") / col("_sden")))
+    // rank key = the 6-dp grid INTEGER via multiply/floor on the double
+    // itself (sMAPE ≥ 0), NOT functions.round — Spark's round goes through
+    // BigDecimal shortest-repr while DuckDB rounds the raw double (the
+    // EntryHelpers.r6 pitfall), and a rank cut must use the same grid in
+    // both engines
+    val wRank = Window.partitionBy(keys: _*)
+      .orderBy(floor(col("smape") * 1e6 + 0.5).asc_nulls_last, col("model"))
+    scored
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("is_best", col("rank") === 1L)
+      .drop("_sae", "_sden")
+  }
 }

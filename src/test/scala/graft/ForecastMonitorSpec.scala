@@ -507,4 +507,49 @@ class ForecastMonitorSpec extends SparkSuite {
     assert(Anomaly.pageHinkley(flat, Seq("k"), "t", "v", 0.0, 1.0)
       .agg(sum(col("alarm"))).head().getLong(0) === 0L)
   }
+
+  test("rollingOriginSelect: right winner per series shape; held-out clipping; tie-break") {
+    def day(i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(i.toLong * 86400))
+    // trending key: y = 10t (drift extrapolates exactly); seasonal key:
+    // period-4 pattern repeated (snaive m=4 is exact, drift/ses are not)
+    val rows =
+      (0 until 20).map(i => ("trend", day(i), 10.0 * i)) ++
+      (0 until 20).map(i => ("season", day(i), Seq(5.0, 50.0, 5.0, 50.0)(i % 4) + (i % 4)))
+    val df = rows.toDF("k", "t", "v")
+    val cands: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      ("drift", d => Forecast.drift(d, Seq("k"), "t", "v", horizon = 4, stepSeconds = 86400L)),
+      ("snaive4", d => Forecast.seasonalNaive(d, Seq("k"), "t", "v", period = 4, horizon = 4, stepSeconds = 86400L)))
+    val out = Forecast.rollingOriginSelect(df, Seq("k"), "t", "v", cands,
+      Seq(day(12), day(16))).collect()
+    val best = out.filter(_.getBoolean(out.head.fieldIndex("is_best")))
+      .map(r => r.getString(0) -> r.getAs[String]("model")).toMap
+    assert(best("trend") === "drift", s"trend series must pick drift: ${out.toSeq}")
+    assert(best("season") === "snaive4", s"seasonal series must pick snaive: ${out.toSeq}")
+    // exact winners score sMAPE 0 on their home series
+    out.foreach { r =>
+      val k = r.getString(0); val m = r.getAs[String]("model")
+      val s = r.getAs[Double]("smape")
+      if (k == "trend" && m == "drift") assert(math.abs(s) < 1e-12)
+      if (k == "season" && m == "snaive4") assert(math.abs(s) < 1e-12)
+      // both folds fully scored: 2 folds x horizon 4 on a gap-free grid
+      assert(r.getAs[Long]("n_eval") === 8L, s"($k,$m) n_eval")
+    }
+    // held-out clipping: a key whose history STOPS before the boundary
+    // forecasts into its own train region — those rows must not score
+    val stale = (0 until 8).map(i => ("stale", day(i), 1.0 * i)).toDF("k", "t", "v")
+    val staleOut = Forecast.rollingOriginSelect(stale, Seq("k"), "t", "v",
+      cands.take(1), Seq(day(12)))
+    assert(staleOut.count() === 0, "stale key forecasts land pre-boundary; none may score")
+    // deterministic name tie-break on identical scores: two copies of the
+    // same candidate under different names -> rank by name
+    val tied = Forecast.rollingOriginSelect(df.filter(col("k") === "trend"),
+      Seq("k"), "t", "v",
+      Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        ("b_drift", d => Forecast.drift(d, Seq("k"), "t", "v", 4, 86400L)),
+        ("a_drift", d => Forecast.drift(d, Seq("k"), "t", "v", 4, 86400L))),
+      Seq(day(12))).orderBy("rank").collect()
+    assert(tied.map(_.getAs[String]("model")).toSeq === Seq("a_drift", "b_drift"))
+    assert(tied.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L))
+  }
 }
