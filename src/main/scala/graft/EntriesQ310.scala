@@ -395,14 +395,22 @@ private[graft] object EntriesQ310 extends EntryPart {
     }),
 
     // LB_Keogh lower bound (band 2) from each user's daily series to the
-    // cross-user mean daily profile — the DTW pruning pass
+    // cross-user mean daily profile — the DTW pruning pass.
+    // DETERMINISM (r5): runs in lbKeoghExact's integer-cents algebra —
+    // the r5 sf0.1 exact-repr sweep caught the double path's squared-
+    // exceedance sum straddling a 6-dp boundary (1 of 1500 rows). The
+    // reference profile is the cent-quantized mean (floor(sum/n + 0.5)
+    // of exact cent sums — a deterministic double floor, identical in
+    // both engines), so envelope and exceedance sums are exact longs.
     "q337_lb_keogh" -> ((s, dir) => {
       val daily = ev(s, dir)
         .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
-        .agg(sum(col("value")).as("v"))
-      val ref = daily.groupBy(col("d")).agg(avg(col("v")).as("rv"))
-      graft.operators.Similarity.lbKeogh(daily, Seq("user_id"), "d", "v",
-          ref, "rv", band = 2)
+        .agg(sum(round(col("value") * 100).cast("long")).as("vc"))
+      val ref = daily.groupBy(col("d"))
+        .agg(floor(sum(col("vc")) / count(lit(1)) + 0.5).cast("long")
+          .as("rvq"))
+      graft.operators.Similarity.lbKeoghExact(daily, Seq("user_id"), "d",
+          "vc", ref, "rvq", band = 2, scale = 100L)
         .select(col("user_id"), r6(col("lb_keogh")).as("lb_keogh"),
           col("n_matched"))
         .orderBy("user_id")
@@ -1536,23 +1544,26 @@ private[graft] object EntriesQ310 extends EntryPart {
         |  round(body + lasts * (25 - lastt)::DOUBLE, 6) AS rmst
         |FROM a ORDER BY 1""".stripMargin,
 
-    // envelope = rolling min/max of the mean profile over ±2 days; LB =
-    // Σ squared exceedance outside [L, U]
+    // envelope = rolling min/max of the CENT-QUANTIZED mean profile over
+    // ±2 days; LB = Σ squared exceedance outside [L, U] — all integer
+    // cents (exact in both engines), one division at the end
     "q337_lb_keogh" ->
-      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, sum(value) AS v
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    sum(round(value * 100)::BIGINT) AS vc
         |  FROM events GROUP BY 1, 2),
-        |ref AS (SELECT d, avg(v) AS rv FROM daily GROUP BY 1),
-        |env AS (SELECT d, max(rv) OVER w AS u, min(rv) OVER w AS l
+        |ref AS (SELECT d, floor(sum(vc) / count(*) + 0.5)::BIGINT AS rvq
+        |  FROM daily GROUP BY 1),
+        |env AS (SELECT d, max(rvq) OVER w AS u, min(rvq) OVER w AS l
         |  FROM ref WINDOW w AS (ORDER BY d
         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
-        |j AS (SELECT daily.user_id, daily.v, env.u, env.l
+        |j AS (SELECT daily.user_id, daily.vc, env.u, env.l
         |  FROM daily JOIN env USING (d)),
         |a AS (SELECT user_id,
-        |    sum(CASE WHEN v > u THEN (v-u)*(v-u)
-        |             WHEN v < l THEN (l-v)*(l-v) ELSE 0.0 END) AS lb,
+        |    sum(CASE WHEN vc > u THEN (vc-u)*(vc-u)
+        |             WHEN vc < l THEN (l-vc)*(l-vc) ELSE 0 END) AS lb,
         |    count(*) AS n_matched
         |  FROM j GROUP BY 1)
-        |SELECT user_id, round(lb, 6) AS lb_keogh, n_matched
+        |SELECT user_id, round(lb / 10000.0, 6) AS lb_keogh, n_matched
         |FROM a ORDER BY 1""".stripMargin,
 
     // code = 4·[v₂>v₁] + 2·[v₃>v₂] + [v₃>v₁]; fixed-order entropy chain

@@ -378,6 +378,44 @@ object Similarity {
       .agg(sum(col("_c")).as("lb_keogh"), count(lit(1)).as("n_matched"))
   }
 
+  /** [[lbKeogh]] over SCALED-INTEGER series — the exact-arithmetic twin
+    * for hash-exact cross-run/cross-engine parity (the
+    * [[Features.seasonalDecomposeExact]] discipline; this closed the one
+    * sf0.1 exact-repr straddle the r5 sweep caught, q337). Both the
+    * series and the reference enter as fixed-point longs at `scale`
+    * (cents: 100); the envelope min/max and the squared-exceedance SUM —
+    * the shuffle-order-sensitive reduction that made the double path
+    * drift in its last ulps — run entirely in exact long arithmetic, and
+    * the single double division by scale² happens once per key.
+    * Bound: Σ(Δ·scale)² per key must stay below 2^53 for the lossless
+    * long→double cast — cents at |Δ| ≤ 10^4 over 10^3-point series is
+    * ~10^13, two orders of margin.
+    */
+  def lbKeoghExact(df: DataFrame, keyCols: Seq[String], idxCol: String,
+                   intCol: String, ref: DataFrame, refIntCol: String,
+                   band: Int, scale: Long = 100L): DataFrame = {
+    require(band >= 1, s"band must be >= 1, got $band")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val wEnv = org.apache.spark.sql.expressions.Window
+      .orderBy(col(idxCol)).rowsBetween(-band, band)
+    val env = ref
+      .select(col(idxCol), col(refIntCol).cast("long").as("_rv"))
+      .withColumn("_u", max(col("_rv")).over(wEnv))
+      .withColumn("_l", min(col("_rv")).over(wEnv))
+      .select(col(idxCol), col("_u"), col("_l"))
+    val x = col(intCol).cast("long")
+    df.filter(x.isNotNull)
+      .join(broadcast(env), Seq(idxCol))
+      .withColumn("_c",
+        when(x > col("_u"), (x - col("_u")) * (x - col("_u")))
+          .when(x < col("_l"), (col("_l") - x) * (col("_l") - x))
+          .otherwise(lit(0L)))
+      .groupBy(keyCols.map(col): _*)
+      .agg((sum(col("_c")).cast("double") /
+        lit((scale * scale).toDouble)).as("lb_keogh"),
+        count(lit(1)).as("n_matched"))
+  }
+
   /** Banded DTW DP over two series, L1 step cost. Exposed for testing. */
   def dtw(a: Array[Double], b: Array[Double], band: Int): Double = {
     val n = a.length; val m = b.length
