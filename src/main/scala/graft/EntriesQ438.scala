@@ -956,6 +956,46 @@ private[graft] object EntriesQ438 extends EntryPart {
           r6(col("smape")).as("smape"), col("rank"), col("is_best"))
         .orderBy("user_id", "model")
     }),
+
+    // per-row linear SHAP (r5): the reference's interpret layer for the
+    // model family the engine fits — exact closed-form φ_j = β_j·(x_j−x̄_j)
+    // per user for daily value vs (day number, weekend flag). Integer
+    // features × integer-cents target ⇒ every moment/co-moment is an
+    // exact long; β and φ are fixed double trees over exact operands
+    // (bit-identical cross-engine; note Spark dayofweek is 1=Sunday,
+    // DuckDB's is 0=Sunday — the oracle shifts accordingly).
+    "q517_linear_shap" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("vc"))
+        .withColumn("x1", expr("unix_timestamp(d) div 86400"))
+        .withColumn("x2",
+          when(dayofweek(col("d")).isin(1, 7), lit(1L)).otherwise(lit(0L)))
+      graft.operators.Interpret.linearShap2(daily, Seq("user_id"),
+          "x1", "x2", "vc", scale = 100L)
+        .select(col("user_id"), unix_timestamp(col("d")).as("d_s"),
+          r6(col("bias")).as("bias"), r6(col("phi_1")).as("phi_1"),
+          r6(col("phi_2")).as("phi_2"), r6(col("yhat")).as("yhat"),
+          r6(col("resid")).as("resid"))
+        .orderBy("user_id", "d_s")
+    }),
+
+    // the importance-plot readout over q517's attribution: mean |φ| per
+    // user and feature (exposure-class-3 double mean, r6-bounded)
+    "q518_shap_importance" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("vc"))
+        .withColumn("x1", expr("unix_timestamp(d) div 86400"))
+        .withColumn("x2",
+          when(dayofweek(col("d")).isin(1, 7), lit(1L)).otherwise(lit(0L)))
+      val att = graft.operators.Interpret.linearShap2(daily, Seq("user_id"),
+        "x1", "x2", "vc", scale = 100L)
+      graft.operators.Interpret.shapImportance(att, Seq("user_id"))
+        .select(col("user_id"), col("feature"),
+          r6(col("importance")).as("importance"), col("n"))
+        .orderBy("user_id", "feature")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -2684,5 +2724,89 @@ private[graft] object EntriesQ438 extends EntryPart {
         |SELECT user_id, model, n_eval, round(smape, 6) AS smape,
         |  rank, rank = 1 AS is_best
         |FROM fin ORDER BY 1, 2""".stripMargin,
+
+    // exact normal equations over integer moments, then the fixed double
+    // tree b·(x − s/n) — the verbatim twin of Interpret.linearShap2
+    // (DuckDB dayofweek is 0=Sunday where Spark's is 1=Sunday)
+    "q517_linear_shap" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    sum(round(value * 100)::BIGINT) AS vc
+        |  FROM events GROUP BY 1,2),
+        |b AS (SELECT user_id, d, vc,
+        |    epoch(d)::BIGINT // 86400 AS x1,
+        |    CASE WHEN dayofweek(d) IN (0, 6) THEN 1 ELSE 0 END AS x2
+        |  FROM daily),
+        |m AS (SELECT user_id, count(*)::BIGINT AS n,
+        |    sum(x1)::BIGINT AS s1, sum(x2)::BIGINT AS s2,
+        |    sum(x1*x1)::BIGINT AS s11, sum(x1*x2)::BIGINT AS s12,
+        |    sum(x2*x2)::BIGINT AS s22, sum(vc)::BIGINT AS sy,
+        |    sum(x1*vc)::BIGINT AS s1y, sum(x2*vc)::BIGINT AS s2y
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT user_id, n, s1, s2, sy,
+        |    n*s11 - s1*s1 AS c11, n*s22 - s2*s2 AS c22,
+        |    n*s12 - s1*s2 AS c12, n*s1y - s1*sy AS c1y,
+        |    n*s2y - s2*sy AS c2y
+        |  FROM m),
+        |fit AS (SELECT user_id, n, s1, s2, sy,
+        |    CASE WHEN n >= 3 AND c11 > 0 AND c22 > 0
+        |        AND c11*c22 - c12*c12 <> 0
+        |      THEN (c22*c1y - c12*c2y)::DOUBLE
+        |        / (c11*c22 - c12*c12)::DOUBLE END AS b1,
+        |    CASE WHEN n >= 3 AND c11 > 0 AND c22 > 0
+        |        AND c11*c22 - c12*c12 <> 0
+        |      THEN (c11*c2y - c12*c1y)::DOUBLE
+        |        / (c11*c22 - c12*c12)::DOUBLE END AS b2
+        |  FROM c),
+        |att AS (SELECT b.user_id, b.d, b.vc,
+        |    fit.sy::DOUBLE / (100 * fit.n) AS bias,
+        |    fit.b1 * (b.x1::DOUBLE - fit.s1 / fit.n) / 100.0 AS p1,
+        |    fit.b2 * (b.x2::DOUBLE - fit.s2 / fit.n) / 100.0 AS p2
+        |  FROM b JOIN fit USING (user_id))
+        |SELECT user_id, floor(epoch(d))::BIGINT AS d_s,
+        |  round(bias, 6) AS bias, round(p1, 6) AS phi_1,
+        |  round(p2, 6) AS phi_2, round(bias + p1 + p2, 6) AS yhat,
+        |  round(vc / 100.0 - (bias + p1 + p2), 6) AS resid
+        |FROM att ORDER BY 1, 2""".stripMargin,
+
+    // mean |phi| per user and feature over the q517 attribution
+    "q518_shap_importance" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    sum(round(value * 100)::BIGINT) AS vc
+        |  FROM events GROUP BY 1,2),
+        |b AS (SELECT user_id, d, vc,
+        |    epoch(d)::BIGINT // 86400 AS x1,
+        |    CASE WHEN dayofweek(d) IN (0, 6) THEN 1 ELSE 0 END AS x2
+        |  FROM daily),
+        |m AS (SELECT user_id, count(*)::BIGINT AS n,
+        |    sum(x1)::BIGINT AS s1, sum(x2)::BIGINT AS s2,
+        |    sum(x1*x1)::BIGINT AS s11, sum(x1*x2)::BIGINT AS s12,
+        |    sum(x2*x2)::BIGINT AS s22, sum(vc)::BIGINT AS sy,
+        |    sum(x1*vc)::BIGINT AS s1y, sum(x2*vc)::BIGINT AS s2y
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT user_id, n, s1, s2, sy,
+        |    n*s11 - s1*s1 AS c11, n*s22 - s2*s2 AS c22,
+        |    n*s12 - s1*s2 AS c12, n*s1y - s1*sy AS c1y,
+        |    n*s2y - s2*sy AS c2y
+        |  FROM m),
+        |fit AS (SELECT user_id, n, s1, s2,
+        |    CASE WHEN n >= 3 AND c11 > 0 AND c22 > 0
+        |        AND c11*c22 - c12*c12 <> 0
+        |      THEN (c22*c1y - c12*c2y)::DOUBLE
+        |        / (c11*c22 - c12*c12)::DOUBLE END AS b1,
+        |    CASE WHEN n >= 3 AND c11 > 0 AND c22 > 0
+        |        AND c11*c22 - c12*c12 <> 0
+        |      THEN (c11*c2y - c12*c1y)::DOUBLE
+        |        / (c11*c22 - c12*c12)::DOUBLE END AS b2
+        |  FROM c),
+        |att AS (SELECT b.user_id,
+        |    fit.b1 * (b.x1::DOUBLE - fit.s1 / fit.n) / 100.0 AS p1,
+        |    fit.b2 * (b.x2::DOUBLE - fit.s2 / fit.n) / 100.0 AS p2
+        |  FROM b JOIN fit USING (user_id)),
+        |u AS (SELECT user_id, 'phi_1' AS feature, p1 AS p FROM att
+        |  UNION ALL SELECT user_id, 'phi_2', p2 FROM att)
+        |SELECT user_id, feature,
+        |  round(sum(abs(p)) / count(*), 6) AS importance,
+        |  count(*)::BIGINT AS n
+        |FROM u WHERE p IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }
