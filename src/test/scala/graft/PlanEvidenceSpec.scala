@@ -218,4 +218,31 @@ class PlanEvidenceSpec extends SparkSuite {
     assert(exchanges(StatTests.breuschPagan(daily, Seq("user_id"), "d", "v")) <= base + 1,
       "breuschPagan's two window stages + aggregate share one exchange")
   }
+
+  test("linearShap2 attaches the per-key fit by BROADCAST (fit side is key-sized)") {
+    val daily = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("vc"))
+      .withColumn("x1", expr("unix_timestamp(d) div 86400"))
+      .withColumn("x2",
+        when(dayofweek(col("d")).isin(1, 7), lit(1L)).otherwise(lit(0L)))
+    val plan = finalPlan(
+      graft.operators.Interpret.linearShap2(daily, Seq("user_id"), "x1", "x2", "vc"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the one-row-per-key fit must broadcast, never shuffle the fact side:\n$plan")
+  }
+
+  test("lmScore with maxVocab broadcasts the vocab — the token stream never shuffles for it") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 500)
+    val plan = finalPlan(
+      graft.operators.TextAnalysis.lmScore(docs, "doc_id", "text",
+        sampleMod = 1, maxVocab = Some(100)).filter(col("n_tokens") > 0))
+    // both the capped vocab and the totals row must arrive by broadcast;
+    // the exploded token stream's only exchange is its own final groupBy
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab/totals joins must be broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge join may touch the exploded token stream:\n$plan")
+  }
 }
