@@ -30,6 +30,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Pin the JVM default timezone too: entry fold boundaries built with
+  // java.sql.Timestamp.valueOf(...) parse in the JVM default zone, while
+  // their DuckDB oracle twins pin UTC epochs — identical only when the
+  // JVM default is UTC (r5 review finding; this box is UTC, a laptop may
+  // not be).
+  "-Duser.timezone=UTC",
   // 24g default: local[32] aggregation holds per-task hash maps + codec
   // buffers; 8g measurably GC-thrashes at 32 threads (box has 128 GiB).
   // -Xms presizes the heap to -Xmx: without it the FIRST job in a fresh JVM

@@ -2433,7 +2433,13 @@ private[graft] object EntriesQ001 extends EntryPart {
         |    sum(CASE WHEN pos = 6 THEN s_raw END) AS s6
         |  FROM sr GROUP BY 1),
         |c AS (SELECT user_id,
-        |    ((((((s0 + s1) + s2) + s3) + s4) + s5) + s6) / 7.0 AS ctr
+        |    ((((((coalesce(s0, 0) + coalesce(s1, 0)) + coalesce(s2, 0))
+        |      + coalesce(s3, 0)) + coalesce(s4, 0)) + coalesce(s5, 0))
+        |      + coalesce(s6, 0))
+        |    / ((s0 IS NOT NULL)::INT + (s1 IS NOT NULL)::INT
+        |      + (s2 IS NOT NULL)::INT + (s3 IS NOT NULL)::INT
+        |      + (s4 IS NOT NULL)::INT + (s5 IS NOT NULL)::INT
+        |      + (s6 IS NOT NULL)::INT) AS ctr
         |  FROM piv)
         |SELECT d2.user_id, floor(epoch(d))::BIGINT AS d_s,
         |  round(trend, 6) AS trend,

@@ -1552,7 +1552,13 @@ private[graft] object EntriesQ099 extends EntryPart {
         |    sum(CASE WHEN pos = 6 THEN s_raw END) AS s6
         |  FROM sr GROUP BY 1),
         |c AS (SELECT user_id,
-        |    ((((((s0 + s1) + s2) + s3) + s4) + s5) + s6) / 7.0 AS ctr
+        |    ((((((coalesce(s0, 0) + coalesce(s1, 0)) + coalesce(s2, 0))
+        |      + coalesce(s3, 0)) + coalesce(s4, 0)) + coalesce(s5, 0))
+        |      + coalesce(s6, 0))
+        |    / ((s0 IS NOT NULL)::INT + (s1 IS NOT NULL)::INT
+        |      + (s2 IS NOT NULL)::INT + (s3 IS NOT NULL)::INT
+        |      + (s4 IS NOT NULL)::INT + (s5 IS NOT NULL)::INT
+        |      + (s6 IS NOT NULL)::INT) AS ctr
         |  FROM piv),
         |fin AS (SELECT d2.user_id, trend, s_raw - ctr AS seasonal,
         |    y - trend - (s_raw - ctr) AS remainder
@@ -2080,7 +2086,13 @@ private[graft] object EntriesQ099 extends EntryPart {
         |    sum(CASE WHEN pos = 6 THEN s_raw END) AS s6
         |  FROM sr GROUP BY 1),
         |c AS (SELECT user_id,
-        |    ((((((s0 + s1) + s2) + s3) + s4) + s5) + s6) / 7.0 AS ctr
+        |    ((((((coalesce(s0, 0) + coalesce(s1, 0)) + coalesce(s2, 0))
+        |      + coalesce(s3, 0)) + coalesce(s4, 0)) + coalesce(s5, 0))
+        |      + coalesce(s6, 0))
+        |    / ((s0 IS NOT NULL)::INT + (s1 IS NOT NULL)::INT
+        |      + (s2 IS NOT NULL)::INT + (s3 IS NOT NULL)::INT
+        |      + (s4 IS NOT NULL)::INT + (s5 IS NOT NULL)::INT
+        |      + (s6 IS NOT NULL)::INT) AS ctr
         |  FROM piv),
         |rem AS (SELECT d2.user_id, floor(epoch(d))::BIGINT AS d_s,
         |    y - trend - (s_raw - ctr) AS rem

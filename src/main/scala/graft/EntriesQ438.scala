@@ -7,7 +7,7 @@ import graft.functions.Hier
 import graft.operators.{Conformal, CrossVal, Dedup, Encoding, Ewma, Features, GapFill, Hist, Intervals, Metrics, Multimodal, Profile, Rollup, Sax, Scalers, Similarity, TextAnalysis}
 import graft.EntryHelpers._
 
-/** SparkEntry queries q438–q515 with their DuckDB oracle twins,
+/** SparkEntry queries q438–q518 with their DuckDB oracle twins,
   * split from the former single-file map (round-4 maintainability item:
   * entries and oracles live side by side per file so a mispaired oracle
   * is caught by the duplicate/coverage checks in [[SparkEntry]]).

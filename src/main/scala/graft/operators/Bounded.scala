@@ -27,9 +27,13 @@ object Bounded {
   /** Boolean guard column: `true` while `nCol` (a total-count column the
     * plan already computes, e.g. `count(*) over ()`) is within
     * `maxPoints`; RAISES with an actionable message once any row observes
-    * a larger count. Compose into an expression on the single-task path:
-    * `when(Bounded.gate(col("_n"), max, "op"), expr)` or
-    * `.filter(Bounded.gate(...) && cond)`. */
+    * a larger count. PLACEMENT RULE: prefer `.filter(Bounded.gate(...))`
+    * (or `gate && cond` inside an existing filter) — a Filter node
+    * survives any downstream column pruning. Wrap an output column with
+    * `when(gate, expr)` ONLY when the frame is row-level with a window
+    * count (filters cannot contain window expressions) — and then only
+    * on a column every contract output depends on, so pruning cannot
+    * drop the guard with it. */
   def gate(nCol: Column, maxPoints: Long, what: String): Column =
     assert_true(nCol <= lit(maxPoints),
       lit(s"$what: input exceeds the single-task window bound of " +

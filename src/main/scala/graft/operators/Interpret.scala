@@ -99,13 +99,18 @@ object Interpret {
     * determinism policy — bounded by the r6 rounding callers apply). */
   def shapImportance(attributed: DataFrame, keyCols: Seq[String]): DataFrame = {
     val keys = keyCols.map(col)
-    Seq("phi_1", "phi_2").map { f =>
-      attributed.filter(col(f).isNotNull)
-        .groupBy(keys: _*)
-        .agg(count(lit(1)).as("n"),
-          (sum(abs(col(f))) / count(lit(1))).as("importance"))
-        .withColumn("feature", lit(f))
-        .select((keys :+ col("feature") :+ col("importance") :+ col("n")): _*)
-    }.reduce(_.unionByName(_))
+    // unpivot via explode, ONE pass: a per-feature union would embed (and
+    // largely re-execute) the whole upstream attribution plan per branch
+    attributed
+      .select((keys :+ explode(array(
+        struct(lit("phi_1").as("feature"), col("phi_1").as("p")),
+        struct(lit("phi_2").as("feature"), col("phi_2").as("p")))).as("_f")): _*)
+      .select((keys :+ col("_f.feature").as("feature") :+
+        col("_f.p").as("p")): _*)
+      .filter(col("p").isNotNull)
+      .groupBy((keys :+ col("feature")): _*)
+      .agg(count(lit(1)).as("n"),
+        (sum(abs(col("p"))) / count(lit(1))).as("importance"))
+      .select((keys :+ col("feature") :+ col("importance") :+ col("n")): _*)
   }
 }

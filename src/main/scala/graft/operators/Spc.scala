@@ -39,9 +39,10 @@ object Spc {
     val agged = staged.agg(count(lit(1)).as("n"), avg(col("_x")).as("xbar"),
       avg(col("_mr")).as("mrbar"))
     val limits = agged
-      .withColumn("ucl_x", when(
-        Bounded.gate(col("n"), Bounded.DefaultMaxPoints, "imrChart"),
-        col("xbar") + lit(2.66) * col("mrbar")))
+      // gate as a FILTER on the one-row aggregate: a filter survives any
+      // downstream column pruning, a guarded output column does not
+      .filter(Bounded.gate(col("n"), Bounded.DefaultMaxPoints, "imrChart"))
+      .withColumn("ucl_x", col("xbar") + lit(2.66) * col("mrbar"))
       .withColumn("lcl_x", col("xbar") - lit(2.66) * col("mrbar"))
       .withColumn("_ucl_mr", lit(3.267) * col("mrbar"))
     staged.crossJoin(broadcast(limits))
@@ -81,9 +82,10 @@ object Spc {
     val mom = base.agg(count(lit(1)).as("n"), avg(col("_x")).as("_xbarIn"),
       sum(col("_x") * col("_x")).as("_s2"))
       // 20k cap, not the default 4M: the z_t realization below is an
-      // O(n²) range self-join on the series grain
-      .withColumn("xbar", when(Bounded.gate(col("n"), 20000L, "ewmaChart"),
-        mu0.map(lit).getOrElse(col("_xbarIn"))))
+      // O(n²) range self-join on the series grain. Filter, not a guarded
+      // column — filters survive column pruning
+      .filter(Bounded.gate(col("n"), 20000L, "ewmaChart"))
+      .withColumn("xbar", mu0.map(lit).getOrElse(col("_xbarIn")))
       .withColumn("sigma", sigma0.map(lit).getOrElse(
         sqrt(col("_s2") / col("n").cast("double") -
           col("_xbarIn") * col("_xbarIn"))))

@@ -403,10 +403,16 @@ object TextAnalysis {
     // hint broadcast EXPLICITLY so the exploded token stream never
     // shuffles — relying on AQE to convert leaves a sort-merge plan on
     // the table when the limit's stats arrive late (r4's slowest warm
-    // query). Unbounded vocab keeps the un-hinted join (its size is
-    // corpus-dependent; AQE decides from the real build size).
-    val vocab = maxVocab.fold(counts)(n =>
-      broadcast(counts.orderBy(col("c").desc, col("tok")).limit(n)))
+    // query). The hint is applied only while the cap is plausibly
+    // executor-memory-sized (≤ 2M entries ≈ tens of MB): a huge cap must
+    // not force a driver-side broadcast where AQE would degrade
+    // gracefully to a shuffle join. Unbounded vocab keeps the un-hinted
+    // join (its size is corpus-dependent; AQE decides from the real
+    // build size).
+    val vocab = maxVocab.fold(counts) { n =>
+      val capped = counts.orderBy(col("c").desc, col("tok")).limit(n)
+      if (n <= 2000000) broadcast(capped) else capped
+    }
     val bits = docs
       .select(col(idCol).as("id"), explode(words(col(textCol))).as("tok"))
       .join(vocab, Seq("tok"), "left")
