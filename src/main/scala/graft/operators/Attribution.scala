@@ -76,7 +76,12 @@ object Attribution {
       Seq("CONV", "NULL").toDF("s"))
       .select(col("variant"), col("s").as("from"), col("s").as("to"),
         lit(1.0).as("p"))
-    val trans = redirected.unionByName(selfLoops)
+    // joined once per propagation step: without the materialization each of
+    // the `steps` iterations re-evaluates the whole journey-extraction
+    // pipeline (two windows over the raw events) inside its join — the
+    // transition matrix is tiny ((channels+2)² × variants rows), the
+    // re-evaluated subtree is not (guide §2.4: remove repeated passes)
+    val trans = redirected.unionByName(selfLoops).localCheckpoint()
 
     var mass = variants.select(col("variant"), lit("START").as("state"),
       lit(1.0).as("m"))

@@ -300,11 +300,16 @@ object Dedup {
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        shingleN: Int = 3, minContainment: Double = 0.5,
                        maxDf: Option[Long] = None): DataFrame = {
+    // materialized once: consumed by BOTH renamed copies of the shared-
+    // shingle self-join plus the `sizes` branch — un-materialized, the
+    // tokenize + shingle pass over the corpus runs three times (Catalyst's
+    // exchange reuse cannot unify column-renamed copies; guide §2.4)
     val docs = df
       .withColumn("_ws", words(col(textCol)))
       .select(col(idCol).as("id"),
         array_distinct(wordShinglesOf(col("_ws"), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
     val exAll = docs.select(col("id"), explode(col("sh")).as("s"))
     val (ex, sizes) = maxDf match {
       case Some(tau) =>

@@ -109,8 +109,15 @@ object Similarity {
     // dot/(sqrt(dot(a,a))·sqrt(dot(b,b))), null when a norm is 0.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("_qn"))
+    // spread the streamed side across the cluster BEFORE the pair fan-out:
+    // a small corpus parquet arrives as ONE scan partition, and a broadcast
+    // nested-loop join inherits the stream side's partitioning — without
+    // this every |Q|×|C| dot product runs in a single task (guide §2.5
+    // "input skew"; round-robin repartition, no key needed — pair
+    // generation is order-free)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("_cn"))
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
@@ -118,11 +125,29 @@ object Similarity {
           dot(col("qv"), col("cv")) / (col("_qn") * col("_cn")))
           .otherwise(lit(null).cast("double")))
       .filter(col("sim").isNotNull)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "sim", "rank")
+    val idNumeric = c.schema("neighbor_id").dataType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (k == 1 && idNumeric) {
+      // top-1 is an aggregation, not a window: max over (sim, −id) gives
+      // highest sim with ties to the SMALLEST id — exactly row_number's
+      // (sim desc, neighbor_id asc) first row — but with map-side partial
+      // aggregation: |Q| rows cross the exchange instead of |Q|×|C|
+      // (guide §2.3 "aggregate before you shuffle"). Identical output.
+      scored
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("sim"), (-col("neighbor_id")).as("_nid"))).as("_b"))
+        .select(col("query_id"), (-col("_b._nid")).as("neighbor_id"),
+          col("_b.sim").as("sim"), lit(1).as("rank"))
+    } else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    }
   }
 
   /** Symmetric int8 scalar quantization of an embedding column — the

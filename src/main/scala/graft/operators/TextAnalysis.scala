@@ -740,9 +740,13 @@ object TextAnalysis {
     require(topN >= 2 && iterations >= 1)
     val ws = docs.select(words(lower(col(textCol))).as("ws"))
       .filter(size(col("ws")) > 0)
+    // topN rows, but referenced ~8× (both ends of the edge filter, every
+    // iteration's rebuild, the final join) — each reference re-tokenizes
+    // and re-aggregates the whole corpus unless materialized once
     val nodes = ws.select(explode(col("ws")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("term")).limit(topN)
+      .localCheckpoint()
     val pairs = ws.filter(size(col("ws")) >= 2)
       .select(col("ws"), explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
       .select(element_at(col("ws"), col("i")).as("a"),
