@@ -35,9 +35,15 @@ object Cms {
   val W: Int = 1024
   val Bytes: Int = D * W * 8
 
-  /** 60-bit MD5 hash of `"row:item"`, mod W — matches the SQL replay form. */
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** 60-bit MD5 hash of `"row:item"`, mod W — matches the SQL replay form.
+    * Digest instance reused per thread (getInstance allocates per call —
+    * the same per-item hot-path fix as [[MinHashHelper]]/[[Hll]]). */
   private[graft] def bucket(row: Int, item: String): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
+    md.reset()
     val d = md.digest(s"$row:$item".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // first 15 hex chars = top 60 bits: bytes 0..6 + high nibble of byte 7
     val h60 = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) | ((d(2) & 0xffL) << 36) |

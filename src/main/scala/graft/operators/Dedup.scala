@@ -557,14 +557,21 @@ object Dedup {
           s"connectedComponents did not converge in $maxIter rounds — " +
             "graph diameter exceeds the bound; raise maxIter or switch to " +
             "large-star/small-star for long-path graphs")
-      // min label over each node's neighborhood (map-side partial min applies)
-      val nbrMin = und
+      // min label over each node's neighborhood ∪ its OWN label, in ONE
+      // map-side-combined aggregation: the own-label rows ride the union
+      // (tagged), so the old per-round join of labels against nbrMin is
+      // gone. min(all) == least(own, min(nbrs)) exactly (longs), and the
+      // changed flag is min(all) < own ⟺ the old nbr < comp.
+      val step = und
         .join(labels.select(col("id").as("d"), col("comp").as("nc")), Seq("d"))
-        .groupBy(col("s").as("id")).agg(min(col("nc")).as("nbr"))
-      val step = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
-          (coalesce(col("nbr"), col("comp")) < col("comp")).cast("long").as("chg"))
+        .select(col("s").as("id"), col("nc"), lit(false).as("own"))
+        .unionByName(labels.select(col("id"), col("comp").as("nc"),
+          lit(true).as("own")))
+        .groupBy("id")
+        .agg(min(col("nc")).as("comp"),
+          min(when(col("own"), col("nc"))).as("_ownc"))
+        .select(col("id"), col("comp"),
+          (col("comp") < col("_ownc")).cast("long").as("chg"))
         .localCheckpoint()
       changed = step.agg(sum(col("chg"))).first().getLong(0)
       labels = step.select("id", "comp")

@@ -37,22 +37,31 @@ object Graph {
     val nodes = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id"))).distinct()
       .localCheckpoint()
-    val n = nodes.count() // one bounded scalar (node count), never the rows
-    val sinks = nodes.join(edges.select(col("src")).distinct(),
-      nodes("id") === col("src"), "left_anti").count()
+    val outdegs = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // ONE bounded action for both validation scalars (node count + sink
+    // count) instead of two separate jobs — never the rows
+    val nstat = nodes.join(outdegs, nodes("id") === col("src"), "left")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("outdeg").isNull, 1)).as("sinks")).first()
+    val n = nstat.getLong(0)
+    val sinks = nstat.getLong(1)
     require(sinks == 0L, s"$sinks dangling node(s) (outdegree 0) — close the graph first")
-    val withDeg = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    val withDeg = edges.join(outdegs, "src")
       .localCheckpoint() // reused every iteration; lineage cut once
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iterations) {
-      val contribs = withDeg
+      // no-inlink nodes re-enter via an explicit zero-contribution row
+      // (union into the SAME aggregation) instead of a second per-iteration
+      // join against the node table — one fewer join/broadcast per
+      // iteration (guide §2.4), and adding 0.0 to an IEEE sum is exact, so
+      // every rank value is bit-identical to the join+coalesce formulation
+      ranks = withDeg
         .join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
+        .unionByName(nodes.select(col("id"), lit(0.0).as("c")))
         .groupBy("id").agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"), (lit((1.0 - damping) / n) +
-          lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+          lit(damping) * col("s")).as("rank"))
       if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint()
     }
     ranks
@@ -88,12 +97,15 @@ object Graph {
     var h = nodes.withColumn("h", lit(1.0))
     for (i <- 1 to iterations) {
       val a = auth(h)
-      val h2 = e.join(a, e("dst") === a("id"))
-        .groupBy(col("src").as("hid")).agg(sum(col("a")).as("h"))
-        .withColumnRenamed("hid", "id")
       // nodes whose hub score drained to no contribution keep an explicit 0
-      h = nodes.join(h2, Seq("id"), "left")
-        .select(col("id"), coalesce(col("h"), lit(0.0)).as("h"))
+      // — via a zero row unioned into the SAME aggregation instead of a
+      // second join against the node table (one fewer join per iteration;
+      // summing an extra exact 0.0 leaves the integer-exact recursion
+      // bit-identical)
+      h = e.join(a, e("dst") === a("id"))
+        .select(col("src").as("id"), col("a").as("h"))
+        .unionByName(nodes.select(col("id"), lit(0.0).as("h")))
+        .groupBy("id").agg(sum(col("h")).as("h"))
       if (i % checkpointEvery == 0) h = h.localCheckpoint()
     }
     val aFinal = auth(h)
@@ -295,8 +307,9 @@ object Graph {
     val nodes = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id"))).distinct()
       .localCheckpoint()
-    val sinks = nodes.join(edges.select(col("src")).distinct(),
-      nodes("id") === col("src"), "left_anti").count()
+    val outdegs = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val sinks = nodes.join(outdegs, nodes("id") === col("src"), "left")
+      .agg(count(when(col("outdeg").isNull, 1)).as("sinks")).first().getLong(0)
     require(sinks == 0L, s"$sinks dangling node(s) (outdegree 0) — close the graph first")
     val seedIds = seeds.select(col(seeds.columns.head).cast("long").as("id")).distinct()
       .localCheckpoint()
@@ -305,18 +318,24 @@ object Graph {
     val seeded = nodes.join(seedIds.withColumn("s", lit(1.0 / nSeeds)), Seq("id"), "left")
       .select(col("id"), coalesce(col("s"), lit(0.0)).as("s"))
       .localCheckpoint() // reused every iteration
-    val withDeg = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    val withDeg = edges.join(outdegs, "src")
       .localCheckpoint()
     var ranks = seeded.select(col("id"), col("s").as("ppr"))
     for (i <- 1 to iterations) {
-      val contribs = withDeg
+      // the restart indicator rides the union as a second carrier column
+      // (one s row + zeros per node), so the per-iteration rebuild is one
+      // aggregation instead of aggregation + join — and since the extra
+      // terms are exact zeros and s appears exactly once per node, both
+      // m and s come out bit-identical to the join+coalesce formulation
+      ranks = withDeg
         .join(ranks, withDeg("src") === ranks("id"))
-        .select(col("dst").as("id"), (col("ppr") / col("outdeg")).as("c"))
-        .groupBy("id").agg(sum(col("c")).as("m"))
-      ranks = seeded.join(contribs, Seq("id"), "left")
+        .select(col("dst").as("id"), (col("ppr") / col("outdeg")).as("c"),
+          lit(0.0).as("sc"))
+        .unionByName(seeded.select(col("id"), lit(0.0).as("c"),
+          col("s").as("sc")))
+        .groupBy("id").agg(sum(col("c")).as("m"), sum(col("sc")).as("s"))
         .select(col("id"), (lit(1.0 - damping) * col("s") +
-          lit(damping) * coalesce(col("m"), lit(0.0))).as("ppr"))
+          lit(damping) * col("m")).as("ppr"))
       if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint()
     }
     ranks

@@ -764,14 +764,17 @@ object TextAnalysis {
     val dir = dir0.join(strength, "src").localCheckpoint()
     var scores = nodes.select(col("term"), lit(1.0).as("score"))
     for (_ <- 1 to iterations) {
-      val votes = dir.join(scores.withColumnRenamed("term", "src"), "src")
-        .groupBy(col("dst").as("term"))
-        .agg(sum(col("w").cast("double") / col("wsrc").cast("double") *
-          col("score")).as("_in"))
-      scores = nodes.select(col("term"))
-        .join(votes, Seq("term"), "left")
+      // isolated nodes re-enter via a zero vote row unioned into the SAME
+      // aggregation — one fewer join per iteration; +0.0 is exact, so
+      // scores match the join+coalesce formulation bit for bit
+      scores = dir.join(scores.withColumnRenamed("term", "src"), "src")
+        .select(col("dst").as("term"),
+          (col("w").cast("double") / col("wsrc").cast("double") *
+            col("score")).as("_v"))
+        .unionByName(nodes.select(col("term"), lit(0.0).as("_v")))
+        .groupBy("term").agg(sum(col("_v")).as("_in"))
         .select(col("term"), (lit(1.0 - damping) +
-          lit(damping) * coalesce(col("_in"), lit(0.0))).as("score"))
+          lit(damping) * col("_in")).as("score"))
     }
     nodes.join(scores, "term").select(col("term"), col("freq"), col("score"))
   }
