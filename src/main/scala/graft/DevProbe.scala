@@ -1,8 +1,8 @@
 package graft
 
 // Scratch profiling main for round-6 optimization work (not part of the
-// driver contract; deleted before round end). Times sub-stages of hot
-// operators with the noop sink.
+// driver contract). Times sub-stages of hot operators with the noop sink;
+// the numbers it printed are cited in OPTIMIZATION_r06.md.
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window

@@ -115,7 +115,8 @@ object NearDupSoak {
     val near = streamedPairs.count { case (_, j) => j < 0.999 && j >= 0.5 }
     println(s"[neardup-soak] {" +
       s""""corpus_docs":$nCorpus,"arrivals":$nArrivals,""" +
-      s""""stream_sec":${f"$streamSec%.1f"},""" +
+      s""""stream_sec":${String.format(java.util.Locale.ROOT, "%.1f",
+        Double.box(streamSec))},""" +
       s""""arrivals_per_sec":${(nArrivals / streamSec).toLong},""" +
       s""""flagged_pairs":${streamedPairs.size},""" +
       s""""exact_copies":$exact,"near_dups":$near,""" +

@@ -43,10 +43,22 @@ object BloomJoin {
       Shim.expression(bloom), Shim.expression(xxhash64(c))))
 
   def semiJoin(big: DataFrame, small: DataFrame, bigKey: String,
-               smallKey: String, expectedItems: Long = 4000000L,
+               smallKey: String, expectedItems: Long = 0L,
                numBits: Long = 33554432L): DataFrame = {
-    // one driver-side value: the bitmap (numBits/8 bytes), not the keys
-    val bf = small.agg(bloomAgg(col(smallKey), expectedItems, numBits).as("bf"))
+    // scale-adaptive sizing (r6): with the default expectedItems = 0 the
+    // build side is counted first (one bounded action over the SMALL side,
+    // which the operator scans twice anyway) and the bitmap gets ~10
+    // bits/key (fpp ≈ 1%), capped at `numBits`. The previous fixed
+    // 4M-item/4 MB bitmap was a constant tuned for neither the local bench
+    // (15k keys → 224× oversized literal shipped with every stage) nor a
+    // cluster (guide §1.2/§3.2: size the filter to the true count). Bloom
+    // sizing cannot change the result — false positives are removed by the
+    // exact semi-join below.
+    val items = if (expectedItems > 0) expectedItems
+      else math.max(small.count(), 1L)
+    val bits = math.max(1024L, math.min(numBits, items * 10L))
+    // one driver-side value: the bitmap (bits/8 bytes), not the keys
+    val bf = small.agg(bloomAgg(col(smallKey), items, bits).as("bf"))
       .head.getAs[Array[Byte]]("bf")
     val pre =
       if (bf == null) big.filter(lit(false)) // empty build side

@@ -307,6 +307,13 @@ object Features {
     * Bound for step 4's losslessness: |Σ det_p| ≤ p·max|intCol|·n_phase;
     * callers keep p·scale·Σ|y| below 2^53 (cents at p=7 over ~10^3-row
     * series with |y| ≤ 10^6: ~10^12 — 3 orders of margin).
+    *
+    * API divergence from [[seasonalDecompose]] (documented, r6): rows in a
+    * (key, phase) with no full-window occurrence — and whole keys whose
+    * series is shorter than period+1 — are DROPPED (the s_raw filter +
+    * inner join), whereas the generic variant keeps them with a null
+    * seasonal. The oracle twins replay the drop, so parity holds; callers
+    * needing the null-preserving contract use [[seasonalDecompose]].
     */
   def seasonalDecomposeExact(df: DataFrame, hierarchy: Seq[String],
                              tsCol: String, intCol: String, period: Int,

@@ -60,9 +60,17 @@ object TextAnalysis {
       explode(charShingles(col(textCol), 3)).as("trigram"))
     val scored = tri.join(broadcast(profiles), Seq("trigram"))
       .groupBy(col("id"), col("lang")).agg(count(lit(1)).as("score"))
-    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("lang"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("id"), col("lang").as("pred_lang"), col("score"))
+    // top-1 as an aggregation, not a window (guide §2.3): min over
+    // (−score, lang) is highest score with ties to the SMALLEST lang —
+    // exactly row_number's (score desc, lang asc) first row — with
+    // map-side partial aggregation instead of a shuffle+sort of every
+    // (id, lang) row. score is an exact integer count, so the negation
+    // and the struct compare are exact.
+    scored
+      .groupBy(col("id"))
+      .agg(min(struct((-col("score")).as("_ns"), col("lang"))).as("_b"))
+      .select(col("id"), col("_b.lang").as("pred_lang"),
+        (-col("_b._ns")).as("score"))
   }
 
   // --------------------------------------------------------------- quality
