@@ -118,6 +118,42 @@ object DevProbe {
       col("bucket_start"), col("cnt"), qq.getField("bkt0").as("p50_b"),
       qq.getField("bkt1").as("p95_b")).orderBy("event_type", "bucket_start"))
 
+    // ---- q239 inner top-1 stage plans (the committed q239_rbm_*.txt
+    // files show only the post-checkpoint mutuality join — the top-1
+    // stage executes inside reciprocalBestMatch's localCheckpoint, so its
+    // plan is dumped here explicitly; "r5shape" reconstructs the previous
+    // window formulation verbatim for the before/after diff) ----
+    if (sys.env.contains("GRAFT_PROBE_PLANS")) {
+      val dir239 = new java.io.File("plans/r06"); dir239.mkdirs()
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      def dump(name: String, df: DataFrame): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"plans/r06/$name.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      dump("q239_top1_inner_after", graft.operators.Similarity
+        .bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1))
+      // r5 formulation: broadcast crossJoin over the raw (1-partition)
+      // corpus scan + row_number window over every scored pair
+      import graft.operators.Similarity.{dot, norm}
+      val q0 = emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"), norm(col("embedding")).as("_qn"))
+      val c0 = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), norm(col("embedding")).as("_cn"))
+      val scored0 = broadcast(q0).crossJoin(c0)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", when(col("_qn") * col("_cn") > 0,
+          dot(col("qv"), col("cv")) / (col("_qn") * col("_cn")))
+          .otherwise(lit(null).cast("double")))
+        .filter(col("sim").isNotNull)
+      val w0 = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      dump("q239_top1_inner_r5shape", scored0
+        .withColumn("rank", row_number().over(w0))
+        .filter(col("rank") <= 1)
+        .select("query_id", "neighbor_id", "sim", "rank"))
+    }
+
     // ---- q39 langId full ----
     val dfull = docs.sparkSession.read.parquet(s"$sfDir/documents.parquet")
     val train = dfull.filter(pmod(col("doc_id"), lit(5L)) < 4 && col("lang").isNotNull)
