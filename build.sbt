@@ -15,6 +15,13 @@ run / fork := true
 // graft.Bench's JSON line from stdout, and sbt's default LoggedOutput wraps
 // every line in "[info] ", which broke that parse in rounds 1-2
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's own "[success] Total time ..." trailer, which was
+// the LAST line of stdout after Bench's JSON whenever the driver invoked
+// sbt directly instead of tools/bench.sh (the r1-r5 null-parse cause).
+// With both settings, Bench's println(json) is the final stdout line of
+// the whole `sbt -batch "runMain graft.Bench"` process. Exit codes and
+// BENCH_OUT.json are unaffected.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
