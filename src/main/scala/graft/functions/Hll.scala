@@ -135,12 +135,23 @@ object Hll {
                       itemCol: String, bucketSeconds: Long, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val kcols = keys.map(col)
-    val bucketed = df
+    // Distinct (key, bucket, item) FIRST, then sketch + count the survivors.
+    // Register-byte-identical to sketching the raw rows (register max is
+    // duplicate-insensitive) and count(item) over distinct rows == the old
+    // countDistinct(item) exactly (both skip nulls) — but the plan drops the
+    // mixed distinct/non-distinct Expand (which streamed every event row
+    // twice through a 3-level aggregate) for two plain hash aggregations,
+    // and the per-row MD5 digest runs once per distinct item instead of
+    // once per event row (guide §2.3: aggregate before you shuffle).
+    val dedup = df
       .withColumn("_ts_sec", unix_timestamp(col(tsCol).cast("timestamp")))
       .withColumn("bucket_start", col("_ts_sec") - pmod(col("_ts_sec"), lit(bucketSeconds)))
+      .select(kcols :+ col("bucket_start") :+ col(itemCol).as("_sd_item"): _*)
+      .distinct()
+    val bucketed = dedup
       .groupBy(kcols :+ col("bucket_start"): _*)
-      .agg(hllSketch(col(itemCol)).as("_regs"),
-        countDistinct(col(itemCol)).as("bucket_distinct"))
+      .agg(hllSketch(col("_sd_item")).as("_regs"),
+        count(col("_sd_item")).as("bucket_distinct"))
     val w = Window.partitionBy(kcols: _*)
       .orderBy(col("bucket_start"))
       .rangeBetween(-(k - 1) * bucketSeconds, 0)
